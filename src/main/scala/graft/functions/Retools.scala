@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Regex operator kernel — the Spark-native rebuild of the reference's
+  * `retools` module (reference: src/files_kraken/retools/_retools.py).
+  *
+  * Everything here is a pure `Column` builder: patterns are compiled by the
+  * JVM regex engine inside whole-stage codegen; no UDFs. The one semantic
+  * trap (SURVEY.md §7.4.1): Python's `re` returns `None` on no-match while
+  * Spark's `regexp_extract` returns `''` — every extractor below normalizes
+  * with `nullif(..., '')` so downstream null-gating (required-field filters,
+  * coalesce alternatives) behaves like the reference.
+  *
+  * Pattern specs mirror the reference's three spec shapes
+  * (retools/_retools.py:40-73):
+  *   - raw string            ⇒ anchored fullmatch, value = whole match
+  *   - (pattern, group)      ⇒ unanchored search, value = that group
+  *   - tuple of sub-specs    ⇒ ordered alternatives / list of sub-results
+  */
+object Retools {
+
+  /** One pattern spec (reference: retools/_retools.py:40-73). */
+  sealed trait PatternSpec
+  /** Raw string spec ⇒ `re.fullmatch`, value = group 0 (the whole text). */
+  final case class Full(pattern: String) extends PatternSpec
+  /** (pattern, group) spec ⇒ `re.search`, value = that capture group. */
+  final case class Group(pattern: String, group: Int) extends PatternSpec
+  /** Tuple-of-subspecs ⇒ ordered alternatives, first hit wins (F7) or a
+    * list of sub-results (F5), depending on the consuming operator. */
+  final case class Alternatives(specs: Seq[PatternSpec]) extends PatternSpec
+
+  /** Anchor a pattern for fullmatch semantics without shifting user group
+    * numbers (non-capturing wrapper). */
+  def anchored(pattern: String): String = "^(?:" + pattern + ")$"
+
+  // ---------------------------------------------------------------------
+  // F1-F3: core extractors (reference: retools/_retools.py:12-22)
+  // ---------------------------------------------------------------------
+
+  /** F1 `ReExecutor.fullmatch`: anchored match, return group `g` or null. */
+  def fullmatchExtract(col: Column, pattern: String, group: Int = 0): Column =
+    nullif(regexp_extract(col, anchored(pattern), group), lit(""))
+
+  /** F2 `ReExecutor.search`: unanchored search, return group or null. */
+  def searchExtract(col: Column, pattern: String, group: Int = 0): Column =
+    nullif(regexp_extract(col, pattern, group), lit(""))
+
+  /** F3 `ReExecutor.findall`: all matches of `group` as an array. */
+  def findallExtract(col: Column, pattern: String, group: Int = 0): Column =
+    regexp_extract_all(col, lit(pattern), lit(group))
+
+  /** Boolean fullmatch predicate (matcher protocol, README.md:199). */
+  def fullmatches(col: Column, pattern: String): Column =
+    col.rlike(anchored(pattern))
+
+  /** Boolean search predicate. */
+  def searches(col: Column, pattern: String): Column = col.rlike(pattern)
+
+  // ---------------------------------------------------------------------
+  // F5: MultimatchExecutor (reference: retools/_retools.py:40-73)
+  // ---------------------------------------------------------------------
+
+  /** Extraction column for one spec. Raw ⇒ fullmatch group 0; (p, g) ⇒
+    * search group g; alternatives ⇒ first non-null (used by F7). */
+  def extract(col: Column, spec: PatternSpec): Column = spec match {
+    case Full(p)            => fullmatchExtract(col, p, 0)
+    case Group(p, g)        => searchExtract(col, p, g)
+    case Alternatives(alts) => coalesce(alts.map(extract(col, _)): _*)
+  }
+
+  /** F5 `multimatch`: evaluate a list of specs, one result column per spec
+    * (a tuple spec contributes an array of its sub-results, mirroring
+    * retools/_retools.py:62-66). */
+  def multimatch(col: Column, specs: Seq[PatternSpec]): Seq[Column] =
+    specs.map {
+      case Alternatives(alts) => array(alts.map(extract(col, _)): _*)
+      case s                  => extract(col, s)
+    }
+
+  /** Boolean predicate for one spec (tuple spec ⇒ all sub-specs match,
+    * mirroring BoolOutputMultimatcher's `all()` at retools/_retools.py:92). */
+  def matches(col: Column, spec: PatternSpec): Column = spec match {
+    case Full(p)            => fullmatches(col, p)
+    case Group(p, _)        => searches(col, p)
+    case Alternatives(alts) => alts.map(matches(col, _)).reduce(_ && _)
+  }
+
+  // ---------------------------------------------------------------------
+  // F6: BoolOutputMultimatcher (reference: retools/_retools.py:76-100)
+  // ---------------------------------------------------------------------
+
+  /** F6 `BoolOutputMultimatcher.match`: OR (`mode="any"`) / AND
+    * (`mode="cons"`) over include specs, vetoed by any exclude match.
+    * Pure Column algebra — this is the scan filter (S1) and pushes down. */
+  def boolMultimatch(
+      col: Column,
+      include: Seq[PatternSpec],
+      mode: String = "any",
+      exclude: Seq[PatternSpec] = Nil): Column = {
+    val inc = mode match {
+      case "any"  => include.map(matches(col, _)).reduce(_ || _)
+      case "cons" => include.map(matches(col, _)).reduce(_ && _)
+      case other  => throw new IllegalArgumentException(
+        s"mode must be 'any' or 'cons', got '$other'")
+    }
+    if (exclude.isEmpty) inc
+    else inc && !exclude.map(matches(col, _)).reduce(_ || _)
+  }
+
+  // ---------------------------------------------------------------------
+  // F7: SchemeMatcher (reference: retools/_retools.py:103-141)
+  // ---------------------------------------------------------------------
+
+  /** F7 `SchemeMatcher.match_scheme`: {field → spec} ⇒ {field → first
+    * matching extraction}. Alternatives short-circuit via `coalesce`
+    * (mirrors the `break` at retools/_retools.py:128-132). This is the
+    * projection core of the engine: one output Column per blueprint field. */
+  def matchScheme(col: Column, scheme: Seq[(String, PatternSpec)]): Seq[Column] =
+    scheme.map { case (field, spec) => extract(col, spec).as(field) }
+
+  // ---------------------------------------------------------------------
+  // F8: ReSorter (reference: retools/_retools.py:144-155)
+  // ---------------------------------------------------------------------
+
+  /** F8 sort key: regex-extracted group cast through a transform (the
+    * reference's only transform is `int`). Use as `df.orderBy(reSortKey(...))`. */
+  def reSortKey(col: Column, pattern: String, group: Int = 0,
+      castTo: String = "int"): Column =
+    searchExtract(col, pattern, group).cast(castTo)
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.functions.Retools._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries exercising the reference's operator inventory
+  * (SURVEY.md §2) over the driver testdata, each paired with equivalent
+  * DuckDB SQL in [[oracleSql]].
+  *
+  * Conventions for oracle parity:
+  *   - every aggregate/computed column aliased identically on both sides;
+  *   - every query deterministically ordered on both sides;
+  *   - regex extracts normalized to null via `nullif(..., '')` on both
+  *     sides (Spark and DuckDB both return '' on no-match).
+  */
+object ReferenceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: anchored fullmatch extraction with null-on-no-match semantics.
+    "f1_fullmatch_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          fullmatchExtract(col("props"), """\{"k": (\d+)\}""", 1).as("k_str"))
+        .orderBy("event_id")
+    }),
+
+    // F2: unanchored search extraction (first -er word of each document).
+    "f2_search_extract" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          searchExtract(col("text"), """([a-z]+er)\b""", 1).as("er_word"))
+        .orderBy("doc_id")
+    }),
+
+    // F3: findall — every operator keyword occurrence per document.
+    "f3_findall" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          findallExtract(col("text"), """\b(scan|join|merge)\b""", 1).as("ops"))
+        .orderBy("doc_id")
+    }),
+
+    // F6: boolean multimatcher as a scan filter: any-of include + exclude veto.
+    "f6_bool_multimatch" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(boolMultimatch(col("event_type"),
+          include = Seq(Full("purchase"), Full("signup"), Full("err.*")),
+          mode = "any",
+          exclude = Seq(Full(""".*rror"""))))
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // F6 cons-mode: all patterns must hold.
+    "f6_multimatch_cons" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(boolMultimatch(col("text"),
+          include = Seq(Group("""\bjoin\b""", 0), Group("""\bscan\b""", 0)),
+          mode = "cons"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // F7: scheme matcher — per-field first-hit extraction with alternatives.
+    "f7_scheme_match" -> ((s, dir) => {
+      val scheme: Seq[(String, PatternSpec)] = Seq(
+        "kind" -> Alternatives(Seq(
+          Group("""\b(purchase|refund)\b""", 1), Group("""\b(signup|login)\b""", 1))),
+        "k_val" -> Group(""""k": (\d+)""", 1))
+      t(s, dir, "events")
+        .select(col("event_id") +: matchScheme(
+          concat_ws(" ", col("event_type"), col("props")), scheme): _*)
+        .orderBy("event_id")
+    }),
+
+    // F8: ReSorter — order rows by a regex-extracted integer key.
+    "f8_re_sort" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          reSortKey(col("source"), """src(\d+)""", 1).as("src_num"))
+        .orderBy(col("src_num"), col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "f1_fullmatch_extract" ->
+      """SELECT event_id, nullif(regexp_extract(props, '^(?:\{"k": (\d+)\})$', 1), '') AS k_str
+         FROM events ORDER BY event_id""",
+    "f2_search_extract" ->
+      """SELECT doc_id, nullif(regexp_extract(text, '([a-z]+er)\b', 1), '') AS er_word
+         FROM documents ORDER BY doc_id""",
+    "f3_findall" ->
+      """SELECT doc_id, regexp_extract_all(text, '\b(scan|join|merge)\b', 1) AS ops
+         FROM documents ORDER BY doc_id""",
+    "f6_bool_multimatch" ->
+      """SELECT event_id, event_type FROM events
+         WHERE (regexp_full_match(event_type, 'purchase')
+             OR regexp_full_match(event_type, 'signup')
+             OR regexp_full_match(event_type, 'err.*'))
+           AND NOT regexp_full_match(event_type, '.*rror')
+         ORDER BY event_id""",
+    "f6_multimatch_cons" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE regexp_matches(text, '\bjoin\b') AND regexp_matches(text, '\bscan\b')
+         ORDER BY doc_id""",
+    "f7_scheme_match" ->
+      """SELECT event_id,
+                coalesce(nullif(regexp_extract(event_type || ' ' || props, '\b(purchase|refund)\b', 1), ''),
+                         nullif(regexp_extract(event_type || ' ' || props, '\b(signup|login)\b', 1), '')) AS kind,
+                nullif(regexp_extract(event_type || ' ' || props, '"k": (\d+)', 1), '') AS k_val
+         FROM events ORDER BY event_id""",
+    "f8_re_sort" ->
+      """SELECT doc_id, source, CAST(nullif(regexp_extract(source, 'src(\d+)', 1), '') AS INT) AS src_num
+         FROM documents ORDER BY src_num, doc_id"""
+  )
+}

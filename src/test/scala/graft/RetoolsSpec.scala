@@ -1,0 +1,130 @@
+package graft
+
+import graft.functions.Retools
+import graft.functions.Retools._
+import org.apache.spark.sql.functions._
+
+/** Semantic-parity tests for the regex kernel, table-driven from the
+  * reference's tests/test_retools.py (golden cases ported verbatim). */
+class RetoolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String)(col: org.apache.spark.sql.Column): Any = {
+    val r = Seq(text).toDF("t").select(col.as("v")).head()
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  // --- F1 fullmatch (test_retools.py:12-23) ---
+  test("fullmatch matched returns whole match") {
+    assert(one("run_1")(fullmatchExtract($"t", """run_\d+""")) == "run_1")
+  }
+  test("fullmatch not matched returns null (not '')") {
+    assert(one("text_run_1")(fullmatchExtract($"t", """run_\d+""")) == null)
+  }
+  test("fullmatch group") {
+    assert(one("run_123")(fullmatchExtract($"t", """run_(\d+)""", 1)) == "123")
+  }
+  test("fullmatch group not matched") {
+    assert(one("run123")(fullmatchExtract($"t", """run_(\d+)""", 1)) == null)
+  }
+
+  // --- F2 search (test_retools.py:27-37) ---
+  test("search matched") {
+    assert(one("some_text_run_123")(searchExtract($"t", """run_\d+""")) == "run_123")
+  }
+  test("search not matched") {
+    assert(one("some_text_run123")(searchExtract($"t", """run_\d+""")) == null)
+  }
+  test("search with group") {
+    assert(one("some_test_run_333")(searchExtract($"t", """run_(\d+)""", 1)) == "333")
+  }
+
+  // --- F3 findall (test_retools.py:39-40) ---
+  test("findall returns all matches") {
+    assert(one("run_1_run2_run_3")(findallExtract($"t", """run_\d+"""))
+      == Seq("run_1", "run_3"))
+  }
+
+  // --- F6 BoolOutputMultimatcher (test_retools.py:46-59) ---
+  private val testMatcherSpecs: Seq[PatternSpec] = Seq(
+    """run_\d+""", """.+\.fastq.gz""", """.+\.bam""",
+    """.+metrics.txt""", """.+results.txt""",
+    "bams", "input", "results").map(Full.apply)
+
+  test("BOM matches all intended entries") {
+    val entries = Seq("run_1", "sample_1.bam", "sample_1.fastq.gz",
+      "run_1.metrics.txt", "sample_1.results.txt")
+    val n = entries.toDF("t")
+      .filter(boolMultimatch($"t", testMatcherSpecs, "any")).count()
+    assert(n == entries.size)
+  }
+  test("BOM rejects all non-matching entries") {
+    val entries = Seq("run1", "sample_1.bamm", "sample_1.fastq",
+      "run_1.metrics", "sample_1.results")
+    val n = entries.toDF("t")
+      .filter(boolMultimatch($"t", testMatcherSpecs, "any")).count()
+    assert(n == 0)
+  }
+  test("BOM exclude vetoes") {
+    val n = Seq("run_1", "run_2").toDF("t")
+      .filter(boolMultimatch($"t", testMatcherSpecs, "any",
+        exclude = Seq(Full("run_2")))).count()
+    assert(n == 1)
+  }
+  test("BOM cons mode requires all") {
+    val df = Seq("run_12", "run_x").toDF("t")
+    val both = Seq(Full("""run_.+"""), Group("""(\d+)""", 1))
+    assert(df.filter(boolMultimatch($"t", both, "cons")).as[String].collect()
+      .toSeq == Seq("run_12"))
+  }
+
+  // --- F8 ReSorter (test_retools.py:64-70) ---
+  test("ReSorter orders by extracted int key") {
+    val entries = Seq("run_2", "run_1", "run_4", "run_3", "run_5")
+    val sorted = entries.toDF("t")
+      .orderBy(reSortKey($"t", """run_(\d+)""", 1)).as[String].collect().toSeq
+    assert(sorted == Seq("run_1", "run_2", "run_3", "run_4", "run_5"))
+  }
+
+  // --- F7 SchemeMatcher (test_retools.py:75-93) ---
+  private val scheme: Seq[(String, PatternSpec)] = Seq(
+    "run" -> Full("""run_\d+"""),
+    "fastq" -> Full(""".+\.fastq.gz"""),
+    "bam" -> Full(""".+\.bam"""),
+    "sample" -> Group(""".+sample_([^\.]+)""", 1))
+
+  private def matchedScheme(text: String): Map[String, String] = {
+    val row = Seq(text).toDF("t")
+      .select(matchScheme($"t", scheme): _*).head()
+    scheme.map(_._1).zipWithIndex.collect {
+      case (f, i) if !row.isNullAt(i) => f -> row.getString(i)
+    }.toMap
+  }
+
+  test("scheme matcher: full string match only") {
+    assert(matchedScheme("run_111") == Map("run" -> "run_111"))
+  }
+  test("scheme matcher: full + partial match") {
+    assert(matchedScheme("run_111.sample_BR616.fastq.gz") == Map(
+      "sample" -> "BR616", "fastq" -> "run_111.sample_BR616.fastq.gz"))
+  }
+  test("scheme matcher: no match yields empty") {
+    assert(matchedScheme("test.sample-BR616.bai") == Map.empty)
+  }
+  test("scheme matcher: alternatives take first hit") {
+    val alts = Seq("x" -> (Alternatives(Seq(
+      Group("""run_(\d+)""", 1), Group("""sample_(\d+)""", 1))): PatternSpec))
+    val row = Seq("sample_7").toDF("t").select(matchScheme($"t", alts): _*).head()
+    assert(row.getString(0) == "7")
+  }
+
+  // --- F5 multimatch ---
+  test("multimatch: tuple spec yields array of sub-results") {
+    val cols = multimatch($"t", Seq(
+      Full("""run_\d+"""),
+      Alternatives(Seq(Group("""run_(\d+)""", 1), Full("""sample_.+""")))))
+    val row = Seq("run_42").toDF("t").select(cols: _*).head()
+    assert(row.getString(0) == "run_42")
+    assert(row.getSeq[String](1) == Seq("42", null))
+  }
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare against the Verify output.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+Not part of the Spark library — dev-side validation only.
+"""
+import json, sys, glob, os
+import duckdb
+
+def canon(rows, cols):
+    # sort columns by name (mirrors driver), stringify values canonically
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = f"{v:.9g}"
+            elif isinstance(v, (list, tuple)):
+                v = json.dumps([None if x is None else str(x) for x in v])
+            vals.append("NULL" if v is None else str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    result_dirs = [d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d))]
+    for name in sorted(result_dirs):
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        got = con.execute(f"SELECT * FROM '{files[0]}'")
+        got_cols = [d[0] for d in got.description]
+        got_rows = got.fetchall()
+        if name not in oracles:
+            print(f"rows-only {name}: {len(got_rows)} rows "
+                  f"({'OK' if got_rows else 'EMPTY!'})")
+            continue
+        try:
+            exp = con.execute(oracles[name])
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1; continue
+        g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
+        if g == e:
+            print(f"PASS {name}: {len(g)} rows"); n_pass += 1
+        else:
+            n_fail += 1
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            print(f"FAIL {name}: {len(g)} vs {len(e)} rows; first diffs: {diff}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
