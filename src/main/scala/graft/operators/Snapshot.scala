@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One row of a file-tree snapshot — the flat relational normalization of
+  * the reference's nested `DictCollection` (SURVEY.md §1.1; reference:
+  * collector/_collector.py:21-61). The tree is derivable (`groupBy(parent)`);
+  * every tree op becomes relational.
+  */
+final case class FileEntry(
+    path: String,
+    parent: String,
+    name: String,
+    depth: Int,
+    is_dir: Boolean)
+
+/** One row of a change set (reference `Changes`,
+  * monitoring/_monitoring.py:26-36). */
+final case class FileChange(path: String, change: String, batch_id: Long)
+
+/** Snapshot algebra: the reference's `DictCollection` / `ChangesFactory`
+  * operators re-expressed as DataFrame transforms (SURVEY.md §2.1).
+  *
+  * Scale posture: snapshots are plain datasets partitioned by `path`; the
+  * diff is two shuffle-free-broadcastable anti-joins, never a driver-side
+  * set difference — at 100 TB of listing data this is a standard
+  * sort-merge/shuffled-hash anti-join that AQE sizes at runtime.
+  */
+object Snapshot {
+
+  /** S4/S5 `ChangesFactory.dict_collection`: symmetric snapshot diff via two
+    * anti-joins (reference: monitoring/_monitoring.py:39-50). Output columns:
+    * (path, change) with change ∈ ('created','deleted').
+    *
+    * `keyCols` generalizes "path" so the same operator diffs any keyed
+    * relation (the driver queries diff `orders` snapshots by key).
+    */
+  def diff(prev: DataFrame, cur: DataFrame, keyCols: Seq[String] = Seq("path"))
+      : DataFrame = {
+    val created = cur.select(keyCols.map(col): _*)
+      .join(prev.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .withColumn("change", lit("created"))
+    val deleted = prev.select(keyCols.map(col): _*)
+      .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .withColumn("change", lit("deleted"))
+    created.unionByName(deleted)
+  }
+
+  /** Like [[diff]] but `None` when there are no changes — mirroring the
+    * reference's empty-diff short-circuit (monitoring/_monitoring.py:49-50,
+    * state advances only on non-empty change sets). Forces one action. */
+  def diffNonEmpty(prev: DataFrame, cur: DataFrame,
+      keyCols: Seq[String] = Seq("path")): Option[DataFrame] = {
+    val d = diff(prev, cur, keyCols)
+    if (d.isEmpty) None else Some(d)
+  }
+
+  /** S7 `DictCollection.extend`: recursive snapshot merge → union + de-dup
+    * by path (reference: collector/_collector.py:22-31). */
+  def extend(a: DataFrame, b: DataFrame, keyCols: Seq[String] = Seq("path"))
+      : DataFrame =
+    a.unionByName(b).dropDuplicates(keyCols)
+
+  /** S8 `DictCollection.to_list`: flatten to path list; `keepEmptyDirs`
+    * keeps directories that contain no listed children (reference:
+    * collector/_collector.py:33-55 — non-empty dirs are never emitted,
+    * only their files; empty dirs optionally are). */
+  def toList(snapshot: DataFrame, keepEmptyDirs: Boolean = false): DataFrame = {
+    val files = snapshot.filter(!col("is_dir"))
+    if (!keepEmptyDirs) files.select("path")
+    else {
+      // empty dir = a dir row that is nobody's parent
+      val parents = snapshot.select(col("parent").as("path")).distinct()
+      val emptyDirs = snapshot.filter(col("is_dir"))
+        .join(parents, Seq("path"), "left_anti")
+      files.select("path").unionByName(emptyDirs.select("path"))
+    }
+  }
+
+  /** S9 `DictCollection.cut_to_key`: project one subtree (reference:
+    * collector/_collector.py:57-61). Prefix predicate — pushes down to the
+    * parquet scan as a StartsWith filter. */
+  def cutToKey(snapshot: DataFrame, prefix: String): DataFrame =
+    snapshot.filter(col("path").startsWith(prefix))
+
+  /** Apply a change set to a previous snapshot ⇒ the current one
+    * (the algebra property-tested in SnapshotSpec). */
+  def applyChanges(prev: DataFrame, changes: DataFrame): DataFrame = {
+    val created = changes.filter(col("change") === "created").select("path")
+    val deleted = changes.filter(col("change") === "deleted").select("path")
+    prev.select("path").join(deleted, Seq("path"), "left_anti")
+      .unionByName(created).dropDuplicates("path")
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.Retools.{Full, PatternSpec}
+import graft.sources.FileListing
+import java.nio.file.{Files, Path, Paths}
+
+/** Golden-scan tests ported from the reference's tests/test_collector.py,
+  * over a temp-dir replica of tests/tests_data/collector_path (FIXTURES.md A1). */
+class FileListingSpec extends SparkSpec {
+
+  /** Reference matcher patterns (tests/test_collector.py:14-16). */
+  val patterns: Seq[PatternSpec] = Seq(
+    """run_\d+""", """.+\.fastq.gz""", """.+\.bam""",
+    """.+metrics.txt""", """.+results.txt""",
+    "bams", "input", "results").map(Full.apply)
+
+  lazy val root: String = {
+    val dir = Files.createTempDirectory("collector_path")
+    def mk(rel: String): Unit = {
+      val p = dir.resolve(rel)
+      if (rel.endsWith("/")) Files.createDirectories(p)
+      else { Files.createDirectories(p.getParent); Files.writeString(p, "") }
+    }
+    for (run <- Seq("run1", "run_1")) {
+      if (run == "run1") mk(s"$run/copy_of_run_1.txt")
+      mk(s"$run/bams/sample_1.bam"); mk(s"$run/bams/sample_1.bai")
+      mk(s"$run/input/sample_1.fastq.gz")
+      mk(s"$run/results/run_1.metrics.txt"); mk(s"$run/results/sample_1.results.txt")
+      mk(s"$run/useless_dir/useless_file.txt")
+    }
+    for (s <- Seq(2, 3)) {
+      mk(s"run_2/bams/sample_$s.bam"); mk(s"run_2/bams/sample_$s.bai")
+      mk(s"run_2/input/sample_$s.fastq.gz")
+      mk(s"run_2/results/sample_$s.metrics.txt")
+      mk(s"run_2/results/sample_$s.results.txt")
+    }
+    mk("run_3/empty_run.txt")
+    dir.toString
+  }
+
+  private def rel(paths: Array[String]): Set[String] =
+    paths.map(_.stripPrefix(root).stripPrefix("/")).toSet
+
+  private def files(snap: org.apache.spark.sql.Dataset[graft.operators.FileEntry]) =
+    rel(snap.filter(!_.is_dir).collect().map(_.path))
+  private def dirs(snap: org.apache.spark.sql.Dataset[graft.operators.FileEntry]) =
+    rel(snap.filter(_.is_dir).collect().map(_.path))
+
+  val run1Files = Set(
+    "bams/sample_1.bam", "input/sample_1.fastq.gz",
+    "results/run_1.metrics.txt", "results/sample_1.results.txt")
+  val run2Files = Set(2, 3).flatMap(s => Set(
+    s"run_2/bams/sample_$s.bam", s"run_2/input/sample_$s.fastq.gz",
+    s"run_2/results/sample_$s.metrics.txt", s"run_2/results/sample_$s.results.txt"))
+
+  test("default: files matched, dirs not matched (DEFAULT_MATCH_COLLECTION)") {
+    val snap = FileListing.snapshot(spark, root, matcher = Some(patterns))
+    assert(files(snap) ==
+      run1Files.map("run1/" + _) ++ run1Files.map("run_1/" + _) ++ run2Files)
+    // unmatched dirs still traversed and kept (incl. now-empty useless_dir)
+    assert(dirs(snap).contains("run1/useless_dir"))
+    assert(dirs(snap).contains("run_3"))
+  }
+
+  test("no matcher collects everything (COLLECTOR_ALL_FILES)") {
+    val snap = FileListing.snapshot(spark, root)
+    val f = files(snap)
+    assert(f.size == 24) // run1:7, run_1:6, run_2:10, run_3:1
+    assert(f.contains("run1/copy_of_run_1.txt"))
+    assert(f.contains("run1/bams/sample_1.bai"))
+    assert(f.contains("run_3/empty_run.txt"))
+  }
+
+  test("match_dirs prunes unmatched subtrees (MATCH_DIRS_COLLECTION)") {
+    val snap = FileListing.snapshot(spark, root,
+      matcher = Some(patterns), matchDirs = true)
+    assert(files(snap) == run1Files.map("run_1/" + _) ++ run2Files)
+    assert(!dirs(snap).exists(_.startsWith("run1")))
+    assert(!dirs(snap).exists(_.contains("useless_dir")))
+    assert(dirs(snap).contains("run_3")) // matched, empty, kept
+  }
+
+  test("max_depth=0 lists only root children (ZERO_DEPTH_COLLECTION)") {
+    val snap = FileListing.snapshot(spark, root,
+      matcher = Some(patterns), matchDirs = true, maxDepth = Some(0))
+    assert(files(snap).isEmpty)
+    assert(dirs(snap) == Set("run_1", "run_2", "run_3"))
+  }
+
+  test("max_depth=tree depth is a no-op (DATA_DEPTH_COLLECTION)") {
+    val full = FileListing.snapshot(spark, root,
+      matcher = Some(patterns), matchDirs = true)
+    val capped = FileListing.snapshot(spark, root,
+      matcher = Some(patterns), matchDirs = true, maxDepth = Some(2))
+    assert(files(capped) == files(full) && dirs(capped) == dirs(full))
+  }
+
+  test("keep_empty_dirs=false drops dirs with no surviving file (MATCH_DIRS_NO_EMPTY)") {
+    val snap = FileListing.snapshot(spark, root,
+      matcher = Some(patterns), matchDirs = true, keepEmptyDirs = false)
+    assert(files(snap) == run1Files.map("run_1/" + _) ++ run2Files)
+    assert(!dirs(snap).contains("run_3"))
+    assert(dirs(snap).contains("run_1/bams"))
+  }
+}

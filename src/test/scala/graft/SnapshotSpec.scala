@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Snapshot
+import org.apache.spark.sql.DataFrame
+
+/** Diff/extend algebra: golden case from tests/test_monitoring.py:79-95 plus
+  * randomized property cases the reference never had (SURVEY.md §5c). */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(paths: Seq[String]): DataFrame = paths.toDF("path")
+  private def changes(df: DataFrame): Map[String, Set[String]] =
+    df.collect().groupBy(_.getString(1)).map { case (k, v) =>
+      k -> v.map(_.getString(0)).toSet }
+
+  test("golden: created file detected") {
+    val prev = snap(Seq("run_4"))
+    val cur = snap(Seq("run_4", "run_4/bams/run_4.sample_14.bam"))
+    assert(changes(Snapshot.diff(prev, cur)) ==
+      Map("created" -> Set("run_4/bams/run_4.sample_14.bam")))
+  }
+
+  test("golden: simultaneous create + delete") {
+    val prev = snap(Seq("run_4", "run_4/bams/run_4.sample_14.bam"))
+    val cur = snap(Seq("run_4", "run_4/results/run_4.results.txt"))
+    assert(changes(Snapshot.diff(prev, cur)) == Map(
+      "created" -> Set("run_4/results/run_4.results.txt"),
+      "deleted" -> Set("run_4/bams/run_4.sample_14.bam")))
+  }
+
+  test("diff of identical snapshots is empty (diffNonEmpty → None)") {
+    val s = snap(Seq("a", "b/c"))
+    assert(Snapshot.diffNonEmpty(s, s).isEmpty)
+  }
+
+  test("extend unions and dedups by path") {
+    val merged = Snapshot.extend(snap(Seq("a", "b")), snap(Seq("b", "c")))
+    assert(merged.as[String].collect().toSet == Set("a", "b", "c"))
+  }
+
+  test("cutToKey projects one subtree") {
+    val s = snap(Seq("root/run_1/x", "root/run_2/y", "other/z"))
+    assert(Snapshot.cutToKey(s, "root/run_1").as[String].collect().toSet ==
+      Set("root/run_1/x"))
+  }
+
+  test("property: created∩deleted=∅, diff(s,s)=∅, applyChanges(prev,diff)=cur") {
+    val rnd = new scala.util.Random(42)
+    val universe = (1 to 20).map(i => s"d/f$i")
+    for (_ <- 1 to 8) {
+      val p = universe.filter(_ => rnd.nextBoolean()).toSet
+      val c = universe.filter(_ => rnd.nextBoolean()).toSet
+      val prev = snap(p.toSeq); val cur = snap(c.toSeq)
+      val d = Snapshot.diff(prev, cur)
+      val m = changes(d)
+      val created = m.getOrElse("created", Set.empty)
+      val deleted = m.getOrElse("deleted", Set.empty)
+      assert(created == (c -- p))
+      assert(deleted == (p -- c))
+      assert((created & deleted).isEmpty)
+      assert(Snapshot.applyChanges(prev, d).as[String].collect().toSet == c)
+    }
+  }
+}
