@@ -1,5 +1,15 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main — one JSON line with per-query wall seconds at the SF dir
+  * given by SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology: every query is forced with a `noop`-format write (full
+  * evaluation of every output column — `count()` would let Catalyst prune
+  * the projections being measured), and an untimed warm-up query absorbs
+  * session/JIT/codegen warm-up so the first timed query isn't charged ~5 s
+  * of JVM startup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +22,23 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // Untimed warm-up: run the flagship query twice (session init, parquet
+    // footer reads, codegen compile, JIT).
+    try { force(SparkEntry.entry(spark)); force(SparkEntry.entry(spark)) }
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -32,8 +32,11 @@ object Retools {
   final case class Alternatives(specs: Seq[PatternSpec]) extends PatternSpec
 
   /** Anchor a pattern for fullmatch semantics without shifting user group
-    * numbers (non-capturing wrapper). */
-  def anchored(pattern: String): String = "^(?:" + pattern + ")$"
+    * numbers (non-capturing wrapper). `\A`/`\z` rather than `^`/`$`: Java's
+    * `$` matches before a trailing newline, which would diverge from
+    * Python `re.fullmatch` / DuckDB `regexp_full_match` (RE2) on
+    * newline-terminated input. */
+  def anchored(pattern: String): String = "\\A(?:" + pattern + ")\\z"
 
   // ---------------------------------------------------------------------
   // F1-F3: core extractors (reference: retools/_retools.py:12-22)

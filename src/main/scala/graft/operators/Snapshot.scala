@@ -49,11 +49,14 @@ object Snapshot {
 
   /** Like [[diff]] but `None` when there are no changes — mirroring the
     * reference's empty-diff short-circuit (monitoring/_monitoring.py:49-50,
-    * state advances only on non-empty change sets). Forces one action. */
+    * state advances only on non-empty change sets). The emptiness probe is
+    * an action, so the diff is cached first — the caller's re-use of the
+    * returned frame reads the cache instead of re-running both anti-joins.
+    * Caller should `unpersist()` when done. */
   def diffNonEmpty(prev: DataFrame, cur: DataFrame,
       keyCols: Seq[String] = Seq("path")): Option[DataFrame] = {
-    val d = diff(prev, cur, keyCols)
-    if (d.isEmpty) None else Some(d)
+    val d = diff(prev, cur, keyCols).persist()
+    if (d.isEmpty) { d.unpersist(); None } else Some(d)
   }
 
   /** S7 `DictCollection.extend`: recursive snapshot merge → union + de-dup

@@ -37,10 +37,15 @@ object ReferenceQueries {
     }),
 
     // F3: findall — every operator keyword occurrence per document.
+    // The match list is emitted as a canonical comma-joined string: the
+    // driver's comparator hashes cell values and cannot sort array cells
+    // (numpy.ndarray is unhashable), so both sides stringify.
     "f3_findall" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          findallExtract(col("text"), """\b(scan|join|merge)\b""", 1).as("ops"))
+          array_join(
+            findallExtract(col("text"), """\b(scan|join|merge)\b""", 1),
+            ",").as("ops"))
         .orderBy("doc_id")
     }),
 
@@ -94,7 +99,7 @@ object ReferenceQueries {
       """SELECT doc_id, nullif(regexp_extract(text, '([a-z]+er)\b', 1), '') AS er_word
          FROM documents ORDER BY doc_id""",
     "f3_findall" ->
-      """SELECT doc_id, regexp_extract_all(text, '\b(scan|join|merge)\b', 1) AS ops
+      """SELECT doc_id, coalesce(array_to_string(regexp_extract_all(text, '\b(scan|join|merge)\b', 1), ','), '') AS ops
          FROM documents ORDER BY doc_id""",
     "f6_bool_multimatch" ->
       """SELECT event_id, event_type FROM events
@@ -109,9 +114,9 @@ object ReferenceQueries {
          ORDER BY doc_id""",
     "f7_scheme_match" ->
       """SELECT event_id,
-                coalesce(nullif(regexp_extract(event_type || ' ' || props, '\b(purchase|refund)\b', 1), ''),
-                         nullif(regexp_extract(event_type || ' ' || props, '\b(signup|login)\b', 1), '')) AS kind,
-                nullif(regexp_extract(event_type || ' ' || props, '"k": (\d+)', 1), '') AS k_val
+                coalesce(nullif(regexp_extract(concat_ws(' ', event_type, props), '\b(purchase|refund)\b', 1), ''),
+                         nullif(regexp_extract(concat_ws(' ', event_type, props), '\b(signup|login)\b', 1), '')) AS kind,
+                nullif(regexp_extract(concat_ws(' ', event_type, props), '"k": (\d+)', 1), '') AS k_val
          FROM events ORDER BY event_id""",
     "f8_re_sort" ->
       """SELECT doc_id, source, CAST(nullif(regexp_extract(source, 'src(\d+)', 1), '') AS INT) AS src_num

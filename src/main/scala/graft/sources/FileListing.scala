@@ -6,6 +6,27 @@ import graft.operators.FileEntry
 import org.apache.spark.sql.{Column, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Java-serializable carrier for the session's Hadoop configuration.
+  *
+  * `Configuration` itself is Writable but not `Serializable`; a fresh
+  * `new Configuration()` on executors would drop `spark.hadoop.*` settings
+  * (S3/HDFS credentials, endpoints, defaultFS) — fine on a laptop, broken
+  * on a real cluster. This wrapper ships the driver's configuration through
+  * the task closure via the Writable protocol.
+  */
+final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** S1/S2: distributed directory-listing source — the rebuild of
   * `SingleRootCollector.collect` (reference: collector/_collector.py:90-117).
   *
@@ -22,18 +43,31 @@ import org.apache.spark.sql.functions._
   * children of directories at recursion depth ≤ maxDepth are listed, i.e.
   * entries appear down to depth maxDepth+1; reference
   * collector/_collector.py:99-101).
+  *
+  * Scale posture (100 M files / 1000 executors):
+  *   - each level is `localCheckpoint`ed (eager): lineage is truncated per
+  *     level so the plan does not deepen with tree depth, and the level is
+  *     never re-listed by later actions (a re-list could observe a
+  *     *different* filesystem — snapshot consistency matters for the diff);
+  *   - discovered dirs are repartitioned to cluster width per level, so a
+  *     fan-out from 1 root to 1 M dirs spreads over all tasks instead of
+  *     staying on the partition that discovered them;
+  *   - the driver's Hadoop conf is serialized to executors (credentials /
+  *     endpoints survive), not recreated per task.
   */
 object FileListing {
 
   /** List one directory level on executors via the Hadoop FS API. */
-  private def listLevel(spark: SparkSession, dirs: Dataset[String], depth: Int)
-      : Dataset[FileEntry] = {
+  private def listLevel(
+      spark: SparkSession,
+      dirs: Dataset[String],
+      depth: Int,
+      conf: SerializableHadoopConf): Dataset[FileEntry] = {
     import spark.implicits._
     dirs.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
       it.flatMap { dir =>
         val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(conf)
+        val fs = p.getFileSystem(conf.value)
         if (!fs.exists(p)) Iterator.empty
         else fs.listStatus(p).iterator.map { st =>
           FileEntry(
@@ -66,6 +100,9 @@ object FileListing {
       keepEmptyDirs: Boolean = true): Dataset[FileEntry] = {
     import spark.implicits._
 
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val width = spark.sparkContext.defaultParallelism
+
     val nameMatches: Column => Column = c => matcher match {
       case Some(specs) => Retools.boolMultimatch(c, specs, "any")
       case None        => lit(true)
@@ -77,15 +114,20 @@ object FileListing {
     // loop bound: list children of dirs at recursion depth <= maxDepth
     // (recursion depth of a dir = level - 1 in reference terms)
     while (!dirs.isEmpty && maxDepth.forall(level - 1 <= _)) {
-      val entries = listLevel(spark, dirs, level)
+      // eager localCheckpoint: materializes the level once (no re-listing on
+      // later actions — FS snapshot consistency) and truncates lineage.
+      val entries = listLevel(spark, dirs, level, hconf)
         .filter(col("is_dir") ||
           nameMatches(col("name")))
         .filter(!col("is_dir") || !lit(matchDirs) || nameMatches(col("name")))
         .as[FileEntry]
-        .persist()
-      entries.count() // materialize once; next level + acc reuse
+        .localCheckpoint(true)
       acc = acc.unionByName(entries)
+      // repartition the next level's dirs to cluster width: a level that
+      // fans out from few dirs to millions would otherwise list on the
+      // handful of tasks that discovered them.
       dirs = entries.filter(col("is_dir")).select("path").as[String]
+        .repartition(width)
       level += 1
     }
 
