@@ -1,0 +1,246 @@
+package graft.blueprint
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Q1–Q8/A1/J2 — the entity-assembly core: one change batch × one blueprint
+  * → entity upserts + a dead-letter frame of merge conflicts.
+  *
+  * Reference: `BlueprintBuilder.build` / `_process_file`
+  * (data_organizer/_data_organizer.py:122-183); executable spec:
+  * tests/test_data_organizer.py:54-99.
+  *
+  * Relational shape (SURVEY.md §2.4 Q2): the reference's per-file loop over
+  * blueprints becomes, per blueprint,
+  *
+  *   extract required fields → filter all-matched → id = concat_ws("__") →
+  *   per-field after_match projections → groupBy(id) per mode (A1) →
+  *   full-outer created/deleted → left join entity table on id (J2) →
+  *   per-column merge expressions (§2.7) → dependent-parser gating (Q4)
+  *
+  * Everything is one shuffle on `id` plus one join against the entity
+  * table; at 100 TB both sides are hash-partitioned on (blueprint, id) and
+  * AQE picks broadcast when the batch is small. No driver-side loops.
+  *
+  * Arrival-order fidelity (SURVEY.md §7.4.4): the reference merges files in
+  * list order, which shuffles destroy — the caller provides an `ord` column
+  * (e.g. the change stream's sequence number) and every aggregation sorts
+  * by it: `array_sort(collect_list(struct(ord, v)))`. Deterministic under
+  * any partitioning.
+  *
+  * In-batch sequential-merge semantics become aggregates:
+  *   - scalar fields: first distinct matched value in arrival order wins;
+  *     >1 distinct value = the conflict the reference ValueErrors on →
+  *     error channel;
+  *   - parser fields: last distinct value wins (reference warns +
+  *     overwrites, fields/_fields.py:191-196);
+  *   - list fields: ordered dedup concatenation of per-file singletons —
+  *     identical to folding the reference's append-uniques merge.
+  */
+object Assembly {
+
+  final case class AssemblyResult(upserts: DataFrame, errors: DataFrame)
+
+  /** Errors dead-letter schema: one row per (id, field, mode) conflict. */
+  private val errStruct = (field: String, mode: String, old: Column, nw: Column) =>
+    struct(lit(field).as("field"), lit(mode).as("mode"),
+      old.cast(StringType).as("old_value"), nw.cast(StringType).as("new_value"))
+
+  /** Assemble one change batch against one blueprint.
+    *
+    * @param changes  DataFrame(path: String, change: 'created'|'deleted',
+    *                 ord: numeric arrival order)
+    * @param entities current entity table in [[BlueprintSpec.sinkSchema]]
+    *                 shape (may be empty); only rows of this blueprint are
+    *                 consulted
+    * @return upserts (sinkSchema + is_new + changed) for every touched id,
+    *         and the conflict dead-letter frame
+    */
+  def assemble(bp: BlueprintSpec, changes: DataFrame, entities: DataFrame)
+      : AssemblyResult = {
+    val reqNames = bp.required.map(_._1)
+    val valueOf: String => Column = f => col(s"_req_$f")
+
+    // ---- per-file extraction (Q2 lines 141-149) --------------------------
+    var rows = changes
+      .withColumn("_name", element_at(split(col("path"), "/"), -1))
+    bp.required.foreach { case (f, spec) =>
+      rows = rows.withColumn(s"_req_$f",
+        BlueprintSpec.extractRequired(col("_name"), spec))
+    }
+    rows = rows
+      .filter(reqNames.map(f => col(s"_req_$f").isNotNull).reduce(_ && _))
+      .withColumn("_id", concat_ws("__", reqNames.map(valueOf): _*))
+
+    // per-field after_match projections (P1, fields/_fields.py:49-51)
+    bp.fields.foreach { f =>
+      val matched = BlueprintSpec.extractField(col("_name"), f, valueOf)
+      val v = f.kind match {
+        case StrField      => matched
+        case PathField     => when(matched.isNotNull, col("path"))
+        case StrListField  => when(matched.isNotNull, array(matched))
+        case PathListField => when(matched.isNotNull, array(col("path")))
+        case ParserField   =>
+          // pattern-mode parser runs on the matched file immediately
+          // (fields/_fields.py:175-180); dependent-mode fills later (Q4).
+          f.parser match {
+            case Some(p) if f.matchSpecs.nonEmpty =>
+              val parse = udf((path: String) => p.parse(Seq(path)))
+              when(matched.isNotNull, parse(col("path")))
+            case _ => lit(null).cast(DoubleType)
+          }
+      }
+      rows = rows.withColumn(s"_v_${f.name}", v)
+    }
+
+    // ---- per-mode aggregation on id (A1, §2.5) ---------------------------
+    def aggMode(mode: String): DataFrame = {
+      val base = rows.filter(col("change") === mode)
+      val aggs = Seq.newBuilder[Column]
+      reqNames.foreach { f => aggs += min(valueOf(f)).as(s"_req_$f") }
+      bp.fields.foreach { f =>
+        val v = col(s"_v_${f.name}")
+        // arrival-order list of non-null values
+        val sorted = array_sort(collect_list(
+          when(v.isNotNull, struct(col("ord").as("o"), v.as("v")))))
+        val vals = transform(sorted, s => s.getField("v"))
+        f.kind match {
+          case StrField | PathField =>
+            val dvals = array_distinct(vals)
+            aggs += when(size(dvals) > 0, element_at(dvals, 1)).as(s"_n_${f.name}")
+            aggs += (size(dvals) > 1).as(s"_c_${f.name}")
+          case ParserField =>
+            val dvals = array_distinct(vals)
+            aggs += when(size(dvals) > 0, element_at(dvals, -1)).as(s"_n_${f.name}")
+            aggs += (size(dvals) > 1).as(s"_c_${f.name}")
+          case StrListField | PathListField =>
+            val merged = array_distinct(flatten(vals))
+            aggs += when(size(merged) > 0, merged).as(s"_n_${f.name}")
+            aggs += lit(false).as(s"_c_${f.name}")
+        }
+      }
+      val aggList = aggs.result()
+      val out = base.groupBy(col("_id")).agg(aggList.head, aggList.tail: _*)
+      // prefix every column except _id with the mode
+      out.select(col("_id") +: out.columns.filter(_ != "_id")
+        .map(c => col(c).as(s"${mode}$c")): _*)
+    }
+
+    val created = aggMode("created")
+    val deleted = aggMode("deleted")
+    val batch = created.join(deleted, Seq("_id"), "full_outer")
+
+    // ---- lookup join vs entity table (J2, §2.6.2) ------------------------
+    // `_exists` marker decides is_new — a null field value can't (an
+    // existing record may legitimately hold nulls).
+    val oldMarked = entities.filter(col("blueprint") === bp.name)
+      .select(col("id").as("_id") +: lit(true).as("_exists") +:
+        bp.allFieldNames.map(f => col(f).as(s"_old_$f")): _*)
+    val j = batch.join(oldMarked, Seq("_id"), "left")
+      .withColumn("is_new", col("_exists").isNull)
+
+    // ---- merge (§2.7) ----------------------------------------------------
+    var merged = j
+    val errCols = Seq.newBuilder[Column]
+
+    // required fields: set at creation (bp.create(**match),
+    // data_organizer/_data_organizer.py:163); existing records keep DB
+    // values (equal by id construction anyway).
+    reqNames.foreach { f =>
+      merged = merged.withColumn(f,
+        coalesce(col(s"_old_$f"), col(s"created_req_$f"), col(s"deleted_req_$f")))
+    }
+
+    bp.fields.foreach { f =>
+      val oldV = col(s"_old_${f.name}")
+      val cNew = col(s"created_n_${f.name}")
+      val dNew = col(s"deleted_n_${f.name}")
+
+      // created pass — gated on "some created file matched this field"
+      // (the reference only computes updates for matched fields,
+      // data_organizer/_data_organizer.py:168-183)
+      val mc = FieldMerge.merge(f.kind, "created", oldV, cNew)
+      val afterCreated = when(cNew.isNull, oldV).otherwise(mc.value)
+      val errCreated = cNew.isNotNull && mc.error
+
+      // deleted pass — old value is the structure value after the created
+      // pass (build processes created before deleted,
+      // data_organizer/_data_organizer.py:123-126)
+      val md = FieldMerge.merge(f.kind, "deleted", afterCreated, dNew)
+      val afterDeleted = when(dNew.isNull, afterCreated).otherwise(md.value)
+      val errDeleted = dNew.isNotNull && md.error
+
+      // intra-batch scalar conflict (sequential merge would have errored on
+      // the second distinct value)
+      val errBatch = coalesce(col(s"created_c_${f.name}"), lit(false)) &&
+        (f.kind == StrField || f.kind == PathField)
+
+      merged = merged.withColumn(f.name, afterDeleted)
+      errCols += when(errCreated, errStruct(f.name, "created", oldV, cNew))
+      errCols += when(errDeleted, errStruct(f.name, "deleted", afterCreated, dNew))
+      errCols += when(errBatch,
+        errStruct(f.name, "created", lit(null), col(s"created_n_${f.name}")))
+    }
+
+    // ---- dependent-parser resolution (Q4, :221-242) ----------------------
+    bp.fields.filter(f => f.kind == ParserField && f.dependentFields.nonEmpty)
+      .foreach { f =>
+        val p = f.parser.get
+        val parse = udf((args: Seq[String]) => p.parse(args))
+        // fields_are_set = Python truthiness per dependent field
+        // (blueprint/_blueprint.py:72-73)
+        val depsSet = f.dependentFields.map { d =>
+          val dk = bp.fields.find(_.name == d).map(_.kind).getOrElse(StrField)
+          val c = col(d)
+          dk match {
+            case StrListField | PathListField => c.isNotNull && size(c) > 0
+            case ParserField                  => c.isNotNull
+            case _                            => c.isNotNull && c =!= ""
+          }
+        }.reduce(_ && _)
+        val depVals = array(f.dependentFields.map(d => col(d).cast(StringType)): _*)
+        merged = merged.withColumn(f.name,
+          when(col(f.name).isNull && depsSet, parse(depVals))
+            .otherwise(col(f.name)))
+      }
+
+    // ---- outputs ---------------------------------------------------------
+    val changedCol = bp.fields.map(f => !(col(f.name) <=> col(s"_old_${f.name}")))
+      .foldLeft(lit(false))(_ || _)
+    val upserts = merged
+      .withColumn("blueprint", lit(bp.name))
+      .withColumn("changed", col("is_new") || changedCol)
+      .select(Seq("blueprint") ++ Seq("_id") ++ bp.allFieldNames ++
+        Seq("is_new", "changed") map col: _*)
+      .withColumnRenamed("_id", "id")
+      .filter(col("changed"))
+
+    val errors = merged
+      .withColumn("_errs",
+        filter(array(errCols.result(): _*), e => e.isNotNull))
+      .filter(size(col("_errs")) > 0)
+      .select(lit(bp.name).as("blueprint"), col("_id").as("id"),
+        explode(col("_errs")).as("err"))
+      .select(col("blueprint"), col("id"), col("err.field"), col("err.mode"),
+        col("err.old_value"), col("err.new_value"))
+
+    AssemblyResult(upserts, errors)
+  }
+
+  /** Q1+Q5: drive one change batch end-to-end — assemble against the
+    * sink's current state, then flush upserts (new records inserted,
+    * existing ones replaced; reference BlueprintsDBUpdater.update,
+    * data_organizer/_data_organizer.py:35-47). Returns the result so the
+    * caller can inspect the dead-letter frame. */
+  def buildBatch(bp: BlueprintSpec, changes: DataFrame,
+      sink: graft.sinks.EntitySink): AssemblyResult = {
+    val res = assemble(bp, changes, sink.scan())
+    // both outputs must be materialized before the sink swaps the table
+    // they are computed from (plain-Parquet read-modify-swap, SURVEY.md §7.3)
+    val upserts = res.upserts.localCheckpoint(true)
+    val errors = res.errors.localCheckpoint(true)
+    sink.upsert(upserts)
+    AssemblyResult(upserts, errors)
+  }
+}

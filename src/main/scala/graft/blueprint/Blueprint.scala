@@ -1,0 +1,162 @@
+package graft.blueprint
+
+import graft.functions.Retools
+import graft.functions.Retools.PatternSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** User-pluggable content parser — the rebuild of the reference's
+  * `DataParser` (reference: fields/_fields.py:9-12; example reading a float
+  * from a file: examples/easy_example.py:36-40).
+  *
+  * Runs as a Spark UDF on executors, so it must be Serializable. `args` are
+  * the dependent-field values (dependent mode) or the single file path
+  * (pattern mode). The reference allows "any serializable" return value but
+  * every example parses a numeric metric; we standardize on Double (the
+  * entity column is DoubleType).
+  */
+trait GraftParser extends Serializable {
+  def parse(args: Seq[String]): Option[Double]
+}
+
+/** Declared type of a blueprint field — the reference's five field
+  * behaviors (reference: fields/_fields.py:66-211; README.md:156-167). */
+sealed trait FieldKind
+/** `str` — value is the matched text. */
+case object StrField extends FieldKind
+/** `pathlib.Path` — value is the absolute path of the matched *file*. */
+case object PathField extends FieldKind
+/** `List[str]` — per-file singleton of matched text, merged order-preserving. */
+case object StrListField extends FieldKind
+/** `List[pathlib.Path]` — per-file singleton of the file path. */
+case object PathListField extends FieldKind
+/** `ParserField` — value produced by a [[GraftParser]], not by extraction. */
+case object ParserField extends FieldKind
+
+/** One optional-field match template (an entry of the reference's
+  * `match_scheme`, blueprint/_blueprint.py:33-37).
+  *
+  * `template` may interpolate required-field values with `{field}`
+  * placeholders, mirroring the reference's f-string patterns
+  * (e.g. `fr'{self.project}_results.txt'`, examples/easy_example.py:64-66).
+  * Values are spliced verbatim (NOT regex-quoted) — faithful to the
+  * reference, where the interpolated value is part of the regex source.
+  *
+  * `group = None` ⇒ fullmatch, value = the whole file name (SchemeMatcher
+  * raw-string case, retools/_retools.py:133-135); `group = Some(g)` ⇒
+  * unanchored search, value = capture group g (tuple case, :113-118).
+  */
+final case class TemplateSpec(template: String, group: Option[Int] = None)
+
+/** One non-required blueprint field.
+  *
+  * @param matchSpecs ordered alternatives — first hit wins (SchemeMatcher
+  *                   tuple-of-subspecs, retools/_retools.py:120-132); empty
+  *                   for dependent-mode parser fields
+  * @param parser     set iff kind == ParserField
+  * @param dependentFields parser dependency gating (fields/_fields.py:25-34:
+  *                   exactly one of pattern / dependent_fields) — the parser
+  *                   fires once all named fields are set
+  *                   (data_organizer/_data_organizer.py:235-239). Dependent
+  *                   fields must be scalar (Str/Path) fields.
+  */
+final case class FieldSpec(
+    name: String,
+    kind: FieldKind,
+    matchSpecs: Seq[TemplateSpec] = Nil,
+    parser: Option[GraftParser] = None,
+    dependentFields: Seq[String] = Nil) {
+  require(kind != ParserField || parser.nonEmpty,
+    s"field $name: ParserField requires a parser")
+  require(matchSpecs.nonEmpty ^ dependentFields.nonEmpty,
+    s"field $name: exactly one of matchSpecs / dependentFields must be set")
+
+  def sparkType: DataType = kind match {
+    case StrField | PathField        => StringType
+    case StrListField | PathListField => ArrayType(StringType)
+    case ParserField                 => DoubleType
+  }
+}
+
+/** A declarative blueprint — the compile-time artifact the reference builds
+  * by dataclass reflection (`DataBlueprint` subclass,
+  * blueprint/_blueprint.py:10-78). The record id is the required-field
+  * values joined by `"__"` in declaration order
+  * (data_organizer/_data_organizer.py:149).
+  *
+  * @param required ordered (name → pattern spec); required fields are
+  *                 always `str`-typed (README.md:89) and their extraction
+  *                 follows SchemeMatcher semantics (raw ⇒ fullmatch,
+  *                 (p, g) ⇒ search group)
+  */
+final case class BlueprintSpec(
+    name: String,
+    required: Seq[(String, PatternSpec)],
+    fields: Seq[FieldSpec]) {
+  require(required.nonEmpty, "a blueprint needs at least one required field")
+
+  /** Entity-table schema for this blueprint: (blueprint, id, fields…). */
+  def sinkSchema: StructType = StructType(
+    StructField("blueprint", StringType, nullable = false) +:
+    StructField("id", StringType, nullable = false) +:
+    required.map { case (n, _) => StructField(n, StringType) } ++:
+    fields.map(f => StructField(f.name, f.sparkType)))
+
+  def allFieldNames: Seq[String] = required.map(_._1) ++ fields.map(_.name)
+}
+
+object BlueprintSpec {
+
+  /** Escape for splicing a literal string segment into a regex. */
+  private def quoteSeg(seg: String): Column = lit(seg)
+
+  private val PlaceholderRe = raw"\{([A-Za-z_][A-Za-z0-9_]*)\}".r
+
+  /** Compile a template into a per-row regex pattern Column: literal
+    * segments concatenated with required-field value columns. A template
+    * with no placeholder compiles to a static literal (codegen-friendly —
+    * the regex is compiled once per task, not per row). */
+  def compileTemplate(template: String, valueOf: String => Column): Column = {
+    val ms = PlaceholderRe.findAllMatchIn(template).toSeq
+    if (ms.isEmpty) lit(template)
+    else {
+      var pos = 0
+      val parts = Seq.newBuilder[Column]
+      ms.foreach { m =>
+        if (m.start > pos) parts += quoteSeg(template.substring(pos, m.start))
+        parts += valueOf(m.group(1))
+        pos = m.end
+      }
+      if (pos < template.length) parts += quoteSeg(template.substring(pos))
+      concat(parts.result(): _*)
+    }
+  }
+
+  /** Extraction column for one template spec against a file-name column.
+    * Null ⇔ no match (Python None semantics). */
+  def extractTemplate(name: Column, spec: TemplateSpec,
+      valueOf: String => Column): Column = {
+    val pat = compileTemplate(spec.template, valueOf)
+    spec.group match {
+      case None =>
+        // fullmatch: value = whole name when the anchored pattern matches
+        val anchoredPat = concat(lit("\\A(?:"), pat, lit(")\\z"))
+        when(regexp_like(name, anchoredPat), name)
+      case Some(g) =>
+        // search group g; dynamic pattern ⇒ call_function (the Scala
+        // functions API only exposes literal patterns)
+        nullif(call_function("regexp_extract", name, pat, lit(g)), lit(""))
+    }
+  }
+
+  /** First-hit-wins over ordered alternatives (SchemeMatcher `break`,
+    * retools/_retools.py:128-132). */
+  def extractField(name: Column, f: FieldSpec, valueOf: String => Column): Column =
+    if (f.matchSpecs.isEmpty) lit(null).cast(StringType)
+    else coalesce(f.matchSpecs.map(extractTemplate(name, _, valueOf)): _*)
+
+  /** Required-field extraction (plain PatternSpec — no interpolation). */
+  def extractRequired(name: Column, spec: PatternSpec): Column =
+    Retools.extract(name, spec)
+}

@@ -1,0 +1,98 @@
+package graft.blueprint
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** P2/§2.7 — the per-type created/deleted update matrix as pure Column
+  * algebra (reference: fields/_fields.py:66-211; table-driven spec:
+  * tests/test_fields.py:33-166).
+  *
+  * Each merge returns `(merged, error)`:
+  *   - `merged` is the post-update value; the reference's `NoUpdate`
+  *     sentinel is simply "merged == old" (a MERGE that writes the old
+  *     value back is a no-op relationally);
+  *   - `error` is true where the reference raises `ValueError`. Throwing in
+  *     an executor would kill the whole batch, so conflicts are routed to a
+  *     dead-letter frame instead (SURVEY.md §2.7); on error the old value
+  *     is kept.
+  *
+  * Falsiness: Python `not value` — for strings null or `''`, for lists null
+  * or empty (fields/_fields.py:76,130).
+  *
+  * Documented divergences (faithful-vs-intended, SURVEY.md §7.4.5):
+  *   - parser values: the reference treats `0.0` as unset (Python
+  *     truthiness, fields/_fields.py:185); we treat only NULL as unset;
+  *   - parser deleted-mode with differing values accidentally returns
+  *     `None` (the `return print(...)` at fields/_fields.py:203); the
+  *     intended semantics per the comment at :199 and README.md:173-178 is
+  *     "parsed values survive deletion" — we implement the intent (keep
+  *     old) in both branches;
+  *   - list deleted-mode with a null old value would raise `TypeError` in
+  *     the reference (iterating None); we return null.
+  */
+object FieldMerge {
+
+  final case class Merged(value: Column, error: Column, warn: Column = lit(false))
+
+  private def falsyStr(c: Column): Column = c.isNull || c === ""
+  private def falsyArr(c: Column): Column = c.isNull || size(c) === 0
+
+  /** str / Path, mode=created (fields/_fields.py:74-86): falsy new ⇒ keep;
+    * falsy old ⇒ take new; equal ⇒ keep; conflicting non-null values ⇒
+    * ValueError (error channel, old kept). */
+  def strCreated(old: Column, nw: Column): Merged = Merged(
+    value = when(falsyStr(nw), old).when(falsyStr(old), nw).otherwise(old),
+    error = !falsyStr(nw) && !falsyStr(old) && nw =!= old)
+
+  /** str / Path, mode=deleted (fields/_fields.py:87-93): equal (incl. both
+    * null) ⇒ clear to null; mismatch ⇒ ValueError (old kept). */
+  def strDeleted(old: Column, nw: Column): Merged = Merged(
+    value = when(nw <=> old, lit(null)).otherwise(old),
+    error = !(nw <=> old))
+
+  /** List[str] / List[Path], mode=created (fields/_fields.py:128-139):
+    * falsy new ⇒ keep; falsy old ⇒ take new as-is; equal ⇒ keep; else
+    * append new-uniques preserving order (dedup against the accumulating
+    * list, so duplicates inside `nw` collapse too). Never errors. */
+  def listCreated(old: Column, nw: Column): Merged = Merged(
+    value = when(falsyArr(nw), old)
+      .when(falsyArr(old), nw)
+      .when(nw <=> old, old)
+      .otherwise(concat(old,
+        array_distinct(filter(nw, x => !array_contains(old, x))))),
+    error = lit(false))
+
+  /** List[str] / List[Path], mode=deleted (fields/_fields.py:141-145):
+    * equal ⇒ clear to null; else remove ALL elements of new from old,
+    * preserving old's order ("array_except" would dedup — `filter` is the
+    * faithful translation, SURVEY.md §2.7). */
+  def listDeleted(old: Column, nw: Column): Merged = Merged(
+    value = when(nw <=> old, lit(null))
+      .otherwise(filter(old, x => !array_contains(nw, x))),
+    error = lit(false))
+
+  /** ParserField, mode=created (fields/_fields.py:183-196): null new ⇒
+    * keep; null old ⇒ take new; equal ⇒ keep; conflict ⇒ WARN + overwrite
+    * with new (not an error — the reference prints and proceeds). */
+  def parserCreated(old: Column, nw: Column): Merged = Merged(
+    value = when(nw.isNull, old).when(old.isNull, nw).otherwise(nw),
+    error = lit(false),
+    warn = old.isNotNull && nw.isNotNull && !(nw <=> old))
+
+  /** ParserField, mode=deleted (fields/_fields.py:198-203): parsed values
+    * survive file deletion ⇒ always keep old. */
+  def parserDeleted(old: Column, nw: Column): Merged =
+    Merged(value = old, error = lit(false))
+
+  /** Dispatch by field kind + mode. */
+  def merge(kind: FieldKind, mode: String, old: Column, nw: Column): Merged =
+    (kind, mode) match {
+      case (StrField | PathField, "created")         => strCreated(old, nw)
+      case (StrField | PathField, "deleted")         => strDeleted(old, nw)
+      case (StrListField | PathListField, "created") => listCreated(old, nw)
+      case (StrListField | PathListField, "deleted") => listDeleted(old, nw)
+      case (ParserField, "created")                  => parserCreated(old, nw)
+      case (ParserField, "deleted")                  => parserDeleted(old, nw)
+      case (k, m) => throw new IllegalArgumentException(s"merge($k, $m)")
+    }
+}

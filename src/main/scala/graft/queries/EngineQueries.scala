@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.blueprint._
+import graft.functions.Retools
+import graft.functions.Retools.{Alternatives, Full, Group}
+import graft.operators.Snapshot
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the engine core: entity assembly (Q2/A1),
+  * merge matrix (§2.7), lookup join (J2), snapshot algebra (S5/S7/S9) and
+  * multimatch (F5) — each paired with DuckDB SQL in [[oracleSql]].
+  *
+  * The testdata has no filesystem, so file events are synthesized from
+  * TPC-H rows (`lineitem` → one "file" per line item); the operators under
+  * test are exactly the production ones ([[Assembly]], [[FieldMerge]],
+  * [[Snapshot]]).
+  */
+object EngineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Blueprint over synthetic per-line-item "files"
+    * `order_<okey>.line_<ln>.item`: the record identity is the extracted
+    * order key; every matching file lands in the `lines` list (ordered,
+    * deduped — §2.5). */
+  private val orderBp = BlueprintSpec(
+    name = "OrderBlueprint",
+    required = Seq("order_id" -> Group("""order_(\d+)""", 1)),
+    fields = Seq(
+      FieldSpec("lines", StrListField,
+        matchSpecs = Seq(TemplateSpec("""order_{order_id}\.line_\d+\.item""")))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q2/A1: the entity-assembly core — extract required id from each
+    // synthetic file name, group into one record per order, list field in
+    // arrival (line-number) order.
+    "q2_entity_assembly" -> ((s, dir) => {
+      val changes = t(s, dir, "lineitem").select(
+        concat(lit("order_"), col("l_orderkey").cast("string"),
+          lit(".line_"), col("l_linenumber").cast("string"),
+          lit(".item")).as("path"),
+        lit("created").as("change"),
+        col("l_linenumber").cast("long").as("ord"))
+      val empty = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), orderBp.sinkSchema)
+      Assembly.assemble(orderBp, changes, empty).upserts
+        .select(col("id"), array_join(col("lines"), ",").as("lines"))
+        .orderBy("id")
+    }),
+
+    // §2.7 list merge matrix as data: created-mode append-uniques and
+    // deleted-mode remove-all-matching over per-order line-number lists.
+    "m1_list_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def lst(f: DataFrame) = f.groupBy(col("l_orderkey")).agg(
+        array_distinct(transform(
+          array_sort(collect_list(struct(col("l_linenumber").as("o"),
+            col("l_linenumber").cast("string").as("v")))),
+          x => x.getField("v"))).as("vals"))
+      val old = lst(li.filter(col("l_linenumber") <= 4))
+        .withColumnRenamed("vals", "old")
+      val nw = lst(li.filter(col("l_linenumber").between(3, 7)))
+        .withColumnRenamed("vals", "nw")
+      val j = old.join(nw, Seq("l_orderkey"), "full_outer")
+      val c = FieldMerge.listCreated(col("old"), col("nw")).value
+      val d = FieldMerge.listDeleted(col("old"), col("nw")).value
+      j.select(col("l_orderkey"),
+          coalesce(array_join(when(col("nw").isNull, col("old")).otherwise(c), ","), lit("")).as("merged_created"),
+          coalesce(array_join(when(col("nw").isNull, col("old")).otherwise(d), ","), lit("")).as("merged_deleted"))
+        .orderBy("l_orderkey")
+    }),
+
+    // J2: lookup join of batch aggregates vs the entity table — the
+    // record-resolution join (data_organizer/_data_organizer.py:154). The
+    // "DB" is orders restricted to even keys so some batch ids are new.
+    "j2_lookup_join" -> ((s, dir) => {
+      val db = t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val batch = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      batch.join(db, col("l_orderkey") === col("o_orderkey"), "left")
+        .select(col("l_orderkey"), col("o_orderkey").isNull.as("is_new"),
+          col("n_lines"), col("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
+    // S5: stateful snapshot diff — two anti-joins (Snapshot.diff) between
+    // two keyed snapshots of `orders`.
+    "s5_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val prev = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val cur = o.filter(col("o_orderdate") >= lit("1994-07-01").cast("timestamp"))
+      Snapshot.diff(prev, cur, Seq("o_orderkey"))
+        .orderBy("o_orderkey", "change")
+    }),
+
+    // S7: extend (snapshot merge) = union + dedup by key.
+    "s7_extend" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 3 =!= 0).select("o_orderkey")
+      val b = o.filter(col("o_orderkey") % 2 =!= 0).select("o_orderkey")
+      Snapshot.extend(a, b, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    // S9: cut_to_key — subtree projection as a pushed-down prefix filter
+    // over a synthesized path column.
+    "s9_cut_to_key" -> ((s, dir) => {
+      val snap = t(s, dir, "documents")
+        .select(concat(col("source"), lit("/"), col("doc_id").cast("string"))
+          .as("path"))
+      Snapshot.cutToKey(snap, "src1/").orderBy("path")
+    }),
+
+    // F5: multimatch — one result column per spec; a tuple spec yields the
+    // list of ALL its sub-results (retools/_retools.py:62-66), stringified
+    // with a null sentinel for the driver compare.
+    "f5_multimatch" -> ((s, dir) => {
+      val specs = Seq(
+        Full("purchase.*"),
+        Group(""""k": (\d+)""", 1),
+        Alternatives(Seq(Group("""(err)or""", 1), Full("signup"))))
+      val txt = concat_ws(" ", col("event_type"), col("props"))
+      val cols = Retools.multimatch(txt, specs)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          cols(0).as("m_full"),
+          cols(1).as("m_group"),
+          array_join(transform(cols(2), x => coalesce(x, lit("~"))), ",")
+            .as("m_alts"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q2_entity_assembly" ->
+      """WITH files AS (
+           SELECT DISTINCT l_orderkey, l_linenumber,
+                  'order_' || CAST(l_orderkey AS VARCHAR) || '.line_' ||
+                  CAST(l_linenumber AS VARCHAR) || '.item' AS fname
+           FROM lineitem)
+         SELECT CAST(l_orderkey AS VARCHAR) AS id,
+                string_agg(fname, ',' ORDER BY l_linenumber) AS lines
+         FROM files GROUP BY l_orderkey ORDER BY id""",
+    "m1_list_merge" ->
+      """WITH o AS (SELECT l_orderkey,
+                    list(CAST(l_linenumber AS VARCHAR) ORDER BY l_linenumber) AS old
+                    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+                          WHERE l_linenumber <= 4) GROUP BY l_orderkey),
+              n AS (SELECT l_orderkey,
+                    list(CAST(l_linenumber AS VARCHAR) ORDER BY l_linenumber) AS nw
+                    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+                          WHERE l_linenumber BETWEEN 3 AND 7) GROUP BY l_orderkey)
+         SELECT l_orderkey,
+                coalesce(array_to_string(CASE
+                  WHEN nw IS NULL THEN old
+                  WHEN old IS NULL THEN nw
+                  WHEN old = nw THEN old
+                  ELSE list_concat(old, list_filter(nw, x -> NOT list_contains(old, x)))
+                END, ','), '') AS merged_created,
+                coalesce(array_to_string(CASE
+                  WHEN nw IS NULL THEN old
+                  WHEN old = nw THEN NULL
+                  ELSE list_filter(old, x -> NOT list_contains(nw, x))
+                END, ','), '') AS merged_deleted
+         FROM o FULL OUTER JOIN n USING (l_orderkey) ORDER BY l_orderkey""",
+    "j2_lookup_join" ->
+      """WITH db AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+              batch AS (SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+                        FROM lineitem GROUP BY l_orderkey)
+         SELECT l_orderkey, (o_orderkey IS NULL) AS is_new, n_lines, sum_qty
+         FROM batch LEFT JOIN db ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey""",
+    "s5_snapshot_diff" ->
+      """WITH prev AS (SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+              cur AS (SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1994-07-01')
+         SELECT o_orderkey, 'created' AS change FROM cur
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM prev)
+         UNION ALL
+         SELECT o_orderkey, 'deleted' AS change FROM prev
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cur)
+         ORDER BY o_orderkey, change""",
+    "s7_extend" ->
+      """SELECT DISTINCT o_orderkey FROM (
+           SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0
+           UNION ALL
+           SELECT o_orderkey FROM orders WHERE o_orderkey % 2 <> 0)
+         ORDER BY o_orderkey""",
+    "s9_cut_to_key" ->
+      """SELECT source || '/' || CAST(doc_id AS VARCHAR) AS path
+         FROM documents WHERE starts_with(source || '/' || CAST(doc_id AS VARCHAR), 'src1/')
+         ORDER BY path""",
+    "f5_multimatch" ->
+      """SELECT event_id,
+                CASE WHEN regexp_full_match(concat_ws(' ', event_type, props), 'purchase.*')
+                     THEN concat_ws(' ', event_type, props) END AS m_full,
+                nullif(regexp_extract(concat_ws(' ', event_type, props), '"k": (\d+)', 1), '') AS m_group,
+                array_to_string([
+                  coalesce(nullif(regexp_extract(concat_ws(' ', event_type, props), '(err)or', 1), ''), '~'),
+                  coalesce(CASE WHEN regexp_full_match(concat_ws(' ', event_type, props), 'signup')
+                                THEN concat_ws(' ', event_type, props) END, '~')
+                ], ',') AS m_alts
+         FROM events ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,79 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** D6 — pluggable entity-store interface (reference: `Database` ABC /
+  * `DatabaseManager`, database/_database.py:12-23,50-69; README.md:277-301).
+  *
+  * Keyed by the compound `(blueprint, id)` — the reference's *intended*
+  * semantics. Note the reference bug it does NOT replicate: TinyDB queries
+  * combined with Python `and` (database/_database.py:36-37,44) evaluate to
+  * the second operand only, so the reference's point-get/remove actually
+  * filter on `id` alone. `update_blueprint` uses `&` correctly (:40).
+  */
+trait EntitySink {
+  /** D1 `add_blueprint`: append entries. */
+  def append(entries: DataFrame): Unit
+  /** D2 `get_blueprint`: point lookup by (blueprint, id); first hit
+    * (DatabaseManager returns query[0], database/_database.py:57-60). */
+  def get(blueprint: String, id: String): DataFrame
+  /** D3 `update_blueprint`: upsert — replace matching keys, insert new. */
+  def upsert(entries: DataFrame): Unit
+  /** D4 `remove_blueprint`: delete by key. */
+  def delete(blueprint: String, id: String): Unit
+  /** D5 `all`: full scan. */
+  def scan(): DataFrame
+}
+
+/** Parquet-backed [[EntitySink]].
+  *
+  * Upsert = read → anti-join out replaced keys → union → atomic swap. On a
+  * real deployment this is the job for Delta/Iceberg `MERGE INTO` (ACID,
+  * file-level pruning); plain Parquet has no transaction log, so the swap
+  * is a directory rename — the documented fallback in SURVEY.md §7.3.
+  * Partitioning: the table is written partitioned by `blueprint` so per-
+  * blueprint reads (the assembly's J2 lookup join) prune to one partition;
+  * at 100 TB the inner `id` distribution is what the MERGE shuffle hashes.
+  */
+final class ParquetEntitySink(spark: SparkSession, path: String, schema: StructType)
+    extends EntitySink {
+
+  private def fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists: Boolean = fs.exists(new org.apache.hadoop.fs.Path(path))
+
+  def scan(): DataFrame =
+    if (exists) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def get(blueprint: String, id: String): DataFrame =
+    scan().filter(col("blueprint") === blueprint && col("id") === id).limit(1)
+
+  def append(entries: DataFrame): Unit =
+    writeSwap(scan().unionByName(entries.select(schema.fieldNames.map(col): _*)))
+
+  def upsert(entries: DataFrame): Unit = {
+    val incoming = entries.select(schema.fieldNames.map(col): _*)
+    val kept = scan().join(incoming.select("blueprint", "id"),
+      Seq("blueprint", "id"), "left_anti")
+    writeSwap(kept.unionByName(incoming))
+  }
+
+  def delete(blueprint: String, id: String): Unit =
+    writeSwap(scan().filter(!(col("blueprint") === blueprint && col("id") === id)))
+
+  /** Write to a sibling temp dir, then swap — the source table can't be
+    * overwritten while a plan is still reading it. */
+  private def writeSwap(df: DataFrame): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode(SaveMode.Overwrite).partitionBy("blueprint").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+  }
+}

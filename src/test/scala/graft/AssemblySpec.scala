@@ -1,0 +1,106 @@
+package graft
+
+import graft.blueprint._
+import graft.functions.Retools.Group
+import graft.sinks.ParquetEntitySink
+import org.apache.spark.sql.functions._
+
+/** End-to-end port of the reference's builder spec
+  * (tests/test_data_organizer.py:54-99): four change batches against one
+  * blueprint, checking id assembly, dependent-parser firing, ordered list
+  * append, and list element removal on delete.
+  */
+class AssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** tests/test_data_organizer.py:15-17 — constant parser. */
+  private object TestMetricsParser extends GraftParser {
+    def parse(args: Seq[String]): Option[Double] = Some(50.0)
+  }
+
+  /** tests/test_data_organizer.py:20-37 — SampleBlueprint. */
+  private val sampleBp = BlueprintSpec(
+    name = "SampleBlueprint",
+    required = Seq("sample" -> Group("""sample_([^\.]+)""", 1)),
+    fields = Seq(
+      FieldSpec("fastqs", PathListField,
+        matchSpecs = Seq(TemplateSpec("""sample_{sample}.lane_\d+.R[1-2].fastq.gz"""))),
+      FieldSpec("metrics_file", PathField,
+        matchSpecs = Seq(TemplateSpec("""sample_{sample}.metrics.txt"""))),
+      FieldSpec("metric", ParserField,
+        parser = Some(TestMetricsParser),
+        dependentFields = Seq("metrics_file"))))
+
+  private def changes(created: Seq[String], deleted: Seq[String] = Nil) =
+    (created.map((_, "created")) ++ deleted.map((_, "deleted")))
+      .zipWithIndex.map { case ((p, m), i) => (p, m, i.toLong) }
+      .toDF("path", "change", "ord")
+
+  test("builder end-to-end: id assembly, parser deps, list append, list delete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assembly").toString
+    val sink = new ParquetEntitySink(spark, s"$dir/entities", sampleBp.sinkSchema)
+
+    // batch 1: a required-only match creates the record (test:57-64)
+    Assembly.buildBatch(sampleBp, changes(Seq("sample_1.file")), sink)
+    val e1 = sink.get("SampleBlueprint", "1").head()
+    assert(e1.getAs[String]("sample") === "1")
+    assert(e1.getAs[Any]("metric") === null)
+
+    // batch 2: metrics file arrives → dependent parser fires (test:70-76)
+    Assembly.buildBatch(sampleBp, changes(Seq("sample_1.metrics.txt")), sink)
+    val e2 = sink.get("SampleBlueprint", "1").head()
+    assert(e2.getAs[String]("metrics_file") === "sample_1.metrics.txt")
+    assert(e2.getAs[Double]("metric") === 50.0)
+
+    // batch 3: both fastqs land in the list, arrival order (test:79-89)
+    val fastqs = Seq("/sample_1.lane_1.R1.fastq.gz", "/sample_1.lane_1.R2.fastq.gz")
+    Assembly.buildBatch(sampleBp, changes(fastqs), sink)
+    val e3 = sink.get("SampleBlueprint", "1").head()
+    assert(e3.getAs[Seq[String]]("fastqs") === fastqs)
+
+    // batch 4: deleting one fastq removes it from the list (test:91-99)
+    Assembly.buildBatch(sampleBp,
+      changes(Nil, deleted = Seq("/sample_1.lane_1.R2.fastq.gz")), sink)
+    val e4 = sink.get("SampleBlueprint", "1").head()
+    assert(e4.getAs[Seq[String]]("fastqs") === Seq("/sample_1.lane_1.R1.fastq.gz"))
+
+    // the parsed metric survived every later batch (README.md:173-178)
+    assert(e4.getAs[Double]("metric") === 50.0)
+  }
+
+  test("scalar conflict is routed to the error channel, old value kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assembly2").toString
+    val sink = new ParquetEntitySink(spark, s"$dir/entities", sampleBp.sinkSchema)
+    Assembly.buildBatch(sampleBp, changes(Seq("sample_7.metrics.txt")), sink)
+
+    // a second metrics file for the same sample conflicts with the stored
+    // path (reference raises ValueError at fields/_fields.py:82-86)
+    val bp2 = sampleBp // same spec; different file name, same id
+    val res = Assembly.buildBatch(bp2,
+      changes(Seq("dir2/sample_7.metrics.txt")), sink)
+    // path differs ('dir2/...'), match value identical → after_match for
+    // PathField is the file path → conflict
+    val errs = res.errors.collect()
+    assert(errs.length === 1)
+    assert(errs.head.getAs[String]("field") === "metrics_file")
+    assert(errs.head.getAs[String]("mode") === "created")
+    val kept = sink.get("SampleBlueprint", "7").head()
+    assert(kept.getAs[String]("metrics_file") === "sample_7.metrics.txt")
+  }
+
+  test("multi-entity batch assembles independent ids in one pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assembly3").toString
+    val sink = new ParquetEntitySink(spark, s"$dir/entities", sampleBp.sinkSchema)
+    val batch = changes(Seq(
+      "sample_A.lane_1.R1.fastq.gz",
+      "sample_B.lane_1.R1.fastq.gz",
+      "sample_A.lane_2.R2.fastq.gz",
+      "unmatched_file.txt"))
+    val res = Assembly.buildBatch(sampleBp, batch, sink)
+    assert(res.errors.isEmpty)
+    val rows = sink.scan().orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq === Seq("A", "B"))
+    assert(rows.head.getAs[Seq[String]]("fastqs")
+      === Seq("sample_A.lane_1.R1.fastq.gz", "sample_A.lane_2.R2.fastq.gz"))
+  }
+}

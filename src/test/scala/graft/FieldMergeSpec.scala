@@ -1,0 +1,123 @@
+package graft
+
+import graft.blueprint._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table-driven port of the reference's merge-matrix spec
+  * (tests/test_fields.py:59-166 + fields/_fields.py:66-211). Each case
+  * evaluates the Column expressions of [[FieldMerge]] over a one-row frame.
+  */
+class FieldMergeSpec extends SparkSpec {
+
+  private def evalStr(kind: FieldKind, mode: String,
+      old: Option[String], nw: Option[String]): (Option[String], Boolean) = {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(old.orNull, nw.orNull)),
+      StructType(Seq(StructField("o", StringType), StructField("n", StringType))))
+    val m = FieldMerge.merge(kind, mode, col("o"), col("n"))
+    val r = df.select(m.value.as("v"), m.error.as("e")).head()
+    (Option(r.getString(0)), r.getBoolean(1))
+  }
+
+  private def evalList(mode: String, old: Option[Seq[String]],
+      nw: Option[Seq[String]]): (Option[Seq[String]], Boolean) = {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(old.orNull, nw.orNull)),
+      StructType(Seq(
+        StructField("o", ArrayType(StringType)),
+        StructField("n", ArrayType(StringType)))))
+    val m = FieldMerge.merge(StrListField, mode, col("o"), col("n"))
+    val r = df.select(m.value.as("v"), m.error.as("e")).head()
+    (Option(r.getSeq[String](0)), r.getBoolean(1))
+  }
+
+  private def evalParser(mode: String, old: Option[Double], nw: Option[Double])
+      : (Option[Double], Boolean) = {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(old.map(Double.box).orNull, nw.map(Double.box).orNull)),
+      StructType(Seq(StructField("o", DoubleType), StructField("n", DoubleType))))
+    val m = FieldMerge.merge(ParserField, mode, col("o"), col("n"))
+    val r = df.select(m.value.as("v"), m.warn.as("w")).head()
+    (if (r.isNullAt(0)) None else Some(r.getDouble(0)), r.getBoolean(1))
+  }
+
+  // --- str created (test_fields.py:64-71, fields/_fields.py:74-86) ---------
+
+  test("str created: conflicting non-null values → error, old kept") {
+    assert(evalStr(StrField, "created", Some("str_test_match"), Some("str_test_old"))
+      === (Some("str_test_match"), true))
+  }
+
+  test("str created: falsy new → NoUpdate") {
+    assert(evalStr(StrField, "created", Some("v"), None) === (Some("v"), false))
+    assert(evalStr(StrField, "created", Some("v"), Some("")) === (Some("v"), false))
+    assert(evalStr(StrField, "created", None, None) === (None, false))
+  }
+
+  test("str created: null old → take new; equal → NoUpdate") {
+    assert(evalStr(StrField, "created", None, Some("v")) === (Some("v"), false))
+    assert(evalStr(StrField, "created", Some("v"), Some("v")) === (Some("v"), false))
+  }
+
+  // --- str deleted (test_fields.py:72-88) ----------------------------------
+
+  test("str deleted: mismatched values → error (all three reference cases)") {
+    // update(str, None, old, 'deleted'), update(str, match, old, 'deleted')
+    assert(evalStr(StrField, "deleted", None, Some("str_test_old"))._2)
+    assert(evalStr(StrField, "deleted", Some("str_test_match"), Some("str_test_old"))._2)
+    // update(str, match, None, 'deleted')
+    assert(evalStr(StrField, "deleted", Some("str_test_match"), None)._2)
+  }
+
+  test("str deleted: equal values → cleared to null") {
+    assert(evalStr(StrField, "deleted", Some("v"), Some("v")) === (None, false))
+    assert(evalStr(StrField, "deleted", None, None) === (None, false))
+  }
+
+  // --- list created (test_fields.py:135-149) -------------------------------
+
+  private val old1 = Seq("old_value_1", "old_value_2", "old_value_3")
+  private val new1 = Seq("new_value_1", "new_value_2", "new_value_3")
+  private val old2 = old1 :+ "new_value_1"
+  private val new2 = new1 :+ "new_value_4"
+
+  test("list created: falsy new → NoUpdate; null old → new; disjoint → append") {
+    assert(evalList("created", Some(old1), None) === (Some(old1), false))
+    assert(evalList("created", None, Some(new1)) === (Some(new1), false))
+    assert(evalList("created", None, None) === (None, false))
+    assert(evalList("created", Some(old1), Some(new1))
+      === (Some(old1 ++ new1), false))
+  }
+
+  test("list created: only unique elements appended, order preserved") {
+    // test_fields.py:146-149 — old2 already contains new_value_1
+    assert(evalList("created", Some(old2), Some(new2))._1.get
+      === Seq("old_value_1", "old_value_2", "old_value_3",
+        "new_value_1", "new_value_2", "new_value_3", "new_value_4"))
+  }
+
+  // --- list deleted (test_fields.py:151-156) -------------------------------
+
+  test("list deleted: removes all matching elements; equal → null") {
+    assert(evalList("deleted", Some(old1), Some(Seq("old_value_1", "old_value_2")))._1.get
+      === Seq("old_value_3"))
+    assert(evalList("deleted", Some(new1), Some(new1)) === (None, false))
+  }
+
+  // --- parser (fields/_fields.py:183-203) ----------------------------------
+
+  test("parser created: null old → new; conflict → warn + overwrite") {
+    assert(evalParser("created", None, Some(50.0)) === (Some(50.0), false))
+    assert(evalParser("created", Some(50.0), Some(50.0)) === (Some(50.0), false))
+    assert(evalParser("created", Some(50.0), Some(60.0)) === (Some(60.0), true))
+    assert(evalParser("created", Some(50.0), None) === (Some(50.0), false))
+  }
+
+  test("parser deleted: parsed values survive deletion") {
+    assert(evalParser("deleted", Some(50.0), Some(50.0)) === (Some(50.0), false))
+    assert(evalParser("deleted", Some(50.0), Some(60.0)) === (Some(50.0), false))
+    assert(evalParser("deleted", Some(50.0), None) === (Some(50.0), false))
+  }
+}
