@@ -1,0 +1,245 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — the
+  * LLM-data-pipeline surface the north-star adds on top of the reference
+  * (SURVEY.md §2.11 / §7.2 M6).
+  *
+  * Scale posture is the design driver: nothing here compares all pairs,
+  * and nothing hash-heavy runs inside higher-order-function lambdas (HOFs
+  * are interpreted — features are exploded to rows so md5/conv stay inside
+  * whole-stage codegen, then reduced with plain aggregates).
+  *   - exact dedup: one hash-groupBy shuffle;
+  *   - MinHash+LSH: shingle-explode → codegen hash → groupBy(min) per
+  *     permutation → band bucket-join → exact-Jaccard verify on candidates;
+  *   - SimHash: token-explode → per-bit vote aggregates → band buckets →
+  *     Hamming verify;
+  *   - n-gram Jaccard: exact, via PREFIX-FILTERED inverted index — each
+  *     doc indexes only its `⌈(1-t)·n⌉+1` globally-rarest shingles (two
+  *     sets with Jaccard ≥ t must share a prefix element under any global
+  *     shingle order), so ultra-frequent shingles never drive the join and
+  *     the candidate set shrinks ~5× at t=0.8 with zero loss of exactness.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------------
+  // shingling
+  // ---------------------------------------------------------------------
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word k-shingles ("n-gram" features) of `text`, order of
+    * first occurrence. Rows with fewer than k tokens yield null entries —
+    * callers filter on `size(tokens) >= k`.
+    *
+    * NOTE: array-lambda form — fine for oracle-scale evaluation, but the
+    * per-element lambda is interpreted and re-evaluates the token split
+    * per element (quadratic in doc length). Operators use [[shingleRows]]
+    * instead. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - (k - 1), lit(1))),
+      i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
+  }
+
+  /** One row per (id, distinct k-shingle) — the operator-side shingle
+    * producer: posexplode tokens once, build each shingle with `lead()`
+    * windows over token position. Everything stays in whole-stage codegen;
+    * cost is linear in corpus tokens, the single shuffle is keyed by doc
+    * id (exactly the key the downstream signature groupBy needs). */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, k: Int = 3)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val nexts = (1 until k).map(o => lead(col("tok"), o).over(w).as(s"_n$o"))
+    df.filter(size(tokens(col(textCol))) >= k)
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+      .select(col(idCol) +: col("tok") +: nexts: _*)
+      .filter(col(s"_n${k - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", col("tok") +: (1 until k).map(o => col(s"_n$o")): _*).as("s"))
+      .distinct()
+  }
+
+  /** Per-id distinct shingle sets (array column `sh`), built from
+    * [[shingleRows]] — set semantics, element order unspecified. */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, k: Int = 3)
+      : DataFrame =
+    shingleRows(df, textCol, idCol, k)
+      .groupBy(col(idCol)).agg(collect_list(col("s")).as("sh"))
+
+  // ---------------------------------------------------------------------
+  // exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup by content hash: one row per distinct `textCol` value,
+    * keeping the minimum id — a single groupBy shuffle, the canonical
+    * first-pass dedup at any scale. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------
+
+  /** MinHash signatures: one row per id with `numHashes` columns `sig_j`,
+    * each `min over shingles of permute_j(hex32(shingle))`. Shingles are
+    * exploded so the md5 runs codegen'd once per shingle; the signature is
+    * `numHashes` plain `min` aggregates in one groupBy. */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, k: Int = 3): DataFrame = {
+    val sh = shingleRows(df, textCol, idCol, k)
+      .withColumn("_h", Hashing.hex32(col("s")))
+    sh.groupBy(col(idCol)).agg(
+      min(Hashing.permute(col("_h"), 0)).as("sig_0"),
+      (1 until numHashes).map(j =>
+        min(Hashing.permute(col("_h"), j)).as(s"sig_$j")): _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `numHashes / bands` values; docs sharing any band bucket are
+    * candidates. Returns (id_a, id_b) with id_a < id_b, deduped.
+    *
+    * The only shuffle is the self-join keyed by (band index, band value) —
+    * bucket sizes, not corpus size, bound the pair blow-up. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*)
+          .as("bucket"))
+    }
+    val exploded = sigs.select(col(idCol).as("_mid"),
+      explode(array(bandCols: _*)).as("bk"))
+    val a = exploded.select(col("_mid").as("id_a"), col("bk"))
+    val b = exploded.select(col("_mid").as("id_b"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates verified with exact
+    * Jaccard over shingles ≥ `threshold`. The verify join only touches
+    * candidate ids — at 100 TB the candidate set is orders of magnitude
+    * smaller than all pairs. */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3)
+      : DataFrame = {
+    val sigs = minhashSignature(df, textCol, idCol, numHashes, k)
+    val cands = lshCandidates(sigs, idCol, numHashes, bands)
+    val sh = shingleSets(df, textCol, idCol, k)
+      .select(col(idCol).as("_sid"), col("sh").as("_sh"))
+    cands
+      .join(sh.select(col("_sid").as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("_sid").as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** `bits`-wide SimHash per id: bit b is set iff more distinct-token
+    * hashes have bit b set than unset. Token-explode + per-bit vote sums —
+    * all codegen'd aggregates, one shuffle. */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("_w"))
+      .withColumn("_h", Hashing.hex32(col("_w")))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("_h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"_v_$b")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    agg.select(col(idCol),
+      (0 until bits).map(b =>
+        when(col(s"_v_$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: docs whose signatures agree on any of
+    * the 4 `bits/4`-wide bands (by pigeonhole, Hamming distance ≤ 3 ⇒ at
+    * least one band equal). Verify with exact Hamming ≤ `maxHamming`. */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val bandBits = bits / 4
+    val sigs = simhashSignatures(df, textCol, idCol, bits)
+      .select(col(idCol).as("_sid"), col("simhash").as("_sig"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("_sig"), b * bandBits) % (1L << bandBits)).as("bucket"))
+    }
+    val exploded = sigs.select(col("_sid"), col("_sig"),
+      explode(array(bandCols: _*)).as("bk"))
+    val a = exploded.select(col("_sid").as("id_a"), col("_sig").as("sig_a"), col("bk"))
+    val b = exploded.select(col("_sid").as("id_b"), col("_sig").as("sig_b"), col("bk"))
+    val hamming = (0 until bits).map(i =>
+      when(shiftright(col("sig_a"), i) % 2 =!= shiftright(col("sig_b"), i) % 2, 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------------
+  // exact n-gram Jaccard (prefix-filtered inverted index)
+  // ---------------------------------------------------------------------
+
+  /** Exact near-dup pairs by word-k-gram Jaccard ≥ `threshold`.
+    *
+    * Candidate generation uses PREFIX FILTERING: order every doc's
+    * shingles by global frequency (rarest first) and index only the first
+    * `n - ⌈t·n⌉ + 1`. Two docs with `|A∩B| ≥ t·|A| ` must share one of
+    * those prefix shingles, so the join on prefix shingles loses no true
+    * pair — and the hottest (most frequent) shingles, the ones that blow
+    * up a naive inverted-index join, are exactly the ones pruned from the
+    * index. Candidates are then verified with exact Jaccard over the full
+    * shingle sets. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    // the shingle relation feeds four plan branches (freq, both prefix
+    // self-join sides, both verify sides) — persist it once instead of
+    // recomputing the tokenize+window lineage per branch. MEMORY_AND_DISK;
+    // released by the ContextCleaner when the result frame is collected.
+    val rows = shingleRows(df, textCol, idCol, k).persist()
+    val base = rows.groupBy(col(idCol)).agg(collect_list(col("s")).as("sh"))
+      .select(col(idCol).as("_did"), col("sh").as("_sh"))
+    val inv = rows.select(col(idCol).as("_did"), col("s"))
+    // global shingle document-frequency (broadcastable: |vocab| << |corpus|)
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("_f"))
+    // per-doc prefix of the (freq, shingle)-ordered feature list
+    val prefix = inv.join(freq, Seq("s"))
+      .groupBy("_did")
+      .agg(transform(
+        array_sort(collect_list(struct(col("_f"), col("s")))),
+        x => x.getField("s")).as("_ord"))
+      .select(col("_did"),
+        explode(slice(col("_ord"), lit(1),
+          (size(col("_ord")) - ceil(size(col("_ord")) * threshold) + 1)
+            .cast("int"))).as("s"))
+    val prefixP = prefix.persist()
+    val cands = prefixP.select(col("s"), col("_did").as("id_a"))
+      .join(prefixP.select(col("s"), col("_did").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verify over the full shingle sets
+    cands
+      .join(base.select(col("_did").as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("_did").as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashing shared by the dedup / fingerprint
+  * operators.
+  *
+  * The driver's correctness gate compares Spark output against DuckDB, and
+  * the two engines share no native hash function — but both expose `md5`
+  * with identical hex output. `hex32` folds the first 8 hex digits of
+  * `md5(s)` into a BIGINT in [0, 2^32): collision behavior is md5's, the
+  * fold is plain arithmetic both engines evaluate identically, and every
+  * derived hash (minhash permutations, simhash bits) stays exactly
+  * reproducible in ANSI SQL. At cluster scale this is one codegen'd md5 +
+  * 8 byte-folds per value — cheap relative to the shuffle it feeds.
+  */
+object Hashing {
+
+  val MersennePrime: Long = 2147483647L // 2^31 - 1
+
+  /** First 8 hex digits of md5(c) as a BIGINT in [0, 2^32) — one codegen'd
+    * md5 + base-16 parse (`conv`). Callers should keep this OUT of
+    * higher-order-function lambdas: HOFs are interpreted (no whole-stage
+    * codegen), so hash-heavy operators explode their features to rows and
+    * hash there instead (see Dedup). */
+  def hex32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** The j-th minhash permutation of a 32-bit hash value:
+    * `(a_j * h + b_j) mod p` with fixed odd multipliers — deterministic
+    * across engines, no Math.random. */
+  def permute(h: Column, j: Int): Column =
+    (lit(2L * j + 1) * h + lit(7919L * j + 13)) % MersennePrime
+
+  /** DuckDB SQL replica of [[hex32]] over an expression string. The fold
+    * seed is CAST to BIGINT — DuckDB would otherwise run the whole fold in
+    * INT32 and overflow. */
+  def duckHex32(e: String): String = {
+    def d(i: Int) =
+      s"(CASE WHEN ascii(substr(md5($e),$i,1)) <= 57" +
+      s" THEN ascii(substr(md5($e),$i,1))-48" +
+      s" ELSE ascii(substr(md5($e),$i,1))-87 END)"
+    (2 to 8).foldLeft(s"CAST(${d(1)} AS BIGINT)")(
+      (acc, i) => s"(($acc)*16+${d(i)})")
+  }
+
+  /** DuckDB SQL replica of [[permute]]. */
+  def duckPermute(e: String, j: Int): String =
+    s"((${2L * j + 1}*($e) + ${7919L * j + 13}) % $MersennePrime)"
+}

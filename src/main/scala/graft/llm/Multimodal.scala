@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: opaque media bytes + typed metadata. The binary
+  * payload is never interpreted by Spark itself — media columns at 100 TB
+  * are exactly this shape (parquet binary + sidecar metadata), with decode
+  * pushed to per-partition batch workers. */
+final case class MediaRow(
+    media_id: Long,
+    kind: String,           // 'image' | 'audio' | 'video'
+    payload: Array[Byte],
+    source: String)
+
+/** Decoded / feature-extracted output of one media row. */
+final case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    checksum: Long)
+
+/** Multimodal-column plumbing: schema, partitioning and batched
+  * decode-UDF signature are real; the codec itself is a clearly-marked
+  * deterministic STUB (no image/audio libraries ship in this container).
+  *
+  * The execution shape is the one that matters at scale: `mapPartitions`
+  * so a real decoder amortizes model/codec init per partition (the Scala
+  * analogue of a pandas `mapInPandas` batch UDF), binary payloads never
+  * shuffled except by explicit repartition on media_id, feature output
+  * columnar and narrow.
+  */
+object Multimodal {
+
+  /** STUB decoder — deterministic fake: derives "dimensions" from payload
+    * bytes. A real deployment replaces exactly this function with a codec
+    * call (e.g. JPEG header parse / ffprobe); everything around it — the
+    * per-partition batching, the schema, the plan shape — is unchanged. */
+  def stubDecode(row: MediaRow): MediaFeatures = {
+    val n = row.payload.length.toLong
+    val head = if (row.payload.nonEmpty) row.payload(0) & 0xff else 0
+    val checksum = row.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = n,
+      width = (head % 64 + 1) * 16,
+      height = ((n % 64).toInt + 1) * 16,
+      n_frames = if (row.kind == "video") (n % 240).toInt + 1 else 1,
+      checksum = checksum)
+  }
+
+  /** Batched decode / feature extraction over a media dataset. One decoder
+    * "session" per partition (the `it => ...` closure), streaming through
+    * rows without materializing the partition. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codec/model init would happen here, once per partition
+      it.map(stubDecode)
+    }
+  }
+
+  /** Frame sampling for video-kind rows: every `stride`-th frame index up
+    * to the decoded frame count — the row-explosion pattern (one row per
+    * sampled frame) that feeds vision encoders. */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
+    features.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+  }
+
+  /** Build a media dataset from the documents table (payload = utf-8 bytes
+    * of the text — a stand-in corpus with real binary columns). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "utf-8").as("payload"),
+      col("source")).as[MediaRow]
+  }
+}

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * Two paths, per the north-star:
+  *   - [[cosineTopK]]: brute-force exact top-k — one broadcast of the query
+  *     set, one narrow scan over the corpus, one per-query top-k. The
+  *     baseline and the verifier for the approximate path.
+  *   - [[lshTopK]]: random-hyperplane LSH — corpus and queries are bucketed
+  *     by the sign pattern of `planes` fixed pseudo-random hyperplanes;
+  *     only same-bucket (or Hamming-adjacent, via multiple tables)
+  *     candidates are scored. At 100 TB the corpus-side signature is
+  *     computed once and bucketed storage prunes the scan; the scored
+  *     candidate set is |bucket|, not |corpus|.
+  *
+  * All arithmetic in double precision (float32 elements widened first) so
+  * results are reproducible across engines.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two double-array columns (sequential fold —
+    * deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol: array<float|double>)
+    * @param queries (idCol, vecCol) — small enough to broadcast
+    * @return (query_id, neighbor_id, cos, rank) — rank 1..k per query,
+    *         ties broken by neighbor id; self-pairs excluded
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_q"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_v"), col("_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component: fixed per (plane,
+    * dimension), uniform in [-1, 1) — derived from the portable hash so
+    * the "model" is reproducible without RNG state. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (Hashing.hex32(concat_ws("_", lit("plane"), lit(plane), dim))
+      .cast("double") / lit(2147483648.0)) - 1.0
+
+  /** Sign-pattern LSH bucket id of a vector under `planes` hyperplanes. */
+  def lshBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: score only same-bucket candidates. Recall is
+    * tunable via `planes` (fewer planes ⇒ bigger buckets ⇒ higher recall,
+    * more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_bkt", lshBucket(col("_v"), planes))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_q"))
+      .withColumn("_bkt", lshBucket(col("_q"), planes))
+    val scored = c.join(broadcast(q), Seq("_bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_v"), col("_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH
+    * bucketing (same-bucket candidates only — never all pairs). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 6): DataFrame = {
+    val v = df.select(col(idCol).as("_eid"), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_bkt", lshBucket(col("_v"), planes))
+    val a = v.select(col("_bkt"), col("_eid").as("id_a"), col("_v").as("v_a"))
+    val b = v.select(col("_bkt"), col("_eid").as("id_b"), col("_v").as("v_b"))
+    a.join(b, Seq("_bkt")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos").distinct()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus: quality stats,
+  * language id, token counting, fingerprinting. All pure Column algebra —
+  * codegen'd, narrow, no UDFs; every expression has an exact ANSI-SQL
+  * mirror for the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lower-cased. */
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** Mean token length (characters). */
+  def avgTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      nTokens(text)
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:'\"()]", "")).cast("double") /
+      length(text)
+
+  /** Fraction of tokens found in a stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(sw, w))).cast("double") /
+      nTokens(text)
+  }
+
+  /** Type-token ratio (distinct / total) — repetition signal. */
+  def uniqueRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / nTokens(text)
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * healthy stopword ratio + vocabulary diversity — the standard cheap
+    * pre-filter shape for training-data pipelines. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val n = nTokens(text)
+    val lengthOk = when(n.between(20, 10000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val swr = stopwordRatio(text, stopwords)
+    val swOk = when(swr.between(0.01, 0.6), 1.0).otherwise(0.0)
+    val divOk = when(uniqueRatio(text) > 0.2, 1.0).otherwise(0.0)
+    (lengthOk + punctOk + swOk + divOk) / 4.0
+  }
+
+  /** Per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small — the operator shape (score per
+    * language, argmax with deterministic tie-break) is the point. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "du"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "von"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Language-ID: hit count per marker list; highest score wins, ties by
+    * list order; zero hits ⇒ 'und'. */
+  def languageId(text: Column): Column = {
+    val ws = tokens(text)
+    val scores = langMarkers.map { case (lang, ms) =>
+      val m = array(ms.map(lit): _*)
+      lang -> size(filter(ws, w => array_contains(m, w)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
+    * single punctuation) — the cheap standing-in-for-a-tokenizer count used
+    * to budget training tokens. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Rolling-hash document fingerprints: per id, the minimum portable hash
+    * over word 3-shingles (winnowing-style representative — equal
+    * fingerprints are a cheap near-dup pre-signal) plus the exact content
+    * md5. Shingles are exploded so the hash runs codegen'd (HOF lambdas
+    * are interpreted), reduced with a plain min aggregate. */
+  def fingerprints(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val fps = Dedup.shingleRows(df, textCol, idCol, 3)
+      .groupBy(col(idCol)).agg(min(Hashing.hex32(col("s"))).as("fp"))
+    fps.join(df.select(col(idCol), md5(col(textCol)).as("content_md5")), idCol)
+      .select(idCol, "fp", "content_md5")
+  }
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.llm._
+import graft.llm.Hashing.{duckHex32, duckPermute}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the LLM-data-pipeline surface: dedup
+  * (exact / MinHash / SimHash / n-gram Jaccard), embedding similarity,
+  * text analysis, fingerprinting, multimodal metadata — over the
+  * `documents` and `embeddings` testdata tables.
+  *
+  * Oracle strategy: everything is built on [[Hashing.hex32]] (md5-derived
+  * portable hash) and exact integer-ratio arithmetic, so each DuckDB
+  * oracle reproduces the Spark result bit-for-bit; several oracles are
+  * generated programmatically from the same constants as the Column code.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val stopwords = TextAnalysis.langMarkers.head._2 // en markers
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy — one shuffle, any scale.
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select("keep_id", "n_copies").orderBy("keep_id")
+    }),
+
+    // MinHash signatures (4 permutations) — the narrow stage of the LSH
+    // near-dup pipeline, certified value-exact against the oracle.
+    "d2_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id",
+          numHashes = 4)
+        .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3")
+        .orderBy("doc_id")
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs ≥ 0.8 via inverted-index join —
+    // exact result, scale-safe plan (only shingle-sharing docs pair up);
+    // the oracle computes the same set all-pairs.
+    "d3_ngram_neardup" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 16-bit SimHash signatures.
+    "d4_simhash" -> ((s, dir) => {
+      Dedup.simhashSignatures(t(s, dir, "documents"), "text", "doc_id", 16)
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-10 for 5 query vectors (ids only — float
+    // summation-order at the rank boundary is the one nondeterminism
+    // between engines, so scores stay out of the compared output).
+    "a1_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // Text quality stats — all exact integer-ratio arithmetic.
+    "x1_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
+          TextAnalysis.uniqueRatio(col("text")).as("unique_ratio"),
+          TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: marker-word hit counts, argmax.
+    "x2_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: min portable hash over 3-shingles + content md5.
+    "x4_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: opaque binary payload + typed metadata (decode plumbing
+    // itself is Dataset-level, see Multimodal.scala + MultimodalSpec).
+    "mm1_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          octet_length(encode(col("text"), "utf-8")).as("n_bytes"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+        .orderBy("doc_id")
+    }),
+
+    // D2 point lookup: first record by key — the sink's get() shape.
+    "d5_point_get" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey").limit(1)
+    })
+  )
+
+  // -----------------------------------------------------------------------
+  // DuckDB oracle SQL (shared snippets generated from the same constants)
+  // -----------------------------------------------------------------------
+
+  private val duckToks = """string_split_regex(lower(text), '\s+')"""
+  private val duckShingles =
+    s"""list_distinct(list_transform(range(1, greatest(len(w)-1, 2)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"""
+
+  private def duckSig(j: Int): String =
+    s"list_min(list_transform(sh, s -> ${duckPermute(duckHex32("s"), j)})) AS sig_$j"
+
+  private val duckSimhash: String = (0 until 16).map { b =>
+    val bit = 1L << b
+    s"CASE WHEN sum(CASE WHEN (hv // $bit) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN $bit ELSE 0 END"
+  }.mkString("(", " + ", ")")
+
+  private def duckList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val duckLangScores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+    s"len(list_filter(w, x -> list_contains(${duckList(ms)}, x))) AS s_$lang"
+  }.mkString(", ")
+  private val duckBest =
+    "greatest(" + TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ") + ")"
+  private val duckLangPick = "CASE " + TextAnalysis.langMarkers.map { case (lang, _) =>
+    s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+  }.mkString(" ") + " ELSE 'und' END"
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "d2_minhash_sig" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3)
+          SELECT doc_id, ${(0 to 3).map(duckSig).mkString(", ")}
+          FROM sh ORDER BY doc_id""",
+    "d3_ngram_neardup" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+          ORDER BY id_a, id_b""",
+    "d4_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok
+                        FROM documents),
+              h AS (SELECT doc_id, ${duckHex32("tok")} AS hv FROM toks)
+          SELECT doc_id, $duckSimhash AS simhash
+          FROM h GROUP BY doc_id ORDER BY doc_id""",
+    "a1_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i])) /
+                       (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+                     FROM e, q WHERE e.vec_id <> q.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+                    FROM sc)
+         SELECT query_id, neighbor_id FROM r WHERE rn <= 10
+         ORDER BY query_id, neighbor_id""",
+    "x1_text_stats" ->
+      s"""WITH ws AS (SELECT doc_id, text, $duckToks AS w FROM documents)
+          SELECT doc_id,
+                 len(w) AS n_tokens,
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpeish,
+                 CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_token_len,
+                 CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+                 CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) AS stopword_ratio,
+                 CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS unique_ratio,
+                 ((CASE WHEN len(w) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+          FROM ws ORDER BY doc_id""",
+    "x2_lang_id" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              sc AS (SELECT doc_id, $duckLangScores FROM ws),
+              b AS (SELECT *, $duckBest AS best FROM sc)
+          SELECT doc_id, $duckLangPick AS lang_guess FROM b ORDER BY doc_id""",
+    "x4_fingerprint" ->
+      s"""WITH ws AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, text, $duckShingles AS sh FROM ws WHERE len(w) >= 3)
+          SELECT doc_id,
+                 list_min(list_transform(sh, s -> ${duckHex32("s")})) AS fp,
+                 md5(text) AS content_md5
+          FROM sh ORDER BY doc_id""",
+    "mm1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+         FROM documents ORDER BY doc_id""",
+    "d5_point_get" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey LIMIT 1"""
+  )
+}

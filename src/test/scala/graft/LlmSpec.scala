@@ -1,0 +1,105 @@
+package graft
+
+import graft.llm._
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator specs: the approximate paths (MinHash-LSH,
+  * SimHash, embedding LSH) are validated against their exact counterparts
+  * on the driver testdata — the property that matters is candidate recall,
+  * since every candidate is exactly verified afterwards.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("minhash LSH near-dups == exact ngram Jaccard pairs at 0.8") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified with exact Jaccard, so lsh ⊆ exact always;
+    // with 16 hashes / 4 bands at J≥0.8 band-collision P ≈ 1-(1-0.8^4)^4 ≈ 0.87
+    // per band config — demand full recall on this corpus (near-dups here
+    // are ~0.99 Jaccard, collision P ≈ 1).
+    assert(lsh.subsetOf(exact))
+    assert(lsh === exact)
+    assert(exact.nonEmpty) // the corpus has planted near-dups
+  }
+
+  test("simhash: identical docs same signature, near-dups within hamming 3") {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id")
+    // sanity: every reported pair respects the hamming bound
+    assert(pairs.filter(col("hamming") > 3).isEmpty)
+    // deterministic signatures in [0, 2^16)
+    val sigs = Dedup.simhashSignatures(docs, "text", "doc_id", 16)
+    val s1 = sigs.orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val s2 = Dedup.simhashSignatures(docs, "text", "doc_id", 16)
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(s1 === s2)
+    assert(s1.forall(s => s >= 0 && s < (1L << 16)))
+    // an exact duplicate text gets an identical signature
+    val dup = docs.limit(1).withColumn("doc_id", lit(999999L))
+    val both = Dedup.simhashSignatures(docs.limit(1).unionByName(dup),
+      "text", "doc_id", 16).collect().map(_.getLong(1))
+    assert(both(0) === both(1))
+  }
+
+  test("embedding near-dups finds planted duplicate vectors, never all-pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant an exact duplicate of vec 0 with id 100000
+    val dup = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(100000L))
+    val pairs = Similarity.embeddingNearDups(emb.unionByName(dup),
+      "vec_id", "embedding", threshold = 0.99)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 100000L)))
+  }
+
+  test("lshTopK results are a subset-ranking of brute-force cosineTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 2)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // approximate neighbors are real corpus ids and self-pairs are excluded
+    assert(approx.forall { case (qid, nid) => qid != nid })
+    assert(approx.nonEmpty)
+    // no recall overlap is demanded on random low-cosine vectors (hyperplane
+    // collision probability for cos≈0.2 is weak); the hard guarantee is that
+    // an identical vector shares every bucket and must rank first:
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(100001L))
+    val withDup = Similarity.lshTopK(emb.unionByName(dup), q,
+        "vec_id", "embedding", 5, planes = 4)
+      .filter(col("query_id") === 0 && col("rank") === 1).head()
+    assert(withDup.getAs[Long]("neighbor_id") === 100001L)
+    assert(exact.nonEmpty)
+  }
+
+  test("multimodal decode plumbing: batch stub decode + frame sampling") {
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.decodeFeatures(media)
+    val n = docs.count()
+    assert(feats.count() === n)
+    val f = feats.filter(col("kind") === "video").head()
+    assert(f.n_frames >= 1 && f.width % 16 === 0)
+    // deterministic: decoding twice yields identical checksums
+    val c1 = feats.select(sum("checksum")).head().getLong(0)
+    val c2 = Multimodal.decodeFeatures(media).select(sum("checksum")).head().getLong(0)
+    assert(c1 === c2)
+    val frames = Multimodal.sampleFrames(feats, stride = 10)
+    assert(frames.count() > 0)
+    // stride sampling: every frame index is a multiple of 10
+    assert(frames.filter(col("frame_idx") % 10 =!= 0).isEmpty)
+  }
+
+  test("exact dedup groups identical content under one keep id") {
+    val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(d, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+}
