@@ -1,0 +1,27 @@
+package graft.blueprint
+
+/** U1 — content-reading parsers (reference `DataParser` implementations).
+  *
+  * The easy-example parser reads a float from the matched file
+  * (examples/easy_example.py:36-40). Runs on executors inside the parser
+  * UDF; local/NFS paths read directly. At cluster scale, prefer joining
+  * against `spark.read.format("binaryFile")` keyed by path instead of
+  * per-row filesystem reads (SURVEY.md §7.3) — this parser is the faithful
+  * per-file form.
+  */
+object Parsers {
+
+  /** Reads the whole file at `args.head` and parses it as a Double. */
+  object FloatFileParser extends GraftParser {
+    def parse(args: Seq[String]): Option[Double] =
+      try {
+        val src = scala.io.Source.fromFile(args.head)
+        try Some(src.mkString.trim.toDouble) finally src.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Constant parser (tests/test_data_organizer.py:15-17). */
+  final case class ConstParser(value: Double) extends GraftParser {
+    def parse(args: Seq[String]): Option[Double] = Some(value)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.functions.Retools.PatternSpec
+import graft.operators.Snapshot
+import graft.sources.FileListing
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S4 + S6 — the stateful change watcher: snapshot the tree, diff against
+  * the persisted previous snapshot, advance state only when the diff is
+  * non-empty (reference `ChangesWatcher.get_changes`,
+  * monitoring/_monitoring.py:71-76; state persistence `BackupManager`,
+  * :100-147).
+  *
+  * State is a Parquet table of file paths (the reference's JSON backup,
+  * relationally normalized). A corrupt/missing state table reads as empty —
+  * the reference tolerates corrupt JSON the same way (:128-132).
+  *
+  * @param sortKey optional T5 change ordering (reference `ReSorter`,
+  *                monitoring/_monitoring.py:44-48), e.g.
+  *                `Retools.reSortKey(_, "run_(\\d+)", 1)`; changes get an
+  *                `ord` column from this order (falls back to path order) —
+  *                the arrival-order column the assembly's aggregations
+  *                need. Change batches are small relative to the corpus,
+  *                so the global row_number window is not a scale hazard.
+  */
+final class ChangeMonitor(
+    spark: SparkSession,
+    root: String,
+    statePath: String,
+    matcher: Option[Seq[PatternSpec]] = None,
+    matchDirs: Boolean = false,
+    maxDepth: Option[Int] = None,
+    sortKey: Option[Column => Column] = None) {
+
+  private def fs = new org.apache.hadoop.fs.Path(statePath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Previous snapshot (paths); empty when no state exists yet. */
+  def prevSnapshot(): DataFrame =
+    if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+      spark.read.parquet(statePath).select("path")
+    else spark.range(0).select(lit("").as("path")).limit(0)
+
+  /** Current file listing (files only — the reference diffs `to_list()`
+    * with empty dirs dropped). */
+  def currentSnapshot(): DataFrame =
+    FileListing.snapshot(spark, root, matcher, matchDirs, maxDepth,
+        keepEmptyDirs = false)
+      .filter(!col("is_dir")).select("path")
+
+  /** One poll: diff, advance state on non-empty change set, return the
+    * ordered change batch (`path, change, ord`) or None. */
+  def poll(): Option[DataFrame] = {
+    val cur = currentSnapshot().localCheckpoint(true)
+    val changes = Snapshot.diffNonEmpty(prevSnapshot(), cur)
+    changes.map { d =>
+      val key = sortKey.map(f => f(col("path"))).getOrElse(col("path"))
+      val ordered = d.withColumn("ord",
+        row_number().over(Window.orderBy(key, col("path"), col("change"))))
+        .localCheckpoint(true) // materialize before state advances
+      d.unpersist()
+      advanceState(cur)
+      ordered
+    }
+  }
+
+  /** S6: persist the new snapshot via temp-dir + atomic swap. */
+  private def advanceState(cur: DataFrame): Unit = {
+    val tmp = statePath + ".tmp"
+    cur.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+  }
+
+  /** Drop persisted state (BackupManager.clear_backup). */
+  def clearState(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

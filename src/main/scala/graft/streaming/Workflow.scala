@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.blueprint.{Assembly, BlueprintSpec}
+import graft.functions.Retools.PatternSpec
+import graft.sinks.ParquetEntitySink
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** T7 — the `Workflow` facade: wires collector → watcher → builder → sink
+  * and drives the poll loop (reference: initializer/_initializer.py:15-88;
+  * loop: monitoring/_monitoring.py:270-304).
+  *
+  * Batch-driver streaming: each poll is one micro-batch through the same
+  * assembly pipeline (`foreachBatch` semantics without a streaming source —
+  * Spark's file stream source cannot observe deletions, so the polling
+  * snapshot-diff IS the source, SURVEY.md §7.3). Loop granularity is the
+  * reference's: sleep 1 s, re-poll when `pollIntervalMs` elapsed (default
+  * 10 s, monitoring/_monitoring.py:181,280).
+  *
+  * Exit conditions (T2): a non-empty `exitFile`, or a wall-clock deadline
+  * `exitAfterMs` (initializer/_initializer.py:77-78,
+  * monitoring/_monitoring.py:208-215).
+  *
+  * Layout under `workDir` (reference workflow_data convention,
+  * README.md:307): `state/` — watcher snapshot; `db/` — entity table;
+  * `errors/` — merge-conflict dead letters, appended per batch.
+  */
+final class Workflow(
+    spark: SparkSession,
+    name: String,
+    collectorPath: String,
+    blueprints: Seq[BlueprintSpec],
+    workDir: String,
+    matcher: Option[Seq[PatternSpec]] = None,
+    pollIntervalMs: Long = 10000L,
+    exitFile: Option[String] = None,
+    exitAfterMs: Option[Long] = None) {
+
+  require(blueprints.nonEmpty, "a workflow needs at least one blueprint")
+
+  /** One entity table across blueprints (the reference stores all
+    * blueprints in one TinyDB table): union of the per-blueprint schemas. */
+  private val sinkSchema: StructType = StructType(
+    blueprints.flatMap(_.sinkSchema.fields)
+      .groupBy(_.name).map(_._2.head).toSeq
+      .sortBy(f => if (f.name == "blueprint") "0" else if (f.name == "id") "1" else f.name))
+
+  val sink = new ParquetEntitySink(spark, s"$workDir/db", sinkSchema)
+  val monitor = new ChangeMonitor(spark, collectorPath, s"$workDir/state", matcher)
+
+  /** One poll → one build per blueprint (Q1 build loop). Returns number of
+    * changed paths (0 = quiet poll). */
+  def runOnce(): Long = {
+    monitor.poll() match {
+      case None => 0L
+      case Some(changes) =>
+        val n = changes.count()
+        println(s"[$name] ${java.time.Instant.now}: $n changed paths") // T6
+        blueprints.foreach { bp =>
+          // project the shared-table rows to this blueprint's schema
+          val res = Assembly.assemble(bp, changes,
+            sink.scan().select(bp.sinkSchema.fieldNames.map(
+              org.apache.spark.sql.functions.col): _*))
+          val ups = res.upserts.localCheckpoint(true)
+          val errs = res.errors.localCheckpoint(true)
+          // widen to the shared schema (missing columns null)
+          val widened = sinkSchema.fieldNames.foldLeft(ups) { (d, f) =>
+            if (d.columns.contains(f)) d
+            else d.withColumn(f, org.apache.spark.sql.functions.lit(null)
+              .cast(sinkSchema(f).dataType))
+          }
+          sink.upsert(widened)
+          if (!errs.isEmpty)
+            errs.write.mode("append").parquet(s"$workDir/errors")
+        }
+        changes.unpersist()
+        n
+    }
+  }
+
+  private def shouldExit(startedAt: Long): Boolean = {
+    val fileHit = exitFile.exists { f =>
+      val p = java.nio.file.Paths.get(f)
+      java.nio.file.Files.exists(p) && java.nio.file.Files.size(p) > 0
+    }
+    val timeHit = exitAfterMs.exists(ms => System.currentTimeMillis - startedAt >= ms)
+    fileHit || timeHit
+  }
+
+  /** T1/T2: the poll loop — 1 s granularity, re-poll every
+    * `pollIntervalMs`, exit on file/deadline. */
+  def run(): Unit = {
+    val startedAt = System.currentTimeMillis
+    var lastRun = 0L
+    while (!shouldExit(startedAt)) {
+      if (System.currentTimeMillis - lastRun >= pollIntervalMs) {
+        runOnce()
+        lastRun = System.currentTimeMillis
+      }
+      Thread.sleep(1000L)
+    }
+  }
+}
