@@ -1,0 +1,19 @@
+package graft.blueprint
+
+/** Q8 — the blueprint registry (reference `register_blueprint` /
+  * constructor list, data_organizer/_data_organizer.py:92-105,118-120):
+  * ordered, name-keyed; registration order is build order. */
+final class BlueprintRegistry {
+  private val specs = scala.collection.mutable.LinkedHashMap[String, BlueprintSpec]()
+
+  def register(bp: BlueprintSpec): this.type = {
+    require(!specs.contains(bp.name), s"blueprint '${bp.name}' already registered")
+    specs += bp.name -> bp
+    this
+  }
+
+  def apply(name: String): BlueprintSpec = specs(name)
+  def get(name: String): Option[BlueprintSpec] = specs.get(name)
+  def all: Seq[BlueprintSpec] = specs.values.toSeq
+  def size: Int = specs.size
+}

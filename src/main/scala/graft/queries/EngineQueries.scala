@@ -87,6 +87,35 @@ object EngineQueries {
         .orderBy("l_orderkey")
     }),
 
+    // J3: extraction equi-join — files from TWO different scans (order
+    // metadata files and per-line-item files) meet in the same extracted-id
+    // entity, the advanced-example shape (examples/advanced_example.py:
+    // 77-93). One groupBy on the extracted key joins both sources.
+    "j3_extraction_join" -> ((s, dir) => {
+      val meta = t(s, dir, "orders").select(
+        concat(lit("order_"), col("o_orderkey").cast("string"), lit(".meta"))
+          .as("path"),
+        lit("created").as("change"), lit(0L).as("ord"))
+      val lines = t(s, dir, "lineitem").select(
+        concat(lit("order_"), col("l_orderkey").cast("string"),
+          lit(".line_"), col("l_linenumber").cast("string"), lit(".item"))
+          .as("path"),
+        lit("created").as("change"), col("l_linenumber").cast("long").as("ord"))
+      val bp = BlueprintSpec("OrderAssembly",
+        required = Seq("order_id" -> Group("""order_(\d+)""", 1)),
+        fields = Seq(
+          FieldSpec("meta_file", PathField,
+            matchSpecs = Seq(TemplateSpec("""order_{order_id}\.meta"""))),
+          FieldSpec("lines", StrListField,
+            matchSpecs = Seq(TemplateSpec("""order_{order_id}\.line_\d+\.item""")))))
+      val empty = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), bp.sinkSchema)
+      Assembly.assemble(bp, meta.unionByName(lines), empty).upserts
+        .select(col("id"), col("meta_file"),
+          coalesce(array_join(col("lines"), ","), lit("")).as("lines"))
+        .orderBy("id")
+    }),
+
     // S5: stateful snapshot diff — two anti-joins (Snapshot.diff) between
     // two keyed snapshots of `orders`.
     "s5_snapshot_diff" -> ((s, dir) => {
@@ -173,6 +202,17 @@ object EngineQueries {
          SELECT l_orderkey, (o_orderkey IS NULL) AS is_new, n_lines, sum_qty
          FROM batch LEFT JOIN db ON l_orderkey = o_orderkey
          ORDER BY l_orderkey""",
+    "j3_extraction_join" ->
+      """WITH meta AS (SELECT o_orderkey AS k,
+                       'order_' || CAST(o_orderkey AS VARCHAR) || '.meta' AS meta_file
+                       FROM orders),
+              li AS (SELECT DISTINCT l_orderkey AS k, l_linenumber AS ln FROM lineitem),
+              lns AS (SELECT k, string_agg(
+                        'order_' || CAST(k AS VARCHAR) || '.line_' ||
+                        CAST(ln AS VARCHAR) || '.item', ',' ORDER BY ln) AS lines
+                      FROM li GROUP BY k)
+         SELECT CAST(k AS VARCHAR) AS id, meta_file, coalesce(lines, '') AS lines
+         FROM meta LEFT JOIN lns USING (k) ORDER BY id""",
     "s5_snapshot_diff" ->
       """WITH prev AS (SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
               cur AS (SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1994-07-01')

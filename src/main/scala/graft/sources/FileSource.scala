@@ -1,0 +1,28 @@
+package graft.sources
+
+import graft.functions.Retools.PatternSpec
+import graft.operators.FileEntry
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** S2 — the source interface (reference `FilesCollector` ABC,
+  * collector/_collector.py:64-75): anything that can produce a snapshot of
+  * file entries. Lets watchers/workflows run against listings from other
+  * backends (object-store inventory tables, database catalogs) without
+  * touching the diff/assembly pipeline. */
+trait FileSource {
+  def snapshot(): Dataset[FileEntry]
+}
+
+/** S1 — the recursive single-root collector as a [[FileSource]]
+  * (reference `SingleRootCollector`, collector/_collector.py:90-117),
+  * delegating to the distributed [[FileListing]]. */
+final class SingleRootSource(
+    spark: SparkSession,
+    root: String,
+    matcher: Option[Seq[PatternSpec]] = None,
+    matchDirs: Boolean = false,
+    maxDepth: Option[Int] = None,
+    keepEmptyDirs: Boolean = true) extends FileSource {
+  def snapshot(): Dataset[FileEntry] =
+    FileListing.snapshot(spark, root, matcher, matchDirs, maxDepth, keepEmptyDirs)
+}

@@ -27,12 +27,22 @@ import org.apache.spark.sql.functions._
   */
 final class ChangeMonitor(
     spark: SparkSession,
-    root: String,
+    source: graft.sources.FileSource,
     statePath: String,
-    matcher: Option[Seq[PatternSpec]] = None,
-    matchDirs: Boolean = false,
-    maxDepth: Option[Int] = None,
     sortKey: Option[Column => Column] = None) {
+
+  /** Convenience: watch a single root via the distributed listing. */
+  def this(spark: SparkSession, root: String, statePath: String,
+      matcher: Option[Seq[PatternSpec]], matchDirs: Boolean,
+      maxDepth: Option[Int], sortKey: Option[Column => Column]) =
+    this(spark,
+      new graft.sources.SingleRootSource(spark, root, matcher, matchDirs,
+        maxDepth, keepEmptyDirs = false),
+      statePath, sortKey)
+
+  /** Convenience: watch a single root with default options. */
+  def this(spark: SparkSession, root: String, statePath: String) =
+    this(spark, root, statePath, None, false, None, None)
 
   private def fs = new org.apache.hadoop.fs.Path(statePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -46,9 +56,7 @@ final class ChangeMonitor(
   /** Current file listing (files only — the reference diffs `to_list()`
     * with empty dirs dropped). */
   def currentSnapshot(): DataFrame =
-    FileListing.snapshot(spark, root, matcher, matchDirs, maxDepth,
-        keepEmptyDirs = false)
-      .filter(!col("is_dir")).select("path")
+    source.snapshot().filter(!col("is_dir")).select("path")
 
   /** One poll: diff, advance state on non-empty change set, return the
     * ordered change batch (`path, change, ord`) or None. */

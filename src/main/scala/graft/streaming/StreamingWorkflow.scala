@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest variant of [[Workflow]]: new files under
+  * `root` arrive as an append-only stream (`binaryFile` source, recursive),
+  * and every micro-batch runs the same assembly pipeline via
+  * `foreachBatch`.
+  *
+  * Division of labor with the polling [[Workflow]] (SURVEY.md §7.3):
+  * Spark's file stream source tracks seen files in the checkpoint and can
+  * only observe CREATED files — deletion events require the snapshot-diff
+  * monitor. Use this variant when the tree is append-only (the common
+  * ingest case: landing zones, run outputs) and the poll loop when delete
+  * semantics matter. Checkpointing replaces the reference's BackupManager
+  * state (S6) — restart resumes exactly after the last committed batch.
+  *
+  * Only file *paths* flow through the stream (content parsing stays in the
+  * parser UDFs), so the binary payloads are never shuffled.
+  */
+final class StreamingWorkflow(
+    spark: SparkSession,
+    workflow: Workflow,
+    root: String,
+    checkpointDir: String,
+    triggerInterval: Option[String] = Some("10 seconds")) {
+
+  /** Start the stream. `Trigger.AvailableNow` when `triggerInterval` is
+    * None — drain everything currently present, then stop (T2's
+    * run-to-completion form). */
+  def start(): StreamingQuery = {
+    // the binaryFile source's fixed schema (streaming sources require it
+    // explicitly)
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("recursiveFileLookup", "true")
+      // paths only — drop content before anything wide happens
+      .load(root)
+      .select(col("path"))
+    val trigger = triggerInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val changes = batch
+          .withColumn("change", lit("created"))
+          .withColumn("ord", row_number().over(Window.orderBy(col("path"))))
+        workflow.buildBatch(changes)
+        ()
+      }
+      .start()
+  }
+}

@@ -3,40 +3,57 @@ package graft.streaming
 import graft.blueprint.{Assembly, BlueprintSpec}
 import graft.functions.Retools.PatternSpec
 import graft.sinks.ParquetEntitySink
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** T7 — the `Workflow` facade: wires collector → watcher → builder → sink
-  * and drives the poll loop (reference: initializer/_initializer.py:15-88;
-  * loop: monitoring/_monitoring.py:270-304).
+/** One monitored root: a collector path plus its matcher options —
+  * the reference's (collector, watcher) pair
+  * (examples/advanced_example.py:100-160 wires two of these into one
+  * MonitorManager). */
+final case class MonitorSpec(
+    root: String,
+    matcher: Option[Seq[PatternSpec]] = None,
+    matchDirs: Boolean = false,
+    maxDepth: Option[Int] = None)
+
+/** T7 — the `Workflow` facade: wires collectors → watchers → builder →
+  * sink and drives the poll loop (reference: initializer/_initializer.py:
+  * 15-88; loop: monitoring/_monitoring.py:270-304; multi-monitor:
+  * examples/advanced_example.py:139-160).
   *
   * Batch-driver streaming: each poll is one micro-batch through the same
   * assembly pipeline (`foreachBatch` semantics without a streaming source —
   * Spark's file stream source cannot observe deletions, so the polling
-  * snapshot-diff IS the source, SURVEY.md §7.3). Loop granularity is the
-  * reference's: sleep 1 s, re-poll when `pollIntervalMs` elapsed (default
-  * 10 s, monitoring/_monitoring.py:181,280).
+  * snapshot-diff IS the source, SURVEY.md §7.3; see [[StreamingWorkflow]]
+  * for the append-only Structured Streaming variant). Loop granularity is
+  * the reference's: sleep 1 s, re-poll when `pollIntervalMs` elapsed
+  * (default 10 s, monitoring/_monitoring.py:181,280).
   *
   * Exit conditions (T2): a non-empty `exitFile`, or a wall-clock deadline
   * `exitAfterMs` (initializer/_initializer.py:77-78,
   * monitoring/_monitoring.py:208-215).
   *
   * Layout under `workDir` (reference workflow_data convention,
-  * README.md:307): `state/` — watcher snapshot; `db/` — entity table;
-  * `errors/` — merge-conflict dead letters, appended per batch.
+  * README.md:307): `state/<i>` — per-watcher snapshot; `db/` — entity
+  * table; `errors/` — merge-conflict dead letters, appended per batch.
   */
 final class Workflow(
     spark: SparkSession,
     name: String,
-    collectorPath: String,
+    monitors: Seq[MonitorSpec],
     blueprints: Seq[BlueprintSpec],
     workDir: String,
-    matcher: Option[Seq[PatternSpec]] = None,
     pollIntervalMs: Long = 10000L,
     exitFile: Option[String] = None,
     exitAfterMs: Option[Long] = None) {
 
+  def this(spark: SparkSession, name: String, collectorPath: String,
+      blueprints: Seq[BlueprintSpec], workDir: String) =
+    this(spark, name, Seq(MonitorSpec(collectorPath)), blueprints, workDir)
+
   require(blueprints.nonEmpty, "a workflow needs at least one blueprint")
+  require(monitors.nonEmpty, "a workflow needs at least one monitored root")
 
   /** One entity table across blueprints (the reference stores all
     * blueprints in one TinyDB table): union of the per-blueprint schemas. */
@@ -46,35 +63,44 @@ final class Workflow(
       .sortBy(f => if (f.name == "blueprint") "0" else if (f.name == "id") "1" else f.name))
 
   val sink = new ParquetEntitySink(spark, s"$workDir/db", sinkSchema)
-  val monitor = new ChangeMonitor(spark, collectorPath, s"$workDir/state", matcher)
+  val watchers: Seq[ChangeMonitor] = monitors.zipWithIndex.map { case (m, i) =>
+    new ChangeMonitor(spark, m.root, s"$workDir/state/$i",
+      m.matcher, m.matchDirs, m.maxDepth, None)
+  }
 
-  /** One poll → one build per blueprint (Q1 build loop). Returns number of
+  /** Q1+Q5: run one change batch through every blueprint and flush. */
+  def buildBatch(changes: DataFrame): Unit = {
+    blueprints.foreach { bp =>
+      val res = Assembly.assemble(bp, changes,
+        sink.scan().select(bp.sinkSchema.fieldNames.map(col): _*))
+      val ups = res.upserts.localCheckpoint(true)
+      val errs = res.errors.localCheckpoint(true)
+      // widen to the shared schema (missing columns null)
+      val widened = sinkSchema.fieldNames.foldLeft(ups) { (d, f) =>
+        if (d.columns.contains(f)) d
+        else d.withColumn(f, lit(null).cast(sinkSchema(f).dataType))
+      }
+      sink.upsert(widened)
+      if (!errs.isEmpty)
+        errs.write.mode("append").parquet(s"$workDir/errors")
+    }
+  }
+
+  /** One poll across all watchers → one build (Q1). Returns the number of
     * changed paths (0 = quiet poll). */
   def runOnce(): Long = {
-    monitor.poll() match {
-      case None => 0L
-      case Some(changes) =>
-        val n = changes.count()
-        println(s"[$name] ${java.time.Instant.now}: $n changed paths") // T6
-        blueprints.foreach { bp =>
-          // project the shared-table rows to this blueprint's schema
-          val res = Assembly.assemble(bp, changes,
-            sink.scan().select(bp.sinkSchema.fieldNames.map(
-              org.apache.spark.sql.functions.col): _*))
-          val ups = res.upserts.localCheckpoint(true)
-          val errs = res.errors.localCheckpoint(true)
-          // widen to the shared schema (missing columns null)
-          val widened = sinkSchema.fieldNames.foldLeft(ups) { (d, f) =>
-            if (d.columns.contains(f)) d
-            else d.withColumn(f, org.apache.spark.sql.functions.lit(null)
-              .cast(sinkSchema(f).dataType))
-          }
-          sink.upsert(widened)
-          if (!errs.isEmpty)
-            errs.write.mode("append").parquet(s"$workDir/errors")
-        }
-        changes.unpersist()
-        n
+    val batches = watchers.flatMap(_.poll())
+    if (batches.isEmpty) 0L
+    else {
+      // merge change batches; re-sequence ord so later monitors follow
+      // earlier ones (reference processes monitors in registration order)
+      val merged = batches.zipWithIndex.map { case (b, i) =>
+        b.withColumn("ord", col("ord") + lit(i.toLong * (1L << 32)))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val n = merged.count()
+      println(s"[$name] ${java.time.Instant.now}: $n changed paths") // T6
+      buildBatch(merged)
+      n
     }
   }
 

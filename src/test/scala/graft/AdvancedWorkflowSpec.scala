@@ -1,0 +1,91 @@
+package graft
+
+import graft.blueprint._
+import graft.functions.Retools.{Group, Full}
+import graft.streaming.{MonitorSpec, StreamingWorkflow, Workflow}
+import java.nio.file.{Files, Paths}
+
+/** Port of the reference's advanced example (examples/advanced_example.py):
+  * two monitored roots (raw_data + results) with a shared run≥10 matcher,
+  * one blueprint keyed by TWO required fields — the J3 extraction
+  * equi-join: raw-data files and results files from different scans meet
+  * in the same (run, sample) entity. Deterministic data replaces the
+  * example's randint.
+  */
+class AdvancedWorkflowSpec extends SparkSpec {
+
+  private def write(path: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), content)
+  }
+
+  /** examples/advanced_example.py:77-93 — SampleRunInfo. */
+  private val sampleRunInfo = BlueprintSpec(
+    name = "SampleRunInfo",
+    required = Seq(
+      "sample" -> Group("""sample_([0-9]+)""", 1),
+      "run" -> Group("""run_[0-9]+""", 0)),
+    fields = Seq(
+      FieldSpec("results_file", PathField,
+        matchSpecs = Seq(TemplateSpec("""{run}.sample_{sample}.results.txt"""))),
+      FieldSpec("metric", ParserField,
+        parser = Some(Parsers.FloatFileParser),
+        dependentFields = Seq("results_file"))))
+
+  /** run≥10 matcher (advanced_example.py:110-116). */
+  private val runsMatcher = Seq(Group("""run_[1-9][0-9]+""", 0))
+
+  test("advanced e2e: two scans, two required keys, matcher pushdown") {
+    val dir = Files.createTempDirectory("graft-adv").toString
+    val raw = s"$dir/raw_data"
+    val results = s"$dir/results"
+    // runs 1..12 × samples (deterministic stand-in for the example's randint)
+    for (run <- 1 to 12; sample <- Seq(run * 10 + 1, run * 10 + 2)) {
+      write(s"$raw/run_$run/run_$run.sample_$sample.raw_data.data", "")
+      write(s"$results/run_$run.sample_$sample.results.txt",
+        (1000 + run * 10 + sample).toString)
+    }
+
+    val wf = new Workflow(spark, "sample_info",
+      Seq(MonitorSpec(raw, matcher = Some(runsMatcher)),
+        MonitorSpec(results, matcher = Some(runsMatcher))),
+      Seq(sampleRunInfo), s"$dir/wd")
+    assert(wf.runOnce() > 0)
+
+    val rows = wf.sink.scan().orderBy("id").collect()
+    // only runs 10..12 pass the matcher; 2 samples each
+    assert(rows.length === 6)
+    assert(rows.forall(_.getAs[String]("id").contains("__run_1")))
+    val r = rows.find(_.getAs[String]("id") == "101__run_10").get
+    assert(r.getAs[String]("run") === "run_10")
+    assert(r.getAs[String]("sample") === "101")
+    assert(r.getAs[String]("results_file").endsWith("run_10.sample_101.results.txt"))
+    assert(r.getAs[Double]("metric") === 1201.0) // 1000 + 100 + 101
+  }
+
+  test("structured-streaming ingest drains a tree with AvailableNow") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val data = s"$dir/landing"
+    write(s"$data/project_5/project_5_results.txt", "500")
+    write(s"$data/project_6/project_6_results.txt", "600")
+
+    val myScheme = BlueprintSpec(
+      name = "MyScheme",
+      required = Seq("project" -> Group("""project_[0-9]+""", 0)),
+      fields = Seq(
+        FieldSpec("results_file", PathField,
+          matchSpecs = Seq(TemplateSpec("""{project}_results.txt"""))),
+        FieldSpec("metric", ParserField,
+          parser = Some(Parsers.ConstParser(7.0)),
+          dependentFields = Seq("results_file"))))
+
+    val wf = new Workflow(spark, "stream_wf", data, Seq(myScheme), s"$dir/wd")
+    val sq = new StreamingWorkflow(spark, wf, data, s"$dir/ckpt",
+      triggerInterval = None).start()
+    sq.awaitTermination(120000L)
+
+    val rows = wf.sink.scan().orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq === Seq("project_5", "project_6"))
+    assert(rows.map(_.getAs[Double]("metric")).toSeq === Seq(7.0, 7.0))
+  }
+}

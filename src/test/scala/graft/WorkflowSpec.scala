@@ -83,7 +83,8 @@ class WorkflowSpec extends SparkSpec {
   test("exit conditions: exitAfter deadline stops the loop") {
     val dir = Files.createTempDirectory("graft-wf2").toString
     write(s"$dir/data/project_9/project_9_results.txt", "42")
-    val wf = new Workflow(spark, "exit_wf", s"$dir/data", Seq(myScheme),
+    val wf = new Workflow(spark, "exit_wf",
+      Seq(graft.streaming.MonitorSpec(s"$dir/data")), Seq(myScheme),
       s"$dir/wd", pollIntervalMs = 500L, exitAfterMs = Some(3000L))
     val t0 = System.currentTimeMillis
     wf.run() // must return by the deadline
