@@ -101,21 +101,26 @@ object Assembly {
       reqNames.foreach { f => aggs += min(valueOf(f)).as(s"_req_$f") }
       bp.fields.foreach { f =>
         val v = col(s"_v_${f.name}")
-        // arrival-order list of non-null values
-        val sorted = array_sort(collect_list(
-          when(v.isNotNull, struct(col("ord").as("o"), v.as("v")))))
-        val vals = transform(sorted, s => s.getField("v"))
+        // min/max ignore nulls, and min_by/max_by skip rows whose ordering
+        // key is null — so `when(v.isNotNull, ord)` restricts them to
+        // matched rows. Scalars never materialize an array.
+        val ordIfSet = when(v.isNotNull, col("ord"))
         f.kind match {
           case StrField | PathField =>
-            val dvals = array_distinct(vals)
-            aggs += when(size(dvals) > 0, element_at(dvals, 1)).as(s"_n_${f.name}")
-            aggs += (size(dvals) > 1).as(s"_c_${f.name}")
+            // sequential merge: the first matched value wins, any second
+            // distinct value is the ValueError case (error channel)
+            aggs += min_by(v, ordIfSet).as(s"_n_${f.name}")
+            aggs += coalesce(min(v) =!= max(v), lit(false)).as(s"_c_${f.name}")
           case ParserField =>
-            val dvals = array_distinct(vals)
-            aggs += when(size(dvals) > 0, element_at(dvals, -1)).as(s"_n_${f.name}")
-            aggs += (size(dvals) > 1).as(s"_c_${f.name}")
+            // reference warns + overwrites ⇒ the LAST matched value wins
+            aggs += max_by(v, ordIfSet).as(s"_n_${f.name}")
+            aggs += coalesce(min(v) =!= max(v), lit(false)).as(s"_c_${f.name}")
           case StrListField | PathListField =>
-            val merged = array_distinct(flatten(vals))
+            // arrival-order dedup union needs the ordered list
+            val sorted = array_sort(collect_list(
+              when(v.isNotNull, struct(col("ord").as("o"), v.as("v")))))
+            val merged = array_distinct(flatten(
+              transform(sorted, s => s.getField("v"))))
             aggs += when(size(merged) > 0, merged).as(s"_n_${f.name}")
             aggs += lit(false).as(s"_c_${f.name}")
         }

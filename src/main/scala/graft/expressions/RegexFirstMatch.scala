@@ -1,0 +1,83 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One compiled alternative of [[RegexFirstMatch]]: `anchored` ⇒ Python
+  * `fullmatch` semantics (whole string), else `search`; the value is
+  * capture group `group` (0 = whole match). */
+final case class PatternAlt(pattern: String, group: Int, anchored: Boolean)
+
+/** Serializable matcher bundle shipped to executors as one codegen
+  * reference object. Patterns compile once per task, not per row — and
+  * unlike a `coalesce(regexp_extract…)` chain, all alternatives run in one
+  * expression evaluation over the subject string with first-hit
+  * short-circuit (the reference SchemeMatcher `break`,
+  * retools/_retools.py:128-132). */
+final class CompiledAlts(val alts: Seq[PatternAlt]) extends Serializable {
+  @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+    alts.map(a => java.util.regex.Pattern.compile(a.pattern)).toArray
+
+  /** First matching alternative's value, or null. Exposed for both the
+    * interpreted eval and the generated code. */
+  def firstMatch(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    var i = 0
+    while (i < compiled.length) {
+      val a = alts(i)
+      val m = compiled(i).matcher(str)
+      val hit = if (a.anchored) m.matches() else m.find()
+      if (hit) {
+        val g = m.group(a.group)
+        // Python returns the group's text; an unmatched optional group or
+        // empty match maps to null (the '' ⇒ null normalization)
+        if (g != null && g.nonEmpty) return UTF8String.fromString(g)
+      }
+      i += 1
+    }
+    null
+  }
+}
+
+/** F7-fused extraction: evaluate an ordered list of regex alternatives
+  * against `child` in ONE pass, returning the first hit's group value or
+  * null — a native Catalyst expression with whole-stage codegen
+  * (`doGenCode`), the fused form of `coalesce(regexp_extract(...)...)`
+  * (SURVEY.md §4's optional fused multi-extract).
+  */
+final case class RegexFirstMatch(child: Expression, alts: Seq[PatternAlt])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val bundle = new CompiledAlts(alts)
+
+  override def nullSafeEval(input: Any): Any =
+    bundle.firstMatch(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bundleRef = ctx.addReferenceObj("alts", new CompiledAlts(alts),
+      classOf[CompiledAlts].getName)
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = $bundleRef.firstMatch($s);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexFirstMatch =
+    copy(child = newChild)
+}
+
+object RegexFirstMatch {
+  /** Column API: first-hit extraction over ordered alternatives. */
+  def apply(c: Column, alts: Seq[PatternAlt]): Column =
+    Bridge.column(RegexFirstMatch(Bridge.expression(c), alts))
+}

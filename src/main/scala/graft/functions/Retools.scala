@@ -66,10 +66,26 @@ object Retools {
   // ---------------------------------------------------------------------
 
   /** Extraction column for one spec. Raw ⇒ fullmatch group 0; (p, g) ⇒
-    * search group g; alternatives ⇒ first non-null (used by F7). */
+    * search group g; alternatives ⇒ first non-null (used by F7).
+    *
+    * Flat alternative lists compile to the fused native
+    * [[graft.expressions.RegexFirstMatch]] expression: ONE codegen'd pass
+    * over the subject with per-task precompiled patterns and first-hit
+    * short-circuit, instead of a `coalesce` chain whose every arm rescans
+    * the string. Nested alternative trees (which the reference cannot
+    * express either) keep the coalesce form. */
   def extract(col: Column, spec: PatternSpec): Column = spec match {
-    case Full(p)            => fullmatchExtract(col, p, 0)
-    case Group(p, g)        => searchExtract(col, p, g)
+    case Full(p)     => fullmatchExtract(col, p, 0)
+    case Group(p, g) => searchExtract(col, p, g)
+    case Alternatives(alts) if alts.forall {
+      case Full(_) | Group(_, _) => true
+      case _                     => false
+    } =>
+      graft.expressions.RegexFirstMatch(col, alts.map {
+        case Full(p)     => graft.expressions.PatternAlt(p, 0, anchored = true)
+        case Group(p, g) => graft.expressions.PatternAlt(p, g, anchored = false)
+        case a           => throw new MatchError(a) // unreachable per guard
+      })
     case Alternatives(alts) => coalesce(alts.map(extract(col, _)): _*)
   }
 

@@ -207,26 +207,26 @@ object Dedup {
     * shingle sets. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    // the shingle relation feeds four plan branches (freq, both prefix
-    // self-join sides, both verify sides) — persist it once instead of
-    // recomputing the tokenize+window lineage per branch. MEMORY_AND_DISK;
-    // released by the ContextCleaner when the result frame is collected.
+    // the shingle relation feeds multiple plan branches (prefix self-join
+    // sides, verify sides) — persist it once instead of recomputing the
+    // tokenize+window lineage per branch. MEMORY_AND_DISK; released by the
+    // ContextCleaner when the result frame is collected.
     val rows = shingleRows(df, textCol, idCol, k).persist()
     val base = rows.groupBy(col(idCol)).agg(collect_list(col("s")).as("sh"))
       .select(col(idCol).as("_did"), col("sh").as("_sh"))
-    val inv = rows.select(col(idCol).as("_did"), col("s"))
-    // global shingle document-frequency (broadcastable: |vocab| << |corpus|)
-    val freq = inv.groupBy("s").agg(count(lit(1)).as("_f"))
-    // per-doc prefix of the (freq, shingle)-ordered feature list
-    val prefix = inv.join(freq, Seq("s"))
-      .groupBy("_did")
-      .agg(transform(
-        array_sort(collect_list(struct(col("_f"), col("s")))),
-        x => x.getField("s")).as("_ord"))
-      .select(col("_did"),
-        explode(slice(col("_ord"), lit(1),
-          (size(col("_ord")) - ceil(size(col("_ord")) * threshold) + 1)
-            .cast("int"))).as("s"))
+    // per-doc prefix of the (global document-frequency, shingle)-ordered
+    // feature list — all window functions, no collect/sort/explode round
+    // trip: freq = count over the shingle partition, rank within doc by
+    // (freq, shingle), keep ranks ≤ n - ⌈t·n⌉ + 1.
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val wDord = wD.orderBy(col("_f"), col("s"))
+    val prefix = rows
+      .withColumn("_f", count(lit(1)).over(wS))
+      .withColumn("_rn", row_number().over(wDord))
+      .withColumn("_n", count(lit(1)).over(wD))
+      .filter(col("_rn") <= col("_n") - ceil(col("_n") * threshold) + 1)
+      .select(col(idCol).as("_did"), col("s"))
     val prefixP = prefix.persist()
     val cands = prefixP.select(col("s"), col("_did").as("id_a"))
       .join(prefixP.select(col("s"), col("_did").as("id_b")), Seq("s"))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Since the Spark Connect refactor, `Column`
+  * wraps a `ColumnNode` and the conversion utilities are `private[sql]` —
+  * libraries contributing native Catalyst expressions use a shim in the
+  * `org.apache.spark.sql` namespace to reach them (the conventional
+  * extension-point pattern; no Spark internals are modified). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.expressions.{PatternAlt, RegexFirstMatch}
+import graft.functions.Retools
+import graft.functions.Retools.{Alternatives, Full, Group}
+import org.apache.spark.sql.functions._
+
+/** The fused native expression must be value-equivalent to the
+  * coalesce(regexp_extract…) chain it replaces, and must actually run
+  * inside whole-stage codegen. */
+class RegexFirstMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val alts = Seq(
+    PatternAlt("""\b(purchase|refund)\b""", 1, anchored = false),
+    PatternAlt("""signup""", 0, anchored = true),
+    PatternAlt("""(\w+)!""", 1, anchored = false))
+
+  private def coalesceForm(c: org.apache.spark.sql.Column) = coalesce(
+    Retools.searchExtract(c, """\b(purchase|refund)\b""", 1),
+    Retools.fullmatchExtract(c, """signup""", 0),
+    Retools.searchExtract(c, """(\w+)!""", 1))
+
+  test("fused == coalesce chain on real data") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(concat_ws(" ", col("event_type"), col("props")).as("t"))
+    val fused = events.select(RegexFirstMatch(col("t"), alts).as("v"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    val chain = events.select(coalesceForm(col("t")).as("v"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(fused === chain)
+    assert(fused.exists(_.isDefined))
+  }
+
+  test("null input, no-match, empty-group fallthrough") {
+    val df = Seq[Option[String]](None, Some("nothing here"), Some("signup"),
+      Some("wow! signup")).toDF("t")
+    val out = df.select(RegexFirstMatch(col("t"), alts).as("v"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    // null → null; no alt matches → null; exact fullmatch → whole string;
+    // 'signup' is not a fullmatch of 'wow! signup' but '(\w+)!' hits 'wow'
+    assert(out === Seq(None, None, Some("signup"), Some("wow")))
+  }
+
+  // plan assertions use a parquet-backed frame — a local Seq collapses to
+  // LocalTableScan (the optimizer evaluates the projection eagerly)
+  private def events = spark.read
+    .parquet("/root/testdata/sf0.001/events.parquet")
+    .select(col("event_type").as("t"))
+
+  test("Retools.extract compiles flat alternatives to the fused expression") {
+    val df = Seq("purchase x", "signup", "zz").toDF("t")
+    val c = Retools.extract(col("t"), Alternatives(Seq(
+      Group("""\b(purchase|refund)\b""", 1), Full("signup"))))
+    assert(df.select(c.as("v")).collect().map(r => Option(r.getString(0))).toSeq
+      === Seq(Some("purchase"), Some("signup"), None))
+    val plan = events.select(c.as("v")).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("regexfirstmatch"))
+  }
+
+  test("runs inside whole-stage codegen") {
+    val plan = events.select(RegexFirstMatch(col("t"), alts).as("v"))
+      .queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [regexfirstmatch"))
+  }
+}
