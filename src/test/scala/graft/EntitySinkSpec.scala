@@ -1,0 +1,61 @@
+package graft
+
+import graft.sinks.ParquetEntitySink
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** D1–D6 CRUD semantics of the Parquet entity sink (reference:
+  * tests/test_database.py:25-53 — with the *intended* compound-key
+  * behavior, see the EntitySink scaladoc on the reference's `and` bug). */
+class EntitySinkSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("blueprint", StringType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("metric", DoubleType)))
+
+  private def df(rows: (String, String, Double)*) =
+    spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (b, i, m) => Row(b, i, m) }).asJava),
+      schema)
+
+  test("append, point-get by compound key, upsert, delete, scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val sink = new ParquetEntitySink(spark, s"$dir/db", schema)
+
+    // D1 append + D5 scan
+    sink.append(df(("A", "1", 1.0), ("A", "2", 2.0), ("B", "1", 3.0)))
+    assert(sink.scan().count() === 3)
+
+    // D2 point get uses BOTH keys — ('A','1') must not return ('B','1')
+    val g = sink.get("A", "1").head()
+    assert(g.getAs[String]("blueprint") === "A")
+    assert(g.getAs[Double]("metric") === 1.0)
+    assert(sink.get("B", "1").head().getAs[Double]("metric") === 3.0)
+    assert(sink.get("C", "9").isEmpty)
+
+    // D3 upsert: replaces the matching key, inserts the new one
+    sink.upsert(df(("A", "1", 10.0), ("B", "7", 7.0)))
+    assert(sink.get("A", "1").head().getAs[Double]("metric") === 10.0)
+    assert(sink.scan().count() === 4)
+    // other blueprints' rows untouched
+    assert(sink.get("B", "1").head().getAs[Double]("metric") === 3.0)
+
+    // D4 delete by compound key
+    sink.delete("A", "2")
+    assert(sink.scan().count() === 3)
+    assert(sink.get("A", "2").isEmpty)
+    sink.delete("A", "1")
+    sink.delete("B", "1")
+    sink.delete("B", "7")
+    assert(sink.scan().isEmpty)
+  }
+
+  test("scan on a nonexistent table is empty with the declared schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val sink = new ParquetEntitySink(spark, s"$dir/nope", schema)
+    assert(sink.scan().isEmpty)
+    assert(sink.scan().schema.fieldNames.toSeq === Seq("blueprint", "id", "metric"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.blueprint._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Algebraic properties of the §2.7 merge matrix the reference only
+  * implies: idempotence of created-merge, exactness of list deletion, and
+  * order/uniqueness invariants of the list append. Seeded random cases
+  * evaluated through the actual Column expressions in one pass (the same
+  * style as SnapshotSpec's diff properties — no ScalaCheck bridge in the
+  * offline cache). */
+class MergePropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(1234)
+  private val alphabet = Seq("a", "b", "c", "d", "e")
+
+  private def genList(): Option[Seq[String]] =
+    if (rnd.nextInt(5) == 0) None
+    else Some(rnd.shuffle(alphabet).take(1 + rnd.nextInt(4)))
+
+  private val cases: Seq[(Option[Seq[String]], Option[Seq[String]])] =
+    (1 to 200).map(_ => (genList(), genList()))
+
+  private lazy val merged: Seq[(Option[Seq[String]], Option[Seq[String]],
+      Option[Seq[String]], Option[Seq[String]], Option[Seq[String]])] = {
+    val rows = cases.map { case (o, n) => Row(o.orNull, n.orNull) }
+    val df = spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("o", ArrayType(StringType)),
+        StructField("n", ArrayType(StringType)))))
+    val c1 = FieldMerge.merge(StrListField, "created", col("o"), col("n")).value
+    // idempotence probe: merge the merged value with n again
+    val c2 = FieldMerge.merge(StrListField, "created", c1, col("n")).value
+    val d1 = FieldMerge.merge(StrListField, "deleted", col("o"), col("n")).value
+    df.select(col("o"), col("n"), c1.as("c1"), c2.as("c2"), d1.as("d1"))
+      .collect().toSeq.map { r =>
+        def g(i: Int) = Option(r.getSeq[String](i))
+        (g(0), g(1), g(2), g(3), g(4))
+      }
+  }
+
+  test("list created-merge is idempotent: merge(merge(o,n),n) == merge(o,n)") {
+    merged.foreach { case (_, _, c1, c2, _) => assert(c2 === c1) }
+  }
+
+  test("list created-merge preserves old prefix, appends only new uniques") {
+    merged.foreach {
+      case (Some(ov), Some(nv), Some(mv), _, _) if ov.nonEmpty && nv.nonEmpty =>
+        assert(mv.take(ov.length) === ov)                  // old order intact
+        assert(mv.drop(ov.length).distinct === mv.drop(ov.length)) // unique tail
+        assert((nv.toSet -- ov.toSet).subsetOf(mv.toSet))  // nothing lost
+        assert(mv.toSet.subsetOf(ov.toSet ++ nv.toSet))    // nothing invented
+      case _ => succeed
+    }
+  }
+
+  test("list deleted-merge removes exactly the deleted elements") {
+    merged.foreach {
+      case (Some(ov), Some(nv), _, _, d) =>
+        if (nv == ov) assert(d.isEmpty)                    // equal ⇒ cleared
+        else assert(d === Some(ov.filterNot(nv.contains)))
+      case _ => succeed
+    }
+  }
+
+  test("scalar created-merge result is always one of its inputs") {
+    val scalarCases = (1 to 100).map { _ =>
+      def g = if (rnd.nextInt(4) == 0) None
+        else Some(Seq("x", "y", "")(rnd.nextInt(3)))
+      (g, g)
+    }
+    val rows = scalarCases.map { case (o, n) => Row(o.orNull, n.orNull) }
+    val df = spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("o", StringType), StructField("n", StringType))))
+    val m = FieldMerge.merge(StrField, "created", col("o"), col("n"))
+    df.select(col("o"), col("n"), m.value.as("v")).collect().foreach { r =>
+      val (o, n, v) = (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getString(2)))
+      assert(v === o || v === n)
+    }
+  }
+}
