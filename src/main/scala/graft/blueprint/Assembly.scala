@@ -62,8 +62,19 @@ object Assembly {
     val reqNames = bp.required.map(_._1)
     val valueOf: String => Column = f => col(s"_req_$f")
 
+    // The per-row extraction below is CPU-heavy (multiple regex evals per
+    // file); a change batch often arrives in a handful of partitions (a
+    // single parquet file, one poll's diff) which would serialize it on a
+    // few cores. Width-normalize first — a narrow-row shuffle is cheap
+    // against 32× extraction parallelism.
+    val spark = changes.sparkSession
+    val width = spark.sparkContext.defaultParallelism
+    val widened0 =
+      if (changes.rdd.getNumPartitions < width) changes.repartition(width)
+      else changes
+
     // ---- per-file extraction (Q2 lines 141-149) --------------------------
-    var rows = changes
+    var rows = widened0
       .withColumn("_name", element_at(split(col("path"), "/"), -1))
     bp.required.foreach { case (f, spec) =>
       rows = rows.withColumn(s"_req_$f",

@@ -49,6 +49,41 @@ object TextAnalysis {
     (lengthOk + punctOk + swOk + divOk) / 4.0
   }
 
+  /** Staged per-document quality stats: tokenize once, derive every stat
+    * and the composite quality score from the shared token column (the
+    * single-Column builders above each re-tokenize; fine standalone,
+    * wasteful when a query wants all of them). Output columns: n_tokens,
+    * n_bpeish, avg_token_len, punct_ratio, stopword_ratio, unique_ratio,
+    * quality. */
+  def textStatsDf(df: org.apache.spark.sql.DataFrame, textCol: String,
+      stopwords: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.map(col)
+    val sw = array(stopwords.map(lit): _*)
+    val t = col(textCol)
+    val staged = df
+      .withColumn("_w", tokens(t))
+      .withColumn("n_tokens", size(col("_w")))
+      .withColumn("n_bpeish", bpeishTokenCount(t))
+      .withColumn("avg_token_len",
+        aggregate(col("_w"), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          col("n_tokens"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[^.,!?;:'\"()]", "")).cast("double") / length(t))
+      .withColumn("stopword_ratio",
+        size(filter(col("_w"), w => array_contains(sw, w))).cast("double") /
+          col("n_tokens"))
+      .withColumn("unique_ratio",
+        size(array_distinct(col("_w"))).cast("double") / col("n_tokens"))
+      .withColumn("quality", (
+        when(col("n_tokens").between(20, 10000), 1.0).otherwise(0.0) +
+        when(col("punct_ratio") < 0.2, 1.0).otherwise(0.0) +
+        when(col("stopword_ratio").between(0.01, 0.6), 1.0).otherwise(0.0) +
+        when(col("unique_ratio") > 0.2, 1.0).otherwise(0.0)) / 4.0)
+    staged.select(keep ++ Seq(col("n_tokens"), col("n_bpeish"),
+      col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"),
+      col("unique_ratio"), col("quality")): _*)
+  }
+
   /** Per-language marker-word lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small — the operator shape (score per
     * language, argmax with deterministic tie-break) is the point. */
@@ -60,7 +95,11 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
   /** Language-ID: hit count per marker list; highest score wins, ties by
-    * list order; zero hits ⇒ 'und'. */
+    * list order; zero hits ⇒ 'und'.
+    *
+    * Single-Column form — beware that Catalyst inlines `best` and every
+    * score into each CASE branch (the tokenizer re-runs ~30× per row).
+    * [[languageIdDf]] is the staged operator form. */
   def languageId(text: Column): Column = {
     val ws = tokens(text)
     val scores = langMarkers.map { case (lang, ms) =>
@@ -71,6 +110,26 @@ object TextAnalysis {
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** Staged language-ID: tokens → per-language scores → argmax as three
+    * projections. CollapseProject keeps them separate (the intermediate
+    * expressions are non-cheap and multiply referenced), so each score is
+    * computed exactly once per row instead of once per CASE branch. */
+  def languageIdDf(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String = "lang_guess"): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.map(col)
+    val withScores = langMarkers.foldLeft(df.withColumn("_w", tokens(col(textCol)))) {
+      case (d, (lang, ms)) =>
+        val m = array(ms.map(lit): _*)
+        d.withColumn(s"_s_$lang", size(filter(col("_w"), w => array_contains(m, w))))
+    }.withColumn("_best",
+      langMarkers.map(lm => col(s"_s_${lm._1}")).reduce((a, b) => greatest(a, b)))
+    val pick = langMarkers.foldRight(lit("und"): Column) { case ((lang, _), acc) =>
+      when(col(s"_s_$lang") === col("_best") && col("_best") > 0, lit(lang))
+        .otherwise(acc)
+    }
+    withScores.select(keep :+ pick.as(outCol): _*)
   }
 
   /** BPE-ish subword count: word-piece regex (letter runs, digit runs,

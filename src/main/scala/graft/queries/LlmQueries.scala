@@ -66,22 +66,17 @@ object LlmQueries {
 
     // Text quality stats — all exact integer-ratio arithmetic.
     "x1_text_stats" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-          col("doc_id"),
-          TextAnalysis.nTokens(col("text")).as("n_tokens"),
-          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
-          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
-          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-          TextAnalysis.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
-          TextAnalysis.uniqueRatio(col("text")).as("unique_ratio"),
-          TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+      TextAnalysis.textStatsDf(
+          t(s, dir, "documents").select("doc_id", "text"), "text", stopwords)
+        .drop("text")
         .orderBy("doc_id")
     }),
 
     // Language-ID heuristic: marker-word hit counts, argmax.
     "x2_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
+      TextAnalysis.languageIdDf(
+          t(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "lang_guess")
         .orderBy("doc_id")
     }),
 
