@@ -1,0 +1,45 @@
+package graft
+
+import graft.expressions.{PatternAlt, RegexFirstMatch}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Session extension wiring for the engine's native expressions —
+  * registered via `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Exposes [[RegexFirstMatch]] to SQL as
+  * `regex_first_match(str, pattern, group, anchored [, pattern, group,
+  * anchored]...)` — ordered alternatives, first hit wins, null on no
+  * match. Pattern/group/anchored arguments must be literals (they define
+  * the compiled matcher, not per-row data).
+  */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("regex_first_match"),
+      new ExpressionInfo(classOf[RegexFirstMatch].getName, "regex_first_match"),
+      (args: Seq[Expression]) => GraftExtensions.buildRegexFirstMatch(args)))
+  }
+}
+
+object GraftExtensions {
+
+  private[graft] def buildRegexFirstMatch(args: Seq[Expression]): Expression = {
+    require(args.length >= 4 && (args.length - 1) % 3 == 0,
+      "usage: regex_first_match(str, pattern, group, anchored, ...)")
+    val alts = args.drop(1).grouped(3).map {
+      case Seq(Literal(p: UTF8String, StringType),
+               Literal(g: Integer, IntegerType),
+               Literal(a: java.lang.Boolean, BooleanType)) =>
+        PatternAlt(p.toString, g.intValue, a.booleanValue)
+      case other => throw new IllegalArgumentException(
+        s"regex_first_match: pattern/group/anchored must be literals, got $other")
+    }.toSeq
+    RegexFirstMatch(args.head, alts)
+  }
+}

@@ -134,6 +134,33 @@ object EngineQueries {
       Snapshot.extend(a, b, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // S8: to_list with keep_empty_dirs — flatten a synthesized tree
+    // (region → nation dirs, customer files); a dir with no surviving
+    // child (nations whose customers are filtered out) is emitted via the
+    // nobody's-parent anti-join.
+    "s8_to_list" -> ((s, dir) => {
+      val region = t(s, dir, "region").select(
+        concat(lit("r_"), col("r_regionkey")).as("path"),
+        lit("").as("parent"), lit("r").as("name"), lit(1).as("depth"),
+        lit(true).as("is_dir"))
+      val nation = t(s, dir, "nation").select(
+        concat(lit("r_"), col("n_regionkey"), lit("/n_"), col("n_nationkey"))
+          .as("path"),
+        concat(lit("r_"), col("n_regionkey")).as("parent"),
+        lit("n").as("name"), lit(2).as("depth"), lit(true).as("is_dir"))
+      val files = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_custkey") % 3 === 0)
+        .select(
+          concat(lit("r_"), col("n_regionkey"), lit("/n_"), col("c_nationkey"),
+            lit("/c_"), col("c_custkey")).as("path"),
+          concat(lit("r_"), col("n_regionkey"), lit("/n_"), col("c_nationkey"))
+            .as("parent"),
+          lit("c").as("name"), lit(3).as("depth"), lit(false).as("is_dir"))
+      val snap = region.unionByName(nation).unionByName(files)
+      Snapshot.toList(snap, keepEmptyDirs = true).orderBy("path")
+    }),
+
     // S9: cut_to_key — subtree projection as a pushed-down prefix filter
     // over a synthesized path column.
     "s9_cut_to_key" -> ((s, dir) => {
@@ -228,6 +255,27 @@ object EngineQueries {
            UNION ALL
            SELECT o_orderkey FROM orders WHERE o_orderkey % 2 <> 0)
          ORDER BY o_orderkey""",
+    "s8_to_list" ->
+      """WITH dirs AS (
+           SELECT 'r_' || CAST(r_regionkey AS VARCHAR) AS path, '' AS parent, TRUE AS is_dir
+           FROM region
+           UNION ALL
+           SELECT 'r_' || CAST(n_regionkey AS VARCHAR) || '/n_' || CAST(n_nationkey AS VARCHAR),
+                  'r_' || CAST(n_regionkey AS VARCHAR), TRUE
+           FROM nation),
+           files AS (
+           SELECT 'r_' || CAST(n_regionkey AS VARCHAR) || '/n_' || CAST(c_nationkey AS VARCHAR) ||
+                  '/c_' || CAST(c_custkey AS VARCHAR) AS path,
+                  'r_' || CAST(n_regionkey AS VARCHAR) || '/n_' || CAST(c_nationkey AS VARCHAR) AS parent,
+                  FALSE AS is_dir
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey % 3 = 0),
+           snap AS (SELECT * FROM dirs UNION ALL SELECT * FROM files)
+         SELECT path FROM snap WHERE NOT is_dir
+         UNION ALL
+         SELECT path FROM snap
+         WHERE is_dir AND path NOT IN (SELECT DISTINCT parent FROM snap)
+         ORDER BY path""",
     "s9_cut_to_key" ->
       """SELECT source || '/' || CAST(doc_id AS VARCHAR) AS path
          FROM documents WHERE starts_with(source || '/' || CAST(doc_id AS VARCHAR), 'src1/')

@@ -64,6 +64,18 @@ object LlmQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // Approximate top-k via random-hyperplane LSH — the ANN scale path
+    // (bucketed candidates, never a full scan per query). No oracle SQL:
+    // the driver records the rows-only check; the bucketing model is
+    // certified against brute force in LlmSpec.
+    "a2_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, planes = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // Text quality stats — all exact integer-ratio arithmetic.
     "x1_text_stats" -> ((s, dir) => {
       TextAnalysis.textStatsDf(

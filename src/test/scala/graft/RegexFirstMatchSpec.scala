@@ -58,6 +58,24 @@ class RegexFirstMatchSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("regexfirstmatch"))
   }
 
+  test("registered as a SQL function via SparkSessionExtensions") {
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .createOrReplaceTempView("ev")
+    val viaSql = spark.sql(
+      """SELECT regex_first_match(event_type,
+         '\\b(purchase|refund)\\b', 1, false,
+         'signup', 0, true) AS v FROM ev ORDER BY event_id""")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    val viaColumn = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .orderBy("event_id")
+      .select(RegexFirstMatch(col("event_type"), Seq(
+        PatternAlt("""\b(purchase|refund)\b""", 1, anchored = false),
+        PatternAlt("signup", 0, anchored = true))).as("v"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(viaSql === viaColumn)
+    assert(viaSql.exists(_.isDefined))
+  }
+
   test("runs inside whole-stage codegen") {
     val plan = events.select(RegexFirstMatch(col("t"), alts).as("v"))
       .queryExecution.executedPlan.toString
