@@ -1,0 +1,36 @@
+package graft
+
+/** Plan-shape regression guard: no declared query may plan a cartesian
+  * product or an unintended nested-loop join — at 100 TB those are the
+  * instant scale-killers. The brute-force cosine baseline is the one
+  * intentional corpus×queries product (broadcast, small side bounded). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val intentionalProduct = Set(
+    "a1_cosine_topk" // brute-force baseline: corpus × 5 broadcast queries
+  )
+
+  test("no cartesian products or unintended nested-loop joins") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!intentionalProduct(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+    }
+  }
+
+  test("scans prune columns: no query reads a full-width lineitem row") {
+    // representative check: q2 only needs the three columns it synthesizes
+    // the file name from
+    val plan = SparkEntry.queries("q2_entity_assembly")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("l_extendedprice") && !rs.contains("l_shipdate"),
+        s"q2 reads pruned columns: $rs")
+    }
+  }
+}
