@@ -109,6 +109,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Multimodal decode → frame sampling through the typed Dataset
+    // pipeline (stub decoder is deterministic: n_frames = bytes % 240 + 1
+    // for video rows), one row per sampled frame.
+    "mm2_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.sampleFrames(Multimodal.decodeFeatures(media), stride = 10)
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // D2 point lookup: first record by key — the sink's get() shape.
     "d5_point_get" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -217,6 +226,11 @@ object LlmQueries {
                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind
          FROM documents ORDER BY doc_id""",
+    "mm2_frame_sample" ->
+      """SELECT doc_id AS media_id,
+                unnest(range(0, (octet_length(encode(text)) % 240) + 1, 10)) AS frame_idx
+         FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+         ORDER BY media_id, frame_idx""",
     "d5_point_get" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 1"""
