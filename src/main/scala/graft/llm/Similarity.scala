@@ -54,18 +54,24 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: fixed per (plane,
-    * dimension), uniform in [-1, 1) — derived from the portable hash so
-    * the "model" is reproducible without RNG state. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (Hashing.hex32(concat_ws("_", lit("plane"), lit(plane), dim))
-      .cast("double") / lit(2147483648.0)) - 1.0
+    * dimension), uniform in [-1, 1) — md5-derived (the same fold as
+    * [[Hashing.hex32]]) so the "model" is reproducible without RNG state.
+    * Computed ONCE on the driver: the planes are data-independent
+    * constants, so they ship as literal arrays instead of per-row hash
+    * evaluations. */
+  private def planeComponentValue(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${plane}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
 
-  /** Sign-pattern LSH bucket id of a vector under `planes` hyperplanes. */
-  def lshBucket(vec: Column, planes: Int): Column =
+  /** Sign-pattern LSH bucket id of a vector under `planes` hyperplanes of
+    * dimensionality `dims`. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
+      val w = typedlit((0 until dims).map(planeComponentValue(p, _)))
+      val proj = aggregate(zip_with(vec, w, (x, wi) => x * wi),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
@@ -74,11 +80,11 @@ object Similarity {
     * tunable via `planes` (fewer planes ⇒ bigger buckets ⇒ higher recall,
     * more compute). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 8, dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v"))
-      .withColumn("_bkt", lshBucket(col("_v"), planes))
+      .withColumn("_bkt", lshBucket(col("_v"), planes, dims))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_q"))
-      .withColumn("_bkt", lshBucket(col("_q"), planes))
+      .withColumn("_bkt", lshBucket(col("_q"), planes, dims))
     val scored = c.join(broadcast(q), Seq("_bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("_v"), col("_q")))
@@ -92,9 +98,9 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH
     * bucketing (same-bucket candidates only — never all pairs). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 6): DataFrame = {
+      threshold: Double, planes: Int = 6, dims: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("_eid"), asDouble(col(vecCol)).as("_v"))
-      .withColumn("_bkt", lshBucket(col("_v"), planes))
+      .withColumn("_bkt", lshBucket(col("_v"), planes, dims))
     val a = v.select(col("_bkt"), col("_eid").as("id_a"), col("_v").as("v_a"))
     val b = v.select(col("_bkt"), col("_eid").as("id_b"), col("_v").as("v_b"))
     a.join(b, Seq("_bkt")).filter(col("id_a") < col("id_b"))

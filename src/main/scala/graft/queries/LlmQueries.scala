@@ -76,6 +76,21 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Embedding near-dup detection: three exact duplicates are planted
+    // (vec_id + 100000); LSH bucketing must surface exactly those pairs at
+    // cosine ≥ 0.99 (identical vectors share every bucket; the corpus's
+    // max off-pair cosine is ~0.5, and every candidate is exactly
+    // verified, so no false positives can pass the threshold).
+    "a3_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val planted = e.filter(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      Similarity.embeddingNearDups(e.unionByName(planted),
+          "vec_id", "embedding", threshold = 0.99)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Text quality stats — all exact integer-ratio arithmetic.
     "x1_text_stats" -> ((s, dir) => {
       TextAnalysis.textStatsDf(
@@ -195,6 +210,9 @@ object LlmQueries {
                     FROM sc)
          SELECT query_id, neighbor_id FROM r WHERE rn <= 10
          ORDER BY query_id, neighbor_id""",
+    "a3_embedding_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+         FROM embeddings WHERE vec_id < 3 ORDER BY id_a, id_b""",
     "x1_text_stats" ->
       s"""WITH ws AS (SELECT doc_id, text, $duckToks AS w FROM documents)
           SELECT doc_id,
