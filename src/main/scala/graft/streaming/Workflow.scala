@@ -68,22 +68,30 @@ final class Workflow(
       m.matcher, m.matchDirs, m.maxDepth, None)
   }
 
-  /** Q1+Q5: run one change batch through every blueprint and flush. */
+  /** Q1+Q5: run one change batch through every blueprint and flush.
+    *
+    * All blueprints assemble against the same entity-table snapshot and
+    * flush in ONE upsert (one read-modify-swap of the Parquet table per
+    * batch instead of one per blueprint) — upsert keys are (blueprint,
+    * id), so the per-blueprint results never collide. Faithful to the
+    * reference, which also flushes once per batch
+    * (data_organizer/_data_organizer.py:129). */
   def buildBatch(changes: DataFrame): Unit = {
-    blueprints.foreach { bp =>
+    val results = blueprints.map { bp =>
       val res = Assembly.assemble(bp, changes,
         sink.scan().select(bp.sinkSchema.fieldNames.map(col): _*))
-      val ups = res.upserts.localCheckpoint(true)
-      val errs = res.errors.localCheckpoint(true)
       // widen to the shared schema (missing columns null)
-      val widened = sinkSchema.fieldNames.foldLeft(ups) { (d, f) =>
+      val widened = sinkSchema.fieldNames.foldLeft(res.upserts) { (d, f) =>
         if (d.columns.contains(f)) d
         else d.withColumn(f, lit(null).cast(sinkSchema(f).dataType))
-      }
-      sink.upsert(widened)
-      if (!errs.isEmpty)
-        errs.write.mode("append").parquet(s"$workDir/errors")
+      }.select(sinkSchema.fieldNames.map(col): _*)
+      (widened, res.errors)
     }
+    val ups = results.map(_._1).reduce(_ unionByName _).localCheckpoint(true)
+    val errs = results.map(_._2).reduce(_ unionByName _).localCheckpoint(true)
+    sink.upsert(ups)
+    if (!errs.isEmpty)
+      errs.write.mode("append").parquet(s"$workDir/errors")
   }
 
   /** One poll across all watchers → one build (Q1). Returns the number of
