@@ -80,6 +80,31 @@ class WorkflowSpec extends SparkSpec {
     assert(state === Set("a.txt", "c.txt"))
   }
 
+  test("driver contract: entry() is non-empty on the smallest SF") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("exit conditions: non-empty exit file stops the loop") {
+    val dir = Files.createTempDirectory("graft-wf3").toString
+    write(s"$dir/data/project_4/project_4_results.txt", "4")
+    val exitFile = s"$dir/exit"
+    val wf = new Workflow(spark, "exitfile_wf",
+      Seq(graft.streaming.MonitorSpec(s"$dir/data")), Seq(myScheme),
+      s"$dir/wd", pollIntervalMs = 500L, exitFile = Some(exitFile),
+      exitAfterMs = Some(120000L)) // deadline only as a test safety net
+    val writer = new Thread(() => {
+      Thread.sleep(2500L)
+      write(exitFile, "stop")
+    })
+    writer.start()
+    val t0 = System.currentTimeMillis
+    wf.run()
+    writer.join()
+    // stopped via the file, well before the safety deadline
+    assert(System.currentTimeMillis - t0 < 60000L)
+    assert(wf.sink.scan().count() === 1)
+  }
+
   test("exit conditions: exitAfter deadline stops the loop") {
     val dir = Files.createTempDirectory("graft-wf2").toString
     write(s"$dir/data/project_9/project_9_results.txt", "42")
