@@ -105,47 +105,41 @@ object Assembly {
       rows = rows.withColumn(s"_v_${f.name}", v)
     }
 
-    // ---- per-mode aggregation on id (A1, §2.5) ---------------------------
-    def aggMode(mode: String): DataFrame = {
-      val base = rows.filter(col("change") === mode)
-      val aggs = Seq.newBuilder[Column]
-      reqNames.foreach { f => aggs += min(valueOf(f)).as(s"_req_$f") }
-      bp.fields.foreach { f =>
-        val v = col(s"_v_${f.name}")
-        // min/max ignore nulls, and min_by/max_by skip rows whose ordering
-        // key is null — so `when(v.isNotNull, ord)` restricts them to
-        // matched rows. Scalars never materialize an array.
-        val ordIfSet = when(v.isNotNull, col("ord"))
-        f.kind match {
-          case StrField | PathField =>
-            // sequential merge: the first matched value wins, any second
-            // distinct value is the ValueError case (error channel)
-            aggs += min_by(v, ordIfSet).as(s"_n_${f.name}")
-            aggs += coalesce(min(v) =!= max(v), lit(false)).as(s"_c_${f.name}")
-          case ParserField =>
-            // reference warns + overwrites ⇒ the LAST matched value wins
-            aggs += max_by(v, ordIfSet).as(s"_n_${f.name}")
-            aggs += coalesce(min(v) =!= max(v), lit(false)).as(s"_c_${f.name}")
-          case StrListField | PathListField =>
-            // arrival-order dedup union needs the ordered list
-            val sorted = array_sort(collect_list(
-              when(v.isNotNull, struct(col("ord").as("o"), v.as("v")))))
-            val merged = array_distinct(flatten(
-              transform(sorted, s => s.getField("v"))))
-            aggs += when(size(merged) > 0, merged).as(s"_n_${f.name}")
-            aggs += lit(false).as(s"_c_${f.name}")
-        }
+    // ---- aggregation on id (A1, §2.5) ------------------------------------
+    // ONE groupBy computes both modes with mode-conditional aggregates —
+    // no per-mode scan and no full-outer join between mode frames (half
+    // the shuffle volume, one fewer join in the flagship plan).
+    val aggs = Seq.newBuilder[Column]
+    reqNames.foreach { f => aggs += min(valueOf(f)).as(s"created_req_$f") }
+    for (mode <- Seq("created", "deleted"); f <- bp.fields) {
+      // v restricted to this mode's rows; min/max ignore nulls, and
+      // min_by/max_by skip rows whose ordering key is null — so
+      // `when(v.isNotNull, ord)` restricts them to matched rows of this
+      // mode. Scalars never materialize an array.
+      val v = when(col("change") === mode, col(s"_v_${f.name}"))
+      val ordIfSet = when(v.isNotNull, col("ord"))
+      f.kind match {
+        case StrField | PathField =>
+          // sequential merge: the first matched value wins, any second
+          // distinct value is the ValueError case (error channel)
+          aggs += min_by(v, ordIfSet).as(s"${mode}_n_${f.name}")
+          aggs += coalesce(min(v) =!= max(v), lit(false)).as(s"${mode}_c_${f.name}")
+        case ParserField =>
+          // reference warns + overwrites ⇒ the LAST matched value wins
+          aggs += max_by(v, ordIfSet).as(s"${mode}_n_${f.name}")
+          aggs += coalesce(min(v) =!= max(v), lit(false)).as(s"${mode}_c_${f.name}")
+        case StrListField | PathListField =>
+          // arrival-order dedup union needs the ordered list
+          val sorted = array_sort(collect_list(
+            when(v.isNotNull, struct(col("ord").as("o"), v.as("v")))))
+          val merged = array_distinct(flatten(
+            transform(sorted, s => s.getField("v"))))
+          aggs += when(size(merged) > 0, merged).as(s"${mode}_n_${f.name}")
+          aggs += lit(false).as(s"${mode}_c_${f.name}")
       }
-      val aggList = aggs.result()
-      val out = base.groupBy(col("_id")).agg(aggList.head, aggList.tail: _*)
-      // prefix every column except _id with the mode
-      out.select(col("_id") +: out.columns.filter(_ != "_id")
-        .map(c => col(c).as(s"${mode}$c")): _*)
     }
-
-    val created = aggMode("created")
-    val deleted = aggMode("deleted")
-    val batch = created.join(deleted, Seq("_id"), "full_outer")
+    val aggList = aggs.result()
+    val batch = rows.groupBy(col("_id")).agg(aggList.head, aggList.tail: _*)
 
     // ---- lookup join vs entity table (J2, §2.6.2) ------------------------
     // `_exists` marker decides is_new — a null field value can't (an
@@ -165,7 +159,7 @@ object Assembly {
     // values (equal by id construction anyway).
     reqNames.foreach { f =>
       merged = merged.withColumn(f,
-        coalesce(col(s"_old_$f"), col(s"created_req_$f"), col(s"deleted_req_$f")))
+        coalesce(col(s"_old_$f"), col(s"created_req_$f")))
     }
 
     bp.fields.foreach { f =>
