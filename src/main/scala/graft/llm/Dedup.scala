@@ -192,6 +192,48 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // near-dup clusters → keep/drop decisions
+  // ---------------------------------------------------------------------
+
+  /** Turn near-duplicate PAIRS into dedup decisions: connected components
+    * of the pair graph via iterative min-label propagation, each node
+    * labeled with its component's minimum id (the kept representative).
+    *
+    * Returns (id, rep) for every node that appears in a pair; rows with
+    * `id != rep` are the drops. Scale posture: the pair graph is orders of
+    * magnitude smaller than the corpus (only near-dups appear), and
+    * near-dup components are shallow (dup groups approximate cliques), so
+    * the label frame stays tiny and the loop converges in a few
+    * small-join iterations — checked by an exact fixpoint test per round,
+    * with `maxIters` as the pathological-chain backstop. */
+  def clusterRepresentatives(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // candidate label per node: min of own and neighbors' labels
+      val next = edges.join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("rep", "nrep"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nrep")).as("prop"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("rep"), col("prop")).as("rep"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
+        .filter(col("rep") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  // ---------------------------------------------------------------------
   // exact n-gram Jaccard (prefix-filtered inverted index)
   // ---------------------------------------------------------------------
 

@@ -47,6 +47,17 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Near-dup pairs → dedup decisions: connected components of the exact
+    // Jaccard≥0.8 pair graph, each doc labeled with its component's
+    // minimum id (the kept representative). Output = the DROP list.
+    "d6_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "text", "doc_id", 0.8)
+      Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("rep"))
+        .orderBy("id")
+    }),
+
     // 16-bit SimHash signatures.
     "d4_simhash" -> ((s, dir) => {
       Dedup.simhashSignatures(t(s, dir, "documents"), "text", "doc_id", 16)
@@ -189,6 +200,23 @@ object LlmQueries {
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
           ORDER BY id_a, id_b""",
+    "d6_dedup_clusters" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (
+                WITH RECURSIVE r(node, lbl) AS (
+                  SELECT src, src FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node)
+                SELECT node, min(lbl) AS rep FROM r GROUP BY node)
+          SELECT node AS id, rep FROM reach WHERE node <> rep ORDER BY id""",
     "d4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok
                         FROM documents),

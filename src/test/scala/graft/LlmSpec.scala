@@ -95,6 +95,14 @@ class LlmSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 10 =!= 0).isEmpty)
   }
 
+  test("cluster representatives propagate across multi-hop components") {
+    // chain 1-2-3 (needs 2 hops), pair 5-6, singleton-free
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val reps = Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("exact dedup groups identical content under one keep id") {
     val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
       .toDF("doc_id", "text")
