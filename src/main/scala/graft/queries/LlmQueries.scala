@@ -124,6 +124,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus budgeting: per-source rollup of documents, token totals and
+    // mean quality — the aggregation shape that sizes a training mix.
+    "x5_corpus_budget" -> ((s, dir) => {
+      TextAnalysis.textStatsDf(
+          t(s, dir, "documents").select("source", "lang", "text"),
+          "text", stopwords)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_bpeish")).as("total_bpeish"),
+          sum(col("quality")).as("sum_quality"),
+          count_distinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (decode plumbing
     // itself is Dataset-level, see Multimodal.scala + MultimodalSpec).
     "mm1_binary_meta" -> ((s, dir) => {
@@ -267,6 +282,17 @@ object LlmQueries {
                  list_min(list_transform(sh, s -> ${duckHex32("s")})) AS fp,
                  md5(text) AS content_md5
           FROM sh ORDER BY doc_id""",
+    "x5_corpus_budget" ->
+      s"""WITH ws AS (SELECT source, lang, text, $duckToks AS w FROM documents)
+          SELECT source, count(*) AS n_docs,
+                 sum(len(w)) AS total_tokens,
+                 sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))) AS total_bpeish,
+                 sum(((CASE WHEN len(w) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0) AS sum_quality,
+                 count(DISTINCT lang) AS n_langs
+          FROM ws GROUP BY source ORDER BY source""",
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
