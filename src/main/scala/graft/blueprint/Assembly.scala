@@ -181,16 +181,25 @@ object Assembly {
       val afterDeleted = when(dNew.isNull, afterCreated).otherwise(md.value)
       val errDeleted = dNew.isNotNull && md.error
 
-      // intra-batch scalar conflict (sequential merge would have errored on
-      // the second distinct value)
-      val errBatch = coalesce(col(s"created_c_${f.name}"), lit(false)) &&
-        (f.kind == StrField || f.kind == PathField)
-
       merged = merged.withColumn(f.name, afterDeleted)
       errCols += when(errCreated, errStruct(f.name, "created", oldV, cNew))
       errCols += when(errDeleted, errStruct(f.name, "deleted", afterCreated, dNew))
-      errCols += when(errBatch,
-        errStruct(f.name, "created", lit(null), col(s"created_n_${f.name}")))
+      // intra-batch conflicts in EITHER mode (a sequential merge would
+      // have errored/warned on the second distinct value). For parser
+      // fields this is the reference's WARNING-on-overwrite
+      // (fields/_fields.py:191-196) surfaced as a dead-letter row —
+      // max_by already kept the last value, matching the overwrite.
+      if (f.kind == StrField || f.kind == PathField || f.kind == ParserField) {
+        Seq("created", "deleted").foreach { mode =>
+          errCols += when(coalesce(col(s"${mode}_c_${f.name}"), lit(false)),
+            errStruct(f.name, mode, lit(null), col(s"${mode}_n_${f.name}")))
+        }
+      }
+      // cross-batch parser overwrite (old value present, new differs) —
+      // the other WARNING path
+      if (f.kind == ParserField)
+        errCols += when(cNew.isNotNull && mc.warn,
+          errStruct(f.name, "created", oldV, cNew))
     }
 
     // ---- dependent-parser resolution (Q4, :221-242) ----------------------
@@ -216,9 +225,14 @@ object Assembly {
       }
 
     // ---- outputs ---------------------------------------------------------
+    // upserts and errors share the whole extract→groupBy→join lineage;
+    // persist it once so materializing both doesn't run the plan twice
+    // (freed by the ContextCleaner when the results are dropped).
+    val mergedP = merged.persist()
+
     val changedCol = bp.fields.map(f => !(col(f.name) <=> col(s"_old_${f.name}")))
       .foldLeft(lit(false))(_ || _)
-    val upserts = merged
+    val upserts = mergedP
       .withColumn("blueprint", lit(bp.name))
       .withColumn("changed", col("is_new") || changedCol)
       .select(Seq("blueprint") ++ Seq("_id") ++ bp.allFieldNames ++
@@ -226,14 +240,27 @@ object Assembly {
       .withColumnRenamed("_id", "id")
       .filter(col("changed"))
 
-    val errors = merged
-      .withColumn("_errs",
-        filter(array(errCols.result(): _*), e => e.isNotNull))
-      .filter(size(col("_errs")) > 0)
-      .select(lit(bp.name).as("blueprint"), col("_id").as("id"),
-        explode(col("_errs")).as("err"))
-      .select(col("blueprint"), col("id"), col("err.field"), col("err.mode"),
-        col("err.old_value"), col("err.new_value"))
+    val allErrCols = errCols.result()
+    val errors =
+      if (allErrCols.isEmpty)
+        // a blueprint may have zero non-required fields — emit an empty
+        // frame with the dead-letter schema (array() of no columns has no
+        // struct type to project from)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("blueprint", StringType),
+            org.apache.spark.sql.types.StructField("id", StringType),
+            org.apache.spark.sql.types.StructField("field", StringType),
+            org.apache.spark.sql.types.StructField("mode", StringType),
+            org.apache.spark.sql.types.StructField("old_value", StringType),
+            org.apache.spark.sql.types.StructField("new_value", StringType))))
+      else mergedP
+        .withColumn("_errs", filter(array(allErrCols: _*), e => e.isNotNull))
+        .filter(size(col("_errs")) > 0)
+        .select(lit(bp.name).as("blueprint"), col("_id").as("id"),
+          explode(col("_errs")).as("err"))
+        .select(col("blueprint"), col("id"), col("err.field"), col("err.mode"),
+          col("err.old_value"), col("err.new_value"))
 
     AssemblyResult(upserts, errors)
   }

@@ -31,21 +31,6 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct word k-shingles ("n-gram" features) of `text`, order of
-    * first occurrence. Rows with fewer than k tokens yield null entries —
-    * callers filter on `size(tokens) >= k`.
-    *
-    * NOTE: array-lambda form — fine for oracle-scale evaluation, but the
-    * per-element lambda is interpreted and re-evaluates the token split
-    * per element (quadratic in doc length). Operators use [[shingleRows]]
-    * instead. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(ws) - (k - 1), lit(1))),
-      i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
-  }
-
   /** One row per (id, distinct k-shingle) — the operator-side shingle
     * producer: posexplode tokens once, build each shingle with `lead()`
     * windows over token position. Everything stays in whole-stage codegen;
@@ -110,6 +95,9 @@ object Dedup {
     * bucket sizes, not corpus size, bound the pair blow-up. */
   def lshCandidates(sigs: DataFrame, idCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+      "trailing signature columns would silently be ignored otherwise")
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -216,6 +204,8 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // (throws below if maxIters is hit unconverged — silently returning
+      // split components would under-drop duplicates)
       // candidate label per node: min of own and neighbors' labels
       val next = edges.join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("rep", "nrep"), Seq("dst"))
@@ -230,6 +220,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterRepresentatives did not converge in $maxIters iterations — " +
+        "a component's diameter exceeds maxIters; raise it for chain-shaped " +
+        "duplicate graphs")
     labels
   }
 

@@ -67,14 +67,21 @@ object Similarity {
   }
 
   /** Sign-pattern LSH bucket id of a vector under `planes` hyperplanes of
-    * dimensionality `dims`. */
-  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
-    (0 until planes).map { p =>
+    * dimensionality `dims`. A vector whose length differs from `dims`
+    * raises at runtime — zip_with would otherwise null-pad, silently
+    * dropping every such vector into bucket 0 and turning the bucketed
+    * join into an all-pairs product. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val bucket = (0 until planes).map { p =>
       val w = typedlit((0 until dims).map(planeComponentValue(p, _)))
       val proj = aggregate(zip_with(vec, w, (x, wi) => x * wi),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
+    when(size(vec) === dims, bucket).otherwise(
+      raise_error(concat(lit(s"lshBucket: expected $dims-dim vector, got "),
+        size(vec).cast("string"))).cast("long"))
+  }
 
   /** Approximate top-k: score only same-bucket candidates. Recall is
     * tunable via `planes` (fewer planes ⇒ bigger buckets ⇒ higher recall,

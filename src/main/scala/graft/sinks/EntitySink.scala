@@ -67,13 +67,27 @@ final class ParquetEntitySink(spark: SparkSession, path: String, schema: StructT
     writeSwap(scan().filter(!(col("blueprint") === blueprint && col("id") === id)))
 
   /** Write to a sibling temp dir, then swap — the source table can't be
-    * overwritten while a plan is still reading it. */
+    * overwritten while a plan is still reading it.
+    *
+    * The swap keeps the previous table as `.bak` until the new one is in
+    * place, and every rename result is checked: a delete-then-rename
+    * sequence that ignored failures could silently lose the table (this
+    * is still not a transaction — Delta/Iceberg MERGE is the real answer
+    * at scale, SURVEY.md §7.3 — but no single failure loses data). */
   private def writeSwap(df: DataFrame): Unit = {
-    val tmp = path + ".tmp"
-    df.write.mode(SaveMode.Overwrite).partitionBy("blueprint").parquet(tmp)
+    val f = fs
     val p = new org.apache.hadoop.fs.Path(path)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    val t = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val b = new org.apache.hadoop.fs.Path(path + ".bak")
+    df.write.mode(SaveMode.Overwrite).partitionBy("blueprint").parquet(t.toString)
+    if (f.exists(b)) f.delete(b, true)
+    if (f.exists(p) && !f.rename(p, b))
+      throw new java.io.IOException(s"entity sink: failed to move $p aside")
+    if (!f.rename(t, p)) {
+      // restore the previous table before failing
+      if (f.exists(b)) f.rename(b, p)
+      throw new java.io.IOException(s"entity sink: failed to publish $t to $p")
+    }
+    if (f.exists(b)) f.delete(b, true)
   }
 }

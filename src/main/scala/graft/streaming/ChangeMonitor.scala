@@ -74,14 +74,23 @@ final class ChangeMonitor(
     }
   }
 
-  /** S6: persist the new snapshot via temp-dir + atomic swap. */
+  /** S6: persist the new snapshot — backup-then-publish with checked
+    * renames (a lost state table would re-emit the whole tree as
+    * 'created' on the next poll). */
   private def advanceState(cur: DataFrame): Unit = {
-    val tmp = statePath + ".tmp"
-    cur.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val f = fs
     val p = new org.apache.hadoop.fs.Path(statePath)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    val t = new org.apache.hadoop.fs.Path(statePath + ".tmp")
+    val b = new org.apache.hadoop.fs.Path(statePath + ".bak")
+    cur.write.mode(SaveMode.Overwrite).parquet(t.toString)
+    if (f.exists(b)) f.delete(b, true)
+    if (f.exists(p) && !f.rename(p, b))
+      throw new java.io.IOException(s"change monitor: failed to move $p aside")
+    if (!f.rename(t, p)) {
+      if (f.exists(b)) f.rename(b, p)
+      throw new java.io.IOException(s"change monitor: failed to publish $t")
+    }
+    if (f.exists(b)) f.delete(b, true)
   }
 
   /** Drop persisted state (BackupManager.clear_backup). */

@@ -88,6 +88,27 @@ class AssemblySpec extends SparkSpec {
     assert(kept.getAs[String]("metrics_file") === "sample_7.metrics.txt")
   }
 
+  test("blueprint with only required fields assembles; errors frame is empty") {
+    val bp = BlueprintSpec("IdOnly",
+      required = Seq("k" -> Group("""f_(\d+)""", 1)), fields = Nil)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), bp.sinkSchema)
+    val res = Assembly.assemble(bp, changes(Seq("f_1.x", "f_2.y")), empty)
+    assert(res.errors.isEmpty)
+    assert(res.upserts.count() === 2)
+  }
+
+  test("in-batch deleted-mode scalar conflict reaches the error channel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assembly4").toString
+    val sink = new ParquetEntitySink(spark, s"$dir/entities", sampleBp.sinkSchema)
+    // two deleted files map to the same id but different metrics_file paths
+    val res = Assembly.buildBatch(sampleBp,
+      changes(Nil, deleted = Seq("dirA/sample_9.metrics.txt",
+        "dirB/sample_9.metrics.txt")), sink)
+    val errs = res.errors.filter(col("mode") === "deleted").collect()
+    assert(errs.exists(_.getAs[String]("field") === "metrics_file"))
+  }
+
   test("multi-entity batch assembles independent ids in one pass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assembly3").toString
     val sink = new ParquetEntitySink(spark, s"$dir/entities", sampleBp.sinkSchema)
