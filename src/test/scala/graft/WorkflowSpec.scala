@@ -80,6 +80,21 @@ class WorkflowSpec extends SparkSpec {
     assert(state === Set("a.txt", "c.txt"))
   }
 
+  test("T5 change sort: regex-keyed ord orders run_2 before run_10") {
+    val dir = Files.createTempDirectory("graft-sort").toString
+    val root = s"$dir/watched"
+    write(s"$root/run_10.data", "")
+    write(s"$root/run_2.data", "")
+    val mon = new graft.streaming.ChangeMonitor(spark,
+      new graft.sources.SingleRootSource(spark, root, keepEmptyDirs = false),
+      s"$dir/state",
+      sortKey = Some(c => graft.functions.Retools.reSortKey(c, """run_(\d+)""", 1)))
+    val ordered = mon.poll().get.orderBy("ord").collect()
+      .map(_.getAs[String]("path").split('/').last)
+    // numeric key: 2 < 10 (lexicographic would give run_10 first)
+    assert(ordered.toSeq === Seq("run_2.data", "run_10.data"))
+  }
+
   test("driver contract: entry() is non-empty on the smallest SF") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
