@@ -59,12 +59,18 @@ object Similarity {
     * Computed ONCE on the driver: the planes are data-independent
     * constants, so they ship as literal arrays instead of per-row hash
     * evaluations. */
-  private def planeComponentValue(plane: Int, dim: Int): Double = {
+  private[graft] def planeComponentValue(plane: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane_${plane}_$dim".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 8)
     java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
   }
+
+  /** The full component vector of one hyperplane — the same driver-side
+    * constants [[lshBucket]] ships as literals, exposed so the DuckDB
+    * oracle SQL can be generated from the identical "model". */
+  private[graft] def planeVector(plane: Int, dims: Int): IndexedSeq[Double] =
+    (0 until dims).map(planeComponentValue(plane, _))
 
   /** Sign-pattern LSH bucket id of a vector under `planes` hyperplanes of
     * dimensionality `dims`. A vector whose length differs from `dims`

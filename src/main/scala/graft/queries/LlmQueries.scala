@@ -76,9 +76,10 @@ object LlmQueries {
     }),
 
     // Approximate top-k via random-hyperplane LSH — the ANN scale path
-    // (bucketed candidates, never a full scan per query). No oracle SQL:
-    // the driver records the rows-only check; the bucketing model is
-    // certified against brute force in LlmSpec.
+    // (bucketed candidates, never a full scan per query). The planes are
+    // deterministic driver-side constants, so the DuckDB oracle replays
+    // the identical bucketing model (generated below from the same
+    // constants); LlmSpec additionally certifies recall vs brute force.
     "a2_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
@@ -184,6 +185,21 @@ object LlmQueries {
     s"CASE WHEN sum(CASE WHEN (hv // $bit) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN $bit ELSE 0 END"
   }.mkString("(", " + ", ")")
 
+  /** Projection of the row's `v` onto hyperplane `p` — the plane ships as a
+    * literal double array generated from [[Similarity.planeVector]], the
+    * exact constants the Spark plan embeds via `typedlit`. */
+  private def duckPlaneProj(p: Int): String = {
+    val comps = Similarity.planeVector(p, 64)
+      .map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, 65), i -> v[i] * ($comps)[i]))"
+  }
+
+  /** Sign-pattern bucket id under 4 hyperplanes — mirrors
+    * [[Similarity.lshBucket]] bit for bit. */
+  private val duckBucket: String = (0 until 4).map { p =>
+    s"(CASE WHEN ${duckPlaneProj(p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+  }.mkString(" + ")
+
   private def duckList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -253,6 +269,22 @@ object LlmQueries {
                     FROM sc)
          SELECT query_id, neighbor_id FROM r WHERE rn <= 10
          ORDER BY query_id, neighbor_id""",
+    "a2_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pb AS (SELECT vec_id, v, $duckBucket AS bkt FROM e),
+              q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM pb WHERE vec_id < 5),
+              sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65), i -> c.v[i] * q.qv[i])) /
+                       (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+                     FROM pb c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
     "a3_embedding_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
          FROM embeddings WHERE vec_id < 3 ORDER BY id_a, id_b""",
@@ -285,8 +317,8 @@ object LlmQueries {
     "x5_corpus_budget" ->
       s"""WITH ws AS (SELECT source, lang, text, $duckToks AS w FROM documents)
           SELECT source, count(*) AS n_docs,
-                 sum(len(w)) AS total_tokens,
-                 sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))) AS total_bpeish,
+                 CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+                 CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))) AS BIGINT) AS total_bpeish,
                  sum(((CASE WHEN len(w) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
                       (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
                       (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +

@@ -55,6 +55,25 @@ def main(sf_dir, out_dir):
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1; continue
+        # Driver comparator goes through numpy dtype coercion — integer-family
+        # width mismatches (e.g. a DuckDB HUGEINT sum vs Spark BIGINT) hash
+        # differently there even when Python-level values agree. Compare the
+        # Arrow schemas so that class of bug fails locally too.
+        got_types = dict(zip(got_cols,
+            [str(f.type) for f in con.execute(
+                f"SELECT * FROM '{files[0]}' LIMIT 0").arrow().schema]))
+        exp_types = dict(zip(exp_cols,
+            [str(f.type) for f in con.execute(oracles[name]).arrow().schema]))
+        INT_FAMILY = {"int8", "int16", "int32", "int64"}
+        type_mismatch = [
+            (c, got_types[c], exp_types[c]) for c in got_cols
+            if got_types[c] != exp_types[c]
+            and not (got_types[c] in INT_FAMILY and exp_types[c] in INT_FAMILY)
+            and not (got_types[c].startswith("float") and exp_types[c].startswith("float"))
+            and not (got_types[c] == "double" and exp_types[c] == "double")]
+        if type_mismatch:
+            print(f"FAIL {name}: arrow type mismatch {type_mismatch}")
+            n_fail += 1; continue
         g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
         if g == e:
             print(f"PASS {name}: {len(g)} rows"); n_pass += 1
