@@ -1,6 +1,8 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -27,23 +29,38 @@ trait EntitySink {
   def scan(): DataFrame
 }
 
-/** Parquet-backed [[EntitySink]].
+/** Parquet-backed [[EntitySink]], partitioned by `blueprint`.
   *
-  * Upsert = read → anti-join out replaced keys → union → atomic swap. On a
-  * real deployment this is the job for Delta/Iceberg `MERGE INTO` (ACID,
-  * file-level pruning); plain Parquet has no transaction log, so the swap
-  * is a directory rename — the documented fallback in SURVEY.md §7.3.
-  * Partitioning: the table is written partitioned by `blueprint` so per-
-  * blueprint reads (the assembly's J2 lookup join) prune to one partition;
-  * at 100 TB the inner `id` distribution is what the MERGE shuffle hashes.
+  * Every mutation is partition-pruned: an upsert reads and rewrites ONLY
+  * the `blueprint=` partitions present in the incoming batch (`append` is
+  * a plain file append — no read at all), so a batch touching one
+  * blueprint leaves every other partition's files physically untouched.
+  * At a 100 TB entity table the per-batch cost is O(touched partitions),
+  * not O(table) — the r2 full-table rewrite is gone. The remaining gap to
+  * Delta/Iceberg `MERGE INTO` (SURVEY.md §7.3) is sub-partition file
+  * pruning and a transaction log; the swap below is the plain-Parquet
+  * approximation of the latter.
+  *
+  * Swap protocol, per touched partition: write the merged partition to a
+  * sibling `.tmp` table, move the live partition dir to a dot-prefixed
+  * `.bak` name (invisible to Spark's file index, so a crash mid-swap never
+  * corrupts reads), publish the new dir, drop the backup. Every rename is
+  * checked; no single failure loses data.
   */
 final class ParquetEntitySink(spark: SparkSession, path: String, schema: StructType)
     extends EntitySink {
 
-  private def fs = new org.apache.hadoop.fs.Path(path)
+  private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def exists: Boolean = fs.exists(new org.apache.hadoop.fs.Path(path))
+  private def root = new Path(path)
+
+  private def exists: Boolean = fs.exists(root)
+
+  /** Directory name of one blueprint's partition — Spark's own escaping,
+    * so names with `/`, `=`, `%`… round-trip exactly as written. */
+  private def partDirName(blueprint: String): String =
+    "blueprint=" + ExternalCatalogUtils.escapePathName(blueprint)
 
   def scan(): DataFrame =
     if (exists) spark.read.schema(schema).parquet(path)
@@ -53,41 +70,54 @@ final class ParquetEntitySink(spark: SparkSession, path: String, schema: StructT
   def get(blueprint: String, id: String): DataFrame =
     scan().filter(col("blueprint") === blueprint && col("id") === id).limit(1)
 
+  /** Plain file append into the partition layout — no table read, no
+    * rewrite (the reference's `add_blueprint` is likewise insert-only). */
   def append(entries: DataFrame): Unit =
-    writeSwap(scan().unionByName(entries.select(schema.fieldNames.map(col): _*)))
+    entries.select(schema.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Append).partitionBy("blueprint").parquet(path)
 
   def upsert(entries: DataFrame): Unit = {
     val incoming = entries.select(schema.fieldNames.map(col): _*)
-    val kept = scan().join(incoming.select("blueprint", "id"),
+      .localCheckpoint(true) // computed once: feeds touched-set, anti-join, union
+    val touched = incoming.select("blueprint").distinct()
+      .collect().map(_.getString(0)).toSeq // metadata-scale: ≤ #blueprints
+    if (touched.isEmpty) return
+    val current = scan().filter(col("blueprint").isin(touched: _*))
+    val kept = current.join(incoming.select("blueprint", "id"),
       Seq("blueprint", "id"), "left_anti")
-    writeSwap(kept.unionByName(incoming))
+    swapPartitions(kept.unionByName(incoming), touched)
   }
 
-  def delete(blueprint: String, id: String): Unit =
-    writeSwap(scan().filter(!(col("blueprint") === blueprint && col("id") === id)))
+  def delete(blueprint: String, id: String): Unit = {
+    if (!fs.exists(new Path(root, partDirName(blueprint)))) return
+    val remaining = scan().filter(col("blueprint") === blueprint)
+      .filter(col("id") =!= id)
+    swapPartitions(remaining, Seq(blueprint))
+  }
 
-  /** Write to a sibling temp dir, then swap — the source table can't be
-    * overwritten while a plan is still reading it.
-    *
-    * The swap keeps the previous table as `.bak` until the new one is in
-    * place, and every rename result is checked: a delete-then-rename
-    * sequence that ignored failures could silently lose the table (this
-    * is still not a transaction — Delta/Iceberg MERGE is the real answer
-    * at scale, SURVEY.md §7.3 — but no single failure loses data). */
-  private def writeSwap(df: DataFrame): Unit = {
+  /** Publish `df` (rows of the `touched` blueprints only) over those
+    * partitions. A blueprint whose merged content is empty simply has its
+    * partition directory retired — that is the delete-to-empty path. */
+  private def swapPartitions(df: DataFrame, touched: Seq[String]): Unit = {
     val f = fs
-    val p = new org.apache.hadoop.fs.Path(path)
-    val t = new org.apache.hadoop.fs.Path(path + ".tmp")
-    val b = new org.apache.hadoop.fs.Path(path + ".bak")
-    df.write.mode(SaveMode.Overwrite).partitionBy("blueprint").parquet(t.toString)
-    if (f.exists(b)) f.delete(b, true)
-    if (f.exists(p) && !f.rename(p, b))
-      throw new java.io.IOException(s"entity sink: failed to move $p aside")
-    if (!f.rename(t, p)) {
-      // restore the previous table before failing
-      if (f.exists(b)) f.rename(b, p)
-      throw new java.io.IOException(s"entity sink: failed to publish $t to $p")
+    val tmp = new Path(path + ".tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite).partitionBy("blueprint").parquet(tmp.toString)
+    if (!f.exists(root)) f.mkdirs(root)
+    touched.foreach { bp =>
+      val name = partDirName(bp)
+      val src = new Path(tmp, name)
+      val dst = new Path(root, name)
+      val bak = new Path(root, "." + name + ".bak")
+      if (f.exists(bak)) f.delete(bak, true)
+      if (f.exists(dst) && !f.rename(dst, bak))
+        throw new java.io.IOException(s"entity sink: failed to move $dst aside")
+      if (f.exists(src) && !f.rename(src, dst)) {
+        if (f.exists(bak)) f.rename(bak, dst) // restore before failing
+        throw new java.io.IOException(s"entity sink: failed to publish $src to $dst")
+      }
+      if (f.exists(bak)) f.delete(bak, true)
     }
-    if (f.exists(b)) f.delete(b, true)
+    f.delete(tmp, true)
   }
 }

@@ -52,6 +52,55 @@ class EntitySinkSpec extends SparkSpec {
     assert(sink.scan().isEmpty)
   }
 
+  test("upsert rewrites only the touched blueprint partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink3").toString
+    val sink = new ParquetEntitySink(spark, s"$dir/db", schema)
+    sink.append(df(("A", "1", 1.0), ("B", "1", 2.0), ("C", "1", 3.0)))
+
+    def partState(bp: String): Seq[(String, Long, Long)] = {
+      val d = java.nio.file.Paths.get(s"$dir/db/blueprint=$bp")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toSeq.sortBy(_._1)
+    }
+
+    val bBefore = partState("B")
+    val cBefore = partState("C")
+    sink.upsert(df(("A", "1", 10.0), ("A", "2", 20.0)))
+
+    // untouched partitions: same files, same bytes, same mtimes
+    assert(partState("B") === bBefore)
+    assert(partState("C") === cBefore)
+    // touched partition: new content visible, other blueprints intact
+    assert(sink.get("A", "1").head().getAs[Double]("metric") === 10.0)
+    assert(sink.get("A", "2").head().getAs[Double]("metric") === 20.0)
+    assert(sink.get("B", "1").head().getAs[Double]("metric") === 2.0)
+    assert(sink.scan().count() === 4)
+    // delete prunes to one partition too; emptying it retires the dir
+    sink.delete("A", "1")
+    sink.delete("A", "2")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/db/blueprint=A")))
+    assert(partState("B") === bBefore)
+    assert(sink.scan().count() === 2)
+  }
+
+  test("blueprint names needing path escaping round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink4").toString
+    val sink = new ParquetEntitySink(spark, s"$dir/db", schema)
+    val odd = "My Blueprint:v2/x%1"
+    sink.upsert(df((odd, "1", 1.0), ("plain", "1", 2.0)))
+    assert(sink.get(odd, "1").head().getAs[Double]("metric") === 1.0)
+    sink.upsert(df((odd, "1", 9.0)))
+    assert(sink.get(odd, "1").head().getAs[Double]("metric") === 9.0)
+    assert(sink.get("plain", "1").head().getAs[Double]("metric") === 2.0)
+    sink.delete(odd, "1")
+    assert(sink.get(odd, "1").isEmpty)
+    assert(sink.scan().count() === 1)
+  }
+
   test("scan on a nonexistent table is empty with the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink2").toString
     val sink = new ParquetEntitySink(spark, s"$dir/nope", schema)
