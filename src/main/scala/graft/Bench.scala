@@ -1,19 +1,27 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main — one JSON line with per-query wall seconds at the SF dir
+/** Benchmark main — JSON lines with per-query wall seconds at the SF dir
   * given by SPARK_GRAFT_SF_DIR.
+  *
+  * Emits TWO lines: the primary run at the env-provided parallelism
+  * (`SPARK_GRAFT_CPUS`, default 4) with `"metric":"total"`, then a run at
+  * the gate config BASELINE.md pins (`local[4]`, shuffle.partitions=4)
+  * with `"metric":"total_local4"` — same JVM, so JIT/codegen warm-up paid
+  * by the first run carries over. When the env config IS the gate config,
+  * the single run is emitted under both metrics.
   *
   * Methodology: every query is forced with a `noop`-format write (full
   * evaluation of every output column — `count()` would let Catalyst prune
-  * the projections being measured), and an untimed warm-up query absorbs
+  * the projections being measured), and untimed warm-up passes absorb
   * session/JIT/codegen warm-up so the first timed query isn't charged ~5 s
-  * of JVM startup.
+  * of JVM startup. A query that throws during a timed run records -1 and
+  * is listed in the output's `errors` array — a crash must never read as a
+  * fast green run.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def makeSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,9 +36,44 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    def force(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** min-of-2 timed seconds per query; failures record -1. */
+  private def timeSuite(spark: SparkSession, sfDir: String)
+      : Seq[(String, Double)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // min of two timed runs per query: this box shows hypervisor CPU
+      // steal, and the minimum is the standard steady-state estimator
+      // under one-sided external noise.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          force(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    }
+
+  private def emit(metric: String, results: Seq[(String, Double)],
+      sfDir: String, cpus: String): Unit = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val errs = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = makeSession(cpus)
 
     // Untimed warm-up: run EVERY query at sf0.001 then sf0.01. A complex
     // plan's first execution pays 10-15 s of codegen + JIT compilation at
@@ -41,21 +84,19 @@ object Bench {
          (_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
 
-    // min of two timed runs per query: this box shows hypervisor CPU
-    // steal, and the minimum is the standard steady-state estimator under
-    // one-sided external noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    val primary = timeSuite(spark, sfDir)
+    emit("total", primary, sfDir, cpus)
+
+    // Gate-config emission (BASELINE.md: local[4], shuffle.partitions=4).
+    if (cpus == "4") emit("total_local4", primary, sfDir, cpus)
+    else {
+      spark.stop()
+      val gate = makeSession("4")
+      val gateResults = timeSuite(gate, sfDir)
+      emit("total_local4", gateResults, sfDir, "4")
+      gate.stop()
+      return
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,7 +40,15 @@ import org.apache.spark.sql.types._
   */
 object Assembly {
 
-  final case class AssemblyResult(upserts: DataFrame, errors: DataFrame)
+  /** @param cached the shared extract→groupBy→join lineage both outputs
+    *               are built on, persisted once; callers that materialize
+    *               both outputs should `release()` it — in a long-running
+    *               poll loop, relying on the ContextCleaner lets cached
+    *               blocks accumulate across batches. */
+  final case class AssemblyResult(upserts: DataFrame, errors: DataFrame,
+      private val cached: Option[DataFrame] = None) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Errors dead-letter schema: one row per (id, field, mode) conflict. */
   private val errStruct = (field: String, mode: String, old: Column, nw: Column) =>
@@ -65,13 +73,12 @@ object Assembly {
     // The per-row extraction below is CPU-heavy (multiple regex evals per
     // file); a change batch often arrives in a handful of partitions (a
     // single parquet file, one poll's diff) which would serialize it on a
-    // few cores. Width-normalize first — a narrow-row shuffle is cheap
-    // against 32× extraction parallelism.
+    // few cores. Width-normalize unconditionally — a narrow-row shuffle is
+    // cheap against 32× extraction parallelism, and probing the partition
+    // count via `.rdd` would force physical planning per call.
     val spark = changes.sparkSession
     val width = spark.sparkContext.defaultParallelism
-    val widened0 =
-      if (changes.rdd.getNumPartitions < width) changes.repartition(width)
-      else changes
+    val widened0 = changes.repartition(width)
 
     // ---- per-file extraction (Q2 lines 141-149) --------------------------
     var rows = widened0
@@ -262,7 +269,7 @@ object Assembly {
         .select(col("blueprint"), col("id"), col("err.field"), col("err.mode"),
           col("err.old_value"), col("err.new_value"))
 
-    AssemblyResult(upserts, errors)
+    AssemblyResult(upserts, errors, Some(mergedP))
   }
 
   /** Q1+Q5: drive one change batch end-to-end — assemble against the
@@ -277,6 +284,7 @@ object Assembly {
     // they are computed from (plain-Parquet read-modify-swap, SURVEY.md §7.3)
     val upserts = res.upserts.localCheckpoint(true)
     val errors = res.errors.localCheckpoint(true)
+    res.release() // both outputs materialized — drop the shared cache now
     sink.upsert(upserts)
     AssemblyResult(upserts, errors)
   }

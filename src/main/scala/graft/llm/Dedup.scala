@@ -156,16 +156,24 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: docs whose signatures agree on any of
-    * the 4 `bits/4`-wide bands (by pigeonhole, Hamming distance ≤ 3 ⇒ at
-    * least one band equal). Verify with exact Hamming ≤ `maxHamming`. */
+    * `maxHamming + 1` bands — by pigeonhole, Hamming distance ≤ maxHamming
+    * flips at most maxHamming bands, so at least one band stays equal for
+    * EVERY requested threshold (bands were fixed at 4 before, which
+    * silently lost recall for maxHamming ≥ 4). Verify with exact Hamming
+    * ≤ `maxHamming`. Band widths may be uneven (⌊b·bits/bands⌋ splits);
+    * the pigeonhole guarantee doesn't care. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val bandBits = bits / 4
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming ($maxHamming) must be in [0, bits=$bits)")
+    val bands = maxHamming + 1
     val sigs = simhashSignatures(df, textCol, idCol, bits)
       .select(col(idCol).as("_sid"), col("simhash").as("_sig"))
-    val bandCols = (0 until 4).map { b =>
+    val bandCols = (0 until bands).map { b =>
+      val start = b * bits / bands
+      val width = (b + 1) * bits / bands - start
       struct(lit(b).as("band"),
-        (shiftright(col("_sig"), b * bandBits) % (1L << bandBits)).as("bucket"))
+        (shiftright(col("_sig"), start) % (1L << width)).as("bucket"))
     }
     val exploded = sigs.select(col("_sid"), col("_sig"),
       explode(array(bandCols: _*)).as("bk"))
@@ -189,11 +197,13 @@ object Dedup {
     *
     * Returns (id, rep) for every node that appears in a pair; rows with
     * `id != rep` are the drops. Scale posture: the pair graph is orders of
-    * magnitude smaller than the corpus (only near-dups appear), and
-    * near-dup components are shallow (dup groups approximate cliques), so
-    * the label frame stays tiny and the loop converges in a few
-    * small-join iterations — checked by an exact fixpoint test per round,
-    * with `maxIters` as the pathological-chain backstop. */
+    * magnitude smaller than the corpus (only near-dups appear), and each
+    * round is one neighbor-min step PLUS one pointer-jump step
+    * (`rep := rep's rep`), so labels spread 2^rounds hops — a diameter-D
+    * component converges in O(log D) rounds, and chain-shaped duplicate
+    * graphs no longer need a `maxIters` raise (r2 propagated one hop per
+    * round). `maxIters` stays as the backstop and still throws rather
+    * than silently returning split components. */
   def clusterRepresentatives(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -204,14 +214,19 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // (throws below if maxIters is hit unconverged — silently returning
-      // split components would under-drop duplicates)
       // candidate label per node: min of own and neighbors' labels
-      val next = edges.join(labels.withColumnRenamed("id", "dst")
+      val stepped = edges.join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("rep", "nrep"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nrep")).as("prop"))
         .join(labels, Seq("id"))
         .select(col("id"), least(col("rep"), col("prop")).as("rep"))
+      // pointer jump: follow the label one hop through the label table
+      // itself (rep → rep's rep), doubling propagation distance per round
+      val next = stepped.join(
+          stepped.select(col("id").as("rep"), col("rep").as("_rep2")),
+          Seq("rep"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("_rep2"), col("rep"))).as("rep"))
         .persist()
       converged = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
         .filter(col("rep") =!= col("old")).isEmpty
@@ -223,8 +238,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"clusterRepresentatives did not converge in $maxIters iterations — " +
-        "a component's diameter exceeds maxIters; raise it for chain-shaped " +
-        "duplicate graphs")
+        "a component's diameter exceeds 2^maxIters; raise maxIters")
     labels
   }
 
@@ -244,13 +258,7 @@ object Dedup {
     * shingle sets. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    // the shingle relation feeds multiple plan branches (prefix self-join
-    // sides, verify sides) — persist it once instead of recomputing the
-    // tokenize+window lineage per branch. MEMORY_AND_DISK; released by the
-    // ContextCleaner when the result frame is collected.
-    val rows = shingleRows(df, textCol, idCol, k).persist()
-    val base = rows.groupBy(col(idCol)).agg(collect_list(col("s")).as("sh"))
-      .select(col(idCol).as("_did"), col("sh").as("_sh"))
+    val rows = shingleRows(df, textCol, idCol, k)
     // per-doc prefix of the (global document-frequency, shingle)-ordered
     // feature list — all window functions, no collect/sort/explode round
     // trip: freq = count over the shingle partition, rank within doc by
@@ -264,11 +272,23 @@ object Dedup {
       .withColumn("_n", count(lit(1)).over(wD))
       .filter(col("_rn") <= col("_n") - ceil(col("_n") * threshold) + 1)
       .select(col(idCol).as("_did"), col("s"))
-    val prefixP = prefix.persist()
-    val cands = prefixP.select(col("s"), col("_did").as("id_a"))
-      .join(prefixP.select(col("s"), col("_did").as("id_b")), Seq("s"))
+    // Candidate pairs are orders of magnitude smaller than the corpus:
+    // materialize them eagerly (lineage cut) so the verify pass below can
+    // restrict shingle-set construction to candidate docs only. Nothing
+    // corpus-sized is ever pinned in executor storage — r2 persisted the
+    // full shingle relation and leaked it in long-running sessions; the
+    // identical self-join sides reuse one shuffle exchange instead.
+    val cands = prefix.select(col("s"), col("_did").as("id_a"))
+      .join(prefix.select(col("s"), col("_did").as("id_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .localCheckpoint(true)
+    val candIds = cands.select(col("id_a").as("_cid"))
+      .unionByName(cands.select(col("id_b").as("_cid"))).distinct()
+    // full shingle sets for candidate docs ONLY (left-semi prune)
+    val base = rows.join(candIds, rows(idCol) === candIds("_cid"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("s")).as("sh"))
+      .select(col(idCol).as("_did"), col("sh").as("_sh"))
     // exact verify over the full shingle sets
     cands
       .join(base.select(col("_did").as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))

@@ -35,20 +35,59 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  /** STUB decoder — deterministic fake: derives "dimensions" from payload
-    * bytes. A real deployment replaces exactly this function with a codec
-    * call (e.g. JPEG header parse / ffprobe); everything around it — the
-    * per-partition batching, the schema, the plan shape — is unchanged. */
+  private def u8(b: Byte): Int = b & 0xff
+  private def u16be(p: Array[Byte], i: Int): Int = (u8(p(i)) << 8) | u8(p(i + 1))
+  private def i32be(p: Array[Byte], i: Int): Int =
+    (u8(p(i)) << 24) | (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+
+  /** Real image-header dimension parse — pure-JVM byte walking, no codec
+    * libraries. Recognizes PNG (IHDR width/height at fixed offset 16 after
+    * the 8-byte signature) and JPEG (walk the marker segments to the first
+    * frame header SOFn, whose payload is [precision u8][height u16]
+    * [width u16]). Returns None for anything else — the caller falls back
+    * to the deterministic stub, so non-image payloads keep working. */
+  def parseImageDims(p: Array[Byte]): Option[(Int, Int)] = {
+    val isPng = p.length >= 24 &&
+      u8(p(0)) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+      u8(p(4)) == 0x0d && u8(p(5)) == 0x0a && u8(p(6)) == 0x1a && u8(p(7)) == 0x0a
+    if (isPng) return Some((i32be(p, 16), i32be(p, 20)))
+    val isJpeg = p.length >= 4 && u8(p(0)) == 0xff && u8(p(1)) == 0xd8
+    if (isJpeg) {
+      var i = 2
+      while (i + 9 < p.length && u8(p(i)) == 0xff) {
+        val marker = u8(p(i + 1))
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          i += 2 // standalone marker, no length word
+        } else if ((marker >= 0xc0 && marker <= 0xcf) &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn: [len u16][precision u8][height u16][width u16]
+          return Some((u16be(p, i + 7), u16be(p, i + 5)))
+        } else {
+          i += 2 + u16be(p, i + 2) // skip over the segment payload
+        }
+      }
+    }
+    None
+  }
+
+  /** Decoder: REAL header parse for image payloads with a recognizable
+    * PNG/JPEG signature; a clearly-marked deterministic STUB otherwise
+    * (full codecs for audio/video don't ship in this container). A real
+    * deployment swaps only the stub branch for a codec call — the
+    * per-partition batching, schema, and plan shape are unchanged. */
   def stubDecode(row: MediaRow): MediaFeatures = {
     val n = row.payload.length.toLong
     val head = if (row.payload.nonEmpty) row.payload(0) & 0xff else 0
     val checksum = row.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
+    val dims = if (row.kind == "image") parseImageDims(row.payload) else None
+    val (w, h) = dims.getOrElse(
+      ((head % 64 + 1) * 16, ((n % 64).toInt + 1) * 16)) // deterministic fake
     MediaFeatures(
       media_id = row.media_id,
       kind = row.kind,
       n_bytes = n,
-      width = (head % 64 + 1) * 16,
-      height = ((n % 64).toInt + 1) * 16,
+      width = w,
+      height = h,
       n_frames = if (row.kind == "video") (n % 240).toInt + 1 else 1,
       checksum = checksum)
   }

@@ -87,6 +87,38 @@ object Snapshot {
   def cutToKey(snapshot: DataFrame, prefix: String): DataFrame =
     snapshot.filter(col("path").startsWith(prefix))
 
+  /** T5 — assign a dense 1-based global order `ordCol` by `sortCols`
+    * WITHOUT a single-partition window (`row_number().over(Window.orderBy)`
+    * funnels the whole frame through one reducer — fine for a 10-file poll,
+    * a ceiling for a reindex-sized batch). Shape: range-repartition on the
+    * sort key (global order across partitions), rank within each partition,
+    * then add per-partition row-count offsets — the counts are
+    * metadata-scale (one row per partition), the only collect.
+    *
+    * `sortCols` must be a total order (include a unique tiebreaker like
+    * `path`) for the assignment to be deterministic. */
+  def withGlobalOrd(df: DataFrame, ordCol: String, sortCols: Seq[Column])
+      : DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val ranked = df
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(sortCols: _*)))
+      .localCheckpoint(true) // one materialization feeds counts + result
+    val counts = ranked.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (counts.isEmpty)
+      return ranked.withColumn(ordCol, lit(0L)).drop("_pid", "_rn")
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    ranked
+      .withColumn(ordCol,
+        element_at(typedlit(offsets), col("_pid")) + col("_rn"))
+      .drop("_pid", "_rn")
+  }
+
   /** Apply a change set to a previous snapshot ⇒ the current one
     * (the algebra property-tested in SnapshotSpec). */
   def applyChanges(prev: DataFrame, changes: DataFrame): DataFrame = {

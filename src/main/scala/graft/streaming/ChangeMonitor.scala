@@ -4,7 +4,6 @@ import graft.functions.Retools.PatternSpec
 import graft.operators.Snapshot
 import graft.sources.FileListing
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** S4 + S6 — the stateful change watcher: snapshot the tree, diff against
@@ -22,8 +21,7 @@ import org.apache.spark.sql.functions._
   *                `Retools.reSortKey(_, "run_(\\d+)", 1)`; changes get an
   *                `ord` column from this order (falls back to path order) —
   *                the arrival-order column the assembly's aggregations
-  *                need. Change batches are small relative to the corpus,
-  *                so the global row_number window is not a scale hazard.
+  *                need, assigned distributively (Snapshot.withGlobalOrd).
   */
 final class ChangeMonitor(
     spark: SparkSession,
@@ -59,15 +57,17 @@ final class ChangeMonitor(
     source.snapshot().filter(!col("is_dir")).select("path")
 
   /** One poll: diff, advance state on non-empty change set, return the
-    * ordered change batch (`path, change, ord`) or None. */
+    * ordered change batch (`path, change, ord`) or None. Ordering is the
+    * distributed range-partition rank ([[Snapshot.withGlobalOrd]]), not a
+    * single-partition window — a reindex-sized batch keeps its
+    * parallelism. */
   def poll(): Option[DataFrame] = {
     val cur = currentSnapshot().localCheckpoint(true)
     val changes = Snapshot.diffNonEmpty(prevSnapshot(), cur)
     changes.map { d =>
       val key = sortKey.map(f => f(col("path"))).getOrElse(col("path"))
-      val ordered = d.withColumn("ord",
-        row_number().over(Window.orderBy(key, col("path"), col("change"))))
-        .localCheckpoint(true) // materialize before state advances
+      val ordered = Snapshot.withGlobalOrd(d, "ord",
+        Seq(key, col("path"), col("change")))
       d.unpersist()
       advanceState(cur)
       ordered

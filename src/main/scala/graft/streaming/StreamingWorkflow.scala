@@ -1,7 +1,7 @@
 package graft.streaming
 
+import graft.operators.Snapshot
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,8 +15,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * only observe CREATED files — deletion events require the snapshot-diff
   * monitor. Use this variant when the tree is append-only (the common
   * ingest case: landing zones, run outputs) and the poll loop when delete
-  * semantics matter. Checkpointing replaces the reference's BackupManager
-  * state (S6) — restart resumes exactly after the last committed batch.
+  * semantics matter — or set `reconcileEveryBatches` to get both: the
+  * stream handles creates at trigger latency, and a periodic snapshot-diff
+  * reconciliation pass (the reference's T4 `reindex`,
+  * monitoring/_monitoring.py:203-206,295-302) converges deletions (and any
+  * creates the stream source missed). Re-feeding an already-processed
+  * created file is idempotent through the assembly merge: scalar fields
+  * see an equal value (no change), list fields an already-present element.
+  * Checkpointing replaces the reference's BackupManager state (S6) —
+  * restart resumes exactly after the last committed batch; the reconciler
+  * keeps its own snapshot state under `reconcileStateDir`.
   *
   * Only file *paths* flow through the stream (content parsing stays in the
   * parser UDFs), so the binary payloads are never shuffled.
@@ -26,7 +34,30 @@ final class StreamingWorkflow(
     workflow: Workflow,
     root: String,
     checkpointDir: String,
-    triggerInterval: Option[String] = Some("10 seconds")) {
+    triggerInterval: Option[String] = Some("10 seconds"),
+    reconcileEveryBatches: Option[Int] = None) {
+
+  reconcileEveryBatches.foreach(n =>
+    require(n > 0, s"reconcileEveryBatches must be positive, got $n"))
+
+  /** The reconciliation watcher — lazy so pure-append users never pay for
+    * its state dir. Shares the poll/diff core with the batch workflow. */
+  private lazy val reconciler =
+    new ChangeMonitor(spark, root, s"$checkpointDir/reconcile-state")
+
+  /** One full reconciliation pass (T4 `reindex`): snapshot-diff the tree
+    * against the reconciler's own state and run the resulting change batch
+    * — including DELETIONS — through the assembly. Returns the number of
+    * reconciled changes. Callable directly for on-demand repair. */
+  def reconcile(): Long = {
+    reconciler.poll() match {
+      case None => 0L
+      case Some(changes) =>
+        val n = changes.count()
+        workflow.buildBatch(changes)
+        n
+    }
+  }
 
   /** Start the stream. `Trigger.AvailableNow` when `triggerInterval` is
     * None — drain everything currently present, then stop (T2's
@@ -57,10 +88,12 @@ final class StreamingWorkflow(
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val changes = batch
-          .withColumn("change", lit("created"))
-          .withColumn("ord", row_number().over(Window.orderBy(col("path"))))
+        val changes = Snapshot.withGlobalOrd(
+          batch.withColumn("change", lit("created")), "ord", Seq(col("path")))
         workflow.buildBatch(changes)
+        reconcileEveryBatches.foreach { n =>
+          if ((batchId + 1) % n == 0) reconcile()
+        }
         ()
       }
       .start()

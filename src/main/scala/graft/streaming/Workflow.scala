@@ -56,10 +56,20 @@ final class Workflow(
   require(monitors.nonEmpty, "a workflow needs at least one monitored root")
 
   /** One entity table across blueprints (the reference stores all
-    * blueprints in one TinyDB table): union of the per-blueprint schemas. */
+    * blueprints in one TinyDB table): union of the per-blueprint schemas.
+    * Same-named fields must agree on type across blueprints — silently
+    * picking one would surface later as an opaque unionByName/cast plan
+    * error (or a silent cast) on the losing blueprint's first upsert. */
   private val sinkSchema: StructType = StructType(
     blueprints.flatMap(_.sinkSchema.fields)
-      .groupBy(_.name).map(_._2.head).toSeq
+      .groupBy(_.name).map { case (fieldName, fields) =>
+        val types = fields.map(_.dataType).distinct
+        require(types.size == 1,
+          s"field '$fieldName' is declared with conflicting types across " +
+          s"blueprints: ${types.mkString(", ")} — same-named fields share one " +
+          "column in the entity table and must agree on DataType")
+        fields.head
+      }.toSeq
       .sortBy(f => if (f.name == "blueprint") "0" else if (f.name == "id") "1" else f.name))
 
   val sink = new ParquetEntitySink(spark, s"$workDir/db", sinkSchema)
@@ -85,10 +95,11 @@ final class Workflow(
         if (d.columns.contains(f)) d
         else d.withColumn(f, lit(null).cast(sinkSchema(f).dataType))
       }.select(sinkSchema.fieldNames.map(col): _*)
-      (widened, res.errors)
+      (widened, res.errors, res)
     }
     val ups = results.map(_._1).reduce(_ unionByName _).localCheckpoint(true)
     val errs = results.map(_._2).reduce(_ unionByName _).localCheckpoint(true)
+    results.foreach(_._3.release()) // outputs materialized — drop the caches
     sink.upsert(ups)
     if (!errs.isEmpty)
       errs.write.mode("append").parquet(s"$workDir/errors")
@@ -115,7 +126,12 @@ final class Workflow(
   private def shouldExit(startedAt: Long): Boolean = {
     val fileHit = exitFile.exists { f =>
       val p = java.nio.file.Paths.get(f)
-      java.nio.file.Files.exists(p) && java.nio.file.Files.size(p) > 0
+      val hit = java.nio.file.Files.exists(p) && java.nio.file.Files.size(p) > 0
+      // consume the trigger (reference os.remove's it, monitoring/
+      // _monitoring.py:209-211) — otherwise a restarted workflow would
+      // see the stale file and exit immediately
+      if (hit) java.nio.file.Files.delete(p)
+      hit
     }
     val timeHit = exitAfterMs.exists(ms => System.currentTimeMillis - startedAt >= ms)
     fileHit || timeHit
