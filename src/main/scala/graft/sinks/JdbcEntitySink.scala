@@ -1,0 +1,191 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JDBC-backed [[EntitySink]] — the pluggable-DB layer the reference sells
+  * (`Database` ABC, database/_database.py:12-23; README.md:277-301) over a
+  * real relational store instead of TinyDB's JSON file.
+  *
+  * Upsert is STAGED, the shape that scales: executors write the incoming
+  * batch into a stage table in parallel (plain JDBC batch INSERTs — the
+  * only distributed step), then ONE server-side `MERGE INTO` folds the
+  * stage into the entity table keyed by (blueprint, id). Per-batch cost at
+  * the database is O(batch) index-probes, never O(table); no row ever
+  * round-trips through the driver. Point get/delete are single keyed
+  * statements against the (blueprint, id) index.
+  *
+  * Tested against embedded Derby (`jdbc:derby:` — the in-process test
+  * double; jars ship with Spark). On a cluster the executors must reach
+  * the database, so hand the sink a networked URL (Derby client,
+  * PostgreSQL, …) — every statement below is ANSI (MERGE is SQL:2003) and
+  * identifiers are quoted-uppercase, so the SQL ports unchanged.
+  *
+  * Array/map/struct columns (the reference's `List[str]`/`List[Path]`
+  * field types) are stored as JSON text — the same `to_db` serialization
+  * TinyDB applies (fields/_fields.py:95-165) — and parsed back on scan,
+  * so `scan()` returns exactly the declared Spark schema.
+  */
+final class JdbcEntitySink(
+    spark: SparkSession,
+    url: String,
+    table: String,
+    schema: StructType,
+    driver: String = "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    keyWidth: Int = 512) extends EntitySink {
+
+  require(schema.fieldNames.take(2).toSeq == Seq("blueprint", "id"),
+    s"entity schema must lead with (blueprint, id); got ${schema.fieldNames.toSeq}")
+  require(schema.fieldNames.map(_.toUpperCase).distinct.length == schema.size,
+    "field names must be distinct case-insensitively (SQL folds identifier case)")
+
+  private val keys = Seq("blueprint", "id")
+  private val nonKeys = schema.fieldNames.filterNot(keys.contains).toSeq
+
+  /** Quoted-uppercase SQL identifier — immune to reserved words and to
+    * the unquoted-identifier case folding that differs across engines. */
+  private def q(name: String): String =
+    "\"" + name.toUpperCase.replace("\"", "\"\"") + "\""
+
+  private val target = q(table)
+  private val stage = q(table + "_stage")
+
+  /** JSON-serialized columns: everything non-atomic. */
+  private def isJson(f: StructField): Boolean = f.dataType match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _ => false
+  }
+
+  private def sqlType(f: StructField): String = f.dataType match {
+    case StringType if keys.contains(f.name) => s"VARCHAR($keyWidth)"
+    // non-key text is CLOB: Spark's Derby dialect binds StringType (and
+    // its nulls) as CLOB, which Derby won't coerce into VARCHAR; keys are
+    // NOT NULL VARCHAR (indexable, comparable in the MERGE ON) and only
+    // ever bound via setString, which VARCHAR accepts.
+    case StringType => "CLOB"
+    case _ if isJson(f) => "CLOB"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case BinaryType => "BLOB"
+    case other => throw new IllegalArgumentException(
+      s"no JDBC mapping for entity field '${f.name}': $other")
+  }
+
+  private def withConn[A](f: Connection => A): A = {
+    Class.forName(driver)
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def exec(c: Connection, sql: String): Unit = {
+    val st = c.createStatement()
+    try st.execute(sql) finally st.close()
+  }
+
+  @volatile private var ensured = false
+
+  /** Create target + stage + key index once per sink (idempotent via the
+    * catalog — a second sink on the same table just sees them). */
+  private def ensureTables(): Unit = {
+    if (ensured) return
+    withConn { c =>
+      def missing(name: String): Boolean = {
+        val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
+        try !rs.next() finally rs.close()
+      }
+      val cols = schema.fields.map { f =>
+        val notNull = if (keys.contains(f.name)) " NOT NULL" else ""
+        s"${q(f.name)} ${sqlType(f)}$notNull"
+      }.mkString(", ")
+      if (missing(table)) {
+        exec(c, s"CREATE TABLE $target ($cols)")
+        exec(c, s"CREATE INDEX ${q(table + "_key_idx")} ON $target " +
+          s"(${keys.map(q).mkString(", ")})")
+      }
+      if (missing(table + "_stage")) exec(c, s"CREATE TABLE $stage ($cols)")
+    }
+    ensured = true
+  }
+
+  /** Project to the declared schema with non-atomic columns as JSON and
+    * names folded to the SQL identifiers, ready for a JDBC write. */
+  private def toSqlShape(entries: DataFrame): DataFrame =
+    entries.select(schema.fields.map { f =>
+      val c = if (isJson(f)) to_json(col(f.name)) else col(f.name)
+      c.as(f.name.toUpperCase)
+    }.toIndexedSeq: _*)
+
+  private def jdbcWrite(df: DataFrame, dbtable: String): Unit =
+    df.write.mode(SaveMode.Append).format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", dbtable)
+      .save()
+
+  def scan(): DataFrame = {
+    ensureTables()
+    spark.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", target)
+      .load()
+      .toDF(schema.fieldNames.toIndexedSeq: _*) // DDL order == schema order
+      .select(schema.fields.map { f =>
+        val c = if (isJson(f)) from_json(col(f.name), f.dataType)
+                else col(f.name).cast(f.dataType)
+        c.as(f.name)
+      }.toIndexedSeq: _*)
+  }
+
+  def get(blueprint: String, id: String): DataFrame =
+    scan().filter(col("blueprint") === blueprint && col("id") === id).limit(1)
+
+  /** D1: blind append — the reference's `add_blueprint` is insert-only. */
+  def append(entries: DataFrame): Unit = {
+    ensureTables()
+    jdbcWrite(toSqlShape(entries), target)
+  }
+
+  /** D3: staged upsert. Stage truncate + parallel INSERT + one MERGE; the
+    * MERGE is a single statement, so readers never observe a half-applied
+    * batch. Incoming keys must be unique (Assembly groups by key) — a
+    * duplicate is a SQL cardinality violation, not a silent overwrite. */
+  def upsert(entries: DataFrame): Unit = {
+    ensureTables()
+    withConn(exec(_, s"DELETE FROM $stage"))
+    jdbcWrite(toSqlShape(entries), stage)
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val insCols = schema.fieldNames.map(q).mkString(", ")
+    val insVals = schema.fieldNames.map(f => s"s.${q(f)}").mkString(", ")
+    val matched =
+      if (nonKeys.isEmpty) "" // id-only blueprints: nothing to update
+      else "WHEN MATCHED THEN UPDATE SET " +
+        nonKeys.map(f => s"${q(f)} = s.${q(f)}").mkString(", ") + " "
+    withConn(exec(_,
+      s"MERGE INTO $target t USING $stage s ON $on " + matched +
+      s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"))
+  }
+
+  def delete(blueprint: String, id: String): Unit = {
+    ensureTables()
+    withConn { c =>
+      val st = c.prepareStatement(
+        s"DELETE FROM $target WHERE ${q("blueprint")} = ? AND ${q("id")} = ?")
+      try { st.setString(1, blueprint); st.setString(2, id); st.executeUpdate() }
+      finally st.close()
+    }
+  }
+}
+
+object JdbcEntitySink {
+  /** Embedded-Derby URL for a database directory (created on first use). */
+  def derbyUrl(dir: String): String = s"jdbc:derby:$dir;create=true"
+}

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.blueprint.{Assembly, BlueprintSpec}
 import graft.functions.Retools.PatternSpec
-import graft.sinks.ParquetEntitySink
+import graft.sinks.{EntitySink, ParquetEntitySink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -46,7 +46,8 @@ final class Workflow(
     workDir: String,
     pollIntervalMs: Long = 10000L,
     exitFile: Option[String] = None,
-    exitAfterMs: Option[Long] = None) {
+    exitAfterMs: Option[Long] = None,
+    makeSink: Option[StructType => EntitySink] = None) {
 
   def this(spark: SparkSession, name: String, collectorPath: String,
       blueprints: Seq[BlueprintSpec], workDir: String) =
@@ -72,7 +73,11 @@ final class Workflow(
       }.toSeq
       .sortBy(f => if (f.name == "blueprint") "0" else if (f.name == "id") "1" else f.name))
 
-  val sink = new ParquetEntitySink(spark, s"$workDir/db", sinkSchema)
+  /** Pluggable sink (D6): Parquet under `workDir/db` by default; pass
+    * `makeSink` to wire e.g. a [[graft.sinks.JdbcEntitySink]] instead —
+    * the north-star's "DataFrame write to JDBC" shape. */
+  val sink: EntitySink = makeSink.map(_(sinkSchema))
+    .getOrElse(new ParquetEntitySink(spark, s"$workDir/db", sinkSchema))
   val watchers: Seq[ChangeMonitor] = monitors.zipWithIndex.map { case (m, i) =>
     new ChangeMonitor(spark, m.root, s"$workDir/state/$i",
       m.matcher, m.matchDirs, m.maxDepth, None)

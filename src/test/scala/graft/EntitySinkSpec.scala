@@ -1,12 +1,15 @@
 package graft
 
-import graft.sinks.ParquetEntitySink
+import graft.sinks.{EntitySink, JdbcEntitySink, ParquetEntitySink}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-/** D1–D6 CRUD semantics of the Parquet entity sink (reference:
-  * tests/test_database.py:25-53 — with the *intended* compound-key
-  * behavior, see the EntitySink scaladoc on the reference's `and` bug). */
+/** D1–D6 CRUD semantics, run identically against BOTH sink backends —
+  * Parquet and JDBC (embedded Derby) — so the pluggable-DB promise
+  * (reference: database/_database.py:12-23, README.md:277-301;
+  * tests/test_database.py:25-53) is a tested property of the trait, not
+  * of one implementation. Compound keys use the reference's *intended*
+  * semantics — see the EntitySink scaladoc on the TinyDB `and` bug. */
 class EntitySinkSpec extends SparkSpec {
 
   private val schema = StructType(Seq(
@@ -20,10 +23,10 @@ class EntitySinkSpec extends SparkSpec {
         rows.map { case (b, i, m) => Row(b, i, m) }).asJava),
       schema)
 
-  test("append, point-get by compound key, upsert, delete, scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
-    val sink = new ParquetEntitySink(spark, s"$dir/db", schema)
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 
+  private def crudMatrix(sink: EntitySink): Unit = {
     // D1 append + D5 scan
     sink.append(df(("A", "1", 1.0), ("A", "2", 2.0), ("B", "1", 3.0)))
     assert(sink.scan().count() === 3)
@@ -50,6 +53,62 @@ class EntitySinkSpec extends SparkSpec {
     sink.delete("B", "1")
     sink.delete("B", "7")
     assert(sink.scan().isEmpty)
+  }
+
+  test("parquet sink: append, point-get by compound key, upsert, delete, scan") {
+    val dir = tmp("graft-sink")
+    crudMatrix(new ParquetEntitySink(spark, s"$dir/db", schema))
+  }
+
+  test("jdbc sink: append, point-get by compound key, upsert, delete, scan") {
+    val dir = tmp("graft-jdbc")
+    crudMatrix(new JdbcEntitySink(
+      spark, JdbcEntitySink.derbyUrl(s"$dir/db"), "entities", schema))
+  }
+
+  test("jdbc sink: list columns round-trip as JSON; scan returns the declared schema") {
+    val dir = tmp("graft-jdbc-json")
+    val s = StructType(Seq(
+      StructField("blueprint", StringType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("files", ArrayType(StringType)),
+      StructField("metric", DoubleType)))
+    val sink = new JdbcEntitySink(
+      spark, JdbcEntitySink.derbyUrl(s"$dir/db"), "entities", s)
+    val rows = spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        Row("A", "1", Seq("a.txt", "b.txt"), 1.5),
+        Row("A", "2", null, null))).asJava), s)
+    sink.upsert(rows)
+    assert(sink.scan().schema.fieldNames.toSeq === s.fieldNames.toSeq)
+    assert(sink.scan().schema.map(_.dataType) === s.map(_.dataType))
+    val r1 = sink.get("A", "1").head()
+    assert(r1.getAs[Seq[String]]("files") === Seq("a.txt", "b.txt"))
+    assert(r1.getAs[Double]("metric") === 1.5)
+    val r2 = sink.get("A", "2").head()
+    assert(r2.getAs[Seq[String]]("files") === null)
+    // upsert preserves / replaces the list faithfully
+    sink.upsert(spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        Row("A", "1", Seq("a.txt", "b.txt", "c.txt"), 2.5))).asJava), s))
+    assert(sink.get("A", "1").head()
+      .getAs[Seq[String]]("files") === Seq("a.txt", "b.txt", "c.txt"))
+    assert(sink.scan().count() === 2)
+  }
+
+  test("jdbc sink: id-only schema upserts (MERGE with no update clause)") {
+    val dir = tmp("graft-jdbc-idonly")
+    val s = StructType(Seq(
+      StructField("blueprint", StringType, nullable = false),
+      StructField("id", StringType, nullable = false)))
+    val sink = new JdbcEntitySink(
+      spark, JdbcEntitySink.derbyUrl(s"$dir/db"), "entities", s)
+    def kdf(rows: (String, String)*) = spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (b, i) => Row(b, i) }).asJava), s)
+    sink.upsert(kdf(("A", "1"), ("A", "2")))
+    sink.upsert(kdf(("A", "1"), ("B", "1"))) // matched rows are no-ops
+    assert(sink.scan().count() === 3)
   }
 
   test("upsert rewrites only the touched blueprint partitions") {

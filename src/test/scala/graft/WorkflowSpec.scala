@@ -51,6 +51,32 @@ class WorkflowSpec extends SparkSpec {
     assert(wf.runOnce() === 0)
   }
 
+  test("easy-example e2e against the JDBC sink: same results, then delete converges") {
+    val dir = Files.createTempDirectory("graft-wf-jdbc").toString
+    val data = s"$dir/easy_example_workflow"
+    write(s"$data/project_1/project_1_results.txt", "100")
+    write(s"$data/project_2/project_2_results.txt", "200")
+
+    val wf = new Workflow(spark, "easy_workflow_jdbc",
+      Seq(graft.streaming.MonitorSpec(data)), Seq(myScheme),
+      s"$dir/workflow_data",
+      makeSink = Some(schema => new graft.sinks.JdbcEntitySink(
+        spark, graft.sinks.JdbcEntitySink.derbyUrl(s"$dir/derby"),
+        "entities", schema)))
+    assert(wf.runOnce() > 0)
+    val rows = wf.sink.scan().orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq === Seq("project_1", "project_2"))
+    assert(rows.map(_.getAs[Double]("metric")).toSeq === Seq(100.0, 200.0))
+
+    // deleting a results file flows through the same merge matrix: the
+    // Path field nulls out, the parsed metric survives (§2.7 deleted mode)
+    Files.delete(Paths.get(s"$data/project_2/project_2_results.txt"))
+    assert(wf.runOnce() > 0)
+    val p2 = wf.sink.get("MyScheme", "project_2").head()
+    assert(p2.getAs[String]("results_file") === null)
+    assert(p2.getAs[Double]("metric") === 200.0)
+  }
+
   test("three polls: create, quiet, create+delete — state advances correctly") {
     val dir = Files.createTempDirectory("graft-mon").toString
     val root = s"$dir/watched"
