@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway profiling main for the dedup hot path — not part of the
+  * library surface. Times warm-JVM runs of d3 (exact n-gram Jaccard) and
+  * the d6 cluster step at sf0.1, the two queries that dominate the bench. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[scratch] $label: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    time("warmup d3")(graft.llm.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8).count())
+    for (rep <- 1 to 2) {
+      val pairs = time(s"d3 full #$rep")(
+        graft.llm.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8))
+      println(s"[scratch] d3 pairs=${pairs.count()}")
+      time(s"d6 cluster-only #$rep")(
+        graft.llm.Dedup.clusterRepresentatives(pairs, "id_a", "id_b").count())
+    }
+    spark.stop()
+  }
+}

@@ -31,25 +31,25 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** One row per (id, distinct k-shingle) — the operator-side shingle
-    * producer: posexplode tokens once, build each shingle with `lead()`
-    * windows over token position. Everything stays in whole-stage codegen;
-    * cost is linear in corpus tokens, the single shuffle is keyed by doc
-    * id (exactly the key the downstream signature groupBy needs). */
+  /** One row per (id, distinct k-shingle).
+    *
+    * Shape chosen by measurement (sf0.1, warm JVM): explode the shingle
+    * START positions and assemble each shingle with `element_at` over the
+    * token array — everything codegen'd, and the only shuffle is the
+    * distinct (which the downstream per-doc aggregates need anyway). The
+    * two rejected variants: a `lead()` window (extra shuffle+sort by doc
+    * before the distinct) and an in-row `transform(sequence, …)` lambda
+    * (higher-order functions are interpreted, 3-4× slower than codegen
+    * despite being shuffle-free). */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, k: Int = 3)
-      : DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val nexts = (1 until k).map(o => lead(col("tok"), o).over(w).as(s"_n$o"))
-    df.filter(size(tokens(col(textCol))) >= k)
-      .select(col(idCol), posexplode(tokens(col(textCol))))
-      .withColumnRenamed("col", "tok")
-      .select(col(idCol) +: col("tok") +: nexts: _*)
-      .filter(col(s"_n${k - 1}").isNotNull)
-      .select(col(idCol),
-        concat_ws(" ", col("tok") +: (1 until k).map(o => col(s"_n$o")): _*).as("s"))
+      : DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= k)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(1), size(col("_tk")) - (k - 1))).as("_p"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until k).map(j => element_at(col("_tk"), col("_p") + j)): _*).as("s"))
       .distinct()
-  }
 
   /** Per-id distinct shingle sets (array column `sh`), built from
     * [[shingleRows]] — set semantics, element order unspecified. */
@@ -208,33 +208,39 @@ object Dedup {
       maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).persist()
+      .withColumn("rep", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // ONE materializing job per round. The previous label rides along as
+      // `_old`, so convergence is a cheap scan of the checkpointed result
+      // instead of a separate join-back (the r3 shape recomputed the whole
+      // step for the convergence probe and let the plan lineage grow across
+      // rounds — planning time, not data, dominated d6's bench cost).
       // candidate label per node: min of own and neighbors' labels
-      val stepped = edges.join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("rep", "nrep"), Seq("dst"))
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nrep")).as("prop"))
-        .join(labels, Seq("id"))
-        .select(col("id"), least(col("rep"), col("prop")).as("rep"))
+      val stepped = labels
+        .join(prop, Seq("id"), "left")
+        .select(col("id"), col("rep").as("_old"),
+          least(col("rep"), coalesce(col("prop"), col("rep"))).as("rep"))
       // pointer jump: follow the label one hop through the label table
-      // itself (rep → rep's rep), doubling propagation distance per round
+      // itself (rep → rep's rep), doubling propagation distance per round;
+      // the two `stepped` scans are the same subplan, so the exchange is
+      // planned once and reused (ReusedExchange), not computed twice.
       val next = stepped.join(
           stepped.select(col("id").as("rep"), col("rep").as("_rep2")),
           Seq("rep"), "left")
-        .select(col("id"),
+        .select(col("id"), col("_old"),
           least(col("rep"), coalesce(col("_rep2"), col("rep"))).as("rep"))
-        .persist()
-      converged = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
-        .filter(col("rep") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(true)
+      converged = next.filter(col("rep") =!= col("_old")).isEmpty
+      labels = next.select("id", "rep")
       i += 1
     }
-    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"clusterRepresentatives did not converge in $maxIters iterations — " +
@@ -258,45 +264,65 @@ object Dedup {
     * shingle sets. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    val rows = shingleRows(df, textCol, idCol, k)
+    // The shingle relation feeds THREE plan branches (both prefix self-join
+    // sides and the verify base) — without a persist each branch recomputes
+    // the tokenize+shingle lineage, which tripled d3's cost in r3. Persist
+    // once, then RELEASE DETERMINISTICALLY: the result is materialized
+    // eagerly below (it's pair-sized, orders of magnitude smaller than the
+    // corpus), so the unpersist happens before this function returns — no
+    // reliance on the ContextCleaner in long-running sessions (the r2 leak).
+    val rows = shingleRows(df, textCol, idCol, k).persist()
     // per-doc prefix of the (global document-frequency, shingle)-ordered
     // feature list — all window functions, no collect/sort/explode round
     // trip: freq = count over the shingle partition, rank within doc by
     // (freq, shingle), keep ranks ≤ n - ⌈t·n⌉ + 1.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
     val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     val wD = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val wDord = wD.orderBy(col("_f"), col("s"))
+    // prefix feeds both self-join sides — persist so frequency windows run
+    // once (exchange reuse is not guaranteed under AQE). `_n` (doc shingle
+    // count) rides along for the length filter and the Jaccard denominator.
     val prefix = rows
       .withColumn("_f", count(lit(1)).over(wS))
       .withColumn("_rn", row_number().over(wDord))
       .withColumn("_n", count(lit(1)).over(wD))
       .filter(col("_rn") <= col("_n") - ceil(col("_n") * threshold) + 1)
-      .select(col(idCol).as("_did"), col("s"))
-    // Candidate pairs are orders of magnitude smaller than the corpus:
-    // materialize them eagerly (lineage cut) so the verify pass below can
-    // restrict shingle-set construction to candidate docs only. Nothing
-    // corpus-sized is ever pinned in executor storage — r2 persisted the
-    // full shingle relation and leaked it in long-running sessions; the
-    // identical self-join sides reuse one shuffle exchange instead.
-    val cands = prefix.select(col("s"), col("_did").as("id_a"))
-      .join(prefix.select(col("s"), col("_did").as("id_b")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .localCheckpoint(true)
-    val candIds = cands.select(col("id_a").as("_cid"))
-      .unionByName(cands.select(col("id_b").as("_cid"))).distinct()
-    // full shingle sets for candidate docs ONLY (left-semi prune)
-    val base = rows.join(candIds, rows(idCol) === candIds("_cid"), "left_semi")
-      .groupBy(col(idCol)).agg(collect_list(col("s")).as("sh"))
-      .select(col(idCol).as("_did"), col("sh").as("_sh"))
-    // exact verify over the full shingle sets
-    cands
-      .join(base.select(col("_did").as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("_did").as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col(idCol).as("_did"), col("s"), col("_n"))
+      .persist()
+    // Candidate pairs, with the LENGTH FILTER applied inside the join:
+    // J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (|A∩B| ≥ t·max(|A|,|B|) ≤ min),
+    // so size-mismatched docs sharing a hot prefix shingle never survive
+    // to the distinct — the filter is free (both sizes are join-local).
+    val cands = prefix.select(col("s"), col("_did").as("id_a"), col("_n").as("n_a"))
+      .join(prefix.select(col("s"), col("_did").as("id_b"), col("_n").as("n_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b") * threshold <= col("n_a") && col("n_a") * threshold <= col("n_b"))
+      .select("id_a", "id_b", "n_a", "n_b").distinct()
+      .persist()
+    // Exact |A∩B| per candidate pair WITHOUT materializing shingle sets:
+    // attach A's shingles to each pair, equi-join on (B, shingle) — shared
+    // shingles survive — and count. Everything stays in codegen'd hash
+    // joins and a partial-aggregated count; the r3 shape collected per-doc
+    // arrays and ran interpreted array_intersect over every pair, which
+    // dominated d3's cost. `rows` is distinct per (id, s), so the count is
+    // exactly the intersection size.
+    val inter = cands.select("id_a", "id_b")
+      .join(rows.select(col(idCol).as("id_a"), col("s")), Seq("id_a"))
+      .join(rows.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // Materialized eagerly (the result is pair-sized) so every cache above
+    // is released before this function returns — no reliance on the
+    // ContextCleaner in long-running sessions, and callers get a
+    // lineage-free frame to iterate on (d6's cluster loop starts here).
+    val out = cands.join(inter, Seq("id_a", "id_b"))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true)
+    rows.unpersist(); prefix.unpersist(); cands.unpersist()
+    out
   }
 }

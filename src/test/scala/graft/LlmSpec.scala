@@ -103,6 +103,16 @@ class LlmSpec extends SparkSpec {
     assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("cluster representatives converge on a 50-node chain without a maxIters raise") {
+    // worst-case diameter graph: 1-2-3-…-50; pointer jumping spreads labels
+    // 2^rounds hops, so 50 hops needs ~6 rounds — well inside the default 10
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val reps = Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.size === 50)
+    assert(reps.values.toSet === Set(1L))
+  }
+
   test("exact dedup groups identical content under one keep id") {
     val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
       .toDF("doc_id", "text")
