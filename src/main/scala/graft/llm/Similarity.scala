@@ -53,18 +53,23 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component: fixed per (plane,
-    * dimension), uniform in [-1, 1) — md5-derived (the same fold as
-    * [[Hashing.hex32]]) so the "model" is reproducible without RNG state.
-    * Computed ONCE on the driver: the planes are data-independent
-    * constants, so they ship as literal arrays instead of per-row hash
-    * evaluations. */
-  private[graft] def planeComponentValue(plane: Int, dim: Int): Double = {
+  /** Deterministic pseudo-random unit-interval component: md5-derived (the
+    * same fold as [[Hashing.hex32]]) from a tag string, uniform in [-1, 1)
+    * — reproducible without RNG state, so the "model" (hyperplanes,
+    * centroids) is a pure function both engines can replay. */
+  private def hashComponent(tag: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"plane_${plane}_$dim".getBytes("UTF-8"))
+    val hex = md.digest(tag.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 8)
     java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
   }
+
+  /** Deterministic pseudo-random hyperplane component: fixed per (plane,
+    * dimension). Computed ONCE on the driver: the planes are
+    * data-independent constants, so they ship as literal arrays instead of
+    * per-row hash evaluations. */
+  private[graft] def planeComponentValue(plane: Int, dim: Int): Double =
+    hashComponent(s"plane_${plane}_$dim")
 
   /** The full component vector of one hyperplane — the same driver-side
     * constants [[lshBucket]] ships as literals, exposed so the DuckDB
@@ -99,6 +104,69 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_q"))
       .withColumn("_bkt", lshBucket(col("_q"), planes, dims))
     val scored = c.join(broadcast(q), Seq("_bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_v"), col("_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Unit-normalized deterministic IVF centroid for one cell — normalized
+    * on the driver so cell assignment reduces to an argmax of plain dot
+    * products. Exposed so the DuckDB oracle SQL is generated from the
+    * identical constants. */
+  private[graft] def unitCentroidVector(cell: Int, dims: Int): IndexedSeq[Double] = {
+    val raw = (0 until dims).map(d => hashComponent(s"ivf_${cell}_$d"))
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+
+  /** Per-vector projections onto all `nlist` unit centroids, as one array
+    * column. Kept in its OWN projection by callers — the fold lambdas are
+    * not "cheap" for CollapseProject, so Catalyst leaves the stage alone
+    * and the nlist dot products run once per row, not once per consumer. */
+  private def centroidProjections(vec: Column, nlist: Int, dims: Int): Column = {
+    val ps = array((0 until nlist).map { c =>
+      val w = typedlit(unitCentroidVector(c, dims))
+      aggregate(zip_with(vec, w, (x, wi) => x * wi), lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    when(size(vec) === dims, ps).otherwise(
+      raise_error(concat(lit(s"ivf: expected $dims-dim vector, got "),
+        size(vec).cast("string"))).cast("array<double>"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale shape:
+    * the corpus is partitioned ONCE into `nlist` cells by nearest centroid
+    * (argmax dot product against unit centroids; first-max ⇒ lowest cell on
+    * exact ties), and each query scores only the members of its `nProbe`
+    * highest-scoring cells. At 100 TB the cell id is a partition column:
+    * a query touches nProbe/nlist of the corpus, and the bucketed join
+    * shuffles candidates only. Centroids here are deterministic
+    * data-independent constants (reproducible across engines); swapping in
+    * trained k-means centroids changes only the literals. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nProbe: Int = 2,
+      dims: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_ps", centroidProjections(col("_v"), nlist, dims))
+      .withColumn("_cell",
+        (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
+      .drop("_ps")
+    // probe list per query: top-nProbe cells by projection, ties to the
+    // lower cell id (struct sorts (p desc, -cell desc) = (p desc, cell asc))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_q"))
+      .withColumn("_ps", centroidProjections(col("_q"), nlist, dims))
+      .withColumn("_probe", transform(
+        slice(sort_array(array((0 until nlist).map(cell =>
+          struct(element_at(col("_ps"), cell + 1).as("p"),
+            lit(-cell).as("nc"))): _*), asc = false), 1, nProbe),
+        s => -s.getField("nc")))
+      .select(col("query_id"), col("_q"), explode(col("_probe")).as("_cell"))
+    val scored = c.join(broadcast(q), Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("_v"), col("_q")))
     val w = Window.partitionBy(col("query_id"))

@@ -88,6 +88,18 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF approximate top-k — the partition-the-corpus ANN scale path
+    // (each query scores only its nProbe nearest centroid cells). The
+    // centroids are deterministic driver-side constants, so the DuckDB
+    // oracle replays the identical quantizer (generated below).
+    "a4_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nlist = 8, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding near-dup detection: three exact duplicates are planted
     // (vec_id + 100000); LSH bucketing must surface exactly those pairs at
     // cosine ≥ 0.99 (identical vectors share every bucket; the corpus's
@@ -200,6 +212,20 @@ object LlmQueries {
     s"(CASE WHEN ${duckPlaneProj(p)} >= 0 THEN ${1L << p} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** Projection of `v` onto IVF unit centroid `c` — literal doubles from
+    * [[Similarity.unitCentroidVector]], the exact constants the Spark plan
+    * embeds via `typedlit`. */
+  private def duckCentroidProj(c: Int): String = {
+    val comps = Similarity.unitCentroidVector(c, 64)
+      .map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, 65), i -> v[i] * ($comps)[i]))"
+  }
+
+  /** All 8 centroid projections as one list expression — mirrors the
+    * `_ps` array column in [[Similarity.ivfTopK]]. */
+  private val duckIvfProjs: String =
+    (0 until 8).map(duckCentroidProj).mkString("[", ", ", "]")
+
   private def duckList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -279,6 +305,30 @@ object LlmQueries {
                        (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
                         sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
                      FROM pb c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a4_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              qp AS (SELECT vec_id AS query_id, v AS qv, ps FROM pc WHERE vec_id < 5),
+              pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC) AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65), i -> c.v[i] * p.qv[i])) /
+                       (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(p.qv, x -> x*x)))) AS cos
+                     FROM cc c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id),
               r AS (SELECT query_id, neighbor_id,
                       row_number() OVER (PARTITION BY query_id
                                          ORDER BY cos DESC, neighbor_id) AS rn

@@ -78,6 +78,26 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("ivfTopK probes its own cell: identical vector ranks first; self excluded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 2)
+    val res = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    // an identical planted vector shares the query's argmax cell, which the
+    // query always probes (it is its own top-1 cell), so it must rank first
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(100001L))
+    val first = Similarity.ivfTopK(emb.unionByName(dup), q, "vec_id", "embedding", 5)
+      .filter(col("query_id") === 0 && col("rank") === 1).head()
+    assert(first.getAs[Long]("neighbor_id") === 100001L)
+    // a wrong-dimension vector raises instead of silently mis-bucketing
+    val bad = emb.limit(1).withColumn("embedding", slice(col("embedding"), 1, 8))
+    intercept[Exception] {
+      Similarity.ivfTopK(emb.unionByName(bad), q, "vec_id", "embedding", 5).count()
+    }
+  }
+
   test("multimodal decode plumbing: batch stub decode + frame sampling") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val feats = Multimodal.decodeFeatures(media)
