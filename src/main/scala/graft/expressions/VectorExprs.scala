@@ -1,0 +1,164 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native vector kernels for the embedding operators (SURVEY.md §2.11).
+  *
+  * The declarative forms (`aggregate(zip_with(...))` folds) are
+  * higher-order functions, which Catalyst evaluates INTERPRETED — one
+  * lambda dispatch per element per row. These expressions keep the same
+  * sequential summation order (bit-for-bit identical results, which the
+  * DuckDB oracles rely on) but run as tight JIT-compiled loops invoked
+  * once per row from whole-stage codegen — the "native Catalyst
+  * `Expression` beats a UDF beats everything else" rung of the custom-op
+  * preference order.
+  *
+  * Both kernels accept `array<float>` or `array<double>` input and widen
+  * floats to double per element, so callers no longer pre-cast with an
+  * interpreted `transform`.
+  */
+private[graft] object VectorKernels {
+  @inline def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+}
+
+/** Projects one vector onto every row of a constant matrix — shipped to
+  * executors once as a codegen reference object, not per-row literals. */
+final class MatVecKernel(val matrix: Array[Array[Double]], val floatInput: Boolean)
+    extends Serializable {
+  private val rows = matrix.length
+  private val dims = if (rows == 0) 0 else matrix(0).length
+
+  def project(v: ArrayData): ArrayData = {
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"matvec: expected $dims-dim vector, got ${v.numElements()}")
+    val out = new Array[Double](rows)
+    var p = 0
+    while (p < rows) {
+      val w = matrix(p)
+      var acc = 0.0
+      var d = 0
+      while (d < dims) {
+        acc += VectorKernels.elem(v, d, floatInput) * w(d)
+        d += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All projections of `child` (array<float|double>) onto the rows of a
+  * constant `matrix`, as `array<double>` — the shared kernel behind LSH
+  * plane signs and IVF cell assignment. A vector whose length differs
+  * from the matrix's column count raises (silent null-padding would drop
+  * every such vector into bucket 0 and turn bucketed joins all-pairs). */
+final case class MatVecProjections(child: Expression, matrix: Seq[IndexedSeq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"matvec_projections requires array<float|double>, got ${other.sql}")
+  }
+
+  private def floatInput: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val kernel =
+    new MatVecKernel(matrix.map(_.toArray).toArray, floatInput)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.project(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matvec",
+      new MatVecKernel(matrix.map(_.toArray).toArray, floatInput),
+      classOf[MatVecKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.project($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecProjections =
+    copy(child = newChild)
+}
+
+/** One-pass cosine kernel: dot product and both norms accumulate in a
+  * single loop, each in the same element order as the three separate
+  * folds it replaces — identical IEEE results, one pass instead of
+  * three. */
+final class CosineKernel(val floatLeft: Boolean, val floatRight: Boolean)
+    extends Serializable {
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch (${a.numElements()} vs ${b.numElements()})")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorKernels.elem(a, i, floatLeft)
+      val y = VectorKernels.elem(b, i, floatRight)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Cosine similarity of two vector columns (array<float|double>, widened
+  * to double), null if either side is null; dimension mismatch raises. */
+final case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<float|double> inputs, got ${l.sql}, ${r.sql}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val kernel = new CosineKernel(isFloat(left), isFloat(right))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosine",
+      new CosineKernel(isFloat(left), isFloat(right)),
+      classOf[CosineKernel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.cosine($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column API: projections of `vec` onto each matrix row. Stage the
+    * result in its own `withColumn` when consumed more than once — the
+    * kernel is non-cheap, so CollapseProject leaves the stage alone. */
+  def matvecProjections(vec: Column, matrix: Seq[IndexedSeq[Double]]): Column =
+    Bridge.column(MatVecProjections(Bridge.expression(vec), matrix))
+
+  /** Column API: cosine similarity of two vector columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.expressions.VectorExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,15 +24,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Elementwise dot product of two double-array columns (sequential fold —
-    * deterministic summation order). */
+    * deterministic summation order). Declarative reference form; the hot
+    * paths use the codegen [[graft.expressions.CosineSimilarity]] kernel,
+    * which accumulates in the identical element order. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Cosine similarity — native one-pass kernel (interpreted HOF folds
+    * replaced in r4; bit-identical results, ~3x fewer array passes and no
+    * per-element lambda dispatch). Accepts float or double arrays. */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -42,8 +46,8 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("_v"), col("_q")))
     val w = Window.partitionBy(col("query_id"))
@@ -77,32 +81,36 @@ object Similarity {
   private[graft] def planeVector(plane: Int, dims: Int): IndexedSeq[Double] =
     (0 until dims).map(planeComponentValue(plane, _))
 
+  /** Sign-pattern bits from a STAGED projections column (one bucket id
+    * per row). Kept separate from the projection kernel so the matvec
+    * runs once per row even though `planes` bits consume it. */
+  private def bucketFromPs(ps: Column, planes: Int): Column =
+    (0 until planes).map(p =>
+      when(element_at(ps, p + 1) >= 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+
   /** Sign-pattern LSH bucket id of a vector under `planes` hyperplanes of
     * dimensionality `dims`. A vector whose length differs from `dims`
-    * raises at runtime — zip_with would otherwise null-pad, silently
-    * dropping every such vector into bucket 0 and turning the bucketed
-    * join into an all-pairs product. */
-  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
-    val bucket = (0 until planes).map { p =>
-      val w = typedlit((0 until dims).map(planeComponentValue(p, _)))
-      val proj = aggregate(zip_with(vec, w, (x, wi) => x * wi),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-    when(size(vec) === dims, bucket).otherwise(
-      raise_error(concat(lit(s"lshBucket: expected $dims-dim vector, got "),
-        size(vec).cast("string"))).cast("long"))
-  }
+    * raises inside the kernel — silent null-padding would drop every such
+    * vector into bucket 0 and turn the bucketed join into an all-pairs
+    * product. Single-Column convenience; the operators below stage the
+    * projections in their own column instead. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    bucketFromPs(
+      VectorExprs.matvecProjections(vec, (0 until planes).map(planeVector(_, dims))),
+      planes)
 
   /** Approximate top-k: score only same-bucket candidates. Recall is
     * tunable via `planes` (fewer planes ⇒ bigger buckets ⇒ higher recall,
     * more compute). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v"))
-      .withColumn("_bkt", lshBucket(col("_v"), planes, dims))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_q"))
-      .withColumn("_bkt", lshBucket(col("_q"), planes, dims))
+    val planeMat = (0 until planes).map(planeVector(_, dims))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .withColumn("_ps", VectorExprs.matvecProjections(col("_v"), planeMat))
+      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+      .withColumn("_ps", VectorExprs.matvecProjections(col("_q"), planeMat))
+      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
     val scored = c.join(broadcast(q), Seq("_bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("_v"), col("_q")))
@@ -124,18 +132,12 @@ object Similarity {
   }
 
   /** Per-vector projections onto all `nlist` unit centroids, as one array
-    * column. Kept in its OWN projection by callers — the fold lambdas are
-    * not "cheap" for CollapseProject, so Catalyst leaves the stage alone
-    * and the nlist dot products run once per row, not once per consumer. */
-  private def centroidProjections(vec: Column, nlist: Int, dims: Int): Column = {
-    val ps = array((0 until nlist).map { c =>
-      val w = typedlit(unitCentroidVector(c, dims))
-      aggregate(zip_with(vec, w, (x, wi) => x * wi), lit(0.0), (acc, x) => acc + x)
-    }: _*)
-    when(size(vec) === dims, ps).otherwise(
-      raise_error(concat(lit(s"ivf: expected $dims-dim vector, got "),
-        size(vec).cast("string"))).cast("array<double>"))
-  }
+    * column (native matvec kernel; dimension mismatch raises inside it).
+    * Kept in its OWN projection by callers — the kernel is not "cheap"
+    * for CollapseProject, so Catalyst leaves the stage alone and the
+    * nlist dot products run once per row, not once per consumer. */
+  private def centroidProjections(vec: Column, nlist: Int, dims: Int): Column =
+    VectorExprs.matvecProjections(vec, (0 until nlist).map(unitCentroidVector(_, dims)))
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale shape:
     * the corpus is partitioned ONCE into `nlist` cells by nearest centroid
@@ -151,14 +153,14 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     require(nProbe >= 1 && nProbe <= nlist,
       s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
       .withColumn("_ps", centroidProjections(col("_v"), nlist, dims))
       .withColumn("_cell",
         (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
       .drop("_ps")
     // probe list per query: top-nProbe cells by projection, ties to the
     // lower cell id (struct sorts (p desc, -cell desc) = (p desc, cell asc))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_q"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
       .withColumn("_ps", centroidProjections(col("_q"), nlist, dims))
       .withColumn("_probe", transform(
         slice(sort_array(array((0 until nlist).map(cell =>
@@ -180,8 +182,10 @@ object Similarity {
     * bucketing (same-bucket candidates only — never all pairs). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 6, dims: Int = 64): DataFrame = {
-    val v = df.select(col(idCol).as("_eid"), asDouble(col(vecCol)).as("_v"))
-      .withColumn("_bkt", lshBucket(col("_v"), planes, dims))
+    val v = df.select(col(idCol).as("_eid"), col(vecCol).as("_v"))
+      .withColumn("_ps", VectorExprs.matvecProjections(col("_v"),
+        (0 until planes).map(planeVector(_, dims))))
+      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
     val a = v.select(col("_bkt"), col("_eid").as("id_a"), col("_v").as("v_a"))
     val b = v.select(col("_bkt"), col("_eid").as("id_b"), col("_v").as("v_b"))
     a.join(b, Seq("_bkt")).filter(col("id_a") < col("id_b"))
