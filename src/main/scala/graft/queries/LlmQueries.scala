@@ -64,6 +64,14 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // MinHash-LSH near-dup PAIRS (band bucket-join + exact Jaccard
+    // verify ≥ 0.8) — the full LSH pipeline end-to-end; the oracle
+    // replays the same 16 permutations and 4 bands.
+    "d8_minhash_neardup" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id", 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Brute-force cosine top-10 for 5 query vectors (ids only — float
     // summation-order at the rank boundary is the one nondeterminism
     // between engines, so scores stay out of the compared output).
@@ -192,7 +200,7 @@ object LlmQueries {
   private def duckSig(j: Int): String =
     s"list_min(list_transform(sh, s -> ${duckPermute(duckHex32("s"), j)})) AS sig_$j"
 
-  private val duckSimhash: String = (0 until 16).map { b =>
+  private def duckSimhash(bits: Int): String = (0 until bits).map { b =>
     val bit = 1L << b
     s"CASE WHEN sum(CASE WHEN (hv // $bit) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN $bit ELSE 0 END"
   }.mkString("(", " + ", ")")
@@ -278,8 +286,31 @@ object LlmQueries {
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok
                         FROM documents),
               h AS (SELECT doc_id, ${duckHex32("tok")} AS hv FROM toks)
-          SELECT doc_id, $duckSimhash AS simhash
+          SELECT doc_id, ${duckSimhash(16)} AS simhash
           FROM h GROUP BY doc_id ORDER BY doc_id""",
+    "d8_minhash_neardup" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              sig AS (SELECT doc_id, sh,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              bands AS (
+                ${(0 until 4).map(b =>
+                  s"SELECT doc_id, $b AS b, concat_ws('_', sig_${4*b}, sig_${4*b+1}, sig_${4*b+2}, sig_${4*b+3}) AS bucket FROM sig")
+                  .mkString("\n                UNION ALL\n                ")}),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM bands a JOIN bands b
+                         ON a.b = b.b AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id)
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+          ORDER BY id_a, id_b""",
     "a1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
