@@ -172,6 +172,19 @@ object EngineQueries {
 
     // F5: multimatch — one result column per spec; a tuple spec yields the
     // list of ALL its sub-results (retools/_retools.py:62-66), stringified
+    // W1: tumbling-window event rollup — the SAME StreamOps transform the
+    // streaming path runs with a watermark (StreamOpsSpec); batch execution
+    // here lets the DuckDB oracle certify the window semantics. `ts` is
+    // TIMESTAMP(NANOS) parquet read as LONG nanos (nanosAsLong); integer
+    // DIV before building the timestamp — double division would lose
+    // precision above 2^53 ns.
+    "w1_event_windows" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_t", expr("timestamp_seconds(ts div 1000000000)"))
+      graft.streaming.StreamOps.windowedEventStats(ev, "ts_t", 3600)
+        .orderBy("window_start", "event_type")
+    }),
+
     // with a null sentinel for the driver compare.
     "f5_multimatch" -> ((s, dir) => {
       val specs = Seq(
@@ -191,6 +204,12 @@ object EngineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "w1_event_windows" ->
+      """SELECT ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS window_start,
+                event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q2_entity_assembly" ->
       """WITH files AS (
            SELECT DISTINCT l_orderkey, l_linenumber,

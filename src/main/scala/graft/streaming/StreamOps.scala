@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over event/document streams — the
+  * `readStream → transform → writeStream` surface of the engine
+  * (SURVEY.md §2.9's streaming variant; north-star: watermarks + windowed
+  * aggregations + `flatMapGroupsWithState` custom state).
+  *
+  * Every transform here is defined on a plain DataFrame/Dataset, so the
+  * SAME code runs in batch (where the driver's DuckDB oracle certifies
+  * the semantics — `w1_event_windows`) and on a stream (where
+  * StreamOpsSpec drives it through MemoryStream micro-batches with a
+  * watermark). That batch/stream unification is the point of Structured
+  * Streaming: one logical plan, two execution modes.
+  */
+object StreamOps {
+
+  /** One document on the ingest stream. */
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Tumbling-window event rollup: count + exact integer cents total per
+    * (window, event_type).
+    *
+    * `tsCol` must be a TimestampType column. On a streaming input, pass
+    * `watermark` (e.g. `"10 minutes"`) to bound state: windows older than
+    * the watermark are finalized, emitted (Append mode) and dropped —
+    * state size is O(active windows), not O(stream length). On batch
+    * input leave it None; the aggregation is identical.
+    *
+    * The money sum is `round(value·100)` summed as LONG — double
+    * summation order differs between engines (and between Spark partial
+    * aggregation layouts), so a hash-stable result must sum exact
+    * integers. `window_start` is emitted as epoch seconds (windows are
+    * epoch-aligned, timezone-free). */
+  def windowedEventStats(events: DataFrame, tsCol: String,
+      windowSeconds: Int, watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    base
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds").as("_w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(unix_timestamp(col("_w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+  }
+
+  /** Streaming exact dedup — first-seen-wins per content hash, the
+    * dedup-on-ingest counterpart of [[graft.llm.Dedup.exactDedup]].
+    *
+    * `flatMapGroupsWithState` keyed by md5(text): per-key state is a
+    * single boolean ("seen"); the first document of a key (within and
+    * across micro-batches — state is checkpointed) is emitted, every
+    * later copy is dropped. Emission order within a batch keeps the
+    * lowest doc_id (deterministic under shuffled group iterators).
+    * State is O(distinct contents); at corpus scale bound it with a
+    * `GroupStateTimeout` eviction policy if re-ingest windows allow. */
+  def streamingDedup(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(Option(d.text).getOrElse("").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+  }
+}
