@@ -53,18 +53,23 @@ object EngineQueries {
 
     // §2.7 list merge matrix as data: created-mode append-uniques and
     // deleted-mode remove-all-matching over per-order line-number lists.
+    // Both sides come from ONE aggregation pass (conditional collect_list
+    // per branch; empty → null replays the old full-outer semantics) —
+    // the r3 shape aggregated twice and full-outer-joined, which cost a
+    // second shuffle plus a join for data that shares one grouping key.
     "m1_list_merge" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      def lst(f: DataFrame) = f.groupBy(col("l_orderkey")).agg(
-        array_distinct(transform(
-          array_sort(collect_list(struct(col("l_linenumber").as("o"),
-            col("l_linenumber").cast("string").as("v")))),
-          x => x.getField("v"))).as("vals"))
-      val old = lst(li.filter(col("l_linenumber") <= 4))
-        .withColumnRenamed("vals", "old")
-      val nw = lst(li.filter(col("l_linenumber").between(3, 7)))
-        .withColumnRenamed("vals", "nw")
-      val j = old.join(nw, Seq("l_orderkey"), "full_outer")
+      def condList(cond: org.apache.spark.sql.Column) = {
+        val arr = array_distinct(transform(
+          array_sort(collect_list(when(cond,
+            struct(col("l_linenumber").as("o"),
+              col("l_linenumber").cast("string").as("v"))))),
+          x => x.getField("v")))
+        when(size(arr) > 0, arr)
+      }
+      val j = li.groupBy(col("l_orderkey")).agg(
+        condList(col("l_linenumber") <= 4).as("old"),
+        condList(col("l_linenumber").between(3, 7)).as("nw"))
       val c = FieldMerge.listCreated(col("old"), col("nw")).value
       val d = FieldMerge.listDeleted(col("old"), col("nw")).value
       j.select(col("l_orderkey"),
