@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{PatternAlt, RegexFirstMatch}
+import graft.expressions.{CosineSimilarity, PatternAlt, RegexFirstMatch}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -24,6 +24,13 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("regex_first_match"),
       new ExpressionInfo(classOf[RegexFirstMatch].getName, "regex_first_match"),
       (args: Seq[Expression]) => GraftExtensions.buildRegexFirstMatch(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: cosine_sim(vec_a, vec_b)")
+        CosineSimilarity(args(0), args(1))
+      }))
   }
 }
 

@@ -21,6 +21,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("w1 scan prunes events columns to the three it aggregates") {
+    val plan = SparkEntry.queries("w1_event_windows")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("props") && !rs.contains("user_id") &&
+        !rs.contains("event_id"),
+        s"w1 reads pruned columns: $rs")
+    }
+  }
+
   test("scans prune columns: no query reads a full-width lineitem row") {
     // representative check: q2 only needs the three columns it synthesizes
     // the file name from

@@ -1,0 +1,77 @@
+package graft
+
+import graft.expressions.VectorExprs
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** Vector-kernel expression specs: the native kernels must be
+  * bit-identical to the declarative HOF folds they replaced (same
+  * sequential summation order — the DuckDB oracles depend on it), run
+  * inside whole-stage codegen, and be reachable from SQL. */
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine kernel == declarative fold, bit for bit, on float input") {
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")),
+        col("a") === col("b") - 1)
+    val asDouble = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast("double"))
+    val declarative = Similarity.dot(asDouble(col("va")), asDouble(col("vb"))) /
+      (sqrt(Similarity.dot(asDouble(col("va")), asDouble(col("va")))) *
+       sqrt(Similarity.dot(asDouble(col("vb")), asDouble(col("vb")))))
+    val rows = pairs.select(
+        VectorExprs.cosineSim(col("va"), col("vb")).as("k"),
+        declarative.as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("matvec kernel == per-plane declarative folds") {
+    val mat = (0 until 4).map(p => (0 until 64).map(d => (p * 64 + d) * 0.01))
+    val declarative = mat.map { w =>
+      val wl = typedlit(w)
+      aggregate(zip_with(transform(col("embedding"), x => x.cast("double")), wl,
+        (x, wi) => x * wi), lit(0.0), (acc, x) => acc + x)
+    }
+    val rows = emb.limit(50).select(
+        VectorExprs.matvecProjections(col("embedding"), mat).as("k"),
+        array(declarative: _*).as("d"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+    }
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    val plan = emb.select(
+        VectorExprs.cosineSim(col("embedding"), col("embedding")).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosinesimilarity"))
+  }
+
+  test("cosine_sim registered as a SQL function") {
+    emb.limit(10).createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_v")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.length === 10)
+    viaSql.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("dimension mismatch raises, wrong element type fails analysis") {
+    val bad = emb.limit(1).select(slice(col("embedding"), 1, 8).as("v"),
+      col("embedding").as("w"))
+    intercept[Exception] {
+      bad.select(VectorExprs.cosineSim(col("v"), col("w"))).collect()
+    }
+    intercept[Exception] {
+      emb.limit(1).select(VectorExprs.cosineSim(col("vec_id"), col("embedding")))
+        .collect()
+    }
+  }
+}
