@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: chunking for context-window packing and
+  * deterministic stratified mix sampling — the steps between "deduped
+  * documents" and "training batches" in an LLM data pipeline.
+  *
+  * Both are pure row-local Column algebra (explode + slice / hash
+  * threshold): no shuffle beyond what the caller's sink needs, embarrassing
+  * parallelism at any corpus size, and fully deterministic — the sampling
+  * decision is a hash of (stratum, id), not an RNG, so a re-run over 100 TB
+  * reproduces the identical mix (and the DuckDB oracle replays it). */
+object Corpus {
+
+  /** Split each document into fixed-size token chunks with overlap.
+    *
+    * Chunk starts advance by `chunkSize - overlap`; a start beyond
+    * `n - overlap` would contain only tokens the previous chunk already
+    * covers, so generation stops there (the final chunk may be shorter
+    * than `chunkSize`, never fully redundant).
+    *
+    * @return (idCol, chunk_idx: 0-based, n_tokens, chunk: String)
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, s"chunkSize ($chunkSize) must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap ($overlap) must be in [0, chunkSize=$chunkSize)")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+      .select(col(idCol), col("_tk"), size(col("_tk")).as("_n"),
+        explode(sequence(lit(1),
+          greatest(lit(1), size(col("_tk")) - overlap), lit(stride))).as("_s"))
+      .select(col(idCol),
+        ((col("_s") - 1) / stride).cast("long").as("chunk_idx"),
+        least(lit(chunkSize), col("_n") - col("_s") + 1).cast("long").as("n_tokens"),
+        array_join(slice(col("_tk"), col("_s"), lit(chunkSize)), " ").as("chunk"))
+  }
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff the
+    * portable 32-bit hash of `stratum:id` falls under the stratum's rate
+    * threshold. Rates are exact long thresholds computed once on the
+    * driver, so engines agree bit-for-bit; `defaultRate` applies to
+    * strata not listed. This is how a training mix is weighted by source
+    * at scale — no RNG state, no shuffle, reproducible and resumable. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"sampling rate $r outside [0, 1]"))
+    def threshold(r: Double): Long = (r * 4294967296.0).toLong
+    val thresh = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(threshold(v))).otherwise(acc)
+    }
+    val h = Hashing.hex32(
+      concat(col(strataCol), lit(":"), col(idCol).cast("string")))
+    df.filter(h < thresh)
+  }
+}

@@ -160,6 +160,28 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Context-window chunking: 64-token chunks, 16-token overlap. Chunk
+    // content is compared by md5 (exact string identity without shipping
+    // full text through the comparator).
+    "x6_chunks" -> ((s, dir) => {
+      Corpus.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+          chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Deterministic stratified mix sample: per-source keep rates via a
+    // portable hash threshold — the training-mix weighting shape, exactly
+    // reproducible across engines and re-runs.
+    "x7_mix_sample" -> ((s, dir) => {
+      Corpus.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.1),
+          defaultRate = 0.25)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (decode plumbing
     // itself is Dataset-level, see Multimodal.scala + MultimodalSpec).
     "mm1_binary_meta" -> ((s, dir) => {
@@ -406,6 +428,28 @@ object LlmQueries {
                       (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0) AS sum_quality,
                  count(DISTINCT lang) AS n_langs
           FROM ws GROUP BY source ORDER BY source""",
+    "x6_chunks" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),
+              c AS (SELECT doc_id, n, w,
+                      unnest(range(1, greatest(1, n - 16) + 1, 48)) AS s
+                    FROM st)
+          SELECT doc_id,
+                 CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+                 CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens,
+                 md5(array_to_string(list_slice(w, s, s + 63), ' ')) AS chunk_md5
+          FROM c ORDER BY doc_id, chunk_idx""",
+    "x7_mix_sample" -> {
+      def th(r: Double): Long = (r * 4294967296.0).toLong
+      s"""SELECT doc_id, source FROM documents
+          WHERE ${duckHex32("source || ':' || CAST(doc_id AS VARCHAR)")} <
+                CASE source WHEN 'src0' THEN ${th(1.0)}
+                            WHEN 'src1' THEN ${th(0.75)}
+                            WHEN 'src2' THEN ${th(0.5)}
+                            WHEN 'src3' THEN ${th(0.1)}
+                            ELSE ${th(0.25)} END
+          ORDER BY doc_id"""
+    },
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

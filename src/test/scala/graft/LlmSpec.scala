@@ -133,6 +133,40 @@ class LlmSpec extends SparkSpec {
     assert(reps.values.toSet === Set(1L))
   }
 
+  test("chunking covers every token once per stride, no redundant tail") {
+    // 10 tokens, size 4, overlap 2 → starts 1,3,5,7; chunk 7 reaches the
+    // end; a start at 9 would be fully covered by chunk 7 and must not
+    // appear
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Corpus.chunkDocuments(d, "text", "doc_id", 4, 2)
+      .orderBy("chunk_idx").collect()
+    assert(rows.map(_.getAs[Long]("chunk_idx")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getAs[String]("chunk")).toSeq === Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(rows.map(_.getAs[Long]("n_tokens")).toSeq === Seq(4L, 4L, 4L, 4L))
+    // a doc shorter than one chunk yields exactly one short chunk
+    val short = Corpus.chunkDocuments(
+      Seq((2L, "a b")).toDF("doc_id", "text"), "text", "doc_id", 4, 2).collect()
+    assert(short.length === 1 && short.head.getAs[Long]("n_tokens") === 2L)
+  }
+
+  test("stratified sample keeps rate-1.0 strata fully, rate-0 strata empty") {
+    val d = docs.select(col("doc_id"), col("source"), col("text"))
+    val out = Corpus.stratifiedSample(d, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") === totals("src0"))
+    assert(!bySource.contains("src1"))
+    // deterministic: the same call returns the identical sample
+    val again = Corpus.stratifiedSample(d, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("exact dedup groups identical content under one keep id") {
     val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
       .toDF("doc_id", "text")
