@@ -113,24 +113,42 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified with exact
-    * Jaccard over shingles ≥ `threshold`. The verify join only touches
-    * candidate ids — at 100 TB the candidate set is orders of magnitude
-    * smaller than all pairs. */
+    * Jaccard ≥ `threshold`.
+    *
+    * One shingle pass feeds BOTH stages (signatures and verification) via
+    * a persist with deterministic release, and verification touches
+    * candidate docs only: intersection sizes come from a codegen
+    * (doc, shingle) equi-join + count restricted to the candidate pair
+    * set — at 100 TB nothing here is quadratic in the corpus and nothing
+    * non-candidate reaches the expensive stages. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3)
       : DataFrame = {
-    val sigs = minhashSignature(df, textCol, idCol, numHashes, k)
-    val cands = lshCandidates(sigs, idCol, numHashes, bands)
-    val sh = shingleSets(df, textCol, idCol, k)
-      .select(col(idCol).as("_sid"), col("sh").as("_sh"))
-    cands
-      .join(sh.select(col("_sid").as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("_sid").as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1] — the verify join counts " +
+      "shared shingles, so only positive thresholds are expressible")
+    val rows = shingleRows(df, textCol, idCol, k).persist()
+    val sigs = rows.withColumn("_h", Hashing.hex32(col("s")))
+      .groupBy(col(idCol)).agg(
+        min(Hashing.permute(col("_h"), 0)).as("sig_0"),
+        (1 until numHashes).map(j =>
+          min(Hashing.permute(col("_h"), j)).as(s"sig_$j")): _*)
+    val cands = lshCandidates(sigs, idCol, numHashes, bands).persist()
+    val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val inter = cands
+      .join(rows.select(col(idCol).as("id_a"), col("s")), Seq("id_a"))
+      .join(rows.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val out = cands.join(inter, Seq("id_a", "id_b"))
+      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true)
+    rows.unpersist(); cands.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------
