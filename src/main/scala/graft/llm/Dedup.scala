@@ -193,16 +193,22 @@ object Dedup {
       struct(lit(b).as("band"),
         (shiftright(col("_sig"), start) % (1L << width)).as("bucket"))
     }
+    // the signature aggregation feeds both self-join sides — persist so
+    // the token-explode + vote pipeline runs once (exchange reuse is not
+    // guaranteed under AQE), released deterministically below
     val exploded = sigs.select(col("_sid"), col("_sig"),
-      explode(array(bandCols: _*)).as("bk"))
+      explode(array(bandCols: _*)).as("bk")).persist()
     val a = exploded.select(col("_sid").as("id_a"), col("_sig").as("sig_a"), col("bk"))
     val b = exploded.select(col("_sid").as("id_b"), col("_sig").as("sig_b"), col("bk"))
     val hamming = (0 until bits).map(i =>
       when(shiftright(col("sig_a"), i) % 2 =!= shiftright(col("sig_b"), i) % 2, 1)
         .otherwise(0)).reduce(_ + _)
-    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+    val out = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    exploded.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------

@@ -182,15 +182,21 @@ object Similarity {
     * bucketing (same-bucket candidates only — never all pairs). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 6, dims: Int = 64): DataFrame = {
+    // bucketed corpus feeds both self-join sides — persist so the scan +
+    // matvec bucketing runs once, released after the eager result
     val v = df.select(col(idCol).as("_eid"), col(vecCol).as("_v"))
       .withColumn("_ps", VectorExprs.matvecProjections(col("_v"),
         (0 until planes).map(planeVector(_, dims))))
       .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+      .persist()
     val a = v.select(col("_bkt"), col("_eid").as("id_a"), col("_v").as("v_a"))
     val b = v.select(col("_bkt"), col("_eid").as("id_b"), col("_v").as("v_b"))
-    a.join(b, Seq("_bkt")).filter(col("id_a") < col("id_b"))
+    val out = a.join(b, Seq("_bkt")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos").distinct()
+      .localCheckpoint(true)
+    v.unpersist()
+    out
   }
 }
