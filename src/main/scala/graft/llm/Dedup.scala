@@ -128,11 +128,15 @@ object Dedup {
       s"threshold ($threshold) must be in (0, 1] — the verify join counts " +
       "shared shingles, so only positive thresholds are expressible")
     val rows = shingleRows(df, textCol, idCol, k).persist()
+    // persisted: the band self-join inside lshCandidates consumes the
+    // signature relation twice, and re-aggregating per side would repeat
+    // the groupBy shuffle
     val sigs = rows.withColumn("_h", Hashing.hex32(col("s")))
       .groupBy(col(idCol)).agg(
         min(Hashing.permute(col("_h"), 0)).as("sig_0"),
         (1 until numHashes).map(j =>
           min(Hashing.permute(col("_h"), j)).as(s"sig_$j")): _*)
+      .persist()
     val cands = lshCandidates(sigs, idCol, numHashes, bands).persist()
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = cands
@@ -147,7 +151,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .localCheckpoint(true)
-    rows.unpersist(); cands.unpersist()
+    rows.unpersist(); sigs.unpersist(); cands.unpersist()
     out
   }
 
