@@ -150,4 +150,53 @@ object TextAnalysis {
     fps.join(df.select(col(idCol), md5(col(textCol)).as("content_md5")), idCol)
       .select(idCol, "fp", "content_md5")
   }
+
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every token k-gram, slide a window of `window` consecutive hashes,
+    * select each window's minimum (rightmost on ties — the robust
+    * variant), and emit the distinct selections. The guarantee: any
+    * shared substring of length ≥ window + k - 1 tokens yields a shared
+    * fingerprint, and consecutive selected positions are at most `window`
+    * apart — position-robust overlap detection, not just whole-doc
+    * identity.
+    *
+    * Execution shape: positional k-gram hashes stay codegen'd (explode +
+    * element_at, no HOF), and the per-window rightmost-min is ONE sliding
+    * window aggregate — (hash, rightmost position) is packed into a
+    * single long (`hash·2^22 + (2^22-1-pos)`) so the selection is a plain
+    * `min` both here and in the DuckDB oracle, bit-identical. Positions
+    * must fit 22 bits (4M tokens/doc); larger rows raise rather than
+    * silently corrupting fingerprints.
+    *
+    * @return (idCol, fp: selected hash, fp_pos: 1-based k-gram position)
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int = 3, window: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0 && window > 0, s"k ($k) and window ($window) must be positive")
+    val posLimit = 1L << 22
+    val grams = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= k)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(1), size(col("_tk")) - (k - 1))).as("pos"))
+      .select(col(idCol), col("pos"),
+        Hashing.hex32(concat_ws(" ",
+          (0 until k).map(j => element_at(col("_tk"), col("pos") + j)): _*)).as("_h"))
+    val keyed = grams.withColumn("_key",
+      when(col("pos") < posLimit,
+        col("_h") * posLimit + (lit(posLimit - 1) - col("pos")))
+      .otherwise(raise_error(lit(
+        s"winnowFingerprints: document exceeds $posLimit k-gram positions"))
+        .cast("long")))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    keyed.withColumn("_sel", min(col("_key")).over(frame))
+      .filter(col("pos") >= window) // full windows only
+      .select(col(idCol),
+        shiftright(col("_sel"), 22).as("fp"),
+        (lit(posLimit - 1) - col("_sel") % posLimit).as("fp_pos"))
+      .distinct()
+  }
 }

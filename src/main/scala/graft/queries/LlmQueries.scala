@@ -160,6 +160,15 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Winnowing fingerprints (Schleimer et al., SIGMOD 2003): per-doc
+    // selected (hash, position) pairs — position-robust overlap detection.
+    // The oracle replays the identical packed-long window-min selection.
+    "x8_winnow" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+          "text", "doc_id", k = 3, window = 4)
+        .orderBy("doc_id", "fp_pos", "fp")
+    }),
+
     // Context-window chunking: 64-token chunks, 16-token overlap. Chunk
     // content is compared by md5 (exact string identity without shipping
     // full text through the comparator).
@@ -428,6 +437,21 @@ object LlmQueries {
                       (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0) AS sum_quality,
                  count(DISTINCT lang) AS n_langs
           FROM ws GROUP BY source ORDER BY source""",
+    "x8_winnow" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) >= 3),
+              g AS (SELECT doc_id, w, unnest(range(1, n - 1)) AS pos FROM st),
+              h AS (SELECT doc_id, pos,
+                      ${duckHex32("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")} AS hv
+                    FROM g),
+              e AS (SELECT doc_id, pos, hv * 4194304 + (4194303 - pos) AS key FROM h),
+              sel AS (SELECT doc_id, pos,
+                        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+                      FROM e)
+          SELECT DISTINCT doc_id, s // 4194304 AS fp,
+                 4194303 - (s % 4194304) AS fp_pos
+          FROM sel WHERE pos >= 4 ORDER BY doc_id, fp_pos, fp""",
     "x6_chunks" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),

@@ -167,6 +167,25 @@ class LlmSpec extends SparkSpec {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("winnowing: gap guarantee, determinism, position-robust overlap") {
+    val text = (1 to 60).map(i => s"w${i % 17}").mkString(" ")
+    val d = Seq((1L, text), (2L, text), (3L, "pad pad pad pad " + text))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, "text", "doc_id", 3, 4)
+    val byDoc = fps.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    // identical docs select identical fingerprints
+    assert(byDoc(1L) === byDoc(2L))
+    // winnowing guarantee: consecutive selected positions are <= window apart
+    val poss = byDoc(1L).map(_._2).toSeq.sorted
+    poss.zip(poss.tail).foreach { case (a, b) => assert(b - a <= 4) }
+    // position robustness: the shifted copy shares (almost all) hash values
+    val h1 = byDoc(1L).map(_._1)
+    val h3 = byDoc(3L).map(_._1)
+    assert((h1 intersect h3).size >= h1.size / 2)
+  }
+
   test("exact dedup groups identical content under one keep id") {
     val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
       .toDF("doc_id", "text")
