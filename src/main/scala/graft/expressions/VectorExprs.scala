@@ -24,8 +24,15 @@ import org.apache.spark.sql.types._
   * interpreted `transform`.
   */
 private[graft] object VectorKernels {
-  @inline def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
+  /** Element read with a null guard: a null slot would otherwise read as
+    * raw 0.0 bits and silently corrupt every downstream score/bucket, so
+    * it raises like a dimension mismatch does. */
+  @inline def elem(v: ArrayData, i: Int, isFloat: Boolean): Double = {
+    if (v.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"vector kernel: null element at index $i — embeddings must be dense")
     if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+  }
 }
 
 /** Projects one vector onto every row of a constant matrix — shipped to

@@ -54,8 +54,13 @@ object Corpus {
     val thresh = rates.foldLeft(lit(threshold(defaultRate))) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(threshold(v))).otherwise(acc)
     }
+    // null stratum falls under defaultRate (the when-chain already falls
+    // through); the hash key coalesces it to "" so the row isn't silently
+    // dropped by a null concat. A null id is a data error, not a stratum —
+    // those rows still drop (and the caller's key column should be
+    // non-null anyway).
     val h = Hashing.hex32(
-      concat(col(strataCol), lit(":"), col(idCol).cast("string")))
+      concat(coalesce(col(strataCol), lit("")), lit(":"), col(idCol).cast("string")))
     df.filter(h < thresh)
   }
 }

@@ -78,9 +78,16 @@ object Dedup {
     * exploded so the md5 runs codegen'd once per shingle; the signature is
     * `numHashes` plain `min` aggregates in one groupBy. */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 16, k: Int = 3): DataFrame = {
-    val sh = shingleRows(df, textCol, idCol, k)
-      .withColumn("_h", Hashing.hex32(col("s")))
+      numHashes: Int = 16, k: Int = 3): DataFrame =
+    signatureFromShingleRows(shingleRows(df, textCol, idCol, k), idCol, numHashes)
+
+  /** The signature aggregation stage alone, for callers that already hold
+    * (and typically cache) the shingle relation — ONE definition of the
+    * permutation scheme shared by [[minhashSignature]] and
+    * [[minhashNearDups]], so d2 and d8 cannot silently diverge. */
+  private def signatureFromShingleRows(rows: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val sh = rows.withColumn("_h", Hashing.hex32(col("s")))
     sh.groupBy(col(idCol)).agg(
       min(Hashing.permute(col("_h"), 0)).as("sig_0"),
       (1 until numHashes).map(j =>
@@ -131,12 +138,7 @@ object Dedup {
     // persisted: the band self-join inside lshCandidates consumes the
     // signature relation twice, and re-aggregating per side would repeat
     // the groupBy shuffle
-    val sigs = rows.withColumn("_h", Hashing.hex32(col("s")))
-      .groupBy(col(idCol)).agg(
-        min(Hashing.permute(col("_h"), 0)).as("sig_0"),
-        (1 until numHashes).map(j =>
-          min(Hashing.permute(col("_h"), j)).as(s"sig_$j")): _*)
-      .persist()
+    val sigs = signatureFromShingleRows(rows, idCol, numHashes).persist()
     val cands = lshCandidates(sigs, idCol, numHashes, bands).persist()
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = cands
@@ -259,6 +261,12 @@ object Dedup {
       // itself (rep → rep's rep), doubling propagation distance per round;
       // the two `stepped` scans are the same subplan, so the exchange is
       // planned once and reused (ReusedExchange), not computed twice.
+      // per-round localCheckpoint: the lineage CUT is what keeps planning
+      // time flat across rounds (the r3 regression). The checkpointed
+      // blocks are label-table-sized (pair graph, orders of magnitude
+      // smaller than any corpus) and are reclaimed by the ContextCleaner
+      // when the previous round's frame drops out of scope — unlike the
+      // corpus-sized caches elsewhere, which are released explicitly.
       val next = stepped.join(
           stepped.select(col("id").as("rep"), col("rep").as("_rep2")),
           Seq("rep"), "left")
@@ -312,11 +320,19 @@ object Dedup {
     // prefix feeds both self-join sides — persist so frequency windows run
     // once (exchange reuse is not guaranteed under AQE). `_n` (doc shingle
     // count) rides along for the length filter and the Jaccard denominator.
+    // Both pruning conditions below are NECESSARY conditions computed in
+    // floating point from an exact-integer bound, so each gets an epsilon
+    // of slop toward ADMITTING more candidates: without it, n·t landing an
+    // ulp above the true integer product (e.g. 100·0.55 = 55.000000000007)
+    // would shorten a prefix / drop an exact-boundary pair and break the
+    // operator's exactness. Slop only ever costs a few extra candidates,
+    // which the exact verify screens out.
+    val eps = 1e-9
     val prefix = rows
       .withColumn("_f", count(lit(1)).over(wS))
       .withColumn("_rn", row_number().over(wDord))
       .withColumn("_n", count(lit(1)).over(wD))
-      .filter(col("_rn") <= col("_n") - ceil(col("_n") * threshold) + 1)
+      .filter(col("_rn") <= col("_n") - ceil(col("_n") * threshold - eps) + 1)
       .select(col(idCol).as("_did"), col("s"), col("_n"))
       .persist()
     // Candidate pairs, with the LENGTH FILTER applied inside the join:
@@ -326,7 +342,8 @@ object Dedup {
     val cands = prefix.select(col("s"), col("_did").as("id_a"), col("_n").as("n_a"))
       .join(prefix.select(col("s"), col("_did").as("id_b"), col("_n").as("n_b")), Seq("s"))
       .filter(col("id_a") < col("id_b") &&
-        col("n_b") * threshold <= col("n_a") && col("n_a") * threshold <= col("n_b"))
+        col("n_b") * threshold <= col("n_a") + eps &&
+        col("n_a") * threshold <= col("n_b") + eps)
       .select("id_a", "id_b", "n_a", "n_b").distinct()
       .persist()
     // Exact |A∩B| per candidate pair WITHOUT materializing shingle sets:

@@ -192,8 +192,14 @@ object TextAnalysis {
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(window - 1), 0)
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    // full windows only — EXCEPT docs with fewer than `window` k-grams,
+    // which would otherwise emit nothing and be invisible to overlap
+    // detection; they fall back to the standard short-doc rule: one
+    // selection, the rightmost global minimum (= the last row's frame).
     keyed.withColumn("_sel", min(col("_key")).over(frame))
-      .filter(col("pos") >= window) // full windows only
+      .withColumn("_ng", count(lit(1)).over(wD))
+      .filter(col("pos") >= least(lit(window), col("_ng")))
       .select(col(idCol),
         shiftright(col("_sel"), 22).as("fp"),
         (lit(posLimit - 1) - col("_sel") % posLimit).as("fp_pos"))

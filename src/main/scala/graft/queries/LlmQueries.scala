@@ -440,18 +440,18 @@ object LlmQueries {
     "x8_winnow" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) >= 3),
-              g AS (SELECT doc_id, w, unnest(range(1, n - 1)) AS pos FROM st),
-              h AS (SELECT doc_id, pos,
+              g AS (SELECT doc_id, w, n, unnest(range(1, n - 1)) AS pos FROM st),
+              h AS (SELECT doc_id, pos, n - 2 AS ng,
                       ${duckHex32("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")} AS hv
                     FROM g),
-              e AS (SELECT doc_id, pos, hv * 4194304 + (4194303 - pos) AS key FROM h),
-              sel AS (SELECT doc_id, pos,
+              e AS (SELECT doc_id, pos, ng, hv * 4194304 + (4194303 - pos) AS key FROM h),
+              sel AS (SELECT doc_id, pos, ng,
                         min(key) OVER (PARTITION BY doc_id ORDER BY pos
                                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
                       FROM e)
           SELECT DISTINCT doc_id, s // 4194304 AS fp,
                  4194303 - (s % 4194304) AS fp_pos
-          FROM sel WHERE pos >= 4 ORDER BY doc_id, fp_pos, fp""",
+          FROM sel WHERE pos >= least(4, ng) ORDER BY doc_id, fp_pos, fp""",
     "x6_chunks" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),

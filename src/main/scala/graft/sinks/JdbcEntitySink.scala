@@ -51,7 +51,6 @@ final class JdbcEntitySink(
     "\"" + name.toUpperCase.replace("\"", "\"\"") + "\""
 
   private val target = q(table)
-  private val stage = q(table + "_stage")
 
   /** JSON-serialized columns: everything non-atomic. */
   private def isJson(f: StructField): Boolean = f.dataType match {
@@ -100,22 +99,28 @@ final class JdbcEntitySink(
     if (ensured) return
     withConn { c =>
       def missing(name: String): Boolean = {
-        val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
+        // getTables takes a LIKE pattern: escape '_'/'%' so "my_table"
+        // can't match an unrelated "myXtable" and silently skip the CREATE
+        val md = c.getMetaData
+        val esc = md.getSearchStringEscape
+        val pat = name.toUpperCase
+          .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+        val rs = md.getTables(null, null, pat, null)
         try !rs.next() finally rs.close()
       }
-      val cols = schema.fields.map { f =>
-        val notNull = if (keys.contains(f.name)) " NOT NULL" else ""
-        s"${q(f.name)} ${sqlType(f)}$notNull"
-      }.mkString(", ")
       if (missing(table)) {
-        exec(c, s"CREATE TABLE $target ($cols)")
+        exec(c, s"CREATE TABLE $target ($colDdl)")
         exec(c, s"CREATE INDEX ${q(table + "_key_idx")} ON $target " +
           s"(${keys.map(q).mkString(", ")})")
       }
-      if (missing(table + "_stage")) exec(c, s"CREATE TABLE $stage ($cols)")
     }
     ensured = true
   }
+
+  private def colDdl: String = schema.fields.map { f =>
+    val notNull = if (keys.contains(f.name)) " NOT NULL" else ""
+    s"${q(f.name)} ${sqlType(f)}$notNull"
+  }.mkString(", ")
 
   /** Project to the declared schema with non-atomic columns as JSON and
     * names folded to the SQL identifiers, ready for a JDBC write. */
@@ -154,24 +159,33 @@ final class JdbcEntitySink(
     jdbcWrite(toSqlShape(entries), target)
   }
 
-  /** D3: staged upsert. Stage truncate + parallel INSERT + one MERGE; the
-    * MERGE is a single statement, so readers never observe a half-applied
-    * batch. Incoming keys must be unique (Assembly groups by key) — a
-    * duplicate is a SQL cardinality violation, not a silent overwrite. */
+  /** D3: staged upsert into a PER-CALL stage table (unique name, created
+    * and dropped inside this method) + one MERGE; the MERGE is a single
+    * statement, so readers never observe a half-applied batch, and
+    * concurrent upserts from different writers never share staging state.
+    * Incoming keys must be unique (Assembly groups by key) — a duplicate,
+    * including one produced by a retried Spark write task re-inserting
+    * its partition, is a SQL cardinality violation: the MERGE aborts
+    * loudly and the target is untouched, never silently corrupted. */
   def upsert(entries: DataFrame): Unit = {
     ensureTables()
-    withConn(exec(_, s"DELETE FROM $stage"))
-    jdbcWrite(toSqlShape(entries), stage)
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val insCols = schema.fieldNames.map(q).mkString(", ")
-    val insVals = schema.fieldNames.map(f => s"s.${q(f)}").mkString(", ")
-    val matched =
-      if (nonKeys.isEmpty) "" // id-only blueprints: nothing to update
-      else "WHEN MATCHED THEN UPDATE SET " +
-        nonKeys.map(f => s"${q(f)} = s.${q(f)}").mkString(", ") + " "
-    withConn(exec(_,
-      s"MERGE INTO $target t USING $stage s ON $on " + matched +
-      s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"))
+    val stageName = table + "_stage_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val stage = q(stageName)
+    withConn(exec(_, s"CREATE TABLE $stage ($colDdl)"))
+    try {
+      jdbcWrite(toSqlShape(entries), stageName.toUpperCase)
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val insCols = schema.fieldNames.map(q).mkString(", ")
+      val insVals = schema.fieldNames.map(f => s"s.${q(f)}").mkString(", ")
+      val matched =
+        if (nonKeys.isEmpty) "" // id-only blueprints: nothing to update
+        else "WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(f => s"${q(f)} = s.${q(f)}").mkString(", ") + " "
+      withConn(exec(_,
+        s"MERGE INTO $target t USING $stage s ON $on " + matched +
+        s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"))
+    } finally withConn(exec(_, s"DROP TABLE $stage"))
   }
 
   def delete(blueprint: String, id: String): Unit = {

@@ -184,6 +184,13 @@ class LlmSpec extends SparkSpec {
     val h1 = byDoc(1L).map(_._1)
     val h3 = byDoc(3L).map(_._1)
     assert((h1 intersect h3).size >= h1.size / 2)
+    // short-doc rule: fewer k-grams than the window still yields ONE
+    // fingerprint (the rightmost global min), so short identical docs
+    // remain matchable
+    val short = TextAnalysis.winnowFingerprints(
+      Seq((9L, "a b c d e")).toDF("doc_id", "text"), "text", "doc_id", 3, 4)
+      .collect()
+    assert(short.length === 1)
   }
 
   test("exact dedup groups identical content under one keep id") {
