@@ -40,6 +40,60 @@ object Corpus {
         array_join(slice(col("_tk"), col("_s"), lit(chunkSize)), " ").as("chunk"))
   }
 
+  /** One packed chunk assignment: which context-window bin a chunk landed
+    * in and the bin's total fill after packing. */
+  final case class PackedChunk(doc_id: Long, chunk_idx: Long, n_tokens: Long,
+      bin_id: Long, bin_fill: Long)
+
+  /** Greedy context-window packing: assign chunks to bins of at most
+    * `budget` tokens, in (doc_id, chunk_idx) order.
+    *
+    * Exact greedy packing is inherently sequential (bin state depends on
+    * every earlier chunk), so the scalable form is PARTITION-LOCAL greedy:
+    * chunks are range-partitioned and sorted by (doc_id, chunk_idx), each
+    * partition packs its own run with a plain greedy scan (the one
+    * imperative per-partition loop in the library — `mapPartitions` is
+    * the right tool exactly here), and bin ids are made globally unique
+    * as `partitionId * 2^40 + localBin`. Versus a single-machine global
+    * greedy, only the last bin of each partition may be under-filled —
+    * bounded waste of `numPartitions - 1` bins total, negligible at any
+    * real corpus size, in exchange for full parallelism.
+    *
+    * Deterministic for a fixed `numPartitions`: range partitioning +
+    * in-partition sort fix each chunk's position, so re-runs reproduce
+    * identical bin assignments. A chunk larger than `budget` still gets
+    * its own (overflowing) bin rather than being silently dropped. */
+  def packChunks(chunks: DataFrame, budget: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    import chunks.sparkSession.implicits._
+    val base = chunks.select(col("doc_id").cast("long"),
+      col("chunk_idx").cast("long"), col("n_tokens").cast("long"))
+    val parts = if (numPartitions > 0) numPartitions
+      else chunks.sparkSession.sessionState.conf.numShufflePartitions
+    base
+      .repartitionByRange(parts, col("doc_id"), col("chunk_idx"))
+      .sortWithinPartitions(col("doc_id"), col("chunk_idx"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var localBin = 0L
+        var fill = 0L
+        val packed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (doc, idx, n) =>
+          if (fill > 0 && fill + n > budget) { fills += fill; localBin += 1; fill = 0L }
+          fill += n
+          packed += ((doc, idx, n, localBin))
+        }
+        if (fill > 0) fills += fill
+        packed.iterator.map { case (doc, idx, n, bin) =>
+          PackedChunk(doc, idx, n, pid * (1L << 40) + bin, fills(bin.toInt))
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic stratified Bernoulli sample: keep a row iff the
     * portable 32-bit hash of `stratum:id` falls under the stratum's rate
     * threshold. Rates are exact long thresholds computed once on the

@@ -150,6 +150,30 @@ class LlmSpec extends SparkSpec {
     assert(short.length === 1 && short.head.getAs[Long]("n_tokens") === 2L)
   }
 
+  test("packing respects the budget, keeps order, and is deterministic") {
+    val chunks = Corpus.chunkDocuments(docs, "text", "doc_id", 64, 16)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+    val packed = Corpus.packChunks(chunks, budget = 256, numPartitions = 8)
+    val rows = packed.collect()
+    assert(rows.length === chunks.count())
+    // no bin exceeds the budget (no chunk here exceeds it on its own)
+    val binFills = rows.map(r => r.getAs[Long]("bin_id") -> r.getAs[Long]("bin_fill")).toMap
+    assert(binFills.values.forall(_ <= 256))
+    // bin_fill is consistent: sum of member chunk tokens
+    val sums = rows.groupBy(_.getAs[Long]("bin_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(sums === binFills)
+    // deterministic re-run
+    val again = Corpus.packChunks(chunks, budget = 256, numPartitions = 8).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq ===
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq)
+    // an oversized chunk gets its own overflowing bin, never dropped
+    val big = Seq((1L, 0L, 500L), (1L, 1L, 10L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val pb = Corpus.packChunks(big, budget = 256, numPartitions = 1).collect()
+    assert(pb.length === 2)
+    assert(pb.map(_.getAs[Long]("bin_id")).distinct.length === 2)
+  }
+
   test("stratified sample keeps rate-1.0 strata fully, rate-0 strata empty") {
     val d = docs.select(col("doc_id"), col("source"), col("text"))
     val out = Corpus.stratifiedSample(d, "doc_id", "source",
