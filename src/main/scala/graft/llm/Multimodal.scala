@@ -114,6 +114,24 @@ object Multimodal {
           .as("frame_idx"))
   }
 
+  /** Aspect-preserving resize GEOMETRY for image rows: fit (width,
+    * height) into a `maxW`×`maxH` box without upscaling — the target-dims
+    * computation every vision-encoder preprocessing pipeline runs. This
+    * part is real Column algebra over decoded features; the pixel
+    * transform itself belongs in the per-partition decode stub (swap the
+    * stub branch for a codec call, resample to (out_w, out_h) there). */
+  def resizeGeometry(features: Dataset[MediaFeatures], maxW: Int, maxH: Int)
+      : DataFrame = {
+    require(maxW > 0 && maxH > 0, s"resize box ${maxW}x$maxH must be positive")
+    features.toDF()
+      .filter(col("kind") === "image")
+      .withColumn("scale", least(lit(maxW.toDouble) / col("width"),
+        lit(maxH.toDouble) / col("height"), lit(1.0)))
+      .select(col("media_id"), col("width"), col("height"),
+        greatest(lit(1), floor(col("width") * col("scale"))).cast("int").as("out_w"),
+        greatest(lit(1), floor(col("height") * col("scale"))).cast("int").as("out_h"))
+  }
+
   /** Build a media dataset from the documents table (payload = utf-8 bytes
     * of the text — a stand-in corpus with real binary columns). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

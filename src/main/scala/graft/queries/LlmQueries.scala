@@ -211,6 +211,15 @@ object LlmQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Resize geometry for image-kind media: aspect-preserving fit into a
+    // 224x224 box, no upscaling — the decode → resize-plan pipeline stage
+    // (pixel resampling itself lives in the per-partition decode stub).
+    "mm3_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.resizeGeometry(Multimodal.decodeFeatures(media), 224, 224)
+        .orderBy("media_id")
+    }),
+
     // D2 point lookup: first record by key — the sink's get() shape.
     "d5_point_get" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -484,6 +493,20 @@ object LlmQueries {
                 unnest(range(0, (octet_length(encode(text)) % 240) + 1, 10)) AS frame_idx
          FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
          ORDER BY media_id, frame_idx""",
+    // stub dims replayed from the same deterministic fake as mm1/mm2:
+    // width from the first payload byte (corpus is ASCII — head byte ==
+    // codepoint), height from the byte length
+    "mm3_resize" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+                        (ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS width,
+                        (CAST(octet_length(encode(text)) % 64 AS INTEGER) + 1) * 16 AS height
+                      FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+              sc AS (SELECT media_id, width, height,
+                       least(224.0 / width, 224.0 / height, 1.0) AS scale FROM img)
+         SELECT media_id, width, height,
+                CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_w,
+                CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_h
+         FROM sc ORDER BY media_id""",
     "d5_point_get" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 1"""
