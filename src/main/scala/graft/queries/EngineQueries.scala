@@ -190,6 +190,16 @@ object EngineQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // W2: per-user session rollup — Spark-native session_window (stateful
+    // sessionization on a stream; in batch it equals the gaps-and-islands
+    // rollup the oracle computes). 4-hour gap suits the event cadence.
+    "w2_event_sessions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_t", expr("timestamp_seconds(ts div 1000000000)"))
+      graft.streaming.StreamOps.sessionizedEventStats(ev, "ts_t", 14400)
+        .orderBy("user_id", "session_start")
+    }),
+
     // with a null sentinel for the driver compare.
     "f5_multimatch" -> ((s, dir) => {
       val specs = Seq(
@@ -215,6 +225,23 @@ object EngineQueries {
                 count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "w2_event_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+                    FROM events),
+              m AS (SELECT user_id, sec, value,
+                      CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 14400
+                           THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              s AS (SELECT user_id, sec, value,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM m)
+         SELECT user_id, min(sec) AS session_start, max(sec) + 14400 AS session_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q2_entity_assembly" ->
       """WITH files AS (
            SELECT DISTINCT l_orderkey, l_linenumber,

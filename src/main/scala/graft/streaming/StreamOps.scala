@@ -47,6 +47,26 @@ object StreamOps {
         col("event_type"), col("n_events"), col("sum_cents"))
   }
 
+  /** Per-user session rollup: events closer than `gapSeconds` merge into
+    * one session (`session_window` — Spark's native session semantics,
+    * which on a stream is watermark-finalized stateful sessionization and
+    * in batch equals the classic gaps-and-islands rollup the DuckDB
+    * oracle computes). Output: session start/end epochs, event count and
+    * exact integer cents per (user, session). */
+  def sessionizedEventStats(events: DataFrame, tsCol: String,
+      gapSeconds: Int, watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    base
+      .groupBy(session_window(col(tsCol), s"$gapSeconds seconds").as("_w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("user_id"),
+        unix_timestamp(col("_w.start")).as("session_start"),
+        unix_timestamp(col("_w.end")).as("session_end"),
+        col("n_events"), col("sum_cents"))
+  }
+
   /** Streaming exact dedup — first-seen-wins per content hash, the
     * dedup-on-ingest counterpart of [[graft.llm.Dedup.exactDedup]].
     *

@@ -58,6 +58,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: streaming state merges events, watermark finalizes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamOps.sessionizedEventStats(df, "ts", 60, Some("30 seconds"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    try {
+      // two events 20s apart -> one session [10, 90); a later event pushes
+      // the watermark past the session end and finalizes it
+      in.addData((t(10), 7L, 1.0), (t(30), 7L, 2.0))
+      q.processAllAvailable()
+      in.addData((t(500), 7L, 1.0))
+      q.processAllAvailable()
+      in.addData((t(900), 7L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows.contains((7L, 10L, 90L, 2L, 300L)))
+    } finally q.stop()
+  }
+
   test("windowed stats: batch run equals a manual rollup on real events") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts_t", expr("timestamp_seconds(ts div 1000000000)"))
