@@ -46,23 +46,30 @@ object Corpus {
       bin_id: Long, bin_fill: Long)
 
   /** Greedy context-window packing: assign chunks to bins of at most
-    * `budget` tokens, in (doc_id, chunk_idx) order.
+    * `budget` tokens, packing each partition's (doc_id, chunk_idx)-sorted
+    * run greedily.
     *
-    * Exact greedy packing is inherently sequential (bin state depends on
-    * every earlier chunk), so the scalable form is PARTITION-LOCAL greedy:
-    * chunks are range-partitioned and sorted by (doc_id, chunk_idx), each
-    * partition packs its own run with a plain greedy scan (the one
-    * imperative per-partition loop in the library — `mapPartitions` is
-    * the right tool exactly here), and bin ids are made globally unique
-    * as `partitionId * 2^40 + localBin`. Versus a single-machine global
-    * greedy, only the last bin of each partition may be under-filled —
-    * bounded waste of `numPartitions - 1` bins total, negligible at any
-    * real corpus size, in exchange for full parallelism.
+    * Exact global greedy packing is inherently sequential (bin state
+    * depends on every earlier chunk), so the scalable form is
+    * PARTITION-LOCAL greedy: chunks are HASH-partitioned by doc (hash
+    * partitioning is deterministic, unlike `repartitionByRange`, whose
+    * sampled boundaries change run to run) and sorted within each
+    * partition, each partition packs its own run with a plain greedy scan
+    * (the one imperative per-partition loop in the library —
+    * `mapPartitions` is the right tool exactly here), and bin ids are
+    * made globally unique as `partitionId * 2^40 + localBin`. All chunks
+    * of a document land in one partition, so doc-contiguity survives;
+    * versus a single-machine global greedy, only the last bin of each
+    * partition may be under-filled — bounded waste of `numPartitions - 1`
+    * bins total, negligible at any real corpus size, in exchange for full
+    * parallelism.
     *
-    * Deterministic for a fixed `numPartitions`: range partitioning +
-    * in-partition sort fix each chunk's position, so re-runs reproduce
-    * identical bin assignments. A chunk larger than `budget` still gets
-    * its own (overflowing) bin rather than being silently dropped. */
+    * Memory is O(one bin) per task: rows are flushed as each bin closes,
+    * never buffering the partition. Deterministic for a fixed
+    * `numPartitions`. A chunk larger than `budget` still gets its own
+    * (overflowing) bin rather than being silently dropped; zero-token
+    * chunks pack like any other (the final bin is emitted even at
+    * fill 0). */
   def packChunks(chunks: DataFrame, budget: Int,
       numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget ($budget) must be positive")
@@ -72,23 +79,40 @@ object Corpus {
     val parts = if (numPartitions > 0) numPartitions
       else chunks.sparkSession.sessionState.conf.numShufflePartitions
     base
-      .repartitionByRange(parts, col("doc_id"), col("chunk_idx"))
+      .repartition(parts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"), col("chunk_idx"))
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        var localBin = 0L
-        var fill = 0L
-        val packed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-        it.foreach { case (doc, idx, n) =>
-          if (fill > 0 && fill + n > budget) { fills += fill; localBin += 1; fill = 0L }
-          fill += n
-          packed += ((doc, idx, n, localBin))
-        }
-        if (fill > 0) fills += fill
-        packed.iterator.map { case (doc, idx, n, bin) =>
-          PackedChunk(doc, idx, n, pid * (1L << 40) + bin, fills(bin.toInt))
+        new Iterator[PackedChunk] {
+          private var localBin = -1L
+          private var fill = 0L
+          private val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          private var out: Iterator[PackedChunk] = Iterator.empty
+
+          private def flush(): Unit = {
+            localBin += 1
+            val bin = pid * (1L << 40) + localBin
+            val f = fill
+            out = cur.toVector.iterator.map { case (d, i, n) =>
+              PackedChunk(d, i, n, bin, f)
+            }
+            cur.clear(); fill = 0L
+          }
+
+          private def advance(): Unit = {
+            while (!out.hasNext && (it.hasNext || cur.nonEmpty)) {
+              if (!it.hasNext) flush() // final bin, even at fill 0
+              else {
+                val (d, i, n) = it.next()
+                if (cur.nonEmpty && fill + n > budget) flush()
+                cur += ((d, i, n)); fill += n
+              }
+            }
+          }
+
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): PackedChunk = { advance(); out.next() }
         }
       }
       .toDF()

@@ -123,13 +123,21 @@ object Multimodal {
   def resizeGeometry(features: Dataset[MediaFeatures], maxW: Int, maxH: Int)
       : DataFrame = {
     require(maxW > 0 && maxH > 0, s"resize box ${maxW}x$maxH must be positive")
+    val w = col("width"); val h = col("height")
+    val fits = w <= maxW && h <= maxH
+    // integer-exact binding test: w/maxW >= h/maxH ⟺ w·maxH >= h·maxW —
+    // the constrained dimension is then SET to the box edge, not computed
+    // through floor(w·scale) (whose FP error yields 223 for a 224 box)
+    val wBinding = w * maxH >= h * maxW
     features.toDF()
       .filter(col("kind") === "image")
-      .withColumn("scale", least(lit(maxW.toDouble) / col("width"),
-        lit(maxH.toDouble) / col("height"), lit(1.0)))
-      .select(col("media_id"), col("width"), col("height"),
-        greatest(lit(1), floor(col("width") * col("scale"))).cast("int").as("out_w"),
-        greatest(lit(1), floor(col("height") * col("scale"))).cast("int").as("out_h"))
+      .select(col("media_id"), w, h,
+        when(fits, w).when(wBinding, lit(maxW))
+          .otherwise(greatest(lit(1), round(w * maxH / h)))
+          .cast("int").as("out_w"),
+        when(fits, h).when(wBinding, greatest(lit(1), round(h * maxW / w)))
+          .otherwise(lit(maxH))
+          .cast("int").as("out_h"))
   }
 
   /** Build a media dataset from the documents table (payload = utf-8 bytes

@@ -229,8 +229,11 @@ object EngineQueries {
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
                     FROM events),
               m AS (SELECT user_id, sec, value,
+                      -- STRICTLY greater: session_window merges events
+                      -- exactly gap apart ([t, t+gap) intervals touching
+                      -- still share the boundary event's window start)
                       CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
-                             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 14400
+                             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 14400
                            THEN 1 ELSE 0 END AS brk
                     FROM e),
               s AS (SELECT user_id, sec, value,

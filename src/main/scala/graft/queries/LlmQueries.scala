@@ -215,7 +215,11 @@ object LlmQueries {
     // 224x224 box, no upscaling — the decode → resize-plan pipeline stage
     // (pixel resampling itself lives in the per-partition decode stub).
     "mm3_resize" -> ((s, dir) => {
+      // filter to image-kind BEFORE the typed decode — the kind filter
+      // cannot be pushed through mapPartitions, and decoding audio/video
+      // payloads whose output is discarded is wasted work
       val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+        .filter(col("kind") === "image")
       Multimodal.resizeGeometry(Multimodal.decodeFeatures(media), 224, 224)
         .orderBy("media_id")
     }),
@@ -501,12 +505,17 @@ object LlmQueries {
                         (ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS width,
                         (CAST(octet_length(encode(text)) % 64 AS INTEGER) + 1) * 16 AS height
                       FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0),
-              sc AS (SELECT media_id, width, height,
-                       least(224.0 / width, 224.0 / height, 1.0) AS scale FROM img)
+              g AS (SELECT media_id, width, height,
+                      (width <= 224 AND height <= 224) AS fits,
+                      (width * 224 >= height * 224) AS wbind
+                    FROM img)
          SELECT media_id, width, height,
-                CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_w,
-                CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_h
-         FROM sc ORDER BY media_id""",
+                CAST(CASE WHEN fits THEN width WHEN wbind THEN 224
+                          ELSE greatest(1, round(width * 224 / height)) END AS INTEGER) AS out_w,
+                CAST(CASE WHEN fits THEN height
+                          WHEN wbind THEN greatest(1, round(height * 224 / width))
+                          ELSE 224 END AS INTEGER) AS out_h
+         FROM g ORDER BY media_id""",
     "d5_point_get" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 1"""
