@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join: SALT a hot-keyed fact side so one pathological
+  * key no longer lands on one reducer (SURVEY §7.1 scale stance; the
+  * standard complement to AQE's skew-join splitting when a key is hot by
+  * DATA, not by partition-size accident — e.g. one blueprint id matched
+  * by millions of files).
+  *
+  * The big side gets a deterministic salt derived from a caller-chosen
+  * discriminator column (NOT a random — re-runs must reproduce, and the
+  * discriminator spreads rows of one key across `salts` buckets); the
+  * small side is replicated `salts` times via a literal explode. The join
+  * key becomes (key, salt): same result set as the plain equi-join, but
+  * the hot key's rows spread over `salts` reducers.
+  */
+object SkewJoin {
+
+  /** Equi-join `big ⋈ small` on `keyCols` with `salts`-way salting.
+    *
+    * @param discriminator a big-side column whose values vary WITHIN a
+    *                      join key (e.g. a row id or file path) — rows of
+    *                      one key spread across salt buckets by its hash
+    * @return the inner-join result with the same columns as the plain
+    *         join (salt columns dropped); row multiset identical to
+    *         `big.join(small, keyCols)`
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      discriminator: Column, salts: Int): DataFrame = {
+    require(salts > 0, s"salts ($salts) must be positive")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val b = big.withColumn("_salt", pmod(hash(discriminator), lit(salts)))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, keyCols :+ "_salt").drop("_salt")
+  }
+}

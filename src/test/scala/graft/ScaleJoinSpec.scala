@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+/** Scale-join artifacts: salting correctness + the bucketed co-located
+  * join shape (SURVEY §7.1: "broadcast for small sides, bucketing for
+  * co-located joins, salting for skew"). */
+class ScaleJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows under heavy skew") {
+    // one pathological key (0) holds ~90% of the fact side
+    val big = spark.range(0, 20000)
+      .select(when(col("id") % 10 =!= 0, col("id") % 50).otherwise(0L).as("k"),
+        col("id").as("row_id"))
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (49L, "z"))
+      .toDF("k", "label")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "row_id", "label").collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), col("row_id"), 8)
+      .select("k", "row_id", "label").collect().map(_.toString).sorted
+    assert(salted.toSeq === plain.toSeq)
+    // the hot key's rows really spread across salt buckets
+    val spread = big.filter(col("k") === 0)
+      .select(pmod(hash(col("row_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread === 8)
+  }
+
+  test("bucketed tables co-locate the entity-lookup join: no exchange on either side") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    try {
+      // both sides bucketed on the join key: the shuffle happens ONCE at
+      // write time; every later join on the key is exchange-free — the
+      // 100 TB shape for a repeatedly-joined entity table
+      orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("sj_entities")
+      orders.withColumn("extra", col("o_totalprice") * 2)
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("sj_batch")
+      // merge hint: at test scale the planner would broadcast the tiny
+      // side instead (also fine); the sort-merge path is the one a
+      // 100 TB-vs-100 TB join takes, and bucketing must make it
+      // exchange-free AND sort-free
+      val joined = spark.table("sj_entities").hint("merge")
+        .join(spark.table("sj_batch"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be exchange-free, got:\n$plan")
+      assert(joined.count() === orders.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sj_entities")
+      spark.sql("DROP TABLE IF EXISTS sj_batch")
+    }
+  }
+}
