@@ -1,0 +1,78 @@
+package graft
+
+import graft.llm.{Corpus, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Randomized invariants of the corpus-construction operators (seeded
+  * random cases through the real operators, same style as
+  * MergePropertySpec — no ScalaCheck bridge in the offline cache).
+  *
+  * Packing: partition of the input (every chunk exactly once), budget
+  * respected except single-oversize bins, fill bookkeeping exact.
+  * Chunking: full coverage with the declared stride/tail rule.
+  * Winnowing: the gap guarantee on arbitrary token streams. */
+class CorpusPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(4242)
+
+  test("packing partitions arbitrary chunk tables and respects the budget") {
+    val chunks = (1 to 500).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(300).toLong) // incl. 0-token
+    }.toDF("doc_id", "chunk_idx", "n_tokens")
+    val budget = 256
+    val packed = Corpus.packChunks(chunks, budget, numPartitions = 7).collect()
+    // every chunk exactly once
+    assert(packed.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      chunks.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val byBin = packed.groupBy(_.getAs[Long]("bin_id"))
+    byBin.foreach { case (_, rows) =>
+      val sum = rows.map(_.getAs[Long]("n_tokens")).sum
+      // fill bookkeeping is exact
+      assert(rows.map(_.getAs[Long]("bin_fill")).toSet === Set(sum))
+      // budget holds unless the bin is a single oversize chunk
+      assert(sum <= budget || rows.length === 1,
+        s"over-budget bin with ${rows.length} chunks, fill $sum")
+    }
+  }
+
+  test("chunking covers every token position at the declared stride") {
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(200)
+      val size = 1 + rnd.nextInt(32)
+      val overlap = rnd.nextInt(size)
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val rows = Corpus.chunkDocuments(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id", size, overlap)
+        .orderBy("chunk_idx").collect()
+      val stride = size - overlap
+      // starts advance by stride from 1, stopping at max(1, n - overlap)
+      val expectedStarts =
+        (1 to math.max(1, n - overlap) by stride).toSeq
+      assert(rows.length === expectedStarts.length)
+      // union of chunks covers all n tokens
+      val covered = rows.zip(expectedStarts).flatMap { case (r, s) =>
+        s until math.min(s + size, n + 1)
+      }.toSet
+      assert(covered === (1 to n).toSet,
+        s"n=$n size=$size overlap=$overlap missed ${(1 to n).toSet -- covered}")
+    }
+  }
+
+  test("winnowing gap guarantee holds on random token streams") {
+    val docs = (1L to 20L).map { id =>
+      val n = 10 + rnd.nextInt(120)
+      (id, (1 to n).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = 5
+    val fps = TextAnalysis.winnowFingerprints(docs, "text", "doc_id", 2, w)
+      .collect().groupBy(_.getLong(0))
+    docs.collect().foreach { r =>
+      val poss = fps(r.getLong(0)).map(_.getAs[Long]("fp_pos")).sorted
+      assert(poss.nonEmpty)
+      poss.zip(poss.tail).foreach { case (a, b) =>
+        assert(b - a <= w, s"gap ${b - a} > $w in doc ${r.getLong(0)}")
+      }
+    }
+  }
+}
