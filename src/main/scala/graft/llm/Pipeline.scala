@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-construction pipeline — the composition a user
+  * of this library actually runs over raw documents on the way to
+  * training batches:
+  *
+  *   1. exact dedup (content-hash, keep lowest id);
+  *   2. near-dup removal: exact n-gram Jaccard pairs → connected
+  *      components → drop everything but each component's representative;
+  *   3. quality gate: keep documents at or above a quality threshold
+  *      (length / punctuation / stopword / uniqueness heuristics);
+  *   4. stratified mix sampling by source (deterministic hash Bernoulli);
+  *   5. chunking to token windows with overlap;
+  *   6. greedy packing of chunks into context-window bins.
+  *
+  * Every stage is one of the library's certified operators; this object
+  * only composes them and keeps the intermediate frames queryable for
+  * audit. Nothing here shuffles beyond what the stages themselves need.
+  */
+object Pipeline {
+
+  /** Intermediate and final frames of one pipeline run — kept separately
+    * so a data-quality audit can count what each stage removed. */
+  final case class CorpusBuild(
+      kept: DataFrame,    // surviving documents (post steps 1-4)
+      dropped: DataFrame, // (doc_id, reason) for every removed document
+      chunks: DataFrame,  // chunked survivors
+      packed: DataFrame)  // chunk → context-window bin assignments
+
+  /** Run the full pipeline over a `documents`-shaped frame
+    * (doc_id, text, source).
+    *
+    * @param jaccardThreshold near-dup threshold for step 2
+    * @param minQuality       quality floor for step 3 (0-1; the quality
+    *                         column is the certified x1 heuristic)
+    * @param rates            per-source sampling rates for step 4
+    * @param chunkSize        tokens per chunk (step 5)
+    * @param overlap          chunk overlap (step 5)
+    * @param budget           tokens per packed context window (step 6)
+    */
+  def buildTrainingCorpus(docs: DataFrame,
+      jaccardThreshold: Double = 0.8,
+      minQuality: Double = 0.5,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      chunkSize: Int = 512,
+      overlap: Int = 64,
+      budget: Int = 2048,
+      stopwords: Seq[String] = TextAnalysis.langMarkers.head._2): CorpusBuild = {
+
+    // 1. exact dedup: survivors are each content group's keep_id
+    val exact = Dedup.exactDedup(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val afterExact = docs.join(exact, Seq("doc_id"), "left_semi")
+    val exactDrops = docs.join(exact, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("exact_dup").as("reason"))
+
+    // 2. near-dup clusters over the exact-deduped corpus
+    val pairs = Dedup.ngramJaccardPairs(afterExact, "text", "doc_id",
+      jaccardThreshold)
+    val nearDrops = Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("doc_id"), lit("near_dup").as("reason"))
+    val afterNear = afterExact.join(
+      nearDrops.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 3. quality gate (certified x1 heuristic)
+    val scored = TextAnalysis.textStatsDf(afterNear, "text", stopwords)
+    val afterQuality = scored.filter(col("quality") >= minQuality)
+      .select(afterNear.columns.map(col).toIndexedSeq: _*)
+    val qualityDrops = scored.filter(col("quality") < minQuality)
+      .select(col("doc_id"), lit("low_quality").as("reason"))
+
+    // 4. deterministic mix sampling by source
+    val kept = Corpus.stratifiedSample(afterQuality, "doc_id", "source",
+      rates, defaultRate)
+    val sampleDrops = afterQuality.join(
+        kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("sampled_out").as("reason"))
+
+    // 5-6. chunk + pack the survivors
+    val chunks = Corpus.chunkDocuments(kept, "text", "doc_id",
+      chunkSize, overlap)
+    val packed = Corpus.packChunks(chunks, budget)
+
+    CorpusBuild(
+      kept = kept,
+      dropped = exactDrops.unionByName(nearDrops)
+        .unionByName(qualityDrops).unionByName(sampleDrops),
+      chunks = chunks,
+      packed = packed)
+  }
+}

@@ -217,6 +217,31 @@ class LlmSpec extends SparkSpec {
     assert(short.length === 1)
   }
 
+  test("end-to-end corpus build: stage bookkeeping is a partition of the input") {
+    // plant an exact duplicate so stage 1 has work
+    val dup = docs.limit(1).withColumn("doc_id", lit(999999L))
+    val input = docs.select("doc_id", "text", "source").unionByName(
+      dup.select("doc_id", "text", "source"))
+    val build = Pipeline.buildTrainingCorpus(input,
+      minQuality = 0.5, rates = Map("src0" -> 0.5), defaultRate = 1.0,
+      chunkSize = 64, overlap = 16, budget = 256)
+    val keptIds = build.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropIds = build.dropped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inputIds = input.select("doc_id").collect().map(_.getLong(0)).toSet
+    // kept ∪ dropped == input, kept ∩ dropped == ∅
+    assert((keptIds ++ dropIds) === inputIds)
+    assert((keptIds intersect dropIds) === Set.empty)
+    // the planted duplicate was dropped as an exact dup
+    assert(build.dropped.filter(col("doc_id") === 999999L)
+      .head().getString(1) === "exact_dup")
+    // every reason is one of the four stages
+    assert(build.dropped.select("reason").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("exact_dup", "near_dup", "low_quality", "sampled_out")))
+    // chunks come only from kept docs; packing is a partition of chunks
+    assert(build.chunks.join(build.kept, Seq("doc_id"), "left_anti").isEmpty)
+    assert(build.packed.count() === build.chunks.count())
+  }
+
   test("exact dedup groups identical content under one keep id") {
     val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
       .toDF("doc_id", "text")
