@@ -23,12 +23,21 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Intermediate and final frames of one pipeline run — kept separately
-    * so a data-quality audit can count what each stage removed. */
+    * so a data-quality audit can count what each stage removed.
+    *
+    * The frames share persisted intermediates (the post-dedup and
+    * post-quality corpora) so evaluating several of them does not re-run
+    * the dedup groupBys or quality scoring; call [[CorpusBuild.release]]
+    * once the audit has materialized what it needs — the same
+    * deterministic cache discipline as `Assembly.AssemblyResult`. */
   final case class CorpusBuild(
       kept: DataFrame,    // surviving documents (post steps 1-4)
       dropped: DataFrame, // (doc_id, reason) for every removed document
       chunks: DataFrame,  // chunked survivors
-      packed: DataFrame)  // chunk → context-window bin assignments
+      packed: DataFrame,  // chunk → context-window bin assignments
+      private val cached: Seq[DataFrame] = Nil) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Run the full pipeline over a `documents`-shaped frame
     * (doc_id, text, source).
@@ -51,11 +60,17 @@ object Pipeline {
       budget: Int = 2048,
       stopwords: Seq[String] = TextAnalysis.langMarkers.head._2): CorpusBuild = {
 
+    // 0. a null doc_id joins nothing and would surface downstream with a
+    // misattributed drop reason — surface it as the data error it is
+    val input = docs.filter(col("doc_id").isNotNull)
+    val nullDrops = docs.filter(col("doc_id").isNull)
+      .select(col("doc_id"), lit("null_id").as("reason"))
+
     // 1. exact dedup: survivors are each content group's keep_id
-    val exact = Dedup.exactDedup(docs, "text", "doc_id")
+    val exact = Dedup.exactDedup(input, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
-    val afterExact = docs.join(exact, Seq("doc_id"), "left_semi")
-    val exactDrops = docs.join(exact, Seq("doc_id"), "left_anti")
+    val afterExact = input.join(exact, Seq("doc_id"), "left_semi").persist()
+    val exactDrops = input.join(exact, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("exact_dup").as("reason"))
 
     // 2. near-dup clusters over the exact-deduped corpus
@@ -68,7 +83,7 @@ object Pipeline {
       nearDrops.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // 3. quality gate (certified x1 heuristic)
-    val scored = TextAnalysis.textStatsDf(afterNear, "text", stopwords)
+    val scored = TextAnalysis.textStatsDf(afterNear, "text", stopwords).persist()
     val afterQuality = scored.filter(col("quality") >= minQuality)
       .select(afterNear.columns.map(col).toIndexedSeq: _*)
     val qualityDrops = scored.filter(col("quality") < minQuality)
@@ -76,7 +91,7 @@ object Pipeline {
 
     // 4. deterministic mix sampling by source
     val kept = Corpus.stratifiedSample(afterQuality, "doc_id", "source",
-      rates, defaultRate)
+      rates, defaultRate).persist()
     val sampleDrops = afterQuality.join(
         kept.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("sampled_out").as("reason"))
@@ -88,9 +103,10 @@ object Pipeline {
 
     CorpusBuild(
       kept = kept,
-      dropped = exactDrops.unionByName(nearDrops)
+      dropped = nullDrops.unionByName(exactDrops).unionByName(nearDrops)
         .unionByName(qualityDrops).unionByName(sampleDrops),
       chunks = chunks,
-      packed = packed)
+      packed = packed,
+      cached = Seq(afterExact, scored, kept))
   }
 }

@@ -31,6 +31,8 @@ object SkewJoin {
       discriminator: Column, salts: Int): DataFrame = {
     require(salts > 0, s"salts ($salts) must be positive")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not carry a _salt column — it would be clobbered")
     val b = big.withColumn("_salt", pmod(hash(discriminator), lit(salts)))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -50,12 +50,18 @@ class CorpusPropertySpec extends SparkSpec {
       val expectedStarts =
         (1 to math.max(1, n - overlap) by stride).toSeq
       assert(rows.length === expectedStarts.length)
-      // union of chunks covers all n tokens
-      val covered = rows.zip(expectedStarts).flatMap { case (r, s) =>
-        s until math.min(s + size, n + 1)
-      }.toSet
+      // coverage derived from the OPERATOR'S OUTPUT: parse the token ids
+      // back out of each emitted chunk string (tokens are "t<i>")
+      val covered = rows.flatMap(
+        _.getAs[String]("chunk").split(" ").map(_.drop(1).toInt)).toSet
       assert(covered === (1 to n).toSet,
         s"n=$n size=$size overlap=$overlap missed ${(1 to n).toSet -- covered}")
+      // each emitted chunk's tokens are contiguous from its declared start
+      rows.zip(expectedStarts).foreach { case (r, s) =>
+        val toks = r.getAs[String]("chunk").split(" ").map(_.drop(1).toInt).toSeq
+        assert(toks === (s until math.min(s + size, n + 1)).toSeq)
+        assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      }
     }
   }
 

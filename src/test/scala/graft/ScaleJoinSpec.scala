@@ -12,7 +12,7 @@ class ScaleJoinSpec extends SparkSpec {
   test("salted join returns exactly the plain join's rows under heavy skew") {
     // one pathological key (0) holds ~90% of the fact side
     val big = spark.range(0, 20000)
-      .select(when(col("id") % 10 =!= 0, col("id") % 50).otherwise(0L).as("k"),
+      .select(when(col("id") % 10 === 0, col("id") % 50).otherwise(0L).as("k"),
         col("id").as("row_id"))
     val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (49L, "z"))
       .toDF("k", "label")
@@ -45,7 +45,8 @@ class ScaleJoinSpec extends SparkSpec {
       // merge hint: at test scale the planner would broadcast the tiny
       // side instead (also fine); the sort-merge path is the one a
       // 100 TB-vs-100 TB join takes, and bucketing must make it
-      // exchange-free AND sort-free
+      // exchange-free (per-side sorts may remain when a bucket spans
+      // multiple files)
       val joined = spark.table("sj_entities").hint("merge")
         .join(spark.table("sj_batch"), Seq("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
