@@ -240,6 +240,7 @@ class LlmSpec extends SparkSpec {
     // chunks come only from kept docs; packing is a partition of chunks
     assert(build.chunks.join(build.kept, Seq("doc_id"), "left_anti").isEmpty)
     assert(build.packed.count() === build.chunks.count())
+    build.release() // audit done — drop the shared caches
   }
 
   test("exact dedup groups identical content under one keep id") {
