@@ -282,8 +282,8 @@ object Assembly {
     val res = assemble(bp, changes, sink.scan())
     // both outputs must be materialized before the sink swaps the table
     // they are computed from (plain-Parquet read-modify-swap, SURVEY.md §7.3)
-    val upserts = res.upserts.localCheckpoint(true)
-    val errors = res.errors.localCheckpoint(true)
+    val upserts = res.upserts.transform(graft.operators.Lineage.cut)
+    val errors = res.errors.transform(graft.operators.Lineage.cut)
     res.release() // both outputs materialized — drop the shared cache now
     sink.upsert(upserts)
     AssemblyResult(upserts, errors)

@@ -152,7 +152,7 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.cut)
     rows.unpersist(); sigs.unpersist(); cands.unpersist()
     out
   }
@@ -212,7 +212,7 @@ object Dedup {
     val out = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.cut)
     exploded.unpersist()
     out
   }
@@ -238,9 +238,9 @@ object Dedup {
       maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.operators.Lineage.cut)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+      .withColumn("rep", col("id")).transform(graft.operators.Lineage.cut)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -261,7 +261,7 @@ object Dedup {
       // itself (rep → rep's rep), doubling propagation distance per round;
       // the two `stepped` scans are the same subplan, so the exchange is
       // planned once and reused (ReusedExchange), not computed twice.
-      // per-round localCheckpoint: the lineage CUT is what keeps planning
+      // per-round Lineage.cut: the lineage CUT is what keeps planning
       // time flat across rounds (the r3 regression). The checkpointed
       // blocks are label-table-sized (pair graph, orders of magnitude
       // smaller than any corpus) and are reclaimed by the ContextCleaner
@@ -272,7 +272,7 @@ object Dedup {
           Seq("rep"), "left")
         .select(col("id"), col("_old"),
           least(col("rep"), coalesce(col("_rep2"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.cut)
       converged = next.filter(col("rep") =!= col("_old")).isEmpty
       labels = next.select("id", "rep")
       i += 1
@@ -366,7 +366,7 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.cut)
     rows.unpersist(); prefix.unpersist(); cands.unpersist()
     out
   }

@@ -195,7 +195,7 @@ object Similarity {
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos").distinct()
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.cut)
     v.unpersist()
     out
   }

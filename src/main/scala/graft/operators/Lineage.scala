@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage-cut policy for the iterative / multi-join operators (dedup
+  * pipelines, cluster propagation, recursive listing, workflow batches).
+  *
+  * Those operators truncate plan lineage per step so Catalyst planning
+  * time stays flat across rounds. `localCheckpoint(eager)` does that
+  * cheaply but stores blocks ONLY on executors with no recomputation
+  * path: losing an executor — in particular a dynamic-allocation
+  * decommission, which the Spark docs flag as unsafe with local
+  * checkpoints — kills the job mid-run. On a real cluster callers should
+  * `spark.sparkContext.setCheckpointDir(...)` (HDFS/S3); [[cut]] then
+  * switches to a RELIABLE `checkpoint`, which survives executor loss at
+  * the cost of a write to the checkpoint dir. With no checkpoint dir set
+  * (local[] runs, tests, static-allocation clusters that accept
+  * restart-on-loss) it falls back to `localCheckpoint`.
+  */
+object Lineage {
+
+  /** Cut `df`'s lineage eagerly: reliable `checkpoint` when the session's
+    * SparkContext has a checkpoint directory configured, else
+    * `localCheckpoint`. Both materialize immediately, so callers may
+    * release upstream caches as soon as this returns. */
+  def cut[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      ds.checkpoint(eager = true)
+    else ds.localCheckpoint(eager = true)
+}

@@ -106,7 +106,7 @@ object Snapshot {
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("_pid")).orderBy(sortCols: _*)))
-      .localCheckpoint(true) // one materialization feeds counts + result
+      .transform(Lineage.cut) // one materialization feeds counts + result
     val counts = ranked.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (counts.isEmpty)

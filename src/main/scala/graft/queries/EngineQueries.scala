@@ -181,11 +181,15 @@ object EngineQueries {
     // streaming path runs with a watermark (StreamOpsSpec); batch execution
     // here lets the DuckDB oracle certify the window semantics. `ts` is
     // TIMESTAMP(NANOS) parquet read as LONG nanos (nanosAsLong); integer
-    // DIV before building the timestamp — double division would lose
-    // precision above 2^53 ns.
+    // FLOOR division before building the timestamp — double division would
+    // lose precision above 2^53 ns, and `div` truncates toward zero, which
+    // would bucket pre-1970 (negative) nanos into the wrong second vs the
+    // oracle's `//`. `(ts - pmod(ts, 1e9)) div 1e9` floors exactly in
+    // integer arithmetic for any sign.
     "w1_event_windows" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("ts_t", expr("timestamp_seconds(ts div 1000000000)"))
+        .withColumn("ts_t",
+          expr("timestamp_seconds((ts - pmod(ts, 1000000000)) div 1000000000)"))
       graft.streaming.StreamOps.windowedEventStats(ev, "ts_t", 3600)
         .orderBy("window_start", "event_type")
     }),
@@ -195,7 +199,8 @@ object EngineQueries {
     // rollup the oracle computes). 4-hour gap suits the event cadence.
     "w2_event_sessions" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("ts_t", expr("timestamp_seconds(ts div 1000000000)"))
+        .withColumn("ts_t",
+          expr("timestamp_seconds((ts - pmod(ts, 1000000000)) div 1000000000)"))
       graft.streaming.StreamOps.sessionizedEventStats(ev, "ts_t", 14400)
         .orderBy("user_id", "session_start")
     }),

@@ -78,7 +78,7 @@ final class ParquetEntitySink(spark: SparkSession, path: String, schema: StructT
 
   def upsert(entries: DataFrame): Unit = {
     val incoming = entries.select(schema.fieldNames.map(col): _*)
-      .localCheckpoint(true) // computed once: feeds touched-set, anti-join, union
+      .transform(graft.operators.Lineage.cut) // computed once: feeds touched-set, anti-join, union
     val touched = incoming.select("blueprint").distinct()
       .collect().map(_.getString(0)).toSeq // metadata-scale: ≤ #blueprints
     if (touched.isEmpty) return

@@ -94,7 +94,14 @@ final class JdbcEntitySink(
   @volatile private var ensured = false
 
   /** Create target + stage + key index once per sink (idempotent via the
-    * catalog — a second sink on the same table just sees them). */
+    * catalog — a second sink on the same table just sees them).
+    *
+    * The existence probe is scoped to the connection's CURRENT schema so a
+    * same-named table owned by another schema can't suppress the CREATE
+    * (and later writes hit the wrong table). Check-then-create is also
+    * inherently racy across concurrent sinks, so the CREATE path tolerates
+    * the loser's "already exists" SQLState (Derby X0Y32 / standard 42S01)
+    * instead of failing initialization. */
   private def ensureTables(): Unit = {
     if (ensured) return
     withConn { c =>
@@ -105,13 +112,20 @@ final class JdbcEntitySink(
         val esc = md.getSearchStringEscape
         val pat = name.toUpperCase
           .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
-        val rs = md.getTables(null, null, pat, null)
+        val rs = md.getTables(null, c.getSchema, pat, null)
         try !rs.next() finally rs.close()
       }
+      def createTolerant(sql: String): Boolean =
+        try { exec(c, sql); true }
+        catch {
+          case e: java.sql.SQLException
+              if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" =>
+            false // another sink won the race; its DDL is identical
+        }
       if (missing(table)) {
-        exec(c, s"CREATE TABLE $target ($colDdl)")
-        exec(c, s"CREATE INDEX ${q(table + "_key_idx")} ON $target " +
-          s"(${keys.map(q).mkString(", ")})")
+        if (createTolerant(s"CREATE TABLE $target ($colDdl)"))
+          exec(c, s"CREATE INDEX ${q(table + "_key_idx")} ON $target " +
+            s"(${keys.map(q).mkString(", ")})")
       }
     }
     ensured = true

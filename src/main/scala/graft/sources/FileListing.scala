@@ -45,7 +45,7 @@ final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.
   * collector/_collector.py:99-101).
   *
   * Scale posture (100 M files / 1000 executors):
-  *   - each level is `localCheckpoint`ed (eager): lineage is truncated per
+  *   - each level is eagerly lineage-cut (Lineage.cut): truncated per
   *     level so the plan does not deepen with tree depth, and the level is
   *     never re-listed by later actions (a re-list could observe a
   *     *different* filesystem — snapshot consistency matters for the diff);
@@ -114,14 +114,14 @@ object FileListing {
     // loop bound: list children of dirs at recursion depth <= maxDepth
     // (recursion depth of a dir = level - 1 in reference terms)
     while (!dirs.isEmpty && maxDepth.forall(level - 1 <= _)) {
-      // eager localCheckpoint: materializes the level once (no re-listing on
+      // eager Lineage.cut: materializes the level once (no re-listing on
       // later actions — FS snapshot consistency) and truncates lineage.
       val entries = listLevel(spark, dirs, level, hconf)
         .filter(col("is_dir") ||
           nameMatches(col("name")))
         .filter(!col("is_dir") || !lit(matchDirs) || nameMatches(col("name")))
         .as[FileEntry]
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.cut)
       acc = acc.unionByName(entries)
       // repartition the next level's dirs to cluster width: a level that
       // fans out from few dirs to millions would otherwise list on the

@@ -62,7 +62,7 @@ final class ChangeMonitor(
     * single-partition window — a reindex-sized batch keeps its
     * parallelism. */
   def poll(): Option[DataFrame] = {
-    val cur = currentSnapshot().localCheckpoint(true)
+    val cur = currentSnapshot().transform(graft.operators.Lineage.cut)
     val changes = Snapshot.diffNonEmpty(prevSnapshot(), cur)
     changes.map { d =>
       val key = sortKey.map(f => f(col("path"))).getOrElse(col("path"))

@@ -102,8 +102,8 @@ final class Workflow(
       }.select(sinkSchema.fieldNames.map(col): _*)
       (widened, res.errors, res)
     }
-    val ups = results.map(_._1).reduce(_ unionByName _).localCheckpoint(true)
-    val errs = results.map(_._2).reduce(_ unionByName _).localCheckpoint(true)
+    val ups = results.map(_._1).reduce(_ unionByName _).transform(graft.operators.Lineage.cut)
+    val errs = results.map(_._2).reduce(_ unionByName _).transform(graft.operators.Lineage.cut)
     results.foreach(_._3.release()) // outputs materialized — drop the caches
     sink.upsert(ups)
     if (!errs.isEmpty)
@@ -120,7 +120,7 @@ final class Workflow(
       // earlier ones (reference processes monitors in registration order)
       val merged = batches.zipWithIndex.map { case (b, i) =>
         b.withColumn("ord", col("ord") + lit(i.toLong * (1L << 32)))
-      }.reduce(_ unionByName _).localCheckpoint(true)
+      }.reduce(_ unionByName _).transform(graft.operators.Lineage.cut)
       val n = merged.count()
       println(s"[$name] ${java.time.Instant.now}: $n changed paths") // T6
       buildBatch(merged)
