@@ -141,4 +141,34 @@ object Corpus {
       concat(coalesce(col(strataCol), lit("")), lit(":"), col(idCol).cast("string")))
     df.filter(h < thresh)
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `k`-gram with an evaluation/benchmark corpus — the standard
+    * n-gram-overlap test-set leak check (GPT-3 appendix C / PaLM-style)
+    * run before a corpus ships.
+    *
+    * Returns one row per CONTAMINATED training doc: (idCol,
+    * n_shared_grams = distinct `k`-grams also present anywhere in
+    * `bench`). Clean docs are absent — at corpus scale the contaminated
+    * set is orders of magnitude smaller than the corpus, and the caller
+    * anti-joins it to drop (or audits it).
+    *
+    * Execution shape: distinct k-grams per side ([[Dedup.shingleRows]] —
+    * explode + codegen'd `element_at` assembly), equi-join on the gram,
+    * count per doc. The bench side collapses to a DISTINCT gram SET
+    * (doc identity dropped) before the join: benchmark suites are tiny
+    * next to a training corpus, so AQE broadcasts the bench grams and the
+    * corpus side never shuffles at all — set `benchBroadcast` to force
+    * the hint when bench-side stats are missing (e.g. a fresh temp view).
+    */
+  def contaminatedDocs(train: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, k: Int = 8, benchBroadcast: Boolean = false): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val trainGrams = Dedup.shingleRows(train, textCol, idCol, k)
+    val benchGrams0 = Dedup.shingleRows(bench, textCol, idCol, k)
+      .select(col("s")).distinct()
+    val benchGrams = if (benchBroadcast) broadcast(benchGrams0) else benchGrams0
+    trainGrams.join(benchGrams, Seq("s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

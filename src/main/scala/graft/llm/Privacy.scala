@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over a text corpus — the scrubbing stage a
+  * training-data pipeline runs before anything leaves the raw zone.
+  *
+  * Pure Column algebra: `regexp_count` / `regexp_replace` are codegen'd
+  * per-row expressions with no shuffle at all — the operator is
+  * embarrassingly parallel and scan-bound at any corpus size, and it
+  * composes with the quality/dedup stages without adding an exchange.
+  *
+  * The patterns deliberately use only syntax with identical semantics in
+  * Java regex (Spark) and RE2 (DuckDB oracle): character classes,
+  * bounded repetition, `\b` word boundaries — no backreferences, no
+  * lookaround (RE2 has neither). They are the standard cheap recall-first
+  * shapes (email / NANP-style phone / IPv4), not a validation-grade
+  * parser: corpus scrubbing wants high recall and tolerates over-masking.
+  */
+object Privacy {
+
+  /** user@host.tld — local part liberal, TLD alphabetic ≥ 2. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style dashed phone: 3-3-4 digit groups, word-bounded. */
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Dotted-quad IPv4 (recall-first: accepts out-of-range octets). */
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def countEmails(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def countPhones(text: Column): Column = regexp_count(text, lit(phonePattern))
+  def countIps(text: Column): Column = regexp_count(text, lit(ipv4Pattern))
+
+  /** Mask every PII hit with a typed placeholder. Emails first (their
+    * host part contains dotted runs an IPv4-shaped pattern could chew
+    * on), then IPs, then phones — each pass replaces ALL occurrences. */
+  def redact(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "<EMAIL>")
+    val i = regexp_replace(e, ipv4Pattern, "<IP>")
+    regexp_replace(i, phonePattern, "<PHONE>")
+  }
+
+  /** Per-document PII profile: appends `n_emails`, `n_phones`, `n_ips`
+    * and the redacted text (as `redacted`) to `df`. */
+  def piiStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", countEmails(t))
+      .withColumn("n_phones", countPhones(t))
+      .withColumn("n_ips", countIps(t))
+      .withColumn("redacted", redact(t))
+  }
+}

@@ -205,4 +205,57 @@ object TextAnalysis {
         (lit(posLimit - 1) - col("_sel") % posLimit).as("fp_pos"))
       .distinct()
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): documents
+    * dominated by repeated n-grams are boilerplate/spam, and the standard
+    * quality gate filters on (a) the token fraction covered by the single
+    * most frequent 2-gram and (b) the fraction of 3-gram occurrences that
+    * are duplicates.
+    *
+    * Output: (idCol, n_tokens, top2_frac, dup3_frac), one row per input
+    * row. Docs too short for an n-gram get 0.0 (nothing repeats).
+    *
+    * Execution shape: ONE position-explode emits every 2-gram and (where
+    * it exists) the 3-gram starting at the same position — codegen'd
+    * `element_at` assembly, no HOF lambdas — then two plain aggregate
+    * levels: per-(doc, n, gram) counts, then per-doc maxima/sums. Both
+    * aggregations map-side-combine on the same hash partitioning of
+    * idCol, and nothing is ever joined across documents, so the operator
+    * scales linearly with corpus size. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(col(idCol), col("_tk"), size(col("_tk")).as("_n"),
+        explode(sequence(lit(1), size(col("_tk")) - 1)).as("_p"))
+      .select(col(idCol),
+        concat_ws(" ", element_at(col("_tk"), col("_p")),
+          element_at(col("_tk"), col("_p") + 1)).as("g2"),
+        when(col("_p") + 2 <= col("_n"),
+          concat_ws(" ", element_at(col("_tk"), col("_p")),
+            element_at(col("_tk"), col("_p") + 1),
+            element_at(col("_tk"), col("_p") + 2))).as("g3"))
+    // per-(doc, gram) occurrence counts for both sizes in one shuffle:
+    // a 2-gram row and a 3-gram row can never collide (different arity
+    // prefix), so tagging by which column is non-null suffices
+    val counts = grams
+      .select(col(idCol), explode(array(
+        struct(lit(2).as("n"), col("g2").as("g")),
+        struct(lit(3).as("n"), col("g3").as("g")))).as("_e"))
+      .select(col(idCol), col("_e.n").as("_gn"), col("_e.g").as("_g"))
+      .filter(col("_g").isNotNull)
+      .groupBy(col(idCol), col("_gn"), col("_g")).agg(count(lit(1)).as("_c"))
+    val per = counts.groupBy(col(idCol)).agg(
+      max(when(col("_gn") === 2, col("_c"))).as("_max2"),
+      sum(when(col("_gn") === 3, col("_c"))).as("_tot3"),
+      sum(when(col("_gn") === 3 && col("_c") > 1, col("_c"))).as("_dup3"))
+    df.select(col(idCol), nTokens(col(textCol)).as("n_tokens"))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce((col("_max2") * 2).cast("double") / col("n_tokens"), lit(0.0))
+          .as("top2_frac"),
+        coalesce(col("_dup3").cast("double") / col("_tot3"), lit(0.0))
+          .as("dup3_frac"))
+  }
 }

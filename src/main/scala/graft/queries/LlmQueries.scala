@@ -191,6 +191,52 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrubbing: counts per category + redacted text (compared by
+    // md5). The corpus is synthetic word-soup with no organic PII, so the
+    // query plants deterministic PII derived from doc_id — BOTH engines
+    // build the identical augmented text, making the redaction oracle
+    // meaningful (docs off the modulus get zero counts: real negatives).
+    "x9_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val aug = concat(
+        substring(col("text"), 1, 40),
+        when(id % 2 === 0, concat(lit(" mail user"), id.cast("string"),
+          lit("@ex"), (id % 5).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(id % 3 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" host 10."), (id % 256).cast("string"),
+          lit("."), ((id * 3) % 256).cast("string"),
+          lit("."), ((id * 7) % 256).cast("string"))).otherwise(lit("")))
+      Privacy.piiStats(
+          t(s, dir, "documents").select(id, aug.as("text")), "text")
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality signals: token coverage of the most
+    // frequent 2-gram + duplicate fraction of 3-gram occurrences.
+    "x10_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: training docs (sources != src0) sharing
+    // any word 4-gram with the benchmark corpus (source src0).
+    "x11_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.contaminatedDocs(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          "text", "doc_id", k = 4)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (decode plumbing
     // itself is Dataset-level, see Multimodal.scala + MultimodalSpec).
     "mm1_binary_meta" -> ((s, dir) => {
@@ -487,6 +533,60 @@ object LlmQueries {
                             ELSE ${th(0.25)} END
           ORDER BY doc_id"""
     },
+    "x9_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             substr(text, 1, 40)
+             || CASE WHEN doc_id % 2 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                       || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.com' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) ELSE '' END
+             AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+         FROM aug ORDER BY doc_id""",
+    "x10_repetition" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              base AS (SELECT doc_id, w, len(w) AS n FROM ws),
+              p2 AS (SELECT doc_id, w, unnest(range(1, n)) AS i
+                     FROM base WHERE n >= 2),
+              g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM p2),
+              c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+              a2 AS (SELECT doc_id, max(c) AS mx FROM c2 GROUP BY 1),
+              p3 AS (SELECT doc_id, w, unnest(range(1, n - 1)) AS i
+                     FROM base WHERE n >= 3),
+              g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM p3),
+              c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+              a3 AS (SELECT doc_id, sum(c) AS tot,
+                       sum(CASE WHEN c > 1 THEN c END) AS dup
+                     FROM c3 GROUP BY 1)
+          SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_tokens,
+                 coalesce(CAST(a2.mx * 2 AS DOUBLE) / b.n, 0.0) AS top2_frac,
+                 coalesce(CAST(a3.dup AS DOUBLE) / a3.tot, 0.0) AS dup3_frac
+          FROM base b LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+          ORDER BY doc_id""",
+    "x11_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, source, $duckToks AS w FROM documents),
+              pos AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 2)) AS i
+                      FROM toks WHERE len(w) >= 4),
+              grams AS (SELECT DISTINCT doc_id, source,
+                          array_to_string(w[i:i+3], ' ') AS g FROM pos),
+              bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+          SELECT doc_id, count(*) AS n_shared_grams
+          FROM grams JOIN bench USING (g)
+          WHERE source <> 'src0'
+          GROUP BY doc_id ORDER BY doc_id""",
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

@@ -1,0 +1,85 @@
+package graft
+
+import graft.llm.{Corpus, Privacy, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** PII redaction, repetition quality signals, and benchmark
+  * decontamination — the round-5 corpus-hygiene operators. */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii: counts and redaction across all three categories") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@mail-host.org or 555-123-4567 thanks"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 no contact"),
+      (3L, "plain text with no sensitive content at all"),
+      (4L, "a@b.io c@d.co 555-000-1111 8.8.8.8")).toDF("id", "text")
+    val out = Privacy.piiStats(df, "text").orderBy("id")
+      .select("n_emails", "n_phones", "n_ips", "redacted")
+      .collect()
+    assert(out(0).getInt(0) == 1 && out(0).getInt(1) == 1 && out(0).getInt(2) == 0)
+    assert(out(0).getString(3) ==
+      "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(1).getInt(2) == 2 &&
+      out(1).getString(3) == "server at <IP> and <IP> no contact")
+    assert(out(2).getInt(0) == 0 && out(2).getInt(1) == 0 && out(2).getInt(2) == 0)
+    assert(out(2).getString(3) == "plain text with no sensitive content at all")
+    assert(out(3).getString(3) == "<EMAIL> <EMAIL> <PHONE> <IP>")
+  }
+
+  test("pii: email redaction runs before the ipv4 pass can chew its host") {
+    // a dotted-numeric mail host: the email pass must own the whole match
+    val df = Seq((1L, "x 1.2.3.4@5.6.7.com y")).toDF("id", "text")
+    val r = Privacy.piiStats(df, "text").head
+    assert(r.getAs[String]("redacted") == "x <EMAIL> y")
+  }
+
+  test("repetition: planted repeats score high, diverse text scores low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),       // one 2-gram everywhere
+      (2L, "alpha beta gamma delta epsilon zeta"), // all n-grams unique
+      (3L, "one two")                              // no 3-gram
+    ).toDF("id", "text")
+    val out = TextAnalysis.repetitionStats(df, "text", "id").orderBy("id")
+      .collect()
+    // doc 1: "spam spam" occurs 5x over 6 tokens → 10/6; all four 3-grams
+    // are the same string → every occurrence is a duplicate
+    assert(math.abs(out(0).getDouble(2) - 10.0 / 6) < 1e-12)
+    assert(out(0).getDouble(3) == 1.0)
+    // doc 2: every gram unique → max2 = 1 → 2/6; no duplicate 3-grams
+    assert(math.abs(out(1).getDouble(2) - 2.0 / 6) < 1e-12)
+    assert(out(1).getDouble(3) == 0.0)
+    // doc 3: 2 tokens → one 2-gram (2/2 = 1.0), zero 3-grams → 0.0
+    assert(out(2).getDouble(2) == 1.0 && out(2).getDouble(3) == 0.0)
+    assert(out(2).getInt(1) == 2)
+  }
+
+  test("repetition: single-token doc emits a zeroed row, not nothing") {
+    val out = TextAnalysis.repetitionStats(
+      Seq((7L, "lonely")).toDF("id", "text"), "text", "id").collect()
+    assert(out.length == 1 &&
+      out(0).getDouble(2) == 0.0 && out(0).getDouble(3) == 0.0)
+  }
+
+  test("decontamination flags exactly the docs sharing a k-gram") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, "totally unrelated content about spark partitions here"),
+      // shares "quick brown fox jumps" (k=4) — two distinct shared 4-grams
+      (2L, "he saw the quick brown fox jumps away"),
+      // shares words but never 4 consecutive ones
+      (3L, "brown dog and lazy fox quick over")).toDF("id", "text")
+    val out = Corpus.contaminatedDocs(train, bench, "text", "id", k = 4)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    // doc 2 grams: "he saw the quick" "saw the quick brown"
+    // "the quick brown fox" "quick brown fox jumps" "brown fox jumps away"
+    // → 2 present in bench
+    assert(out(0).getLong(1) == 2L)
+    // forced-broadcast variant returns the identical result
+    val b = Corpus.contaminatedDocs(train, bench, "text", "id", k = 4,
+      benchBroadcast = true).orderBy("id").collect()
+    assert(b.toSeq == out.toSeq)
+  }
+}
