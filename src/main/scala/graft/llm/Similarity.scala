@@ -131,13 +131,89 @@ object Similarity {
     raw.map(_ / n)
   }
 
-  /** Per-vector projections onto all `nlist` unit centroids, as one array
+  /** Per-vector projections onto the given centroids, as one array
     * column (native matvec kernel; dimension mismatch raises inside it).
     * Kept in its OWN projection by callers — the kernel is not "cheap"
     * for CollapseProject, so Catalyst leaves the stage alone and the
-    * nlist dot products run once per row, not once per consumer. */
-  private def centroidProjections(vec: Column, nlist: Int, dims: Int): Column =
-    VectorExprs.matvecProjections(vec, (0 until nlist).map(unitCentroidVector(_, dims)))
+    * dot products run once per row, not once per consumer. */
+  private def centroidProjections(vec: Column,
+      centroids: Seq[IndexedSeq[Double]]): Column =
+    VectorExprs.matvecProjections(vec, centroids)
+
+  /** The deterministic data-independent seed codebook ([[unitCentroidVector]]
+    * per cell) — the quantizer a4 certifies and [[trainIvfCentroids]]
+    * starts from. */
+  def seedCentroids(nlist: Int, dims: Int): Seq[IndexedSeq[Double]] =
+    (0 until nlist).map(unitCentroidVector(_, dims))
+
+  /** Nearest-centroid cell per vector (spherical assignment: argmax dot
+    * product against unit centroids; first max ⇒ lowest cell on exact
+    * ties — identical tie rule to [[ivfTopK]] and the DuckDB oracles).
+    * Appends `_cell` to `df`. */
+  def assignCells(df: DataFrame, vecCol: String,
+      centroids: Seq[IndexedSeq[Double]]): DataFrame =
+    df.withColumn("_ps", centroidProjections(col(vecCol), centroids))
+      .withColumn("_cell",
+        (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
+      .drop("_ps")
+
+  /** One Lloyd accumulation as a DataFrame: per (cell, pos) the member
+    * count and the mean component over the vectors assigned to that cell.
+    * This is the DISTRIBUTED half of a k-means step — position-explode
+    * keeps the arithmetic codegen'd, the single groupBy map-side-combines,
+    * and the result is codebook-sized (nlist x dims rows) however large
+    * the corpus is. Cells with no members are absent. */
+  def centroidUpdate(df: DataFrame, vecCol: String,
+      centroids: Seq[IndexedSeq[Double]]): DataFrame =
+    assignCells(df.select(col(vecCol).as("_v")), "_v", centroids)
+      .select(col("_cell").as("cell"), posexplode(col("_v")).as(Seq("pos", "_x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n"), avg(col("_x").cast("double")).as("mean_c"))
+
+  /** One spherical k-means (Lloyd) step: assign, average, re-normalize.
+    * Returns the updated unit codebook; a cell that attracted no vectors
+    * keeps its previous centroid (the standard empty-cluster rule).
+    * Driver-side work is nlist x dims doubles — metadata-scale. */
+  def kmeansStep(df: DataFrame, vecCol: String,
+      centroids: Seq[IndexedSeq[Double]]): Seq[IndexedSeq[Double]] = {
+    val dims = centroids.head.size
+    val rows = centroidUpdate(df, vecCol, centroids)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(3)))
+    val byCell = rows.groupBy(_._1)
+    centroids.indices.map { cell =>
+      byCell.get(cell) match {
+        case None => centroids(cell)
+        case Some(comps) =>
+          val mean = Array.ofDim[Double](dims)
+          comps.foreach { case (_, pos, m) => mean(pos) = m }
+          val n = math.sqrt(mean.map(x => x * x).sum)
+          // an all-zero mean (exactly cancelling members) cannot be
+          // normalized — keep the previous centroid, like an empty cell
+          if (n == 0.0) centroids(cell) else mean.map(_ / n).toIndexedSeq
+      }
+    }
+  }
+
+  /** Train an IVF codebook with `iters` spherical k-means steps from the
+    * deterministic seed codebook. Each step is one distributed
+    * assign+average job; convergence (no assignment changes) short-circuits
+    * via codebook fixpoint. Feed the result to [[ivfTopK]]'s `centroids`
+    * parameter — a trained quantizer balances cell sizes, which is what
+    * bounds per-query probe cost at corpus scale. */
+  def trainIvfCentroids(df: DataFrame, vecCol: String, nlist: Int,
+      dims: Int, iters: Int = 5): Seq[IndexedSeq[Double]] = {
+    require(iters >= 0, s"iters ($iters) must be non-negative")
+    var cents = seedCentroids(nlist, dims)
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      val next = kmeansStep(df, vecCol, cents)
+      converged = next == cents
+      cents = next
+      i += 1
+    }
+    cents
+  }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale shape:
     * the corpus is partitioned ONCE into `nlist` cells by nearest centroid
@@ -147,21 +223,26 @@ object Similarity {
     * a query touches nProbe/nlist of the corpus, and the bucketed join
     * shuffles candidates only. Centroids here are deterministic
     * data-independent constants (reproducible across engines); swapping in
-    * trained k-means centroids changes only the literals. */
+    * trained k-means centroids ([[trainIvfCentroids]]) changes only the
+    * literals — pass them via `centroids`. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 8, nProbe: Int = 2,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, centroids: Option[Seq[IndexedSeq[Double]]] = None)
+      : DataFrame = {
     require(nProbe >= 1 && nProbe <= nlist,
       s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    val cents = centroids.getOrElse(seedCentroids(nlist, dims))
+    require(cents.size == nlist && cents.forall(_.size == dims),
+      s"centroids must be a $nlist x $dims codebook")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
-      .withColumn("_ps", centroidProjections(col("_v"), nlist, dims))
+      .withColumn("_ps", centroidProjections(col("_v"), cents))
       .withColumn("_cell",
         (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
       .drop("_ps")
     // probe list per query: top-nProbe cells by projection, ties to the
     // lower cell id (struct sorts (p desc, -cell desc) = (p desc, cell asc))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
-      .withColumn("_ps", centroidProjections(col("_q"), nlist, dims))
+      .withColumn("_ps", centroidProjections(col("_q"), cents))
       .withColumn("_probe", transform(
         slice(sort_array(array((0 until nlist).map(cell =>
           struct(element_at(col("_ps"), cell + 1).as("p"),

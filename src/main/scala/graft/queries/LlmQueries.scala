@@ -108,6 +108,18 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // One distributed spherical k-means (Lloyd) accumulation from the
+    // deterministic seed codebook: per (cell, pos) member count + mean
+    // component. This is the scale half of IVF training — codebook-sized
+    // output regardless of corpus size; the driver-side re-normalization
+    // is certified by SimilaritySpec instead (no cross-position reduction
+    // here keeps the float comparison tight).
+    "a5_kmeans_step" -> ((s, dir) => {
+      Similarity.centroidUpdate(t(s, dir, "embeddings"), "embedding",
+          Similarity.seedCentroids(8, 64))
+        .orderBy("cell", "pos")
+    }),
+
     // Embedding near-dup detection: three exact duplicates are planted
     // (vec_id + 100000); LSH bucketing must surface exactly those pairs at
     // cosine ≥ 0.99 (identical vectors share every bucket; the corpus's
@@ -456,6 +468,17 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a5_kmeans_step" ->
+      s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT v, CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              x AS (SELECT cell, CAST(i AS INTEGER) - 1 AS pos,
+                      v[CAST(i AS INTEGER)] AS comp
+                    FROM cc, range(1, 65) t(i))
+          SELECT cell, pos, count(*) AS n, avg(comp) AS mean_c
+          FROM x GROUP BY cell, pos ORDER BY cell, pos""",
     "a3_embedding_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
          FROM embeddings WHERE vec_id < 3 ORDER BY id_a, id_b""",

@@ -1,0 +1,61 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** Spherical k-means IVF training: the Lloyd step, the empty-cell rule,
+  * fixpoint convergence, and that a trained codebook plugs into ivfTopK. */
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around orthogonal axes in 4-d
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.0f, 0.1f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+    (3L, Array(0.0f, 0.1f, 1.0f, 0.0f)),
+    (4L, Array(0.1f, 0.0f, 0.9f, 0.0f)),
+    (5L, Array(0.0f, 0.0f, 1.0f, 0.1f))).toDF("id", "vec")
+
+  test("kmeansStep returns unit centroids that tighten the clusters") {
+    val seed = Similarity.seedCentroids(2, 4)
+    val next = Similarity.kmeansStep(vecs, "vec", seed)
+    assert(next.size == 2 && next.forall(_.size == 4))
+    next.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-12,
+        s"centroid not unit-norm: $c")
+    }
+    // after one step each centroid must be dominated by one of the two
+    // planted axes (0 or 2) — the mean of either cluster is axis-heavy
+    val domAxes = next.map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(domAxes.subsetOf(Set(0, 2)) && domAxes.size == 2,
+      s"expected axis-0 and axis-2 dominated centroids, got $domAxes")
+  }
+
+  test("training reaches a fixpoint and short-circuits") {
+    val trained = Similarity.trainIvfCentroids(vecs, "vec", 2, 4, iters = 10)
+    // a further step must not move the codebook (fixpoint reached)
+    assert(Similarity.kmeansStep(vecs, "vec", trained) == trained)
+  }
+
+  test("a cell that attracts no vectors keeps its previous centroid") {
+    // every vector sits on axis 0 — with one centroid at axis 0 and one
+    // at axis 1, nothing assigns to the axis-1 cell (dot = 0 < ~1)
+    val onAxis = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.0f)))
+      .toDF("id", "vec")
+    val cents = Seq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0))
+    val next = Similarity.kmeansStep(onAxis, "vec", cents)
+    assert(next(1) == cents(1), "empty cell must keep its centroid")
+    assert(next(0) == IndexedSeq(1.0, 0.0))
+  }
+
+  test("trained codebook plugs into ivfTopK and finds the true neighbors") {
+    val trained = Similarity.trainIvfCentroids(vecs, "vec", 2, 4, iters = 5)
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("id") === 0L),
+      "id", "vec", k = 2, nlist = 2, nProbe = 1, dims = 4,
+      centroids = Some(trained)).collect()
+    // with a trained quantizer, probing ONE cell still returns the two
+    // same-cluster neighbors of vector 0 (ids 1 and 2)
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+}
