@@ -206,6 +206,40 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** TF-IDF top-`topK` keyword extraction per document.
+    *
+    * tf = term occurrences in the doc; idf = ln((N+1)/(df+1)) + 1 (the
+    * smoothed variant — never zero, never divides by zero); score =
+    * tf·idf; per-doc rank by (score desc, term asc) for determinism.
+    *
+    * Scale shape: token-explode → per-(doc, term) counts (map-side
+    * combined), the document-frequency table is VOCABULARY-sized (one row
+    * per distinct term — tiny next to the corpus, AQE broadcasts it), and
+    * the only per-corpus shuffles are the tf groupBy and the per-doc
+    * top-k window, both partitioned by doc-sized keys with no skew. `n`
+    * (corpus size) is a driver-side literal: one metadata-scale count.
+    *
+    * @return (idCol, term, tf, score, rank) — rank 1..topK per doc
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, s"topK ($topK) must be positive")
+    val n = df.count()
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df")) // tf is distinct per (doc, term)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf") *
+        (log(lit((n + 1).toDouble) / (col("_df") + 1)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): documents
     * dominated by repeated n-grams are boilerplate/spam, and the standard
     * quality gate filters on (a) the token fraction covered by the single

@@ -230,6 +230,16 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top-5 keyword extraction: per-(doc, term) counts, a
+    // vocabulary-sized document-frequency table, smoothed idf, per-doc
+    // top-k window. The classic two-level corpus aggregation.
+    "x12_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          topK = 5)
+        .orderBy("doc_id", "rank")
+    }),
+
     // Gopher-style repetition quality signals: token coverage of the most
     // frequent 2-gram + duplicate fraction of 3-gram occurrences.
     "x10_repetition" -> ((s, dir) => {
@@ -579,6 +589,19 @@ object LlmQueries {
                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                  '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
          FROM aug ORDER BY doc_id""",
+    "x12_tfidf" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              tm AS (SELECT doc_id, unnest(w) AS term FROM ws),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
+              dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                       tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (dfq.dfn + 1)) + 1.0) AS score
+                     FROM tf JOIN dfq USING (term) CROSS JOIN n),
+              r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rank FROM sc)
+          SELECT doc_id, term, tf, score, rank
+          FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
     "x10_repetition" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               base AS (SELECT doc_id, w, len(w) AS n FROM ws),

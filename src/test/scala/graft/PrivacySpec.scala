@@ -61,6 +61,21 @@ class PrivacySpec extends SparkSpec {
       out(0).getDouble(2) == 0.0 && out(0).getDouble(3) == 0.0)
   }
 
+  test("tfidf ranks a doc's rare term above corpus-wide terms") {
+    val df = Seq(
+      (1L, "common zebra zebra"),
+      (2L, "common common common"),
+      (3L, "common filler words")).toDF("id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "text", "id", topK = 2)
+      .filter(col("id") === 1L).orderBy("rank").collect()
+    // "zebra" is unique to doc 1 (idf ln(2)+1 at tf 2 ≈ 3.39); "common"
+    // is in every doc so its idf collapses to 1.0 — the rare term wins
+    assert(out(0).getString(1) == "zebra")
+    assert(out.length == 2 && out(1).getString(1) == "common")
+    // rank never exceeds topK, scores strictly ordered within the doc
+    assert(out(0).getDouble(3) > out(1).getDouble(3))
+  }
+
   test("decontamination flags exactly the docs sharing a k-gram") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("id", "text")
