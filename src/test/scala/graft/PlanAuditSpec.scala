@@ -33,6 +33,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x9 pii redaction is shuffle-free except the deterministic output sort") {
+    val df = SparkEntry.queries("x9_pii_redact")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val exchanges = "Exchange [a-z]+partitioning"
+      .r.findAllIn(df.queryExecution.executedPlan.toString).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"x9 shuffles beyond the output sort: $exchanges")
+  }
+
+  test("x11/x12 small sides (bench grams, df table) broadcast under AQE") {
+    Seq("x11_decontam", "x12_tfidf").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name's small-side join did not broadcast")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name fell back to a sort-merge join at tiny SF")
+    }
+  }
+
   test("scans prune columns: no query reads a full-width lineitem row") {
     // representative check: q2 only needs the three columns it synthesizes
     // the file name from
