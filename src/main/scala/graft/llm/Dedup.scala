@@ -222,23 +222,44 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Turn near-duplicate PAIRS into dedup decisions: connected components
-    * of the pair graph via iterative min-label propagation, each node
-    * labeled with its component's minimum id (the kept representative).
+    * of the pair graph, each node labeled with its component's minimum id
+    * (the kept representative).
     *
     * Returns (id, rep) for every node that appears in a pair; rows with
-    * `id != rep` are the drops. Scale posture: the pair graph is orders of
-    * magnitude smaller than the corpus (only near-dups appear), and each
-    * round is one neighbor-min step PLUS one pointer-jump step
-    * (`rep := rep's rep`), so labels spread 2^rounds hops — a diameter-D
-    * component converges in O(log D) rounds, and chain-shaped duplicate
-    * graphs no longer need a `maxIters` raise (r2 propagated one hop per
-    * round). `maxIters` stays as the backstop and still throws rather
-    * than silently returning split components. */
+    * `id != rep` are the drops.
+    *
+    * Two execution paths, picked by the materialized edge count:
+    *   - **≤ `driverMaxEdges` symmetrized edges** (and an orderable
+    *     long/int/string id): union-find on the driver. The pair graph of
+    *     a deduped corpus is normally METADATA-scale — a few thousand
+    *     near-dup pairs out of millions of docs — and a driver pass costs
+    *     one collect instead of O(log D) distributed join rounds. Exact,
+    *     deterministic, no iteration cap.
+    *   - **larger graphs**: iterative min-label propagation. Each round is
+    *     one neighbor-min step PLUS one pointer-jump step
+    *     (`rep := rep's rep`), so labels spread 2^rounds hops — a
+    *     diameter-D component converges in O(log D) rounds. `maxIters`
+    *     stays as the backstop and still throws rather than silently
+    *     returning split components.
+    * LlmSpec pins the two paths to identical output on the same graphs. */
   def clusterRepresentatives(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 10): DataFrame = {
+      maxIters: Int = 10, driverMaxEdges: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().transform(graft.operators.Lineage.cut)
+    // edges is materialized by the cut — the count is a metadata read
+    val idType = pairs.schema(aCol).dataType
+    val ordering: Option[Ordering[Any]] = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(Ordering.by(_.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.by(_.asInstanceOf[Int]))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by(_.asInstanceOf[String]))
+      case _ => None
+    }
+    if (ordering.isDefined && edges.count() <= driverMaxEdges)
+      return driverUnionFind(edges, idType, ordering.get)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id")).transform(graft.operators.Lineage.cut)
     var converged = false
@@ -282,6 +303,46 @@ object Dedup {
         s"clusterRepresentatives did not converge in $maxIters iterations — " +
         "a component's diameter exceeds 2^maxIters; raise maxIters")
     labels
+  }
+
+  /** Metadata-scale connected components: collect the (already
+    * materialized) symmetrized edge list, run union-find with iterative
+    * path compression, label each node with its component's minimum id.
+    * Returns the same (id, rep) schema as the distributed path. */
+  private def driverUnionFind(edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any]): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.Map.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent(x) != x) x = parent(x) // walk to root
+      var y = x0                           // compress the walked path
+      while (parent(y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    edges.collect().foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minByRoot = mutable.Map.empty[Any, Any]
+    parent.keys.foreach { n =>
+      val root = find(n)
+      minByRoot.updateWith(root) {
+        case Some(m) => Some(ord.min(m, n))
+        case None => Some(n)
+      }
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    parent.keys.foreach(n =>
+      rows.add(org.apache.spark.sql.Row(n, minByRoot(find(n)))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("rep", idType)))
+    edges.sparkSession.createDataFrame(rows, schema)
   }
 
   // ---------------------------------------------------------------------

@@ -206,6 +206,47 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints —
+    * POSITION-ROBUST partial-overlap detection (shared spans, quotes,
+    * boilerplate blocks), the capability whole-doc Jaccard cannot give:
+    * two documents overlapping on one long passage but differing
+    * elsewhere never clear a Jaccard threshold, yet every shared span of
+    * ≥ window + k - 1 tokens contributes shared fingerprints here.
+    *
+    * Scale posture: fingerprints are a ~1/window sample of the k-gram
+    * stream, and the self-join is bucketed BY FINGERPRINT with the
+    * standard hot-fingerprint guard — a fingerprint present in more than
+    * `maxFpDocFreq` docs is corpus boilerplate and is dropped before the
+    * join (documented recall trade: spans shared by MORE than that many
+    * docs surface through their rarer neighboring fingerprints or not at
+    * all). Candidate volume is bounded by Σ df² over kept fingerprints,
+    * never corpus². */
+  def sharedSpanPairs(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int = 3, window: Int = 4, minShared: Int = 2,
+      maxFpDocFreq: Int = 25): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared ($minShared) must be >= 1")
+    require(maxFpDocFreq >= 1, s"maxFpDocFreq ($maxFpDocFreq) must be >= 1")
+    // (id, fp) distinct — positions collapse: sharing the same span twice
+    // counts once. Persisted: feeds the frequency guard and both join
+    // sides; kept is persisted too so the guard join runs once, and both
+    // are released after the eager cut below materializes the result.
+    val fps = winnowFingerprints(df, textCol, idCol, k, window)
+      .select(col(idCol), col("fp")).distinct().persist()
+    val kept = fps.join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxFpDocFreq).select(col("fp")),
+        Seq("fp"))
+      .persist()
+    val out = kept.select(col("fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+      .transform(graft.operators.Lineage.cut)
+    kept.unpersist(); fps.unpersist()
+    out
+  }
+
   /** TF-IDF top-`topK` keyword extraction per document.
     *
     * tf = term occurrences in the doc; idf = ln((N+1)/(df+1)) + 1 (the

@@ -181,6 +181,15 @@ object LlmQueries {
         .orderBy("doc_id", "fp_pos", "fp")
     }),
 
+    // Shared-span pairs: docs sharing >= 2 winnowing fingerprints —
+    // position-robust partial-overlap detection (quotes, boilerplate),
+    // with the hot-fingerprint guard at doc-frequency 25.
+    "x13_shared_spans" -> ((s, dir) => {
+      TextAnalysis.sharedSpanPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, window = 4, minShared = 2, maxFpDocFreq = 25)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Context-window chunking: 64-token chunks, 16-token overlap. Chunk
     // content is compared by md5 (exact string identity without shipping
     // full text through the comparator).
@@ -345,6 +354,22 @@ object LlmQueries {
     * `_ps` array column in [[Similarity.ivfTopK]]. */
   private val duckIvfProjs: String =
     (0 until 8).map(duckCentroidProj).mkString("[", ", ", "]")
+
+  /** The winnowing pipeline CTE chain (k=3, window=4, 22-bit packed
+    * positions) through `sel` — shared by x8 (fingerprint dump) and x13
+    * (shared-span pairs). Mirrors [[TextAnalysis.winnowFingerprints]]. */
+  private val duckWinnowCtes: String =
+    s"""ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+        st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) >= 3),
+        g AS (SELECT doc_id, w, n, unnest(range(1, n - 1)) AS pos FROM st),
+        h AS (SELECT doc_id, pos, n - 2 AS ng,
+                ${duckHex32("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")} AS hv
+              FROM g),
+        e AS (SELECT doc_id, pos, ng, hv * 4194304 + (4194303 - pos) AS key FROM h),
+        sel AS (SELECT doc_id, pos, ng,
+                  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+                FROM e)"""
 
   private def duckList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -530,20 +555,23 @@ object LlmQueries {
                  count(DISTINCT lang) AS n_langs
           FROM ws GROUP BY source ORDER BY source""",
     "x8_winnow" ->
-      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
-              st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) >= 3),
-              g AS (SELECT doc_id, w, n, unnest(range(1, n - 1)) AS pos FROM st),
-              h AS (SELECT doc_id, pos, n - 2 AS ng,
-                      ${duckHex32("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")} AS hv
-                    FROM g),
-              e AS (SELECT doc_id, pos, ng, hv * 4194304 + (4194303 - pos) AS key FROM h),
-              sel AS (SELECT doc_id, pos, ng,
-                        min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
-                      FROM e)
+      s"""WITH $duckWinnowCtes
           SELECT DISTINCT doc_id, s // 4194304 AS fp,
                  4194303 - (s % 4194304) AS fp_pos
           FROM sel WHERE pos >= least(4, ng) ORDER BY doc_id, fp_pos, fp""",
+    "x13_shared_spans" ->
+      s"""WITH $duckWinnowCtes,
+              fps AS (SELECT DISTINCT doc_id, s // 4194304 AS fp
+                      FROM sel WHERE pos >= least(4, ng)),
+              freq AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+              kept AS (SELECT doc_id, fp FROM fps JOIN freq USING (fp)
+                       WHERE c <= 25)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS n_shared_fps
+          FROM kept a JOIN kept b USING (fp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY id_a, id_b""",
     "x6_chunks" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),

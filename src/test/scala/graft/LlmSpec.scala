@@ -125,12 +125,72 @@ class LlmSpec extends SparkSpec {
 
   test("cluster representatives converge on a 50-node chain without a maxIters raise") {
     // worst-case diameter graph: 1-2-3-…-50; pointer jumping spreads labels
-    // 2^rounds hops, so 50 hops needs ~6 rounds — well inside the default 10
+    // 2^rounds hops, so 50 hops needs ~6 rounds — well inside the default
+    // 10. driverMaxEdges = 0 forces the DISTRIBUTED path — the driver
+    // union-find would otherwise absorb a graph this small.
     val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val reps = Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
+    val reps = Dedup.clusterRepresentatives(pairs, "id_a", "id_b",
+        driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps.size === 50)
     assert(reps.values.toSet === Set(1L))
+  }
+
+  test("driver union-find and distributed propagation label graphs identically") {
+    // mixed shapes: a chain, a triangle with a tail, a pair, a self-loop
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 13L), (20L, 21L), (30L, 30L)).toDF("id_a", "id_b")
+    def run(threshold: Long) =
+      Dedup.clusterRepresentatives(pairs, "id_a", "id_b",
+          driverMaxEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val driver = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(driver === distributed)
+    assert(driver === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("shared-span pairs see partial overlap whole-doc Jaccard misses") {
+    val span = "the five boxing wizards jump quickly over glass"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $span epsilon zeta eta theta iota"),
+      (2L, s"one two three four five six $span seven eight nine ten"),
+      (3L, "completely unrelated text with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.sharedSpanPairs(docs, "text", "doc_id",
+      minShared = 2).collect()
+    // docs 1 and 2 share an 8-token span (≥ window+k-1 = 6 guarantees a
+    // shared fingerprint; 8 tokens give several) but differ everywhere
+    // else — their full-set Jaccard is far below any dedup threshold
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getLong(2) >= 2L)
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+    assert(jac.isEmpty, "Jaccard 0.5 should NOT pair these docs")
+  }
+
+  test("shared-span hot-fingerprint guard drops corpus boilerplate") {
+    // identical boilerplate in EVERY doc ⇒ every fingerprint has doc
+    // frequency 6; a guard below that drops them all (nothing pairs),
+    // while a guard at the corpus size lets every 6-choose-2 pair through
+    val text = "standard legal disclaimer text appears here verbatim in" +
+      " every single document of this corpus without any variation at all"
+    val docs = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val guarded = TextAnalysis.sharedSpanPairs(docs, "text", "doc_id",
+      minShared = 2, maxFpDocFreq = 5)
+    assert(guarded.isEmpty)
+    val unguarded = TextAnalysis.sharedSpanPairs(docs, "text", "doc_id",
+      minShared = 2, maxFpDocFreq = 6)
+    assert(unguarded.count() == 15, "all 6-choose-2 pairs without the guard")
+  }
+
+  test("string-keyed pair graphs take the driver path and label correctly") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val reps = Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reps === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
   }
 
   test("chunking covers every token once per stride, no redundant tail") {
