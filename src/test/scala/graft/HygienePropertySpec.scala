@@ -1,0 +1,103 @@
+package graft
+
+import graft.llm.{Corpus, Privacy, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Randomized invariants of the corpus-hygiene operators (seeded random
+  * cases through the real operators — same style as CorpusPropertySpec).
+  *
+  * Repetition: fraction bounds and the exact relation to a reference
+  * count on arbitrary token streams. TF-IDF: rank/row invariants and
+  * score positivity. Decontamination: flagged ⊆ train, bench-duplication
+  * invariance. PII: redaction idempotence and count/placeholder
+  * consistency on generated text. */
+class HygienePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(777)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+
+  private def randomText(n: Int): String =
+    (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("repetition fractions match a reference count on random streams") {
+    val docs = (1L to 40L).map(i => (i, randomText(2 + rnd.nextInt(30))))
+    val out = TextAnalysis.repetitionStats(docs.toDF("id", "text"),
+      "text", "id").collect().map(r =>
+        r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val (n, top2, dup3) = out(id)
+      assert(n == toks.size)
+      val g2 = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val g3 = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val expTop2 = if (g2.isEmpty) 0.0
+        else g2.groupBy(identity).values.map(_.size).max * 2.0 / toks.size
+      val c3 = g3.groupBy(identity).values.map(_.size).toSeq
+      val expDup3 = if (g3.isEmpty) 0.0
+        else c3.filter(_ > 1).sum.toDouble / c3.sum
+      assert(math.abs(top2 - expTop2) < 1e-12, s"doc $id top2")
+      assert(math.abs(dup3 - expDup3) < 1e-12, s"doc $id dup3")
+      assert(top2 >= 0.0 && top2 < 2.0 && dup3 >= 0.0 && dup3 <= 1.0)
+    }
+  }
+
+  test("tfidf emits at most topK ranks 1..k per doc, positive scores") {
+    val docs = (1L to 30L).map(i => (i, randomText(1 + rnd.nextInt(40))))
+      .toDF("id", "text")
+    val k = 3
+    val rows = TextAnalysis.tfidfTopTerms(docs, "text", "id", k).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).distinct.length ==
+      rows.length, "duplicate (doc, term) rows")
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val ranks = rs.map(_.getInt(4)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"doc $id ranks $ranks")
+      assert(ranks.size <= k)
+      assert(rs.forall(_.getDouble(3) > 0.0), s"doc $id non-positive score")
+    }
+  }
+
+  test("decontamination flags only train docs; bench duplication is inert") {
+    val bench = (100L to 104L).map(i => (i, randomText(12))).toDF("id", "text")
+    val train = (1L to 25L).map(i => (i, randomText(12))).toDF("id", "text")
+    val base = Corpus.contaminatedDocs(train, bench, "text", "id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(base.forall(_._1 <= 25L), "flagged a non-train id")
+    // duplicating the bench corpus must not change flags or counts —
+    // the gram set is DISTINCT by construction
+    val doubled = Corpus.contaminatedDocs(train,
+        bench.unionByName(bench), "text", "id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(doubled == base)
+  }
+
+  test("pii redaction is idempotent and consistent with the counts") {
+    val texts = (1L to 30L).map { i =>
+      val parts = Seq.newBuilder[String]
+      parts += randomText(3)
+      if (rnd.nextBoolean()) parts += s"u$i@host$i.net"
+      if (rnd.nextBoolean()) parts += f"555-${rnd.nextInt(1000)}%03d-${rnd.nextInt(10000)}%04d"
+      if (rnd.nextBoolean()) parts += s"10.${rnd.nextInt(256)}.0.${rnd.nextInt(256)}"
+      parts += randomText(2)
+      (i, parts.result().mkString(" "))
+    }.toDF("id", "text")
+    val once = Privacy.piiStats(texts, "text")
+    val rows = once.collect()
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      def occurrences(s: String, sub: String): Int =
+        s.sliding(sub.length).count(_ == sub)
+      assert(occurrences(red, "<EMAIL>") == r.getAs[Int]("n_emails"))
+      assert(occurrences(red, "<PHONE>") == r.getAs[Int]("n_phones"))
+      assert(occurrences(red, "<IP>") == r.getAs[Int]("n_ips"))
+    }
+    // re-redacting the redacted text changes nothing and counts nothing
+    val twice = Privacy.piiStats(
+      once.select(col("id"), col("redacted").as("text")), "text").collect()
+    twice.foreach { r =>
+      assert(r.getAs[Int]("n_emails") + r.getAs[Int]("n_phones") +
+        r.getAs[Int]("n_ips") == 0, "placeholders re-detected as PII")
+      assert(r.getAs[String]("redacted") == r.getAs[String]("text"))
+    }
+  }
+}
