@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   *      components → drop everything but each component's representative;
   *   3. quality gate: keep documents at or above a quality threshold
   *      (length / punctuation / stopword / uniqueness heuristics);
-  *   4. stratified mix sampling by source (deterministic hash Bernoulli);
-  *   5. chunking to token windows with overlap;
-  *   6. greedy packing of chunks into context-window bins.
+  *   4. repetition gate (optional): drop documents whose top-2-gram
+  *      coverage or duplicate-3-gram fraction exceeds the Gopher-style
+  *      thresholds;
+  *   5. benchmark decontamination (optional): drop documents sharing any
+  *      word k-gram with a supplied evaluation corpus;
+  *   6. stratified mix sampling by source (deterministic hash Bernoulli);
+  *   7. PII redaction (optional): mask emails/phones/IPs in the surviving
+  *      text before it is chunked;
+  *   8. chunking to token windows with overlap;
+  *   9. greedy packing of chunks into context-window bins.
   *
   * Every stage is one of the library's certified operators; this object
   * only composes them and keeps the intermediate frames queryable for
@@ -45,16 +52,33 @@ object Pipeline {
     * @param jaccardThreshold near-dup threshold for step 2
     * @param minQuality       quality floor for step 3 (0-1; the quality
     *                         column is the certified x1 heuristic)
-    * @param rates            per-source sampling rates for step 4
-    * @param chunkSize        tokens per chunk (step 5)
-    * @param overlap          chunk overlap (step 5)
-    * @param budget           tokens per packed context window (step 6)
+    * @param maxTop2Frac      repetition gate (step 4): drop docs whose
+    *                         most frequent 2-gram covers more than this
+    *                         token fraction. The default (2.0, the
+    *                         metric's upper bound) disables the gate.
+    * @param maxDup3Frac      repetition gate: drop docs whose duplicate
+    *                         3-gram occurrence fraction exceeds this.
+    *                         Default 1.0 disables.
+    * @param decontaminateAgainst evaluation corpus (doc_id, text) for
+    *                         step 5; None skips decontamination
+    * @param decontamK        k-gram size for the overlap test
+    * @param rates            per-source sampling rates for step 6
+    * @param redactPii        mask emails/phones/IPs in surviving text
+    *                         (step 7) before chunking
+    * @param chunkSize        tokens per chunk (step 8)
+    * @param overlap          chunk overlap (step 8)
+    * @param budget           tokens per packed context window (step 9)
     */
   def buildTrainingCorpus(docs: DataFrame,
       jaccardThreshold: Double = 0.8,
       minQuality: Double = 0.5,
+      maxTop2Frac: Double = 2.0,
+      maxDup3Frac: Double = 1.0,
+      decontaminateAgainst: Option[DataFrame] = None,
+      decontamK: Int = 8,
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
+      redactPii: Boolean = false,
       chunkSize: Int = 512,
       overlap: Int = 64,
       budget: Int = 2048,
@@ -89,22 +113,55 @@ object Pipeline {
     val qualityDrops = scored.filter(col("quality") < minQuality)
       .select(col("doc_id"), lit("low_quality").as("reason"))
 
-    // 4. deterministic mix sampling by source
-    val kept = Corpus.stratifiedSample(afterQuality, "doc_id", "source",
-      rates, defaultRate).persist()
-    val sampleDrops = afterQuality.join(
+    // 4. repetition gate — only pay the n-gram aggregations when a
+    // threshold is actually binding. The bad set is drop-sized; the cut
+    // materializes it once for both the anti-join and the audit trail.
+    val (afterRep, repDrops) =
+      if (maxTop2Frac >= 2.0 && maxDup3Frac >= 1.0)
+        (afterQuality, None)
+      else {
+        val bad = TextAnalysis.repetitionStats(
+            afterQuality.select("doc_id", "text"), "text", "doc_id")
+          .filter(col("top2_frac") > maxTop2Frac ||
+            col("dup3_frac") > maxDup3Frac)
+          .select("doc_id").transform(graft.operators.Lineage.cut)
+        (afterQuality.join(bad, Seq("doc_id"), "left_anti"),
+          Some(bad.select(col("doc_id"), lit("repetitive").as("reason"))))
+      }
+
+    // 5. benchmark decontamination — the contaminated set is drop-sized
+    val (afterDecon, deconDrops) = decontaminateAgainst match {
+      case None => (afterRep, None)
+      case Some(bench) =>
+        val hit = Corpus.contaminatedDocs(afterRep, bench, "text", "doc_id",
+            decontamK)
+          .select("doc_id").transform(graft.operators.Lineage.cut)
+        (afterRep.join(hit, Seq("doc_id"), "left_anti"),
+          Some(hit.select(col("doc_id"), lit("contaminated").as("reason"))))
+    }
+
+    // 6. deterministic mix sampling by source
+    val sampled = Corpus.stratifiedSample(afterDecon, "doc_id", "source",
+      rates, defaultRate)
+    // 7. PII redaction on the survivors (stateless Column pass — scrubbed
+    // BEFORE chunking so no placeholder is ever split across chunks)
+    val kept = (if (redactPii)
+        sampled.withColumn("text", Privacy.redact(col("text")))
+      else sampled).persist()
+    val sampleDrops = afterDecon.join(
         kept.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("sampled_out").as("reason"))
 
-    // 5-6. chunk + pack the survivors
+    // 8-9. chunk + pack the survivors
     val chunks = Corpus.chunkDocuments(kept, "text", "doc_id",
       chunkSize, overlap)
     val packed = Corpus.packChunks(chunks, budget)
 
+    val dropFrames = Seq(nullDrops, exactDrops, nearDrops, qualityDrops) ++
+      repDrops ++ deconDrops ++ Seq(sampleDrops)
     CorpusBuild(
       kept = kept,
-      dropped = nullDrops.unionByName(exactDrops).unionByName(nearDrops)
-        .unionByName(qualityDrops).unionByName(sampleDrops),
+      dropped = dropFrames.reduce(_ unionByName _),
       chunks = chunks,
       packed = packed,
       cached = Seq(afterExact, scored, kept))

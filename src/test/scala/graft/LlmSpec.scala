@@ -303,6 +303,38 @@ class LlmSpec extends SparkSpec {
     build.release() // audit done — drop the shared caches
   }
 
+  test("pipeline hygiene stages: repetition gate, decontamination, redaction") {
+    val spamText = ("buy now " * 40).trim // one 2-gram dominates
+    val benchText = "the quick brown fox jumps over the lazy sleeping dog today"
+    val input = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3,
+        "srcA"),
+      (2L, spamText, "srcA"),
+      (3L, s"prefix words here $benchText and some unique suffix words too " +
+        "padding padding2 padding3 padding4 padding5 padding6 padding7 " +
+        "padding8 padding9 padding10", "srcB"),
+      (4L, "contact me at someone@example.org about spark jobs running " +
+        "in production clusters every single day without fail ever", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val build = Pipeline.buildTrainingCorpus(input,
+      minQuality = 0.0, maxTop2Frac = 0.5, maxDup3Frac = 1.0,
+      decontaminateAgainst = Some(bench), decontamK = 8,
+      redactPii = true, chunkSize = 32, overlap = 0, budget = 64)
+    val reasons = build.dropped.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons(2L) == "repetitive", s"got $reasons")
+    assert(reasons(3L) == "contaminated", s"got $reasons")
+    val keptIds = build.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(1L, 4L))
+    // the kept text is scrubbed before chunking
+    val doc4 = build.kept.filter(col("doc_id") === 4L)
+      .head().getAs[String]("text")
+    assert(doc4.contains("<EMAIL>") && !doc4.contains("someone@example.org"))
+    assert(build.chunks.filter(col("chunk").contains("@")).isEmpty)
+    build.release()
+  }
+
   test("exact dedup groups identical content under one keep id") {
     val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
       .toDF("doc_id", "text")
