@@ -284,10 +284,13 @@ object Dedup {
       // planned once and reused (ReusedExchange), not computed twice.
       // per-round Lineage.cut: the lineage CUT is what keeps planning
       // time flat across rounds (the r3 regression). The checkpointed
-      // blocks are label-table-sized (pair graph, orders of magnitude
-      // smaller than any corpus) and are reclaimed by the ContextCleaner
-      // when the previous round's frame drops out of scope — unlike the
-      // corpus-sized caches elsewhere, which are released explicitly.
+      // state is label-table-sized (pair graph, orders of magnitude
+      // smaller than any corpus); local blocks are reclaimed by the
+      // ContextCleaner when the previous round's frame drops out of
+      // scope, while reliable-mode FILES need
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true (see
+      // Lineage scaladoc) — unlike the corpus-sized caches elsewhere,
+      // which are released explicitly.
       val next = stepped.join(
           stepped.select(col("id").as("rep"), col("rep").as("_rep2")),
           Seq("rep"), "left")

@@ -43,12 +43,25 @@ object Privacy {
   }
 
   /** Per-document PII profile: appends `n_emails`, `n_phones`, `n_ips`
-    * and the redacted text (as `redacted`) to `df`. */
+    * and the redacted text (as `redacted`) to `df`.
+    *
+    * Counts are STAGED to match the redaction priority — IPs are counted
+    * on the email-redacted text and phones on the email+IP-redacted text
+    * — so `n_<cat>` always equals the number of `<CAT>` placeholders in
+    * `redacted`. Counting every category independently on the raw text
+    * would disagree with the output whenever one category nests inside
+    * another (a dotted-quad mail host, a phone-shaped local part). Each
+    * intermediate redaction is computed once per row (staged
+    * projections), so this costs the same three replace passes as
+    * [[redact]]. */
   def piiStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_emails", countEmails(t))
-      .withColumn("n_phones", countPhones(t))
-      .withColumn("n_ips", countIps(t))
-      .withColumn("redacted", redact(t))
+      .withColumn("_e", regexp_replace(t, emailPattern, "<EMAIL>"))
+      .withColumn("n_ips", countIps(col("_e")))
+      .withColumn("_i", regexp_replace(col("_e"), ipv4Pattern, "<IP>"))
+      .withColumn("n_phones", countPhones(col("_i")))
+      .withColumn("redacted", regexp_replace(col("_i"), phonePattern, "<PHONE>"))
+      .drop("_e", "_i")
   }
 }

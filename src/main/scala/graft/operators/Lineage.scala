@@ -16,15 +16,28 @@ import org.apache.spark.sql.Dataset
   * the cost of a write to the checkpoint dir. With no checkpoint dir set
   * (local[] runs, tests, static-allocation clusters that accept
   * restart-on-loss) it falls back to `localCheckpoint`.
+  *
+  * Reliable-mode operational notes:
+  *   - checkpoint files are NOT auto-deleted by default. Long-running
+  *     loops (ChangeMonitor polls, cluster-propagation rounds) should set
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true` so files
+  *     are reclaimed when their frame is garbage-collected, and point the
+  *     checkpoint dir at storage with a lifecycle/TTL rule as a backstop.
+  *   - [[cut]] persists the frame around the checkpoint write:
+  *     `Dataset.checkpoint(eager)` otherwise runs the plan once for its
+  *     internal materialization and AGAIN for the file write (Spark
+  *     documents the recomputation) — for the file-listing levels that
+  *     second run could even observe a different filesystem.
   */
 object Lineage {
 
-  /** Cut `df`'s lineage eagerly: reliable `checkpoint` when the session's
+  /** Cut `ds`'s lineage eagerly: reliable `checkpoint` when the session's
     * SparkContext has a checkpoint directory configured, else
     * `localCheckpoint`. Both materialize immediately, so callers may
     * release upstream caches as soon as this returns. */
   def cut[T](ds: Dataset[T]): Dataset[T] =
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      ds.checkpoint(eager = true)
-    else ds.localCheckpoint(eager = true)
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      ds.persist()
+      try ds.checkpoint(eager = true) finally ds.unpersist()
+    } else ds.localCheckpoint(eager = true)
 }

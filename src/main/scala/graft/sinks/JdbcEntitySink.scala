@@ -106,20 +106,25 @@ final class JdbcEntitySink(
     if (ensured) return
     withConn { c =>
       def missing(name: String): Boolean = {
-        // getTables takes a LIKE pattern: escape '_'/'%' so "my_table"
-        // can't match an unrelated "myXtable" and silently skip the CREATE
+        // getTables takes LIKE patterns for BOTH the schema and table
+        // arguments: escape '_'/'%' in each so "my_table" (or a schema
+        // like APP_USER) can't match an unrelated sibling and silently
+        // skip the CREATE
         val md = c.getMetaData
         val esc = md.getSearchStringEscape
-        val pat = name.toUpperCase
+        def escape(s: String) = s
           .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
-        val rs = md.getTables(null, c.getSchema, pat, null)
+        val rs = md.getTables(null,
+          Option(c.getSchema).map(escape).orNull, escape(name.toUpperCase), null)
         try !rs.next() finally rs.close()
       }
+      // duplicate-table SQLStates: Derby X0Y32, ODBC/MySQL/H2 42S01,
+      // PostgreSQL 42P07
+      val dupTableStates = Set("X0Y32", "42S01", "42P07")
       def createTolerant(sql: String): Boolean =
         try { exec(c, sql); true }
         catch {
-          case e: java.sql.SQLException
-              if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" =>
+          case e: java.sql.SQLException if dupTableStates(e.getSQLState) =>
             false // another sink won the race; its DDL is identical
         }
       if (missing(table)) {

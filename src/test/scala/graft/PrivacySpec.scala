@@ -28,10 +28,14 @@ class PrivacySpec extends SparkSpec {
   }
 
   test("pii: email redaction runs before the ipv4 pass can chew its host") {
-    // a dotted-numeric mail host: the email pass must own the whole match
+    // a dotted-numeric mail host: the email pass must own the whole match,
+    // and the counts must agree with the placeholders (the IP-shaped local
+    // part is counted as part of the email, not as an address)
     val df = Seq((1L, "x 1.2.3.4@5.6.7.com y")).toDF("id", "text")
     val r = Privacy.piiStats(df, "text").head
     assert(r.getAs[String]("redacted") == "x <EMAIL> y")
+    assert(r.getAs[Int]("n_emails") == 1 && r.getAs[Int]("n_ips") == 0 &&
+      r.getAs[Int]("n_phones") == 0)
   }
 
   test("repetition: planted repeats score high, diverse text scores low") {
