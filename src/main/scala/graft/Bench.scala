@@ -59,6 +59,11 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
 
+  // emitted lines accumulate here and are flushed to bench_out/bench.json —
+  // the driver scrapes sbt stdout, where its own [info] prefixes have made
+  // the JSON unparseable two rounds running; a plain file is unambiguous
+  private val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+
   private def emit(metric: String, results: Seq[(String, Double)],
       sfDir: String, cpus: String): Unit = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -67,8 +72,21 @@ object Bench {
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val errs = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(line)
+    emitted += line
+    writeOut()
   }
+
+  /** Rewrite the output file after every emission so a crash mid-suite
+    * still leaves the lines already measured. */
+  private def writeOut(): Unit =
+    try {
+      val dir = java.nio.file.Paths.get("bench_out")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("bench.json"),
+        emitted.mkString("", "\n", "\n"))
+    } catch { case _: java.io.IOException => () } // stdout line still stands
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev loop for a single declared query: run `SparkEntry.queries(name)`
+  * at the given SF dir and dump the result (and the query's oracle SQL)
+  * to `outDir` — the same artifacts [[Verify]] produces for the whole
+  * suite, without paying for the other ~45 queries while iterating on
+  * one. Usage: runMain graft.VerifyOne <name> <sfDir> <outDir> */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries(name)(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    SparkEntry.oracleSql.get(name).foreach(sql =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${name}_oracle.sql"), sql))
+    spark.stop()
+  }
+}

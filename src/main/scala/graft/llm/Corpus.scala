@@ -69,18 +69,23 @@ object Corpus {
     * `numPartitions`. A chunk larger than `budget` still gets its own
     * (overflowing) bin rather than being silently dropped; zero-token
     * chunks pack like any other (the final bin is emitted even at
-    * fill 0). */
+    * fill 0).
+    *
+    * Column names are parameters like every sibling operator; output
+    * columns are (idCol, idxCol, tokCol, bin_id, bin_fill). The id and
+    * index columns must be integral (they are carried as longs). */
   def packChunks(chunks: DataFrame, budget: Int,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, idCol: String = "doc_id",
+      idxCol: String = "chunk_idx", tokCol: String = "n_tokens"): DataFrame = {
     require(budget > 0, s"budget ($budget) must be positive")
     import chunks.sparkSession.implicits._
-    val base = chunks.select(col("doc_id").cast("long"),
-      col("chunk_idx").cast("long"), col("n_tokens").cast("long"))
+    val base = chunks.select(col(idCol).cast("long"),
+      col(idxCol).cast("long"), col(tokCol).cast("long"))
     val parts = if (numPartitions > 0) numPartitions
       else chunks.sparkSession.sessionState.conf.numShufflePartitions
     base
-      .repartition(parts, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"), col("chunk_idx"))
+      .repartition(parts, col(idCol))
+      .sortWithinPartitions(col(idCol), col(idxCol))
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -115,7 +120,7 @@ object Corpus {
           def next(): PackedChunk = { advance(); out.next() }
         }
       }
-      .toDF()
+      .toDF(idCol, idxCol, tokCol, "bin_id", "bin_fill")
   }
 
   /** Deterministic stratified Bernoulli sample: keep a row iff the

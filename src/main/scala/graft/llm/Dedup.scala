@@ -255,7 +255,18 @@ object Dedup {
       case org.apache.spark.sql.types.IntegerType =>
         Some(Ordering.by(_.asInstanceOf[Int]))
       case org.apache.spark.sql.types.StringType =>
-        Some(Ordering.by(_.asInstanceOf[String]))
+        // UTF8String byte order, NOT Java String UTF-16 code-unit order —
+        // the distributed path's least() compares UTF8String bytes, and
+        // ids mixing U+E000–U+FFFF with supplementary-plane characters
+        // order differently under the two; the representative must not
+        // depend on which path ran
+        Some(new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(a.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b.asInstanceOf[String]))
+        })
       case _ => None
     }
     if (ordering.isDefined && edges.count() <= driverMaxEdges)

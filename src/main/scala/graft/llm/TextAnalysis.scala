@@ -258,14 +258,21 @@ object TextAnalysis {
     * per distinct term — tiny next to the corpus, AQE broadcasts it), and
     * the only per-corpus shuffles are the tf groupBy and the per-doc
     * top-k window, both partitioned by doc-sized keys with no skew. `n`
-    * (corpus size) is a driver-side literal: one metadata-scale count.
+    * (corpus size) is a driver-side literal; when the caller doesn't
+    * supply it via `nDocs`, it is derived with `df.count()` — a FULL pass
+    * over the (possibly expensive, unpersisted) input plan in addition to
+    * the main aggregation. Inside a pipeline, pass the count you already
+    * know (or persist `df` first) so the operator stays a single lazy
+    * frame.
     *
     * @return (idCol, term, tf, score, rank) — rank 1..topK per doc
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
-      idCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+      idCol: String, topK: Int,
+      nDocs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     require(topK > 0, s"topK ($topK) must be positive")
-    val n = df.count()
+    nDocs.foreach(n => require(n >= 0, s"nDocs ($n) must be non-negative"))
+    val n = nDocs.getOrElse(df.count())
     val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))

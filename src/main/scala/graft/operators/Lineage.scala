@@ -34,10 +34,17 @@ object Lineage {
   /** Cut `ds`'s lineage eagerly: reliable `checkpoint` when the session's
     * SparkContext has a checkpoint directory configured, else
     * `localCheckpoint`. Both materialize immediately, so callers may
-    * release upstream caches as soon as this returns. */
+    * release upstream caches as soon as this returns.
+    *
+    * A frame the CALLER already persisted keeps its cache: the guard
+    * persist/unpersist pair wraps only frames that arrive uncached, so
+    * cut() can never silently drop a caller's own persistence. */
   def cut[T](ds: Dataset[T]): Dataset[T] =
     if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      ds.persist()
-      try ds.checkpoint(eager = true) finally ds.unpersist()
+      val callerCached =
+        ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (!callerCached) ds.persist()
+      try ds.checkpoint(eager = true)
+      finally if (!callerCached) ds.unpersist()
     } else ds.localCheckpoint(eager = true)
 }

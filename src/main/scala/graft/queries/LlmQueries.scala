@@ -201,6 +201,20 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Greedy context-window packing over the x6 chunk stream, pinned to
+    // numPartitions=1 — the configuration where partition-local greedy IS
+    // global greedy, so the oracle can replay it as a sequential
+    // recurrence over the (doc_id, chunk_idx)-ordered chunks. The
+    // multi-partition path adds only the deterministic hash partitioning
+    // and pid-prefixed bin ids (CorpusPropertySpec certifies those
+    // invariants).
+    "x15_pack" -> ((s, dir) => {
+      val chunks = Corpus.chunkDocuments(t(s, dir, "documents"), "text",
+        "doc_id", chunkSize = 64, overlap = 16)
+      Corpus.packChunks(chunks, budget = 256, numPartitions = 1)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Deterministic stratified mix sample: per-source keep rates via a
     // portable hash threshold — the training-mix weighting shape, exactly
     // reproducible across engines and re-runs.
@@ -583,6 +597,34 @@ object LlmQueries {
                  CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens,
                  md5(array_to_string(list_slice(w, s, s + 63), ' ')) AS chunk_md5
           FROM c ORDER BY doc_id, chunk_idx""",
+    "x15_pack" ->
+      s"""WITH RECURSIVE ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),
+              c AS (SELECT doc_id, n,
+                      unnest(range(1, greatest(1, n - 16) + 1, 48)) AS s
+                    FROM st),
+              ch AS (SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+                       CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens
+                     FROM c),
+              ord AS (SELECT doc_id, chunk_idx, n_tokens,
+                        row_number() OVER (ORDER BY doc_id, chunk_idx) AS rn
+                      FROM ch),
+              -- sequential greedy recurrence: a chunk opens a new bin iff
+              -- the current bin is non-empty and would overflow the budget
+              r AS (
+                SELECT rn, doc_id, chunk_idx, n_tokens,
+                       CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.doc_id, o.chunk_idx, o.n_tokens,
+                       CASE WHEN r.fill + o.n_tokens > 256 THEN r.bin + 1
+                            ELSE r.bin END,
+                       CASE WHEN r.fill + o.n_tokens > 256 THEN o.n_tokens
+                            ELSE r.fill + o.n_tokens END
+                FROM r JOIN ord o ON o.rn = r.rn + 1)
+          SELECT doc_id, chunk_idx, n_tokens, bin AS bin_id,
+                 CAST(sum(n_tokens) OVER (PARTITION BY bin) AS BIGINT) AS bin_fill
+          FROM r ORDER BY doc_id, chunk_idx""",
     "x7_mix_sample" -> {
       def th(r: Double): Long = (r * 4294967296.0).toLong
       s"""SELECT doc_id, source FROM documents

@@ -114,8 +114,14 @@ final class JdbcEntitySink(
         val esc = md.getSearchStringEscape
         def escape(s: String) = s
           .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+        // getSchema is optional (JDBC 4.1) — drivers may throw
+        // SQLFeatureNotSupportedException (or AbstractMethodError on
+        // pre-4.1 jars); a null schema pattern means "any schema", the
+        // pre-r5 behavior, which is the right fallback
+        val curSchema = try Option(c.getSchema)
+          catch { case _: java.sql.SQLException | _: AbstractMethodError => None }
         val rs = md.getTables(null,
-          Option(c.getSchema).map(escape).orNull, escape(name.toUpperCase), null)
+          curSchema.map(escape).orNull, escape(name.toUpperCase), null)
         try !rs.next() finally rs.close()
       }
       // duplicate-table SQLStates: Derby X0Y32, ODBC/MySQL/H2 42S01,
