@@ -282,6 +282,39 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The COMPOSED corpus pipeline end-to-end: Pipeline.buildTrainingCorpus
+    // over the training sources (benchmark = src0), every gate binding —
+    // exact dedup (4 planted duplicate docs), near-dup 0.8, quality 0.6,
+    // repetition (top2>0.2 | dup3>0.1), decontamination (4-grams vs src0),
+    // stratified sampling, PII redaction on. Output is the DROP AUDIT
+    // (doc_id, reason): certifying it certifies stage composition — gate
+    // ORDER and audit-partition exactness — which no per-stage query can.
+    // The oracle replays each already-certified stage as sequential CTEs.
+    "x14_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val train = d.filter(col("source") =!= "src0")
+        .select("doc_id", "text", "source")
+      val planted = train.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val bench = d.filter(col("source") === "src0").select("doc_id", "text")
+      val build = Pipeline.buildTrainingCorpus(
+        train.unionByName(planted),
+        jaccardThreshold = 0.8,
+        minQuality = 0.6,
+        maxTop2Frac = 0.2,
+        maxDup3Frac = 0.1,
+        decontaminateAgainst = Some(bench),
+        decontamK = 4,
+        rates = Map("src1" -> 0.5, "src2" -> 0.9),
+        defaultRate = 0.8,
+        redactPii = true)
+      // materialize the audit eagerly so the build's internal caches are
+      // released before the frame is handed to the driver
+      val out = graft.operators.Lineage.cut(build.dropped)
+      build.release()
+      out.orderBy("doc_id")
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (decode plumbing
     // itself is Dataset-level, see Multimodal.scala + MultimodalSpec).
     "mm1_binary_meta" -> ((s, dir) => {
@@ -710,6 +743,105 @@ object LlmQueries {
           FROM grams JOIN bench USING (g)
           WHERE source <> 'src0'
           GROUP BY doc_id ORDER BY doc_id""",
+    "x14_pipeline" -> {
+      def th(r: Double): Long = (r * 4294967296.0).toLong
+      s"""WITH train0 AS (SELECT doc_id, text, source FROM documents
+                          WHERE source <> 'src0'),
+              planted AS (SELECT doc_id + 1000000 AS doc_id, text, source
+                          FROM train0 WHERE doc_id < 5),
+              input AS (SELECT * FROM train0 UNION ALL SELECT * FROM planted),
+              bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+              -- stage 1: exact dedup (keep each content group's min id)
+              exact_keep AS (SELECT min(doc_id) AS doc_id FROM input
+                             GROUP BY md5(text)),
+              exact_drops AS (SELECT doc_id, 'exact_dup' AS reason FROM input
+                              WHERE doc_id NOT IN (SELECT doc_id FROM exact_keep)),
+              ae AS (SELECT i.* FROM input i JOIN exact_keep k USING (doc_id)),
+              -- stage 2: exact 3-gram Jaccard >= 0.8 pairs -> components ->
+              -- drop everything but each component's min-id representative
+              ws AS (SELECT doc_id, $duckToks AS w FROM ae),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (
+                WITH RECURSIVE r(node, lbl) AS (
+                  SELECT src, src FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node)
+                SELECT node, min(lbl) AS rep FROM r GROUP BY node),
+              near_drops AS (SELECT node AS doc_id, 'near_dup' AS reason
+                             FROM reach WHERE node <> rep),
+              an AS (SELECT * FROM ae
+                     WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)),
+              -- stage 3: quality gate (the certified x1 composite) at 0.6
+              qw AS (SELECT doc_id, text, $duckToks AS w FROM an),
+              qual AS (SELECT doc_id,
+                         ((CASE WHEN len(w) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+                          (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
+                          (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
+                          (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+                       FROM qw),
+              quality_drops AS (SELECT doc_id, 'low_quality' AS reason
+                                FROM qual WHERE quality < 0.6),
+              aq AS (SELECT * FROM an
+                     WHERE doc_id NOT IN (SELECT doc_id FROM quality_drops)),
+              -- stage 4: Gopher-style repetition gate (x10 signals)
+              rws AS (SELECT doc_id, $duckToks AS w FROM aq),
+              rbase AS (SELECT doc_id, w, len(w) AS n FROM rws),
+              p2 AS (SELECT doc_id, w, unnest(range(1, n)) AS i
+                     FROM rbase WHERE n >= 2),
+              g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM p2),
+              c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+              a2 AS (SELECT doc_id, max(c) AS mx FROM c2 GROUP BY 1),
+              p3 AS (SELECT doc_id, w, unnest(range(1, n - 1)) AS i
+                     FROM rbase WHERE n >= 3),
+              g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM p3),
+              c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+              a3 AS (SELECT doc_id, sum(c) AS tot,
+                       sum(CASE WHEN c > 1 THEN c END) AS dup
+                     FROM c3 GROUP BY 1),
+              rstat AS (SELECT b.doc_id,
+                          coalesce(CAST(a2.mx * 2 AS DOUBLE) / b.n, 0.0) AS top2_frac,
+                          coalesce(CAST(a3.dup AS DOUBLE) / a3.tot, 0.0) AS dup3_frac
+                        FROM rbase b LEFT JOIN a2 USING (doc_id)
+                                     LEFT JOIN a3 USING (doc_id)),
+              rep_drops AS (SELECT doc_id, 'repetitive' AS reason FROM rstat
+                            WHERE top2_frac > 0.2 OR dup3_frac > 0.1),
+              ar AS (SELECT * FROM aq
+                     WHERE doc_id NOT IN (SELECT doc_id FROM rep_drops)),
+              -- stage 5: decontamination (any shared word 4-gram with bench)
+              tpos AS (SELECT doc_id, $duckToks AS w FROM ar),
+              tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM tpos WHERE len(w) >= 4)),
+              bws AS (SELECT $duckToks AS w FROM bench),
+              bg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT w, unnest(range(1, len(w) - 2)) AS i
+                           FROM bws WHERE len(w) >= 4)),
+              decon_drops AS (SELECT DISTINCT doc_id, 'contaminated' AS reason
+                              FROM tg JOIN bg USING (g)),
+              ad AS (SELECT * FROM ar
+                     WHERE doc_id NOT IN (SELECT doc_id FROM decon_drops)),
+              -- stage 6: deterministic stratified sampling (x7 hash rule)
+              sample_drops AS (
+                SELECT doc_id, 'sampled_out' AS reason FROM ad
+                WHERE NOT (${duckHex32("source || ':' || CAST(doc_id AS VARCHAR)")} <
+                  CASE source WHEN 'src1' THEN ${th(0.5)}
+                              WHEN 'src2' THEN ${th(0.9)}
+                              ELSE ${th(0.8)} END))
+          SELECT doc_id, reason FROM (
+            SELECT * FROM exact_drops UNION ALL
+            SELECT * FROM near_drops UNION ALL
+            SELECT * FROM quality_drops UNION ALL
+            SELECT * FROM rep_drops UNION ALL
+            SELECT * FROM decon_drops UNION ALL
+            SELECT * FROM sample_drops)
+          ORDER BY doc_id"""
+    },
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
