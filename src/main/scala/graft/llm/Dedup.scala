@@ -94,17 +94,36 @@ object Dedup {
         min(Hashing.permute(col("_h"), j)).as(s"sig_$j")): _*)
   }
 
+  /** The shared hot-bucket ceiling: a bucket (LSH band, sign-plane cell)
+    * holding more members than this is corpus boilerplate — its self-join
+    * contribution is quadratic in the bucket width, and the members are
+    * overwhelmingly exact/mega-cluster duplicates that exact dedup should
+    * have collapsed first. Buckets above the cap are DROPPED before the
+    * join (the same documented recall trade as `maxFpDocFreq` in
+    * [[TextAnalysis.sharedSpanPairs]]): pairs co-occurring ONLY in a
+    * hot bucket are not emitted. */
+  val DefaultMaxBucketSize: Int = 10000
+
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `numHashes / bands` values; docs sharing any band bucket are
     * candidates. Returns (id_a, id_b) with id_a < id_b, deduped.
     *
     * The only shuffle is the self-join keyed by (band index, band value) —
-    * bucket sizes, not corpus size, bound the pair blow-up. */
+    * bucket sizes, not corpus size, bound the pair blow-up, and the
+    * `maxBucketSize` guard bounds the bucket sizes themselves: a
+    * boilerplate-heavy corpus (thousands of near-identical docs) lands
+    * whole clusters in one band bucket, and without the cap that single
+    * bucket's join goes quadratic. The hot-bucket list is tiny (it is a
+    * list of BUCKETS, not docs), so the anti-join broadcasts. */
   def lshCandidates(sigs: DataFrame, idCol: String,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
       "trailing signature columns would silently be ignored otherwise")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2 — a 1-member bucket " +
+      "can never produce a candidate pair")
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -113,8 +132,11 @@ object Dedup {
     }
     val exploded = sigs.select(col(idCol).as("_mid"),
       explode(array(bandCols: _*)).as("bk"))
-    val a = exploded.select(col("_mid").as("id_a"), col("bk"))
-    val b = exploded.select(col("_mid").as("id_b"), col("bk"))
+    val hot = exploded.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("bk")
+    val kept = exploded.join(hot, Seq("bk"), "left_anti")
+    val a = kept.select(col("_mid").as("id_a"), col("bk"))
+    val b = kept.select(col("_mid").as("id_b"), col("bk"))
     a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -129,8 +151,8 @@ object Dedup {
     * set — at 100 TB nothing here is quadratic in the corpus and nothing
     * non-candidate reaches the expensive stages. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3)
-      : DataFrame = {
+      threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1] — the verify join counts " +
       "shared shingles, so only positive thresholds are expressible")
@@ -139,7 +161,8 @@ object Dedup {
     // signature relation twice, and re-aggregating per side would repeat
     // the groupBy shuffle
     val sigs = signatureFromShingleRows(rows, idCol, numHashes).persist()
-    val cands = lshCandidates(sigs, idCol, numHashes, bands).persist()
+    val cands = lshCandidates(sigs, idCol, numHashes, bands, maxBucketSize)
+      .persist()
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = cands
       .join(rows.select(col(idCol).as("id_a"), col("s")), Seq("id_a"))
@@ -185,11 +208,16 @@ object Dedup {
     * EVERY requested threshold (bands were fixed at 4 before, which
     * silently lost recall for maxHamming ≥ 4). Verify with exact Hamming
     * ≤ `maxHamming`. Band widths may be uneven (⌊b·bits/bands⌋ splits);
-    * the pigeonhole guarantee doesn't care. */
+    * the pigeonhole guarantee doesn't care. Band buckets wider than
+    * `maxBucketSize` are dropped before the self-join — see
+    * [[DefaultMaxBucketSize]] for the recall trade. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 16, maxHamming: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming ($maxHamming) must be in [0, bits=$bits)")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2")
     val bands = maxHamming + 1
     val sigs = simhashSignatures(df, textCol, idCol, bits)
       .select(col(idCol).as("_sid"), col("simhash").as("_sig"))
@@ -204,8 +232,11 @@ object Dedup {
     // guaranteed under AQE), released deterministically below
     val exploded = sigs.select(col("_sid"), col("_sig"),
       explode(array(bandCols: _*)).as("bk")).persist()
-    val a = exploded.select(col("_sid").as("id_a"), col("_sig").as("sig_a"), col("bk"))
-    val b = exploded.select(col("_sid").as("id_b"), col("_sig").as("sig_b"), col("bk"))
+    val hot = exploded.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("bk")
+    val kept = exploded.join(hot, Seq("bk"), "left_anti")
+    val a = kept.select(col("_sid").as("id_a"), col("_sig").as("sig_a"), col("bk"))
+    val b = kept.select(col("_sid").as("id_b"), col("_sig").as("sig_b"), col("bk"))
     val hamming = (0 until bits).map(i =>
       when(shiftright(col("sig_a"), i) % 2 =!= shiftright(col("sig_b"), i) % 2, 1)
         .otherwise(0)).reduce(_ + _)

@@ -13,7 +13,9 @@ final case class MediaRow(
     payload: Array[Byte],
     source: String)
 
-/** Decoded / feature-extracted output of one media row. */
+/** Decoded / feature-extracted output of one media row. Audio fields are
+  * zero for non-audio rows (and for audio payloads with no parseable
+  * RIFF/WAVE header). */
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -21,7 +23,10 @@ final case class MediaFeatures(
     width: Int,
     height: Int,
     n_frames: Int,
-    checksum: Long)
+    checksum: Long,
+    sample_rate: Int = 0,
+    n_channels: Int = 0,
+    duration_ms: Long = 0L)
 
 /** Multimodal-column plumbing: schema, partitioning and batched
   * decode-UDF signature are real; the codec itself is a clearly-marked
@@ -39,6 +44,10 @@ object Multimodal {
   private def u16be(p: Array[Byte], i: Int): Int = (u8(p(i)) << 8) | u8(p(i + 1))
   private def i32be(p: Array[Byte], i: Int): Int =
     (u8(p(i)) << 24) | (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+  private def u16le(p: Array[Byte], i: Int): Int = u8(p(i)) | (u8(p(i + 1)) << 8)
+  private def u32le(p: Array[Byte], i: Int): Long =
+    (u8(p(i)) | (u8(p(i + 1)) << 8) | (u8(p(i + 2)) << 16) |
+      (u8(p(i + 3)).toLong << 24)) & 0xffffffffL
 
   /** Real image-header dimension parse — pure-JVM byte walking, no codec
     * libraries. Recognizes PNG (IHDR width/height at fixed offset 16 after
@@ -70,18 +79,64 @@ object Multimodal {
     None
   }
 
+  /** GIF logical-screen dimensions: "GIF87a"/"GIF89a" signature followed
+    * immediately by u16-LE width and height. */
+  def parseGifDims(p: Array[Byte]): Option[(Int, Int)] = {
+    val isGif = p.length >= 10 &&
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+    if (isGif) Some((u16le(p, 6), u16le(p, 8))) else None
+  }
+
+  /** Parsed RIFF/WAVE header metadata. `durationMs` is derived from the
+    * data-chunk byte length over the fmt byte rate. */
+  final case class WavMeta(sampleRate: Int, channels: Int, durationMs: Long)
+
+  /** Real WAV metadata parse — walk the RIFF chunk list (all values
+    * little-endian: [id 4][size u32][payload size, word-aligned]) to the
+    * `fmt ` chunk (channels at +2, sample rate at +4, byte rate at +8 of
+    * its payload) and the `data` chunk (payload length). Returns None for
+    * anything that doesn't carry a well-formed RIFF/WAVE fmt chunk. */
+  def parseWavMeta(p: Array[Byte]): Option[WavMeta] = {
+    val isWave = p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+    if (!isWave) return None
+    var i = 12
+    var rate = 0L; var channels = 0; var byteRate = 0L; var dataLen = -1L
+    while (i + 8 <= p.length && (rate == 0L || dataLen < 0L)) {
+      val id = new String(Array(p(i), p(i + 1), p(i + 2), p(i + 3)), "US-ASCII")
+      val len = u32le(p, i + 4)
+      if (id == "fmt ") {
+        if (i + 8 + 12 > p.length || len < 16) return None
+        channels = u16le(p, i + 10)
+        rate = u32le(p, i + 12)
+        byteRate = u32le(p, i + 16)
+      } else if (id == "data") dataLen = len
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      if (len > Int.MaxValue - 16) return None // corrupt size: stop walking
+    }
+    if (rate <= 0L || channels <= 0) None
+    else Some(WavMeta(rate.toInt, channels,
+      if (dataLen >= 0L && byteRate > 0L) dataLen * 1000L / byteRate else 0L))
+  }
+
   /** Decoder: REAL header parse for image payloads with a recognizable
-    * PNG/JPEG signature; a clearly-marked deterministic STUB otherwise
-    * (full codecs for audio/video don't ship in this container). A real
-    * deployment swaps only the stub branch for a codec call — the
-    * per-partition batching, schema, and plan shape are unchanged. */
+    * PNG/JPEG/GIF signature and for audio payloads with a RIFF/WAVE
+    * header; a clearly-marked deterministic STUB otherwise (full codecs —
+    * now needed only for video and compressed audio — don't ship in this
+    * container). A real deployment swaps only the stub branch for a codec
+    * call — the per-partition batching, schema, and plan shape are
+    * unchanged. */
   def stubDecode(row: MediaRow): MediaFeatures = {
     val n = row.payload.length.toLong
     val head = if (row.payload.nonEmpty) row.payload(0) & 0xff else 0
     val checksum = row.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
-    val dims = if (row.kind == "image") parseImageDims(row.payload) else None
+    val dims = if (row.kind == "image")
+      parseImageDims(row.payload).orElse(parseGifDims(row.payload)) else None
     val (w, h) = dims.getOrElse(
       ((head % 64 + 1) * 16, ((n % 64).toInt + 1) * 16)) // deterministic fake
+    val wav = if (row.kind == "audio") parseWavMeta(row.payload) else None
     MediaFeatures(
       media_id = row.media_id,
       kind = row.kind,
@@ -89,7 +144,10 @@ object Multimodal {
       width = w,
       height = h,
       n_frames = if (row.kind == "video") (n % 240).toInt + 1 else 1,
-      checksum = checksum)
+      checksum = checksum,
+      sample_rate = wav.map(_.sampleRate).getOrElse(0),
+      n_channels = wav.map(_.channels).getOrElse(0),
+      duration_ms = wav.map(_.durationMs).getOrElse(0L))
   }
 
   /** Batched decode / feature extraction over a media dataset. One decoder

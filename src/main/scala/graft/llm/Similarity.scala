@@ -260,9 +260,17 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH
-    * bucketing (same-bucket candidates only — never all pairs). */
+    * bucketing (same-bucket candidates only — never all pairs). Sign
+    * buckets wider than `maxBucketSize` are dropped before the self-join
+    * — a corpus with thousands of near-identical embeddings puts the
+    * whole cluster in one bucket and the join goes quadratic INSIDE it;
+    * the recall trade is the [[graft.llm.Dedup.DefaultMaxBucketSize]]
+    * one (pairs co-occurring only in a dropped bucket are not emitted). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 6, dims: Int = 64): DataFrame = {
+      threshold: Double, planes: Int = 6, dims: Int = 64,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2")
     // bucketed corpus feeds both self-join sides — persist so the scan +
     // matvec bucketing runs once, released after the eager result
     val v = df.select(col(idCol).as("_eid"), col(vecCol).as("_v"))
@@ -270,8 +278,11 @@ object Similarity {
         (0 until planes).map(planeVector(_, dims))))
       .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
       .persist()
-    val a = v.select(col("_bkt"), col("_eid").as("id_a"), col("_v").as("v_a"))
-    val b = v.select(col("_bkt"), col("_eid").as("id_b"), col("_v").as("v_b"))
+    val hot = v.groupBy(col("_bkt")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("_bkt")
+    val kept = v.join(hot, Seq("_bkt"), "left_anti")
+    val a = kept.select(col("_bkt"), col("_eid").as("id_a"), col("_v").as("v_a"))
+    val b = kept.select(col("_bkt"), col("_eid").as("id_b"), col("_v").as("v_b"))
     val out = a.join(b, Seq("_bkt")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)

@@ -482,8 +482,15 @@ object LlmQueries {
                 ${(0 until 4).map(b =>
                   s"SELECT doc_id, $b AS b, concat_ws('_', sig_${4*b}, sig_${4*b+1}, sig_${4*b+2}, sig_${4*b+3}) AS bucket FROM sig")
                   .mkString("\n                UNION ALL\n                ")}),
+              -- hot-bucket guard: bands wider than the engine's
+              -- maxBucketSize cap never produce candidates
+              keptb AS (SELECT b, bucket FROM bands
+                        GROUP BY b, bucket
+                        HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
               cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                       FROM bands a JOIN bands b
+                       FROM bands a
+                       JOIN keptb k ON a.b = k.b AND a.bucket = k.bucket
+                       JOIN bands b
                          ON a.b = b.b AND a.bucket = b.bucket
                         AND a.doc_id < b.doc_id)
           SELECT c.id_a, c.id_b,

@@ -75,22 +75,37 @@ object StreamOps {
     * across micro-batches — state is checkpointed) is emitted, every
     * later copy is dropped. Emission order within a batch keeps the
     * lowest doc_id (deterministic under shuffled group iterators).
-    * State is O(distinct contents); at corpus scale bound it with a
-    * `GroupStateTimeout` eviction policy if re-ingest windows allow. */
-  def streamingDedup(docs: Dataset[Doc]): Dataset[Doc] = {
+    *
+    * State is O(distinct contents), which on a long-running ingest grows
+    * without bound — `stateTtl` (e.g. `"24 hours"`) bounds it with a
+    * SLIDING processing-time eviction: a key's timer resets on every
+    * sighting, and a key unseen for the TTL is evicted at the next batch.
+    * Documented re-emission semantics: after eviction the key is
+    * indistinguishable from never-seen, so a later re-ingest IS re-emitted
+    * — dedup becomes exact-within-TTL, the standard trade for bounded
+    * state. `None` (the default) keeps exact unbounded dedup. */
+  def streamingDedup(docs: Dataset[Doc],
+      stateTtl: Option[String] = None): Dataset[Doc] = {
     import docs.sparkSession.implicits._
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     docs
       .groupByKey { d =>
         val md = java.security.MessageDigest.getInstance("MD5")
         md.digest(Option(d.text).getOrElse("").getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
       }
-      .flatMapGroupsWithState[Boolean, Doc](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Boolean, Doc](OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { // TTL expired with no sightings: evict
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            stateTtl.foreach(state.setTimeoutDuration) // sliding: reset timer
+            Iterator.empty
+          } else {
             state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
             Iterator.single(rows.minBy(_.doc_id))
           }
       }

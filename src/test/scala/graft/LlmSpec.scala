@@ -46,6 +46,32 @@ class LlmSpec extends SparkSpec {
     assert(both(0) === both(1))
   }
 
+  test("hot-bucket guard drops boilerplate mega-clusters, not normal pairs") {
+    // 500 byte-identical docs: every band puts all 500 in ONE bucket, the
+    // un-guarded self-join would materialize 124,750 pairs from a cluster
+    // exact dedup should own. With the cap the bucket is dropped wholesale.
+    val boiler = spark.range(500)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate text repeated across the corpus").as("text"))
+    val guarded = Dedup.minhashNearDups(boiler, "text", "doc_id", 0.8,
+      maxBucketSize = 100)
+    assert(guarded.isEmpty)
+    // same cap on the embedding side: 300 identical vectors share every
+    // sign bucket; guarded run emits nothing quadratic
+    val vec = typedLit((0 until 64).map(_.toFloat / 64f))
+    val emb = spark.range(300).select(col("id").as("vec_id"), vec.as("embedding"))
+    assert(Similarity.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.99, maxBucketSize = 100).isEmpty)
+    // and a guard that does NOT bind changes nothing: the sf0.001 corpus's
+    // buckets are all far below the default cap
+    val capped = Dedup.minhashNearDups(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").collect().toSet
+    val uncapped = Dedup.minhashNearDups(docs, "text", "doc_id", 0.8,
+        maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").collect().toSet
+    assert(capped === uncapped)
+  }
+
   test("embedding near-dups finds planted duplicate vectors, never all-pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant an exact duplicate of vec 0 with id 100000
@@ -113,6 +139,36 @@ class LlmSpec extends SparkSpec {
     assert(frames.count() > 0)
     // stride sampling: every frame index is a multiple of 10
     assert(frames.filter(col("frame_idx") % 10 =!= 0).isEmpty)
+  }
+
+  test("multimodal header parsers: crafted WAV and GIF headers decode for real") {
+    // minimal canonical 44-byte WAV header: PCM mono 8000 Hz, 16-bit,
+    // byteRate 16000, data chunk of 32000 bytes => exactly 2000 ms
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = (0 until 4).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val wav = "RIFF".getBytes ++ le32(36 + 32000) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(32000)
+    assert(Multimodal.parseWavMeta(wav) ===
+      Some(Multimodal.WavMeta(8000, 1, 2000L)))
+    // the same header behind a leading LIST chunk still parses (chunk walk)
+    val listed = wav.take(12) ++ ("LIST".getBytes ++ le32(4) ++ "INFO".getBytes) ++
+      wav.drop(12)
+    assert(Multimodal.parseWavMeta(listed) ===
+      Some(Multimodal.WavMeta(8000, 1, 2000L)))
+    // GIF89a logical screen 320x200
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0)
+    assert(Multimodal.parseGifDims(gif) === Some((320, 200)))
+    // decode plumbing surfaces the parsed values on the typed row
+    val wavRow = Multimodal.stubDecode(MediaRow(1L, "audio", wav, "s"))
+    assert(wavRow.sample_rate === 8000 && wavRow.n_channels === 1 &&
+      wavRow.duration_ms === 2000L)
+    val gifRow = Multimodal.stubDecode(MediaRow(2L, "image", gif, "s"))
+    assert(gifRow.width === 320 && gifRow.height === 200)
+    // non-media payloads keep the deterministic stub and zeroed audio fields
+    val stub = Multimodal.stubDecode(MediaRow(3L, "audio", "plain".getBytes, "s"))
+    assert(stub.sample_rate === 0 && stub.duration_ms === 0L)
   }
 
   test("cluster representatives propagate across multi-hop components") {

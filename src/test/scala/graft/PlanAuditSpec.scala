@@ -54,6 +54,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell id prunes partitions when the corpus is cell-partitioned") {
+    // the Similarity.ivfTopK scaladoc claims "at 100 TB the cell id is a
+    // partition column: a query touches nProbe/nlist of the corpus" —
+    // prove it: write the corpus partitioned by _cell, probe two cells,
+    // and require (a) a partition filter in the scan and (b) fewer files
+    // actually read than the table holds
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    graft.llm.Similarity.assignCells(emb, "embedding",
+        graft.llm.Similarity.seedCentroids(8, 64))
+      .write.partitionBy("_cell").mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val probe = corpus.filter(col("_cell").isin(1, 3))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
+      s"no partition filter on _cell in:\n$plan")
+    val allFiles = corpus.select(input_file_name()).distinct().count()
+    val probedFiles = probe.select(input_file_name()).distinct().count()
+    assert(probedFiles > 0 && probedFiles < allFiles,
+      s"probe read $probedFiles of $allFiles files - no pruning")
+  }
+
   test("scans prune columns: no query reads a full-width lineitem row") {
     // representative check: q2 only needs the three columns it synthesizes
     // the file name from
