@@ -106,8 +106,15 @@ object Pipeline {
     val afterNear = afterExact.join(
       nearDrops.select("doc_id"), Seq("doc_id"), "left_anti")
 
-    // 3. quality gate (certified x1 heuristic)
-    val scored = TextAnalysis.textStatsDf(afterNear, "text", stopwords).persist()
+    // 3. quality gate (certified x1 heuristic). Project down to the base
+    // columns + quality BEFORE the persist: caching materializes every
+    // column of the cached projection, and textStatsDf's n_bpeish
+    // (regexp_extract_all over the full text) and avg_token_len are never
+    // read by the gate — pruning them here lets Catalyst drop their
+    // expressions entirely instead of paying them into the cache.
+    val scored = TextAnalysis.textStatsDf(afterNear, "text", stopwords)
+      .select((afterNear.columns.map(col) :+ col("quality")).toIndexedSeq: _*)
+      .persist()
     val afterQuality = scored.filter(col("quality") >= minQuality)
       .select(afterNear.columns.map(col).toIndexedSeq: _*)
     val qualityDrops = scored.filter(col("quality") < minQuality)
