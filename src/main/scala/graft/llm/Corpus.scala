@@ -147,6 +147,55 @@ object Corpus {
     df.filter(h < thresh)
   }
 
+  /** C4-style line-level boilerplate removal (Raffel et al. 2020 §2.2's
+    * line filters / RefinedWeb & Dolma line dedup): drop every line whose
+    * corpus-wide DOCUMENT frequency exceeds `maxLineDocFreq` — navigation
+    * chrome, cookie banners, "subscribe" calls and other template lines
+    * repeat across thousands of pages while real content lines are
+    * (near-)unique — and reassemble each document's surviving lines in
+    * their original order.
+    *
+    * Returns the input columns with `textCol` replaced by the cleaned
+    * text, plus `n_lines_kept` / `n_lines_dropped`. A document whose
+    * every line is boilerplate survives with empty text (callers gate on
+    * the counts or a downstream quality pass — silently dropping rows
+    * here would corrupt the caller's bookkeeping).
+    *
+    * Scale shape: one posexplode to (doc, idx, line) rows; the hot-line
+    * table is built from per-doc-distinct lines (vocabulary-sized, like
+    * x12's df table) and filtered to frequency > cap, so the anti-join's
+    * right side is only the HOT lines — tiny, broadcast under AQE.
+    * Reassembly is one per-doc aggregate: collect (idx, line) structs,
+    * array_sort (idx leads the struct, so order restores), join. The
+    * per-row lambda work is doc-local; nothing is ever joined across
+    * documents except the hot-line lookup. */
+  def removeRepeatedLines(df: DataFrame, textCol: String, idCol: String,
+      maxLineDocFreq: Int): DataFrame = {
+    require(maxLineDocFreq >= 1,
+      s"maxLineDocFreq ($maxLineDocFreq) must be >= 1")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("_i", "_ln")))
+    val hot = lines.select(col(idCol), col("_ln")).distinct()
+      .groupBy(col("_ln")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxLineDocFreq).select(col("_ln"))
+    val kept = lines.join(hot, Seq("_ln"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("long").as("n_lines_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("_i"), col("_ln")))),
+        s => s.getField("_ln")), "\n").as("_cleaned"))
+    val keepCols = df.columns.map {
+      case c if c == textCol => coalesce(col("_cleaned"), lit("")).as(textCol)
+      case c => col(c)
+    }
+    df.withColumn("_n_total", size(split(col(textCol), "\n")).cast("long"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(keepCols.toIndexedSeq :+
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept") :+
+        (col("_n_total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_dropped"): _*)
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `k`-gram with an evaluation/benchmark corpus — the standard
     * n-gram-overlap test-set leak check (GPT-3 appendix C / PaLM-style)

@@ -49,6 +49,12 @@ object Pipeline {
   /** Run the full pipeline over a `documents`-shaped frame
     * (doc_id, text, source).
     *
+    * @param maxLineDocFreq   optional pre-pass (step 0.5): C4-style
+    *                         line-level boilerplate removal at this
+    *                         document-frequency cap, BEFORE dedup — the
+    *                         cleaned text is what every later stage
+    *                         (including exact dedup) sees. A doc emptied
+    *                         of all its lines falls to the quality gate.
     * @param jaccardThreshold near-dup threshold for step 2
     * @param minQuality       quality floor for step 3 (0-1; the quality
     *                         column is the certified x1 heuristic)
@@ -70,6 +76,7 @@ object Pipeline {
     * @param budget           tokens per packed context window (step 9)
     */
   def buildTrainingCorpus(docs: DataFrame,
+      maxLineDocFreq: Option[Int] = None,
       jaccardThreshold: Double = 0.8,
       minQuality: Double = 0.5,
       maxTop2Frac: Double = 2.0,
@@ -86,9 +93,15 @@ object Pipeline {
 
     // 0. a null doc_id joins nothing and would surface downstream with a
     // misattributed drop reason — surface it as the data error it is
-    val input = docs.filter(col("doc_id").isNotNull)
+    val valid = docs.filter(col("doc_id").isNotNull)
     val nullDrops = docs.filter(col("doc_id").isNull)
       .select(col("doc_id"), lit("null_id").as("reason"))
+
+    // 0.5 optional line-level boilerplate removal — BEFORE dedup, so two
+    // docs differing only in template chrome dedup as the equals they are
+    val input = maxLineDocFreq.fold(valid)(cap =>
+      Corpus.removeRepeatedLines(valid, "text", "doc_id", cap)
+        .drop("n_lines_kept", "n_lines_dropped"))
 
     // 1. exact dedup: survivors are each content group's keep_id
     val exact = Dedup.exactDedup(input, "text", "doc_id")

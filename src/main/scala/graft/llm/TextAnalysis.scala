@@ -20,10 +20,15 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w)).cast("double") /
       nTokens(text)
 
-  /** Fraction of characters that are punctuation. */
+  /** Fraction of characters that are punctuation. Empty text is 0.0 —
+    * under ANSI mode the unguarded `x / length(text)` raises
+    * DIVIDE_BY_ZERO on a zero-length document (which line-level
+    * boilerplate removal can legitimately produce). */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.,!?;:'\"()]", "")).cast("double") /
-      length(text)
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.,!?;:'\"()]", "")).cast("double") /
+        length(text))
+      .otherwise(0.0)
 
   /** Fraction of tokens found in a stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
@@ -67,8 +72,15 @@ object TextAnalysis {
       .withColumn("avg_token_len",
         aggregate(col("_w"), lit(0L), (acc, w) => acc + length(w)).cast("double") /
           col("n_tokens"))
+      // empty text (legitimate after line-level boilerplate removal) must
+      // score, not raise ANSI DIVIDE_BY_ZERO — length(t) is the one
+      // denominator here that can be zero (split("") yields [""], so
+      // n_tokens >= 1 guards the others)
       .withColumn("punct_ratio",
-        length(regexp_replace(t, "[^.,!?;:'\"()]", "")).cast("double") / length(t))
+        when(length(t) > 0,
+          length(regexp_replace(t, "[^.,!?;:'\"()]", "")).cast("double") /
+            length(t))
+          .otherwise(0.0))
       .withColumn("stopword_ratio",
         size(filter(col("_w"), w => array_contains(sw, w))).cast("double") /
           col("n_tokens"))
@@ -286,6 +298,36 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
+  /** Corpus-wide top-`k` word `n`-grams by occurrence count — the
+    * boilerplate/phrase mining pass that builds the filter lists the
+    * other hygiene operators consume (hot-line lists, stop-phrase lists,
+    * decontamination allowlists are all seeded from exactly this query).
+    *
+    * Output: (gram, n_occurrences, n_docs), ordered by occurrences
+    * descending with the gram string as the deterministic tie-break,
+    * limited to `k` rows.
+    *
+    * Scale shape: position-explode keeps the gram assembly codegen'd
+    * (`element_at`, no HOF lambdas); the aggregation map-side-combines on
+    * the gram, the distinct-doc count rides the same shuffle, and the
+    * global top-k is a TakeOrdered over the vocabulary-sized aggregate —
+    * the full corpus is never sorted. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0 && k > 0, s"n ($n) and k ($k) must be positive")
+    val grams = df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= n)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(1), size(col("_tk")) - (n - 1))).as("_p"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until n).map(j => element_at(col("_tk"), col("_p") + j)): _*).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): documents

@@ -282,6 +282,35 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // C4-style line-level boilerplate removal. The word-soup corpus has no
+    // organic line structure, so the query plants it deterministically in
+    // BOTH engines: every doc becomes three lines — a unique content
+    // prefix, a newsletter banner (even ids) or a second content slice
+    // (odd ids), and one of seven rotating footer variants. At cap 10 the
+    // banner (df ~ corpus/2) and every footer variant (df ~ corpus/7) are
+    // boilerplate and vanish; the content lines survive.
+    "x16_line_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val aug = concat_ws("\n",
+        substring(col("text"), 1, 60),
+        when(id % 2 === 0, lit("subscribe to our newsletter today"))
+          .otherwise(substring(col("text"), 61, 30)),
+        concat(lit("site footer variant "), (id % 7).cast("string")))
+      Corpus.removeRepeatedLines(
+          t(s, dir, "documents").select(id, aug.as("text")),
+          "text", "doc_id", maxLineDocFreq = 10)
+        .select(col("doc_id"), col("n_lines_kept"), col("n_lines_dropped"),
+          md5(col("text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-wide top-20 2-grams by occurrence — the boilerplate/phrase
+    // mining aggregation that seeds filter lists.
+    "x17_top_ngrams" -> ((s, dir) => {
+      TextAnalysis.topNgrams(t(s, dir, "documents"), "text", "doc_id",
+          n = 2, k = 20)
+    }),
+
     // The COMPOSED corpus pipeline end-to-end: Pipeline.buildTrainingCorpus
     // over the training sources (benchmark = src0), every gate binding —
     // exact dedup (4 planted duplicate docs), near-dup 0.8, quality 0.6,
@@ -750,6 +779,39 @@ object LlmQueries {
           FROM grams JOIN bench USING (g)
           WHERE source <> 'src0'
           GROUP BY doc_id ORDER BY doc_id""",
+    "x16_line_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             substr(text, 1, 60) || chr(10)
+             || CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
+                     ELSE substr(text, 61, 30) END || chr(10)
+             || 'site footer variant ' || CAST(doc_id % 7 AS VARCHAR) AS text
+           FROM documents),
+         sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+         l AS (SELECT doc_id, i, ls[i] AS ln
+               FROM sp, unnest(range(1, len(ls) + 1)) t(i)),
+         hot AS (SELECT ln FROM (SELECT DISTINCT doc_id, ln FROM l)
+                 GROUP BY ln HAVING count(*) > 10),
+         kept AS (SELECT * FROM l WHERE ln NOT IN (SELECT ln FROM hot)),
+         re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+                  string_agg(ln, chr(10) ORDER BY i) AS cleaned
+                FROM kept GROUP BY doc_id)
+         SELECT sp.doc_id,
+                coalesce(re.n_lines_kept, 0) AS n_lines_kept,
+                CAST(len(sp.ls) AS BIGINT) - coalesce(re.n_lines_kept, 0)
+                  AS n_lines_dropped,
+                md5(coalesce(re.cleaned, '')) AS cleaned_md5
+         FROM sp LEFT JOIN re ON sp.doc_id = re.doc_id
+         ORDER BY sp.doc_id""",
+    "x17_top_ngrams" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                          FROM ws WHERE len(w) >= 2))
+          SELECT gram, count(*) AS n_occurrences,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM g GROUP BY gram
+          ORDER BY n_occurrences DESC, gram LIMIT 20""",
     "x14_pipeline" -> {
       def th(r: Double): Long = (r * 4294967296.0).toLong
       s"""WITH train0 AS (SELECT doc_id, text, source FROM documents

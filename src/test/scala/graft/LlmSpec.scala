@@ -249,6 +249,49 @@ class LlmSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("line-level boilerplate removal: order kept, all-hot docs survive empty") {
+    val docs = Seq(
+      (1L, "unique alpha\nBANNER\nunique beta"),
+      (2L, "BANNER\nunique gamma"),
+      (3L, "BANNER\nBANNER"),            // every line hot -> empty text
+      (4L, "solo line\nBANNER"),
+      (5L, "at the cap\nunique delta"),  // "at the cap" df=2 == cap: kept
+      (6L, "at the cap"))
+      .toDF("doc_id", "text")
+    val out = Corpus.removeRepeatedLines(docs, "text", "doc_id",
+        maxLineDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // BANNER df=4 > 2: dropped everywhere; order of survivors preserved
+    assert(out(1L) === (("unique alpha\nunique beta", 2L, 1L)))
+    assert(out(2L) === (("unique gamma", 1L, 1L)))
+    // a doc losing every line stays in the output with empty text
+    assert(out(3L) === (("", 0L, 2L)))
+    assert(out(4L) === (("solo line", 1L, 1L)))
+    // df == cap is NOT boilerplate (strict >)
+    assert(out(5L) === (("at the cap\nunique delta", 2L, 0L)))
+    assert(out(6L) === (("at the cap", 1L, 0L)))
+    // a line repeated WITHIN one doc counts once toward doc frequency
+    val within = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val w = Corpus.removeRepeatedLines(within, "text", "doc_id", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w(1L) === "x\nx\nx") // df("x") = 1 doc, not 3 occurrences
+  }
+
+  test("top n-grams: corpus-wide counts with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // "a b" x2, "b a" x1, "b c" x1
+      (2L, "a b d"),       // "a b" x1, "b d" x1
+      (3L, "z z"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, "text", "doc_id", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top(0) === (("a b", 3L, 2L)))
+    // ties at 1 occurrence resolve by gram string ascending
+    assert(top(1) === (("b a", 1L, 1L)))
+    assert(top(2) === (("b c", 1L, 1L)))
+  }
+
   test("chunking covers every token once per stride, no redundant tail") {
     // 10 tokens, size 4, overlap 2 → starts 1,3,5,7; chunk 7 reaches the
     // end; a start at 9 would be fully covered by chunk 7 and must not
@@ -388,6 +431,45 @@ class LlmSpec extends SparkSpec {
       .head().getAs[String]("text")
     assert(doc4.contains("<EMAIL>") && !doc4.contains("someone@example.org"))
     assert(build.chunks.filter(col("chunk").contains("@")).isEmpty)
+    build.release()
+  }
+
+  test("pipeline line stage: chrome-only differences dedup after line removal") {
+    // docs 6 and 7 share their CONTENT but wear the corpus banner in
+    // different positions: without the line stage their texts differ and
+    // never dedup; with it the banner (df 7 > cap 5) vanishes first and
+    // exact dedup sees them as the equals they are
+    val shared = "this very article appears twice behind different chrome"
+    val rows = (1L to 5L).map(i =>
+      (i, s"the corpus banner line\nunique article body number $i", "s")) ++
+      Seq((6L, s"the corpus banner line\n$shared", "s"),
+        (7L, s"$shared\nthe corpus banner line", "s"))
+    val input = rows.toDF("doc_id", "text", "source")
+    val build = Pipeline.buildTrainingCorpus(input,
+      maxLineDocFreq = Some(5), minQuality = 0.0)
+    val reasons = build.dropped.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons.get(7L).contains("exact_dup"), s"got $reasons")
+    val keptIds = build.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds === (1L to 6L).toSet)
+    assert(build.kept.filter(col("text").contains("banner")).isEmpty)
+    build.release()
+  }
+
+  test("pipeline survives a doc emptied by line removal: quality-gated, no crash") {
+    // doc 3's only line IS the boilerplate: after the line stage its text
+    // is empty — it must flow to the quality gate (empty text scores 0.5
+    // under the composite), not raise ANSI DIVIDE_BY_ZERO in punct_ratio
+    val rows = Seq(
+      (1L, "the shared banner\ngenuine body text one here", "s"),
+      (2L, "the shared banner\ngenuine body text two here", "s"),
+      (3L, "the shared banner", "s"))
+      .toDF("doc_id", "text", "source")
+    val build = Pipeline.buildTrainingCorpus(rows,
+      maxLineDocFreq = Some(2), minQuality = 0.6)
+    val reasons = build.dropped.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons.get(3L).contains("low_quality"), s"got $reasons")
     build.release()
   }
 
