@@ -121,12 +121,100 @@ object Multimodal {
       if (dataLen >= 0L && byteRate > 0L) dataLen * 1000L / byteRate else 0L))
   }
 
+  /** Parsed ISO-BMFF (MP4/MOV) container metadata. `nFrames` is the stts
+    * sample total of the first `vide`-handler track (0 when absent). */
+  final case class Mp4Meta(width: Int, height: Int, durationMs: Long,
+      nFrames: Int)
+
+  // ISO-BMFF container boxes whose payload is itself a box list.
+  private val mp4Containers =
+    Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+
+  private def u32beL(p: Array[Byte], i: Int): Long = i32be(p, i) & 0xffffffffL
+  private def u64be(p: Array[Byte], i: Int): Long =
+    (u32beL(p, i) << 32) | u32beL(p, i + 4)
+
+  /** Real MP4/ISO-BMFF metadata parse — a recursive box walk, no codec
+    * library. Boxes are [size u32 BE][type 4cc][payload]; size==1 means a
+    * u64 largesize follows, size==0 means to-end-of-buffer. Reads
+    * `moov/mvhd` (movie timescale + duration → durationMs, version 0 and
+    * 1 layouts), per-track `tkhd` (16.16 fixed-point width/height; the
+    * presentation dims are the max over tracks — audio tracks carry 0×0),
+    * and the first `vide`-handler track's `stbl/stts` sample total as the
+    * frame count. Returns None unless the buffer starts with a well-formed
+    * `ftyp` or `moov` box, so arbitrary payloads fall through to the
+    * deterministic stub. */
+  def parseMp4Meta(p: Array[Byte]): Option[Mp4Meta] = {
+    if (p.length < 16) return None
+    val head = new String(Array(p(4), p(5), p(6), p(7)), "US-ASCII")
+    if (head != "ftyp" && head != "moov") return None
+    var width = 0; var height = 0; var durationMs = 0L; var nFrames = 0
+    var trakIsVideo = false; var trakFrames = 0
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to && depth < 8) {
+        val size32 = u32beL(p, i)
+        val tpe = new String(Array(p(i + 4), p(i + 5), p(i + 6), p(i + 7)),
+          "US-ASCII")
+        val (hdr, size) =
+          if (size32 == 1L) {
+            if (i + 16 > to) return
+            (16, u64be(p, i + 8))
+          } else if (size32 == 0L) (8, (to - i).toLong)
+          else (8, size32)
+        if (size < hdr || i + size > to) return // corrupt length: stop
+        val body = i + hdr; val end = i + size.toInt
+        tpe match {
+          case "trak" =>
+            trakIsVideo = false; trakFrames = 0
+            walk(body, end, depth + 1)
+            if (trakIsVideo && nFrames == 0) nFrames = trakFrames
+          case t if mp4Containers(t) => walk(body, end, depth + 1)
+          case "mvhd" if body + 4 <= end =>
+            val v = u8(p(body))
+            if (v == 0 && body + 20 <= end) {
+              val ts = u32beL(p, body + 12); val dur = u32beL(p, body + 16)
+              if (ts > 0L) durationMs = dur * 1000L / ts
+            } else if (v == 1 && body + 32 <= end) {
+              val ts = u32beL(p, body + 20); val dur = u64be(p, body + 24)
+              if (ts > 0L) durationMs = dur * 1000L / ts
+            }
+          case "tkhd" if body + 4 <= end =>
+            // width/height are the last 8 bytes of the fixed-size payload:
+            // 16.16 fixed point at +76 (v0) / +88 (v1)
+            val off = if (u8(p(body)) == 0) 76 else 88
+            if (body + off + 8 <= end) {
+              width = math.max(width, (u32beL(p, body + off) >> 16).toInt)
+              height = math.max(height, (u32beL(p, body + off + 4) >> 16).toInt)
+            }
+          case "hdlr" if body + 12 <= end =>
+            val h = new String(Array(p(body + 8), p(body + 9), p(body + 10),
+              p(body + 11)), "US-ASCII")
+            if (h == "vide") trakIsVideo = true
+          case "stts" if body + 8 <= end =>
+            val entries = u32beL(p, body + 4)
+            var total = 0L; var j = body + 8; var k = 0L
+            while (k < entries && j + 8 <= end) {
+              total += u32beL(p, j); j += 8; k += 1
+            }
+            trakFrames = math.min(total, Int.MaxValue.toLong).toInt
+          case _ => ()
+        }
+        i = end
+      }
+    }
+    walk(0, p.length, 0)
+    if (width > 0 || durationMs > 0L || nFrames > 0)
+      Some(Mp4Meta(width, height, durationMs, nFrames))
+    else None
+  }
+
   /** Decoder: REAL header parse for image payloads with a recognizable
-    * PNG/JPEG/GIF signature and for audio payloads with a RIFF/WAVE
-    * header; a clearly-marked deterministic STUB otherwise (full codecs —
-    * now needed only for video and compressed audio — don't ship in this
-    * container). A real deployment swaps only the stub branch for a codec
-    * call — the per-partition batching, schema, and plan shape are
+    * PNG/JPEG/GIF signature, audio payloads with a RIFF/WAVE header, and
+    * video payloads in an ISO-BMFF (MP4/MOV) container; a clearly-marked
+    * deterministic STUB otherwise (full pixel/sample codecs don't ship in
+    * this container). A real deployment swaps only the stub branch for a
+    * codec call — the per-partition batching, schema, and plan shape are
     * unchanged. */
   def stubDecode(row: MediaRow): MediaFeatures = {
     val n = row.payload.length.toLong
@@ -137,17 +225,24 @@ object Multimodal {
     val (w, h) = dims.getOrElse(
       ((head % 64 + 1) * 16, ((n % 64).toInt + 1) * 16)) // deterministic fake
     val wav = if (row.kind == "audio") parseWavMeta(row.payload) else None
+    val mp4 = if (row.kind == "video") parseMp4Meta(row.payload) else None
+    val (vw, vh) = mp4.filter(m => m.width > 0 && m.height > 0)
+      .map(m => (m.width, m.height)).getOrElse((w, h))
     MediaFeatures(
       media_id = row.media_id,
       kind = row.kind,
       n_bytes = n,
-      width = w,
-      height = h,
-      n_frames = if (row.kind == "video") (n % 240).toInt + 1 else 1,
+      width = vw,
+      height = vh,
+      n_frames =
+        if (row.kind != "video") 1
+        else mp4.filter(_.nFrames > 0).map(_.nFrames)
+          .getOrElse((n % 240).toInt + 1),
       checksum = checksum,
       sample_rate = wav.map(_.sampleRate).getOrElse(0),
       n_channels = wav.map(_.channels).getOrElse(0),
-      duration_ms = wav.map(_.durationMs).getOrElse(0L))
+      duration_ms = wav.map(_.durationMs)
+        .orElse(mp4.map(_.durationMs)).getOrElse(0L))
   }
 
   /** Batched decode / feature extraction over a media dataset. One decoder

@@ -171,6 +171,53 @@ class LlmSpec extends SparkSpec {
     assert(stub.sample_rate === 0 && stub.duration_ms === 0L)
   }
 
+  test("multimodal header parsers: crafted MP4 box tree decodes for real") {
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = (3 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    // mvhd v0: timescale 600, duration 9000 ticks => 15000 ms
+    val mvhd = box("mvhd",
+      be32(0L) ++ be32(0L) ++ be32(0L) ++ be32(600L) ++ be32(9000L) ++
+        Array.fill[Byte](80)(0))
+    // video trak: hdlr 'vide', tkhd v0 with 640x360 in 16.16 fixed point,
+    // stts with two entries (100 + 25 samples = 125 frames)
+    val tkhd = box("tkhd",
+      be32(0L) ++ Array.fill[Byte](72)(0) ++
+        be32(640L << 16) ++ be32(360L << 16))
+    val hdlr = box("hdlr", be32(0L) ++ be32(0L) ++ "vide".getBytes ++
+      Array.fill[Byte](12)(0))
+    val stts = box("stts", be32(0L) ++ be32(2L) ++
+      be32(100L) ++ be32(1L) ++ be32(25L) ++ be32(1L))
+    val videoTrak = box("trak",
+      tkhd ++ box("mdia", hdlr ++ box("minf", box("stbl", stts))))
+    // audio trak: 0x0 tkhd dims, 'soun' handler, stts that must NOT win
+    val audioTrak = box("trak",
+      box("tkhd", be32(0L) ++ Array.fill[Byte](80)(0)) ++
+        box("mdia", box("hdlr", be32(0L) ++ be32(0L) ++ "soun".getBytes ++
+          Array.fill[Byte](12)(0)) ++
+          box("minf", box("stbl", box("stts", be32(0L) ++ be32(1L) ++
+            be32(999L) ++ be32(1L))))))
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(512L) ++ "isomiso2".getBytes) ++
+      box("moov", mvhd ++ audioTrak ++ videoTrak)
+    assert(Multimodal.parseMp4Meta(mp4) ===
+      Some(Multimodal.Mp4Meta(640, 360, 15000L, 125)))
+    // decode plumbing surfaces the parsed values on the typed video row
+    val row = Multimodal.stubDecode(MediaRow(4L, "video", mp4, "s"))
+    assert(row.width === 640 && row.height === 360 &&
+      row.n_frames === 125 && row.duration_ms === 15000L)
+    // mvhd v1 layout (64-bit times): timescale 1000, duration 2500
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be32(0L) ++ be32(0L) ++ be32(0L) ++ be32(0L) ++ // u64 create + modify
+      be32(1000L) ++ be32(0L) ++ be32(2500L) ++ Array.fill[Byte](80)(0))
+    assert(Multimodal.parseMp4Meta(box("moov", mvhd1)) ===
+      Some(Multimodal.Mp4Meta(0, 0, 2500L, 0)))
+    // non-BMFF payloads fall through to the deterministic stub
+    assert(Multimodal.parseMp4Meta("not a video at all".getBytes) === None)
+    val stub = Multimodal.stubDecode(MediaRow(5L, "video", "x".getBytes, "s"))
+    assert(stub.n_frames === 2) // 1 byte % 240 + 1 — the documented fake
+  }
+
   test("cluster representatives propagate across multi-hop components") {
     // chain 1-2-3 (needs 2 hops), pair 5-6, singleton-free
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
