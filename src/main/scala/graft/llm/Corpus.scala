@@ -196,6 +196,86 @@ object Corpus {
           .as("n_lines_dropped"): _*)
   }
 
+  /** Exact paragraph-level dedup (RefinedWeb / MassiveText-style repeated
+    *-passage removal at sub-document granularity): every paragraph keeps
+    * only its FIRST occurrence corpus-wide — first by (idCol, paragraph
+    * position), so reruns are deterministic — and later occurrences are
+    * cut out of their documents, which are reassembled from the surviving
+    * paragraphs in original order.
+    *
+    * Document-level dedup misses the mirror-site / syndicated-quote case
+    * where documents differ but share whole passages; this pass removes
+    * the repeated passage itself while keeping each document's unique
+    * remainder. Returns the input columns with `textCol` rewritten plus
+    * `n_paras_kept` / `n_paras_dropped` (a doc whose every paragraph is a
+    * repeat survives with empty text — dropping rows here would corrupt
+    * caller bookkeeping; gate on the counts downstream).
+    *
+    * Scale shape: one posexplode to (doc, idx, para) rows; the ownership
+    * table groups by the paragraph STRING (exact — a 64-bit hash key
+    * would silently merge colliding paragraphs at 100 TB paragraph
+    * counts) and keeps only groups with >1 occurrence, so the join-back's
+    * right side holds just the DUPLICATED paragraphs — web corpora are
+    * mostly unique paragraphs, so it is orders of magnitude smaller than
+    * the corpus and AQE broadcasts it when it fits. An occurrence
+    * survives iff its paragraph is not duplicated at all or it IS the
+    * recorded first occurrence (struct min = lexicographic (id, idx)
+    * min). Reassembly is the same per-doc sort-structs aggregate as
+    * [[removeRepeatedLines]]; nothing else crosses document boundaries. */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    require(sep.nonEmpty, "paragraph separator must be non-empty")
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_i", "_p")))
+    val owners = paras
+      .groupBy(col("_p")).agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol), col("_i"))).as("_first"))
+      .filter(col("_n") > 1).select(col("_p"), col("_first"))
+    val kept = paras.join(owners, Seq("_p"), "left")
+      .filter(col("_first").isNull ||
+        struct(col(idCol), col("_i")) === col("_first"))
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("long").as("n_paras_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("_i"), col("_p")))),
+        s => s.getField("_p")), sep).as("_cleaned"))
+    val keepCols = df.columns.map {
+      case c if c == textCol => coalesce(col("_cleaned"), lit("")).as(textCol)
+      case c => col(c)
+    }
+    df.withColumn("_n_total",
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(keepCols.toIndexedSeq :+
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept") :+
+        (col("_n_total") - coalesce(col("n_paras_kept"), lit(0L)))
+          .as("n_paras_dropped"): _*)
+  }
+
+  /** Per-stratum cap: keep at most `cap` rows per `strataCol` value,
+    * chosen by deterministic hash order (portable 32-bit hash of
+    * `stratum:id`, ties broken by id) — the per-domain cap every web
+    * corpus applies so no single site dominates the mix, with
+    * hash-ordered selection so the kept subset is a stable pseudo-random
+    * sample rather than "whatever sorted first".
+    *
+    * Scale shape: one shuffle on the stratum key for the row_number
+    * window. Strata at web scale are domains (bounded fan-in per key);
+    * a pathologically hot stratum makes a hot partition — the mitigation
+    * is the same two-level trick as everywhere (pre-filter hot strata
+    * with [[stratifiedSample]] at an estimated rate, then cap exactly). */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap ($cap) must be >= 1")
+    val h = Hashing.hex32(
+      concat(coalesce(col(strataCol), lit("")), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap).drop("_rn")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `k`-gram with an evaluation/benchmark corpus — the standard
     * n-gram-overlap test-set leak check (GPT-3 appendix C / PaLM-style)

@@ -311,6 +311,39 @@ object LlmQueries {
           n = 2, k = 20)
     }),
 
+    // Paragraph-level exact dedup: first occurrence corpus-wide wins,
+    // later repeats are cut and the doc reassembled. The word-soup corpus
+    // has no organic paragraphs, so the query plants them in BOTH
+    // engines: a unique lead, a shared-quote block (even ids, 5 variants
+    // repeated ~50× each) or a unique second slice, and one of six
+    // rotating footer paragraphs. Only each variant's (min doc_id, min
+    // idx) occurrence survives.
+    "x18_para_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val aug = concat_ws("\n\n",
+        substring(col("text"), 1, 50),
+        when(id % 2 === 0,
+            concat(lit("shared quote block "), (id % 5).cast("string")))
+          .otherwise(substring(col("text"), 51, 40)),
+        concat(lit("para footer "), (id % 6).cast("string")))
+      Corpus.dedupParagraphs(
+          t(s, dir, "documents").select(id, aug.as("text")),
+          "text", "doc_id")
+        .select(col("doc_id"), col("n_paras_kept"), col("n_paras_dropped"),
+          md5(col("text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-stratum cap (the per-domain cap of web-corpus construction):
+    // keep at most 20 docs per source, selected by deterministic portable
+    // hash order so the kept subset is a stable pseudo-random sample.
+    "x19_stratum_cap" -> ((s, dir) => {
+      Corpus.capPerStratum(t(s, dir, "documents"), "doc_id", "source",
+          cap = 20)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // The COMPOSED corpus pipeline end-to-end: Pipeline.buildTrainingCorpus
     // over the training sources (benchmark = src0), every gate binding —
     // exact dedup (4 planted duplicate docs), near-dup 0.8, quality 0.6,
@@ -812,6 +845,42 @@ object LlmQueries {
                  count(DISTINCT doc_id) AS n_docs
           FROM g GROUP BY gram
           ORDER BY n_occurrences DESC, gram LIMIT 20""",
+    "x18_para_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             substr(text, 1, 50) || chr(10) || chr(10)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN 'shared quote block ' || CAST(doc_id % 5 AS VARCHAR)
+                     ELSE substr(text, 51, 40) END || chr(10) || chr(10)
+             || 'para footer ' || CAST(doc_id % 6 AS VARCHAR) AS text
+           FROM documents),
+         sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+                FROM aug),
+         p AS (SELECT doc_id, i, ps[i] AS p
+               FROM sp, unnest(range(1, len(ps) + 1)) t(i)),
+         -- first occurrence corpus-wide == row_number 1 over (doc_id, idx)
+         k AS (SELECT doc_id, i, p,
+                 row_number() OVER (PARTITION BY p ORDER BY doc_id, i) AS rn
+               FROM p),
+         kept AS (SELECT doc_id, i, p FROM k WHERE rn = 1),
+         re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras_kept,
+                  string_agg(p, chr(10) || chr(10) ORDER BY i) AS cleaned
+                FROM kept GROUP BY doc_id)
+         SELECT sp.doc_id,
+                coalesce(re.n_paras_kept, 0) AS n_paras_kept,
+                CAST(len(sp.ps) AS BIGINT) - coalesce(re.n_paras_kept, 0)
+                  AS n_paras_dropped,
+                md5(coalesce(re.cleaned, '')) AS cleaned_md5
+         FROM sp LEFT JOIN re ON sp.doc_id = re.doc_id
+         ORDER BY sp.doc_id""",
+    "x19_stratum_cap" ->
+      s"""SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY ${duckHex32("source || ':' || CAST(doc_id AS VARCHAR)")},
+                         doc_id) AS rn
+            FROM documents)
+          WHERE rn <= 20 ORDER BY doc_id""",
     "x14_pipeline" -> {
       def th(r: Double): Long = (r * 4294967296.0).toLong
       s"""WITH train0 AS (SELECT doc_id, text, source FROM documents

@@ -325,6 +325,49 @@ class LlmSpec extends SparkSpec {
     assert(w(1L) === "x\nx\nx") // df("x") = 1 doc, not 3 occurrences
   }
 
+  test("paragraph dedup: first occurrence wins, later repeats cut in place") {
+    val docs = Seq(
+      (1L, "lead one\n\nSHARED QUOTE\n\ntail one"),
+      (2L, "lead two\n\nSHARED QUOTE\n\ntail two"),   // loses the quote
+      (3L, "SHARED QUOTE\n\nlead three"),             // loses it too (id 1 owns it)
+      (4L, "SHARED QUOTE\n\nSHARED QUOTE"),           // all repeats -> empty
+      (5L, "wholly unique\n\nanother para"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dedupParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("lead one\n\nSHARED QUOTE\n\ntail one", 3L, 0L)))
+    assert(out(2L) === (("lead two\n\ntail two", 2L, 1L)))
+    assert(out(3L) === (("lead three", 1L, 1L)))
+    // a doc that was nothing but repeats survives with empty text
+    assert(out(4L) === (("", 0L, 2L)))
+    assert(out(5L) === (("wholly unique\n\nanother para", 2L, 0L)))
+    // within-doc repetition: the doc's own FIRST occurrence survives
+    val within = Seq((7L, "dup\n\ndup\n\nmid")).toDF("doc_id", "text")
+    val w = Corpus.dedupParagraphs(within, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w(7L) === "dup\n\nmid")
+  }
+
+  test("per-stratum cap keeps exactly cap rows, deterministically") {
+    val rows = (0L until 100L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val capped = Corpus.capPerStratum(rows, "doc_id", "source", cap = 10)
+    val bySrc = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.toSet === Set(10L))
+    // deterministic: the same call selects the same ids
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.capPerStratum(rows, "doc_id", "source", cap = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // a stratum under the cap is untouched
+    val small = Corpus.capPerStratum(rows.filter(col("doc_id") < 5), "doc_id",
+      "source", cap = 10)
+    assert(small.count() === 5)
+    // hash order is not insertion order: the kept set isn't just 0..9 per src
+    assert(a !== (0L until 30L).toSet)
+  }
+
   test("top n-grams: corpus-wide counts with deterministic tie-break") {
     val docs = Seq(
       (1L, "a b a b c"),   // "a b" x2, "b a" x1, "b c" x1
