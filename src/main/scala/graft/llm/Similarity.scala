@@ -259,6 +259,86 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** One PQ sub-codebook centroid: deterministic data-independent
+    * constants (same md5 scheme as planes/IVF), exposed so the DuckDB
+    * oracle is generated from the identical "model". */
+  private[graft] def pqCentroid(sub: Int, c: Int, subDims: Int): IndexedSeq[Double] =
+    (0 until subDims).map(d => hashComponent(s"pq_${sub}_${c}_$d"))
+
+  /** The full PQ codebook: `m` subspaces × `ksub` centroids over
+    * `dims / m` components each. */
+  private[graft] def pqCodebook(m: Int, ksub: Int, dims: Int)
+      : Seq[Seq[IndexedSeq[Double]]] =
+    (0 until m).map(j => (0 until ksub).map(c => pqCentroid(j, c, dims / m)))
+
+  /** Product-quantization ADC top-k (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus is
+    * ENCODED once — each vector split into `m` subvectors, each mapped to
+    * its nearest sub-codebook centroid, so a vector becomes `m` small
+    * codes (`m·log2(ksub)` bits ≈ 64× smaller than float32×dims) — and
+    * queries scan CODES, not vectors, via asymmetric distance computation:
+    * per query, one `ksub`-entry score table per subspace, then each
+    * corpus vector costs `m` table lookups + adds.
+    *
+    * This is the 100 TB memory story for ANN: the encoded corpus fits in
+    * RAM where raw vectors cannot, and at scale the encode is a one-time
+    * write-side artifact (store the code columns; combine with [[ivfTopK]]
+    * cells for IVF-PQ, which this operator's pieces compose into).
+    *
+    * Everything stays in whole-stage codegen: nearest-sub-centroid argmin
+    * is an argmax of biased dot products — ‖v−c‖² minimized ⟺ v·c −
+    * ‖c‖²/2 maximized — computed by the native matvec kernel over the
+    * subvector with a constant 1.0 appended and −‖c‖²/2 appended to each
+    * centroid row (the bias rides INSIDE the kernel; no interpreted
+    * higher-order functions per row). The same biased projections ARE the
+    * query's ADC tables, so ranking by Σ_j table_j[code_j] descending
+    * equals ranking by approximate distance ascending. Ties break to the
+    * lower neighbor id; the argmin tie rule is first-max = lowest code,
+    * identical to the IVF cell rule and the generated oracle.
+    *
+    * @return (query_id, neighbor_id, rank) — rank 1..k per query by
+    *         ascending approximate distance; self-pairs excluded
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 16,
+      dims: Int = 64): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
+    require(ksub >= 2, s"ksub ($ksub) must be >= 2")
+    val sub = dims / m
+    val books = pqCodebook(m, ksub, dims)
+    // centroid rows extended with the -||c||^2/2 bias; the input subvector
+    // is extended with a matching constant 1.0
+    val biased: Seq[Seq[IndexedSeq[Double]]] = books.map(_.map(cv =>
+      cv :+ (-cv.map(x => x * x).sum / 2.0)))
+    def biasedProjections(vec: Column, j: Int): Column =
+      VectorExprs.matvecProjections(
+        concat(slice(vec, j * sub + 1, sub).cast("array<double>"),
+          array(lit(1.0d))),
+        biased(j))
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+    // encode: per subspace, argmax of the biased projections (= nearest
+    // centroid); the projection array lives in its own projection stage so
+    // the kernel runs once per row however many consumers read it
+    val encoded = (0 until m).foldLeft(c0) { (df, j) =>
+      df.withColumn(s"_s$j", biasedProjections(col("_v"), j))
+    }.select(col("neighbor_id") +: (0 until m).map(j =>
+      (array_position(col(s"_s$j"), array_max(col(s"_s$j"))) - 1)
+        .cast("int").as(s"_c$j")): _*)
+    val qt = (0 until m).foldLeft(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))) {
+        (df, j) => df.withColumn(s"_qs$j", biasedProjections(col("_q"), j))
+      }.drop("_q")
+    val adc = (0 until m).map(j =>
+      element_at(col(s"_qs$j"), col(s"_c$j") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id"))
+    encoded.join(broadcast(qt), col("neighbor_id") =!= col("query_id"))
+      .withColumn("_adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH
     * bucketing (same-bucket candidates only — never all pairs). Sign
     * buckets wider than `maxBucketSize` are dropped before the self-join

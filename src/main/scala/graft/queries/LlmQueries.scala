@@ -120,6 +120,17 @@ object LlmQueries {
         .orderBy("cell", "pos")
     }),
 
+    // Product-quantization ADC top-k (Jégou et al. 2011): corpus encoded
+    // to 4 sub-codes (16 centroids per 16-dim subspace), queries rank the
+    // CODES via per-subspace lookup tables — the compressed-ANN memory
+    // story. Codebook = deterministic constants shared with the oracle.
+    "a6_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, m = 4, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding near-dup detection: three exact duplicates are planted
     // (vec_id + 100000); LSH bucketing must surface exactly those pairs at
     // cosine ≥ 0.99 (identical vectors share every bucket; the corpus's
@@ -464,6 +475,18 @@ object LlmQueries {
   private val duckIvfProjs: String =
     (0 until 8).map(duckCentroidProj).mkString("[", ", ", "]")
 
+  /** The 16 biased PQ projections of subspace `j` over the staged
+    * 17-element subvector column `v$j` — mirrors `_s$j`/`_qs$j` in
+    * [[Similarity.pqTopK]] (same bias-in-the-kernel trick, same
+    * accumulation order). */
+  private def duckPqProjs(j: Int): String =
+    (0 until 16).map { c =>
+      val base = Similarity.pqCentroid(j, c, 16)
+      val comps = (base :+ (-base.map(x => x * x).sum / 2.0))
+        .map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 18), i -> v$j[i] * ($comps)[i]))"
+    }.mkString("[", ", ", "]")
+
   /** The winnowing pipeline CTE chain (k=3, window=4, 22-bit packed
     * positions) through `sel` — shared by x8 (fingerprint dump) and x13
     * (shared-span pairs). Mirrors [[TextAnalysis.winnowFingerprints]]. */
@@ -616,6 +639,36 @@ object LlmQueries {
               r AS (SELECT query_id, neighbor_id,
                       row_number() OVER (PARTITION BY query_id
                                          ORDER BY cos DESC, neighbor_id) AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a6_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              sv AS (SELECT vec_id,
+                       v[1:16] || [1.0] AS v0, v[17:32] || [1.0] AS v1,
+                       v[33:48] || [1.0] AS v2, v[49:64] || [1.0] AS v3
+                     FROM e),
+              ps AS (SELECT vec_id, ${duckPqProjs(0)} AS s0,
+                       ${duckPqProjs(1)} AS s1, ${duckPqProjs(2)} AS s2,
+                       ${duckPqProjs(3)} AS s3
+                     FROM sv),
+              enc AS (SELECT vec_id,
+                        CAST(list_position(s0, list_max(s0)) AS INTEGER) - 1 AS c0,
+                        CAST(list_position(s1, list_max(s1)) AS INTEGER) - 1 AS c1,
+                        CAST(list_position(s2, list_max(s2)) AS INTEGER) - 1 AS c2,
+                        CAST(list_position(s3, list_max(s3)) AS INTEGER) - 1 AS c3
+                      FROM ps),
+              qt AS (SELECT vec_id AS query_id, s0, s1, s2, s3
+                     FROM ps WHERE vec_id < 5),
+              sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                       q.s0[c.c0 + 1] + q.s1[c.c1 + 1]
+                       + q.s2[c.c2 + 1] + q.s3[c.c3 + 1] AS adc
+                     FROM enc c, qt q WHERE c.vec_id <> q.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, neighbor_id) AS rn
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",

@@ -124,6 +124,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: identical vector shares every code and lands in top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 2)
+    val res = Similarity.pqTopK(emb, q, "vec_id", "embedding", 10)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    // ADC scores vectors by their CODES: an identical planted vector has
+    // the query's own codes, hence the maximum possible table score — it
+    // must appear in the top-k (rank-1 unless an exact code-tie with a
+    // lower id exists, which ranking by id resolves deterministically)
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(100001L))
+    val withDup = Similarity.pqTopK(emb.unionByName(dup), q,
+        "vec_id", "embedding", 10)
+      .filter(col("query_id") === 0)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(withDup.contains(100001L))
+    // deterministic across runs
+    val again = Similarity.pqTopK(emb, q, "vec_id", "embedding", 10).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    // a wrong-dimension vector raises inside the kernel, never mis-encodes
+    val bad = emb.limit(1).withColumn("embedding", slice(col("embedding"), 1, 8))
+    intercept[Exception] {
+      Similarity.pqTopK(emb.unionByName(bad), q, "vec_id", "embedding", 10).count()
+    }
+  }
+
   test("multimodal decode plumbing: batch stub decode + frame sampling") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val feats = Multimodal.decodeFeatures(media)

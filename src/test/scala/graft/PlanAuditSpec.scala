@@ -7,7 +7,10 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   private val intentionalProduct = Set(
-    "a1_cosine_topk" // brute-force baseline: corpus × 5 broadcast queries
+    "a1_cosine_topk", // brute-force baseline: corpus × 5 broadcast queries
+    "a6_pq_topk" // exhaustive ADC scan over CODES × 5 broadcast query tables
+    // — the documented PQ baseline; the scale path composes it with IVF
+    // cells so the product is per-probed-cell, not per-corpus
   )
 
   test("no cartesian products or unintended nested-loop joins") {
