@@ -43,4 +43,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A long-lived driver session JIT-compiles one whole-stage-codegen
+  // class per plan stage; at 50+ declared queries x several passes the
+  // default 240m code cache fills, HotSpot DISABLES the compiler, and
+  // every later generated class runs interpreted forever — measured as a
+  // 17x slowdown on the alphabetically-late bench queries the moment the
+  // suite crossed ~50 queries. Standard long-session Spark driver fix.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

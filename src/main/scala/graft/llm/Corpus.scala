@@ -276,6 +276,34 @@ object Corpus {
       .filter(col("_rn") <= cap).drop("_rn")
   }
 
+  /** Deterministic global training-order shuffle into shards: each row is
+    * assigned a shard (`hash % nShards`) and a dense position within its
+    * shard (hash order, ties by id) — the final step of corpus
+    * construction, where training examples must be (a) well-mixed so a
+    * data loader streaming shard files sees no source/time locality, and
+    * (b) exactly reproducible so a resumed or re-run job reads the
+    * identical order. The portable hash ([[Hashing.hex32]] of
+    * `"shuffle:" + id`) is the shuffle "seed"; no RNG state exists.
+    *
+    * Scale shape: one shuffle keyed by shard id, one within-shard sort
+    * for the dense `pos` (row_number over (hash, id)); at write time
+    * shard is the output partition column, so a 100 TB corpus lands as
+    * `nShards` independently-readable, internally-shuffled files. Shards
+    * are hash-balanced (±√n); `nShards` should track the target file
+    * size, not the cluster size. */
+  def shuffleIntoShards(df: DataFrame, idCol: String, nShards: Int)
+      : DataFrame = {
+    require(nShards >= 1, s"nShards ($nShards) must be >= 1")
+    val h = Hashing.hex32(
+      concat(lit("shuffle:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_shard")).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("_shard", (h % nShards).cast("int"))
+      .withColumn("_pos", (row_number().over(w) - 1).cast("long"))
+      .withColumnRenamed("_shard", "shard")
+      .withColumnRenamed("_pos", "pos")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `k`-gram with an evaluation/benchmark corpus — the standard
     * n-gram-overlap test-set leak check (GPT-3 appendix C / PaLM-style)

@@ -476,4 +476,87 @@ object Dedup {
     rows.unpersist(); prefix.unpersist(); cands.unpersist()
     out
   }
+
+  /** Exact repeated-substring removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * semantics at token-`k`-gram granularity): every maximal repeated
+    * span keeps only its FIRST corpus-wide occurrence, and all other
+    * occurrences are cut out of their documents token-by-token.
+    *
+    * Definition (deterministic, engine-replayable): a `k`-token window
+    * occurrence at (doc, pos) is a REPEAT iff the same token `k`-gram
+    * occurs elsewhere in the corpus and (doc, pos) is not the
+    * lexicographically-least occurrence. A token is removed iff some
+    * repeat window covers it; overlapping repeat windows merge naturally.
+    * A first occurrence's tokens may still drop when a DIFFERENT gram's
+    * repeat covers them — exactly the Lee-et-al. span-merge behavior.
+    * Operates on the library's normalized tokens ([[tokens]]:
+    * lowercased, whitespace-split); the cleaned text is the
+    * space-rejoined surviving tokens, like [[Corpus.chunkDocuments]]'s
+    * chunks.
+    *
+    * Returns the input columns with `textCol` rewritten plus
+    * `n_tokens_kept` / `n_tokens_removed` (all-repeat docs survive with
+    * empty text — the caller's bookkeeping partition stays exact).
+    *
+    * Scale shape — the suffix-array stand-in that fits a cluster: the
+    * paper's single-node suffix array cannot shard to 100 TB, but its
+    * output is reproduced by (1) one pass hashing every window
+    * ([[Hashing.hex60]] — 60-bit so the candidate filter stays tight at
+    * 10^12 windows) and counting hashes: the ONLY corpus-wide shuffle of
+    * full-width data stays 8 bytes per window, never the gram text;
+    * (2) re-grouping only HOT-hash windows by their full gram string
+    * (exactness — candidates are orders of magnitude fewer than windows
+    * in a real corpus, and a hash collision can only add a candidate the
+    * string-group then separates); (3) repeats explode to ≤ k·repeats
+    * covered positions, anti-joined against the token stream per (doc,
+    * pos) — doc-local, never cross-doc. The windowed relation is
+    * persisted across its two consumers and released deterministically. */
+  def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+    val starts = toks.filter(size(col("_tk")) >= k)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(0), size(col("_tk")) - k)).as("_p"))
+      .select(col(idCol), col("_p"), concat_ws(" ",
+        (0 until k).map(j => element_at(col("_tk"), col("_p") + j + 1)): _*)
+        .as("_g"))
+      .withColumn("_gh", Hashing.hex60(col("_g")))
+      .persist()
+    val hotHashes = starts.groupBy(col("_gh"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).select("_gh")
+    val cand = starts.join(hotHashes, Seq("_gh"))
+    val owners = cand.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol), col("_p"))).as("_first"))
+      .filter(col("_n") > 1).select(col("_g"), col("_first"))
+    val repeats = cand.join(owners, Seq("_g"))
+      .filter(struct(col(idCol), col("_p")) =!= col("_first"))
+      .select(col(idCol), col("_p"))
+    val covered = repeats
+      .select(col(idCol),
+        explode(sequence(col("_p"), col("_p") + (k - 1))).as("_i"))
+      .distinct()
+      .transform(graft.operators.Lineage.cut) // starts releasable after this
+    starts.unpersist()
+    val toksPos = toks.select(col(idCol),
+      posexplode(col("_tk")).as(Seq("_i", "_t")))
+    val kept = toksPos.join(covered, Seq(idCol, "_i"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("long").as("n_tokens_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("_i"), col("_t")))),
+        s => s.getField("_t")), " ").as("_cleaned"))
+    val keepCols = df.columns.map {
+      case c if c == textCol => coalesce(col("_cleaned"), lit("")).as(textCol)
+      case c => col(c)
+    }
+    df.withColumn("_n_total", size(tokens(col(textCol))).cast("long"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(keepCols.toIndexedSeq :+
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept") :+
+        (col("_n_total") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"): _*)
+  }
 }

@@ -27,6 +27,15 @@ object Hashing {
   def hex32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** First 15 hex digits of md5(c) as a BIGINT in [0, 2^60) — the
+    * wide-corpus variant of [[hex32]] for candidate pre-filters whose
+    * false-positive rate must stay negligible at 10^12 keys (32 bits
+    * saturate there: ~250 expected collisions per bucket). Never needs a
+    * DuckDB replica: callers use it only to PRE-FILTER candidates ahead
+    * of an exact string comparison, so it cannot change results. */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** The j-th minhash permutation of a 32-bit hash value:
     * `(a_j * h + b_j) mod p` with fixed odd multipliers — deterministic
     * across engines, no Math.random. */

@@ -271,6 +271,23 @@ object Similarity {
       : Seq[Seq[IndexedSeq[Double]]] =
     (0 until m).map(j => (0 until ksub).map(c => pqCentroid(j, c, dims / m)))
 
+  /** The `ksub` biased sub-centroid projections of subspace `j` over a
+    * vector column: each centroid row is extended with its −‖c‖²/2 bias
+    * and the subvector with a matching constant 1.0, so nearest-centroid
+    * argmin = plain argmax and the whole computation is one codegen'd
+    * matvec (no interpreted higher-order functions per row). Shared by
+    * [[pqTopK]] (encode + ADC tables) and [[ivfPqTopK]]. */
+  private def pqBiasedProjections(vec: Column, j: Int, m: Int, ksub: Int,
+      dims: Int): Column = {
+    val sub = dims / m
+    val biased = pqCodebook(m, ksub, dims)(j).map(cv =>
+      cv :+ (-cv.map(x => x * x).sum / 2.0))
+    VectorExprs.matvecProjections(
+      concat(slice(vec, j * sub + 1, sub).cast("array<double>"),
+        array(lit(1.0d))),
+      biased)
+  }
+
   /** Product-quantization ADC top-k (Jégou, Douze, Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus is
     * ENCODED once — each vector split into `m` subvectors, each mapped to
@@ -305,16 +322,8 @@ object Similarity {
     require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
     require(ksub >= 2, s"ksub ($ksub) must be >= 2")
     val sub = dims / m
-    val books = pqCodebook(m, ksub, dims)
-    // centroid rows extended with the -||c||^2/2 bias; the input subvector
-    // is extended with a matching constant 1.0
-    val biased: Seq[Seq[IndexedSeq[Double]]] = books.map(_.map(cv =>
-      cv :+ (-cv.map(x => x * x).sum / 2.0)))
     def biasedProjections(vec: Column, j: Int): Column =
-      VectorExprs.matvecProjections(
-        concat(slice(vec, j * sub + 1, sub).cast("array<double>"),
-          array(lit(1.0d))),
-        biased(j))
+      pqBiasedProjections(vec, j, m, ksub, dims)
     val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
     // encode: per subspace, argmax of the biased projections (= nearest
     // centroid); the projection array lives in its own projection stage so
@@ -333,6 +342,70 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_adc").desc, col("neighbor_id"))
     encoded.join(broadcast(qt), col("neighbor_id") =!= col("query_id"))
+      .withColumn("_adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** IVF-PQ approximate top-k — the composition that serves ANN at
+    * 100 TB (Jégou et al. TPAMI 2011 §IV "IVFADC", here over raw vectors
+    * rather than residuals — residual encoding changes only which vector
+    * feeds the sub-codebooks): the corpus is partitioned into `nlist`
+    * cells ([[ivfTopK]]'s assignment) AND compressed to `m` PQ codes
+    * ([[pqTopK]]'s encode); a query probes its `nProbe` best cells and
+    * ADC-scores only their members' CODES. Cell id prunes the scan
+    * (partition column at scale), codes shrink what's scanned ~64× — a
+    * query touches `nProbe/nlist` of a corpus that fits in memory
+    * compressed. Both model halves are the same deterministic constants
+    * their parent operators certify, so the composition's oracle is
+    * generated from the identical model. The cell-equi-join replaces
+    * [[pqTopK]]'s intentional broadcast product — this is the shape that
+    * survives unbounded corpus growth.
+    *
+    * @return (query_id, neighbor_id, rank) — rank 1..k per query by
+    *         ascending approximate distance over probed cells only;
+    *         self-pairs excluded, ties to the lower neighbor id
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nProbe: Int = 2,
+      m: Int = 4, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
+    require(ksub >= 2, s"ksub ($ksub) must be >= 2")
+    val cents = seedCentroids(nlist, dims)
+    // corpus side: one pass computes the cell and the m codes — at scale
+    // both are write-side artifacts stored next to the id
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .withColumn("_cps", centroidProjections(col("_v"), cents))
+      .withColumn("_cell",
+        (array_position(col("_cps"), array_max(col("_cps"))) - 1).cast("int"))
+      .drop("_cps")
+    val encoded = (0 until m).foldLeft(c0) { (df, j) =>
+      df.withColumn(s"_s$j", pqBiasedProjections(col("_v"), j, m, ksub, dims))
+    }.select(col("neighbor_id") +: col("_cell") +: (0 until m).map(j =>
+      (array_position(col(s"_s$j"), array_max(col(s"_s$j"))) - 1)
+        .cast("int").as(s"_c$j")): _*)
+    // query side: probe list (same rule as ivfTopK: top-nProbe cells by
+    // projection, ties to the lower cell) + the ADC score tables
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+      .withColumn("_cps", centroidProjections(col("_q"), cents))
+      .withColumn("_probe", transform(
+        slice(sort_array(array((0 until nlist).map(cell =>
+          struct(element_at(col("_cps"), cell + 1).as("p"),
+            lit(-cell).as("nc"))): _*), asc = false), 1, nProbe),
+        s => -s.getField("nc")))
+    val qt = (0 until m).foldLeft(q0) { (df, j) =>
+      df.withColumn(s"_qs$j", pqBiasedProjections(col("_q"), j, m, ksub, dims))
+    }.select(col("query_id") +: explode(col("_probe")).as("_cell") +:
+      (0 until m).map(j => col(s"_qs$j")): _*)
+    val adc = (0 until m).map(j =>
+      element_at(col(s"_qs$j"), col(s"_c$j") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id"))
+    encoded.join(broadcast(qt), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("_adc", adc)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -120,6 +120,20 @@ object LlmQueries {
         .orderBy("cell", "pos")
     }),
 
+    // Exact repeated-substring removal (Lee et al. 2022 ExactSubstr at
+    // token-4-gram granularity): every repeated 4-token window keeps only
+    // its first corpus-wide occurrence; later occurrences are cut
+    // token-by-token and the doc reassembled. The corpus's organic
+    // cross-doc 4-gram repeats (the same ones x11 detects) exercise it.
+    "d9_span_dedup" -> ((s, dir) => {
+      Dedup.removeRepeatedSpans(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", k = 4)
+        .select(col("doc_id"), col("n_tokens_kept"), col("n_tokens_removed"),
+          md5(col("text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Product-quantization ADC top-k (Jégou et al. 2011): corpus encoded
     // to 4 sub-codes (16 centroids per 16-dim subspace), queries rank the
     // CODES via per-subspace lookup tables — the compressed-ANN memory
@@ -129,6 +143,26 @@ object LlmQueries {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10, m = 4, ksub = 16)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ: the a4 × a6 composition — probe nProbe cells, ADC-score
+    // only their members' codes. The cell equi-join replaces a6's
+    // broadcast product; this is the ANN shape that survives unbounded
+    // corpus growth (cells prune the scan, codes shrink memory ~64x).
+    "a7_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nlist = 8, nProbe = 2, m = 4, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Deterministic global shuffle into shards: the corpus-construction
+    // final step — hash-seeded training order, dense per-shard positions,
+    // exactly reproducible across engines and re-runs.
+    "x20_shuffle_shards" -> ((s, dir) => {
+      Corpus.shuffleIntoShards(t(s, dir, "documents"), "doc_id", nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
     }),
 
     // Embedding near-dup detection: three exact duplicates are planted
@@ -642,6 +676,37 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "d9_span_dedup" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              st AS (SELECT doc_id, w, len(w) AS n FROM ws),
+              g AS (SELECT doc_id, p, array_to_string(w[p+1:p+4], ' ') AS g
+                    FROM (SELECT doc_id, w, unnest(range(0, n - 3)) AS p
+                          FROM st WHERE n >= 4)),
+              kk AS (SELECT doc_id, p,
+                       count(*) OVER (PARTITION BY g) AS cnt,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, p) AS rn
+                     FROM g),
+              dup AS (SELECT doc_id, p FROM kk WHERE cnt > 1 AND rn > 1),
+              cov AS (SELECT DISTINCT doc_id, p + o AS i
+                      FROM dup, unnest(range(0, 4)) t(o)),
+              tok AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS i,
+                        w[CAST(i AS INTEGER)] AS t
+                      FROM st, unnest(range(1, n + 1)) t(i)),
+              kept AS (SELECT tok.doc_id, tok.i, tok.t FROM tok
+                       LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                                    AND tok.i = cov.i
+                       WHERE cov.doc_id IS NULL),
+              re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+                       string_agg(t, ' ' ORDER BY i) AS cleaned
+                     FROM kept GROUP BY doc_id)
+          SELECT st.doc_id,
+                 coalesce(re.n_tokens_kept, 0) AS n_tokens_kept,
+                 CAST(st.n AS BIGINT) - coalesce(re.n_tokens_kept, 0)
+                   AS n_tokens_removed,
+                 md5(coalesce(re.cleaned, '')) AS cleaned_md5
+          FROM st LEFT JOIN re ON st.doc_id = re.doc_id
+          ORDER BY st.doc_id""",
     "a6_pq_topk" ->
       s"""WITH e AS (SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -672,6 +737,54 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a7_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              sv AS (SELECT vec_id, v,
+                       v[1:16] || [1.0] AS v0, v[17:32] || [1.0] AS v1,
+                       v[33:48] || [1.0] AS v2, v[49:64] || [1.0] AS v3
+                     FROM e),
+              ps AS (SELECT vec_id, $duckIvfProjs AS cp,
+                       ${duckPqProjs(0)} AS s0, ${duckPqProjs(1)} AS s1,
+                       ${duckPqProjs(2)} AS s2, ${duckPqProjs(3)} AS s3
+                     FROM sv),
+              enc AS (SELECT vec_id,
+                        CAST(list_position(cp, list_max(cp)) AS INTEGER) - 1 AS cell,
+                        CAST(list_position(s0, list_max(s0)) AS INTEGER) - 1 AS c0,
+                        CAST(list_position(s1, list_max(s1)) AS INTEGER) - 1 AS c1,
+                        CAST(list_position(s2, list_max(s2)) AS INTEGER) - 1 AS c2,
+                        CAST(list_position(s3, list_max(s3)) AS INTEGER) - 1 AS c3
+                      FROM ps),
+              qp AS (SELECT vec_id AS query_id, cp, s0, s1, s2, s3
+                     FROM ps WHERE vec_id < 5),
+              pr AS (SELECT query_id, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cp[CAST(i AS INTEGER)] DESC,
+                                                   i ASC) AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       q.s0[c.c0 + 1] + q.s1[c.c1 + 1]
+                       + q.s2[c.c2 + 1] + q.s3[c.c3 + 1] AS adc
+                     FROM enc c
+                     JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id
+                     JOIN qp q ON q.query_id = p.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, neighbor_id) AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "x20_shuffle_shards" ->
+      s"""SELECT doc_id,
+                 CAST(${duckHex32("'shuffle:' || CAST(doc_id AS VARCHAR)")} % 8
+                   AS INTEGER) AS shard,
+                 CAST(row_number() OVER (
+                   PARTITION BY ${duckHex32("'shuffle:' || CAST(doc_id AS VARCHAR)")} % 8
+                   ORDER BY ${duckHex32("'shuffle:' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) - 1 AS BIGINT) AS pos
+          FROM documents ORDER BY doc_id""",
     "a5_kmeans_step" ->
       s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                      FROM embeddings),

@@ -151,6 +151,52 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: probing all cells equals the exhaustive PQ scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 2)
+    // with nProbe = nlist every cell is probed, so the composition must
+    // reproduce the exhaustive ADC scan exactly — same scores, same ranks
+    val full = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
+        nlist = 8, nProbe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full === pq && full.nonEmpty)
+    // at nProbe = 2 an identical planted vector shares the query's argmax
+    // cell (always probed) and its codes: it must appear in the top-k
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(100001L))
+    val withDup = Similarity.ivfPqTopK(emb.unionByName(dup), q,
+        "vec_id", "embedding", 10)
+      .filter(col("query_id") === 0)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(withDup.contains(100001L))
+    val res = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10)
+    assert(res.collect().forall(r =>
+      r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("shard shuffle: dense per-shard positions, deterministic, balanced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Corpus.shuffleIntoShards(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos")
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length === docs.count())
+    // every shard's positions are exactly 0..count-1 (dense, no gaps)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq)
+    }
+    assert(rows.map(_._2).forall(s => s >= 0 && s < 4))
+    // reproducible: a second run assigns identical (shard, pos) everywhere
+    val again = Corpus.shuffleIntoShards(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+    // hash order is not id order: some shard's pos sequence reorders ids
+    val byShard = rows.groupBy(_._2).values
+    assert(byShard.exists(rs =>
+      rs.sortBy(_._3).map(_._1).toSeq != rs.map(_._1).sorted.toSeq))
+  }
+
   test("multimodal decode plumbing: batch stub decode + frame sampling") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val feats = Multimodal.decodeFeatures(media)
@@ -350,6 +396,39 @@ class LlmSpec extends SparkSpec {
     val w = Corpus.removeRepeatedLines(within, "text", "doc_id", 1)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(w(1L) === "x\nx\nx") // df("x") = 1 doc, not 3 occurrences
+  }
+
+  test("repeated-span removal: first occurrence survives, repeats cut") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "prefix alpha beta gamma delta suffix"), // repeats doc 1's 4-gram
+      (3L, "alpha beta gamma delta"),               // the whole doc repeats
+      (4L, "totally different words here"),
+      (8L, "r s t u r s t u"))                      // within-doc repeat
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "text", "doc_id", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns the first occurrence: untouched
+    assert(out(1L) === (("alpha beta gamma delta unique one", 6L, 0L)))
+    // doc 2's occurrence is a repeat: the 4 covered tokens cut, order kept
+    assert(out(2L) === (("prefix suffix", 2L, 4L)))
+    // a doc that is nothing but a repeat survives with empty text
+    assert(out(3L) === (("", 0L, 4L)))
+    assert(out(4L) === (("totally different words here", 4L, 0L)))
+    // within-doc repetition: the doc's own first window survives
+    assert(out(8L) === (("r s t u", 4L, 4L)))
+    // overlapping repeats from DIFFERENT grams merge over shared tokens
+    val ov = Seq(
+      (5L, "x a b c d e y"),
+      (6L, "a b c d q"),   // repeats (a b c d)
+      (7L, "p b c d e"))   // repeats (b c d e) — overlaps doc 6's span source
+      .toDF("doc_id", "text")
+    val o = Dedup.removeRepeatedSpans(ov, "text", "doc_id", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o(5L) === "x a b c d e y")
+    assert(o(6L) === "q")
+    assert(o(7L) === "p")
   }
 
   test("paragraph dedup: first occurrence wins, later repeats cut in place") {
