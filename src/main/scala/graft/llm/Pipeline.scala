@@ -17,11 +17,18 @@ import org.apache.spark.sql.functions._
   *      thresholds;
   *   5. benchmark decontamination (optional): drop documents sharing any
   *      word k-gram with a supplied evaluation corpus;
-  *   6. stratified mix sampling by source (deterministic hash Bernoulli);
+  *   6. stratified mix sampling by source (deterministic hash Bernoulli),
+  *      then an optional per-source cap (the per-domain cap);
   *   7. PII redaction (optional): mask emails/phones/IPs in the surviving
   *      text before it is chunked;
   *   8. chunking to token windows with overlap;
-  *   9. greedy packing of chunks into context-window bins.
+  *   9. greedy packing of chunks into context-window bins;
+  *  10. optional reproducible shard shuffle of the packed bins.
+  *
+  * Steps 0.5-0.7 are the optional text-hygiene pre-passes (line-level
+  * boilerplate removal, paragraph dedup, repeated-substring removal) —
+  * they run BEFORE dedup so documents differing only in removed material
+  * deduplicate as the equals they are.
   *
   * Every stage is one of the library's certified operators; this object
   * only composes them and keeps the intermediate frames queryable for
@@ -55,6 +62,16 @@ object Pipeline {
     *                         cleaned text is what every later stage
     *                         (including exact dedup) sees. A doc emptied
     *                         of all its lines falls to the quality gate.
+    * @param paragraphDedupSep optional pre-pass (step 0.6): paragraph-level
+    *                         exact dedup at this separator — repeated
+    *                         passages keep only their first corpus-wide
+    *                         occurrence; a document reduced to nothing but
+    *                         repeats empties and falls to the quality gate.
+    * @param spanDedupK       optional pre-pass (step 0.7): exact repeated-
+    *                         substring removal at token-k-gram granularity
+    *                         (Lee et al. 2022). NOTE: rewrites text to its
+    *                         normalized token stream (lowercased,
+    *                         space-joined), like chunking does later.
     * @param jaccardThreshold near-dup threshold for step 2
     * @param minQuality       quality floor for step 3 (0-1; the quality
     *                         column is the certified x1 heuristic)
@@ -69,14 +86,23 @@ object Pipeline {
     *                         step 5; None skips decontamination
     * @param decontamK        k-gram size for the overlap test
     * @param rates            per-source sampling rates for step 6
+    * @param capPerSource     optional per-source cap (step 6.5): keep at
+    *                         most this many docs per source, selected in
+    *                         deterministic hash order (the per-domain cap)
     * @param redactPii        mask emails/phones/IPs in surviving text
     *                         (step 7) before chunking
     * @param chunkSize        tokens per chunk (step 8)
     * @param overlap          chunk overlap (step 8)
     * @param budget           tokens per packed context window (step 9)
+    * @param nShards          optional final shuffle (step 10): assign each
+    *                         packed BIN a reproducible (shard, pos)
+    *                         training order — appended as two columns on
+    *                         `packed` (every chunk of a bin shares them)
     */
   def buildTrainingCorpus(docs: DataFrame,
       maxLineDocFreq: Option[Int] = None,
+      paragraphDedupSep: Option[String] = None,
+      spanDedupK: Option[Int] = None,
       jaccardThreshold: Double = 0.8,
       minQuality: Double = 0.5,
       maxTop2Frac: Double = 2.0,
@@ -85,10 +111,12 @@ object Pipeline {
       decontamK: Int = 8,
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
+      capPerSource: Option[Int] = None,
       redactPii: Boolean = false,
       chunkSize: Int = 512,
       overlap: Int = 64,
       budget: Int = 2048,
+      nShards: Option[Int] = None,
       stopwords: Seq[String] = TextAnalysis.langMarkers.head._2): CorpusBuild = {
 
     // 0. a null doc_id joins nothing and would surface downstream with a
@@ -97,11 +125,19 @@ object Pipeline {
     val nullDrops = docs.filter(col("doc_id").isNull)
       .select(col("doc_id"), lit("null_id").as("reason"))
 
-    // 0.5 optional line-level boilerplate removal — BEFORE dedup, so two
-    // docs differing only in template chrome dedup as the equals they are
-    val input = maxLineDocFreq.fold(valid)(cap =>
+    // 0.5-0.7 optional text-hygiene pre-passes — BEFORE dedup, so docs
+    // differing only in template chrome / syndicated passages dedup as
+    // the equals they are. All three rewrite text in place; a doc emptied
+    // by them falls to the quality gate with exact bookkeeping.
+    val afterLines = maxLineDocFreq.fold(valid)(cap =>
       Corpus.removeRepeatedLines(valid, "text", "doc_id", cap)
         .drop("n_lines_kept", "n_lines_dropped"))
+    val afterParas = paragraphDedupSep.fold(afterLines)(sep =>
+      Corpus.dedupParagraphs(afterLines, "text", "doc_id", sep)
+        .drop("n_paras_kept", "n_paras_dropped"))
+    val input = spanDedupK.fold(afterParas)(k =>
+      Dedup.removeRepeatedSpans(afterParas, "text", "doc_id", k)
+        .drop("n_tokens_kept", "n_tokens_removed"))
 
     // 1. exact dedup: survivors are each content group's keep_id
     val exact = Dedup.exactDedup(input, "text", "doc_id")
@@ -163,22 +199,37 @@ object Pipeline {
     // 6. deterministic mix sampling by source
     val sampled = Corpus.stratifiedSample(afterDecon, "doc_id", "source",
       rates, defaultRate)
+    val sampleDrops = afterDecon.join(
+        sampled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("sampled_out").as("reason"))
+    // 6.5 optional per-source cap (the per-domain cap, after sampling so
+    // the cap binds on the post-mix corpus)
+    val capped = capPerSource.fold(sampled)(c =>
+      Corpus.capPerStratum(sampled, "doc_id", "source", c))
+    val capDrops = capPerSource.map(_ => sampled.join(
+        capped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("capped").as("reason")))
     // 7. PII redaction on the survivors (stateless Column pass — scrubbed
     // BEFORE chunking so no placeholder is ever split across chunks)
     val kept = (if (redactPii)
-        sampled.withColumn("text", Privacy.redact(col("text")))
-      else sampled).persist()
-    val sampleDrops = afterDecon.join(
-        kept.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit("sampled_out").as("reason"))
+        capped.withColumn("text", Privacy.redact(col("text")))
+      else capped).persist()
 
     // 8-9. chunk + pack the survivors
     val chunks = Corpus.chunkDocuments(kept, "text", "doc_id",
       chunkSize, overlap)
-    val packed = Corpus.packChunks(chunks, budget)
+    val packed0 = Corpus.packChunks(chunks, budget)
+    // 10. optional reproducible training order: shard the packed BINS
+    // (bin-sized relation — the shuffle is over bins, not chunks) and
+    // carry (shard, pos) back onto every chunk row of the bin
+    val packed = nShards.fold(packed0) { n =>
+      val bins = Corpus.shuffleIntoShards(
+        packed0.select("bin_id").distinct(), "bin_id", n)
+      packed0.join(bins, Seq("bin_id"))
+    }
 
     val dropFrames = Seq(nullDrops, exactDrops, nearDrops, qualityDrops) ++
-      repDrops ++ deconDrops ++ Seq(sampleDrops)
+      repDrops ++ deconDrops ++ Seq(sampleDrops) ++ capDrops
     CorpusBuild(
       kept = kept,
       dropped = dropFrames.reduce(_ unionByName _),

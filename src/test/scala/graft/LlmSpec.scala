@@ -598,6 +598,60 @@ class LlmSpec extends SparkSpec {
     build.release() // audit done — drop the shared caches
   }
 
+  test("pipeline pre-passes and finishers: para dedup, cap, shard order") {
+    // doc 11 owns a syndicated paragraph that doc 12 repeats; doc 13 is
+    // nothing but a repeat of doc 12's body paragraph — paragraph dedup
+    // empties it, so it must fall to the quality gate with exact audit
+    val para = "this syndicated wire block repeats verbatim across sites"
+    val body = "completely original reporting with many distinct and " +
+      "varied words forming a long enough quality passage for the gate " +
+      "to admit it easily one two three four five six seven eight nine"
+    val fill = "another unrelated but sufficiently long and varied text " +
+      "body with plenty of distinct words to pass the quality threshold " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val input = (Seq(
+      (11L, s"$para\n\n$fill", "srcA"),
+      (12L, s"$body\n\n$para", "srcA"),
+      (13L, body, "srcA")) ++
+      (20L until 40L).map(i => (i, s"unique padding document number $i " +
+        "with enough distinct varied words to clear the quality gate " +
+        "red orange yellow green blue indigo violet maroon cyan teal",
+        "srcB"))).toDF("doc_id", "text", "source")
+    val build = Pipeline.buildTrainingCorpus(input,
+      paragraphDedupSep = Some("\n\n"),
+      // empty text scores exactly 0.5 (trivially-passing punct/unique
+      // checks), so a 0.6 floor is what catches emptied docs
+      minQuality = 0.6, capPerSource = Some(10),
+      chunkSize = 16, overlap = 0, budget = 64, nShards = Some(3))
+    val reasons = build.dropped.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 13's only paragraph is owned by 12: emptied, then quality-gated
+    assert(reasons.get(13L) === Some("low_quality"))
+    assert(!reasons.contains(11L) && !reasons.contains(12L))
+    // 12 lost the syndicated block but kept its body
+    assert(build.kept.filter(col("doc_id") === 12L)
+      .head().getAs[String]("text") === body)
+    // srcB had 20 docs, cap 10: exactly 10 dropped as capped
+    assert(reasons.values.count(_ == "capped") === 10)
+    val keptIds = build.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((keptIds ++ reasons.keySet) ===
+      input.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert((keptIds intersect reasons.keySet) === Set.empty)
+    // packed carries a reproducible (shard, pos) per BIN: constant within
+    // a bin, dense positions per shard over distinct bins
+    val packed = build.packed.collect()
+    assert(packed.nonEmpty)
+    val byBin = packed.groupBy(_.getAs[Long]("bin_id"))
+    assert(byBin.values.forall(rs =>
+      rs.map(r => (r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toSet.size == 1))
+    val bins = byBin.toSeq.map { case (_, rs) =>
+      (rs.head.getAs[Int]("shard"), rs.head.getAs[Long]("pos")) }
+    bins.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).sorted === (0L until ps.size).toSeq)
+    }
+    build.release()
+  }
+
   test("pipeline hygiene stages: repetition gate, decontamination, redaction") {
     val spamText = ("buy now " * 40).trim // one 2-gram dominates
     val benchText = "the quick brown fox jumps over the lazy sleeping dog today"
