@@ -161,23 +161,36 @@ object Corpus {
     * the counts or a downstream quality pass — silently dropping rows
     * here would corrupt the caller's bookkeeping).
     *
-    * Scale shape: one posexplode to (doc, idx, line) rows; the hot-line
-    * table is built from per-doc-distinct lines (vocabulary-sized, like
-    * x12's df table) and filtered to frequency > cap, so the anti-join's
-    * right side is only the HOT lines — tiny, broadcast under AQE.
-    * Reassembly is one per-doc aggregate: collect (idx, line) structs,
-    * array_sort (idx leads the struct, so order restores), join. The
-    * per-row lambda work is doc-local; nothing is ever joined across
-    * documents except the hot-line lookup. */
+    * Scale shape: one posexplode to (doc, idx, line) rows; the document-
+    * frequency counting runs over [[Hashing.hex60]] line hashes — the
+    * per-doc distinct + df groupBy shuffle 16-byte (doc, hash) rows, not
+    * line text — and only lines whose HASH df exceeds the cap regroup by
+    * the full string for the exact df test (a collision can only add a
+    * candidate the string-group then separates). The resulting hot-line
+    * table is tiny (template chrome), broadcast under AQE for the
+    * anti-join. Reassembly is one per-doc aggregate: collect (idx, line)
+    * structs, array_sort (idx leads the struct, so order restores),
+    * join. The per-row lambda work is doc-local; nothing is ever joined
+    * across documents except the hot-line lookup. */
   def removeRepeatedLines(df: DataFrame, textCol: String, idCol: String,
       maxLineDocFreq: Int): DataFrame = {
     require(maxLineDocFreq >= 1,
       s"maxLineDocFreq ($maxLineDocFreq) must be >= 1")
-    val lines = df.select(col(idCol),
+    def explodeLines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("_i", "_ln")))
-    val hot = lines.select(col(idCol), col("_ln")).distinct()
+    val hashed = explodeLines
+      .select(col(idCol), col("_ln"), Hashing.hex60(col("_ln")).as("_lh"))
+      .persist()
+    val hotHashes = hashed.select(col(idCol), col("_lh")).distinct()
+      .groupBy(col("_lh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxLineDocFreq).select("_lh")
+    val hot = hashed.join(hotHashes, Seq("_lh"))
+      .select(col(idCol), col("_ln")).distinct()
       .groupBy(col("_ln")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxLineDocFreq).select(col("_ln"))
+      .transform(graft.operators.Lineage.cut) // hashed releasable after this
+    hashed.unpersist()
+    val lines = explodeLines
     val kept = lines.join(hot, Seq("_ln"), "left_anti")
     val reassembled = kept.groupBy(col(idCol)).agg(
       count(lit(1)).cast("long").as("n_lines_kept"),
@@ -211,30 +224,37 @@ object Corpus {
     * repeat survives with empty text — dropping rows here would corrupt
     * caller bookkeeping; gate on the counts downstream).
     *
-    * Scale shape: one posexplode to (doc, idx, para) rows; the ownership
-    * table groups by the paragraph STRING (exact — a 64-bit hash key
-    * would silently merge colliding paragraphs at 100 TB paragraph
-    * counts) and keeps only groups with >1 occurrence, so the join-back's
-    * right side holds just the DUPLICATED paragraphs — web corpora are
-    * mostly unique paragraphs, so it is orders of magnitude smaller than
-    * the corpus and AQE broadcasts it when it fits. An occurrence
-    * survives iff its paragraph is not duplicated at all or it IS the
-    * recorded first occurrence (struct min = lexicographic (id, idx)
-    * min). Reassembly is the same per-doc sort-structs aggregate as
+    * Scale shape (the [[Dedup.removeRepeatedSpans]] discipline): one
+    * posexplode to (doc, idx, para) rows, hashed with [[Hashing.hex60]] —
+    * the corpus-wide duplicate COUNTING shuffles 8-byte hashes, never
+    * paragraph text; only hot-hash candidates regroup by the full
+    * paragraph STRING (exactness — a hash collision can only add a
+    * candidate the string-group then separates). The removal set
+    * (repeat occurrences = every occurrence but the lexicographic
+    * (id, idx) minimum) is duplicate-sized, lineage-cut eagerly, and
+    * anti-joined against a fresh paragraph scan per (doc, idx).
+    * Reassembly is the same per-doc sort-structs aggregate as
     * [[removeRepeatedLines]]; nothing else crosses document boundaries. */
   def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n\n"): DataFrame = {
     require(sep.nonEmpty, "paragraph separator must be non-empty")
-    val paras = df.select(col(idCol),
+    def explodeParas = df.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("_i", "_p")))
-    val owners = paras
-      .groupBy(col("_p")).agg(count(lit(1)).as("_n"),
+    val hashed = explodeParas
+      .withColumn("_ph", Hashing.hex60(col("_p"))).persist()
+    val hotHashes = hashed.groupBy(col("_ph"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).select("_ph")
+    val cand = hashed.join(hotHashes, Seq("_ph"))
+    val owners = cand.groupBy(col("_p")).agg(count(lit(1)).as("_n"),
         min(struct(col(idCol), col("_i"))).as("_first"))
       .filter(col("_n") > 1).select(col("_p"), col("_first"))
-    val kept = paras.join(owners, Seq("_p"), "left")
-      .filter(col("_first").isNull ||
-        struct(col(idCol), col("_i")) === col("_first"))
+    val toRemove = cand.join(owners, Seq("_p"))
+      .filter(struct(col(idCol), col("_i")) =!= col("_first"))
+      .select(col(idCol), col("_i"))
+      .transform(graft.operators.Lineage.cut) // hashed releasable after this
+    hashed.unpersist()
+    val kept = explodeParas.join(toRemove, Seq(idCol, "_i"), "left_anti")
     val reassembled = kept.groupBy(col(idCol)).agg(
       count(lit(1)).cast("long").as("n_paras_kept"),
       array_join(transform(
