@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Backward as-of join: attach to every left row the single most recent
+  * right row with `right.time <= left.time` for the same key — the
+  * temporal lookup every event pipeline needs (latest state/price/config
+  * as of each observation) that plain equi/range joins can't express
+  * without an explosion.
+  *
+  * Spark has no native ASOF JOIN (DuckDB/Pandas do), and the naive
+  * formulations are scale-killers: a range join (`l.t >= r.t`) explodes
+  * to O(|L|·matches) before a per-row argmax prunes it, and a windowed
+  * subquery per left row re-scans the right side. This operator instead
+  * uses the merge formulation: UNION both sides tagged by origin, one
+  * hash shuffle on the key, one within-partition sort on (time, side,
+  * tie), and a running `last(right_payload, ignoreNulls)` carry. Each
+  * row is touched once; no pair blowup exists at any skew.
+  *
+  * Semantics (deterministic, engine-replayable):
+  *   - inclusive boundary: a right row at exactly `left.time` IS visible
+  *     (rights sort before lefts at equal time);
+  *   - among rights sharing (key, time), the greatest `tieCol` wins (the
+  *     running carry keeps the LAST in (time, side, tie) order);
+  *   - a left row with no prior right gets NULL payload columns;
+  *   - rows with NULL key or NULL time are passed through with NULL
+  *     payload (SQL join semantics: NULL matches nothing), not grouped
+  *     into a NULL-key partition.
+  *
+  * Scale shape: one shuffle of |L|+|R| rows keyed by `keyCol`, one sort,
+  * zero joins. Skew = a hot key, same exposure as any keyed window; the
+  * mitigation is the usual pre-split ([[SkewJoin]]) if one key dominates.
+  * The right payload travels as ONE struct so the carry is atomic — no
+  * per-column windows that could disagree under ties.
+  */
+object AsofJoin {
+
+  /** @param left      rows to enrich (all columns preserved)
+    * @param right     lookup side; must contain `keyCol`, `timeCol`,
+    *                  `tieCol` and `payloadCols`
+    * @param keyCol    equi-join key present on both sides
+    * @param timeCol   ordering column present on both sides (any ordered
+    *                  type: long epoch, timestamp, date)
+    * @param tieCol    right-side column breaking ties among rights with
+    *                  equal (key, time) — greatest wins; use a unique id
+    * @param payloadCols right-side columns to attach
+    * @param prefix    prepended to attached column names (default
+    *                  "asof_"), applied to `timeCol` and `payloadCols`
+    * @return left columns + `prefix+timeCol` + `prefix+c` for each
+    *         payload column (NULL when no right row qualifies)
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tieCol: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val carried = (timeCol +: payloadCols.filterNot(_ == timeCol)).distinct
+    val leftType = StructType(left.schema.fields)
+    val rvType = StructType(right.select(carried.map(col): _*).schema.fields)
+
+    val tieType = right.schema(right.schema.fieldIndex(tieCol)).dataType
+    val r = right.select(
+      col(keyCol).as("_k"), col(timeCol).as("_t"), lit(0).as("_side"),
+      col(tieCol).as("_tie"),
+      struct(carried.map(col): _*).as("_rv"),
+      lit(null).cast(leftType).as("_lrow"))
+    val l = left.select(
+      col(keyCol).as("_k"), col(timeCol).as("_t"), lit(1).as("_side"),
+      lit(null).cast(tieType).as("_tie"),
+      lit(null).cast(rvType).as("_rv"),
+      struct(left.columns.map(col): _*).as("_lrow"))
+
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL key/time lefts bypass the window entirely (NULL matches
+    // nothing); NULL key/time rights can never be carried, so drop them.
+    val matchable = col("_k").isNotNull && col("_t").isNotNull
+    val joined = r.filter(matchable).unionByName(l.filter(matchable))
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val bypass = l.filter(!matchable)
+      .withColumn("_m", lit(null).cast(rvType))
+
+    val out = joined.unionByName(bypass)
+    val leftCols = left.columns.map(c => col("_lrow").getField(c).as(c))
+    val payload = carried.map(c => col("_m").getField(c).as(s"$prefix$c"))
+    out.select((leftCols ++ payload).toIndexedSeq: _*)
+  }
+}

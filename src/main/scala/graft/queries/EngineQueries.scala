@@ -205,6 +205,26 @@ object EngineQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // W3: backward as-of join — every error event picks up the most
+    // recent prior purchase (inclusive) of the same user via the merge
+    // formulation (union + keyed window carry), NOT a range join: one
+    // shuffle, zero pair blowup. Time is floored to exact MICROS first
+    // (same integer-floor discipline as w1's seconds): DuckDB reads
+    // TIMESTAMP(NANOS) parquet at micro precision, so both engines must
+    // order and emit identical integers.
+    "w3_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      graft.operators.AsofJoin.asofJoinBackward(
+          ev.filter(col("event_type") === "error")
+            .select("event_id", "user_id", "ts_us"),
+          ev.filter(col("event_type") === "purchase")
+            .select("user_id", "ts_us", "event_id", "value"),
+          keyCol = "user_id", timeCol = "ts_us", tieCol = "event_id",
+          payloadCols = Seq("event_id", "value"))
+        .orderBy("event_id")
+    }),
+
     // with a null sentinel for the driver compare.
     "f5_multimatch" -> ((s, dir) => {
       val specs = Seq(
@@ -250,6 +270,27 @@ object EngineQueries {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    "w3_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS t, 0 AS side, event_id,
+                  struct_pack(ts_us := epoch_us(ts), event_id := event_id,
+                              value := value) AS rv,
+                  NULL AS l_event_id
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id
+           FROM events WHERE event_type = 'error'
+         ), c AS (
+           SELECT user_id, t, side, l_event_id,
+             last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY t, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+           FROM u
+         )
+         SELECT l_event_id AS event_id, user_id, t AS ts_us,
+                m.ts_us AS asof_ts_us, m.event_id AS asof_event_id,
+                m.value AS asof_value
+         FROM c WHERE side = 1 ORDER BY event_id""",
     "q2_entity_assembly" ->
       """WITH files AS (
            SELECT DISTINCT l_orderkey, l_linenumber,

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** [[AsofJoin.asofJoinBackward]] semantics: inclusive boundary, greatest-
+  * tie-wins among equal-time rights, NULL payload when nothing precedes,
+  * NULL-key/time pass-through, multi-key isolation. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left(rows: (Long, String, Long)*) =
+    rows.toDF("t", "k", "lid")
+  private def right(rows: (Long, String, Long, Double)*) =
+    rows.toDF("t", "k", "rid", "v")
+
+  private def run(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    AsofJoin.asofJoinBackward(l, r, keyCol = "k", timeCol = "t",
+      tieCol = "rid", payloadCols = Seq("rid", "v"))
+
+  test("most recent prior right wins; none-prior gives NULLs") {
+    val out = run(
+      left((5L, "a", 1L), (15L, "a", 2L), (2L, "a", 3L)),
+      right((3L, "a", 10L, 1.0), (10L, "a", 11L, 2.0), (20L, "a", 12L, 3.0)))
+      .orderBy("lid")
+      .select("lid", "asof_rid", "asof_v", "asof_t").collect()
+    assert(out(0) === Row(1L, 10L, 1.0, 3L)) // t=5 sees t=3
+    assert(out(1) === Row(2L, 11L, 2.0, 10L)) // t=15 sees t=10, not 20
+    assert(out(2) === Row(3L, null, null, null)) // t=2 precedes everything
+  }
+
+  test("boundary is inclusive and equal-time rights break ties by max rid") {
+    val out = run(
+      left((10L, "a", 1L)),
+      right((10L, "a", 7L, 1.0), (10L, "a", 9L, 2.0), (10L, "a", 8L, 3.0)))
+      .select("asof_rid", "asof_v").collect()
+    assert(out(0) === Row(9L, 2.0))
+  }
+
+  test("keys never leak across partitions") {
+    val out = run(
+      left((5L, "a", 1L), (5L, "b", 2L)),
+      right((1L, "b", 20L, 9.0)))
+      .orderBy("lid").select("lid", "asof_rid").collect()
+    assert(out(0) === Row(1L, null)) // a has no rights at all
+    assert(out(1) === Row(2L, 20L))
+  }
+
+  test("NULL key/time lefts pass through unmatched; NULL rights drop") {
+    val l = Seq((Some(5L), Option("a"), 1L), (None, Option("a"), 2L),
+        (Some(5L), Option.empty[String], 3L))
+      .toDF("t", "k", "lid")
+    val r = Seq((Some(3L), Option("a"), 10L, 1.0),
+        (Option.empty[Long], Option("a"), 11L, 2.0))
+      .toDF("t", "k", "rid", "v")
+    val out = AsofJoin.asofJoinBackward(l, r, "k", "t", "rid", Seq("rid", "v"))
+      .orderBy("lid").select("lid", "asof_rid").collect()
+    assert(out(0) === Row(1L, 10L))
+    assert(out(1) === Row(2L, null)) // NULL time matches nothing
+    assert(out(2) === Row(3L, null)) // NULL key matches nothing
+  }
+
+  test("left columns survive verbatim, payload prefix applied") {
+    val out = run(left((5L, "a", 1L)), right((3L, "a", 10L, 1.5)))
+    assert(out.columns.toSeq ===
+      Seq("t", "k", "lid", "asof_t", "asof_rid", "asof_v"))
+  }
+
+  test("plan shape: no join operator, single window over the union") {
+    val out = run(
+      left((5L, "a", 1L)), right((3L, "a", 10L, 1.0)))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"as-of must not plan a join:\n$plan")
+  }
+}
