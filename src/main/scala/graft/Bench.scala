@@ -78,13 +78,18 @@ object Bench {
     writeOut()
   }
 
-  /** Rewrite the output file after every emission so a crash mid-suite
-    * still leaves the lines already measured. */
+  /** Rewrite the output files after every emission so a crash mid-suite
+    * still leaves the lines already measured. `bench.json` holds exactly
+    * ONE object (the primary `"total"` line) so a consumer's bare
+    * `json.load` never trips over concatenated lines; the full stream
+    * (total + total_local4) goes to `bench.jsonl`, one object per line. */
   private def writeOut(): Unit =
     try {
       val dir = java.nio.file.Paths.get("bench_out")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("bench.json"),
+        emitted.head + "\n")
+      java.nio.file.Files.writeString(dir.resolve("bench.jsonl"),
         emitted.mkString("", "\n", "\n"))
     } catch { case _: java.io.IOException => () } // stdout line still stands
 

@@ -353,4 +353,53 @@ object Corpus {
     trainGrams.join(benchGrams, Seq("s"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** [[contaminatedDocs]] for the regime where the "benchmark" side is too
+    * big to broadcast (decontaminating one corpus slice against another,
+    * held-out shards, a competitor's eval dump): EXACT result, Bloom-pruned
+    * shuffle.
+    *
+    * The exact path must shuffle BOTH full gram streams once the bench
+    * side outgrows the broadcast threshold — at 100 TB that is the
+    * dominant cost of the whole job. Here the bench grams are first
+    * folded into a Bloom filter (one `treeAggregate` producing a
+    * sketch-sized driver object — `fpp` at 1% costs ~1.2 bytes/gram);
+    * the corpus side probes it MAP-SIDE via Spark's own codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the engine's runtime-filter primitive, fed xxhash64 grams exactly
+    * like the build side), so only true hits plus an `fpp` sliver of
+    * false positives ever reach the verify join. The join then removes
+    * every false positive — the OUTPUT is bit-identical to
+    * [[contaminatedDocs]]; the sketch only prunes the shuffle, the same
+    * two-phase shape as d3/d8's candidate→verify.
+    *
+    * The sketch rides the task binary as a plan literal — the same
+    * transport Spark's injected runtime filters use; at 1 GB+ sketches
+    * (≈10^9 bench grams) switch to slicing the bench side and running
+    * this per-slice. */
+  def contaminatedDocsBloom(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, k: Int = 8,
+      expectedBenchGrams: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp ($fpp) must be in (0, 1)")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+
+    val benchGrams = Dedup.shingleRows(bench, textCol, idCol, k)
+      .select(col("s")).distinct()
+    val bf = benchGrams.select(xxhash64(col("s")).as("h"))
+      .stat.bloomFilter("h", expectedBenchGrams, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(col("s")))))
+
+    val trainGrams = Dedup.shingleRows(train, textCol, idCol, k)
+      .filter(mightContain)
+    trainGrams.join(benchGrams, Seq("s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

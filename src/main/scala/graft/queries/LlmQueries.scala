@@ -327,6 +327,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Same decontamination CONTRACT as x11, opposite execution regime: the
+    // bench side is treated as too big to broadcast, so the corpus grams
+    // probe a Bloom sketch map-side (Spark's codegen'd runtime-filter
+    // primitive) and only hits + the fpp sliver reach the exact verify
+    // join. Output must be bit-identical to x11 — the oracle IS x11's.
+    "x21_decontam_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.contaminatedDocsBloom(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          "text", "doc_id", k = 4,
+          expectedBenchGrams = 1L << 17, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
     // C4-style line-level boilerplate removal. The word-soup corpus has no
     // organic line structure, so the query plants it deterministically in
     // BOTH engines: every doc becomes three lines — a unique content
@@ -968,6 +983,19 @@ object LlmQueries {
           FROM base b LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
           ORDER BY doc_id""",
     "x11_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, source, $duckToks AS w FROM documents),
+              pos AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 2)) AS i
+                      FROM toks WHERE len(w) >= 4),
+              grams AS (SELECT DISTINCT doc_id, source,
+                          array_to_string(w[i:i+3], ' ') AS g FROM pos),
+              bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+          SELECT doc_id, count(*) AS n_shared_grams
+          FROM grams JOIN bench USING (g)
+          WHERE source <> 'src0'
+          GROUP BY doc_id ORDER BY doc_id""",
+    // x21 must reproduce x11 exactly (the Bloom sketch only prunes the
+    // shuffle; false positives die in the verify join) — same oracle.
+    "x21_decontam_bloom" ->
       s"""WITH toks AS (SELECT doc_id, source, $duckToks AS w FROM documents),
               pos AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 2)) AS i
                       FROM toks WHERE len(w) >= 4),

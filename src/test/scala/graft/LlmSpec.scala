@@ -652,6 +652,35 @@ class LlmSpec extends SparkSpec {
     build.release()
   }
 
+  test("bloom decontamination is bit-identical to the exact path") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = d.filter(col("source") =!= "src0")
+    val bench = d.filter(col("source") === "src0")
+    val exact = Corpus.contaminatedDocs(train, bench, "text", "doc_id", k = 4)
+    val bloom = Corpus.contaminatedDocsBloom(train, bench, "text", "doc_id",
+      k = 4, expectedBenchGrams = 1L << 15, fpp = 0.01)
+    val a = exact.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = bloom.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.nonEmpty && a.sameElements(b))
+    // the sketch probe is really in the plan, upstream of the verify join
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("bloom decontamination survives an adversarial fpp (tiny sketch)") {
+    // a deliberately undersized sketch saturates → many false positives →
+    // the verify join must still reduce the output to the exact answer
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = d.filter(col("source") =!= "src0")
+    val bench = d.filter(col("source") === "src0")
+    val exact = Corpus.contaminatedDocs(train, bench, "text", "doc_id", k = 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val bloom = Corpus.contaminatedDocsBloom(train, bench, "text", "doc_id",
+      k = 4, expectedBenchGrams = 64, fpp = 0.5)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(exact.sameElements(bloom))
+  }
+
   test("pipeline hygiene stages: repetition gate, decontamination, redaction") {
     val spamText = ("buy now " * 40).trim // one 2-gram dominates
     val benchText = "the quick brown fox jumps over the lazy sleeping dog today"
