@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval scoring over the document corpus — the query-time complement
+  * to the indexing-side operators ([[TextAnalysis.tfidfTopTerms]] builds
+  * per-doc keyword profiles; this ranks docs for a given query).
+  *
+  * BM25 (Robertson et al., TREC-3 Okapi) with the Lucene-style
+  * non-negative idf `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+  */
+object Retrieval {
+
+  /** Top-`k` documents by BM25 score for a bag of query terms.
+    *
+    * Scale shape: the term stream is filtered to the query vocabulary
+    * MAP-SIDE right after the explode (a query is a handful of terms, so
+    * ~all token rows die before any shuffle); document frequency is
+    * computed from that filtered stream (≤ |query| rows — broadcast);
+    * corpus N and avgdl come from one lazy 1-row aggregate cross-joined
+    * in (no eager `count()` on the driver — the ADVICE-item lesson from
+    * tfidf). Global top-k is `orderBy().limit(k)` = distributed
+    * TakeOrdered, never a single-partition window; the `rank` column is
+    * attached AFTER the limit, over k rows only.
+    *
+    * Determinism across engines: every score input (tf, df, dl, N) is an
+    * integer; the oracle evaluates the identical double expression in the
+    * identical parenthesization, and ties (word-soup docs with equal
+    * tf-vectors and dl are common) break on the integer id. Per-doc
+    * summation over matched terms is at most |query| IEEE adds — the only
+    * float risk is a sub-ulp sum-order difference, negligible at %.9g
+    * canonicalization.
+    *
+    * @return (idCol, score: Double, n_matched: distinct query terms
+    *         present, rank: 1-based)
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK > 0, s"topK ($topK) must be positive")
+    val q = queryTerms.map(_.toLowerCase).distinct
+
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+    // one corpus-stats row, lazily cross-joined — never an eager action
+    val stats = toks.agg(count(lit(1)).as("_n"),
+      avg(size(col("_tk"))).as("_avgdl"))
+    val tf = toks
+      .select(col(idCol), size(col("_tk")).as("_dl"),
+        explode(col("_tk")).as("_term"))
+      .filter(col("_term").isin(q: _*))
+      .groupBy(col(idCol), col("_term"), col("_dl"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("_term").agg(count(lit(1)).as("_df"))
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("_term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf", log(lit(1.0) +
+        (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+      .withColumn("_s", col("_idf") *
+        (col("_tf") * lit(k1 + 1.0)) /
+        (col("_tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(sum(col("_s")).as("score"), count(lit(1)).as("n_matched"))
+    val top = perDoc
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+    // k rows only — the single-partition window is bounded by topK
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("score").desc, col(idCol).asc)))
+  }
+}

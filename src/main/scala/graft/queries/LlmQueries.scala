@@ -308,6 +308,18 @@ object LlmQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // BM25 top-k retrieval (Okapi, Lucene-style non-negative idf) for a
+    // 3-term query. Every score input is an integer (tf, df, dl, N); the
+    // oracle evaluates the identical double expression in the identical
+    // parenthesization, so the floats agree bit-for-bit modulo ln()'s
+    // last ulp (the same exposure x12 has carried green since r5).
+    "x22_bm25" -> ((s, dir) => {
+      Retrieval.bm25TopK(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          queryTerms = Seq("spark", "window", "merge"), topK = 50)
+        .orderBy("rank")
+    }),
+
     // Gopher-style repetition quality signals: token coverage of the most
     // frequent 2-gram + duplicate fraction of 3-gram occurrences.
     "x10_repetition" -> ((s, dir) => {
@@ -962,6 +974,27 @@ object LlmQueries {
                               ORDER BY score DESC, term) AS rank FROM sc)
           SELECT doc_id, term, tf, score, rank
           FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "x22_bm25" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              tm AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
+              tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tm
+                     WHERE term IN ('spark', 'window', 'merge')
+                     GROUP BY 1, 2, 3),
+              dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+              st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM ws),
+              scored AS (SELECT tf.doc_id,
+                       ln(1.0 + (st.n - dfq.dfn + 0.5) / (dfq.dfn + 0.5)) *
+                         (tf.tf * (1.2 + 1.0)) /
+                         (tf.tf + 1.2 * ((1.0 - 0.75) +
+                            0.75 * tf.dl / st.avgdl)) AS s
+                     FROM tf JOIN dfq USING (term) CROSS JOIN st),
+              agg AS (SELECT doc_id, sum(s) AS score, count(*) AS n_matched
+                      FROM scored GROUP BY doc_id),
+              r AS (SELECT doc_id, score, n_matched,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                    FROM agg)
+          SELECT doc_id, score, n_matched, rank
+          FROM r WHERE rank <= 50 ORDER BY rank""",
     "x10_repetition" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               base AS (SELECT doc_id, w, len(w) AS n FROM ws),

@@ -80,6 +80,40 @@ class PrivacySpec extends SparkSpec {
     assert(out(0).getDouble(3) > out(1).getDouble(3))
   }
 
+  test("bm25: rarer query term outranks common one; dl normalization bites") {
+    import spark.implicits._
+    // "zebra" appears in one doc, "the" in all; equal tf → zebra doc wins
+    val docs = Seq(
+      (1L, "the cat sat on the mat near the door today fine"),
+      (2L, "zebra cat sat on the mat near the door today"),
+      (3L, "the the the the the the the the the the"),
+      (4L, "unrelated words entirely filling this document with noise here"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("zebra", "the"), topK = 4).collect()
+    assert(out.head.getAs[Long]("doc_id") === 2L) // rare term dominates
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(2L).getAs[Long]("n_matched") === 2L)
+    assert(byId(3L).getAs[Long]("n_matched") === 1L)
+    assert(!byId.contains(4L)) // no query term → absent
+    // ranks are 1-based, dense, ordered by score
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("bm25: hand-computed score for a one-term corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val out = graft.llm.Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("a"), topK = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val n = 2.0; val df = 2.0; val avgdl = 3.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(out(1L) - s(1, 2)) < 1e-12, s"got ${out(1L)}")
+    assert(math.abs(out(2L) - s(2, 4)) < 1e-12, s"got ${out(2L)}")
+  }
+
   test("decontamination flags exactly the docs sharing a k-gram") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("id", "text")
