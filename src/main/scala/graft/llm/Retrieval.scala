@@ -23,7 +23,10 @@ object Retrieval {
     * in (no eager `count()` on the driver — the ADVICE-item lesson from
     * tfidf). Global top-k is `orderBy().limit(k)` = distributed
     * TakeOrdered, never a single-partition window; the `rank` column is
-    * attached AFTER the limit, over k rows only.
+    * attached AFTER the limit, over k rows only. That bounded window is
+    * still a single partition of `topK` rows, so keep `topK` at
+    * human-result scale (≤ ~100k); for a larger k, take the TakeOrdered
+    * output unranked and derive rank downstream.
     *
     * Determinism across engines: every score input (tf, df, dl, N) is an
     * integer; the oracle evaluates the identical double expression in the
@@ -44,7 +47,11 @@ object Retrieval {
     val q = queryTerms.map(_.toLowerCase).distinct
 
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
-    // one corpus-stats row, lazily cross-joined — never an eager action
+    // one corpus-stats row, lazily cross-joined — never an eager action.
+    // A literal-key equi-join does not help here: Catalyst constant-folds
+    // the key and re-plans the nested-loop product anyway, so this is the
+    // honest spelling; PlanAuditSpec whitelists it as a bounded 1-row
+    // broadcast.
     val stats = toks.agg(count(lit(1)).as("_n"),
       avg(size(col("_tk"))).as("_avgdl"))
     val tf = toks

@@ -90,7 +90,7 @@ class PrivacySpec extends SparkSpec {
       (4L, "unrelated words entirely filling this document with noise here"))
       .toDF("doc_id", "text")
     val out = graft.llm.Retrieval.bm25TopK(docs, "text", "doc_id",
-      Seq("zebra", "the"), topK = 4).collect()
+      Seq("zebra", "the"), topK = 4).orderBy("rank").collect()
     assert(out.head.getAs[Long]("doc_id") === 2L) // rare term dominates
     val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(byId(2L).getAs[Long]("n_matched") === 2L)
