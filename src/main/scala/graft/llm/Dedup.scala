@@ -512,21 +512,37 @@ object Dedup {
     * covered positions, anti-joined against the token stream per (doc,
     * pos) — doc-local, never cross-doc. The windowed relation is
     * persisted across its two consumers and released deterministically. */
+  /** The k-gram string starting at window position `_p` of token array
+    * `_tk` — transient: hashed or projected away within the same map pass,
+    * never persisted and never shuffled corpus-wide. */
+  private[graft] def spanGram(k: Int): Column = concat_ws(" ",
+    (0 until k).map(j => element_at(col("_tk"), col("_p") + j + 1)): _*)
+
+  /** The ONLY relation [[removeRepeatedSpans]] persists: one row per
+    * k-token window carrying `(idCol, _p, _gh)` — ~16 bytes, no gram
+    * text, so the cache stays hash-sized at any `k` (LlmSpec pins the
+    * schema to numeric columns). */
+  private[graft] def spanWindowHashes(toks: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    toks.filter(size(col("_tk")) >= k)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(0), size(col("_tk")) - k)).as("_p"))
+      .select(col(idCol), col("_p"), Hashing.hex60(spanGram(k)).as("_gh"))
+
   def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val toks = df.select(col(idCol), tokens(col(textCol)).as("_tk"))
-    val starts = toks.filter(size(col("_tk")) >= k)
-      .select(col(idCol), col("_tk"),
-        explode(sequence(lit(0), size(col("_tk")) - k)).as("_p"))
-      .select(col(idCol), col("_p"), concat_ws(" ",
-        (0 until k).map(j => element_at(col("_tk"), col("_p") + j + 1)): _*)
-        .as("_g"))
-      .withColumn("_gh", Hashing.hex60(col("_g")))
-      .persist()
+    val starts = spanWindowHashes(toks, idCol, k)
+      .persist() // narrow cache: (id, _p, _gh) — ~16 B/window, never ~k× text
     val hotHashes = starts.groupBy(col("_gh"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).select("_gh")
-    val cand = starts.join(hotHashes, Seq("_gh"))
+    // recompute the gram TEXT for hot-hash candidates only: re-join the
+    // (candidate-scale) hot windows against the token arrays — the same
+    // few-candidates discipline the _g shuffle below already relies on
+    val hot = starts.join(hotHashes, Seq("_gh")).select(col(idCol), col("_p"))
+    val cand = toks.join(hot, Seq(idCol))
+      .select(col(idCol), col("_p"), spanGram(k).as("_g"))
     val owners = cand.groupBy(col("_g"))
       .agg(count(lit(1)).as("_n"),
         min(struct(col(idCol), col("_p"))).as("_first"))

@@ -431,6 +431,29 @@ class LlmSpec extends SparkSpec {
     assert(o(7L) === "p")
   }
 
+  test("span dedup persists only (id, pos, hash) and releases its cache") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    // the persisted relation is exactly spanWindowHashes' output: pin it
+    // to three numeric columns — any gram string reappearing in the cache
+    // schema re-inflates the cache to ~k× the corpus text
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("_tk"))
+    val cached = Dedup.spanWindowHashes(toks, "doc_id", 4)
+    assert(cached.schema.fieldNames.toSeq === Seq("doc_id", "_p", "_gh"))
+    assert(cached.schema.forall(f =>
+      f.dataType == LongType || f.dataType == IntegerType),
+      s"non-numeric column in span cache: ${cached.schema}")
+    // and the operator releases the cache deterministically — the only
+    // persistent RDD allowed to remain is Lineage.cut's localCheckpoint
+    // (its persisted blocks ARE the checkpoint, released on GC)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.removeRepeatedSpans(docs, "text", "doc_id", k = 4).collect()
+    val fresh = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }.values
+    assert(fresh.forall(_.isCheckpointed),
+      "span dedup leaked a non-checkpoint cache")
+  }
+
   test("paragraph dedup: first occurrence wins, later repeats cut in place") {
     val docs = Seq(
       (1L, "lead one\n\nSHARED QUOTE\n\ntail one"),
