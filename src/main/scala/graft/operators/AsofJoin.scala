@@ -1,15 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{NumericType, StructType}
 
-/** Backward as-of join: attach to every left row the single most recent
-  * right row with `right.time <= left.time` for the same key — the
-  * temporal lookup every event pipeline needs (latest state/price/config
-  * as of each observation) that plain equi/range joins can't express
-  * without an explosion.
+/** As-of joins: attach to every left row a single right row selected by
+  * temporal proximity for the same key — the temporal lookup every event
+  * pipeline needs (latest state/price/config as of each observation)
+  * that plain equi/range joins can't express without an explosion.
+  * Three variants share one engine:
+  *
+  *   - [[asofJoinBackward]]: most recent right with
+  *     `right.time <= left.time` (inclusive) — latest-state-as-of;
+  *   - [[asofJoinForward]]: earliest right with
+  *     `right.time >= left.time` (inclusive) — next-event-after;
+  *   - [[asofJoinNearest]]: whichever of the two is closer in time,
+  *     optionally bounded by a tolerance — nearest-observation matching.
   *
   * Spark has no native ASOF JOIN (DuckDB/Pandas do), and the naive
   * formulations are scale-killers: a range join (`l.t >= r.t`) explodes
@@ -18,25 +25,110 @@ import org.apache.spark.sql.types.StructType
   * uses the merge formulation: UNION both sides tagged by origin, one
   * hash shuffle on the key, one within-partition sort on (time, side,
   * tie), and a running `last(right_payload, ignoreNulls)` carry. Each
-  * row is touched once; no pair blowup exists at any skew.
+  * row is touched once; no pair blowup exists at any skew. The forward
+  * variant is the same scan with the time sort flipped; nearest runs
+  * both carries over the one shuffled partition (two sorts, still zero
+  * joins) and picks per-row.
   *
   * Semantics (deterministic, engine-replayable):
   *   - inclusive boundary: a right row at exactly `left.time` IS visible
-  *     (rights sort before lefts at equal time);
-  *   - among rights sharing (key, time), the greatest `tieCol` wins (the
-  *     running carry keeps the LAST in (time, side, tie) order);
-  *   - a left row with no prior right gets NULL payload columns;
+  *     (rights sort before lefts at equal time) — in the nearest variant
+  *     such a row has distance 0 from both directions and the backward
+  *     branch claims it;
+  *   - among rights sharing (key, time), the greatest `tieCol` wins in
+  *     EVERY variant (the running carry keeps the last right scanned,
+  *     and ties always sort ascending within their time group);
+  *   - nearest breaks an exact distance tie toward the BACKWARD match;
+  *   - a left row with no qualifying right gets NULL payload columns;
   *   - rows with NULL key or NULL time are passed through with NULL
   *     payload (SQL join semantics: NULL matches nothing), not grouped
   *     into a NULL-key partition.
   *
-  * Scale shape: one shuffle of |L|+|R| rows keyed by `keyCol`, one sort,
-  * zero joins. Skew = a hot key, same exposure as any keyed window; the
-  * mitigation is the usual pre-split ([[SkewJoin]]) if one key dominates.
-  * The right payload travels as ONE struct so the carry is atomic — no
-  * per-column windows that could disagree under ties.
+  * Scale shape: one shuffle of |L|+|R| rows keyed by `keyCol`, one sort
+  * (two for nearest — the window exchange is reused), zero joins. Skew =
+  * a hot key, same exposure as any keyed window; the mitigation is the
+  * usual pre-split ([[SkewJoin]]) if one key dominates. The right
+  * payload travels as ONE struct so the carry is atomic — no per-column
+  * windows that could disagree under ties.
   */
 object AsofJoin {
+
+  /** Working column names the merge formulation claims for itself.
+    * Guarded against caller columns up front — a silent shadow here
+    * would corrupt output instead of failing loudly. */
+  private val InternalNames =
+    Set("_k", "_t", "_side", "_tie", "_rv", "_lrow", "_m", "_mb", "_mf")
+
+  private def guard(left: DataFrame, right: DataFrame, carried: Seq[String],
+      prefix: String): Unit = {
+    val clash = (left.columns ++ right.columns).distinct.filter(InternalNames)
+    require(clash.isEmpty,
+      s"column(s) [${clash.mkString(", ")}] collide with AsofJoin's internal " +
+        s"working names [${InternalNames.toSeq.sorted.mkString(", ")}]; " +
+        "rename them before joining")
+    val outClash = carried.map(prefix + _).filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"output column(s) [${outClash.mkString(", ")}] already exist on the " +
+        "left side; choose a different prefix")
+  }
+
+  /** The tagged union both directions scan: rights carry their payload
+    * struct, lefts carry their full row; NULL-key/time lefts are split
+    * off for pass-through and NULL-key/time rights dropped. */
+  private final case class Prep(merged: DataFrame, bypass: DataFrame,
+      rvType: StructType, carried: Seq[String])
+
+  private def prep(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tieCol: String, payloadCols: Seq[String],
+      prefix: String): Prep = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val carried = (timeCol +: payloadCols.filterNot(_ == timeCol)).distinct
+    guard(left, right, carried, prefix)
+    val leftType = StructType(left.schema.fields)
+    val rvType = StructType(right.select(carried.map(col): _*).schema.fields)
+
+    val tieType = right.schema(right.schema.fieldIndex(tieCol)).dataType
+    val r = right.select(
+      col(keyCol).as("_k"), col(timeCol).as("_t"), lit(0).as("_side"),
+      col(tieCol).as("_tie"),
+      struct(carried.map(col): _*).as("_rv"),
+      lit(null).cast(leftType).as("_lrow"))
+    val l = left.select(
+      col(keyCol).as("_k"), col(timeCol).as("_t"), lit(1).as("_side"),
+      lit(null).cast(tieType).as("_tie"),
+      lit(null).cast(rvType).as("_rv"),
+      struct(left.columns.map(col): _*).as("_lrow"))
+
+    // NULL key/time lefts bypass the window entirely (NULL matches
+    // nothing); NULL key/time rights can never be carried, so drop them.
+    val matchable = col("_k").isNotNull && col("_t").isNotNull
+    Prep(r.filter(matchable).unionByName(l.filter(matchable)),
+      l.filter(!matchable), rvType, carried)
+  }
+
+  /** Project the merged scan back to left columns + prefixed payload. */
+  private def emit(out: DataFrame, left: DataFrame, carried: Seq[String],
+      prefix: String): DataFrame = {
+    val leftCols = left.columns.map(c => col("_lrow").getField(c).as(c))
+    val payload = carried.map(c => col("_m").getField(c).as(s"$prefix$c"))
+    out.select((leftCols ++ payload).toIndexedSeq: _*)
+  }
+
+  private def directional(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tieCol: String, payloadCols: Seq[String],
+      prefix: String, forward: Boolean): DataFrame = {
+    val p = prep(left, right, keyCol, timeCol, tieCol, payloadCols, prefix)
+    val tOrd = if (forward) col("_t").desc else col("_t").asc
+    val w = Window.partitionBy("_k")
+      .orderBy(tOrd, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = p.merged
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val out = joined.unionByName(
+      p.bypass.withColumn("_m", lit(null).cast(p.rvType)))
+    emit(out, left, p.carried, prefix)
+  }
 
   /** @param left      rows to enrich (all columns preserved)
     * @param right     lookup side; must contain `keyCol`, `timeCol`,
@@ -54,39 +146,60 @@ object AsofJoin {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, tieCol: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
-    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
-    val carried = (timeCol +: payloadCols.filterNot(_ == timeCol)).distinct
-    val leftType = StructType(left.schema.fields)
-    val rvType = StructType(right.select(carried.map(col): _*).schema.fields)
+      prefix: String = "asof_"): DataFrame =
+    directional(left, right, keyCol, timeCol, tieCol, payloadCols, prefix,
+      forward = false)
 
-    val tieType = right.schema(right.schema.fieldIndex(tieCol)).dataType
-    val r = right.select(
-      col(keyCol).as("_k"), col(timeCol).as("_t"), lit(0).as("_side"),
-      col(tieCol).as("_tie"),
-      struct(carried.map(col): _*).as("_rv"),
-      lit(null).cast(leftType).as("_lrow"))
-    val l = left.select(
-      col(keyCol).as("_k"), col(timeCol).as("_t"), lit(1).as("_side"),
-      lit(null).cast(tieType).as("_tie"),
-      lit(null).cast(rvType).as("_rv"),
-      struct(left.columns.map(col): _*).as("_lrow"))
+  /** Forward as-of join: the EARLIEST right with
+    * `right.time >= left.time` (inclusive boundary) wins; parameters and
+    * output shape as [[asofJoinBackward]]. Same merge formulation with
+    * the time sort descending — the carry at each left row then holds
+    * the right row with the smallest time at or after it. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tieCol: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    directional(left, right, keyCol, timeCol, tieCol, payloadCols, prefix,
+      forward = true)
 
-    val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc)
+  /** Nearest as-of join: whichever of the backward/forward matches is
+    * closer in time wins; an exact distance tie (including a right row
+    * AT `left.time`, distance 0 both ways) goes to the backward match.
+    * `tolerance` (same unit as `timeCol`) drops matches farther than
+    * the bound — a match beyond tolerance counts as no match, so the
+    * other direction can still win. Requires a NUMERIC time column
+    * (epoch micros/seconds/...): distance is plain subtraction, exact
+    * for integral types. Parameters otherwise as [[asofJoinBackward]].
+    *
+    * Plan shape: the two carries run over the SAME keyed shuffle (the
+    * window exchange is reused; only the sort runs twice) — still zero
+    * joins and no pair blowup. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tieCol: String, payloadCols: Seq[String],
+      prefix: String = "asof_", tolerance: Option[Long] = None): DataFrame = {
+    val tType = left.schema(left.schema.fieldIndex(timeCol)).dataType
+    require(tType.isInstanceOf[NumericType],
+      s"asofJoinNearest needs a numeric time column for distances; " +
+        s"'$timeCol' is $tType — convert (e.g. epoch micros) first")
+    tolerance.foreach(t => require(t >= 0L, s"tolerance ($t) must be >= 0"))
+    val p = prep(left, right, keyCol, timeCol, tieCol, payloadCols, prefix)
+    def w(tOrd: Column) = Window.partitionBy("_k")
+      .orderBy(tOrd, col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // NULL key/time lefts bypass the window entirely (NULL matches
-    // nothing); NULL key/time rights can never be carried, so drop them.
-    val matchable = col("_k").isNotNull && col("_t").isNotNull
-    val joined = r.filter(matchable).unionByName(l.filter(matchable))
-      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+    val both = p.merged
+      .withColumn("_mb", last(col("_rv"), ignoreNulls = true).over(w(col("_t").asc)))
+      .withColumn("_mf", last(col("_rv"), ignoreNulls = true).over(w(col("_t").desc)))
       .filter(col("_side") === 1)
-    val bypass = l.filter(!matchable)
-      .withColumn("_m", lit(null).cast(rvType))
-
-    val out = joined.unionByName(bypass)
-    val leftCols = left.columns.map(c => col("_lrow").getField(c).as(c))
-    val payload = carried.map(c => col("_m").getField(c).as(s"$prefix$c"))
-    out.select((leftCols ++ payload).toIndexedSeq: _*)
+    val db = col("_t") - col("_mb").getField(timeCol)
+    val df = col("_mf").getField(timeCol) - col("_t")
+    def inTol(d: Column) =
+      tolerance.map(t => d <= lit(t)).getOrElse(lit(true))
+    val okB = col("_mb").isNotNull && inTol(db)
+    val okF = col("_mf").isNotNull && inTol(df)
+    val chosen = when(okB && (!okF || db <= df), col("_mb"))
+      .when(okF, col("_mf"))
+      .otherwise(lit(null).cast(p.rvType))
+    val out = both.withColumn("_m", chosen).drop("_mb", "_mf")
+      .unionByName(p.bypass.withColumn("_m", lit(null).cast(p.rvType)))
+    emit(out, left, p.carried, prefix)
   }
 }

@@ -225,6 +225,44 @@ object EngineQueries {
         .orderBy("event_id")
     }),
 
+    // W4: forward as-of join — every error event picks up the NEXT
+    // purchase (inclusive) of the same user: the same merge formulation
+    // with the time sort flipped. Oracle mirrors the operator's NULL
+    // semantics explicitly (non-null keys in the carry, pass-through
+    // branch), so a data-gen change introducing NULL users can't diverge
+    // silently.
+    "w4_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      graft.operators.AsofJoin.asofJoinForward(
+          ev.filter(col("event_type") === "error")
+            .select("event_id", "user_id", "ts_us"),
+          ev.filter(col("event_type") === "purchase")
+            .select("user_id", "ts_us", "event_id", "value"),
+          keyCol = "user_id", timeCol = "ts_us", tieCol = "event_id",
+          payloadCols = Seq("event_id", "value"))
+        .orderBy("event_id")
+    }),
+
+    // W5: nearest as-of join within a 6-hour tolerance — each error event
+    // matches whichever purchase (previous or next, same user) is closer
+    // in time, ties toward the previous one; both matches farther than
+    // the tolerance ⇒ NULL payload. Both carries run over ONE keyed
+    // shuffle (the window exchange is reused), zero joins.
+    "w5_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      graft.operators.AsofJoin.asofJoinNearest(
+          ev.filter(col("event_type") === "error")
+            .select("event_id", "user_id", "ts_us"),
+          ev.filter(col("event_type") === "purchase")
+            .select("user_id", "ts_us", "event_id", "value"),
+          keyCol = "user_id", timeCol = "ts_us", tieCol = "event_id",
+          payloadCols = Seq("event_id", "value"),
+          tolerance = Some(6L * 3600L * 1000000L))
+        .orderBy("event_id")
+    }),
+
     // with a null sentinel for the driver compare.
     "f5_multimatch" -> ((s, dir) => {
       val specs = Seq(
@@ -270,6 +308,10 @@ object EngineQueries {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    // the w3/w4/w5 oracles mirror the operator's NULL semantics exactly:
+    // NULL-key/time rows never enter the keyed carry (rights drop, lefts
+    // pass through unmatched) — the events data has no NULL user_id/ts
+    // today, but a data-gen change must not silently diverge the engines.
     "w3_asof_join" ->
       """WITH u AS (
            SELECT user_id, epoch_us(ts) AS t, 0 AS side, event_id,
@@ -277,9 +319,11 @@ object EngineQueries {
                               value := value) AS rv,
                   NULL AS l_event_id
            FROM events WHERE event_type = 'purchase'
+             AND user_id IS NOT NULL AND ts IS NOT NULL
            UNION ALL
            SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id
            FROM events WHERE event_type = 'error'
+             AND user_id IS NOT NULL AND ts IS NOT NULL
          ), c AS (
            SELECT user_id, t, side, l_event_id,
              last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
@@ -290,7 +334,81 @@ object EngineQueries {
          SELECT l_event_id AS event_id, user_id, t AS ts_us,
                 m.ts_us AS asof_ts_us, m.event_id AS asof_event_id,
                 m.value AS asof_value
-         FROM c WHERE side = 1 ORDER BY event_id""",
+         FROM c WHERE side = 1
+         UNION ALL
+         SELECT event_id, user_id, epoch_us(ts), NULL, NULL, NULL
+         FROM events WHERE event_type = 'error'
+           AND (user_id IS NULL OR ts IS NULL)
+         ORDER BY event_id""",
+    "w4_asof_forward" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS t, 0 AS side, event_id,
+                  struct_pack(ts_us := epoch_us(ts), event_id := event_id,
+                              value := value) AS rv,
+                  NULL AS l_event_id
+           FROM events WHERE event_type = 'purchase'
+             AND user_id IS NOT NULL AND ts IS NOT NULL
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id
+           FROM events WHERE event_type = 'error'
+             AND user_id IS NOT NULL AND ts IS NOT NULL
+         ), c AS (
+           SELECT user_id, t, side, l_event_id,
+             last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY t DESC, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+           FROM u
+         )
+         SELECT l_event_id AS event_id, user_id, t AS ts_us,
+                m.ts_us AS asof_ts_us, m.event_id AS asof_event_id,
+                m.value AS asof_value
+         FROM c WHERE side = 1
+         UNION ALL
+         SELECT event_id, user_id, epoch_us(ts), NULL, NULL, NULL
+         FROM events WHERE event_type = 'error'
+           AND (user_id IS NULL OR ts IS NULL)
+         ORDER BY event_id""",
+    "w5_asof_nearest" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS t, 0 AS side, event_id,
+                  struct_pack(ts_us := epoch_us(ts), event_id := event_id,
+                              value := value) AS rv,
+                  NULL AS l_event_id
+           FROM events WHERE event_type = 'purchase'
+             AND user_id IS NOT NULL AND ts IS NOT NULL
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id
+           FROM events WHERE event_type = 'error'
+             AND user_id IS NOT NULL AND ts IS NOT NULL
+         ), c AS (
+           SELECT user_id, t, side, l_event_id,
+             last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY t, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb,
+             last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY t DESC, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mf
+           FROM u
+         ), p AS (
+           SELECT l_event_id AS event_id, user_id, t AS ts_us,
+             CASE
+               WHEN mb IS NOT NULL AND t - mb.ts_us <= 21600000000
+                    AND (mf IS NULL OR mf.ts_us - t > 21600000000
+                         OR t - mb.ts_us <= mf.ts_us - t)
+                 THEN mb
+               WHEN mf IS NOT NULL AND mf.ts_us - t <= 21600000000 THEN mf
+               ELSE NULL
+             END AS m
+           FROM c WHERE side = 1
+         )
+         SELECT event_id, user_id, ts_us, m.ts_us AS asof_ts_us,
+                m.event_id AS asof_event_id, m.value AS asof_value
+         FROM p
+         UNION ALL
+         SELECT event_id, user_id, epoch_us(ts), NULL, NULL, NULL
+         FROM events WHERE event_type = 'error'
+           AND (user_id IS NULL OR ts IS NULL)
+         ORDER BY event_id""",
     "q2_entity_assembly" ->
       """WITH files AS (
            SELECT DISTINCT l_orderkey, l_linenumber,

@@ -75,4 +75,106 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"),
       s"as-of must not plan a join:\n$plan")
   }
+
+  private def runF(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    AsofJoin.asofJoinForward(l, r, keyCol = "k", timeCol = "t",
+      tieCol = "rid", payloadCols = Seq("rid", "v"))
+
+  private def runN(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame, tol: Option[Long] = None) =
+    AsofJoin.asofJoinNearest(l, r, keyCol = "k", timeCol = "t",
+      tieCol = "rid", payloadCols = Seq("rid", "v"), tolerance = tol)
+
+  test("forward: earliest at-or-after right wins; none-after gives NULLs") {
+    val out = runF(
+      left((5L, "a", 1L), (15L, "a", 2L), (25L, "a", 3L), (10L, "a", 4L)),
+      right((3L, "a", 10L, 1.0), (10L, "a", 11L, 2.0), (20L, "a", 12L, 3.0)))
+      .orderBy("lid")
+      .select("lid", "asof_rid", "asof_v", "asof_t").collect()
+    assert(out(0) === Row(1L, 11L, 2.0, 10L)) // t=5 sees t=10, not 20
+    assert(out(1) === Row(2L, 12L, 3.0, 20L))
+    assert(out(2) === Row(3L, null, null, null)) // t=25 follows everything
+    assert(out(3) === Row(4L, 11L, 2.0, 10L)) // boundary inclusive
+  }
+
+  test("forward equal-time rights break ties by max rid too") {
+    val out = runF(
+      left((10L, "a", 1L)),
+      right((10L, "a", 7L, 1.0), (10L, "a", 9L, 2.0), (10L, "a", 8L, 3.0)))
+      .select("asof_rid", "asof_v").collect()
+    assert(out(0) === Row(9L, 2.0))
+  }
+
+  test("nearest picks the closer side; an exact distance tie goes backward") {
+    val r = right((3L, "a", 10L, 1.0), (9L, "a", 11L, 2.0))
+    val out = runN(
+      left((4L, "a", 1L), (8L, "a", 2L), (6L, "a", 3L)), r)
+      .orderBy("lid").select("lid", "asof_rid").collect()
+    assert(out(0) === Row(1L, 10L)) // d=1 back vs 5 fwd
+    assert(out(1) === Row(2L, 11L)) // d=5 back vs 1 fwd
+    assert(out(2) === Row(3L, 10L)) // 3-3 tie: backward wins
+  }
+
+  test("nearest: a right exactly at left.time wins at distance zero") {
+    val out = runN(
+      left((10L, "a", 1L)),
+      right((10L, "a", 7L, 1.0), (11L, "a", 8L, 2.0)))
+      .select("asof_rid").collect()
+    assert(out(0) === Row(7L))
+  }
+
+  test("nearest tolerance drops far matches per side independently") {
+    val r = right((3L, "a", 10L, 1.0), (100L, "a", 11L, 2.0))
+    val out = runN(
+      left((5L, "a", 1L), (60L, "a", 2L), (95L, "a", 3L)), r, tol = Some(10L))
+      .orderBy("lid").select("lid", "asof_rid").collect()
+    assert(out(0) === Row(1L, 10L)) // back d=2 within tol
+    assert(out(1) === Row(2L, null)) // 57 back / 40 fwd — both beyond
+    assert(out(2) === Row(3L, 11L)) // fwd d=5 within tol
+  }
+
+  test("nearest: NULL key/time lefts still pass through unmatched") {
+    val l = Seq((Some(5L), Option("a"), 1L), (None, Option("a"), 2L))
+      .toDF("t", "k", "lid")
+    val r = Seq((Some(3L), Option("a"), 10L, 1.0)).toDF("t", "k", "rid", "v")
+    val out = AsofJoin.asofJoinNearest(l, r, "k", "t", "rid", Seq("rid", "v"))
+      .orderBy("lid").select("lid", "asof_rid").collect()
+    assert(out(0) === Row(1L, 10L))
+    assert(out(1) === Row(2L, null))
+  }
+
+  test("nearest rejects a non-numeric time column") {
+    val l = Seq(("2024-01-01", "a", 1L)).toDF("t", "k", "lid")
+      .withColumn("t", to_timestamp(col("t")))
+    val r = Seq(("2024-01-01", "a", 10L, 1.0)).toDF("t", "k", "rid", "v")
+      .withColumn("t", to_timestamp(col("t")))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinNearest(l, r, "k", "t", "rid", Seq("rid", "v"))
+    }
+    assert(e.getMessage.contains("numeric time column"))
+  }
+
+  test("collision guard: internal working names and output names rejected") {
+    val lBad = Seq((5L, "a", 1L)).toDF("_t", "k", "lid")
+    val r = right((3L, "a", 10L, 1.0))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinBackward(lBad, r, "k", "_t", "rid", Seq("rid", "v"))
+    }
+    assert(e1.getMessage.contains("internal working names"))
+    val lClash = left((5L, "a", 1L)).withColumn("asof_rid", lit(0L))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinBackward(lClash, r, "k", "t", "rid", Seq("rid", "v"))
+    }
+    assert(e2.getMessage.contains("different prefix"))
+  }
+
+  test("forward/nearest plan shape: still no join operator") {
+    Seq(runF(left((5L, "a", 1L)), right((3L, "a", 10L, 1.0))),
+        runN(left((5L, "a", 1L)), right((3L, "a", 10L, 1.0)))).foreach { out =>
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("join"),
+        s"as-of must not plan a join:\n$plan")
+    }
+  }
 }
