@@ -385,8 +385,13 @@ object Corpus {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
 
-    val benchGrams = Dedup.shingleRows(bench, textCol, idCol, k)
-      .select(col("s")).distinct()
+    // one bench-side scan total: the sketch build below is an EAGER action
+    // at call time, and the verify join consumes the same grams again
+    // lazily — cut materializes them once and both consumers read the
+    // materialized frame (without it the dominant bench scan runs twice)
+    val benchGrams = graft.operators.Lineage.cut(
+      Dedup.shingleRows(bench, textCol, idCol, k)
+        .select(col("s")).distinct())
     val bf = benchGrams.select(xxhash64(col("s")).as("h"))
       .stat.bloomFilter("h", expectedBenchGrams, fpp)
     val bytes = {

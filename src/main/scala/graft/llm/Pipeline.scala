@@ -85,6 +85,12 @@ object Pipeline {
     * @param decontaminateAgainst evaluation corpus (doc_id, text) for
     *                         step 5; None skips decontamination
     * @param decontamK        k-gram size for the overlap test
+    * @param decontamBloom    use [[Corpus.contaminatedDocsBloom]] for
+    *                         step 5 — the Bloom-pruned path for a bench
+    *                         side too big to broadcast (another corpus
+    *                         slice, held-out shards). Bit-identical
+    *                         output to the exact path; only the shuffle
+    *                         shape differs
     * @param rates            per-source sampling rates for step 6
     * @param capPerSource     optional per-source cap (step 6.5): keep at
     *                         most this many docs per source, selected in
@@ -109,6 +115,7 @@ object Pipeline {
       maxDup3Frac: Double = 1.0,
       decontaminateAgainst: Option[DataFrame] = None,
       decontamK: Int = 8,
+      decontamBloom: Boolean = false,
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       capPerSource: Option[Int] = None,
@@ -189,8 +196,13 @@ object Pipeline {
     val (afterDecon, deconDrops) = decontaminateAgainst match {
       case None => (afterRep, None)
       case Some(bench) =>
-        val hit = Corpus.contaminatedDocs(afterRep, bench, "text", "doc_id",
+        val hit0 = if (decontamBloom)
+          Corpus.contaminatedDocsBloom(afterRep, bench, "text", "doc_id",
             decontamK)
+        else
+          Corpus.contaminatedDocs(afterRep, bench, "text", "doc_id",
+            decontamK)
+        val hit = hit0
           .select("doc_id").transform(graft.operators.Lineage.cut)
         (afterRep.join(hit, Seq("doc_id"), "left_anti"),
           Some(hit.select(col("doc_id"), lit("contaminated").as("reason"))))

@@ -690,6 +690,66 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
   }
 
+  test("hot-stratum cap: the documented sample-then-cap recipe is exact") {
+    // one stratum holds 90% of rows — the capPerStratum scaladoc's
+    // mitigation is a two-level pass: thin the hot stratum with
+    // stratifiedSample at an estimated rate first, then cap exactly.
+    // Confirm the composition (a) actually thins the hot window input,
+    // (b) still produces the EXACT cap, (c) is deterministic.
+    val rows = ((1L to 900L).map(i => (i, "hot")) ++
+      (1001L to 1100L).map(i => (i, "cold"))).toDF("doc_id", "source")
+    def twoLevel() = {
+      val thinned = Corpus.stratifiedSample(rows, "doc_id", "source",
+        Map("hot" -> 0.2), defaultRate = 1.0)
+      (thinned, Corpus.capPerStratum(thinned, "doc_id", "source", 50))
+    }
+    val (thinned, capped) = twoLevel()
+    val hotThinned = thinned.filter(col("source") === "hot").count()
+    assert(hotThinned < 900L && hotThinned >= 50L,
+      s"sample pre-filter should thin the hot stratum to [50, 900): $hotThinned")
+    val bySrc = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc === Map("hot" -> 50L, "cold" -> 50L))
+    // capped output ⊆ thinned input, and the whole composition replays
+    // identically (hash order, no RNG state)
+    assert(capped.join(thinned, Seq("doc_id"), "left_anti").isEmpty)
+    val ids = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val replay = twoLevel()._2.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === replay)
+  }
+
+  test("pipeline's bloom decontamination path produces the identical audit") {
+    val contaminated =
+      "he saw the quick brown fox jumps away from the noisy camera crew"
+    val input = Seq(
+      (1L, contaminated, "srcA"),
+      (10L, "solar panels convert light into electricity with improving efficiency", "srcA"),
+      (11L, "the orchestra rehearsed a symphony late into the autumn evening", "srcA"),
+      (12L, "fermentation turns grape sugar into wine through yeast metabolism", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def audit(bloom: Boolean) = {
+      val b = Pipeline.buildTrainingCorpus(input,
+        minQuality = 0.0,
+        decontaminateAgainst = Some(bench), decontamK = 4,
+        decontamBloom = bloom,
+        chunkSize = 16, overlap = 0, budget = 64)
+      val drops = b.dropped.collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val kept = b.kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      b.release()
+      (drops, kept)
+    }
+    val (exactDrops, exactKept) = audit(bloom = false)
+    val (bloomDrops, bloomKept) = audit(bloom = true)
+    assert(exactDrops === bloomDrops)
+    assert(exactKept === bloomKept)
+    assert(exactDrops.contains((1L, "contaminated")))
+    assert(exactKept === Seq(10L, 11L, 12L))
+  }
+
   test("bloom decontamination survives an adversarial fpp (tiny sketch)") {
     // a deliberately undersized sketch saturates → many false positives →
     // the verify join must still reduce the output to the exact answer
