@@ -147,6 +147,89 @@ object Corpus {
     df.filter(h < thresh)
   }
 
+  /** Token-budget mixture solver: given per-source INTEGER target weights
+    * and a total token budget, derive each source's token target and the
+    * document keep-rate that hits it in expectation — the "how much of
+    * each source goes into the mix" table every training-corpus recipe
+    * starts from (The Pile / Dolma-style mixture sizing), computed from
+    * the corpus instead of hand-estimated.
+    *
+    * All sizing arithmetic is integer-exact so the result (and the
+    * paired [[sampleToBudget]] membership) replays identically on any
+    * engine: `target_s = (totalTokens * w_s) div Σw` (floor division on
+    * 64-bit integers — a require rejects inputs whose product would
+    * overflow; rescale the weights). The reported `keep_rate` is the
+    * single IEEE division `target_s / available_s` capped at 1.0 — audit
+    * output only; [[sampleToBudget]]'s selection compares integers,
+    * never this double. Sources missing from `weights` get weight 0 →
+    * target 0 → rate 0 (dropped): a mixture is explicit, unknown sources
+    * don't silently pass.
+    *
+    * Token counts use the library's normalized tokens ([[Dedup.tokens]]),
+    * the same definition as the x1/x5 stats queries.
+    *
+    * Scale shape: one map-side token count + one source-keyed aggregate;
+    * output is source-cardinality (metadata-sized at any corpus size).
+    *
+    * @return (source, n_docs, available_tokens, target_tokens, keep_rate)
+    */
+  def mixtureRates(docs: DataFrame, textCol: String, sourceCol: String,
+      weights: Map[String, Long], totalTokens: Long): DataFrame = {
+    require(totalTokens >= 0L, s"totalTokens ($totalTokens) must be >= 0")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0L), s"weights must be >= 0: $weights")
+    val sumW = weights.values.sum
+    require(sumW > 0L, "at least one weight must be positive")
+    val maxW = weights.values.max
+    require(totalTokens == 0L || maxW <= Long.MaxValue / totalTokens,
+      s"totalTokens ($totalTokens) * max weight ($maxW) overflows 64 bits; " +
+        "rescale the weights")
+    val wCol = weights.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc) }
+    docs
+      .select(col(sourceCol).as("source"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("_nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("available_tokens"))
+      .withColumn("_tw", lit(totalTokens) * wCol)
+      .withColumn("target_tokens", expr(s"_tw DIV ${sumW}L"))
+      .withColumn("keep_rate",
+        least(lit(1.0), col("target_tokens").cast("double") /
+          col("available_tokens").cast("double")))
+      .drop("_tw")
+  }
+
+  /** Sample documents to a token budget: Bernoulli-keep each doc with its
+    * source's [[mixtureRates]] keep-rate, decided by the same portable
+    * `hash(source:id)` as [[stratifiedSample]] — deterministic,
+    * engine-replayable membership whose expected kept tokens per source
+    * is that source's target. The keep test is integer-exact:
+    * `h · available < target · 2^32` evaluated in 38-digit decimals, so
+    * no double-threshold ulp can flip a boundary document. Token-EXACT
+    * budgeting is downstream's job ([[packChunks]] trims to windows);
+    * Bernoulli-to-target is the standard corpus-mix practice.
+    *
+    * Scale shape: the rates aggregate is one extra corpus scan (map-side
+    * token count + source rollup, metadata-sized output) broadcast back
+    * onto the corpus; the sample filter itself is map-side — no shuffle
+    * of the corpus. A NULL source has weight 0 by construction and drops
+    * like any unweighted source. */
+  def sampleToBudget(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, weights: Map[String, Long], totalTokens: Long)
+      : DataFrame = {
+    val rates = mixtureRates(docs, textCol, sourceCol, weights, totalTokens)
+      .select(col("source").as("_mix_source"),
+        col("available_tokens").as("_mix_avail"),
+        col("target_tokens").as("_mix_target"))
+    val h = Hashing.hex32(concat(coalesce(col(sourceCol), lit("")), lit(":"),
+      col(idCol).cast("string")))
+    docs.join(broadcast(rates), col(sourceCol) === col("_mix_source"))
+      .filter(h.cast("decimal(38,0)") * col("_mix_avail") <
+        col("_mix_target").cast("decimal(38,0)") * lit(4294967296L))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** C4-style line-level boilerplate removal (Raffel et al. 2020 §2.2's
     * line filters / RefinedWeb & Dolma line dedup): drop every line whose
     * corpus-wide DOCUMENT frequency exceeds `maxLineDocFreq` — navigation

@@ -382,4 +382,45 @@ object TextAnalysis {
         coalesce(col("_dup3").cast("double") / col("_tot3"), lit(0.0))
           .as("dup3_frac"))
   }
+
+  /** Train-order n-gram novelty: for each document, the fraction of its
+    * DISTINCT `k`-shingles whose first corpus-wide occurrence (least id)
+    * is this document — a direct measure of how much genuinely new
+    * surface a document adds to the corpus in id order. Low-novelty docs
+    * are re-treads of earlier material even when no single near-dup pair
+    * crosses the Jaccard bar; curation recipes use the score to
+    * down-weight them.
+    *
+    * Semantics: a shingle counts once per doc (set view); the "owner" of
+    * a shingle is the least id containing it, so the earliest doc scores
+    * its shared shingles as novel and later docs don't — exactly the
+    * what-did-this-add-at-ingest-time question. Docs with fewer than `k`
+    * tokens emit (0, 0, NULL).
+    *
+    * Scale shape: one shingle pass ([[Dedup.shingleRows]] — codegen'd
+    * assembly, distinct per doc), a shingle-keyed min aggregate for
+    * owners (map-side combined), one join back on the shingle, one
+    * doc-keyed rollup. The shuffles are shingle-keyed like d2/x17; at
+    * extreme scale pre-hash the shingle to 60 bits first ([[Hashing
+    * .hex60]]) and verify hot hashes, the span-dedup discipline.
+    *
+    * @return (idCol, n_grams, n_novel, novelty) */
+  def noveltyScores(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val grams = Dedup.shingleRows(df, textCol, idCol, k)
+    val owners = grams.groupBy(col("s")).agg(min(col(idCol)).as("_owner"))
+    val per = grams.join(owners, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_owner") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+    df.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("novelty"))
+  }
 }

@@ -278,6 +278,24 @@ object EngineQueries {
           array_join(transform(cols(2), x => coalesce(x, lit("~"))), ",")
             .as("m_alts"))
         .orderBy("event_id")
+    }),
+
+    // F9: JSON property extraction + rollup — semi-structured columns are
+    // every event pipeline's reality; get_json_object is the codegen'd
+    // path (no UDF, stays inside whole-stage codegen), and absent keys /
+    // malformed payloads degrade to NULL, which the aggregates then skip
+    // on both engines identically.
+    "f9_json_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
     })
   )
 
@@ -508,6 +526,14 @@ object EngineQueries {
                   coalesce(CASE WHEN regexp_full_match(concat_ws(' ', event_type, props), 'signup')
                                 THEN concat_ws(' ', event_type, props) END, '~')
                 ], ',') AS m_alts
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    "f9_json_extract" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                    FROM events)
+         SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k
+         FROM e GROUP BY event_type ORDER BY event_type"""
   )
 }

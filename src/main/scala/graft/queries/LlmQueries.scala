@@ -271,6 +271,36 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-budget mixture solver: per-source token targets from integer
+    // weights + a total budget (floor division, engine-exact), with the
+    // keep-rate each source needs to hit its target in expectation — the
+    // mixture table a training recipe starts from, computed from the
+    // corpus instead of hand-estimated.
+    "x23_mix_rates" -> ((s, dir) => {
+      Corpus.mixtureRates(t(s, dir, "documents"), "text", "source",
+          Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L), totalTokens = 3000L)
+        .orderBy("source")
+    }),
+
+    // Budget-driven sample: Bernoulli membership at each source's solved
+    // keep-rate, decided by h(source:id) against an integer-exact
+    // rational threshold (h·available < target·2^32 in decimals) — no
+    // double ulp can flip a boundary doc on either engine.
+    "x24_budget_sample" -> ((s, dir) => {
+      Corpus.sampleToBudget(t(s, dir, "documents"), "text", "doc_id",
+          "source", Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L), 3000L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Train-order novelty: fraction of each doc's distinct 3-shingles
+    // first seen in THIS doc (least-id owner) — the how-much-new-surface-
+    // did-this-add curation signal.
+    "x25_novelty" -> ((s, dir) => {
+      TextAnalysis.noveltyScores(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // PII scrubbing: counts per category + redacted text (compared by
     // md5). The corpus is synthetic word-soup with no organic PII, so the
     // query plants deterministic PII derived from doc_id — BOTH engines
@@ -931,6 +961,56 @@ object LlmQueries {
                             ELSE ${th(0.25)} END
           ORDER BY doc_id"""
     },
+    "x23_mix_rates" ->
+      s"""WITH ws AS (SELECT source, len($duckToks) AS nt FROM documents),
+              agg AS (SELECT source, count(*) AS n_docs,
+                             CAST(sum(nt) AS BIGINT) AS available_tokens
+                      FROM ws GROUP BY source),
+              tgt AS (SELECT *,
+                        CAST((3000 * (CASE source WHEN 'src0' THEN 6
+                                                  WHEN 'src1' THEN 3
+                                                  WHEN 'src2' THEN 1
+                                                  ELSE 0 END)) // 10
+                             AS BIGINT) AS target_tokens
+                      FROM agg)
+          SELECT source, n_docs, available_tokens, target_tokens,
+                 least(1.0, CAST(target_tokens AS DOUBLE) /
+                            CAST(available_tokens AS DOUBLE)) AS keep_rate
+          FROM tgt ORDER BY source""",
+    "x24_budget_sample" ->
+      s"""WITH ws AS (SELECT source, len($duckToks) AS nt FROM documents),
+              agg AS (SELECT source, CAST(sum(nt) AS BIGINT) AS avail
+                      FROM ws GROUP BY source),
+              tgt AS (SELECT source, avail,
+                        CAST((3000 * (CASE source WHEN 'src0' THEN 6
+                                                  WHEN 'src1' THEN 3
+                                                  WHEN 'src2' THEN 1
+                                                  ELSE 0 END)) // 10
+                             AS BIGINT) AS target
+                      FROM agg)
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN tgt ON d.source = tgt.source
+          WHERE CAST(${duckHex32("d.source || ':' || CAST(d.doc_id AS VARCHAR)")} AS HUGEINT)
+                  * avail
+                < CAST(target AS HUGEINT) * 4294967296
+          ORDER BY d.doc_id""",
+    "x25_novelty" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, unnest($duckShingles) AS s
+                     FROM ws WHERE len(w) >= 3),
+              own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s),
+              per AS (SELECT sh.doc_id, count(*) AS n_grams,
+                             CAST(sum(CASE WHEN own.owner = sh.doc_id
+                                           THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_novel
+                      FROM sh JOIN own USING (s) GROUP BY sh.doc_id)
+          SELECT d.doc_id,
+                 coalesce(n_grams, 0) AS n_grams,
+                 coalesce(n_novel, 0) AS n_novel,
+                 CAST(n_novel AS DOUBLE) / n_grams AS novelty
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN per USING (doc_id)
+          ORDER BY d.doc_id""",
     "x9_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -690,6 +690,60 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
   }
 
+  test("novelty: first-occurrence docs score 1.0, re-treads score their share") {
+    val docs = Seq(
+      (1L, "a b c d"),  // shingles {a b c, b c d} — first for both
+      (2L, "a b c x"),  // {a b c (owned by 1), b c x (novel)} → 0.5
+      (3L, "z q"))      // < 3 tokens → no shingles
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 2L &&
+      out(0).getDouble(3) === 1.0)
+    assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 1L &&
+      out(1).getDouble(3) === 0.5)
+    assert(out(2).getLong(1) === 0L && out(2).getLong(2) === 0L &&
+      out(2).isNullAt(3))
+  }
+
+  test("mixture solver: integer-exact targets, capped rates, replayable sample") {
+    val docs = Seq(
+      (1L, "a b c d", "a"), (2L, "e f g h", "a"), (3L, "i j k l", "a"),
+      (4L, "m n o p q", "b"), (5L, "r s t u v", "b"),
+      (6L, "w x", "c")) // c carries no weight: explicit-mixture drop
+      .toDF("doc_id", "text", "source")
+    val rates = Corpus.mixtureRates(docs, "text", "source",
+        Map("a" -> 3L, "b" -> 1L), totalTokens = 8L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // sumW=4: target_a = 8*3 div 4 = 6 of 12 avail → 0.5; target_b = 2 of
+    // 10 → 0.2; c unweighted → target 0, rate 0
+    assert(rates === Seq(("a", 3L, 12L, 6L, 0.5), ("b", 2L, 10L, 2L, 0.2),
+      ("c", 1L, 2L, 0L, 0.0)))
+    // a budget beyond availability caps the rate at 1.0 and keeps all
+    val capped = Corpus.mixtureRates(docs, "text", "source",
+      Map("a" -> 1L), 1000L).filter(col("source") === "a").head()
+    assert(capped.getLong(3) === 1000L && capped.getDouble(4) === 1.0)
+    val all = Corpus.sampleToBudget(docs, "text", "doc_id", "source",
+        Map("a" -> 1L), 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L))
+    // partial-rate membership is a subset of the weighted sources and
+    // replays identically (hash membership, no RNG)
+    def sample() = Corpus.sampleToBudget(docs, "text", "doc_id", "source",
+        Map("a" -> 3L, "b" -> 1L), 8L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val s1 = sample()
+    assert(s1 === sample() && s1.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+    // overflow guard fires instead of wrapping
+    val e = intercept[IllegalArgumentException] {
+      Corpus.mixtureRates(docs, "text", "source",
+        Map("a" -> Long.MaxValue), 1000L)
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+
   test("hot-stratum cap: the documented sample-then-cap recipe is exact") {
     // one stratum holds 90% of rows — the capPerStratum scaladoc's
     // mitigation is a two-level pass: thin the hot stratum with
