@@ -301,6 +301,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-length histogram per source: fixed-width integer buckets
+    // (width 50, last bucket open) — the distribution audit run before
+    // choosing chunk sizes / packing budgets. Pure map-side bucketing +
+    // one rollup shuffle; engine-exact (integer div, no percentiles).
+    "x26_len_hist" -> ((s, dir) => {
+      val nt = size(graft.llm.Dedup.tokens(col("text"))).cast("long")
+      // floor(nt/50) is exact here (token counts ≪ 2^53) and matches the
+      // oracle's integer `//`; both engines agree bucket-for-bucket
+      t(s, dir, "documents")
+        .select(col("source"),
+          least(floor(nt / lit(50)), lit(19L)).cast("long").as("bucket"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "bucket")
+    }),
+
     // PII scrubbing: counts per category + redacted text (compared by
     // md5). The corpus is synthetic word-soup with no organic PII, so the
     // query plants deterministic PII derived from doc_id — BOTH engines
@@ -1011,6 +1027,13 @@ object LlmQueries {
           FROM (SELECT DISTINCT doc_id FROM documents) d
           LEFT JOIN per USING (doc_id)
           ORDER BY d.doc_id""",
+    "x26_len_hist" ->
+      s"""WITH ws AS (SELECT source,
+                             least(len($duckToks) // 50, 19) AS bucket
+                      FROM documents)
+          SELECT source, CAST(bucket AS BIGINT) AS bucket,
+                 count(*) AS n_docs
+          FROM ws GROUP BY source, bucket ORDER BY source, bucket""",
     "x9_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id,
