@@ -512,6 +512,137 @@ object Dedup {
     * covered positions, anti-joined against the token stream per (doc,
     * pos) — doc-local, never cross-doc. The windowed relation is
     * persisted across its two consumers and released deterministically. */
+  // ---------------------------------------------------------------------
+  // incremental (delta) dedup — continuous-ingest maintenance
+  // ---------------------------------------------------------------------
+
+  /** Result of one incremental dedup step: the delta's surviving rows and
+    * the state to carry into the next step. */
+  final case class DeltaState(kept: DataFrame, state: DataFrame)
+
+  /** Incremental exact dedup: deduplicate a DELTA of newly-ingested
+    * documents against an existing corpus's content-hash state WITHOUT
+    * rescanning the corpus — the continuous-ingest form of [[exactDedup]].
+    *
+    * Semantics is first-ingested-wins: within the delta the least id per
+    * content hash survives (same rule as [[exactDedup]]), and a delta doc
+    * whose hash already exists in the prior state drops regardless of id.
+    * Equal to batch [[exactDedup]] over the full corpus whenever ids grow
+    * with ingest order (the normal case; DeltaDedupSpec pins it).
+    *
+    * Scale shape: one delta-sized groupBy + one hash anti-join against
+    * the state — the corpus text is never touched again. The state is a
+    * hash-only table (at 100 TB: a bucketed-by-hash parquet table ~3
+    * orders of magnitude smaller than the corpus, and the anti-join is
+    * shuffle-free against the bucketed layout). The returned state is
+    * `prior ∪ kept-hashes` with NO distinct: the two sides are disjoint
+    * by construction (anti-join) and the groupBy already dedups within.
+    *
+    * @param priorHashes prior state — a frame with a `content_hash`
+    *                    column; None for the first batch
+    * @return kept = surviving delta rows (all input columns);
+    *         state = content hashes of everything ingested so far
+    */
+  def exactDedupDelta(newDocs: DataFrame, textCol: String, idCol: String,
+      priorHashes: Option[DataFrame] = None): DeltaState = {
+    val withinKeep = newDocs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("_keep_id"))
+    val novel = priorHashes.fold(withinKeep)(prior =>
+      withinKeep.join(prior.select(col("content_hash")),
+        Seq("content_hash"), "left_anti"))
+    val kept = newDocs.join(
+      novel.select(col("_keep_id").as(idCol)), Seq(idCol), "left_semi")
+    val state = priorHashes
+      .map(_.select(col("content_hash"))
+        .unionByName(novel.select(col("content_hash"))))
+      .getOrElse(novel.select(col("content_hash")))
+    DeltaState(kept, state)
+  }
+
+  private def explodeBands(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, src: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*)
+          .as("bucket"))
+    }
+    sigs.select(col(idCol).as("_mid"), lit(src).as("_src"),
+      explode(array(bandCols: _*)).as("bk"))
+  }
+
+  /** Incremental MinHash near-dup: drop delta documents whose
+    * SIGNATURE-ESTIMATED Jaccard against any prior document (or any
+    * smaller-id delta document) reaches `threshold` — the
+    * continuous-ingest form of [[minhashNearDups]].
+    *
+    * The state carries per-document minhash signatures only (numHashes
+    * longs/doc), so the prior corpus text is never rescanned; the price
+    * is that verification is the standard signature estimate (fraction
+    * of agreeing components, an unbiased Jaccard estimator with sd
+    * ≈ sqrt(J(1-J)/numHashes)) rather than the batch operator's exact
+    * shingle Jaccard. Identical docs estimate exactly 1.0. Raise
+    * `numHashes` to tighten the estimate. Docs with fewer than `k`
+    * tokens have no shingles, hence no signature: they pass through
+    * kept and unrepresented, exactly like the batch operator emits no
+    * candidates for them.
+    *
+    * Scale shape: band buckets from the signatures on BOTH sides (the
+    * same banding as [[lshCandidates]], same hot-bucket cap), one
+    * bucket-keyed join of delta bands against prior+delta bands, and a
+    * signature compare per candidate pair. Nothing is quadratic in the
+    * corpus; the state is signature-sized.
+    *
+    * @return kept = surviving delta rows; state = prior signatures ∪ the
+    *         kept delta signatures (drop-aware: rejected docs add no
+    *         state) */
+  def minhashNearDupDelta(newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, priorSigs: Option[DataFrame] = None,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DeltaState = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val deltaSigs = minhashSignature(newDocs, textCol, idCol, numHashes, k)
+      .persist()
+    val deltaBands = explodeBands(deltaSigs, idCol, numHashes, bands, src = 1)
+    val allBands = priorSigs.fold(deltaBands)(p =>
+      explodeBands(p, idCol, numHashes, bands, src = 0)
+        .unionByName(deltaBands))
+    val hot = allBands.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("bk")
+    val keptBands = allBands.join(hot, Seq("bk"), "left_anti")
+    // a delta doc is challenged by every prior doc in its bucket, and by
+    // every SMALLER-id delta doc (first-ingested-wins within the batch)
+    val pairs = keptBands.filter(col("_src") === 1)
+      .select(col("_mid").as("_d"), col("bk"))
+      .join(keptBands.select(col("_mid").as("_o"), col("_src"), col("bk")),
+        Seq("bk"))
+      .filter(col("_src") === 0 || col("_o") < col("_d"))
+      .select("_d", "_o").distinct()
+    val allSigs = priorSigs.fold(deltaSigs)(_.unionByName(deltaSigs))
+    val matchFrac = (0 until numHashes)
+      .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    val aSide = deltaSigs.select(col(idCol).as("_d") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_a_sig_$j")): _*)
+    val bSide = allSigs.select(col(idCol).as("_o") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_b_sig_$j")): _*)
+    val flagged = pairs.join(aSide, Seq("_d")).join(bSide, Seq("_o"))
+      .filter(matchFrac >= threshold)
+      .select(col("_d").as(idCol)).distinct()
+      .transform(graft.operators.Lineage.cut)
+    val kept = newDocs.join(flagged, Seq(idCol), "left_anti")
+    // cut materializes the kept signatures too, so every consumer of the
+    // persisted deltaSigs has evaluated before the deterministic release
+    val keptSigs = deltaSigs.join(flagged, Seq(idCol), "left_anti")
+      .transform(graft.operators.Lineage.cut)
+    val state = priorSigs.map(_.unionByName(keptSigs)).getOrElse(keptSigs)
+    deltaSigs.unpersist()
+    DeltaState(kept, state)
+  }
+
   /** The k-gram string starting at window position `_p` of token array
     * `_tk` — transient: hashed or projected away within the same map pass,
     * never persisted and never shuffled corpus-wide. */

@@ -301,6 +301,46 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental exact dedup: the corpus is split at doc_id 250 into a
+    // "prior" batch and a "delta" batch, with planted duplicates (every
+    // doc_id % 3 == 0 re-ingested at doc_id + 10000) — copies of prior
+    // docs must drop against the hash STATE (never the prior text), and
+    // within-delta copies drop by min-id. Both engines build the
+    // identical augmented frame, so the oracle is meaningful.
+    "x28_delta_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val aug = d.unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val prior = aug.filter(col("doc_id") < 250)
+      val delta = aug.filter(col("doc_id") >= 250)
+      val st = graft.llm.Dedup.exactDedupDelta(prior, "text", "doc_id").state
+      graft.llm.Dedup.exactDedupDelta(delta, "text", "doc_id", Some(st))
+        .kept.select("doc_id").orderBy("doc_id")
+    }),
+
+    // Exact per-source token-length quantiles (p50/p90/p99/max) by rank —
+    // no approx-percentile sketches (engine-specific, not replayable):
+    // the value at rank ceil(q·n) under the deterministic (n_tokens, id)
+    // order. One rank window per source + one rollup; at corpus scale
+    // sources are the partition key, same shape as capPerStratum.
+    "x27_len_quantiles" -> ((s, dir) => {
+      val nt = size(graft.llm.Dedup.tokens(col("text"))).cast("long")
+      val byLen = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("nt"), col("doc_id"))
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+      def q(p: Double, label: String) = max(when(
+        col("r") <= ceil(lit(p) * col("n")), col("nt"))).as(label)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), nt.as("nt"))
+        .withColumn("r", row_number().over(byLen))
+        .withColumn("n", count(lit(1)).over(bySrc))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), q(0.5, "p50"), q(0.9, "p90"),
+          q(0.99, "p99"), max(col("nt")).as("p100"))
+        .orderBy("source")
+    }),
+
     // Token-length histogram per source: fixed-width integer buckets
     // (width 50, last bucket open) — the distribution audit run before
     // choosing chunk sizes / packing budgets. Pure map-side bucketing +
@@ -1034,6 +1074,33 @@ object LlmQueries {
           SELECT source, CAST(bucket AS BIGINT) AS bucket,
                  count(*) AS n_docs
           FROM ws GROUP BY source, bucket ORDER BY source, bucket""",
+    "x28_delta_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0),
+         prior AS (SELECT DISTINCT md5(text) AS h FROM aug WHERE doc_id < 250),
+         delta AS (SELECT doc_id, text FROM aug WHERE doc_id >= 250),
+         keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                  FROM delta GROUP BY 1)
+         SELECT doc_id FROM keep k
+         WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.h = k.h)
+         ORDER BY doc_id""",
+    "x27_len_quantiles" ->
+      s"""WITH ws AS (SELECT source, doc_id,
+                             CAST(len($duckToks) AS BIGINT) AS nt
+                      FROM documents),
+              rk AS (SELECT source, nt,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY nt, doc_id) AS r,
+                       count(*) OVER (PARTITION BY source) AS n
+                     FROM ws)
+          SELECT source, count(*) AS n_docs,
+                 max(CASE WHEN r <= ceil(0.5 * n) THEN nt END) AS p50,
+                 max(CASE WHEN r <= ceil(0.9 * n) THEN nt END) AS p90,
+                 max(CASE WHEN r <= ceil(0.99 * n) THEN nt END) AS p99,
+                 max(nt) AS p100
+          FROM rk GROUP BY source ORDER BY source""",
     "x9_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id,

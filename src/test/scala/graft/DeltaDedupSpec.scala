@@ -1,0 +1,84 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+/** Incremental (delta) dedup — the continuous-ingest maintenance forms of
+  * exactDedup and minhashNearDups: a new batch dedups against hash /
+  * signature STATE without rescanning the prior corpus. */
+class DeltaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact delta: within-batch min-id wins, prior hashes block re-ingest") {
+    val b1 = docs((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    val s1 = Dedup.exactDedupDelta(b1, "text", "doc_id")
+    assert(s1.kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    assert(s1.state.count() === 2L)
+
+    val b2 = docs((10L, "beta"), (11L, "gamma"), (12L, "gamma"))
+    val s2 = Dedup.exactDedupDelta(b2, "text", "doc_id", Some(s1.state))
+    assert(s2.kept.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(11L))
+    assert(s2.state.count() === 3L)
+    // state carries no duplicates even without a distinct
+    assert(s2.state.distinct().count() === 3L)
+  }
+
+  test("exact delta over two batches equals batch dedup when ids ingest-order") {
+    val all = (1L to 40L).map(i => (i, s"content ${i % 7}"))
+    val (a, b) = all.partition(_._1 <= 20L)
+    val d1 = Dedup.exactDedupDelta(docs(a: _*), "text", "doc_id")
+    val d2 = Dedup.exactDedupDelta(docs(b: _*), "text", "doc_id",
+      Some(d1.state))
+    val incremental = (d1.kept.select("doc_id").collect() ++
+      d2.kept.select("doc_id").collect()).map(_.getLong(0)).sorted
+    val batch = docs(all: _*)
+      .join(Dedup.exactDedup(docs(all: _*), "text", "doc_id")
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(incremental.toSeq === batch.toSeq)
+  }
+
+  test("minhash delta: identical re-ingest drops, novel content survives") {
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words about spark shuffles and joins"
+    val b1 = docs((1L, body), (2L, other))
+    val s1 = Dedup.minhashNearDupDelta(b1, "text", "doc_id", 0.8)
+    assert(s1.kept.count() === 2L)
+    assert(s1.state.count() === 2L) // one signature row per kept doc
+
+    val novel = "entirely fresh material mentioning catalyst optimizer rules"
+    val b2 = docs((10L, body), (11L, novel), (12L, novel))
+    val s2 = Dedup.minhashNearDupDelta(b2, "text", "doc_id", 0.8,
+      Some(s1.state))
+    // 10 is an exact re-ingest (estimated jaccard 1.0); 12 repeats 11
+    // within the batch and the smaller id wins
+    assert(s2.kept.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(11L))
+    // dropped docs contribute no state
+    assert(s2.state.count() === 3L)
+  }
+
+  test("minhash delta: short docs pass through without signatures") {
+    val s = Dedup.minhashNearDupDelta(docs((1L, "too short")), "text",
+      "doc_id", 0.8)
+    assert(s.kept.count() === 1L)
+    assert(s.state.count() === 0L) // < k tokens → no shingles → no signature
+  }
+
+  test("delta plans never touch the prior corpus text, only state tables") {
+    // the exact-delta plan must read exactly: the delta frame + the hash
+    // state — assert no second scan sneaks in via the state lineage
+    val b1 = docs((1L, "alpha"), (2L, "beta"))
+    val state = Dedup.exactDedupDelta(b1, "text", "doc_id").state
+      .transform(graft.operators.Lineage.cut) // as if loaded from parquet
+    val b2 = docs((10L, "alpha"), (11L, "nu"))
+    val plan = Dedup.exactDedupDelta(b2, "text", "doc_id", Some(state))
+      .kept.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("alpha") || !plan.contains("beta"),
+      s"prior corpus text leaked into the delta plan:\n$plan")
+  }
+}
