@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.llm.Dedup.DeltaState
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming operators over event/document streams — the
   * `readStream → transform → writeStream` surface of the engine
@@ -109,5 +111,98 @@ object StreamOps {
             Iterator.single(rows.minBy(_.doc_id))
           }
       }
+  }
+
+  // ---------------------------------------------------------------------
+  // durable ingest dedup — the delta operators on a stream
+  // ---------------------------------------------------------------------
+
+  /** One incremental-dedup step: given the micro-batch and the prior
+    * state (None on the first batch), return the surviving rows and the
+    * state to carry forward. [[graft.llm.Dedup.exactDedupDelta]] and
+    * [[graft.llm.Dedup.minhashNearDupDelta]] curry to this shape. */
+  type DeltaStep = (DataFrame, Option[DataFrame]) => DeltaState
+
+  /** Durable dedup-on-ingest: run a [[DeltaStep]] over a streaming source
+    * via `foreachBatch`, with the dedup state persisted as versioned
+    * parquet — the continuous-ingest driver for the incremental operators
+    * ([[graft.llm.Dedup.exactDedupDelta]] /
+    * [[graft.llm.Dedup.minhashNearDupDelta]]).
+    *
+    * Unlike [[streamingDedup]] (whose state lives in the streaming
+    * checkpoint and whose semantics is fixed to exact first-seen-wins),
+    * this keeps the state as a PLAIN PARQUET TABLE the batch operators
+    * can read, bootstrap, or rebuild — ingest and backfill share one
+    * state — and takes any delta step, so signature-based near-dedup
+    * runs on the stream unchanged.
+    *
+    * Exactly-once layout: `foreachBatch` is at-least-once, so every write
+    * is keyed by `batchId` and idempotent —
+    *  - kept rows overwrite `outDir/batch=<batchId>` (reading `outDir`
+    *    partition-discovers `batch`, a free ingest-lineage column);
+    *  - new state overwrites `stateDir/v=<batchId>`;
+    *  - the step reads the LATEST state version STRICTLY BELOW the
+    *    current batchId, so a replay after any partial failure recomputes
+    *    from exactly the inputs the failed attempt saw.
+    * Version pruning keeps `retainStateVersions` newest versions (min 2:
+    * current + the previous one a replay would need). Restart resumes
+    * from the streaming checkpoint under `stateDir/_checkpoint`.
+    *
+    * Scale shape: state is hash- or signature-sized (never corpus text),
+    * and each batch costs one batch-sized step plus one state rewrite.
+    * Rewriting state per batch is O(state) I/O — at 100 TB-corpus state
+    * sizes, raise the trigger interval so batches amortize it, or compact
+    * to a bucketed table out-of-band; the versioned layout is exactly a
+    * two-snapshot table format, so swapping in one is a rename. */
+  def durableIngestDedup(docs: DataFrame, step: DeltaStep, outDir: String,
+      stateDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      retainStateVersions: Int = 2): StreamingQuery = {
+    require(retainStateVersions >= 2,
+      s"retainStateVersions ($retainStateVersions) must be >= 2: a replay " +
+        "of batch N re-reads version N-1")
+    docs.writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestDedupBatch(batch, batchId, step, outDir, stateDir,
+          retainStateVersions)
+      }
+      .start()
+  }
+
+  /** One idempotent micro-batch of [[durableIngestDedup]] — public so a
+    * replay can be driven (and certified) without a streaming query. */
+  def ingestDedupBatch(batch: DataFrame, batchId: Long, step: DeltaStep,
+      outDir: String, stateDir: String,
+      retainStateVersions: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = stateVersions(fs, stateDir).filter(_ < batchId)
+      .maxOption.map(v => spark.read.parquet(s"$stateDir/v=$v"))
+    val cached = batch.persist()
+    try {
+      val out = step(cached, prior)
+      out.kept.write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/batch=$batchId")
+      out.state.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/v=$batchId")
+    } finally cached.unpersist()
+    // prune old versions; never touch versions above batchId (none exist
+    // unless a replay raced a later batch — then they are the truth)
+    val upTo = stateVersions(fs, stateDir).filter(_ <= batchId)
+    upTo.sorted.dropRight(retainStateVersions).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true)
+    }
+  }
+
+  private def stateVersions(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=") }
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
   }
 }

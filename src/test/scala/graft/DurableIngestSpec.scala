@@ -1,0 +1,106 @@
+package graft
+
+import graft.llm.Dedup
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Durable ingest-dedup: the incremental (delta) dedup operators driven
+  * through `foreachBatch` with versioned parquet state — replay
+  * idempotence, cross-restart durability (real file source + checkpoint),
+  * state-version pruning, and the near-dup step on the same driver. */
+class DurableIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val exactStep: StreamOps.DeltaStep =
+    (b, p) => Dedup.exactDedupDelta(b, "text", "doc_id", p)
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def readOut(outDir: String): Seq[(Long, String, Long)] =
+    spark.read.parquet(outDir)
+      .select($"doc_id".cast("long"), $"text", $"batch".cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+
+  test("ingestDedupBatch: dedups across batches without rescanning, and " +
+    "replaying a batch is idempotent") {
+    val out = tmp("ingest_out"); val st = tmp("ingest_state")
+    // batch 0: within-batch dup (lowest id wins)
+    StreamOps.ingestDedupBatch(docs(2L -> "aaa", 1L -> "aaa", 3L -> "bbb"),
+      0L, exactStep, out, st)
+    assert(readOut(out) === Seq((1L, "aaa", 0L), (3L, "bbb", 0L)))
+    // batch 1: cross-batch dup vs state + one novel doc
+    StreamOps.ingestDedupBatch(docs(4L -> "aaa", 5L -> "ccc"),
+      1L, exactStep, out, st)
+    assert(readOut(out) ===
+      Seq((1L, "aaa", 0L), (3L, "bbb", 0L), (5L, "ccc", 1L)))
+    // replay batch 1 (foreachBatch at-least-once): reads state v=0, NOT
+    // the v=1 its failed attempt wrote — output and state land identical
+    StreamOps.ingestDedupBatch(docs(4L -> "aaa", 5L -> "ccc"),
+      1L, exactStep, out, st)
+    assert(readOut(out) ===
+      Seq((1L, "aaa", 0L), (3L, "bbb", 0L), (5L, "ccc", 1L)))
+    val state = spark.read.parquet(s"$st/v=1")
+      .as[String].collect().toSet
+    assert(state.size === 3) // aaa, bbb, ccc hashes
+    // batch 2 sees the replayed state and still dedups
+    StreamOps.ingestDedupBatch(docs(6L -> "ccc", 7L -> "ddd"),
+      2L, exactStep, out, st)
+    assert(readOut(out).map(_._1) === Seq(1L, 3L, 5L, 7L))
+  }
+
+  test("state versions are pruned to retainStateVersions") {
+    val out = tmp("prune_out"); val st = tmp("prune_state")
+    (0 until 4).foreach { i =>
+      StreamOps.ingestDedupBatch(docs(i.toLong -> s"doc $i"), i.toLong,
+        exactStep, out, st, retainStateVersions = 2)
+    }
+    val versions = new java.io.File(st).list().filter(_.startsWith("v="))
+    assert(versions.sorted.toSeq === Seq("v=2", "v=3"))
+  }
+
+  test("durableIngestDedup: state and output survive a query restart " +
+    "(file source, same checkpoint)") {
+    val in = tmp("stream_in"); val out = tmp("stream_out")
+    val st = tmp("stream_state")
+    val schema = "doc_id LONG, text STRING"
+    def stream() = spark.readStream.schema(schema).parquet(in)
+    // wave 1
+    docs(2L -> "aaa", 1L -> "aaa", 3L -> "bbb")
+      .write.mode("append").parquet(in)
+    val q1 = StreamOps.durableIngestDedup(stream(), exactStep, out, st)
+    q1.awaitTermination() // AvailableNow: drain then stop
+    assert(readOut(out).map(_._1) === Seq(1L, 3L))
+    // wave 2 after restart: new query, same checkpoint — batchIds continue,
+    // state v=0 is read back from parquet, cross-restart dups drop
+    docs(4L -> "aaa", 5L -> "ccc", 6L -> "bbb")
+      .write.mode("append").parquet(in)
+    val q2 = StreamOps.durableIngestDedup(stream(), exactStep, out, st)
+    q2.awaitTermination()
+    assert(readOut(out) ===
+      Seq((1L, "aaa", 0L), (3L, "bbb", 0L), (5L, "ccc", 1L)))
+  }
+
+  test("near-dup delta step runs on the same driver") {
+    val out = tmp("near_out"); val st = tmp("near_state")
+    val step: StreamOps.DeltaStep = (b, p) =>
+      Dedup.minhashNearDupDelta(b, "text", "doc_id", threshold = 1.0, p)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    StreamOps.ingestDedupBatch(
+      docs(1L -> base, 2L -> "something entirely different here today"),
+      0L, step, out, st)
+    // identical text estimates Jaccard 1.0 from signatures — dropped
+    StreamOps.ingestDedupBatch(
+      docs(3L -> base, 4L -> "yet another unrelated novel document body"),
+      1L, step, out, st)
+    assert(readOut(out).map(_._1) === Seq(1L, 2L, 4L))
+    // state carries signatures for kept docs only
+    val stateIds = spark.read.parquet(s"$st/v=1")
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(stateIds === Set(1L, 2L, 4L))
+  }
+}
