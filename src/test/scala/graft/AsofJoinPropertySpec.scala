@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.AsofJoin
+
+/** Randomized cross-check of all three [[AsofJoin]] variants against an
+  * in-memory brute-force reference: seeded random data with heavy time
+  * ties, NULL keys/times on both sides, keys present on only one side,
+  * and a tolerance that actually bites. The merge formulation's carry
+  * logic has many interacting tie rules (boundary inclusivity, max-tie
+  * among equal times, nearest's backward preference) — the directed
+  * AsofJoinSpec cases pin each rule; this spec checks their composition
+  * over thousands of random rows. */
+object AsofJoinPropertySpec {
+  case class L(t: Option[Long], k: Option[String], lid: Long)
+  case class R(t: Option[Long], k: Option[String], rid: Long, v: Double)
+}
+
+class AsofJoinPropertySpec extends SparkSpec {
+  import AsofJoinPropertySpec.{L, R}
+  import spark.implicits._
+
+  /** Brute force: the variant semantics restated independently as
+    * per-left-row scans of the full right list. */
+  private def bruteMatch(l: L, rights: Seq[R],
+      dir: String, tolerance: Option[Long]): Option[R] = {
+    if (l.t.isEmpty || l.k.isEmpty) return None
+    val candidates =
+      rights.filter(r => r.t.isDefined && r.k.isDefined && r.k == l.k)
+    def best(pool: Seq[R], pickTime: Seq[R] => Long): Option[R] =
+      if (pool.isEmpty) None
+      else {
+        val bt = pickTime(pool)
+        Some(pool.filter(_.t.get == bt).maxBy(_.rid)) // max tie wins
+      }
+    def backward = best(candidates.filter(_.t.get <= l.t.get),
+      _.map(_.t.get).max)
+    def forward = best(candidates.filter(_.t.get >= l.t.get),
+      _.map(_.t.get).min)
+    dir match {
+      case "backward" => backward
+      case "forward"  => forward
+      case "nearest" =>
+        def within(m: Option[R], d: R => Long): Option[R] =
+          m.filter(r => tolerance.forall(t => d(r) <= t))
+        val b = within(backward, r => l.t.get - r.t.get)
+        val f = within(forward, r => r.t.get - l.t.get)
+        (b, f) match {
+          case (Some(br), Some(fr)) =>
+            // exact distance tie goes backward
+            if (l.t.get - br.t.get <= fr.t.get - l.t.get) Some(br)
+            else Some(fr)
+          case (b, f) => b.orElse(f)
+        }
+    }
+  }
+
+  private def runVariant(l: Seq[L], r: Seq[R], dir: String,
+      tolerance: Option[Long]): Map[Long, Option[(Long, Double)]] = {
+    val (ld, rd) = (l.toDF(), r.toDF())
+    val out = dir match {
+      case "backward" => AsofJoin.asofJoinBackward(ld, rd, "k", "t", "rid",
+        Seq("rid", "v"))
+      case "forward" => AsofJoin.asofJoinForward(ld, rd, "k", "t", "rid",
+        Seq("rid", "v"))
+      case "nearest" => AsofJoin.asofJoinNearest(ld, rd, "k", "t", "rid",
+        Seq("rid", "v"), tolerance = tolerance)
+    }
+    out.select($"lid", $"asof_rid", $"asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (lid, rid, v) =>
+        lid -> rid.map(i => (i, v.get))
+      }.toMap
+  }
+
+  test("random cross-check: all variants match brute force under ties, " +
+    "NULLs, one-sided keys, and tolerance") {
+    for (seed <- Seq(11, 42, 1337)) {
+      val rng = new scala.util.Random(seed)
+      // few keys + tiny time range => many exact time collisions; keys
+      // 'lonlyL'/'onlyR' exist on a single side; ~8% NULL key/time
+      val keys = Vector("a", "b", "c", "onlyL")
+      val rkeys = Vector("a", "b", "c", "onlyR")
+      def maybe[T](x: T): Option[T] =
+        if (rng.nextInt(12) == 0) None else Some(x)
+      val lefts = (0 until 400).map { i =>
+        L(maybe(rng.nextInt(40).toLong), maybe(keys(rng.nextInt(4))), i.toLong)
+      }
+      val rights = (0 until 400).map { i =>
+        R(maybe(rng.nextInt(40).toLong), maybe(rkeys(rng.nextInt(4))),
+          i.toLong, rng.nextInt(1000) / 10.0)
+      }
+      for ((dir, tol) <- Seq(("backward", None), ("forward", None),
+          ("nearest", None), ("nearest", Some(3L)), ("nearest", Some(0L)))) {
+        val got = runVariant(lefts, rights, dir, tol)
+        assert(got.size === lefts.size, s"seed=$seed $dir tol=$tol row count")
+        lefts.foreach { l =>
+          val want = bruteMatch(l, rights, dir, tol).map(r => (r.rid, r.v))
+          assert(got(l.lid) === want,
+            s"seed=$seed dir=$dir tol=$tol lid=${l.lid} l=$l")
+        }
+      }
+    }
+  }
+}
