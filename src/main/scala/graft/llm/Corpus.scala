@@ -40,6 +40,52 @@ object Corpus {
         array_join(slice(col("_tk"), col("_s"), lit(chunkSize)), " ").as("chunk"))
   }
 
+  /** Content-defined chunking: split each document at tokens whose
+    * portable hash ([[Hashing.hex32]]) is ≡ 0 mod `boundaryMod` — the
+    * boundary is a property of the CONTENT, not the offset, so an
+    * insertion or deletion only perturbs chunks up to the next boundary
+    * and everything after re-aligns bit-for-bit. That shift stability is
+    * why CDC (Muthitacharoen et al. 2001, LBFS) is the chunking scheme
+    * for dedup at storage scale: fixed-stride chunks ([[chunkDocuments]])
+    * lose all alignment after one inserted token; CDC chunks stay
+    * dedupable across document revisions. Expected chunk length is
+    * `boundaryMod` tokens (geometric).
+    *
+    * A boundary token ENDS its chunk; a document with no boundary token
+    * is one chunk; chunk ids count up from 0 in token order.
+    *
+    * Output: (idCol, chunk_id, chunk, n_tokens).
+    *
+    * Scale shape: one position-explode (hashing stays codegen'd in the
+    * row domain — never inside an interpreted HOF lambda), one doc-keyed
+    * window for the running boundary count, one (doc, chunk) rollup with
+    * the array_sort(collect_list(struct(pos, tok))) reassembly — the
+    * library's standard shuffle-deterministic list order. Both shuffles
+    * hash the doc id; no cross-document operation exists, so the
+    * operator is embarrassingly corpus-parallel. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+      boundaryMod: Int = 64): DataFrame = {
+    require(boundaryMod > 0, s"boundaryMod ($boundaryMod) must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("_p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(1), size(col("_tk")))).as("_p"))
+      .select(col(idCol), col("_p"),
+        element_at(col("_tk"), col("_p")).as("_w"))
+      .withColumn("_b",
+        when(Hashing.hex32(col("_w")) % boundaryMod === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("_b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_p"), col("_w")))),
+          s => s.getField("_w")), " ").as("chunk"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** One packed chunk assignment: which context-window bin a chunk landed
     * in and the bin's total fill after packing. */
   final case class PackedChunk(doc_id: Long, chunk_idx: Long, n_tokens: Long,

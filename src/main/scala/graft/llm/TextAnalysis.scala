@@ -423,4 +423,163 @@ object TextAnalysis {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         col("novelty"))
   }
+
+  /** Corpus-LM document scoring: score every document against the
+    * corpus's OWN token statistics — the self-supervised quality signal
+    * (CCNet/Gopher-style frequency filtering) that needs no external
+    * model. A document whose tokens are corpus-typical and whose
+    * adjacent pairs are corpus-attested reads like the corpus; one full
+    * of rare tokens or unattested bigrams is noise, another language, or
+    * novel — either way worth routing differently.
+    *
+    * Output per document: `n_tokens`, `mean_tok_count` (mean corpus
+    * occurrence count of the doc's tokens — the unigram-LM likelihood in
+    * count space), `rare_frac` (fraction of tokens whose corpus count is
+    * <= `rareMax`), `bigram_known_frac` (fraction of adjacent pairs with
+    * corpus count >= `bigramMin`; 0.0 for docs under 2 tokens).
+    *
+    * Everything stays in integer count space with ONE double division
+    * per output column, so the result is bit-exact and oracle-provable —
+    * no log/exp whose libm could differ across engines (the classical
+    * perplexity is a monotone transform of `mean_tok_count` under a
+    * unigram LM, so filters threshold identically). `sum(m*c)` holds
+    * corpus-count × doc-count products: overflow needs Σ m·c > 2^63 per
+    * doc, i.e. a ~10^4-token doc of ~10^15-count tokens — beyond any
+    * real corpus; switch the sum to decimal(38,0) past that.
+    *
+    * Scale shape (the x12/tf-idf discipline): per-(doc, token) counts
+    * first, so the count-table join touches doc-distinct pairs, not
+    * occurrences; the unigram/bigram count tables are vocabulary-sized
+    * and broadcast under AQE when small, hash-join on the gram
+    * otherwise; one doc-keyed rollup ends each branch. No cross-document
+    * pair ever materializes. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, rareMax: Long = 2, bigramMin: Long = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(rareMax >= 0, s"rareMax ($rareMax) must be >= 0")
+    require(bigramMin >= 1, s"bigramMin ($bigramMin) must be >= 1")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+    // unigram branch: per-(doc, token) multiplicity, corpus counts, join
+    val dt = toks
+      .select(col(idCol), explode(col("_tk")).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_m"))
+    val uc = dt.groupBy(col("_w")).agg(sum(col("_m")).as("_c"))
+    val uni = dt.join(uc, Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_m")).as("n_tokens"),
+        sum(col("_m") * col("_c")).as("_sumc"),
+        sum(when(col("_c") <= rareMax, col("_m")).otherwise(0L)).as("_rare"))
+    // bigram branch: same shape over adjacent pairs
+    val bg = toks.filter(size(col("_tk")) >= 2)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(1), size(col("_tk")) - 1)).as("_p"))
+      .select(col(idCol), concat_ws(" ", element_at(col("_tk"), col("_p")),
+        element_at(col("_tk"), col("_p") + 1)).as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_m"))
+    val gc = bg.groupBy(col("_g")).agg(sum(col("_m")).as("_c"))
+    val big = bg.join(gc, Seq("_g"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_m")).as("_tot"),
+        sum(when(col("_c") >= bigramMin, col("_m")).otherwise(0L))
+          .as("_known"))
+    uni.join(big, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("_sumc").cast("double") / col("n_tokens")).as("mean_tok_count"),
+        (col("_rare").cast("double") / col("n_tokens")).as("rare_frac"),
+        coalesce(col("_known").cast("double") / col("_tot"), lit(0.0))
+          .as("bigram_known_frac"))
+  }
+
+  /** Exact heavy-hitter word `n`-grams — every gram occurring at least
+    * `minCount` times — found WITHOUT shuffling the full vocabulary.
+    * [[topNgrams]] aggregates every distinct gram (a vocabulary-sized
+    * shuffle: fine at millions of grams, hostile at the ~10^11 distinct
+    * n-grams of a web corpus); this is the unbounded-vocabulary path:
+    *
+    *  1. one scan folds every gram into a Count-Min sketch
+    *     (`depth`×`width` ints, merged on the driver — KBs regardless of
+    *     corpus size);
+    *  2. the sketch is broadcast and probed MAP-SIDE: only grams whose
+    *     estimate reaches `minCount` survive to the shuffle. CMS never
+    *     underestimates, so no true heavy hitter is lost — collisions
+    *     only let some light grams through;
+    *  3. an exact count over the surviving sliver discards those false
+    *     positives. Output is therefore EXACT, with shuffle width
+    *     proportional to heavy-hitter occurrences, not corpus size.
+    *
+    * The sketch probe is the one non-codegen step (a Scala UDF: Spark
+    * ships a native `might_contain` for Bloom but no CMS probe
+    * expression); it is d hash+array reads per gram, map-side, after the
+    * codegen'd gram assembly — measured noise next to tokenization.
+    * Size `width` ≳ (distinct grams)/`minCount` so collision mass
+    * `N/width` stays well under `minCount` and the exact pass stays
+    * sliver-sized.
+    *
+    * Output: (gram, n_occurrences, n_docs) for every gram with
+    * n_occurrences >= minCount, ordered by gram. */
+  def heavyHitterNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int, minCount: Long, depth: Int = 5,
+      width: Int = 1 << 16, seed: Int = 42)
+      : org.apache.spark.sql.DataFrame = {
+    require(n > 0 && minCount > 0, s"n ($n) and minCount ($minCount) must be positive")
+    require(depth > 0 && width > 0, s"depth ($depth) and width ($width) must be positive")
+    val grams = df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= n)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(1), size(col("_tk")) - (n - 1))).as("_p"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until n).map(j => element_at(col("_tk"), col("_p") + j)): _*)
+        .as("gram"))
+    // eager sketch pass at call time (the x21 Bloom discipline) — one
+    // scan, driver-merged, deterministic under the fixed seed
+    val cms = grams.stat.countMinSketch("gram", depth, width, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(cms)
+    val mightBeHeavy = udf((g: String) => bc.value.estimateCount(g) >= minCount)
+    grams.filter(mightBeHeavy(col("gram")))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("gram"))
+  }
+
+  /** Cross-source overlap audit: exact Jaccard similarity between the
+    * distinct k-shingle sets of every pair of sources — the which-feeds-
+    * duplicate-each-other matrix consulted before setting mixture weights
+    * (two crawls of the same sites double-weight their content unless
+    * one is down-weighted or cross-deduped first).
+    *
+    * Output: (src_a, src_b, n_shared, n_a, n_b, jaccard) for each pair
+    * (src_a < src_b lexicographically) sharing at least one shingle;
+    * zero-overlap pairs are absent. Jaccard is one exact double division
+    * of integer counts.
+    *
+    * Scale shape: the distinct (source, shingle) projection is the big
+    * pass (one shuffle, hash-combined); the pair join then costs
+    * O(G · m²) where m = sources containing a given shingle — with
+    * source cardinality in the dozens (the curation case) that is a
+    * bounded fan-out per shingle, NOT a corpus-pair explosion. For
+    * high-cardinality grouping (per-domain, m up to 10^7) this exact
+    * formulation is the wrong tool: estimate with per-group minhash
+    * signatures ([[Dedup.minhashSignatures]] grouped by domain) and
+    * reserve the exact join for the candidate pairs, the d8 discipline. */
+  def crossSourceOverlap(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val gs = Dedup.shingleRows(df, textCol, groupCol, k)
+    val sizes = gs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val inter = gs.select(col(groupCol).as("src_a"), col("s"))
+      .join(gs.select(col(groupCol).as("src_b"), col("s")), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col(groupCol).as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col(groupCol).as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+  }
 }

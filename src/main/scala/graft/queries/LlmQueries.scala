@@ -357,6 +357,44 @@ object LlmQueries {
         .orderBy("source", "bucket")
     }),
 
+    // Corpus-LM scoring: each doc against the corpus's own token stats —
+    // mean corpus count of its tokens, rare-token fraction, attested-
+    // bigram fraction. Integer count space end-to-end, one division per
+    // output column, so doubles hash-match the oracle bit-for-bit.
+    "x29_lm_score" -> ((s, dir) => {
+      TextAnalysis.lmScore(t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", rareMax = 100, bigramMin = 30)
+        .orderBy("doc_id")
+    }),
+
+    // Exact heavy-hitter bigrams via Count-Min candidate pruning: the
+    // unbounded-vocabulary complement of x17 (sketch probe map-side, only
+    // candidate grams reach the shuffle, exact recount discards CMS false
+    // positives — output provably equals the plain HAVING count >= 40).
+    "x30_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitterNgrams(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", n = 2, minCount = 40)
+    }),
+
+    // Content-defined chunking: boundaries where the portable token hash
+    // is ≡ 0 mod 8 — shift-stable chunks (an insertion re-aligns at the
+    // next boundary), the dedup-friendly alternative to fixed-stride x6.
+    "x31_cdc_chunks" -> ((s, dir) => {
+      Corpus.cdcChunks(t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", boundaryMod = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Cross-source shingle overlap: exact Jaccard between every source
+    // pair's distinct 3-shingle sets — the inter-feed duplication matrix
+    // read before choosing mixture weights.
+    "x32_source_overlap" -> ((s, dir) => {
+      TextAnalysis.crossSourceOverlap(
+          t(s, dir, "documents").select("source", "text"), "text", "source")
+        .orderBy("src_a", "src_b")
+    }),
+
     // PII scrubbing: counts per category + redacted text (compared by
     // md5). The corpus is synthetic word-soup with no organic PII, so the
     // query plants deterministic PII derived from doc_id — BOTH engines
@@ -1101,6 +1139,75 @@ object LlmQueries {
                  max(CASE WHEN r <= ceil(0.99 * n) THEN nt END) AS p99,
                  max(nt) AS p100
           FROM rk GROUP BY source ORDER BY source""",
+    "x29_lm_score" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              dt AS (SELECT doc_id, tok, count(*) AS m
+                     FROM (SELECT doc_id, unnest(w) AS tok FROM ws)
+                     GROUP BY doc_id, tok),
+              uc AS (SELECT tok, sum(m) AS c FROM dt GROUP BY tok),
+              uni AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                             CAST(sum(m * c) AS BIGINT) AS sumc,
+                             CAST(sum(CASE WHEN c <= 100 THEN m ELSE 0 END)
+                                  AS BIGINT) AS rare
+                      FROM dt JOIN uc USING (tok) GROUP BY doc_id),
+              bg AS (SELECT doc_id, g, count(*) AS m
+                     FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                                 FROM ws WHERE len(w) >= 2))
+                     GROUP BY doc_id, g),
+              gc AS (SELECT g, sum(m) AS c FROM bg GROUP BY g),
+              big AS (SELECT doc_id, sum(m) AS tot,
+                             sum(CASE WHEN c >= 30 THEN m ELSE 0 END) AS known
+                      FROM bg JOIN gc USING (g) GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 CAST(sumc AS DOUBLE) / n_tokens AS mean_tok_count,
+                 CAST(rare AS DOUBLE) / n_tokens AS rare_frac,
+                 coalesce(CAST(known AS DOUBLE) / tot, 0.0)
+                   AS bigram_known_frac
+          FROM uni LEFT JOIN big USING (doc_id) ORDER BY doc_id""",
+    "x30_heavy_hitters" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                          FROM ws WHERE len(w) >= 2))
+          SELECT gram, count(*) AS n_occurrences,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM g GROUP BY gram HAVING count(*) >= 40 ORDER BY gram""",
+    "x31_cdc_chunks" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              t AS (SELECT doc_id, i AS p, w[i] AS tok
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i
+                          FROM ws WHERE len(w) > 0)),
+              b AS (SELECT doc_id, p, tok,
+                      CASE WHEN ${duckHex32("tok")} % 8 = 0
+                           THEN 1 ELSE 0 END AS bd
+                    FROM t),
+              c AS (SELECT doc_id, p, tok,
+                      coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS chunk_id
+                    FROM b)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                 string_agg(tok, ' ' ORDER BY p) AS chunk,
+                 count(*) AS n_tokens
+          FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""",
+    "x32_source_overlap" ->
+      s"""WITH ws AS (SELECT source, $duckToks AS w FROM documents),
+              sh AS (SELECT DISTINCT source, s
+                     FROM (SELECT source, unnest($duckShingles) AS s
+                           FROM ws WHERE len(w) >= 3)),
+              sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+              pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                            count(*) AS n_shared
+                     FROM sh a JOIN sh b USING (s)
+                     WHERE a.source < b.source GROUP BY 1, 2)
+          SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+                 CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+                   AS jaccard
+          FROM pr
+          JOIN sz sa ON sa.source = pr.src_a
+          JOIN sz sb ON sb.source = pr.src_b
+          ORDER BY src_a, src_b""",
     "x9_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -81,4 +81,52 @@ class CorpusPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("cdc chunks: lossless, boundary-terminated, and shift-stable") {
+    val mod = 4
+    val vocab = (0 until 24).map(i => s"w$i")
+    // learn which vocab tokens are boundaries from the real hash column
+    val boundary = vocab.toDF("tok")
+      .select(col("tok"), (graft.llm.Hashing.hex32(col("tok")) % mod === 0)
+        .as("b"))
+      .collect().filter(_.getBoolean(1)).map(_.getString(0)).toSet
+    assert(boundary.nonEmpty && boundary.size < vocab.size)
+
+    def chunksOf(docs: Seq[(Long, String)]): Map[Long, Seq[String]] =
+      Corpus.cdcChunks(docs.toDF("doc_id", "text"), "text", "doc_id", mod)
+        .orderBy("doc_id", "chunk_id").collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getAs[String]("chunk")).toSeq).toMap
+
+    val docs = (1L to 15L).map { id =>
+      val n = 5 + rnd.nextInt(80)
+      (id, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val out = chunksOf(docs)
+    docs.foreach { case (id, text) =>
+      val cs = out(id)
+      // lossless: chunks concatenate back to the exact token stream
+      assert(cs.mkString(" ") === text, s"doc $id reassembly")
+      // every chunk but the last ends at a boundary and has no interior
+      // boundary token
+      cs.dropRight(1).foreach { c =>
+        val toks = c.split(" ")
+        assert(boundary(toks.last), s"doc $id chunk not boundary-terminated")
+        assert(!toks.dropRight(1).exists(boundary),
+          s"doc $id interior boundary in chunk")
+      }
+      assert(!cs.last.split(" ").dropRight(1).exists(boundary))
+    }
+    // shift stability: prepend a random prefix — every chunk after the
+    // junction chunk is identical, i.e. the original chunk list minus its
+    // first chunk is a suffix of the shifted chunk list
+    docs.take(5).foreach { case (id, text) =>
+      val prefix = (1 to 7).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      val shifted = chunksOf(Seq((id, s"$prefix $text")))(id)
+      val tailChunks = out(id).drop(1)
+      assert(shifted.takeRight(tailChunks.size) === tailChunks,
+        s"doc $id chunks did not re-align after prefix insertion")
+    }
+  }
 }

@@ -896,4 +896,71 @@ class LlmSpec extends SparkSpec {
       .orderBy("keep_id").collect()
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("lm score: exact count-space stats against hand-computed corpus") {
+    // corpus counts: a=3, b=2, c=1, z=2; bigrams: "a b"=2, "b a"=1,
+    // "a c"=1, "z z"=1
+    val docs = Seq(
+      (1L, "a b a b"), // toks a,b,a,b: sumc=3+2+3+2=10; bigrams ab,ba,ab
+      (2L, "a c"),     // sumc=3+1=4; bigram "a c"
+      (3L, "z z"),     // sumc=2+2=4; bigram "z z"
+      (4L, "q"))       // single token, corpus count 1; no bigram
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "text", "doc_id",
+        rareMax = 1, bigramMin = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // doc 1: n=4, mean=10/4, rare none, known bigrams: "a b" (c=2) twice
+    // of 3 total → 2/3
+    assert(out(0) === ((1L, 4L, 2.5, 0.0, 2.0 / 3.0)))
+    // doc 2: n=2, mean=4/2, rare: c (count 1) → 1/2; "a c" c=1 → 0/1
+    assert(out(1) === ((2L, 2L, 2.0, 0.5, 0.0)))
+    // doc 3: n=2, mean=4/2=2.0, no rare, "z z" c=1 → 0
+    assert(out(2) === ((3L, 2L, 2.0, 0.0, 0.0)))
+    // doc 4: n=1, mean=1.0, q rare → 1.0, no bigrams → 0.0
+    assert(out(3) === ((4L, 1L, 1.0, 1.0, 0.0)))
+  }
+
+  test("heavy hitters: exact output even under forced sketch collisions") {
+    val docs = Seq(
+      (1L, "a b a b a b c d"), // "a b"x3, "b a"x2, "b c", "c d"
+      (2L, "a b e f"),         // "a b", "b e", "e f"
+      (3L, "x y x y"))         // "x y"x2, "y x"
+      .toDF("doc_id", "text")
+    def brute(minCount: Long) = docs
+      .select(col("doc_id"), graft.llm.Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i]))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy("gram").collect().map(_.toSeq).toSeq
+    for (minCount <- Seq(1L, 2L, 4L); width <- Seq(2, 1 << 12)) {
+      // width=2 forces massive CMS collisions: candidates over-admit but
+      // the exact recount must still produce exactly the brute answer
+      val got = TextAnalysis.heavyHitterNgrams(docs, "text", "doc_id",
+        n = 2, minCount = minCount, width = width)
+        .collect().map(_.toSeq).toSeq
+      assert(got === brute(minCount), s"minCount=$minCount width=$width")
+    }
+  }
+
+  test("cross-source overlap: exact pair jaccard over distinct shingles") {
+    // shingle sets: A = {a b c, b c d} (two docs, one shared shingle),
+    // B = {a b c, c d e}, C = {x y z} (no overlap with anyone)
+    val docs = Seq(
+      ("A", "a b c d"), ("A", "a b c"),
+      ("B", "a b c"), ("B", "c d e"),
+      ("C", "x y z"))
+      .toDF("source", "text")
+    val out = TextAnalysis.crossSourceOverlap(docs, "text", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // only A-B overlaps: shared {a b c}, |A|=2, |B|=2 → 1/3
+    assert(out.toSeq === Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0)))
+  }
 }
