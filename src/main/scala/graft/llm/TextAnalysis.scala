@@ -452,7 +452,16 @@ object TextAnalysis {
     * occurrences; the unigram/bigram count tables are vocabulary-sized
     * and broadcast under AQE when small, hash-join on the gram
     * otherwise; one doc-keyed rollup ends each branch. No cross-document
-    * pair ever materializes. */
+    * pair ever materializes. The per-doc count frames feed both their
+    * count table and the scoring join, so each is [[graft.operators
+    * .Lineage.cut]] (EAGER at call time, the x21 discipline) — without
+    * the cut Catalyst recomputes the whole tokenize+aggregate subtree on
+    * both sides of each join, doubling the dominant corpus pass; with it
+    * each pass runs once at the cost of spooling hash-and-count-width
+    * rows to scratch. A window (`sum(m) over (partition by token)`) would
+    * avoid the join entirely but puts every document containing a hot
+    * token in ONE partition — a skew cliff the join formulation, whose
+    * big side shuffles on (doc, token), does not have. */
   def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, rareMax: Long = 2, bigramMin: Long = 2)
       : org.apache.spark.sql.DataFrame = {
@@ -460,9 +469,9 @@ object TextAnalysis {
     require(bigramMin >= 1, s"bigramMin ($bigramMin) must be >= 1")
     val toks = df.select(col(idCol), tokens(col(textCol)).as("_tk"))
     // unigram branch: per-(doc, token) multiplicity, corpus counts, join
-    val dt = toks
+    val dt = graft.operators.Lineage.cut(toks
       .select(col(idCol), explode(col("_tk")).as("_w"))
-      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_m"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_m")))
     val uc = dt.groupBy(col("_w")).agg(sum(col("_m")).as("_c"))
     val uni = dt.join(uc, Seq("_w"))
       .groupBy(col(idCol))
@@ -470,12 +479,12 @@ object TextAnalysis {
         sum(col("_m") * col("_c")).as("_sumc"),
         sum(when(col("_c") <= rareMax, col("_m")).otherwise(0L)).as("_rare"))
     // bigram branch: same shape over adjacent pairs
-    val bg = toks.filter(size(col("_tk")) >= 2)
+    val bg = graft.operators.Lineage.cut(toks.filter(size(col("_tk")) >= 2)
       .select(col(idCol), col("_tk"),
         explode(sequence(lit(1), size(col("_tk")) - 1)).as("_p"))
       .select(col(idCol), concat_ws(" ", element_at(col("_tk"), col("_p")),
         element_at(col("_tk"), col("_p") + 1)).as("_g"))
-      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_m"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_m")))
     val gc = bg.groupBy(col("_g")).agg(sum(col("_m")).as("_c"))
     val big = bg.join(gc, Seq("_g"))
       .groupBy(col(idCol))
@@ -565,7 +574,10 @@ object TextAnalysis {
     * reserve the exact join for the candidate pairs, the d8 discipline. */
   def crossSourceOverlap(df: org.apache.spark.sql.DataFrame, textCol: String,
       groupCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
-    val gs = Dedup.shingleRows(df, textCol, groupCol, k)
+    // four consumers (both join sides + the size table twice): cut once
+    // or Catalyst re-tokenizes the corpus four times
+    val gs = graft.operators.Lineage.cut(
+      Dedup.shingleRows(df, textCol, groupCol, k))
     val sizes = gs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
     val inter = gs.select(col(groupCol).as("src_a"), col("s"))
       .join(gs.select(col(groupCol).as("src_b"), col("s")), Seq("s"))
