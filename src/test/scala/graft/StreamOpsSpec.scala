@@ -30,6 +30,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static as-of enrichment: asofJoinBackward composes in " +
+    "foreachBatch, each micro-batch sees the full static right side") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static dimension: per-key state versions over time
+    val dim = Seq((10L, "k1", 1L, "v1a"), (20L, "k1", 2L, "v1b"),
+      (15L, "k2", 3L, "v2a")).toDF("t", "k", "rid", "v")
+    val in = MemoryStream[(Long, String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    val q = in.toDS().toDF("t", "k", "lid").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.operators.AsofJoin.asofJoinBackward(
+          batch, dim, "k", "t", "rid", Seq("v"))
+        got.synchronized {
+          got ++= out.select($"lid", $"asof_v")
+            .as[(Long, Option[String])].collect()
+        }
+        () // Unit-returning foreachBatch overload
+      }.start()
+    try {
+      in.addData((12L, "k1", 1L), (25L, "k1", 2L))
+      q.processAllAvailable()
+      in.addData((14L, "k2", 3L), (5L, "k2", 4L))
+      q.processAllAvailable()
+      assert(got.sortBy(_._1).toSeq === Seq(
+        1L -> Some("v1a"),  // t=12 sees k1@10
+        2L -> Some("v1b"),  // t=25 sees k1@20
+        3L -> None,         // t=14 precedes k2@15
+        4L -> None))
+    } finally q.stop()
+  }
+
   test("streamingDedup TTL: evicted keys re-emit, live keys still dedup") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Doc]
