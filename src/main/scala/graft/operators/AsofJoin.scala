@@ -116,7 +116,15 @@ object AsofJoin {
 
   private def directional(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, tieCol: String, payloadCols: Seq[String],
-      prefix: String, forward: Boolean): DataFrame = {
+      prefix: String, forward: Boolean,
+      tolerance: Option[Long] = None): DataFrame = {
+    tolerance.foreach { t =>
+      require(t >= 0L, s"tolerance ($t) must be >= 0")
+      val tType = left.schema(left.schema.fieldIndex(timeCol)).dataType
+      require(tType.isInstanceOf[NumericType],
+        s"tolerance needs a numeric time column for distances; " +
+          s"'$timeCol' is $tType — convert (e.g. epoch micros) first")
+    }
     val p = prep(left, right, keyCol, timeCol, tieCol, payloadCols, prefix)
     val tOrd = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy("_k")
@@ -125,7 +133,19 @@ object AsofJoin {
     val joined = p.merged
       .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-    val out = joined.unionByName(
+    // a carry farther than tolerance counts as no match (row survives
+    // with NULL payload — the carry is still the nearest in-direction
+    // right, so nulling it loses nothing closer)
+    val bounded = tolerance match {
+      case Some(t) =>
+        val d = if (forward) col("_m").getField(timeCol) - col("_t")
+                else col("_t") - col("_m").getField(timeCol)
+        joined.withColumn("_m",
+          when(col("_m").isNotNull && d <= lit(t), col("_m"))
+            .otherwise(lit(null).cast(p.rvType)))
+      case None => joined
+    }
+    val out = bounded.unionByName(
       p.bypass.withColumn("_m", lit(null).cast(p.rvType)))
     emit(out, left, p.carried, prefix)
   }
@@ -141,14 +161,17 @@ object AsofJoin {
     * @param payloadCols right-side columns to attach
     * @param prefix    prepended to attached column names (default
     *                  "asof_"), applied to `timeCol` and `payloadCols`
+    * @param tolerance optional bound (same unit as `timeCol`, which must
+    *                  then be numeric): a match farther than this counts
+    *                  as no match (NULL payload)
     * @return left columns + `prefix+timeCol` + `prefix+c` for each
     *         payload column (NULL when no right row qualifies)
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, tieCol: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame =
+      prefix: String = "asof_", tolerance: Option[Long] = None): DataFrame =
     directional(left, right, keyCol, timeCol, tieCol, payloadCols, prefix,
-      forward = false)
+      forward = false, tolerance)
 
   /** Forward as-of join: the EARLIEST right with
     * `right.time >= left.time` (inclusive boundary) wins; parameters and
@@ -157,9 +180,9 @@ object AsofJoin {
     * the right row with the smallest time at or after it. */
   def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, tieCol: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame =
+      prefix: String = "asof_", tolerance: Option[Long] = None): DataFrame =
     directional(left, right, keyCol, timeCol, tieCol, payloadCols, prefix,
-      forward = true)
+      forward = true, tolerance)
 
   /** Nearest as-of join: whichever of the backward/forward matches is
     * closer in time wins; an exact distance tie (including a right row

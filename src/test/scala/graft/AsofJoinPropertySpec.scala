@@ -36,12 +36,12 @@ class AsofJoinPropertySpec extends SparkSpec {
       _.map(_.t.get).max)
     def forward = best(candidates.filter(_.t.get >= l.t.get),
       _.map(_.t.get).min)
+    def within(m: Option[R], d: R => Long): Option[R] =
+      m.filter(r => tolerance.forall(t => d(r) <= t))
     dir match {
-      case "backward" => backward
-      case "forward"  => forward
+      case "backward" => within(backward, r => l.t.get - r.t.get)
+      case "forward"  => within(forward, r => r.t.get - l.t.get)
       case "nearest" =>
-        def within(m: Option[R], d: R => Long): Option[R] =
-          m.filter(r => tolerance.forall(t => d(r) <= t))
         val b = within(backward, r => l.t.get - r.t.get)
         val f = within(forward, r => r.t.get - l.t.get)
         (b, f) match {
@@ -59,9 +59,9 @@ class AsofJoinPropertySpec extends SparkSpec {
     val (ld, rd) = (l.toDF(), r.toDF())
     val out = dir match {
       case "backward" => AsofJoin.asofJoinBackward(ld, rd, "k", "t", "rid",
-        Seq("rid", "v"))
+        Seq("rid", "v"), tolerance = tolerance)
       case "forward" => AsofJoin.asofJoinForward(ld, rd, "k", "t", "rid",
-        Seq("rid", "v"))
+        Seq("rid", "v"), tolerance = tolerance)
       case "nearest" => AsofJoin.asofJoinNearest(ld, rd, "k", "t", "rid",
         Seq("rid", "v"), tolerance = tolerance)
     }
@@ -90,7 +90,8 @@ class AsofJoinPropertySpec extends SparkSpec {
           i.toLong, rng.nextInt(1000) / 10.0)
       }
       for ((dir, tol) <- Seq(("backward", None), ("forward", None),
-          ("nearest", None), ("nearest", Some(3L)), ("nearest", Some(0L)))) {
+          ("nearest", None), ("nearest", Some(3L)), ("nearest", Some(0L)),
+          ("backward", Some(3L)), ("forward", Some(2L)))) {
         val got = runVariant(lefts, rights, dir, tol)
         assert(got.size === lefts.size, s"seed=$seed $dir tol=$tol row count")
         lefts.foreach { l =>

@@ -67,6 +67,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x30's sketch probe prunes map-side: the candidate filter sits " +
+    "below every exchange") {
+    val df = SparkEntry.queries("x30_heavy_hitters")(
+      spark, "/root/testdata/sf0.001")
+    val lines = df.queryExecution.executedPlan.toString.split("\n").toSeq
+    // tree prints top-down, so deeper operators appear later: the UDF
+    // probe filter must print after (= below) the last exchange, i.e. on
+    // the scan side of every shuffle
+    val lastExchange = lines.lastIndexWhere(_.contains("Exchange"))
+    val probeFilter = lines.indexWhere(l =>
+      l.trim.startsWith("+- Filter") && l.contains("UDF"))
+    assert(lastExchange >= 0 && probeFilter > lastExchange,
+      s"CMS probe filter not map-side (filter line $probeFilter, last " +
+        s"exchange $lastExchange)")
+  }
+
+  test("x31's rollup reuses the window's doc partitioning: one hash " +
+    "exchange total") {
+    val df = SparkEntry.queries("x31_cdc_chunks")(
+      spark, "/root/testdata/sf0.001")
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(hashExchanges === 1,
+      s"x31 should shuffle corpus data exactly once, found $hashExchanges")
+  }
+
   test("IVF cell id prunes partitions when the corpus is cell-partitioned") {
     // the Similarity.ivfTopK scaladoc claims "at 100 TB the cell id is a
     // partition column: a query touches nProbe/nlist of the corpus" —
