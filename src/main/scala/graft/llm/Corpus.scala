@@ -425,6 +425,26 @@ object Corpus {
       .filter(col("_rn") <= cap).drop("_rn")
   }
 
+  /** Keep the top `cap` rows per stratum under an explicit ordering —
+    * the value-ranked sibling of [[capPerStratum]] (which keeps a stable
+    * pseudo-random subset): "best N docs per domain by quality",
+    * "longest N per source", "most recent N per feed". Callers must make
+    * the ordering total (append the id as a tie-break) or ranks at the
+    * cap boundary are nondeterministic under shuffle order.
+    *
+    * Scale shape and hot-stratum caveat exactly as [[capPerStratum]]:
+    * one shuffle on the stratum key; pre-thin pathological strata with
+    * [[stratifiedSample]] first, then cap exactly. */
+  def capPerStratumBy(df: DataFrame, strataCol: String, cap: Int,
+      order: Column*): DataFrame = {
+    require(cap >= 1, s"cap ($cap) must be >= 1")
+    require(order.nonEmpty, "order must be non-empty (include an id tie-break)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap).drop("_rn")
+  }
+
   /** Deterministic global training-order shuffle into shards: each row is
     * assigned a shard (`hash % nShards`) and a dense position within its
     * shard (hash order, ties by id) — the final step of corpus

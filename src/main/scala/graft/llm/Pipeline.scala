@@ -82,6 +82,15 @@ object Pipeline {
     * @param maxDup3Frac      repetition gate: drop docs whose duplicate
     *                         3-gram occurrence fraction exceeds this.
     *                         Default 1.0 disables.
+    * @param maxRareFrac      corpus-LM gate (step 4.5, [[TextAnalysis
+    *                         .lmScore]] on the surviving corpus's own
+    *                         stats): drop docs whose fraction of tokens
+    *                         with corpus count <= `lmRareMax` exceeds
+    *                         this. Default 1.0 disables.
+    * @param minBigramKnownFrac corpus-LM gate: drop docs whose fraction
+    *                         of adjacent pairs with corpus count >=
+    *                         `lmBigramMin` falls below this. Default 0.0
+    *                         disables.
     * @param decontaminateAgainst evaluation corpus (doc_id, text) for
     *                         step 5; None skips decontamination
     * @param decontamK        k-gram size for the overlap test
@@ -113,6 +122,10 @@ object Pipeline {
       minQuality: Double = 0.5,
       maxTop2Frac: Double = 2.0,
       maxDup3Frac: Double = 1.0,
+      maxRareFrac: Double = 1.0,
+      minBigramKnownFrac: Double = 0.0,
+      lmRareMax: Long = 2,
+      lmBigramMin: Long = 2,
       decontaminateAgainst: Option[DataFrame] = None,
       decontamK: Int = 8,
       decontamBloom: Boolean = false,
@@ -192,19 +205,37 @@ object Pipeline {
           Some(bad.select(col("doc_id"), lit("repetitive").as("reason"))))
       }
 
+    // 4.5 corpus-LM frequency gate ([[TextAnalysis.lmScore]] against the
+    // SURVIVORS' own token stats — docs full of corpus-rare tokens or
+    // unattested bigrams are noise/another language). Same only-pay-when-
+    // binding + cut-the-drop-set discipline as the repetition gate.
+    val (afterLm, lmDrops) =
+      if (maxRareFrac >= 1.0 && minBigramKnownFrac <= 0.0)
+        (afterRep, None)
+      else {
+        val bad = TextAnalysis.lmScore(
+            afterRep.select("doc_id", "text"), "text", "doc_id",
+            rareMax = lmRareMax, bigramMin = lmBigramMin)
+          .filter(col("rare_frac") > maxRareFrac ||
+            col("bigram_known_frac") < minBigramKnownFrac)
+          .select("doc_id").transform(graft.operators.Lineage.cut)
+        (afterRep.join(bad, Seq("doc_id"), "left_anti"),
+          Some(bad.select(col("doc_id"), lit("lm_outlier").as("reason"))))
+      }
+
     // 5. benchmark decontamination — the contaminated set is drop-sized
     val (afterDecon, deconDrops) = decontaminateAgainst match {
-      case None => (afterRep, None)
+      case None => (afterLm, None)
       case Some(bench) =>
         val hit0 = if (decontamBloom)
-          Corpus.contaminatedDocsBloom(afterRep, bench, "text", "doc_id",
+          Corpus.contaminatedDocsBloom(afterLm, bench, "text", "doc_id",
             decontamK)
         else
-          Corpus.contaminatedDocs(afterRep, bench, "text", "doc_id",
+          Corpus.contaminatedDocs(afterLm, bench, "text", "doc_id",
             decontamK)
         val hit = hit0
           .select("doc_id").transform(graft.operators.Lineage.cut)
-        (afterRep.join(hit, Seq("doc_id"), "left_anti"),
+        (afterLm.join(hit, Seq("doc_id"), "left_anti"),
           Some(hit.select(col("doc_id"), lit("contaminated").as("reason"))))
     }
 
@@ -241,7 +272,7 @@ object Pipeline {
     }
 
     val dropFrames = Seq(nullDrops, exactDrops, nearDrops, qualityDrops) ++
-      repDrops ++ deconDrops ++ Seq(sampleDrops) ++ capDrops
+      repDrops ++ lmDrops ++ deconDrops ++ Seq(sampleDrops) ++ capDrops
     CorpusBuild(
       kept = kept,
       dropped = dropFrames.reduce(_ unionByName _),

@@ -540,6 +540,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Value-ranked per-source cap: the best 10 docs per source by the
+    // composite quality score (tie-broken by id) — "keep the best N per
+    // domain", the curation sibling of x19's stable random cap.
+    "x33_best_per_source" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("quality",
+          TextAnalysis.qualityScore(col("text"), stopwords))
+      Corpus.capPerStratumBy(scored, "source", cap = 10,
+          col("quality").desc, col("doc_id").asc)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    }),
+
     // The COMPOSED corpus pipeline end-to-end: Pipeline.buildTrainingCorpus
     // over the training sources (benchmark = src0), every gate binding —
     // exact dedup (4 planted duplicate docs), near-dup 0.8, quality 0.6,
@@ -1385,6 +1398,22 @@ object LlmQueries {
                          doc_id) AS rn
             FROM documents)
           WHERE rn <= 20 ORDER BY doc_id""",
+    "x33_best_per_source" ->
+      s"""WITH ws AS (SELECT doc_id, source, text, $duckToks AS w
+                      FROM documents),
+              q AS (SELECT doc_id, source,
+                      ((CASE WHEN len(w) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0
+                        AS quality
+                    FROM ws),
+              r AS (SELECT doc_id, source, quality,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY quality DESC, doc_id) AS rn
+                    FROM q)
+          SELECT doc_id, source, quality FROM r
+          WHERE rn <= 10 ORDER BY doc_id""",
     "x14_pipeline" -> {
       def th(r: Double): Long = (r * 4294967296.0).toLong
       s"""WITH train0 AS (SELECT doc_id, text, source FROM documents

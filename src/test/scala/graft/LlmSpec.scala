@@ -850,6 +850,31 @@ class LlmSpec extends SparkSpec {
     build.release()
   }
 
+  test("pipeline corpus-LM gate: rare-token outliers drop as lm_outlier") {
+    // three docs share a vocabulary (every token appears >= 3 times
+    // corpus-wide); the fourth is gibberish whose tokens appear once
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val input = Seq(
+      (1L, common + " one", "srcA"),
+      (2L, common + " two", "srcA"),
+      (3L, common + " three", "srcA"),
+      (4L, "qzx wvv jkk pqm zzt yyr xxu wws", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val build = Pipeline.buildTrainingCorpus(input,
+      minQuality = 0.0, maxRareFrac = 0.5, lmRareMax = 2,
+      chunkSize = 32, overlap = 0, budget = 64)
+    val reasons = build.dropped.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons.get(4L).contains("lm_outlier"), s"got $reasons")
+    assert(build.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    // defaults leave the gate off: nothing drops as lm_outlier
+    val off = Pipeline.buildTrainingCorpus(input, minQuality = 0.0,
+      chunkSize = 32, overlap = 0, budget = 64)
+    assert(!off.dropped.collect().exists(_.getString(1) == "lm_outlier"))
+    off.release(); build.release()
+  }
+
   test("pipeline line stage: chrome-only differences dedup after line removal") {
     // docs 6 and 7 share their CONTENT but wear the corpus banner in
     // different positions: without the line stage their texts differ and
@@ -946,6 +971,23 @@ class LlmSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(got === brute(minCount), s"minCount=$minCount width=$width")
     }
+  }
+
+  test("capPerStratumBy keeps exactly the top-cap rows under the ordering") {
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L), (4L, "a", 1L),
+      (5L, "b", 2L), (6L, "b", 3L))
+      .toDF("doc_id", "src", "score")
+    val out = Corpus.capPerStratumBy(docs, "src", cap = 2,
+        col("score").desc, col("doc_id").asc)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // a: score-9 docs 2,3 win (tie → lower id first, both fit); b: all fit
+    assert(out === Seq(2L, 3L, 5L, 6L))
+    // cap 1: the score-9 tie resolves to the lower doc_id
+    val top1 = Corpus.capPerStratumBy(docs, "src", cap = 1,
+        col("score").desc, col("doc_id").asc)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top1 === Seq(2L, 6L))
   }
 
   test("cross-source overlap: exact pair jaccard over distinct shingles") {
