@@ -473,6 +473,54 @@ object Corpus {
       .withColumnRenamed("_pos", "pos")
   }
 
+  /** Global contiguous 0-based position of every row under a TOTAL
+    * ordering — curriculum ordering, "rank the whole corpus by quality",
+    * reproducible global shuffles with an explicit key — WITHOUT the
+    * single-partition `row_number() OVER (ORDER BY ...)` window that
+    * funnels 100 TB through one reducer.
+    *
+    * Scale shape: a range repartition on `order` spreads the sort across
+    * `nBuckets` partitions; per-bucket row counts (an `nBuckets`-row
+    * aggregate — metadata-scale) turn into cumulative offsets via a tiny
+    * driver-safe window; each row's position is its bucket offset plus
+    * its rank WITHIN the bucket. Range partitions are ordered by
+    * partition id, so bucket-local ranks plus offsets reproduce the
+    * global order exactly. Two shuffles total (range + per-bucket
+    * window), each `1/nBuckets`-sized per reducer; `nBuckets` should
+    * track the cluster's parallelism.
+    *
+    * `order` MUST be total (append the id as a tie-break): rows equal
+    * under a partial order may straddle a range boundary and take
+    * arbitrary positions — and no two engines would agree on them.
+    *
+    * @return `df` plus a `pos: long` column */
+  def globalOrderIndex(df: DataFrame, nBuckets: Int, order: Column*)
+      : DataFrame = {
+    require(nBuckets >= 1, s"nBuckets ($nBuckets) must be >= 1")
+    require(order.nonEmpty,
+      "order must be a TOTAL ordering (append an id tie-break)")
+    require(!df.columns.exists(Set("_b", "_off", "pos")),
+      "input must not carry _b/_off/pos columns — they would be clobbered")
+    // cut: the bucketed frame feeds both the count aggregate and the
+    // positional join; without it the range sampling + upstream plan run
+    // twice (and spark_partition_id must be read from ONE materialization)
+    val bucketed = graft.operators.Lineage.cut(
+      df.repartitionByRange(nBuckets, order: _*)
+        .withColumn("_b", spark_partition_id()))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("_b").count()
+      .withColumn("_off", coalesce(sum("count").over(wOff), lit(0L)))
+      .drop("count")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(order: _*)
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("pos",
+        (col("_off") + row_number().over(wIn) - 1).cast("long"))
+      .drop("_b", "_off")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `k`-gram with an evaluation/benchmark corpus — the standard
     * n-gram-overlap test-set leak check (GPT-3 appendix C / PaLM-style)

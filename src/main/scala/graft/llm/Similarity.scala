@@ -157,6 +157,45 @@ object Similarity {
         (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
       .drop("_ps")
 
+  /** Semantic (embedding-space) dedup, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic IVF
+    * quantizer, then WITHIN each cell flag every vector that has a
+    * lower-id neighbor at cosine >= `minCos`. Returns one row per
+    * flagged vector: (dropped_id, kept_id = its LOWEST-id qualifying
+    * neighbor) — the caller anti-joins `dropped_id` to thin the corpus,
+    * keeping exactly one representative (the minimum id) per
+    * within-cell near-duplicate group reachable pairwise.
+    *
+    * Scale shape: cell assignment is a per-row matvec (no shuffle); the
+    * candidate generator is a cell equi-join, never all-pairs — the
+    * within-cell quadratic is the published SemDeDup cost model, bounded
+    * by sizing `nlist` so cells hold ~constant rows (nlist scales WITH
+    * the corpus; a hot cell is a mis-sized codebook, and the fix is
+    * retraining with more cells, not a bigger reducer). Differs from
+    * [[embeddingNearDups]] (random-hyperplane LSH buckets) in trading
+    * recall guarantees for the cluster structure a curation pipeline
+    * usually already has.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, nlist: Int = 8, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seedCentroids(nlist, dims))
+    require(cents.forall(_.size == dims),
+      s"centroids must be $dims-dimensional")
+    // cut: the assigned frame is both sides of the cell self-join —
+    // without it the matvec assignment recomputes per side
+    val cells = graft.operators.Lineage.cut(assignCells(
+      df.select(col(idCol).as("_id"), col(vecCol).as("_v")), "_v", cents))
+    val a = cells.select(col("_id").as("dropped_id"), col("_v").as("_va"),
+      col("_cell"))
+    val b = cells.select(col("_id").as("_nid"), col("_v").as("_vb"),
+      col("_cell"))
+    a.join(b, Seq("_cell"))
+      .filter(col("_nid") < col("dropped_id"))
+      .filter(cosine(col("_va"), col("_vb")) >= minCos)
+      .groupBy("dropped_id").agg(min(col("_nid")).as("kept_id"))
+  }
+
   /** One Lloyd accumulation as a DataFrame: per (cell, pos) the member
     * count and the mean component over the vectors assigned to that cell.
     * This is the DISTRIBUTED half of a k-means step — position-explode

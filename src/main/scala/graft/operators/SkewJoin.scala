@@ -38,4 +38,40 @@ object SkewJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, keyCols :+ "_salt").drop("_salt")
   }
+
+  /** Skew-mitigation join for the BIG-×-BIG regime, where [[saltedJoin]]'s
+    * full replication of the other side is too expensive: split the key
+    * space into HOT keys (big-side row count above `hotThreshold`) and the
+    * cold rest. Hot keys are broadcast-joined — the hot slice of `right`
+    * is small BY SELECTION (few keys; callers pick `hotThreshold` so the
+    * per-key right side is bounded) — while the cold bulk takes the normal
+    * shuffle path, now free of the keys that would have stalled its
+    * longest reducer. AQE's skew-split handles partition-size accidents;
+    * this handles keys hot by DATA, and composes with it.
+    *
+    * The hot-key list is bounded by construction: at most
+    * `count(left) / hotThreshold` keys exist, so the list (and therefore
+    * every broadcast here) is metadata-scale at any input size.
+    *
+    * @return the inner-join result, row multiset identical to
+    *         `left.join(right, keyCols)`
+    */
+  def hotColdJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      hotThreshold: Long): DataFrame = {
+    require(hotThreshold > 0, s"hotThreshold ($hotThreshold) must be positive")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val keys = keyCols.map(col)
+    // one count shuffle; cut — the hot list feeds three downstream joins
+    val hot = Lineage.cut(
+      left.groupBy(keys: _*).count()
+        .filter(col("count") > hotThreshold).drop("count"))
+    val leftHot = left.join(broadcast(hot), keyCols, "left_semi")
+    val leftCold = left.join(broadcast(hot), keyCols, "left_anti")
+    val rightHot = right.join(broadcast(hot), keyCols, "left_semi")
+    // cold path joins the FULL right side: right rows with hot keys find
+    // no cold partner (those keys were carved out of leftCold), so the
+    // result is exact and the extra shuffled rows are right-side-sized
+    leftHot.join(broadcast(rightHot), keyCols)
+      .unionByName(leftCold.join(right, keyCols))
+  }
 }

@@ -296,10 +296,43 @@ object EngineQueries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
         .orderBy("event_type")
+    }),
+
+    // Skew-resilient joins, certified result-identical to the plain
+    // equi-join (the oracle IS the plain join): x35 salts the fact side
+    // against one pathological key; x36 carves hot keys onto a broadcast
+    // path and shuffles only the cold bulk. lineitem×orders exercises
+    // both branches (orders hold 1–7 lines, threshold 4 splits them).
+    "x35_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_linenumber").as("line"), col("l_quantity").as("qty"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("total"), col("o_orderpriority").as("priority"))
+      graft.operators.SkewJoin.saltedJoin(li, ord, Seq("okey"),
+          discriminator = col("line"), salts = 8)
+        .orderBy("okey", "line")
+    }),
+
+    "x36_hot_cold_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_linenumber").as("line"), col("l_quantity").as("qty"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("total"), col("o_orderpriority").as("priority"))
+      graft.operators.SkewJoin.hotColdJoin(li, ord, Seq("okey"),
+          hotThreshold = 4)
+        .orderBy("okey", "line")
     })
   )
 
+  private val plainJoinSql =
+    """SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
+              o_totalprice AS total, o_orderpriority AS priority
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       ORDER BY okey, line"""
+
   val oracleSql: Map[String, String] = Map(
+    "x35_salted_join" -> plainJoinSql,
+    "x36_hot_cold_join" -> plainJoinSql,
     "w1_event_windows" ->
       """SELECT ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS window_start,
                 event_type,

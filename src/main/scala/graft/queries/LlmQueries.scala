@@ -156,6 +156,31 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup-style semantic dedup: within deterministic IVF cells,
+    // every vector with a lower-id cosine-0.99 neighbor is flagged with
+    // its keeper. Three exact duplicates are planted (vec_id + 100000,
+    // as in a3): each must flag against exactly its original — identical
+    // vectors share a cell by construction, and the corpus's max organic
+    // cosine (~0.5) keeps false positives structurally out.
+    "a8_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val planted = e.filter(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      Similarity.semanticDedup(e.unionByName(planted), "vec_id",
+          "embedding", minCos = 0.99, nlist = 8)
+        .orderBy("dropped_id")
+    }),
+
+    // Global curriculum order WITHOUT a single-partition window: range
+    // buckets + per-bucket offsets reproduce row_number() over a total
+    // ordering (longest docs first, id tie-break) at any scale.
+    "x34_global_order" -> ((s, dir) => {
+      Corpus.globalOrderIndex(t(s, dir, "documents"), nBuckets = 8,
+          col("n_chars").desc, col("doc_id").asc)
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic global shuffle into shards: the corpus-construction
     // final step — hash-seeded training order, dense per-shard positions,
     // exactly reproducible across engines and re-runs.
@@ -940,6 +965,29 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a8_semantic_dedup" ->
+      s"""WITH e0 AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+              e AS (SELECT vec_id, v FROM e0
+                    UNION ALL
+                    SELECT vec_id + 100000 AS vec_id, v FROM e0
+                    WHERE vec_id < 3),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              pr AS (SELECT a.vec_id AS dropped_id, b.vec_id AS nid,
+                       list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+                       (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+                     FROM cc a JOIN cc b ON a.cell = b.cell AND b.vec_id < a.vec_id)
+          SELECT dropped_id, min(nid) AS kept_id FROM pr WHERE cos >= 0.99
+          GROUP BY dropped_id ORDER BY dropped_id""",
+    "x34_global_order" ->
+      """SELECT doc_id,
+                row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS pos
+         FROM documents ORDER BY doc_id""",
     "x20_shuffle_shards" ->
       s"""SELECT doc_id,
                  CAST(${duckHex32("'shuffle:' || CAST(doc_id AS VARCHAR)")} % 8

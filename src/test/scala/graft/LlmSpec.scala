@@ -83,6 +83,55 @@ class LlmSpec extends SparkSpec {
     assert(found.contains((0L, 100000L)))
   }
 
+  test("semanticDedup flags within-cell near-dups against their lowest-id keeper") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant TWO extra copies of vec 0: a transitive group {0, 200000,
+    // 200001} — both copies must flag, both keeping the group minimum 0
+    val dup1 = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(200000L))
+    val dup2 = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(200001L))
+    val out = Similarity.semanticDedup(
+        emb.unionByName(dup1).unionByName(dup2), "vec_id", "embedding",
+        minCos = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.get(200000L).contains(0L))
+    assert(out.get(200001L).contains(0L))
+    // the original representative is never flagged
+    assert(!out.contains(0L))
+    // anti-joining the drop set leaves exactly one member of the group
+    val kept = emb.unionByName(dup1).unionByName(dup2)
+      .join(Similarity.semanticDedup(
+          emb.unionByName(dup1).unionByName(dup2), "vec_id", "embedding",
+          minCos = 0.999).withColumnRenamed("dropped_id", "vec_id"),
+        Seq("vec_id"), "left_anti")
+    assert(kept.filter(col("vec_id").isin(0L, 200000L, 200001L)).count() === 1)
+  }
+
+  test("globalOrderIndex reproduces the single-window row_number at any bucketing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = docs
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars").desc, col("doc_id").asc)) - lit(1L))
+      .select("doc_id", "pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bucket counts that exercise: parallel buckets, a single bucket
+    // (degenerate), and more buckets than is sensible (empty partitions)
+    for (n <- Seq(1, 7, 64)) {
+      val got = Corpus.globalOrderIndex(docs, n,
+          col("n_chars").desc, col("doc_id").asc)
+        .select("doc_id", "pos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"nBuckets=$n")
+    }
+    // clobber guard: a pre-existing pos column is rejected, not shadowed
+    intercept[IllegalArgumentException] {
+      Corpus.globalOrderIndex(docs.withColumn("pos", lit(0L)), 4,
+        col("doc_id").asc)
+    }
+  }
+
   test("lshTopK results are a subset-ranking of brute-force cosineTopK") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 2)

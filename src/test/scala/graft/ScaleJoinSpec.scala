@@ -28,6 +28,31 @@ class ScaleJoinSpec extends SparkSpec {
     assert(spread === 8)
   }
 
+  test("hot/cold split join returns exactly the plain join's rows under heavy skew") {
+    // key 0 holds ~90% of the left side; keys 1..49 are cold; key 77 is
+    // right-only (must not resurface through the cold path's full right)
+    val left = spark.range(0, 20000)
+      .select(when(col("id") % 10 === 0, col("id") % 50).otherwise(0L).as("k"),
+        col("id").as("row_id"))
+    val right = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (49L, "z"), (77L, "ghost"))
+      .toDF("k", "label")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "row_id", "label").collect().map(_.toString).sorted
+    val split = SkewJoin.hotColdJoin(left, right, Seq("k"), hotThreshold = 1000)
+      .select("k", "row_id", "label").collect().map(_.toString).sorted
+    assert(split.toSeq === plain.toSeq)
+    // the hot branch really is broadcast on both of its joins: the plan
+    // must carry BroadcastHashJoins and the union of the two paths
+    val plan = SkewJoin.hotColdJoin(left, right, Seq("k"), 1000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("Union"))
+    // a threshold nothing exceeds degenerates to the plain shuffle join
+    val allCold = SkewJoin.hotColdJoin(left, right, Seq("k"), 100000)
+      .select("k", "row_id", "label").collect().map(_.toString).sorted
+    assert(allCold.toSeq === plain.toSeq)
+  }
+
   test("bucketed tables co-locate the entity-lookup join: no exchange on either side") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"))
