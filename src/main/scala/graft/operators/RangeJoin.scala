@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable non-equi range joins. Spark plans `p.x BETWEEN i.lo AND i.hi`
+  * with no equi-conjunct as a BroadcastNestedLoopJoin (or a cartesian) —
+  * an O(|points| x |intervals|) scan that dies long before 100 TB. The
+  * standard fix is BINNING: quantize the value axis into fixed-width
+  * bins, replicate each interval into every bin it touches (a bounded
+  * explode), give each point its single bin, and let a plain
+  * shuffle/broadcast EQUI-join on the bin id generate candidates that an
+  * exact `BETWEEN` filter then confirms. The bin width trades replication
+  * (long intervals touch many bins) against candidate precision (wide
+  * bins pair distant points and intervals); set it near the median
+  * interval length.
+  *
+  * The bin id affects only WHICH candidate pairs are tested, never the
+  * result: membership is decided by the exact filter, so callers (and
+  * the DuckDB oracle) see precisely the non-equi join's rows.
+  */
+object RangeJoin {
+
+  /** Join each point row to every interval row whose `[loCol, hiCol]`
+    * (both ends inclusive) contains its `pointCol`.
+    *
+    * Scale shape: one explode of the interval side (`span/binWidth + 1`
+    * rows per interval, capped by `maxBinsPerInterval` — an interval
+    * exceeding the cap raises rather than silently fanning out), one
+    * equi-join on the bin id (AQE broadcasts the interval side when it
+    * is small; otherwise both sides hash-shuffle on the bin — never a
+    * nested loop). A point lands in exactly ONE bin, so no
+    * post-join dedup is needed.
+    *
+    * Empty intervals (`hi < lo`) match nothing, as in the plain
+    * predicate. NULL endpoints or points drop out (inner-join NULL
+    * semantics).
+    *
+    * @param points    frame with a numeric `pointCol`
+    * @param intervals frame with numeric `loCol`/`hiCol`
+    * @param binWidth  bin size in value units; choose ~ the median
+    *                  interval length
+    * @param maxBinsPerInterval guard against a pathological interval
+    *                  replicating without bound (raises at execution)
+    * @return points columns ++ intervals columns, inner-join semantics of
+    *         `pointCol BETWEEN loCol AND hiCol`
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String, binWidth: Double,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth ($binWidth) must be positive")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval ($maxBinsPerInterval) must be >= 1")
+    require(!points.columns.contains("_bin") &&
+      !intervals.columns.contains("_bin"),
+      "inputs must not carry a _bin column — it would be clobbered")
+    val overlap = points.columns.toSet intersect intervals.columns.toSet
+    require(overlap.isEmpty,
+      s"point/interval column names collide: ${overlap.mkString(", ")}")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    val p = points.withColumn("_bin", bin(col(pointCol)))
+    val i = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("_bins", sequence(bin(col(loCol)), bin(col(hiCol))))
+      .withColumn("_bins",
+        when(size(col("_bins")) <= maxBinsPerInterval, col("_bins"))
+          .otherwise(raise_error(concat(
+            lit(s"interval spans more than $maxBinsPerInterval bins of " +
+              s"width $binWidth at "), col(loCol).cast("string"),
+            lit(".."), col(hiCol).cast("string"),
+            lit(" — widen binWidth or raise maxBinsPerInterval")))))
+      .withColumn("_bin", explode(col("_bins"))).drop("_bins")
+    p.join(i, Seq("_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Interval-overlap join: every pair of rows whose `[aLo, aHi]` and
+    * `[bLo, bHi]` intersect (inclusive ends) — the interval×interval
+    * sibling of [[pointInInterval]], same binning machinery. Both sides
+    * explode into their touched bins; a candidate pair can share several
+    * bins, so the pair is attributed to ONE owner — the bin containing
+    * `greatest(aLo, bLo)`, which two overlapping intervals necessarily
+    * both touch — making the output duplicate-free without a distinct.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String, binWidth: Double,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth ($binWidth) must be positive")
+    val overlapCols = left.columns.toSet intersect right.columns.toSet
+    require(overlapCols.isEmpty,
+      s"left/right column names collide: ${overlapCols.mkString(", ")}")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    def expand(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .filter(col(lo) <= col(hi))
+      .withColumn("_bins", sequence(bin(col(lo)), bin(col(hi))))
+      .withColumn("_bins",
+        when(size(col("_bins")) <= maxBinsPerInterval, col("_bins"))
+          .otherwise(raise_error(
+            lit(s"interval spans more than $maxBinsPerInterval bins — " +
+              "widen binWidth or raise maxBinsPerInterval"))))
+      .withColumn("_bin", explode(col("_bins"))).drop("_bins")
+    expand(left, aLo, aHi).join(expand(right, bLo, bHi), Seq("_bin"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("_bin") === bin(greatest(col(aLo), col(bLo))))
+      .drop("_bin")
+  }
+}

@@ -321,6 +321,40 @@ object EngineQueries {
       graft.operators.SkewJoin.hotColdJoin(li, ord, Seq("okey"),
           hotThreshold = 4)
         .orderBy("okey", "line")
+    }),
+
+    // Non-equi range joins, certified result-identical to the plain
+    // BETWEEN predicate (the oracle IS the nested-loop form DuckDB is
+    // happy to run at sf scale): x37 bins the value axis so the
+    // point-in-interval candidates come from an EQUI-join — Spark would
+    // otherwise plan a BroadcastNestedLoopJoin; x38 is the
+    // interval-overlap sibling with owner-bin pair dedup.
+    "x37_range_join" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+          col("l_extendedprice").as("price"))
+      val i = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("ikey"),
+          (col("o_totalprice") - 500).as("lo"),
+          (col("o_totalprice") + 500).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(p, i, "price", "lo", "hi",
+          binWidth = 1000.0)
+        .orderBy("okey", "line", "ikey")
+    }),
+
+    "x38_interval_overlap" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val a = ord.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey").as("akey"),
+          (col("o_totalprice") - 500).as("alo"),
+          (col("o_totalprice") + 500).as("ahi"))
+      val b = ord.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000)
+        .select(col("o_orderkey").as("bkey"),
+          (col("o_totalprice") - 500).as("blo"),
+          (col("o_totalprice") + 500).as("bhi"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+          "alo", "ahi", "blo", "bhi", binWidth = 1000.0)
+        .orderBy("akey", "bkey")
     })
   )
 
@@ -333,6 +367,26 @@ object EngineQueries {
   val oracleSql: Map[String, String] = Map(
     "x35_salted_join" -> plainJoinSql,
     "x36_hot_cold_join" -> plainJoinSql,
+    "x37_range_join" ->
+      """WITH p AS (SELECT l_orderkey AS okey, l_linenumber AS line,
+                           l_extendedprice AS price
+                    FROM lineitem WHERE l_orderkey < 1000),
+              i AS (SELECT o_orderkey AS ikey, o_totalprice - 500 AS lo,
+                           o_totalprice + 500 AS hi
+                    FROM orders WHERE o_orderkey < 2000)
+         SELECT okey, line, price, ikey, lo, hi
+         FROM p JOIN i ON price BETWEEN lo AND hi
+         ORDER BY okey, line, ikey""",
+    "x38_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS akey, o_totalprice - 500 AS alo,
+                           o_totalprice + 500 AS ahi
+                    FROM orders WHERE o_orderkey < 500),
+              b AS (SELECT o_orderkey AS bkey, o_totalprice - 500 AS blo,
+                           o_totalprice + 500 AS bhi
+                    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000)
+         SELECT akey, alo, ahi, bkey, blo, bhi
+         FROM a JOIN b ON alo <= bhi AND blo <= ahi
+         ORDER BY akey, bkey""",
     "w1_event_windows" ->
       """SELECT ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS window_start,
                 event_type,

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** Binned range-join correctness: randomized cross-check against the
+  * brute-force non-equi join across bin widths (bins must never change
+  * the RESULT, only the candidate generation), plan shape (equi-join,
+  * not the nested loop Spark would plan for a bare BETWEEN), and the
+  * replication guard. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomData(seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val points = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextDouble() * 1000 - 200)).toDF("pid", "x")
+    // mixed interval lengths incl. empty (hi < lo) and point-sized
+    val intervals = Seq.tabulate(80) { i =>
+      val lo = rnd.nextDouble() * 1000 - 200
+      val len = rnd.nextInt(5) match {
+        case 0 => -1.0 // empty
+        case 1 => 0.0 // degenerate point interval
+        case _ => rnd.nextDouble() * 120
+      }
+      (i.toLong, lo, lo + len)
+    }.toDF("iid", "lo", "hi")
+    (points, intervals)
+  }
+
+  test("pointInInterval equals the brute-force BETWEEN join at any bin width") {
+    val (points, intervals) = randomData(seed = 7)
+    val expected = points.crossJoin(intervals)
+      .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(5.0, 50.0, 1000.0)) {
+      val got = RangeJoin.pointInInterval(points, intervals,
+          "x", "lo", "hi", binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"binWidth=$w")
+    }
+  }
+
+  test("intervalOverlap equals brute force and emits each pair exactly once") {
+    val a = randomData(seed = 13)._2.select(col("iid").as("aid"),
+      col("lo").as("alo"), col("hi").as("ahi"))
+    val b = randomData(seed = 29)._2.select(col("iid").as("bid"),
+      col("lo").as("blo"), col("hi").as("bhi"))
+    // brute force under the operator's documented semantics: an EMPTY
+    // interval (hi < lo) intersects nothing, even though the raw
+    // lo<=hi'/lo'<=hi predicate can hold for it
+    val expected = a.filter(col("alo") <= col("ahi"))
+      .crossJoin(b.filter(col("blo") <= col("bhi")))
+      .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted
+    for (w <- Seq(7.0, 60.0, 500.0)) {
+      val got = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi",
+          binWidth = w)
+        .select("aid", "bid").as[(Long, Long)].collect().sorted
+      // sequence equality (not set): a duplicated pair must fail
+      assert(got.toSeq === expected.toSeq, s"binWidth=$w")
+    }
+  }
+
+  test("the candidate join is an equi-join, never a nested loop") {
+    val (points, intervals) = randomData(seed = 3)
+    val plan = RangeJoin.pointInInterval(points, intervals,
+      "x", "lo", "hi", 50.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // while the naive spelling of the same predicate IS the nested loop
+    val naive = points.join(intervals,
+      col("x") >= col("lo") && col("x") <= col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin"), naive)
+  }
+
+  test("an interval spanning more bins than the cap raises instead of fanning out") {
+    val points = Seq((1L, 5.0)).toDF("pid", "x")
+    val wide = Seq((1L, 0.0, 1e6)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, wide, "x", "lo", "hi",
+        binWidth = 1.0, maxBinsPerInterval = 100).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
