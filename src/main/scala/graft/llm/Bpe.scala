@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge mining (Sennrich et al. 2016,
+  * arXiv:1508.07909) over the WORD-FREQUENCY table — the tokenizer-
+  * training step of an LLM data pipeline.
+  *
+  * Scale stance: every per-merge pass runs on the VOCABULARY (distinct
+  * words + counts), not the corpus — the one corpus-sized pass is the
+  * initial word count, after which a 100 TB corpus and its ~10M-row
+  * vocabulary cost the same per merge. Pair counting is a codegen'd
+  * explode + sum; the winning pair is a 1-row aggregate (metadata-scale
+  * collect). Applying a merge rewrites the symbol arrays row-locally —
+  * an inherently sequential greedy scan, done in a typed map (the
+  * `packChunks` precedent: imperative per-row logic belongs there, and
+  * at vocabulary scale it is off the hot path). Each iteration's frame
+  * is lineage-cut so Catalyst planning stays flat across merges.
+  *
+  * Production tokenizer training samples the corpus first
+  * ([[Corpus.stratifiedSample]]) — merges depend only on frequency
+  * RATIOS, which a deterministic hash sample preserves.
+  */
+object Bpe {
+
+  /** Word-frequency table of `textCol`: (word, cnt), whitespace-split,
+    * lowercased, empties dropped — one corpus pass, vocabulary-sized
+    * output. */
+  def wordVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Seed symbol table: each word as its character sequence —
+    * (word, cnt, syms: array<string>). */
+  def initSymbols(vocab: DataFrame): DataFrame =
+    vocab.withColumn("syms",
+      filter(split(col("word"), ""), s => length(s) > 0))
+
+  /** Weighted adjacent-pair counts over a symbol table:
+    * (a, b, n = sum of word counts over each OCCURRENCE of the adjacent
+    * pair). All-integer count space. */
+  def pairCounts(symbols: DataFrame): DataFrame =
+    symbols.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("n"))
+
+  /** Leftmost-greedy non-overlapping merge of adjacent (a, b) → a+b —
+    * the standard BPE apply rule. */
+  private[llm] def mergeSeq(s: Seq[String], a: String, b: String)
+      : Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  private def applyMerge(symbols: DataFrame, a: String, b: String)
+      : DataFrame = {
+    val spark = symbols.sparkSession
+    import spark.implicits._
+    symbols.select("word", "cnt", "syms")
+      .as[(String, Long, Seq[String])]
+      .map { case (w, c, s) => (w, c, mergeSeq(s, a, b)) }
+      .toDF("word", "cnt", "syms")
+  }
+
+  /** Learn `numMerges` merges from the corpus: per step, the (count
+    * desc, pair asc) argmax adjacent pair — the deterministic tie rule
+    * every re-run (and the spec's hand computation) reproduces. Stops
+    * early when no pair remains. Returns the ordered merge list. */
+  def train(df: DataFrame, textCol: String, numMerges: Int)
+      : Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges ($numMerges) must be >= 0")
+    var symbols = graft.operators.Lineage.cut(
+      initSymbols(wordVocab(df, textCol)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val top = pairCounts(symbols)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        symbols = graft.operators.Lineage.cut(applyMerge(symbols, a, b))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize `textCol` with a learned merge list: one row per input
+    * row, `tokens` = the BPE symbols of each whitespace word in order.
+    * Row-local (typed map over the corpus — no shuffle); merges apply
+    * in training order, as at inference. */
+  def tokenize(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val local = merges.toIndexedSeq
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = Option(text).getOrElse("").toLowerCase
+          .split("\\s+").filter(_.nonEmpty)
+          .flatMap { w =>
+            var syms: Seq[String] = w.split("").toSeq.filter(_.nonEmpty)
+            local.foreach { case (a, b) => syms = mergeSeq(syms, a, b) }
+            syms
+          }
+        (id, toks.toSeq)
+      }
+      .toDF("id", "tokens")
+  }
+}

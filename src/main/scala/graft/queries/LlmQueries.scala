@@ -181,6 +181,16 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer training, step 0: weighted adjacent character-pair
+    // counts over the word-frequency table — the aggregate every merge
+    // iteration of Bpe.train argmaxes. Integer count space; the
+    // vocabulary (not the corpus) is the working set from here on.
+    "x39_bpe_pairs" -> ((s, dir) => {
+      Bpe.pairCounts(Bpe.initSymbols(
+          Bpe.wordVocab(t(s, dir, "documents"), "text")))
+        .orderBy("a", "b")
+    }),
+
     // Deterministic global shuffle into shards: the corpus-construction
     // final step — hash-seeded training order, dense per-shard positions,
     // exactly reproducible across engines and re-runs.
@@ -984,6 +994,18 @@ object LlmQueries {
                      FROM cc a JOIN cc b ON a.cell = b.cell AND b.vec_id < a.vec_id)
           SELECT dropped_id, min(nid) AS kept_id FROM pr WHERE cos >= 0.99
           GROUP BY dropped_id ORDER BY dropped_id""",
+    "x39_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($duckToks) AS word FROM documents),
+              v AS (SELECT word, count(*) AS cnt FROM w
+                    WHERE length(word) > 0 GROUP BY word),
+              p0 AS (SELECT word, cnt,
+                       unnest(range(1, length(word))) AS i FROM v),
+              p AS (SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+                           substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+                           cnt
+                    FROM p0)
+          SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
+          FROM p GROUP BY a, b ORDER BY a, b""",
     "x34_global_order" ->
       """SELECT doc_id,
                 row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS pos

@@ -83,6 +83,36 @@ class LlmSpec extends SparkSpec {
     assert(found.contains((0L, 100000L)))
   }
 
+  test("BPE train learns the hand-computed merge sequence and stops when dry") {
+    // corpus "aa ab aa": vocab {aa:2, ab:1}; pairs {(a,a):2, (a,b):1} →
+    // merge 1 = (a,a); then aa=[aa], ab=[a,b] → merge 2 = (a,b); then no
+    // adjacent pairs remain → early stop despite numMerges=5
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, "text", 5) === Seq(("a", "a"), ("a", "b")))
+    // deterministic tie rule: equal counts resolve to the lexicographically
+    // first pair — "ba ab" has (b,a) and (a,b) each once → (a,b) wins
+    val tie = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    assert(Bpe.train(tie, "text", 1) === Seq(("a", "b")))
+  }
+
+  test("BPE tokenize applies merges in training order, leftmost-greedy") {
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val out = Bpe.tokenize(
+        Seq((1L, "aab aa"), (2L, "aaa b")).toDF("doc_id", "text"),
+        "text", "doc_id", merges)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // "aab": [a,a,b] → (a,a) → [aa,b]; (a,b) finds no adjacent a,b
+    assert(out(1L) === List("aa", "b", "aa"))
+    // "aaa": leftmost-greedy (a,a) → [aa,a], not [a,aa]
+    assert(out(2L) === List("aa", "a", "b"))
+    // occurrence counting includes overlaps: "aaa" holds (a,a) twice
+    val pc = Bpe.pairCounts(Bpe.initSymbols(
+        Bpe.wordVocab(Seq((1L, "aaa")).toDF("doc_id", "text"), "text")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pc(("a", "a")) === 2L)
+  }
+
   test("semanticDedup flags within-cell near-dups against their lowest-id keeper") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant TWO extra copies of vec 0: a transitive group {0, 200000,
