@@ -521,6 +521,30 @@ object Corpus {
       .drop("_b", "_off")
   }
 
+  /** Write a [[shuffleIntoShards]] result as the final corpus layout:
+    * `path/shard=N/part-*.parquet`, rows inside each shard's file
+    * sequence in `pos` order — exactly what a data loader streams.
+    *
+    * Shape: one hash shuffle on the shard id, an in-partition sort on
+    * (shard, pos) — a partition may hold several whole shards; the sort
+    * keeps each contiguous and ordered, and the partitioned write
+    * preserves in-partition row order per output file. With
+    * `maxRecordsPerFile` set, a shard rolls over into part files whose
+    * LEXICOGRAPHIC name order continues the row order (Spark numbers
+    * them monotonically within the writing task), so readers concatenate
+    * a shard's files sorted by name. `nShards` (not the cluster) bounds
+    * write parallelism — size it to the target file count. */
+  def writeShards(df: DataFrame, path: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(df.columns.contains("shard") && df.columns.contains("pos"),
+      "expected a shuffleIntoShards result (shard, pos columns)")
+    df.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `k`-gram with an evaluation/benchmark corpus — the standard
     * n-gram-overlap test-set leak check (GPT-3 appendix C / PaLM-style)

@@ -104,6 +104,10 @@ object Pipeline {
     * @param capPerSource     optional per-source cap (step 6.5): keep at
     *                         most this many docs per source, selected in
     *                         deterministic hash order (the per-domain cap)
+    * @param capByQuality     rank the step-6.5 cap by the certified
+    *                         quality score (best docs per source, ties by
+    *                         doc_id) instead of stable hash order —
+    *                         curation rather than thinning
     * @param redactPii        mask emails/phones/IPs in surviving text
     *                         (step 7) before chunking
     * @param chunkSize        tokens per chunk (step 8)
@@ -132,6 +136,7 @@ object Pipeline {
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       capPerSource: Option[Int] = None,
+      capByQuality: Boolean = false,
       redactPii: Boolean = false,
       chunkSize: Int = 512,
       overlap: Int = 64,
@@ -248,7 +253,13 @@ object Pipeline {
     // 6.5 optional per-source cap (the per-domain cap, after sampling so
     // the cap binds on the post-mix corpus)
     val capped = capPerSource.fold(sampled)(c =>
-      Corpus.capPerStratum(sampled, "doc_id", "source", c))
+      if (capByQuality)
+        Corpus.capPerStratumBy(
+            sampled.withColumn("_q",
+              TextAnalysis.qualityScore(col("text"), stopwords)),
+            "source", c, col("_q").desc, col("doc_id").asc)
+          .drop("_q")
+      else Corpus.capPerStratum(sampled, "doc_id", "source", c))
     val capDrops = capPerSource.map(_ => sampled.join(
         capped.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("capped").as("reason")))

@@ -51,9 +51,9 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth ($binWidth) must be positive")
     require(maxBinsPerInterval >= 1,
       s"maxBinsPerInterval ($maxBinsPerInterval) must be >= 1")
-    require(!points.columns.contains("_bin") &&
-      !intervals.columns.contains("_bin"),
-      "inputs must not carry a _bin column — it would be clobbered")
+    require((points.columns ++ intervals.columns)
+      .forall(c => c != "_bin" && c != "_bins"),
+      "inputs must not carry _bin/_bins columns — they would be clobbered")
     val overlap = points.columns.toSet intersect intervals.columns.toSet
     require(overlap.isEmpty,
       s"point/interval column names collide: ${overlap.mkString(", ")}")
@@ -90,6 +90,9 @@ object RangeJoin {
     val overlapCols = left.columns.toSet intersect right.columns.toSet
     require(overlapCols.isEmpty,
       s"left/right column names collide: ${overlapCols.mkString(", ")}")
+    require((left.columns ++ right.columns)
+      .forall(c => c != "_bin" && c != "_bins"),
+      "inputs must not carry _bin/_bins columns — they would be clobbered")
     def bin(c: Column): Column = floor(c / binWidth).cast("long")
     def expand(df: DataFrame, lo: String, hi: String): DataFrame = df
       .filter(col(lo) <= col(hi))

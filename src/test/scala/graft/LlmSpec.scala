@@ -1052,6 +1052,58 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pipeline capByQuality keeps the best doc per source, not a hash pick") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks away to find some food in the quiet forest before dark " +
+      "while birds sing in the trees above the cold river"
+    val junk = "zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz " +
+      "zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz"
+    // junk gets the LOWER id so neither hash order nor an id tie-break
+    // could accidentally pick the good doc for the wrong reason
+    val input = Seq((1L, junk, "srcA"), (2L, good, "srcA"))
+      .toDF("doc_id", "text", "source")
+    val build = Pipeline.buildTrainingCorpus(input, minQuality = 0.0,
+      capPerSource = Some(1), capByQuality = true,
+      chunkSize = 64, overlap = 0, budget = 128)
+    val keptIds = build.kept.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(keptIds === Set(2L))
+    val reasons = build.dropped.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons.get(1L).contains("capped"))
+    build.release()
+  }
+
+  test("writeShards lands each shard's files in loader-ready pos order") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val sharded = Corpus.shuffleIntoShards(docs, "doc_id", nShards = 4)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      // small rollover so shards split into several part files
+      Corpus.writeShards(sharded, dir, maxRecordsPerFile = 40L)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(shardDirs.map(_.getName).sorted ===
+        (0 until 4).map(n => s"shard=$n").toArray)
+      for (sd <- shardDirs) {
+        val files = sd.listFiles().map(_.toString)
+          .filter(_.endsWith(".parquet")).sorted
+        assert(files.length > 1, s"expected rollover in ${sd.getName}")
+        // concatenating files in name order must give pos 0,1,2,...
+        val pos = files.flatMap(f =>
+          spark.read.parquet(f).select("pos").collect().map(_.getLong(0)))
+        assert(pos.toSeq === pos.indices.map(_.toLong))
+      }
+      // round-trip completeness: nothing lost or duplicated
+      val back = spark.read.parquet(dir)
+      assert(back.count() === docs.count())
+      assert(back.select("doc_id").distinct().count() === docs.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("capPerStratumBy keeps exactly the top-cap rows under the ordering") {
     val docs = Seq(
       (1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L), (4L, "a", 1L),
