@@ -13,6 +13,31 @@ object TextAnalysis {
   /** Whitespace tokens, lower-cased. */
   def tokens(text: Column): Column = Dedup.tokens(text)
 
+  /** Web-corpus text hygiene: strip HTML/XML tags, decode the five
+    * predefined character entities, drop C0/C1-ish control characters,
+    * collapse whitespace runs to single spaces, trim. Stateless
+    * codegen'd regexp chain — no shuffle, no UDF; order matters (tags
+    * before entities, so `&lt;b&gt;` decodes to literal text instead of
+    * becoming a strippable tag; whitespace collapse last so removals
+    * can't leave double spaces). Scripts/styles keep their text content:
+    * dropping it needs an HTML parser, which belongs in a decode stage
+    * ([[Multimodal]]-style), not a Column pass. */
+  def cleanText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val amp = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    val noCtl = regexp_replace(amp,
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
   def nTokens(text: Column): Column = size(tokens(text))
 
   /** Mean token length (characters). */

@@ -181,6 +181,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Web-corpus hygiene pass: docs wrapped in deterministic HTML chrome
+    // (tags, the five predefined entities, a control char) must clean to
+    // identical text on both engines — md5 keeps any divergence loud.
+    "x40_clean_text" -> ((s, dir) => {
+      val wrapped = concat(lit("<div id=\"d\"> "), col("text"),
+        lit(" &amp; more &lt;tags&gt; &quot;q&#39;s&quot;</div>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.cleanText(wrapped).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("clean_md5"),
+          length(col("t")).as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training, step 0: weighted adjacent character-pair
     // counts over the word-frequency table — the aggregate every merge
     // iteration of Bpe.train argmaxes. Integer count space; the
@@ -994,6 +1007,28 @@ object LlmQueries {
                      FROM cc a JOIN cc b ON a.cell = b.cell AND b.vec_id < a.vec_id)
           SELECT dropped_id, min(nid) AS kept_id FROM pr WHERE cos >= 0.99
           GROUP BY dropped_id ORDER BY dropped_id""",
+    "x40_clean_text" ->
+      """WITH w AS (SELECT doc_id,
+                      '<div id="d">' || chr(11) || ' ' || text ||
+                      ' &amp; more &lt;tags&gt; &quot;q&#39;s&quot;</div>'
+                        AS t
+                    FROM documents),
+              c1 AS (SELECT doc_id,
+                       regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM w),
+              c2 AS (SELECT doc_id,
+                       replace(replace(replace(replace(replace(t,
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', ''''), '&amp;', '&') AS t
+                     FROM c1),
+              c3 AS (SELECT doc_id, regexp_replace(t,
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS t
+                     FROM c2),
+              c4 AS (SELECT doc_id,
+                       trim(regexp_replace(t, '\s+', ' ', 'g')) AS t
+                     FROM c3)
+         SELECT doc_id, md5(t) AS clean_md5,
+                length(t) AS n_chars_clean
+         FROM c4 ORDER BY doc_id""",
     "x39_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($duckToks) AS word FROM documents),
               v AS (SELECT word, count(*) AS cnt FROM w

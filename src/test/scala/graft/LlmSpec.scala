@@ -83,6 +83,20 @@ class LlmSpec extends SparkSpec {
     assert(found.contains((0L, 100000L)))
   }
 
+  test("cleanText strips tags, decodes entities, drops controls, collapses space") {
+    val out = Seq(
+      (1L, "<p class=\"x\">a  b</p>\t<br/>c"),
+      (2L, "&lt;b&gt; is &quot;literal&quot; &amp;&#39;safe&#39;"),
+      (3L, "ctlhere end "))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.cleanText(col("t")).as("c"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) === "a b c")
+    // decoded entity text stays literal — it must NOT become a strippable tag
+    assert(out(1) === "<b> is \"literal\" &'safe'")
+    assert(out(2) === "ctlhere end")
+  }
+
   test("BPE train learns the hand-computed merge sequence and stops when dry") {
     // corpus "aa ab aa": vocab {aa:2, ab:1}; pairs {(a,a):2, (a,b):1} →
     // merge 1 = (a,a); then aa=[aa], ab=[a,b] → merge 2 = (a,b); then no
