@@ -196,6 +196,34 @@ object Similarity {
       .groupBy("dropped_id").agg(min(col("_nid")).as("kept_id"))
   }
 
+  /** Embedding-space outlier flagging: per IVF cell, the `bottomK`
+    * vectors with the LOWEST projection onto their own unit centroid —
+    * the points their cluster explains worst (noise, mislabels,
+    * off-distribution content). The quality-filter complement of
+    * [[semanticDedup]]: that drops what is too close together, this
+    * surfaces what belongs nowhere.
+    *
+    * Scale shape: per-row matvec (no shuffle) + one cell-keyed window;
+    * cells are the partition unit, so `nlist` sizing bounds the window
+    * exactly as in [[semanticDedup]]. Returns (idCol, cell, rank) with
+    * rank 1 = worst-explained; ties break to the lower id. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+      bottomK: Int, nlist: Int = 8, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+    require(bottomK >= 1, s"bottomK ($bottomK) must be >= 1")
+    val cents = centroids.getOrElse(seedCentroids(nlist, dims))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("_proj").asc, col(idCol).asc)
+    df.select(col(idCol), col(vecCol).as("_v"))
+      .withColumn("_ps", centroidProjections(col("_v"), cents))
+      .withColumn("cell",
+        (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
+      .withColumn("_proj", array_max(col("_ps")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= bottomK)
+      .select(col(idCol), col("cell"), col("rank"))
+  }
+
   /** One Lloyd accumulation as a DataFrame: per (cell, pos) the member
     * count and the mean component over the vectors assigned to that cell.
     * This is the DISTRIBUTED half of a k-means step — position-explode

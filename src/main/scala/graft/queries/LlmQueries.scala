@@ -181,6 +181,38 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Embedding outliers: per IVF cell, the 3 vectors their own centroid
+    // explains worst (lowest own-cell projection) — the noise/mislabel
+    // surface complement of a8's too-close dedup.
+    "a9_embedding_outliers" -> ((s, dir) => {
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"), "vec_id",
+          "embedding", bottomK = 3, nlist = 8)
+        .orderBy("cell", "rank")
+    }),
+
+    // Per-source corpus report card: docs, tokens, exact-duplicate docs,
+    // and mean quality points — the one-page audit a curation run starts
+    // from. Integer count space throughout; the single division is the
+    // last step (quality points are 0..4 ints, divided by 4n once).
+    "x41_corpus_report" -> ((s, dir) => {
+      // quality points = score * 4 — an exact 0..4 integer (the score is
+      // a quarter-integer), keeping the rollup in count space with ONE
+      // division at the end
+      val qp = (TextAnalysis.qualityScore(col("text"), stopwords) * 4)
+        .cast("long")
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("nt"),
+          qp.as("qp"), md5(col("text")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+          (sum(col("qp")).cast("double") /
+            (count(lit(1)) * 4).cast("double")).as("mean_quality"))
+        .orderBy("source")
+    }),
+
     // Web-corpus hygiene pass: docs wrapped in deterministic HTML chrome
     // (tags, the five predefined entities, a control char) must clean to
     // identical text on both engines — md5 keeps any divergence loud.
@@ -1007,6 +1039,37 @@ object LlmQueries {
                      FROM cc a JOIN cc b ON a.cell = b.cell AND b.vec_id < a.vec_id)
           SELECT dropped_id, min(nid) AS kept_id FROM pr WHERE cos >= 0.99
           GROUP BY dropped_id ORDER BY dropped_id""",
+    "a9_embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1
+                         AS cell,
+                       list_max(ps) AS proj
+                     FROM pc),
+              r AS (SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY cell
+                                         ORDER BY proj ASC, vec_id ASC) AS rn
+                    FROM cc)
+          SELECT vec_id, cell, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 3 ORDER BY cell, rank""",
+    "x41_corpus_report" ->
+      s"""WITH ws AS (SELECT source, text, $duckToks AS w FROM documents),
+              q AS (SELECT source, text, w,
+                      (CASE WHEN len(w) BETWEEN 20 AND 10000 THEN 1 ELSE 0 END) +
+                      (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1 ELSE 0 END) +
+                      (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END) +
+                      (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1 ELSE 0 END)
+                        AS qp
+                    FROM ws)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+                 count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+                 CAST(sum(qp) AS DOUBLE) / CAST(count(*) * 4 AS DOUBLE)
+                   AS mean_quality
+          FROM q GROUP BY source ORDER BY source""",
     "x40_clean_text" ->
       """WITH w AS (SELECT doc_id,
                       '<div id="d">' || chr(11) || ' ' || text ||

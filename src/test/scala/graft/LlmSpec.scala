@@ -152,6 +152,27 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(col("vec_id").isin(0L, 200000L, 200001L)).count() === 1)
   }
 
+  test("embeddingOutliers matches a driver-side replay of the projection ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.embeddingOutliers(emb, "vec_id", "embedding",
+        bottomK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // brute-force replay with the same deterministic codebook
+    val cents = Similarity.seedCentroids(8, 64)
+    val rows = emb.select("vec_id", "embedding").collect().map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val dots = cents.map(c => c.zip(v).map { case (a, b) => a * b }.sum)
+      val best = dots.max
+      (id, dots.indexOf(best), best)
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, members) =>
+      members.sortBy(m => (m._3, m._1)).take(3).zipWithIndex
+        .map { case ((id, c, _), i) => (id, c, i + 1) }.toSeq
+    }.toSet
+    assert(got === expected)
+  }
+
   test("globalOrderIndex reproduces the single-window row_number at any bucketing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val expected = docs
