@@ -417,6 +417,8 @@ object Corpus {
   def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
       cap: Int): DataFrame = {
     require(cap >= 1, s"cap ($cap) must be >= 1")
+    require(!df.columns.contains("_rn"),
+      "input must not carry a _rn column — it would be clobbered")
     val h = Hashing.hex32(
       concat(coalesce(col(strataCol), lit("")), lit(":"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
@@ -439,6 +441,8 @@ object Corpus {
       order: Column*): DataFrame = {
     require(cap >= 1, s"cap ($cap) must be >= 1")
     require(order.nonEmpty, "order must be non-empty (include an id tie-break)")
+    require(!df.columns.contains("_rn"),
+      "input must not carry a _rn column — it would be clobbered")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(order: _*)
     df.withColumn("_rn", row_number().over(w))

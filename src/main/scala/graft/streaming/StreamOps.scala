@@ -113,6 +113,40 @@ object StreamOps {
       }
   }
 
+  /** Decontamination-on-ingest: drop streaming documents sharing any
+    * word `k`-gram with a STATIC benchmark corpus — the x11 gate run
+    * continuously, so contaminated docs never land in the corpus at all.
+    *
+    * The bench side is shingled, deduped and MATERIALIZED once at stream
+    * start (lineage cut), not per micro-batch; each batch then pays one
+    * batch-sized shingle pass + a broadcast semi-join against the bench
+    * grams. Survivors land in idempotent `batch=<id>` partitions
+    * (at-least-once `foreachBatch` replays overwrite, same layout as
+    * [[durableIngestDedup]]); reading `outDir` partition-discovers the
+    * ingest lineage. For bench sets past broadcast size, swap the semi-
+    * join for the Bloom + exact-verify pair in
+    * [[graft.llm.Corpus.contaminatedDocsBloom]] — the per-batch plan is
+    * the same shape. */
+  def streamingDecontaminate(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, outDir: String, k: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(k > 0, s"k ($k) must be positive")
+    val benchGrams = graft.operators.Lineage.cut(
+      graft.llm.Dedup.shingleRows(bench, textCol, idCol, k)
+        .select(col("s")).distinct())
+    docs.writeStream.trigger(trigger)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hit = graft.llm.Dedup.shingleRows(batch, textCol, idCol, k)
+          .join(broadcast(benchGrams), Seq("s"), "left_semi")
+          .select(idCol).distinct()
+        batch.join(hit, Seq(idCol), "left_anti")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/batch=$batchId")
+        ()
+      }.start()
+  }
+
   // ---------------------------------------------------------------------
   // durable ingest dedup — the delta operators on a stream
   // ---------------------------------------------------------------------

@@ -61,6 +61,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDecontaminate drops bench-overlapping docs across batches " +
+    "and query restarts (AvailableNow drain per wave, same checkpoint)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val leak = "one two three four five six seven eight"
+    val bench = Seq((100L, s"benchmark question: $leak"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    val in = MemoryStream[Doc]
+    def drain(): Unit = {
+      // AvailableNow: each start() drains what's pending, then stops; the
+      // shared checkpoint resumes offsets so wave 2 is a real restart
+      val q = StreamOps.streamingDecontaminate(in.toDF(), bench,
+        "text", "doc_id", dir, k = 8)
+      try q.awaitTermination() finally q.stop()
+    }
+    try {
+      in.addData(Doc(1, s"prefix $leak suffix"), Doc(2, "a clean doc here"))
+      drain()
+      in.addData(Doc(3, "another clean one"), Doc(4, s"also leaks: $leak"))
+      drain()
+      val out = spark.read.parquet(dir)
+      assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+        === Set(2L, 3L))
+      // ingest lineage: the batch partition column is discoverable
+      assert(out.columns.contains("batch"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streamingDedup TTL: evicted keys re-emit, live keys still dedup") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Doc]
