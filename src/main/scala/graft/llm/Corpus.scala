@@ -632,4 +632,44 @@ object Corpus {
     trainGrams.join(benchGrams, Seq("s"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Cluster-aware train/holdout split: each document is assigned by the
+    * hash of its DEDUP-CLUSTER REPRESENTATIVE, not its own id, so a
+    * near-duplicate pair can never straddle the split. Plain per-doc hash
+    * splitting leaks whenever near-dups survive dedup (or the split runs
+    * before it): the holdout twin of a training doc inflates eval. Here
+    * the whole cluster moves as one unit — leakage through any pair in
+    * `pairs` is structurally impossible.
+    *
+    * `pairs` is any certified near-dup pair table ([[Dedup.ngramJaccardPairs]],
+    * [[Dedup.minhashNearDups]], [[Similarity.embeddingNearDups]]);
+    * singletons (docs in no pair) hash on their own id, which equals their
+    * representative. The assignment is an md5-fold threshold on a salted
+    * key ('split:' prefix decouples it from the sampling hashes), no RNG:
+    * re-runs, engines, and corpus growth that doesn't touch a cluster all
+    * reproduce the identical split. Threshold arithmetic stays in integer
+    * space (`pct * 2^32 / 100`, floor) so the oracle replays it exactly.
+    *
+    * Execution shape: [[Dedup.clusterRepresentatives]] over the pair graph
+    * (edge-table shuffles, log-diameter propagation), one key-shuffle
+    * left join docs⋈reps — near-dup clusters are a vanishing fraction of
+    * a deduped corpus, so AQE broadcasts the rep table at any real scale —
+    * then a codegen'd hash per row. No corpus-wide shuffle beyond the join.
+    *
+    * @return docs plus (rep, split∈{train,holdout}) */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String, bCol: String, holdoutPct: Int): DataFrame = {
+    require(holdoutPct >= 0 && holdoutPct < 100,
+      s"holdoutPct ($holdoutPct) must be in [0, 100)")
+    require(!docs.columns.contains("rep") && !docs.columns.contains("split"),
+      "input must not carry rep/split columns — they would be clobbered")
+    val reps = Dedup.clusterRepresentatives(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val threshold = holdoutPct.toLong * 4294967296L / 100L
+    docs.join(reps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+      .withColumn("split",
+        when(Hashing.hex32(concat(lit("split:"), col("rep").cast("string")))
+          < lit(threshold), lit("holdout")).otherwise(lit("train")))
+  }
 }

@@ -58,6 +58,18 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // Cluster-aware train/holdout split: the assignment hashes the dedup-
+    // cluster REPRESENTATIVE, so no near-dup pair can straddle the split —
+    // the leakage guard a per-doc hash split lacks. Oracle replays the
+    // pair graph, connected components, and the integer hash threshold.
+    "x42_leak_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      Corpus.leakageSafeSplit(docs, pairs, "doc_id", "id_a", "id_b", 10)
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash signatures.
     "d4_simhash" -> ((s, dir) => {
       Dedup.simhashSignatures(t(s, dir, "documents"), "text", "doc_id", 16)
@@ -829,6 +841,30 @@ object LlmQueries {
                   SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node)
                 SELECT node, min(lbl) AS rep FROM r GROUP BY node)
           SELECT node AS id, rep FROM reach WHERE node <> rep ORDER BY id""",
+    "x42_leak_split" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (
+                WITH RECURSIVE r(node, lbl) AS (
+                  SELECT src, src FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node)
+                SELECT node, min(lbl) AS rep FROM r GROUP BY node),
+              assigned AS (
+                SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+                FROM documents d LEFT JOIN reach r ON r.node = d.doc_id)
+          SELECT doc_id, rep,
+                 CASE WHEN ${duckHex32("'split:' || CAST(rep AS VARCHAR)")} <
+                        ${10L * 4294967296L / 100L}
+                      THEN 'holdout' ELSE 'train' END AS split
+          FROM assigned ORDER BY doc_id""",
     "d4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok
                         FROM documents),

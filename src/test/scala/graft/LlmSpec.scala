@@ -1171,4 +1171,30 @@ class LlmSpec extends SparkSpec {
     // only A-B overlaps: shared {a b c}, |A|=2, |B|=2 → 1/3
     assert(out.toSeq === Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0)))
   }
+
+  test("leakageSafeSplit: no near-dup pair straddles the split, " +
+    "singletons hash on their own id") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+    val split = Corpus.leakageSafeSplit(
+      docs, pairs, "doc_id", "id_a", "id_b", holdoutPct = 30)
+    val assign = split.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    // the invariant the operator exists for: every near-dup pair lands
+    // on ONE side — leakage through a pair is structurally impossible
+    val straddling = pairs.select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().filter { case (a, b) => assign(a) != assign(b) }
+    assert(pairs.count() > 0) // planted near-dups exist in the corpus
+    assert(straddling.isEmpty, straddling.mkString(", "))
+    // singletons (docs in no pair) assign by their own id == rep
+    val inPairs = pairs.select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().flatMap(p => Seq(p._1, p._2)).toSet
+    val reps = split.select($"doc_id", $"rep").as[(Long, Long)]
+      .collect().toMap
+    reps.foreach { case (id, rep) =>
+      if (!inPairs(id)) assert(rep === id) else assert(rep <= id)
+    }
+    // total partition: every doc assigned exactly once, both sides used
+    assert(assign.size === docs.count())
+    assert(assign.values.toSet === Set("train", "holdout"))
+  }
 }
