@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+
+/** Bucketed (pre-shuffled) storage layout — the co-located join/aggregate
+  * primitive for tables that are joined on the same key again and again.
+  *
+  * A 100 TB fact table joined per-run against its entity table pays a full
+  * shuffle of both sides EVERY run if the layout is flat parquet. Writing
+  * both sides bucketed by the join key moves that shuffle to write time,
+  * ONCE: every later equi-join or aggregation on the key reads each bucket
+  * pair co-located and plans with ZERO Exchange on either side (proven in
+  * BucketingSpec — the executed plan contains no shuffle at all, and with
+  * `sortedBy` set, no Sort either). Bucket counts must match between the
+  * sides; [[coLocatedJoin]] checks that from catalog metadata instead of
+  * letting a mismatch silently re-shuffle.
+  *
+  * This is Spark-native bucketing (`bucketBy`/`saveAsTable`, hash-
+  * partitioned files per bucket id) — the same files any other Spark
+  * reader sees; no custom format. Prefer it over [[graft.llm.Corpus.writeShards]]
+  * when downstream is JOINS rather than sequential training ingestion:
+  * shards optimize streaming read order, buckets optimize key locality. */
+object Bucketing {
+
+  /** Write `df` bucketed by `key` into `nBuckets` buckets as catalog table
+    * `table` (parquet files under the warehouse dir). `sortedBy` adds an
+    * in-bucket sort so single-file buckets also skip the join-time Sort.
+    *
+    * One shuffle-equivalent pass at write time buys every future consumer
+    * a shuffle-free join/agg on `key`; `nBuckets` plays the role of the
+    * parallelism floor for those consumers, so size it like you would a
+    * shuffle partition count at the table's full scale. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int, sortedBy: Option[String] = None): Unit = {
+    require(nBuckets > 0, s"nBuckets ($nBuckets) must be positive")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, key)
+    sortedBy.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+
+  /** Bucket spec of a catalog table: (numBuckets, bucketColumns), or None
+    * if the table is not bucketed. */
+  def bucketSpec(spark: SparkSession, table: String): Option[(Int, Seq[String])] = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    meta.bucketSpec.map(b => (b.numBuckets, b.bucketColumnNames))
+  }
+
+  /** Equi-join two bucketed tables on `key`, shuffle-free by construction:
+    * requires both sides bucketed by `key` with EQUAL bucket counts (read
+    * from catalog metadata — a silent mismatch would re-shuffle one side),
+    * and hints merge-join so the planner cannot pick a broadcast that
+    * ignores the layout. The resulting plan has no Exchange on either
+    * side at any table size. */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+      key: String, joinType: String = "inner"): DataFrame = {
+    def spec(t: String) = bucketSpec(spark, t).getOrElse(
+      throw new IllegalArgumentException(s"table $t is not bucketed"))
+    val (ln, lc) = spec(left); val (rn, rc) = spec(right)
+    require(lc == Seq(key) && rc == Seq(key),
+      s"both tables must be bucketed by $key (got $left:$lc, $right:$rc)")
+    require(ln == rn,
+      s"bucket counts must match for a co-located join (got $left:$ln, " +
+        s"$right:$rn — rewrite one side with writeBucketed)")
+    spark.table(left).hint("merge")
+      .join(spark.table(right).hint("merge"), Seq(key), joinType)
+  }
+}

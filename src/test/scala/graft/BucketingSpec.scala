@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Bucketed-layout specs: the claim is a PLAN property — joins and
+  * aggregations on the bucket key run with zero Exchange (and zero Sort
+  * when the buckets are written sorted) — plus result equality with the
+  * flat-layout plan. Both are asserted on the executed plan string /
+  * output, not trusted from documentation. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  private lazy val customer =
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+  private def exchangeCount(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("co-located join of two bucketed tables plans zero Exchange " +
+    "and matches the flat-layout join") {
+    Bucketing.writeBucketed(
+      orders.select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      "b_orders", "o_custkey", 8, sortedBy = Some("o_custkey"))
+    Bucketing.writeBucketed(
+      customer.select($"c_custkey".as("o_custkey"), $"c_name"),
+      "b_customer", "o_custkey", 8, sortedBy = Some("o_custkey"))
+    val joined = Bucketing.coLocatedJoin(spark, "b_orders", "b_customer",
+      "o_custkey")
+    // the layout's whole point: no shuffle anywhere in the join plan
+    assert(exchangeCount(joined) === 0,
+      joined.queryExecution.executedPlan.toString)
+    // and the data is the same data: equality with the flat-parquet join
+    val flat = orders.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .join(customer.select($"c_custkey".as("o_custkey"), $"c_name"),
+        Seq("o_custkey"))
+    assert(joined.orderBy("o_orderkey").collect().toSeq ===
+      flat.select(joined.columns.map(col).toIndexedSeq: _*)
+        .orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("aggregation on the bucket key is also exchange-free") {
+    Bucketing.writeBucketed(
+      orders.select($"o_custkey", $"o_totalprice"),
+      "b_orders_agg", "o_custkey", 8)
+    val agg = spark.table("b_orders_agg")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(exchangeCount(agg) === 0,
+      agg.queryExecution.executedPlan.toString)
+    val flatAgg = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(agg.orderBy("o_custkey").collect().toSeq ===
+      flatAgg.orderBy("o_custkey").collect().toSeq)
+  }
+
+  test("bucket-count mismatch is refused, not silently re-shuffled") {
+    Bucketing.writeBucketed(
+      orders.select($"o_custkey", $"o_orderkey"), "b_orders_16",
+      "o_custkey", 16)
+    Bucketing.writeBucketed(
+      customer.select($"c_custkey".as("o_custkey")), "b_customer_8",
+      "o_custkey", 8)
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.coLocatedJoin(spark, "b_orders_16", "b_customer_8",
+        "o_custkey")
+    }
+    assert(e.getMessage.contains("bucket counts must match"))
+    // non-bucketed table also refused
+    orders.limit(1).write.mode("overwrite").saveAsTable("flat_orders")
+    val e2 = intercept[IllegalArgumentException] {
+      Bucketing.coLocatedJoin(spark, "flat_orders", "b_customer_8",
+        "o_custkey")
+    }
+    assert(e2.getMessage.contains("not bucketed"))
+  }
+}
