@@ -180,6 +180,49 @@ object Dedup {
     out
   }
 
+  /** Sample-based quality report for the LSH candidate generator — the
+    * measurement you run BEFORE trusting (numHashes, bands, maxBucketSize)
+    * on a full corpus: on a deterministic hash-sample of documents,
+    * compute the exact near-dup pairs and the LSH candidate pairs, and
+    * report candidate precision (fraction of candidates that verify, i.e.
+    * wasted-verify cost) and recall (fraction of true pairs the bands
+    * surface — the pairs a full run would MISS).
+    *
+    * The sample is an md5-fold threshold on the id ('lsheval:' salt), so
+    * re-runs and engines agree; the exact all-pairs cost is confined to
+    * the sample (quadratic-in-sample worst case via d3's prefix-filtered
+    * inverted index — size `samplePct` so the sample fits that budget,
+    * it is an evaluation harness, not a production path). Both paths
+    * read the sampled docs from one materialized frame (lineage cut).
+    *
+    * @return one row: (n_exact, n_cand, n_hits, cand_precision,
+    *         cand_recall); rates are NULL when their denominator is 0 */
+  def evaluateNearDup(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, samplePct: Int, numHashes: Int = 16,
+      bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(samplePct > 0 && samplePct <= 100,
+      s"samplePct ($samplePct) must be in (0, 100]")
+    val cutoff = samplePct.toLong * 4294967296L / 100L
+    val sample = graft.operators.Lineage.cut(
+      df.select(col(idCol), col(textCol)).filter(
+        Hashing.hex32(concat(lit("lsheval:"), col(idCol).cast("string")))
+          < lit(cutoff)))
+    val exact = ngramJaccardPairs(sample, textCol, idCol, threshold, k)
+      .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+    val cand = lshCandidates(
+        minhashSignature(sample, textCol, idCol, numHashes, k),
+        idCol, numHashes, bands, maxBucketSize)
+      .withColumn("_c", lit(1))
+    exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_c")).as("n_cand"),
+        count(when(col("_e").isNotNull && col("_c").isNotNull, 1)).as("n_hits"))
+      .withColumn("cand_precision", when(col("n_cand") > 0,
+        col("n_hits").cast("double") / col("n_cand")))
+      .withColumn("cand_recall", when(col("n_exact") > 0,
+        col("n_hits").cast("double") / col("n_exact")))
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------

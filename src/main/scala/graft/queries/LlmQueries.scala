@@ -70,6 +70,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Sample-based LSH quality report: candidate precision/recall of the
+    // band generator vs exact pairs, on a deterministic 50% hash sample —
+    // the parameter-tuning measurement run before a full-corpus LSH pass.
+    // Oracle replays sample, exact pairs, bands, and the hot-bucket cap.
+    "x43_lsh_eval" -> ((s, dir) => {
+      Dedup.evaluateNearDup(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8, samplePct = 50)
+    }),
+
     // 16-bit SimHash signatures.
     "d4_simhash" -> ((s, dir) => {
       Dedup.simhashSignatures(t(s, dir, "documents"), "text", "doc_id", 16)
@@ -865,6 +874,46 @@ object LlmQueries {
                         ${10L * 4294967296L / 100L}
                       THEN 'holdout' ELSE 'train' END AS split
           FROM assigned ORDER BY doc_id""",
+    "x43_lsh_eval" ->
+      s"""WITH samp AS (SELECT doc_id, text FROM documents
+                        WHERE ${duckHex32("'lsheval:' || CAST(doc_id AS VARCHAR)")} <
+                              ${50L * 4294967296L / 100L}),
+              ws AS (SELECT doc_id, $duckToks AS w FROM samp),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              exact AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              sig AS (SELECT doc_id,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              bands AS (
+                ${(0 until 4).map(b =>
+                  s"SELECT doc_id, $b AS b, concat_ws('_', sig_${4*b}, sig_${4*b+1}, sig_${4*b+2}, sig_${4*b+3}) AS bucket FROM sig")
+                  .mkString("\n                UNION ALL\n                ")}),
+              keptb AS (SELECT b, bucket FROM bands
+                        GROUP BY b, bucket
+                        HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM bands a
+                       JOIN keptb k ON a.b = k.b AND a.bucket = k.bucket
+                       JOIN bands b
+                         ON a.b = b.b AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id),
+              n AS (SELECT
+                      (SELECT count(*) FROM exact) AS n_exact,
+                      (SELECT count(*) FROM cand) AS n_cand,
+                      (SELECT count(*) FROM exact e JOIN cand c
+                         ON e.id_a = c.id_a AND e.id_b = c.id_b) AS n_hits)
+          SELECT CAST(n_exact AS BIGINT) AS n_exact,
+                 CAST(n_cand AS BIGINT) AS n_cand,
+                 CAST(n_hits AS BIGINT) AS n_hits,
+                 CASE WHEN n_cand > 0
+                      THEN CAST(n_hits AS DOUBLE) / n_cand END AS cand_precision,
+                 CASE WHEN n_exact > 0
+                      THEN CAST(n_hits AS DOUBLE) / n_exact END AS cand_recall
+          FROM n""",
     "d4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok
                         FROM documents),

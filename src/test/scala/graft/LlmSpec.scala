@@ -1172,6 +1172,19 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq === Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0)))
   }
 
+  test("evaluateNearDup: full-sample recall is 1.0 on the planted " +
+    "near-dups (lsh == exact here), rates bounded and consistent") {
+    val r = Dedup.evaluateNearDup(docs, "text", "doc_id",
+      threshold = 0.8, samplePct = 100).collect().head
+    val (nExact, nCand, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0) // planted near-dups exist
+    assert(nHits <= nCand && nHits <= nExact)
+    // this corpus's near-dups are ~0.99 Jaccard — every band collides,
+    // so the generator misses nothing (same fact the d8 spec relies on)
+    assert(r.getDouble(4) === 1.0) // cand_recall
+    assert(r.getDouble(3) === nHits.toDouble / nCand) // cand_precision
+  }
+
   test("leakageSafeSplit: no near-dup pair straddles the split, " +
     "singletons hash on their own id") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
