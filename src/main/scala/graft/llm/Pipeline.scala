@@ -117,6 +117,19 @@ object Pipeline {
     *                         packed BIN a reproducible (shard, pos)
     *                         training order — appended as two columns on
     *                         `packed` (every chunk of a bin shares them)
+    * @param checkpointDir    optional durable stage boundary
+    *                         ([[graft.operators.StageCheckpoint]]): the
+    *                         post-gate corpus (steps 0-4.5 survivors +
+    *                         their drop audit) is written here as parquet
+    *                         and REUSED by any later run whose gate
+    *                         parameters match — so a driver crash, or
+    *                         re-running decontamination/sampling with a
+    *                         new benchmark or mix, never re-pays the
+    *                         dedup and gating stages. Changing any gate
+    *                         parameter invalidates the checkpoint;
+    *                         changing only step-5+ parameters resumes.
+    *                         The dir is bound to ONE input snapshot
+    *                         (see StageCheckpoint's contract).
     */
   def buildTrainingCorpus(docs: DataFrame,
       maxLineDocFreq: Option[Int] = None,
@@ -142,91 +155,119 @@ object Pipeline {
       overlap: Int = 64,
       budget: Int = 2048,
       nShards: Option[Int] = None,
-      stopwords: Seq[String] = TextAnalysis.langMarkers.head._2): CorpusBuild = {
+      stopwords: Seq[String] = TextAnalysis.langMarkers.head._2,
+      checkpointDir: Option[String] = None): CorpusBuild = {
 
-    // 0. a null doc_id joins nothing and would surface downstream with a
-    // misattributed drop reason — surface it as the data error it is
-    val valid = docs.filter(col("doc_id").isNotNull)
-    val nullDrops = docs.filter(col("doc_id").isNull)
-      .select(col("doc_id"), lit("null_id").as("reason"))
+    // Steps 0-4.5 — hygiene, dedup, and the content gates: the stages a
+    // restart must never re-pay. By-name-evaluated inside the optional
+    // StageCheckpoint boundary below, so a resume never even constructs
+    // their (eagerly-cut) lineage. Returns the gated survivors, the
+    // cumulative drop audit, and the persisted intermediates they share.
+    def computeGated(): ((DataFrame, DataFrame), Seq[DataFrame]) = {
+      // 0. a null doc_id joins nothing and would surface downstream with a
+      // misattributed drop reason — surface it as the data error it is
+      val valid = docs.filter(col("doc_id").isNotNull)
+      val nullDrops = docs.filter(col("doc_id").isNull)
+        .select(col("doc_id"), lit("null_id").as("reason"))
 
-    // 0.5-0.7 optional text-hygiene pre-passes — BEFORE dedup, so docs
-    // differing only in template chrome / syndicated passages dedup as
-    // the equals they are. All three rewrite text in place; a doc emptied
-    // by them falls to the quality gate with exact bookkeeping.
-    val afterLines = maxLineDocFreq.fold(valid)(cap =>
-      Corpus.removeRepeatedLines(valid, "text", "doc_id", cap)
-        .drop("n_lines_kept", "n_lines_dropped"))
-    val afterParas = paragraphDedupSep.fold(afterLines)(sep =>
-      Corpus.dedupParagraphs(afterLines, "text", "doc_id", sep)
-        .drop("n_paras_kept", "n_paras_dropped"))
-    val input = spanDedupK.fold(afterParas)(k =>
-      Dedup.removeRepeatedSpans(afterParas, "text", "doc_id", k)
-        .drop("n_tokens_kept", "n_tokens_removed"))
+      // 0.5-0.7 optional text-hygiene pre-passes — BEFORE dedup, so docs
+      // differing only in template chrome / syndicated passages dedup as
+      // the equals they are. All three rewrite text in place; a doc emptied
+      // by them falls to the quality gate with exact bookkeeping.
+      val afterLines = maxLineDocFreq.fold(valid)(cap =>
+        Corpus.removeRepeatedLines(valid, "text", "doc_id", cap)
+          .drop("n_lines_kept", "n_lines_dropped"))
+      val afterParas = paragraphDedupSep.fold(afterLines)(sep =>
+        Corpus.dedupParagraphs(afterLines, "text", "doc_id", sep)
+          .drop("n_paras_kept", "n_paras_dropped"))
+      val input = spanDedupK.fold(afterParas)(k =>
+        Dedup.removeRepeatedSpans(afterParas, "text", "doc_id", k)
+          .drop("n_tokens_kept", "n_tokens_removed"))
 
-    // 1. exact dedup: survivors are each content group's keep_id
-    val exact = Dedup.exactDedup(input, "text", "doc_id")
-      .select(col("keep_id").as("doc_id"))
-    val afterExact = input.join(exact, Seq("doc_id"), "left_semi").persist()
-    val exactDrops = input.join(exact, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit("exact_dup").as("reason"))
+      // 1. exact dedup: survivors are each content group's keep_id
+      val exact = Dedup.exactDedup(input, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val afterExact = input.join(exact, Seq("doc_id"), "left_semi").persist()
+      val exactDrops = input.join(exact, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("exact_dup").as("reason"))
 
-    // 2. near-dup clusters over the exact-deduped corpus
-    val pairs = Dedup.ngramJaccardPairs(afterExact, "text", "doc_id",
-      jaccardThreshold)
-    val nearDrops = Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
-      .filter(col("id") =!= col("rep"))
-      .select(col("id").as("doc_id"), lit("near_dup").as("reason"))
-    val afterNear = afterExact.join(
-      nearDrops.select("doc_id"), Seq("doc_id"), "left_anti")
+      // 2. near-dup clusters over the exact-deduped corpus
+      val pairs = Dedup.ngramJaccardPairs(afterExact, "text", "doc_id",
+        jaccardThreshold)
+      val nearDrops = Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("rep"))
+        .select(col("id").as("doc_id"), lit("near_dup").as("reason"))
+      val afterNear = afterExact.join(
+        nearDrops.select("doc_id"), Seq("doc_id"), "left_anti")
 
-    // 3. quality gate (certified x1 heuristic). Project down to the base
-    // columns + quality BEFORE the persist: caching materializes every
-    // column of the cached projection, and textStatsDf's n_bpeish
-    // (regexp_extract_all over the full text) and avg_token_len are never
-    // read by the gate — pruning them here lets Catalyst drop their
-    // expressions entirely instead of paying them into the cache.
-    val scored = TextAnalysis.textStatsDf(afterNear, "text", stopwords)
-      .select((afterNear.columns.map(col) :+ col("quality")).toIndexedSeq: _*)
-      .persist()
-    val afterQuality = scored.filter(col("quality") >= minQuality)
-      .select(afterNear.columns.map(col).toIndexedSeq: _*)
-    val qualityDrops = scored.filter(col("quality") < minQuality)
-      .select(col("doc_id"), lit("low_quality").as("reason"))
+      // 3. quality gate (certified x1 heuristic). Project down to the base
+      // columns + quality BEFORE the persist: caching materializes every
+      // column of the cached projection, and textStatsDf's n_bpeish
+      // (regexp_extract_all over the full text) and avg_token_len are never
+      // read by the gate — pruning them here lets Catalyst drop their
+      // expressions entirely instead of paying them into the cache.
+      val scored = TextAnalysis.textStatsDf(afterNear, "text", stopwords)
+        .select((afterNear.columns.map(col) :+ col("quality")).toIndexedSeq: _*)
+        .persist()
+      val afterQuality = scored.filter(col("quality") >= minQuality)
+        .select(afterNear.columns.map(col).toIndexedSeq: _*)
+      val qualityDrops = scored.filter(col("quality") < minQuality)
+        .select(col("doc_id"), lit("low_quality").as("reason"))
 
-    // 4. repetition gate — only pay the n-gram aggregations when a
-    // threshold is actually binding. The bad set is drop-sized; the cut
-    // materializes it once for both the anti-join and the audit trail.
-    val (afterRep, repDrops) =
-      if (maxTop2Frac >= 2.0 && maxDup3Frac >= 1.0)
-        (afterQuality, None)
-      else {
-        val bad = TextAnalysis.repetitionStats(
-            afterQuality.select("doc_id", "text"), "text", "doc_id")
-          .filter(col("top2_frac") > maxTop2Frac ||
-            col("dup3_frac") > maxDup3Frac)
-          .select("doc_id").transform(graft.operators.Lineage.cut)
-        (afterQuality.join(bad, Seq("doc_id"), "left_anti"),
-          Some(bad.select(col("doc_id"), lit("repetitive").as("reason"))))
-      }
+      // 4. repetition gate — only pay the n-gram aggregations when a
+      // threshold is actually binding. The bad set is drop-sized; the cut
+      // materializes it once for both the anti-join and the audit trail.
+      val (afterRep, repDrops) =
+        if (maxTop2Frac >= 2.0 && maxDup3Frac >= 1.0)
+          (afterQuality, None)
+        else {
+          val bad = TextAnalysis.repetitionStats(
+              afterQuality.select("doc_id", "text"), "text", "doc_id")
+            .filter(col("top2_frac") > maxTop2Frac ||
+              col("dup3_frac") > maxDup3Frac)
+            .select("doc_id").transform(graft.operators.Lineage.cut)
+          (afterQuality.join(bad, Seq("doc_id"), "left_anti"),
+            Some(bad.select(col("doc_id"), lit("repetitive").as("reason"))))
+        }
 
-    // 4.5 corpus-LM frequency gate ([[TextAnalysis.lmScore]] against the
-    // SURVIVORS' own token stats — docs full of corpus-rare tokens or
-    // unattested bigrams are noise/another language). Same only-pay-when-
-    // binding + cut-the-drop-set discipline as the repetition gate.
-    val (afterLm, lmDrops) =
-      if (maxRareFrac >= 1.0 && minBigramKnownFrac <= 0.0)
-        (afterRep, None)
-      else {
-        val bad = TextAnalysis.lmScore(
-            afterRep.select("doc_id", "text"), "text", "doc_id",
-            rareMax = lmRareMax, bigramMin = lmBigramMin)
-          .filter(col("rare_frac") > maxRareFrac ||
-            col("bigram_known_frac") < minBigramKnownFrac)
-          .select("doc_id").transform(graft.operators.Lineage.cut)
-        (afterRep.join(bad, Seq("doc_id"), "left_anti"),
-          Some(bad.select(col("doc_id"), lit("lm_outlier").as("reason"))))
-      }
+      // 4.5 corpus-LM frequency gate ([[TextAnalysis.lmScore]] against the
+      // SURVIVORS' own token stats — docs full of corpus-rare tokens or
+      // unattested bigrams are noise/another language). Same only-pay-when-
+      // binding + cut-the-drop-set discipline as the repetition gate.
+      val (afterLm, lmDrops) =
+        if (maxRareFrac >= 1.0 && minBigramKnownFrac <= 0.0)
+          (afterRep, None)
+        else {
+          val bad = TextAnalysis.lmScore(
+              afterRep.select("doc_id", "text"), "text", "doc_id",
+              rareMax = lmRareMax, bigramMin = lmBigramMin)
+            .filter(col("rare_frac") > maxRareFrac ||
+              col("bigram_known_frac") < minBigramKnownFrac)
+            .select("doc_id").transform(graft.operators.Lineage.cut)
+          (afterRep.join(bad, Seq("doc_id"), "left_anti"),
+            Some(bad.select(col("doc_id"), lit("lm_outlier").as("reason"))))
+        }
+
+      val gateDrops = (Seq(nullDrops, exactDrops, nearDrops, qualityDrops) ++
+        repDrops ++ lmDrops).reduce(_ unionByName _)
+      ((afterLm, gateDrops), Seq(afterExact, scored))
+    }
+
+    // Optional durable boundary: gate parameters form the signature, so a
+    // rerun that only changes decontamination/mix/packing resumes from
+    // the written corpus; any gate-parameter change recomputes.
+    val ((afterLm, gateDrops), gateCaches) = checkpointDir match {
+      case None => computeGated()
+      case Some(dir) =>
+        val sig = s"v1|lines=$maxLineDocFreq|paras=$paragraphDedupSep|" +
+          s"spans=$spanDedupK|j=$jaccardThreshold|q=$minQuality|" +
+          s"top2=$maxTop2Frac|dup3=$maxDup3Frac|rare=$maxRareFrac|" +
+          s"bigram=$minBigramKnownFrac|rareMax=$lmRareMax|" +
+          s"bigramMin=$lmBigramMin|stop=${stopwords.mkString(",")}"
+        val (a, b) = graft.operators.StageCheckpoint.pair(
+          docs.sparkSession, s"$dir/gated", sig)(computeGated())
+        ((a, b), Nil)
+    }
 
     // 5. benchmark decontamination — the contaminated set is drop-sized
     val (afterDecon, deconDrops) = decontaminateAgainst match {
@@ -282,13 +323,13 @@ object Pipeline {
       packed0.join(bins, Seq("bin_id"))
     }
 
-    val dropFrames = Seq(nullDrops, exactDrops, nearDrops, qualityDrops) ++
-      repDrops ++ lmDrops ++ deconDrops ++ Seq(sampleDrops) ++ capDrops
+    val dropFrames = Seq(gateDrops) ++ deconDrops ++ Seq(sampleDrops) ++
+      capDrops
     CorpusBuild(
       kept = kept,
       dropped = dropFrames.reduce(_ unionByName _),
       chunks = chunks,
       packed = packed,
-      cached = Seq(afterExact, scored, kept))
+      cached = gateCaches :+ kept)
   }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Durable, signature-guarded stage boundaries for multi-stage corpus
+  * builds — restart insurance [[Lineage.cut]] cannot give.
+  *
+  * A 100 TB pipeline run is hours of cluster time across many stages; a
+  * driver OOM, a spot-instance reclaim wave, or simply "we got a new
+  * benchmark suite, re-run decontamination" should not re-pay the dedup
+  * and gating stages. `cut` materializes to executor/checkpoint storage
+  * scoped to ONE application; this operator writes a stage's frames as
+  * plain parquet under a caller-owned directory, so the NEXT application
+  * resumes from them.
+  *
+  * Resume protocol: a `_GRAFT_STAGE_DONE` marker is written only after
+  * every frame of the stage commits, and records the caller's parameter
+  * SIGNATURE plus the frame schemas. A later run with a matching
+  * signature reads the parquet and never evaluates the stage (the
+  * compute block is by-name — its eager lineage cuts and persists never
+  * run); a changed signature, a missing marker (crash mid-write), or a
+  * stale-signature marker all recompute and overwrite. The marker is
+  * deleted BEFORE a rewrite starts, so a crash during the rewrite can
+  * never leave new-parameter data behind an old-parameter marker.
+  *
+  * The directory identifies one input-corpus snapshot: the signature
+  * guards PARAMETERS, not input bytes (fingerprinting 100 TB to detect
+  * upstream edits would cost a full scan — the very thing this exists to
+  * avoid). Point each input snapshot at its own directory, the same
+  * contract as Structured Streaming's checkpointLocation. */
+object StageCheckpoint {
+
+  private val Marker = "_GRAFT_STAGE_DONE"
+
+  /** Run-or-resume a two-frame stage (survivors + drop audit is the
+    * common shape). `compute` returns the two frames plus any persisted
+    * intermediates they share; the intermediates are released once both
+    * frames are durably written (the checkpoint replaces the cache).
+    * Both returned frames are parquet reads of the durable copy —
+    * downstream consumers can branch from them freely without ever
+    * re-triggering upstream lineage. */
+  def pair(spark: SparkSession, dir: String, signature: String)
+      (compute: => ((DataFrame, DataFrame), Seq[DataFrame]))
+      : (DataFrame, DataFrame) = {
+    require(!signature.contains("\n"),
+      "signature must be a single line — it shares the marker file with " +
+        "the schema records")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(dir, Marker)
+    val aPath = s"$dir/a"; val bPath = s"$dir/b"
+
+    val resumable: Option[(StructType, StructType)] =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.split("\n", -1) match {
+          case Array(sig, sa, sb) if sig == signature =>
+            Some((DataType.fromJson(sa).asInstanceOf[StructType],
+              DataType.fromJson(sb).asInstanceOf[StructType]))
+          case _ => None // parameters changed since the marker was written
+        }
+      } else None
+
+    resumable match {
+      case Some((sa, sb)) =>
+        // explicit schemas: a legitimately-empty frame wrote zero part
+        // files, and schema inference over an empty directory would fail
+        (spark.read.schema(sa).parquet(aPath),
+          spark.read.schema(sb).parquet(bPath))
+      case None =>
+        fs.delete(marker, false)
+        val ((a, b), caches) = compute
+        a.write.mode(SaveMode.Overwrite).parquet(aPath)
+        b.write.mode(SaveMode.Overwrite).parquet(bPath)
+        val out = fs.create(marker, true)
+        try out.write(
+          s"$signature\n${a.schema.json}\n${b.schema.json}".getBytes("UTF-8"))
+        finally out.close()
+        caches.foreach(_.unpersist())
+        (spark.read.schema(a.schema).parquet(aPath),
+          spark.read.schema(b.schema).parquet(bPath))
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.llm.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Durable stage-boundary specs for the pipeline: the checkpointed build
+  * must (1) equal the uncheckpointed one, (2) actually RESUME — proven by
+  * swapping the input out from under a matching checkpoint and observing
+  * the gated stage does not see the new input, (3) invalidate on any
+  * gate-parameter change, and (4) recompute when the marker is missing
+  * (a crash mid-write leaves no marker). */
+class PipelineCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsFrom(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+
+  private val base = docsFrom(
+    (1L, "the quick brown fox jumps over the lazy dog today", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog today", "a"), // exact dup
+    (3L, "an entirely different document about spark pipelines", "b"),
+    (4L, "short", "b"), // fails the quality gate
+    (5L, "yet another unique body of text for the corpus here", "a"))
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("stagecp").toString
+
+  private def keptIds(b: Pipeline.CorpusBuild): Set[Long] =
+    b.kept.select("doc_id").as[Long].collect().toSet
+
+  private def drops(b: Pipeline.CorpusBuild): Set[(Long, String)] =
+    b.dropped.select($"doc_id", $"reason").as[(Long, String)].collect().toSet
+
+  test("checkpointed build equals the uncheckpointed build") {
+    val dir = tmp()
+    try {
+      val plain = Pipeline.buildTrainingCorpus(base, minQuality = 0.3)
+      val cp = Pipeline.buildTrainingCorpus(base, minQuality = 0.3,
+        checkpointDir = Some(dir))
+      assert(keptIds(cp) === keptIds(plain))
+      assert(drops(cp) === drops(plain))
+      assert(cp.packed.count() === plain.packed.count())
+      plain.release(); cp.release()
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("matching signature resumes from the written stage — the gated " +
+    "corpus comes from the checkpoint, not the (changed) input") {
+    val dir = tmp()
+    try {
+      val first = Pipeline.buildTrainingCorpus(base, minQuality = 0.3,
+        checkpointDir = Some(dir))
+      val firstKept = keptIds(first); first.release()
+      // swap the input: same params → the stage must NOT be recomputed,
+      // so the new doc 99 cannot appear (dir == one input snapshot)
+      val swapped = base.unionByName(docsFrom(
+        (99L, "a brand new document that only the rerun input contains", "c")))
+      val resumed = Pipeline.buildTrainingCorpus(swapped, minQuality = 0.3,
+        checkpointDir = Some(dir))
+      assert(keptIds(resumed) === firstKept)
+      assert(!keptIds(resumed).contains(99L))
+      resumed.release()
+      // later-stage parameter changes also resume (rates only touch step 6)
+      val resampled = Pipeline.buildTrainingCorpus(swapped, minQuality = 0.3,
+        rates = Map("a" -> 0.0), defaultRate = 1.0,
+        checkpointDir = Some(dir))
+      assert(keptIds(resampled).intersect(firstKept)
+        .forall(id => resampled.kept.filter($"doc_id" === id)
+          .select("source").as[String].head() != "a"))
+      assert(!keptIds(resampled).contains(99L)) // still the checkpointed gate
+      resampled.release()
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("gate-parameter change invalidates; missing marker recomputes") {
+    val dir = tmp()
+    try {
+      val first = Pipeline.buildTrainingCorpus(base, minQuality = 0.3,
+        checkpointDir = Some(dir))
+      first.release()
+      val swapped = base.unionByName(docsFrom(
+        (99L, "a brand new document that only the rerun input contains", "c")))
+      // different minQuality → signature mismatch → recompute sees doc 99
+      val regated = Pipeline.buildTrainingCorpus(swapped, minQuality = 0.2,
+        checkpointDir = Some(dir))
+      assert(keptIds(regated).contains(99L))
+      regated.release()
+      // delete the marker (crash-mid-write shape) → recompute despite
+      // intact parquet dirs; base input again, so 99 disappears
+      val marker = new java.io.File(s"$dir/gated/_GRAFT_STAGE_DONE")
+      assert(marker.exists); assert(marker.delete())
+      val recomputed = Pipeline.buildTrainingCorpus(base, minQuality = 0.2,
+        checkpointDir = Some(dir))
+      assert(!keptIds(recomputed).contains(99L))
+      recomputed.release()
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+}
