@@ -74,4 +74,34 @@ object SkewJoin {
     leftHot.join(broadcast(rightHot), keyCols)
       .unionByName(leftCold.join(right, keyCols))
   }
+
+  /** Per-key skew diagnostics — the measurement run BEFORE choosing
+    * [[saltedJoin]]'s `salts` or [[hotColdJoin]]'s `hotThreshold`: the
+    * `topN` hottest keys with row counts and their share of all rows.
+    * A top key holding 1/parallelism of the rows is the reducer that
+    * stalls the stage; its share tells you the salt factor directly.
+    *
+    * One count shuffle over the keys; the aggregated (distinct-key-sized)
+    * relation is lineage-cut because it feeds both the total and the
+    * top-N — without the cut the input would be scanned twice. The total
+    * rides a deliberate 1-row broadcast into the top-N rows (the x22
+    * stats pattern, bounded by construction); ties at the cutoff break
+    * by key, so the report is deterministic.
+    *
+    * @return topN rows of (keyCols*, n_rows, row_share), hottest first */
+  def diagnoseSkew(df: DataFrame, keyCols: Seq[String],
+      topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN ($topN) must be >= 1")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val keys = keyCols.map(col)
+    val counts = Lineage.cut(
+      df.groupBy(keys: _*).agg(count(lit(1)).as("n_rows")))
+    val total = counts.agg(sum(col("n_rows")).as("_total"))
+    counts
+      .orderBy(col("n_rows").desc +: keys: _*)
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("row_share", col("n_rows").cast("double") / col("_total"))
+      .drop("_total")
+  }
 }

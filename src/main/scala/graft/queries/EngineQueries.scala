@@ -323,6 +323,13 @@ object EngineQueries {
         .orderBy("okey", "line")
     }),
 
+    // Skew diagnostics: the top-20 hottest join keys with their row share
+    // — the measurement behind choosing x35's salts / x36's hotThreshold.
+    "x44_skew_report" -> ((s, dir) => {
+      graft.operators.SkewJoin.diagnoseSkew(
+        t(s, dir, "events"), Seq("user_id"), topN = 20)
+    }),
+
     // Non-equi range joins, certified result-identical to the plain
     // BETWEEN predicate (the oracle IS the nested-loop form DuckDB is
     // happy to run at sf scale): x37 bins the value axis so the
@@ -367,6 +374,12 @@ object EngineQueries {
   val oracleSql: Map[String, String] = Map(
     "x35_salted_join" -> plainJoinSql,
     "x36_hot_cold_join" -> plainJoinSql,
+    "x44_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows
+                    FROM events GROUP BY user_id),
+              t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+         SELECT user_id, n_rows, CAST(n_rows AS DOUBLE) / total AS row_share
+         FROM c, t ORDER BY n_rows DESC, user_id LIMIT 20""",
     "x37_range_join" ->
       """WITH p AS (SELECT l_orderkey AS okey, l_linenumber AS line,
                            l_extendedprice AS price

@@ -11,10 +11,12 @@ class PlanAuditSpec extends SparkSpec {
     "a6_pq_topk", // exhaustive ADC scan over CODES × 5 broadcast query tables
     // — the documented PQ baseline; the scale path composes it with IVF
     // cells so the product is per-probed-cell, not per-corpus
-    "x22_bm25" // deliberate broadcast of ONE corpus-stats row (N, avgdl)
+    "x22_bm25", // deliberate broadcast of ONE corpus-stats row (N, avgdl)
     // into the term stream; bounded by construction. A literal-key
     // equi-join gets constant-folded back to this same plan, so the
     // crossJoin spelling is kept and whitelisted.
+    "x44_skew_report" // same 1-row stats pattern: the total-row count
+    // broadcasts into the topN (≤ 20) hottest keys — both sides bounded
   )
 
   test("no cartesian products or unintended nested-loop joins") {
