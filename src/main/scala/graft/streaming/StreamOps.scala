@@ -147,6 +147,55 @@ object StreamOps {
       }.start()
   }
 
+  /** The batch pipeline's per-document gates composed into ONE
+    * [[DeltaStep]]: quality floor → benchmark decontamination →
+    * incremental dedup → optional PII redaction — the streaming form of
+    * [[graft.llm.Pipeline.buildTrainingCorpus]] for every stage that is
+    * decidable per document. Drive it with [[durableIngestDedup]]:
+    * contaminated, low-quality, and duplicate docs then never land in
+    * the corpus at all, instead of waiting for the next batch build.
+    *
+    * Corpus-RELATIVE stages (near-dup clustering across the full history,
+    * mix sampling to target rates, packing) are deliberately absent: they
+    * are defined against the whole corpus, so they stay batch jobs over
+    * the ingested output — the versioned delta-dedup state is the bridge
+    * that lets ingest and those backfills share one dedup history.
+    *
+    * The bench side is shingled, deduped, and materialized ONCE at
+    * composition time (lineage cut), not per micro-batch; each batch then
+    * pays batch-sized work only: a codegen quality filter, one shingle
+    * pass + broadcast semi-join against the bench grams, and the delta
+    * step against hash-sized state. */
+  def corpusIngestStep(dedup: DeltaStep, textCol: String, idCol: String,
+      minQuality: Double = 0.0, bench: Option[DataFrame] = None,
+      decontamK: Int = 8, redactPii: Boolean = false,
+      stopwords: Seq[String] = graft.llm.TextAnalysis.langMarkers.head._2)
+      : DeltaStep = {
+    require(decontamK > 0, s"decontamK ($decontamK) must be positive")
+    val benchGrams = bench.map(b => graft.operators.Lineage.cut(
+      graft.llm.Dedup.shingleRows(b, textCol, idCol, decontamK)
+        .select(col("s")).distinct()))
+    (batch, prior) => {
+      val gated =
+        if (minQuality <= 0.0) batch
+        else batch.filter(graft.llm.TextAnalysis
+          .qualityScore(col(textCol), stopwords) >= minQuality)
+      val clean = benchGrams.fold(gated) { g =>
+        val hit = graft.llm.Dedup.shingleRows(gated, textCol, idCol, decontamK)
+          .join(broadcast(g), Seq("s"), "left_semi")
+          .select(idCol).distinct()
+        gated.join(hit, Seq(idCol), "left_anti")
+      }
+      val out = dedup(clean, prior)
+      val kept =
+        if (redactPii)
+          out.kept.withColumn(textCol,
+            graft.llm.Privacy.redact(col(textCol)))
+        else out.kept
+      DeltaState(kept, out.state)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // durable ingest dedup — the delta operators on a stream
   // ---------------------------------------------------------------------

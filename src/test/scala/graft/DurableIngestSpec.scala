@@ -103,4 +103,31 @@ class DurableIngestSpec extends SparkSpec {
       .select($"doc_id".cast("long")).as[Long].collect().toSet
     assert(stateIds === Set(1L, 2L, 4L))
   }
+
+  test("corpusIngestStep: quality, decontamination, dedup, and redaction " +
+    "compose into one continuous ingest gate") {
+    val out = tmp("cis_out"); val st = tmp("cis_state")
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog naps under a warm tree all day"
+    val step = StreamOps.corpusIngestStep(exactStep, "text", "doc_id",
+      minQuality = 0.75, bench = Some(docs(100L -> s"bench: $leak")),
+      decontamK = 8, redactPii = true)
+    StreamOps.ingestDedupBatch(docs(
+      1L -> good,
+      2L -> "short", // quality 0.5 (fails length + stopword bands)
+      3L -> ("the contaminated document contains " + leak +
+        " inside the body and the story goes on here")), // leaks the 8-gram
+      0L, step, out, st)
+    assert(readOut(out).map(_._1) === Seq(1L))
+    // wave 2: exact dup of doc 1 drops against the carried state; the
+    // novel doc survives with its email redacted before landing
+    StreamOps.ingestDedupBatch(docs(
+      4L -> good,
+      5L -> (good + " reach me at bob@example.com for more details")),
+      1L, step, out, st)
+    val rows = readOut(out)
+    assert(rows.map(_._1) === Seq(1L, 5L))
+    assert(!rows.find(_._1 == 5L).get._2.contains("bob@example.com"))
+  }
 }
