@@ -34,6 +34,18 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int, sortedBy: Option[String] = None): Unit = {
     require(nBuckets > 0, s"nBuckets ($nBuckets) must be positive")
+    val spark = df.sparkSession
+    // Overwrite of a table this session's catalog does not know (fresh
+    // in-memory catalog over a warehouse dir a previous application wrote
+    // — the normal restart shape without a shared metastore) plans CREATE
+    // and fails LOCATION_ALREADY_EXISTS. Drop the catalog entry AND any
+    // orphaned managed location first, so the write is a true overwrite
+    // in both worlds.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, key)
     sortedBy.fold(w)(s => w.sortBy(s)).saveAsTable(table)

@@ -67,6 +67,9 @@ class BucketingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bucket counts must match"))
     // non-bucketed table also refused
+    spark.sql("DROP TABLE IF EXISTS flat_orders")
+    val wh = new java.io.File("spark-warehouse/flat_orders")
+    if (wh.exists) org.apache.commons.io.FileUtils.deleteDirectory(wh)
     orders.limit(1).write.mode("overwrite").saveAsTable("flat_orders")
     val e2 = intercept[IllegalArgumentException] {
       Bucketing.coLocatedJoin(spark, "flat_orders", "b_customer_8",
