@@ -633,6 +633,37 @@ object Corpus {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Corpus version diff — the release-to-release drift audit: classify
+    * every document as added / removed / changed (same id, different
+    * content) between two corpus versions, with the token delta each
+    * change contributes. Unchanged documents are omitted: they are the
+    * corpus bulk, and the report must stay change-sized.
+    *
+    * The engine's snapshot-diff (S5) applied to corpora, with CONTENT
+    * comparison: both sides project to (id, md5(text), n_tokens) BEFORE
+    * the one full-outer key join, so the shuffle carries hash-sized rows
+    * — never two copies of 100 TB of text.
+    *
+    * @return (idCol, change∈{added,removed,changed}, tok_delta) —
+    *         tok_delta is new-minus-old, so summing it over the report
+    *         gives the corpus token drift directly */
+  def versionDiff(oldV: DataFrame, newV: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldV.select(col(idCol), md5(col(textCol)).as("_oh"),
+      TextAnalysis.nTokens(col(textCol)).cast("long").as("_on"))
+    val n = newV.select(col(idCol), md5(col(textCol)).as("_nh"),
+      TextAnalysis.nTokens(col(textCol)).cast("long").as("_nn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("_oh").isNull, lit("added"))
+          .when(col("_nh").isNull, lit("removed"))
+          .when(col("_oh") =!= col("_nh"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(idCol), col("change"),
+        (coalesce(col("_nn"), lit(0L)) - coalesce(col("_on"), lit(0L)))
+          .as("tok_delta"))
+  }
+
   /** Cluster-aware train/holdout split: each document is assigned by the
     * hash of its DEDUP-CLUSTER REPRESENTATIVE, not its own id, so a
     * near-duplicate pair can never straddle the split. Plain per-doc hash

@@ -79,6 +79,23 @@ object LlmQueries {
         threshold = 0.8, samplePct = 50)
     }),
 
+    // Corpus version diff: release-to-release drift audit (added /
+    // removed / changed + token delta), content compared by md5 so the
+    // join is hash-sized. The "new" release is derived deterministically
+    // from the same table: every 10th doc removed, every 7th edited,
+    // every 100th≡1 re-added under a shifted id.
+    "x45_version_diff" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newV = base.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" extra token"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 100 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("fresh doc replacing "), col("text")).as("text")))
+      Corpus.versionDiff(base, newV, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash signatures.
     "d4_simhash" -> ((s, dir) => {
       Dedup.simhashSignatures(t(s, dir, "documents"), "text", "doc_id", 16)
@@ -914,6 +931,29 @@ object LlmQueries {
                  CASE WHEN n_exact > 0
                       THEN CAST(n_hits AS DOUBLE) / n_exact END AS cand_recall
           FROM n""",
+    "x45_version_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5(text) AS h,
+                            CAST(len($duckToks) AS BIGINT) AS nt
+                     FROM documents),
+              n0 AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 0 THEN text || ' extra token'
+                                 ELSE text END AS text
+                     FROM documents WHERE doc_id % 10 <> 0
+                     UNION ALL
+                     SELECT doc_id + 1000000,
+                            'fresh doc replacing ' || text
+                     FROM documents WHERE doc_id % 100 = 1),
+              n AS (SELECT doc_id, md5(text) AS h,
+                           CAST(len($duckToks) AS BIGINT) AS nt
+                    FROM n0),
+              j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                           CASE WHEN o.doc_id IS NULL THEN 'added'
+                                WHEN n.doc_id IS NULL THEN 'removed'
+                                WHEN o.h <> n.h THEN 'changed' END AS change,
+                           coalesce(n.nt, 0) - coalesce(o.nt, 0) AS tok_delta
+                    FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+          SELECT doc_id, change, tok_delta FROM j
+          WHERE change IS NOT NULL ORDER BY doc_id""",
     "d4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok
                         FROM documents),

@@ -1172,6 +1172,20 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq === Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0)))
   }
 
+  test("versionDiff: added/removed/changed classified, unchanged omitted, " +
+    "token deltas signed") {
+    val oldV = Seq((1L, "one two three"), (2L, "kept as is"),
+      (3L, "will be removed entirely")).toDF("doc_id", "text")
+    val newV = Seq((1L, "one two three four"), (2L, "kept as is"),
+      (4L, "brand new")).toDF("doc_id", "text")
+    val out = Corpus.versionDiff(oldV, newV, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "changed", 1L),   // +1 token
+      (3L, "removed", -4L),  // its whole count leaves
+      (4L, "added", 2L)))    // doc 2 unchanged — absent
+  }
+
   test("evaluateNearDup: full-sample recall is 1.0 on the planted " +
     "near-dups (lsh == exact here), rates bounded and consistent") {
     val r = Dedup.evaluateNearDup(docs, "text", "doc_id",
