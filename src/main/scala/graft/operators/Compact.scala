@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction for parquet directories — the maintenance pass
+  * every continuous-ingest layout eventually needs.
+  *
+  * Streaming sinks ([[graft.streaming.StreamOps.durableIngestDedup]]'s
+  * `batch=N` partitions, frequent upserts) accumulate files far below the
+  * scan-efficient size; at 100 TB that means millions of files, and scan
+  * PLANNING (listing, footer reads, split computation) starts to dominate
+  * the queries themselves. Compaction rewrites the directory into files
+  * near a target size in one distributed pass.
+  *
+  * The file count is derived from the directory's actual bytes (a
+  * metadata-scale listing), not guessed: `ceil(totalBytes /
+  * targetFileBytes)` — `repartition` (not `coalesce`) so output files
+  * come out EVEN; coalesce would glue input files into whatever skewed
+  * sizes adjacency produced, recreating the problem at the other end.
+  * With `partitionCols` set the repartition keys on them, so each output
+  * partition directory is written by the tasks that own its rows and
+  * small partitions collapse to one file.
+  *
+  * Out-of-place by design: the rewrite lands in `outDir`, and the caller
+  * swaps directories once the report looks right — an in-place rewrite
+  * that crashes mid-way would leave a mixed old/new directory no marker
+  * can repair. (Parquet-only readers can't tell compacted from original:
+  * the data is byte-for-row identical, as CompactSpec asserts.) */
+object Compact {
+
+  /** What a compaction run did — sized from the source listing. */
+  final case class CompactReport(filesBefore: Long, bytesBefore: Long,
+      filesAfter: Long)
+
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): CompactReport = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes ($targetFileBytes) must be positive")
+    require(inDir != outDir, "compaction is out-of-place: outDir must differ")
+    val fs = new Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(new Path(inDir), true)
+    var nFiles = 0L; var nBytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        nFiles += 1; nBytes += f.getLen
+      }
+    }
+    val target = math.max(1L,
+      (nBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val writer =
+      if (partitionCols.isEmpty) df.repartition(target)
+      else df.repartition(target, partitionCols.map(col): _*)
+    val w = writer.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(outDir)
+
+    val outFiles = fs.listFiles(new Path(outDir), true)
+    var nOut = 0L
+    while (outFiles.hasNext) {
+      if (outFiles.next().getPath.getName.endsWith(".parquet")) nOut += 1
+    }
+    CompactReport(nFiles, nBytes, nOut)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Compact
+import org.apache.spark.sql.functions._
+
+/** Compaction specs: the rewrite must be row-exact, actually reduce the
+  * file count toward the byte-derived target, and preserve a partitioned
+  * layout when asked. */
+class CompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def rm(d: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+
+  test("compaction is row-exact and collapses many small files") {
+    val in = tmp("cmp_in"); val out = tmp("cmp_out")
+    try {
+      val docs = (1L to 2000L).map(i => (i, s"document body number $i"))
+        .toDF("doc_id", "text")
+      docs.repartition(64).write.mode("overwrite").parquet(in) // 64 shreds
+      val report = Compact.compactParquet(spark, in, out,
+        targetFileBytes = 1L << 30) // everything fits one file
+      assert(report.filesBefore === 64)
+      assert(report.filesAfter === 1)
+      assert(report.bytesBefore > 0)
+      val back = spark.read.parquet(out)
+      assert(back.count() === 2000)
+      assert(back.orderBy("doc_id").as[(Long, String)].collect().toSeq ===
+        docs.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+    } finally { rm(in); rm(out) }
+  }
+
+  test("file count follows the byte-derived target, not a magic number") {
+    val in = tmp("cmpt_in"); val out = tmp("cmpt_out")
+    try {
+      (1L to 4000L).map(i => (i, ("x" * 200) + i))
+        .toDF("doc_id", "text")
+        .repartition(32).write.mode("overwrite").parquet(in)
+      val bytes = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(in))
+      // target ≈ quarter of the data → expect ceil(bytes/target) files
+      val target = bytes / 4
+      val report = Compact.compactParquet(spark, in, out, target)
+      val expected = (report.bytesBefore + target - 1) / target
+      assert(report.filesAfter === expected)
+      assert(spark.read.parquet(out).count() === 4000)
+    } finally { rm(in); rm(out) }
+  }
+
+  test("partitioned compaction keeps the partition layout, one file per " +
+    "small partition") {
+    val in = tmp("cmpp_in"); val out = tmp("cmpp_out")
+    try {
+      val docs = (1L to 300L).map(i => (i, s"body $i", s"batch${i % 3}"))
+        .toDF("doc_id", "text", "batch")
+      docs.repartition(20).write.mode("overwrite")
+        .partitionBy("batch").parquet(in)
+      val report = Compact.compactParquet(spark, in, out,
+        targetFileBytes = 1L << 30, partitionCols = Seq("batch"))
+      assert(report.filesBefore > 3)
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(dirs === Array("batch=batch0", "batch=batch1", "batch=batch2"))
+      // each small partition collapsed to a single file
+      dirs.foreach { d =>
+        val parts = new java.io.File(s"$out/$d").listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        assert(parts === 1, s"$d has $parts files")
+      }
+      assert(spark.read.parquet(out).count() === 300)
+    } finally { rm(in); rm(out) }
+  }
+}
