@@ -549,6 +549,62 @@ object Corpus {
       .mode("overwrite").parquet(path)
   }
 
+  /** Manifest for a [[writeShards]] directory — the handshake a training
+    * loader reads INSTEAD of listing and counting 100 TB of shard files
+    * itself: one row per shard with its row count, position range, file
+    * count, and (when `textCol` is given) token total, written as
+    * `path/_manifest` parquet alongside the shards.
+    *
+    * Computed from the written data, not from what the writer intended —
+    * a manifest derived from intent silently drifts the first time a
+    * shard write is retried or a file is lost; this one re-reads the
+    * directory it describes, so `sum(n_rows)` IS the loadable corpus.
+    * Position contiguity (`min_pos = 0 … max_pos = n-1` per shard, no
+    * gaps) is asserted here at write time rather than discovered by the
+    * loader mid-epoch. One shard-keyed aggregate plus a
+    * metadata-scale file listing; the manifest itself is shard-count
+    * rows. */
+  def writeShardManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, textCol: Option[String] = None): DataFrame = {
+    val shards = spark.read.parquet(path)
+    val tokAgg = textCol.map(t =>
+      sum(TextAnalysis.nTokens(col(t)).cast("long")).as("n_tokens"))
+    val agg = shards.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        (Seq(min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+          countDistinct(col("pos")).as("_np")) ++ tokAgg): _*)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesPerShard = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          val shard = f.getParent.getName.stripPrefix("shard=")
+          scala.util.Try(shard.toLong).foreach(s =>
+            counts(s) = counts.getOrElse(s, 0L) + 1L)
+        }
+      }
+      counts.toSeq
+    }
+    import spark.implicits._
+    val manifest = agg
+      .join(filesPerShard.toDF("shard", "n_files"), Seq("shard"))
+    // every shard position range must be dense [0, n) — a retry that
+    // half-landed or a lost file surfaces HERE, not mid-epoch
+    val bad = manifest.filter(col("min_pos") =!= 0L ||
+      col("max_pos") =!= col("n_rows") - 1 || col("_np") =!= col("n_rows"))
+      .select("shard").as[Long].collect()
+    require(bad.isEmpty,
+      s"shards ${bad.mkString(",")} have gapped or duplicated positions " +
+        "— the directory is not a complete writeShards result")
+    val out = manifest.drop("_np").orderBy("shard")
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_manifest")
+    spark.read.parquet(s"$path/_manifest")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `k`-gram with an evaluation/benchmark corpus — the standard
     * n-gram-overlap test-set leak check (GPT-3 appendix C / PaLM-style)

@@ -1172,6 +1172,40 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq === Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0)))
   }
 
+  test("writeShardManifest: per-shard rows/files/tokens from the WRITTEN " +
+    "data, dense-position assertion catches a lost file") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    try {
+      val rows = (1L to 90L).map(i => (i, s"doc body number $i"))
+        .toDF("doc_id", "text")
+      val sharded = Corpus.shuffleIntoShards(rows, "doc_id", 3)
+      Corpus.writeShards(sharded, dir, maxRecordsPerFile = 10)
+      val m = Corpus.writeShardManifest(spark, dir, textCol = Some("text"))
+        .orderBy("shard").collect()
+      assert(m.map(_.getAs[Long]("n_rows")).sum === 90L)
+      m.foreach { r =>
+        assert(r.getAs[Long]("min_pos") === 0L)
+        assert(r.getAs[Long]("max_pos") === r.getAs[Long]("n_rows") - 1)
+        // 10-record rollover → ceil(n/10) files
+        assert(r.getAs[Long]("n_files") ===
+          (r.getAs[Long]("n_rows") + 9) / 10)
+        assert(r.getAs[Long]("n_tokens") === r.getAs[Long]("n_rows") * 4)
+      }
+      // the loader reads _manifest, Spark's shard read ignores it
+      assert(spark.read.parquet(dir).count() === 90)
+      // sabotage: delete one data file → the re-derived manifest refuses
+      val victim = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).head.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      val e = intercept[IllegalArgumentException] {
+        Corpus.writeShardManifest(spark, dir, textCol = Some("text"))
+      }
+      assert(e.getMessage.contains("gapped or duplicated"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("versionDiff: added/removed/changed classified, unchanged omitted, " +
     "token deltas signed") {
     val oldV = Seq((1L, "one two three"), (2L, "kept as is"),
