@@ -79,6 +79,21 @@ object LlmQueries {
         threshold = 0.8, samplePct = 50)
     }),
 
+    // Diversity-balanced subset: cap the corpus per SEMANTIC cluster
+    // (deterministic IVF cell) instead of per source — cluster-balanced
+    // sampling, the embedding-space sibling of x19's per-source cap. A
+    // dominant cluster (boilerplate, one topic flooding the crawl) is
+    // thinned to the same ceiling as every other region of the space.
+    "x46_diverse_sample" -> ((s, dir) => {
+      val cells = Similarity.assignCells(t(s, dir, "embeddings"),
+          "embedding", Similarity.seedCentroids(8, 64))
+        .withColumnRenamed("_cell", "cell")
+      Corpus.capPerStratum(cells.select(col("vec_id"), col("cell")),
+          "vec_id", "cell", cap = 40)
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    }),
+
     // Corpus version diff: release-to-release drift audit (added /
     // removed / changed + token delta), content compared by md5 so the
     // join is hash-sized. The "new" release is derived deterministically
@@ -931,6 +946,19 @@ object LlmQueries {
                  CASE WHEN n_exact > 0
                       THEN CAST(n_hits AS DOUBLE) / n_exact END AS cand_recall
           FROM n""",
+    "x46_diverse_sample" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              r AS (SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY cell
+                        ORDER BY ${duckHex32("CAST(cell AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")},
+                                 vec_id) AS rn
+                    FROM cc)
+          SELECT vec_id, cell FROM r WHERE rn <= 40 ORDER BY vec_id""",
     "x45_version_diff" ->
       s"""WITH o AS (SELECT doc_id, md5(text) AS h,
                             CAST(len($duckToks) AS BIGINT) AS nt
