@@ -302,25 +302,64 @@ object Corpus {
     * join. The per-row lambda work is doc-local; nothing is ever joined
     * across documents except the hot-line lookup. */
   def removeRepeatedLines(df: DataFrame, textCol: String, idCol: String,
-      maxLineDocFreq: Int): DataFrame = {
+      maxLineDocFreq: Int): DataFrame =
+    removeRepeatedLinesScoped(df, textCol, idCol, maxLineDocFreq, Nil)
+
+  /** Per-source boilerplate-line removal (CCNet, Wenzek et al. 2020:
+    * template chrome is a property of the SITE, not the corpus): a line
+    * is dropped only when its document frequency exceeds
+    * `maxLineDocFreq` WITHIN `scopeCol` — each source's own navigation /
+    * footer / banner lines go, while a phrase that merely happens to be
+    * common across the whole corpus ("all rights reserved" quoted in
+    * many unrelated sources, each a handful of times) survives. The
+    * corpus-global [[removeRepeatedLines]] would strip that phrase;
+    * per-source scoping is what makes line removal safe on a multi-
+    * source crawl, where global df conflates "template" with "popular".
+    *
+    * Same contract and scale shape as [[removeRepeatedLines]] (hash-df
+    * count first, string-exact verify on hot hashes only, broadcast
+    * anti-join, per-doc reassembly) with every df count and join keyed
+    * by (scope, line) instead of (line) — the extra key changes shuffle
+    * width by one column and nothing else. Rows whose scope is NULL are
+    * never stripped (NULL joins nothing); a crawl with unattributed
+    * docs should bucket them under a sentinel source first. */
+  def removeBoilerplatePerSource(df: DataFrame, textCol: String,
+      idCol: String, scopeCol: String, maxLineDocFreq: Int): DataFrame =
+    removeRepeatedLinesScoped(df, textCol, idCol, maxLineDocFreq,
+      Seq(scopeCol))
+
+  private def removeRepeatedLinesScoped(df: DataFrame, textCol: String,
+      idCol: String, maxLineDocFreq: Int, scope: Seq[String]): DataFrame = {
     require(maxLineDocFreq >= 1,
       s"maxLineDocFreq ($maxLineDocFreq) must be >= 1")
-    def explodeLines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("_i", "_ln")))
+    val internal = Set("_i", "_ln", "_lh", "_df", "_cleaned", "_n_total",
+      "n_lines_kept", "n_lines_dropped")
+    require(!df.columns.exists(internal),
+      s"input columns collide with internal names: " +
+        df.columns.filter(internal).mkString(", "))
+    require(scope.forall(df.columns.contains),
+      s"scope columns ${scope.mkString(", ")} missing from input")
+    val scopeCols = scope.map(col)
+    def explodeLines = df.select(col(idCol) +: scopeCols :+
+      posexplode(split(col(textCol), "\n")).as(Seq("_i", "_ln")): _*)
     val hashed = explodeLines
-      .select(col(idCol), col("_ln"), Hashing.hex60(col("_ln")).as("_lh"))
+      .select(col(idCol) +: scopeCols :+ col("_ln") :+
+        Hashing.hex60(col("_ln")).as("_lh"): _*)
       .persist()
-    val hotHashes = hashed.select(col(idCol), col("_lh")).distinct()
-      .groupBy(col("_lh")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxLineDocFreq).select("_lh")
-    val hot = hashed.join(hotHashes, Seq("_lh"))
-      .select(col(idCol), col("_ln")).distinct()
-      .groupBy(col("_ln")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxLineDocFreq).select(col("_ln"))
+    val hotHashes = hashed.select(col(idCol) +: scopeCols :+ col("_lh"): _*)
+      .distinct()
+      .groupBy(scopeCols :+ col("_lh"): _*).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxLineDocFreq)
+      .select(scopeCols :+ col("_lh"): _*)
+    val hot = hashed.join(hotHashes, scope :+ "_lh")
+      .select(col(idCol) +: scopeCols :+ col("_ln"): _*).distinct()
+      .groupBy(scopeCols :+ col("_ln"): _*).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxLineDocFreq)
+      .select(scopeCols :+ col("_ln"): _*)
       .transform(graft.operators.Lineage.cut) // hashed releasable after this
     hashed.unpersist()
     val lines = explodeLines
-    val kept = lines.join(hot, Seq("_ln"), "left_anti")
+    val kept = lines.join(hot, scope :+ "_ln", "left_anti")
     val reassembled = kept.groupBy(col(idCol)).agg(
       count(lit(1)).cast("long").as("n_lines_kept"),
       array_join(transform(

@@ -94,6 +94,27 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Per-source boilerplate strip (CCNet scoping): each source's own
+    // footer line (df 25 within its source > cap 10) is removed, while a
+    // cross-site banner planted on every 3rd doc — common corpus-wide
+    // (~167 docs) but df 8-9 within any single source — survives. The
+    // corpus-global x16 pass would strip the banner too; the per-source
+    // df key is exactly what separates template chrome from popularity.
+    "x47_boilerplate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val aug = concat_ws("\n",
+        substring(col("text"), 1, 60),
+        when(id % 3 === 0, lit("cross site promo banner"))
+          .otherwise(substring(col("text"), 61, 30)),
+        concat(lit("visit "), col("source"), lit(" for more")))
+      Corpus.removeBoilerplatePerSource(
+          t(s, dir, "documents").select(id, col("source"), aug.as("text")),
+          "text", "doc_id", "source", maxLineDocFreq = 10)
+        .select(col("doc_id"), col("source"), col("n_lines_kept"),
+          col("n_lines_dropped"), md5(col("text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus version diff: release-to-release drift audit (added /
     // removed / changed + token delta), content compared by md5 so the
     // join is hash-sized. The "new" release is derived deterministically
@@ -959,6 +980,34 @@ object LlmQueries {
                                  vec_id) AS rn
                     FROM cc)
           SELECT vec_id, cell FROM r WHERE rn <= 40 ORDER BY vec_id""",
+    "x47_boilerplate" ->
+      """WITH aug AS (
+           SELECT doc_id, source,
+             substr(text, 1, 60) || chr(10)
+             || CASE WHEN doc_id % 3 = 0 THEN 'cross site promo banner'
+                     ELSE substr(text, 61, 30) END || chr(10)
+             || 'visit ' || source || ' for more' AS text
+           FROM documents),
+         sp AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+                FROM aug),
+         l AS (SELECT doc_id, source, i, ls[i] AS ln
+               FROM sp, unnest(range(1, len(ls) + 1)) t(i)),
+         hot AS (SELECT source, ln
+                 FROM (SELECT DISTINCT doc_id, source, ln FROM l)
+                 GROUP BY source, ln HAVING count(*) > 10),
+         kept AS (SELECT l.* FROM l
+                  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.source = l.source AND h.ln = l.ln)),
+         re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+                  string_agg(ln, chr(10) ORDER BY i) AS cleaned
+                FROM kept GROUP BY doc_id)
+         SELECT sp.doc_id, sp.source,
+                coalesce(re.n_lines_kept, 0) AS n_lines_kept,
+                CAST(len(sp.ls) AS BIGINT) - coalesce(re.n_lines_kept, 0)
+                  AS n_lines_dropped,
+                md5(coalesce(re.cleaned, '')) AS cleaned_md5
+         FROM sp LEFT JOIN re ON sp.doc_id = re.doc_id
+         ORDER BY sp.doc_id""",
     "x45_version_diff" ->
       s"""WITH o AS (SELECT doc_id, md5(text) AS h,
                             CAST(len($duckToks) AS BIGINT) AS nt

@@ -512,6 +512,41 @@ class LlmSpec extends SparkSpec {
     assert(w(1L) === "x\nx\nx") // df("x") = 1 doc, not 3 occurrences
   }
 
+  test("per-source boilerplate: df counted within scope, nulls untouched") {
+    val docs = Seq(
+      (1L, "siteA", "FOOT-A\nunique a1"),
+      (2L, "siteA", "FOOT-A\nunique a2"),
+      (3L, "siteA", "FOOT-A\nCOMMON"),
+      (4L, "siteB", "FOOT-A\nCOMMON"),  // FOOT-A df=1 in siteB: kept there
+      (5L, "siteB", "COMMON\nunique b1"),
+      (6L, "siteB", "COMMON"),
+      (7L, null.asInstanceOf[String], "FOOT-A\nCOMMON")) // null scope
+      .toDF("doc_id", "source", "text")
+    // cap 2: FOOT-A hot in siteA only (df=3); COMMON hot in siteB only
+    // (df=3); neither hot in the other's scope or under a null scope
+    val out = Corpus.removeBoilerplatePerSource(docs, "text", "doc_id",
+        "source", maxLineDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("unique a1", 1L, 1L)))
+    assert(out(3L) === (("COMMON", 1L, 1L)))     // COMMON df=1 in siteA
+    assert(out(4L) === (("FOOT-A", 1L, 1L)))     // FOOT-A df=1 in siteB
+    assert(out(6L) === (("", 0L, 1L)))
+    // NULL scope rows are never stripped
+    assert(out(7L) === (("FOOT-A\nCOMMON", 2L, 0L)))
+    // the corpus-global pass WOULD strip both (df 5 and 5 > 2): the
+    // scoped and global operators genuinely differ on this input
+    val g = Corpus.removeRepeatedLines(docs, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(g(4L) === "")
+    // internal-name collision is rejected loudly, not silently shadowed
+    val bad = Seq((1L, "s", "t", 0L)).toDF("doc_id", "source", "text", "_lh")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.removeBoilerplatePerSource(bad, "text", "doc_id", "source", 2)
+    }
+    assert(e.getMessage.contains("_lh"))
+  }
+
   test("repeated-span removal: first occurrence survives, repeats cut") {
     val docs = Seq(
       (1L, "alpha beta gamma delta unique one"),
