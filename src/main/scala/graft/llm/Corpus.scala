@@ -728,6 +728,40 @@ object Corpus {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Graded contamination report: per-document n-gram overlap FRACTION
+    * against the benchmark, not just the boolean hit [[contaminatedDocs]]
+    * reports. The binary test over-drops at small `k` (one idiom shared
+    * with an eval question kills a long document) and under-informs at
+    * audit time; the standard remediation (Llama / FLAN-style "dirty if
+    * > X% of grams overlap") needs the fraction itself.
+    *
+    * Returns one row per training doc sharing at least one `k`-gram with
+    * `bench`: (idCol, n_grams = the doc's distinct k-grams,
+    * n_shared_grams, overlap_frac = n_shared_grams / n_grams). Both
+    * counts are integers; the fraction is the single IEEE division of
+    * the two (oracle-exact). Clean docs are absent — the report stays
+    * contamination-sized; threshold downstream on `overlap_frac`.
+    *
+    * Execution shape: one corpus-side gram pass, LEFT-joined against the
+    * distinct bench gram set (tiny → AQE broadcast; `benchBroadcast`
+    * forces the hint), so per-doc total and hit counts come out of ONE
+    * aggregate — the corpus is never scanned or shuffled twice. */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, k: Int = 8,
+      benchBroadcast: Boolean = false): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val trainGrams = Dedup.shingleRows(train, textCol, idCol, k)
+    val benchGrams0 = Dedup.shingleRows(bench, textCol, idCol, k)
+      .select(col("s")).distinct().withColumn("_hit", lit(1))
+    val benchGrams = if (benchBroadcast) broadcast(benchGrams0) else benchGrams0
+    trainGrams.join(benchGrams, Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_shared_grams"))
+      .filter(col("n_shared_grams") > 0)
+      .withColumn("overlap_frac",
+        col("n_shared_grams").cast("double") / col("n_grams"))
+  }
+
   /** Corpus version diff — the release-to-release drift audit: classify
     * every document as added / removed / changed (same id, different
     * content) between two corpus versions, with the token delta each

@@ -511,4 +511,47 @@ object Similarity {
     v.unpersist()
     out
   }
+
+  /** ANN quality report: per-query recall of an approximate top-k result
+    * against the exact (brute-force) one — the measurement that picks
+    * `nlist`/`nProbe`/`planes` before an index ships (the embedding-side
+    * sibling of [[Dedup.evaluateNearDup]]'s LSH eval). Works over ANY
+    * pair of (query, neighbor) result frames — IVF, LSH, PQ, IVF-PQ —
+    * since it touches only ids.
+    *
+    * At corpus scale the exact side comes from [[cosineTopK]] on a query
+    * SAMPLE (a full brute-force sweep is what ANN exists to avoid);
+    * recall on the sample estimates recall overall.
+    *
+    * Returns one row per query id present in either frame: (queryCol,
+    * n_exact, n_ann, n_hits = |intersection|, recall = n_hits / n_exact,
+    * NULL when the exact side is empty for that query). Counts are
+    * integers; recall is the single IEEE division (oracle-exact).
+    *
+    * Scale shape: both inputs are (queries × k) rows — already reduced
+    * by the searches that produced them; three key-partitioned
+    * aggregates over those small frames. Each input feeds two consumers
+    * (its count and the intersection join), so both are lineage-cut once
+    * here — without the cut Catalyst re-runs the full search subtree
+    * (for the exact side, the brute-force product) per consumer. */
+  def evaluateAnn(exact: DataFrame, approx: DataFrame,
+      queryCol: String = "query_id", neighborCol: String = "neighbor_id")
+      : DataFrame = {
+    val e = graft.operators.Lineage.cut(
+      exact.select(col(queryCol), col(neighborCol)))
+    val a = graft.operators.Lineage.cut(
+      approx.select(col(queryCol), col(neighborCol)))
+    val ec = e.groupBy(col(queryCol)).agg(count(lit(1)).as("n_exact"))
+    val ac = a.groupBy(col(queryCol)).agg(count(lit(1)).as("n_ann"))
+    val hc = e.join(a, Seq(queryCol, neighborCol))
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hits"))
+    ec.join(ac, Seq(queryCol), "full")
+      .join(hc, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", when(col("n_exact") > 0,
+        col("n_hits").cast("double") / col("n_exact")))
+  }
 }

@@ -182,6 +182,20 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN recall eval: per-query recall@10 of the IVF index (a4's exact
+    // configuration) against brute-force cosine (a1's) — the measurement
+    // that tunes nlist/nProbe before an index ships. Integer counts +
+    // one division; the oracle replays both searches and intersects.
+    "a9_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.evaluateAnn(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", 10),
+          Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+            nlist = 8, nProbe = 2))
+        .orderBy("query_id")
+    }),
+
     // One distributed spherical k-means (Lloyd) accumulation from the
     // deterministic seed codebook: per (cell, pos) member count + mean
     // component. This is the scale half of IVF training — codebook-sized
@@ -611,6 +625,19 @@ object LlmQueries {
     "x11_decontam" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Corpus.contaminatedDocs(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          "text", "doc_id", k = 4)
+        .orderBy("doc_id")
+    }),
+
+    // Graded contamination: per-doc overlap FRACTION (shared / total
+    // distinct 4-grams) for threshold-based decontamination policies —
+    // same train/bench split as x11, one corpus pass, integer counts +
+    // one division.
+    "x48_contam_frac" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.contaminationReport(
           d.filter(col("source") =!= "src0"),
           d.filter(col("source") === "src0"),
           "text", "doc_id", k = 4)
@@ -1122,6 +1149,53 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a9_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              sc1 AS (SELECT query_id, e.vec_id AS neighbor_id,
+                        list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i])) /
+                        (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+                         sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+                      FROM e, q WHERE e.vec_id <> q.query_id),
+              ex AS (SELECT query_id, neighbor_id
+                     FROM (SELECT query_id, neighbor_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rn
+                           FROM sc1) WHERE rn <= 10),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              qp AS (SELECT vec_id AS query_id, v AS qv, ps FROM pc WHERE vec_id < 5),
+              pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC) AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
+              sc2 AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                        list_sum(list_transform(range(1, 65), i -> c.v[i] * p.qv[i])) /
+                        (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                         sqrt(list_sum(list_transform(p.qv, x -> x*x)))) AS cos
+                      FROM cc c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id),
+              ann AS (SELECT query_id, neighbor_id
+                      FROM (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+                            FROM sc2) WHERE rn <= 10),
+              ec AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+              ac AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1),
+              hc AS (SELECT query_id, count(*) AS n_hits
+                     FROM ex JOIN ann USING (query_id, neighbor_id) GROUP BY 1)
+          SELECT query_id,
+                 coalesce(ec.n_exact, 0) AS n_exact,
+                 coalesce(ac.n_ann, 0) AS n_ann,
+                 coalesce(hc.n_hits, 0) AS n_hits,
+                 CASE WHEN coalesce(ec.n_exact, 0) > 0
+                      THEN CAST(coalesce(hc.n_hits, 0) AS DOUBLE) / ec.n_exact
+                 END AS recall
+          FROM ec FULL JOIN ac USING (query_id) LEFT JOIN hc USING (query_id)
+          ORDER BY query_id""",
     "d9_span_dedup" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               st AS (SELECT doc_id, w, len(w) AS n FROM ws),
@@ -1686,6 +1760,21 @@ object LlmQueries {
           FROM grams JOIN bench USING (g)
           WHERE source <> 'src0'
           GROUP BY doc_id ORDER BY doc_id""",
+    "x48_contam_frac" ->
+      s"""WITH toks AS (SELECT doc_id, source, $duckToks AS w FROM documents),
+              pos AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 2)) AS i
+                      FROM toks WHERE len(w) >= 4),
+              grams AS (SELECT DISTINCT doc_id, source,
+                          array_to_string(w[i:i+3], ' ') AS g FROM pos),
+              bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+              tot AS (SELECT doc_id, count(*) AS n_grams FROM grams
+                      WHERE source <> 'src0' GROUP BY doc_id),
+              sh AS (SELECT doc_id, count(*) AS n_shared_grams
+                     FROM grams JOIN bench USING (g)
+                     WHERE source <> 'src0' GROUP BY doc_id)
+          SELECT t.doc_id, t.n_grams, s.n_shared_grams,
+                 CAST(s.n_shared_grams AS DOUBLE) / t.n_grams AS overlap_frac
+          FROM tot t JOIN sh s USING (doc_id) ORDER BY doc_id""",
     // x21 must reproduce x11 exactly (the Bloom sketch only prunes the
     // shuffle; false positives die in the verify join) — same oracle.
     "x21_decontam_bloom" ->

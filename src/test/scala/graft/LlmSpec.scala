@@ -839,6 +839,28 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
   }
 
+  test("contamination report: exact counts, fraction, clean docs absent") {
+    // k=2 grams: doc 1 {a b, b c, c d} hits {a b, b c} -> 2/3;
+    // doc 2 {p q} hits nothing -> absent; doc 3 {a b} -> 1/1
+    val train = Seq((1L, "a b c d"), (2L, "p q"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c"), (101L, "x y")).toDF("doc_id", "text")
+    val out = Corpus.contaminationReport(train, bench, "text", "doc_id",
+        k = 2, benchBroadcast = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 3L, 2L, 2.0 / 3.0), (3L, 1L, 1L, 1.0)))
+    // consistency with the boolean operator: same flagged set, same hits
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tr = docs.filter(col("source") =!= "src0")
+    val be = docs.filter(col("source") === "src0")
+    val bool = Corpus.contaminatedDocs(tr, be, "text", "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rep = Corpus.contaminationReport(tr, be, "text", "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rep === bool)
+  }
+
   test("novelty: first-occurrence docs score 1.0, re-treads score their share") {
     val docs = Seq(
       (1L, "a b c d"),  // shingles {a b c, b c d} — first for both
@@ -1266,6 +1288,24 @@ class LlmSpec extends SparkSpec {
     // so the generator misses nothing (same fact the d8 spec relies on)
     assert(r.getDouble(4) === 1.0) // cand_recall
     assert(r.getDouble(3) === nHits.toDouble / nCand) // cand_precision
+  }
+
+  test("evaluateAnn: exact intersection counts, one-sided queries survive") {
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 7L), (2L, 9L))
+      .toDF("query_id", "neighbor_id")
+    val ann = Seq((0L, 2L), (0L, 3L), (0L, 4L), (1L, 7L), (3L, 5L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.evaluateAnn(exact, ann).orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 3L, 2L, Some(2.0 / 3.0)),
+      (1L, 1L, 1L, 1L, Some(1.0)),
+      (2L, 1L, 0L, 0L, Some(0.0)),       // ann missed the query entirely
+      (3L, 0L, 1L, 0L, None)))           // no exact baseline -> NULL recall
+    // self-consistency: ann vs itself is perfect recall
+    val self = Similarity.evaluateAnn(ann, ann).collect()
+    assert(self.forall(r => r.getDouble(4) === 1.0))
   }
 
   test("leakageSafeSplit: no near-dup pair straddles the split, " +
