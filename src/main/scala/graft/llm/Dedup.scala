@@ -104,6 +104,20 @@ object Dedup {
     * hot bucket are not emitted. */
   val DefaultMaxBucketSize: Int = 10000
 
+  /** One (doc, band-bucket) row per band: the exploded keying both the
+    * self-join ([[lshCandidates]]) and the cross-corpus join
+    * ([[crossCorpusNearDups]]) hang off. */
+  private def bandRows(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*)
+          .as("bucket"))
+    }
+    sigs.select(col(idCol).as("_mid"), explode(array(bandCols: _*)).as("bk"))
+  }
+
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `numHashes / bands` values; docs sharing any band bucket are
     * candidates. Returns (id_a, id_b) with id_a < id_b, deduped.
@@ -124,14 +138,7 @@ object Dedup {
     require(maxBucketSize >= 2,
       s"maxBucketSize ($maxBucketSize) must be >= 2 — a 1-member bucket " +
       "can never produce a candidate pair")
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*)
-          .as("bucket"))
-    }
-    val exploded = sigs.select(col(idCol).as("_mid"),
-      explode(array(bandCols: _*)).as("bk"))
+    val exploded = bandRows(sigs, idCol, numHashes, bands)
     val hot = exploded.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
       .filter(col("_bc") > maxBucketSize).select("bk")
     val kept = exploded.join(hot, Seq("bk"), "left_anti")
@@ -177,6 +184,77 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .transform(graft.operators.Lineage.cut)
     rows.unpersist(); sigs.unpersist(); cands.unpersist()
+    out
+  }
+
+  /** Fuzzy cross-corpus near-dup detection — the MinHash complement to
+    * [[graft.llm.Corpus.contaminatedDocs]]'s exact n-gram test: flag
+    * training documents whose shingle-set Jaccard against ANY benchmark
+    * document reaches `threshold`, catching the paraphrased / lightly
+    * edited eval leak an exact gram match misses (the Llama-style fuzzy
+    * decontamination pass). Also the incremental-ingest primitive: with
+    * `bench` = the existing corpus, it near-dup-screens a new slice
+    * without self-joining either side.
+    *
+    * Returns (train_id, bench_id, jaccard) for every verified pair —
+    * one train doc may hit several bench docs; aggregate or anti-join
+    * downstream.
+    *
+    * Scale shape: each side is shingled and signed independently (one
+    * pass each); candidates come from a band-bucket EQUI-join between
+    * the sides — never all pairs — with the hot-bucket cap applied to
+    * each side separately (the cross-join blow-up inside one bucket is
+    * train-width × bench-width, so capping both bounds it at cap²; the
+    * recall trade is [[DefaultMaxBucketSize]]'s). Verification computes
+    * exact Jaccard via a (doc, shingle) equi-join restricted to
+    * candidate pairs, bit-identical semantics to [[minhashNearDups]]'s
+    * verify stage. */
+  def crossCorpusNearDups(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(maxBucketSize >= 1,
+      s"maxBucketSize ($maxBucketSize) must be >= 1")
+    val tRows = shingleRows(train, textCol, idCol, k).persist()
+    val bRows = shingleRows(bench, textCol, idCol, k).persist()
+    // each side's band relation feeds two consumers (its hot-bucket count
+    // and the anti-join) — persist so the signature aggregate runs once
+    val sideCaches = Seq.newBuilder[DataFrame]
+    def sideBands(rows: DataFrame, side: String) = {
+      val bb = bandRows(
+        signatureFromShingleRows(rows, idCol, numHashes), idCol,
+        numHashes, bands).persist()
+      sideCaches += bb
+      val hot = bb.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") > maxBucketSize).select("bk")
+      bb.join(hot, Seq("bk"), "left_anti")
+        .select(col("_mid").as(side), col("bk"))
+    }
+    val cands = sideBands(tRows, "train_id")
+      .join(sideBands(bRows, "bench_id"), Seq("bk"))
+      .select("train_id", "bench_id").distinct()
+      .persist()
+    val tSizes = tRows.groupBy(col(idCol)).agg(count(lit(1)).as("_nt"))
+    val bSizes = bRows.groupBy(col(idCol)).agg(count(lit(1)).as("_nb"))
+    val inter = cands
+      .join(tRows.select(col(idCol).as("train_id"), col("s")), Seq("train_id"))
+      .join(bRows.select(col(idCol).as("bench_id"), col("s")),
+        Seq("bench_id", "s"))
+      .groupBy("train_id", "bench_id").agg(count(lit(1)).as("_inter"))
+    val out = cands.join(inter, Seq("train_id", "bench_id"))
+      .join(tSizes.select(col(idCol).as("train_id"), col("_nt")), Seq("train_id"))
+      .join(bSizes.select(col(idCol).as("bench_id"), col("_nb")), Seq("bench_id"))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (col("_nt") + col("_nb") - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("train_id", "bench_id", "jaccard")
+      .transform(graft.operators.Lineage.cut)
+    tRows.unpersist(); bRows.unpersist(); cands.unpersist()
+    sideCaches.result().foreach(_.unpersist())
     out
   }
 

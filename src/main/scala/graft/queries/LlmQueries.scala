@@ -146,6 +146,21 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Fuzzy cross-corpus decontamination: MinHash-LSH near-dups BETWEEN
+    // the training split and the src0 "benchmark" — catches the
+    // paraphrased leak x11's exact-gram test misses. Same 16-perm/4-band
+    // model as d8, but a two-sided band equi-join (never a self-join,
+    // never all pairs); the oracle replays both sides and verifies exact
+    // Jaccard >= 0.8.
+    "d10_cross_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.crossCorpusNearDups(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          "text", "doc_id", threshold = 0.8)
+        .orderBy("train_id", "bench_id")
+    }),
+
     // Brute-force cosine top-10 for 5 query vectors (ids only — float
     // summation-order at the rank boundary is the one nondeterminism
     // between engines, so scores stay out of the compared output).
@@ -1094,6 +1109,41 @@ object LlmQueries {
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
           ORDER BY id_a, id_b""",
+    "d10_cross_neardup" ->
+      s"""WITH ws AS (SELECT doc_id, source, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, source, $duckShingles AS sh FROM ws
+                     WHERE len(w) >= 3),
+              sig AS (SELECT doc_id, source, sh,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              bands AS (
+                ${(0 until 4).map(b =>
+                  s"SELECT doc_id, source, $b AS b, concat_ws('_', sig_${4*b}, sig_${4*b+1}, sig_${4*b+2}, sig_${4*b+3}) AS bucket FROM sig")
+                  .mkString("\n                UNION ALL\n                ")}),
+              tb AS (SELECT doc_id, b, bucket FROM bands WHERE source <> 'src0'),
+              eb AS (SELECT doc_id, b, bucket FROM bands WHERE source = 'src0'),
+              -- per-side hot-bucket guard, mirroring the engine's cap
+              tkept AS (SELECT b, bucket FROM tb GROUP BY b, bucket
+                        HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              ekept AS (SELECT b, bucket FROM eb GROUP BY b, bucket
+                        HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              cand AS (SELECT DISTINCT t.doc_id AS train_id,
+                              e.doc_id AS bench_id
+                       FROM tb t
+                       JOIN tkept tk ON t.b = tk.b AND t.bucket = tk.bucket
+                       JOIN eb e ON t.b = e.b AND t.bucket = e.bucket
+                       JOIN ekept ek ON e.b = ek.b AND e.bucket = ek.bucket)
+          SELECT c.train_id, c.bench_id,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                   AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.train_id
+          JOIN sh sb ON sb.doc_id = c.bench_id
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                >= 0.8
+          ORDER BY train_id, bench_id""",
     "a1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),

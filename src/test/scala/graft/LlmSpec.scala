@@ -1290,6 +1290,38 @@ class LlmSpec extends SparkSpec {
     assert(r.getDouble(3) === nHits.toDouble / nCand) // cand_precision
   }
 
+  test("crossCorpusNearDups: fuzzy train-vs-bench hits, no self-side pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six"
+    val train = Seq(
+      (1L, base),                                 // exact copy: J = 1.0
+      (2L, "completely unrelated training text about spark plans"),
+      (3L, base.replace("omicron", "edited")))    // one word of 30 changed
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, base),
+      (101L, "benchmark question about something else entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(train, bench, "text", "doc_id",
+        threshold = 0.8)
+      .orderBy("train_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the exact copy is guaranteed (every band collides at J=1); clean
+    // docs 2/101 match nothing; a within-TRAIN near-dup pair (1,3) is
+    // NOT emitted — the operator is strictly two-sided
+    assert(out.contains((1L, 100L)))
+    assert(out.forall { case (a, b) => a < 100L && b >= 100L })
+    // agreement with the self-join operator on a planted union: every
+    // cross-side pair minhashNearDups finds, the cross operator finds too
+    val union = train.unionByName(bench)
+    val self = Dedup.minhashNearDups(union, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 100L) != (b < 100L) }
+      .map { case (a, b) => if (a < 100L) (a, b) else (b, a) }.sorted
+    assert(self.toSeq === out.toSeq)
+  }
+
   test("evaluateAnn: exact intersection counts, one-sided queries survive") {
     val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 7L), (2L, 9L))
       .toDF("query_id", "neighbor_id")
