@@ -81,4 +81,113 @@ object Retrieval {
     top.withColumn("rank", row_number().over(
       Window.orderBy(col("score").desc, col(idCol).asc)))
   }
+
+  /** Batch BM25: rank the corpus against MANY queries in one pass — the
+    * scale path [[bm25TopK]]'s single-query shape doesn't cover (a rerank
+    * or eval harness scores thousands of queries; re-scanning the corpus
+    * per query is the collect-loop anti-pattern).
+    *
+    * Scale shape: the corpus token stream is exploded ONCE; the combined
+    * vocabulary of all queries (distinct terms — small even for many
+    * queries) is broadcast and applied map-side right after the explode,
+    * so ~all token rows die before the postings groupBy. Document
+    * frequency comes from the surviving postings (one tiny aggregate,
+    * broadcast back). The (query, term) table is broadcast onto the
+    * postings to fan each posting out to the queries containing its term
+    * — never a corpus × queries product. Per-query top-k is a window
+    * PARTITIONED by query id (rank <= k is pushed into the sort by
+    * Spark's WindowGroupLimit, so each partition keeps a bounded heap,
+    * not a full sort spill).
+    *
+    * Determinism across engines: identical to [[bm25TopK]] — integer
+    * score inputs, one parenthesization, ties on the integer doc id;
+    * per-(query, doc) summation is at most |query terms| IEEE adds.
+    *
+    * @param queries one row per query: `queryIdCol` + `queryTextCol`
+    *                (tokenized with the same rules as documents)
+    * @return (queryIdCol, idCol, score, n_matched, rank 1..topK) —
+    *         queries whose terms match nothing are absent
+    */
+  def bm25BatchTopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK ($topK) must be positive")
+    val qTerms = queries.select(col(queryIdCol),
+        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
+          .as("_term"))
+    val vocab = qTerms.select("_term").distinct()
+
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+    val stats = toks.agg(count(lit(1)).as("_n"),
+      avg(size(col("_tk"))).as("_avgdl"))
+    val tf = toks
+      .select(col(idCol), size(col("_tk")).as("_dl"),
+        explode(col("_tk")).as("_term"))
+      .join(broadcast(vocab), Seq("_term"), "left_semi")
+      .groupBy(col(idCol), col("_term"), col("_dl"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("_term").agg(count(lit(1)).as("_df"))
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("_term"))
+      .join(broadcast(qTerms), Seq("_term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf", log(lit(1.0) +
+        (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+      .withColumn("_s", col("_idf") *
+        (col("_tf") * lit(k1 + 1.0)) /
+        (col("_tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+
+    val perDoc = scored.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("_s")).as("score"), count(lit(1)).as("n_matched"))
+    perDoc
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Rank-quality metrics for a retrieval run — the relevance-judged
+    * complement to [[graft.llm.Similarity.evaluateAnn]]'s exact-vs-approx
+    * recall: given ranked results and a relevance table, emit per-query
+    * reciprocal rank and hits@k (MRR/precision@k are one `avg` away
+    * downstream; emitting per-query rows keeps every value integer-or-
+    * one-division so engines hash-match — a corpus-wide float mean would
+    * reintroduce summation-order drift).
+    *
+    * Scale shape: one equi-join on (query, doc) + one groupBy per query —
+    * both shuffles are on the query key, sized by the ranked table
+    * (|queries| × k), not the corpus. Queries present in `truth` but
+    * retrieving nothing still emit (left join from truth's query set):
+    * a silent drop would inflate MRR.
+    *
+    * @param ranked (queryIdCol, idCol, rankCol) — 1-based ranks
+    * @param truth  (queryIdCol, idCol) relevant pairs
+    * @param k      cutoff for hits_at_k
+    * @return per query: n_rel, n_retrieved, first_rel_rank (null if no
+    *         relevant doc retrieved), rr (0.0 if none), hits_at_k
+    */
+  def evaluateRetrieval(ranked: DataFrame, truth: DataFrame,
+      queryIdCol: String, idCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val rel = truth.select(col(queryIdCol), col(idCol)).distinct()
+    val relCounts = rel.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_rel"))
+    val retrievedCounts = ranked.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("_n_ret"))
+    val hits = ranked.join(rel, Seq(queryIdCol, idCol))
+      .groupBy(col(queryIdCol))
+      .agg(min(col(rankCol)).as("first_rel_rank"),
+        sum(when(col(rankCol) <= k, 1L).otherwise(0L)).as("hits_at_k"))
+    relCounts
+      .join(retrievedCounts, Seq(queryIdCol), "left")
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("n_rel"),
+        coalesce(col("_n_ret"), lit(0L)).as("n_retrieved"),
+        col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"))
+  }
 }

@@ -22,6 +22,20 @@ object LlmQueries {
 
   private val stopwords = TextAnalysis.langMarkers.head._2 // en markers
 
+  /** Fixed query set for the batch-retrieval queries (x49/x50) — mirrored
+    * verbatim in the DuckDB oracles' VALUES list. q4's terms are absent
+    * from the corpus vocabulary: it must vanish from ranked AND truth. */
+  private val BatchQueries = Seq(
+    (1L, "spark window merge"),
+    (2L, "hash join filter"),
+    (3L, "vector stream dup"),
+    (4L, "zebra xylophone"),
+    (5L, "the fast query"))
+
+  private val duckBatchQueryValues = BatchQueries
+    .map { case (id, txt) => s"(CAST($id AS BIGINT), '$txt')" }
+    .mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy — one shuffle, any scale.
@@ -625,6 +639,45 @@ object LlmQueries {
           t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
           queryTerms = Seq("spark", "window", "merge"), topK = 50)
         .orderBy("rank")
+    }),
+
+    // Batch BM25: 5 queries ranked against the corpus in ONE pass —
+    // postings filtered map-side by the broadcast combined vocabulary,
+    // per-query top-10 via a window PARTITIONED by query (WindowGroupLimit
+    // bounds each partition's sort). The single-query x22 shape re-scans
+    // the corpus per query; this is the eval/rerank-harness path.
+    "x49_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = BatchQueries.toDF("query_id", "qtext")
+      Retrieval.bm25BatchTopK(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          qs, "query_id", "qtext", topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Retrieval rank-quality over the x49 run: relevance = docs containing
+    // ALL the query's terms; per-query reciprocal rank + hits@10 (MRR is
+    // one avg away — per-query rows keep every value integer-or-one-
+    // division so the engines hash-match).
+    "x50_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val qs = BatchQueries.toDF("query_id", "qtext")
+      val ranked = Retrieval.bm25BatchTopK(docs, "text", "doc_id",
+        qs, "query_id", "qtext", topK = 10)
+      val qTerms = qs.select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("w"))
+      val nTerms = qTerms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
+      val docTerms = docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+      val truth = docTerms.join(broadcast(qTerms), Seq("w"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_hit"))
+        .join(broadcast(nTerms), Seq("query_id"))
+        .filter(col("_hit") === col("_nq"))
+        .select("query_id", "doc_id")
+      Retrieval.evaluateRetrieval(ranked, truth,
+          "query_id", "doc_id", "rank", k = 10)
+        .orderBy("query_id")
     }),
 
     // Gopher-style repetition quality signals: token coverage of the most
@@ -1779,6 +1832,86 @@ object LlmQueries {
                     FROM agg)
           SELECT doc_id, score, n_matched, rank
           FROM r WHERE rank <= 50 ORDER BY rank""",
+    "x49_bm25_batch" ->
+      s"""WITH q AS (SELECT * FROM (VALUES $duckBatchQueryValues)
+                     AS t(query_id, qtext)),
+              qt AS (SELECT DISTINCT query_id,
+                       unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+                     FROM q),
+              vocab AS (SELECT DISTINCT term FROM qt),
+              ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              tm AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
+              tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tm
+                     JOIN vocab USING (term) GROUP BY 1, 2, 3),
+              dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+              st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM ws),
+              scored AS (SELECT qt.query_id, tf.doc_id,
+                       ln(1.0 + (st.n - dfq.dfn + 0.5) / (dfq.dfn + 0.5)) *
+                         (tf.tf * (1.2 + 1.0)) /
+                         (tf.tf + 1.2 * ((1.0 - 0.75) +
+                            0.75 * tf.dl / st.avgdl)) AS s
+                     FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+                     CROSS JOIN st),
+              agg AS (SELECT query_id, doc_id, sum(s) AS score,
+                        count(*) AS n_matched
+                      FROM scored GROUP BY 1, 2),
+              r AS (SELECT query_id, doc_id, score, n_matched,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rank
+                    FROM agg)
+          SELECT query_id, doc_id, score, n_matched, rank
+          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "x50_retrieval_eval" ->
+      s"""WITH q AS (SELECT * FROM (VALUES $duckBatchQueryValues)
+                     AS t(query_id, qtext)),
+              qt AS (SELECT DISTINCT query_id,
+                       unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+                     FROM q),
+              vocab AS (SELECT DISTINCT term FROM qt),
+              nq AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+              ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              tm AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
+              tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tm
+                     JOIN vocab USING (term) GROUP BY 1, 2, 3),
+              dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+              st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM ws),
+              scored AS (SELECT qt.query_id, tf.doc_id,
+                       ln(1.0 + (st.n - dfq.dfn + 0.5) / (dfq.dfn + 0.5)) *
+                         (tf.tf * (1.2 + 1.0)) /
+                         (tf.tf + 1.2 * ((1.0 - 0.75) +
+                            0.75 * tf.dl / st.avgdl)) AS s
+                     FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+                     CROSS JOIN st),
+              agg AS (SELECT query_id, doc_id, sum(s) AS score
+                      FROM scored GROUP BY 1, 2),
+              r AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rank
+                    FROM agg QUALIFY rank <= 10),
+              dt AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM ws),
+              truth AS (SELECT qt.query_id, dt.doc_id
+                        FROM dt JOIN qt USING (term)
+                        JOIN nq USING (query_id)
+                        GROUP BY qt.query_id, dt.doc_id, nq.nq
+                        HAVING count(*) = nq.nq),
+              relc AS (SELECT query_id, count(*) AS n_rel FROM truth
+                       GROUP BY 1),
+              retc AS (SELECT query_id, count(*) AS n_ret FROM r GROUP BY 1),
+              hits AS (SELECT r.query_id,
+                         min(r.rank) AS first_rel_rank,
+                         sum(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END)
+                           AS hits_at_k
+                       FROM r JOIN truth USING (query_id, doc_id)
+                       GROUP BY 1)
+          SELECT relc.query_id, relc.n_rel,
+                 CAST(coalesce(retc.n_ret, 0) AS BIGINT) AS n_retrieved,
+                 hits.first_rel_rank,
+                 coalesce(CAST(1.0 AS DOUBLE) / hits.first_rel_rank, 0.0)
+                   AS rr,
+                 CAST(coalesce(hits.hits_at_k, 0) AS BIGINT) AS hits_at_k
+          FROM relc LEFT JOIN retc USING (query_id)
+          LEFT JOIN hits ON relc.query_id = hits.query_id
+          ORDER BY relc.query_id""",
     "x10_repetition" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               base AS (SELECT doc_id, w, len(w) AS n FROM ws),

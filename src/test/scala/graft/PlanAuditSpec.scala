@@ -15,8 +15,10 @@ class PlanAuditSpec extends SparkSpec {
     // into the term stream; bounded by construction. A literal-key
     // equi-join gets constant-folded back to this same plan, so the
     // crossJoin spelling is kept and whitelisted.
-    "x44_skew_report" // same 1-row stats pattern: the total-row count
+    "x44_skew_report", // same 1-row stats pattern: the total-row count
     // broadcasts into the topN (≤ 20) hottest keys — both sides bounded
+    "x49_bm25_batch", // x22's 1-row corpus-stats broadcast, batch variant
+    "x50_retrieval_eval" // composes x49's ranking — same 1-row broadcast
   )
 
   test("no cartesian products or unintended nested-loop joins") {

@@ -114,6 +114,64 @@ class PrivacySpec extends SparkSpec {
     assert(math.abs(out(2L) - s(2, 4)) < 1e-12, s"got ${out(2L)}")
   }
 
+  test("bm25 batch: per-query ranking agrees with the single-query path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat near the door today fine"),
+      (2L, "zebra cat sat on the mat near the door today"),
+      (3L, "the the the the the the the the the the"),
+      (4L, "unrelated words entirely filling this document with noise here"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "zebra the"), (20L, "noise words"),
+      (30L, "absent vocabulary")).toDF("query_id", "qtext")
+    val out = graft.llm.Retrieval.bm25BatchTopK(docs, "text", "doc_id",
+        qs, "query_id", "qtext", topK = 4)
+      .orderBy("query_id", "rank").collect()
+    // query 30 matches nothing and is absent entirely
+    assert(out.map(_.getAs[Long]("query_id")).distinct.toSeq === Seq(10L, 20L))
+    // each query's slice must equal the single-query operator's ranking
+    for ((qid, terms) <- Seq(10L -> Seq("zebra", "the"),
+                             20L -> Seq("noise", "words"))) {
+      val single = graft.llm.Retrieval.bm25TopK(docs, "text", "doc_id",
+        terms, topK = 4).orderBy("rank").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+          r.getAs[Int]("rank")))
+      val batch = out.filter(_.getAs[Long]("query_id") == qid)
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+          r.getAs[Int]("rank")))
+      assert(batch.toSeq === single.toSeq, s"query $qid diverged")
+    }
+  }
+
+  test("retrieval eval: rr, first rank, hits@k, and empty-retrieval rows") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3),
+      (2L, 201L, 1), (2L, 202L, 2)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq(
+      (1L, 102L), (1L, 103L), (1L, 999L), // first relevant at rank 2
+      (2L, 555L),                         // relevant never retrieved
+      (3L, 301L))                         // query retrieved nothing
+      .toDF("query_id", "doc_id")
+    val out = graft.llm.Retrieval.evaluateRetrieval(ranked, truth,
+        "query_id", "doc_id", "rank", k = 2)
+      .orderBy("query_id").collect()
+    assert(out.length === 3)
+    val q1 = out(0)
+    assert(q1.getAs[Long]("n_rel") === 3L)
+    assert(q1.getAs[Long]("n_retrieved") === 3L)
+    assert(q1.getAs[Int]("first_rel_rank") === 2)
+    assert(q1.getAs[Double]("rr") === 0.5)
+    assert(q1.getAs[Long]("hits_at_k") === 1L) // only rank-2 hit is <= k
+    val q2 = out(1)
+    assert(q2.isNullAt(q2.fieldIndex("first_rel_rank")))
+    assert(q2.getAs[Double]("rr") === 0.0)
+    assert(q2.getAs[Long]("hits_at_k") === 0L)
+    val q3 = out(2)
+    assert(q3.getAs[Long]("n_retrieved") === 0L)
+    assert(q3.getAs[Double]("rr") === 0.0)
+  }
+
   test("decontamination flags exactly the docs sharing a k-gram") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("id", "text")
