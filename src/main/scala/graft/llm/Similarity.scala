@@ -224,6 +224,56 @@ object Similarity {
       .select(col(idCol), col("cell"), col("rank"))
   }
 
+  /** IVF-bucketed k-nearest-neighbor GRAPH: cosine top-`k` neighbors for
+    * EVERY corpus vector, restricted to each vector's own IVF cell — the
+    * corpus-wide primitive SemDeDup-style curation, graph clustering and
+    * diversity selection build on ([[cosineTopK]] only ranks a handful of
+    * probe queries; this ranks all n). Within-cell restriction is the
+    * published IVF approximation (nprobe = 1): a boundary vector's true
+    * neighbor in an adjacent cell is missed, the recall trade measured by
+    * [[evaluateAnn]] against the brute-force graph on a sample.
+    *
+    * Scale shape: cell assignment is a per-row matvec (no shuffle); the
+    * candidate generator is a cell EQUI-join, never all-pairs — the
+    * within-cell quadratic is bounded by sizing `nlist` so cells hold
+    * ~constant rows (nlist scales WITH the corpus, exactly the
+    * [[semanticDedup]] cost model). Per-vector top-k is a window
+    * partitioned by the source id; rank <= k pushes into the sort as a
+    * WindowGroupLimit, so each partition keeps a bounded heap.
+    *
+    * Determinism across engines: each pair's cosine is one sequential
+    * fold over the 64 components — identical parenthesization both
+    * engines, identical bits — and rank ties break on the integer
+    * neighbor id, so the graph hash-matches an oracle that replays the
+    * quantizer.
+    *
+    * @return (src_id, nbr_id, rank 1..k); vectors alone in their cell
+    *         are absent (they have no within-cell neighbors)
+    */
+  def ivfKnnGraph(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 8, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val cents = centroids.getOrElse(seedCentroids(nlist, dims))
+    require(cents.forall(_.size == dims),
+      s"centroids must be $dims-dimensional")
+    // cut: the assigned frame is both sides of the cell self-join
+    val cells = graft.operators.Lineage.cut(assignCells(
+      df.select(col(idCol).as("_id"), col(vecCol).as("_v")), "_v", cents))
+    val a = cells.select(col("_id").as("src_id"), col("_v").as("_va"),
+      col("_cell"))
+    val b = cells.select(col("_id").as("nbr_id"), col("_v").as("_vb"),
+      col("_cell"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("_cos").desc, col("nbr_id").asc)
+    a.join(b, Seq("_cell"))
+      .filter(col("nbr_id") =!= col("src_id"))
+      .withColumn("_cos", cosine(col("_va"), col("_vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src_id", "nbr_id", "rank")
+  }
+
   /** One Lloyd accumulation as a DataFrame: per (cell, pos) the member
     * count and the mean component over the vectors assigned to that cell.
     * This is the DISTRIBUTED half of a k-means step — position-explode

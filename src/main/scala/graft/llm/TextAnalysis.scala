@@ -69,6 +69,34 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length band + low punctuation +
     * healthy stopword ratio + vocabulary diversity — the standard cheap
     * pre-filter shape for training-data pipelines. */
+  /** Per-source quantile calibration of the quality score: each
+    * document's `percent_rank` of quality WITHIN its source feed. The
+    * raw heuristic's distribution differs per feed (a clean-prose feed
+    * saturates the 0-1 score; a code feed bottoms out), so a single
+    * corpus-wide quality floor over- or under-thins whole feeds —
+    * selecting on the calibrated percentile instead takes "the best X%
+    * of EACH source" (the CCNet-style per-bucket selection).
+    *
+    * Scale shape: one source-keyed window — the shuffle is by source,
+    * and a giant feed is one partition, so pair this with per-source
+    * sub-bucketing (e.g. window by (source, hash(id) % B) and calibrate
+    * per sub-bucket) if a single feed exceeds executor-partition scale;
+    * at curation-typical feed counts the plain window is right. Ties
+    * (quality is k/4-quantized) share a percentile in both engines;
+    * a single-doc source calibrates to 0.0.
+    *
+    * @return (idCol, sourceCol, quality, quality_pctl in [0,1])
+    */
+  def calibratedQuality(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, sourceCol: String,
+      stopwords: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("quality"))
+    df.select(col(idCol), col(sourceCol),
+        qualityScore(col(textCol), stopwords).as("quality"))
+      .withColumn("quality_pctl", percent_rank().over(w))
+  }
+
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val n = nTokens(text)
     val lengthOk = when(n.between(20, 10000), 1.0).otherwise(0.0)

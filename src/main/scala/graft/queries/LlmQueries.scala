@@ -225,6 +225,17 @@ object LlmQueries {
         .orderBy("query_id")
     }),
 
+    // IVF-bucketed kNN GRAPH: cosine top-5 neighbors for EVERY corpus
+    // vector within its own cell — the corpus-wide primitive semantic
+    // dedup / clustering / diversity selection build on (a1 ranks 5 probe
+    // queries; this ranks all n). Cell equi-join, never all pairs; the
+    // oracle replays the quantizer and the within-cell ranking.
+    "a10_knn_graph" -> ((s, dir) => {
+      Similarity.ivfKnnGraph(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, nlist = 8)
+        .orderBy("src_id", "rank")
+    }),
+
     // One distributed spherical k-means (Lloyd) accumulation from the
     // deterministic seed codebook: per (cell, pos) member count + mean
     // component. This is the scale half of IVF training — codebook-sized
@@ -678,6 +689,16 @@ object LlmQueries {
       Retrieval.evaluateRetrieval(ranked, truth,
           "query_id", "doc_id", "rank", k = 10)
         .orderBy("query_id")
+    }),
+
+    // Per-source quality calibration: percent_rank of the certified x1
+    // quality WITHIN each source feed — "best X% of each source"
+    // selection immune to feed-level score-distribution differences.
+    "x51_quality_calibrated" -> ((s, dir) => {
+      TextAnalysis.calibratedQuality(
+          t(s, dir, "documents").select("doc_id", "source", "text"),
+          "text", "doc_id", "source", stopwords)
+        .orderBy("doc_id")
     }),
 
     // Gopher-style repetition quality signals: token coverage of the most
@@ -1197,6 +1218,37 @@ object LlmQueries {
                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
                 >= 0.8
           ORDER BY train_id, bench_id""",
+    "a10_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              sc AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                       list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+                       (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+                     FROM cc a JOIN cc b
+                       ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+              r AS (SELECT src_id, nbr_id,
+                      row_number() OVER (PARTITION BY src_id
+                        ORDER BY cos DESC, nbr_id) AS rank
+                    FROM sc)
+          SELECT src_id, nbr_id, rank FROM r WHERE rank <= 5
+          ORDER BY src_id, rank""",
+    "x51_quality_calibrated" ->
+      s"""WITH ws AS (SELECT doc_id, source, text, $duckToks AS w FROM documents),
+              q AS (SELECT doc_id, source,
+                      ((CASE WHEN len(w) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+                    FROM ws)
+          SELECT doc_id, source, quality,
+                 percent_rank() OVER (PARTITION BY source ORDER BY quality)
+                   AS quality_pctl
+          FROM q ORDER BY doc_id""",
     "a1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),

@@ -152,6 +152,65 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(col("vec_id").isin(0L, 200000L, 200001L)).count() === 1)
   }
 
+  test("ivfKnnGraph matches a brute-force within-cell replay") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.ivfKnnGraph(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force replay: same deterministic codebook, cosine within cell,
+    // (cos desc, id asc) ranking
+    val cents = Similarity.seedCentroids(8, 64)
+    val rows = emb.select("vec_id", "embedding").collect().map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val dots = cents.map(c => c.zip(v).map { case (a, b) => a * b }.sum)
+      (id, dots.indexOf(dots.max), v)
+    }
+    val expected = rows.toSeq.groupBy(_._2).toSeq.flatMap { case (_, members) =>
+      members.flatMap { case (sid, _, sv) =>
+        val nbrs = members.filter(_._1 != sid).map { case (nid, _, nv) =>
+          val cos = sv.zip(nv).map { case (a, b) => a * b }.sum /
+            (math.sqrt(sv.map(x => x * x).sum) *
+             math.sqrt(nv.map(x => x * x).sum))
+          (nid, cos)
+        }
+        nbrs.sortBy { case (nid, cos) => (-cos, nid) }.take(3).zipWithIndex
+          .map { case ((nid, _), i) => (sid, nid, i + 1) }
+      }
+    }.toSet
+    assert(got === expected)
+    // every vector sharing a cell with >= 1 other appears as a source
+    assert(got.map(_._1).nonEmpty)
+  }
+
+  test("calibratedQuality: per-source percentiles, ties share, singleton is 0") {
+    val docs = Seq(
+      // srcA: three quality tiers -> pctl 0, 0.5, 1.0 within the source
+      (1L, "srcA", ("the of and to in is " * 10).trim),        // high q
+      (2L, "srcA", "!!! ??? ... ;;; :::"),                     // low q
+      (3L, "srcA", ("a b c d e f g h i j k l m n o p q r s t u v").trim),
+      // srcB: single doc -> percent_rank 0.0 regardless of quality
+      (4L, "srcB", "only document in this source feed right here"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.calibratedQuality(docs, "text", "doc_id",
+        "source", TextAnalysis.langMarkers.head._2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // ordering within srcA follows the raw quality ordering
+    val aSorted = Seq(1L, 2L, 3L).sortBy(id => out(id)._1)
+    assert(out(aSorted.head)._2 === 0.0)
+    assert(out(aSorted.last)._2 === 1.0)
+    assert(out(4L)._2 === 0.0) // singleton source calibrates to 0
+    // two docs with IDENTICAL quality share a percentile
+    val tied = Seq(
+      (10L, "srcC", "alpha beta gamma"), (11L, "srcC", "alpha beta gamma"),
+      (12L, "srcC", "!!! ??? ;;;"))
+      .toDF("doc_id", "source", "text")
+    val t = TextAnalysis.calibratedQuality(tied, "text", "doc_id",
+        "source", TextAnalysis.langMarkers.head._2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(t(10L) === t(11L))
+  }
+
   test("embeddingOutliers matches a driver-side replay of the projection ranking") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.embeddingOutliers(emb, "vec_id", "embedding",
