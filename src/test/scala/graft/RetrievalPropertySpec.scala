@@ -1,0 +1,92 @@
+package graft
+
+import graft.llm.{Dedup, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Randomized invariants of the retrieval and cross-corpus operators
+  * (seeded random cases through the real operators, same style as
+  * CorpusPropertySpec — no ScalaCheck bridge in the offline cache).
+  *
+  * Batch BM25: per-query slice identical to the single-query operator on
+  * arbitrary corpora/queries (the batch path must be an optimization,
+  * never a semantics change). Cross-corpus near-dup: exact agreement
+  * with the self-join operator's cross-side pairs on arbitrary splits.
+  * Retrieval eval: metrics invariant under ranked-row permutation. */
+class RetrievalPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(90210)
+  private val vocab = Vector("spark", "join", "hash", "merge", "scan",
+    "filter", "window", "batch", "row", "vector", "stream", "table")
+
+  private def randDoc(): String =
+    (1 to (5 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+
+  test("bm25 batch slice == single-query ranking on random corpora") {
+    for (round <- 1 to 5) {
+      val docs = (1L to 30L).map(i => (i, randDoc())).toDF("doc_id", "text")
+      val queries = (1L to 4L).map { q =>
+        (q, (1 to (1 + rnd.nextInt(3)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val batch = Retrieval.bm25BatchTopK(docs, "text", "doc_id",
+          queries.toDF("query_id", "qtext"), "query_id", "qtext", topK = 7)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"), r.getAs[Long]("n_matched"),
+          r.getAs[Int]("rank")))
+        .groupBy(_._1)
+      for ((qid, qtext) <- queries) {
+        val single = Retrieval.bm25TopK(docs, "text", "doc_id",
+            qtext.split(" ").toSeq, topK = 7)
+          .collect()
+          .map(r => (qid, r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+            r.getAs[Long]("n_matched"), r.getAs[Int]("rank")))
+          .sortBy(_._5)
+        val got = batch.getOrElse(qid, Array.empty).sortBy(_._5).toSeq
+        assert(got === single.toSeq,
+          s"round $round query $qid ($qtext): batch/single diverged")
+      }
+    }
+  }
+
+  test("crossCorpusNearDups == self-join cross-side pairs on random splits") {
+    for (round <- 1 to 3) {
+      // random corpus with planted duplicates straddling the split
+      val base = (1L to 20L).map(i => (i, randDoc()))
+      val dups = base.take(6).map { case (id, t) =>
+        // mostly exact copies, a few one-token edits
+        val t2 = if (id % 3 == 0) t.replaceFirst("\\w+", "spark") else t
+        (id + 100L, t2)
+      }
+      val all = (base ++ dups ++ (200L to 205L).map(i => (i, randDoc())))
+      val df = all.toDF("doc_id", "text")
+      val train = df.filter(col("doc_id") < 100L)
+      val bench = df.filter(col("doc_id") >= 100L)
+      val cross = Dedup.crossCorpusNearDups(train, bench, "text", "doc_id",
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val self = Dedup.minhashNearDups(df, "text", "doc_id", 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => (a < 100L) != (b < 100L) }
+        .map { case (a, b) => if (a < 100L) (a, b) else (b, a) }
+        .sorted.toSeq
+      assert(cross === self, s"round $round: cross/self diverged")
+    }
+  }
+
+  test("retrieval eval is invariant under ranked-row order") {
+    val ranked = (1L to 5L).flatMap(q =>
+      (1 to 10).map(r => (q, q * 1000L + r, r))).toDF("query_id", "doc_id", "rank")
+    val truth = (1L to 5L).flatMap(q =>
+      (1 to 10).filter(_ => rnd.nextBoolean())
+        .map(r => (q, q * 1000L + r)) :+ (q, q * 1000L + 999L))
+      .toDF("query_id", "doc_id")
+    def run(r: org.apache.spark.sql.DataFrame) =
+      Retrieval.evaluateRetrieval(r, truth, "query_id", "doc_id", "rank", k = 5)
+        .orderBy("query_id").collect().map(_.toSeq).toSeq
+    val shuffled = ranked.orderBy(pmod(hash(col("doc_id")), lit(7)))
+    assert(run(ranked) === run(shuffled))
+  }
+}
