@@ -219,6 +219,46 @@ object Corpus {
     *
     * @return (source, n_docs, available_tokens, target_tokens, keep_rate)
     */
+  /** Deterministic rate-based UPSAMPLING — the rates-above-1 counterpart
+    * of [[stratifiedSample]] (which can only thin): a rate of 2.5 gives
+    * every doc of that stratum 2 copies plus a 3rd for a deterministic
+    * hash-chosen half — the epoch-oversampling a training mix applies to
+    * high-value feeds (rates below 1 degrade to exactly the
+    * [[stratifiedSample]] Bernoulli, so one operator covers the whole
+    * mixture-rate range). Output repeats input rows with a `copy_idx`
+    * column (0-based) so downstream shard shuffling can separate the
+    * copies; docs whose integer-plus-Bernoulli count lands on 0 drop.
+    *
+    * Scale shape: pure map side — a per-row integer explode with no
+    * shuffle; the expansion factor is the mixture's own rate, so output
+    * size is the planned corpus size, never a surprise. Determinism:
+    * the fractional-part Bernoulli uses the portable hash on
+    * (stratum, id), so re-runs and engines agree row-for-row.
+    */
+  def upsampleByRates(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1000.0,
+        s"upsampling rate $r outside [0, 1000] — a four-digit epoch " +
+          "multiplier is almost certainly a unit mistake"))
+    require(!df.columns.contains("copy_idx"),
+      "input must not carry a copy_idx column — it would be clobbered")
+    val rateCol = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc) }
+    // integer copies + a per-doc Bernoulli on the fractional part; the
+    // threshold arithmetic mirrors stratifiedSample's 2^32 hash space
+    // (cast truncates toward zero in both engines' replay)
+    val base = floor(rateCol).cast("long")
+    val fracThresh =
+      ((rateCol - floor(rateCol)) * lit(4294967296.0)).cast("long")
+    val h = Hashing.hex32(concat(lit("up:"),
+      coalesce(col(strataCol), lit("")), lit(":"), col(idCol).cast("string")))
+    df.withColumn("_nc", base + when(h < fracThresh, 1L).otherwise(0L))
+      .filter(col("_nc") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_nc") - 1)))
+      .drop("_nc")
+  }
+
   def mixtureRates(docs: DataFrame, textCol: String, sourceCol: String,
       weights: Map[String, Long], totalTokens: Long): DataFrame = {
     require(totalTokens >= 0L, s"totalTokens ($totalTokens) must be >= 0")

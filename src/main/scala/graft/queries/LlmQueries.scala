@@ -479,6 +479,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Rate-based UPSAMPLING (the rates-above-1 mixture half x7 can't do):
+    // src3 triples, src0 gets 2 copies plus a deterministic-hash half a
+    // 3rd, src1 halves (degrades to x7's Bernoulli), src2 passes through.
+    "x52_upsample" -> ((s, dir) => {
+      Corpus.upsampleByRates(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.5, "src3" -> 3.0),
+          defaultRate = 1.0)
+        .select("doc_id", "source", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // Token-budget mixture solver: per-source token targets from integer
     // weights + a total budget (floor division, engine-exact), with the
     // keep-rate each source needs to hit its target in expectation — the
@@ -1666,6 +1677,23 @@ object LlmQueries {
                             WHEN 'src3' THEN ${th(0.1)}
                             ELSE ${th(0.25)} END
           ORDER BY doc_id"""
+    },
+    "x52_upsample" -> {
+      def base(r: Double): Long = math.floor(r).toLong
+      def frac(r: Double): Long = ((r - math.floor(r)) * 4294967296.0).toLong
+      def caseOver(f: Double => Long): String =
+        s"""CASE source WHEN 'src0' THEN ${f(2.5)}
+                        WHEN 'src1' THEN ${f(0.5)}
+                        WHEN 'src3' THEN ${f(3.0)}
+                        ELSE ${f(1.0)} END"""
+      s"""WITH c AS (SELECT doc_id, source,
+                       ${caseOver(base)} +
+                       (CASE WHEN ${duckHex32(
+                          "'up:' || source || ':' || CAST(doc_id AS VARCHAR)")}
+                             < ${caseOver(frac)} THEN 1 ELSE 0 END) AS nc
+                     FROM documents)
+          SELECT doc_id, source, unnest(range(0, nc)) AS copy_idx
+          FROM c WHERE nc > 0 ORDER BY doc_id, copy_idx"""
     },
     "x23_mix_rates" ->
       s"""WITH ws AS (SELECT source, len($duckToks) AS nt FROM documents),

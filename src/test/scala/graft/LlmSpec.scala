@@ -777,6 +777,37 @@ class LlmSpec extends SparkSpec {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("upsampleByRates: integral rates exact, fractional bounded, 0 drops") {
+    val d = docs.select(col("doc_id"), col("source"), col("text"))
+    val totals = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Corpus.upsampleByRates(d, "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 0.0, "src2" -> 2.5), defaultRate = 1.0)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") === 3 * totals("src0")) // exact integral triple
+    assert(!bySource.contains("src1"))              // rate 0 drops the feed
+    // fractional: every src2 doc has 2 or 3 copies; total in [2n, 3n]
+    val src2Copies = out.filter(col("source") === "src2")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(src2Copies.forall(c => c == 2L || c == 3L))
+    assert(bySource("src2") > 2 * totals("src2") &&
+      bySource("src2") < 3 * totals("src2"))
+    // copy_idx is dense 0..n-1 per doc
+    val idx = out.filter(col("source") === "src0" )
+      .groupBy("doc_id").agg(sort_array(collect_list("copy_idx")).as("is"))
+      .collect().map(_.getSeq[Long](1))
+    assert(idx.forall(_ == Seq(0L, 1L, 2L)))
+    // rates <= 1 degrade to exactly the stratifiedSample Bernoulli... by
+    // determinism: the same call returns the identical expansion
+    val again = Corpus.upsampleByRates(d, "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 0.0, "src2" -> 2.5), defaultRate = 1.0)
+    assert(out.select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      again.select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("winnowing: gap guarantee, determinism, position-robust overlap") {
     val text = (1 to 60).map(i => s"w${i % 17}").mkString(" ")
     val d = Seq((1L, text), (2L, text), (3L, "pad pad pad pad " + text))
