@@ -175,6 +175,39 @@ object Corpus {
     * driver, so engines agree bit-for-bit; `defaultRate` applies to
     * strata not listed. This is how a training mix is weighted by source
     * at scale — no RNG state, no shuffle, reproducible and resumable. */
+  /** Assemble packed bins into loader-ready training sequences: join the
+    * [[packChunks]] assignment back to the chunk text, order within each
+    * bin by (doc, chunk index), and concatenate with `sep` — the last
+    * hop from bin ASSIGNMENTS to the actual context-window strings a
+    * dataloader streams.
+    *
+    * Scale shape: one equi-join on (doc, idx) + one bin-keyed groupBy;
+    * the in-bin ordering is an ARRAY-LOCAL `array_sort` of the collected
+    * (doc, idx, text) structs — a bin is context-window bounded by
+    * [[packChunks]]'s budget, so the collected array is small by
+    * construction and no extra sort shuffle is paid. Deterministic:
+    * struct sort orders by (doc, idx) exactly, engines agree on the
+    * byte-identical assembled string.
+    *
+    * @return (bin_id, n_chunks, text); token totals stay on the
+    *         [[packChunks]] output's `bin_fill`
+    */
+  def assembleBins(packed: DataFrame, chunks: DataFrame, sep: String,
+      idCol: String = "doc_id", idxCol: String = "chunk_idx",
+      chunkCol: String = "chunk"): DataFrame = {
+    val joined = packed.select(col(idCol), col(idxCol), col("bin_id"))
+      .join(chunks.select(col(idCol), col(idxCol), col(chunkCol)),
+        Seq(idCol, idxCol))
+    joined
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        array_sort(collect_list(struct(col(idCol), col(idxCol),
+          col(chunkCol)))).as("_ordered"))
+      .select(col("bin_id"), col("n_chunks"),
+        array_join(transform(col("_ordered"),
+          s => s.getField(chunkCol)), sep).as("text"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

@@ -468,6 +468,18 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Bin ASSEMBLY — the last hop from x15's bin assignments to the
+    // actual context-window strings a dataloader streams: join text back,
+    // array-local in-bin ordering, concatenate. Compared by md5 like x6.
+    "x53_bin_texts" -> ((s, dir) => {
+      val chunks = Corpus.chunkDocuments(t(s, dir, "documents"), "text",
+        "doc_id", chunkSize = 64, overlap = 16)
+      val packed = Corpus.packChunks(chunks, budget = 256, numPartitions = 1)
+      Corpus.assembleBins(packed, chunks, sep = " ")
+        .select(col("bin_id"), col("n_chunks"), md5(col("text")).as("bin_md5"))
+        .orderBy("bin_id")
+    }),
+
     // Deterministic stratified mix sample: per-source keep rates via a
     // portable hash threshold — the training-mix weighting shape, exactly
     // reproducible across engines and re-runs.
@@ -1667,6 +1679,35 @@ object LlmQueries {
           SELECT doc_id, chunk_idx, n_tokens, bin AS bin_id,
                  CAST(sum(n_tokens) OVER (PARTITION BY bin) AS BIGINT) AS bin_fill
           FROM r ORDER BY doc_id, chunk_idx""",
+    "x53_bin_texts" ->
+      s"""WITH RECURSIVE ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),
+              c AS (SELECT doc_id, n, w,
+                      unnest(range(1, greatest(1, n - 16) + 1, 48)) AS s
+                    FROM st),
+              ch AS (SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+                       CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens,
+                       array_to_string(list_slice(w, s, s + 63), ' ') AS chunk
+                     FROM c),
+              ord AS (SELECT doc_id, chunk_idx, n_tokens, chunk,
+                        row_number() OVER (ORDER BY doc_id, chunk_idx) AS rn
+                      FROM ch),
+              r AS (
+                SELECT rn, doc_id, chunk_idx, n_tokens,
+                       CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.doc_id, o.chunk_idx, o.n_tokens,
+                       CASE WHEN r.fill + o.n_tokens > 256 THEN r.bin + 1
+                            ELSE r.bin END,
+                       CASE WHEN r.fill + o.n_tokens > 256 THEN o.n_tokens
+                            ELSE r.fill + o.n_tokens END
+                FROM r JOIN ord o ON o.rn = r.rn + 1)
+          SELECT r.bin AS bin_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                 md5(string_agg(ord.chunk, ' '
+                   ORDER BY r.doc_id, r.chunk_idx)) AS bin_md5
+          FROM r JOIN ord ON ord.rn = r.rn
+          GROUP BY r.bin ORDER BY bin_id""",
     "x7_mix_sample" -> {
       def th(r: Double): Long = (r * 4294967296.0).toLong
       s"""SELECT doc_id, source FROM documents

@@ -777,6 +777,23 @@ class LlmSpec extends SparkSpec {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("assembleBins: in-bin (doc, idx) order, separator, counts") {
+    val chunks = Seq(
+      (2L, 0L, "delta epsilon"), (1L, 1L, "beta gamma"),
+      (1L, 0L, "alpha"), (3L, 0L, "zeta"))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val packed = Seq(
+      (1L, 0L, 10L), (1L, 1L, 10L), (2L, 0L, 10L), // bin 10
+      (3L, 0L, 11L))                               // bin 11
+      .toDF("doc_id", "chunk_idx", "bin_id")
+    val out = Corpus.assembleBins(packed, chunks, sep = " <eos> ")
+      .orderBy("bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      (10L, 3L, "alpha <eos> beta gamma <eos> delta epsilon"),
+      (11L, 1L, "zeta")))
+  }
+
   test("upsampleByRates: integral rates exact, fractional bounded, 0 drops") {
     val d = docs.select(col("doc_id"), col("source"), col("text"))
     val totals = d.groupBy("source").count().collect()
