@@ -197,6 +197,50 @@ object TextAnalysis {
     withScores.select(keep :+ pick.as(outCol): _*)
   }
 
+  /** Segment-level language CONSISTENCY — flags documents that mix
+    * languages (site chrome in one language wrapping content in another,
+    * concatenated crawl fragments — cases a whole-document [[languageId]]
+    * vote hides): fixed token-window segments are language-ID'd
+    * independently and rolled up per document. A clean doc shows
+    * `n_langs` 1 and `majority_frac` 1.0; filter on `majority_frac`
+    * below a floor to drop code-switched or mis-merged documents.
+    * "und" segments (no marker hits) count as their own label — a doc
+    * that is mostly unidentifiable is its own quality signal.
+    *
+    * Scale shape: one explode to segments (map-side), the [[languageId]]
+    * marker scan per segment (codegen'd array filters, no shuffle), then
+    * two doc-keyed aggregations and a doc-keyed top-1 window — all
+    * shuffles on the doc id. Majority ties break (count desc, lang asc),
+    * exact in both engines; `majority_frac` is integer/integer.
+    *
+    * @return (idCol, n_segments, n_langs, majority_lang, majority_frac)
+    */
+  def langConsistency(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, segTokens: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(segTokens > 0, s"segTokens ($segTokens) must be positive")
+    val segLang = df
+      .select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(1), size(col("_tk")), lit(segTokens))).as("_s"))
+      .select(col(idCol), languageId(
+        array_join(slice(col("_tk"), col("_s"), lit(segTokens)), " "))
+        .as("_lang"))
+    val counts = segLang.groupBy(col(idCol), col("_lang"))
+      .agg(count(lit(1)).as("_c"))
+    val tot = counts.groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_segments"), count(lit(1)).as("n_langs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("_c").desc, col("_lang").asc)
+    val top = counts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_lang").as("majority_lang"), col("_c"))
+    tot.join(top, Seq(idCol))
+      .withColumn("majority_frac",
+        col("_c").cast("double") / col("n_segments"))
+      .drop("_c")
+  }
+
   /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
     * single punctuation) — the cheap standing-in-for-a-tokenizer count used
     * to budget training tokens. */

@@ -468,6 +468,17 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Segment-level language consistency: 16-token windows language-ID'd
+    // independently, rolled up per doc — flags mixed-language documents a
+    // whole-doc vote (x2) hides. Majority ties break (count desc, lang
+    // asc); majority_frac is integer/integer.
+    "x54_lang_consistency" -> ((s, dir) => {
+      TextAnalysis.langConsistency(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", segTokens = 16)
+        .orderBy("doc_id")
+    }),
+
     // Bin ASSEMBLY — the last hop from x15's bin assignments to the
     // actual context-window strings a dataloader streams: join text back,
     // array-local in-bin ordering, concatenate. Compared by md5 like x6.
@@ -1679,6 +1690,28 @@ object LlmQueries {
           SELECT doc_id, chunk_idx, n_tokens, bin AS bin_id,
                  CAST(sum(n_tokens) OVER (PARTITION BY bin) AS BIGINT) AS bin_fill
           FROM r ORDER BY doc_id, chunk_idx""",
+    "x54_lang_consistency" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w0 FROM documents),
+              st AS (SELECT doc_id, w0, len(w0) AS n FROM ws WHERE len(w0) > 0),
+              seg AS (SELECT doc_id, w0,
+                        unnest(range(1, n + 1, 16)) AS s
+                      FROM st),
+              sw AS (SELECT doc_id, list_slice(w0, s, s + 15) AS w FROM seg),
+              sc AS (SELECT doc_id, $duckLangScores FROM sw),
+              b AS (SELECT *, $duckBest AS best FROM sc),
+              lg AS (SELECT doc_id, $duckLangPick AS lang FROM b),
+              cnt AS (SELECT doc_id, lang, count(*) AS c FROM lg GROUP BY 1, 2),
+              tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
+                        count(*) AS n_langs
+                      FROM cnt GROUP BY 1),
+              top AS (SELECT doc_id, lang AS majority_lang, c,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY c DESC, lang) AS rn
+                      FROM cnt)
+          SELECT t.doc_id, t.n_segments, t.n_langs, p.majority_lang,
+                 CAST(p.c AS DOUBLE) / t.n_segments AS majority_frac
+          FROM tot t JOIN top p ON t.doc_id = p.doc_id AND p.rn = 1
+          ORDER BY t.doc_id""",
     "x53_bin_texts" ->
       s"""WITH RECURSIVE ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               st AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),

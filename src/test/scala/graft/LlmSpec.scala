@@ -777,6 +777,27 @@ class LlmSpec extends SparkSpec {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("langConsistency: mixed-language doc flagged, clean doc is 1.0") {
+    val en = "the of and to in is was for on with " // 10 en-marker tokens
+    val de = "der die und das ist nicht mit von zu ein "
+    val docs = Seq(
+      (1L, en * 4),             // 40 tokens -> 3 segments, all en
+      (2L, en * 2 + de * 2),    // 2 en segments + ~2 de segments (mixed)
+      (3L, "qqq zzz xxx www"))  // no markers -> single und segment
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langConsistency(docs, "text", "doc_id",
+        segTokens = 16)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toMap
+    assert(out(1L)._2 === 1L)            // one language
+    assert(out(1L)._3 === "en")
+    assert(out(1L)._4 === 1.0)
+    assert(out(2L)._2 >= 2L)             // mixed: en and de both appear
+    assert(out(2L)._4 < 1.0)
+    assert(out(3L) === ((1L, 1L, "und", 1.0)))
+  }
+
   test("assembleBins: in-bin (doc, idx) order, separator, counts") {
     val chunks = Seq(
       (2L, 0L, "delta epsilon"), (1L, 1L, "beta gamma"),
