@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+
+/** Raw-dump ingestion with corrupt-record QUARANTINE — the front door a
+  * crawl-scale corpus actually arrives through (JSONL / CSV dumps, never
+  * clean parquet): read each file as raw lines, parse against a declared
+  * schema with `from_json`/`from_csv` in PERMISSIVE mode, and split into
+  * a typed `good` frame and a `quarantine` frame carrying the raw
+  * offending line — never throw from an executor on bad data. At 100 TB
+  * some shard WILL contain truncated lines, stray BOMs, or schema drift,
+  * and one poison line must not kill a stage (the dead-letter discipline
+  * the sink-side validation columns follow, applied at the source).
+  *
+  * The line-then-parse formulation (not `spark.read.json`) is
+  * deliberate: the datasource path refuses plans that read only its
+  * internal corrupt column (`QUERY_ONLY_CORRUPT_RECORD_COLUMN`), while
+  * `from_json` over a text scan keeps the raw line as a first-class
+  * column — one scan, both outputs derivable, no cache workaround.
+  *
+  * Scale shape: one pass over the input files; the text source splits
+  * by byte ranges so parallelism is file-size-driven like any scan, and
+  * the good/bad split is two lazy filters over the same parsed column.
+  * Schema is REQUIRED, not inferred: inference is a full extra pass
+  * over 100 TB and a schema-drift lottery; declared schemas fail loudly.
+  */
+object TextIngest {
+
+  /** Name of the raw-line capture field while parsing (internal; the
+    * quarantine frame exposes the raw line as `raw`). */
+  private val CorruptCol = "_graft_corrupt"
+
+  final case class Ingested(good: DataFrame, quarantine: DataFrame)
+
+  /** Read JSONL against `schema`; lines that fail to parse (malformed
+    * JSON, type mismatch on any declared column) land in `quarantine`
+    * as (path, raw). A line missing a declared field parses with a null
+    * (JSON semantics), it does NOT quarantine — require non-null
+    * downstream where absence is an error. Blank lines are dropped. */
+  def jsonl(spark: SparkSession, schema: StructType,
+      paths: String*): Ingested = {
+    val full = guarded(schema)
+    split(rawLines(spark, paths),
+      v => from_json(v, full, Map(
+        "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)),
+      schema)
+  }
+
+  /** Read HEADERLESS CSV (column order = schema order) against `schema`;
+    * malformed lines (wrong arity, type mismatch) land in `quarantine`
+    * as (path, raw). Dumps with header rows: the header line fails its
+    * own schema and quarantines — strip it upstream or filter the
+    * dead-letter by pattern if that is noise rather than signal. */
+  def csv(spark: SparkSession, schema: StructType,
+      paths: String*): Ingested = {
+    val full = guarded(schema)
+    split(rawLines(spark, paths),
+      v => from_csv(v, full, Map(
+        "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)),
+      schema)
+  }
+
+  private def guarded(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare $CorruptCol")
+    schema.add(StructField(CorruptCol, StringType))
+  }
+
+  private def rawLines(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.text(paths: _*)
+      .withColumn("path", input_file_name())
+      .filter(length(trim(col("value"))) > 0)
+
+  private def split(raw: DataFrame, parse: Column => Column,
+      schema: StructType): Ingested = {
+    val parsed = raw.select(col("path"), col("value"),
+      parse(col("value")).as("_j"))
+    val corrupt = col("_j").getField(CorruptCol)
+    // a null struct (unparseable beyond recovery) is corrupt too
+    val bad = corrupt.isNotNull || col("_j").isNull
+    val good = parsed.filter(!bad)
+      .select(schema.fieldNames.toIndexedSeq
+        .map(f => col("_j").getField(f).as(f)): _*)
+    val quarantine = parsed.filter(bad)
+      .select(col("path"), col("value").as("raw"))
+    Ingested(good, quarantine)
+  }
+}

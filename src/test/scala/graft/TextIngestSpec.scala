@@ -1,0 +1,74 @@
+package graft
+
+import graft.sources.TextIngest
+import org.apache.spark.sql.types._
+
+/** Corrupt-record quarantine at the source: one pass splits raw JSONL /
+  * CSV dumps into a typed good frame and a (path, raw) dead-letter frame
+  * — no executor throw on poison lines. */
+class TextIngestSpec extends SparkSpec {
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def rm(d: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+
+  private def write(dir: String, name: String, lines: Seq[String]): String = {
+    val f = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  test("jsonl: malformed and type-mismatched lines quarantine, rest parse") {
+    val dir = tmp("ingest")
+    try {
+      write(dir, "dump.jsonl", Seq(
+        """{"doc_id": 1, "text": "clean line one"}""",
+        """{"doc_id": 2, "text": "clean line two"}""",
+        """{"doc_id": "not-a-number", "text": "type mismatch"}""",
+        """{"doc_id": 3 "text": "malformed json"}""",
+        """{"doc_id": 4}""")) // missing field -> null, NOT quarantined
+      val r = TextIngest.jsonl(spark, docSchema, s"$dir/dump.jsonl")
+      val good = r.good.collect()
+        .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+          Option(x.getString(1)).getOrElse(""))).sortBy(_._1)
+      assert(good.map(_._1).toSeq === Seq(1L, 2L, 4L))
+      assert(good.last._2 === "") // missing field parsed as null
+      val bad = r.quarantine.collect().map(_.getString(1)).sorted
+      assert(bad.length === 2)
+      assert(bad.exists(_.contains("not-a-number")))
+      assert(bad.exists(_.contains("malformed json")))
+      // quarantine carries the source path for re-drive
+      assert(r.quarantine.collect().forall(_.getString(0).contains("dump.jsonl")))
+    } finally rm(dir)
+  }
+
+  test("csv: bad types quarantine with the raw line; header self-quarantines") {
+    val dir = tmp("ingest")
+    try {
+      write(dir, "dump.csv", Seq(
+        "doc_id,text", // header row fails its own schema -> quarantine
+        "1,clean one",
+        "oops-not-long,bad type",
+        "2,clean two"))
+      val r = TextIngest.csv(spark, docSchema, s"$dir/dump.csv")
+      assert(r.good.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+      val bad = r.quarantine.collect().map(_.getString(1))
+      assert(bad.length === 2)
+      assert(bad.exists(_.contains("oops-not-long")))
+      assert(bad.exists(_.startsWith("doc_id")))
+    } finally rm(dir)
+  }
+
+  test("schema clash with the corrupt column is refused up front") {
+    val s = StructType(Seq(StructField("_graft_corrupt", StringType)))
+    intercept[IllegalArgumentException] {
+      TextIngest.jsonl(spark, s, "/nonexistent")
+    }
+  }
+}
