@@ -31,6 +31,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC pin: TIMESTAMP_NTZ event times must reinterpret (not shift)
+      // when cast for epoch arithmetic — see graft.queries.EventTime.
+      .config("spark.sql.session.timeZone", "UTC")
+      // harmless for non-nanos files; lets a LONG-nanos events.ts (the
+      // encoding older testdata shipped) read at all. The queries branch
+      // on the actual read dtype either way (EventTime).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // At bench scale the data is tiny in BYTES but heavy in CPU per row
@@ -47,21 +53,26 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** min-of-2 timed seconds per query; failures record -1. */
+  /** min-of-2 timed seconds per query; a failure records -1 seconds plus
+    * the exception class/message — a crash must be diagnosable from the
+    * bench artifact alone, not just named. */
   private def timeSuite(spark: SparkSession, sfDir: String)
-      : Seq[(String, Double)] =
+      : Seq[(String, Double, Option[String])] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of two timed runs per query: this box shows hypervisor CPU
       // steal, and the minimum is the standard steady-state estimator
       // under one-sided external noise.
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
           force(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      runs.collectFirst { case Left(msg) => (name, -1.0, Some(msg)) }
+        .getOrElse((name, runs.collect { case Right(s) => s }.min, None))
     }
 
   // emitted lines accumulate here and are flushed to bench_out/bench.json —
@@ -69,15 +80,29 @@ object Bench {
   // the JSON unparseable two rounds running; a plain file is unambiguous
   private val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
 
-  private def emit(metric: String, results: Seq[(String, Double)],
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def emit(metric: String, results: Seq[(String, Double, Option[String])],
       sfDir: String, cpus: String): Unit = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    val errs = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+    // `errors` stays a names-only array (the shape the driver reads);
+    // `error_detail` carries the per-query exception for diagnosis.
+    val errs = results.filter(_._2 < 0).map(r => jstr(r._1))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}"""
+    val detail = results.collect { case (k, _, Some(msg)) =>
+      s"${jstr(k)}:${jstr(msg)}" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_detail":$detail,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     emitted += line
     writeOut()

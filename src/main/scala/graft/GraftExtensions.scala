@@ -1,10 +1,12 @@
 package graft
 
 import graft.expressions.{CosineSimilarity, PatternAlt, RegexFirstMatch}
-import org.apache.spark.sql.SparkSessionExtensions
+import graft.operators.AsofJoin
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extension wiring for the engine's native expressions —
@@ -16,6 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * anchored]...)` — ordered alternatives, first hit wins, null on no
   * match. Pattern/group/anchored arguments must be literals (they define
   * the compiled matcher, not per-row data).
+  *
+  * Exposes the [[AsofJoin]] merge formulation (one keyed shuffle, zero
+  * joins — see AsofJoin's scaladoc) to pure SQL as table-valued
+  * functions over named tables/views:
+  * {{{
+  *   SELECT * FROM asof_backward('trades', 'quotes', 'sym', 'ts_us',
+  *                               'quote_id', 'bid,ask')
+  *   SELECT * FROM asof_nearest('trades', 'quotes', 'sym', 'ts_us',
+  *                              'quote_id', 'bid,ask', 5000000)
+  * }}}
+  * Arguments (all literals): left table name, right table name, key
+  * column, time column, right tie-break column, comma-separated payload
+  * columns, optional tolerance (same unit as the time column). Table
+  * arguments are names rather than subqueries because injected TVFs
+  * receive scalar expressions only — register a temp view for anything
+  * more complex.
   */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -31,6 +49,11 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "usage: cosine_sim(vec_a, vec_b)")
         CosineSimilarity(args(0), args(1))
       }))
+    for (variant <- Seq("backward", "forward", "nearest"))
+      ext.injectTableFunction((
+        new FunctionIdentifier(s"asof_$variant"),
+        new ExpressionInfo(AsofJoin.getClass.getName, s"asof_$variant"),
+        (args: Seq[Expression]) => GraftExtensions.buildAsof(variant, args)))
   }
 }
 
@@ -48,5 +71,46 @@ object GraftExtensions {
         s"regex_first_match: pattern/group/anchored must be literals, got $other")
     }.toSeq
     RegexFirstMatch(args.head, alts)
+  }
+
+  private def asofUsage(variant: String) =
+    s"usage: asof_$variant('left_table', 'right_table', 'key_col', " +
+      "'time_col', 'tie_col', 'payload1,payload2,...'[, tolerance])"
+
+  private def strLit(e: Expression, variant: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"${asofUsage(variant)} — expected a string literal, got $other")
+  }
+
+  /** Resolve an `asof_*` TVF call to the operator's logical plan. The
+    * plan is built eagerly at resolution time from the CURRENT contents
+    * of the named tables — the same moment a subquery would resolve. */
+  private[graft] def buildAsof(variant: String,
+      args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6 || args.length == 7, asofUsage(variant))
+    val Seq(lName, rName, key, time, tie, payload) =
+      args.take(6).map(strLit(_, variant))
+    val tolerance: Option[Long] = args.lift(6).map {
+      case Literal(v: java.lang.Integer, IntegerType) => v.longValue
+      case Literal(v: java.lang.Long, LongType) => v.longValue
+      case other => throw new IllegalArgumentException(
+        s"${asofUsage(variant)} — tolerance must be an integer literal, " +
+          s"got $other")
+    }
+    val payloadCols = payload.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(payloadCols.nonEmpty,
+      s"${asofUsage(variant)} — payload column list is empty")
+    val spark = SparkSession.active
+    val (l, r) = (spark.table(lName), spark.table(rName))
+    val joined = variant match {
+      case "backward" => AsofJoin.asofJoinBackward(
+        l, r, key, time, tie, payloadCols, tolerance = tolerance)
+      case "forward" => AsofJoin.asofJoinForward(
+        l, r, key, time, tie, payloadCols, tolerance = tolerance)
+      case "nearest" => AsofJoin.asofJoinNearest(
+        l, r, key, time, tie, payloadCols, tolerance = tolerance)
+    }
+    joined.queryExecution.logical
   }
 }

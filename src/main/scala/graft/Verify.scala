@@ -16,12 +16,19 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // driver testdata writes TIMESTAMP(NANOS) parquet (events.ts);
-      // read as BIGINT nanos — queries convert explicitly where needed.
+      // harmless for non-nanos files; lets a LONG-nanos events.ts (the
+      // encoding older testdata shipped — it is TIMESTAMP(MICROS) today)
+      // read at all. Event-time queries branch on the actual read dtype
+      // (graft.queries.EventTime), so either encoding works.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a LOUD artifact: failures.json maps
+    // query → exception beside oracle_sql.json. Without it a broken query
+    // silently vanishes from the dumped surface and the correctness file
+    // shrinks instead of showing a red row (the r7 w1–w5 failure mode).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +36,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) =
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +55,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    // exit code stays 0 — the parquet dumps that DID succeed must still
+    // reach the driver's compare; failures.json is the loud signal.
+    if (failures.nonEmpty) System.err.println(
+      s"[verify] ${failures.size} FAILED queries: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -179,17 +179,13 @@ object EngineQueries {
     // list of ALL its sub-results (retools/_retools.py:62-66), stringified
     // W1: tumbling-window event rollup — the SAME StreamOps transform the
     // streaming path runs with a watermark (StreamOpsSpec); batch execution
-    // here lets the DuckDB oracle certify the window semantics. `ts` is
-    // TIMESTAMP(NANOS) parquet read as LONG nanos (nanosAsLong); integer
-    // FLOOR division before building the timestamp — double division would
-    // lose precision above 2^53 ns, and `div` truncates toward zero, which
-    // would bucket pre-1970 (negative) nanos into the wrong second vs the
-    // oracle's `//`. `(ts - pmod(ts, 1e9)) div 1e9` floors exactly in
-    // integer arithmetic for any sign.
+    // here lets the DuckDB oracle certify the window semantics. The time
+    // preamble branches on the ACTUAL `ts` read dtype (EventTime — the
+    // testdata has shipped both LONG-nanos and TIMESTAMP(MICROS)
+    // encodings); integer floor arithmetic throughout, never doubles.
     "w1_event_windows" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_t",
-          expr("timestamp_seconds((ts - pmod(ts, 1000000000)) div 1000000000)"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_t", EventTime.flooredSecondTimestamp(ev0))
       graft.streaming.StreamOps.windowedEventStats(ev, "ts_t", 3600)
         .orderBy("window_start", "event_type")
     }),
@@ -198,9 +194,8 @@ object EngineQueries {
     // sessionization on a stream; in batch it equals the gaps-and-islands
     // rollup the oracle computes). 4-hour gap suits the event cadence.
     "w2_event_sessions" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_t",
-          expr("timestamp_seconds((ts - pmod(ts, 1000000000)) div 1000000000)"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_t", EventTime.flooredSecondTimestamp(ev0))
       graft.streaming.StreamOps.sessionizedEventStats(ev, "ts_t", 14400)
         .orderBy("user_id", "session_start")
     }),
@@ -208,13 +203,13 @@ object EngineQueries {
     // W3: backward as-of join — every error event picks up the most
     // recent prior purchase (inclusive) of the same user via the merge
     // formulation (union + keyed window carry), NOT a range join: one
-    // shuffle, zero pair blowup. Time is floored to exact MICROS first
-    // (same integer-floor discipline as w1's seconds): DuckDB reads
-    // TIMESTAMP(NANOS) parquet at micro precision, so both engines must
-    // order and emit identical integers.
+    // shuffle, zero pair blowup. Time is exact epoch MICROS from the
+    // actual `ts` dtype (EventTime): DuckDB's epoch_us resolves either
+    // parquet encoding at micro precision, so both engines order and
+    // emit identical integers.
     "w3_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", EventTime.micros(ev0))
       graft.operators.AsofJoin.asofJoinBackward(
           ev.filter(col("event_type") === "error")
             .select("event_id", "user_id", "ts_us"),
@@ -232,8 +227,8 @@ object EngineQueries {
     // branch), so a data-gen change introducing NULL users can't diverge
     // silently.
     "w4_asof_forward" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", EventTime.micros(ev0))
       graft.operators.AsofJoin.asofJoinForward(
           ev.filter(col("event_type") === "error")
             .select("event_id", "user_id", "ts_us"),
@@ -250,8 +245,8 @@ object EngineQueries {
     // the tolerance ⇒ NULL payload. Both carries run over ONE keyed
     // shuffle (the window exchange is reused), zero joins.
     "w5_asof_nearest" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", EventTime.micros(ev0))
       graft.operators.AsofJoin.asofJoinNearest(
           ev.filter(col("event_type") === "error")
             .select("event_id", "user_id", "ts_us"),

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType,
+  TimestampType}
+
+/** Type-adaptive event-time preambles.
+  *
+  * The testdata's `events.ts` encoding has drifted once already
+  * (TIMESTAMP(NANOS) parquet read as LONG under `nanosAsLong` →
+  * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ), and a user
+  * points these operators at whatever their tables actually contain — so
+  * every event-time query derives its epoch column from the ACTUAL read
+  * dtype instead of assuming an encoding:
+  *
+  *   - `LongType`          ⇒ raw nanos (the `nanosAsLong` read, which all
+  *     engine entry points still enable — it is a no-op for non-nanos
+  *     files); exact integer floor-division to micros/seconds.
+  *   - `TIMESTAMP` / `TIMESTAMP_NTZ` ⇒ `unix_micros` (via a NTZ→TIMESTAMP
+  *     cast where needed). All entry points pin
+  *     `spark.sql.session.timeZone=UTC`, so that cast is a pure
+  *     reinterpretation — matching DuckDB's naive `epoch_us`/`epoch_ns`.
+  *
+  * Floor (not truncation) everywhere: `(x - pmod(x, m)) div m` is an
+  * exact integer floor for any sign, so pre-1970 timestamps bucket the
+  * same second as the oracle's `//`. Double division is never used — it
+  * would lose precision above 2^53.
+  *
+  * The DuckDB oracles use `epoch_ns(ts)` / `epoch_us(ts)`, which DuckDB
+  * resolves for either parquet encoding, so only this Spark-side preamble
+  * needs the branch.
+  */
+object EventTime {
+
+  /** SQL expression (a string, so callers keep integer `div` semantics
+    * when composing) yielding epoch MICROS as BIGINT from column `col`
+    * of the given dtype. */
+  def microsSql(colName: String, dt: DataType): String = dt match {
+    case LongType => s"(($colName - pmod($colName, 1000)) div 1000)"
+    case TimestampType => s"unix_micros($colName)"
+    case TimestampNTZType => s"unix_micros(cast($colName as timestamp))"
+    case other => throw new IllegalArgumentException(
+      s"event-time column `$colName` has unsupported type ${other.sql}: " +
+        "expected BIGINT nanos, TIMESTAMP, or TIMESTAMP_NTZ")
+  }
+
+  /** Epoch-micros Column from `df(colName)`, branching on the read dtype. */
+  def micros(df: DataFrame, colName: String = "ts"): Column =
+    expr(microsSql(colName, df.schema(colName).dataType))
+
+  /** TimestampType Column floored to whole seconds — the canonical input
+    * for `window()` / `session_window()` rollups (windows are
+    * epoch-aligned and timezone-free downstream). */
+  def flooredSecondTimestamp(df: DataFrame, colName: String = "ts"): Column = {
+    val us = microsSql(colName, df.schema(colName).dataType)
+    expr(s"timestamp_seconds((($us) - pmod($us, 1000000)) div 1000000)")
+  }
+}

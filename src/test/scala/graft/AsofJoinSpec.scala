@@ -177,4 +177,33 @@ class AsofJoinSpec extends SparkSpec {
         s"as-of must not plan a join:\n$plan")
     }
   }
+
+  test("SQL TVF surface: asof_backward/forward/nearest equal the Scala API") {
+    val l = left((5L, "a", 1L), (15L, "a", 2L), (2L, "a", 3L), (9L, "b", 4L))
+    val r = right((3L, "a", 10L, 1.0), (10L, "a", 11L, 2.0),
+      (20L, "a", 12L, 3.0), (8L, "b", 13L, 4.0))
+    l.createOrReplaceTempView("asof_sql_l")
+    r.createOrReplaceTempView("asof_sql_r")
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("lid").collect().toSeq
+      assert(canon(spark.sql(
+        "SELECT * FROM asof_backward('asof_sql_l', 'asof_sql_r', 'k', 't', " +
+          "'rid', 'rid,v')")) === canon(run(l, r)))
+      assert(canon(spark.sql(
+        "SELECT * FROM asof_forward('asof_sql_l', 'asof_sql_r', 'k', 't', " +
+          "'rid', 'rid,v')")) === canon(runF(l, r)))
+      // tolerance arg flows through (and the plan still contains no join)
+      val viaSql = spark.sql(
+        "SELECT * FROM asof_nearest('asof_sql_l', 'asof_sql_r', 'k', 't', " +
+          "'rid', 'rid,v', 4)")
+      assert(canon(viaSql) === canon(AsofJoin.asofJoinNearest(l, r, "k", "t",
+        "rid", Seq("rid", "v"), tolerance = Some(4L))))
+      assert(!viaSql.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("join"))
+    } finally {
+      spark.catalog.dropTempView("asof_sql_l")
+      spark.catalog.dropTempView("asof_sql_r")
+    }
+  }
 }

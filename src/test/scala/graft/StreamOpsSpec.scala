@@ -177,11 +177,19 @@ class StreamOpsSpec extends SparkSpec {
   }
 
   test("windowed stats: batch run equals a manual rollup on real events") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_t", expr("timestamp_seconds(ts div 1000000000)"))
+    val ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // type-adaptive epoch preamble — the testdata's ts encoding has
+    // drifted once (LONG nanos → TIMESTAMP(MICROS)); derive, don't assume
+    val sec = graft.queries.EventTime.micros(ev0)
+      .minus(pmod(graft.queries.EventTime.micros(ev0), lit(1000000L)))
+      .divide(lit(1000000L)).cast("long")
+    val ev = ev0
+      .withColumn("ts_t", graft.queries.EventTime.flooredSecondTimestamp(ev0))
+      .withColumn("ts_sec", sec)
     val got = StreamOps.windowedEventStats(ev, "ts_t", 3600)
     val want = ev.groupBy(
-        (expr("(ts div 1000000000) div 3600") * 3600).as("window_start"),
+        ((col("ts_sec") - pmod(col("ts_sec"), lit(3600L))) / 3600L)
+          .cast("long").multiply(3600L).as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))
