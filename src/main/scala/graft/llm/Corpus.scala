@@ -673,7 +673,11 @@ object Corpus {
     * directory it describes, so `sum(n_rows)` IS the loadable corpus.
     * Position contiguity (`min_pos = 0 … max_pos = n-1` per shard, no
     * gaps) is asserted here at write time rather than discovered by the
-    * loader mid-epoch. One shard-keyed aggregate plus a
+    * loader mid-epoch; and because a lost TAIL file leaves positions
+    * dense, a re-manifest additionally refuses any shard that shrank
+    * (or vanished) relative to the existing `_manifest` — a fresh
+    * [[writeShards]] truncates the directory, manifest included, so
+    * legitimate rewrites never trip it. One shard-keyed aggregate plus a
     * metadata-scale file listing; the manifest itself is shard-count
     * rows. */
   def writeShardManifest(spark: org.apache.spark.sql.SparkSession,
@@ -711,6 +715,23 @@ object Corpus {
     require(bad.isEmpty,
       s"shards ${bad.mkString(",")} have gapped or duplicated positions " +
         "— the directory is not a complete writeShards result")
+    // density alone cannot see a lost TAIL file (positions stay dense
+    // [0, n-k)); when a previous manifest exists, a shard that SHRANK
+    // against it is the same corruption and must fail the same way
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    if (fs.exists(manifestPath)) {
+      val prior = spark.read.parquet(s"$path/_manifest")
+        .select(col("shard"), col("n_rows").as("_prior_rows"))
+      // left join FROM the prior: a shard that vanished wholly (its only
+      // file lost) must flag too, not fall out of an inner join
+      val shrunk = prior.join(manifest.select("shard", "n_rows"),
+          Seq("shard"), "left")
+        .filter(col("n_rows").isNull || col("n_rows") < col("_prior_rows"))
+        .select("shard").as[Long].collect()
+      require(shrunk.isEmpty,
+        s"shards ${shrunk.mkString(",")} shrank since the last manifest " +
+          "— data files were lost from the tail")
+    }
     val out = manifest.drop("_np").orderBy("shard")
     out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/_manifest")

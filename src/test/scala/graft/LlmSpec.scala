@@ -1378,15 +1378,31 @@ class LlmSpec extends SparkSpec {
       }
       // the loader reads _manifest, Spark's shard read ignores it
       assert(spark.read.parquet(dir).count() === 90)
-      // sabotage: delete one data file → the re-derived manifest refuses
-      val victim = new java.io.File(dir).listFiles()
-        .filter(_.getName.startsWith("shard=")).head.listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      assert(victim.delete())
-      val e = intercept[IllegalArgumentException] {
+      // sabotage, chosen DETERMINISTICALLY per loss mode (listFiles
+      // order is arbitrary, and which file holds which positions decides
+      // which check can fire):
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      def files(d: java.io.File) = d.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      def minPos(f: java.io.File) = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("pos"))).head.getLong(0)
+      // (1) lost TAIL file: positions stay dense [0, n-k) so the density
+      // check CANNOT see it — the shrink check against the previous
+      // manifest must
+      val tail = files(shardDirs(0)).maxBy(minPos)
+      assert(tail.delete())
+      val e1 = intercept[IllegalArgumentException] {
         Corpus.writeShardManifest(spark, dir, textCol = Some("text"))
       }
-      assert(e.getMessage.contains("gapped or duplicated"))
+      assert(e1.getMessage.contains("shrank since the last manifest"))
+      // (2) lost HEAD file (holds pos 0): the density check fires
+      val head = files(shardDirs(1)).minBy(minPos)
+      assert(head.delete())
+      val e2 = intercept[IllegalArgumentException] {
+        Corpus.writeShardManifest(spark, dir, textCol = Some("text"))
+      }
+      assert(e2.getMessage.contains("gapped or duplicated"))
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
