@@ -121,6 +121,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Multi-probe LSH approximate top-k (Lv et al., VLDB 2007): each query
+    * scores its own sign bucket PLUS the `nProbes - 1` buckets reached by
+    * flipping its least-confident hyperplane bits — smallest |projection|
+    * first, the bits most likely to differ for a true near neighbor that
+    * landed just across a plane.
+    *
+    * This is the recall knob that does NOT touch the corpus: lowering
+    * `planes` to improve recall inflates EVERY bucket corpus-wide, while
+    * multi-probe keeps the corpus bucketing tight and fans out only the
+    * (broadcast) query side — at 100 TB the candidate volume per query is
+    * `nProbes × bucket size` instead of `2^(planes-Δ)`-sized buckets for
+    * everyone. Probe buckets are pairwise distinct and each corpus row
+    * holds exactly one bucket, so no (query, neighbor) pair is scored
+    * twice — no dedup pass needed.
+    *
+    * Deterministic probe order: flip bits ranked by |projection|
+    * ascending, plane index ascending on ties — the DuckDB oracle replays
+    * the identical ranking from the same plane constants
+    * ([[planeVector]]). `nProbes = 1` degenerates to [[lshTopK]]. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8, dims: Int = 64,
+      nProbes: Int = 3): DataFrame = {
+    require(nProbes >= 1 && nProbes <= planes + 1,
+      s"nProbes ($nProbes) must be in [1, planes + 1 = ${planes + 1}] — " +
+        "only single-bit flips are generated")
+    val planeMat = (0 until planes).map(planeVector(_, dims))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .withColumn("_ps", VectorExprs.matvecProjections(col("_v"), planeMat))
+      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+      .withColumn("_ps", VectorExprs.matvecProjections(col("_q"), planeMat))
+      .withColumn("_base", bucketFromPs(col("_ps"), planes))
+      // (|proj|, plane) ascending = flip-confidence ranking; array_sort on
+      // the struct orders by field position, exactly that pair
+      .withColumn("_ranked", expr(s"array_sort(transform(" +
+        s"sequence(0, ${planes - 1}), " +
+        "p -> struct(abs(element_at(_ps, p + 1)) AS a, p AS p)))"))
+      .withColumn("_bkt", explode(expr("concat(array(_base), " +
+        s"transform(slice(_ranked, 1, ${nProbes - 1}), " +
+        "s -> _base ^ shiftleft(1L, s.p)))")))
+      .select(col("query_id"), col("_q"), col("_bkt"))
+    val scored = c.join(broadcast(q), Seq("_bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_v"), col("_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Unit-normalized deterministic IVF centroid for one cell — normalized
     * on the driver so cell assignment reduces to an argmax of plain dot
     * products. Exposed so the DuckDB oracle SQL is generated from the

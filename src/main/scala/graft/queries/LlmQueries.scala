@@ -199,6 +199,19 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-probe LSH top-k — a2's recall knob that does NOT inflate the
+    // corpus buckets: each query additionally probes the 2 buckets across
+    // its least-confident hyperplanes (smallest |projection|). Same
+    // deterministic plane constants, so the oracle replays the identical
+    // probe ranking; LlmSpec certifies the superset-recall property.
+    "a11_multiprobe_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, planes = 4, nProbes = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF approximate top-k — the partition-the-corpus ANN scale path
     // (each query scores only its nProbe nearest centroid cells). The
     // centroids are deterministic driver-side constants, so the DuckDB
@@ -963,6 +976,17 @@ object LlmQueries {
     s"(CASE WHEN ${duckPlaneProj(p)} >= 0 THEN ${1L << p} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** All 4 plane projections as one list expression — mirrors the `_ps`
+    * array [[Similarity.lshTopKMultiProbe]] ranks flip candidates on. */
+  private val duckPlaneProjs: String =
+    (0 until 4).map(duckPlaneProj).mkString("[", ", ", "]")
+
+  /** Bucket id recomputed FROM a staged `ps` list column (so the probe
+    * ranking and the bucket read the same projections). */
+  private val duckBucketFromPs: String = (0 until 4).map { p =>
+    s"(CASE WHEN ps[${p + 1}] >= 0 THEN ${1L << p} ELSE 0 END)"
+  }.mkString(" + ")
+
   /** Projection of `v` onto IVF unit centroid `c` — literal doubles from
     * [[Similarity.unitCentroidVector]], the exact constants the Spark plan
     * embeds via `typedlit`. */
@@ -1308,6 +1332,34 @@ object LlmQueries {
                        (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
                         sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
                      FROM pb c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    // a11 mirrors the multi-probe ranking exactly: flip bits ordered by
+    // (|projection| asc, plane asc), 2 flips + the base bucket per query
+    "a11_multiprobe_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pb AS (SELECT vec_id, v, $duckPlaneProjs AS ps FROM e),
+              cb AS (SELECT vec_id, v, $duckBucketFromPs AS bkt FROM pb),
+              q AS (SELECT vec_id AS query_id, v AS qv, ps, $duckBucketFromPs AS base
+                    FROM pb WHERE vec_id < 5),
+              fl AS (SELECT query_id, qv, base, CAST(i AS INTEGER) - 1 AS p,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY abs(ps[CAST(i AS INTEGER)]) ASC, i ASC) AS rn
+                     FROM q, range(1, 5) t(i)),
+              probes AS (SELECT query_id, qv, base AS bkt FROM q
+                         UNION ALL
+                         SELECT query_id, qv, xor(base, CAST(1 << p AS BIGINT))
+                         FROM fl WHERE rn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65), i -> c.v[i] * p.qv[i])) /
+                       (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(p.qv, x -> x*x)))) AS cos
+                     FROM cb c JOIN probes p ON c.bkt = p.bkt AND c.vec_id <> p.query_id),
               r AS (SELECT query_id, neighbor_id,
                       row_number() OVER (PARTITION BY query_id
                                          ORDER BY cos DESC, neighbor_id) AS rn

@@ -277,6 +277,36 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("multi-probe LSH candidates strictly contain the single-probe set " +
+    "and never rank worse") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") === 1)
+        .select("query_id", "cos").as[(Long, Double)].collect().toMap
+    val single = Similarity.lshTopKMultiProbe(emb, q, "vec_id", "embedding",
+      10, planes = 4, nProbes = 1)
+    val multi = Similarity.lshTopKMultiProbe(emb, q, "vec_id", "embedding",
+      10, planes = 4, nProbes = 3)
+    // nProbes=1 must degenerate to lshTopK exactly
+    val base = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10, planes = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(single.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet === base)
+    // superset property: the multi-probe candidate pool contains the
+    // single-probe pool, so its best cosine can only improve per query
+    val s1 = top1(single); val m1 = top1(multi)
+    s1.foreach { case (qid, cosS) => assert(m1(qid) >= cosS - 1e-12,
+      s"query $qid: multi-probe top-1 ${m1(qid)} worse than single $cosS") }
+    // no duplicate (query, neighbor) pairs from the probe fan-out
+    val pairs = multi.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(pairs.length === pairs.toSet.size)
+    // and more probes reach at least as many candidates somewhere
+    assert(multi.count() >= single.count())
+  }
+
   test("ivfTopK probes its own cell: identical vector ranks first; self excluded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 2)

@@ -120,6 +120,23 @@ class PlanAuditSpec extends SparkSpec {
       s"probe read $probedFiles of $allFiles files - no pruning")
   }
 
+  test("as-of joins keep the merge-formulation promise: one data shuffle, " +
+    "zero joins") {
+    // the 100 TB argument for AsofJoin is exactly this plan shape — the
+    // union of both sides shuffles ONCE on the key (the window exchange;
+    // w5 reuses it for both carries), the only other exchange is the
+    // deterministic output sort, and no join operator exists anywhere
+    Seq("w3_asof_join", "w4_asof_forward", "w5_asof_nearest").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges === 1,
+        s"$q should shuffle event data exactly once, found $hashExchanges")
+      assert(!plan.toLowerCase.contains("join"),
+        s"$q must not plan a join:\n$plan")
+    }
+  }
+
   test("scans prune columns: no query reads a full-width lineitem row") {
     // representative check: q2 only needs the three columns it synthesizes
     // the file name from
