@@ -288,4 +288,103 @@ object StreamOps {
       .collect { case s if s.startsWith("v=") => s.stripPrefix("v=") }
       .flatMap(s => scala.util.Try(s.toLong).toOption)
   }
+
+  /** One tagged event on a streaming as-of union: `side` 0 = right (the
+    * state/lookup stream, carrying `value`), 1 = left (the observation
+    * to enrich; its `value` is ignored). The typed surface mirrors
+    * [[Doc]]/[[streamingDedup]]'s design: wrap your columns with a
+    * `select(...).as[AsofEvent]` projection. `tMicros` is event time in
+    * epoch micros. */
+  final case class AsofEvent(key: Long, tMicros: Long, side: Int,
+    id: Long, value: Double)
+
+  /** A finalized left observation with its as-of match (None = no right
+    * at or before it). */
+  final case class AsofEnriched(id: Long, key: Long, tMicros: Long,
+    asofT: Option[Long], asofId: Option[Long], asofValue: Option[Double])
+
+  /** Per-key as-of state: `frontier` = event time up to which this key is
+    * finalized (late events at or below it are dropped — the watermark
+    * contract); `buffer` = events still awaiting the watermark; the carry
+    * is the latest finalized right. */
+  private[graft] final case class AsofCarryState(frontier: Long,
+    buffer: List[AsofEvent], carryT: Long, carryId: Long,
+    carryValue: Double, hasCarry: Boolean)
+
+  /** Streaming backward as-of enrichment — [[graft.operators.AsofJoin
+    * .asofJoinBackward]]'s merge formulation lifted to a stream: each
+    * left event is emitted exactly once, enriched with the latest right
+    * event of the same key at or before it in EVENT time, tolerating
+    * out-of-order arrival up to the watermark.
+    *
+    * Mechanics: the caller tags both streams into one [[AsofEvent]]
+    * union (the same union the batch operator builds internally) and
+    * names a watermark delay. Per key, `flatMapGroupsWithState` buffers
+    * events until the watermark passes their event time, then replays
+    * them in exactly the batch merge order — (t, side, tie-id), rights
+    * first at equal t, greatest tie-id winning — updating the carry and
+    * emitting lefts. An event-time timeout re-finalizes keys whose
+    * buffered events the watermark has passed even when no new data
+    * arrives for them.
+    *
+    * Batch parity: for any prefix of the stream fully below the final
+    * watermark, the emitted set EQUALS the batch operator's result on
+    * the same events (StreamOpsSpec certifies this on real data).
+    * Lateness tolerance is relative to the GLOBAL watermark (max event
+    * time across ALL keys minus the delay): Spark filters rows older
+    * than the watermark BEFORE this operator sees them, and the
+    * per-key `frontier` drops the boundary stragglers the filter lets
+    * through — a dropped late right is the one divergence a stream can
+    * have from the batch replay, the standard watermark trade.
+    *
+    * Scale shape: state per key = one carry + the in-flight window
+    * (watermark delay × per-key rate); one hash shuffle of the union,
+    * exactly like the batch plan. Keys are never retired (the carry is
+    * the lookup state — retiring it would re-NULL a quiet key's next
+    * left); at 100 TB key cardinality is the sizing input, same as any
+    * keyed streaming state. */
+  def streamingAsofBackward(events: Dataset[AsofEvent],
+      watermarkDelay: String): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("_ts", timestamp_micros(col("tMicros")))
+      .withWatermark("_ts", watermarkDelay)
+      .as[AsofEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofCarryState, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[AsofEvent],
+            state: GroupState[AsofCarryState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(
+            AsofCarryState(Long.MinValue, Nil, 0L, 0L, 0.0, hasCarry = false))
+          // drop late events (at or below the finalized frontier): a late
+          // left would otherwise see rights LATER than itself as carry
+          val incoming = rows.filter(_.tMicros > st.frontier)
+          val (ready, pending) =
+            (st.buffer ++ incoming).partition(_.tMicros <= wmMicros)
+          var (cT, cId, cV, has) =
+            (st.carryT, st.carryId, st.carryValue, st.hasCarry)
+          val out = List.newBuilder[AsofEnriched]
+          // exactly the batch merge order: (t, side, tie) ascending —
+          // rights before lefts at equal t, greatest right tie-id wins
+          ready.sortBy(e => (e.tMicros, e.side, e.id)).foreach { e =>
+            if (e.side == 0) { cT = e.tMicros; cId = e.id; cV = e.value
+              has = true }
+            else out += AsofEnriched(e.id, e.key, e.tMicros,
+              if (has) Some(cT) else None, if (has) Some(cId) else None,
+              if (has) Some(cV) else None)
+          }
+          state.update(AsofCarryState(math.max(st.frontier, wmMicros),
+            pending, cT, cId, cV, has))
+          if (pending.nonEmpty) {
+            // wake when the watermark may have passed the earliest
+            // buffered event (must be strictly above the current wm)
+            state.setTimeoutTimestamp(math.max(
+              pending.map(_.tMicros).min / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.result().iterator
+      }
+  }
 }

@@ -176,6 +176,71 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of: out-of-order arrival within the watermark, " +
+    "batch parity, exactly-once emission") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofEnriched, AsofEvent}
+    def r(key: Long, tSec: Long, id: Long, v: Double) =
+      AsofEvent(key, tSec * 1000000L, 0, id, v)
+    def l(key: Long, tSec: Long, id: Long) =
+      AsofEvent(key, tSec * 1000000L, 1, id, 0.0)
+    val in = MemoryStream[AsofEvent]
+    val q = StreamOps.streamingAsofBackward(in.toDS(), "30 seconds")
+      .writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 gets a right@100 and a left@150; key 2 a left@140
+      // with NO right yet — its match arrives out of order in batch 2.
+      // After this batch the GLOBAL watermark is 150-30 = 120 s; Spark
+      // drops rows below it BEFORE the stateful operator, so the late
+      // right must stay above 120 s to be "within the watermark".
+      in.addData(r(1, 100, 10, 1.5), l(1, 150, 1), l(2, 140, 2),
+        l(3, 145, 3)) // key 3 never gets a right: NULL payload on flush
+      q.processAllAvailable()
+      // batch 2: the LATE right for key 2 (t=130 — BEFORE the buffered
+      // left@140 in event time, but above the 120 s watermark) plus a
+      // right@160 for key 1 that is AFTER its left@150 and must not leak
+      // into it; the sentinel key 99 advances the global watermark
+      in.addData(r(2, 130, 20, 2.5), r(1, 160, 11, 3.5), r(99, 300, 90, 0))
+      q.processAllAvailable()
+      // two sentinel batches: watermark passes every buffered event and
+      // the event-time timeouts flush keys that receive no new data
+      in.addData(r(99, 1000, 91, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 2000, 92, 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream_out").as[AsofEnriched].collect()
+        .filter(_.key != 99L).sortBy(_.id).toSeq
+      assert(got === Seq(
+        // key 1 left@150: latest right at-or-before is right 10@100
+        AsofEnriched(1, 1, 150000000L,
+          Some(100000000L), Some(10L), Some(1.5)),
+        // key 2 left@140: the out-of-order right 20@130 WAS seen
+        AsofEnriched(2, 2, 140000000L,
+          Some(130000000L), Some(20L), Some(2.5)),
+        // key 3: no right ever — emitted exactly once with NULL payload
+        AsofEnriched(3, 3, 145000000L, None, None, None)))
+      // batch parity: the batch merge operator on the same events agrees
+      val all = Seq(r(1, 100, 10, 1.5), l(1, 150, 1), l(2, 140, 2),
+        l(3, 145, 3), r(2, 130, 20, 2.5), r(1, 160, 11, 3.5)).toDF()
+      val batch = graft.operators.AsofJoin.asofJoinBackward(
+          all.filter(col("side") === 1)
+            .select(col("id"), col("key"), col("tMicros")),
+          all.filter(col("side") === 0)
+            .select(col("key"), col("tMicros"), col("id"), col("value")),
+          keyCol = "key", timeCol = "tMicros", tieCol = "id",
+          payloadCols = Seq("id", "value"))
+        .orderBy("id")
+        .select("id", "key", "tMicros", "asof_tMicros", "asof_id",
+          "asof_value")
+        .collect().map(x => AsofEnriched(x.getLong(0), x.getLong(1),
+          x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Long]),
+          Option(x.get(4)).map(_.asInstanceOf[Long]),
+          Option(x.get(5)).map(_.asInstanceOf[Double]))).toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("windowed stats: batch run equals a manual rollup on real events") {
     val ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     // type-adaptive epoch preamble — the testdata's ts encoding has
