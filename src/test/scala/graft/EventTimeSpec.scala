@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.EventTime
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [[EventTime]] unit spec — the live testdata is TIMESTAMP(MICROS)
+  * today, so the LONG-nanos branch (the encoding older testdata shipped,
+  * still legal input) is only certified here; floor discipline is checked
+  * on negative (pre-1970) times where truncation would differ. */
+class EventTimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LongType nanos: exact floor to micros and seconds, any sign") {
+    val df = Seq(
+      1500000001234L,  //  1.500000001234 s
+      -1L,             // 1 ns before epoch
+      -1500000001234L, // negative with fractional micros
+      0L
+    ).toDF("ts")
+    assert(df.schema("ts").dataType === LongType)
+    val out = df.select(
+        col("ts"),
+        EventTime.micros(df).as("us"),
+        EventTime.flooredSecondTimestamp(df).cast("long").as("sec"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // floor(ns / 1e3) and floor(ns / 1e9): -1 ns is in micro -1 / second
+    // -1, and the negative fractional case floors DOWN (-1501, not the
+    // -1500 truncation would give)
+    assert(out.toSeq === Seq(
+      (-1500000001234L, -1500000002L, -1501L),
+      (-1L, -1L, -1L),
+      (0L, 0L, 0L),
+      (1500000001234L, 1500000001L, 1500L)))
+  }
+
+  test("TIMESTAMP_NTZ: micros match the wall-clock reading under UTC") {
+    val df = Seq("2024-03-01 12:30:45.123456")
+      .toDF("s").select(to_timestamp_ntz(col("s")).as("ts"))
+    assert(df.schema("ts").dataType === TimestampNTZType)
+    val us = df.select(EventTime.micros(df).as("us")).head().getLong(0)
+    // 2024-03-01T12:30:45.123456Z epoch micros
+    assert(us === 1709296245123456L)
+    val sec = df.select(EventTime.flooredSecondTimestamp(df)
+      .cast("long").as("s")).head().getLong(0)
+    assert(sec === 1709296245L)
+  }
+
+  test("unsupported dtype names the column and its type") {
+    val df = Seq("oops").toDF("ts")
+    val e = intercept[IllegalArgumentException] { EventTime.micros(df) }
+    assert(e.getMessage.contains("ts") && e.getMessage.contains("STRING"))
+  }
+}
