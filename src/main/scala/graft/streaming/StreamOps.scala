@@ -342,7 +342,11 @@ object StreamOps {
     * exactly like the batch plan. Keys are never retired (the carry is
     * the lookup state — retiring it would re-NULL a quiet key's next
     * left); at 100 TB key cardinality is the sizing input, same as any
-    * keyed streaming state. */
+    * keyed streaming state. Sizing rule: a quiet key's steady state is
+    * ONE carry row — measured ≈0.8 KiB/key in the default state store
+    * (StreamOpsSpec's observability test asserts it stays sub-4 KiB and
+    * that `stateOperators.numRowsTotal` == keys seen) — so budget
+    * `keyCardinality × ~1 KiB` of store, before the in-flight window. */
   def streamingAsofBackward(events: Dataset[AsofEvent],
       watermarkDelay: String): Dataset[AsofEnriched] = {
     import events.sparkSession.implicits._
@@ -384,6 +388,238 @@ object StreamOps {
               pending.map(_.tMicros).min / 1000L + 1L,
               state.getCurrentWatermarkMs() + 1L))
           }
+          out.result().iterator
+      }
+  }
+
+  /** Per-key forward as-of state: `frontier` as in [[AsofCarryState]];
+    * `buffer` = unresolved lefts plus rights not yet past the watermark
+    * (a right at or below the watermark resolves every left that could
+    * ever use it in the same pass, so it never needs retaining). */
+  private[graft] final case class AsofFwdState(frontier: Long,
+    buffer: List[AsofEvent])
+
+  /** Streaming FORWARD as-of enrichment — [[graft.operators.AsofJoin
+    * .asofJoinForward]] on a stream: each left event is emitted exactly
+    * once, enriched with the EARLIEST right event of the same key at or
+    * after it in event time (inclusive; greatest tie-id wins among rights
+    * at equal time), tolerating out-of-order arrival up to the watermark.
+    *
+    * Resolution rule (the forward-specific part): rights at or below the
+    * global watermark are complete — no right below it can still arrive —
+    * so a left finalizes the moment its earliest qualifying right sits at
+    * or below the watermark. A left with NO right after it yet cannot
+    * finalize from time alone unless `toleranceMicros` bounds the search:
+    * with a tolerance, the watermark passing `left.t + tolerance` proves
+    * no qualifying right will ever exist and the left is emitted with
+    * NULL payload. WITHOUT a tolerance such a left waits indefinitely
+    * (exactly the semantics: "the next right, whenever it comes") — pass
+    * a tolerance on unbounded streams so every left eventually resolves.
+    *
+    * Batch parity: for any prefix fully below the final watermark the
+    * emitted set equals `asofJoinForward` on the same events with the
+    * same tolerance (StreamOpsSpec certifies literally, on real events).
+    * The watermark-drop divergence is the same one
+    * [[streamingAsofBackward]] documents.
+    *
+    * Scale shape: one hash shuffle of the union (the batch plan's
+    * exchange); per-key state = unresolved lefts + rights above the
+    * watermark, both bounded by the watermark delay × per-key rate —
+    * unlike backward there is NO permanent carry, the state for a quiet
+    * key is one frontier long. Resolution is a per-pass scan of the
+    * buffered lefts against buffered rights (watermark-window sized, not
+    * stream sized). */
+  def streamingAsofForward(events: Dataset[AsofEvent],
+      watermarkDelay: String,
+      toleranceMicros: Option[Long] = None): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    toleranceMicros.foreach(t =>
+      require(t >= 0L, s"toleranceMicros ($t) must be >= 0"))
+    events
+      .withColumn("_ts", timestamp_micros(col("tMicros")))
+      .withWatermark("_ts", watermarkDelay)
+      .as[AsofEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofFwdState, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[AsofEvent],
+            state: GroupState[AsofFwdState]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AsofFwdState(Long.MinValue, Nil))
+          val pool = st.buffer ++ rows.filter(_.tMicros > st.frontier)
+          val rights = pool.filter(_.side == 0)
+          val out = List.newBuilder[AsofEnriched]
+          val kept = List.newBuilder[AsofEvent]
+          val wake = List.newBuilder[Long]
+          pool.filter(_.side == 1).foreach { l =>
+            // earliest qualifying right; greatest id at equal time (the
+            // batch window's "last tie scanned wins")
+            val cands = rights.filter(r => r.tMicros >= l.tMicros &&
+              toleranceMicros.forall(r.tMicros - l.tMicros <= _))
+            val cand =
+              if (cands.isEmpty) None
+              else Some(cands.minBy(r => (r.tMicros, -r.id)))
+            cand match {
+              case Some(r) if r.tMicros <= wm =>
+                // complete below the watermark: nothing earlier can arrive
+                out += AsofEnriched(l.id, l.key, l.tMicros,
+                  Some(r.tMicros), Some(r.id), Some(r.value))
+              case None if toleranceMicros.exists(l.tMicros + _ <= wm) =>
+                // the whole tolerance window is below the watermark with
+                // no qualifying right: provably matchless
+                out += AsofEnriched(l.id, l.key, l.tMicros, None, None, None)
+              case _ =>
+                kept += l
+                // wake when the candidate (or the tolerance bound)
+                // crosses the watermark
+                (cand.map(_.tMicros).toList ++
+                  toleranceMicros.map(l.tMicros + _).toList)
+                  .minOption.foreach(wake += _)
+            }
+          }
+          state.update(AsofFwdState(math.max(st.frontier, wm),
+            kept.result() ++ rights.filter(_.tMicros > wm)))
+          wake.result().minOption.foreach(w =>
+            state.setTimeoutTimestamp(math.max(w / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L)))
+          out.result().iterator
+      }
+  }
+
+  /** A left past its backward-freeze point: once the watermark passes
+    * `ev.tMicros`, every right at or before it is known, so its backward
+    * candidate is frozen here while the forward side stays open. */
+  private[graft] final case class AsofWaitingLeft(ev: AsofEvent,
+    bT: Long, bId: Long, bValue: Double, hasB: Boolean)
+
+  /** Per-key nearest as-of state: backward carry + frontier as in
+    * [[AsofCarryState]]; `pending` = events the watermark has not passed;
+    * `waiting` = lefts whose backward candidate is frozen but whose
+    * forward side is still undecided. */
+  private[graft] final case class AsofNearestState(frontier: Long,
+    pending: List[AsofEvent], waiting: List[AsofWaitingLeft],
+    carryT: Long, carryId: Long, carryValue: Double, hasCarry: Boolean)
+
+  /** Streaming NEAREST as-of enrichment — [[graft.operators.AsofJoin
+    * .asofJoinNearest]] on a stream: each left is emitted exactly once
+    * with whichever of its backward/forward matches is closer in event
+    * time (exact-distance ties, including a right AT the left's time, go
+    * backward; among rights at equal time the greatest tie-id wins), with
+    * an optional `toleranceMicros` bound on either direction.
+    *
+    * Two-phase resolution: when the watermark passes a left's event time
+    * its BACKWARD candidate freezes (replayed in exactly the batch merge
+    * order against the carry, like [[streamingAsofBackward]]); the left
+    * then waits until its FORWARD side is decidable —
+    *   - a qualifying right at or below the watermark appears (the
+    *     earliest such right is final: nothing earlier can arrive), or
+    *   - the watermark passes `left.t + tolerance` (no forward match can
+    *     ever qualify), or
+    *   - the watermark passes `left.t + backwardDistance`: any future
+    *     right is strictly farther than the frozen backward match, which
+    *     therefore wins without waiting for tolerance expiry.
+    * The third rule makes every left with a backward match resolve even
+    * with NO tolerance; only a left with neither a backward match nor a
+    * later right needs the tolerance to finalize as NULL — pass one on
+    * unbounded streams.
+    *
+    * Batch parity: for any prefix fully below the final watermark the
+    * emitted set equals `asofJoinNearest` on the same events with the
+    * same tolerance (StreamOpsSpec certifies literally, on real events).
+    * Watermark-drop divergence as in [[streamingAsofBackward]].
+    *
+    * Scale shape: one hash shuffle of the union; per-key state = the
+    * backward carry (never retired — key cardinality is the sizing
+    * input, as backward documents) + watermark-window-bounded pending
+    * events and waiting lefts. */
+  def streamingAsofNearest(events: Dataset[AsofEvent],
+      watermarkDelay: String,
+      toleranceMicros: Option[Long] = None): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    toleranceMicros.foreach(t =>
+      require(t >= 0L, s"toleranceMicros ($t) must be >= 0"))
+    events
+      .withColumn("_ts", timestamp_micros(col("tMicros")))
+      .withWatermark("_ts", watermarkDelay)
+      .as[AsofEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofNearestState, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[AsofEvent],
+            state: GroupState[AsofNearestState]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AsofNearestState(
+            Long.MinValue, Nil, Nil, 0L, 0L, 0.0, hasCarry = false))
+          val incoming = rows.filter(_.tMicros > st.frontier)
+          val (ready, pending) =
+            (st.pending ++ incoming).partition(_.tMicros <= wm)
+          var (cT, cId, cV, has) =
+            (st.carryT, st.carryId, st.carryValue, st.hasCarry)
+          val out = List.newBuilder[AsofEnriched]
+          def decide(w: AsofWaitingLeft,
+              f: Option[AsofEvent]): AsofEnriched = {
+            val db = w.ev.tMicros - w.bT
+            val okB = w.hasB && toleranceMicros.forall(db <= _)
+            val df = f.map(_.tMicros - w.ev.tMicros)
+            val okF = f.isDefined && toleranceMicros.forall(df.get <= _)
+            val m =
+              if (okB && (!okF || db <= df.get)) Some((w.bT, w.bId, w.bValue))
+              else if (okF) f.map(r => (r.tMicros, r.id, r.value))
+              else None
+            AsofEnriched(w.ev.id, w.ev.key, w.ev.tMicros,
+              m.map(_._1), m.map(_._2), m.map(_._3))
+          }
+          // replay finalized events in the batch merge order; a right run
+          // at one timestamp acts at its LAST element (greatest tie-id),
+          // which is the forward candidate every earlier left sees
+          var waiting = st.waiting
+          val sorted = ready.sortBy(e => (e.tMicros, e.side, e.id)).toArray
+          var i = 0
+          while (i < sorted.length) {
+            val e = sorted(i)
+            if (e.side == 0) {
+              val runEnd = i + 1 >= sorted.length ||
+                sorted(i + 1).side != 0 || sorted(i + 1).tMicros != e.tMicros
+              if (runEnd) {
+                // every waiting left precedes this right in event time:
+                // e is its earliest forward candidate, final (e.t <= wm)
+                waiting.foreach(w => out += decide(w, Some(e)))
+                waiting = Nil
+              }
+              cT = e.tMicros; cId = e.id; cV = e.value; has = true
+            } else {
+              // backward candidate freezes NOW (all rights <= e.t known)
+              waiting = waiting :+
+                AsofWaitingLeft(e, cT, cId, cV, hasB = has)
+            }
+            i += 1
+          }
+          // time-based resolution for lefts with no replayed right after
+          // them: tolerance exhausted, or the backward match is provably
+          // unbeatable (any future right is farther than it)
+          val stillWaiting = List.newBuilder[AsofWaitingLeft]
+          val wake = List.newBuilder[Long]
+          waiting.foreach { w =>
+            val lt = w.ev.tMicros
+            val db = lt - w.bT
+            val okB = w.hasB && toleranceMicros.forall(db <= _)
+            if (toleranceMicros.exists(lt + _ <= wm)) out += decide(w, None)
+            else if (okB && wm - lt >= db)
+              out += AsofEnriched(w.ev.id, w.ev.key, lt,
+                Some(w.bT), Some(w.bId), Some(w.bValue))
+            else {
+              stillWaiting += w
+              ((if (okB) List(lt + db) else Nil) ++
+                toleranceMicros.map(lt + _).toList ++
+                pending.filter(p => p.side == 0 && p.tMicros >= lt)
+                  .map(_.tMicros)).minOption.foreach(wake += _)
+            }
+          }
+          state.update(AsofNearestState(math.max(st.frontier, wm),
+            pending, stillWaiting.result(), cT, cId, cV, has))
+          (wake.result() ++ pending.map(_.tMicros)).minOption.foreach(w =>
+            state.setTimeoutTimestamp(math.max(w / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L)))
           out.result().iterator
       }
   }

@@ -241,6 +241,304 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming forward as-of: out-of-order arrival, equal-time ties, " +
+    "tolerance NULLs, batch parity, exactly-once emission") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofEnriched, AsofEvent}
+    def r(key: Long, tSec: Long, id: Long, v: Double) =
+      AsofEvent(key, tSec * 1000000L, 0, id, v)
+    def l(key: Long, tSec: Long, id: Long) =
+      AsofEvent(key, tSec * 1000000L, 1, id, 0.0)
+    val tol = 30L * 1000000L // 30 s
+    val in = MemoryStream[AsofEvent]
+    val q = StreamOps.streamingAsofForward(in.toDS(), "30 seconds", Some(tol))
+      .writeStream.format("memory").queryName("asof_fwd_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 has an EARLIER right (must not match forward) and
+      // its true forward match arrives in batch 2; key 2's match arrives
+      // out of order (t=145 > watermark 120 after this batch); key 3
+      // never gets a right (tolerance NULL); key 5's only later right is
+      // beyond tolerance (90 s > 30 s)
+      in.addData(r(1, 100, 10, 1.5), l(1, 150, 1), l(2, 140, 2),
+        l(3, 145, 3), l(5, 100, 5))
+      q.processAllAvailable()
+      // batch 2: late-but-within-watermark right for key 2; key 1's
+      // forward match; key 4 exercises the inclusive boundary with TWO
+      // rights at exactly the left's time (greatest tie-id wins); key 5's
+      // out-of-tolerance right; sentinel advances the global watermark
+      in.addData(r(2, 145, 20, 2.5), r(1, 160, 11, 3.5),
+        l(4, 200, 4), r(4, 200, 40, 4.0), r(4, 200, 41, 4.5),
+        r(5, 190, 50, 5.0), r(99, 300, 90, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 1000, 91, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 2000, 92, 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_fwd_out").as[AsofEnriched].collect()
+        .filter(_.key != 99L).sortBy(_.id).toSeq
+      assert(got === Seq(
+        AsofEnriched(1, 1, 150000000L,
+          Some(160000000L), Some(11L), Some(3.5)),
+        AsofEnriched(2, 2, 140000000L,
+          Some(145000000L), Some(20L), Some(2.5)),
+        AsofEnriched(3, 3, 145000000L, None, None, None),
+        AsofEnriched(4, 4, 200000000L,
+          Some(200000000L), Some(41L), Some(4.5)),
+        AsofEnriched(5, 5, 100000000L, None, None, None)))
+      // batch parity on the same events with the same tolerance
+      val all = Seq(r(1, 100, 10, 1.5), l(1, 150, 1), l(2, 140, 2),
+        l(3, 145, 3), l(5, 100, 5), r(2, 145, 20, 2.5), r(1, 160, 11, 3.5),
+        l(4, 200, 4), r(4, 200, 40, 4.0), r(4, 200, 41, 4.5),
+        r(5, 190, 50, 5.0)).toDF()
+      val batch = graft.operators.AsofJoin.asofJoinForward(
+          all.filter(col("side") === 1)
+            .select(col("id"), col("key"), col("tMicros")),
+          all.filter(col("side") === 0)
+            .select(col("key"), col("tMicros"), col("id"), col("value")),
+          keyCol = "key", timeCol = "tMicros", tieCol = "id",
+          payloadCols = Seq("id", "value"), tolerance = Some(tol))
+        .orderBy("id")
+        .select("id", "key", "tMicros", "asof_tMicros", "asof_id",
+          "asof_value")
+        .collect().map(x => AsofEnriched(x.getLong(0), x.getLong(1),
+          x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Long]),
+          Option(x.get(4)).map(_.asInstanceOf[Long]),
+          Option(x.get(5)).map(_.asInstanceOf[Double]))).toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("streaming forward as-of without tolerance: a matchless left is " +
+    "held (never emitted), a matched one resolves") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofEnriched, AsofEvent}
+    val in = MemoryStream[AsofEvent]
+    val q = StreamOps.streamingAsofForward(in.toDS(), "30 seconds")
+      .writeStream.format("memory").queryName("asof_fwd_notol_out")
+      .outputMode("append").start()
+    try {
+      in.addData(AsofEvent(1, 100000000L, 1, 1, 0.0), // left, no right ever
+        AsofEvent(2, 100000000L, 1, 2, 0.0),
+        AsofEvent(2, 120000000L, 0, 20, 2.0))
+      q.processAllAvailable()
+      in.addData(AsofEvent(99, 1000000000L, 0, 90, 0))
+      q.processAllAvailable()
+      in.addData(AsofEvent(99, 2000000000L, 0, 91, 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_fwd_notol_out").as[AsofEnriched]
+        .collect().filter(_.key != 99L).sortBy(_.id).toSeq
+      // key 2 resolved; key 1 still waiting for "the next right, whenever
+      // it comes" — the documented no-tolerance semantics
+      assert(got === Seq(AsofEnriched(2, 2, 100000000L,
+        Some(120000000L), Some(20L), Some(2.0))))
+    } finally q.stop()
+  }
+
+  test("streaming nearest as-of: direction choice, distance ties to " +
+    "backward, b-win early resolution, tolerance, batch parity") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofEnriched, AsofEvent}
+    def r(key: Long, tSec: Long, id: Long, v: Double) =
+      AsofEvent(key, tSec * 1000000L, 0, id, v)
+    def l(key: Long, tSec: Long, id: Long) =
+      AsofEvent(key, tSec * 1000000L, 1, id, 0.0)
+    val tol = 60L * 1000000L // 60 s
+    val in = MemoryStream[AsofEvent]
+    val q = StreamOps.streamingAsofNearest(in.toDS(), "30 seconds", Some(tol))
+      .writeStream.format("memory").queryName("asof_nearest_out")
+      .outputMode("append").start()
+    try {
+      // key 1: backward at distance 50, forward at 110 (beyond tolerance)
+      // → backward wins; key 2: backward 40 vs forward 5 (arriving out
+      // of order in batch 2) → forward; key 3: no rights → tolerance
+      // NULL; key 5: exact distance tie 10/10 → backward
+      in.addData(r(1, 100, 10, 1.5), l(1, 150, 1),
+        r(2, 100, 21, 2.0), l(2, 140, 2), l(3, 145, 3),
+        r(5, 140, 50, 5.0), l(5, 150, 5))
+      q.processAllAvailable()
+      in.addData(r(2, 145, 20, 2.5), r(1, 260, 11, 3.5),
+        r(5, 160, 51, 5.5), r(99, 300, 90, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 1000, 91, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 2000, 92, 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_nearest_out").as[AsofEnriched].collect()
+        .filter(_.key != 99L).sortBy(_.id).toSeq
+      assert(got === Seq(
+        AsofEnriched(1, 1, 150000000L,
+          Some(100000000L), Some(10L), Some(1.5)),
+        AsofEnriched(2, 2, 140000000L,
+          Some(145000000L), Some(20L), Some(2.5)),
+        AsofEnriched(3, 3, 145000000L, None, None, None),
+        AsofEnriched(5, 5, 150000000L,
+          Some(140000000L), Some(50L), Some(5.0))))
+      // batch parity on the same events with the same tolerance
+      val all = Seq(r(1, 100, 10, 1.5), l(1, 150, 1), r(2, 100, 21, 2.0),
+        l(2, 140, 2), l(3, 145, 3), r(5, 140, 50, 5.0), l(5, 150, 5),
+        r(2, 145, 20, 2.5), r(1, 260, 11, 3.5), r(5, 160, 51, 5.5)).toDF()
+      val batch = graft.operators.AsofJoin.asofJoinNearest(
+          all.filter(col("side") === 1)
+            .select(col("id"), col("key"), col("tMicros")),
+          all.filter(col("side") === 0)
+            .select(col("key"), col("tMicros"), col("id"), col("value")),
+          keyCol = "key", timeCol = "tMicros", tieCol = "id",
+          payloadCols = Seq("id", "value"), tolerance = Some(tol))
+        .orderBy("id")
+        .select("id", "key", "tMicros", "asof_tMicros", "asof_id",
+          "asof_value")
+        .collect().map(x => AsofEnriched(x.getLong(0), x.getLong(1),
+          x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Long]),
+          Option(x.get(4)).map(_.asInstanceOf[Long]),
+          Option(x.get(5)).map(_.asInstanceOf[Double]))).toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("streaming nearest as-of without tolerance: the b-win rule resolves " +
+    "a backward-only left; a matchless left is held") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofEnriched, AsofEvent}
+    val in = MemoryStream[AsofEvent]
+    val q = StreamOps.streamingAsofNearest(in.toDS(), "30 seconds")
+      .writeStream.format("memory").queryName("asof_near_notol_out")
+      .outputMode("append").start()
+    try {
+      // key 1: right@100, left@150, NO later right — resolvable only by
+      // the b-win rule: once the watermark passes 150+50=200, any future
+      // right is farther than the backward match; key 2: no rights at
+      // all and no tolerance — held forever (documented)
+      in.addData(AsofEvent(1, 100000000L, 0, 10, 1.5),
+        AsofEvent(1, 150000000L, 1, 1, 0.0),
+        AsofEvent(2, 140000000L, 1, 2, 0.0))
+      q.processAllAvailable()
+      in.addData(AsofEvent(99, 230000000L, 0, 90, 0)) // wm → 200 s
+      q.processAllAvailable()
+      in.addData(AsofEvent(99, 1000000000L, 0, 91, 0))
+      q.processAllAvailable()
+      in.addData(AsofEvent(99, 2000000000L, 0, 92, 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_near_notol_out").as[AsofEnriched]
+        .collect().filter(_.key != 99L).sortBy(_.id).toSeq
+      assert(got === Seq(AsofEnriched(1, 1, 150000000L,
+        Some(100000000L), Some(10L), Some(1.5))))
+    } finally q.stop()
+  }
+
+  test("streaming forward/nearest as-of: literal batch parity on the real " +
+    "events table (every error enriched once, 1-day tolerance)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofEnriched, AsofEvent}
+    val ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = ev0.withColumn("ts_us", graft.queries.EventTime.micros(ev0))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .filter(col("event_type").isin("purchase", "error"))
+    // rights = purchases (value carried), lefts = errors; value coalesced
+    // so the primitive-Double event type holds both sides
+    val evs = ev.select(col("user_id"), col("ts_us"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
+        col("event_id"), coalesce(col("value"), lit(0.0)).as("v"))
+      .as[(Long, Long, Int, Long, Double)].collect()
+      .map(t => AsofEvent(t._1, t._2, t._3, t._4, t._5))
+      .sortBy(e => (e.tMicros, e.side, e.id))
+    assert(evs.count(_.side == 1) > 100, "expected a real error population")
+    val tol = 86400L * 1000000L // 1 day — yields a real match/NULL mix
+    val mx = evs.map(_.tMicros).max
+    val sentinelKey = -1L
+    def run(name: String,
+        mk: org.apache.spark.sql.Dataset[AsofEvent] =>
+          org.apache.spark.sql.Dataset[AsofEnriched]): Seq[AsofEnriched] = {
+      val in = MemoryStream[AsofEvent]
+      val q = mk(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // event-time-ordered chunks: nothing is ever late, so the stream
+        // must reproduce the batch result EXACTLY
+        evs.grouped(150).foreach { chunk =>
+          in.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        in.addData(AsofEvent(sentinelKey, mx + 3L * tol, 0, -1, 0.0))
+        q.processAllAvailable()
+        in.addData(AsofEvent(sentinelKey, mx + 6L * tol, 0, -2, 0.0))
+        q.processAllAvailable()
+        spark.table(name).as[AsofEnriched].collect()
+          .filter(_.key != sentinelKey).sortBy(_.id).toSeq
+      } finally q.stop()
+    }
+    val all = evs.toSeq.toDF()
+    val left = all.filter(col("side") === 1)
+      .select(col("id"), col("key"), col("tMicros"))
+    val right = all.filter(col("side") === 0)
+      .select(col("key"), col("tMicros"), col("id"), col("value"))
+    def batchOf(df: org.apache.spark.sql.DataFrame): Seq[AsofEnriched] =
+      df.select("id", "key", "tMicros", "asof_tMicros", "asof_id",
+          "asof_value")
+        .collect().map(x => AsofEnriched(x.getLong(0), x.getLong(1),
+          x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Long]),
+          Option(x.get(4)).map(_.asInstanceOf[Long]),
+          Option(x.get(5)).map(_.asInstanceOf[Double])))
+        .sortBy(_.id).toSeq
+    val nLefts = evs.count(_.side == 1)
+
+    val gotFwd = run("asof_fwd_real",
+      ds => StreamOps.streamingAsofForward(ds, "1 hour", Some(tol)))
+    val batchFwd = batchOf(graft.operators.AsofJoin.asofJoinForward(
+      left, right, "key", "tMicros", "id", Seq("id", "value"),
+      tolerance = Some(tol)))
+    assert(gotFwd.size === nLefts) // every left exactly once
+    assert(gotFwd === batchFwd)
+    assert(gotFwd.exists(_.asofId.isEmpty) &&
+      gotFwd.exists(_.asofId.nonEmpty)) // the tolerance is doing work
+
+    val gotNear = run("asof_nearest_real",
+      ds => StreamOps.streamingAsofNearest(ds, "1 hour", Some(tol)))
+    val batchNear = batchOf(graft.operators.AsofJoin.asofJoinNearest(
+      left, right, "key", "tMicros", "id", Seq("id", "value"),
+      tolerance = Some(tol)))
+    assert(gotNear.size === nLefts)
+    assert(gotNear === batchNear)
+  }
+
+  test("streaming as-of state observability: stateOperators metrics report " +
+    "rows == key cardinality and a sizeable bytes/key") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.AsofEvent
+    def r(key: Long, tSec: Long, id: Long, v: Double) =
+      AsofEvent(key, tSec * 1000000L, 0, id, v)
+    def l(key: Long, tSec: Long, id: Long) =
+      AsofEvent(key, tSec * 1000000L, 1, id, 0.0)
+    val in = MemoryStream[AsofEvent]
+    val q = StreamOps.streamingAsofBackward(in.toDS(), "30 seconds")
+      .writeStream.format("memory").queryName("asof_state_metrics_out")
+      .outputMode("append").start()
+    try {
+      // 4 keys touch the operator (3 data + 1 sentinel): the carry is
+      // never retired, so state rows == distinct keys seen — THE sizing
+      // input the scaladoc documents for 100 TB deployments
+      in.addData(r(1, 100, 10, 1.5), l(1, 150, 1), r(2, 120, 20, 2.0),
+        l(3, 140, 3))
+      q.processAllAvailable()
+      in.addData(r(99, 1000, 90, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 2000, 91, 0))
+      q.processAllAvailable()
+      val ops = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.numRowsTotal > 0)
+      assert(ops.nonEmpty, "no stateOperators progress reported")
+      val last = ops.last
+      assert(last.numRowsTotal === 4L) // keys 1, 2, 3, 99 — one row each
+      assert(last.memoryUsedBytes > 0L)
+      val bytesPerKey = last.memoryUsedBytes / last.numRowsTotal
+      info(s"state: ${last.numRowsTotal} rows, " +
+        s"${last.memoryUsedBytes} bytes (~$bytesPerKey B/key)")
+      // quiet-key steady state is one carry (no buffered events): a few
+      // hundred bytes of store overhead per key, nowhere near event-scale
+      assert(bytesPerKey < 4096L,
+        s"carry-only state should be sub-4KiB/key, got $bytesPerKey")
+    } finally q.stop()
+  }
+
   test("windowed stats: batch run equals a manual rollup on real events") {
     val ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     // type-adaptive epoch preamble — the testdata's ts encoding has
