@@ -613,6 +613,47 @@ object Similarity {
     out
   }
 
+  /** Recall-vs-cost curve for multi-probe LSH — the tuning artifact a
+    * deployment reads to pick `nProbes`: one row per probe count with
+    * aggregate recall@k of [[lshTopKMultiProbe]] against the exact
+    * [[cosineTopK]] on the same queries. The candidate volume per query
+    * grows linearly in `nProbes` (each probe adds one bucket) while
+    * recall is monotone non-decreasing (probing a superset of buckets
+    * can only add candidates — the property the unit suite asserts and
+    * this query turns into visible data), so the knee of this curve IS
+    * the operating point.
+    *
+    * Scale shape: the exact side runs ONCE (lineage-cut) over a query
+    * SAMPLE — the brute force is the measurement, not the serving path —
+    * and each probe count adds one bucketed search over the same
+    * broadcast queries; output is |probeCounts| rows.
+    *
+    * @return (n_probes, n_exact, n_ann, n_hits, recall) — counts summed
+    *         over all queries, recall = n_hits / n_exact as one IEEE
+    *         division (NULL when the exact side is empty) */
+  def multiProbeRecallCurve(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 8,
+      dims: Int = 64, probeCounts: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(probeCounts.nonEmpty, "probeCounts must be non-empty")
+    require(probeCounts == probeCounts.distinct,
+      s"probeCounts ($probeCounts) must be distinct")
+    val exact = graft.operators.Lineage.cut(
+      cosineTopK(corpus, queries, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id")))
+    probeCounts.map { np =>
+      evaluateAnn(exact,
+          lshTopKMultiProbe(corpus, queries, idCol, vecCol, k, planes,
+            dims, np))
+        .agg(sum(col("n_exact")).as("n_exact"),
+          sum(col("n_ann")).as("n_ann"),
+          sum(col("n_hits")).as("n_hits"))
+        .select(lit(np).as("n_probes"), col("n_exact"), col("n_ann"),
+          col("n_hits"))
+    }.reduce(_.unionByName(_))
+      .withColumn("recall", when(col("n_exact") > 0,
+        col("n_hits").cast("double") / col("n_exact")))
+  }
+
   /** ANN quality report: per-query recall of an approximate top-k result
     * against the exact (brute-force) one — the measurement that picks
     * `nlist`/`nProbe`/`planes` before an index ships (the embedding-side

@@ -212,6 +212,19 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-probe recall-vs-cost curve: aggregate recall@10 of a11's
+    // searcher against a1's brute force for nProbes in {1, 2, 4} — one
+    // row per probe count, the artifact that picks the operating point.
+    // The oracle replays every probe ranking and both searches; the
+    // monotone-recall property the unit suite asserts is visible here
+    // as data (recall non-decreasing down the rows).
+    "a12_multiprobe_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.multiProbeRecallCurve(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, planes = 4, probeCounts = Seq(1, 2, 4))
+        .orderBy("n_probes")
+    }),
+
     // IVF approximate top-k — the partition-the-corpus ANN scale path
     // (each query scores only its nProbe nearest centroid cells). The
     // centroids are deterministic driver-side constants, so the DuckDB
@@ -1366,6 +1379,58 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    // a12 replays the a11 probe ranking at each probe count plus the a1
+    // brute force, then aggregates hits — the recall curve as data
+    "a12_multiprobe_recall" -> {
+      def cos(c: String, q: String): String =
+        s"""list_sum(list_transform(range(1, 65), i -> $c.v[i] * $q.qv[i])) /
+           (sqrt(list_sum(list_transform($c.v, x -> x*x))) *
+            sqrt(list_sum(list_transform($q.qv, x -> x*x))))"""
+      def per(np: Int): String =
+        s"""probes$np AS (SELECT query_id, qv, base AS bkt FROM q
+                         UNION ALL
+                         SELECT query_id, qv, xor(base, CAST(1 << p AS BIGINT))
+                         FROM fl WHERE rn <= ${np - 1}),
+            sc$np AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                        ${cos("c", "p")} AS cos
+                      FROM cb c JOIN probes$np p
+                        ON c.bkt = p.bkt AND c.vec_id <> p.query_id),
+            ann$np AS (SELECT query_id, neighbor_id
+                       FROM (SELECT query_id, neighbor_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+                             FROM sc$np) WHERE rn <= 10),
+            row$np AS (SELECT CAST($np AS INTEGER) AS n_probes,
+                         (SELECT count(*) FROM ex) AS n_exact,
+                         (SELECT count(*) FROM ann$np) AS n_ann,
+                         (SELECT count(*) FROM ex JOIN ann$np
+                            USING (query_id, neighbor_id)) AS n_hits)"""
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pb AS (SELECT vec_id, v, $duckPlaneProjs AS ps FROM e),
+              cb AS (SELECT vec_id, v, $duckBucketFromPs AS bkt FROM pb),
+              q AS (SELECT vec_id AS query_id, v AS qv, ps, $duckBucketFromPs AS base
+                    FROM pb WHERE vec_id < 5),
+              fl AS (SELECT query_id, qv, base, CAST(i AS INTEGER) - 1 AS p,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY abs(ps[CAST(i AS INTEGER)]) ASC, i ASC) AS rn
+                     FROM q, range(1, 5) t(i)),
+              sc0 AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${cos("c", "q")} AS cos
+                      FROM e c, q WHERE c.vec_id <> q.query_id),
+              ex AS (SELECT query_id, neighbor_id
+                     FROM (SELECT query_id, neighbor_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rn
+                           FROM sc0) WHERE rn <= 10),
+              ${per(1)}, ${per(2)}, ${per(4)}
+          SELECT n_probes, n_exact, n_ann, n_hits,
+                 CASE WHEN n_exact > 0
+                      THEN CAST(n_hits AS DOUBLE) / n_exact END AS recall
+          FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+                UNION ALL SELECT * FROM row4)
+          ORDER BY n_probes"""
+    },
     "a4_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                      FROM embeddings),

@@ -307,6 +307,26 @@ class LlmSpec extends SparkSpec {
     assert(multi.count() >= single.count())
   }
 
+  test("multiProbeRecallCurve: one row per probe count, recall monotone " +
+    "non-decreasing, counts consistent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val curve = Similarity.multiProbeRecallCurve(emb, q, "vec_id",
+        "embedding", 10, planes = 4, probeCounts = Seq(1, 2, 4))
+      .orderBy("n_probes")
+      .select("n_probes", "n_exact", "n_ann", "n_hits", "recall")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(curve.map(_._1) === Seq(1, 2, 4))
+    curve.foreach { case (np, nExact, nAnn, nHits, recall) =>
+      assert(nExact === 50L, s"np=$np") // 5 queries x full top-10
+      assert(nHits <= nAnn && nHits <= nExact)
+      assert(math.abs(recall - nHits.toDouble / nExact) < 1e-15)
+    }
+    // the superset property as data: more probes never lose a hit
+    assert(curve.map(_._4) === curve.map(_._4).sorted,
+      s"recall curve not monotone: $curve")
+  }
+
   test("ivfTopK probes its own cell: identical vector ranks first; self excluded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 2)
