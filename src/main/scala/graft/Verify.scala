@@ -29,6 +29,22 @@ object Verify {
     // silently vanishes from the dumped surface and the correctness file
     // shrinks instead of showing a red row (the r7 w1–w5 failure mode).
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Preflight: the same schema canary the test suite pins — a testdata
+    // regeneration that moved a column fails HERE in seconds with the
+    // column named, not mid-suite as N opaque query deaths. Dumps still
+    // run (queries not touching the drifted column should still reach the
+    // driver compare); the drift is recorded as a failures.json row.
+    try {
+      val drifts = graft.queries.TestDataCanary.drifts(spark, sfDir)
+      if (drifts.nonEmpty) {
+        drifts.foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
+        failures("_testdata_canary") = drifts.mkString("; ").take(2000)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] canary preflight failed: ${e.getMessage}")
+      failures("_testdata_canary") =
+        s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -58,10 +74,16 @@ object Verify {
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
-    // exit code stays 0 — the parquet dumps that DID succeed must still
-    // reach the driver's compare; failures.json is the loud signal.
-    if (failures.nonEmpty) System.err.println(
-      s"[verify] ${failures.size} FAILED queries: ${failures.keys.mkString(", ")}")
+    // Every successful dump and both JSON artifacts are already on disk
+    // before the exit code is decided, so the driver's compare (which
+    // reads artifacts, not the code) loses nothing — but a CI consumer
+    // keying on the exit code now sees failures too.
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} FAILED queries: ${failures.keys.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

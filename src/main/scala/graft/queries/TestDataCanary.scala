@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Schema-drift canary shared by TestDataCanarySpec and [[graft.Verify]]'s
+  * preflight: pins every column name + read dtype the declared queries
+  * depend on, so a testdata regeneration that moves a column fails in
+  * seconds with the column NAMED — instead of N query deaths discovered
+  * mid-suite (the r7 `events.ts` failure mode).
+  *
+  * `events.ts` is special-cased: the engine supports BOTH encodings the
+  * driver has shipped (LONG under `nanosAsLong`, TIMESTAMP/NTZ) via
+  * [[EventTime]], so either passes — anything else is a drift.
+  */
+object TestDataCanary {
+
+  /** name → expected Spark read type, per table — exactly the dependency
+    * surface of SparkEntry.queries (extra columns may appear; these must). */
+  val expected: Map[String, Seq[(String, DataType)]] = Map(
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+    "events" -> Seq("event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType), // ts checked separately (two legal dtypes)
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderpriority" -> StringType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+  )
+
+  /** All schema drifts in `dir`, one readable line each (empty = clean).
+    * Accumulates across tables/columns — one regeneration can move
+    * several columns at once, and each should be named. */
+  def drifts(spark: SparkSession, dir: String): Seq[String] = {
+    val colDrifts = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.flatMap { case (name, want) =>
+        byName.get(name) match {
+          case None => Seq(s"$table.$name: MISSING (schema has " +
+            s"${schema.fieldNames.mkString(", ")})")
+          case Some(got) if got != want =>
+            Seq(s"$table.$name: drifted to ${got.sql}, queries expect ${want.sql}")
+          case _ => Nil
+        }
+      }
+    }
+    val tsDt = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val tsDrift =
+      if (tsDt == LongType || tsDt == TimestampType || tsDt == TimestampNTZType)
+        Nil
+      else Seq(s"events.ts: drifted to ${tsDt.sql} — EventTime supports " +
+        "BIGINT nanos (nanosAsLong read) or TIMESTAMP/TIMESTAMP_NTZ; extend " +
+        "graft.queries.EventTime.microsSql for the new encoding")
+    colDrifts ++ tsDrift
+  }
+}

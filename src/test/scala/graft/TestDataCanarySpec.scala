@@ -18,53 +18,9 @@ class TestDataCanarySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // name → expected Spark read type, per table, exactly the dependency
-  // surface of SparkEntry.queries (extra columns may appear; these must).
-  private val expected: Map[String, Seq[(String, DataType)]] = Map(
-    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
-      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
-      "c_mktsegment" -> StringType),
-    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
-      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
-    "embeddings" -> Seq("vec_id" -> LongType,
-      "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
-    "events" -> Seq("event_id" -> LongType, "user_id" -> LongType,
-      "event_type" -> StringType, "value" -> DoubleType,
-      "props" -> StringType), // ts asserted separately (two legal dtypes)
-    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
-      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
-      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
-      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
-      "l_returnflag" -> StringType, "l_linestatus" -> StringType),
-    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
-      "n_regionkey" -> IntegerType),
-    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
-      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
-      "o_orderpriority" -> StringType),
-    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
-      "p_brand" -> StringType, "p_type" -> StringType,
-      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
-    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
-    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
-      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
-  )
-
-  test("testdata columns the queries depend on exist with expected types") {
-    // accumulate ALL drifts before asserting — one regeneration can move
-    // several columns at once, and each should be named
-    val drifts = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
-      val schema = spark.read.parquet(s"$dir/$table.parquet").schema
-      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-      cols.flatMap { case (name, want) =>
-        byName.get(name) match {
-          case None => Seq(s"$table.$name: MISSING (schema has " +
-            s"${schema.fieldNames.mkString(", ")})")
-          case Some(got) if got != want =>
-            Seq(s"$table.$name: drifted to ${got.sql}, queries expect ${want.sql}")
-          case _ => Nil
-        }
-      }
-    }
+  test("testdata columns the queries depend on exist with expected types " +
+    "(shared TestDataCanary — the same check Verify preflights)") {
+    val drifts = graft.queries.TestDataCanary.drifts(spark, dir)
     assert(drifts.isEmpty, "testdata schema drift:\n" + drifts.mkString("\n"))
   }
 
@@ -78,5 +34,25 @@ class TestDataCanarySpec extends SparkSpec {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     assert(ev.select(graft.queries.EventTime.micros(ev).as("us"))
       .limit(1).collect().nonEmpty)
+  }
+
+  test("the canary names a planted drift instead of passing it") {
+    // a frame written with a moved column must produce a named drift line
+    val tmp = java.nio.file.Files.createTempDirectory("canary").toString
+    try {
+      // copy the real testdata layout, then sabotage region.r_name → INT
+      graft.queries.TestDataCanary.expected.keys.foreach { t =>
+        val src = spark.read.parquet(s"$dir/$t.parquet")
+        (if (t == "region")
+           src.withColumn("r_name", org.apache.spark.sql.functions.lit(7))
+         else src)
+          .write.parquet(s"$tmp/$t.parquet")
+      }
+      val drifts = graft.queries.TestDataCanary.drifts(spark, tmp)
+      assert(drifts.exists(d => d.startsWith("region.r_name") &&
+        d.contains("INT")), s"expected a named region.r_name drift: $drifts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
   }
 }
