@@ -654,6 +654,15 @@ object Corpus {
       maxRecordsPerFile: Long = 0L): Unit = {
     require(df.columns.contains("shard") && df.columns.contains("pos"),
       "expected a shuffleIntoShards result (shard, pos columns)")
+    // A fresh shard write must invalidate any prior `_manifest` — under
+    // the default static partitionOverwriteMode the directory truncation
+    // does it, but dynamic mode rewrites only touched partitions and
+    // would leave a stale manifest in place, making writeShardManifest's
+    // shrink check fail a legitimate smaller rewrite.
+    val manifest = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val fs = manifest.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(manifest)) fs.delete(manifest, true)
     df.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.partitionBy("shard")

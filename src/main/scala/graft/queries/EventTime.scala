@@ -33,27 +33,47 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType,
   */
 object EventTime {
 
+  /** What a BIGINT event-time column's integers mean. TIMESTAMP columns
+    * carry their unit in the type; a LONG column does not — and a wrong
+    * guess shifts every time by 1000× with no error. The engine's
+    * testdata contract is nanos (the `nanosAsLong` read of
+    * TIMESTAMP(NANOS) parquet), so that is the default; a user pointing
+    * these operators at a micros- or millis-as-BIGINT table states it
+    * here instead of silently inheriting the wrong division. */
+  sealed trait LongUnit
+  case object LongNanos extends LongUnit
+  case object LongMicros extends LongUnit
+  case object LongMillis extends LongUnit
+
   /** SQL expression (a string, so callers keep integer `div` semantics
     * when composing) yielding epoch MICROS as BIGINT from column `col`
-    * of the given dtype. */
-  def microsSql(colName: String, dt: DataType): String = dt match {
-    case LongType => s"(($colName - pmod($colName, 1000)) div 1000)"
+    * of the given dtype. `longUnit` applies ONLY to LongType columns —
+    * see [[LongUnit]] for why it must be stated rather than guessed. */
+  def microsSql(colName: String, dt: DataType,
+      longUnit: LongUnit = LongNanos): String = dt match {
+    case LongType => longUnit match {
+      case LongNanos => s"(($colName - pmod($colName, 1000)) div 1000)"
+      case LongMicros => colName
+      case LongMillis => s"($colName * 1000)"
+    }
     case TimestampType => s"unix_micros($colName)"
     case TimestampNTZType => s"unix_micros(cast($colName as timestamp))"
     case other => throw new IllegalArgumentException(
       s"event-time column `$colName` has unsupported type ${other.sql}: " +
-        "expected BIGINT nanos, TIMESTAMP, or TIMESTAMP_NTZ")
+        "expected BIGINT (unit per longUnit), TIMESTAMP, or TIMESTAMP_NTZ")
   }
 
   /** Epoch-micros Column from `df(colName)`, branching on the read dtype. */
-  def micros(df: DataFrame, colName: String = "ts"): Column =
-    expr(microsSql(colName, df.schema(colName).dataType))
+  def micros(df: DataFrame, colName: String = "ts",
+      longUnit: LongUnit = LongNanos): Column =
+    expr(microsSql(colName, df.schema(colName).dataType, longUnit))
 
   /** TimestampType Column floored to whole seconds — the canonical input
     * for `window()` / `session_window()` rollups (windows are
     * epoch-aligned and timezone-free downstream). */
-  def flooredSecondTimestamp(df: DataFrame, colName: String = "ts"): Column = {
-    val us = microsSql(colName, df.schema(colName).dataType)
+  def flooredSecondTimestamp(df: DataFrame, colName: String = "ts",
+      longUnit: LongUnit = LongNanos): Column = {
+    val us = microsSql(colName, df.schema(colName).dataType, longUnit)
     expr(s"timestamp_seconds((($us) - pmod($us, 1000000)) div 1000000)")
   }
 }

@@ -51,11 +51,15 @@ final class StreamingWorkflow(
     * reconciled changes. Callable directly for on-demand repair. */
   def reconcile(): Long = {
     reconciler.poll() match {
-      case None => 0L
+      case None => 0L // empty diff: poll's own check was the only action
       case Some(changes) =>
-        val n = changes.count()
-        workflow.buildBatch(changes)
-        n
+        // persist so the returned count reuses the build's computation
+        // instead of re-running the diff lineage as a second full action
+        val cached = changes.persist()
+        try {
+          workflow.buildBatch(cached)
+          cached.count()
+        } finally cached.unpersist()
     }
   }
 

@@ -47,6 +47,21 @@ class EventTimeSpec extends SparkSpec {
     assert(sec === 1709296245L)
   }
 
+  test("LongType with an explicit micros/millis unit: no silent 1000x shift") {
+    val df = Seq(1709296245123456L).toDF("ts") // epoch micros
+    assert(df.select(EventTime.micros(df, "ts", EventTime.LongMicros)
+      .as("us")).head().getLong(0) === 1709296245123456L)
+    val ms = Seq(1709296245123L).toDF("ts") // epoch millis
+    assert(ms.select(EventTime.micros(ms, "ts", EventTime.LongMillis)
+      .as("us")).head().getLong(0) === 1709296245123000L)
+    assert(ms.select(EventTime.flooredSecondTimestamp(ms, "ts",
+        EventTime.LongMillis).cast("long").as("s")).head().getLong(0)
+      === 1709296245L)
+    // and the default stays the testdata contract (nanos)
+    assert(df.select(EventTime.micros(df).as("us")).head().getLong(0)
+      === 1709296245123L)
+  }
+
   test("unsupported dtype names the column and its type") {
     val df = Seq("oops").toDF("ts")
     val e = intercept[IllegalArgumentException] { EventTime.micros(df) }

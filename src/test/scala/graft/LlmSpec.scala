@@ -1457,6 +1457,36 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("writeShards under dynamic partitionOverwriteMode: a smaller " +
+    "legitimate rewrite re-manifests cleanly (stale _manifest removed)") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest_dyn").toString
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val big = (1L to 90L).map(i => (i, s"doc body number $i"))
+        .toDF("doc_id", "text")
+      Corpus.writeShards(Corpus.shuffleIntoShards(big, "doc_id", 3), dir)
+      Corpus.writeShardManifest(spark, dir, textCol = Some("text"))
+      // a legitimately SMALLER rewrite: dynamic mode only overwrites the
+      // touched shard partitions, so without the explicit manifest delete
+      // the shrink check would compare against the stale 90-row manifest
+      val small = (1L to 30L).map(i => (i, s"doc body number $i"))
+        .toDF("doc_id", "text")
+      Corpus.writeShards(Corpus.shuffleIntoShards(small, "doc_id", 3), dir)
+      val m = Corpus.writeShardManifest(spark, dir, textCol = Some("text"))
+        .collect()
+      assert(m.map(_.getAs[Long]("n_rows")).sum === 30L)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("versionDiff: added/removed/changed classified, unchanged omitted, " +
     "token deltas signed") {
     val oldV = Seq((1L, "one two three"), (2L, "kept as is"),
