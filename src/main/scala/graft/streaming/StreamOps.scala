@@ -306,10 +306,13 @@ object StreamOps {
   /** Per-key as-of state: `frontier` = event time up to which this key is
     * finalized (late events at or below it are dropped — the watermark
     * contract); `buffer` = events still awaiting the watermark; the carry
-    * is the latest finalized right. */
+    * is the latest finalized right; `lastSeenT` = greatest event time
+    * ever received for this key (the idle clock [[streamingAsofBackward]]
+    * retires on when `maxKeyIdleMicros` is set). */
   private[graft] final case class AsofCarryState(frontier: Long,
     buffer: List[AsofEvent], carryT: Long, carryId: Long,
-    carryValue: Double, hasCarry: Boolean)
+    carryValue: Double, hasCarry: Boolean,
+    lastSeenT: Long = Long.MinValue)
 
   /** Streaming backward as-of enrichment — [[graft.operators.AsofJoin
     * .asofJoinBackward]]'s merge formulation lifted to a stream: each
@@ -346,10 +349,24 @@ object StreamOps {
     * ONE carry row — measured ≈0.8 KiB/key in the default state store
     * (StreamOpsSpec's observability test asserts it stays sub-4 KiB and
     * that `stateOperators.numRowsTotal` == keys seen) — so budget
-    * `keyCardinality × ~1 KiB` of store, before the in-flight window. */
+    * `keyCardinality × ~1 KiB` of store, before the in-flight window.
+    *
+    * `maxKeyIdleMicros` bounds state for CHURNY key domains (UUID-like
+    * keys that appear once and never return, where carry-forever state
+    * grows without bound): a key whose newest event is that far below
+    * the watermark is retired wholesale. The trade is explicit and the
+    * reason retirement is off by default: a retired key's next left
+    * re-NULLs (the carry is gone, indistinguishable from never-seen), so
+    * set it only where a key quiet for the TTL genuinely means "this key
+    * is finished". The idle clock is EVENT time against the global
+    * watermark — deterministic under replay, unlike a processing-time
+    * TTL. */
   def streamingAsofBackward(events: Dataset[AsofEvent],
-      watermarkDelay: String): Dataset[AsofEnriched] = {
+      watermarkDelay: String,
+      maxKeyIdleMicros: Option[Long] = None): Dataset[AsofEnriched] = {
     import events.sparkSession.implicits._
+    maxKeyIdleMicros.foreach(t =>
+      require(t > 0L, s"maxKeyIdleMicros ($t) must be > 0"))
     events
       .withColumn("_ts", timestamp_micros(col("tMicros")))
       .withWatermark("_ts", watermarkDelay)
@@ -364,7 +381,9 @@ object StreamOps {
             AsofCarryState(Long.MinValue, Nil, 0L, 0L, 0.0, hasCarry = false))
           // drop late events (at or below the finalized frontier): a late
           // left would otherwise see rights LATER than itself as carry
-          val incoming = rows.filter(_.tMicros > st.frontier)
+          val incoming = rows.filter(_.tMicros > st.frontier).toList
+          val lastSeen =
+            (st.lastSeenT :: incoming.map(_.tMicros)).max
           val (ready, pending) =
             (st.buffer ++ incoming).partition(_.tMicros <= wmMicros)
           var (cT, cId, cV, has) =
@@ -379,14 +398,23 @@ object StreamOps {
               if (has) Some(cT) else None, if (has) Some(cId) else None,
               if (has) Some(cV) else None)
           }
-          state.update(AsofCarryState(math.max(st.frontier, wmMicros),
-            pending, cT, cId, cV, has))
-          if (pending.nonEmpty) {
+          val idleEvict = maxKeyIdleMicros.exists(ttl =>
+            pending.isEmpty && lastSeen != Long.MinValue &&
+              wmMicros - lastSeen >= ttl)
+          if (idleEvict) state.remove()
+          else {
+            state.update(AsofCarryState(math.max(st.frontier, wmMicros),
+              pending, cT, cId, cV, has, lastSeen))
             // wake when the watermark may have passed the earliest
-            // buffered event (must be strictly above the current wm)
-            state.setTimeoutTimestamp(math.max(
-              pending.map(_.tMicros).min / 1000L + 1L,
-              state.getCurrentWatermarkMs() + 1L))
+            // buffered event, or (quiet key, TTL set) when the idle
+            // clock will expire (strictly above the current wm either way)
+            val wake =
+              if (pending.nonEmpty) Some(pending.map(_.tMicros).min)
+              else maxKeyIdleMicros.collect {
+                case ttl if lastSeen != Long.MinValue => lastSeen + ttl
+              }
+            wake.foreach(w => state.setTimeoutTimestamp(math.max(
+              w / 1000L + 1L, state.getCurrentWatermarkMs() + 1L)))
           }
           out.result().iterator
       }

@@ -500,6 +500,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(gotNear === batchNear)
   }
 
+  test("streaming as-of maxKeyIdle: an idle key is retired (next left " +
+    "re-NULLs), an active key keeps its carry") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofEnriched, AsofEvent}
+    def r(key: Long, tSec: Long, id: Long, v: Double) =
+      AsofEvent(key, tSec * 1000000L, 0, id, v)
+    def l(key: Long, tSec: Long, id: Long) =
+      AsofEvent(key, tSec * 1000000L, 1, id, 0.0)
+    val in = MemoryStream[AsofEvent]
+    val q = StreamOps.streamingAsofBackward(in.toDS(), "30 seconds",
+        maxKeyIdleMicros = Some(100L * 1000000L)) // 100 s idle TTL
+      .writeStream.format("memory").queryName("asof_ttl_out")
+      .outputMode("append").start()
+    try {
+      in.addData(r(1, 100, 10, 1.5), l(1, 150, 1), r(99, 180, 90, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 300, 91, 0)) // wm 270: key 1 flushes, idle wake set
+      q.processAllAvailable()
+      in.addData(r(99, 1000, 92, 0)) // wm 970 ≥ 150+100: key 1 retired
+      q.processAllAvailable()
+      // key 1 returns AFTER retirement: the carry is gone, so this left
+      // re-NULLs — the documented churny-key trade; key 99 stayed active
+      // throughout (its rights keep refreshing the idle clock)
+      in.addData(l(1, 980, 2), l(99, 985, 3), r(99, 1100, 93, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 1300, 94, 0))
+      q.processAllAvailable()
+      in.addData(r(99, 1500, 95, 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_ttl_out").as[AsofEnriched].collect()
+        .sortBy(_.id).toSeq
+      assert(got === Seq(
+        AsofEnriched(1, 1, 150000000L,
+          Some(100000000L), Some(10L), Some(1.5)),
+        AsofEnriched(2, 1, 980000000L, None, None, None),
+        AsofEnriched(3, 99, 985000000L,
+          Some(300000000L), Some(91L), Some(0.0))))
+    } finally q.stop()
+  }
+
   test("streaming as-of state observability: stateOperators metrics report " +
     "rows == key cardinality and a sizeable bytes/key") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
