@@ -334,11 +334,14 @@ object StreamOps {
     * watermark, the emitted set EQUALS the batch operator's result on
     * the same events (StreamOpsSpec certifies this on real data).
     * Lateness tolerance is relative to the GLOBAL watermark (max event
-    * time across ALL keys minus the delay): Spark filters rows older
-    * than the watermark BEFORE this operator sees them, and the
-    * per-key `frontier` drops the boundary stragglers the filter lets
-    * through — a dropped late right is the one divergence a stream can
-    * have from the batch replay, the standard watermark trade.
+    * time across ALL keys minus the delay): Spark drops rows AT or below
+    * the watermark BEFORE this operator sees them (delivered rows are
+    * strictly above it), so everything at-or-below the watermark is
+    * complete and finalization is non-strict (`t <= watermark`); the
+    * per-key `frontier` re-drops only rows the watermark contract
+    * already declared droppable — a dropped late right is the one
+    * divergence a stream can have from the batch replay, the standard
+    * watermark trade.
     *
     * Scale shape: state per key = one carry + the in-flight window
     * (watermark delay × per-key rate); one hash shuffle of the union,
@@ -380,7 +383,9 @@ object StreamOps {
           val st = state.getOption.getOrElse(
             AsofCarryState(Long.MinValue, Nil, 0L, 0L, 0.0, hasCarry = false))
           // drop late events (at or below the finalized frontier): a late
-          // left would otherwise see rights LATER than itself as carry
+          // left would otherwise see rights LATER than itself as carry.
+          // Spark only delivers rows strictly above the watermark, so
+          // everything at-or-below it is complete (non-strict partition).
           val incoming = rows.filter(_.tMicros > st.frontier).toList
           val lastSeen =
             (st.lastSeenT :: incoming.map(_.tMicros)).max
@@ -487,14 +492,17 @@ object StreamOps {
             val cand =
               if (cands.isEmpty) None
               else Some(cands.minBy(r => (r.tMicros, -r.id)))
+            // non-strict (<=): Spark delivers only rows strictly above
+            // the watermark, so facts at-or-below it are final — a right
+            // AT the watermark cannot gain a later same-time rival
             cand match {
               case Some(r) if r.tMicros <= wm =>
-                // complete below the watermark: nothing earlier can arrive
+                // complete at the watermark: nothing earlier can arrive
                 out += AsofEnriched(l.id, l.key, l.tMicros,
                   Some(r.tMicros), Some(r.id), Some(r.value))
               case None if toleranceMicros.exists(l.tMicros + _ <= wm) =>
-                // the whole tolerance window is below the watermark with
-                // no qualifying right: provably matchless
+                // the whole tolerance window is at-or-below the watermark
+                // with no qualifying right: provably matchless
                 out += AsofEnriched(l.id, l.key, l.tMicros, None, None, None)
               case _ =>
                 kept += l
@@ -578,6 +586,9 @@ object StreamOps {
           val wm = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(AsofNearestState(
             Long.MinValue, Nil, Nil, 0L, 0L, 0.0, hasCarry = false))
+          // non-strict (<=) throughout: Spark delivers only rows strictly
+          // above the watermark, so facts at-or-below it are final —
+          // same contract as the other two variants
           val incoming = rows.filter(_.tMicros > st.frontier)
           val (ready, pending) =
             (st.pending ++ incoming).partition(_.tMicros <= wm)
@@ -631,6 +642,10 @@ object StreamOps {
             val lt = w.ev.tMicros
             val db = lt - w.bT
             val okB = w.hasB && toleranceMicros.forall(db <= _)
+            // tolerance closure at the watermark is final (no delivered
+            // row can sit at or below it); the b-win rule is non-strict
+            // too: a future right at distance exactly db TIES and ties
+            // go backward, so b already wins at wm - lt == db
             if (toleranceMicros.exists(lt + _ <= wm)) out += decide(w, None)
             else if (okB && wm - lt >= db)
               out += AsofEnriched(w.ev.id, w.ev.key, lt,

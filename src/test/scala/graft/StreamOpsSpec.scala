@@ -500,6 +500,92 @@ class StreamOpsSpec extends SparkSpec {
     assert(gotNear === batchNear)
   }
 
+  test("random streaming as-of parity: seeded random events with heavy " +
+    "ties, random chunking — all three variants equal the batch operator") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofEnriched, AsofEvent}
+    for (seed <- Seq(7, 99)) {
+      val rng = new scala.util.Random(seed)
+      // 5 keys × 40 distinct seconds over 300 events → many exact-time
+      // collisions on both sides, rights and lefts interleaved. Times
+      // start at 1 s: Spark's pre-operator late filter drops rows at or
+      // below the watermark, and the INITIAL watermark is 0 — a t=0
+      // event would be dropped by Spark itself before any operator
+      val events = (0 until 300).map { i =>
+        AsofEvent(rng.nextInt(5).toLong,
+          (1L + rng.nextInt(40)) * 1000000L,
+          if (rng.nextBoolean()) 0 else 1, i.toLong, rng.nextInt(100) / 10.0)
+      }.sortBy(e => (e.tMicros, e.side, e.id))
+      // random chunk boundaries; within a chunk arrival order is shuffled
+      // (same micro-batch — the operator must re-sort); across chunks the
+      // feed is event-time ordered so nothing is ever late and the stream
+      // must reproduce the batch result EXACTLY
+      val chunks = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[AsofEvent]]
+        var rest = events
+        while (rest.nonEmpty) {
+          val n = 1 + rng.nextInt(80)
+          out += rng.shuffle(rest.take(n))
+          rest = rest.drop(n)
+        }
+        out.toSeq
+      }
+      val mx = events.map(_.tMicros).max
+      val all = events.toDF()
+      val left = all.filter(col("side") === 1)
+        .select(col("id"), col("key"), col("tMicros"))
+      val right = all.filter(col("side") === 0)
+        .select(col("key"), col("tMicros"), col("id"), col("value"))
+      def batchOf(df: org.apache.spark.sql.DataFrame): Seq[AsofEnriched] =
+        df.select("id", "key", "tMicros", "asof_tMicros", "asof_id",
+            "asof_value")
+          .collect().map(x => AsofEnriched(x.getLong(0), x.getLong(1),
+            x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Long]),
+            Option(x.get(4)).map(_.asInstanceOf[Long]),
+            Option(x.get(5)).map(_.asInstanceOf[Double])))
+          .sortBy(_.id).toSeq
+      def stream(name: String,
+          mk: org.apache.spark.sql.Dataset[AsofEvent] =>
+            org.apache.spark.sql.Dataset[AsofEnriched]): Seq[AsofEnriched] = {
+        val in = MemoryStream[AsofEvent]
+        val q = mk(in.toDS()).writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+          in.addData(AsofEvent(-1L, mx + 60000000L, 0, -1, 0.0))
+          q.processAllAvailable()
+          in.addData(AsofEvent(-1L, mx + 120000000L, 0, -2, 0.0))
+          q.processAllAvailable()
+          spark.table(name).as[AsofEnriched].collect()
+            .filter(_.key != -1L).sortBy(_.id).toSeq
+        } finally q.stop()
+      }
+      val tol = 5000000L // 5 s — bites at this time density
+      val cases = Seq(
+        (s"p_bwd_$seed",
+          (ds: org.apache.spark.sql.Dataset[AsofEvent]) =>
+            StreamOps.streamingAsofBackward(ds, "10 seconds"),
+          graft.operators.AsofJoin.asofJoinBackward(left, right, "key",
+            "tMicros", "id", Seq("id", "value"))),
+        (s"p_fwd_$seed",
+          (ds: org.apache.spark.sql.Dataset[AsofEvent]) =>
+            StreamOps.streamingAsofForward(ds, "10 seconds", Some(tol)),
+          graft.operators.AsofJoin.asofJoinForward(left, right, "key",
+            "tMicros", "id", Seq("id", "value"), tolerance = Some(tol))),
+        (s"p_near_$seed",
+          (ds: org.apache.spark.sql.Dataset[AsofEvent]) =>
+            StreamOps.streamingAsofNearest(ds, "10 seconds", Some(tol)),
+          graft.operators.AsofJoin.asofJoinNearest(left, right, "key",
+            "tMicros", "id", Seq("id", "value"), tolerance = Some(tol))))
+      cases.foreach { case (name, mk, batchDf) =>
+        val got = stream(name, mk)
+        val want = batchOf(batchDf)
+        assert(got.size === want.size, s"$name: row count")
+        assert(got === want, s"$name: streaming/batch divergence")
+      }
+    }
+  }
+
   test("streaming as-of maxKeyIdle: an idle key is retired (next left " +
     "re-NULLs), an active key keeps its carry") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
