@@ -511,6 +511,38 @@ object Dedup {
     edges.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Canonical-document selection for near-dup clusters: given cluster
+    * membership (`id` → `rep`, the [[clusterRepresentatives]] output) and a
+    * per-document quality attribute, pick ONE keeper per cluster — the
+    * member with the highest quality, ties broken by smallest id. This is
+    * the dedup POLICY step the min-id drop list (d6) skips: "keep the
+    * best copy", not "keep the first copy" — at corpus scale the longest /
+    * highest-quality member of a near-dup cluster is usually the
+    * canonical page and the rest are truncated mirrors.
+    *
+    * Scale: one broadcast-or-shuffle equi-join members×attrs on id, then
+    * one hash exchange on the cluster label for the two windows (size
+    * count + argmax rank share the partitioning; clusters are near-dup
+    * groups, i.e. small, so no per-partition skew).
+    *
+    * @return (cluster_rep, keep_id, keep_quality, cluster_size), one row
+    *         per cluster that has ≥ 2 members.
+    */
+  def selectCanonical(members: DataFrame, idCol: String, repCol: String,
+      attrs: DataFrame, attrIdCol: String, qualityCol: String): DataFrame = {
+    val m = members.select(col(idCol).as("_id"), col(repCol).as("_rep"))
+    val a = attrs.select(col(attrIdCol).as("_id"), col(qualityCol).as("_q"))
+    val joined = m.join(a, Seq("_id"))
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col("_rep"))
+    val rankW = part.orderBy(col("_q").desc, col("_id").asc)
+    joined
+      .withColumn("cluster_size", count(lit(1)).over(part))
+      .withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") === 1)
+      .select(col("_rep").as("cluster_rep"), col("_id").as("keep_id"),
+        col("_q").as("keep_quality"), col("cluster_size"))
+  }
+
   // ---------------------------------------------------------------------
   // exact n-gram Jaccard (prefix-filtered inverted index)
   // ---------------------------------------------------------------------

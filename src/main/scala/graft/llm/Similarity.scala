@@ -172,6 +172,55 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Exact cosine RADIUS search: every corpus vector with
+    * `cos(query, corpus) >= minCos`, for each query — the threshold-driven
+    * companion to [[cosineTopK]]'s rank-driven retrieval (near-duplicate
+    * lookup, "everything semantically close to this example" mining,
+    * contamination probes). No window, no rank: one broadcast of the query
+    * set, one narrow corpus scan, a codegen'd cosine + filter — the
+    * whole operator stays inside WholeStageCodegen and the result size is
+    * data-driven rather than k-driven.
+    *
+    * @return (query_id, neighbor_id, cos); self-pairs excluded. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, minCos: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_v"), col("_q")))
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Approximate radius search: [[radiusSearch]] semantics restricted to
+    * same-LSH-bucket candidates — the 100 TB path, where scoring every
+    * corpus vector per query is off the table. The corpus is bucketed once
+    * by the sign pattern of `planes` fixed hyperplanes ([[lshBucket]]);
+    * each query scores only its own bucket, so per-query cost is
+    * |bucket| ≈ |corpus| / 2^planes instead of |corpus|. Recall follows
+    * the same planes knob as [[lshTopK]] (and the multi-probe fan-out of
+    * [[lshTopKMultiProbe]] applies unchanged if needed).
+    *
+    * @return (query_id, neighbor_id, cos) — a subset of the exact result
+    *         (never a false positive: candidates are still cosine-checked).
+    */
+  def lshRadiusSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, planes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val planeMat = (0 until planes).map(planeVector(_, dims))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .withColumn("_ps", VectorExprs.matvecProjections(col("_v"), planeMat))
+      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+      .withColumn("_ps", VectorExprs.matvecProjections(col("_q"), planeMat))
+      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+    c.join(broadcast(q), Seq("_bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_v"), col("_q")))
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Unit-normalized deterministic IVF centroid for one cell — normalized
     * on the driver so cell assignment reduces to an argmax of plain dot
     * products. Exposed so the DuckDB oracle SQL is generated from the

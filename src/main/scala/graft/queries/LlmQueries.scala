@@ -72,6 +72,18 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // Canonical-representative selection: d6 labels the clusters; this is
+    // the dedup POLICY — per near-dup cluster keep the highest-quality
+    // member (longest n_chars, ties → smallest id), not the first-seen
+    // one. One join + one hash exchange on the cluster label.
+    "d7_canonical_rep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      val members = Dedup.clusterRepresentatives(pairs, "id_a", "id_b")
+      Dedup.selectCanonical(members, "id", "rep", docs, "doc_id", "n_chars")
+        .orderBy("cluster_rep")
+    }),
+
     // Cluster-aware train/holdout split: the assignment hashes the dedup-
     // cluster REPRESENTATIVE, so no near-dup pair can straddle the split —
     // the leakage guard a per-doc hash split lacks. Oracle replays the
@@ -223,6 +235,30 @@ object LlmQueries {
       Similarity.multiProbeRecallCurve(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10, planes = 4, probeCounts = Seq(1, 2, 4))
         .orderBy("n_probes")
+    }),
+
+    // Exact cosine RADIUS search — the threshold-driven companion to a1's
+    // rank-driven top-k: everything with cos >= 0.3 per query (ids only;
+    // the 0.3 boundary sits >= 5e-4 from every actual pair cosine at all
+    // three SFs, so engine summation order cannot flip membership).
+    "a13_radius_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.radiusSearch(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", minCos = 0.3)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // LSH-bucketed radius search — a13's 100 TB path: per-query cost is
+    // |bucket|, not |corpus|; candidates are still cosine-verified so the
+    // result is a false-positive-free subset of a13 (LlmSpec certifies
+    // the subset property and the recall on this corpus).
+    "a14_lsh_radius" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshRadiusSearch(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", minCos = 0.3, planes = 4)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
     }),
 
     // IVF approximate top-k — the partition-the-corpus ANN scale path
@@ -1090,6 +1126,31 @@ object LlmQueries {
                   SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node)
                 SELECT node, min(lbl) AS rep FROM r GROUP BY node)
           SELECT node AS id, rep FROM reach WHERE node <> rep ORDER BY id""",
+    "d7_canonical_rep" ->
+      s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (
+                WITH RECURSIVE r(node, lbl) AS (
+                  SELECT src, src FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node)
+                SELECT node, min(lbl) AS rep FROM r GROUP BY node),
+              ranked AS (
+                SELECT r.rep, r.node, d.n_chars,
+                       row_number() OVER (PARTITION BY r.rep
+                                          ORDER BY d.n_chars DESC, r.node ASC) AS rn,
+                       count(*) OVER (PARTITION BY r.rep) AS cluster_size
+                FROM reach r JOIN documents d ON d.doc_id = r.node)
+          SELECT rep AS cluster_rep, node AS keep_id, n_chars AS keep_quality,
+                 cluster_size
+          FROM ranked WHERE rn = 1 ORDER BY cluster_rep""",
     "x42_leak_split" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
@@ -1351,6 +1412,28 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a13_radius_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)
+         SELECT query_id, e.vec_id AS neighbor_id
+         FROM e, q
+         WHERE e.vec_id <> q.query_id
+           AND list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i])) /
+               (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+                sqrt(list_sum(list_transform(q.qv, x -> x*x)))) >= 0.3
+         ORDER BY query_id, neighbor_id""",
+    "a14_lsh_radius" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pb AS (SELECT vec_id, v, $duckBucket AS bkt FROM e),
+              q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM pb WHERE vec_id < 5)
+          SELECT query_id, c.vec_id AS neighbor_id
+          FROM pb c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.query_id
+          WHERE list_sum(list_transform(range(1, 65), i -> c.v[i] * q.qv[i])) /
+                (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                 sqrt(list_sum(list_transform(q.qv, x -> x*x)))) >= 0.3
+          ORDER BY query_id, neighbor_id""",
     // a11 mirrors the multi-probe ranking exactly: flip bits ordered by
     // (|projection| asc, plane asc), 2 flips + the base bucket per query
     "a11_multiprobe_lsh" ->

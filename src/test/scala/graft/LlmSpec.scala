@@ -327,6 +327,52 @@ class LlmSpec extends SparkSpec {
       s"recall curve not monotone: $curve")
   }
 
+  test("radiusSearch: threshold semantics exact; lshRadiusSearch is a " +
+    "false-positive-free subset with full recall for identical vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.radiusSearch(emb, q, "vec_id", "embedding", 0.3)
+    val exactRows = exact.select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(exactRows.nonEmpty)
+    assert(exactRows.forall { case (qid, nid, cos) => qid != nid && cos >= 0.3 })
+    // membership is exactly the brute-force cosine filter — verify against
+    // an independent formulation (cosineTopK with k large enough to rank
+    // everything, then filter)
+    val viaTopK = Similarity.cosineTopK(emb, q, "vec_id", "embedding",
+        k = 100000)
+      .filter(col("cos") >= 0.3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exactRows.map(r => (r._1, r._2)).toSet === viaTopK)
+    // LSH path: subset of exact (no false positives), and an identical
+    // planted vector (cos = 1, same bucket by construction) is always found
+    val approx = Similarity.lshRadiusSearch(emb, q, "vec_id", "embedding",
+        0.3, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exactRows.map(r => (r._1, r._2)).toSet))
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(100001L))
+    val withDup = Similarity.lshRadiusSearch(emb.unionByName(dup), q,
+        "vec_id", "embedding", 0.99, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(withDup.contains((0L, 100001L)))
+  }
+
+  test("selectCanonical keeps the highest-quality member per cluster, " +
+    "ties to smallest id, with correct sizes") {
+    import spark.implicits._
+    val members = Seq( // two clusters: {1,2,3} rep 1, {10,11} rep 10
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)
+    ).toDF("id", "rep")
+    val attrs = Seq( // 2 and 3 tie on quality 50 -> keep 2; 11 beats 10
+      (1L, 40L), (2L, 50L), (3L, 50L), (10L, 7L), (11L, 9L)
+    ).toDF("doc_id", "n_chars")
+    val got = Dedup.selectCanonical(members, "id", "rep",
+        attrs, "doc_id", "n_chars")
+      .orderBy("cluster_rep")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 50L, 3L), (10L, 11L, 9L, 2L)))
+  }
+
   test("ivfTopK probes its own cell: identical vector ranks first; self excluded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 2)

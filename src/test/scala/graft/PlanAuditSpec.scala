@@ -11,6 +11,9 @@ class PlanAuditSpec extends SparkSpec {
     "a6_pq_topk", // exhaustive ADC scan over CODES × 5 broadcast query tables
     // — the documented PQ baseline; the scale path composes it with IVF
     // cells so the product is per-probed-cell, not per-corpus
+    "a13_radius_search", // a1's product shape, threshold-driven: corpus ×
+    // 5 broadcast queries — the exact baseline; the scale path is a14's
+    // bucketed equi-join, which stays OFF this list
     "x22_bm25", // deliberate broadcast of ONE corpus-stats row (N, avgdl)
     // into the term stream; bounded by construction. A literal-key
     // equi-join gets constant-folded back to this same plan, so the
