@@ -622,6 +622,26 @@ object LlmQueries {
         .kept.select("doc_id").orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup dedup: x28's split and planted re-ingests, but
+    // deduped by MinHash signature estimate (16 perms, 4 bands, frac >=
+    // 0.8) against signature-only state — the continuous-ingest form that
+    // catches the paraphrased/fuzzy copies x28's content hash misses,
+    // without ever rescanning prior text. The oracle replays both batch
+    // steps end-to-end: within-prior challenge, drop-aware state, band
+    // buckets with the hot-bucket cap, smaller-id-or-prior challenges.
+    "x55_neardup_delta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val aug = d.unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val prior = aug.filter(col("doc_id") < 250)
+      val delta = aug.filter(col("doc_id") >= 250)
+      val st = graft.llm.Dedup.minhashNearDupDelta(
+        prior, "text", "doc_id", 0.8).state
+      graft.llm.Dedup.minhashNearDupDelta(delta, "text", "doc_id", 0.8,
+          Some(st))
+        .kept.select("doc_id").orderBy("doc_id")
+    }),
+
     // Exact per-source token-length quantiles (p50/p90/p99/max) by rank —
     // no approx-percentile sketches (engine-specific, not replayable):
     // the value at rank ceil(q·n) under the deterministic (n_tokens, id)
@@ -1004,6 +1024,21 @@ object LlmQueries {
 
   private def duckSig(j: Int): String =
     s"list_min(list_transform(sh, s -> ${duckPermute(duckHex32("s"), j)})) AS sig_$j"
+
+  /** One band-bucket row per (doc, band) from a 16-sig relation — the
+    * same 4-band × 4-row banding `Dedup.explodeBands` produces. */
+  private def duckBandRows(src: String): String =
+    (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS b, concat_ws('_', sig_${4 * b}, sig_${4 * b + 1}, sig_${4 * b + 2}, sig_${4 * b + 3}) AS bucket FROM $src")
+      .mkString("\n                UNION ALL\n                ")
+
+  /** Signature-estimated Jaccard >= 0.8 between sig relations aliased
+    * `x` and `y` — the identical 16-component agreement fraction
+    * `Dedup.minhashNearDupDelta` computes. */
+  private val duckSigFrac: String =
+    "CAST((" + (0 until 16)
+      .map(j => s"CASE WHEN x.sig_$j = y.sig_$j THEN 1 ELSE 0 END")
+      .mkString(" + ") + ") AS DOUBLE) / 16 >= 0.8"
 
   private def duckSimhash(bits: Int): String = (0 until bits).map { b =>
     val bit = 1L << b
@@ -2038,6 +2073,55 @@ object LlmQueries {
          SELECT doc_id FROM keep k
          WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.h = k.h)
          ORDER BY doc_id""",
+    // Replays BOTH minhashNearDupDelta steps: batch-1 within-prior
+    // challenge -> drop-aware signature state; batch-2 delta docs
+    // challenged by state rows and smaller-id delta rows (dropped-or-not,
+    // matching the engine's one-pass rule), band buckets capped at the
+    // engine's hot-bucket limit on the UNION of both sides.
+    "x55_neardup_delta" ->
+      s"""WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id % 3 = 0),
+              ws AS (SELECT doc_id, $duckToks AS w FROM base),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              sig AS (SELECT doc_id,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              sig1 AS (SELECT * FROM sig WHERE doc_id < 250),
+              b1 AS (${duckBandRows("sig1")}),
+              k1 AS (SELECT b, bucket FROM b1 GROUP BY b, bucket
+                     HAVING count(*) <= ${graft.llm.Dedup.DefaultMaxBucketSize}),
+              p1 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
+                     FROM b1 a JOIN k1 k ON a.b = k.b AND a.bucket = k.bucket
+                     JOIN b1 o ON o.b = a.b AND o.bucket = a.bucket
+                      AND o.doc_id < a.doc_id),
+              drop1 AS (SELECT DISTINCT p1.d FROM p1
+                        JOIN sig1 x ON x.doc_id = p1.d
+                        JOIN sig1 y ON y.doc_id = p1.o
+                        WHERE $duckSigFrac),
+              st1 AS (SELECT * FROM sig1
+                      WHERE doc_id NOT IN (SELECT d FROM drop1)),
+              sig2 AS (SELECT * FROM sig WHERE doc_id >= 250),
+              b2p AS (${duckBandRows("st1")}),
+              b2d AS (${duckBandRows("sig2")}),
+              b2 AS (SELECT doc_id, 0 AS src, b, bucket FROM b2p
+                     UNION ALL
+                     SELECT doc_id, 1 AS src, b, bucket FROM b2d),
+              k2 AS (SELECT b, bucket FROM b2 GROUP BY b, bucket
+                     HAVING count(*) <= ${graft.llm.Dedup.DefaultMaxBucketSize}),
+              p2 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
+                     FROM b2 a JOIN k2 k ON a.b = k.b AND a.bucket = k.bucket
+                     JOIN b2 o ON o.b = a.b AND o.bucket = a.bucket
+                     WHERE a.src = 1 AND (o.src = 0 OR o.doc_id < a.doc_id)),
+              drop2 AS (SELECT DISTINCT p2.d FROM p2
+                        JOIN sig2 x ON x.doc_id = p2.d
+                        JOIN sig y ON y.doc_id = p2.o
+                        WHERE $duckSigFrac)
+          SELECT doc_id FROM base WHERE doc_id >= 250
+            AND doc_id NOT IN (SELECT d FROM drop2)
+          ORDER BY doc_id""",
     "x27_len_quantiles" ->
       s"""WITH ws AS (SELECT source, doc_id,
                              CAST(len($duckToks) AS BIGINT) AS nt
