@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge mining (Sennrich et al. 2016,
@@ -102,6 +102,40 @@ object Bpe {
     * row, `tokens` = the BPE symbols of each whitespace word in order.
     * Row-local (typed map over the corpus — no shuffle); merges apply
     * in training order, as at inference. */
+  /** [[tokenize]] semantics as pure Column algebra — no typed map, no
+    * row (de)serialization: the whole tokenizer stays inside whole-stage
+    * codegen, which is what you want when re-tokenizing a 100 TB corpus.
+    *
+    * Formulation: a word's symbol sequence is encoded as a string with a
+    * DOUBLE space at every symbol boundary (and both ends); one BPE merge
+    * (a, b) → ab is then exactly `replace(s, ' a  b ', ' ab ')` —
+    * left-to-right non-overlapping, the same greedy rule as [[mergeSeq]],
+    * and the single boundary space each match consumes from its two
+    * double-space neighbors keeps the invariant for the next merge.
+    * Symbols can never contain a space (words are whitespace-split and
+    * merges concatenate word characters), so no false boundary exists;
+    * the guard below rejects merge lists that break that premise.
+    *
+    * Matches [[tokenize]] byte-for-byte on any text whose characters are
+    * in the Basic Multilingual Plane (the typed path splits characters by
+    * UTF-16 code unit, this one by code point; LlmSpec pins parity on the
+    * corpus). */
+  def tokenizeCol(text: Column, merges: Seq[(String, String)]): Column = {
+    merges.foreach { case (a, b) =>
+      require((a + b).nonEmpty && !(a + b).exists(_.isWhitespace),
+        s"merge symbols must be non-empty and whitespace-free: ($a, $b)") }
+    val words = filter(split(lower(coalesce(text, lit(""))), "\\s+"),
+      w => w =!= "")
+    val syms = transform(words, w => {
+      val seeded = concat(lit("  "), regexp_replace(w, "(.)", "$1  "))
+      val merged = merges.foldLeft(seeded) { case (s, (a, b)) =>
+        call_function("replace", s, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      filter(split(merged, " "), x => x =!= "")
+    })
+    flatten(syms)
+  }
+
   def tokenize(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession

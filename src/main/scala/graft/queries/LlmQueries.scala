@@ -642,6 +642,18 @@ object LlmQueries {
         .kept.select("doc_id").orderBy("doc_id")
     }),
 
+    // BPE tokenization with a fixed merge list (x39 mines merges; this is
+    // the APPLY step, completing the tokenizer story) — pure Column
+    // algebra via the double-space separator formulation, fully inside
+    // whole-stage codegen; the oracle replays the identical replace chain
+    // generated from the same merge constants.
+    "x56_bpe_tokenize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          graft.llm.Bpe.tokenizeCol(col("text"), BpeMerges).as("tokens"))
+        .orderBy("id")
+    }),
+
     // Exact per-source token-length quantiles (p50/p90/p99/max) by rank —
     // no approx-percentile sketches (engine-specific, not replayable):
     // the value at rank ceil(q·n) under the deterministic (n_tokens, id)
@@ -1031,6 +1043,22 @@ object LlmQueries {
     (0 until 4).map(b =>
       s"SELECT doc_id, $b AS b, concat_ws('_', sig_${4 * b}, sig_${4 * b + 1}, sig_${4 * b + 2}, sig_${4 * b + 3}) AS bucket FROM $src")
       .mkString("\n                UNION ALL\n                ")
+
+  /** Fixed BPE merge list for x56 — deterministic constants shared by the
+    * Spark plan and the generated DuckDB oracle (the same
+    * constants-as-model pattern as the LSH planes / IVF centroids).
+    * Ordered; later merges see earlier merges' symbols (th+e needs t+h). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "s" -> "t", "c" -> "o")
+
+  /** The double-space separator formulation of the merge chain over word
+    * alias `w` — the identical algebra [[graft.llm.Bpe.tokenizeCol]]
+    * builds as Columns. */
+  private val duckBpeChain: String = BpeMerges.foldLeft(
+    """('  ' || regexp_replace(w, '(.)', '\1  ', 'g'))""") {
+    case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
+  }
 
   /** Signature-estimated Jaccard >= 0.8 between sig relations aliased
     * `x` and `y` — the identical 16-component agreement fraction
@@ -2122,6 +2150,14 @@ object LlmQueries {
           SELECT doc_id FROM base WHERE doc_id >= 250
             AND doc_id NOT IN (SELECT d FROM drop2)
           ORDER BY doc_id""",
+    "x56_bpe_tokenize" ->
+      s"""SELECT doc_id AS id,
+                 flatten(list_transform(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               w -> w <> ''),
+                   w -> list_filter(string_split($duckBpeChain, ' '),
+                                    x -> x <> ''))) AS tokens
+          FROM documents ORDER BY id""",
     "x27_len_quantiles" ->
       s"""WITH ws AS (SELECT source, doc_id,
                              CAST(len($duckToks) AS BIGINT) AS nt

@@ -357,6 +357,35 @@ class LlmSpec extends SparkSpec {
     assert(withDup.contains((0L, 100001L)))
   }
 
+  test("tokenizeCol matches the typed tokenize reference byte-for-byte " +
+    "on the corpus and on chained-merge hand cases") {
+    import spark.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
+      "e" -> "r", "a" -> "a")
+    // chained merges, repeated-pair greed (aaa -> [aa, a]), null text
+    val hand = Seq((1L, "the thin thing  there"), (2L, "aaa aaaa"),
+      (3L, null.asInstanceOf[String]), (4L, ""))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").unionByName(hand)
+    val typed = Bpe.tokenize(docs, "text", "doc_id", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val viaCol = docs.select(col("doc_id").cast("long").as("id"),
+        Bpe.tokenizeCol(col("text"), merges).as("tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaCol.keySet === typed.keySet)
+    typed.foreach { case (id, toks) =>
+      assert(viaCol(id) === toks, s"doc $id") }
+    assert(viaCol(1L) === Seq("the", "th", "in", "th", "ing", "the", "r", "e"))
+    assert(viaCol(2L) === Seq("aa", "a", "aa", "aa"))
+    assert(viaCol(3L) === Seq.empty)
+    assert(viaCol(4L) === Seq.empty)
+    // whitespace-bearing merge symbols are rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      Bpe.tokenizeCol(col("text"), Seq("a " -> "b"))
+    }
+  }
+
   test("selectCanonical keeps the highest-quality member per cluster, " +
     "ties to smallest id, with correct sizes") {
     import spark.implicits._
