@@ -1,0 +1,60 @@
+package graft
+
+import graft.llm.Bpe
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence certificate for the Column-algebra BPE
+  * tokenizer: [[Bpe.tokenizeCol]]'s double-space separator formulation
+  * must match the typed [[Bpe.tokenize]] reference byte-for-byte on
+  * adversarial inputs — tiny alphabets force dense merge collisions
+  * (repeated pairs, chained merges, merges whose left/right symbols are
+  * themselves merge outputs), exactly the cases where a separator or
+  * greed mismatch would surface. Seeded random, same style as
+  * CorpusPropertySpec (no ScalaCheck bridge in the offline cache). */
+class BpePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(9191)
+
+  /** Random symbol built from {a, b, c}: short, so pair collisions and
+    * sub/superstring relations between merge symbols are the norm. */
+  private def sym(): String =
+    (1 to 1 + rnd.nextInt(3)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+
+  test("tokenizeCol == typed tokenize on random tiny-alphabet corpora " +
+    "and random merge lists") {
+    for (round <- 1 to 8) {
+      val merges = (1 to 2 + rnd.nextInt(6)).map(_ => (sym(), sym()))
+      val docs = (1L to 40L).map { id =>
+        val words = (0 until rnd.nextInt(8)).map(_ =>
+          (1 to 1 + rnd.nextInt(9))
+            .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val typed = Bpe.tokenize(docs, "text", "doc_id", merges)
+        .as[(Long, Seq[String])].collect().toMap
+      val viaCol = docs.select(col("doc_id").as("id"),
+          Bpe.tokenizeCol(col("text"), merges).as("tokens"))
+        .as[(Long, Seq[String])].collect().toMap
+      typed.foreach { case (id, toks) =>
+        assert(viaCol(id) === toks,
+          s"round $round merges=$merges doc=$id")
+      }
+    }
+  }
+
+  test("tokenizeCol handles self-composing merge chains (aa, aaaa, ab+ab)") {
+    val cases = Seq(
+      (Seq("a" -> "a", "aa" -> "a", "aa" -> "aa"), "aaaaaaa aaaa aa a"),
+      (Seq("a" -> "b", "ab" -> "ab", "abab" -> "c"), "ababab ababc abc"),
+      (Seq("b" -> "a", "a" -> "ba", "ba" -> "b"), "bababa abba baab"))
+    cases.zipWithIndex.foreach { case ((merges, text), i) =>
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val typed = Bpe.tokenize(docs, "text", "doc_id", merges)
+        .as[(Long, Seq[String])].collect().head._2
+      val viaCol = docs.select(Bpe.tokenizeCol(col("text"), merges))
+        .as[Seq[String]].collect().head
+      assert(viaCol === typed, s"case $i merges=$merges text='$text'")
+    }
+  }
+}

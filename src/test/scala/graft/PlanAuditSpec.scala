@@ -123,6 +123,32 @@ class PlanAuditSpec extends SparkSpec {
       s"probe read $probedFiles of $allFiles files - no pruning")
   }
 
+  test("x56 BPE tokenize is shuffle-free except the deterministic output " +
+    "sort — the whole replace chain is row-local") {
+    val df = SparkEntry.queries("x56_bpe_tokenize")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val exchanges = "Exchange [a-z]+partitioning"
+      .r.findAllIn(df.queryExecution.executedPlan.toString).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"x56 shuffles beyond the output sort: $exchanges")
+  }
+
+  test("selectCanonical's two windows share one hash exchange on the " +
+    "cluster label") {
+    import spark.implicits._
+    val members = Seq((1L, 1L), (2L, 1L), (10L, 10L)).toDF("id", "rep")
+    val attrs = Seq((1L, 4L), (2L, 5L), (10L, 7L)).toDF("doc_id", "q")
+    val plan = graft.llm.Dedup
+      .selectCanonical(members, "id", "rep", attrs, "doc_id", "q")
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning\\(_rep".r
+      .findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"size + argmax windows must reuse one _rep exchange, found " +
+        s"$hashExchanges in:\n$plan")
+  }
+
   test("as-of joins keep the merge-formulation promise: one data shuffle, " +
     "zero joins") {
     // the 100 TB argument for AsofJoin is exactly this plan shape — the
