@@ -386,6 +386,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("a13 threshold margin holds: no query-pair cosine sits near the " +
+    "0.3 boundary, so engine summation order cannot flip membership") {
+    // the a13/a14 oracles compare ids only, but membership itself is a
+    // float-threshold decision — this pins the declared >= 5e-4 gap on
+    // the actual testdata (a regen that erodes it fails HERE, loudly,
+    // instead of as a 1-row hash flake in the driver gate)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val minGap = Similarity.cosineTopK(emb, q, "vec_id", "embedding",
+        k = 100000)
+      .select(abs(col("cos") - lit(0.3)).as("gap"))
+      .agg(min(col("gap"))).head().getDouble(0)
+    assert(minGap > 1e-6,
+      f"pair cosine within $minGap%.2e of the 0.3 radius threshold — " +
+        "regenerated testdata broke the a13/a14 determinism margin")
+  }
+
   test("selectCanonical keeps the highest-quality member per cluster, " +
     "ties to smallest id, with correct sizes") {
     import spark.implicits._
