@@ -197,23 +197,42 @@ object Similarity {
     * corpus vector per query is off the table. The corpus is bucketed once
     * by the sign pattern of `planes` fixed hyperplanes ([[lshBucket]]);
     * each query scores only its own bucket, so per-query cost is
-    * |bucket| ≈ |corpus| / 2^planes instead of |corpus|. Recall follows
-    * the same planes knob as [[lshTopK]] (and the multi-probe fan-out of
-    * [[lshTopKMultiProbe]] applies unchanged if needed).
+    * |bucket| ≈ |corpus| / 2^planes instead of |corpus|. Recall has two
+    * knobs: `planes` (corpus-wide bucket size, as in [[lshTopK]]) and
+    * `nProbes` — the [[lshTopKMultiProbe]] fan-out, where each query
+    * additionally probes the buckets across its `nProbes - 1` least-
+    * confident hyperplanes. As with top-k, multi-probe fans out only the
+    * broadcast query side; corpus bucketing is untouched, each corpus
+    * row holds one bucket, and probe buckets are pairwise distinct, so
+    * no (query, neighbor) pair is scored twice.
     *
     * @return (query_id, neighbor_id, cos) — a subset of the exact result
     *         (never a false positive: candidates are still cosine-checked).
     */
   def lshRadiusSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, minCos: Double, planes: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, nProbes: Int = 1): DataFrame = {
+    require(nProbes >= 1 && nProbes <= planes + 1,
+      s"nProbes ($nProbes) must be in [1, planes + 1 = ${planes + 1}] — " +
+        "only single-bit flips are generated")
     val planeMat = (0 until planes).map(planeVector(_, dims))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
       .withColumn("_ps", VectorExprs.matvecProjections(col("_v"), planeMat))
       .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
       .withColumn("_ps", VectorExprs.matvecProjections(col("_q"), planeMat))
-      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+    val q =
+      if (nProbes == 1)
+        q0.withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+      else q0
+        .withColumn("_base", bucketFromPs(col("_ps"), planes))
+        .withColumn("_ranked", expr(s"array_sort(transform(" +
+          s"sequence(0, ${planes - 1}), " +
+          "p -> struct(abs(element_at(_ps, p + 1)) AS a, p AS p)))"))
+        .withColumn("_bkt", explode(expr("concat(array(_base), " +
+          s"transform(slice(_ranked, 1, ${nProbes - 1}), " +
+          "s -> _base ^ shiftleft(1L, s.p)))")))
+        .select(col("query_id"), col("_q"), col("_bkt"))
     c.join(broadcast(q), Seq("_bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("_v"), col("_q")))

@@ -386,6 +386,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe lshRadiusSearch: nProbes=1 degenerates exactly, more " +
+    "probes only add true neighbors, still a subset of exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val base = pairs(Similarity.lshRadiusSearch(emb, q, "vec_id",
+      "embedding", 0.3, planes = 4))
+    val p1 = pairs(Similarity.lshRadiusSearch(emb, q, "vec_id",
+      "embedding", 0.3, planes = 4, nProbes = 1))
+    assert(p1.toSet === base.toSet && p1.length === base.length)
+    val p3 = pairs(Similarity.lshRadiusSearch(emb, q, "vec_id",
+      "embedding", 0.3, planes = 4, nProbes = 3))
+    // no duplicate pairs from the probe fan-out
+    assert(p3.length === p3.toSet.size)
+    // monotone: every single-probe hit survives, every hit is exact-true
+    assert(base.toSet.subsetOf(p3.toSet))
+    val exact = pairs(Similarity.radiusSearch(emb, q, "vec_id",
+      "embedding", 0.3)).toSet
+    assert(p3.toSet.subsetOf(exact))
+  }
+
   test("a13 threshold margin holds: no query-pair cosine sits near the " +
     "0.3 boundary, so engine summation order cannot flip membership") {
     // the a13/a14 oracles compare ids only, but membership itself is a
