@@ -441,6 +441,30 @@ class LlmSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 50L, 3L), (10L, 11L, 9L, 2L)))
   }
 
+  test("selectCanonical matches a driver-side reference on random " +
+    "cluster assignments with heavy quality ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7311)
+    for (round <- 1 to 5) {
+      val nClusters = 1 + rnd.nextInt(8)
+      val members = (1L to (5 + rnd.nextInt(60))).map { id =>
+        (id, (rnd.nextInt(nClusters) + 1) * 1000L)
+      }
+      // tiny quality range forces ties -> the id tie-break must decide
+      val quality = members.map { case (id, _) => (id, rnd.nextInt(3).toLong) }
+      val got = Dedup.selectCanonical(
+          members.toDF("id", "rep"), "id", "rep",
+          quality.toDF("doc_id", "q"), "doc_id", "q")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val qMap = quality.toMap
+      val expected = members.groupBy(_._2).map { case (rep, ms) =>
+        val best = ms.map(_._1).minBy(id => (-qMap(id), id))
+        (rep, best, qMap(best), ms.size.toLong)
+      }.toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
   test("ivfTopK probes its own cell: identical vector ranks first; self excluded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 2)
