@@ -140,21 +140,22 @@ object Similarity {
     * ascending, plane index ascending on ties — the DuckDB oracle replays
     * the identical ranking from the same plane constants
     * ([[planeVector]]). `nProbes = 1` degenerates to [[lshTopK]]. */
-  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8, dims: Int = 64,
-      nProbes: Int = 3): DataFrame = {
+  /** The multi-probe query side: each row of `queries` (with a staged
+    * `_ps` projections column) exploded to its base bucket plus the
+    * `nProbes - 1` buckets across its least-confident hyperplanes —
+    * (|projection| asc, plane asc) flip ranking; array_sort on the struct
+    * orders by field position, exactly that pair. Probe buckets are
+    * pairwise distinct. With `nProbes == 1` the fan-out collapses to the
+    * plain base bucket (no explode in the plan). */
+  private def multiProbeQuerySide(q0: DataFrame, planes: Int,
+      nProbes: Int): DataFrame = {
     require(nProbes >= 1 && nProbes <= planes + 1,
       s"nProbes ($nProbes) must be in [1, planes + 1 = ${planes + 1}] — " +
         "only single-bit flips are generated")
-    val planeMat = (0 until planes).map(planeVector(_, dims))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
-      .withColumn("_ps", VectorExprs.matvecProjections(col("_v"), planeMat))
-      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
-      .withColumn("_ps", VectorExprs.matvecProjections(col("_q"), planeMat))
+    if (nProbes == 1)
+      q0.withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+    else q0
       .withColumn("_base", bucketFromPs(col("_ps"), planes))
-      // (|proj|, plane) ascending = flip-confidence ranking; array_sort on
-      // the struct orders by field position, exactly that pair
       .withColumn("_ranked", expr(s"array_sort(transform(" +
         s"sequence(0, ${planes - 1}), " +
         "p -> struct(abs(element_at(_ps, p + 1)) AS a, p AS p)))"))
@@ -162,6 +163,19 @@ object Similarity {
         s"transform(slice(_ranked, 1, ${nProbes - 1}), " +
         "s -> _base ^ shiftleft(1L, s.p)))")))
       .select(col("query_id"), col("_q"), col("_bkt"))
+  }
+
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8, dims: Int = 64,
+      nProbes: Int = 3): DataFrame = {
+    val planeMat = (0 until planes).map(planeVector(_, dims))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .withColumn("_ps", VectorExprs.matvecProjections(col("_v"), planeMat))
+      .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
+    val q = multiProbeQuerySide(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+        .withColumn("_ps", VectorExprs.matvecProjections(col("_q"), planeMat)),
+      planes, nProbes)
     val scored = c.join(broadcast(q), Seq("_bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("_v"), col("_q")))
@@ -212,27 +226,14 @@ object Similarity {
   def lshRadiusSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, minCos: Double, planes: Int = 8,
       dims: Int = 64, nProbes: Int = 1): DataFrame = {
-    require(nProbes >= 1 && nProbes <= planes + 1,
-      s"nProbes ($nProbes) must be in [1, planes + 1 = ${planes + 1}] — " +
-        "only single-bit flips are generated")
     val planeMat = (0 until planes).map(planeVector(_, dims))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
       .withColumn("_ps", VectorExprs.matvecProjections(col("_v"), planeMat))
       .withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
-      .withColumn("_ps", VectorExprs.matvecProjections(col("_q"), planeMat))
-    val q =
-      if (nProbes == 1)
-        q0.withColumn("_bkt", bucketFromPs(col("_ps"), planes)).drop("_ps")
-      else q0
-        .withColumn("_base", bucketFromPs(col("_ps"), planes))
-        .withColumn("_ranked", expr(s"array_sort(transform(" +
-          s"sequence(0, ${planes - 1}), " +
-          "p -> struct(abs(element_at(_ps, p + 1)) AS a, p AS p)))"))
-        .withColumn("_bkt", explode(expr("concat(array(_base), " +
-          s"transform(slice(_ranked, 1, ${nProbes - 1}), " +
-          "s -> _base ^ shiftleft(1L, s.p)))")))
-        .select(col("query_id"), col("_q"), col("_bkt"))
+    val q = multiProbeQuerySide(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+        .withColumn("_ps", VectorExprs.matvecProjections(col("_q"), planeMat)),
+      planes, nProbes)
     c.join(broadcast(q), Seq("_bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("_v"), col("_q")))
