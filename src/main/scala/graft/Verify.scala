@@ -48,8 +48,25 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // DRIVER COMPARATOR CONTRACT: every declared query must emit only
+        // ATOMIC columns — the driver's pandas comparator crashes on
+        // array/map/struct cells ("unhashable type: numpy.ndarray", the
+        // r9 x56 red row). Stringify lists with array_join on BOTH sides
+        // (the f3_findall precedent) instead of shipping them raw.
+        val nonAtomic = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+            || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+            || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            s"${f.name}: ${f.dataType.sql}"
+        }
+        if (nonAtomic.nonEmpty)
+          throw new IllegalStateException("non-atomic output column(s) " +
+            s"break the driver comparator — stringify them: " +
+            nonAtomic.mkString("; "))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) =

@@ -122,12 +122,16 @@ object Bpe {
     * corpus). */
   def tokenizeCol(text: Column, merges: Seq[(String, String)]): Column = {
     merges.foreach { case (a, b) =>
-      require((a + b).nonEmpty && !(a + b).exists(_.isWhitespace),
+      require(a.nonEmpty && b.nonEmpty && !(a + b).exists(_.isWhitespace),
         s"merge symbols must be non-empty and whitespace-free: ($a, $b)") }
     val words = filter(split(lower(coalesce(text, lit(""))), "\\s+"),
       w => w =!= "")
     val syms = transform(words, w => {
-      val seeded = concat(lit("  "), regexp_replace(w, "(.)", "$1  "))
+      // (?s): Java '.' skips line terminators (U+2028/U+2029/U+0085) that
+      // the ASCII-only \s+ word split leaves inside words — without DOTALL
+      // such a char glues to its neighbor as one seed symbol, diverging
+      // from the typed [[tokenize]] path (which seeds every code unit).
+      val seeded = concat(lit("  "), regexp_replace(w, "(?s)(.)", "$1  "))
       val merged = merges.foldLeft(seeded) { case (s, (a, b)) =>
         call_function("replace", s, lit(s" $a  $b "), lit(s" $a$b "))
       }

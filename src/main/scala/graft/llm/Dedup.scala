@@ -525,8 +525,17 @@ object Dedup {
     * count + argmax rank share the partitioning; clusters are near-dup
     * groups, i.e. small, so no per-partition skew).
     *
+    * Membership is defined by the INNER join members⋈attrs: a member with
+    * no attrs row is silently dropped (shrinking `cluster_size`), a
+    * cluster with no attrs rows at all emits nothing, and a singleton
+    * cluster (every id is its own rep in [[clusterRepresentatives]]
+    * output that includes non-duplicated docs) emits a `cluster_size = 1`
+    * row — filter `cluster_size >= 2` downstream when only true near-dup
+    * groups are wanted (the d7 query does not: keeping singletons makes
+    * the output the full keep-list).
+    *
     * @return (cluster_rep, keep_id, keep_quality, cluster_size), one row
-    *         per cluster that has ≥ 2 members.
+    *         per cluster present in members⋈attrs.
     */
   def selectCanonical(members: DataFrame, idCol: String, repCol: String,
       attrs: DataFrame, attrIdCol: String, qualityCol: String): DataFrame = {

@@ -239,8 +239,9 @@ object LlmQueries {
 
     // Exact cosine RADIUS search — the threshold-driven companion to a1's
     // rank-driven top-k: everything with cos >= 0.3 per query (ids only;
-    // the 0.3 boundary sits >= 5e-4 from every actual pair cosine at all
-    // three SFs, so engine summation order cannot flip membership).
+    // the 0.3 boundary sits >= 4e-4 from every actual pair cosine at all
+    // three SFs — LlmSpec's margin test pins that bound per gate SF — so
+    // engine summation order cannot flip membership).
     "a13_radius_search" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.radiusSearch(e, e.filter(col("vec_id") < 5),
@@ -646,12 +647,67 @@ object LlmQueries {
     // the APPLY step, completing the tokenizer story) — pure Column
     // algebra via the double-space separator formulation, fully inside
     // whole-stage codegen; the oracle replays the identical replace chain
-    // generated from the same merge constants.
+    // generated from the same merge constants. The token list is emitted
+    // space-joined (tokens are whitespace-free by construction): the
+    // driver's comparator cannot hash array cells (the f3_findall
+    // precedent), so both sides stringify.
     "x56_bpe_tokenize" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("id"),
-          graft.llm.Bpe.tokenizeCol(col("text"), BpeMerges).as("tokens"))
+          array_join(graft.llm.Bpe.tokenizeCol(col("text"), BpeMerges), " ")
+            .as("tokens"))
         .orderBy("id")
+    }),
+
+    // The STREAMING INGEST GATE oracle-certified end-to-end (x14 did this
+    // for the batch pipeline): corpusIngestStep composes quality floor →
+    // benchmark decontamination → incremental exact dedup → PII redaction
+    // into one DeltaStep, and this replays the composed chain over TWO
+    // batches exactly as durableIngestDedup drives it — batch 2 deduped
+    // against batch 1's carried hash state (never its text), cross-batch
+    // duplicates planted (every b1 doc_id % 7 re-ingested at +1000000),
+    // and a fixed email planted on even ids (parity survives +1000000, so
+    // copies stay byte-identical) to make the redaction stage provably
+    // rewrite text. Output = (doc_id, batch, md5 of the landed text), the
+    // kept-rows-per-batch layout the streaming sink writes.
+    "w6_ingest_gate" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val bench = base.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val train = base.filter(col("source") =!= "src0")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" contact bob@example.com"))
+            .otherwise(lit(""))).as("text"))
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250).unionByName(
+        b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", minQuality = 0.6, bench = Some(bench),
+        decontamK = 4, redactPii = true)
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"),
+          md5(col("text")).as("text_md5"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch"),
+          md5(col("text")).as("text_md5")))
+        .orderBy("doc_id")
+    }),
+
+    // BPE tokenizer training END-TO-END: the full argmax + re-merge loop
+    // (x39 certifies step-0 pair counts, x56 the apply step with FIXED
+    // constants; this certifies the learned merge SEQUENCE itself — the
+    // loop where a tie-rule or greedy-apply bug would hide). Output = the
+    // ordered merge list; the oracle replays every iteration as generated
+    // pairs→argmax→apply CTE steps over the same word-frequency table.
+    "x57_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Bpe.train(t(s, dir, "documents"), "text", BpeTrainSteps)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "a", "b").orderBy("rank")
     }),
 
     // Exact per-source token-length quantiles (p50/p90/p99/max) by rank —
@@ -1029,7 +1085,11 @@ object LlmQueries {
   // DuckDB oracle SQL (shared snippets generated from the same constants)
   // -----------------------------------------------------------------------
 
-  private val duckToks = """string_split_regex(lower(text), '\s+')"""
+  // [\s\x0b]: RE2 \s is [\t\n\f\r ] while Java \s additionally matches
+  // vertical tab — the explicit class makes both engines split the same
+  // ASCII whitespace set, so a \x0B in regenerated testdata cannot skew
+  // token counts across the oracle boundary.
+  private val duckToks = """string_split_regex(lower(text), '[\s\x0b]+')"""
   private val duckShingles =
     s"""list_distinct(list_transform(range(1, greatest(len(w)-1, 2)),
         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"""
@@ -1054,10 +1114,68 @@ object LlmQueries {
 
   /** The double-space separator formulation of the merge chain over word
     * alias `w` — the identical algebra [[graft.llm.Bpe.tokenizeCol]]
-    * builds as Columns. */
-  private val duckBpeChain: String = BpeMerges.foldLeft(
-    """('  ' || regexp_replace(w, '(.)', '\1  ', 'g'))""") {
-    case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
+    * builds as Columns. The 's' flag mirrors tokenizeCol's (?s): both
+    * engines seed EVERY surviving char (incl. U+2028/U+2029/U+0085) as
+    * its own symbol. Shared by the x56 apply oracle and the x57 train
+    * replay via [[duckBpeChainFrom]]. */
+  private def duckBpeChainFrom(merges: Seq[(String, String)]): String =
+    merges.foldLeft(
+      """('  ' || regexp_replace(w, '(.)', '\1  ', 'gs'))""") {
+      case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
+    }
+  private val duckBpeChain: String = duckBpeChainFrom(BpeMerges)
+
+  /** The certified x1 composite quality score over CTE columns `text` +
+    * `w` (the token list) — the same formula inlined by the x1/x33/x51/
+    * x14 oracles, factored for the w6 ingest-gate replay. */
+  private def duckQualityExpr: String =
+    s"""((CASE WHEN len(w) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0"""
+
+  /** md5 of [[graft.llm.Privacy.redact]]'s staged email→IP→phone rewrite
+    * of column `text` — the identical chain the x9 oracle pins. */
+  private val duckRedactMd5: String =
+    """md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))"""
+
+  /** Number of merge iterations x57 trains — small enough that the
+    * generated oracle (3 CTEs per step) stays readable, large enough to
+    * exercise merge-on-merged-symbol chains. */
+  private val BpeTrainSteps = 10
+
+  /** Replays [[graft.llm.Bpe.train]]'s full argmax + re-merge loop as
+    * generated CTE steps — one pairs→argmax→apply triple per iteration —
+    * over the double-space symbol encoding the x56 apply oracle uses,
+    * here driven by DATA-derived merges instead of fixed constants. The
+    * tie rule (count desc, pair asc) is ORDER BY n DESC, a, b on both
+    * engines (binary collation both sides). */
+  private def duckBpeTrainSql(n: Int): String = {
+    val seed = """('  ' || regexp_replace(word, '(.)', '\1  ', 'gs'))"""
+    val steps = (0 until n).flatMap { i => Seq(
+      s"""p$i AS (SELECT p.a AS a, p.b AS b, sum(cnt) AS n FROM (
+                SELECT cnt, unnest(list_transform(range(1, len(l)),
+                    j -> {'a': l[j], 'b': l[j+1]})) AS p
+                FROM (SELECT cnt, list_filter(string_split(s, ' '),
+                        x -> x <> '') AS l FROM s$i)) GROUP BY 1, 2)""",
+      s"""t$i AS (SELECT a, b FROM p$i
+                ORDER BY n DESC, a ASC, b ASC LIMIT 1)""",
+      s"""s${i + 1} AS (SELECT word, cnt,
+                replace(s, ' ' || t.a || '  ' || t.b || ' ',
+                        ' ' || t.a || t.b || ' ') AS s FROM s$i, t$i t)""")
+    }
+    val ctes = Seq(
+      s"w AS (SELECT unnest($duckToks) AS word FROM documents)",
+      "v AS (SELECT word, count(*) AS cnt FROM w " +
+        "WHERE length(word) > 0 GROUP BY word)",
+      s"s0 AS (SELECT word, cnt, $seed AS s FROM v)") ++ steps
+    val union = (0 until n)
+      .map(i => s"SELECT $i AS rank, a, b FROM t$i").mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n              ") +
+      s"\n          SELECT * FROM ($union) ORDER BY rank"
   }
 
   /** Signature-estimated Jaccard >= 0.8 between sig relations aliased
@@ -2152,12 +2270,68 @@ object LlmQueries {
           ORDER BY doc_id""",
     "x56_bpe_tokenize" ->
       s"""SELECT doc_id AS id,
-                 flatten(list_transform(
-                   list_filter(string_split_regex(lower(text), '\\s+'),
+                 array_to_string(flatten(list_transform(
+                   list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
                                w -> w <> ''),
                    w -> list_filter(string_split($duckBpeChain, ' '),
-                                    x -> x <> ''))) AS tokens
+                                    x -> x <> ''))), ' ') AS tokens
           FROM documents ORDER BY id""",
+    "x57_bpe_train" -> duckBpeTrainSql(BpeTrainSteps),
+    // Replays the composed ingest gate per batch: quality (x1 formula) →
+    // bench-4-gram decontamination (x14's stage-5 shape) → exact dedup
+    // (within-batch min-id, then batch 2 vs batch 1's hash state — x28's
+    // rule) → x9's redaction chain on the survivors.
+    "w6_ingest_gate" ->
+      s"""WITH train AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 2 = 0
+                    THEN ' contact bob@example.com' ELSE '' END AS text
+                FROM documents WHERE source <> 'src0'),
+              bench AS (SELECT text FROM documents WHERE source = 'src0'),
+              bws AS (SELECT $duckToks AS w FROM bench),
+              bg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT w, unnest(range(1, len(w) - 2)) AS i
+                           FROM bws WHERE len(w) >= 4)),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0),
+              q1 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b1)
+                     WHERE $duckQualityExpr >= 0.6),
+              g1 AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM (SELECT doc_id, $duckToks AS w FROM q1)
+                           WHERE len(w) >= 4)),
+              c1 AS (SELECT doc_id, text FROM q1
+                     WHERE doc_id NOT IN
+                       (SELECT doc_id FROM g1 JOIN bg USING (g))),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM c1 GROUP BY md5(text)),
+              kept1 AS (SELECT c.doc_id, c.text FROM c1 c JOIN k1 USING (doc_id)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM c1),
+              q2 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b2)
+                     WHERE $duckQualityExpr >= 0.6),
+              g2 AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM (SELECT doc_id, $duckToks AS w FROM q2)
+                           WHERE len(w) >= 4)),
+              c2 AS (SELECT doc_id, text FROM q2
+                     WHERE doc_id NOT IN
+                       (SELECT doc_id FROM g2 JOIN bg USING (g))),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM c2 GROUP BY 1),
+              kept2 AS (SELECT c.doc_id, c.text FROM c2 c
+                        JOIN (SELECT doc_id FROM k2
+                              WHERE h NOT IN (SELECT h FROM state1)) k
+                        USING (doc_id))
+          SELECT doc_id, batch, text_md5 FROM (
+            SELECT doc_id, 0 AS batch, $duckRedactMd5 AS text_md5 FROM kept1
+            UNION ALL
+            SELECT doc_id, 1 AS batch, $duckRedactMd5 AS text_md5 FROM kept2)
+          ORDER BY doc_id""",
     "x27_len_quantiles" ->
       s"""WITH ws AS (SELECT source, doc_id,
                              CAST(len($duckToks) AS BIGINT) AS nt

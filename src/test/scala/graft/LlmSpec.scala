@@ -362,9 +362,13 @@ class LlmSpec extends SparkSpec {
     import spark.implicits._
     val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
       "e" -> "r", "a" -> "a")
-    // chained merges, repeated-pair greed (aaa -> [aa, a]), null text
+    // chained merges, repeated-pair greed (aaa -> [aa, a]), null text,
+    // Unicode line terminators that survive the ASCII \s+ split (U+2028 /
+    // U+2029 / NEL — Java '.' skips them without (?s), gluing them to the
+    // next char), and vertical tab (split boundary on the Java side)
     val hand = Seq((1L, "the thin thing  there"), (2L, "aaa aaaa"),
-      (3L, null.asInstanceOf[String]), (4L, ""))
+      (3L, null.asInstanceOf[String]), (4L, ""),
+      (5L, "th\u2028e a\u2029a x\u0085the"), (6L, "th\u000Be"))
       .toDF("doc_id", "text")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").unionByName(hand)
@@ -380,6 +384,9 @@ class LlmSpec extends SparkSpec {
     assert(viaCol(2L) === Seq("aa", "a", "aa", "aa"))
     assert(viaCol(3L) === Seq.empty)
     assert(viaCol(4L) === Seq.empty)
+    assert(viaCol(5L) === Seq("th", "\u2028", "e", "a", "\u2029", "a",
+      "x", "\u0085", "the"))
+    assert(viaCol(6L) === Seq("th", "e"))
     // whitespace-bearing merge symbols are rejected, not silently wrong
     intercept[IllegalArgumentException] {
       Bpe.tokenizeCol(col("text"), Seq("a " -> "b"))
@@ -411,18 +418,23 @@ class LlmSpec extends SparkSpec {
   test("a13 threshold margin holds: no query-pair cosine sits near the " +
     "0.3 boundary, so engine summation order cannot flip membership") {
     // the a13/a14 oracles compare ids only, but membership itself is a
-    // float-threshold decision — this pins the declared >= 5e-4 gap on
-    // the actual testdata (a regen that erodes it fails HERE, loudly,
-    // instead of as a 1-row hash flake in the driver gate)
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val q = emb.filter(col("vec_id") < 5)
-    val minGap = Similarity.cosineTopK(emb, q, "vec_id", "embedding",
-        k = 100000)
-      .select(abs(col("cos") - lit(0.3)).as("gap"))
-      .agg(min(col("gap"))).head().getDouble(0)
-    assert(minGap > 1e-6,
-      f"pair cosine within $minGap%.2e of the 0.3 radius threshold — " +
-        "regenerated testdata broke the a13/a14 determinism margin")
+    // float-threshold decision — this pins the declared >= 4e-4 gap on
+    // the actual testdata AT EVERY SF THE GATE CERTIFIES (a regen that
+    // erodes it fails HERE, loudly, instead of as a 1-row hash flake in
+    // the driver gate). Measured gaps: 4.5e-4 at sf0.001, 1.2e-3 at
+    // sf0.01 — the bound sits just under the tightest with headroom for
+    // summation-order jitter (~1e-7), far above any flake scale.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 5)
+      val minGap = Similarity.cosineTopK(emb, q, "vec_id", "embedding",
+          k = 100000)
+        .select(abs(col("cos") - lit(0.3)).as("gap"))
+        .agg(min(col("gap"))).head().getDouble(0)
+      assert(minGap > 4e-4,
+        f"$sf: pair cosine within $minGap%.2e of the 0.3 radius threshold " +
+          "— regenerated testdata broke the a13/a14 determinism margin")
+    }
   }
 
   test("selectCanonical keeps the highest-quality member per cluster, " +
@@ -439,6 +451,20 @@ class LlmSpec extends SparkSpec {
       .orderBy("cluster_rep")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L, 50L, 3L), (10L, 11L, 9L, 2L)))
+  }
+
+  test("selectCanonical membership is the documented inner join: " +
+    "singletons emit size-1 rows, attr-less members shrink the cluster, " +
+    "attr-less clusters vanish") {
+    import spark.implicits._
+    val members = Seq( // singleton {5}; {1,2,3} with 3 attr-less; {9} attr-less
+      (5L, 5L), (1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)
+    ).toDF("id", "rep")
+    val attrs = Seq((5L, 10L), (1L, 20L), (2L, 30L)).toDF("doc_id", "q")
+    val got = Dedup.selectCanonical(members, "id", "rep", attrs, "doc_id", "q")
+      .orderBy("cluster_rep")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 30L, 2L), (5L, 5L, 10L, 1L)))
   }
 
   test("selectCanonical matches a driver-side reference on random " +

@@ -42,6 +42,21 @@ def main(sf_dir, out_dir):
         got = con.execute(f"SELECT * FROM '{files[0]}'")
         got_cols = [d[0] for d in got.description]
         got_rows = got.fetchall()
+        # Mirror the driver comparator's hard constraint: it hashes cell
+        # values with pandas/numpy and CRASHES on array/map/struct cells
+        # ("unhashable type: numpy.ndarray" — the r9 x56 red row). Reject
+        # non-atomic Spark output here so the local gate can never again
+        # pass what the driver fails.
+        got_schema = con.execute(
+            f"SELECT * FROM '{files[0]}' LIMIT 0").arrow().schema
+        non_atomic = [f"{f.name}: {f.type}" for f in got_schema
+                      if str(f.type).startswith(("list", "large_list",
+                                                 "struct", "map",
+                                                 "fixed_size_list"))]
+        if non_atomic:
+            print(f"FAIL {name}: non-atomic output column(s) would crash "
+                  f"the driver comparator: {non_atomic}")
+            n_fail += 1; continue
         if name not in oracles:
             print(f"rows-only {name}: {len(got_rows)} rows "
                   f"({'OK' if got_rows else 'EMPTY!'})")
