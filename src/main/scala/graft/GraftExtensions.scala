@@ -6,7 +6,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, Decimal, DecimalType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extension wiring for the engine's native expressions —
@@ -34,6 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * arguments are names rather than subqueries because injected TVFs
   * receive scalar expressions only — register a temp view for anything
   * more complex.
+  *
+  * Also exposes the north-star LLM-pipeline operators as TVFs under the
+  * same contract (see [[GraftExtensions.llmTvfs]] for signatures):
+  * `dedup_exact`, `dedup_minhash`, `cosine_topk`, `ivf_topk`,
+  * `chunk_docs`, `pack_chunks` — e.g.
+  * {{{
+  *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
+  *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
+  * }}}
   */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -54,10 +63,108 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier(s"asof_$variant"),
         new ExpressionInfo(AsofJoin.getClass.getName, s"asof_$variant"),
         (args: Seq[Expression]) => GraftExtensions.buildAsof(variant, args)))
+    for ((name, builder) <- GraftExtensions.llmTvfs)
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(GraftExtensions.getClass.getName, name),
+        builder))
   }
 }
 
 object GraftExtensions {
+
+  // -----------------------------------------------------------------------
+  // LLM-operator table functions — the north-star dedup / ANN / corpus
+  // operators surfaced to pure SQL (SURVEY §3.3). Same contract as the
+  // asof_* TVFs: table arguments are NAMES of registered tables/views
+  // (injected TVFs receive scalar expressions only), everything else is a
+  // literal; the call resolves eagerly to the operator's logical plan.
+  //   dedup_exact('docs', 'text', 'doc_id')
+  //   dedup_minhash('docs', 'text', 'doc_id', 0.8)        -- near-dup PAIRS
+  //   cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
+  //   ivf_topk('corpus', 'queries', 'vec_id', 'embedding', 10 [, nlist, nprobe])
+  //   chunk_docs('docs', 'text', 'doc_id', 128 [, overlap])
+  //   pack_chunks('chunks', 512)   -- expects doc_id/chunk_idx/n_tokens cols
+  // -----------------------------------------------------------------------
+
+  private def lit2str(e: Expression, usage: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$usage — expected a string literal, got $other")
+  }
+
+  private def lit2int(e: Expression, usage: String): Int = e match {
+    case Literal(v: java.lang.Integer, IntegerType) => v.intValue
+    case Literal(v: java.lang.Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$usage — expected an integer literal, got $other")
+  }
+
+  private def lit2dbl(e: Expression, usage: String): Double = e match {
+    case Literal(v: java.lang.Double, DoubleType) => v.doubleValue
+    case Literal(d: Decimal, _: DecimalType) => d.toDouble
+    case Literal(v: java.lang.Integer, IntegerType) => v.doubleValue
+    case other => throw new IllegalArgumentException(
+      s"$usage — expected a numeric literal, got $other")
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  private[graft] val llmTvfs: Seq[(String, Seq[Expression] => LogicalPlan)] =
+    Seq(
+      "dedup_exact" -> { args =>
+        val u = "usage: dedup_exact('table', 'text_col', 'id_col')"
+        require(args.length == 3, u)
+        val Seq(t, tc, ic) = args.map(lit2str(_, u))
+        plan(graft.llm.Dedup.exactDedup(SparkSession.active.table(t), tc, ic))
+      },
+      "dedup_minhash" -> { args =>
+        val u =
+          "usage: dedup_minhash('table', 'text_col', 'id_col', threshold)"
+        require(args.length == 4, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Dedup.minhashNearDups(SparkSession.active.table(t),
+          tc, ic, lit2dbl(args(3), u)))
+      },
+      "cosine_topk" -> { args =>
+        val u =
+          "usage: cosine_topk('corpus', 'queries', 'id_col', 'vec_col', k)"
+        require(args.length == 5, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Similarity.cosineTopK(s.table(ct), s.table(qt),
+          ic, vc, lit2int(args(4), u)))
+      },
+      "ivf_topk" -> { args =>
+        val u = "usage: ivf_topk('corpus', 'queries', 'id_col', " +
+          "'vec_col', k[, nlist, nprobe])"
+        require(args.length == 5 || args.length == 7, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val (c, q, k) = (s.table(ct), s.table(qt), lit2int(args(4), u))
+        plan(
+          if (args.length == 5) graft.llm.Similarity.ivfTopK(c, q, ic, vc, k)
+          else graft.llm.Similarity.ivfTopK(c, q, ic, vc, k,
+            nlist = lit2int(args(5), u), nProbe = lit2int(args(6), u)))
+      },
+      "chunk_docs" -> { args =>
+        val u = "usage: chunk_docs('table', 'text_col', 'id_col', " +
+          "chunk_size[, overlap])"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Corpus.chunkDocuments(SparkSession.active.table(t),
+          tc, ic, lit2int(args(3), u),
+          overlap = args.lift(4).map(lit2int(_, u)).getOrElse(0)))
+      },
+      "pack_chunks" -> { args =>
+        val u = "usage: pack_chunks('chunks_table', token_budget) — the " +
+          "table carries doc_id/chunk_idx/n_tokens (chunk_docs output)"
+        require(args.length == 2, u)
+        plan(graft.llm.Corpus.packChunks(
+          SparkSession.active.table(lit2str(args(0), u)),
+          lit2int(args(1), u)))
+      })
 
   private[graft] def buildRegexFirstMatch(args: Seq[Expression]): Expression = {
     require(args.length >= 4 && (args.length - 1) % 3 == 0,

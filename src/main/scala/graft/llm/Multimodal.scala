@@ -15,7 +15,11 @@ final case class MediaRow(
 
 /** Decoded / feature-extracted output of one media row. Audio fields are
   * zero for non-audio rows (and for audio payloads with no parseable
-  * RIFF/WAVE header). */
+  * container header). `decode_ok` is the QUARANTINE flag: true iff a real
+  * container parser recognized the payload for its declared kind — rows
+  * with `decode_ok = false` carry deterministic fallback values and
+  * downstream consumers should `filter(col("decode_ok"))` (or route the
+  * rest to a dead-letter table) before trusting width/duration/frames. */
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -26,7 +30,8 @@ final case class MediaFeatures(
     checksum: Long,
     sample_rate: Int = 0,
     n_channels: Int = 0,
-    duration_ms: Long = 0L)
+    duration_ms: Long = 0L,
+    decode_ok: Boolean = false)
 
 /** Multimodal-column plumbing: schema, partitioning and batched
   * decode-UDF signature are real; the codec itself is a clearly-marked
@@ -121,6 +126,28 @@ object Multimodal {
       if (dataLen >= 0L && byteRate > 0L) dataLen * 1000L / byteRate else 0L))
   }
 
+  /** Real FLAC metadata parse — "fLaC" magic followed by the mandatory
+    * STREAMINFO block (type 0, 34-byte payload): sample rate is 20 bits,
+    * channel count 3 bits (+1), and total samples 36 bits, packed
+    * big-endian starting at payload offset 10. Returns the same
+    * [[WavMeta]] shape as the RIFF parser (durationMs = samples·1000 ∕
+    * rate), None for anything without a well-formed STREAMINFO. */
+  def parseFlacMeta(p: Array[Byte]): Option[WavMeta] = {
+    val isFlac = p.length >= 42 &&
+      p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C' &&
+      (p(4) & 0x7f) == 0 && // first block must be STREAMINFO
+      ((u8(p(5)) << 16) | (u8(p(6)) << 8) | u8(p(7))) == 34
+    if (!isFlac) return None
+    val b = 8 // STREAMINFO payload start
+    val rate = (u8(p(b + 10)) << 12) | (u8(p(b + 11)) << 4) | (u8(p(b + 12)) >> 4)
+    val channels = ((u8(p(b + 12)) >> 1) & 0x7) + 1
+    val totalSamples = ((u8(p(b + 13)) & 0x0f).toLong << 32) |
+      ((u8(p(b + 14)).toLong << 24) | (u8(p(b + 15)) << 16) |
+        (u8(p(b + 16)) << 8) | u8(p(b + 17)))
+    if (rate <= 0) None
+    else Some(WavMeta(rate, channels, totalSamples * 1000L / rate))
+  }
+
   /** Parsed ISO-BMFF (MP4/MOV) container metadata. `nFrames` is the stts
     * sample total of the first `vide`-handler track (0 when absent). */
   final case class Mp4Meta(width: Int, height: Int, durationMs: Long,
@@ -210,12 +237,13 @@ object Multimodal {
   }
 
   /** Decoder: REAL header parse for image payloads with a recognizable
-    * PNG/JPEG/GIF signature, audio payloads with a RIFF/WAVE header, and
-    * video payloads in an ISO-BMFF (MP4/MOV) container; a clearly-marked
-    * deterministic STUB otherwise (full pixel/sample codecs don't ship in
-    * this container). A real deployment swaps only the stub branch for a
-    * codec call — the per-partition batching, schema, and plan shape are
-    * unchanged. */
+    * PNG/JPEG/GIF signature, audio payloads with a RIFF/WAVE or FLAC
+    * header, and video payloads in an ISO-BMFF (MP4/MOV) container; a
+    * clearly-marked deterministic STUB otherwise (full pixel/sample
+    * codecs don't ship in this container), flagged `decode_ok = false`
+    * so downstream quarantines it instead of consuming fake dims. A real
+    * deployment swaps only the stub branch for a codec call — the
+    * per-partition batching, schema, and plan shape are unchanged. */
   def stubDecode(row: MediaRow): MediaFeatures = {
     val n = row.payload.length.toLong
     val head = if (row.payload.nonEmpty) row.payload(0) & 0xff else 0
@@ -224,7 +252,8 @@ object Multimodal {
       parseImageDims(row.payload).orElse(parseGifDims(row.payload)) else None
     val (w, h) = dims.getOrElse(
       ((head % 64 + 1) * 16, ((n % 64).toInt + 1) * 16)) // deterministic fake
-    val wav = if (row.kind == "audio") parseWavMeta(row.payload) else None
+    val wav = if (row.kind == "audio")
+      parseWavMeta(row.payload).orElse(parseFlacMeta(row.payload)) else None
     val mp4 = if (row.kind == "video") parseMp4Meta(row.payload) else None
     val (vw, vh) = mp4.filter(m => m.width > 0 && m.height > 0)
       .map(m => (m.width, m.height)).getOrElse((w, h))
@@ -242,7 +271,16 @@ object Multimodal {
       sample_rate = wav.map(_.sampleRate).getOrElse(0),
       n_channels = wav.map(_.channels).getOrElse(0),
       duration_ms = wav.map(_.durationMs)
-        .orElse(mp4.map(_.durationMs)).getOrElse(0L))
+        .orElse(mp4.map(_.durationMs)).getOrElse(0L),
+      // quarantine flag: a REAL container parser recognized the payload
+      // for its declared kind (PNG/JPEG/GIF, RIFF/WAVE, FLAC, ISO-BMFF);
+      // everything else carries the deterministic fallback values above
+      decode_ok = row.kind match {
+        case "image" => dims.isDefined
+        case "audio" => wav.isDefined
+        case "video" => mp4.isDefined
+        case _       => false
+      })
   }
 
   /** Batched decode / feature extraction over a media dataset. One decoder

@@ -623,12 +623,33 @@ class LlmSpec extends SparkSpec {
     // decode plumbing surfaces the parsed values on the typed row
     val wavRow = Multimodal.stubDecode(MediaRow(1L, "audio", wav, "s"))
     assert(wavRow.sample_rate === 8000 && wavRow.n_channels === 1 &&
-      wavRow.duration_ms === 2000L)
+      wavRow.duration_ms === 2000L && wavRow.decode_ok)
     val gifRow = Multimodal.stubDecode(MediaRow(2L, "image", gif, "s"))
-    assert(gifRow.width === 320 && gifRow.height === 200)
-    // non-media payloads keep the deterministic stub and zeroed audio fields
+    assert(gifRow.width === 320 && gifRow.height === 200 && gifRow.decode_ok)
+    // non-media payloads keep the deterministic stub, zeroed audio fields,
+    // and the quarantine flag so downstream can filter them out
     val stub = Multimodal.stubDecode(MediaRow(3L, "audio", "plain".getBytes, "s"))
-    assert(stub.sample_rate === 0 && stub.duration_ms === 0L)
+    assert(stub.sample_rate === 0 && stub.duration_ms === 0L && !stub.decode_ok)
+  }
+
+  test("multimodal header parsers: crafted FLAC STREAMINFO decodes for real") {
+    // fLaC magic + STREAMINFO (type 0, 34 bytes): rate 8000 Hz (20 bits),
+    // mono, 16 bps, 16000 total samples => exactly 2000 ms
+    val streaminfo = Array.fill[Byte](34)(0)
+    streaminfo(10) = 0x01; streaminfo(11) = 0xf4.toByte // 8000 >> 4
+    streaminfo(12) = 0x00                               // rate low | ch-1=0
+    streaminfo(13) = 0xf0.toByte                        // bps-1=15 | ts hi
+    streaminfo(16) = 0x3e; streaminfo(17) = 0x80.toByte // 16000 samples
+    val flac = "fLaC".getBytes ++ Array[Byte](0x00, 0x00, 0x00, 34) ++
+      streaminfo
+    assert(Multimodal.parseFlacMeta(flac) ===
+      Some(Multimodal.WavMeta(8000, 1, 2000L)))
+    val row = Multimodal.stubDecode(MediaRow(7L, "audio", flac, "s"))
+    assert(row.sample_rate === 8000 && row.n_channels === 1 &&
+      row.duration_ms === 2000L && row.decode_ok)
+    // wrong magic / truncated STREAMINFO fall through to the quarantined stub
+    assert(Multimodal.parseFlacMeta("fLaX1234".getBytes) === None)
+    assert(Multimodal.parseFlacMeta(flac.take(20)) === None)
   }
 
   test("multimodal header parsers: crafted MP4 box tree decodes for real") {
@@ -665,7 +686,7 @@ class LlmSpec extends SparkSpec {
     // decode plumbing surfaces the parsed values on the typed video row
     val row = Multimodal.stubDecode(MediaRow(4L, "video", mp4, "s"))
     assert(row.width === 640 && row.height === 360 &&
-      row.n_frames === 125 && row.duration_ms === 15000L)
+      row.n_frames === 125 && row.duration_ms === 15000L && row.decode_ok)
     // mvhd v1 layout (64-bit times): timescale 1000, duration 2500
     val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
       be32(0L) ++ be32(0L) ++ be32(0L) ++ be32(0L) ++ // u64 create + modify
@@ -676,6 +697,7 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.parseMp4Meta("not a video at all".getBytes) === None)
     val stub = Multimodal.stubDecode(MediaRow(5L, "video", "x".getBytes, "s"))
     assert(stub.n_frames === 2) // 1 byte % 240 + 1 — the documented fake
+    assert(!stub.decode_ok)     // ...and it is flagged for quarantine
   }
 
   test("cluster representatives propagate across multi-hop components") {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.{Corpus, Dedup, Similarity}
+
+/** The LLM-operator SQL surface: every injected table function must
+  * produce EXACTLY the frame its Scala API produces — same columns, same
+  * rows — so a SQL-only consumer loses nothing (the AsofJoinSpec TVF
+  * contract, extended to the dedup / ANN / corpus operators). */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def canon(df: DataFrame) =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*).collect().toSeq
+
+  private def check(sql: String, viaScala: DataFrame): Unit = {
+    val viaSql = spark.sql(sql)
+    assert(viaSql.columns.toSeq === viaScala.columns.toSeq, sql)
+    assert(canon(viaSql) === canon(viaScala), sql)
+  }
+
+  test("SQL TVF surface: dedup/ANN/corpus operators equal the Scala API") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    docs.createOrReplaceTempView("tvf_docs")
+    emb.createOrReplaceTempView("tvf_emb")
+    q.createOrReplaceTempView("tvf_q")
+    Corpus.chunkDocuments(docs, "text", "doc_id", 16)
+      .createOrReplaceTempView("tvf_chunks")
+    try {
+      check("SELECT * FROM dedup_exact('tvf_docs', 'text', 'doc_id')",
+        Dedup.exactDedup(docs, "text", "doc_id"))
+      check("SELECT * FROM dedup_minhash('tvf_docs', 'text', 'doc_id', 0.8)",
+        Dedup.minhashNearDups(docs, "text", "doc_id", 0.8))
+      check("SELECT * FROM cosine_topk('tvf_emb', 'tvf_q', 'vec_id', " +
+          "'embedding', 3)",
+        Similarity.cosineTopK(emb, q, "vec_id", "embedding", 3))
+      check("SELECT * FROM ivf_topk('tvf_emb', 'tvf_q', 'vec_id', " +
+          "'embedding', 3)",
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3))
+      check("SELECT * FROM ivf_topk('tvf_emb', 'tvf_q', 'vec_id', " +
+          "'embedding', 3, 8, 3)",
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3,
+          nlist = 8, nProbe = 3))
+      check("SELECT * FROM chunk_docs('tvf_docs', 'text', 'doc_id', 16, 4)",
+        Corpus.chunkDocuments(docs, "text", "doc_id", 16, overlap = 4))
+      check("SELECT * FROM pack_chunks('tvf_chunks', 64)",
+        Corpus.packChunks(
+          Corpus.chunkDocuments(docs, "text", "doc_id", 16), 64))
+      // TVF output composes with ordinary SQL (filter + projection on top)
+      val n = spark.sql("SELECT keep_id FROM dedup_exact('tvf_docs', " +
+        "'text', 'doc_id') WHERE keep_id < 100").count()
+      assert(n > 0 && n <= 100)
+      // malformed calls fail loudly with the usage string, not silently
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM dedup_minhash('tvf_docs', 'text', 'doc_id')")
+          .collect()
+      }
+      assert(err.getMessage.contains("usage: dedup_minhash"))
+    } finally {
+      Seq("tvf_docs", "tvf_emb", "tvf_q", "tvf_chunks")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
+}
