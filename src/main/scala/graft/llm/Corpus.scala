@@ -935,4 +935,78 @@ object Corpus {
         when(Hashing.hex32(concat(lit("split:"), col("rep").cast("string")))
           < lit(threshold), lit("holdout")).otherwise(lit("train")))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * every raw document by how target-like its hashed n-gram features
+    * are — the data-selection step that tilts a generic crawl toward a
+    * target domain before training. Features are word BIGRAMS hashed into
+    * `buckets` cells ([[Hashing.hex32]], the portable md5 fold); the raw
+    * and target corpora each induce a bucket-count distribution, and a
+    * document's weight is its log-likelihood ratio under the two add-1-
+    * smoothed bucket unigram models:
+    *
+    *   w(d) = Σ_b n_b(d)·[ln(t_b + 1) − ln(r_b + 1)]
+    *          + N(d)·[ln(R + B) − ln(T + B)]
+    *
+    * (n_b = doc's count in bucket b, t/r = target/raw bucket totals,
+    * T/R their sums, N = doc's feature count, B = `buckets`). Select by
+    * `weight` desc — or resample proportionally — downstream.
+    *
+    * Scale shape: one bigram pass per corpus; both bucket tables are
+    * `buckets`-row frames (broadcast joins — never a shuffle keyed by the
+    * corpus), the per-doc rollup is the only corpus-sized exchange, and
+    * the normalization totals ride a 1-row broadcast (the BM25 stats
+    * pattern). The per-doc bucket counts feed the distribution build AND
+    * the scoring join, so that frame is lineage-cut (the x29 discipline).
+    *
+    * Output carries the INTEGER sufficient statistics beside the float
+    * weight — (n_feats, target_mass = Σ n_b·t_b, raw_mass = Σ n_b·r_b) —
+    * so the oracle gate certifies the hashing/counting/join machinery in
+    * exact integer space while the log arithmetic (libm-dependent, never
+    * put in a cross-engine oracle) is certified by LlmSpec against a
+    * driver-side reference. Docs with fewer than 2 tokens have no
+    * features and emit no row.
+    *
+    * @return (idCol, n_feats, target_mass, raw_mass, weight)
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    def bucketRows(df: DataFrame, keepId: Boolean): DataFrame = {
+      val base =
+        if (keepId) df.select(col(idCol), col(textCol))
+        else df.select(col(textCol))
+      base.withColumn("_tk", Dedup.tokens(col(textCol)))
+        .filter(size(col("_tk")) >= 2)
+        .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
+        .select((if (keepId) Seq(col(idCol)) else Nil) :+
+          (Hashing.hex32(concat_ws(" ",
+            element_at(col("_tk"), col("_p")),
+            element_at(col("_tk"), col("_p") + 1))) % buckets).as("_b"): _*)
+    }
+    val db = graft.operators.Lineage.cut(
+      bucketRows(raw, keepId = true)
+        .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m")))
+    val rdist = graft.operators.Lineage.cut(
+      db.groupBy("_b").agg(sum("_m").as("_rc")))
+    val tdist = graft.operators.Lineage.cut(
+      bucketRows(target, keepId = false)
+        .groupBy("_b").agg(count(lit(1)).as("_tc")))
+    val consts = tdist.agg(coalesce(sum("_tc"), lit(0L)).as("_T"))
+      .crossJoin(rdist.agg(coalesce(sum("_rc"), lit(0L)).as("_R")))
+    db.join(broadcast(rdist), Seq("_b"))
+      .join(broadcast(tdist), Seq("_b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("_m").cast("long").as("n_feats"),
+        sum(col("_m") * coalesce(col("_tc"), lit(0L))).cast("long")
+          .as("target_mass"),
+        sum(col("_m") * col("_rc")).cast("long").as("raw_mass"),
+        sum(col("_m") * (log(coalesce(col("_tc"), lit(0L)) + lit(1.0)) -
+          log(col("_rc") + lit(1.0)))).as("_wsum"))
+      .crossJoin(broadcast(consts))
+      .select(col(idCol), col("n_feats"), col("target_mass"), col("raw_mass"),
+        (col("_wsum") + col("n_feats") *
+          (log(col("_R") + lit(buckets.toDouble)) -
+           log(col("_T") + lit(buckets.toDouble)))).as("weight"))
+  }
 }

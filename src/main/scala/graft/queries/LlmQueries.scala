@@ -710,6 +710,25 @@ object LlmQueries {
         .toDF("rank", "a", "b").orderBy("rank")
     }),
 
+    // DSIR importance weighting (Xie et al. 2023): every training doc's
+    // hashed-bigram likelihood ratio against the src0 target corpus — the
+    // data-selection operator that tilts a generic crawl toward a target
+    // domain. The oracle certifies the integer sufficient statistics
+    // (portable md5 bucket hash, per-doc bucket counts, both distribution
+    // joins, per-doc masses) in exact arithmetic; the final log-ratio is
+    // libm-dependent and is certified by LlmSpec against a driver-side
+    // reference instead (the x29 rule: no log/exp in a cross-engine
+    // oracle).
+    "x58_dsir" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.Corpus.dsirWeights(
+          d.filter(col("source") =!= "src0").select("doc_id", "text"),
+          d.filter(col("source") === "src0").select("doc_id", "text"),
+          "text", "doc_id")
+        .select("doc_id", "n_feats", "target_mass", "raw_mass")
+        .orderBy("doc_id")
+    }),
+
     // Exact per-source token-length quantiles (p50/p90/p99/max) by rank —
     // no approx-percentile sketches (engine-specific, not replayable):
     // the value at rank ceil(q·n) under the deterministic (n_tokens, id)
@@ -2277,6 +2296,28 @@ object LlmQueries {
                                     x -> x <> ''))), ' ') AS tokens
           FROM documents ORDER BY id""",
     "x57_bpe_train" -> duckBpeTrainSql(BpeTrainSteps),
+    // Replays the DSIR machinery in integer space: same md5 bucket fold
+    // (duckHex32), same bigram features, same add-nothing count joins.
+    "x58_dsir" ->
+      s"""WITH rw AS (SELECT doc_id, $duckToks AS w FROM documents
+                      WHERE source <> 'src0'),
+              tw AS (SELECT $duckToks AS w FROM documents
+                     WHERE source = 'src0'),
+              rg AS (SELECT doc_id,
+                       ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                           FROM rw WHERE len(w) >= 2)),
+              db AS (SELECT doc_id, b, count(*) AS m FROM rg GROUP BY 1, 2),
+              rdist AS (SELECT b, sum(m) AS rc FROM db GROUP BY b),
+              tg AS (SELECT ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT w, unnest(range(1, len(w))) AS i
+                           FROM tw WHERE len(w) >= 2)),
+              tdist AS (SELECT b, count(*) AS tc FROM tg GROUP BY b)
+          SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+                 CAST(sum(m * coalesce(tc, 0)) AS BIGINT) AS target_mass,
+                 CAST(sum(m * rc) AS BIGINT) AS raw_mass
+          FROM db JOIN rdist USING (b) LEFT JOIN tdist USING (b)
+          GROUP BY doc_id ORDER BY doc_id""",
     // Replays the composed ingest gate per batch: quality (x1 formula) →
     // bench-4-gram decontamination (x14's stage-5 shape) → exact dedup
     // (within-batch min-id, then batch 2 vs batch 1's hash state — x28's

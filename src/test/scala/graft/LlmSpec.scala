@@ -700,6 +700,75 @@ class LlmSpec extends SparkSpec {
     assert(!stub.decode_ok)     // ...and it is flagged for quarantine
   }
 
+  test("dsirWeights matches a driver-side reference on the real corpus " +
+    "and ranks target-like docs above unrelated ones") {
+    import spark.implicits._
+    // driver-side reference: identical tokenization (split(-1) keeps the
+    // trailing-empty semantics of Spark's split), identical md5 bucket
+    // fold, add-1-smoothed log-likelihood ratio
+    def toks(t: String): Array[String] =
+      Option(t).getOrElse("").toLowerCase.split("\\s+", -1)
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1024
+    }
+    def buckets(t: String): Seq[Long] = {
+      val w = toks(t)
+      if (w.length < 2) Nil
+      else (0 until w.length - 1).map(i => bucket(w(i) + " " + w(i + 1)))
+    }
+    def reference(raw: Seq[(Long, String)], target: Seq[(Long, String)])
+        : Map[Long, (Long, Long, Long, Double)] = {
+      val docB = raw.map { case (id, t) => id -> buckets(t) }
+        .filter(_._2.nonEmpty).toMap
+      val rdist = docB.values.flatten.groupBy(identity)
+        .map { case (b, xs) => b -> xs.size.toLong }
+      val tAll = target.flatMap { case (_, t) => buckets(t) }
+      val tdist = tAll.groupBy(identity)
+        .map { case (b, xs) => b -> xs.size.toLong }
+      val (tTot, rTot) = (tAll.size.toLong, docB.values.map(_.size).sum)
+      val shift = math.log(rTot + 1024.0) - math.log(tTot + 1024.0)
+      docB.map { case (id, bs) =>
+        val n = bs.size.toLong
+        val tm = bs.map(b => tdist.getOrElse(b, 0L)).sum
+        val rm = bs.map(b => rdist(b)).sum
+        val w = bs.map(b => math.log(tdist.getOrElse(b, 0L) + 1.0) -
+          math.log(rdist(b) + 1.0)).sum + n * shift
+        id -> (n, tm, rm, w)
+      }
+    }
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rawDf = d.filter(col("source") =!= "src0").select("doc_id", "text")
+    val tgtDf = d.filter(col("source") === "src0").select("doc_id", "text")
+    val got = Corpus.dsirWeights(rawDf, tgtDf, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val want = reference(
+      rawDf.as[(Long, String)].collect().toSeq,
+      tgtDf.as[(Long, String)].collect().toSeq)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, (n, tm, rm, w)) =>
+      val (gn, gtm, grm, gw) = got(id)
+      assert((gn, gtm, grm) === ((n, tm, rm)), s"doc $id integer stats")
+      assert(math.abs(gw - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+        s"doc $id weight $gw vs reference $w")
+    }
+    // semantics: a doc made of target bigrams outranks a partial match,
+    // which outranks a doc sharing nothing with the target
+    val target2 = Seq.tabulate(20)(i =>
+      (100L + i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val raw2 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta unrelated words follow here"),
+      (3L, "totally different content with nothing shared"))
+      .toDF("doc_id", "text")
+    val w2 = Corpus.dsirWeights(raw2, target2, "text", "doc_id")
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w2(1L) > w2(2L) && w2(2L) > w2(3L), w2.toString)
+  }
+
   test("cluster representatives propagate across multi-hop components") {
     // chain 1-2-3 (needs 2 hops), pair 5-6, singleton-free
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

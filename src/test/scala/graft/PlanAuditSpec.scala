@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     "x44_skew_report", // same 1-row stats pattern: the total-row count
     // broadcasts into the topN (≤ 20) hottest keys — both sides bounded
     "x49_bm25_batch", // x22's 1-row corpus-stats broadcast, batch variant
-    "x50_retrieval_eval" // composes x49's ranking — same 1-row broadcast
+    "x50_retrieval_eval", // composes x49's ranking — same 1-row broadcast
+    "x58_dsir" // x22's pattern again: the 1-row (T, R) normalization
+    // totals broadcast into the per-doc rollup — both sides bounded
   )
 
   test("no cartesian products or unintended nested-loop joins") {
