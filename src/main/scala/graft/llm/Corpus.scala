@@ -936,6 +936,63 @@ object Corpus {
           < lit(threshold), lit("holdout")).otherwise(lit("train")))
   }
 
+  /** C4-style line filtering (Raffel et al. 2020, §2.2 "Colossal Clean
+    * Crawled Corpus" heuristics) as one row-local codegen pass: each
+    * line of a document is KEPT only if it dodges every boilerplate
+    * rule; the output carries the cleaned text plus per-rule drop
+    * counts so a curation run can audit what the filter cost.
+    *
+    * Lines (split on `\n`, then trimmed) are classified by their FIRST
+    * failing rule, in this fixed order:
+    *  1. `brace`   — contains `{` (code/markup fragment)
+    *  2. `boiler`  — lowercased line contains "lorem ipsum" or
+    *                 "javascript" (the C4 boilerplate markers)
+    *  3. `short`   — fewer than `minLineWords` whitespace words
+    *                 (empty lines land here)
+    *  4. `nopunct` — does not end in terminal punctuation (`.` `!` `?`
+    *                 `"`)
+    * Kept lines are re-joined with `\n`; the md5 of that cleaned text is
+    * emitted rather than the text itself (the driver-comparator-friendly
+    * x9 pattern). Deterministic, shuffle-free, exact-integer outputs —
+    * the oracle replays every class with the same precedence chain.
+    *
+    * @return (idCol, n_lines, n_kept, n_brace, n_boiler, n_short,
+    *         n_nopunct, clean_md5)
+    */
+  def c4Clean(df: DataFrame, textCol: String, idCol: String,
+      minLineWords: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords ($minLineWords) must be >= 1")
+    val t = coalesce(col(textCol), lit(""))
+    def words(l: Column): Column =
+      size(filter(split(l, "\\s+"), x => x =!= ""))
+    def brace(l: Column): Column = l.contains("{")
+    def boiler(l: Column): Column =
+      lower(l).contains("lorem ipsum") || lower(l).contains("javascript")
+    def short(l: Column): Column = words(l) < minLineWords
+    def punctOk(l: Column): Column =
+      l.substr(length(l), lit(1)).isin(".", "!", "?", "\"")
+    def keep(l: Column): Column =
+      !brace(l) && !boiler(l) && !short(l) && punctOk(l)
+    df
+      .withColumn("_lines", transform(split(t, "\n"), l => trim(l)))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_brace",
+        size(filter(col("_lines"), l => brace(l))).cast("long"))
+      .withColumn("n_boiler", size(filter(col("_lines"),
+        l => !brace(l) && boiler(l))).cast("long"))
+      .withColumn("n_short", size(filter(col("_lines"),
+        l => !brace(l) && !boiler(l) && short(l))).cast("long"))
+      .withColumn("n_nopunct", size(filter(col("_lines"),
+        l => !brace(l) && !boiler(l) && !short(l) && !punctOk(l)))
+        .cast("long"))
+      .withColumn("n_kept",
+        size(filter(col("_lines"), l => keep(l))).cast("long"))
+      .withColumn("clean_md5",
+        md5(array_join(filter(col("_lines"), l => keep(l)), "\n")))
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("n_brace"),
+        col("n_boiler"), col("n_short"), col("n_nopunct"), col("clean_md5"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     * every raw document by how target-like its hashed n-gram features
     * are — the data-selection step that tilts a generic crawl toward a

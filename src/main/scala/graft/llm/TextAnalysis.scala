@@ -149,6 +149,75 @@ object TextAnalysis {
       col("unique_ratio"), col("quality")): _*)
   }
 
+  /** The Gopher stop-word presence list (Rae et al. 2021 appendix A1.1):
+    * a document must contain at least two of these to pass the rule. */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveWeb document-quality rules (Rae et al. 2021, appendix
+    * A1.1) — the standard heuristic filter suite for web-scale LLM
+    * corpora, as one row-local codegen pass (no shuffle; the repetition
+    * rules of the same appendix live in [[repetitionStats]]).
+    *
+    * Every ratio rule is decided by INTEGER cross-multiplication — never
+    * a float compare — so the DuckDB oracle replays each decision
+    * exactly:
+    *  - word count ∈ [minWords, maxWords] (whitespace tokens, empties
+    *    dropped)
+    *  - mean word length ∈ [3, 10]  ⟺  3·n ≤ Σlen ≤ 10·n
+    *  - symbol-to-word ratio ≤ 0.1 (`#` plus literal `...` occurrences)
+    *    ⟺ 10·n_sym ≤ n_words
+    *  - bullet-start lines (`-`/`*`) ≤ 90% and `...`-ending lines ≤ 30%
+    *    of nonempty trimmed lines
+    *  - ≥ 80% of words contain an [a-z] character ⟺ 5·n_alpha ≥ 4·n
+    *  - ≥ 2 distinct [[gopherStopWords]] present
+    *
+    * @return (idCol, n_words, sum_word_len, n_symbols, n_lines,
+    *         n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+    *         n_stop_words, pass) — raw integer signals + the conjunction
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minWords: Long = 50, maxWords: Long = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"word-count band [$minWords, $maxWords] is not a band")
+    val t = coalesce(col(textCol), lit("")) // null text = empty, not NULLs
+    val sw = array(gopherStopWords.map(lit): _*)
+    def occurrences(needle: String, width: Int): Column =
+      ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
+        / width).cast("long")
+    df
+      .withColumn("_w", filter(tokens(t), x => length(x) > 0))
+      .withColumn("_lines", filter(
+        transform(split(t, "\n"), l => trim(l)), l => l =!= ""))
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(col("_w"), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_symbols", occurrences("#", 1) + occurrences("...", 3))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_bullet_lines", size(filter(col("_lines"),
+        l => l.substr(lit(1), lit(1)).isin("-", "*"))).cast("long"))
+      .withColumn("n_ellipsis_lines", size(filter(col("_lines"),
+        l => l.endsWith("..."))).cast("long"))
+      .withColumn("n_alpha_words", size(filter(col("_w"),
+        x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop_words",
+        size(array_intersect(array_distinct(col("_w")), sw)).cast("long"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+        lit(3L) * col("n_words") <= col("sum_word_len") &&
+        col("sum_word_len") <= lit(10L) * col("n_words") &&
+        lit(10L) * col("n_symbols") <= col("n_words") &&
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words") &&
+        col("n_stop_words") >= 2L)
+      .select(col(idCol), col("n_words"), col("sum_word_len"),
+        col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stop_words"),
+        col("pass"))
+  }
+
   /** Per-language marker-word lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small — the operator shape (score per
     * language, argmax with deterministic tie-break) is the point. */

@@ -729,6 +729,26 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher/MassiveWeb quality-rule suite (Rae et al. 2021 A1.1): the
+    // standard web-corpus heuristic filter, one row-local pass. Every
+    // ratio rule is an integer cross-multiplication, so the oracle
+    // replays each keep/drop decision exactly — no float compare ever.
+    "x59_gopher_rules" -> ((s, dir) => {
+      graft.llm.TextAnalysis.gopherRules(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // C4 line filtering (Raffel et al. 2020 §2.2): per-line boilerplate
+    // rules with a fixed first-failing-rule precedence (brace → lorem/
+    // javascript → short → no terminal punct); output = per-rule drop
+    // counts + md5 of the cleaned text (the x9 comparator pattern).
+    "x60_c4_clean" -> ((s, dir) => {
+      graft.llm.Corpus.c4Clean(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Exact per-source token-length quantiles (p50/p90/p99/max) by rank —
     // no approx-percentile sketches (engine-specific, not replayable):
     // the value at rank ceil(q·n) under the deterministic (n_tokens, id)
@@ -1160,6 +1180,19 @@ object LlmQueries {
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))"""
+
+  // C4 line-classifier fragments over lambda variable `x` (one trimmed
+  // line) — the same predicates and precedence Corpus.c4Clean compiles
+  // as Columns.
+  private val duckC4Brace = "contains(x, '{')"
+  private val duckC4Boiler =
+    "(contains(lower(x), 'lorem ipsum') OR contains(lower(x), 'javascript'))"
+  private val duckC4Words =
+    """len(list_filter(string_split_regex(x, '[\s\x0b]+'), y -> y <> ''))"""
+  private val duckC4PunctOk = """right(x, 1) IN ('.', '!', '?', '"')"""
+  private val duckC4Keep =
+    s"NOT $duckC4Brace AND NOT $duckC4Boiler AND $duckC4Words >= 3 " +
+      s"AND $duckC4PunctOk"
 
   /** Number of merge iterations x57 trains — small enough that the
     * generated oracle (3 CTEs per step) stays readable, large enough to
@@ -2373,6 +2406,71 @@ object LlmQueries {
             UNION ALL
             SELECT doc_id, 1 AS batch, $duckRedactMd5 AS text_md5 FROM kept2)
           ORDER BY doc_id""",
+    // Replays every Gopher rule with the same integer cross-multiplied
+    // decisions; the stop list comes from the same Scala constant.
+    "x59_gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id, text,
+                 list_filter($duckToks, x -> x <> '') AS w,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                   x -> trim(x)), x -> x <> '') AS ls
+               FROM documents),
+              sig AS (SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                   AS BIGINT) AS sum_word_len,
+                 CAST((length(text) - length(replace(text, '#', ''))) +
+                   ((length(text) - length(replace(text, '...', ''))) // 3)
+                   AS BIGINT) AS n_symbols,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(ls, l -> left(l, 1) IN ('-', '*')))
+                   AS BIGINT) AS n_bullet_lines,
+                 CAST(len(list_filter(ls, l -> right(l, 3) = '...'))
+                   AS BIGINT) AS n_ellipsis_lines,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS BIGINT) AS n_alpha_words,
+                 CAST(len(list_intersect(list_distinct(w),
+                   ${duckList(graft.llm.TextAnalysis.gopherStopWords)}))
+                   AS BIGINT) AS n_stop_words
+               FROM base)
+          SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines,
+                 n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+                 n_stop_words,
+                 (n_words BETWEEN 50 AND 100000
+                  AND 3 * n_words <= sum_word_len
+                  AND sum_word_len <= 10 * n_words
+                  AND 10 * n_symbols <= n_words
+                  AND 10 * n_bullet_lines <= 9 * n_lines
+                  AND 10 * n_ellipsis_lines <= 3 * n_lines
+                  AND 5 * n_alpha_words >= 4 * n_words
+                  AND n_stop_words >= 2) AS pass
+          FROM sig ORDER BY doc_id""",
+    // Replays the C4 line classifier with the identical first-failing-
+    // rule precedence chain.
+    "x60_c4_clean" ->
+      s"""WITH ls AS (SELECT doc_id,
+                 list_transform(string_split(text, chr(10)), x -> trim(x))
+                   AS l
+               FROM documents)
+          SELECT doc_id,
+                 CAST(len(l) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(l, x -> $duckC4Keep)) AS BIGINT)
+                   AS n_kept,
+                 CAST(len(list_filter(l, x -> $duckC4Brace)) AS BIGINT)
+                   AS n_brace,
+                 CAST(len(list_filter(l, x -> NOT $duckC4Brace
+                   AND $duckC4Boiler)) AS BIGINT) AS n_boiler,
+                 CAST(len(list_filter(l, x -> NOT $duckC4Brace
+                   AND NOT $duckC4Boiler AND $duckC4Words < 3)) AS BIGINT)
+                   AS n_short,
+                 CAST(len(list_filter(l, x -> NOT $duckC4Brace
+                   AND NOT $duckC4Boiler AND $duckC4Words >= 3
+                   AND NOT $duckC4PunctOk)) AS BIGINT) AS n_nopunct,
+                 -- coalesce: array_to_string of an EMPTY list is NULL in
+                 -- DuckDB, while Spark's array_join yields '' — a doc
+                 -- with no surviving lines must md5('') on both sides
+                 md5(coalesce(array_to_string(list_filter(l,
+                   x -> $duckC4Keep), chr(10)), '')) AS clean_md5
+          FROM ls ORDER BY doc_id""",
     "x27_len_quantiles" ->
       s"""WITH ws AS (SELECT source, doc_id,
                              CAST(len($duckToks) AS BIGINT) AS nt

@@ -769,6 +769,68 @@ class LlmSpec extends SparkSpec {
     assert(w2(1L) > w2(2L) && w2(2L) > w2(3L), w2.toString)
   }
 
+  test("gopherRules: each rule binds on a crafted violator and a healthy " +
+    "doc passes all of them") {
+    import spark.implicits._
+    val healthy = (("the cat sat on the mat and it was that happy to " +
+      "have a warm day with plenty of good food to be eaten now ") * 2).trim
+    val docs = Seq(
+      1L -> healthy,                                  // passes everything
+      2L -> "the of and",                             // too few words
+      3L -> healthy.replace("cat", "c"),              // still passes (len band wide)
+      4L -> (healthy + " " + Seq.fill(20)("#").mkString(" ")), // symbol ratio
+      5L -> (Seq.fill(10)("- bullet line with the of and that be to have " +
+        "with more words").mkString("\n")),           // 100% bullet lines
+      6L -> (healthy + "\n" + Seq.fill(9)("trailing thought...").mkString("\n")),
+      7L -> (healthy + " " + Seq.fill(30)("12345").mkString(" ")), // alpha frac
+      8L -> ("purely unusual vocabulary stream without common glue words " +
+        Seq.fill(50)("zyx").mkString(" "))             // stop-word rule
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "healthy doc must pass")
+    assert(!got(2L) && !got(4L) && !got(5L) && !got(6L) && !got(7L) &&
+      !got(8L))
+    // integer signals line up with a hand count on a tiny case
+    val row = TextAnalysis.gopherRules(
+        Seq(9L -> "- one...\nplain # line...\n\nthe end").toDF("doc_id", "text"),
+        "text", "doc_id")
+      .head()
+    assert(row.getLong(1) === 7L)  // n_words (7 nonempty tokens)
+    assert(row.getLong(3) === 3L)  // n_symbols: one '#', two '...'
+    assert(row.getLong(4) === 3L)  // n_lines: empty line dropped
+    assert(row.getLong(5) === 1L)  // bullet line
+    assert(row.getLong(6) === 2L)  // '...'-ending lines
+  }
+
+  test("c4Clean: lines classify by first failing rule and the cleaned " +
+    "text is exactly the kept lines") {
+    import spark.implicits._
+    val text = Seq(
+      "This sentence is perfectly fine.",        // kept
+      "function f() { return 1; }",              // brace
+      "Enable JavaScript to view this page.",    // boiler (after no brace)
+      "Lorem ipsum dolor sit amet { x }",        // brace wins over boiler
+      "Too short.",                              // short (2 words)
+      "This line has no terminal punctuation",   // nopunct
+      "",                                        // short (empty)
+      "Another good sentence stays right here!"  // kept
+    ).mkString("\n")
+    val out = Corpus.c4Clean(Seq(1L -> text).toDF("doc_id", "text"),
+      "text", "doc_id").head()
+    assert(out.getLong(1) === 8L) // n_lines
+    assert(out.getLong(2) === 2L) // n_kept
+    assert(out.getLong(3) === 2L) // n_brace (incl. the lorem+brace line)
+    assert(out.getLong(4) === 1L) // n_boiler
+    assert(out.getLong(5) === 2L) // n_short
+    assert(out.getLong(6) === 1L) // n_nopunct
+    val expected = "This sentence is perfectly fine.\n" +
+      "Another good sentence stays right here!"
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getString(7) === md5hex)
+  }
+
   test("cluster representatives propagate across multi-hop components") {
     // chain 1-2-3 (needs 2 hops), pair 5-6, singleton-free
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
