@@ -42,6 +42,51 @@ object Privacy {
     regexp_replace(i, phonePattern, "<PHONE>")
   }
 
+  /** Candidate payment-card numbers: 13–19 digits with optional single
+    * space/dash separators, word-bounded. Recall-first shape shared by
+    * both regex engines; [[luhnValid]] then verifies the checksum so a
+    * random digit run does not count as a card. */
+  val cardCandidatePattern = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn checksum (ISO/IEC 7812) of a candidate card string as pure
+    * Column algebra — separators stripped, digits processed from the
+    * right, every second digit doubled (minus 9 past 9), valid iff the
+    * sum is ≡ 0 (mod 10). Integer arithmetic end-to-end, so the DuckDB
+    * oracle replays it exactly. */
+  def luhnValid(number: Column): Column = {
+    val d = reverse(regexp_replace(number, "[ -]", ""))
+    val sum = aggregate(
+      transform(sequence(lit(1), length(d)), i => {
+        val dig = d.substr(i, lit(1)).cast("int")
+        val v = when(i % 2 === 0, dig * 2).otherwise(dig)
+        when(v > 9, v - 9).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    sum % 10 === 0
+  }
+
+  /** Per-document card profile: `n_card_candidates` (regex hits) and
+    * `n_cards` (candidates that pass the Luhn check) — detection is
+    * recall-first, the checksum restores precision. Row-local like the
+    * rest of the module. */
+  def cardStats(df: DataFrame, textCol: String): DataFrame = {
+    // group 0 = the whole match: the pattern is deliberately group-free,
+    // and Spark's regexp_extract_all defaults to group 1
+    val cands =
+      regexp_extract_all(col(textCol), lit(cardCandidatePattern), lit(0))
+    df.withColumn("n_card_candidates", size(cands).cast("long"))
+      .withColumn("n_cards",
+        size(filter(cands, c => luhnValid(c))).cast("long"))
+  }
+
+  /** Mask every card CANDIDATE (validated or not) — corpus scrubbing is
+    * recall-first and tolerates over-masking, matching the module
+    * stance. Not part of [[redact]]'s default chain (whose staged
+    * email→IP→phone contract existing audits pin); compose explicitly
+    * where card scrubbing is wanted. */
+  def redactCardCandidates(text: Column): Column =
+    regexp_replace(text, cardCandidatePattern, "<CARD>")
+
   /** Per-document PII profile: appends `n_emails`, `n_phones`, `n_ips`
     * and the redacted text (as `redacted`) to `df`.
     *

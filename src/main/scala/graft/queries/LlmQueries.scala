@@ -749,6 +749,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Payment-card detection with Luhn verification (the x9 PII family):
+    // recall-first regex candidates + the ISO 7812 checksum in pure
+    // integer Column algebra. A valid test number is planted on doc_id %
+    // 3 (spaced groups) and an off-by-one INVALID one on doc_id % 5 —
+    // candidates count both, n_cards only the checksummed ones.
+    "x61_card_luhn" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" card 4532 0151 1283 0366 ok")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" ref 4532015112830367 end")).otherwise(lit("")))
+          .as("text"))
+      graft.llm.Privacy.cardStats(aug, "text")
+        .select("doc_id", "n_card_candidates", "n_cards")
+        .orderBy("doc_id")
+    }),
+
     // Exact per-source token-length quantiles (p50/p90/p99/max) by rank —
     // no approx-percentile sketches (engine-specific, not replayable):
     // the value at rank ceil(q·n) under the deterministic (n_tokens, id)
@@ -2471,6 +2489,30 @@ object LlmQueries {
                  md5(coalesce(array_to_string(list_filter(l,
                    x -> $duckC4Keep), chr(10)), '')) AS clean_md5
           FROM ls ORDER BY doc_id""",
+    // Replays candidate extraction (group 0, same RE2/Java-safe shape)
+    // and the Luhn sum digit-for-digit in integer arithmetic.
+    "x61_card_luhn" -> {
+      val digit = "CAST(substr(d, CAST(i AS INTEGER), 1) AS INTEGER)"
+      s"""WITH aug AS (SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0
+                     THEN ' card 4532 0151 1283 0366 ok' ELSE '' END
+                      || CASE WHEN doc_id % 5 = 0
+                     THEN ' ref 4532015112830367 end' ELSE '' END AS text
+               FROM documents),
+              cand AS (SELECT doc_id, list_transform(
+                 regexp_extract_all(text, '\\b(?:\\d[ -]?){12,18}\\d\\b'),
+                 c -> reverse(regexp_replace(c, '[ -]', '', 'g'))) AS ds
+               FROM aug)
+          SELECT doc_id,
+                 CAST(len(ds) AS BIGINT) AS n_card_candidates,
+                 CAST(len(list_filter(ds, d ->
+                   list_sum(list_transform(range(1, length(d) + 1),
+                     i -> CASE WHEN i % 2 = 0
+                            THEN CASE WHEN 2 * $digit > 9
+                                 THEN 2 * $digit - 9 ELSE 2 * $digit END
+                            ELSE $digit END)) % 10 = 0)) AS BIGINT)
+                   AS n_cards
+          FROM cand ORDER BY doc_id""" },
     "x27_len_quantiles" ->
       s"""WITH ws AS (SELECT source, doc_id,
                              CAST(len($duckToks) AS BIGINT) AS nt

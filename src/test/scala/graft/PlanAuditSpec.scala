@@ -64,6 +64,18 @@ class PlanAuditSpec extends SparkSpec {
       s"x9 shuffles beyond the output sort: $exchanges")
   }
 
+  test("x59/x60 corpus filters are row-local: shuffle-free except the " +
+    "deterministic output sort") {
+    Seq("x59_gopher_rules", "x60_c4_clean").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val exchanges = "Exchange [a-z]+partitioning"
+        .r.findAllIn(df.queryExecution.executedPlan.toString).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$name shuffles beyond the output sort: $exchanges")
+    }
+  }
+
   test("x11/x12 small sides (bench grams, df table) broadcast under AQE") {
     Seq("x11_decontam", "x12_tfidf").foreach { name =>
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

@@ -27,6 +27,32 @@ class PrivacySpec extends SparkSpec {
     assert(out(3).getString(3) == "<EMAIL> <EMAIL> <PHONE> <IP>")
   }
 
+  test("cards: Luhn validation separates real numbers from digit noise " +
+    "across formats and lengths") {
+    val df = Seq(
+      (1L, "pay with 4532015112830366 today"),           // 16-digit valid
+      (2L, "pay with 4532 0151 1283 0366 today"),        // spaced, valid
+      (3L, "pay with 4532-0151-1283-0366 today"),        // dashed, valid
+      (4L, "pay with 4532015112830367 today"),           // off-by-one invalid
+      (5L, "amex 378282246310005 visa13 4222222222222"), // 15 + 13 digit valid
+      (6L, "order 1234567890123456 is not a card"),      // 16-digit invalid
+      (7L, "short 123-456-7890 run and 12345 digits"),   // too short: no cand
+      (8L, "no digits at all here")
+    ).toDF("id", "text")
+    val out = Privacy.cardStats(df, "text").orderBy("id")
+      .select("n_card_candidates", "n_cards")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (1L, 1L), (1L, 1L), (1L, 0L),
+      (2L, 2L), (1L, 0L), (0L, 0L), (0L, 0L)))
+    // recall-first masking covers every candidate, valid or not
+    val masked = df.orderBy("id")
+      .select(Privacy.redactCardCandidates(col("text")))
+      .as[String].collect()
+    assert(masked(0) === "pay with <CARD> today")
+    assert(masked(5) === "order <CARD> is not a card")
+    assert(masked(7) === "no digits at all here")
+  }
+
   test("pii: email redaction runs before the ipv4 pass can chew its host") {
     // a dotted-numeric mail host: the email pass must own the whole match,
     // and the counts must agree with the placeholders (the IP-shaped local
