@@ -649,6 +649,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF-PQ with exact re-ranking (Jégou et al. TPAMI 2011 §V — the
+    * "IVFADC+R" pattern): run [[ivfPqTopK]] for `refineK` candidates,
+    * then re-score ONLY those survivors with exact cosine over the raw
+    * vectors and keep the true top `k`. This is the standard accuracy
+    * knob: ADC quantization error is bought back for `refineK`·|queries|
+    * full-vector reads — an id-keyed equi-join against the corpus, never
+    * a rescan — so the refine stage costs candidate-set work however
+    * large the corpus is. With every cell probed and `refineK` ≥ the
+    * corpus it degenerates to exactly [[cosineTopK]] (LlmSpec pins it).
+    *
+    * @return (query_id, neighbor_id, rank) — rank 1..k per query by
+    *         exact cosine over the ADC candidate set; ties to the lower
+    *         neighbor id */
+  def ivfPqTopKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, refineK: Int = 50, nlist: Int = 8,
+      nProbe: Int = 2, m: Int = 4, ksub: Int = 16, dims: Int = 64)
+      : DataFrame = {
+    require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, refineK,
+      nlist, nProbe, m, ksub, dims)
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("_cos", cosine(col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH
     * bucketing (same-bucket candidates only — never all pairs). Sign
     * buckets wider than `maxBucketSize` are dropped before the self-join

@@ -347,6 +347,18 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ with exact re-ranking (IVFADC+R): a7's candidate list at
+    // refineK=30, re-scored with exact cosine over the raw vectors of
+    // only those survivors — the accuracy knob that buys back ADC
+    // quantization error with an id-keyed join, never a corpus rescan.
+    "a15_ivfpq_refined" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKRefined(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, refineK = 30, nlist = 8,
+          nProbe = 2, m = 4, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // SemDeDup-style semantic dedup: within deterministic IVF cells,
     // every vector with a lower-id cosine-0.99 neighbor is flagged with
     // its keeper. Three exact duplicates are planted (vec_id + 100000,
@@ -765,6 +777,30 @@ object LlmQueries {
       graft.llm.Privacy.cardStats(aug, "text")
         .select("doc_id", "n_card_candidates", "n_cards")
         .orderBy("doc_id")
+    }),
+
+    // Per-source tokenizer fertility: BPE tokens per whitespace word and
+    // chars per BPE token — the tokenizer-efficiency report (a fertility
+    // jump on one source flags content the merge table compresses badly).
+    // Integer sums per source + ONE division per output column, so the
+    // doubles hash-match bit-for-bit (the x29 rule); the tokenizer is the
+    // same x56 codegen replace chain with the same merge constants.
+    "x62_bpe_fertility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          length(col("text")).cast("long").as("_nc"),
+          size(filter(graft.llm.Dedup.tokens(col("text")),
+            w => w =!= "")).cast("long").as("_nw"),
+          size(graft.llm.Bpe.tokenizeCol(col("text"), BpeMerges))
+            .cast("long").as("_nt"))
+        .groupBy("source")
+        .agg(sum("_nc").as("n_chars"), sum("_nw").as("n_words"),
+          sum("_nt").as("n_tokens"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens"))
+        .orderBy("source")
     }),
 
     // Exact per-source token-length quantiles (p50/p90/p99/max) by rank —
@@ -1936,6 +1972,61 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    // a7's generated chain at refineK=30, then exact-cosine re-rank of
+    // just those candidates (the a1 cosine formula) — IVFADC+R replayed.
+    "a15_ivfpq_refined" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              sv AS (SELECT vec_id, v,
+                       v[1:16] || [1.0] AS v0, v[17:32] || [1.0] AS v1,
+                       v[33:48] || [1.0] AS v2, v[49:64] || [1.0] AS v3
+                     FROM e),
+              ps AS (SELECT vec_id, $duckIvfProjs AS cp,
+                       ${duckPqProjs(0)} AS s0, ${duckPqProjs(1)} AS s1,
+                       ${duckPqProjs(2)} AS s2, ${duckPqProjs(3)} AS s3
+                     FROM sv),
+              enc AS (SELECT vec_id,
+                        CAST(list_position(cp, list_max(cp)) AS INTEGER) - 1 AS cell,
+                        CAST(list_position(s0, list_max(s0)) AS INTEGER) - 1 AS c0,
+                        CAST(list_position(s1, list_max(s1)) AS INTEGER) - 1 AS c1,
+                        CAST(list_position(s2, list_max(s2)) AS INTEGER) - 1 AS c2,
+                        CAST(list_position(s3, list_max(s3)) AS INTEGER) - 1 AS c3
+                      FROM ps),
+              qp AS (SELECT vec_id AS query_id, cp, s0, s1, s2, s3
+                     FROM ps WHERE vec_id < 5),
+              pr AS (SELECT query_id, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cp[CAST(i AS INTEGER)] DESC,
+                                                   i ASC) AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       q.s0[c.c0 + 1] + q.s1[c.c1 + 1]
+                       + q.s2[c.c2 + 1] + q.s3[c.c3 + 1] AS adc
+                     FROM enc c
+                     JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id
+                     JOIN qp q ON q.query_id = p.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, neighbor_id) AS rn
+                    FROM sc),
+              ref AS (SELECT cand.query_id, cand.neighbor_id,
+                        list_sum(list_transform(range(1, 65),
+                          i -> c.v[i] * q.v[i])) /
+                        (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                         sqrt(list_sum(list_transform(q.v, x -> x*x)))) AS cos
+                      FROM (SELECT query_id, neighbor_id FROM r
+                            WHERE rn <= 30) cand
+                      JOIN e c ON c.vec_id = cand.neighbor_id
+                      JOIN e q ON q.vec_id = cand.query_id),
+              rr AS (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                         AS rn
+                     FROM ref)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM rr WHERE rn <= 10 ORDER BY query_id, rank""",
     "a8_semantic_dedup" ->
       s"""WITH e0 AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2513,6 +2604,26 @@ object LlmQueries {
                             ELSE $digit END)) % 10 = 0)) AS BIGINT)
                    AS n_cards
           FROM cand ORDER BY doc_id""" },
+    "x62_bpe_fertility" ->
+      s"""WITH per AS (SELECT source,
+                 CAST(length(text) AS BIGINT) AS nc,
+                 CAST(len(list_filter($duckToks, w -> w <> ''))
+                   AS BIGINT) AS nw,
+                 CAST(len(flatten(list_transform(
+                   list_filter(string_split_regex(lower(text),
+                     '[\\s\\x0b]+'), w -> w <> ''),
+                   w -> list_filter(string_split($duckBpeChain, ' '),
+                                    x -> x <> '')))) AS BIGINT) AS nt
+               FROM documents),
+              agg AS (SELECT source, sum(nc) AS n_chars, sum(nw) AS n_words,
+                        sum(nt) AS n_tokens
+                      FROM per GROUP BY source)
+          SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(n_words AS BIGINT) AS n_words,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_tokens AS DOUBLE) / n_words AS fertility,
+                 CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+          FROM agg ORDER BY source""",
     "x27_len_quantiles" ->
       s"""WITH ws AS (SELECT source, doc_id,
                              CAST(len($duckToks) AS BIGINT) AS nt

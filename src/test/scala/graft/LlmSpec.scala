@@ -700,6 +700,35 @@ class LlmSpec extends SparkSpec {
     assert(!stub.decode_ok)     // ...and it is flagged for quarantine
   }
 
+  test("ivfPqTopKRefined: degenerates to exact cosineTopK with every " +
+    "cell probed and full refine, and never loses recall vs plain ADC") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // full probe + full refine ⇒ the ADC stage only reorders; exact
+    // re-rank restores the true ranking bit-for-bit
+    val n = e.count().toInt
+    val full = Similarity.ivfPqTopKRefined(e, q, "vec_id", "embedding",
+      k = 10, refineK = n, nlist = 8, nProbe = 8)
+    assert(pairs(full) === pairs(
+      Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id", "rank")))
+    // recall@10 vs exact: refined >= unrefined at the a15 parameters
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .count(exact.contains)
+    val adc = recall(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 10,
+      nlist = 8, nProbe = 2))
+    val refined = recall(Similarity.ivfPqTopKRefined(e, q, "vec_id",
+      "embedding", 10, refineK = 30, nlist = 8, nProbe = 2))
+    assert(refined >= adc,
+      s"refine lowered recall: $refined < $adc of ${exact.size}")
+  }
+
   test("dsirWeights matches a driver-side reference on the real corpus " +
     "and ranks target-like docs above unrelated ones") {
     import spark.implicits._
