@@ -164,6 +164,30 @@ object GraftExtensions {
         plan(graft.llm.Corpus.packChunks(
           SparkSession.active.table(lit2str(args(0), u)),
           lit2int(args(1), u)))
+      },
+      "gopher_rules" -> { args =>
+        val u = "usage: gopher_rules('table', 'text_col', 'id_col')"
+        require(args.length == 3, u)
+        val Seq(t, tc, ic) = args.map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.gopherRules(
+          SparkSession.active.table(t), tc, ic))
+      },
+      "c4_clean" -> { args =>
+        val u =
+          "usage: c4_clean('table', 'text_col', 'id_col'[, min_line_words])"
+        require(args.length == 3 || args.length == 4, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Corpus.c4Clean(SparkSession.active.table(t), tc, ic,
+          minLineWords = args.lift(3).map(lit2int(_, u)).getOrElse(3)))
+      },
+      "dsir_weights" -> { args =>
+        val u = "usage: dsir_weights('raw_table', 'target_table', " +
+          "'text_col', 'id_col'[, buckets])"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(rt, tt, tc, ic) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Corpus.dsirWeights(s.table(rt), s.table(tt), tc, ic,
+          buckets = args.lift(4).map(lit2int(_, u)).getOrElse(1024)))
       })
 
   private[graft] def buildRegexFirstMatch(args: Seq[Expression]): Expression = {

@@ -148,8 +148,10 @@ object StreamOps {
   }
 
   /** The batch pipeline's per-document gates composed into ONE
-    * [[DeltaStep]]: quality floor → benchmark decontamination →
-    * incremental dedup → optional PII redaction — the streaming form of
+    * [[DeltaStep]]: quality floor → optional Gopher rule suite
+    * ([[graft.llm.TextAnalysis.gopherRules]], per-document and therefore
+    * streaming-decidable) → benchmark decontamination → incremental
+    * dedup → optional PII redaction — the streaming form of
     * [[graft.llm.Pipeline.buildTrainingCorpus]] for every stage that is
     * decidable per document. Drive it with [[durableIngestDedup]]:
     * contaminated, low-quality, and duplicate docs then never land in
@@ -169,17 +171,26 @@ object StreamOps {
   def corpusIngestStep(dedup: DeltaStep, textCol: String, idCol: String,
       minQuality: Double = 0.0, bench: Option[DataFrame] = None,
       decontamK: Int = 8, redactPii: Boolean = false,
-      stopwords: Seq[String] = graft.llm.TextAnalysis.langMarkers.head._2)
-      : DeltaStep = {
+      stopwords: Seq[String] = graft.llm.TextAnalysis.langMarkers.head._2,
+      gopherFilter: Boolean = false): DeltaStep = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
     val benchGrams = bench.map(b => graft.operators.Lineage.cut(
       graft.llm.Dedup.shingleRows(b, textCol, idCol, decontamK)
         .select(col("s")).distinct()))
     (batch, prior) => {
-      val gated =
+      val qGated =
         if (minQuality <= 0.0) batch
         else batch.filter(graft.llm.TextAnalysis
           .qualityScore(col(textCol), stopwords) >= minQuality)
+      // optional Gopher rule suite (per-document, so streaming-decidable):
+      // the certified operator supplies the verdict, an id-keyed semi
+      // join applies it — batch-sized work, same as the quality gate
+      val gated =
+        if (!gopherFilter) qGated
+        else qGated.join(
+          graft.llm.TextAnalysis.gopherRules(qGated, textCol, idCol)
+            .filter(col("pass")).select(idCol),
+          Seq(idCol), "left_semi")
       val clean = benchGrams.fold(gated) { g =>
         val hit = graft.llm.Dedup.shingleRows(gated, textCol, idCol, decontamK)
           .join(broadcast(g), Seq("s"), "left_semi")

@@ -104,6 +104,21 @@ class DurableIngestSpec extends SparkSpec {
     assert(stateIds === Set(1L, 2L, 4L))
   }
 
+  test("corpusIngestStep: the optional Gopher gate drops rule violators " +
+    "on ingest and is off by default") {
+    // passes every Gopher rule: 50+ words, healthy lengths, stop words
+    val good = (("the cat sat on the mat and it was that happy to have " +
+      "a warm day with plenty of good food to be eaten now ") * 2).trim
+    val short = "the of and" // fails the 50-word floor
+    val in = docs(1L -> good, 2L -> short)
+    val on = StreamOps.corpusIngestStep(exactStep, "text", "doc_id",
+      gopherFilter = true)(in, None)
+    assert(on.kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    val off = StreamOps.corpusIngestStep(exactStep, "text", "doc_id")(in, None)
+    assert(off.kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L))
+  }
+
   test("corpusIngestStep: quality, decontamination, dedup, and redaction " +
     "compose into one continuous ingest gate") {
     val out = tmp("cis_out"); val st = tmp("cis_state")

@@ -20,11 +20,15 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("SQL TVF surface: dedup/ANN/corpus operators equal the Scala API") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "text")
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.select("doc_id", "text")
+    val raw = all.filter(col("source") =!= "src0").select("doc_id", "text")
+    val tgt = all.filter(col("source") === "src0").select("doc_id", "text")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
     docs.createOrReplaceTempView("tvf_docs")
+    raw.createOrReplaceTempView("tvf_raw")
+    tgt.createOrReplaceTempView("tvf_tgt")
     emb.createOrReplaceTempView("tvf_emb")
     q.createOrReplaceTempView("tvf_q")
     Corpus.chunkDocuments(docs, "text", "doc_id", 16)
@@ -49,6 +53,13 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM pack_chunks('tvf_chunks', 64)",
         Corpus.packChunks(
           Corpus.chunkDocuments(docs, "text", "doc_id", 16), 64))
+      check("SELECT * FROM gopher_rules('tvf_docs', 'text', 'doc_id')",
+        graft.llm.TextAnalysis.gopherRules(docs, "text", "doc_id"))
+      check("SELECT * FROM c4_clean('tvf_docs', 'text', 'doc_id', 4)",
+        Corpus.c4Clean(docs, "text", "doc_id", minLineWords = 4))
+      check("SELECT * FROM dsir_weights('tvf_raw', 'tvf_tgt', 'text', " +
+          "'doc_id')",
+        Corpus.dsirWeights(raw, tgt, "text", "doc_id"))
       // TVF output composes with ordinary SQL (filter + projection on top)
       val n = spark.sql("SELECT keep_id FROM dedup_exact('tvf_docs', " +
         "'text', 'doc_id') WHERE keep_id < 100").count()
@@ -60,7 +71,7 @@ class SqlSurfaceSpec extends SparkSpec {
       }
       assert(err.getMessage.contains("usage: dedup_minhash"))
     } finally {
-      Seq("tvf_docs", "tvf_emb", "tvf_q", "tvf_chunks")
+      Seq("tvf_docs", "tvf_raw", "tvf_tgt", "tvf_emb", "tvf_q", "tvf_chunks")
         .foreach(spark.catalog.dropTempView)
     }
   }
