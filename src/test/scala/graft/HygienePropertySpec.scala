@@ -100,4 +100,66 @@ class HygienePropertySpec extends SparkSpec {
       assert(r.getAs[String]("redacted") == r.getAs[String]("text"))
     }
   }
+
+  // messy-text generator for the line-level filters: words, '#'/'...'
+  // symbols, bullets, braces, boilerplate markers, blank lines, CRLF-ish
+  // whitespace — the shapes the classification rules branch on
+  private def messyLine(): String = {
+    val words = (0 until rnd.nextInt(7)).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val decorated = rnd.nextInt(10) match {
+      case 0 => "- " + words.mkString(" ")
+      case 1 => words.mkString(" ") + "..."
+      case 2 => words.mkString(" ") + " { code }"
+      case 3 => "lorem ipsum " + words.mkString(" ")
+      case 4 => words.mkString(" ") + " javascript"
+      case 5 => "   " + words.mkString("  ") + "   "
+      case 6 => words.mkString(" ") + " # tag"
+      case 7 => ""
+      case _ => words.mkString(" ") + (if (rnd.nextBoolean()) "." else "")
+    }
+    decorated
+  }
+  private def messyText(): String =
+    (0 until 1 + rnd.nextInt(8)).map(_ => messyLine()).mkString("\n")
+
+  test("c4Clean: the four drop classes plus kept PARTITION the line set, " +
+    "and the md5 matches a reference replay, on random messy docs") {
+    val docs = (1L to 60L).map(i => (i, messyText()))
+    val out = Corpus.c4Clean(docs.toDF("id", "text"), "text", "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    docs.foreach { case (id, text) =>
+      val (nl, nk, nb, nboil, ns, np, md5got) = out(id)
+      assert(nk + nb + nboil + ns + np === nl, s"doc $id classes don't partition")
+      // reference replay of the precedence chain
+      val lines = text.split("\n", -1).map(_.trim)
+      def brace(l: String) = l.contains("{")
+      def boiler(l: String) =
+        l.toLowerCase.contains("lorem ipsum") || l.toLowerCase.contains("javascript")
+      def words(l: String) = l.split("\\s+", -1).count(_.nonEmpty)
+      def punctOk(l: String) =
+        l.nonEmpty && ".!?\"".contains(l.last)
+      val kept = lines.filter(l =>
+        !brace(l) && !boiler(l) && words(l) >= 3 && punctOk(l))
+      assert(nk === kept.length.toLong, s"doc $id kept")
+      val md5exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(md5got === md5exp, s"doc $id cleaned md5")
+    }
+  }
+
+  test("gopherRules: signal invariants hold on random messy docs") {
+    val docs = (1L to 60L).map(i => (i, messyText())).toDF("id", "text")
+    TextAnalysis.gopherRules(docs, "text", "id").collect().foreach { r =>
+      val (nw, sl, _, nl, nbul, nell, nalpha, nstop) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(sl >= nw, "every word has at least one char")
+      assert(nbul <= nl && nell <= nl, "line classes bounded by line count")
+      assert(nalpha <= nw, "alpha words bounded by word count")
+      assert(nstop <= TextAnalysis.gopherStopWords.size.toLong)
+    }
+  }
 }
