@@ -1026,6 +1026,20 @@ object Corpus {
     *
     * @return (idCol, n_feats, target_mass, raw_mass, weight)
     */
+  /** Top-`k` raw documents by [[dsirWeights]] log-likelihood ratio
+    * (weight desc, id asc) — the selection step of DSIR. Global top-k via
+    * sort-and-limit (Spark's TakeOrdered — per-partition heaps + a
+    * k-row driver merge, never a single-partition window), so selection
+    * costs one corpus pass at any size. Returns the full weight row for
+    * each keeper, ordered by the selection rank. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, k: Int, buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    dsirWeights(raw, target, textCol, idCol, buckets)
+      .orderBy(col("weight").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets ($buckets) must be positive")

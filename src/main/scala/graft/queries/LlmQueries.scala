@@ -741,6 +741,26 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Hashed-feature target-affinity SELECTION: top 100 training docs by
+    // target_mass/raw_mass over the x58 DSIR sufficient statistics — the
+    // ratio-heuristic sibling of the log-likelihood selection
+    // (Corpus.dsirSelect, whose float weight stays spec-certified). The
+    // affinity key is ONE IEEE division of two certified BIGINTs, so the
+    // ordering — and the emitted key — is bit-reproducible cross-engine.
+    "x63_affinity_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.Corpus.dsirWeights(
+          d.filter(col("source") =!= "src0").select("doc_id", "text"),
+          d.filter(col("source") === "src0").select("doc_id", "text"),
+          "text", "doc_id")
+        .withColumn("affinity",
+          col("target_mass").cast("double") / col("raw_mass"))
+        .orderBy(col("affinity").desc, col("doc_id").asc)
+        .limit(100)
+        .select("doc_id", "target_mass", "raw_mass", "affinity")
+        .orderBy("doc_id")
+    }),
+
     // Gopher/MassiveWeb quality-rule suite (Rae et al. 2021 A1.1): the
     // standard web-corpus heuristic filter, one row-local pass. Every
     // ratio rule is an integer cross-multiplication, so the oracle
@@ -1234,6 +1254,33 @@ object LlmQueries {
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))"""
+
+  /** Shared CTE prefix of the x58/x63 DSIR oracles: hashed-bigram bucket
+    * features of the non-src0 training docs vs the src0 target, both
+    * distributions, and the per-doc integer sufficient statistics as a
+    * `stats(doc_id, n_feats, target_mass, raw_mass)` relation. */
+  private val duckDsirStats: String =
+    s"""rw AS (SELECT doc_id, $duckToks AS w FROM documents
+               WHERE source <> 'src0'),
+              tw AS (SELECT $duckToks AS w FROM documents
+                     WHERE source = 'src0'),
+              rg AS (SELECT doc_id,
+                       ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                           FROM rw WHERE len(w) >= 2)),
+              db AS (SELECT doc_id, b, count(*) AS m FROM rg GROUP BY 1, 2),
+              rdist AS (SELECT b, sum(m) AS rc FROM db GROUP BY b),
+              tg AS (SELECT ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT w, unnest(range(1, len(w))) AS i
+                           FROM tw WHERE len(w) >= 2)),
+              tdist AS (SELECT b, count(*) AS tc FROM tg GROUP BY b),
+              stats AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+                          CAST(sum(m * coalesce(tc, 0)) AS BIGINT)
+                            AS target_mass,
+                          CAST(sum(m * rc) AS BIGINT) AS raw_mass
+                        FROM db JOIN rdist USING (b)
+                        LEFT JOIN tdist USING (b)
+                        GROUP BY doc_id)"""
 
   // C4 line-classifier fragments over lambda variable `x` (one trimmed
   // line) — the same predicates and precedence Corpus.c4Clean compiles
@@ -2441,25 +2488,19 @@ object LlmQueries {
     // Replays the DSIR machinery in integer space: same md5 bucket fold
     // (duckHex32), same bigram features, same add-nothing count joins.
     "x58_dsir" ->
-      s"""WITH rw AS (SELECT doc_id, $duckToks AS w FROM documents
-                      WHERE source <> 'src0'),
-              tw AS (SELECT $duckToks AS w FROM documents
-                     WHERE source = 'src0'),
-              rg AS (SELECT doc_id,
-                       ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
-                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
-                           FROM rw WHERE len(w) >= 2)),
-              db AS (SELECT doc_id, b, count(*) AS m FROM rg GROUP BY 1, 2),
-              rdist AS (SELECT b, sum(m) AS rc FROM db GROUP BY b),
-              tg AS (SELECT ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
-                     FROM (SELECT w, unnest(range(1, len(w))) AS i
-                           FROM tw WHERE len(w) >= 2)),
-              tdist AS (SELECT b, count(*) AS tc FROM tg GROUP BY b)
-          SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
-                 CAST(sum(m * coalesce(tc, 0)) AS BIGINT) AS target_mass,
-                 CAST(sum(m * rc) AS BIGINT) AS raw_mass
-          FROM db JOIN rdist USING (b) LEFT JOIN tdist USING (b)
-          GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $duckDsirStats
+          SELECT doc_id, n_feats, target_mass, raw_mass
+          FROM stats ORDER BY doc_id""",
+    // The x58 statistics ranked by ONE IEEE division (bit-reproducible
+    // on exact BIGINT inputs), top 100 with an id tie-break.
+    "x63_affinity_select" ->
+      s"""WITH $duckDsirStats,
+              sel AS (SELECT doc_id, target_mass, raw_mass,
+                        CAST(target_mass AS DOUBLE) / raw_mass AS affinity
+                      FROM stats
+                      ORDER BY affinity DESC, doc_id ASC LIMIT 100)
+          SELECT doc_id, target_mass, raw_mass, affinity
+          FROM sel ORDER BY doc_id""",
     // Replays the composed ingest gate per batch: quality (x1 formula) →
     // bench-4-gram decontamination (x14's stage-5 shape) → exact dedup
     // (within-batch min-id, then batch 2 vs batch 1's hash state — x28's

@@ -796,6 +796,10 @@ class LlmSpec extends SparkSpec {
     val w2 = Corpus.dsirWeights(raw2, target2, "text", "doc_id")
       .select("doc_id", "weight").as[(Long, Double)].collect().toMap
     assert(w2(1L) > w2(2L) && w2(2L) > w2(3L), w2.toString)
+    // selection = the weight table's top-k under (weight desc, id asc)
+    val sel = Corpus.dsirSelect(raw2, target2, "text", "doc_id", k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sel === Seq(1L, 2L))
   }
 
   test("gopherRules: each rule binds on a crafted violator and a healthy " +
