@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract invariants that need no SparkSession: the declared
+  * query surface and its oracle table must stay in lockstep. A query
+  * without an oracle silently degrades to the driver's weaker rows-only
+  * check — this spec turns that degradation into a red test naming the
+  * query. */
+class ContractSpec extends AnyFunSuite {
+
+  test("every declared query has an oracle, and every oracle has a query") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val unoracled = queries -- oracles
+    val orphaned = oracles -- queries
+    assert(unoracled.isEmpty,
+      s"queries without an oracle (rows-only degradation): " +
+        unoracled.toSeq.sorted.mkString(", "))
+    assert(orphaned.isEmpty,
+      s"oracles without a query (dead SQL): " +
+        orphaned.toSeq.sorted.mkString(", "))
+  }
+
+  test("query names are unique across the three query modules") {
+    // SparkEntry merges three maps — a duplicated name would silently
+    // shadow an earlier module's query and its oracle
+    val all = Seq(
+      graft.queries.ReferenceQueries.queries.keySet,
+      graft.queries.EngineQueries.queries.keySet,
+      graft.queries.LlmQueries.queries.keySet)
+    val dupes = all.flatten.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty,
+      s"query name collides across modules: ${dupes.toSeq.sorted.mkString(", ")}")
+  }
+}
