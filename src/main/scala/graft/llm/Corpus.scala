@@ -1026,6 +1026,18 @@ object Corpus {
     *
     * @return (idCol, n_feats, target_mass, raw_mass, weight)
     */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val db = graft.operators.Lineage.cut(
+      dsirBucketRows(raw, textCol, Some(idCol), buckets)
+        .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m")))
+    val rdist = graft.operators.Lineage.cut(
+      db.groupBy("_b").agg(sum("_m").as("_rc")))
+    dsirScore(db, rdist, dsirTargetDist(target, textCol, buckets),
+      idCol, buckets)
+  }
+
   /** Top-`k` raw documents by [[dsirWeights]] log-likelihood ratio
     * (weight desc, id asc) — the selection step of DSIR. Global top-k via
     * sort-and-limit (Spark's TakeOrdered — per-partition heaps + a
@@ -1040,29 +1052,66 @@ object Corpus {
       .limit(k)
   }
 
-  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
-      idCol: String, buckets: Int = 1024): DataFrame = {
+  /** Incremental DSIR — [[dsirWeights]] on a stream of ingest batches:
+    * each batch is scored against the raw-bucket distribution accumulated
+    * over EVERYTHING ingested so far (this batch included, so a one-batch
+    * run equals the batch operator exactly), and the state carried
+    * forward is that distribution — a `buckets`-row count table, never
+    * corpus text. Curries to the [[graft.streaming.StreamOps.DeltaStep]]
+    * shape via `(b, p) => dsirDelta(b, target, ..., p)` with `kept` = the
+    * scored batch, so `durableIngestDedup` drives it unchanged; weights
+    * drift as the raw pool grows, which is the defined semantics of
+    * scoring against the raw distribution so far (a backfill rescores
+    * with the final state when exact batch parity matters).
+    *
+    * @return kept = this batch's weight rows (idCol, n_feats,
+    *         target_mass, raw_mass, weight); state = cumulative (_b, _rc)
+    */
+  def dsirDelta(batch: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, priorCounts: Option[DataFrame] = None,
+      buckets: Int = 1024): Dedup.DeltaState = {
     require(buckets > 0, s"buckets ($buckets) must be positive")
-    def bucketRows(df: DataFrame, keepId: Boolean): DataFrame = {
-      val base =
-        if (keepId) df.select(col(idCol), col(textCol))
-        else df.select(col(textCol))
-      base.withColumn("_tk", Dedup.tokens(col(textCol)))
-        .filter(size(col("_tk")) >= 2)
-        .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
-        .select((if (keepId) Seq(col(idCol)) else Nil) :+
-          (Hashing.hex32(concat_ws(" ",
-            element_at(col("_tk"), col("_p")),
-            element_at(col("_tk"), col("_p") + 1))) % buckets).as("_b"): _*)
-    }
     val db = graft.operators.Lineage.cut(
-      bucketRows(raw, keepId = true)
+      dsirBucketRows(batch, textCol, Some(idCol), buckets)
         .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m")))
+    val batchDist = db.groupBy("_b").agg(sum("_m").as("_rc"))
     val rdist = graft.operators.Lineage.cut(
-      db.groupBy("_b").agg(sum("_m").as("_rc")))
-    val tdist = graft.operators.Lineage.cut(
-      bucketRows(target, keepId = false)
+      priorCounts.fold(batchDist)(prior =>
+        prior.select(col("_b"), col("_rc")).unionByName(batchDist)
+          .groupBy("_b").agg(sum("_rc").as("_rc"))))
+    val scored = dsirScore(db, rdist,
+      dsirTargetDist(target, textCol, buckets), idCol, buckets)
+    Dedup.DeltaState(scored, rdist)
+  }
+
+  /** One hashed-bigram bucket row per feature occurrence of `df` —
+    * the shared feature extraction of the DSIR family. */
+  private def dsirBucketRows(df: DataFrame, textCol: String,
+      keepId: Option[String], buckets: Int): DataFrame = {
+    val base = keepId.fold(df.select(col(textCol)))(id =>
+      df.select(col(id), col(textCol)))
+    base.withColumn("_tk", Dedup.tokens(col(textCol)))
+      .filter(size(col("_tk")) >= 2)
+      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
+      .select(keepId.map(col).toSeq :+
+        (Hashing.hex32(concat_ws(" ",
+          element_at(col("_tk"), col("_p")),
+          element_at(col("_tk"), col("_p") + 1))) % buckets).as("_b"): _*)
+  }
+
+  /** Target bucket-count table (_b, _tc) — `buckets`-row, lineage-cut. */
+  private def dsirTargetDist(target: DataFrame, textCol: String,
+      buckets: Int): DataFrame =
+    graft.operators.Lineage.cut(
+      dsirBucketRows(target, textCol, None, buckets)
         .groupBy("_b").agg(count(lit(1)).as("_tc")))
+
+  /** The DSIR scoring join + rollup over per-doc bucket counts `db`
+    * (idCol, _b, _m), a raw distribution `rdist` (_b, _rc) and a target
+    * distribution `tdist` (_b, _tc) — both distributions broadcast,
+    * normalization totals on a 1-row broadcast. */
+  private def dsirScore(db: DataFrame, rdist: DataFrame, tdist: DataFrame,
+      idCol: String, buckets: Int): DataFrame = {
     val consts = tdist.agg(coalesce(sum("_tc"), lit(0L)).as("_T"))
       .crossJoin(rdist.agg(coalesce(sum("_rc"), lit(0L)).as("_R")))
     db.join(broadcast(rdist), Seq("_b"))

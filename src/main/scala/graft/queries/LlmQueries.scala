@@ -741,6 +741,27 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL DSIR (the x28/x55 two-batch protocol for data
+    // selection): batch 1 scores against its own raw-bucket distribution,
+    // batch 2 against the CUMULATIVE state (batch 1 + batch 2 counts) —
+    // certifying the state accumulation in exact integer space. The float
+    // weight stays out of the oracle per the x58 rule.
+    "x64_dsir_delta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val target = d.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val raw = d.filter(col("source") =!= "src0").select("doc_id", "text")
+      val s1 = graft.llm.Corpus.dsirDelta(
+        raw.filter(col("doc_id") < 250), target, "text", "doc_id")
+      val s2 = graft.llm.Corpus.dsirDelta(
+        raw.filter(col("doc_id") >= 250), target, "text", "doc_id",
+        Some(s1.state))
+      def shape(st: graft.llm.Dedup.DeltaState, b: Int) =
+        st.kept.select(col("doc_id"), lit(b).as("batch"), col("n_feats"),
+          col("target_mass"), col("raw_mass"))
+      shape(s1, 0).unionByName(shape(s2, 1)).orderBy("doc_id")
+    }),
+
     // Hashed-feature target-affinity SELECTION: top 100 training docs by
     // target_mass/raw_mass over the x58 DSIR sufficient statistics — the
     // ratio-heuristic sibling of the log-likelihood selection
@@ -2491,6 +2512,43 @@ object LlmQueries {
       s"""WITH $duckDsirStats
           SELECT doc_id, n_feats, target_mass, raw_mass
           FROM stats ORDER BY doc_id""",
+    // Replays both delta steps: batch-1 stats against batch-1's own
+    // bucket distribution, batch-2 stats against the cumulative one.
+    "x64_dsir_delta" ->
+      s"""WITH rw AS (SELECT doc_id, $duckToks AS w FROM documents
+                      WHERE source <> 'src0'),
+              tw AS (SELECT $duckToks AS w FROM documents
+                     WHERE source = 'src0'),
+              rg AS (SELECT doc_id,
+                       ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                           FROM rw WHERE len(w) >= 2)),
+              db AS (SELECT doc_id, b, count(*) AS m FROM rg GROUP BY 1, 2),
+              tg AS (SELECT ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT w, unnest(range(1, len(w))) AS i
+                           FROM tw WHERE len(w) >= 2)),
+              tdist AS (SELECT b, count(*) AS tc FROM tg GROUP BY b),
+              d1 AS (SELECT * FROM db WHERE doc_id < 250),
+              r1 AS (SELECT b, sum(m) AS rc FROM d1 GROUP BY b),
+              rall AS (SELECT b, sum(m) AS rc FROM db GROUP BY b),
+              s1 AS (SELECT doc_id, 0 AS batch,
+                       CAST(sum(m) AS BIGINT) AS n_feats,
+                       CAST(sum(m * coalesce(tc, 0)) AS BIGINT)
+                         AS target_mass,
+                       CAST(sum(m * rc) AS BIGINT) AS raw_mass
+                     FROM d1 JOIN r1 USING (b) LEFT JOIN tdist USING (b)
+                     GROUP BY doc_id),
+              d2 AS (SELECT * FROM db WHERE doc_id >= 250),
+              s2 AS (SELECT doc_id, 1 AS batch,
+                       CAST(sum(m) AS BIGINT) AS n_feats,
+                       CAST(sum(m * coalesce(tc, 0)) AS BIGINT)
+                         AS target_mass,
+                       CAST(sum(m * rc) AS BIGINT) AS raw_mass
+                     FROM d2 JOIN rall USING (b) LEFT JOIN tdist USING (b)
+                     GROUP BY doc_id)
+          SELECT doc_id, batch, n_feats, target_mass, raw_mass FROM
+            (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+          ORDER BY doc_id""",
     // The x58 statistics ranked by ONE IEEE division (bit-reproducible
     // on exact BIGINT inputs), top 100 with an id tie-break.
     "x63_affinity_select" ->

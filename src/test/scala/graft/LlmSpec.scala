@@ -802,6 +802,37 @@ class LlmSpec extends SparkSpec {
     assert(sel === Seq(1L, 2L))
   }
 
+  test("dsirDelta: a single batch equals the batch operator exactly, and " +
+    "the carried state is the cumulative raw distribution") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = d.filter(col("source") === "src0").select("doc_id", "text")
+    val raw = d.filter(col("source") =!= "src0").select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_feats", "target_mass", "raw_mass", "weight")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // one batch, no prior ⇒ identical to dsirWeights (weight included)
+    val one = Corpus.dsirDelta(raw, target, "text", "doc_id")
+    assert(rows(one.kept) ===
+      rows(Corpus.dsirWeights(raw, target, "text", "doc_id")))
+    // two batches: final state = the full corpus's bucket distribution
+    val s1 = Corpus.dsirDelta(raw.filter(col("doc_id") < 250),
+      target, "text", "doc_id")
+    val s2 = Corpus.dsirDelta(raw.filter(col("doc_id") >= 250),
+      target, "text", "doc_id", Some(s1.state))
+    def dist(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_b").cast("long"), col("_rc").cast("long"))
+        .as[(Long, Long)].collect().toMap
+    assert(dist(s2.state) === dist(one.state))
+    // batch-2 docs are scored against the cumulative distribution: their
+    // raw_mass must match the batch operator run on the FULL corpus
+    val fullStats = Corpus.dsirWeights(raw, target, "text", "doc_id")
+      .select("doc_id", "raw_mass").as[(Long, Long)].collect().toMap
+    s2.kept.select("doc_id", "raw_mass").as[(Long, Long)].collect()
+      .foreach { case (id, rm) =>
+        assert(rm === fullStats(id), s"doc $id raw_mass vs full corpus") }
+  }
+
   test("gopherRules: each rule binds on a crafted violator and a healthy " +
     "doc passes all of them") {
     import spark.implicits._
