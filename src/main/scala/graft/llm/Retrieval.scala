@@ -112,6 +112,50 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(topK > 0, s"topK ($topK) must be positive")
+    bm25BatchScores(docs, textCol, idCol, queries, queryIdCol,
+      queryTextCol, k1, b)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Hard-negative mining for retrieval/embedding training: the top-k
+    * BM25-ranked documents per query AFTER removing the known-relevant
+    * pairs — the highest-scoring documents that should NOT match, which
+    * contrastive training needs far more than random negatives. Ranks
+    * are assigned over the full non-relevant candidate set (anti-join
+    * BEFORE the per-query window), so the result is exact however many
+    * relevant docs dominate the raw ranking — not a filtered top-k'.
+    *
+    * Scale shape: [[bm25BatchTopK]]'s one-corpus-pass scoring plus one
+    * anti-join on (query, doc) keyed by the query — both shuffles sized
+    * by the match set, never the corpus.
+    *
+    * @param relevant (queryIdCol, idCol) known-relevant pairs to exclude
+    * @return (queryIdCol, idCol, score, n_matched, rank 1..topK)
+    */
+  def hardNegatives(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      relevant: DataFrame, topK: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(topK > 0, s"topK ($topK) must be positive")
+    bm25BatchScores(docs, textCol, idCol, queries, queryIdCol,
+      queryTextCol, k1, b)
+      .join(relevant.select(col(queryIdCol), col(idCol)).distinct(),
+        Seq(queryIdCol, idCol), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rank") <= topK)
+  }
+
+  /** The shared batch-BM25 scoring pipeline: per-(query, doc) summed
+    * score + matched-term count, no ranking — [[bm25BatchTopK]] and
+    * [[hardNegatives]] put their own window on top. */
+  private def bm25BatchScores(docs: DataFrame, textCol: String,
+      idCol: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k1: Double, b: Double): DataFrame = {
     val qTerms = queries.select(col(queryIdCol),
         explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
           .as("_term"))
@@ -139,13 +183,8 @@ object Retrieval {
         (col("_tf") + lit(k1) *
           (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
 
-    val perDoc = scored.groupBy(col(queryIdCol), col(idCol))
+    scored.groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("_s")).as("score"), count(lit(1)).as("n_matched"))
-    perDoc
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryIdCol))
-          .orderBy(col("score").desc, col(idCol).asc)))
-      .filter(col("rank") <= topK)
   }
 
   /** Rank-quality metrics for a retrieval run — the relevance-judged

@@ -741,6 +741,30 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Hard-negative mining for retrieval/embedding training: per query,
+    // the top-10 BM25-ranked docs AFTER removing the known-relevant
+    // pairs (x50's all-terms-containment truth) — ranks assigned over
+    // the full non-relevant candidate set, so the result is exact
+    // however many relevant docs dominate the raw ranking.
+    "x66_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val qs = BatchQueries.toDF("query_id", "qtext")
+      val qTerms = qs.select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("w"))
+      val nTerms = qTerms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
+      val docTerms = docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+      val truth = docTerms.join(broadcast(qTerms), Seq("w"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_hit"))
+        .join(broadcast(nTerms), Seq("query_id"))
+        .filter(col("_hit") === col("_nq"))
+        .select("query_id", "doc_id")
+      Retrieval.hardNegatives(docs, "text", "doc_id", qs, "query_id",
+          "qtext", truth, topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // INCREMENTAL DSIR (the x28/x55 two-batch protocol for data
     // selection): batch 1 scores against its own raw-bucket distribution,
     // batch 2 against the CUMULATIVE state (batch 1 + batch 2 counts) —
@@ -2898,6 +2922,48 @@ object LlmQueries {
                       row_number() OVER (PARTITION BY query_id
                         ORDER BY score DESC, doc_id) AS rank
                     FROM agg)
+          SELECT query_id, doc_id, score, n_matched, rank
+          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // x49's scoring chain + x50's truth, anti-joined BEFORE the rank
+    // window so ranks cover the full non-relevant candidate set.
+    "x66_hard_negatives" ->
+      s"""WITH q AS (SELECT * FROM (VALUES $duckBatchQueryValues)
+                     AS t(query_id, qtext)),
+              qt AS (SELECT DISTINCT query_id,
+                       unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+                     FROM q),
+              vocab AS (SELECT DISTINCT term FROM qt),
+              nq AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+              ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              tm AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
+              tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tm
+                     JOIN vocab USING (term) GROUP BY 1, 2, 3),
+              dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+              st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM ws),
+              scored AS (SELECT qt.query_id, tf.doc_id,
+                       ln(1.0 + (st.n - dfq.dfn + 0.5) / (dfq.dfn + 0.5)) *
+                         (tf.tf * (1.2 + 1.0)) /
+                         (tf.tf + 1.2 * ((1.0 - 0.75) +
+                            0.75 * tf.dl / st.avgdl)) AS s
+                     FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+                     CROSS JOIN st),
+              agg AS (SELECT query_id, doc_id, sum(s) AS score,
+                        count(*) AS n_matched
+                      FROM scored GROUP BY 1, 2),
+              dt AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM ws),
+              truth AS (SELECT qt.query_id, dt.doc_id
+                        FROM dt JOIN qt USING (term)
+                        JOIN nq USING (query_id)
+                        GROUP BY qt.query_id, dt.doc_id, nq.nq
+                        HAVING count(*) = nq.nq),
+              neg AS (SELECT a.* FROM agg a
+                      WHERE NOT EXISTS (SELECT 1 FROM truth t
+                        WHERE t.query_id = a.query_id
+                          AND t.doc_id = a.doc_id)),
+              r AS (SELECT query_id, doc_id, score, n_matched,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rank
+                    FROM neg)
           SELECT query_id, doc_id, score, n_matched, rank
           FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     "x50_retrieval_eval" ->

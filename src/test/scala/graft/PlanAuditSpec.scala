@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     // broadcasts into the topN (≤ 20) hottest keys — both sides bounded
     "x49_bm25_batch", // x22's 1-row corpus-stats broadcast, batch variant
     "x50_retrieval_eval", // composes x49's ranking — same 1-row broadcast
+    "x66_hard_negatives", // x49's scoring pipeline — same 1-row broadcast
     "x58_dsir", // x22's pattern again: the 1-row (T, R) normalization
     // totals broadcast into the per-doc rollup — both sides bounded
     "x63_affinity_select", // built on the x58 scoring join, same 1-row

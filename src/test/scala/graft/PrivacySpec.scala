@@ -169,6 +169,39 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: relevant pairs are excluded BEFORE ranking, ranks " +
+    "stay contiguous, and no-relevant queries match plain bm25") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat near the door today fine"),
+      (2L, "zebra cat sat on the mat near the door today"),
+      (3L, "zebra zebra zebra runs far away from here now then"),
+      (4L, "unrelated words entirely filling this document with noise here"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "zebra"), (20L, "noise")).toDF("query_id", "qtext")
+    // doc 3 is the top zebra hit and is marked relevant — the #1 hard
+    // negative must become the NEXT-best zebra doc at rank 1, not rank 2
+    val relevant = Seq((10L, 3L)).toDF("query_id", "doc_id")
+    val neg = graft.llm.Retrieval.hardNegatives(docs, "text", "doc_id",
+        qs, "query_id", "qtext", relevant, topK = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank")))
+    assert(!neg.contains((10L, 3L, 1)) &&
+      !neg.exists(t => t._1 == 10L && t._2 == 3L), "relevant doc leaked")
+    assert(neg.filter(_._1 == 10L).map(_._3).toSeq === Seq(1),
+      "ranks not contiguous after exclusion")
+    assert(neg.find(_._1 == 10L).get._2 === 2L,
+      "next-best doc must take rank 1")
+    // a query with no relevant pairs degenerates to the plain ranking
+    val plain = graft.llm.Retrieval.bm25BatchTopK(docs, "text", "doc_id",
+        qs, "query_id", "qtext", topK = 4)
+      .filter(col("query_id") === 20L)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toSet
+    val negQ20 = neg.filter(_._1 == 20L).map(t => (t._2, t._3)).toSet
+    assert(negQ20 === plain)
+  }
+
   test("retrieval eval: rr, first rank, hits@k, and empty-retrieval rows") {
     import spark.implicits._
     val ranked = Seq(
