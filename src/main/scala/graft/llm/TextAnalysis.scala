@@ -218,6 +218,38 @@ object TextAnalysis {
         col("pass"))
   }
 
+  /** URL pattern shared verbatim by Java and RE2: scheme + every char to
+    * the next whitespace (recall-first; trailing punctuation stays part
+    * of the PATH, never the domain, so domain stats are unaffected). */
+  val urlPattern = "https?://[^\\s\\x0B]+"
+
+  /** One row per URL occurrence: (idCol, url, domain) — domain is the
+    * canonicalized host (lowercased, leading `www.` and an explicit
+    * `:port` stripped), the key domain blocklists and per-domain caps
+    * operate on. Row-local regex work; compose with
+    * [[domainReport]] / `capPerStratumBy(domain)` / an anti-join against
+    * a blocklist downstream. */
+  def urlDomains(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val host = regexp_extract(col("url"), "^https?://([^/?#]+)", 1)
+    df.select(col(idCol),
+        explode(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit(urlPattern), lit(0))).as("url"))
+      .withColumn("domain",
+        regexp_replace(regexp_replace(lower(host), "^www\\.", ""),
+          ":\\d+$", ""))
+  }
+
+  /** Per-domain corpus report: URL occurrences and distinct documents —
+    * the measurement behind domain caps and blocklist curation. One
+    * domain-keyed aggregate over the (doc, url) rows. */
+  def domainReport(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    urlDomains(df, textCol, idCol)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Per-language marker-word lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small — the operator shape (score per
     * language, argmax with deterministic tie-break) is the point. */

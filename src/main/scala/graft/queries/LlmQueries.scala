@@ -741,6 +741,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-domain URL report (web-corpus curation: the measurement behind
+    // domain blocklists and per-domain caps): URLs planted
+    // deterministically — mixed case, www. prefixes, explicit ports,
+    // query strings — then extracted, canonicalized, and aggregated.
+    "x65_url_domains" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, concat(
+            lit(" visit https://WWW.Site"), col("doc_id") % 5,
+            lit(".example.com/a?b=1 or http://cdn.site"), col("doc_id") % 5,
+            lit(".example.com:8080/x"))).otherwise(lit("")))
+          .as("text"))
+      graft.llm.TextAnalysis.domainReport(aug, "text", "doc_id")
+        .orderBy("domain")
+    }),
+
     // Hard-negative mining for retrieval/embedding training: per query,
     // the top-10 BM25-ranked docs AFTER removing the known-relevant
     // pairs (x50's all-terms-containment truth) — ranks assigned over
@@ -2924,6 +2940,29 @@ object LlmQueries {
                     FROM agg)
           SELECT query_id, doc_id, score, n_matched, rank
           FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Replays the planted-URL augmentation, extraction, and the
+    // lowercase/www/port canonicalization chain.
+    "x65_url_domains" ->
+      s"""WITH aug AS (SELECT doc_id,
+                 text || CASE WHEN doc_id % 4 = 0
+                   THEN ' visit https://WWW.Site' || (doc_id % 5)
+                        || '.example.com/a?b=1 or http://cdn.site'
+                        || (doc_id % 5) || '.example.com:8080/x'
+                   ELSE '' END AS text
+               FROM documents),
+              u AS (SELECT doc_id,
+                      unnest(regexp_extract_all(text,
+                        'https?://[^\\s\\x0b]+')) AS url
+                    FROM aug),
+              d AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(
+                        lower(regexp_extract(url,
+                          '^https?://([^/?#]+)', 1)),
+                        '^www\\.', ''), ':\\d+$$', '') AS domain
+                    FROM u)
+          SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM d GROUP BY domain ORDER BY domain""",
     // x49's scoring chain + x50's truth, anti-joined BEFORE the rank
     // window so ranks cover the full non-relevant candidate set.
     "x66_hard_negatives" ->

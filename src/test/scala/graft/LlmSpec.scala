@@ -895,6 +895,28 @@ class LlmSpec extends SparkSpec {
     assert(out.getString(7) === md5hex)
   }
 
+  test("urlDomains canonicalizes case/www/ports and the report counts " +
+    "urls and distinct docs per domain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://WWW.Example.COM/path?q=1 and " +
+        "http://example.com:8080/x plus https://sub.example.com/y"),
+      (2L, "no urls at all in this document"),
+      (3L, "dup https://example.com/a then https://example.com/b"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.urlDomains(docs, "text", "doc_id")
+      .select("doc_id", "domain").as[(Long, String)].collect().toSeq
+    assert(rows.count(_ == (1L, "example.com")) === 2) // www + port stripped
+    assert(rows.contains((1L, "sub.example.com")))
+    assert(!rows.exists(_._1 == 2L))
+    val report = TextAnalysis.domainReport(docs, "text", "doc_id")
+      .select("domain", "n_urls", "n_docs")
+      .as[(String, Long, Long)].collect()
+      .map { case (d, u, n) => d -> ((u, n)) }.toMap
+    assert(report("example.com") === ((4L, 2L)))
+    assert(report("sub.example.com") === ((1L, 1L)))
+  }
+
   test("cluster representatives propagate across multi-hop components") {
     // chain 1-2-3 (needs 2 hops), pair 5-6, singleton-free
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
