@@ -180,6 +180,20 @@ object GraftExtensions {
         plan(graft.llm.Corpus.c4Clean(SparkSession.active.table(t), tc, ic,
           minLineWords = args.lift(3).map(lit2int(_, u)).getOrElse(3)))
       },
+      "url_domains" -> { args =>
+        val u = "usage: url_domains('table', 'text_col', 'id_col')"
+        require(args.length == 3, u)
+        val Seq(t, tc, ic) = args.map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.urlDomains(
+          SparkSession.active.table(t), tc, ic))
+      },
+      "domain_report" -> { args =>
+        val u = "usage: domain_report('table', 'text_col', 'id_col')"
+        require(args.length == 3, u)
+        val Seq(t, tc, ic) = args.map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.domainReport(
+          SparkSession.active.table(t), tc, ic))
+      },
       "dsir_weights" -> { args =>
         val u = "usage: dsir_weights('raw_table', 'target_table', " +
           "'text_col', 'id_col'[, buckets])"

@@ -60,6 +60,10 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM dsir_weights('tvf_raw', 'tvf_tgt', 'text', " +
           "'doc_id')",
         Corpus.dsirWeights(raw, tgt, "text", "doc_id"))
+      check("SELECT * FROM url_domains('tvf_docs', 'text', 'doc_id')",
+        graft.llm.TextAnalysis.urlDomains(docs, "text", "doc_id"))
+      check("SELECT * FROM domain_report('tvf_docs', 'text', 'doc_id')",
+        graft.llm.TextAnalysis.domainReport(docs, "text", "doc_id"))
       // TVF output composes with ordinary SQL (filter + projection on top)
       val n = spark.sql("SELECT keep_id FROM dedup_exact('tvf_docs', " +
         "'text', 'doc_id') WHERE keep_id < 100").count()
