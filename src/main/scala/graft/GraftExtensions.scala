@@ -38,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Also exposes the north-star LLM-pipeline operators as TVFs under the
   * same contract (see [[GraftExtensions.llmTvfs]] for signatures):
   * `dedup_exact`, `dedup_minhash`, `cosine_topk`, `ivf_topk`,
-  * `chunk_docs`, `pack_chunks` — e.g.
+  * `chunk_docs`, `pack_chunks`, `gopher_rules`, `c4_clean`,
+  * `url_domains`, `domain_report`, `dsir_weights` — e.g.
   * {{{
   *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
   *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
@@ -95,7 +96,12 @@ object GraftExtensions {
 
   private def lit2int(e: Expression, usage: String): Int = e match {
     case Literal(v: java.lang.Integer, IntegerType) => v.intValue
-    case Literal(v: java.lang.Long, LongType) => v.toInt
+    case Literal(v: java.lang.Long, LongType) =>
+      // reject rather than wrap: a BIGINT literal beyond Int range would
+      // otherwise silently truncate (4294967297 -> chunk_size 1)
+      if (v.longValue.isValidInt) v.intValue
+      else throw new IllegalArgumentException(
+        s"$usage — integer literal $v is out of Int range")
     case other => throw new IllegalArgumentException(
       s"$usage — expected an integer literal, got $other")
   }
@@ -104,6 +110,7 @@ object GraftExtensions {
     case Literal(v: java.lang.Double, DoubleType) => v.doubleValue
     case Literal(d: Decimal, _: DecimalType) => d.toDouble
     case Literal(v: java.lang.Integer, IntegerType) => v.doubleValue
+    case Literal(v: java.lang.Long, LongType) => v.doubleValue
     case other => throw new IllegalArgumentException(
       s"$usage — expected a numeric literal, got $other")
   }

@@ -176,6 +176,38 @@ object TextAnalysis {
     *         n_bullet_lines, n_ellipsis_lines, n_alpha_words,
     *         n_stop_words, pass) — raw integer signals + the conjunction
     */
+  /** The [[gopherRules]] conjunction as ONE row-local Column — the form
+    * a streaming gate filters by without materializing the signal table
+    * or paying an id join (Catalyst's subexpression elimination shares
+    * the token/line arrays across the rule terms). HygienePropertySpec
+    * pins it equal to `gopherRules(...)("pass")` on random messy docs. */
+  def gopherPassCol(text: Column, minWords: Long = 50,
+      maxWords: Long = 100000): Column = {
+    val t = coalesce(text, lit(""))
+    val w = filter(tokens(t), x => length(x) > 0)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    def occ(needle: String, width: Int): Column =
+      ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
+        / width).cast("long")
+    val nSym = occ("#", 1) + occ("...", 3)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.substr(lit(1), lit(1)).isin("-", "*"))).cast("long")
+    val nEllipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(w),
+      array(gopherStopWords.map(lit): _*))).cast("long")
+    nWords.between(minWords, maxWords) &&
+      lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords &&
+      lit(10L) * nSym <= nWords &&
+      lit(10L) * nBullet <= lit(9L) * nLines &&
+      lit(10L) * nEllipsis <= lit(3L) * nLines &&
+      lit(5L) * nAlpha >= lit(4L) * nWords &&
+      nStop >= 2L
+  }
+
   def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minWords: Long = 50, maxWords: Long = 100000)
       : org.apache.spark.sql.DataFrame = {
@@ -218,10 +250,12 @@ object TextAnalysis {
         col("pass"))
   }
 
-  /** URL pattern shared verbatim by Java and RE2: scheme + every char to
-    * the next whitespace (recall-first; trailing punctuation stays part
-    * of the PATH, never the domain, so domain stats are unaffected). */
-  val urlPattern = "https?://[^\\s\\x0B]+"
+  /** URL pattern shared verbatim by Java and RE2: scheme (case-
+    * insensitive — shouty spam links are exactly what domain blocklists
+    * must catch) + every char to the next whitespace (recall-first;
+    * trailing punctuation stays part of the PATH, never the domain, so
+    * domain stats are unaffected). */
+  val urlPattern = "(?i)https?://[^\\s\\x0B]+"
 
   /** One row per URL occurrence: (idCol, url, domain) — domain is the
     * canonicalized host (lowercased, leading `www.` and an explicit
@@ -231,7 +265,7 @@ object TextAnalysis {
     * a blocklist downstream. */
   def urlDomains(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {
-    val host = regexp_extract(col("url"), "^https?://([^/?#]+)", 1)
+    val host = regexp_extract(col("url"), "(?i)^https?://([^/?#]+)", 1)
     df.select(col(idCol),
         explode(regexp_extract_all(coalesce(col(textCol), lit("")),
           lit(urlPattern), lit(0))).as("url"))

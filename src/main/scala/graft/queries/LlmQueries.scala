@@ -750,7 +750,7 @@ object LlmQueries {
         concat(col("text"),
           when(col("doc_id") % 4 === 0, concat(
             lit(" visit https://WWW.Site"), col("doc_id") % 5,
-            lit(".example.com/a?b=1 or http://cdn.site"), col("doc_id") % 5,
+            lit(".example.com/a?b=1 or HTTP://cdn.site"), col("doc_id") % 5,
             lit(".example.com:8080/x"))).otherwise(lit("")))
           .as("text"))
       graft.llm.TextAnalysis.domainReport(aug, "text", "doc_id")
@@ -2946,18 +2946,18 @@ object LlmQueries {
       s"""WITH aug AS (SELECT doc_id,
                  text || CASE WHEN doc_id % 4 = 0
                    THEN ' visit https://WWW.Site' || (doc_id % 5)
-                        || '.example.com/a?b=1 or http://cdn.site'
+                        || '.example.com/a?b=1 or HTTP://cdn.site'
                         || (doc_id % 5) || '.example.com:8080/x'
                    ELSE '' END AS text
                FROM documents),
               u AS (SELECT doc_id,
                       unnest(regexp_extract_all(text,
-                        'https?://[^\\s\\x0b]+')) AS url
+                        '(?i)https?://[^\\s\\x0b]+')) AS url
                     FROM aug),
               d AS (SELECT doc_id,
                       regexp_replace(regexp_replace(
                         lower(regexp_extract(url,
-                          '^https?://([^/?#]+)', 1)),
+                          '(?i)^https?://([^/?#]+)', 1)),
                         '^www\\.', ''), ':\\d+$$', '') AS domain
                     FROM u)
           SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,

@@ -183,14 +183,12 @@ object StreamOps {
         else batch.filter(graft.llm.TextAnalysis
           .qualityScore(col(textCol), stopwords) >= minQuality)
       // optional Gopher rule suite (per-document, so streaming-decidable):
-      // the certified operator supplies the verdict, an id-keyed semi
-      // join applies it — batch-sized work, same as the quality gate
+      // one row-local codegen predicate — no second batch scan, no join
+      // (gopherPassCol ≡ gopherRules' pass column, property-spec-pinned)
       val gated =
         if (!gopherFilter) qGated
-        else qGated.join(
-          graft.llm.TextAnalysis.gopherRules(qGated, textCol, idCol)
-            .filter(col("pass")).select(idCol),
-          Seq(idCol), "left_semi")
+        else qGated.filter(
+          graft.llm.TextAnalysis.gopherPassCol(col(textCol)))
       val clean = benchGrams.fold(gated) { g =>
         val hit = graft.llm.Dedup.shingleRows(gated, textCol, idCol, decontamK)
           .join(broadcast(g), Seq("s"), "left_semi")

@@ -161,5 +161,14 @@ class HygienePropertySpec extends SparkSpec {
       assert(nalpha <= nw, "alpha words bounded by word count")
       assert(nstop <= TextAnalysis.gopherStopWords.size.toLong)
     }
+    // the single-Column gate form must agree with the signal table's
+    // verdict row for row (it is what the streaming ingest gate filters by)
+    val viaTable = TextAnalysis.gopherRules(docs, "text", "id")
+      .select("id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaCol = docs.select(col("id"),
+        TextAnalysis.gopherPassCol(col("text")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaCol === viaTable, "gopherPassCol diverged from gopherRules")
   }
 }

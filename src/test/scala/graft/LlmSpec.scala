@@ -902,13 +902,16 @@ class LlmSpec extends SparkSpec {
       (1L, "see https://WWW.Example.COM/path?q=1 and " +
         "http://example.com:8080/x plus https://sub.example.com/y"),
       (2L, "no urls at all in this document"),
-      (3L, "dup https://example.com/a then https://example.com/b"))
+      (3L, "dup https://example.com/a then https://example.com/b"),
+      (4L, "shouty HTTP://WWW.SPAM.EXAMPLE/offer now"))
       .toDF("doc_id", "text")
     val rows = TextAnalysis.urlDomains(docs, "text", "doc_id")
       .select("doc_id", "domain").as[(Long, String)].collect().toSeq
     assert(rows.count(_ == (1L, "example.com")) === 2) // www + port stripped
     assert(rows.contains((1L, "sub.example.com")))
     assert(!rows.exists(_._1 == 2L))
+    // uppercase scheme is still a URL (the blocklist-evasion shape)
+    assert(rows.contains((4L, "spam.example")))
     val report = TextAnalysis.domainReport(docs, "text", "doc_id")
       .select("domain", "n_urls", "n_docs")
       .as[(String, Long, Long)].collect()

@@ -73,10 +73,10 @@ def main(sf_dir, out_dir):
         # Driver comparator goes through numpy dtype coercion — integer-family
         # width mismatches (e.g. a DuckDB HUGEINT sum vs Spark BIGINT) hash
         # differently there even when Python-level values agree. Compare the
-        # Arrow schemas so that class of bug fails locally too.
+        # Arrow schemas (the one fetched above) so that class of bug fails
+        # locally too.
         got_types = dict(zip(got_cols,
-            [str(f.type) for f in con.execute(
-                f"SELECT * FROM '{files[0]}' LIMIT 0").arrow().schema]))
+            [str(f.type) for f in got_schema]))
         exp_types = dict(zip(exp_cols,
             [str(f.type) for f in con.execute(oracles[name]).arrow().schema]))
         INT_FAMILY = {"int8", "int16", "int32", "int64"}
