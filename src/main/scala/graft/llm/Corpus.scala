@@ -1090,7 +1090,11 @@ object Corpus {
       keepId: Option[String], buckets: Int): DataFrame = {
     val base = keepId.fold(df.select(col(textCol)))(id =>
       df.select(col(id), col(textCol)))
-    base.withColumn("_tk", Dedup.tokens(col(textCol)))
+    // empty tokens dropped before the bigram explode: leading/trailing
+    // whitespace must not mint phantom ''-containing features (the same
+    // filter gopherRules and x62 fertility apply)
+    base.withColumn("_tk",
+        filter(Dedup.tokens(col(textCol)), x => length(x) > 0))
       .filter(size(col("_tk")) >= 2)
       .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
       .select(keepId.map(col).toSeq :+

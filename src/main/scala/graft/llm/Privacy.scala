@@ -71,9 +71,11 @@ object Privacy {
     * rest of the module. */
   def cardStats(df: DataFrame, textCol: String): DataFrame = {
     // group 0 = the whole match: the pattern is deliberately group-free,
-    // and Spark's regexp_extract_all defaults to group 1
-    val cands =
-      regexp_extract_all(col(textCol), lit(cardCandidatePattern), lit(0))
+    // and Spark's regexp_extract_all defaults to group 1; null text =
+    // zero candidates (module convention: c4Clean/gopherRules/urlDomains
+    // all coalesce null documents to ''), never NULL counts
+    val cands = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit(cardCandidatePattern), lit(0))
     df.withColumn("n_card_candidates", size(cands).cast("long"))
       .withColumn("n_cards",
         size(filter(cands, c => luhnValid(c))).cast("long"))

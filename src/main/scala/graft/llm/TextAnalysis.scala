@@ -154,6 +154,38 @@ object TextAnalysis {
   val gopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The [[gopherRules]] conjunction as ONE row-local Column — the form
+    * a streaming gate filters by without materializing the signal table
+    * or paying an id join (Catalyst's subexpression elimination shares
+    * the token/line arrays across the rule terms). HygienePropertySpec
+    * pins it equal to `gopherRules(...)("pass")` on random messy docs. */
+  def gopherPassCol(text: Column, minWords: Long = 50,
+      maxWords: Long = 100000, alphaPattern: String = "[a-z]"): Column = {
+    val t = coalesce(text, lit(""))
+    val w = filter(tokens(t), x => length(x) > 0)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    def occ(needle: String, width: Int): Column =
+      ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
+        / width).cast("long")
+    val nSym = occ("#", 1) + occ("...", 3)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.substr(lit(1), lit(1)).isin("-", "*"))).cast("long")
+    val nEllipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike(alphaPattern))).cast("long")
+    val nStop = size(array_intersect(array_distinct(w),
+      array(gopherStopWords.map(lit): _*))).cast("long")
+    nWords.between(minWords, maxWords) &&
+      lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords &&
+      lit(10L) * nSym <= nWords &&
+      lit(10L) * nBullet <= lit(9L) * nLines &&
+      lit(10L) * nEllipsis <= lit(3L) * nLines &&
+      lit(5L) * nAlpha >= lit(4L) * nWords &&
+      nStop >= 2L
+  }
+
   /** Gopher/MassiveWeb document-quality rules (Rae et al. 2021, appendix
     * A1.1) — the standard heuristic filter suite for web-scale LLM
     * corpora, as one row-local codegen pass (no shuffle; the repetition
@@ -169,47 +201,25 @@ object TextAnalysis {
     *    ⟺ 10·n_sym ≤ n_words
     *  - bullet-start lines (`-`/`*`) ≤ 90% and `...`-ending lines ≤ 30%
     *    of nonempty trimmed lines
-    *  - ≥ 80% of words contain an [a-z] character ⟺ 5·n_alpha ≥ 4·n
+    *  - ≥ 80% of words contain an `alphaPattern` character ⟺
+    *    5·n_alpha ≥ 4·n
     *  - ≥ 2 distinct [[gopherStopWords]] present
+    *
+    * The `alphaPattern` default `[a-z]` is FAITHFUL to Rae et al.'s
+    * English-web target — on a multilingual corpus rule 5 drops all
+    * non-Latin text by design. The deployment composition is languageId
+    * (x2) routing FIRST, then a per-language gate: `\\p{L}` (any
+    * Unicode letter) is the permissive setting that keeps Cyrillic/CJK
+    * documents alive, with the stop-word list swapped per language
+    * ([[langMarkers]] has the routing vocabulary).
     *
     * @return (idCol, n_words, sum_word_len, n_symbols, n_lines,
     *         n_bullet_lines, n_ellipsis_lines, n_alpha_words,
     *         n_stop_words, pass) — raw integer signals + the conjunction
     */
-  /** The [[gopherRules]] conjunction as ONE row-local Column — the form
-    * a streaming gate filters by without materializing the signal table
-    * or paying an id join (Catalyst's subexpression elimination shares
-    * the token/line arrays across the rule terms). HygienePropertySpec
-    * pins it equal to `gopherRules(...)("pass")` on random messy docs. */
-  def gopherPassCol(text: Column, minWords: Long = 50,
-      maxWords: Long = 100000): Column = {
-    val t = coalesce(text, lit(""))
-    val w = filter(tokens(t), x => length(x) > 0)
-    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
-    val nWords = size(w).cast("long")
-    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
-    def occ(needle: String, width: Int): Column =
-      ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
-        / width).cast("long")
-    val nSym = occ("#", 1) + occ("...", 3)
-    val nLines = size(lines).cast("long")
-    val nBullet = size(filter(lines,
-      l => l.substr(lit(1), lit(1)).isin("-", "*"))).cast("long")
-    val nEllipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
-    val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
-    val nStop = size(array_intersect(array_distinct(w),
-      array(gopherStopWords.map(lit): _*))).cast("long")
-    nWords.between(minWords, maxWords) &&
-      lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords &&
-      lit(10L) * nSym <= nWords &&
-      lit(10L) * nBullet <= lit(9L) * nLines &&
-      lit(10L) * nEllipsis <= lit(3L) * nLines &&
-      lit(5L) * nAlpha >= lit(4L) * nWords &&
-      nStop >= 2L
-  }
-
   def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String,
-      idCol: String, minWords: Long = 50, maxWords: Long = 100000)
+      idCol: String, minWords: Long = 50, maxWords: Long = 100000,
+      alphaPattern: String = "[a-z]")
       : org.apache.spark.sql.DataFrame = {
     require(minWords >= 0 && maxWords >= minWords,
       s"word-count band [$minWords, $maxWords] is not a band")
@@ -232,7 +242,7 @@ object TextAnalysis {
       .withColumn("n_ellipsis_lines", size(filter(col("_lines"),
         l => l.endsWith("..."))).cast("long"))
       .withColumn("n_alpha_words", size(filter(col("_w"),
-        x => x.rlike("[a-z]"))).cast("long"))
+        x => x.rlike(alphaPattern))).cast("long"))
       .withColumn("n_stop_words",
         size(array_intersect(array_distinct(col("_w")), sw)).cast("long"))
       .withColumn("pass",

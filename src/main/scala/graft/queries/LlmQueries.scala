@@ -708,6 +708,44 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The ingest gate WITH the Gopher stage engaged (w6 runs it off):
+    // quality floor → Gopher rule suite → decontam → incremental dedup →
+    // redaction, composed over the same two-batch replay. The synthetic
+    // corpus contains no Gopher stop words, so the rule-7 vocabulary is
+    // planted on doc_id % 3 == 0 (three distinct stop words) — the gate
+    // then provably SPLITS the surviving stream on the Gopher verdict
+    // instead of passing or dropping everything. Certifies
+    // StreamOps.corpusIngestStep's gopherFilter stage IN COMPOSITION
+    // (x59 certifies the rule suite solo; DurableIngestSpec only pins
+    // the property-level equivalence).
+    "w7_ingest_gate_gopher" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val bench = base.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val train = base.filter(col("source") =!= "src0")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" the data and quality of it all")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit(" contact bob@example.com"))
+            .otherwise(lit(""))).as("text"))
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250).unionByName(
+        b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", minQuality = 0.6, bench = Some(bench),
+        decontamK = 4, redactPii = true, gopherFilter = true)
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"),
+          md5(col("text")).as("text_md5"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch"),
+          md5(col("text")).as("text_md5")))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training END-TO-END: the full argmax + re-merge loop
     // (x39 certifies step-0 pair counts, x56 the apply step with FIXED
     // constants; this certifies the learned merge SEQUENCE itself — the
@@ -1316,14 +1354,43 @@ object LlmQueries {
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))"""
 
+  /** The full Gopher rule conjunction over CTE columns `text` + `w`
+    * (empty-filtered token list) + `ls` (trimmed nonempty lines) — the
+    * identical integer cross-multiplied decisions the x59 oracle makes
+    * per rule, factored as ONE predicate for the w7 ingest-gate replay
+    * (`TextAnalysis.gopherPassCol` with default band). */
+  private def duckGopherPassExpr: String =
+    s"""(len(w) BETWEEN 50 AND 100000
+        AND 3 * len(w) <=
+          coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+        AND coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+          <= 10 * len(w)
+        AND 10 * ((length(text) - length(replace(text, '#', ''))) +
+          ((length(text) - length(replace(text, '...', ''))) // 3))
+          <= len(w)
+        AND 10 * len(list_filter(ls, l -> left(l, 1) IN ('-', '*')))
+          <= 9 * len(ls)
+        AND 10 * len(list_filter(ls, l -> right(l, 3) = '...'))
+          <= 3 * len(ls)
+        AND 5 * len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          >= 4 * len(w)
+        AND len(list_intersect(list_distinct(w),
+          ${duckList(graft.llm.TextAnalysis.gopherStopWords)})) >= 2)"""
+
+  /** Word tokens: [[duckToks]] with empty tokens dropped — the form
+    * `Corpus.dsirBucketRows` (no phantom ''-containing bigram features
+    * from leading whitespace) and `TextAnalysis.gopherPassCol` share. */
+  private val duckWordToks =
+    s"""list_filter($duckToks, x -> x <> '')"""
+
   /** Shared CTE prefix of the x58/x63 DSIR oracles: hashed-bigram bucket
     * features of the non-src0 training docs vs the src0 target, both
     * distributions, and the per-doc integer sufficient statistics as a
     * `stats(doc_id, n_feats, target_mass, raw_mass)` relation. */
   private val duckDsirStats: String =
-    s"""rw AS (SELECT doc_id, $duckToks AS w FROM documents
+    s"""rw AS (SELECT doc_id, $duckWordToks AS w FROM documents
                WHERE source <> 'src0'),
-              tw AS (SELECT $duckToks AS w FROM documents
+              tw AS (SELECT $duckWordToks AS w FROM documents
                      WHERE source = 'src0'),
               rg AS (SELECT doc_id,
                        ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
@@ -2555,9 +2622,9 @@ object LlmQueries {
     // Replays both delta steps: batch-1 stats against batch-1's own
     // bucket distribution, batch-2 stats against the cumulative one.
     "x64_dsir_delta" ->
-      s"""WITH rw AS (SELECT doc_id, $duckToks AS w FROM documents
+      s"""WITH rw AS (SELECT doc_id, $duckWordToks AS w FROM documents
                       WHERE source <> 'src0'),
-              tw AS (SELECT $duckToks AS w FROM documents
+              tw AS (SELECT $duckWordToks AS w FROM documents
                      WHERE source = 'src0'),
               rg AS (SELECT doc_id,
                        ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
@@ -2641,6 +2708,77 @@ object LlmQueries {
                            FROM (SELECT doc_id, $duckToks AS w FROM q2)
                            WHERE len(w) >= 4)),
               c2 AS (SELECT doc_id, text FROM q2
+                     WHERE doc_id NOT IN
+                       (SELECT doc_id FROM g2 JOIN bg USING (g))),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM c2 GROUP BY 1),
+              kept2 AS (SELECT c.doc_id, c.text FROM c2 c
+                        JOIN (SELECT doc_id FROM k2
+                              WHERE h NOT IN (SELECT h FROM state1)) k
+                        USING (doc_id))
+          SELECT doc_id, batch, text_md5 FROM (
+            SELECT doc_id, 0 AS batch, $duckRedactMd5 AS text_md5 FROM kept1
+            UNION ALL
+            SELECT doc_id, 1 AS batch, $duckRedactMd5 AS text_md5 FROM kept2)
+          ORDER BY doc_id""",
+    // w6's chain with the Gopher stage (gq1/gq2, the x59 integer rule
+    // conjunction) inserted between the quality floor and decontam —
+    // exactly where corpusIngestStep applies it — over text with the
+    // rule-7 stop vocabulary planted on doc_id % 3 = 0.
+    "w7_ingest_gate_gopher" ->
+      s"""WITH train AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 3 = 0
+                    THEN ' the data and quality of it all' ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0
+                    THEN ' contact bob@example.com' ELSE '' END AS text
+                FROM documents WHERE source <> 'src0'),
+              bench AS (SELECT text FROM documents WHERE source = 'src0'),
+              bws AS (SELECT $duckToks AS w FROM bench),
+              bg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT w, unnest(range(1, len(w) - 2)) AS i
+                           FROM bws WHERE len(w) >= 4)),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0),
+              q1 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b1)
+                     WHERE $duckQualityExpr >= 0.6),
+              gq1 AS (SELECT doc_id, text FROM
+                        (SELECT doc_id, text, $duckWordToks AS w,
+                           list_filter(list_transform(
+                             string_split(text, chr(10)), x -> trim(x)),
+                             x -> x <> '') AS ls
+                         FROM q1)
+                      WHERE $duckGopherPassExpr),
+              g1 AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM (SELECT doc_id, $duckToks AS w FROM gq1)
+                           WHERE len(w) >= 4)),
+              c1 AS (SELECT doc_id, text FROM gq1
+                     WHERE doc_id NOT IN
+                       (SELECT doc_id FROM g1 JOIN bg USING (g))),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM c1 GROUP BY md5(text)),
+              kept1 AS (SELECT c.doc_id, c.text FROM c1 c JOIN k1 USING (doc_id)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM c1),
+              q2 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b2)
+                     WHERE $duckQualityExpr >= 0.6),
+              gq2 AS (SELECT doc_id, text FROM
+                        (SELECT doc_id, text, $duckWordToks AS w,
+                           list_filter(list_transform(
+                             string_split(text, chr(10)), x -> trim(x)),
+                             x -> x <> '') AS ls
+                         FROM q2)
+                      WHERE $duckGopherPassExpr),
+              g2 AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM (SELECT doc_id, $duckToks AS w FROM gq2)
+                           WHERE len(w) >= 4)),
+              c2 AS (SELECT doc_id, text FROM gq2
                      WHERE doc_id NOT IN
                        (SELECT doc_id FROM g2 JOIN bg USING (g))),
               k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id

@@ -172,7 +172,9 @@ object StreamOps {
       minQuality: Double = 0.0, bench: Option[DataFrame] = None,
       decontamK: Int = 8, redactPii: Boolean = false,
       stopwords: Seq[String] = graft.llm.TextAnalysis.langMarkers.head._2,
-      gopherFilter: Boolean = false): DeltaStep = {
+      gopherFilter: Boolean = false, gopherMinWords: Long = 50,
+      gopherMaxWords: Long = 100000,
+      gopherAlphaPattern: String = "[a-z]"): DeltaStep = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
     val benchGrams = bench.map(b => graft.operators.Lineage.cut(
       graft.llm.Dedup.shingleRows(b, textCol, idCol, decontamK)
@@ -187,8 +189,8 @@ object StreamOps {
       // (gopherPassCol ≡ gopherRules' pass column, property-spec-pinned)
       val gated =
         if (!gopherFilter) qGated
-        else qGated.filter(
-          graft.llm.TextAnalysis.gopherPassCol(col(textCol)))
+        else qGated.filter(graft.llm.TextAnalysis.gopherPassCol(
+          col(textCol), gopherMinWords, gopherMaxWords, gopherAlphaPattern))
       val clean = benchGrams.fold(gated) { g =>
         val hit = graft.llm.Dedup.shingleRows(gated, textCol, idCol, decontamK)
           .join(broadcast(g), Seq("s"), "left_semi")

@@ -171,4 +171,40 @@ class HygienePropertySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(viaCol === viaTable, "gopherPassCol diverged from gopherRules")
   }
+
+  test("gopherRules alphaPattern knob: non-Latin docs drop under the " +
+    "faithful [a-z] default and pass under \\p{L}") {
+    // Cyrillic and CJK bodies that satisfy every OTHER rule: 60 words of
+    // healthy length, no bullets/ellipses/symbols, and two planted
+    // English stop words (the per-language stop-list swap is the
+    // remaining deployment knob — see the gopherRules scaladoc).
+    def body(words: Seq[String]) =
+      (Seq.fill(60)(words).flatten.take(58) ++ Seq("the", "of"))
+        .mkString(" ")
+    val docs = Seq(
+      1L -> body(Seq("привет", "мира", "хорошо", "денек")),
+      2L -> body(Seq("这是测试", "数据质量", "非常好的")))
+      .toDF("id", "text")
+    val byId = TextAnalysis.gopherRules(docs, "text", "id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    byId.values.foreach { r =>
+      assert(r.getAs[Long]("n_alpha_words") === 2L,
+        "default [a-z]: only the planted Latin stop words count as alpha")
+      assert(!r.getAs[Boolean]("pass"),
+        "default [a-z] drops non-Latin text (rule 5) by design")
+    }
+    val perm = TextAnalysis.gopherRules(docs, "text", "id",
+      alphaPattern = "\\p{L}").collect()
+    perm.foreach { r =>
+      assert(r.getAs[Long]("n_alpha_words") === r.getAs[Long]("n_words"),
+        "\\p{L}: every word counts as alpha")
+      assert(r.getAs[Boolean]("pass"),
+        "permissive pattern keeps Cyrillic/CJK docs alive")
+    }
+    // the single-Column gate form honors the same knob
+    val viaCol = docs.select(col("id"), TextAnalysis.gopherPassCol(
+        col("text"), alphaPattern = "\\p{L}").as("p")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaCol.values.forall(identity), viaCol.toString)
+  }
 }

@@ -732,11 +732,12 @@ class LlmSpec extends SparkSpec {
   test("dsirWeights matches a driver-side reference on the real corpus " +
     "and ranks target-like docs above unrelated ones") {
     import spark.implicits._
-    // driver-side reference: identical tokenization (split(-1) keeps the
-    // trailing-empty semantics of Spark's split), identical md5 bucket
-    // fold, add-1-smoothed log-likelihood ratio
+    // driver-side reference: identical tokenization (Spark split, then
+    // empty tokens dropped — the dsirBucketRows filter), identical md5
+    // bucket fold, add-1-smoothed log-likelihood ratio
     def toks(t: String): Array[String] =
       Option(t).getOrElse("").toLowerCase.split("\\s+", -1)
+        .filter(_.nonEmpty)
     def bucket(g: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
