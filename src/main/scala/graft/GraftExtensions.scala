@@ -39,7 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * same contract (see [[GraftExtensions.llmTvfs]] for signatures):
   * `dedup_exact`, `dedup_minhash`, `cosine_topk`, `ivf_topk`,
   * `chunk_docs`, `pack_chunks`, `gopher_rules`, `c4_clean`,
-  * `url_domains`, `domain_report`, `dsir_weights` — e.g.
+  * `url_domains`, `domain_report`, `dsir_weights`, `dsir_select`,
+  * `bm25_topk`, `hard_negatives`, `card_stats`, `pii_stats`,
+  * `pii_redact`, `decontam` — e.g.
   * {{{
   *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
   *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
@@ -86,6 +88,13 @@ object GraftExtensions {
   //   ivf_topk('corpus', 'queries', 'vec_id', 'embedding', 10 [, nlist, nprobe])
   //   chunk_docs('docs', 'text', 'doc_id', 128 [, overlap])
   //   pack_chunks('chunks', 512)   -- expects doc_id/chunk_idx/n_tokens cols
+  //   dsir_select('raw', 'target', 'text', 'doc_id', 100 [, buckets])
+  //   bm25_topk('docs', 'text', 'doc_id', 'queries', 'qid', 'qtext', 10)
+  //   hard_negatives('docs', 'text', 'doc_id', 'queries', 'qid', 'qtext',
+  //                  'relevant', 10)  -- relevant carries (qid, doc_id)
+  //   card_stats('docs', 'text')    pii_stats('docs', 'text')
+  //   pii_redact('docs', 'text')    decontam('train', 'bench', 'text',
+  //                                          'doc_id' [, k])
   // -----------------------------------------------------------------------
 
   private def lit2str(e: Expression, usage: String): String = e match {
@@ -209,6 +218,68 @@ object GraftExtensions {
         val s = SparkSession.active
         plan(graft.llm.Corpus.dsirWeights(s.table(rt), s.table(tt), tc, ic,
           buckets = args.lift(4).map(lit2int(_, u)).getOrElse(1024)))
+      },
+      "dsir_select" -> { args =>
+        val u = "usage: dsir_select('raw_table', 'target_table', " +
+          "'text_col', 'id_col', k[, buckets])"
+        require(args.length == 5 || args.length == 6, u)
+        val Seq(rt, tt, tc, ic) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Corpus.dsirSelect(s.table(rt), s.table(tt), tc, ic,
+          lit2int(args(4), u),
+          buckets = args.lift(5).map(lit2int(_, u)).getOrElse(1024)))
+      },
+      "bm25_topk" -> { args =>
+        val u = "usage: bm25_topk('docs', 'text_col', 'id_col', " +
+          "'queries', 'query_id_col', 'query_text_col', k)"
+        require(args.length == 7, u)
+        val Seq(dt, tc, ic, qt, qic, qtc) = args.take(6).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Retrieval.bm25BatchTopK(s.table(dt), tc, ic,
+          s.table(qt), qic, qtc, lit2int(args(6), u)))
+      },
+      "hard_negatives" -> { args =>
+        val u = "usage: hard_negatives('docs', 'text_col', 'id_col', " +
+          "'queries', 'query_id_col', 'query_text_col', 'relevant', k)"
+        require(args.length == 8, u)
+        val Seq(dt, tc, ic, qt, qic, qtc, rt) =
+          args.take(7).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Retrieval.hardNegatives(s.table(dt), tc, ic,
+          s.table(qt), qic, qtc, s.table(rt), lit2int(args(7), u)))
+      },
+      "card_stats" -> { args =>
+        val u = "usage: card_stats('table', 'text_col')"
+        require(args.length == 2, u)
+        plan(graft.llm.Privacy.cardStats(
+          SparkSession.active.table(lit2str(args(0), u)),
+          lit2str(args(1), u)))
+      },
+      "pii_stats" -> { args =>
+        val u = "usage: pii_stats('table', 'text_col')"
+        require(args.length == 2, u)
+        plan(graft.llm.Privacy.piiStats(
+          SparkSession.active.table(lit2str(args(0), u)),
+          lit2str(args(1), u)))
+      },
+      "pii_redact" -> { args =>
+        val u = "usage: pii_redact('table', 'text_col')"
+        require(args.length == 2, u)
+        val t = SparkSession.active.table(lit2str(args(0), u))
+        val tc = lit2str(args(1), u)
+        plan(t.withColumn(tc, graft.llm.Privacy.redact(t(tc))))
+      },
+      "decontam" -> { args =>
+        val u = "usage: decontam('train', 'bench', 'text_col', " +
+          "'id_col'[, k])"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(tt, bt, tc, ic) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        // benchBroadcast forced: TVF table args are typically fresh temp
+        // views with no stats, exactly the case the flag exists for
+        plan(graft.llm.Corpus.contaminatedDocs(s.table(tt), s.table(bt),
+          tc, ic, k = args.lift(4).map(lit2int(_, u)).getOrElse(8),
+          benchBroadcast = true))
       })
 
   private[graft] def buildRegexFirstMatch(args: Seq[Expression]): Expression = {

@@ -79,4 +79,55 @@ class SqlSurfaceSpec extends SparkSpec {
         .foreach(spark.catalog.dropTempView)
     }
   }
+
+  test("SQL TVF surface: retrieval / selection / privacy operators " +
+    "equal the Scala API") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.select("doc_id", "text")
+    val raw = all.filter(col("source") =!= "src0").select("doc_id", "text")
+    val tgt = all.filter(col("source") === "src0").select("doc_id", "text")
+    val queries = Seq((1L, "spark window merge"), (2L, "hash join filter"))
+      .toDF("query_id", "query_text")
+    val relevant = Seq((1L, 3L), (1L, 7L), (2L, 3L))
+      .toDF("query_id", "doc_id")
+    docs.createOrReplaceTempView("tvf2_docs")
+    raw.createOrReplaceTempView("tvf2_raw")
+    tgt.createOrReplaceTempView("tvf2_tgt")
+    queries.createOrReplaceTempView("tvf2_queries")
+    relevant.createOrReplaceTempView("tvf2_rel")
+    try {
+      check("SELECT * FROM bm25_topk('tvf2_docs', 'text', 'doc_id', " +
+          "'tvf2_queries', 'query_id', 'query_text', 5)",
+        graft.llm.Retrieval.bm25BatchTopK(docs, "text", "doc_id",
+          queries, "query_id", "query_text", 5))
+      check("SELECT * FROM hard_negatives('tvf2_docs', 'text', 'doc_id', " +
+          "'tvf2_queries', 'query_id', 'query_text', 'tvf2_rel', 5)",
+        graft.llm.Retrieval.hardNegatives(docs, "text", "doc_id",
+          queries, "query_id", "query_text", relevant, 5))
+      check("SELECT * FROM dsir_select('tvf2_raw', 'tvf2_tgt', 'text', " +
+          "'doc_id', 20)",
+        Corpus.dsirSelect(raw, tgt, "text", "doc_id", 20))
+      check("SELECT * FROM card_stats('tvf2_docs', 'text')",
+        graft.llm.Privacy.cardStats(docs, "text"))
+      check("SELECT * FROM pii_stats('tvf2_docs', 'text')",
+        graft.llm.Privacy.piiStats(docs, "text"))
+      check("SELECT * FROM pii_redact('tvf2_docs', 'text')",
+        docs.withColumn("text", graft.llm.Privacy.redact(col("text"))))
+      check("SELECT * FROM decontam('tvf2_raw', 'tvf2_tgt', 'text', " +
+          "'doc_id', 4)",
+        Corpus.contaminatedDocs(raw, tgt, "text", "doc_id", k = 4,
+          benchBroadcast = true))
+      // a hard-negative row must never be a known-relevant pair
+      val leak = spark.sql(
+        "SELECT * FROM hard_negatives('tvf2_docs', 'text', 'doc_id', " +
+          "'tvf2_queries', 'query_id', 'query_text', 'tvf2_rel', 5) hn " +
+          "WHERE EXISTS (SELECT 1 FROM tvf2_rel r WHERE " +
+          "r.query_id = hn.query_id AND r.doc_id = hn.doc_id)").count()
+      assert(leak === 0L)
+    } finally {
+      Seq("tvf2_docs", "tvf2_raw", "tvf2_tgt", "tvf2_queries", "tvf2_rel")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
 }
