@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index artifacts — the encode-once / query-many
+  * deployment shape of the IVF and IVF-PQ operators.
+  *
+  * [[Similarity.ivfTopK]] / [[Similarity.ivfPqTopK]] recompute cell
+  * assignments and PQ codes from the raw vectors on every invocation.
+  * That is correct, but at 100 TB the encode pass (a matvec per vector)
+  * dwarfs the per-query probe work, and the whole point of IVF-PQ is
+  * that the ENCODED corpus is the thing you keep: ~64× smaller than the
+  * float vectors, written once, appended to as the corpus grows. This
+  * module materializes exactly that artifact and serves top-k from it.
+  *
+  * Layout: parquet PARTITIONED by `cell` (one directory per IVF cell) —
+  * the on-disk form of the inverted list. A probe of `nProbe` cells is a
+  * partition-pruned read: a static cell filter prunes at plan time
+  * (AnnIndexSpec pins `PartitionFilters` in the scan), and the probe
+  * equi-join against a broadcast query side qualifies for Spark's
+  * dynamic partition pruning, so a 1000-executor scan touches only the
+  * probed directories however large the corpus. Bucketing (the
+  * [[graft.operators.Bucketing]] layout) is deliberately NOT used here:
+  * the query side of an ANN probe is broadcast, so no shuffle exists for
+  * bucketing to remove — file-level pruning on the probed cells is what
+  * pays, and only partitioning gives it.
+  *
+  * Index schemas (public column names — the artifact outlives any one
+  * session):
+  *  - IVF (raw-vector lists): (idCol, vecCol, cell) — exact cosine
+  *    needs the vectors, so they ride in the index.
+  *  - IVF-PQ (code lists): (idCol, cell, c0..c{m-1}) — the compressed
+  *    form; exact re-ranking joins the raw corpus by id on demand.
+  *
+  * Incremental append: encoding is row-local (each vector's cell and
+  * codes depend only on the codebook), so `appendIndex` of a delta
+  * equals a full rebuild over the union — AnnIndexSpec proves
+  * append(b₁)+append(b₂) ≡ encode(b₁∪b₂) through the query path. The
+  * codebook itself must stay FIXED across appends ([[writeCentroids]]
+  * persists it next to the index); retraining centroids means rebuilding
+  * the index, which is the standard IVF contract.
+  */
+object AnnIndex {
+
+  /** Encode a corpus into IVF index rows: (idCol, vecCol, cell) — the
+    * nearest-centroid cell per vector under `centroids` (default: the
+    * deterministic seed codebook a4 certifies; pass
+    * [[Similarity.trainIvfCentroids]] output for a trained quantizer). */
+  def encodeIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 8, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
+    require(cents.size == nlist && cents.forall(_.size == dims),
+      s"centroids must be a $nlist x $dims codebook")
+    Similarity.ivfEncode(corpus, idCol, vecCol, cents)
+      .select(col("neighbor_id").as(idCol), col("_v").as(vecCol),
+        col("_cell").as("cell"))
+  }
+
+  /** Encode a corpus into IVF-PQ index rows: (idCol, cell, c0..c{m-1})
+    * — cell assignment plus the `m` PQ codes, the ~64×-compressed
+    * artifact. Deterministic seed codebooks (identical to
+    * [[Similarity.ivfPqTopK]]'s), so encode-then-query equals recompute
+    * bit for bit. */
+  def encodeIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 8, m: Int = 4, ksub: Int = 16, dims: Int = 64)
+      : DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
+    require(ksub >= 2, s"ksub ($ksub) must be >= 2")
+    Similarity.ivfPqEncode(corpus, idCol, vecCol, nlist, m, ksub, dims)
+      .select(col("neighbor_id").as(idCol) +: col("_cell").as("cell") +:
+        (0 until m).map(j => col(s"_c$j").as(s"c$j")): _*)
+  }
+
+  /** Write encoded index rows ([[encodeIvf]]/[[encodeIvfPq]] output) as
+    * the partitioned-by-cell parquet layout, replacing any prior index
+    * at `path`. One directory per cell = the on-disk inverted list. */
+  def writeIndex(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
+
+  /** Append a delta's encoded rows to an existing index — the
+    * incremental path: new corpus slices are encoded (row-local, no
+    * touch of prior rows) and land in their cells' directories. The
+    * codebook must be the one the index was built with. */
+  def appendIndex(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
+
+  /** Read an index back. `cell` returns as a partition column — filters
+    * on it prune directories before any file is opened. */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[Similarity.ivfTopK]] served from a stored IVF index instead of
+    * re-encoding the corpus: probes are computed per query, the index is
+    * read cell-pruned, and exact cosine runs over the stored vectors.
+    * Same output contract as ivfTopK: (query_id, neighbor_id, cos,
+    * rank 1..k). */
+  def ivfTopKOverIndex(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nProbe: Int = 2,
+      dims: Int = 64, centroids: Option[Seq[IndexedSeq[Double]]] = None)
+      : DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
+    require(cents.size == nlist && cents.forall(_.size == dims),
+      s"centroids must be a $nlist x $dims codebook")
+    val encoded = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_v"), col("cell").cast("int").as("_cell"))
+    Similarity.ivfRank(encoded,
+      Similarity.probedQueries(queries, idCol, vecCol, cents, nlist,
+        nProbe), k)
+  }
+
+  /** [[Similarity.ivfPqTopK]] served from a stored IVF-PQ code index:
+    * the corpus-side encode is never recomputed — queries build their
+    * ADC tables and scan stored CODES from the probed cells only. Same
+    * output contract: (query_id, neighbor_id, rank 1..k). */
+  def ivfPqTopKOverIndex(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 8,
+      nProbe: Int = 2, m: Int = 4, ksub: Int = 16, dims: Int = 64)
+      : DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
+    val encoded = index.select(col(idCol).as("neighbor_id") +:
+      col("cell").cast("int").as("_cell") +:
+      (0 until m).map(j => col(s"c$j").as(s"_c$j")): _*)
+    Similarity.ivfPqRank(encoded,
+      Similarity.ivfPqQueryTables(queries, idCol, vecCol, nlist, nProbe,
+        m, ksub, dims), k, m)
+  }
+
+  /** [[Similarity.ivfPqTopKRefined]] (IVFADC+R) over a stored code
+    * index: ADC candidates come from the index, the exact re-rank joins
+    * the RAW corpus by id for just the `refineK`·|queries| survivors —
+    * index for the scan, corpus for the refine, never a full re-encode
+    * of either. */
+  def ivfPqTopKRefinedOverIndex(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      refineK: Int = 50, nlist: Int = 8, nProbe: Int = 2, m: Int = 4,
+      ksub: Int = 16, dims: Int = 64): DataFrame = {
+    require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
+    Similarity.refineExact(
+      ivfPqTopKOverIndex(index, queries, idCol, vecCol, refineK, nlist,
+        nProbe, m, ksub, dims),
+      corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Persist the IVF codebook next to its index — (cell, centroid)
+    * rows — so a later session (or an append job) queries with exactly
+    * the quantizer the index was built under. */
+  def writeCentroids(spark: SparkSession,
+      centroids: Seq[IndexedSeq[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Read a persisted codebook back into the driver-side form every
+    * operator takes (`centroids` is nlist-sized — codebook scale, never
+    * corpus scale, so the collect is bounded by construction). */
+  def readCentroids(spark: SparkSession, path: String)
+      : Seq[IndexedSeq[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid"))
+      .as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2.toIndexedSeq).toSeq
+  }
+}

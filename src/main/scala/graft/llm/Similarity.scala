@@ -462,6 +462,48 @@ object Similarity {
     * data-independent constants (reproducible across engines); swapping in
     * trained k-means centroids ([[trainIvfCentroids]]) changes only the
     * literals — pass them via `centroids`. */
+  /** Corpus side of every IVF operator: id + raw vector + nearest-
+    * centroid cell — the rows an IVF index table persists
+    * ([[graft.llm.AnnIndex]]). Internal column names (`neighbor_id`,
+    * `_v`, `_cell`) are the join contract [[probedQueries]] pairs with. */
+  private[llm] def ivfEncode(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[IndexedSeq[Double]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .withColumn("_ps", centroidProjections(col("_v"), cents))
+      .withColumn("_cell",
+        (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
+      .drop("_ps")
+
+  /** Query side of every IVF operator: one (query_id, _q, _cell) row per
+    * probed cell — top-`nProbe` cells by projection, ties to the lower
+    * cell id (struct sorts (p desc, -cell desc) = (p desc, cell asc)). */
+  private[llm] def probedQueries(queries: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[IndexedSeq[Double]], nlist: Int,
+      nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+      .withColumn("_ps", centroidProjections(col("_q"), cents))
+      .withColumn("_probe", transform(
+        slice(sort_array(array((0 until nlist).map(cell =>
+          struct(element_at(col("_ps"), cell + 1).as("p"),
+            lit(-cell).as("nc"))): _*), asc = false), 1, nProbe),
+        s => -s.getField("nc")))
+      .select(col("query_id"), col("_q"), explode(col("_probe")).as("_cell"))
+
+  /** The probe join + exact-cosine rank shared by [[ivfTopK]] and
+    * [[graft.llm.AnnIndex.ivfTopKOverIndex]]: encoded corpus rows
+    * (neighbor_id, _v, _cell) × probed queries → top-k per query. */
+  private[llm] def ivfRank(encoded: DataFrame, probed: DataFrame, k: Int)
+      : DataFrame = {
+    val scored = encoded.join(broadcast(probed), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_v"), col("_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 8, nProbe: Int = 2,
       dims: Int = 64, centroids: Option[Seq[IndexedSeq[Double]]] = None)
@@ -471,29 +513,8 @@ object Similarity {
     val cents = centroids.getOrElse(seedCentroids(nlist, dims))
     require(cents.size == nlist && cents.forall(_.size == dims),
       s"centroids must be a $nlist x $dims codebook")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
-      .withColumn("_ps", centroidProjections(col("_v"), cents))
-      .withColumn("_cell",
-        (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
-      .drop("_ps")
-    // probe list per query: top-nProbe cells by projection, ties to the
-    // lower cell id (struct sorts (p desc, -cell desc) = (p desc, cell asc))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
-      .withColumn("_ps", centroidProjections(col("_q"), cents))
-      .withColumn("_probe", transform(
-        slice(sort_array(array((0 until nlist).map(cell =>
-          struct(element_at(col("_ps"), cell + 1).as("p"),
-            lit(-cell).as("nc"))): _*), asc = false), 1, nProbe),
-        s => -s.getField("nc")))
-      .select(col("query_id"), col("_q"), explode(col("_probe")).as("_cell"))
-    val scored = c.join(broadcast(q), Seq("_cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("_v"), col("_q")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    ivfRank(ivfEncode(corpus, idCol, vecCol, cents),
+      probedQueries(queries, idCol, vecCol, cents, nlist, nProbe), k)
   }
 
   /** One PQ sub-codebook centroid: deterministic data-independent
@@ -611,21 +632,40 @@ object Similarity {
       s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
     require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
     require(ksub >= 2, s"ksub ($ksub) must be >= 2")
+    ivfPqRank(
+      ivfPqEncode(corpus, idCol, vecCol, nlist, m, ksub, dims),
+      ivfPqQueryTables(queries, idCol, vecCol, nlist, nProbe, m, ksub, dims),
+      k, m)
+  }
+
+  /** Corpus side of IVF-PQ: one pass computes the cell and the `m` PQ
+    * codes per vector — (neighbor_id, _cell, _c0.._c{m-1}). At scale
+    * both are WRITE-SIDE artifacts stored next to the id; this is
+    * exactly the frame [[graft.llm.AnnIndex.encodeIvfPq]] persists
+    * (under public column names) and queries never recompute. */
+  private[llm] def ivfPqEncode(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, m: Int, ksub: Int, dims: Int)
+      : DataFrame = {
     val cents = seedCentroids(nlist, dims)
-    // corpus side: one pass computes the cell and the m codes — at scale
-    // both are write-side artifacts stored next to the id
     val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
       .withColumn("_cps", centroidProjections(col("_v"), cents))
       .withColumn("_cell",
         (array_position(col("_cps"), array_max(col("_cps"))) - 1).cast("int"))
       .drop("_cps")
-    val encoded = (0 until m).foldLeft(c0) { (df, j) =>
+    (0 until m).foldLeft(c0) { (df, j) =>
       df.withColumn(s"_s$j", pqBiasedProjections(col("_v"), j, m, ksub, dims))
     }.select(col("neighbor_id") +: col("_cell") +: (0 until m).map(j =>
       (array_position(col(s"_s$j"), array_max(col(s"_s$j"))) - 1)
         .cast("int").as(s"_c$j")): _*)
-    // query side: probe list (same rule as ivfTopK: top-nProbe cells by
-    // projection, ties to the lower cell) + the ADC score tables
+  }
+
+  /** Query side of IVF-PQ: probe list (same rule as ivfTopK: top-nProbe
+    * cells by projection, ties to the lower cell) + the per-subspace ADC
+    * score tables — (query_id, _cell, _qs0.._qs{m-1}). */
+  private[llm] def ivfPqQueryTables(queries: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, nProbe: Int, m: Int, ksub: Int,
+      dims: Int): DataFrame = {
+    val cents = seedCentroids(nlist, dims)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"))
       .withColumn("_cps", centroidProjections(col("_q"), cents))
       .withColumn("_probe", transform(
@@ -633,10 +673,18 @@ object Similarity {
           struct(element_at(col("_cps"), cell + 1).as("p"),
             lit(-cell).as("nc"))): _*), asc = false), 1, nProbe),
         s => -s.getField("nc")))
-    val qt = (0 until m).foldLeft(q0) { (df, j) =>
+    (0 until m).foldLeft(q0) { (df, j) =>
       df.withColumn(s"_qs$j", pqBiasedProjections(col("_q"), j, m, ksub, dims))
     }.select(col("query_id") +: explode(col("_probe")).as("_cell") +:
       (0 until m).map(j => col(s"_qs$j")): _*)
+  }
+
+  /** The ADC probe join + rank shared by [[ivfPqTopK]] and
+    * [[graft.llm.AnnIndex.ivfPqTopKOverIndex]]: encoded codes × query
+    * score tables, Σ_j table_j[code_j] descending, ties to the lower
+    * neighbor id. */
+  private[llm] def ivfPqRank(encoded: DataFrame, qt: DataFrame, k: Int,
+      m: Int): DataFrame = {
     val adc = (0 until m).map(j =>
       element_at(col(s"_qs$j"), col(s"_c$j") + 1)).reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
@@ -667,8 +715,18 @@ object Similarity {
       nProbe: Int = 2, m: Int = 4, ksub: Int = 16, dims: Int = 64)
       : DataFrame = {
     require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
-    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, refineK,
-      nlist, nProbe, m, ksub, dims)
+    refineExact(ivfPqTopK(corpus, queries, idCol, vecCol, refineK,
+      nlist, nProbe, m, ksub, dims), corpus, queries, idCol, vecCol, k)
+  }
+
+  /** The exact re-rank stage of IVFADC+R, shared with
+    * [[graft.llm.AnnIndex.ivfPqTopKRefinedOverIndex]]: candidate
+    * (query_id, neighbor_id) pairs re-scored with exact cosine over the
+    * raw vectors — an id-keyed equi-join against the corpus, never a
+    * rescan — keeping the true top `k`. */
+  private[llm] def refineExact(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val w = Window.partitionBy(col("query_id"))

@@ -1,0 +1,110 @@
+package graft
+
+import graft.llm.{AnnIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index artifacts: query-over-stored-index must equal
+  * the recompute operators bit for bit (the a7/a15 parity), appending a
+  * delta must equal a full rebuild, the partitioned-by-cell layout must
+  * prune unprobed cells at the scan, and a persisted codebook must
+  * round-trip. */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("IVF-PQ: query over a written code index equals the recompute " +
+    "operator, with and without exact re-ranking") {
+    val dir = tmp("annidx_pq")
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvfPq(emb, "vec_id", "embedding"), dir)
+    val idx = AnnIndex.readIndex(spark, dir)
+    // stored artifact has the public schema, cell as partition column
+    assert(idx.columns.sorted.toSeq ===
+      Seq("c0", "c1", "c2", "c3", "cell", "vec_id"))
+    assert(new java.io.File(dir).list().count(_.startsWith("cell=")) > 0)
+    // a7 parity: ADC top-k from stored codes ≡ recompute
+    assert(rows(AnnIndex.ivfPqTopKOverIndex(idx, queries, "vec_id",
+        "embedding", 10)) ===
+      rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 10)))
+    // a15 parity: IVFADC+R from stored codes + raw corpus ≡ recompute
+    assert(rows(AnnIndex.ivfPqTopKRefinedOverIndex(idx, emb, queries,
+        "vec_id", "embedding", k = 10, refineK = 30)) ===
+      rows(Similarity.ivfPqTopKRefined(emb, queries, "vec_id",
+        "embedding", k = 10, refineK = 30)))
+  }
+
+  test("IVF: query over a written raw-vector index equals ivfTopK, " +
+    "and a persisted trained codebook round-trips") {
+    val dir = tmp("annidx_ivf"); val cdir = tmp("annidx_cents")
+    AnnIndex.writeIndex(AnnIndex.encodeIvf(emb, "vec_id", "embedding"), dir)
+    val idx = AnnIndex.readIndex(spark, dir)
+    assert(rows(AnnIndex.ivfTopKOverIndex(idx, queries, "vec_id",
+        "embedding", 5)) ===
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5)))
+    // trained quantizer: centroids persist next to the index and the
+    // reloaded codebook drives the identical query
+    val trained = Similarity.trainIvfCentroids(emb, "embedding",
+      nlist = 8, dims = 64, iters = 2)
+    AnnIndex.writeCentroids(spark, trained, cdir)
+    val reloaded = AnnIndex.readCentroids(spark, cdir)
+    assert(reloaded === trained, "codebook round-trip")
+    val tdir = tmp("annidx_ivf_trained")
+    AnnIndex.writeIndex(AnnIndex.encodeIvf(emb, "vec_id", "embedding",
+      centroids = Some(trained)), tdir)
+    assert(rows(AnnIndex.ivfTopKOverIndex(AnnIndex.readIndex(spark, tdir),
+        queries, "vec_id", "embedding", 5,
+        centroids = Some(reloaded))) ===
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        centroids = Some(trained))))
+  }
+
+  test("incremental append: encode+append of a delta equals a full " +
+    "rebuild, through both the rows and the query path") {
+    val dir = tmp("annidx_delta")
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvfPq(b1, "vec_id", "embedding"), dir)
+    AnnIndex.appendIndex(
+      AnnIndex.encodeIvfPq(b2, "vec_id", "embedding"), dir)
+    val appended = AnnIndex.readIndex(spark, dir)
+    val rebuilt = AnnIndex.encodeIvfPq(emb, "vec_id", "embedding")
+    assert(rows(appended.select("vec_id", "cell", "c0", "c1", "c2", "c3"))
+      === rows(rebuilt.select("vec_id", "cell", "c0", "c1", "c2", "c3")))
+    assert(rows(AnnIndex.ivfPqTopKOverIndex(appended, queries, "vec_id",
+        "embedding", 10)) ===
+      rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 10)))
+  }
+
+  test("partitioned-by-cell layout: a cell filter is a partition-pruned " +
+    "scan (the on-disk inverted-list seek)") {
+    val dir = tmp("annidx_prune")
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvfPq(emb, "vec_id", "embedding"), dir)
+    val one = AnnIndex.readIndex(spark, dir).filter(col("cell") === 3)
+    one.collect() // finalize any adaptive plan before inspecting scans
+    val plan = one.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in the plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "cell predicate must prune partitions, not filter rows post-read")
+    // the data filter list must NOT contain the cell predicate — pruning
+    // happened at the directory level
+    assert(!scan.dataFilters.exists(_.toString.contains("cell")),
+      s"cell filter leaked into data filters: ${scan.dataFilters}")
+  }
+}
