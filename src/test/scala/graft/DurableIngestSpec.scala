@@ -145,4 +145,55 @@ class DurableIngestSpec extends SparkSpec {
     assert(rows.map(_._1) === Seq(1L, 5L))
     assert(!rows.find(_._1 == 5L).get._2.contains("bob@example.com"))
   }
+
+  test("streaming DSIR: dsirDelta through durableIngestDedup equals the " +
+    "two-step batch replay (x64's split), state included") {
+    import graft.llm.Corpus
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = d.filter(col("source") === "src0").select("doc_id", "text")
+    val raw = d.filter(col("source") =!= "src0").select("doc_id", "text")
+    val step: StreamOps.DeltaStep =
+      (b, p) => Corpus.dsirDelta(b, target, "text", "doc_id", p)
+    val in = tmp("dsir_in"); val out = tmp("dsir_out")
+    val st = tmp("dsir_state")
+    def stream() =
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+    // wave 1 = x64's batch 1, wave 2 (after a query restart) = batch 2
+    raw.filter($"doc_id" < 250).write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st).awaitTermination()
+    raw.filter($"doc_id" >= 250).write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st).awaitTermination()
+    // batch replay of the same split (the x64 oracle's own shape)
+    val s1 = Corpus.dsirDelta(raw.filter($"doc_id" < 250), target,
+      "text", "doc_id")
+    val s2 = Corpus.dsirDelta(raw.filter($"doc_id" >= 250), target,
+      "text", "doc_id", Some(s1.state))
+    // integer sufficient statistics must match EXACTLY; the float weight
+    // to relative tolerance (the streamed side reads its batch back from
+    // parquet, so partition-order addition may differ — the x29 rule)
+    def stats(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Long, Long, Long, Double)] =
+      df.select($"doc_id".cast("long"), $"n_feats".cast("long"),
+          $"target_mass".cast("long"), $"raw_mass".cast("long"), $"weight")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val streamed = spark.read.parquet(out)
+    for ((batchDf, want) <- Seq(
+        streamed.filter($"batch" === 0) -> stats(s1.kept),
+        streamed.filter($"batch" === 1) -> stats(s2.kept))) {
+      val got = stats(batchDf)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (id, (n, tm, rm, w)) =>
+        val (wn, wtm, wrm, ww) = want(id)
+        assert((n, tm, rm) === ((wn, wtm, wrm)), s"doc $id integer stats")
+        assert(math.abs(w - ww) <= 1e-9 * math.max(1.0, math.abs(ww)),
+          s"doc $id weight $w vs batch $ww")
+      }
+    }
+    // the durable state after wave 2 is the cumulative raw distribution
+    def dist(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_b".cast("long"), $"_rc".cast("long"))
+        .as[(Long, Long)].collect().toMap
+    assert(dist(spark.read.parquet(s"$st/v=1")) === dist(s2.state))
+  }
 }
