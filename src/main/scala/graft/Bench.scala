@@ -15,14 +15,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * evaluation of every output column — `count()` would let Catalyst prune
   * the projections being measured), and untimed warm-up passes absorb
   * session/JIT/codegen warm-up so the first timed query isn't charged ~5 s
-  * of JVM startup. The TIMED suite then runs TWICE in-session: the
-  * reported `"total"` is the second pass, with the first logged beside it
-  * as `"total_pass1"` (bench.jsonl) — round-over-round comparisons were
-  * drifting ~30% on nothing but how warm the session happened to be, and
-  * the pass1/pass2 delta now measures that directly. Each pass is itself
-  * min-of-2 per query. A query that throws during a timed run records -1
-  * and is listed in the output's `errors` array — a crash must never read
-  * as a fast green run.
+  * of JVM startup. The TIMED suite then runs THREE full passes
+  * in-session and the reported per-query numbers are the MEDIAN across
+  * passes (`"queries"` = `"queries_median"`; `"queries_min"` rides
+  * beside it, and each raw pass is logged as `total_passN` in
+  * bench.jsonl) — this box shows hypervisor CPU steal, and
+  * round-over-round "regressions" kept turning out to be single-pass
+  * noise a reader could only disprove by digging through the pass log;
+  * the median is robust to one stolen pass by construction. `"value"` is
+  * the sum of medians. A query that throws during any timed pass records
+  * -1 and is listed in the output's `errors` array — a crash must never
+  * read as a fast green run.
   */
 object Bench {
 
@@ -53,27 +56,41 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** min-of-2 timed seconds per query; a failure records -1 seconds plus
-    * the exception class/message — a crash must be diagnosable from the
-    * bench artifact alone, not just named. */
+  /** ONE timed run per query; a failure records -1 seconds plus the
+    * exception class/message — a crash must be diagnosable from the
+    * bench artifact alone, not just named. Cross-run aggregation
+    * (median/min over passes) lives in [[aggregatePasses]]. */
   private def timeSuite(spark: SparkSession, sfDir: String)
       : Seq[(String, Double, Option[String])] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two timed runs per query: this box shows hypervisor CPU
-      // steal, and the minimum is the standard steady-state estimator
-      // under one-sided external noise.
-      val runs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          force(fn(spark, sfDir))
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
-        }
+      val t0 = System.nanoTime()
+      try {
+        force(fn(spark, sfDir))
+        (name, (System.nanoTime() - t0) / 1e9, None)
+      } catch { case e: Throwable =>
+        (name, -1.0,
+          Some(s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300)))
       }
-      runs.collectFirst { case Left(msg) => (name, -1.0, Some(msg)) }
-        .getOrElse((name, runs.collect { case Right(s) => s }.min, None))
     }
+
+  /** Per-query (median, min, error) across timed passes. A query that
+    * errored in ANY pass reports -1 with the first message — flaky
+    * crashes are crashes; median/min aggregate successful runs only when
+    * every pass succeeded. */
+  private def aggregatePasses(
+      passes: Seq[Seq[(String, Double, Option[String])]])
+      : Seq[(String, Double, Double, Option[String])] = {
+    val byName = passes.flatten.groupBy(_._1)
+    byName.toSeq.sortBy(_._1).map { case (name, runs) =>
+      runs.collectFirst { case (_, _, Some(msg)) => msg } match {
+        case Some(msg) => (name, -1.0, -1.0, Some(msg))
+        case None =>
+          val secs = runs.map(_._2).sorted
+          (name, secs(secs.size / 2), secs.head, None)
+      }
+    }
+  }
 
   // emitted lines accumulate here and are flushed to bench_out/bench.json —
   // the driver scrapes sbt stdout, where its own [info] prefixes have made
@@ -103,6 +120,28 @@ object Bench {
     val detail = results.collect { case (k, _, Some(msg)) =>
       s"${jstr(k)}:${jstr(msg)}" }.mkString("{", ",", "}")
     val line = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_detail":$detail,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(line)
+    emitted += line
+    writeOut()
+  }
+
+  /** The median-of-passes summary line: `queries` (the key the driver
+    * reads) carries the per-query MEDIANS, duplicated as
+    * `queries_median` for explicitness, with `queries_min` beside it;
+    * `value` = sum of medians. */
+  private def emitSummary(metric: String,
+      agg: Seq[(String, Double, Double, Option[String])],
+      sfDir: String, cpus: String): Unit = {
+    def obj(f: ((String, Double, Double, Option[String])) => Double) =
+      agg.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val med = obj(_._2); val mins = obj(_._3)
+    val ok = agg.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val errs = agg.filter(_._2 < 0).map(r => jstr(r._1))
+      .mkString("[", ",", "]")
+    val detail = agg.collect { case (k, _, _, Some(msg)) =>
+      s"${jstr(k)}:${jstr(msg)}" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$med,"queries_median":$med,"queries_min":$mins,"errors":$errs,"error_detail":$detail,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     emitted += line
     writeOut()
@@ -140,23 +179,28 @@ object Bench {
          (_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
 
-    // Two full timed passes: pass 2 is the steady-state number reported
-    // as "total"; pass 1 is logged so the warm-up delta is measured, not
-    // guessed (see the methodology note above).
-    val pass1 = timeSuite(spark, sfDir)
-    emit("total_pass1", pass1, sfDir, cpus)
-    val pass2 = timeSuite(spark, sfDir)
-    emit("total", pass2, sfDir, cpus)
+    // Three full timed passes; the reported "total" is the per-query
+    // MEDIAN across them, each raw pass logged beside it (see the
+    // methodology note above).
+    val passes = (1 to 3).map { i =>
+      val p = timeSuite(spark, sfDir)
+      emit(s"total_pass$i", p, sfDir, cpus)
+      p
+    }
+    val agg = aggregatePasses(passes)
+    emitSummary("total", agg, sfDir, cpus)
 
     // Gate-config emission (BASELINE.md: local[4], shuffle.partitions=4).
-    if (cpus == "4") emit("total_local4", pass2, sfDir, cpus)
+    if (cpus == "4") emitSummary("total_local4", agg, sfDir, cpus)
     else {
       spark.stop()
       val gate = makeSession("4")
-      val gate1 = timeSuite(gate, sfDir)
-      emit("total_local4_pass1", gate1, sfDir, "4")
-      val gate2 = timeSuite(gate, sfDir)
-      emit("total_local4", gate2, sfDir, "4")
+      val gatePasses = (1 to 3).map { i =>
+        val p = timeSuite(gate, sfDir)
+        emit(s"total_local4_pass$i", p, sfDir, "4")
+        p
+      }
+      emitSummary("total_local4", aggregatePasses(gatePasses), sfDir, "4")
       gate.stop()
       return
     }
