@@ -37,11 +37,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Also exposes the north-star LLM-pipeline operators as TVFs under the
   * same contract (see [[GraftExtensions.llmTvfs]] for signatures):
-  * `dedup_exact`, `dedup_minhash`, `cosine_topk`, `ivf_topk`,
-  * `chunk_docs`, `pack_chunks`, `gopher_rules`, `c4_clean`,
-  * `url_domains`, `domain_report`, `dsir_weights`, `dsir_select`,
-  * `bm25_topk`, `hard_negatives`, `card_stats`, `pii_stats`,
-  * `pii_redact`, `decontam` — e.g.
+  * `dedup_exact`, `dedup_minhash`, `dedup_ngram`, `dedup_simhash`,
+  * `minhash_sig`, `cosine_topk`, `lsh_topk`, `ivf_topk`, `pq_topk`,
+  * `ivfpq_topk`, `ivfpq_refined`, `semantic_dedup`,
+  * `embedding_neardups`, `ivf_topk_over_index`,
+  * `ivfpq_refined_over_index`, `chunk_docs`, `pack_chunks`,
+  * `gopher_rules`, `c4_clean`, `text_stats`, `language_id`,
+  * `repetition_stats`, `url_domains`, `domain_report`, `dsir_weights`,
+  * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
+  * `pii_stats`, `pii_redact`, `decontam` — e.g.
   * {{{
   *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
   *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
@@ -280,6 +284,151 @@ object GraftExtensions {
         plan(graft.llm.Corpus.contaminatedDocs(s.table(tt), s.table(bt),
           tc, ic, k = args.lift(4).map(lit2int(_, u)).getOrElse(8),
           benchBroadcast = true))
+      },
+      "lsh_topk" -> { args =>
+        val u = "usage: lsh_topk('corpus', 'queries', 'id_col', " +
+          "'vec_col', k[, planes])"
+        require(args.length == 5 || args.length == 6, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Similarity.lshTopK(s.table(ct), s.table(qt), ic, vc,
+          lit2int(args(4), u),
+          planes = args.lift(5).map(lit2int(_, u)).getOrElse(8)))
+      },
+      "pq_topk" -> { args =>
+        val u = "usage: pq_topk('corpus', 'queries', 'id_col', " +
+          "'vec_col', k[, m, ksub])"
+        require(args.length == 5 || args.length == 7, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val k = lit2int(args(4), u)
+        plan(
+          if (args.length == 5)
+            graft.llm.Similarity.pqTopK(s.table(ct), s.table(qt), ic, vc, k)
+          else graft.llm.Similarity.pqTopK(s.table(ct), s.table(qt), ic, vc,
+            k, m = lit2int(args(5), u), ksub = lit2int(args(6), u)))
+      },
+      "ivfpq_topk" -> { args =>
+        val u = "usage: ivfpq_topk('corpus', 'queries', 'id_col', " +
+          "'vec_col', k[, nlist, nprobe, m, ksub])"
+        require(args.length == 5 || args.length == 9, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val k = lit2int(args(4), u)
+        plan(
+          if (args.length == 5)
+            graft.llm.Similarity.ivfPqTopK(s.table(ct), s.table(qt),
+              ic, vc, k)
+          else graft.llm.Similarity.ivfPqTopK(s.table(ct), s.table(qt),
+            ic, vc, k, nlist = lit2int(args(5), u),
+            nProbe = lit2int(args(6), u), m = lit2int(args(7), u),
+            ksub = lit2int(args(8), u)))
+      },
+      "ivfpq_refined" -> { args =>
+        val u = "usage: ivfpq_refined('corpus', 'queries', 'id_col', " +
+          "'vec_col', k, refine_k)"
+        require(args.length == 6, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Similarity.ivfPqTopKRefined(s.table(ct), s.table(qt),
+          ic, vc, lit2int(args(4), u), refineK = lit2int(args(5), u)))
+      },
+      "semantic_dedup" -> { args =>
+        val u = "usage: semantic_dedup('table', 'id_col', 'vec_col', " +
+          "min_cos[, nlist])"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(t, ic, vc) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Similarity.semanticDedup(
+          SparkSession.active.table(t), ic, vc, lit2dbl(args(3), u),
+          nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8)))
+      },
+      "embedding_neardups" -> { args =>
+        val u = "usage: embedding_neardups('table', 'id_col', " +
+          "'vec_col', threshold[, planes])"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(t, ic, vc) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Similarity.embeddingNearDups(
+          SparkSession.active.table(t), ic, vc, lit2dbl(args(3), u),
+          planes = args.lift(4).map(lit2int(_, u)).getOrElse(6)))
+      },
+      "minhash_sig" -> { args =>
+        val u = "usage: minhash_sig('table', 'text_col', 'id_col'" +
+          "[, num_hashes, k])"
+        require(args.length == 3 || args.length == 5, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        val d = SparkSession.active.table(t)
+        plan(
+          if (args.length == 3) graft.llm.Dedup.minhashSignature(d, tc, ic)
+          else graft.llm.Dedup.minhashSignature(d, tc, ic,
+            numHashes = lit2int(args(3), u), k = lit2int(args(4), u)))
+      },
+      "dedup_ngram" -> { args =>
+        val u = "usage: dedup_ngram('table', 'text_col', 'id_col', " +
+          "threshold[, k])"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Dedup.ngramJaccardPairs(
+          SparkSession.active.table(t), tc, ic, lit2dbl(args(3), u),
+          k = args.lift(4).map(lit2int(_, u)).getOrElse(3)))
+      },
+      "dedup_simhash" -> { args =>
+        val u = "usage: dedup_simhash('table', 'text_col', 'id_col'" +
+          "[, bits, max_hamming])"
+        require(args.length == 3 || args.length == 5, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        val d = SparkSession.active.table(t)
+        plan(
+          if (args.length == 3) graft.llm.Dedup.simhashNearDups(d, tc, ic)
+          else graft.llm.Dedup.simhashNearDups(d, tc, ic,
+            bits = lit2int(args(3), u), maxHamming = lit2int(args(4), u)))
+      },
+      "text_stats" -> { args =>
+        val u = "usage: text_stats('table', 'text_col')"
+        require(args.length == 2, u)
+        plan(graft.llm.TextAnalysis.textStatsDf(
+          SparkSession.active.table(lit2str(args(0), u)),
+          lit2str(args(1), u),
+          graft.llm.TextAnalysis.langMarkers.head._2))
+      },
+      "language_id" -> { args =>
+        val u = "usage: language_id('table', 'text_col'[, 'out_col'])"
+        require(args.length == 2 || args.length == 3, u)
+        plan(graft.llm.TextAnalysis.languageIdDf(
+          SparkSession.active.table(lit2str(args(0), u)),
+          lit2str(args(1), u),
+          args.lift(2).map(lit2str(_, u)).getOrElse("lang_guess")))
+      },
+      "repetition_stats" -> { args =>
+        val u = "usage: repetition_stats('table', 'text_col', 'id_col')"
+        require(args.length == 3, u)
+        val Seq(t, tc, ic) = args.map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.repetitionStats(
+          SparkSession.active.table(t), tc, ic))
+      },
+      "ivf_topk_over_index" -> { args =>
+        val u = "usage: ivf_topk_over_index('index_table', 'queries', " +
+          "'id_col', 'vec_col', k[, nlist, nprobe]) — index_table is a " +
+          "view over AnnIndex.readIndex output"
+        require(args.length == 5 || args.length == 7, u)
+        val Seq(it, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val k = lit2int(args(4), u)
+        plan(
+          if (args.length == 5) graft.llm.AnnIndex.ivfTopKOverIndex(
+            s.table(it), s.table(qt), ic, vc, k)
+          else graft.llm.AnnIndex.ivfTopKOverIndex(s.table(it),
+            s.table(qt), ic, vc, k, nlist = lit2int(args(5), u),
+            nProbe = lit2int(args(6), u)))
+      },
+      "ivfpq_refined_over_index" -> { args =>
+        val u = "usage: ivfpq_refined_over_index('index_table', " +
+          "'corpus', 'queries', 'id_col', 'vec_col', k, refine_k)"
+        require(args.length == 7, u)
+        val Seq(it, ct, qt, ic, vc) = args.take(5).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.AnnIndex.ivfPqTopKRefinedOverIndex(s.table(it),
+          s.table(ct), s.table(qt), ic, vc, lit2int(args(5), u),
+          refineK = lit2int(args(6), u)))
       })
 
   private[graft] def buildRegexFirstMatch(args: Seq[Expression]): Expression = {

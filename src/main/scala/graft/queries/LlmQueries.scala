@@ -274,6 +274,26 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // a4 answered from a PERSISTED raw-vector IVF index (the a16 story
+    // for the uncompressed path): id + vector + cell written
+    // partitioned-by-cell, read back, exact cosine over the stored
+    // vectors of probed cells only. Oracle = a4's recompute chain
+    // verbatim; query-over-index ≡ recompute is the certified property.
+    "a17_ivf_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("a17_ivf_index").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8),
+        idxDir)
+      graft.llm.AnnIndex.ivfTopKOverIndex(
+          graft.llm.AnnIndex.readIndex(s, idxDir),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nlist = 8, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN recall eval: per-query recall@10 of the IVF index (a4's exact
     // configuration) against brute-force cosine (a1's) — the measurement
     // that tunes nlist/nProbe before an index ships. Integer counts +
@@ -1377,6 +1397,34 @@ object LlmQueries {
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))"""
 
+  /** The a4 IVF top-k oracle chain (deterministic quantizer, probe
+    * rule, exact-cosine rank) — a val because a17 certifies the SAME
+    * math answered from a persisted raw-vector index. */
+  private lazy val duckIvfTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              qp AS (SELECT vec_id AS query_id, v AS qv, ps FROM pc WHERE vec_id < 5),
+              pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC) AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65), i -> c.v[i] * p.qv[i])) /
+                       (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(p.qv, x -> x*x)))) AS cos
+                     FROM cc c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank"""
+
   /** The a15 IVFADC+R oracle chain (a7's generated encode/probe/ADC
     * CTEs at refineK=30, then exact-cosine re-rank of just those
     * candidates) — a val because a16 certifies the SAME math answered
@@ -2057,30 +2105,8 @@ object LlmQueries {
                 UNION ALL SELECT * FROM row4)
           ORDER BY n_probes"""
     },
-    "a4_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings),
-              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
-              cc AS (SELECT vec_id, v,
-                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
-                     FROM pc),
-              qp AS (SELECT vec_id AS query_id, v AS qv, ps FROM pc WHERE vec_id < 5),
-              pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC) AS prn
-                     FROM qp, range(1, 9) t(i)),
-              probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
-              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-                       list_sum(list_transform(range(1, 65), i -> c.v[i] * p.qv[i])) /
-                       (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
-                        sqrt(list_sum(list_transform(p.qv, x -> x*x)))) AS cos
-                     FROM cc c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id),
-              r AS (SELECT query_id, neighbor_id,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cos DESC, neighbor_id) AS rn
-                    FROM sc)
-          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
-          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a4_ivf_topk" -> duckIvfTopKSql,
+    "a17_ivf_index" -> duckIvfTopKSql,
     "a9_ivf_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                      FROM embeddings),

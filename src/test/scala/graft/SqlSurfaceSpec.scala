@@ -130,4 +130,86 @@ class SqlSurfaceSpec extends SparkSpec {
         .foreach(spark.catalog.dropTempView)
     }
   }
+
+  test("SQL TVF surface: ANN / signature / text-analysis operators " +
+    "equal the Scala API, including the persisted-index paths") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    docs.createOrReplaceTempView("tvf3_docs")
+    emb.createOrReplaceTempView("tvf3_emb")
+    q.createOrReplaceTempView("tvf3_q")
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("tvf3_ivf_idx").toString
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("tvf3_pq_idx").toString
+    graft.llm.AnnIndex.writeIndex(
+      graft.llm.AnnIndex.encodeIvf(emb, "vec_id", "embedding"), ivfDir)
+    graft.llm.AnnIndex.writeIndex(
+      graft.llm.AnnIndex.encodeIvfPq(emb, "vec_id", "embedding"), pqDir)
+    graft.llm.AnnIndex.readIndex(spark, ivfDir)
+      .createOrReplaceTempView("tvf3_ivf_idx")
+    graft.llm.AnnIndex.readIndex(spark, pqDir)
+      .createOrReplaceTempView("tvf3_pq_idx")
+    try {
+      check("SELECT * FROM lsh_topk('tvf3_emb', 'tvf3_q', 'vec_id', " +
+          "'embedding', 3)",
+        Similarity.lshTopK(emb, q, "vec_id", "embedding", 3))
+      check("SELECT * FROM pq_topk('tvf3_emb', 'tvf3_q', 'vec_id', " +
+          "'embedding', 3)",
+        Similarity.pqTopK(emb, q, "vec_id", "embedding", 3))
+      check("SELECT * FROM ivfpq_topk('tvf3_emb', 'tvf3_q', 'vec_id', " +
+          "'embedding', 3, 8, 3, 4, 16)",
+        Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 3,
+          nlist = 8, nProbe = 3, m = 4, ksub = 16))
+      check("SELECT * FROM ivfpq_refined('tvf3_emb', 'tvf3_q', " +
+          "'vec_id', 'embedding', 3, 10)",
+        Similarity.ivfPqTopKRefined(emb, q, "vec_id", "embedding", 3,
+          refineK = 10))
+      check("SELECT * FROM semantic_dedup('tvf3_emb', 'vec_id', " +
+          "'embedding', 0.9)",
+        Similarity.semanticDedup(emb, "vec_id", "embedding", 0.9))
+      check("SELECT * FROM embedding_neardups('tvf3_emb', 'vec_id', " +
+          "'embedding', 0.9)",
+        Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.9))
+      check("SELECT * FROM minhash_sig('tvf3_docs', 'text', 'doc_id', " +
+          "4, 3)",
+        Dedup.minhashSignature(docs, "text", "doc_id",
+          numHashes = 4, k = 3))
+      check("SELECT * FROM dedup_ngram('tvf3_docs', 'text', 'doc_id', " +
+          "0.8)",
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8))
+      check("SELECT * FROM dedup_simhash('tvf3_docs', 'text', 'doc_id')",
+        Dedup.simhashNearDups(docs, "text", "doc_id"))
+      check("SELECT * FROM text_stats('tvf3_docs', 'text')",
+        graft.llm.TextAnalysis.textStatsDf(docs, "text",
+          graft.llm.TextAnalysis.langMarkers.head._2))
+      check("SELECT * FROM language_id('tvf3_docs', 'text')",
+        graft.llm.TextAnalysis.languageIdDf(docs, "text"))
+      check("SELECT * FROM repetition_stats('tvf3_docs', 'text', " +
+          "'doc_id')",
+        graft.llm.TextAnalysis.repetitionStats(docs, "text", "doc_id"))
+      check("SELECT * FROM ivf_topk_over_index('tvf3_ivf_idx', " +
+          "'tvf3_q', 'vec_id', 'embedding', 3)",
+        graft.llm.AnnIndex.ivfTopKOverIndex(
+          graft.llm.AnnIndex.readIndex(spark, ivfDir), q, "vec_id",
+          "embedding", 3))
+      check("SELECT * FROM ivfpq_refined_over_index('tvf3_pq_idx', " +
+          "'tvf3_emb', 'tvf3_q', 'vec_id', 'embedding', 3, 10)",
+        graft.llm.AnnIndex.ivfPqTopKRefinedOverIndex(
+          graft.llm.AnnIndex.readIndex(spark, pqDir), emb, q, "vec_id",
+          "embedding", 3, refineK = 10))
+      // the stored-index TVF agrees with the recompute TVF — the a16/a17
+      // property, stated purely in SQL
+      check("SELECT * FROM ivf_topk_over_index('tvf3_ivf_idx', " +
+          "'tvf3_q', 'vec_id', 'embedding', 3)",
+        spark.sql("SELECT * FROM ivf_topk('tvf3_emb', 'tvf3_q', " +
+          "'vec_id', 'embedding', 3)"))
+    } finally {
+      Seq("tvf3_docs", "tvf3_emb", "tvf3_q", "tvf3_ivf_idx", "tvf3_pq_idx")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
 }
