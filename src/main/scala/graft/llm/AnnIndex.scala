@@ -147,6 +147,18 @@ object AnnIndex {
       corpus, queries, idCol, vecCol, k)
   }
 
+  /** Per-cell occupancy of an index: (cell, n_vectors) ordered by count
+    * descending — the maintenance measurement behind the IVF sizing
+    * contract. A hot cell means a mis-sized codebook (probe cost is
+    * proportional to the probed cells' occupancy), and the fix is
+    * retraining with more cells, not a bigger reducer; this report is
+    * what tells you WHEN. One cell-keyed aggregate over code-sized rows
+    * (and the scan prunes to nothing but the `cell` partition column). */
+  def indexReport(index: DataFrame): DataFrame =
+    index.groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("n_vectors").desc, col("cell"))
+
   /** Persist the IVF codebook next to its index — (cell, centroid)
     * rows — so a later session (or an append job) queries with exactly
     * the quantizer the index was built under. */

@@ -274,6 +274,30 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The INCREMENTAL index path driver-certified: the corpus arrives as
+    // two slices — the first written as a fresh IVF-PQ index, the second
+    // ENCODED ALONE and appended (row-local encode; prior rows never
+    // touched) — and the IVFADC+R query over the appended index must
+    // equal a15's recompute oracle over the full corpus. This is x28's
+    // delta-dedup contract transposed to ANN: index growth costs
+    // delta-sized work, never a rebuild.
+    "a18_ivfpq_index_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("a18_ivfpq_append").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvfPq(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding"), idxDir)
+      graft.llm.AnnIndex.appendIndex(
+        graft.llm.AnnIndex.encodeIvfPq(e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      graft.llm.AnnIndex.ivfPqTopKRefinedOverIndex(
+          graft.llm.AnnIndex.readIndex(s, idxDir), e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, refineK = 30, nlist = 8, nProbe = 2, m = 4, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // a4 answered from a PERSISTED raw-vector IVF index (the a16 story
     // for the uncompressed path): id + vector + cell written
     // partitioned-by-cell, read back, exact cosine over the stored
@@ -2261,6 +2285,7 @@ object LlmQueries {
     // exactly the property being certified.
     "a15_ivfpq_refined" -> duckIvfPqRefinedSql,
     "a16_ivfpq_index" -> duckIvfPqRefinedSql,
+    "a18_ivfpq_index_append" -> duckIvfPqRefinedSql,
         "a8_semantic_dedup" ->
       s"""WITH e0 AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

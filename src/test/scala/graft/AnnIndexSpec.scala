@@ -107,4 +107,19 @@ class AnnIndexSpec extends SparkSpec {
     assert(!scan.dataFilters.exists(_.toString.contains("cell")),
       s"cell filter leaked into data filters: ${scan.dataFilters}")
   }
+
+  test("indexReport: per-cell occupancy sums to the corpus and matches " +
+    "the encoder's own assignment counts") {
+    val dir = tmp("annidx_report")
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvfPq(emb, "vec_id", "embedding"), dir)
+    val rep = AnnIndex.indexReport(AnnIndex.readIndex(spark, dir))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(rep.map(_._2).sum === emb.count())
+    assert(rep.sortBy(-_._2).toSeq === rep.toSeq, "ordered by occupancy")
+    val direct = AnnIndex.encodeIvfPq(emb, "vec_id", "embedding")
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rep.toMap === direct)
+  }
 }
