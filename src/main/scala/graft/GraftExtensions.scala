@@ -186,11 +186,17 @@ object GraftExtensions {
           lit2int(args(1), u)))
       },
       "gopher_rules" -> { args =>
-        val u = "usage: gopher_rules('table', 'text_col', 'id_col')"
-        require(args.length == 3, u)
-        val Seq(t, tc, ic) = args.map(lit2str(_, u))
+        val u = "usage: gopher_rules('table', 'text_col', 'id_col'" +
+          "[, min_words, max_words[, 'alpha_pattern']])"
+        require(args.length == 3 || args.length == 5 || args.length == 6, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
         plan(graft.llm.TextAnalysis.gopherRules(
-          SparkSession.active.table(t), tc, ic))
+          SparkSession.active.table(t), tc, ic,
+          minWords = args.lift(3).map(lit2int(_, u).toLong).getOrElse(50L),
+          maxWords =
+            args.lift(4).map(lit2int(_, u).toLong).getOrElse(100000L),
+          alphaPattern =
+            args.lift(5).map(lit2str(_, u)).getOrElse("[a-z]")))
       },
       "c4_clean" -> { args =>
         val u =

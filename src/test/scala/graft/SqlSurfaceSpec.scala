@@ -55,6 +55,10 @@ class SqlSurfaceSpec extends SparkSpec {
           Corpus.chunkDocuments(docs, "text", "doc_id", 16), 64))
       check("SELECT * FROM gopher_rules('tvf_docs', 'text', 'doc_id')",
         graft.llm.TextAnalysis.gopherRules(docs, "text", "doc_id"))
+      check("SELECT * FROM gopher_rules('tvf_docs', 'text', 'doc_id', " +
+          "10, 500, '\\\\p{L}')",
+        graft.llm.TextAnalysis.gopherRules(docs, "text", "doc_id",
+          minWords = 10, maxWords = 500, alphaPattern = "\\p{L}"))
       check("SELECT * FROM c4_clean('tvf_docs', 'text', 'doc_id', 4)",
         Corpus.c4Clean(docs, "text", "doc_id", minLineWords = 4))
       check("SELECT * FROM dsir_weights('tvf_raw', 'tvf_tgt', 'text', " +
