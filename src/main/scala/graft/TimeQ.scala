@@ -1,0 +1,35 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev loop for timing a few declared queries without paying for the
+  * whole [[Bench]] suite: one warm-up + `reps` timed runs per named
+  * query in a single gate-config session, min/median printed per query.
+  * Usage: runMain graft.TimeQ <sfDir> <reps> <name>[,<name>...] */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, repsS, names) = args
+    val reps = repsS.toInt
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- names.split(',')) {
+      val fn = SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warm-up
+      val ts = Seq.fill(reps)(run()).sorted
+      println(f"TIMEQ $name min=${ts.head}%.2f med=${ts(ts.size / 2)}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -82,7 +82,14 @@ object AnnIndex {
   /** Append a delta's encoded rows to an existing index — the
     * incremental path: new corpus slices are encoded (row-local, no
     * touch of prior rows) and land in their cells' directories. The
-    * codebook must be the one the index was built with. */
+    * codebook must be the one the index was built with.
+    *
+    * Plain parquet append is NOT replay-idempotent: an at-least-once
+    * driver (foreachBatch) must key appends by batch id — either write
+    * each delta under its own subdir and union at read, or run the
+    * whole thing through the versioned
+    * [[graft.streaming.StreamOps.durableIngestDedup]] layout — exactly
+    * the contract documented there. */
   def appendIndex(encoded: DataFrame, path: String): Unit =
     encoded.write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
 
