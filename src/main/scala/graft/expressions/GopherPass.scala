@@ -1,0 +1,139 @@
+package graft.expressions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass JVM kernel for the Gopher gate verdict
+  * ([[graft.llm.TextAnalysis.gopherRules]]'s `pass` conjunction), shipped
+  * to executors as a single codegen reference object; regexes compile
+  * once per task, never per row.
+  *
+  * Replicates the certified Column formulation operation by operation —
+  * every deviation here would show up as an x59/w7 oracle mismatch:
+  *  - words: Spark `lower` = `UTF8String.toLowerCase`, then the same
+  *    Java `\s+` regex split with empties dropped;
+  *  - word length: CODE POINTS (Spark `length` is numChars), not UTF-16
+  *    units;
+  *  - alpha rule: `Pattern.find` on each token (`rlike` semantics),
+  *    pattern parameterized;
+  *  - distinct stop words as a presence bitmask (8 words → 8 bits),
+  *    `bitCount ≥ 2` ⟺ `size(array_intersect(array_distinct(w), sw))
+  *    ≥ 2`;
+  *  - symbols over the RAW text: '#' occurrences plus leftmost
+  *    non-overlapping `...` occurrences — exactly what the
+  *    `(length − length(replace))/width` formulation counts;
+  *  - lines: literal `\n` split, SPACE-ONLY trim (Spark `trim`), empty
+  *    lines dropped; bullet = first char `-`/`*`, ellipsis = trimmed
+  *    line ends with `...`;
+  *  - every ratio rule the same integer cross-multiplication.
+  */
+final class GopherGateKernel(val minWords: Long, val maxWords: Long,
+    val alphaPattern: String, val stopWords: Array[String])
+    extends Serializable {
+
+  @transient private lazy val alphaRe = Pattern.compile(alphaPattern)
+  @transient private lazy val wsRe = Pattern.compile("\\s+")
+
+  def pass(s: UTF8String): Boolean = {
+    val raw = s.toString
+    val lowered = s.toLowerCase.toString
+    // one pass over the word tokens
+    var n = 0L; var sum = 0L; var alpha = 0L; var mask = 0
+    val toks = wsRe.split(lowered, -1)
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      if (!tok.isEmpty) {
+        n += 1
+        sum += tok.codePointCount(0, tok.length)
+        if (alphaRe.matcher(tok).find()) alpha += 1
+        var j = 0
+        while (j < stopWords.length) {
+          if (tok == stopWords(j)) mask |= 1 << j
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // symbol occurrences over the raw text
+    var nSym = 0L
+    var k = raw.indexOf('#')
+    while (k >= 0) { nSym += 1; k = raw.indexOf('#', k + 1) }
+    k = raw.indexOf("...")
+    while (k >= 0) { nSym += 1; k = raw.indexOf("...", k + 3) }
+    // one pass over the lines
+    var nl = 0L; var bullet = 0L; var ell = 0L
+    var start = 0
+    var more = true
+    while (more) {
+      val at = raw.indexOf('\n', start)
+      val end = if (at < 0) raw.length else at
+      var a = start; var b = end
+      while (a < b && raw.charAt(a) == ' ') a += 1
+      while (b > a && raw.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        nl += 1
+        val c = raw.charAt(a)
+        if (c == '-' || c == '*') bullet += 1
+        if (b - a >= 3 && raw.charAt(b - 1) == '.' &&
+          raw.charAt(b - 2) == '.' && raw.charAt(b - 3) == '.') ell += 1
+      }
+      if (at < 0) more = false else start = at + 1
+    }
+    n >= minWords && n <= maxWords &&
+      3L * n <= sum && sum <= 10L * n &&
+      10L * nSym <= n &&
+      10L * bullet <= 9L * nl &&
+      10L * ell <= 3L * nl &&
+      5L * alpha >= 4L * n &&
+      java.lang.Integer.bitCount(mask) >= 2
+  }
+}
+
+/** The Gopher gate as ONE native boolean expression — built for FILTER
+  * position, where codegen gives predicates no subexpression
+  * elimination: a Column-algebra conjunction re-evaluates its shared
+  * token/line arrays per rule term (and higher-order array functions are
+  * interpreted besides), while this is a single compiled kernel call per
+  * row. [[graft.llm.TextAnalysis.gopherRules]] keeps the Column signal
+  * table (projections DO share subexpressions, and the table IS the
+  * certified artifact); HygienePropertySpec pins this expression equal
+  * to that table's `pass` column. */
+final case class GopherPass(child: Expression, minWords: Long,
+    maxWords: Long, alphaPattern: String, stopWords: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val kernel =
+    new GopherGateKernel(minWords, maxWords, alphaPattern, stopWords.toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.pass(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherGate",
+      new GopherGateKernel(minWords, maxWords, alphaPattern,
+        stopWords.toArray),
+      classOf[GopherGateKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.pass($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherPass =
+    copy(child = newChild)
+}
+
+object GopherPass {
+  /** Column API: the gate verdict over a text column. */
+  def apply(text: Column, minWords: Long, maxWords: Long,
+      alphaPattern: String, stopWords: Seq[String]): Column =
+    Bridge.column(GopherPass(Bridge.expression(text), minWords, maxWords,
+      alphaPattern, stopWords))
+}

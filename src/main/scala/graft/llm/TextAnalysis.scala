@@ -159,62 +159,18 @@ object TextAnalysis {
     * or paying an id join. HygienePropertySpec pins it equal to
     * `gopherRules(...)("pass")` on random messy docs.
     *
-    * Shaped for FILTER evaluation: codegen gives filter predicates no
-    * subexpression elimination (that lives in ProjectExec, which is why
-    * [[gopherRules]]' signal-table form can reference the shared arrays
-    * freely), so a naive conjunction re-splits the text once per rule
-    * term. Here every word-derived counter folds through ONE
-    * `aggregate` over the token array whose finish lambda emits the
-    * word-rule verdict, and likewise for the line-derived counters —
-    * each split is evaluated exactly once per row (higher-order array
-    * functions are interpreted, so the remaining cost is the one fold
-    * itself). The distinct
-    * stop-word count rides the same pass as a presence BITMASK (8 stop
-    * words → 8 bits; bit_count ≥ 2 ⟺ `array_intersect(distinct)` size
-    * ≥ 2). Decision arithmetic is unchanged — identical integer
-    * cross-multiplications, same oracle. */
+    * Built for FILTER position as a native expression
+    * ([[graft.expressions.GopherPass]]): codegen gives filter predicates
+    * no subexpression elimination (that lives in ProjectExec, which is
+    * why [[gopherRules]]' signal-table form can reference its shared
+    * arrays freely), so a Column-algebra conjunction re-splits the text
+    * once per rule term — and higher-order array functions are
+    * interpreted besides. The kernel is one compiled pass per row with
+    * identical decision arithmetic (see GopherPass's parity notes). */
   def gopherPassCol(text: Column, minWords: Long = 50,
-      maxWords: Long = 100000, alphaPattern: String = "[a-z]"): Column = {
-    val t = coalesce(text, lit(""))
-    def occ(needle: String, width: Int): Column =
-      ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
-        / width).cast("long")
-    val nSym = occ("#", 1) + occ("...", 3)
-    val wordPass = aggregate(
-      filter(tokens(t), x => length(x) > 0),
-      struct(lit(0L).as("n"), lit(0L).as("s"), lit(0L).as("a"),
-        lit(0).as("m")),
-      (acc, x) => struct(
-        (acc.getField("n") + 1L).as("n"),
-        (acc.getField("s") + length(x)).as("s"),
-        (acc.getField("a") +
-          when(x.rlike(alphaPattern), 1L).otherwise(0L)).as("a"),
-        acc.getField("m").bitwiseOR(
-          gopherStopWords.zipWithIndex.foldLeft(lit(0)) {
-            case (c, (wd, i)) => when(x === wd, lit(1 << i)).otherwise(c)
-          }).as("m")),
-      acc => {
-        val n = acc.getField("n"); val s = acc.getField("s")
-        n.between(minWords, maxWords) &&
-          lit(3L) * n <= s && s <= lit(10L) * n &&
-          lit(10L) * nSym <= n &&
-          lit(5L) * acc.getField("a") >= lit(4L) * n &&
-          bit_count(acc.getField("m")) >= 2
-      })
-    val linePass = aggregate(
-      filter(transform(split(t, "\n"), l => trim(l)), l => l =!= ""),
-      struct(lit(0L).as("n"), lit(0L).as("b"), lit(0L).as("e")),
-      (acc, l) => struct(
-        (acc.getField("n") + 1L).as("n"),
-        (acc.getField("b") + when(l.substr(lit(1), lit(1)).isin("-", "*"),
-          1L).otherwise(0L)).as("b"),
-        (acc.getField("e") +
-          when(l.endsWith("..."), 1L).otherwise(0L)).as("e")),
-      acc =>
-        lit(10L) * acc.getField("b") <= lit(9L) * acc.getField("n") &&
-        lit(10L) * acc.getField("e") <= lit(3L) * acc.getField("n"))
-    wordPass && linePass
-  }
+      maxWords: Long = 100000, alphaPattern: String = "[a-z]"): Column =
+    graft.expressions.GopherPass(coalesce(text, lit("")), minWords,
+      maxWords, alphaPattern, gopherStopWords)
 
   /** Gopher/MassiveWeb document-quality rules (Rae et al. 2021, appendix
     * A1.1) — the standard heuristic filter suite for web-scale LLM

@@ -150,8 +150,27 @@ class HygienePropertySpec extends SparkSpec {
     }
   }
 
+  // adversarial corners for the gopherPassCol ≡ gopherRules pin — the
+  // places a hand-written kernel could diverge from the Column algebra:
+  // supplementary-plane chars (code-point vs UTF-16 length), the exact
+  // Java \s class (VT yes; NBSP / U+2028 NO — they stay inside tokens),
+  // case folding, space-only trim (a tab-led bullet is NOT a bullet),
+  // overlapping dots, and CRLF (the \r survives the \n split, so a
+  // "...\r" line does NOT end with "...")
+  private val gopherCorners = Seq(
+    "𝒜𝒝 ab the of  joined and 𝒜𝒜𝒜 done",
+    "one\ttwothree\ffour\rfive the of",
+    "U+2028 stays one token the be to",
+    "MIXED Case THE OF And tokens",
+    "   - spaced bullet the of\n\t- tab-led not-a-bullet\n* starred   ",
+    "dots.... the of\nreal line ends...\nline with #### marks",
+    "crlf line the of...\r\nnext line\r\n",
+    "", " ", "\n\n\n", "....", "# # # #")
+
   test("gopherRules: signal invariants hold on random messy docs") {
-    val docs = (1L to 60L).map(i => (i, messyText())).toDF("id", "text")
+    val docs = ((1L to 60L).map(i => (i, messyText())) ++
+      gopherCorners.zipWithIndex.map { case (t, i) => (1000L + i, t) })
+      .toDF("id", "text")
     TextAnalysis.gopherRules(docs, "text", "id").collect().foreach { r =>
       val (nw, sl, _, nl, nbul, nell, nalpha, nstop) =
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
