@@ -937,6 +937,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The multilingual Gopher knob certified cross-engine: a Cyrillic
+    // body (plus the two stop words a mixed-language web page would
+    // carry) is planted on doc_id % 5 == 0 and the rules run with the
+    // permissive \p{L} alpha pattern (Java and RE2 agree on the Unicode
+    // L property) plus a lowered word floor — every planted doc PASSES
+    // and every other doc drops, so the knob provably flips verdicts
+    // where the faithful [a-z] default (x59, unchanged) drops all
+    // non-Latin text. Band/pattern flow through the same gopherRules
+    // parameters the SQL TVF exposes.
+    "x67_gopher_multilingual" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+            lit(" настоящий многоязычный текст хорошего качества the of"))
+          .otherwise(lit(""))).as("text"))
+      graft.llm.TextAnalysis.gopherRules(aug, "text", "doc_id",
+          minWords = 10, maxWords = 100000, alphaPattern = "\\p{L}")
+        .orderBy("doc_id")
+    }),
+
     // C4 line filtering (Raffel et al. 2020 §2.2): per-line boilerplate
     // rules with a fixed first-failing-rule precedence (brace → lorem/
     // javascript → short → no terminal punct); output = per-rule drop
@@ -2906,6 +2925,51 @@ object LlmQueries {
                  n_bullet_lines, n_ellipsis_lines, n_alpha_words,
                  n_stop_words,
                  (n_words BETWEEN 50 AND 100000
+                  AND 3 * n_words <= sum_word_len
+                  AND sum_word_len <= 10 * n_words
+                  AND 10 * n_symbols <= n_words
+                  AND 10 * n_bullet_lines <= 9 * n_lines
+                  AND 10 * n_ellipsis_lines <= 3 * n_lines
+                  AND 5 * n_alpha_words >= 4 * n_words
+                  AND n_stop_words >= 2) AS pass
+          FROM sig ORDER BY doc_id""",
+    // x59's replay over Cyrillic-planted text with the permissive
+    // Unicode-letter alpha rule (RE2 and Java agree on \p{L}) and the
+    // 10-word floor — the multilingual knob decided identically by both
+    // engines.
+    "x67_gopher_multilingual" ->
+      s"""WITH docs0 AS (SELECT doc_id,
+                 text || CASE WHEN doc_id % 5 = 0
+                   THEN ' настоящий многоязычный текст хорошего качества the of'
+                   ELSE '' END AS text
+               FROM documents),
+              base AS (SELECT doc_id, text,
+                 list_filter($duckToks, x -> x <> '') AS w,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                   x -> trim(x)), x -> x <> '') AS ls
+               FROM docs0),
+              sig AS (SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                   AS BIGINT) AS sum_word_len,
+                 CAST((length(text) - length(replace(text, '#', ''))) +
+                   ((length(text) - length(replace(text, '...', ''))) // 3)
+                   AS BIGINT) AS n_symbols,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(ls, l -> left(l, 1) IN ('-', '*')))
+                   AS BIGINT) AS n_bullet_lines,
+                 CAST(len(list_filter(ls, l -> right(l, 3) = '...'))
+                   AS BIGINT) AS n_ellipsis_lines,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '\\p{L}')))
+                   AS BIGINT) AS n_alpha_words,
+                 CAST(len(list_intersect(list_distinct(w),
+                   ${duckList(graft.llm.TextAnalysis.gopherStopWords)}))
+                   AS BIGINT) AS n_stop_words
+               FROM base)
+          SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines,
+                 n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+                 n_stop_words,
+                 (n_words BETWEEN 10 AND 100000
                   AND 3 * n_words <= sum_word_len
                   AND sum_word_len <= 10 * n_words
                   AND 10 * n_symbols <= n_words
