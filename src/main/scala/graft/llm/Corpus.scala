@@ -637,6 +637,36 @@ object Corpus {
       .drop("_b", "_off")
   }
 
+  /** CCNet-style quality slices (Wenzek et al. 2020 §4.3: the corpus
+    * split into head/middle/tail by model-score terciles): every row's
+    * slice 0..nSlices-1 under a TOTAL ordering, computed as
+    * `slice = pos · nSlices div n` over the [[globalOrderIndex]] rank —
+    * pure integer arithmetic, so the cut points are EXACT equal-count
+    * boundaries (never float quantile estimates) and any two engines
+    * agree on every assignment bit-for-bit.
+    *
+    * Scale shape: globalOrderIndex's two bounded shuffles plus one
+    * 1-row count broadcast — the x22/x58 stats pattern. CCNet proper
+    * slices PER LANGUAGE: compose with languageId routing by invoking
+    * per language partition (the per-language rank at corpus scale
+    * needs the same range-bucket machinery, which filtering first
+    * preserves).
+    *
+    * @param order a TOTAL ordering, best score first (append the id as
+    *              a tie-break); slice 0 = head
+    * @return `df` plus `pos: long` and `slice: int` */
+  def qualitySlices(df: DataFrame, nSlices: Int, nBuckets: Int,
+      order: Column*): DataFrame = {
+    require(nSlices >= 1, s"nSlices ($nSlices) must be >= 1")
+    val ranked = graft.operators.Lineage.cut(
+      globalOrderIndex(df, nBuckets, order: _*))
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("slice",
+        expr(s"pos * $nSlices div _n").cast("int"))
+      .drop("_n")
+  }
+
   /** Write a [[shuffleIntoShards]] result as the final corpus layout:
     * `path/shard=N/part-*.parquet`, rows inside each shard's file
     * sequence in `pos` order — exactly what a data loader streams.

@@ -937,6 +937,27 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style quality slices (Wenzek 2020 §4.3: head/middle/tail by
+    // model-score terciles) over the x63-certified affinity key: global
+    // integer rank (the x34 range-bucket machinery — never a single-
+    // partition window) → slice = pos·3 div n. Every cut point is exact
+    // integer arithmetic over a bit-reproducible ordering key, so both
+    // engines assign every document to the same slice.
+    "x68_quality_slices" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = graft.llm.Corpus.dsirWeights(
+          d.filter(col("source") =!= "src0").select("doc_id", "text"),
+          d.filter(col("source") === "src0").select("doc_id", "text"),
+          "text", "doc_id")
+        .withColumn("affinity",
+          col("target_mass").cast("double") / col("raw_mass"))
+        .select("doc_id", "target_mass", "raw_mass", "affinity")
+      graft.llm.Corpus.qualitySlices(scored, nSlices = 3, nBuckets = 8,
+          col("affinity").desc, col("doc_id").asc)
+        .select("doc_id", "target_mass", "raw_mass", "pos", "slice")
+        .orderBy("doc_id")
+    }),
+
     // The multilingual Gopher knob certified cross-engine: a Cyrillic
     // body (plus the two stop words a mixed-language web page would
     // carry) is planted on doc_id % 5 == 0 and the rules run with the
@@ -2933,6 +2954,23 @@ object LlmQueries {
                   AND 5 * n_alpha_words >= 4 * n_words
                   AND n_stop_words >= 2) AS pass
           FROM sig ORDER BY doc_id""",
+    // The x63 affinity ordering ranked 0-based, then sliced by exact
+    // integer division — the oracle's single window replays what the
+    // engine computes with range buckets + per-bucket offsets.
+    "x68_quality_slices" ->
+      s"""WITH $duckDsirStats,
+              aff AS (SELECT doc_id, target_mass, raw_mass,
+                        CAST(target_mass AS DOUBLE) / raw_mass AS affinity
+                      FROM stats),
+              rnk AS (SELECT doc_id, target_mass, raw_mass,
+                        row_number() OVER (ORDER BY affinity DESC,
+                                           doc_id ASC) - 1 AS pos,
+                        count(*) OVER () AS n
+                      FROM aff)
+          SELECT doc_id, target_mass, raw_mass,
+                 CAST(pos AS BIGINT) AS pos,
+                 CAST((pos * 3) // n AS INTEGER) AS slice
+          FROM rnk ORDER BY doc_id""",
     // x59's replay over Cyrillic-planted text with the permissive
     // Unicode-letter alpha rule (RE2 and Java agree on \p{L}) and the
     // 10-word floor — the multilingual knob decided identically by both

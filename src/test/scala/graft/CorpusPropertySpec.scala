@@ -129,4 +129,28 @@ class CorpusPropertySpec extends SparkSpec {
         s"doc $id chunks did not re-align after prefix insertion")
     }
   }
+
+  test("qualitySlices: contiguous near-equal bands that follow the total " +
+    "order, for sizes around the divisibility corners") {
+    for (n <- Seq(1, 2, 3, 7, 300, 301, 302); nSlices <- Seq(1, 3, 4)) {
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextDouble()))
+        .toDF("id", "score")
+      val got = Corpus.qualitySlices(rows, nSlices, nBuckets = 4,
+          col("score").desc, col("id").asc)
+        .select("id", "score", "pos", "slice").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      // pos is the exact rank under (score desc, id asc)
+      val want = got.sortBy { case (id, s, _, _) => (-s, id) }
+        .zipWithIndex.map { case ((id, _, _, _), i) => id -> i.toLong }.toMap
+      got.foreach { case (id, _, pos, _) =>
+        assert(pos === want(id), s"n=$n slices=$nSlices id=$id pos") }
+      // slice is monotone in pos and the band sizes differ by at most 1
+      val byPos = got.sortBy(_._3).map(_._4)
+      assert(byPos === byPos.sorted, s"n=$n slices=$nSlices not monotone")
+      val sizes = got.groupBy(_._4).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1,
+        s"n=$n slices=$nSlices uneven bands: $sizes")
+      assert(got.map(_._4).distinct.length === math.min(nSlices, n))
+    }
+  }
 }

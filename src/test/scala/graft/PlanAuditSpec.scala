@@ -27,8 +27,10 @@ class PlanAuditSpec extends SparkSpec {
     // totals broadcast into the per-doc rollup — both sides bounded
     "x63_affinity_select", // built on the x58 scoring join, same 1-row
     // (T, R) broadcast
-    "x64_dsir_delta" // the delta form of the same scoring join — two
+    "x64_dsir_delta", // the delta form of the same scoring join — two
     // steps, each with the 1-row (T, R) broadcast
+    "x68_quality_slices" // x63's scoring join (1-row (T, R) broadcast)
+    // plus qualitySlices' 1-row total-count broadcast — both bounded
   )
 
   test("no cartesian products or unintended nested-loop joins") {
