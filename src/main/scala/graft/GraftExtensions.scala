@@ -43,7 +43,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `embedding_neardups`, `ivf_topk_over_index`,
   * `ivfpq_refined_over_index`, `chunk_docs`, `pack_chunks`,
   * `gopher_rules`, `c4_clean`, `text_stats`, `language_id`,
-  * `repetition_stats`, `url_domains`, `domain_report`, `dsir_weights`,
+  * `repetition_stats`, `quality_slices`, `url_domains`,
+  * `domain_report`, `dsir_weights`,
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
   * `pii_stats`, `pii_redact`, `decontam` — e.g.
   * {{{
@@ -410,6 +411,18 @@ object GraftExtensions {
         val Seq(t, tc, ic) = args.map(lit2str(_, u))
         plan(graft.llm.TextAnalysis.repetitionStats(
           SparkSession.active.table(t), tc, ic))
+      },
+      "quality_slices" -> { args =>
+        val u = "usage: quality_slices('table', n_slices, 'score_col', " +
+          "'id_col'[, n_buckets]) — slices by (score desc, id asc), " +
+          "slice 0 = head"
+        require(args.length == 4 || args.length == 5, u)
+        val t = SparkSession.active.table(lit2str(args(0), u))
+        val Seq(sc, ic) = args.slice(2, 4).map(lit2str(_, u))
+        plan(graft.llm.Corpus.qualitySlices(t, lit2int(args(1), u),
+          nBuckets = args.lift(4).map(lit2int(_, u)).getOrElse(8),
+          org.apache.spark.sql.functions.col(sc).desc,
+          org.apache.spark.sql.functions.col(ic).asc))
       },
       "ivf_topk_over_index" -> { args =>
         val u = "usage: ivf_topk_over_index('index_table', 'queries', " +

@@ -246,6 +246,63 @@ object TextAnalysis {
         col("pass"))
   }
 
+  /** [[gopherRules]] composed with [[languageIdDf]] routing — the
+    * multilingual deployment form the gopherRules scaladoc describes:
+    * each document is gated against ITS OWN language's
+    * [[langMarkers]] list as the rule-7 stop vocabulary, with the
+    * Unicode-letter alpha rule by default (rule 5 must not privilege
+    * Latin once routing is in play). Documents the router cannot place
+    * (`'und'`) have no stop vocabulary, count zero stop words, and fail
+    * rule 7 — the conservative drop for unidentifiable text. Same
+    * integer decision arithmetic as gopherRules throughout; the
+    * language CASE adds one row-local branch in the same projection.
+    *
+    * @return (idCol, lang_guess, n_words, n_stop_words, pass)
+    */
+  def gopherRulesByLang(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, minWords: Long = 50,
+      maxWords: Long = 100000, alphaPattern: String = "\\p{L}")
+      : org.apache.spark.sql.DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"word-count band [$minWords, $maxWords] is not a band")
+    val t = coalesce(col(textCol), lit(""))
+    def occurrences(needle: String, width: Int): Column =
+      ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
+        / width).cast("long")
+    languageIdDf(df, textCol, "lang_guess")
+      .withColumn("_w", filter(tokens(t), x => length(x) > 0))
+      .withColumn("_lines", filter(
+        transform(split(t, "\n"), l => trim(l)), l => l =!= ""))
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(col("_w"), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_symbols", occurrences("#", 1) + occurrences("...", 3))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_bullet_lines", size(filter(col("_lines"),
+        l => l.substr(lit(1), lit(1)).isin("-", "*"))).cast("long"))
+      .withColumn("n_ellipsis_lines", size(filter(col("_lines"),
+        l => l.endsWith("..."))).cast("long"))
+      .withColumn("n_alpha_words", size(filter(col("_w"),
+        x => x.rlike(alphaPattern))).cast("long"))
+      .withColumn("n_stop_words",
+        langMarkers.foldLeft(lit(0L)) { case (acc, (lang, ms)) =>
+          when(col("lang_guess") === lang,
+            size(array_intersect(array_distinct(col("_w")),
+              array(ms.map(lit): _*))).cast("long")).otherwise(acc)
+        })
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+        lit(3L) * col("n_words") <= col("sum_word_len") &&
+        col("sum_word_len") <= lit(10L) * col("n_words") &&
+        lit(10L) * col("n_symbols") <= col("n_words") &&
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words") &&
+        col("n_stop_words") >= 2L)
+      .select(col(idCol), col("lang_guess"), col("n_words"),
+        col("n_stop_words"), col("pass"))
+  }
+
   /** URL pattern shared verbatim by Java and RE2: scheme (case-
     * insensitive — shouty spam links are exactly what domain blocklists
     * must catch) + every char to the next whitespace (recall-first;

@@ -937,6 +937,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The FULL multilingual composition certified: language-ID routing
+    // (x2's argmax rule) feeding per-language Gopher gating — each doc
+    // judged against ITS OWN language's marker vocabulary as the rule-7
+    // stop list, with the Unicode alpha rule. Marker phrases for four
+    // languages are planted by doc_id residue (the fifth residue gets
+    // English markers), so the router provably routes and the per-
+    // language stop lists provably bind; 'und' docs drop conservatively.
+    "x69_gopher_by_lang" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 1,
+            lit(" el la de los que y buen texto aqui"))
+          .when(col("doc_id") % 5 === 2,
+            lit(" le les des et une du bon texte ici"))
+          .when(col("doc_id") % 5 === 3,
+            lit(" der die das und ein von guter text hier"))
+          .when(col("doc_id") % 5 === 4, lit(" 的 是 在 了 和 好的 文本"))
+          .otherwise(lit(" the a of and to is in good text"))).as("text"))
+      graft.llm.TextAnalysis.gopherRulesByLang(aug, "text", "doc_id",
+          minWords = 10)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style quality slices (Wenzek 2020 §4.3: head/middle/tail by
     // model-score terciles) over the x63-certified affinity key: global
     // integer rank (the x34 range-bucket machinery — never a single-
@@ -2954,6 +2977,63 @@ object LlmQueries {
                   AND 5 * n_alpha_words >= 4 * n_words
                   AND n_stop_words >= 2) AS pass
           FROM sig ORDER BY doc_id""",
+    // x2's language argmax chain over the planted text, then the gopher
+    // signal replay with the stop count CASEd on the routed language —
+    // the identical per-language vocabulary intersection.
+    "x69_gopher_by_lang" -> {
+      val langStopCase = "CASE lang_guess " +
+        graft.llm.TextAnalysis.langMarkers.map { case (lang, ms) =>
+          s"WHEN '$lang' THEN len(list_intersect(list_distinct(fw), " +
+            s"${duckList(ms)}))"
+        }.mkString(" ") + " ELSE 0 END"
+      s"""WITH docs0 AS (SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 5 = 1
+                     THEN ' el la de los que y buen texto aqui'
+                   WHEN doc_id % 5 = 2
+                     THEN ' le les des et une du bon texte ici'
+                   WHEN doc_id % 5 = 3
+                     THEN ' der die das und ein von guter text hier'
+                   WHEN doc_id % 5 = 4 THEN ' 的 是 在 了 和 好的 文本'
+                   ELSE ' the a of and to is in good text' END AS text
+               FROM documents),
+              ws AS (SELECT doc_id, text, $duckToks AS w FROM docs0),
+              sc AS (SELECT doc_id, text, w, $duckLangScores FROM ws),
+              b AS (SELECT *, $duckBest AS best FROM sc),
+              lang AS (SELECT doc_id, text, w,
+                         $duckLangPick AS lang_guess FROM b),
+              base AS (SELECT doc_id, lang_guess, text,
+                 list_filter(w, x -> x <> '') AS fw,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                   x -> trim(x)), x -> x <> '') AS ls
+               FROM lang),
+              sig AS (SELECT doc_id, lang_guess,
+                 CAST(len(fw) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(fw, x -> length(x))),
+                   0) AS BIGINT) AS sum_word_len,
+                 CAST((length(text) - length(replace(text, '#', ''))) +
+                   ((length(text) - length(replace(text, '...', ''))) // 3)
+                   AS BIGINT) AS n_symbols,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(ls, l -> left(l, 1) IN ('-', '*')))
+                   AS BIGINT) AS n_bullet_lines,
+                 CAST(len(list_filter(ls, l -> right(l, 3) = '...'))
+                   AS BIGINT) AS n_ellipsis_lines,
+                 CAST(len(list_filter(fw, x -> regexp_matches(x, '\\p{L}')))
+                   AS BIGINT) AS n_alpha_words,
+                 CAST($langStopCase AS BIGINT) AS n_stop_words
+               FROM base)
+          SELECT doc_id, lang_guess, n_words, n_stop_words,
+                 (n_words BETWEEN 10 AND 100000
+                  AND 3 * n_words <= sum_word_len
+                  AND sum_word_len <= 10 * n_words
+                  AND 10 * n_symbols <= n_words
+                  AND 10 * n_bullet_lines <= 9 * n_lines
+                  AND 10 * n_ellipsis_lines <= 3 * n_lines
+                  AND 5 * n_alpha_words >= 4 * n_words
+                  AND n_stop_words >= 2) AS pass
+          FROM sig ORDER BY doc_id"""
+    },
     // The x63 affinity ordering ranked 0-based, then sliced by exact
     // integer division — the oracle's single window replays what the
     // engine computes with range buckets + per-bucket offsets.

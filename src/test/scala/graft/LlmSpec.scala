@@ -868,6 +868,25 @@ class LlmSpec extends SparkSpec {
     assert(row.getLong(6) === 2L)  // '...'-ending lines
   }
 
+  test("gopherRulesByLang: each doc is gated against its routed " +
+    "language's vocabulary; unidentifiable docs drop conservatively") {
+    import spark.implicits._
+    def body(markers: String) =
+      (("palabra frase texto contenido documento mundo " * 10) + markers).trim
+    val docs = Seq(
+      1L -> body("el la de los que y"),       // routes es, 6 es stop words
+      2L -> body("der die das und ein von"),  // routes de
+      3L -> body("zzz qqq xxx www vvv uuu"))  // no markers anywhere: und
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesByLang(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 === "es" && got(1L)._2 === 6L && got(1L)._3)
+    assert(got(2L)._1 === "de" && got(2L)._2 === 6L && got(2L)._3)
+    // 'und': no stop vocabulary exists, so rule 7 fails — never a pass
+    assert(got(3L)._1 === "und" && got(3L)._2 === 0L && !got(3L)._3)
+  }
+
   test("c4Clean: lines classify by first failing rule and the cleaned " +
     "text is exactly the kept lines") {
     import spark.implicits._

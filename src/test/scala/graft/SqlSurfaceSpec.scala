@@ -195,6 +195,10 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM repetition_stats('tvf3_docs', 'text', " +
           "'doc_id')",
         graft.llm.TextAnalysis.repetitionStats(docs, "text", "doc_id"))
+      check("SELECT * FROM quality_slices('tvf3_emb', 3, 'vec_id', " +
+          "'vec_id')",
+        Corpus.qualitySlices(emb, 3, nBuckets = 8,
+          col("vec_id").desc, col("vec_id").asc))
       check("SELECT * FROM ivf_topk_over_index('tvf3_ivf_idx', " +
           "'tvf3_q', 'vec_id', 'embedding', 3)",
         graft.llm.AnnIndex.ivfTopKOverIndex(
