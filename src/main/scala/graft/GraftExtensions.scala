@@ -42,7 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `ivfpq_topk`, `ivfpq_refined`, `semantic_dedup`,
   * `embedding_neardups`, `ivf_topk_over_index`,
   * `ivfpq_refined_over_index`, `chunk_docs`, `pack_chunks`,
-  * `gopher_rules`, `c4_clean`, `text_stats`, `language_id`,
+  * `gopher_rules`, `gopher_by_lang`, `c4_clean`, `text_stats`,
+  * `language_id`,
   * `repetition_stats`, `quality_slices`, `url_domains`,
   * `domain_report`, `dsir_weights`,
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
@@ -411,6 +412,17 @@ object GraftExtensions {
         val Seq(t, tc, ic) = args.map(lit2str(_, u))
         plan(graft.llm.TextAnalysis.repetitionStats(
           SparkSession.active.table(t), tc, ic))
+      },
+      "gopher_by_lang" -> { args =>
+        val u = "usage: gopher_by_lang('table', 'text_col', 'id_col'" +
+          "[, min_words, max_words])"
+        require(args.length == 3 || args.length == 5, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.gopherRulesByLang(
+          SparkSession.active.table(t), tc, ic,
+          minWords = args.lift(3).map(lit2int(_, u).toLong).getOrElse(50L),
+          maxWords =
+            args.lift(4).map(lit2int(_, u).toLong).getOrElse(100000L)))
       },
       "quality_slices" -> { args =>
         val u = "usage: quality_slices('table', n_slices, 'score_col', " +

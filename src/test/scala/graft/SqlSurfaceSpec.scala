@@ -199,6 +199,10 @@ class SqlSurfaceSpec extends SparkSpec {
           "'vec_id')",
         Corpus.qualitySlices(emb, 3, nBuckets = 8,
           col("vec_id").desc, col("vec_id").asc))
+      check("SELECT * FROM gopher_by_lang('tvf3_docs', 'text', " +
+          "'doc_id', 10, 100000)",
+        graft.llm.TextAnalysis.gopherRulesByLang(docs, "text", "doc_id",
+          minWords = 10, maxWords = 100000))
       check("SELECT * FROM ivf_topk_over_index('tvf3_ivf_idx', " +
           "'tvf3_q', 'vec_id', 'embedding', 3)",
         graft.llm.AnnIndex.ivfTopKOverIndex(
