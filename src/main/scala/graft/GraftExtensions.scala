@@ -101,6 +101,9 @@ object GraftExtensions {
   //   card_stats('docs', 'text')    pii_stats('docs', 'text')
   //   pii_redact('docs', 'text')    decontam('train', 'bench', 'text',
   //                                          'doc_id' [, k])
+  //   sq8_topk('corpus', 'queries', 'vec_id', 'embedding', 10 [, refine_k])
+  //   rrf_fuse('lexical', 'dense', 'query_id', 'doc_id', 'rank', 10 [, k_rrf])
+  //   budget_apportion('docs', 'source', 97)
   // -----------------------------------------------------------------------
 
   private def lit2str(e: Expression, usage: String): String = e match {
@@ -340,6 +343,33 @@ object GraftExtensions {
         val s = SparkSession.active
         plan(graft.llm.Similarity.ivfPqTopKRefined(s.table(ct), s.table(qt),
           ic, vc, lit2int(args(4), u), refineK = lit2int(args(5), u)))
+      },
+      "sq8_topk" -> { args =>
+        val u = "usage: sq8_topk('corpus', 'queries', 'id_col', " +
+          "'vec_col', k[, refine_k])"
+        require(args.length == 5 || args.length == 6, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Similarity.sq8TopK(s.table(ct), s.table(qt), ic, vc,
+          lit2int(args(4), u),
+          refineK = args.lift(5).map(lit2int(_, u)).getOrElse(50)))
+      },
+      "rrf_fuse" -> { args =>
+        val u = "usage: rrf_fuse('ranking_a', 'ranking_b', 'query_id_col', " +
+          "'id_col', 'rank_col', top_k[, k_rrf])"
+        require(args.length == 6 || args.length == 7, u)
+        val Seq(at, bt, qc, ic, rc) = args.take(5).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Retrieval.rrfFuse(Seq(s.table(at), s.table(bt)),
+          qc, ic, rc, lit2int(args(5), u),
+          kRrf = args.lift(6).map(lit2int(_, u)).getOrElse(60)))
+      },
+      "budget_apportion" -> { args =>
+        val u = "usage: budget_apportion('table', 'strata_col', budget)"
+        require(args.length == 3, u)
+        val Seq(t, sc) = args.take(2).map(lit2str(_, u))
+        plan(graft.llm.Corpus.budgetApportion(SparkSession.active.table(t),
+          sc, lit2int(args(2), u).toLong))
       },
       "semantic_dedup" -> { args =>
         val u = "usage: semantic_dedup('table', 'id_col', 'vec_col', " +

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -158,6 +158,132 @@ final case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SQ8 scalar-quantization encode: element `d` of the vector maps to
+  * `clamp(⌊(x − mn_d)·255 / (mx_d − mn_d)⌋, 0, 255)` (code 0 when the
+  * dimension is constant). Every step — subtract, multiply, divide,
+  * floor — is an exactly-rounded IEEE double operation in ONE fixed
+  * parenthesization, so the integer codes are bit-reproducible in any
+  * engine evaluating the same expression (the DuckDB oracle does). */
+final class Sq8Kernel(val floatInput: Boolean) extends Serializable {
+  def encode(v: ArrayData, mins: ArrayData, maxs: ArrayData): ArrayData = {
+    val n = v.numElements()
+    if (mins.numElements() != n || maxs.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq8_encode: vector has $n dims but stats have " +
+          s"${mins.numElements()}/${maxs.numElements()}")
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val x = VectorKernels.elem(v, i, floatInput)
+      val mn = mins.getDouble(i)
+      val mx = maxs.getDouble(i)
+      out(i) =
+        if (mx > mn) {
+          val c = math.floor((x - mn) * 255.0 / (mx - mn))
+          if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+        } else 0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** SQ8 codes of a vector column given per-dimension min/max columns
+  * (array<double>, data-dependent — computed by one corpus aggregate and
+  * broadcast, unlike the constant-matrix [[MatVecProjections]]).
+  * Null if any input is null; dimension mismatch raises. */
+final case class Sq8Encode(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(DoubleType, _),
+          ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "sq8_encode requires (array<float|double>, array<double>, " +
+          s"array<double>), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  private def floatInput: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val kernel = new Sq8Kernel(floatInput)
+
+  override def nullSafeEval(v: Any, mn: Any, mx: Any): Any =
+    kernel.encode(v.asInstanceOf[ArrayData], mn.asInstanceOf[ArrayData],
+      mx.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8", new Sq8Kernel(floatInput),
+      classOf[Sq8Kernel].getName)
+    nullSafeCodeGen(ctx, ev,
+      (v, mn, mx) => s"${ev.value} = $ref.encode($v, $mn, $mx);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Sq8Encode =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Integer dot product — the SQ8 asymmetric-distance scan: Σ a_i·b_i over
+  * two int-code arrays, accumulated in long (64 dims × 255² ≈ 4.2M per
+  * term — overflow-free by construction). Exact integer arithmetic, so
+  * the candidate ordering is engine-independent with no float caveat. */
+final class IntDotKernel extends Serializable {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"int_dot: dimension mismatch (${a.numElements()} vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"int_dot: null element at index $i — code arrays must be dense")
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Dot product of two array<int> code columns as long; null if either
+  * side is null, dimension mismatch raises. */
+final case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int_dot requires two array<int> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  @transient private lazy val kernel = new IntDotKernel
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intdot", new IntDotKernel,
+      classOf[IntDotKernel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.dot($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column API: projections of `vec` onto each matrix row. Stage the
     * result in its own `withColumn` when consumed more than once — the
@@ -168,4 +294,13 @@ object VectorExprs {
   /** Column API: cosine similarity of two vector columns. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: SQ8 codes of `vec` under per-dimension `mins`/`maxs`. */
+  def sq8Encode(vec: Column, mins: Column, maxs: Column): Column =
+    Bridge.column(Sq8Encode(Bridge.expression(vec), Bridge.expression(mins),
+      Bridge.expression(maxs)))
+
+  /** Column API: integer dot product of two array<int> code columns. */
+  def intDot(a: Column, b: Column): Column =
+    Bridge.column(IntDotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

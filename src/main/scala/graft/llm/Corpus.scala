@@ -319,6 +319,58 @@ object Corpus {
       .drop("_tw")
   }
 
+  /** Integer-exact document-budget apportionment across strata by the
+    * largest-remainder (Hamilton) method: stratum `i` with `n_i` docs out
+    * of `N` gets `base_i = ⌊B·n_i/N⌋` of a `B`-doc budget, and the
+    * `B − Σ base_i` leftover units go one each to the strata with the
+    * largest remainders `(B·n_i) mod N` — so `Σ alloc_i = B` EXACTLY and
+    * every decision is integer arithmetic (the float-quota rounding that
+    * proportional samplers like [[mixtureRates]] tolerate is exactly what
+    * a fixed-size eval/holdout draw cannot: quotas that round to B−1 or
+    * B+1 docs). Ties on the remainder break to the larger stratum, then
+    * the lexically-smaller stratum key — deterministic cross-engine.
+    *
+    * Scale shape: one corpus-sized count shuffle to strata-sized rows;
+    * the 1-row total broadcast and the remainder ranking live on the
+    * strata table (vocabulary-sized — the single-partition window is
+    * bounded by the stratum count, like the x23 rates table).
+    *
+    * @return per stratum: n_docs, base, rem (the remainder), extra (0/1),
+    *         alloc = base + extra
+    */
+  def budgetApportion(df: DataFrame, strataCol: String, budget: Long)
+      : DataFrame = {
+    require(budget >= 0L, s"budget ($budget) must be >= 0")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("_n"))
+    // B·n_i can exceed 64 bits at full scale (budget 1e9 × a 1e11-doc
+    // stratum), so the product lives in decimal(38,0); base and rem fit
+    // long by construction (base ≤ B, rem < N) and leave as long. The
+    // quotient (_bn − rem)/_n is exactly integral, so the decimal divide
+    // is exact at any result scale.
+    val quoted = counts.crossJoin(broadcast(total))
+      .withColumn("_bn", lit(budget).cast("decimal(38,0)") *
+        col("n_docs").cast("decimal(38,0)"))
+      .withColumn("rem", (col("_bn") % col("_n").cast("decimal(38,0)"))
+        .cast("long"))
+      .withColumn("base",
+        ((col("_bn") - col("rem").cast("decimal(38,0)")) /
+          col("_n").cast("decimal(38,0)")).cast("long"))
+    val leftover = quoted.agg(
+      (lit(budget) - sum(col("base"))).as("_k"))
+    // strata-sized frame: the unpartitioned window is bounded by the
+    // stratum count, not the corpus
+    quoted.crossJoin(broadcast(leftover))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("rem").desc, col("n_docs").desc, col(strataCol).asc)))
+      .withColumn("extra", when(col("_r") <= col("_k"), 1L).otherwise(0L))
+      .withColumn("alloc", col("base") + col("extra"))
+      .select(col(strataCol), col("n_docs"), col("base"), col("rem"),
+        col("extra"), col("alloc"))
+  }
+
   /** Sample documents to a token budget: Bernoulli-keep each doc with its
     * source's [[mixtureRates]] keep-rate, decided by the same portable
     * `hash(source:id)` as [[stratifiedSample]] — deterministic,

@@ -229,4 +229,55 @@ object Retrieval {
         coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"),
         coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * two or more rankings of the same corpus for the same query set — the
+    * standard hybrid-retrieval combiner (BM25 lexical + dense-vector ANN
+    * being the canonical pair): `score(d) = Σ_i 1/(kRrf + rank_i(d))`,
+    * a ranking that did not retrieve `d` contributing 0. RRF needs no
+    * score calibration between the fused systems — only ranks — which is
+    * why it is the default hybrid combiner in practice.
+    *
+    * Determinism across engines: every rank is an integer, each addend is
+    * ONE exactly-rounded IEEE division (`1.0 / (kRrf + rank)`), and the
+    * sum is a literal column expression accumulated in the FIXED
+    * left-to-right input order — a chain of full-outer equi-joins, never
+    * an aggregate whose summation order floats — so even the double score
+    * is bit-reproducible cross-engine. Ties break on the integer doc id.
+    *
+    * Scale shape: the inputs are top-k-bounded rankings (|queries|·k rows
+    * each — never corpus-sized); fusion is |rankings|−1 full-outer
+    * equi-joins keyed by (query, doc) and one per-query window over
+    * ≤ Σ_i k_i rows. Nothing here scales with the corpus — the corpus
+    * cost lives in the rankers feeding it.
+    *
+    * @param rankings ≥ 2 frames of (queryIdCol, idCol, rankCol), ranks
+    *                 1-based (e.g. [[bm25BatchTopK]] and
+    *                 [[Similarity.cosineTopK]] output)
+    * @param kRrf     the standard dampening constant (60 in the paper)
+    * @return (queryIdCol, idCol, rank_1..rank_n — the source ranks, null
+    *         where that ranker missed the doc — score, rank 1..topK)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryIdCol: String, idCol: String,
+      rankCol: String, topK: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.size >= 2,
+      s"rrfFuse needs >= 2 rankings (got ${rankings.size})")
+    require(topK > 0, s"topK ($topK) must be positive")
+    require(kRrf >= 1, s"kRrf ($kRrf) must be >= 1")
+    val shaped = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(queryIdCol), col(idCol),
+        col(rankCol).cast("long").as(s"rank_${i + 1}"))
+    }
+    val joined = shaped.reduce(
+      (a, b) => a.join(b, Seq(queryIdCol, idCol), "full_outer"))
+    val score = shaped.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf.toLong) + col(s"rank_${i + 1}")),
+        lit(0.0)))
+      .reduceLeft(_ + _)
+    joined.withColumn("score", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rank") <= topK)
+  }
 }

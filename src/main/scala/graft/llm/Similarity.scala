@@ -739,6 +739,71 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Per-dimension min/max of a vector column, as ONE row of two
+    * `array<double>` columns (`_mins`, `_maxs`, index = dimension) — the
+    * trained "model" of [[sq8TopK]]'s scalar quantizer. One partial-agg
+    * shuffle whose result is dims-sized however large the corpus; the
+    * caller broadcasts it back onto the rows being encoded. */
+  private[llm] def sq8Stats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_d", "_x")))
+      .groupBy(col("_d")).agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_d"), col("_mn")))),
+          s => s.getField("_mn")).as("_mins"),
+        transform(array_sort(collect_list(struct(col("_d"), col("_mx")))),
+          s => s.getField("_mx")).as("_maxs"))
+
+  /** Scalar-quantization (SQ8) top-k with exact re-rank — the third
+    * compression point of the ANN family (LSH prunes candidates, PQ
+    * compresses ~64×, SQ8 compresses 4× with near-lossless candidate
+    * quality): each dimension is affinely mapped to an 8-bit code using
+    * per-dimension corpus min/max, and candidates are ranked by the
+    * INTEGER dot product of code vectors — the int8-arithmetic scan that
+    * hardware-accelerated vector stores actually run — then the top
+    * `refineK` are re-scored with exact cosine over the raw vectors
+    * ([[refineExact]], the IVFADC+R stage shared with IVF-PQ).
+    *
+    * Unlike PQ's constant md5-derived codebooks, the SQ8 model is
+    * DATA-DEPENDENT (per-dimension min/max); determinism across engines
+    * holds anyway because the stats are exact aggregates and the encode
+    * is one fixed chain of exactly-rounded IEEE operations
+    * ([[graft.expressions.Sq8Kernel]]), and the candidate ordering is
+    * exact integer arithmetic — no float compare anywhere before the
+    * certified re-rank.
+    *
+    * Scale shape: one dims-sized stats aggregate broadcast back (the
+    * 1-row pattern PlanAuditSpec whitelists); encode is row-local codegen;
+    * the code scan is the whitelisted broadcast-product baseline over
+    * 4×-compressed rows (compose with [[ivfTopK]] cells to prune it, as
+    * PQ does); the re-rank joins raw vectors by id for candidate-set
+    * cost only.
+    *
+    * @return (query_id, neighbor_id, rank) — rank 1..k per query by exact
+    *         cosine over the SQ8 candidate set; self-pairs excluded
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, refineK: Int = 50): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
+    val stats = sq8Stats(corpus, vecCol)
+    def encode(df: DataFrame, outId: String, outCode: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as("_v"))
+        .crossJoin(broadcast(stats))
+        .select(col(outId), VectorExprs.sq8Encode(col("_v"), col("_mins"),
+          col("_maxs")).as(outCode))
+    val enc = encode(corpus, "neighbor_id", "_cv")
+    val qenc = encode(queries, "query_id", "_cq")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ip").desc, col("neighbor_id"))
+    val cand = enc
+      .join(broadcast(qenc), col("neighbor_id") =!= col("query_id"))
+      .withColumn("_ip", VectorExprs.intDot(col("_cv"), col("_cq")))
+      .withColumn("_crank", row_number().over(w))
+      .filter(col("_crank") <= refineK)
+      .select("query_id", "neighbor_id")
+    refineExact(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH
     * bucketing (same-bucket candidates only — never all pairs). Sign
     * buckets wider than `maxBucketSize` are dropped before the self-join

@@ -960,6 +960,57 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // SQ8 scalar-quantization ANN: per-dimension corpus min/max → 8-bit
+    // codes → INTEGER dot-product candidate scan (the int8 arithmetic
+    // real vector stores run) → exact cosine re-rank of the top 25 to
+    // the final 10. The quantizer model is data-dependent (unlike PQ's
+    // constant codebooks) but exact aggregates + exactly-rounded IEEE
+    // encode make the codes bit-reproducible, so the oracle replays the
+    // identical model relationally; the candidate ordering is exact
+    // integer arithmetic — no float compare before the certified
+    // re-rank.
+    "a19_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8TopK(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, refineK = 25)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Reciprocal-rank fusion (Cormack 2009) of BM25 lexical top-20 and
+    // dense cosine top-20 over the same doc-id space — the standard
+    // hybrid-retrieval combiner. Every fused score is two exactly-
+    // rounded IEEE divisions of integers added in fixed order, so even
+    // the double is bit-reproducible cross-engine; q4 ("zebra
+    // xylophone") retrieves nothing lexically and must surface through
+    // the dense ranking alone with a null rank_1.
+    "x70_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val qs = BatchQueries.toDF("query_id", "qtext")
+      val lexical = Retrieval.bm25BatchTopK(docs, "text", "doc_id", qs,
+          "query_id", "qtext", topK = 20)
+        .select("query_id", "doc_id", "rank")
+      val e = t(s, dir, "embeddings")
+      val dense = Similarity.cosineTopK(e,
+          e.filter(col("vec_id").between(1, 5)), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(Seq(lexical, dense), "query_id", "doc_id", "rank",
+          topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Largest-remainder (Hamilton) budget apportionment across sources:
+    // a prime budget (97) over the source strata guarantees live
+    // remainders, Σ alloc = budget exactly, and every decision — base
+    // ⌊B·n/N⌋, remainder (B·n) mod N, the leftover ranking — is integer
+    // arithmetic both engines replay bit-for-bit.
+    "x71_budget_apportion" -> ((s, dir) => {
+      graft.llm.Corpus.budgetApportion(t(s, dir, "documents"), "source",
+          budget = 97L)
+        .orderBy("source")
+    }),
+
     // CCNet-style quality slices (Wenzek 2020 §4.3: head/middle/tail by
     // model-score terciles) over the x63-certified affinity key: global
     // integer rank (the x34 range-bucket machinery — never a single-
@@ -3034,6 +3085,129 @@ object LlmQueries {
                   AND n_stop_words >= 2) AS pass
           FROM sig ORDER BY doc_id"""
     },
+    // The SQ8 model replayed relationally: per-dim min/max aggregates,
+    // the identical (x−mn)·255/(mx−mn) floor-clamp encode, integer
+    // dot-product candidates (top 25 per query), then the a1 cosine
+    // re-rank over raw vectors.
+    "a19_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              st AS (SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+                     FROM e, range(1, 65) t(i) GROUP BY 1),
+              codes AS (SELECT e.vec_id, st.d,
+                          CASE WHEN st.mx > st.mn THEN
+                            least(255, greatest(0,
+                              CAST(floor((e.v[st.d] - st.mn) * 255.0 /
+                                (st.mx - st.mn)) AS BIGINT)))
+                          ELSE 0 END AS c
+                        FROM e, st),
+              qc AS (SELECT vec_id AS query_id, d, c FROM codes
+                     WHERE vec_id < 5),
+              ip AS (SELECT qc.query_id, codes.vec_id AS neighbor_id,
+                       sum(codes.c * qc.c) AS ip
+                     FROM codes JOIN qc ON codes.d = qc.d
+                       AND codes.vec_id <> qc.query_id
+                     GROUP BY 1, 2),
+              cand AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY ip DESC, neighbor_id) AS crn
+                       FROM ip),
+              ref AS (SELECT c.query_id, c.neighbor_id,
+                        list_sum(list_transform(range(1, 65),
+                          i -> cv.v[i] * qv.v[i])) /
+                        (sqrt(list_sum(list_transform(cv.v, x -> x*x))) *
+                         sqrt(list_sum(list_transform(qv.v, x -> x*x))))
+                          AS cos
+                      FROM cand c
+                      JOIN e cv ON cv.vec_id = c.neighbor_id
+                      JOIN e qv ON qv.vec_id = c.query_id
+                      WHERE c.crn <= 25),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM ref)
+         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         ORDER BY query_id, rank""",
+    // x49's BM25 chain capped at 20 + the a1 cosine ranking over vec_id
+    // 1..5 capped at 20, full-outer joined on (query, doc) and fused by
+    // the fixed-order two-addend RRF score — bit-identical doubles, so
+    // the score column itself is compared.
+    "x70_rrf_fusion" ->
+      s"""WITH q AS (SELECT * FROM (VALUES $duckBatchQueryValues)
+                     AS t(query_id, qtext)),
+              qt AS (SELECT DISTINCT query_id,
+                       unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+                     FROM q),
+              vocab AS (SELECT DISTINCT term FROM qt),
+              ws AS (SELECT doc_id, $duckToks AS w FROM documents),
+              tm AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
+              tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tm
+                     JOIN vocab USING (term) GROUP BY 1, 2, 3),
+              dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+              st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM ws),
+              scored AS (SELECT qt.query_id, tf.doc_id,
+                       ln(1.0 + (st.n - dfq.dfn + 0.5) / (dfq.dfn + 0.5)) *
+                         (tf.tf * (1.2 + 1.0)) /
+                         (tf.tf + 1.2 * ((1.0 - 0.75) +
+                            0.75 * tf.dl / st.avgdl)) AS s
+                     FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+                     CROSS JOIN st),
+              agg AS (SELECT query_id, doc_id, sum(s) AS score
+                      FROM scored GROUP BY 1, 2),
+              lex AS (SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rank_1
+                      FROM agg QUALIFY rank_1 <= 20),
+              e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              qe AS (SELECT vec_id AS query_id, v AS qv FROM e
+                     WHERE vec_id BETWEEN 1 AND 5),
+              sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65),
+                         i -> e.v[i] * qe.qv[i])) /
+                       (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(qe.qv, x -> x*x))))
+                         AS cos
+                     FROM e, qe WHERE e.vec_id <> qe.query_id),
+              den AS (SELECT query_id, neighbor_id AS doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank_2
+                      FROM sc QUALIFY rank_2 <= 20),
+              fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+                          coalesce(l.doc_id, d.doc_id) AS doc_id,
+                          l.rank_1, d.rank_2,
+                          coalesce(1.0 / (60 + l.rank_1), 0.0) +
+                            coalesce(1.0 / (60 + d.rank_2), 0.0) AS score
+                        FROM lex l FULL OUTER JOIN den d
+                          ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+              r AS (SELECT query_id, doc_id, rank_1, rank_2, score,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rank
+                    FROM fused)
+         SELECT query_id, doc_id, rank_1, rank_2, score, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Integer Hamilton apportionment: base = (B·n) // N, remainder
+    // ranking with the (rem desc, n desc, key asc) tie rule, leftover
+    // count from the base sum.
+    "x71_budget_apportion" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+                    GROUP BY 1),
+              t AS (SELECT sum(n_docs) AS n FROM c),
+              qu AS (SELECT c.source, c.n_docs,
+                       CAST((97 * c.n_docs) // t.n AS BIGINT) AS base,
+                       CAST((97 * c.n_docs) % t.n AS BIGINT) AS rem
+                     FROM c, t),
+              l AS (SELECT 97 - sum(base) AS k FROM qu),
+              r AS (SELECT qu.source, qu.n_docs, qu.base, qu.rem, l.k,
+                      row_number() OVER (ORDER BY qu.rem DESC,
+                        qu.n_docs DESC, qu.source ASC) AS rn
+                    FROM qu, l)
+         SELECT source, n_docs, base, rem,
+                CAST(CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT) AS extra,
+                base + CAST(CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)
+                  AS alloc
+         FROM r ORDER BY source""",
     // The x63 affinity ordering ranked 0-based, then sliced by exact
     // integer division — the oracle's single window replays what the
     // engine computes with range buckets + per-bucket offsets.

@@ -153,4 +153,42 @@ class CorpusPropertySpec extends SparkSpec {
       assert(got.map(_._4).distinct.length === math.min(nSlices, n))
     }
   }
+
+  test("budgetApportion: Σalloc = budget exactly on random strata, each " +
+    "alloc within one of its quota, remainder ties deterministic") {
+    for (round <- 1 to 8) {
+      val strata = (0 until 2 + rnd.nextInt(9)).flatMap { sIdx =>
+        (0 until 1 + rnd.nextInt(40)).map(i => (s"s$sIdx", i.toLong))
+      }
+      val df = strata.toDF("src", "x")
+      val n = strata.size.toLong
+      for (budget <- Seq(0L, 1L, 97L, n, n + 13L)) {
+        val out = Corpus.budgetApportion(df, "src", budget)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+        assert(out.map(_._6).sum === budget,
+          s"round $round budget $budget: allocs don't sum")
+        out.foreach { case (src, nD, base, rem, extra, alloc) =>
+          assert(base === budget * nD / n && rem === budget * nD % n,
+            s"round $round $src quota")
+          assert(extra === 0L || extra === 1L)
+          assert(alloc === base + extra)
+        }
+        // extras go to the strictly-largest remainders first: no stratum
+        // with extra=0 may out-rank one with extra=1 under the tie rule
+        val ranked = out.sortBy { case (src, nD, _, rem, _, _) =>
+          (-rem, -nD, src) }
+        val extras = ranked.map(_._5)
+        assert(extras.dropWhile(_ == 1L).forall(_ == 0L),
+          s"round $round budget $budget: extras not prefix-ranked")
+      }
+    }
+    // hand case: three singleton strata, budget 2 -> every rem ties at 2,
+    // n ties at 1, so the lexically-smaller keys take the two extras
+    val hand = Corpus.budgetApportion(
+      Seq(("a", 1), ("b", 1), ("c", 1)).toDF("src", "x"), "src", 2L)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(5)))
+    assert(hand.toSeq === Seq(("a", 1L), ("b", 1L), ("c", 0L)))
+  }
 }

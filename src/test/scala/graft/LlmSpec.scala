@@ -729,6 +729,74 @@ class LlmSpec extends SparkSpec {
       s"refine lowered recall: $refined < $adc of ${exact.size}")
   }
 
+  test("sq8TopK: full refine degenerates to exact cosineTopK, and the " +
+    "kernel codes match a driver-side replay of the declared formula") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // refineK = corpus size ⇒ every vector survives the code scan and the
+    // exact re-rank IS the brute-force ranking
+    val n = e.count().toInt
+    assert(pairs(Similarity.sq8TopK(e, q, "vec_id", "embedding", 10,
+        refineK = n)) ===
+      pairs(Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id", "rank")))
+    // driver-side replay: per-dim min/max then the exact
+    // clamp(⌊(x−mn)·255/(mx−mn)⌋) chain the oracle uses
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val dims = vecs.head._2.length
+    val mins = (0 until dims).map(i => vecs.map(_._2(i).toDouble).min)
+    val maxs = (0 until dims).map(i => vecs.map(_._2(i).toDouble).max)
+    def refCodes(v: Array[Float]): Seq[Int] =
+      (0 until dims).map { i =>
+        if (maxs(i) > mins(i)) {
+          val c = math.floor((v(i).toDouble - mins(i)) * 255.0 /
+            (maxs(i) - mins(i)))
+          if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+        } else 0
+      }
+    val statsRow = e
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("_d", "_x")))
+      .groupBy(col("_d"))
+      .agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_d"), col("_mn")))),
+          s => s.getField("_mn")).as("_mins"),
+        transform(array_sort(collect_list(struct(col("_d"), col("_mx")))),
+          s => s.getField("_mx")).as("_maxs"))
+    val kernelCodes = e.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"),
+        graft.expressions.VectorExprs.sq8Encode(col("embedding"),
+          col("_mins"), col("_maxs")).as("codes"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(kernelCodes.length === vecs.length)
+    kernelCodes.zip(vecs).foreach { case ((kid, kc), (vid, v)) =>
+      assert(kid === vid)
+      assert(kc === refCodes(v), s"codes diverge for vec $kid")
+      assert(kc.forall(c => c >= 0 && c <= 255))
+    }
+    // the native integer dot agrees with the driver-side product
+    val c0 = kernelCodes(0)._2
+    val c1 = kernelCodes(1)._2
+    val expectDot = c0.zip(c1).map { case (a, b) => a.toLong * b.toLong }.sum
+    val gotDot = Seq((c0.toArray, c1.toArray)).toDF("a", "b")
+      .select(graft.expressions.VectorExprs.intDot(col("a"), col("b")))
+      .as[Long].head()
+    assert(gotDot === expectDot)
+    // dimension mismatch raises rather than silently truncating
+    val boom = intercept[Exception](
+      Seq((Array(1, 2, 3), Array(1, 2))).toDF("a", "b")
+        .select(graft.expressions.VectorExprs.intDot(col("a"), col("b")))
+        .collect())
+    assert(boom.getMessage.contains("dimension mismatch") ||
+      Option(boom.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("dsirWeights matches a driver-side reference on the real corpus " +
     "and ranks target-like docs above unrelated ones") {
     import spark.implicits._

@@ -29,8 +29,16 @@ class PlanAuditSpec extends SparkSpec {
     // (T, R) broadcast
     "x64_dsir_delta", // the delta form of the same scoring join — two
     // steps, each with the 1-row (T, R) broadcast
-    "x68_quality_slices" // x63's scoring join (1-row (T, R) broadcast)
+    "x68_quality_slices", // x63's scoring join (1-row (T, R) broadcast)
     // plus qualitySlices' 1-row total-count broadcast — both bounded
+    "a19_sq8_topk", // a6's exhaustive-scan shape over SQ8 CODES × 5
+    // broadcast queries, plus the 1-row per-dim min/max stats broadcast
+    // on both encode sides — compose with IVF cells to prune, as PQ does
+    "x70_rrf_fusion", // composes x49's BM25 (1-row corpus-stats
+    // broadcast) and a1's brute-force dense baseline — the fusion itself
+    // joins two top-k-bounded rankings only
+    "x71_budget_apportion" // two 1-row broadcasts (total count, leftover
+    // units) onto the strata-sized counts table — all bounded
   )
 
   test("no cartesian products or unintended nested-loop joins") {

@@ -89,4 +89,38 @@ class RetrievalPropertySpec extends SparkSpec {
     val shuffled = ranked.orderBy(pmod(hash(col("doc_id")), lit(7)))
     assert(run(ranked) === run(shuffled))
   }
+
+  test("rrfFuse: hand-computed fusion, null source ranks, symmetric-rank " +
+    "ties break to the lower id, n-ary keeps every source rank") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("qid", "id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "qid", "id", "rank", topK = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Option[Long], Option[Long], Double, Int)].collect()
+    // d11 in both lists: 1/61 + 1/62; d10 lexical-only: 1/61; d12: 1/62
+    assert(out.map(_._2).toSeq === Seq(11L, 10L, 12L))
+    assert(out(0)._5 === 1.0 / 62 + 1.0 / 61)
+    assert(out(1)._3 === Some(1L) && out(1)._4 === None &&
+      out(1)._5 === 1.0 / 61)
+    assert(out(2)._3 === None && out(2)._4 === Some(2L))
+    // swapped rank pairs score bit-identically -> id asc decides
+    val c = Seq((7L, 21L, 1), (7L, 20L, 2)).toDF("qid", "id", "rank")
+    val d = Seq((7L, 20L, 1), (7L, 21L, 2)).toDF("qid", "id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(c, d), "qid", "id", "rank", topK = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Option[Long], Option[Long], Double, Int)].collect()
+    assert(tied.map(_._2).toSeq === Seq(20L, 21L))
+    assert(tied(0)._5 === tied(1)._5)
+    // three-way fusion emits rank_1..rank_3 and sums all three addends
+    val e = Seq((1L, 11L, 3)).toDF("qid", "id", "rank")
+    val tri = Retrieval.rrfFuse(Seq(a, b, e), "qid", "id", "rank", topK = 1)
+    assert(tri.columns.toSeq ===
+      Seq("qid", "id", "rank_1", "rank_2", "rank_3", "score", "rank"))
+    val top = tri.as[(Long, Long, Option[Long], Option[Long], Option[Long],
+      Double, Int)].head()
+    assert(top._2 === 11L && top._6 === 1.0 / 62 + 1.0 / 61 + 1.0 / 63)
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq(a), "qid", "id", "rank", topK = 1))
+  }
 }

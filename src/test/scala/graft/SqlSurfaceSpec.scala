@@ -224,4 +224,39 @@ class SqlSurfaceSpec extends SparkSpec {
         .foreach(spark.catalog.dropTempView)
     }
   }
+
+  test("SQL TVF surface: SQ8 / RRF fusion / budget apportionment equal " +
+    "the Scala API") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val lex = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val den = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    docs.createOrReplaceTempView("tvf4_docs")
+    emb.createOrReplaceTempView("tvf4_emb")
+    q.createOrReplaceTempView("tvf4_q")
+    lex.createOrReplaceTempView("tvf4_lex")
+    den.createOrReplaceTempView("tvf4_den")
+    try {
+      check("SELECT * FROM sq8_topk('tvf4_emb', 'tvf4_q', 'vec_id', " +
+          "'embedding', 3, 10)",
+        Similarity.sq8TopK(emb, q, "vec_id", "embedding", 3, refineK = 10))
+      check("SELECT * FROM rrf_fuse('tvf4_lex', 'tvf4_den', 'query_id', " +
+          "'neighbor_id', 'rank', 5)",
+        graft.llm.Retrieval.rrfFuse(Seq(lex, den), "query_id",
+          "neighbor_id", "rank", topK = 5))
+      check("SELECT * FROM budget_apportion('tvf4_docs', 'source', 97)",
+        Corpus.budgetApportion(docs, "source", 97L))
+      // loud usage errors, not silent misreads
+      val err = intercept[Exception](
+        spark.sql("SELECT * FROM budget_apportion('tvf4_docs', 'source')"))
+      assert(err.getMessage.contains("usage: budget_apportion"))
+    } finally {
+      Seq("tvf4_docs", "tvf4_emb", "tvf4_q", "tvf4_lex", "tvf4_den")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
 }
