@@ -371,6 +371,23 @@ object GraftExtensions {
         plan(graft.llm.Corpus.budgetApportion(SparkSession.active.table(t),
           sc, lit2int(args(2), u).toLong))
       },
+      "quota_sample" -> { args =>
+        val u = "usage: quota_sample('table', 'id_col', 'strata_col', budget)"
+        require(args.length == 4, u)
+        val Seq(t, ic, sc) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Corpus.stratifiedQuotaSample(
+          SparkSession.active.table(t), ic, sc, lit2int(args(3), u).toLong))
+      },
+      "sq8_topk_over_index" -> { args =>
+        val u = "usage: sq8_topk_over_index('index', 'stats', 'corpus', " +
+          "'queries', 'id_col', 'vec_col', k[, refine_k])"
+        require(args.length == 7 || args.length == 8, u)
+        val Seq(it, st, ct, qt, ic, vc) = args.take(6).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.AnnIndex.sq8TopKOverIndex(s.table(it), s.table(st),
+          s.table(ct), s.table(qt), ic, vc, lit2int(args(6), u),
+          refineK = args.lift(7).map(lit2int(_, u)).getOrElse(50)))
+      },
       "semantic_dedup" -> { args =>
         val u = "usage: semantic_dedup('table', 'id_col', 'vec_col', " +
           "min_cos[, nlist])"

@@ -190,4 +190,61 @@ object AnnIndex {
       .as[(Int, Array[Double])]
       .collect().sortBy(_._1).map(_._2.toIndexedSeq).toSeq
   }
+
+  // ------------------------------------------------------------------
+  // SQ8: the third persisted family member. Its model is DATA-DEPENDENT
+  // (per-dimension min/max), which sharpens the freeze contract the IVF
+  // codebook already carries: the stats are computed ONCE at build time,
+  // persisted beside the index, and every later encode — appends AND
+  // queries — uses the stored row, never a recompute (a recompute over
+  // corpus+delta would shift the affine map and silently invalidate
+  // every stored code). The code table is deliberately NOT partitioned:
+  // SQ8 is the scan-everything-4×-cheaper point of the family — there is
+  // no pruning key; compose with IVF cells when pruning is wanted.
+  // ------------------------------------------------------------------
+
+  /** The SQ8 quantizer model of a corpus: ONE row of per-dimension
+    * min/max arrays ([[Similarity.sq8Stats]]), computed at index-build
+    * time and persisted with [[writeSq8Stats]]. */
+  def sq8Stats(corpus: DataFrame, vecCol: String): DataFrame =
+    Similarity.sq8Stats(corpus, vecCol)
+
+  /** Encode corpus rows into SQ8 index rows (idCol, codes) under a
+    * FROZEN stats model — row-local, so appends never touch prior rows. */
+  def encodeSq8(corpus: DataFrame, idCol: String, vecCol: String,
+      stats: DataFrame): DataFrame =
+    Similarity.sq8EncodeWith(corpus, idCol, vecCol, stats, idCol, "codes")
+
+  /** Persist the SQ8 stats model beside its index (1-row parquet). */
+  def writeSq8Stats(stats: DataFrame, path: String): Unit =
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Read a persisted SQ8 stats model back. */
+  def readSq8Stats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("_mins"), col("_maxs"))
+
+  /** Write SQ8 index rows ([[encodeSq8]] output), replacing any prior
+    * index at `path` (unpartitioned — see the module note). */
+  def writeSq8Index(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Append a delta's SQ8 rows — valid ONLY under the index's stored
+    * stats model ([[readSq8Stats]]); the same at-least-once caveat as
+    * [[appendIndex]] applies. */
+  def appendSq8Index(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode(SaveMode.Append).parquet(path)
+
+  /** [[Similarity.sq8TopK]] served from stored codes: queries are
+    * encoded under the STORED stats model, the integer-dot candidate
+    * scan reads codes (never re-encodes the corpus), and the exact
+    * re-rank joins the raw corpus by id for just the survivors. Same
+    * output contract: (query_id, neighbor_id, rank 1..k). */
+  def sq8TopKOverIndex(index: DataFrame, stats: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, refineK: Int = 50): DataFrame =
+    Similarity.sq8RankStage(
+      index.select(col(idCol).as("neighbor_id"), col("codes").as("_cv")),
+      Similarity.sq8EncodeWith(queries, idCol, vecCol, stats, "query_id",
+        "_cq"),
+      corpus, queries, idCol, vecCol, k, refineK)
 }

@@ -371,6 +371,42 @@ object Corpus {
         col("extra"), col("alloc"))
   }
 
+  /** Exact-count stratified sample: [[budgetApportion]]'s integer quotas
+    * drawn in the deterministic hash order of [[capPerStratum]] — the
+    * result has EXACTLY `budget` rows (when the corpus has that many),
+    * each stratum contributing exactly its largest-remainder share. This
+    * is the eval/holdout-set draw a Bernoulli sampler
+    * ([[stratifiedSample]]) cannot promise: rates give binomially-noisy
+    * counts, quotas give the fixed-size split a benchmark needs, and the
+    * hash order makes the chosen members engine-replayable.
+    *
+    * Scale shape: the quota table is strata-sized and broadcast; the
+    * draw is one shuffle on the stratum key with a per-stratum sort (the
+    * honest cost of exact ranked selection — the window limit is a
+    * COLUMN, so no WindowGroupLimit pushdown applies; pre-thin
+    * pathological strata with [[stratifiedSample]] first, as
+    * [[capPerStratum]] documents). NULL strata participate (null-safe
+    * quota join, the hash coalesces null to '').
+    *
+    * @return the kept rows plus `samp_rank` (1..alloc within stratum)
+    */
+  def stratifiedQuotaSample(df: DataFrame, idCol: String, strataCol: String,
+      budget: Long): DataFrame = {
+    require(!df.columns.contains("_rn") && !df.columns.contains("_alloc"),
+      "input must not carry _rn/_alloc columns — they would be clobbered")
+    val alloc = budgetApportion(df, strataCol, budget)
+      .select(col(strataCol).as("_s"), col("alloc").as("_alloc"))
+    val h = Hashing.hex32(concat(coalesce(col(strataCol), lit("")),
+      lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    df.join(broadcast(alloc), col(strataCol) <=> col("_s"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_alloc"))
+      .withColumn("samp_rank", col("_rn"))
+      .drop("_rn", "_alloc", "_s")
+  }
+
   /** Sample documents to a token budget: Bernoulli-keep each doc with its
     * source's [[mixtureRates]] keep-rate, decided by the same portable
     * `hash(source:id)` as [[stratifiedSample]] — deterministic,

@@ -781,18 +781,25 @@ object Similarity {
     * @return (query_id, neighbor_id, rank) — rank 1..k per query by exact
     *         cosine over the SQ8 candidate set; self-pairs excluded
     */
-  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, refineK: Int = 50): DataFrame = {
+  /** Row-local SQ8 encode of (idCol, vecCol) rows under a precomputed
+    * [[sq8Stats]] model row — shared by [[sq8TopK]] (stats from this
+    * corpus) and [[AnnIndex]] (stats FROZEN at index-build time). */
+  private[llm] def sq8EncodeWith(df: DataFrame, idCol: String,
+      vecCol: String, stats: DataFrame, outId: String, outCode: String)
+      : DataFrame =
+    df.select(col(idCol).as(outId), col(vecCol).as("_v"))
+      .crossJoin(broadcast(stats))
+      .select(col(outId), VectorExprs.sq8Encode(col("_v"), col("_mins"),
+        col("_maxs")).as(outCode))
+
+  /** The SQ8 candidate scan + exact re-rank over already-encoded corpus
+    * codes — [[sq8TopK]]'s tail, reused verbatim by the persisted-index
+    * path so stored codes answer identically to recomputed ones. */
+  private[llm] def sq8RankStage(enc: DataFrame, qenc: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, refineK: Int): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
     require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
-    val stats = sq8Stats(corpus, vecCol)
-    def encode(df: DataFrame, outId: String, outCode: String): DataFrame =
-      df.select(col(idCol).as(outId), col(vecCol).as("_v"))
-        .crossJoin(broadcast(stats))
-        .select(col(outId), VectorExprs.sq8Encode(col("_v"), col("_mins"),
-          col("_maxs")).as(outCode))
-    val enc = encode(corpus, "neighbor_id", "_cv")
-    val qenc = encode(queries, "query_id", "_cq")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_ip").desc, col("neighbor_id"))
     val cand = enc
@@ -802,6 +809,15 @@ object Similarity {
       .filter(col("_crank") <= refineK)
       .select("query_id", "neighbor_id")
     refineExact(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, refineK: Int = 50): DataFrame = {
+    val stats = sq8Stats(corpus, vecCol)
+    sq8RankStage(
+      sq8EncodeWith(corpus, idCol, vecCol, stats, "neighbor_id", "_cv"),
+      sq8EncodeWith(queries, idCol, vecCol, stats, "query_id", "_cq"),
+      corpus, queries, idCol, vecCol, k, refineK)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH

@@ -1011,6 +1011,45 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // a19 answered from a PERSISTED SQ8 code index under a FROZEN stats
+    // model: stats computed once and written beside the index, half the
+    // corpus written, the other half APPENDED as row-local encodes under
+    // the stored (read-back) stats, queries encoded with the same frozen
+    // row. Oracle = a19's recompute chain verbatim —
+    // query-over-stored-index ≡ recompute, append included, is the
+    // certified property.
+    "a20_sq8_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = java.nio.file.Files
+        .createTempDirectory("a20_sq8_index").toString
+      graft.llm.AnnIndex.writeSq8Stats(
+        graft.llm.AnnIndex.sq8Stats(e, "embedding"), s"$base/stats")
+      val frozen = graft.llm.AnnIndex.readSq8Stats(s, s"$base/stats")
+      graft.llm.AnnIndex.writeSq8Index(
+        graft.llm.AnnIndex.encodeSq8(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", frozen), s"$base/codes")
+      graft.llm.AnnIndex.appendSq8Index(
+        graft.llm.AnnIndex.encodeSq8(e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding", frozen), s"$base/codes")
+      graft.llm.AnnIndex.sq8TopKOverIndex(
+          graft.llm.AnnIndex.readIndex(s, s"$base/codes"), frozen, e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, refineK = 25)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Exact-count stratified sample: x71's integer quotas drawn in the
+    // x19 hash order — exactly 97 rows total, each source contributing
+    // exactly its largest-remainder share, membership engine-replayable
+    // (the fixed-size eval/holdout draw Bernoulli samplers can't give).
+    "x72_quota_sample" -> ((s, dir) => {
+      graft.llm.Corpus.stratifiedQuotaSample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", budget = 97L)
+        .select("doc_id", "source", "samp_rank")
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style quality slices (Wenzek 2020 §4.3: head/middle/tail by
     // model-score terciles) over the x63-certified affinity key: global
     // integer rank (the x34 range-bucket machinery — never a single-
@@ -1567,6 +1606,52 @@ object LlmQueries {
     * CTEs at refineK=30, then exact-cosine re-rank of just those
     * candidates) — a val because a16 certifies the SAME math answered
     * from a persisted index. */
+  /** The SQ8 model replayed relationally: per-dim min/max aggregates,
+    * the identical (x−mn)·255/(mx−mn) floor-clamp encode, integer
+    * dot-product candidates (top 25 per query), then the a1 cosine
+    * re-rank over raw vectors. Shared by a19 (recompute) and a20 (the
+    * same answer from a persisted code index) — query-over-stored-index
+    * ≡ recompute is exactly the shared oracle. */
+  private lazy val duckSq8Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+            st AS (SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+                   FROM e, range(1, 65) t(i) GROUP BY 1),
+            codes AS (SELECT e.vec_id, st.d,
+                        CASE WHEN st.mx > st.mn THEN
+                          least(255, greatest(0,
+                            CAST(floor((e.v[st.d] - st.mn) * 255.0 /
+                              (st.mx - st.mn)) AS BIGINT)))
+                        ELSE 0 END AS c
+                      FROM e, st),
+            qc AS (SELECT vec_id AS query_id, d, c FROM codes
+                   WHERE vec_id < 5),
+            ip AS (SELECT qc.query_id, codes.vec_id AS neighbor_id,
+                     sum(codes.c * qc.c) AS ip
+                   FROM codes JOIN qc ON codes.d = qc.d
+                     AND codes.vec_id <> qc.query_id
+                   GROUP BY 1, 2),
+            cand AS (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY ip DESC, neighbor_id) AS crn
+                     FROM ip),
+            ref AS (SELECT c.query_id, c.neighbor_id,
+                      list_sum(list_transform(range(1, 65),
+                        i -> cv.v[i] * qv.v[i])) /
+                      (sqrt(list_sum(list_transform(cv.v, x -> x*x))) *
+                       sqrt(list_sum(list_transform(qv.v, x -> x*x))))
+                        AS cos
+                    FROM cand c
+                    JOIN e cv ON cv.vec_id = c.neighbor_id
+                    JOIN e qv ON qv.vec_id = c.query_id
+                    WHERE c.crn <= 25),
+            r AS (SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM ref)
+       SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+       ORDER BY query_id, rank"""
+
   private lazy val duckIvfPqRefinedSql: String =
     s"""WITH e AS (SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3085,49 +3170,35 @@ object LlmQueries {
                   AND n_stop_words >= 2) AS pass
           FROM sig ORDER BY doc_id"""
     },
-    // The SQ8 model replayed relationally: per-dim min/max aggregates,
-    // the identical (x−mn)·255/(mx−mn) floor-clamp encode, integer
-    // dot-product candidates (top 25 per query), then the a1 cosine
-    // re-rank over raw vectors.
-    "a19_sq8_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                    FROM embeddings),
-              st AS (SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
-                     FROM e, range(1, 65) t(i) GROUP BY 1),
-              codes AS (SELECT e.vec_id, st.d,
-                          CASE WHEN st.mx > st.mn THEN
-                            least(255, greatest(0,
-                              CAST(floor((e.v[st.d] - st.mn) * 255.0 /
-                                (st.mx - st.mn)) AS BIGINT)))
-                          ELSE 0 END AS c
-                        FROM e, st),
-              qc AS (SELECT vec_id AS query_id, d, c FROM codes
-                     WHERE vec_id < 5),
-              ip AS (SELECT qc.query_id, codes.vec_id AS neighbor_id,
-                       sum(codes.c * qc.c) AS ip
-                     FROM codes JOIN qc ON codes.d = qc.d
-                       AND codes.vec_id <> qc.query_id
-                     GROUP BY 1, 2),
-              cand AS (SELECT query_id, neighbor_id,
-                         row_number() OVER (PARTITION BY query_id
-                           ORDER BY ip DESC, neighbor_id) AS crn
-                       FROM ip),
-              ref AS (SELECT c.query_id, c.neighbor_id,
-                        list_sum(list_transform(range(1, 65),
-                          i -> cv.v[i] * qv.v[i])) /
-                        (sqrt(list_sum(list_transform(cv.v, x -> x*x))) *
-                         sqrt(list_sum(list_transform(qv.v, x -> x*x))))
-                          AS cos
-                      FROM cand c
-                      JOIN e cv ON cv.vec_id = c.neighbor_id
-                      JOIN e qv ON qv.vec_id = c.query_id
-                      WHERE c.crn <= 25),
-              r AS (SELECT query_id, neighbor_id,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, neighbor_id) AS rank
-                    FROM ref)
-         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
-         ORDER BY query_id, rank""",
+    "a19_sq8_topk" -> duckSq8Sql,
+    "a20_sq8_index" -> duckSq8Sql,
+    // x71's apportionment chain + the x19 hash-order draw per stratum.
+    "x72_quota_sample" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+                     GROUP BY 1),
+              t AS (SELECT sum(n_docs) AS n FROM c),
+              qu AS (SELECT c.source, c.n_docs,
+                       CAST((97 * c.n_docs) // t.n AS BIGINT) AS base,
+                       CAST((97 * c.n_docs) % t.n AS BIGINT) AS rem
+                     FROM c, t),
+              l AS (SELECT 97 - sum(base) AS k FROM qu),
+              r AS (SELECT qu.source, qu.base, qu.rem, qu.n_docs, l.k,
+                      row_number() OVER (ORDER BY qu.rem DESC,
+                        qu.n_docs DESC, qu.source ASC) AS rn
+                    FROM qu, l),
+              a AS (SELECT source,
+                      base + CASE WHEN rn <= k THEN 1 ELSE 0 END AS alloc
+                    FROM r),
+              s AS (SELECT d.doc_id, d.source,
+                      row_number() OVER (PARTITION BY d.source
+                        ORDER BY ${duckHex32(
+                          "source || ':' || CAST(doc_id AS VARCHAR)")} ASC,
+                          d.doc_id ASC) AS samp_rank
+                    FROM documents d)
+         SELECT s.doc_id, s.source, s.samp_rank
+         FROM s JOIN a USING (source)
+         WHERE s.samp_rank <= a.alloc
+         ORDER BY s.doc_id""",
     // x49's BM25 chain capped at 20 + the a1 cosine ranking over vec_id
     // 1..5 capped at 20, full-outer joined on (query, doc) and fused by
     // the fixed-order two-addend RRF score — bit-identical doubles, so

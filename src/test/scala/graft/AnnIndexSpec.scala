@@ -108,6 +108,52 @@ class AnnIndexSpec extends SparkSpec {
       s"cell filter leaked into data filters: ${scan.dataFilters}")
   }
 
+  test("SQ8 index: stored codes answer identically to sq8TopK, append " +
+    "under the frozen stats equals a full rebuild, and the stats row " +
+    "round-trips exactly") {
+    val base = tmp("annidx_sq8")
+    val stats = AnnIndex.sq8Stats(emb, "embedding")
+    AnnIndex.writeSq8Stats(stats, s"$base/stats")
+    val frozen = AnnIndex.readSq8Stats(spark, s"$base/stats")
+    // the persisted model IS the computed model
+    assert(frozen.collect().map(_.toSeq).toSeq ===
+      stats.collect().map(_.toSeq).toSeq)
+    // full write: index answers == recompute
+    AnnIndex.writeSq8Index(
+      AnnIndex.encodeSq8(emb, "vec_id", "embedding", frozen),
+      s"$base/full")
+    val overIndex = AnnIndex.sq8TopKOverIndex(
+      AnnIndex.readIndex(spark, s"$base/full"), frozen, emb, queries,
+      "vec_id", "embedding", k = 10, refineK = 25)
+    assert(rows(overIndex) ===
+      rows(Similarity.sq8TopK(emb, queries, "vec_id", "embedding", 10,
+        refineK = 25)))
+    // write half, append half — both encoded under the SAME frozen
+    // stats — equals the rebuild
+    AnnIndex.writeSq8Index(
+      AnnIndex.encodeSq8(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+        "embedding", frozen), s"$base/delta")
+    AnnIndex.appendSq8Index(
+      AnnIndex.encodeSq8(emb.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", frozen), s"$base/delta")
+    assert(rows(AnnIndex.sq8TopKOverIndex(
+        AnnIndex.readIndex(spark, s"$base/delta"), frozen, emb, queries,
+        "vec_id", "embedding", 10, refineK = 25)) === rows(overIndex))
+    // the freeze contract is load-bearing: stats recomputed over only
+    // half the corpus are a DIFFERENT affine map — codes diverge
+    val halfStats = AnnIndex.sq8Stats(
+      emb.filter(col("vec_id") % 2 === 0), "embedding")
+    val frozenCodes = AnnIndex
+      .encodeSq8(emb, "vec_id", "embedding", frozen).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val halfCodes = AnnIndex
+      .encodeSq8(emb, "vec_id", "embedding", halfStats).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(frozenCodes.exists { case (id, c) => halfCodes(id) != c },
+      "recomputed-stats codes unexpectedly identical — the freeze " +
+        "contract test lost its teeth")
+  }
+
   test("indexReport: per-cell occupancy sums to the corpus and matches " +
     "the encoder's own assignment counts") {
     val dir = tmp("annidx_report")

@@ -191,4 +191,43 @@ class CorpusPropertySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(5)))
     assert(hand.toSeq === Seq(("a", 1L), ("b", 1L), ("c", 0L)))
   }
+
+  test("stratifiedQuotaSample: exactly budget rows, per-stratum counts " +
+    "equal the apportioned quotas, members are the hash-order prefix, " +
+    "null strata participate") {
+    for (round <- 1 to 5) {
+      val rows = (0 until 3 + rnd.nextInt(5)).flatMap { sIdx =>
+        val src = if (sIdx == 0) null else s"s$sIdx"
+        (0 until 1 + rnd.nextInt(30)).map(i =>
+          (src, (sIdx * 1000 + i).toLong))
+      }
+      val df = rows.toDF("src", "id")
+      val budget = 1L + rnd.nextInt(rows.size)
+      val kept = Corpus.stratifiedQuotaSample(df, "id", "src", budget)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+      assert(kept.length.toLong === budget,
+        s"round $round: kept ${kept.length} of budget $budget")
+      val quota = Corpus.budgetApportion(df, "src", budget)
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(5)).toMap
+      kept.groupBy(_._1).foreach { case (src, members) =>
+        assert(members.length.toLong === quota(src),
+          s"round $round stratum $src: ${members.length} != quota")
+      }
+      // quota-0 strata contribute nothing; every kept id exists in input
+      val inputIds = rows.map(_._2).toSet
+      assert(kept.forall { case (_, id) => inputIds.contains(id) })
+      // members are the PREFIX of the stratum's hash order: replay it
+      val hash = df.select(col("src"), col("id"),
+        graft.llm.Hashing.hex32(concat(coalesce(col("src"), lit("")),
+          lit(":"), col("id").cast("string"))).as("h"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          r.getLong(2)))
+      hash.groupBy(_._1).foreach { case (src, members) =>
+        val expect = members.sortBy(m => (m._3, m._2))
+          .take(quota(src).toInt).map(_._2).toSet
+        val got = kept.filter(_._1 == src).map(_._2).toSet
+        assert(got === expect, s"round $round stratum $src draw differs")
+      }
+    }
+  }
 }

@@ -37,8 +37,12 @@ class PlanAuditSpec extends SparkSpec {
     "x70_rrf_fusion", // composes x49's BM25 (1-row corpus-stats
     // broadcast) and a1's brute-force dense baseline — the fusion itself
     // joins two top-k-bounded rankings only
-    "x71_budget_apportion" // two 1-row broadcasts (total count, leftover
+    "x71_budget_apportion", // two 1-row broadcasts (total count, leftover
     // units) onto the strata-sized counts table — all bounded
+    "a20_sq8_index", // a19's whitelisted scan shape answered from the
+    // stored code table — same bounded broadcasts, no re-encode
+    "x72_quota_sample" // composes x71's two 1-row broadcasts; the draw
+    // itself is a strata-keyed equi-join + per-stratum window
   )
 
   test("no cartesian products or unintended nested-loop joins") {

@@ -250,13 +250,40 @@ class SqlSurfaceSpec extends SparkSpec {
           "neighbor_id", "rank", topK = 5))
       check("SELECT * FROM budget_apportion('tvf4_docs', 'source', 97)",
         Corpus.budgetApportion(docs, "source", 97L))
+      check("SELECT * FROM quota_sample('tvf4_docs', 'doc_id', " +
+          "'source', 97)",
+        Corpus.stratifiedQuotaSample(docs, "doc_id", "source", 97L))
+      val sq8Dir = java.nio.file.Files
+        .createTempDirectory("tvf4_sq8_idx").toString
+      val stats = graft.llm.AnnIndex.sq8Stats(emb, "embedding")
+      graft.llm.AnnIndex.writeSq8Stats(stats, s"$sq8Dir/stats")
+      val frozen = graft.llm.AnnIndex.readSq8Stats(spark, s"$sq8Dir/stats")
+      graft.llm.AnnIndex.writeSq8Index(
+        graft.llm.AnnIndex.encodeSq8(emb, "vec_id", "embedding", frozen),
+        s"$sq8Dir/codes")
+      val idx = graft.llm.AnnIndex.readIndex(spark, s"$sq8Dir/codes")
+      idx.createOrReplaceTempView("tvf4_sq8_idx")
+      frozen.createOrReplaceTempView("tvf4_sq8_stats")
+      check("SELECT * FROM sq8_topk_over_index('tvf4_sq8_idx', " +
+          "'tvf4_sq8_stats', 'tvf4_emb', 'tvf4_q', 'vec_id', " +
+          "'embedding', 3, 10)",
+        graft.llm.AnnIndex.sq8TopKOverIndex(idx, frozen, emb, q,
+          "vec_id", "embedding", 3, refineK = 10))
+      // stored-index TVF == recompute TVF, stated purely in SQL
+      check("SELECT * FROM sq8_topk_over_index('tvf4_sq8_idx', " +
+          "'tvf4_sq8_stats', 'tvf4_emb', 'tvf4_q', 'vec_id', " +
+          "'embedding', 3, 10)",
+        spark.sql("SELECT * FROM sq8_topk('tvf4_emb', 'tvf4_q', " +
+          "'vec_id', 'embedding', 3, 10)"))
       // loud usage errors, not silent misreads
       val err = intercept[Exception](
         spark.sql("SELECT * FROM budget_apportion('tvf4_docs', 'source')"))
       assert(err.getMessage.contains("usage: budget_apportion"))
     } finally {
-      Seq("tvf4_docs", "tvf4_emb", "tvf4_q", "tvf4_lex", "tvf4_den")
-        .foreach(spark.catalog.dropTempView)
+      Seq("tvf4_docs", "tvf4_emb", "tvf4_q", "tvf4_lex", "tvf4_den",
+        "tvf4_sq8_idx", "tvf4_sq8_stats")
+        .foreach(v => if (spark.catalog.tableExists(v))
+          spark.catalog.dropTempView(v))
     }
   }
 }
