@@ -371,6 +371,14 @@ object GraftExtensions {
         plan(graft.llm.Corpus.budgetApportion(SparkSession.active.table(t),
           sc, lit2int(args(2), u).toLong))
       },
+      "token_coverage" -> { args =>
+        val u = "usage: token_coverage('table', 'text_col', k1[, k2, ...])"
+        require(args.length >= 3, u)
+        val Seq(t, tc) = args.take(2).map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.tokenCoverage(
+          SparkSession.active.table(t), tc,
+          args.drop(2).map(lit2int(_, u))))
+      },
       "quota_sample" -> { args =>
         val u = "usage: quota_sample('table', 'id_col', 'strata_col', budget)"
         require(args.length == 4, u)

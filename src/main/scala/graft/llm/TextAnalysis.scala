@@ -879,4 +879,48 @@ object TextAnalysis {
         (col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
   }
+
+  /** Token-coverage curve — the vocabulary-sizing measurement behind a
+    * tokenizer choice: for each candidate vocabulary size `k`, how many
+    * corpus token OCCURRENCES the `k` most frequent types cover (Zipf's
+    * law makes this the whole game: a few thousand types usually cover
+    * >90%, and the curve's knee says where extra vocab stops paying).
+    * Frequency ties rank lexically-smaller types first, so the curve is
+    * engine-reproducible to the row.
+    *
+    * Scale shape: one corpus token pass into a vocabulary-sized count
+    * table; ranking uses [[Corpus.globalOrderIndex]]'s range-bucketed
+    * rank (web-scale vocabularies run ~10^8 types — never a
+    * single-partition window); every requested size is a conditional sum
+    * in ONE aggregate over the ranked vocabulary, and all outputs are
+    * exact integers.
+    *
+    * @return one row per requested size: (vocab_size, covered_tokens,
+    *         total_tokens, n_types)
+    */
+  def tokenCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSizes: Seq[Int], nBuckets: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    require(vocabSizes.nonEmpty, "vocabSizes must be non-empty")
+    require(vocabSizes.forall(_ >= 1), s"vocab sizes must be >= 1: $vocabSizes")
+    require(vocabSizes.distinct.size == vocabSizes.size,
+      s"vocab sizes must be distinct: $vocabSizes")
+    val counts = df
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val ranked = Corpus.globalOrderIndex(counts, nBuckets,
+      col("_c").desc, col("_t").asc)
+    val covAggs = vocabSizes.map(k =>
+      sum(when(col("pos") < k, col("_c")).otherwise(0L)).as(s"_cov_$k"))
+    val one = ranked.agg(sum(col("_c")).as("_total"),
+      count(lit(1)).as("_n_types") +: covAggs: _*)
+    one
+      .select(explode(array(vocabSizes.map(k =>
+          struct(lit(k).as("vocab_size"),
+            col(s"_cov_$k").as("covered_tokens"))): _*)).as("_s"),
+        col("_total"), col("_n_types"))
+      .select(col("_s.vocab_size"), col("_s.covered_tokens"),
+        col("_total").as("total_tokens"), col("_n_types").as("n_types"))
+  }
 }

@@ -1050,6 +1050,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-coverage curve (vocabulary sizing): occurrences covered by
+    // the k most frequent types for k in {10, 100, 1000} — one corpus
+    // token pass, rank over the x34 range-bucket machinery, all-integer
+    // outputs; frequency ties rank lexically-smaller types first so
+    // both engines cut the vocabulary identically.
+    "x73_token_coverage" -> ((s, dir) => {
+      graft.llm.TextAnalysis.tokenCoverage(
+          t(s, dir, "documents").select("doc_id", "text"), "text",
+          vocabSizes = Seq(10, 100, 1000))
+        .orderBy("vocab_size")
+    }),
+
     // CCNet-style quality slices (Wenzek 2020 §4.3: head/middle/tail by
     // model-score terciles) over the x63-certified affinity key: global
     // integer rank (the x34 range-bucket machinery — never a single-
@@ -3199,6 +3211,28 @@ object LlmQueries {
          FROM s JOIN a USING (source)
          WHERE s.samp_rank <= a.alloc
          ORDER BY s.doc_id""",
+    // One ranked vocabulary, conditional sums per requested size — the
+    // (count desc, term asc) tie rule replayed.
+    "x73_token_coverage" ->
+      s"""WITH tm AS (SELECT unnest($duckToks) AS t FROM documents),
+              tc AS (SELECT t, count(*) AS c FROM tm WHERE t <> ''
+                     GROUP BY 1),
+              rk AS (SELECT t, c,
+                       row_number() OVER (ORDER BY c DESC, t ASC) - 1
+                         AS pos
+                     FROM tc),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+                        CAST(count(*) AS BIGINT) AS n_types FROM tc),
+              cov AS (SELECT k.vocab_size,
+                        CAST(sum(CASE WHEN rk.pos < k.vocab_size
+                          THEN rk.c ELSE 0 END) AS BIGINT)
+                          AS covered_tokens
+                      FROM rk, (VALUES (10), (100), (1000))
+                        AS k(vocab_size)
+                      GROUP BY 1)
+         SELECT cov.vocab_size, cov.covered_tokens, tot.total_tokens,
+                tot.n_types
+         FROM cov, tot ORDER BY cov.vocab_size""",
     // x49's BM25 chain capped at 20 + the a1 cosine ranking over vec_id
     // 1..5 capped at 20, full-outer joined on (query, doc) and fused by
     // the fixed-order two-addend RRF score — bit-identical doubles, so

@@ -797,6 +797,30 @@ class LlmSpec extends SparkSpec {
       Option(boom.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
 
+  test("tokenCoverage: matches a driver-side frequency-rank replay, is " +
+    "monotone in k, and saturates at the full vocabulary") {
+    val texts = docs.select("text").as[String].collect()
+    val toks = texts.flatMap(t => Option(t).getOrElse("")
+      .toLowerCase.split("\\s+", -1)).filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).map {
+      case (t, xs) => (t, xs.length.toLong) }
+    val rankedRef = counts.toSeq.sortBy { case (t, c) => (-c, t) }.map(_._2)
+    val total = rankedRef.sum
+    val ks = Seq(1, 10, 100, 1000, 100000)
+    val got = TextAnalysis.tokenCoverage(docs, "text", ks)
+      .orderBy("vocab_size").as[(Int, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === ks)
+    got.foreach { case (k, cov, tot, nTypes) =>
+      assert(tot === total)
+      assert(nTypes === counts.size.toLong)
+      assert(cov === rankedRef.take(k).sum, s"coverage at k=$k")
+    }
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    assert(got.last._2 === total, "oversized vocab must cover everything")
+    intercept[IllegalArgumentException](
+      TextAnalysis.tokenCoverage(docs, "text", Seq(10, 10)))
+  }
+
   test("dsirWeights matches a driver-side reference on the real corpus " +
     "and ranks target-like docs above unrelated ones") {
     import spark.implicits._

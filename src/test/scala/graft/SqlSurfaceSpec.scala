@@ -253,6 +253,8 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM quota_sample('tvf4_docs', 'doc_id', " +
           "'source', 97)",
         Corpus.stratifiedQuotaSample(docs, "doc_id", "source", 97L))
+      check("SELECT * FROM token_coverage('tvf4_docs', 'text', 10, 100)",
+        graft.llm.TextAnalysis.tokenCoverage(docs, "text", Seq(10, 100)))
       val sq8Dir = java.nio.file.Files
         .createTempDirectory("tvf4_sq8_idx").toString
       val stats = graft.llm.AnnIndex.sq8Stats(emb, "embedding")
