@@ -354,6 +354,16 @@ object GraftExtensions {
           lit2int(args(4), u),
           refineK = args.lift(5).map(lit2int(_, u)).getOrElse(50)))
       },
+      "matryoshka_topk" -> { args =>
+        val u = "usage: matryoshka_topk('corpus', 'queries', 'id_col', " +
+          "'vec_col', k, prefix_dims[, refine_k])"
+        require(args.length == 6 || args.length == 7, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Similarity.truncatedCosineTopK(s.table(ct),
+          s.table(qt), ic, vc, lit2int(args(4), u), lit2int(args(5), u),
+          refineK = args.lift(6).map(lit2int(_, u)).getOrElse(50)))
+      },
       "rrf_fuse" -> { args =>
         val u = "usage: rrf_fuse('ranking_a', 'ranking_b', 'query_id_col', " +
           "'id_col', 'rank_col', top_k[, k_rrf])"

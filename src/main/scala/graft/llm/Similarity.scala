@@ -820,6 +820,44 @@ object Similarity {
       corpus, queries, idCol, vecCol, k, refineK)
   }
 
+  /** Matryoshka-style truncated-prefix top-k (Kusupati et al., NeurIPS
+    * 2022: MRL-trained embeddings concentrate meaning in the leading
+    * dimensions, so a PREFIX of the vector is itself a usable embedding):
+    * candidates are ranked by exact cosine over only the first
+    * `prefixDims` dimensions — a `prefixDims/dims` fraction of the scan
+    * arithmetic and, with the prefix stored as its own column/index, of
+    * the scan BYTES — then the top `refineK` re-ranked with full-width
+    * cosine ([[refineExact]]). The fourth compression point of the ANN
+    * family: LSH prunes candidates, PQ compresses 64×, SQ8 4× — MRL
+    * truncation is the one that needs no codebook or stats at all.
+    *
+    * Determinism across engines: the prefix score is the same
+    * fixed-order cosine kernel a1 certifies, over a `slice` both engines
+    * spell identically; ties break on the integer id.
+    *
+    * @return (query_id, neighbor_id, rank) — rank 1..k per query by full
+    *         cosine over the prefix candidate set; self-pairs excluded
+    */
+  def truncatedCosineTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, prefixDims: Int,
+      refineK: Int = 50): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
+    require(prefixDims >= 1, s"prefixDims ($prefixDims) must be >= 1")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      slice(col(vecCol), 1, prefixDims).as("_pv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, prefixDims).as("_pq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_pcos").desc, col("neighbor_id"))
+    val cand = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("_pcos", cosine(col("_pv"), col("_pq")))
+      .withColumn("_crank", row_number().over(w))
+      .filter(col("_crank") <= refineK)
+      .select("query_id", "neighbor_id")
+    refineExact(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH
     * bucketing (same-bucket candidates only — never all pairs). Sign
     * buckets wider than `maxBucketSize` are dropped before the self-join

@@ -1050,6 +1050,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Matryoshka truncated-prefix ANN (Kusupati 2022): candidates by
+    // exact cosine over the FIRST 16 of 64 dimensions (¼ the scan
+    // arithmetic, no codebook or stats), top 25 re-ranked full-width.
+    // The prefix score is the a1-certified cosine chain over a slice
+    // both engines spell identically.
+    "a21_matryoshka_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.truncatedCosineTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, prefixDims = 16, refineK = 25)
+        .orderBy("query_id", "rank")
+    }),
+
     // Token-coverage curve (vocabulary sizing): occurrences covered by
     // the k most frequent types for k in {10, 100, 1000} — one corpus
     // token pass, rank over the x34 range-bucket machinery, all-integer
@@ -3211,6 +3223,41 @@ object LlmQueries {
          FROM s JOIN a USING (source)
          WHERE s.samp_rank <= a.alloc
          ORDER BY s.doc_id""",
+    // Prefix-cosine candidates (norms over the FIRST 16 dims only, the
+    // sliced-kernel semantics), then the a1 full-width re-rank.
+    "a21_matryoshka_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                    WHERE vec_id < 5),
+              pc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 17),
+                         i -> e.v[i] * q.qv[i])) /
+                       (sqrt(list_sum(list_transform(range(1, 17),
+                          i -> e.v[i] * e.v[i]))) *
+                        sqrt(list_sum(list_transform(range(1, 17),
+                          i -> q.qv[i] * q.qv[i])))) AS pcos
+                     FROM e, q WHERE e.vec_id <> q.query_id),
+              cand AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY pcos DESC, neighbor_id) AS crn
+                       FROM pc),
+              ref AS (SELECT c.query_id, c.neighbor_id,
+                        list_sum(list_transform(range(1, 65),
+                          i -> cv.v[i] * qv.v[i])) /
+                        (sqrt(list_sum(list_transform(cv.v, x -> x*x))) *
+                         sqrt(list_sum(list_transform(qv.v, x -> x*x))))
+                          AS cos
+                      FROM cand c
+                      JOIN e cv ON cv.vec_id = c.neighbor_id
+                      JOIN e qv ON qv.vec_id = c.query_id
+                      WHERE c.crn <= 25),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM ref)
+         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         ORDER BY query_id, rank""",
     // One ranked vocabulary, conditional sums per requested size — the
     // (count desc, term asc) tie rule replayed.
     "x73_token_coverage" ->

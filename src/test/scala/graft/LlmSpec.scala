@@ -797,6 +797,34 @@ class LlmSpec extends SparkSpec {
       Option(boom.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
 
+  test("truncatedCosineTopK: full-width prefix + full refine degenerates " +
+    "to exact cosineTopK, and refining never loses recall vs the raw " +
+    "prefix ranking") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val n = e.count().toInt
+    assert(pairs(Similarity.truncatedCosineTopK(e, q, "vec_id",
+        "embedding", 10, prefixDims = 64, refineK = n)) ===
+      pairs(Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id", "rank")))
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .count(exact.contains)
+    // refineK = k is the raw prefix ranking cut at k; widening the
+    // refine set can only help
+    val raw = recall(Similarity.truncatedCosineTopK(e, q, "vec_id",
+      "embedding", 10, prefixDims = 16, refineK = 10))
+    val refined = recall(Similarity.truncatedCosineTopK(e, q, "vec_id",
+      "embedding", 10, prefixDims = 16, refineK = 50))
+    assert(refined >= raw,
+      s"refine lowered recall: $refined < $raw of ${exact.size}")
+  }
+
   test("tokenCoverage: matches a driver-side frequency-rank replay, is " +
     "monotone in k, and saturates at the full vocabulary") {
     val texts = docs.select("text").as[String].collect()

@@ -41,6 +41,8 @@ class PlanAuditSpec extends SparkSpec {
     // units) onto the strata-sized counts table — all bounded
     "a20_sq8_index", // a19's whitelisted scan shape answered from the
     // stored code table — same bounded broadcasts, no re-encode
+    "a21_matryoshka_topk", // a1's broadcast-product baseline over
+    // PREFIX slices — ¼ the arithmetic, same bounded query side
     "x72_quota_sample" // composes x71's two 1-row broadcasts; the draw
     // itself is a strata-keyed equi-join + per-stratum window
   )
