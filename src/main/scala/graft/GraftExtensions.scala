@@ -381,6 +381,13 @@ object GraftExtensions {
         plan(graft.llm.Corpus.budgetApportion(SparkSession.active.table(t),
           sc, lit2int(args(2), u).toLong))
       },
+      "vocab_topn" -> { args =>
+        val u = "usage: vocab_topn('table', 'text_col', top_n)"
+        require(args.length == 3, u)
+        val Seq(t, tc) = args.take(2).map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.vocabDelta(
+          SparkSession.active.table(t), tc, lit2int(args(2), u)).kept)
+      },
       "token_coverage" -> { args =>
         val u = "usage: token_coverage('table', 'text_col', k1[, k2, ...])"
         require(args.length >= 3, u)

@@ -880,6 +880,44 @@ object TextAnalysis {
           (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
   }
 
+  /** Incremental vocabulary state + heavy hitters — the x28/x55/x64
+    * two-batch delta protocol applied to vocabulary tracking: each
+    * ingest batch folds its term counts into the cumulative count state,
+    * and the kept frame reports the top-`topN` heavy hitters (count
+    * desc, term asc) AFTER the fold. A live corpus build watches this to
+    * catch boilerplate floods and vocabulary drift without ever
+    * re-reading prior batches.
+    *
+    * Scale shape: one batch-sized token pass + a term-keyed fold into
+    * the vocabulary-sized state (the state is types, not occurrences);
+    * the heavy-hitter cut is `orderBy().limit(topN)` = distributed
+    * TakeOrdered with the rank attached after the limit over `topN` rows
+    * only (the x22 bounded-window pattern). For sketch-bounded memory
+    * instead of exact vocabulary state, [[heavyHitterNgrams]] is the
+    * companion; this operator is the exact-fold complement.
+    *
+    * @return kept = (term, n, rank 1..topN) after folding this batch;
+    *         state = cumulative (term, n)
+    */
+  def vocabDelta(batch: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int, priorCounts: Option[org.apache.spark.sql.DataFrame] = None)
+      : Dedup.DeltaState = {
+    require(topN >= 1, s"topN ($topN) must be >= 1")
+    val batchCounts = batch
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val state = graft.operators.Lineage.cut(
+      priorCounts.fold(batchCounts)(prior =>
+        prior.select(col("term"), col("n")).unionByName(batchCounts)
+          .groupBy(col("term")).agg(sum(col("n")).as("n"))))
+    val kept = state.orderBy(col("n").desc, col("term").asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term").asc)))
+    Dedup.DeltaState(kept, state)
+  }
+
   /** Token-coverage curve — the vocabulary-sizing measurement behind a
     * tokenizer choice: for each candidate vocabulary size `k`, how many
     * corpus token OCCURRENCES the `k` most frequent types cover (Zipf's

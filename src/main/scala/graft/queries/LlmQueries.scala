@@ -1050,6 +1050,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL vocabulary heavy hitters (the x28/x55/x64 two-batch
+    // protocol applied to vocabulary tracking): batch 1 reports its
+    // top-10 terms from its own counts, batch 2 from the CUMULATIVE
+    // fold — the term-count state accumulation certified in exact
+    // integer space.
+    "x74_vocab_delta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val s1 = graft.llm.TextAnalysis.vocabDelta(
+        d.filter(col("doc_id") < 250), "text", topN = 10)
+      val s2 = graft.llm.TextAnalysis.vocabDelta(
+        d.filter(col("doc_id") >= 250), "text", topN = 10, Some(s1.state))
+      def shape(st: graft.llm.Dedup.DeltaState, b: Int) =
+        st.kept.select(lit(b).as("batch"), col("term"), col("n"),
+          col("rank"))
+      shape(s1, 0).unionByName(shape(s2, 1)).orderBy("batch", "rank")
+    }),
+
     // Matryoshka truncated-prefix ANN (Kusupati 2022): candidates by
     // exact cosine over the FIRST 16 of 64 dimensions (¼ the scan
     // arithmetic, no codebook or stats), top 25 re-ranked full-width.
@@ -3223,6 +3240,31 @@ object LlmQueries {
          FROM s JOIN a USING (source)
          WHERE s.samp_rank <= a.alloc
          ORDER BY s.doc_id""",
+    // Both batches' counts, the cumulative fold, and both top-10 cuts
+    // replayed with the (count desc, term asc) tie rule.
+    "x74_vocab_delta" ->
+      s"""WITH t1 AS (SELECT unnest($duckToks) AS term FROM documents
+                      WHERE doc_id < 250),
+              c1 AS (SELECT term, count(*) AS n FROM t1 WHERE term <> ''
+                     GROUP BY 1),
+              r1 AS (SELECT 0 AS batch, term, CAST(n AS BIGINT) AS n,
+                       row_number() OVER (ORDER BY n DESC, term ASC)
+                         AS rank
+                     FROM c1 QUALIFY rank <= 10),
+              t2 AS (SELECT unnest($duckToks) AS term FROM documents
+                      WHERE doc_id >= 250),
+              c2 AS (SELECT term, count(*) AS n FROM t2 WHERE term <> ''
+                     GROUP BY 1),
+              cum AS (SELECT term, sum(n) AS n FROM
+                        (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+                      GROUP BY 1),
+              r2 AS (SELECT 1 AS batch, term, CAST(n AS BIGINT) AS n,
+                       row_number() OVER (ORDER BY n DESC, term ASC)
+                         AS rank
+                     FROM cum QUALIFY rank <= 10)
+         SELECT batch, term, n, rank FROM
+           (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         ORDER BY batch, rank""",
     // Prefix-cosine candidates (norms over the FIRST 16 dims only, the
     // sliced-kernel semantics), then the a1 full-width re-rank.
     "a21_matryoshka_topk" ->

@@ -81,4 +81,29 @@ class DeltaDedupSpec extends SparkSpec {
     assert(!plan.contains("alpha") || !plan.contains("beta"),
       s"prior corpus text leaked into the delta plan:\n$plan")
   }
+
+  test("vocab delta: cumulative fold equals whole-corpus counts, " +
+    "single batch equals the batch ranking, ties break lexically") {
+    import graft.llm.TextAnalysis
+    val b1 = docs((1L, "a b a c"), (2L, "b a"))
+    val b2 = docs((3L, "c c b x"), (4L, "x x x"))
+    val s1 = TextAnalysis.vocabDelta(b1, "text", topN = 3)
+    // batch 1 alone: a=3, b=2, c=1
+    assert(s1.kept.orderBy("rank").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ===
+      Seq(("a", 3L, 1), ("b", 2L, 2), ("c", 1L, 3)))
+    val s2 = TextAnalysis.vocabDelta(b2, "text", topN = 3,
+      Some(s1.state.transform(graft.operators.Lineage.cut)))
+    // cumulative: x=4, a=3, b=3, c=3 — the 3-way tie ranks lexically
+    assert(s2.kept.orderBy("rank").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ===
+      Seq(("x", 4L, 1), ("a", 3L, 2), ("b", 3L, 3)))
+    // state == whole-corpus counts
+    val whole = TextAnalysis.vocabDelta(
+      b1.unionByName(b2), "text", topN = 3).state
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val folded = s2.state.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(folded === whole)
+  }
 }

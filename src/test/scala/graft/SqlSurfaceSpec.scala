@@ -255,6 +255,8 @@ class SqlSurfaceSpec extends SparkSpec {
         Corpus.stratifiedQuotaSample(docs, "doc_id", "source", 97L))
       check("SELECT * FROM token_coverage('tvf4_docs', 'text', 10, 100)",
         graft.llm.TextAnalysis.tokenCoverage(docs, "text", Seq(10, 100)))
+      check("SELECT * FROM vocab_topn('tvf4_docs', 'text', 10)",
+        graft.llm.TextAnalysis.vocabDelta(docs, "text", 10).kept)
       check("SELECT * FROM matryoshka_topk('tvf4_emb', 'tvf4_q', " +
           "'vec_id', 'embedding', 3, 16, 10)",
         Similarity.truncatedCosineTopK(emb, q, "vec_id", "embedding", 3,
