@@ -277,6 +277,13 @@ object GraftExtensions {
           SparkSession.active.table(lit2str(args(0), u)),
           lit2str(args(1), u)))
       },
+      "secret_stats" -> { args =>
+        val u = "usage: secret_stats('table', 'text_col')"
+        require(args.length == 2, u)
+        plan(graft.llm.Privacy.secretStats(
+          SparkSession.active.table(lit2str(args(0), u)),
+          lit2str(args(1), u)))
+      },
       "pii_redact" -> { args =>
         val u = "usage: pii_redact('table', 'text_col')"
         require(args.length == 2, u)

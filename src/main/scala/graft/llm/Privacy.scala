@@ -111,4 +111,65 @@ object Privacy {
       .withColumn("redacted", regexp_replace(col("_i"), phonePattern, "<PHONE>"))
       .drop("_e", "_i")
   }
+
+  // --------------------------------------------------------------------
+  // Credential / secret scanning — the scrub a pretraining pipeline runs
+  // so leaked keys never reach model weights. Same contract as the PII
+  // patterns: recall-first shapes in the Java∩RE2 regex subset, pure
+  // row-local Column algebra.
+  // --------------------------------------------------------------------
+
+  /** AWS access key id: the fixed AKIA prefix + 16 uppercase base-32ish. */
+  val awsKeyPattern = "\\bAKIA[0-9A-Z]{16}\\b"
+
+  /** GitHub personal access token (classic): ghp_ + 36 alphanumerics. */
+  val githubTokenPattern = "\\bghp_[A-Za-z0-9]{36}\\b"
+
+  /** PEM private-key header (RSA/EC/OPENSSH/…): the header line alone is
+    * the signal — the body is redacted with it by masking the header so
+    * the block is no longer loadable. */
+  val privateKeyPattern = "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+
+  /** Generic credential assignment: a known secret-ish identifier,
+    * `=`/`:`, and a ≥16-char token-shaped value. */
+  val credentialAssignmentPattern =
+    "(?i)\\b(?:api_key|apikey|secret_key|access_token) ?[=:] ?[A-Za-z0-9_/+-]{16,}"
+
+  /** Mask every secret hit with a typed placeholder, most-specific
+    * patterns first (an AKIA key inside an assignment value must read
+    * `<SECRET_CRED>`-wrapped once, not double-masked). */
+  def redactSecrets(text: Column): Column = {
+    val a = regexp_replace(text, awsKeyPattern, "<SECRET_AWS>")
+    val g = regexp_replace(a, githubTokenPattern, "<SECRET_GH>")
+    val k = regexp_replace(g, privateKeyPattern, "<SECRET_KEYBLOCK>")
+    regexp_replace(k, credentialAssignmentPattern, "<SECRET_CRED>")
+  }
+
+  /** Per-document secret profile: the four pattern counts, their total,
+    * and the redacted text. Counts are STAGED in redaction order (the
+    * [[piiStats]] discipline): each pattern is counted on the text the
+    * previous passes left, so `n_<type>` always equals that type's
+    * placeholder count in `redacted` even when one shape nests inside
+    * another (a ghp_ value in an assignment). */
+  def secretStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    df.withColumn("n_aws_keys", regexp_count(t, lit(awsKeyPattern)))
+      .withColumn("_a", regexp_replace(t, awsKeyPattern, "<SECRET_AWS>"))
+      .withColumn("n_github_tokens",
+        regexp_count(col("_a"), lit(githubTokenPattern)))
+      .withColumn("_g",
+        regexp_replace(col("_a"), githubTokenPattern, "<SECRET_GH>"))
+      .withColumn("n_private_keys",
+        regexp_count(col("_g"), lit(privateKeyPattern)))
+      .withColumn("_k",
+        regexp_replace(col("_g"), privateKeyPattern, "<SECRET_KEYBLOCK>"))
+      .withColumn("n_credential_assignments",
+        regexp_count(col("_k"), lit(credentialAssignmentPattern)))
+      .withColumn("redacted", regexp_replace(col("_k"),
+        credentialAssignmentPattern, "<SECRET_CRED>"))
+      .withColumn("n_secrets",
+        col("n_aws_keys") + col("n_github_tokens") +
+          col("n_private_keys") + col("n_credential_assignments"))
+      .drop("_a", "_g", "_k")
+  }
 }

@@ -196,4 +196,35 @@ class DurableIngestSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
     assert(dist(spark.read.parquet(s"$st/v=1")) === dist(s2.state))
   }
+
+  test("streaming vocabulary tracking: vocabDelta through " +
+    "durableIngestDedup equals the two-batch replay (x74's split), " +
+    "state included — every value an exact integer") {
+    import graft.llm.TextAnalysis
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val step: StreamOps.DeltaStep =
+      (b, p) => TextAnalysis.vocabDelta(b, "text", topN = 10, p)
+    val in = tmp("vocab_in"); val out = tmp("vocab_out")
+    val st = tmp("vocab_state")
+    def stream() =
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+    d.filter($"doc_id" < 250).write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st).awaitTermination()
+    d.filter($"doc_id" >= 250).write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st).awaitTermination()
+    val s1 = TextAnalysis.vocabDelta(d.filter($"doc_id" < 250), "text", 10)
+    val s2 = TextAnalysis.vocabDelta(d.filter($"doc_id" >= 250), "text",
+      10, Some(s1.state))
+    def hh(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Int)] =
+      df.select($"term", $"n".cast("long"), $"rank".cast("int"))
+        .orderBy($"rank").as[(String, Long, Int)].collect().toSeq
+    val streamed = spark.read.parquet(out)
+    assert(hh(streamed.filter($"batch" === 0)) === hh(s1.kept))
+    assert(hh(streamed.filter($"batch" === 1)) === hh(s2.kept))
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.select($"term", $"n".cast("long"))
+        .as[(String, Long)].collect().toMap
+    assert(counts(spark.read.parquet(s"$st/v=1")) === counts(s2.state))
+  }
 }

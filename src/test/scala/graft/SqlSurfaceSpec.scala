@@ -257,6 +257,8 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.TextAnalysis.tokenCoverage(docs, "text", Seq(10, 100)))
       check("SELECT * FROM vocab_topn('tvf4_docs', 'text', 10)",
         graft.llm.TextAnalysis.vocabDelta(docs, "text", 10).kept)
+      check("SELECT * FROM secret_stats('tvf4_docs', 'text')",
+        graft.llm.Privacy.secretStats(docs, "text"))
       check("SELECT * FROM matryoshka_topk('tvf4_emb', 'tvf4_q', " +
           "'vec_id', 'embedding', 3, 16, 10)",
         Similarity.truncatedCosineTopK(emb, q, "vec_id", "embedding", 3,
