@@ -152,6 +152,14 @@ object GraftExtensions {
         plan(graft.llm.Dedup.minhashNearDups(SparkSession.active.table(t),
           tc, ic, lit2dbl(args(3), u)))
       },
+      "dedup_edit" -> { args =>
+        val u = "usage: dedup_edit('table', 'text_col', 'id_col', " +
+          "max_dist_permille)"
+        require(args.length == 4, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Dedup.editVerifiedNearDups(
+          SparkSession.active.table(t), tc, ic, lit2int(args(3), u)))
+      },
       "cosine_topk" -> { args =>
         val u =
           "usage: cosine_topk('corpus', 'queries', 'id_col', 'vec_col', k)"

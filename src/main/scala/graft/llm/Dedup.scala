@@ -187,6 +187,51 @@ object Dedup {
     out
   }
 
+  /** Edit-distance–verified near-dup pairs: MinHash-LSH band buckets
+    * PROPOSE, Levenshtein DISPOSES — the character-level verification
+    * for short-document near-dup where shingle Jaccard is noisy (titles,
+    * code cells, Q/A rows, template families differing by a slot). A
+    * candidate pair survives when
+    * `dist · 1000 ≤ maxDistPermille · max(len_a, len_b)` — normalized
+    * edit similarity decided by integer cross-multiplication (the x59
+    * rule), and the distance itself is the classic unit-cost Levenshtein
+    * both engines ship natively, so every boundary pair is cross-engine
+    * exact. Docs shorter than the shingle width carry no signature and
+    * never become candidates (the d8 contract).
+    *
+    * Scale shape: candidates come from the shared banded generator
+    * (hot-bucket capped, never all-pairs); texts join back by id at
+    * candidate-set cost. The DP is O(len_a·len_b) per PAIR — the honest
+    * price of exact edit distance: right for short-text corpora; verify
+    * long documents with shingle Jaccard ([[minhashNearDups]]) instead.
+    *
+    * @return (id_a, id_b, dist, len_a, len_b) for every surviving pair
+    */
+  def editVerifiedNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxDistPermille: Int = 200, numHashes: Int = 16, bands: Int = 4,
+      k: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxDistPermille >= 0 && maxDistPermille <= 1000,
+      s"maxDistPermille ($maxDistPermille) must be in [0, 1000]")
+    val rows = shingleRows(df, textCol, idCol, k).persist()
+    val sigs = signatureFromShingleRows(rows, idCol, numHashes).persist()
+    val cands = lshCandidates(sigs, idCol, numHashes, bands, maxBucketSize)
+    val texts = df.select(col(idCol), col(textCol))
+    val out = cands
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_ta")),
+        Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_tb")),
+        Seq("id_b"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
+      .withColumn("len_a", length(col("_ta")))
+      .withColumn("len_b", length(col("_tb")))
+      .filter(col("dist") * 1000 <=
+        lit(maxDistPermille) * greatest(col("len_a"), col("len_b")))
+      .select("id_a", "id_b", "dist", "len_a", "len_b")
+      .transform(graft.operators.Lineage.cut)
+    rows.unpersist(); sigs.unpersist()
+    out
+  }
+
   /** Fuzzy cross-corpus near-dup detection — the MinHash complement to
     * [[graft.llm.Corpus.contaminatedDocs]]'s exact n-gram test: flag
     * training documents whose shingle-set Jaccard against ANY benchmark

@@ -1067,6 +1067,22 @@ object LlmQueries {
       shape(s1, 0).unionByName(shape(s2, 1)).orderBy("batch", "rank")
     }),
 
+    // Edit-distance–verified near-dup: band buckets propose, native
+    // Levenshtein disposes (both engines ship the classic unit-cost DP);
+    // a suffix-mutated copy of every 25th doc plants true near-dups and
+    // the corpus's natural exact dups arrive at distance 0. The keep
+    // rule is integer cross-multiplication, so boundary pairs agree.
+    "x76_edit_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val aug = d.unionByName(
+        d.filter(col("doc_id") % 25 === 0).select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+      Dedup.editVerifiedNearDups(aug, "text", "doc_id",
+          maxDistPermille = 50)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Credential/secret scrubbing (the pass that keeps leaked keys out
     // of model weights): AWS key ids, GitHub tokens, PEM private-key
     // headers, and generic credential assignments planted by doc_id
@@ -3266,6 +3282,43 @@ object LlmQueries {
          FROM s JOIN a USING (source)
          WHERE s.samp_rank <= a.alloc
          ORDER BY s.doc_id""",
+    // d8's band-generator replay over the suffix-augmented corpus, then
+    // DuckDB's native levenshtein with the integer keep rule.
+    "x76_edit_neardup" ->
+      s"""WITH docs0 AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 100000 AS doc_id,
+                                text || ' zz' AS text
+                         FROM documents WHERE doc_id % 25 = 0),
+              ws AS (SELECT doc_id, $duckToks AS w FROM docs0),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws
+                     WHERE len(w) >= 3),
+              sig AS (SELECT doc_id, sh,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              bands AS (
+                ${(0 until 4).map(b =>
+                  s"SELECT doc_id, $b AS b, concat_ws('_', sig_${4 * b}, sig_${4 * b + 1}, sig_${4 * b + 2}, sig_${4 * b + 3}) AS bucket FROM sig")
+                  .mkString("\n                UNION ALL\n                ")}),
+              keptb AS (SELECT b, bucket FROM bands
+                        GROUP BY b, bucket
+                        HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM bands a
+                       JOIN keptb kk ON a.b = kk.b AND a.bucket = kk.bucket
+                       JOIN bands b
+                         ON a.b = b.b AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id)
+         SELECT c.id_a, c.id_b,
+                CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+                CAST(length(ta.text) AS BIGINT) AS len_a,
+                CAST(length(tb.text) AS BIGINT) AS len_b
+         FROM cand c
+         JOIN docs0 ta ON ta.doc_id = c.id_a
+         JOIN docs0 tb ON tb.doc_id = c.id_b
+         WHERE levenshtein(ta.text, tb.text) * 1000 <=
+               50 * greatest(length(ta.text), length(tb.text))
+         ORDER BY id_a, id_b""",
     // The planted-secret augmentation and the four-stage redaction
     // chain replayed; counts staged on each pass's leftover text.
     "x75_secret_scan" ->

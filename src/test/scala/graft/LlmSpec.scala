@@ -797,6 +797,27 @@ class LlmSpec extends SparkSpec {
       Option(boom.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
 
+  test("editVerifiedNearDups: exact dups at distance 0, a small suffix " +
+    "edit survives its permille band and dies under a stricter one, " +
+    "disjoint docs never pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base), (2L, base),
+      (3L, base + " zz"),
+      (4L, "completely different content about spark shuffle partitions"))
+      .toDF("doc_id", "text")
+    val loose = Dedup.editVerifiedNearDups(df, "text", "doc_id",
+        maxDistPermille = 100)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(loose.contains((1L, 2L, 0)))
+    assert(loose.contains((1L, 3L, 3)) && loose.contains((2L, 3L, 3)))
+    assert(!loose.exists(p => p._1 == 4L || p._2 == 4L))
+    val strict = Dedup.editVerifiedNearDups(df, "text", "doc_id",
+        maxDistPermille = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict === Set((1L, 2L)))
+  }
+
   test("truncatedCosineTopK: full-width prefix + full refine degenerates " +
     "to exact cosineTopK, and refining never loses recall vs the raw " +
     "prefix ranking") {
