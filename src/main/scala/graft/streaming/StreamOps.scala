@@ -174,7 +174,8 @@ object StreamOps {
       stopwords: Seq[String] = graft.llm.TextAnalysis.langMarkers.head._2,
       gopherFilter: Boolean = false, gopherMinWords: Long = 50,
       gopherMaxWords: Long = 100000,
-      gopherAlphaPattern: String = "[a-z]"): DeltaStep = {
+      gopherAlphaPattern: String = "[a-z]",
+      redactSecrets: Boolean = false): DeltaStep = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
     val benchGrams = bench.map(b => graft.operators.Lineage.cut(
       graft.llm.Dedup.shingleRows(b, textCol, idCol, decontamK)
@@ -198,11 +199,18 @@ object StreamOps {
         gated.join(hit, Seq(idCol), "left_anti")
       }
       val out = dedup(clean, prior)
-      val kept =
+      val piiDone =
         if (redactPii)
           out.kept.withColumn(textCol,
             graft.llm.Privacy.redact(col(textCol)))
         else out.kept
+      // secrets after PII: both passes are row-local replace chains, and
+      // the fixed order makes the composed output engine-replayable
+      val kept =
+        if (redactSecrets)
+          piiDone.withColumn(textCol,
+            graft.llm.Privacy.redactSecrets(col(textCol)))
+        else piiDone
       DeltaState(kept, out.state)
     }
   }
