@@ -369,6 +369,19 @@ object GraftExtensions {
           lit2int(args(4), u),
           refineK = args.lift(5).map(lit2int(_, u)).getOrElse(50)))
       },
+      "ivf_sq8_topk" -> { args =>
+        val u = "usage: ivf_sq8_topk('corpus', 'queries', 'id_col', " +
+          "'vec_col', k[, refine_k, nlist, nprobe])"
+        require(args.length == 5 || args.length == 8, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val (c, q, k) = (s.table(ct), s.table(qt), lit2int(args(4), u))
+        plan(
+          if (args.length == 5) graft.llm.Similarity.ivfSq8TopK(c, q, ic, vc, k)
+          else graft.llm.Similarity.ivfSq8TopK(c, q, ic, vc, k,
+            refineK = lit2int(args(5), u), nlist = lit2int(args(6), u),
+            nProbe = lit2int(args(7), u)))
+      },
       "matryoshka_topk" -> { args =>
         val u = "usage: matryoshka_topk('corpus', 'queries', 'id_col', " +
           "'vec_col', k, prefix_dims[, refine_k])"

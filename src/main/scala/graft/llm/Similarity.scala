@@ -820,6 +820,49 @@ object Similarity {
       corpus, queries, idCol, vecCol, k, refineK)
   }
 
+  /** IVF-pruned SQ8 scan — the a4×a19 composition (the analogue of
+    * [[ivfPqTopK]] for scalar quantization): the corpus is partitioned
+    * into `nlist` cells AND encoded to SQ8 codes; a query probes its
+    * `nProbe` best cells and integer-dot-scans only their members'
+    * codes, then the top `refineK` are re-ranked with exact cosine.
+    * Cells prune the scan (partition column at scale), codes shrink
+    * what's scanned 4× and keep the arithmetic integer — together the
+    * shape that serves exact-quality ANN from a fraction of the corpus
+    * per query. Both model halves are the deterministic constants /
+    * exact aggregates their parent operators certify.
+    *
+    * @return (query_id, neighbor_id, rank) — rank 1..k per query over
+    *         probed cells only; self-pairs excluded
+    */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, refineK: Int = 50, nlist: Int = 8,
+      nProbe: Int = 2, dims: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    val cents = seedCentroids(nlist, dims)
+    val stats = sq8Stats(corpus, vecCol)
+    val enc = ivfEncode(corpus, idCol, vecCol, cents)
+      .crossJoin(broadcast(stats))
+      .select(col("neighbor_id"), col("_cell"),
+        VectorExprs.sq8Encode(col("_v"), col("_mins"), col("_maxs"))
+          .as("_cv"))
+    val qProbed = probedQueries(queries, idCol, vecCol, cents, nlist,
+        nProbe)
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("_cell"),
+        VectorExprs.sq8Encode(col("_q"), col("_mins"), col("_maxs"))
+          .as("_cq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ip").desc, col("neighbor_id"))
+    val cand = enc.join(broadcast(qProbed), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_ip", VectorExprs.intDot(col("_cv"), col("_cq")))
+      .withColumn("_crank", row_number().over(w))
+      .filter(col("_crank") <= refineK)
+      .select("query_id", "neighbor_id")
+    refineExact(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Matryoshka-style truncated-prefix top-k (Kusupati et al., NeurIPS
     * 2022: MRL-trained embeddings concentrate meaning in the leading
     * dimensions, so a PREFIX of the vector is itself a usable embedding):

@@ -1148,6 +1148,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // IVF-pruned SQ8 (the a4×a19 composition, the SQ8 analogue of
+    // IVF-PQ): probe 2 of 8 cells, integer-dot-scan only their codes,
+    // exact re-rank of the top 25. Both model halves are the certified
+    // a4 quantizer + a19 stats.
+    "a22_ivf_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, refineK = 25, nlist = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // Matryoshka truncated-prefix ANN (Kusupati 2022): candidates by
     // exact cosine over the FIRST 16 of 64 dimensions (¼ the scan
     // arithmetic, no codebook or stats), top 25 re-ranked full-width.
@@ -3506,6 +3517,64 @@ object LlmQueries {
          SELECT batch, term, n, rank FROM
            (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
          ORDER BY batch, rank""",
+    // a4's cell/probe chain ∘ a19's code chain: the integer dot runs
+    // only over probed-cell members, then the a1 re-rank.
+    "a22_ivf_sq8" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1
+                         AS cell
+                     FROM pc),
+              qp AS (SELECT vec_id AS query_id, ps FROM pc
+                     WHERE vec_id < 5),
+              pr AS (SELECT query_id, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC)
+                         AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, cell FROM pr WHERE prn <= 2),
+              st AS (SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+                     FROM e, range(1, 65) t(i) GROUP BY 1),
+              codes AS (SELECT e.vec_id, st.d,
+                          CASE WHEN st.mx > st.mn THEN
+                            least(255, greatest(0,
+                              CAST(floor((e.v[st.d] - st.mn) * 255.0 /
+                                (st.mx - st.mn)) AS BIGINT)))
+                          ELSE 0 END AS c
+                        FROM e, st),
+              qc AS (SELECT vec_id AS query_id, d, c FROM codes
+                     WHERE vec_id < 5),
+              ip AS (SELECT q.query_id, codes.vec_id AS neighbor_id,
+                       sum(codes.c * q.c) AS ip
+                     FROM codes
+                     JOIN qc q ON codes.d = q.d
+                       AND codes.vec_id <> q.query_id
+                     JOIN cc ON cc.vec_id = codes.vec_id
+                     JOIN probes p ON p.query_id = q.query_id
+                       AND p.cell = cc.cell
+                     GROUP BY 1, 2),
+              cand AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY ip DESC, neighbor_id) AS crn
+                       FROM ip),
+              ref AS (SELECT c.query_id, c.neighbor_id,
+                        list_sum(list_transform(range(1, 65),
+                          i -> cv.v[i] * qv.v[i])) /
+                        (sqrt(list_sum(list_transform(cv.v, x -> x*x))) *
+                         sqrt(list_sum(list_transform(qv.v, x -> x*x))))
+                          AS cos
+                      FROM cand c
+                      JOIN e cv ON cv.vec_id = c.neighbor_id
+                      JOIN e qv ON qv.vec_id = c.query_id
+                      WHERE c.crn <= 25),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM ref)
+         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         ORDER BY query_id, rank""",
     // Prefix-cosine candidates (norms over the FIRST 16 dims only, the
     // sliced-kernel semantics), then the a1 full-width re-rank.
     "a21_matryoshka_topk" ->

@@ -797,6 +797,26 @@ class LlmSpec extends SparkSpec {
       Option(boom.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
 
+  test("ivfSq8TopK: full probe + full refine degenerates to exact " +
+    "cosineTopK, and pruning to 2 cells only shrinks the candidate set") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val n = e.count().toInt
+    assert(pairs(Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", 10,
+        refineK = n, nlist = 8, nProbe = 8)) ===
+      pairs(Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id", "rank")))
+    // pruned probes return a subset of the unpruned SQ8 candidates'
+    // final picks per query (cells only remove candidates)
+    val pruned = Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", 10,
+      refineK = 25, nlist = 8, nProbe = 2)
+    assert(pruned.groupBy("query_id").count()
+      .as[(Long, Long)].collect().forall(_._2 <= 10))
+  }
+
   test("editVerifiedNearDups: exact dups at distance 0, a small suffix " +
     "edit survives its permille band and dies under a stricter one, " +
     "disjoint docs never pair") {

@@ -43,6 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     // stored code table — same bounded broadcasts, no re-encode
     "a21_matryoshka_topk", // a1's broadcast-product baseline over
     // PREFIX slices — ¼ the arithmetic, same bounded query side
+    "a22_ivf_sq8", // the scan itself is a cell EQUI-join (the pruned
+    // shape) — only the 1-row SQ8 stats broadcasts ride a nested loop
     "x72_quota_sample" // composes x71's two 1-row broadcasts; the draw
     // itself is a strata-keyed equi-join + per-stratum window
   )

@@ -265,6 +265,10 @@ class SqlSurfaceSpec extends SparkSpec {
           "'vec_id', 'embedding', 3, 16, 10)",
         Similarity.truncatedCosineTopK(emb, q, "vec_id", "embedding", 3,
           prefixDims = 16, refineK = 10))
+      check("SELECT * FROM ivf_sq8_topk('tvf4_emb', 'tvf4_q', " +
+          "'vec_id', 'embedding', 3, 10, 8, 3)",
+        Similarity.ivfSq8TopK(emb, q, "vec_id", "embedding", 3,
+          refineK = 10, nlist = 8, nProbe = 3))
       val sq8Dir = java.nio.file.Files
         .createTempDirectory("tvf4_sq8_idx").toString
       val stats = graft.llm.AnnIndex.sq8Stats(emb, "embedding")
