@@ -285,6 +285,13 @@ object GraftExtensions {
           SparkSession.active.table(lit2str(args(0), u)),
           lit2str(args(1), u)))
       },
+      "iban_stats" -> { args =>
+        val u = "usage: iban_stats('table', 'text_col')"
+        require(args.length == 2, u)
+        plan(graft.llm.Privacy.ibanStats(
+          SparkSession.active.table(lit2str(args(0), u)),
+          lit2str(args(1), u)))
+      },
       "secret_stats" -> { args =>
         val u = "usage: secret_stats('table', 'text_col')"
         require(args.length == 2, u)

@@ -112,6 +112,46 @@ object Privacy {
       .drop("_e", "_i")
   }
 
+  /** Candidate IBANs: two country letters, two check digits, 10–30
+    * alphanumerics — the recall-first shape; [[ibanValid]] then applies
+    * the ISO 13616 checksum so account-number-shaped noise doesn't
+    * count. Uppercase only (the standard's canonical form). */
+  val ibanCandidatePattern = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
+
+  /** ISO 13616 / ISO 7064 mod-97 check as pure Column algebra: the first
+    * four characters move to the end, letters map to 10..35, and the
+    * resulting digit string is reduced mod 97 one character at a time
+    * (×10 for a digit, ×100 for a letter — the streaming form of the
+    * big-integer mod, so nothing ever exceeds 97·100). Valid iff the
+    * residue is 1. Integer arithmetic end-to-end — the DuckDB oracle
+    * replays the identical fold with `list_reduce`. */
+  def ibanValid(iban: Column): Column = {
+    val r = concat(substring(iban, 5, 34), substring(iban, 1, 4))
+    val residue = aggregate(
+      transform(sequence(lit(1), length(r)), i => r.substr(i, lit(1))),
+      lit(0L),
+      (acc, c) => {
+        val a = ascii(c)
+        when(a.between(48, 57), (acc * 10 + (a - 48)) % 97)
+          .otherwise((acc * 100 + (a - 55)) % 97)
+      })
+    residue === 1L
+  }
+
+  /** Per-document IBAN profile: `n_iban_candidates` (pattern hits) and
+    * `n_ibans` (checksum-verified) — the x61 card discipline applied to
+    * bank accounts. Row-local; the fold runs per CANDIDATE, not per
+    * character of the document. */
+  def ibanStats(df: DataFrame, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit(ibanCandidatePattern), lit(0))
+    df.withColumn("_ic", cands)
+      .withColumn("n_iban_candidates", size(col("_ic")).cast("long"))
+      .withColumn("n_ibans",
+        size(filter(col("_ic"), c => ibanValid(c))).cast("long"))
+      .drop("_ic")
+  }
+
   // --------------------------------------------------------------------
   // Credential / secret scanning — the scrub a pretraining pipeline runs
   // so leaked keys never reach model weights. Same contract as the PII

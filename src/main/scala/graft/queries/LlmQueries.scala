@@ -1106,6 +1106,26 @@ object LlmQueries {
       shape(s1, 0).unionByName(shape(s2, 1)).orderBy("batch", "rank")
     }),
 
+    // IBAN detection with the ISO 13616 mod-97 checksum (the x61 card
+    // discipline for bank accounts): the rearranged digit string is
+    // reduced mod 97 one character at a time — integer arithmetic both
+    // engines fold identically — so account-shaped noise (a planted
+    // check-digit mutation) provably doesn't count.
+    "x77_iban_scan" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" pay GB82WEST12345698765432")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit(" ref GB82WEST12345698765433")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(" acct DE89370400440532013000")).otherwise(lit("")))
+          .as("text"))
+      graft.llm.Privacy.ibanStats(aug, "text")
+        .select("doc_id", "n_iban_candidates", "n_ibans")
+        .orderBy("doc_id")
+    }),
+
     // Edit-distance–verified near-dup: band buckets propose, native
     // Levenshtein disposes (both engines ship the classic unit-cost DP);
     // a suffix-mutated copy of every 25th doc plants true near-dups and
@@ -3408,6 +3428,45 @@ object LlmQueries {
          FROM s JOIN a USING (source)
          WHERE s.samp_rank <= a.alloc
          ORDER BY s.doc_id""",
+    // Candidates extracted, each folded through the identical mod-97
+    // stream via list_reduce, zero-rows coalesced back per doc.
+    "x77_iban_scan" ->
+      """WITH aug AS (SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 4 = 0
+                    THEN ' pay GB82WEST12345698765432' ELSE '' END
+               || CASE WHEN doc_id % 6 = 0
+                    THEN ' ref GB82WEST12345698765433' ELSE '' END
+               || CASE WHEN doc_id % 9 = 0
+                    THEN ' acct DE89370400440532013000' ELSE '' END
+                 AS text
+             FROM documents),
+              c AS (SELECT doc_id,
+                      unnest(regexp_extract_all(text,
+                        '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\b')) AS iban
+                    FROM aug),
+              v AS (SELECT doc_id,
+                      CAST(list_reduce(['0'] ||
+                        list_transform(range(1, length(r) + 1),
+                          i -> substr(r, CAST(i AS INTEGER), 1)),
+                        (a, ch) -> CAST(CASE
+                          WHEN ascii(ch) BETWEEN 48 AND 57
+                          THEN (CAST(a AS BIGINT) * 10 + ascii(ch) - 48) % 97
+                          ELSE (CAST(a AS BIGINT) * 100 + ascii(ch) - 55) % 97
+                          END AS VARCHAR)) AS BIGINT) AS m
+                    FROM (SELECT doc_id,
+                            substr(iban, 5, 34) || substr(iban, 1, 4) AS r
+                          FROM c)),
+              agg AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_iban_candidates,
+                        CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_ibans
+                      FROM v GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(agg.n_iban_candidates, 0) AS n_iban_candidates,
+                coalesce(agg.n_ibans, 0) AS n_ibans
+         FROM aug d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
     // d8's band-generator replay over the suffix-augmented corpus, then
     // DuckDB's native levenshtein with the integer keep rule.
     "x76_edit_neardup" ->

@@ -27,6 +27,23 @@ class PrivacySpec extends SparkSpec {
     assert(out(3).getString(3) == "<EMAIL> <EMAIL> <PHONE> <IP>")
   }
 
+  test("ibans: mod-97 checksum separates real account numbers from " +
+    "shaped noise; lowercase and short runs never become candidates") {
+    val df = Seq(
+      (1L, "wire GB82WEST12345698765432 today"),          // valid (ISO example)
+      (2L, "typo GB82WEST12345698765433 bounced"),        // bad check digit
+      (3L, "also DE89370400440532013000 works"),          // valid
+      (4L, "lowercase gb82west12345698765432 ignored"),
+      (5L, "short GB82WEST123 ignored"),
+      (6L, "both GB82WEST12345698765432 and DE89370400440532013000"))
+      .toDF("id", "text")
+    val out = Privacy.ibanStats(df, "text").orderBy("id")
+      .select("n_iban_candidates", "n_ibans")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L), (1L, 0L), (1L, 1L), (0L, 0L),
+      (0L, 0L), (2L, 2L)))
+  }
+
   test("secrets: every pattern binds, staged counts match the redaction, " +
     "and a token inside an assignment value is masked once") {
     val df = Seq(

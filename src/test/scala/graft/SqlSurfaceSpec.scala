@@ -259,6 +259,8 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.TextAnalysis.vocabDelta(docs, "text", 10).kept)
       check("SELECT * FROM secret_stats('tvf4_docs', 'text')",
         graft.llm.Privacy.secretStats(docs, "text"))
+      check("SELECT * FROM iban_stats('tvf4_docs', 'text')",
+        graft.llm.Privacy.ibanStats(docs, "text"))
       check("SELECT * FROM dedup_edit('tvf4_docs', 'text', 'doc_id', 200)",
         graft.llm.Dedup.editVerifiedNearDups(docs, "text", "doc_id", 200))
       check("SELECT * FROM matryoshka_topk('tvf4_emb', 'tvf4_q', " +
