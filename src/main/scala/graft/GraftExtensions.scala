@@ -292,6 +292,17 @@ object GraftExtensions {
           SparkSession.active.table(lit2str(args(0), u)),
           lit2str(args(1), u)))
       },
+      "quality_classifier" -> { args =>
+        val u = "usage: quality_classifier('table', 'text_col', 'id_col'" +
+          "[, buckets[, thresh_num, thresh_den]])"
+        require(args.length == 3 || args.length == 4 || args.length == 6, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.linearQualityScore(
+          SparkSession.active.table(t), tc, ic,
+          buckets = args.lift(3).map(lit2int(_, u)).getOrElse(1024),
+          threshNum = args.lift(4).map(lit2int(_, u).toLong).getOrElse(0L),
+          threshDen = args.lift(5).map(lit2int(_, u).toLong).getOrElse(1L)))
+      },
       "secret_stats" -> { args =>
         val u = "usage: secret_stats('table', 'text_col')"
         require(args.length == 2, u)

@@ -961,4 +961,65 @@ object TextAnalysis {
       .select(col("_s.vocab_size"), col("_s.covered_tokens"),
         col("_total").as("total_tokens"), col("_n_types").as("n_types"))
   }
+
+  /** Frozen hashed-linear quality classifier — fastText-style scoring
+    * (Joulin et al. 2016, arXiv:1607.01759), the deployment shape of the
+    * logistic quality filters web-scale corpora are screened with
+    * (GPT-3 appendix A, PaLM §3): the model is trained offline, FROZEN,
+    * and applied to every document. Features are hashed unigrams +
+    * bigrams ('u:'/'b:'-prefixed so the two spaces can't collide) into
+    * `buckets` integer weights; here the frozen weights are
+    * deterministically md5-derived (`(hex32('qcw:'||b) mod 17) - 8` ∈
+    * [-8, 8]) so the DuckDB oracle replays the identical model — swap
+    * in a real trained table and nothing else changes.
+    *
+    * Scale shape (the 100 TB posture): feature rows ≈ corpus token
+    * count (the DSIR extraction), the weight table is `buckets` rows on
+    * a broadcast join, and the per-doc rollup is the only corpus-sized
+    * exchange. The decision is pure integer arithmetic — `margin` =
+    * Σ count·weight, pass ⟺ margin·threshDen ≥ n_feats·threshNum
+    * (cross-multiplied mean-score threshold, never a float compare);
+    * `score` is the single IEEE division margin / n_feats (the x63
+    * one-division rule), null for featureless docs, which never pass.
+    *
+    * @return df plus (n_feats, margin, score, pass)
+    */
+  def linearQualityScore(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, buckets: Int = 1024,
+      threshNum: Long = 0, threshDen: Long = 1)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    require(threshDen > 0, s"threshDen ($threshDen) must be positive")
+    val tk = df.select(col(idCol),
+        filter(tokens(coalesce(col(textCol), lit(""))),
+          x => length(x) > 0).as("_tk"))
+    // features exploded to rows so the md5 stays codegen'd (never inside
+    // an interpreted higher-order lambda — the Hashing.hex32 contract)
+    val uni = tk.filter(size(col("_tk")) >= 1)
+      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")))))
+      .select(col(idCol), (Hashing.hex32(concat(lit("u:"),
+        element_at(col("_tk"), col("_p")))) % buckets).as("_b"))
+    val bi = tk.filter(size(col("_tk")) >= 2)
+      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
+      .select(col(idCol), (Hashing.hex32(concat_ws(" ",
+        concat(lit("b:"), element_at(col("_tk"), col("_p"))),
+        element_at(col("_tk"), col("_p") + 1))) % buckets).as("_b"))
+    val weights = df.sparkSession.range(buckets.toLong)
+      .select(col("id").as("_b"),
+        (Hashing.hex32(concat(lit("qcw:"), col("id").cast("string")))
+          % 17 - 8).as("_w"))
+    val agg = uni.unionByName(bi)
+      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m"))
+      .join(broadcast(weights), "_b")
+      .groupBy(col(idCol))
+      .agg(sum("_m").cast("long").as("n_feats"),
+        sum(col("_m") * col("_w")).cast("long").as("margin"))
+    df.join(agg, Seq(idCol), "left")
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+      .withColumn("margin", coalesce(col("margin"), lit(0L)))
+      .withColumn("score", when(col("n_feats") > 0,
+        col("margin").cast("double") / col("n_feats").cast("double")))
+      .withColumn("pass", col("n_feats") > 0 &&
+        col("margin") * threshDen >= col("n_feats") * threshNum)
+  }
 }

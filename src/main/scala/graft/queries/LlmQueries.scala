@@ -1126,6 +1126,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Frozen hashed-linear quality classifier (fastText-style scoring):
+    // hashed unigram+bigram counts × a frozen md5-derived integer weight
+    // table; margin and the pass decision are pure integer arithmetic
+    // (cross-multiplied mean threshold 1/4), score is the single IEEE
+    // division both engines round identically.
+    "x78_quality_classifier" -> ((s, dir) => {
+      graft.llm.TextAnalysis.linearQualityScore(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", buckets = 1024,
+          threshNum = 1, threshDen = 4)
+        .select("doc_id", "n_feats", "margin", "score", "pass")
+        .orderBy("doc_id")
+    }),
+
     // Edit-distance–verified near-dup: band buckets propose, native
     // Levenshtein disposes (both engines ship the classic unit-cost DP);
     // a suffix-mutated copy of every 25th doc plants true near-dups and
@@ -3466,6 +3480,40 @@ object LlmQueries {
                 coalesce(agg.n_iban_candidates, 0) AS n_iban_candidates,
                 coalesce(agg.n_ibans, 0) AS n_ibans
          FROM aug d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
+    // Same md5 feature hashing ('u:'/'b:' prefixes), same md5-derived
+    // frozen weight table, same integer margin + cross-multiplied
+    // decision; score is the one shared IEEE division.
+    "x78_quality_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, $duckWordToks AS w FROM documents),
+              uf AS (SELECT doc_id,
+                       ${Hashing.duckHex32("'u:' || w[i]")} % 1024 AS b
+                     FROM (SELECT doc_id, w,
+                             unnest(range(1, len(w) + 1)) AS i
+                           FROM tk WHERE len(w) >= 1)),
+              bf AS (SELECT doc_id,
+                       ${Hashing.duckHex32(
+                         "'b:' || w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                           FROM tk WHERE len(w) >= 2)),
+              f AS (SELECT * FROM uf UNION ALL SELECT * FROM bf),
+              db AS (SELECT doc_id, b, count(*) AS m FROM f GROUP BY 1, 2),
+              wt AS (SELECT CAST(b AS BIGINT) AS b,
+                       ${Hashing.duckHex32(
+                         "'qcw:' || CAST(b AS VARCHAR)")} % 17 - 8 AS w
+                     FROM (SELECT unnest(range(0, 1024)) AS b)),
+              agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+                        CAST(sum(m * w) AS BIGINT) AS margin
+                      FROM db JOIN wt USING (b) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(agg.n_feats, 0) AS n_feats,
+                coalesce(agg.margin, 0) AS margin,
+                CASE WHEN coalesce(agg.n_feats, 0) > 0
+                  THEN CAST(agg.margin AS DOUBLE) / agg.n_feats END AS score,
+                coalesce(agg.n_feats, 0) > 0
+                  AND coalesce(agg.margin, 0) * 4 >= coalesce(agg.n_feats, 0)
+                  AS pass
+         FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
     // d8's band-generator replay over the suffix-augmented corpus, then
     // DuckDB's native levenshtein with the integer keep rule.

@@ -2176,4 +2176,46 @@ class LlmSpec extends SparkSpec {
     assert(assign.size === docs.count())
     assert(assign.values.toSet === Set("train", "holdout"))
   }
+
+  test("linear quality classifier: margin equals a driver-side md5 replay, " +
+    "decision is the cross-multiplied mean threshold, featureless fails") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the LAZY dog"),
+      (2L, "alpha beta alpha beta alpha"),
+      (3L, "   "),       // whitespace only — zero features
+      (4L, "single"),    // one unigram, no bigram
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.linearQualityScore(df, "text", "doc_id",
+        buckets = 64, threshNum = 1, threshDen = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "margin", "score", "pass")
+      .collect()
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    def expected(t: String): (Long, Long) = {
+      val w = Option(t).getOrElse("").toLowerCase
+        .split("\\s+", -1).filter(_.nonEmpty)
+      val feats = w.map("u:" + _) ++
+        w.sliding(2).filter(_.length == 2).map(p => "b:" + p(0) + " " + p(1))
+      (feats.length.toLong,
+        feats.map(f => h32("qcw:" + (h32(f) % 64)) % 17 - 8).sum)
+    }
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .foreach { case (id, text) =>
+        val (nf, m) = expected(text)
+        val row = out(id.toInt - 1)
+        assert(row.getLong(1) === nf, s"n_feats doc $id")
+        assert(row.getLong(2) === m, s"margin doc $id")
+        if (nf == 0) assert(row.isNullAt(3), s"score doc $id")
+        else assert(row.getDouble(3) === m.toDouble / nf, s"score doc $id")
+        assert(row.getBoolean(4) === (nf > 0 && m * 4 >= nf),
+          s"pass doc $id")
+      }
+    // zero-feature docs (whitespace-only, null) never pass
+    assert(!out(2).getBoolean(4) && !out(4).getBoolean(4))
+  }
 }

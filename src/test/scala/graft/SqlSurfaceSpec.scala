@@ -261,6 +261,10 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.Privacy.secretStats(docs, "text"))
       check("SELECT * FROM iban_stats('tvf4_docs', 'text')",
         graft.llm.Privacy.ibanStats(docs, "text"))
+      check("SELECT * FROM quality_classifier('tvf4_docs', 'text', " +
+        "'doc_id', 64, 1, 4)",
+        graft.llm.TextAnalysis.linearQualityScore(docs, "text", "doc_id",
+          buckets = 64, threshNum = 1, threshDen = 4))
       check("SELECT * FROM dedup_edit('tvf4_docs', 'text', 'doc_id', 200)",
         graft.llm.Dedup.editVerifiedNearDups(docs, "text", "doc_id", 200))
       check("SELECT * FROM matryoshka_topk('tvf4_emb', 'tvf4_q', " +
