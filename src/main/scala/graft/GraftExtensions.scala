@@ -292,6 +292,14 @@ object GraftExtensions {
           SparkSession.active.table(lit2str(args(0), u)),
           lit2str(args(1), u)))
       },
+      "temperature_mix" -> { args =>
+        val u = "usage: temperature_mix('table', 'key_col'[, alpha])"
+        require(args.length == 2 || args.length == 3, u)
+        plan(graft.llm.Corpus.temperatureMixRates(
+          SparkSession.active.table(lit2str(args(0), u)),
+          lit2str(args(1), u),
+          alpha = args.lift(2).map(lit2dbl(_, u)).getOrElse(0.5)))
+      },
       "quality_classifier" -> { args =>
         val u = "usage: quality_classifier('table', 'text_col', 'id_col'" +
           "[, buckets[, thresh_num, thresh_den]])"

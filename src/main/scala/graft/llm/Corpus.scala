@@ -319,6 +319,51 @@ object Corpus {
       .drop("_tw")
   }
 
+  /** Temperature-scaled mixture rates — the multilingual/multi-source
+    * smoothing of mT5 (Xue et al. 2021 §3.2) and XLM-R (Conneau et al.
+    * 2020 §3.1): sampling rate `p_k ∝ n_k^α` with `α < 1`, so
+    * low-resource sources are upsampled relative to their raw share.
+    * Where [[mixtureRates]] takes hand-given weights, this DERIVES the
+    * mixture from corpus statistics.
+    *
+    * Float discipline (the x29 rule): `n_docs` is exact-integer; at the
+    * default `α = 0.5` the scaled size is IEEE `sqrt` — exactly rounded
+    * in every IEEE-754 engine, so it hash-matches cross-engine — and the
+    * normalizer is folded over the key-ASCENDING list of scaled sizes in
+    * ONE fixed order (sort_array + aggregate; DuckDB replays the same
+    * left fold with `list_reduce` over a key-ordered list), making
+    * `rate = scaled / total` a fixed chain of exactly-rounded ops, bit
+    * reproducible. Any other `α` goes through libm `pow` and is NOT
+    * oracle-exact — certify it in a spec against scala.math, never in a
+    * cross-engine oracle.
+    *
+    * Scale shape: one corpus-sized count shuffle down to sources-sized
+    * rows; the sorted-fold and the 1-row total broadcast live on the
+    * sources table (the x22 bounded 1-row pattern).
+    *
+    * @return per source key: n_docs, scaled, rate (Σ rate = 1 up to the
+    *         documented rounding chain)
+    */
+  def temperatureMixRates(docs: DataFrame, keyCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha ($alpha) must be in (0, 1]")
+    def scaledOf(n: Column): Column =
+      if (alpha == 0.5) sqrt(n.cast("double"))
+      else if (alpha == 1.0) n.cast("double")
+      else pow(n.cast("double"), alpha)
+    val grp = docs.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = grp
+      .agg(sort_array(collect_list(struct(col("key"), col("n_docs"))))
+        .as("_ks"))
+      .select(aggregate(col("_ks"), lit(0.0),
+        (acc, x) => acc + scaledOf(x.getField("n_docs"))).as("_total"))
+    grp.crossJoin(broadcast(total)) // 1-row total onto sources-sized rows
+      .withColumn("scaled", scaledOf(col("n_docs")))
+      .withColumn("rate", col("scaled") / col("_total"))
+      .drop("_total")
+  }
+
   /** Integer-exact document-budget apportionment across strata by the
     * largest-remainder (Hamilton) method: stratum `i` with `n_i` docs out
     * of `N` gets `base_i = ⌊B·n_i/N⌋` of a `B`-doc budget, and the

@@ -1126,6 +1126,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled mixture rates (mT5/XLM-R square-root sampling):
+    // p_k ∝ n_k^0.5 derived from corpus statistics. n_docs is exact
+    // integer; sqrt is exactly rounded IEEE, and the normalizer is ONE
+    // fixed key-ascending left fold replayed identically by DuckDB's
+    // list_reduce — so even the rate doubles hash-match.
+    "x79_temperature_mix" -> ((s, dir) => {
+      graft.llm.Corpus.temperatureMixRates(
+          t(s, dir, "documents").withColumn("mix_key",
+            concat_ws(":", col("source"), (col("doc_id") % 7).cast("string"))),
+          "mix_key")
+        .select("key", "n_docs", "scaled", "rate")
+        .orderBy("key")
+    }),
+
     // Frozen hashed-linear quality classifier (fastText-style scoring):
     // hashed unigram+bigram counts × a frozen md5-derived integer weight
     // table; margin and the pass decision are pure integer arithmetic
@@ -3481,6 +3495,22 @@ object LlmQueries {
                 coalesce(agg.n_ibans, 0) AS n_ibans
          FROM aug d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // Same grouping, same IEEE sqrt, and the same seed-0.0 left fold in
+    // key-ascending order via list_reduce — the one summation order both
+    // engines execute identically.
+    "x79_temperature_mix" ->
+      """WITH g AS (SELECT source || ':' || CAST(doc_id % 7 AS VARCHAR)
+                      AS key,
+                    CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1),
+              t AS (SELECT list_reduce(
+                      [CAST(0 AS DOUBLE)] ||
+                        list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY key),
+                      (a, b) -> a + b) AS total FROM g)
+         SELECT key, n_docs,
+                sqrt(CAST(n_docs AS DOUBLE)) AS scaled,
+                sqrt(CAST(n_docs AS DOUBLE)) / t.total AS rate
+         FROM g, t ORDER BY key""",
     // Same md5 feature hashing ('u:'/'b:' prefixes), same md5-derived
     // frozen weight table, same integer margin + cross-multiplied
     // decision; score is the one shared IEEE division.

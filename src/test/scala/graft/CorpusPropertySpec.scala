@@ -230,4 +230,55 @@ class CorpusPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("temperatureMixRates: scaled sizes and rates equal a driver-side " +
+    "fixed-order fold; alpha=1 is proportional; low-resource upsampled") {
+    import graft.llm.Corpus
+    for (round <- 1 to 5) {
+      val nKeys = 2 + rnd.nextInt(10)
+      val rows = (0 until nKeys).flatMap { k =>
+        (0 until (1 + rnd.nextInt(50))).map(i => (s"src$k", k.toLong * 1000 + i))
+      }
+      val df = rows.toDF("key", "id")
+      val out = Corpus.temperatureMixRates(df, "key").orderBy("key")
+        .select("key", "n_docs", "scaled", "rate")
+        .as[(String, Long, Double, Double)].collect()
+      // driver-side replay: counts, sqrt, left fold in key-ascending order
+      val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong)
+        .toMap
+      val keysAsc = counts.keys.toSeq.sorted
+      val total = keysAsc.foldLeft(0.0)((a, k) => a + math.sqrt(counts(k).toDouble))
+      assert(out.map(_._1).toSeq === keysAsc)
+      out.foreach { case (k, n, scaled, rate) =>
+        assert(n === counts(k), s"round $round n_docs $k")
+        assert(scaled === math.sqrt(n.toDouble), s"round $round scaled $k")
+        assert(rate === scaled / total, s"round $round rate $k (bit-exact)")
+      }
+      assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+      // alpha = 1 is exactly the raw proportional share
+      Corpus.temperatureMixRates(df, "key", alpha = 1.0)
+        .select("key", "n_docs", "rate")
+        .as[(String, Long, Double)].collect().foreach { case (k, n, rate) =>
+          val t1 = keysAsc.foldLeft(0.0)((a, kk) => a + counts(kk).toDouble)
+          assert(rate === n.toDouble / t1, s"round $round alpha=1 $k")
+        }
+      // temperature flattens: the smallest source's share strictly grows
+      // vs proportional whenever sizes differ (alpha < 1 upsamples it)
+      val minK = keysAsc.minBy(counts)
+      val maxK = keysAsc.maxBy(counts)
+      if (counts(minK) != counts(maxK)) {
+        val prop = counts(minK).toDouble /
+          counts.values.map(_.toDouble).sum
+        val smoothed = out.find(_._1 == minK).get._4
+        assert(smoothed > prop, s"round $round: $minK not upsampled")
+      }
+    }
+    // generic alpha rides libm pow — spec-pinned here, never in an oracle
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L), ("b", 3L),
+      ("b", 4L), ("c", 1L)).toDF("key", "id")
+    val out = Corpus.temperatureMixRates(df, "key", alpha = 0.3)
+      .orderBy("key").select("scaled").as[Double].collect()
+    assert(out.toSeq === Seq(math.pow(2.0, 0.3), math.pow(4.0, 0.3),
+      math.pow(1.0, 0.3)))
+  }
 }

@@ -45,8 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     // PREFIX slices — ¼ the arithmetic, same bounded query side
     "a22_ivf_sq8", // the scan itself is a cell EQUI-join (the pruned
     // shape) — only the 1-row SQ8 stats broadcasts ride a nested loop
-    "x72_quota_sample" // composes x71's two 1-row broadcasts; the draw
+    "x72_quota_sample", // composes x71's two 1-row broadcasts; the draw
     // itself is a strata-keyed equi-join + per-stratum window
+    "x79_temperature_mix" // the x22 pattern once more: the 1-row folded
+    // normalizer broadcasts onto the sources-sized rates table
   )
 
   test("no cartesian products or unintended nested-loop joins") {

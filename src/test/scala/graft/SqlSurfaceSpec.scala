@@ -265,6 +265,8 @@ class SqlSurfaceSpec extends SparkSpec {
         "'doc_id', 64, 1, 4)",
         graft.llm.TextAnalysis.linearQualityScore(docs, "text", "doc_id",
           buckets = 64, threshNum = 1, threshDen = 4))
+      check("SELECT * FROM temperature_mix('tvf4_docs', 'source')",
+        graft.llm.Corpus.temperatureMixRates(docs, "source"))
       check("SELECT * FROM dedup_edit('tvf4_docs', 'text', 'doc_id', 200)",
         graft.llm.Dedup.editVerifiedNearDups(docs, "text", "doc_id", 200))
       check("SELECT * FROM matryoshka_topk('tvf4_emb', 'tvf4_q', " +
