@@ -292,6 +292,15 @@ object GraftExtensions {
           SparkSession.active.table(lit2str(args(0), u)),
           lit2str(args(1), u)))
       },
+      "vocab_growth" -> { args =>
+        val u = "usage: vocab_growth('table', 'text_col', 'id_col', " +
+          "k1[, k2, ...])"
+        require(args.length >= 4, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.vocabGrowthCurve(
+          SparkSession.active.table(t), tc, ic,
+          args.drop(3).map(lit2int(_, u).toLong)))
+      },
       "temperature_mix" -> { args =>
         val u = "usage: temperature_mix('table', 'key_col'[, alpha])"
         require(args.length == 2 || args.length == 3, u)

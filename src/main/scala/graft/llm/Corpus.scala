@@ -770,6 +770,42 @@ object Corpus {
       .drop("_b", "_off")
   }
 
+  /** Weighted sibling of [[globalOrderIndex]]: `offset` = Σ weight over
+    * all rows STRICTLY before this one in the total `order` — the exact
+    * distributed prefix sum (cumulative token offsets, byte offsets,
+    * shard boundaries). Same two-level shape: range-bucketed partitions,
+    * per-bucket sums cumulated across the nBuckets-row table (the only
+    * unpartitioned window — bucket-count-sized, never corpus-sized), and
+    * a within-bucket running sum. */
+  def globalPrefixSum(df: DataFrame, nBuckets: Int, weight: Column,
+      order: Column*): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets ($nBuckets) must be >= 1")
+    require(order.nonEmpty,
+      "order must be a TOTAL ordering (append an id tie-break)")
+    require(!df.columns.exists(Set("_b", "_off", "_w", "offset")),
+      "input must not carry _b/_off/_w/offset columns")
+    val bucketed = graft.operators.Lineage.cut(
+      df.repartitionByRange(nBuckets, order: _*)
+        .withColumn("_b", spark_partition_id())
+        .withColumn("_w", weight.cast("long")))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_b"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("_b").agg(sum("_w").as("_bs"))
+      .withColumn("_off", coalesce(sum("_bs").over(wOff), lit(0L)))
+      .drop("_bs")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(order: _*)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("offset",
+        (col("_off") + coalesce(sum(col("_w")).over(wIn), lit(0L)))
+          .cast("long"))
+      .drop("_b", "_off", "_w")
+  }
+
   /** CCNet-style quality slices (Wenzek et al. 2020 §4.3: the corpus
     * split into head/middle/tail by model-score terciles): every row's
     * slice 0..nSlices-1 under a TOTAL ordering, computed as

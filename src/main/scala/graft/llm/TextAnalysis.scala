@@ -962,6 +962,59 @@ object TextAnalysis {
         col("_total").as("total_tokens"), col("_n_types").as("n_types"))
   }
 
+  /** Vocabulary-growth (Heaps'-law) curve: distinct types seen within
+    * the first `k` tokens of the canonical corpus stream (documents in
+    * `idCol` order, tokens in document order), for each requested
+    * checkpoint — the corpus analytic behind vocabulary sizing,
+    * crawl-saturation monitoring, and duplication diagnostics (a
+    * flattening curve on a growing crawl means new data is repeating
+    * old types). Exact, not sampled, and all-integer.
+    *
+    * Scale shape: per-document token counts turn into global stream
+    * offsets via [[Corpus.globalPrefixSum]] (two-level range-bucketed
+    * prefix sum — no corpus-sized unpartitioned window); the token
+    * stream is exploded ONCE to (global_pos, type) rows; the
+    * first-occurrence table is vocabulary-sized (min aggregate); the
+    * whole curve is conditional sums in ONE aggregate over it, the
+    * x73 tokenCoverage pattern.
+    *
+    * @return one row per checkpoint: (checkpoint, types_seen,
+    *         new_types), new_types relative to the previous checkpoint
+    */
+  def vocabGrowthCurve(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, checkpoints: Seq[Long],
+      nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(checkpoints.nonEmpty, "checkpoints must be non-empty")
+    require(checkpoints.forall(_ >= 1),
+      s"checkpoints must be >= 1: $checkpoints")
+    require(checkpoints == checkpoints.sorted &&
+      checkpoints.distinct.size == checkpoints.size,
+      s"checkpoints must be strictly ascending: $checkpoints")
+    val counts = df.select(col(idCol).as("_id"),
+        filter(tokens(coalesce(col(textCol), lit(""))),
+          x => length(x) > 0).as("_tk"))
+      .withColumn("_n", size(col("_tk")).cast("long"))
+    val off = Corpus.globalPrefixSum(counts, nBuckets, col("_n"),
+      col("_id").asc)
+    val fp = off.filter(col("_n") >= 1)
+      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")))))
+      .select((col("offset") + col("_p")).as("_gpos"),
+        element_at(col("_tk"), col("_p")).as("_t"))
+      .groupBy("_t").agg(min("_gpos").as("_fp"))
+    val aggs = checkpoints.map(k =>
+      sum(when(col("_fp") <= k, 1L).otherwise(0L)).as(s"_ts_$k"))
+    val one = fp.agg(aggs.head, aggs.tail: _*)
+    def ts(k: Long): Column = coalesce(col(s"_ts_$k"), lit(0L))
+    val rows = checkpoints.zipWithIndex.map { case (k, i) =>
+      val prev = if (i == 0) lit(0L) else ts(checkpoints(i - 1))
+      struct(lit(k).as("checkpoint"), ts(k).as("types_seen"),
+        (ts(k) - prev).as("new_types"))
+    }
+    one.select(explode(array(rows: _*)).as("_s"))
+      .select(col("_s.checkpoint"), col("_s.types_seen"),
+        col("_s.new_types"))
+  }
+
   /** Frozen hashed-linear quality classifier — fastText-style scoring
     * (Joulin et al. 2016, arXiv:1607.01759), the deployment shape of the
     * logistic quality filters web-scale corpora are screened with

@@ -1126,6 +1126,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary-growth (Heaps'-law) curve: distinct types within the
+    // first k tokens of the canonical doc_id-ordered stream, per
+    // checkpoint — exact global token positions via the two-level
+    // range-bucketed prefix sum, first occurrences as a vocabulary-sized
+    // min table, the whole curve one conditional-sum aggregate.
+    "x80_vocab_growth" -> ((s, dir) => {
+      graft.llm.TextAnalysis.vocabGrowthCurve(
+          t(s, dir, "documents"), "text", "doc_id",
+          Seq(50L, 500L, 5000L, 50000L, 500000L))
+        .orderBy("checkpoint")
+    }),
+
     // Temperature-scaled mixture rates (mT5/XLM-R square-root sampling):
     // p_k ∝ n_k^0.5 derived from corpus statistics. n_docs is exact
     // integer; sqrt is exactly rounded IEEE, and the normalizer is ONE
@@ -3495,6 +3507,31 @@ object LlmQueries {
                 coalesce(agg.n_ibans, 0) AS n_ibans
          FROM aug d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // Global stream positions replayed with a doc_id-ordered running
+    // offset, first occurrence per type, conditional counts per
+    // checkpoint, lag for the new-type deltas.
+    "x80_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, $duckWordToks AS w FROM documents),
+              o AS (SELECT doc_id, w,
+                      coalesce(sum(len(w)) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS off
+                    FROM tk),
+              g AS (SELECT off + i AS gpos, w[i] AS t
+                    FROM (SELECT doc_id, w, off,
+                            unnest(range(1, len(w) + 1)) AS i
+                          FROM o WHERE len(w) >= 1)),
+              fp AS (SELECT t, min(gpos) AS fp FROM g GROUP BY 1),
+              c AS (SELECT CAST(unnest([50, 500, 5000, 50000, 500000])
+                      AS BIGINT) AS checkpoint),
+              ts AS (SELECT checkpoint,
+                       CAST(coalesce(sum(CASE WHEN fp.fp <= checkpoint
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS types_seen
+                     FROM c CROSS JOIN fp GROUP BY 1)
+         SELECT checkpoint, types_seen,
+                types_seen - coalesce(lag(types_seen)
+                  OVER (ORDER BY checkpoint), 0) AS new_types
+         FROM ts ORDER BY checkpoint""",
     // Same grouping, same IEEE sqrt, and the same seed-0.0 left fold in
     // key-ascending order via list_reduce — the one summation order both
     // engines execute identically.

@@ -281,4 +281,25 @@ class CorpusPropertySpec extends SparkSpec {
     assert(out.toSeq === Seq(math.pow(2.0, 0.3), math.pow(4.0, 0.3),
       math.pow(1.0, 0.3)))
   }
+
+  test("globalPrefixSum: offset equals the driver-side strict prefix sum " +
+    "for any bucket count, including zero weights and tiny inputs") {
+    for (round <- 1 to 5) {
+      val n = 1 + rnd.nextInt(300)
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      val df = rows.toDF("id", "w")
+      val expect = rows.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (id, w)) =>
+          (id, acc + w)
+        }
+        .sliding(2).map { case Seq((_, prev), (id, _)) => id -> prev }
+        .toMap
+      for (nBuckets <- Seq(1, 3, 32)) {
+        val got = graft.llm.Corpus
+          .globalPrefixSum(df, nBuckets, col("w"), col("id").asc)
+          .select("id", "offset").as[(Long, Long)].collect().toMap
+        assert(got === expect, s"round $round buckets $nBuckets")
+      }
+    }
+  }
 }

@@ -2218,4 +2218,27 @@ class LlmSpec extends SparkSpec {
     // zero-feature docs (whitespace-only, null) never pass
     assert(!out(2).getBoolean(4) && !out(4).getBoolean(4))
   }
+
+  test("vocab growth curve: hand-computed first occurrences, saturation " +
+    "at the full vocabulary, new_types telescopes to types_seen") {
+    val df = Seq(
+      (1L, "a b a c"),       // positions 1..4, first: a@1 b@2 c@4
+      (2L, "  "),            // empty doc shifts nothing
+      (3L, "c d b e"),       // positions 5..8, first: d@6 e@8
+      (4L, "a f"))           // positions 9..10, first: f@10
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthCurve(df, "text", "doc_id",
+        Seq(1L, 4L, 7L, 100L), nBuckets = 3)
+      .orderBy("checkpoint")
+      .select("checkpoint", "types_seen", "new_types")
+      .as[(Long, Long, Long)].collect().toSeq
+    // firsts: a@1 b@2 c@4 d@6 e@8 f@10
+    assert(out === Seq((1L, 1L, 1L), (4L, 3L, 2L), (7L, 4L, 1L),
+      (100L, 6L, 2L)))
+    // saturation: past the stream end the curve reports the full
+    // vocabulary, and the telescoped deltas re-sum to it
+    assert(out.map(_._3).sum === out.last._2)
+    // monotone non-decreasing
+    assert(out.map(_._2) === out.map(_._2).sorted)
+  }
 }

@@ -267,6 +267,10 @@ class SqlSurfaceSpec extends SparkSpec {
           buckets = 64, threshNum = 1, threshDen = 4))
       check("SELECT * FROM temperature_mix('tvf4_docs', 'source')",
         graft.llm.Corpus.temperatureMixRates(docs, "source"))
+      check("SELECT * FROM vocab_growth('tvf4_docs', 'text', 'doc_id', " +
+        "100, 1000, 10000)",
+        graft.llm.TextAnalysis.vocabGrowthCurve(docs, "text", "doc_id",
+          Seq(100L, 1000L, 10000L)))
       check("SELECT * FROM dedup_edit('tvf4_docs', 'text', 'doc_id', 200)",
         graft.llm.Dedup.editVerifiedNearDups(docs, "text", "doc_id", 200))
       check("SELECT * FROM matryoshka_topk('tvf4_emb', 'tvf4_q', " +
