@@ -1,0 +1,168 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-dup state — the encode-once / ingest-many deployment
+  * shape of [[Dedup.minhashNearDupDelta]], completing for dedup what
+  * [[AnnIndex]] does for ANN.
+  *
+  * The in-memory delta operator carries prior signatures as a DataFrame;
+  * a real continuously-ingesting deployment keeps that state ON DISK and
+  * pays the band explode once per document ever. This module
+  * materializes two bucketed catalog tables per index:
+  *
+  *  - `<base>_sigs` (idCol, sig_0..sig_{n-1}), bucketed by idCol — the
+  *    verification side; candidate-pair signature lookups join it by id
+  *    with no shuffle on the stored side.
+  *  - `<base>_bands` (idCol, bkey), bucketed by bkey — the on-disk LSH
+  *    band buckets; the delta probe is an equi-join on `bkey`, so the
+  *    corpus-sized stored side is read in place (zero Exchange above its
+  *    scan — DedupIndexSpec pins it) while only the delta side shuffles.
+  *    `bkey` fuses (band index, band value) as `band ':' joined-sigs`;
+  *    ':' cannot appear in the '_'-joined signature string, so the fused
+  *    key is injective in the (band, bucket) pair the in-memory operator
+  *    keys on — candidate sets and hot-bucket counts are IDENTICAL.
+  *
+  * Query ≡ recompute: [[neardupDeltaOverIndex]] replays
+  * `minhashNearDupDelta`'s exact semantics (union-side hot-bucket cap,
+  * prior-or-smaller-id challenge, signature-estimate verification,
+  * drop-aware state) against the stored tables — d11 certifies the
+  * two-batch chain through disk against the same DuckDB oracle as the
+  * in-memory x55, and DedupIndexSpec proves over-index ≡ in-memory on
+  * every batch of a three-batch chain.
+  *
+  * Incremental append: [[appendState]] adds a batch's KEPT signatures to
+  * both tables (band rows derived row-locally from the new signatures —
+  * prior rows are never touched or re-read). Appends validate against
+  * the existing bucket spec, so the zero-shuffle read layout survives
+  * growth. Like [[AnnIndex.appendIndex]], a plain append is not
+  * replay-idempotent under an at-least-once driver — key appends by
+  * batch id or run the whole flow through the versioned
+  * [[graft.streaming.StreamOps.durableIngestDedup]] layout.
+  */
+object DedupIndex {
+
+  /** Flat band-bucket rows of a signature table: (idCol, bkey) with the
+    * injective fused key described in the object doc. Row-local. */
+  def bandTable(sigs: DataFrame, idCol: String, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(":", lit(b),
+        concat_ws("_",
+          (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bkey"))
+  }
+
+  /** Write a fresh index from a signature table (e.g. the `.state` of a
+    * first [[Dedup.minhashNearDupDelta]] batch, or
+    * [[Dedup.minhashSignature]] of a standing corpus). Replaces any
+    * prior index under `base`. */
+  def writeState(sigs: DataFrame, idCol: String, base: String,
+      numHashes: Int = 16, bands: Int = 4, nBuckets: Int = 8): Unit = {
+    graft.operators.Bucketing.writeBucketed(
+      sigs, s"${base}_sigs", idCol, nBuckets, sortedBy = Some(idCol))
+    graft.operators.Bucketing.writeBucketed(
+      bandTable(sigs, idCol, numHashes, bands), s"${base}_bands", "bkey",
+      nBuckets)
+  }
+
+  /** Append a batch's kept signatures to the index. Band rows derive
+    * row-locally from `keptSigs`; the existing tables' bucket specs are
+    * validated by the write, preserving the shuffle-free read layout. */
+  def appendState(keptSigs: DataFrame, idCol: String, base: String,
+      numHashes: Int = 16, bands: Int = 4): Unit = {
+    val spark = keptSigs.sparkSession
+    def append(df: DataFrame, table: String, key: String): Unit = {
+      // replicate the EXACT existing spec (bucket count + sort columns)
+      // — saveAsTable(Append) rejects any mismatch, which is the guard
+      // that keeps the shuffle-free read layout honest across growth
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+        .getOrElse(throw new IllegalArgumentException(
+          s"table $table is not bucketed — not a DedupIndex artifact"))
+      require(spec.bucketColumnNames == Seq(key),
+        s"$table must be bucketed by $key (${spec.bucketColumnNames})")
+      val w = df.write.mode(SaveMode.Append).format("parquet")
+        .bucketBy(spec.numBuckets, key)
+      (if (spec.sortColumnNames.isEmpty) w
+       else w.sortBy(spec.sortColumnNames.head,
+         spec.sortColumnNames.tail: _*)).saveAsTable(table)
+    }
+    append(keptSigs, s"${base}_sigs", idCol)
+    append(bandTable(keptSigs, idCol, numHashes, bands),
+      s"${base}_bands", "bkey")
+  }
+
+  /** [[Dedup.minhashNearDupDelta]] served from the stored index: drop
+    * delta documents whose signature-estimated Jaccard against any
+    * indexed document (or any smaller-id delta document) reaches
+    * `threshold`. Same semantics, same results — only the prior state
+    * comes from the bucketed tables instead of a carried DataFrame.
+    * Callers persist survivors with [[appendState]](result.state’s new
+    * rows) — returned `state` is the kept DELTA signatures only (the
+    * rows to append), not the full cumulative table. */
+  def neardupDeltaOverIndex(spark: SparkSession, base: String,
+      newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): Dedup.DeltaState = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    val deltaSigs = Dedup
+      .minhashSignature(newDocs, textCol, idCol, numHashes, k).persist()
+    val deltaBands = bandTable(deltaSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("_mid"), col("bkey"))
+    val storedBands = spark.table(s"${base}_bands")
+      .select(col(idCol).as("_mid"), col("bkey"))
+    // hot-bucket cap over stored+delta, exactly as the in-memory
+    // operator — but as a JOIN of two per-side count tables, so the
+    // corpus-sized stored band rows are never unioned into a re-shuffle:
+    // the stored groupBy rides the bucket layout Exchange-free, and only
+    // the (small) delta side and the bucket-keyed count tables move.
+    val hot = storedBands.groupBy("bkey").agg(count(lit(1)).as("_sc"))
+      .join(deltaBands.groupBy("bkey").agg(count(lit(1)).as("_dc")),
+        Seq("bkey"), "full_outer")
+      .filter(coalesce(col("_sc"), lit(0L)) + coalesce(col("_dc"), lit(0L))
+        > maxBucketSize)
+      .select("bkey")
+    // hot is a tiny bucket list → broadcast anti-joins that preserve the
+    // stored side's partitioning for the probe join below
+    val dKept = deltaBands.join(broadcast(hot), Seq("bkey"), "left_anti")
+    val sKept = storedBands.join(broadcast(hot), Seq("bkey"), "left_anti")
+    // challenges: every indexed doc in the bucket, plus every smaller-id
+    // delta doc (first-ingested-wins within the batch)
+    val pairs = dKept.select(col("_mid").as("_d"), col("bkey"))
+      .join(sKept.select(col("_mid").as("_o"), col("bkey")), Seq("bkey"))
+      .select("_d", "_o")
+      .unionByName(dKept.select(col("_mid").as("_d"), col("bkey"))
+        .join(dKept.select(col("_mid").as("_o"), col("bkey")),
+          Seq("bkey"))
+        .filter(col("_o") < col("_d"))
+        .select("_d", "_o"))
+      .distinct()
+    val allSigs = spark.table(s"${base}_sigs").unionByName(deltaSigs)
+    val matchFrac = (0 until numHashes)
+      .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1)
+        .otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    val aSide = deltaSigs.select(col(idCol).as("_d") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_a_sig_$j")): _*)
+    val bSide = allSigs.select(col(idCol).as("_o") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_b_sig_$j")): _*)
+    val flagged = pairs.join(aSide, Seq("_d")).join(bSide, Seq("_o"))
+      .filter(matchFrac >= threshold)
+      .select(col("_d").as(idCol)).distinct()
+      .transform(graft.operators.Lineage.cut)
+    val kept = newDocs.join(flagged, Seq(idCol), "left_anti")
+    val keptSigs = deltaSigs.join(flagged, Seq(idCol), "left_anti")
+      .transform(graft.operators.Lineage.cut)
+    deltaSigs.unpersist()
+    Dedup.DeltaState(kept, keptSigs)
+  }
+}

@@ -722,6 +722,25 @@ object LlmQueries {
         .kept.select("doc_id").orderBy("doc_id")
     }),
 
+    // x55's second batch served from the PERSISTED near-dup index (the
+    // a17/a20 encode-once story for dedup): batch-1 signatures written
+    // as the bucketed sig/band catalog tables, the delta probed against
+    // them — query-over-stored-index ≡ recompute, certified by sharing
+    // x55's oracle verbatim.
+    "d11_neardup_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val aug = d.unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val prior = aug.filter(col("doc_id") < 250)
+      val delta = aug.filter(col("doc_id") >= 250)
+      val st = graft.llm.Dedup.minhashNearDupDelta(
+        prior, "text", "doc_id", 0.8).state
+      graft.llm.DedupIndex.writeState(st, "doc_id", "d11_idx")
+      graft.llm.DedupIndex.neardupDeltaOverIndex(s, "d11_idx", delta,
+          "text", "doc_id", 0.8)
+        .kept.select("doc_id").orderBy("doc_id")
+    }),
+
     // BPE tokenization with a fixed merge list (x39 mines merges; this is
     // the APPLY step, completing the tokenizer story) — pure Column
     // algebra via the double-space separator formulation, fully inside
@@ -1941,6 +1960,55 @@ object LlmQueries {
   private val duckWordToks =
     s"""list_filter($duckToks, x -> x <> '')"""
 
+  /** Shared oracle of x55 (in-memory delta) and d11 (delta served from
+    * the persisted bucketed index): both replay the identical two-batch
+    * minhash-delta semantics, so query-over-index ≡ recompute is exactly
+    * what sharing this SQL certifies. */
+  private lazy val duckNeardupDeltaSql =
+    s"""WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id % 3 = 0),
+              ws AS (SELECT doc_id, $duckToks AS w FROM base),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              sig AS (SELECT doc_id,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              sig1 AS (SELECT * FROM sig WHERE doc_id < 250),
+              b1 AS (${duckBandRows("sig1")}),
+              k1 AS (SELECT b, bucket FROM b1 GROUP BY b, bucket
+                     HAVING count(*) <= ${graft.llm.Dedup.DefaultMaxBucketSize}),
+              p1 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
+                     FROM b1 a JOIN k1 k ON a.b = k.b AND a.bucket = k.bucket
+                     JOIN b1 o ON o.b = a.b AND o.bucket = a.bucket
+                      AND o.doc_id < a.doc_id),
+              drop1 AS (SELECT DISTINCT p1.d FROM p1
+                        JOIN sig1 x ON x.doc_id = p1.d
+                        JOIN sig1 y ON y.doc_id = p1.o
+                        WHERE $duckSigFrac),
+              st1 AS (SELECT * FROM sig1
+                      WHERE doc_id NOT IN (SELECT d FROM drop1)),
+              sig2 AS (SELECT * FROM sig WHERE doc_id >= 250),
+              b2p AS (${duckBandRows("st1")}),
+              b2d AS (${duckBandRows("sig2")}),
+              b2 AS (SELECT doc_id, 0 AS src, b, bucket FROM b2p
+                     UNION ALL
+                     SELECT doc_id, 1 AS src, b, bucket FROM b2d),
+              k2 AS (SELECT b, bucket FROM b2 GROUP BY b, bucket
+                     HAVING count(*) <= ${graft.llm.Dedup.DefaultMaxBucketSize}),
+              p2 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
+                     FROM b2 a JOIN k2 k ON a.b = k.b AND a.bucket = k.bucket
+                     JOIN b2 o ON o.b = a.b AND o.bucket = a.bucket
+                     WHERE a.src = 1 AND (o.src = 0 OR o.doc_id < a.doc_id)),
+              drop2 AS (SELECT DISTINCT p2.d FROM p2
+                        JOIN sig2 x ON x.doc_id = p2.d
+                        JOIN sig y ON y.doc_id = p2.o
+                        WHERE $duckSigFrac)
+          SELECT doc_id FROM base WHERE doc_id >= 250
+            AND doc_id NOT IN (SELECT d FROM drop2)
+          ORDER BY doc_id"""
+
   /** Shared CTE prefix of the x58/x63 DSIR oracles: hashed-bigram bucket
     * features of the non-src0 training docs vs the src0 target, both
     * distributions, and the per-doc integer sufficient statistics as a
@@ -3049,50 +3117,11 @@ object LlmQueries {
     // challenged by state rows and smaller-id delta rows (dropped-or-not,
     // matching the engine's one-pass rule), band buckets capped at the
     // engine's hot-bucket limit on the UNION of both sides.
-    "x55_neardup_delta" ->
-      s"""WITH base AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 10000 AS doc_id, text FROM documents
-              WHERE doc_id % 3 = 0),
-              ws AS (SELECT doc_id, $duckToks AS w FROM base),
-              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
-              sig AS (SELECT doc_id,
-                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
-                      FROM sh),
-              sig1 AS (SELECT * FROM sig WHERE doc_id < 250),
-              b1 AS (${duckBandRows("sig1")}),
-              k1 AS (SELECT b, bucket FROM b1 GROUP BY b, bucket
-                     HAVING count(*) <= ${graft.llm.Dedup.DefaultMaxBucketSize}),
-              p1 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
-                     FROM b1 a JOIN k1 k ON a.b = k.b AND a.bucket = k.bucket
-                     JOIN b1 o ON o.b = a.b AND o.bucket = a.bucket
-                      AND o.doc_id < a.doc_id),
-              drop1 AS (SELECT DISTINCT p1.d FROM p1
-                        JOIN sig1 x ON x.doc_id = p1.d
-                        JOIN sig1 y ON y.doc_id = p1.o
-                        WHERE $duckSigFrac),
-              st1 AS (SELECT * FROM sig1
-                      WHERE doc_id NOT IN (SELECT d FROM drop1)),
-              sig2 AS (SELECT * FROM sig WHERE doc_id >= 250),
-              b2p AS (${duckBandRows("st1")}),
-              b2d AS (${duckBandRows("sig2")}),
-              b2 AS (SELECT doc_id, 0 AS src, b, bucket FROM b2p
-                     UNION ALL
-                     SELECT doc_id, 1 AS src, b, bucket FROM b2d),
-              k2 AS (SELECT b, bucket FROM b2 GROUP BY b, bucket
-                     HAVING count(*) <= ${graft.llm.Dedup.DefaultMaxBucketSize}),
-              p2 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
-                     FROM b2 a JOIN k2 k ON a.b = k.b AND a.bucket = k.bucket
-                     JOIN b2 o ON o.b = a.b AND o.bucket = a.bucket
-                     WHERE a.src = 1 AND (o.src = 0 OR o.doc_id < a.doc_id)),
-              drop2 AS (SELECT DISTINCT p2.d FROM p2
-                        JOIN sig2 x ON x.doc_id = p2.d
-                        JOIN sig y ON y.doc_id = p2.o
-                        WHERE $duckSigFrac)
-          SELECT doc_id FROM base WHERE doc_id >= 250
-            AND doc_id NOT IN (SELECT d FROM drop2)
-          ORDER BY doc_id""",
+    "x55_neardup_delta" -> duckNeardupDeltaSql,
+    // d11 serves the identical two-batch semantics from the PERSISTED
+    // bucketed index tables — query-over-index ≡ recompute, so the
+    // oracle is x55's verbatim.
+    "d11_neardup_index" -> duckNeardupDeltaSql,
     "x56_bpe_tokenize" ->
       s"""SELECT doc_id AS id,
                  array_to_string(flatten(list_transform(
