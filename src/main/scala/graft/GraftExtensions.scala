@@ -571,6 +571,17 @@ object GraftExtensions {
           org.apache.spark.sql.functions.col(sc).desc,
           org.apache.spark.sql.functions.col(ic).asc))
       },
+      "neardup_over_index" -> { args =>
+        val u = "usage: neardup_over_index('index_base', 'delta_table', " +
+          "'text_col', 'id_col', threshold) — returns the delta rows " +
+          "that survive the stored near-dup index (DedupIndex tables " +
+          "<base>_sigs/<base>_bands must exist)"
+        require(args.length == 5, u)
+        val Seq(base, dt, tc, ic) = args.take(4).map(lit2str(_, u))
+        plan(graft.llm.DedupIndex.neardupDeltaOverIndex(
+          SparkSession.active, base, SparkSession.active.table(dt),
+          tc, ic, lit2dbl(args(4), u)).kept)
+      },
       "ivf_topk_over_index" -> { args =>
         val u = "usage: ivf_topk_over_index('index_table', 'queries', " +
           "'id_col', 'vec_col', k[, nlist, nprobe]) — index_table is a " +

@@ -90,6 +90,25 @@ class DedupIndexSpec extends SparkSpec {
       "Exchange hashpartitioning".r.findAllIn(mPlan).length <= 1, mPlan)
   }
 
+  test("neardup_over_index TVF equals the Scala API over the same " +
+    "stored index") {
+    val b1 = docs.filter($"doc_id" < 200)
+    val b2 = docs.unionByName(docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 20000L).as("doc_id"), $"text"))
+      .filter($"doc_id" >= 200)
+    DedupIndex.writeState(
+      Dedup.minhashNearDupDelta(b1, "text", "doc_id", 0.8).state,
+      "doc_id", "ditq")
+    b2.createOrReplaceTempView("ditq_delta")
+    val viaSql = spark.sql("SELECT doc_id FROM neardup_over_index(" +
+      "'ditq', 'ditq_delta', 'text', 'doc_id', 0.8)")
+      .as[Long].collect().sorted.toSeq
+    val viaApi = keptIds(DedupIndex.neardupDeltaOverIndex(spark, "ditq",
+      b2, "text", "doc_id", 0.8).kept)
+    assert(viaSql === viaApi)
+    assert(viaSql.nonEmpty && viaSql.size < b2.count())
+  }
+
   test("bkey fuses (band, bucket) injectively — band prefix separated " +
     "by a ':' that signature joins cannot contain") {
     val sigs = Dedup.minhashSignature(docs.limit(20), "text", "doc_id")
