@@ -61,23 +61,28 @@ object DedupIndex {
   /** Write a fresh index from a signature table (e.g. the `.state` of a
     * first [[Dedup.minhashNearDupDelta]] batch, or
     * [[Dedup.minhashSignature]] of a standing corpus). Replaces any
-    * prior index under `base`. */
+    * prior index under `base`. Rows carry `_ib = batchId` ingest
+    * provenance (−1 for a batch-less base load) — what lets a streaming
+    * replay probe the exact pre-append view ([[ingestBatchOverIndex]]). */
   def writeState(sigs: DataFrame, idCol: String, base: String,
-      numHashes: Int = 16, bands: Int = 4, nBuckets: Int = 8): Unit = {
+      numHashes: Int = 16, bands: Int = 4, nBuckets: Int = 8,
+      batchId: Long = -1L): Unit = {
     graft.operators.Bucketing.writeBucketed(
-      sigs, s"${base}_sigs", idCol, nBuckets, sortedBy = Some(idCol))
+      sigs.withColumn("_ib", lit(batchId)), s"${base}_sigs", idCol,
+      nBuckets, sortedBy = Some(idCol))
     graft.operators.Bucketing.writeBucketed(
-      bandTable(sigs, idCol, numHashes, bands), s"${base}_bands", "bkey",
-      nBuckets)
+      bandTable(sigs, idCol, numHashes, bands).withColumn("_ib",
+        lit(batchId)), s"${base}_bands", "bkey", nBuckets)
   }
 
   /** Append a batch's kept signatures to the index. Band rows derive
     * row-locally from `keptSigs`; the existing tables' bucket specs are
     * validated by the write, preserving the shuffle-free read layout. */
   def appendState(keptSigs: DataFrame, idCol: String, base: String,
-      numHashes: Int = 16, bands: Int = 4): Unit = {
+      numHashes: Int = 16, bands: Int = 4, batchId: Long = -1L): Unit = {
     val spark = keptSigs.sparkSession
-    def append(df: DataFrame, table: String, key: String): Unit = {
+    def append(df0: DataFrame, table: String, key: String): Unit = {
+      val df = df0.withColumn("_ib", lit(batchId))
       // replicate the EXACT existing spec (bucket count + sort columns)
       // — saveAsTable(Append) rejects any mismatch, which is the guard
       // that keeps the shuffle-free read layout honest across growth
@@ -111,14 +116,21 @@ object DedupIndex {
   def neardupDeltaOverIndex(spark: SparkSession, base: String,
       newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3,
-      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): Dedup.DeltaState = {
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      belowBatch: Option[Long] = None): Dedup.DeltaState = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1]")
+    // belowBatch restricts the stored view to rows appended by earlier
+    // ingest batches — a replay of batch N probes the exact pre-N view
+    // even if N's own append partially landed (the _ib filter pushes to
+    // the scan; the bucket layout is untouched)
+    def visible(t: String) = belowBatch.fold(spark.table(t))(b =>
+      spark.table(t).filter(col("_ib") < b))
     val deltaSigs = Dedup
       .minhashSignature(newDocs, textCol, idCol, numHashes, k).persist()
     val deltaBands = bandTable(deltaSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_mid"), col("bkey"))
-    val storedBands = spark.table(s"${base}_bands")
+    val storedBands = visible(s"${base}_bands")
       .select(col(idCol).as("_mid"), col("bkey"))
     // hot-bucket cap over stored+delta, exactly as the in-memory
     // operator — but as a JOIN of two per-side count tables, so the
@@ -146,7 +158,8 @@ object DedupIndex {
         .filter(col("_o") < col("_d"))
         .select("_d", "_o"))
       .distinct()
-    val allSigs = spark.table(s"${base}_sigs").unionByName(deltaSigs)
+    val allSigs = visible(s"${base}_sigs").drop("_ib")
+      .unionByName(deltaSigs)
     val matchFrac = (0 until numHashes)
       .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1)
         .otherwise(0))
@@ -164,5 +177,78 @@ object DedupIndex {
       .transform(graft.operators.Lineage.cut)
     deltaSigs.unpersist()
     Dedup.DeltaState(kept, keptSigs)
+  }
+
+  /** One idempotent streaming micro-batch over the persisted index —
+    * the continuous-ingest deployment the in-memory
+    * [[graft.streaming.StreamOps.durableIngestDedup]] versioned layout
+    * documents as its scale-out ("compact to a bucketed table"): state
+    * grows by O(batch) APPENDS instead of an O(state) rewrite per batch.
+    * Drive it from `foreachBatch` (at-least-once), or replay batches
+    * manually — DedupIndexSpec certifies stream ≡ the in-memory chain.
+    *
+    * Replay contract under at-least-once delivery:
+    *  - a batch whose marker row exists is SKIPPED outright (everything
+    *    below was durable before the marker was written);
+    *  - an unmarked replay re-probes through `belowBatch = batchId`, so
+    *    even a partially-landed append of this same batch is invisible
+    *    and the kept set recomputes exactly;
+    *  - the kept output overwrites `outDir/batch=<batchId>`;
+    *  - the one unhealed window: a crash AFTER the index append but
+    *    before the marker duplicates this batch's `_ib`-tagged rows on
+    *    replay (the probe view is pinned, so the recompute appends the
+    *    SAME rows). Duplicates cannot change any verification verdict
+    *    (pair sets are distinct-ed) — they only inflate this batch's
+    *    rows in hot-bucket counts — and [[compactState]] rebuilds the
+    *    index reconciled against the kept outputs out-of-band, which is
+    *    the documented cure. */
+  def ingestBatchOverIndex(batch: DataFrame, batchId: Long, base: String,
+      outDir: String, textCol: String, idCol: String, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): Unit = {
+    require(batchId >= 0, s"batchId ($batchId) must be >= 0 (negative " +
+      "ids are reserved for the batch-less base load)")
+    val spark = batch.sparkSession
+    // markers live on the FILESYSTEM next to the outputs (not in the
+    // catalog): they must survive application restarts, where a fresh
+    // in-memory catalog forgets tables but the warehouse dirs remain
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$outDir/_applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      return // completed batch: output + state + marker all durable
+    }
+    val st = neardupDeltaOverIndex(spark, base, batch, textCol, idCol,
+      threshold, numHashes, bands, k, maxBucketSize,
+      belowBatch = Some(batchId))
+    st.kept.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/batch=$batchId")
+    appendState(st.state, idCol, base, numHashes, bands, batchId)
+    fs.mkdirs(marker)
+  }
+
+  /** Out-of-band compaction: rebuild the index reconciled against the
+    * authoritative kept outputs under `outDir`. A crashed-then-replayed
+    * append can leave BOTH duplicate rows and signatures of documents
+    * its completed replay went on to DROP — so compaction keeps the
+    * batch-less base rows (`_ib = −1`, loaded before streaming began)
+    * plus exactly the streamed rows whose id appears in a kept batch
+    * output, then de-duplicates. Ids-only semi-join on the id-bucketed
+    * layout; run it between ingest waves, never concurrently with one.
+    * (At index sizes where the in-place rebuild's transient
+    * double-footprint hurts, write to a fresh `base` and repoint.) */
+  def compactState(spark: SparkSession, base: String, idCol: String,
+      outDir: String, numHashes: Int = 16, bands: Int = 4,
+      nBuckets: Int = 8): Unit = {
+    val keptIds = spark.read.parquet(outDir).select(idCol).distinct()
+    val all = spark.table(s"${base}_sigs")
+    // lineage-cut BEFORE writeState truncates the source: a plain
+    // persist would be evicted by writeBucketed's DROP TABLE cascade
+    val sigs = graft.operators.Lineage.cut(
+      all.filter(col("_ib") === -1L).drop("_ib")
+        .unionByName(all.filter(col("_ib") >= 0L).drop("_ib")
+          .join(keptIds, Seq(idCol), "left_semi"))
+        .dropDuplicates(idCol))
+    writeState(sigs, idCol, base, numHashes, bands, nBuckets)
   }
 }

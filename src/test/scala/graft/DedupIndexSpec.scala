@@ -48,7 +48,7 @@ class DedupIndexSpec extends SparkSpec {
     assert(keptIds(i2.kept).size < b2.count())
 
     // stored cumulative signatures == the in-memory cumulative state
-    val stored = spark.table("dit_sigs")
+    val stored = spark.table("dit_sigs").drop("_ib")
     assert(stored.count() === m3.state.count())
     assert(stored.unionByName(m3.state).distinct().count() ===
       m3.state.count())
@@ -88,6 +88,61 @@ class DedupIndexSpec extends SparkSpec {
     assert(mPlan.contains("Bucketed: true"), mPlan)
     assert(
       "Exchange hashpartitioning".r.findAllIn(mPlan).length <= 1, mPlan)
+  }
+
+  test("streaming ingest over the index: batch driver equals the " +
+    "in-memory chain, marked batches replay as no-ops, a partial append " +
+    "replays exactly and compaction clears its duplicates") {
+    val aug = docs.unionByName(docs.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 30000L).as("doc_id"), $"text"))
+    val b0 = aug.filter($"doc_id" < 150)
+    val b1 = aug.filter($"doc_id" >= 150 && $"doc_id" < 300)
+    val b2 = aug.filter($"doc_id" >= 300)
+    val outDir = java.nio.file.Files.createTempDirectory("dits_out")
+      .toString
+
+    // in-memory reference chain (base load = empty: batch 0 is first)
+    val m0 = Dedup.minhashNearDupDelta(b0, "text", "doc_id", 0.8)
+    val m1 = Dedup.minhashNearDupDelta(b1, "text", "doc_id", 0.8,
+      Some(m0.state))
+    val m2 = Dedup.minhashNearDupDelta(b2, "text", "doc_id", 0.8,
+      Some(m1.state))
+
+    // streamed: empty base index, then three driven micro-batches
+    DedupIndex.writeState(m0.state.limit(0), "doc_id", "dits")
+    def drive(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      DedupIndex.ingestBatchOverIndex(b, id, "dits", outDir,
+        "text", "doc_id", 0.8)
+    drive(b0, 0L); drive(b1, 1L)
+    def outIds(id: Long): Seq[Long] =
+      spark.read.parquet(s"$outDir/batch=$id").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+    assert(outIds(0L) === keptIds(m0.kept))
+    assert(outIds(1L) === keptIds(m1.kept))
+
+    // marked replay: nothing changes
+    val sigCount = spark.table("dits_sigs").count()
+    drive(b1, 1L)
+    assert(spark.table("dits_sigs").count() === sigCount)
+
+    // partial append of batch 2 (crash before marker), then the replay:
+    // the _ib filter hides the partial rows, so kept recomputes exactly
+    val partial = Dedup.minhashSignature(b2.limit(40), "text", "doc_id")
+    DedupIndex.appendState(partial, "doc_id", "dits", batchId = 2L)
+    drive(b2, 2L)
+    assert(outIds(2L) === keptIds(m2.kept))
+
+    // the partial's rows exist (duplicates AND — in this deliberately
+    // harsher-than-real simulation — sigs of docs the replay dropped);
+    // compaction reconciles against the kept outputs and clears both
+    val sigsNow = spark.table("dits_sigs")
+    assert(sigsNow.count() > sigsNow.dropDuplicates("doc_id").count())
+    DedupIndex.compactState(spark, "dits", "doc_id", outDir)
+    val compacted = spark.table("dits_sigs")
+    // compacted signatures == the in-memory cumulative state exactly
+    assert(compacted.count() === m2.state.count())
+    assert(compacted.drop("_ib").unionByName(m2.state).distinct()
+      .count() === m2.state.count())
   }
 
   test("neardup_over_index TVF equals the Scala API over the same " +
