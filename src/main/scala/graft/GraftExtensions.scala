@@ -427,6 +427,19 @@ object GraftExtensions {
           s.table(qt), ic, vc, lit2int(args(4), u), lit2int(args(5), u),
           refineK = args.lift(6).map(lit2int(_, u)).getOrElse(50)))
       },
+      "ivf_matryoshka_topk" -> { args =>
+        val u = "usage: ivf_matryoshka_topk('corpus', 'queries', " +
+          "'id_col', 'vec_col', k, prefix_dims[, refine_k, nlist, " +
+          "nprobe])"
+        require(args.length == 6 || args.length == 9, u)
+        val Seq(ct, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Similarity.ivfMatryoshkaTopK(s.table(ct),
+          s.table(qt), ic, vc, lit2int(args(4), u), lit2int(args(5), u),
+          refineK = args.lift(6).map(lit2int(_, u)).getOrElse(50),
+          nlist = args.lift(7).map(lit2int(_, u)).getOrElse(8),
+          nProbe = args.lift(8).map(lit2int(_, u)).getOrElse(2)))
+      },
       "rrf_fuse" -> { args =>
         val u = "usage: rrf_fuse('ranking_a', 'ranking_b', 'query_id_col', " +
           "'id_col', 'rank_col', top_k[, k_rrf])"

@@ -901,6 +901,46 @@ object Similarity {
     refineExact(cand, corpus, queries, idCol, vecCol, k)
   }
 
+  /** IVF × Matryoshka: cell pruning composed with the truncated-prefix
+    * scan — the third point of the composition matrix (IVF×PQ =
+    * [[ivfPqTopK]], IVF×SQ8 = [[ivfSq8TopK]]). Only vectors in the
+    * query's `nProbe` nearest cells are scanned, each by exact cosine
+    * over the FIRST `prefixDims` dimensions, and the top `refineK`
+    * candidates re-rank full-width ([[refineExact]]). Unlike the PQ/SQ8
+    * compositions there is no codebook or stats side-input at all — the
+    * probe is a pure cell equi-join plus sliced arithmetic, so the plan
+    * carries no broadcast nested loop anywhere.
+    *
+    * @return (query_id, neighbor_id, rank) — rank 1..k per query over
+    *         probed cells only; self-pairs excluded
+    */
+  def ivfMatryoshkaTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, prefixDims: Int,
+      refineK: Int = 50, nlist: Int = 8, nProbe: Int = 2,
+      dims: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    require(prefixDims >= 1, s"prefixDims ($prefixDims) must be >= 1")
+    require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
+    val cents = seedCentroids(nlist, dims)
+    val enc = ivfEncode(corpus, idCol, vecCol, cents)
+      .select(col("neighbor_id"), col("_cell"),
+        slice(col("_v"), 1, prefixDims).as("_pv"))
+    val qProbed = probedQueries(queries, idCol, vecCol, cents, nlist,
+        nProbe)
+      .select(col("query_id"), col("_cell"),
+        slice(col("_q"), 1, prefixDims).as("_pq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_pcos").desc, col("neighbor_id"))
+    val cand = enc.join(broadcast(qProbed), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_pcos", cosine(col("_pv"), col("_pq")))
+      .withColumn("_crank", row_number().over(w))
+      .filter(col("_crank") <= refineK)
+      .select("query_id", "neighbor_id")
+    refineExact(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` via LSH
     * bucketing (same-bucket candidates only — never all pairs). Sign
     * buckets wider than `maxBucketSize` are dropped before the self-join

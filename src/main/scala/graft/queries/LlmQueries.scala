@@ -1238,6 +1238,18 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF × Matryoshka (a23, completing the composition matrix after
+    // IVF×PQ and IVF×SQ8): probed-cell candidates ranked by prefix
+    // cosine over the first 16 dims, top 25 re-ranked full-width. No
+    // codebook or stats side-input — the probe is a pure cell equi-join.
+    "a23_ivf_matryoshka" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfMatryoshkaTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, prefixDims = 16, refineK = 25,
+          nlist = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // Matryoshka truncated-prefix ANN (Kusupati 2022): candidates by
     // exact cosine over the FIRST 16 of 64 dimensions (¼ the scan
     // arithmetic, no codebook or stats), top 25 re-ranked full-width.
@@ -3762,6 +3774,58 @@ object LlmQueries {
                          row_number() OVER (PARTITION BY query_id
                            ORDER BY ip DESC, neighbor_id) AS crn
                        FROM ip),
+              ref AS (SELECT c.query_id, c.neighbor_id,
+                        list_sum(list_transform(range(1, 65),
+                          i -> cv.v[i] * qv.v[i])) /
+                        (sqrt(list_sum(list_transform(cv.v, x -> x*x))) *
+                         sqrt(list_sum(list_transform(qv.v, x -> x*x))))
+                          AS cos
+                      FROM cand c
+                      JOIN e cv ON cv.vec_id = c.neighbor_id
+                      JOIN e qv ON qv.vec_id = c.query_id
+                      WHERE c.crn <= 25),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM ref)
+         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         ORDER BY query_id, rank""",
+    // a22's cell/probe CTEs composed with a21's prefix-cosine candidate
+    // ranking, then the shared full-width re-rank.
+    "a23_ivf_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1
+                         AS cell
+                     FROM pc),
+              q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                    WHERE vec_id < 5),
+              qp AS (SELECT vec_id AS query_id, ps FROM pc
+                     WHERE vec_id < 5),
+              pr AS (SELECT query_id, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC)
+                         AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, cell FROM pr WHERE prn <= 2),
+              pcs AS (SELECT p.query_id, e2.vec_id AS neighbor_id,
+                        list_sum(list_transform(range(1, 17),
+                          i -> e2.v[i] * q.qv[i])) /
+                        (sqrt(list_sum(list_transform(range(1, 17),
+                           i -> e2.v[i] * e2.v[i]))) *
+                         sqrt(list_sum(list_transform(range(1, 17),
+                           i -> q.qv[i] * q.qv[i])))) AS pcos
+                      FROM probes p
+                      JOIN cc ON cc.cell = p.cell
+                      JOIN e e2 ON e2.vec_id = cc.vec_id
+                      JOIN q ON q.query_id = p.query_id
+                      WHERE e2.vec_id <> p.query_id),
+              cand AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY pcos DESC, neighbor_id) AS crn
+                       FROM pcs),
               ref AS (SELECT c.query_id, c.neighbor_id,
                         list_sum(list_transform(range(1, 65),
                           i -> cv.v[i] * qv.v[i])) /

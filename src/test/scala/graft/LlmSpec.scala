@@ -817,6 +817,32 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().forall(_._2 <= 10))
   }
 
+  test("ivfMatryoshkaTopK: full probe + full prefix + full refine " +
+    "degenerates to exact cosineTopK; pruning keeps per-query k bounded") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val n = e.count().toInt
+    assert(pairs(Similarity.ivfMatryoshkaTopK(e, q, "vec_id",
+        "embedding", 10, prefixDims = 64, refineK = n, nlist = 8,
+        nProbe = 8)) ===
+      pairs(Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id", "rank")))
+    val pruned = Similarity.ivfMatryoshkaTopK(e, q, "vec_id",
+      "embedding", 10, prefixDims = 16, refineK = 25, nlist = 8,
+      nProbe = 2)
+    assert(pruned.groupBy("query_id").count()
+      .as[(Long, Long)].collect().forall(_._2 <= 10))
+    // widening the refine set can only improve agreement with the exact
+    // ranking — prefix ordering decides candidates, full cosine decides
+    val wide = Similarity.ivfMatryoshkaTopK(e, q, "vec_id", "embedding",
+      10, prefixDims = 16, refineK = n, nlist = 8, nProbe = 8)
+    assert(pairs(wide) === pairs(Similarity.cosineTopK(e, q, "vec_id",
+      "embedding", 10).select("query_id", "neighbor_id", "rank")))
+  }
+
   test("editVerifiedNearDups: exact dups at distance 0, a small suffix " +
     "edit survives its permille band and dies under a stricter one, " +
     "disjoint docs never pair") {

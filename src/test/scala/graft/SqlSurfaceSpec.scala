@@ -277,6 +277,10 @@ class SqlSurfaceSpec extends SparkSpec {
           "'vec_id', 'embedding', 3, 16, 10)",
         Similarity.truncatedCosineTopK(emb, q, "vec_id", "embedding", 3,
           prefixDims = 16, refineK = 10))
+      check("SELECT * FROM ivf_matryoshka_topk('tvf4_emb', 'tvf4_q', " +
+          "'vec_id', 'embedding', 3, 16, 10, 8, 2)",
+        Similarity.ivfMatryoshkaTopK(emb, q, "vec_id", "embedding", 3,
+          prefixDims = 16, refineK = 10, nlist = 8, nProbe = 2))
       check("SELECT * FROM ivf_sq8_topk('tvf4_emb', 'tvf4_q', " +
           "'vec_id', 'embedding', 3, 10, 8, 3)",
         Similarity.ivfSq8TopK(emb, q, "vec_id", "embedding", 3,
