@@ -871,6 +871,44 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The FULL three-stage redaction chain in composition: quality →
+    // decontam → incremental dedup → PII → secrets → cards, the pinned
+    // order corpusIngestStep applies — emails (%2), AWS keys (%3), and
+    // payment-card candidates (%4, the recall-first PCI scrub) planted
+    // on the two-batch replay.
+    "w9_ingest_gate_cards" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val bench = base.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val train = base.filter(col("source") =!= "src0")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" contact bob@example.com"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, concat(lit(" key AKIA"),
+            lpad(col("doc_id").cast("string"), 16, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit(" card 4532 0151 1283 0366 ok")).otherwise(lit("")))
+          .as("text"))
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250).unionByName(
+        b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", minQuality = 0.6, bench = Some(bench),
+        decontamK = 4, redactPii = true, redactSecrets = true,
+        redactCards = true)
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"),
+          md5(col("text")).as("text_md5"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch"),
+          md5(col("text")).as("text_md5")))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training END-TO-END: the full argmax + re-merge loop
     // (x39 certifies step-0 pair counts, x56 the apply step with FIXED
     // constants; this certifies the learned merge SEQUENCE itself — the
@@ -1810,6 +1848,20 @@ object LlmQueries {
          '\bghp_[A-Za-z0-9]{36}\b', '<SECRET_GH>', 'g'),
          '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----', '<SECRET_KEYBLOCK>', 'g'),
          '(?i)\b(?:api_key|apikey|secret_key|access_token) ?[=:] ?[A-Za-z0-9_/+-]{16,}', '<SECRET_CRED>', 'g'))"""
+
+  /** The w9 composed redaction: PII chain, x75 secret chain, then the
+    * x61 card-candidate mask — corpusIngestStep's pinned order. */
+  private val duckRedactSecretsCardsMd5: String =
+    """md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+         '\bAKIA[0-9A-Z]{16}\b', '<SECRET_AWS>', 'g'),
+         '\bghp_[A-Za-z0-9]{36}\b', '<SECRET_GH>', 'g'),
+         '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----', '<SECRET_KEYBLOCK>', 'g'),
+         '(?i)\b(?:api_key|apikey|secret_key|access_token) ?[=:] ?[A-Za-z0-9_/+-]{16,}', '<SECRET_CRED>', 'g'),
+         '\b(?:\d[ -]?){12,18}\d\b', '<CARD>', 'g'))"""
 
   /** The a4 IVF top-k oracle chain (deterministic quantizer, probe
     * rule, exact-cosine rank) — a val because a17 certifies the SAME
@@ -3312,6 +3364,68 @@ object LlmQueries {
             FROM kept1
             UNION ALL
             SELECT doc_id, 1 AS batch, $duckRedactSecretsMd5 AS text_md5
+            FROM kept2)
+          ORDER BY doc_id""",
+    // w8's chain with the card plants (%4) and the x61 candidate mask
+    // appended as the outermost redaction pass — the full pinned
+    // pii→secrets→cards order in composition.
+    "w9_ingest_gate_cards" ->
+      s"""WITH train AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 2 = 0
+                    THEN ' contact bob@example.com' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                    THEN ' key AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0')
+                    ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                    THEN ' card 4532 0151 1283 0366 ok'
+                    ELSE '' END AS text
+                FROM documents WHERE source <> 'src0'),
+              bench AS (SELECT text FROM documents WHERE source = 'src0'),
+              bws AS (SELECT $duckToks AS w FROM bench),
+              bg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT w, unnest(range(1, len(w) - 2)) AS i
+                           FROM bws WHERE len(w) >= 4)),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0),
+              q1 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b1)
+                     WHERE $duckQualityExpr >= 0.6),
+              g1 AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM (SELECT doc_id, $duckToks AS w FROM q1)
+                           WHERE len(w) >= 4)),
+              c1 AS (SELECT doc_id, text FROM q1
+                     WHERE doc_id NOT IN
+                       (SELECT doc_id FROM g1 JOIN bg USING (g))),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM c1 GROUP BY md5(text)),
+              kept1 AS (SELECT c.doc_id, c.text FROM c1 c JOIN k1 USING (doc_id)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM c1),
+              q2 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b2)
+                     WHERE $duckQualityExpr >= 0.6),
+              g2 AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM (SELECT doc_id, $duckToks AS w FROM q2)
+                           WHERE len(w) >= 4)),
+              c2 AS (SELECT doc_id, text FROM q2
+                     WHERE doc_id NOT IN
+                       (SELECT doc_id FROM g2 JOIN bg USING (g))),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM c2 GROUP BY 1),
+              kept2 AS (SELECT c.doc_id, c.text FROM c2 c
+                        JOIN (SELECT doc_id FROM k2
+                              WHERE h NOT IN (SELECT h FROM state1)) k
+                        USING (doc_id))
+          SELECT doc_id, batch, text_md5 FROM (
+            SELECT doc_id, 0 AS batch, $duckRedactSecretsCardsMd5 AS text_md5
+            FROM kept1
+            UNION ALL
+            SELECT doc_id, 1 AS batch, $duckRedactSecretsCardsMd5 AS text_md5
             FROM kept2)
           ORDER BY doc_id""",
     // w6's chain with the Gopher stage (gq1/gq2, the x59 integer rule

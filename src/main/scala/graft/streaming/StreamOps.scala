@@ -151,7 +151,8 @@ object StreamOps {
     * [[DeltaStep]]: quality floor → optional Gopher rule suite
     * ([[graft.llm.TextAnalysis.gopherRules]], per-document and therefore
     * streaming-decidable) → benchmark decontamination → incremental
-    * dedup → optional PII redaction — the streaming form of
+    * dedup → optional PII → secret → card redaction (in that pinned
+    * order) — the streaming form of
     * [[graft.llm.Pipeline.buildTrainingCorpus]] for every stage that is
     * decidable per document. Drive it with [[durableIngestDedup]]:
     * contaminated, low-quality, and duplicate docs then never land in
@@ -175,7 +176,8 @@ object StreamOps {
       gopherFilter: Boolean = false, gopherMinWords: Long = 50,
       gopherMaxWords: Long = 100000,
       gopherAlphaPattern: String = "[a-z]",
-      redactSecrets: Boolean = false): DeltaStep = {
+      redactSecrets: Boolean = false,
+      redactCards: Boolean = false): DeltaStep = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
     val benchGrams = bench.map(b => graft.operators.Lineage.cut(
       graft.llm.Dedup.shingleRows(b, textCol, idCol, decontamK)
@@ -206,11 +208,20 @@ object StreamOps {
         else out.kept
       // secrets after PII: both passes are row-local replace chains, and
       // the fixed order makes the composed output engine-replayable
-      val kept =
+      val secretsDone =
         if (redactSecrets)
           piiDone.withColumn(textCol,
             graft.llm.Privacy.redactSecrets(col(textCol)))
         else piiDone
+      // cards last (the PCI scrub is recall-first candidate masking —
+      // x61's pattern): phone/IP shapes are too short to collide with
+      // the 13–19-digit run, and the pinned pii→secrets→cards order
+      // keeps the composed output engine-replayable
+      val kept =
+        if (redactCards)
+          secretsDone.withColumn(textCol,
+            graft.llm.Privacy.redactCardCandidates(col(textCol)))
+        else secretsDone
       DeltaState(kept, out.state)
     }
   }
