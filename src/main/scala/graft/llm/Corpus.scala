@@ -319,6 +319,37 @@ object Corpus {
       .drop("_tw")
   }
 
+  /** Greedy token-budget selection: rank documents by `order` (a TOTAL
+    * ordering — best first, id tie-break) and keep the longest ranked
+    * PREFIX whose cumulative token count fits `budget` — the curation
+    * step that assembles "the best B tokens" from a scored corpus
+    * (curriculum prefixes, budgeted pretraining subsets). Prefix
+    * semantics, deliberately: a document that does not fit ends the
+    * take, unlike the bin-packing operators ([[packChunks]]-family)
+    * whose job is to fill holes. Exact and all-integer given a
+    * deterministic ordering key.
+    *
+    * Scale shape: token counts are row-local; the cumulative offsets
+    * ride [[globalPrefixSum]] (two-level range-bucketed prefix sum — no
+    * corpus-sized unpartitioned window); the budget cut is a row-local
+    * filter on (offset, n_tokens).
+    *
+    * @return the selected rows of `df` plus (n_tokens, offset) — offset
+    *         is the exact token position where the document starts
+    */
+  def tokenBudgetSelect(df: DataFrame, textCol: String, idCol: String,
+      order: Seq[Column], budget: Long, nBuckets: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget ($budget) must be >= 0")
+    require(order.nonEmpty,
+      "order must be a TOTAL ordering (append an id tie-break)")
+    val withN = df.withColumn("_nt",
+      size(filter(Dedup.tokens(coalesce(col(textCol), lit(""))),
+        x => length(x) > 0)).cast("long"))
+    globalPrefixSum(withN, nBuckets, col("_nt"), order: _*)
+      .filter(col("offset") + col("_nt") <= budget)
+      .withColumnRenamed("_nt", "n_tokens")
+  }
+
   /** Temperature-scaled mixture rates — the multilingual/multi-source
     * smoothing of mT5 (Xue et al. 2021 §3.2) and XLM-R (Conneau et al.
     * 2020 §3.1): sampling rate `p_k ∝ n_k^α` with `α < 1`, so

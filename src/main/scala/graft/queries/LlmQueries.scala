@@ -1195,6 +1195,21 @@ object LlmQueries {
         .orderBy("checkpoint")
     }),
 
+    // Greedy token-budget selection: documents ranked by the x78
+    // quality score (bit-reproducible IEEE division, doc_id tie-break),
+    // the longest ranked prefix whose cumulative tokens fit 20000 —
+    // offsets via the two-level distributed prefix sum, the budget cut
+    // a row-local filter.
+    "x81_token_budget" -> ((s, dir) => {
+      val scored = graft.llm.TextAnalysis.linearQualityScore(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      graft.llm.Corpus.tokenBudgetSelect(scored, "text", "doc_id",
+          Seq(col("score").desc_nulls_last, col("doc_id").asc),
+          budget = 20000L)
+        .select("doc_id", "n_tokens", "offset")
+        .orderBy("doc_id")
+    }),
+
     // Temperature-scaled mixture rates (mT5/XLM-R square-root sampling):
     // p_k ∝ n_k^0.5 derived from corpus statistics. n_docs is exact
     // integer; sqrt is exactly rounded IEEE, and the normalizer is ONE
@@ -1848,6 +1863,31 @@ object LlmQueries {
          '\bghp_[A-Za-z0-9]{36}\b', '<SECRET_GH>', 'g'),
          '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----', '<SECRET_KEYBLOCK>', 'g'),
          '(?i)\b(?:api_key|apikey|secret_key|access_token) ?[=:] ?[A-Za-z0-9_/+-]{16,}', '<SECRET_CRED>', 'g'))"""
+
+  /** Shared CTEs of the x78 quality-classifier oracle (and x81, which
+    * ranks by its score): hashed 'u:'/'b:' features, the frozen
+    * md5-derived weight table, per-doc integer (n_feats, margin). */
+  private lazy val duckQcCtes: String =
+    s"""tk AS (SELECT doc_id, $duckWordToks AS w FROM documents),
+              uf AS (SELECT doc_id,
+                       ${Hashing.duckHex32("'u:' || w[i]")} % 1024 AS b
+                     FROM (SELECT doc_id, w,
+                             unnest(range(1, len(w) + 1)) AS i
+                           FROM tk WHERE len(w) >= 1)),
+              bf AS (SELECT doc_id,
+                       ${Hashing.duckHex32(
+                         "'b:' || w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                           FROM tk WHERE len(w) >= 2)),
+              f AS (SELECT * FROM uf UNION ALL SELECT * FROM bf),
+              db AS (SELECT doc_id, b, count(*) AS m FROM f GROUP BY 1, 2),
+              wt AS (SELECT CAST(b AS BIGINT) AS b,
+                       ${Hashing.duckHex32(
+                         "'qcw:' || CAST(b AS VARCHAR)")} % 17 - 8 AS w
+                     FROM (SELECT unnest(range(0, 1024)) AS b)),
+              agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+                        CAST(sum(m * w) AS BIGINT) AS margin
+                      FROM db JOIN wt USING (b) GROUP BY 1)"""
 
   /** The w9 composed redaction: PII chain, x75 secret chain, then the
     * x61 card-candidate mask — corpusIngestStep's pinned order. */
@@ -3707,26 +3747,7 @@ object LlmQueries {
     // frozen weight table, same integer margin + cross-multiplied
     // decision; score is the one shared IEEE division.
     "x78_quality_classifier" ->
-      s"""WITH tk AS (SELECT doc_id, $duckWordToks AS w FROM documents),
-              uf AS (SELECT doc_id,
-                       ${Hashing.duckHex32("'u:' || w[i]")} % 1024 AS b
-                     FROM (SELECT doc_id, w,
-                             unnest(range(1, len(w) + 1)) AS i
-                           FROM tk WHERE len(w) >= 1)),
-              bf AS (SELECT doc_id,
-                       ${Hashing.duckHex32(
-                         "'b:' || w[i] || ' ' || w[i+1]")} % 1024 AS b
-                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
-                           FROM tk WHERE len(w) >= 2)),
-              f AS (SELECT * FROM uf UNION ALL SELECT * FROM bf),
-              db AS (SELECT doc_id, b, count(*) AS m FROM f GROUP BY 1, 2),
-              wt AS (SELECT CAST(b AS BIGINT) AS b,
-                       ${Hashing.duckHex32(
-                         "'qcw:' || CAST(b AS VARCHAR)")} % 17 - 8 AS w
-                     FROM (SELECT unnest(range(0, 1024)) AS b)),
-              agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
-                        CAST(sum(m * w) AS BIGINT) AS margin
-                      FROM db JOIN wt USING (b) GROUP BY 1)
+      s"""WITH $duckQcCtes
          SELECT d.doc_id,
                 coalesce(agg.n_feats, 0) AS n_feats,
                 coalesce(agg.margin, 0) AS margin,
@@ -3737,6 +3758,26 @@ object LlmQueries {
                   AS pass
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // x78's score CTEs, then the ranked running token offset and the
+    // whole-prefix budget cut.
+    "x81_token_budget" ->
+      s"""WITH $duckQcCtes,
+              base AS (SELECT d.doc_id, len(tk.w) AS nt,
+                         CASE WHEN coalesce(agg.n_feats, 0) > 0
+                           THEN CAST(agg.margin AS DOUBLE) / agg.n_feats
+                           END AS score
+                       FROM documents d
+                       LEFT JOIN agg USING (doc_id)
+                       JOIN tk ON tk.doc_id = d.doc_id),
+              o AS (SELECT doc_id, nt,
+                      coalesce(sum(nt) OVER (ORDER BY score DESC
+                        NULLS LAST, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS off
+                    FROM base)
+         SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                CAST(off AS BIGINT) AS "offset"
+         FROM o WHERE off + nt <= 20000 ORDER BY doc_id""",
     // d8's band-generator replay over the suffix-augmented corpus, then
     // DuckDB's native levenshtein with the integer keep rule.
     "x76_edit_neardup" ->

@@ -282,6 +282,35 @@ class CorpusPropertySpec extends SparkSpec {
       math.pow(1.0, 0.3)))
   }
 
+  test("tokenBudgetSelect: the kept set is exactly the ranked prefix " +
+    "that fits the budget, for random corpora and budgets") {
+    for (round <- 1 to 5) {
+      val n = 1 + rnd.nextInt(120)
+      val rows = (0 until n).map { i =>
+        val words = (0 until rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(9)}")
+        (i.toLong, rnd.nextInt(1000).toLong, words.mkString(" "))
+      }
+      val df = rows.toDF("id", "key", "text")
+      val budget = rnd.nextInt(800).toLong
+      val kept = graft.llm.Corpus.tokenBudgetSelect(df, "text", "id",
+          Seq(col("key").desc, col("id").asc), budget)
+        .select("id", "n_tokens", "offset")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap
+      // driver replay: rank, walk, cut at the first overflow
+      val ranked = rows.sortBy { case (id, key, _) => (-key, id) }
+      var off = 0L; var stop = false
+      val expect = scala.collection.mutable.Map[Long, (Long, Long)]()
+      ranked.foreach { case (id, _, text) =>
+        val nt = text.split("\\s+", -1).count(_.nonEmpty).toLong
+        if (!stop && off + nt <= budget) { expect(id) = (nt, off) }
+        else if (off + nt > budget) stop = true
+        off += nt
+      }
+      assert(kept === expect.toMap, s"round $round budget $budget")
+    }
+  }
+
   test("globalPrefixSum: offset equals the driver-side strict prefix sum " +
     "for any bucket count, including zero weights and tiny inputs") {
     for (round <- 1 to 5) {
