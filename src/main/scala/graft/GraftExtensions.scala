@@ -47,7 +47,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `repetition_stats`, `quality_slices`, `url_domains`,
   * `domain_report`, `dsir_weights`,
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
-  * `pii_stats`, `pii_redact`, `decontam` — e.g.
+  * `pii_stats`, `pii_redact`, `decontam`, `hll_buckets`,
+  * `label_propagate` — e.g.
   * {{{
   *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
   *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
@@ -537,6 +538,25 @@ object GraftExtensions {
           if (args.length == 3) graft.llm.Dedup.simhashNearDups(d, tc, ic)
           else graft.llm.Dedup.simhashNearDups(d, tc, ic,
             bits = lit2int(args(3), u), maxHamming = lit2int(args(4), u)))
+      },
+      "hll_buckets" -> { args =>
+        val u = "usage: hll_buckets('table', 'value_col'[, p])"
+        require(args.length == 2 || args.length == 3, u)
+        val Seq(t, vc) = args.take(2).map(lit2str(_, u))
+        plan(graft.llm.Sketches.hllBuckets(SparkSession.active.table(t),
+          org.apache.spark.sql.functions.col(vc),
+          args.lift(2).map(lit2int(_, u))
+            .getOrElse(graft.llm.Sketches.DefaultP)))
+      },
+      "label_propagate" -> { args =>
+        val u = "usage: label_propagate('vecs', 'seeds', 'id_col', " +
+          "'vec_col', 'label_col', k[, nlist])"
+        require(args.length == 6 || args.length == 7, u)
+        val Seq(vt, st, ic, vc, lc) = args.take(5).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Similarity.propagateLabels(s.table(vt),
+          s.table(st), ic, vc, lc, lit2int(args(5), u),
+          nlist = args.lift(6).map(lit2int(_, u)).getOrElse(8)))
       },
       "text_stats" -> { args =>
         val u = "usage: text_stats('table', 'text_col')"

@@ -394,6 +394,48 @@ object Similarity {
       .select("src_id", "nbr_id", "rank")
   }
 
+  /** Semi-supervised label propagation over the [[ivfKnnGraph]]: every
+    * vector takes the MAJORITY label among its top-`k` neighbors that
+    * appear in `seeds` (idCol, labelCol), ties broken toward the smaller
+    * label — the neighbor-vote labeling step real curation pipelines use
+    * to spread a small set of human/classifier quality labels across an
+    * unlabeled corpus (e.g. FineWeb-Edu-style educational-value tagging
+    * scaled out from a scored seed). Vectors none of whose neighbors are
+    * seeds are ABSENT from the result (no vote, no label — callers
+    * iterate or fall back, they don't get a fabricated default).
+    *
+    * All-integer decision arithmetic on top of the certified graph ranks:
+    * votes are counts, the argmax is (count DESC, label ASC) — so the
+    * whole operator replays in the driver's oracle on the same kNN CTE
+    * that certifies a10. Scale shape: the graph is the IVF cell
+    * equi-join (never all pairs); the vote is one groupBy on
+    * (src, label) whose map-side combine bounds rows at k per source;
+    * the argmax window partitions by source — nothing corpus-global.
+    *
+    * @return (idCol, pred_label, n_votes, n_seed_nbrs) — n_votes the
+    *         winning label's count, n_seed_nbrs how many of the k
+    *         neighbors were seeds (vote confidence denominator)
+    */
+  def propagateLabels(vecs: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, nlist: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val g = ivfKnnGraph(vecs, idCol, vecCol, k, nlist, dims)
+    val s = seeds.select(col(idCol).as("nbr_id"),
+      col(labelCol).as("_sl"))
+    val votes = g.join(s, Seq("nbr_id"))
+      .groupBy(col("src_id"), col("_sl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("n_votes").desc, col("_sl").asc)
+    val totals = votes.groupBy("src_id")
+      .agg(sum("n_votes").cast("long").as("n_seed_nbrs"))
+    votes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(totals, Seq("src_id"))
+      .select(col("src_id").as(idCol), col("_sl").as("pred_label"),
+        col("n_votes"), col("n_seed_nbrs"))
+  }
+
   /** One Lloyd accumulation as a DataFrame: per (cell, pos) the member
     * count and the mean component over the vectors assigned to that cell.
     * This is the DISTRIBUTED half of a k-means step — position-explode

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches — the "how many distinct tokens /
+  * urls / shingles does this corpus hold" primitive that cannot be an
+  * exact `count(DISTINCT …)` at 100 TB: exact distinct is a corpus-keyed
+  * shuffle whose reduce side holds the full key set, while a HyperLogLog
+  * sketch (Flajolet et al. 2007) is a fixed `m`-row table per shard that
+  * merges by `max`.
+  *
+  * Everything here is deterministic and engine-portable by construction
+  * (the x29/x59 float discipline): the SUFFICIENT STATISTICS — per-bucket
+  * maximum leading-zero ranks over the md5-derived [[Hashing.hex32]]
+  * hash — are pure integer arithmetic both Spark and DuckDB evaluate
+  * identically (bucket = high `p` bits via one division; rank via the
+  * base-2 digit-string length, `conv`/`to_base`), so the driver's oracle
+  * certifies the sketch tables bit-for-bit, INCLUDING the shard-merge
+  * path (merge-of-shard-sketches ≡ direct whole-corpus sketch falls out
+  * of the hash comparison). Only the final float estimate involves
+  * `log`/`pow`; it never crosses engines — [[hllEstimate]] is pinned in
+  * LlmSpec against exact distinct counts instead.
+  *
+  * Scale shape: one codegen'd md5 per value on the explode side, one
+  * `groupBy(bucket)` whose map-side combine reduces every partition to
+  * ≤ `m` rows before the exchange — the shuffle is O(partitions × m),
+  * independent of corpus size. Grouped sketches ([[hllBucketsBy]]) ride
+  * the same combine keyed by (group, bucket).
+  */
+object Sketches {
+
+  /** Default precision: p=6 → m=64 buckets (±13% standard error) — small
+    * enough that the certified bucket table is human-auditable; raise p
+    * for production estimates (each +1 halves the table's variance
+    * contribution ×√2 and doubles its size). */
+  val DefaultP: Int = 6
+
+  private def bucketWidth(p: Int): Long = 1L << (32 - p)
+
+  /** The (bucket, rho) pair columns for a value column `v`: bucket is the
+    * high `p` bits of the 32-bit [[Hashing.hex32]] hash, rho the 1-based
+    * position of the leftmost 1-bit in the remaining `32-p` bits (or
+    * `32-p+1` when they are all zero). Integer ops only: the bit position
+    * comes from the length of the base-2 digit string (`conv`), which
+    * DuckDB replays as `length(to_base(w, 2))`. */
+  private def bucketAndRho(v: Column, p: Int): (Column, Column) = {
+    val h = Hashing.hex32(v)
+    val w = h % bucketWidth(p)
+    val rho = when(w === 0, lit(32 - p + 1))
+      .otherwise(lit(32 - p + 1) - length(conv(w.cast("string"), 10, 2)))
+    // integer bucket: h < 2^32 so the double round-trip of floor() is
+    // exact (< 2^53), and both engines truncate identically
+    (floor(h / lit(bucketWidth(p))).cast("long"), rho)
+  }
+
+  /** HLL sufficient statistics of the values in column `c`: one row per
+    * non-empty bucket, (bucket BIGINT in [0, 2^p), max_rho INT). Rows for
+    * buckets no value hashed into are absent (an absent bucket means
+    * rank 0 — [[hllEstimate]] and the DuckDB replay agree on that
+    * convention). */
+  def hllBuckets(df: DataFrame, c: Column, p: Int = DefaultP): DataFrame = {
+    require(p >= 4 && p <= 16, s"p ($p) must be in [4, 16]")
+    val (b, r) = bucketAndRho(c, p)
+    df.select(b.cast("long").as("bucket"), r.cast("int").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("max_rho"))
+  }
+
+  /** Grouped sketches: one HLL per distinct value of `groupCols` —
+    * per-domain / per-language / per-source distinct counts from ONE
+    * pass, keyed map-side-combined on (group, bucket). */
+  def hllBucketsBy(df: DataFrame, groupCols: Seq[String], c: Column,
+      p: Int = DefaultP): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val (b, r) = bucketAndRho(c, p)
+    df.select(groupCols.map(col) :+ b.cast("long").as("bucket") :+
+        r.cast("int").as("rho"): _*)
+      .groupBy(groupCols.head, (groupCols.tail :+ "bucket"): _*)
+      .agg(max("rho").as("max_rho"))
+  }
+
+  /** Merge sketch tables (same p): union → per-bucket max. This is the
+    * whole point of the sketch — shard-local tables combine into the
+    * corpus table with an m-row shuffle, and the result is IDENTICAL to
+    * sketching the concatenated corpus (certified cross-engine by the
+    * x82 oracle, which sketches shards in Spark and the whole corpus in
+    * DuckDB). Associative and idempotent. */
+  def hllMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_.unionByName(_))
+      .groupBy("bucket").agg(max("max_rho").as("max_rho"))
+  }
+
+  /** The float estimate off a (bucket, max_rho) table — driver-side (the
+    * table is ≤ 2^p rows by construction; collecting it is the documented
+    * exception to the no-collect rule, like the k-means codebook).
+    * Standard HLL bias correction (Flajolet et al. 2007 fig. 3): raw
+    * harmonic mean with alpha_m, linear counting below 2.5m when empty
+    * buckets remain. Never crosses engines — LlmSpec pins it against
+    * exact distinct counts. */
+  def hllEstimate(buckets: DataFrame, p: Int = DefaultP): Double = {
+    val m = 1 << p
+    val ranks = buckets.select(col("bucket").cast("int"),
+        col("max_rho").cast("int"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val z = (0 until m).map(j => math.pow(2.0,
+      -ranks.getOrElse(j, 0).toDouble)).sum
+    val raw = alpha * m * m / z
+    val zeros = m - ranks.count(_._2 > 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+}

@@ -1210,6 +1210,48 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic HyperLogLog distinct-token sketch, built the way a
+    // 100 TB deployment would: each corpus shard sketched independently,
+    // the shards merged by per-bucket max — and the oracle sketches the
+    // WHOLE corpus in one pass, so the hash match certifies
+    // merge-of-shards ≡ direct sketch. Pure integer sufficient stats
+    // (bucket = high 6 hash bits, rho via the base-2 digit-string
+    // length); the float estimate never crosses engines (LlmSpec pins it
+    // against exact distinct counts).
+    "x82_hll_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      def toks(d: DataFrame) = d
+        .select(explode(Dedup.tokens(col("text"))).as("_tk"))
+        .filter(length(col("_tk")) > 0)
+      Sketches.hllMerge(
+          Sketches.hllBuckets(toks(docs.filter(col("doc_id") % 2 === 0)),
+            col("_tk")),
+          Sketches.hllBuckets(toks(docs.filter(col("doc_id") % 2 === 1)),
+            col("_tk")))
+        .orderBy("bucket")
+    }),
+
+    // Semi-supervised label propagation: vec_id % 4 == 0 keeps its true
+    // label as the SEED set; every other vector takes the majority label
+    // among its top-5 kNN-graph neighbors that are seeds (integer votes,
+    // smaller-label tie-break), scored against its held-out true label.
+    // The graph is a10's certified IVF cell equi-join; the oracle
+    // replays quantizer, ranking, vote, and argmax.
+    "x83_label_prop" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = e.filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "label")
+      Similarity.propagateLabels(e, seeds, "vec_id", "embedding",
+          "label", k = 5, nlist = 8)
+        .filter(col("vec_id") % 4 =!= 0)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .withColumn("correct",
+          when(col("pred_label") === col("label"), 1).otherwise(0))
+        .select("vec_id", "pred_label", "n_votes", "n_seed_nbrs",
+          "correct")
+        .orderBy("vec_id")
+    }),
+
     // Temperature-scaled mixture rates (mT5/XLM-R square-root sampling):
     // p_k ∝ n_k^0.5 derived from corpus statistics. n_docs is exact
     // integer; sqrt is exactly rounded IEEE, and the normalizer is ONE
@@ -3778,6 +3820,62 @@ object LlmQueries {
          SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
                 CAST(off AS BIGINT) AS "offset"
          FROM o WHERE off + nt <= 20000 ORDER BY doc_id""",
+    // Whole-corpus HLL bucket table in one pass — certifying the Spark
+    // side's merge-of-shard-sketches bit-for-bit. bucket = high 6 bits
+    // (one integer division by 2^26), rho = 27 - base-2 digit length of
+    // the low 26 bits (both engines' minimal digit strings agree).
+    "x82_hll_tokens" ->
+      s"""WITH tk AS (SELECT $duckToks AS w FROM documents),
+              tok AS (SELECT w[i] AS tok
+                      FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i
+                            FROM tk)
+                      WHERE w[i] <> ''),
+              hv AS (SELECT ${duckHex32("tok")} AS h FROM tok),
+              r AS (SELECT h // 67108864 AS bucket,
+                      CASE WHEN h % 67108864 = 0 THEN 27
+                           ELSE 27 - length(to_base(h % 67108864, 2))
+                      END AS rho
+                    FROM hv)
+         SELECT bucket, CAST(max(rho) AS INTEGER) AS max_rho
+         FROM r GROUP BY bucket ORDER BY bucket""",
+    // a10's certified kNN-graph CTE, then integer seed votes and the
+    // (count DESC, label ASC) argmax, scored against held-out labels.
+    "x83_label_prop" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              sc AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                       list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+                       (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+                     FROM cc a JOIN cc b
+                       ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+              r AS (SELECT src_id, nbr_id,
+                      row_number() OVER (PARTITION BY src_id
+                        ORDER BY cos DESC, nbr_id) AS rank
+                    FROM sc),
+              g AS (SELECT src_id, nbr_id FROM r WHERE rank <= 5),
+              vt AS (SELECT g.src_id, s.label AS pl, count(*) AS nv
+                     FROM g JOIN embeddings s ON g.nbr_id = s.vec_id
+                     WHERE s.vec_id % 4 = 0
+                     GROUP BY 1, 2),
+              tt AS (SELECT src_id, CAST(sum(nv) AS BIGINT) AS n_seed_nbrs
+                     FROM vt GROUP BY 1),
+              p AS (SELECT src_id, pl, nv,
+                      row_number() OVER (PARTITION BY src_id
+                        ORDER BY nv DESC, pl) AS rn
+                    FROM vt)
+         SELECT p.src_id AS vec_id, p.pl AS pred_label,
+                CAST(p.nv AS BIGINT) AS n_votes, tt.n_seed_nbrs,
+                CASE WHEN p.pl = e3.label THEN 1 ELSE 0 END AS correct
+         FROM p JOIN tt USING (src_id)
+         JOIN embeddings e3 ON p.src_id = e3.vec_id
+         WHERE p.rn = 1 AND p.src_id % 4 <> 0
+         ORDER BY vec_id""",
     // d8's band-generator replay over the suffix-augmented corpus, then
     // DuckDB's native levenshtein with the integer keep rule.
     "x76_edit_neardup" ->

@@ -2267,4 +2267,78 @@ class LlmSpec extends SparkSpec {
     // monotone non-decreasing
     assert(out.map(_._2) === out.map(_._2).sorted)
   }
+
+  test("HLL: estimate tracks exact distinct, merge == direct, " +
+    "grouped == per-group, deterministic replay") {
+    def toks(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(Dedup.tokens(col("text"))).as("_tk"))
+      .filter(length(col("_tk")) > 0)
+    val all = toks(docs)
+    val exact = all.select("_tk").distinct().count()
+    val direct = Sketches.hllBuckets(all, col("_tk"))
+    val est = Sketches.hllEstimate(direct)
+    // p=6 → ±13% standard error; allow 3σ on this corpus
+    assert(math.abs(est - exact) / exact < 0.4,
+      s"estimate $est vs exact $exact")
+    // merge of doc_id-parity shards ≡ direct whole-corpus sketch
+    val a = Sketches.hllBuckets(
+      toks(docs.filter(col("doc_id") % 2 === 0)), col("_tk"))
+    val b = Sketches.hllBuckets(
+      toks(docs.filter(col("doc_id") % 2 === 1)), col("_tk"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").as[(Long, Int)].collect().toSeq
+    assert(rows(Sketches.hllMerge(a, b)) === rows(direct))
+    assert(rows(Sketches.hllMerge(b, a)) === rows(direct)) // commutative
+    assert(rows(Sketches.hllMerge(direct, direct)) === rows(direct)) // idem
+    // grouped sketch slices agree with per-group direct sketches
+    val bySrc = Sketches.hllBucketsBy(
+      docs.select(col("source"),
+          explode(Dedup.tokens(col("text"))).as("_tk"))
+        .filter(length(col("_tk")) > 0),
+      Seq("source"), col("_tk"))
+    val srcs = docs.select("source").distinct()
+      .as[String].collect().toSeq
+    for (s0 <- srcs.take(2)) {
+      val sliced = rows(bySrc.filter(col("source") === s0)
+        .select("bucket", "max_rho"))
+      val per = rows(Sketches.hllBuckets(
+        toks(docs.filter(col("source") === s0)), col("_tk")))
+      assert(sliced === per, s"group $s0")
+    }
+    // deterministic: a second build is bit-identical
+    assert(rows(Sketches.hllBuckets(all, col("_tk"))) === rows(direct))
+    // bucket/rho ranges
+    assert(rows(direct).forall { case (bk, r) =>
+      bk >= 0 && bk < 64 && r >= 1 && r <= 27 })
+  }
+
+  test("label propagation: majority vote over the kNN graph replayed " +
+    "driver-side, seeds-only votes, vote counts bounded by k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") % 4 === 0).select("vec_id", "label")
+    val out = Similarity.propagateLabels(emb, seeds, "vec_id",
+        "embedding", "label", k = 5, nlist = 8)
+      .orderBy("vec_id")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // driver-side replay: graph → seed votes → (count desc, label asc)
+    val g = Similarity.ivfKnnGraph(emb, "vec_id", "embedding", 5, 8)
+      .select("src_id", "nbr_id")
+      .as[(Long, Long)].collect().toSeq
+    val seedLabel = seeds.as[(Long, Int)].collect().toMap
+    val expected = g.groupBy(_._1).flatMap { case (src, nbrs) =>
+      val votes = nbrs.flatMap(n => seedLabel.get(n._2))
+        .groupBy(identity).map { case (l, v) => (l, v.size) }
+      if (votes.isEmpty) None
+      else {
+        val (pl, nv) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+        Some(src -> ((pl, nv.toLong, votes.values.sum.toLong)))
+      }
+    }
+    assert(out.size === expected.size)
+    out.foreach { case (id, pl, nv, tot) =>
+      assert(expected(id) === ((pl, nv, tot)), s"vec $id")
+      assert(nv >= 1 && nv <= tot && tot <= 5, s"bounds vec $id")
+    }
+  }
 }

@@ -318,4 +318,36 @@ class SqlSurfaceSpec extends SparkSpec {
           spark.catalog.dropTempView(v))
     }
   }
+
+  test("SQL TVF surface: HLL sketch / label propagation equal the " +
+    "Scala API") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val toks = docs
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val seeds = emb.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "label")
+    toks.createOrReplaceTempView("tvf5_toks")
+    emb.createOrReplaceTempView("tvf5_emb")
+    seeds.createOrReplaceTempView("tvf5_seeds")
+    try {
+      check("SELECT * FROM hll_buckets('tvf5_toks', 'tok')",
+        graft.llm.Sketches.hllBuckets(toks, col("tok")))
+      check("SELECT * FROM hll_buckets('tvf5_toks', 'tok', 8)",
+        graft.llm.Sketches.hllBuckets(toks, col("tok"), p = 8))
+      check("SELECT * FROM label_propagate('tvf5_emb', 'tvf5_seeds', " +
+          "'vec_id', 'embedding', 'label', 5)",
+        Similarity.propagateLabels(emb, seeds, "vec_id", "embedding",
+          "label", k = 5))
+      val err = intercept[Exception](
+        spark.sql("SELECT * FROM hll_buckets('tvf5_toks')"))
+      assert(err.getMessage.contains("usage: hll_buckets"))
+    } finally {
+      Seq("tvf5_toks", "tvf5_emb", "tvf5_seeds")
+        .foreach(v => if (spark.catalog.tableExists(v))
+          spark.catalog.dropTempView(v))
+    }
+  }
 }
