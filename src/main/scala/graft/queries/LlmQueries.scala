@@ -1231,6 +1231,19 @@ object LlmQueries {
         .orderBy("bucket")
     }),
 
+    // Grouped HLL sketches: per-SOURCE distinct-token tables from one
+    // pass (the per-domain / per-language cardinality report a corpus
+    // dashboard wants) — same integer sufficient statistics as x82,
+    // keyed map-side-combine on (source, bucket).
+    "x84_hll_by_source" -> ((s, dir) => {
+      Sketches.hllBucketsBy(
+          t(s, dir, "documents").select(col("source"),
+              explode(Dedup.tokens(col("text"))).as("_tk"))
+            .filter(length(col("_tk")) > 0),
+          Seq("source"), col("_tk"))
+        .orderBy("source", "bucket")
+    }),
+
     // Semi-supervised label propagation: vec_id % 4 == 0 keeps its true
     // label as the SEED set; every other vector takes the majority label
     // among its top-5 kNN-graph neighbors that are seeds (integer votes,
@@ -3838,6 +3851,22 @@ object LlmQueries {
                     FROM hv)
          SELECT bucket, CAST(max(rho) AS INTEGER) AS max_rho
          FROM r GROUP BY bucket ORDER BY bucket""",
+    // x82's bucket/rho arithmetic keyed by source.
+    "x84_hll_by_source" ->
+      s"""WITH tk AS (SELECT source, $duckToks AS w FROM documents),
+              tok AS (SELECT source, w[i] AS tok
+                      FROM (SELECT source, w,
+                              unnest(range(1, len(w) + 1)) AS i
+                            FROM tk)
+                      WHERE w[i] <> ''),
+              hv AS (SELECT source, ${duckHex32("tok")} AS h FROM tok),
+              r AS (SELECT source, h // 67108864 AS bucket,
+                      CASE WHEN h % 67108864 = 0 THEN 27
+                           ELSE 27 - length(to_base(h % 67108864, 2))
+                      END AS rho
+                    FROM hv)
+         SELECT source, bucket, CAST(max(rho) AS INTEGER) AS max_rho
+         FROM r GROUP BY source, bucket ORDER BY source, bucket""",
     // a10's certified kNN-graph CTE, then integer seed votes and the
     // (count DESC, label ASC) argmax, scored against held-out labels.
     "x83_label_prop" ->
