@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    units;
   *  - alpha rule: `Pattern.find` on each token (`rlike` semantics),
   *    pattern parameterized;
-  *  - distinct stop words as a presence bitmask (8 words → 8 bits),
+  *  - distinct stop words via per-word seen flags (any vocabulary size),
   *    `bitCount ≥ 2` ⟺ `size(array_intersect(array_distinct(w), sw))
   *    ≥ 2`;
   *  - symbols over the RAW text: '#' occurrences plus leftmost
@@ -44,7 +44,11 @@ final class GopherGateKernel(val minWords: Long, val maxWords: Long,
     val raw = s.toString
     val lowered = s.toLowerCase.toString
     // one pass over the word tokens
-    var n = 0L; var sum = 0L; var alpha = 0L; var mask = 0
+    var n = 0L; var sum = 0L; var alpha = 0L; var distinctStops = 0
+    // per-word seen flags, not a bitmask: callers swap in arbitrary
+    // per-language stop vocabularies, and an Int mask would silently
+    // alias bits past 32 entries (1 << j wraps at j mod 32)
+    val seen = new Array[Boolean](stopWords.length)
     val toks = wsRe.split(lowered, -1)
     var i = 0
     while (i < toks.length) {
@@ -55,7 +59,9 @@ final class GopherGateKernel(val minWords: Long, val maxWords: Long,
         if (alphaRe.matcher(tok).find()) alpha += 1
         var j = 0
         while (j < stopWords.length) {
-          if (tok == stopWords(j)) mask |= 1 << j
+          if (!seen(j) && tok == stopWords(j)) {
+            seen(j) = true; distinctStops += 1
+          }
           j += 1
         }
       }
@@ -92,7 +98,7 @@ final class GopherGateKernel(val minWords: Long, val maxWords: Long,
       10L * bullet <= 9L * nl &&
       10L * ell <= 3L * nl &&
       5L * alpha >= 4L * n &&
-      java.lang.Integer.bitCount(mask) >= 2
+      distinctStops >= 2
   }
 }
 

@@ -212,8 +212,11 @@ object Dedup {
       k: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxDistPermille >= 0 && maxDistPermille <= 1000,
       s"maxDistPermille ($maxDistPermille) must be in [0, 1000]")
-    val rows = shingleRows(df, textCol, idCol, k).persist()
-    val sigs = signatureFromShingleRows(rows, idCol, numHashes).persist()
+    // unlike minhashNearDups, the shingle rows feed exactly one consumer
+    // (the signatures) — verification is levenshtein over the texts, not
+    // shingles — so only the twice-read signature table is cached
+    val sigs = signatureFromShingleRows(
+      shingleRows(df, textCol, idCol, k), idCol, numHashes).persist()
     val cands = lshCandidates(sigs, idCol, numHashes, bands, maxBucketSize)
     val texts = df.select(col(idCol), col(textCol))
     val out = cands
@@ -224,11 +227,15 @@ object Dedup {
       .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
       .withColumn("len_a", length(col("_ta")))
       .withColumn("len_b", length(col("_tb")))
-      .filter(col("dist") * 1000 <=
-        lit(maxDistPermille) * greatest(col("len_a"), col("len_b")))
+      // long arithmetic: levenshtein is INT, and dist × 1000 overflows
+      // Int32 for ~2.1M-char documents — which would flip the filter
+      // into a false accept exactly on the pathological inputs
+      .filter(col("dist").cast("long") * 1000L <=
+        lit(maxDistPermille.toLong) *
+          greatest(col("len_a"), col("len_b")).cast("long"))
       .select("id_a", "id_b", "dist", "len_a", "len_b")
       .transform(graft.operators.Lineage.cut)
-    rows.unpersist(); sigs.unpersist()
+    sigs.unpersist()
     out
   }
 

@@ -43,10 +43,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  /** Flat band-bucket rows of a signature table: (idCol, bkey) with the
-    * injective fused key described in the object doc. Row-local. */
+  /** Flat band-bucket rows of a signature table: (idCol, extraCols...,
+    * bkey) with the injective fused key described in the object doc.
+    * Row-local; `extraCols` pass through (the writers thread per-row
+    * `_ib` provenance this way). */
   def bandTable(sigs: DataFrame, idCol: String, numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, extraCols: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rows = numHashes / bands
@@ -55,7 +57,8 @@ object DedupIndex {
         concat_ws("_",
           (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*))
     }
-    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bkey"))
+    sigs.select((col(idCol) +: extraCols.map(col)) :+
+      explode(array(bandCols: _*)).as("bkey"): _*)
   }
 
   /** Write a fresh index from a signature table (e.g. the `.state` of a
@@ -66,13 +69,23 @@ object DedupIndex {
     * replay probe the exact pre-append view ([[ingestBatchOverIndex]]). */
   def writeState(sigs: DataFrame, idCol: String, base: String,
       numHashes: Int = 16, bands: Int = 4, nBuckets: Int = 8,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L): Unit =
+    writeStateTagged(sigs.withColumn("_ib", lit(batchId)), idCol, base,
+      numHashes, bands, nBuckets)
+
+  /** [[writeState]] for signature rows that ALREADY carry per-row `_ib`
+    * provenance — what [[compactState]] must preserve: re-stamping a
+    * uniform batch id would let a still-unmarked batch's replay see its
+    * own compacted rows as prior state and drop every document. */
+  private def writeStateTagged(sigs: DataFrame, idCol: String,
+      base: String, numHashes: Int, bands: Int, nBuckets: Int): Unit = {
+    require(sigs.columns.contains("_ib"),
+      "writeStateTagged expects per-row _ib provenance")
     graft.operators.Bucketing.writeBucketed(
-      sigs.withColumn("_ib", lit(batchId)), s"${base}_sigs", idCol,
-      nBuckets, sortedBy = Some(idCol))
+      sigs, s"${base}_sigs", idCol, nBuckets, sortedBy = Some(idCol))
     graft.operators.Bucketing.writeBucketed(
-      bandTable(sigs, idCol, numHashes, bands).withColumn("_ib",
-        lit(batchId)), s"${base}_bands", "bkey", nBuckets)
+      bandTable(sigs, idCol, numHashes, bands, extraCols = Seq("_ib")),
+      s"${base}_bands", "bkey", nBuckets)
   }
 
   /** Append a batch's kept signatures to the index. Band rows derive
@@ -233,22 +246,27 @@ object DedupIndex {
     * its completed replay went on to DROP — so compaction keeps the
     * batch-less base rows (`_ib = −1`, loaded before streaming began)
     * plus exactly the streamed rows whose id appears in a kept batch
-    * output, then de-duplicates. Ids-only semi-join on the id-bucketed
-    * layout; run it between ingest waves, never concurrently with one.
-    * (At index sizes where the in-place rebuild's transient
-    * double-footprint hurts, write to a fresh `base` and repoint.) */
+    * output, then de-duplicates. Every surviving row KEEPS its original
+    * `_ib`: provenance is what [[ingestBatchOverIndex]]'s
+    * `belowBatch` pre-append view filters on, so re-stamping (say,
+    * to −1) would make a still-unmarked batch's replay see its own
+    * compacted rows as prior state and drop all of its documents.
+    * Ids-only semi-join on the id-bucketed layout; run it between
+    * ingest waves, never concurrently with one. (At index sizes where
+    * the in-place rebuild's transient double-footprint hurts, write to
+    * a fresh `base` and repoint.) */
   def compactState(spark: SparkSession, base: String, idCol: String,
       outDir: String, numHashes: Int = 16, bands: Int = 4,
       nBuckets: Int = 8): Unit = {
     val keptIds = spark.read.parquet(outDir).select(idCol).distinct()
     val all = spark.table(s"${base}_sigs")
-    // lineage-cut BEFORE writeState truncates the source: a plain
+    // lineage-cut BEFORE writeStateTagged truncates the source: a plain
     // persist would be evicted by writeBucketed's DROP TABLE cascade
     val sigs = graft.operators.Lineage.cut(
-      all.filter(col("_ib") === -1L).drop("_ib")
-        .unionByName(all.filter(col("_ib") >= 0L).drop("_ib")
+      all.filter(col("_ib") === -1L)
+        .unionByName(all.filter(col("_ib") >= 0L)
           .join(keptIds, Seq(idCol), "left_semi"))
         .dropDuplicates(idCol))
-    writeState(sigs, idCol, base, numHashes, bands, nBuckets)
+    writeStateTagged(sigs, idCol, base, numHashes, bands, nBuckets)
   }
 }

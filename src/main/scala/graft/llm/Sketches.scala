@@ -87,6 +87,15 @@ object Sketches {
     * DuckDB). Associative and idempotent. */
   def hllMerge(sketches: DataFrame*): DataFrame = {
     require(sketches.nonEmpty, "need at least one sketch")
+    // refuse grouped sketch tables: maxing ranks ACROSS groups would
+    // silently return the global sketch mislabeled as a per-group merge
+    // — merge hllBucketsBy outputs per group slice, or union them and
+    // re-aggregate keyed by the group columns explicitly
+    sketches.foreach(s => require(
+      s.columns.sorted.toSeq == Seq("bucket", "max_rho"),
+      s"hllMerge takes plain (bucket, max_rho) sketch tables; got " +
+        s"columns [${s.columns.mkString(", ")}] — grouped sketches " +
+        "(hllBucketsBy) must be merged per group"))
     sketches.reduce(_.unionByName(_))
       .groupBy("bucket").agg(max("max_rho").as("max_rho"))
   }

@@ -206,11 +206,29 @@ object TextAnalysis {
   def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minWords: Long = 50, maxWords: Long = 100000,
       alphaPattern: String = "[a-z]")
+      : org.apache.spark.sql.DataFrame =
+    gopherSignals(df, textCol, minWords, maxWords, alphaPattern,
+        stopCount = size(array_intersect(array_distinct(col("_w")),
+          array(gopherStopWords.map(lit): _*))).cast("long"))
+      .select(col(idCol), col("n_words"), col("sum_word_len"),
+        col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stop_words"),
+        col("pass"))
+
+  /** The shared Gopher signal/decision block — ONE definition of the
+    * rule arithmetic for [[gopherRules]] and [[gopherRulesByLang]]
+    * (the cross-engine oracle contract depends on the two staying
+    * bit-identical, so the construction must not exist twice).
+    * `stopCount` supplies the rule-7 distinct-stop-word column; it may
+    * reference the token array `_w` (and any column of `df`, e.g. the
+    * router's `lang_guess`). */
+  private def gopherSignals(df: org.apache.spark.sql.DataFrame,
+      textCol: String, minWords: Long, maxWords: Long,
+      alphaPattern: String, stopCount: Column)
       : org.apache.spark.sql.DataFrame = {
     require(minWords >= 0 && maxWords >= minWords,
       s"word-count band [$minWords, $maxWords] is not a band")
     val t = coalesce(col(textCol), lit("")) // null text = empty, not NULLs
-    val sw = array(gopherStopWords.map(lit): _*)
     def occurrences(needle: String, width: Int): Column =
       ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
         / width).cast("long")
@@ -229,8 +247,7 @@ object TextAnalysis {
         l => l.endsWith("..."))).cast("long"))
       .withColumn("n_alpha_words", size(filter(col("_w"),
         x => x.rlike(alphaPattern))).cast("long"))
-      .withColumn("n_stop_words",
-        size(array_intersect(array_distinct(col("_w")), sw)).cast("long"))
+      .withColumn("n_stop_words", stopCount)
       .withColumn("pass",
         col("n_words").between(minWords, maxWords) &&
         lit(3L) * col("n_words") <= col("sum_word_len") &&
@@ -240,10 +257,6 @@ object TextAnalysis {
         lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
         lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words") &&
         col("n_stop_words") >= 2L)
-      .select(col(idCol), col("n_words"), col("sum_word_len"),
-        col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
-        col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stop_words"),
-        col("pass"))
   }
 
   /** [[gopherRules]] composed with [[languageIdDf]] routing — the
@@ -262,46 +275,17 @@ object TextAnalysis {
   def gopherRulesByLang(df: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String, minWords: Long = 50,
       maxWords: Long = 100000, alphaPattern: String = "\\p{L}")
-      : org.apache.spark.sql.DataFrame = {
-    require(minWords >= 0 && maxWords >= minWords,
-      s"word-count band [$minWords, $maxWords] is not a band")
-    val t = coalesce(col(textCol), lit(""))
-    def occurrences(needle: String, width: Int): Column =
-      ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
-        / width).cast("long")
-    languageIdDf(df, textCol, "lang_guess")
-      .withColumn("_w", filter(tokens(t), x => length(x) > 0))
-      .withColumn("_lines", filter(
-        transform(split(t, "\n"), l => trim(l)), l => l =!= ""))
-      .withColumn("n_words", size(col("_w")).cast("long"))
-      .withColumn("sum_word_len",
-        aggregate(col("_w"), lit(0L), (acc, x) => acc + length(x)))
-      .withColumn("n_symbols", occurrences("#", 1) + occurrences("...", 3))
-      .withColumn("n_lines", size(col("_lines")).cast("long"))
-      .withColumn("n_bullet_lines", size(filter(col("_lines"),
-        l => l.substr(lit(1), lit(1)).isin("-", "*"))).cast("long"))
-      .withColumn("n_ellipsis_lines", size(filter(col("_lines"),
-        l => l.endsWith("..."))).cast("long"))
-      .withColumn("n_alpha_words", size(filter(col("_w"),
-        x => x.rlike(alphaPattern))).cast("long"))
-      .withColumn("n_stop_words",
-        langMarkers.foldLeft(lit(0L)) { case (acc, (lang, ms)) =>
-          when(col("lang_guess") === lang,
-            size(array_intersect(array_distinct(col("_w")),
-              array(ms.map(lit): _*))).cast("long")).otherwise(acc)
+      : org.apache.spark.sql.DataFrame =
+    gopherSignals(languageIdDf(df, textCol, "lang_guess"), textCol,
+        minWords, maxWords, alphaPattern,
+        stopCount = langMarkers.foldLeft(lit(0L)) {
+          case (acc, (lang, ms)) =>
+            when(col("lang_guess") === lang,
+              size(array_intersect(array_distinct(col("_w")),
+                array(ms.map(lit): _*))).cast("long")).otherwise(acc)
         })
-      .withColumn("pass",
-        col("n_words").between(minWords, maxWords) &&
-        lit(3L) * col("n_words") <= col("sum_word_len") &&
-        col("sum_word_len") <= lit(10L) * col("n_words") &&
-        lit(10L) * col("n_symbols") <= col("n_words") &&
-        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
-        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
-        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words") &&
-        col("n_stop_words") >= 2L)
       .select(col(idCol), col("lang_guess"), col("n_words"),
         col("n_stop_words"), col("pass"))
-  }
 
   /** URL pattern shared verbatim by Java and RE2: scheme (case-
     * insensitive — shouty spam links are exactly what domain blocklists

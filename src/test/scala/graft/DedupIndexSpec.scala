@@ -145,6 +145,48 @@ class DedupIndexSpec extends SparkSpec {
       .count() === m2.state.count())
   }
 
+  test("compaction preserves batch provenance: an unmarked batch " +
+    "replayed AFTER compaction recomputes identically instead of " +
+    "self-colliding on its own re-tagged rows") {
+    val b0 = docs.filter($"doc_id" < 200)
+    val b1 = docs.filter($"doc_id" >= 200)
+    val outDir = java.nio.file.Files.createTempDirectory("ditc_out")
+      .toString
+    def outIds(id: Long): Seq[Long] =
+      spark.read.parquet(s"$outDir/batch=$id").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+
+    DedupIndex.writeState(
+      Dedup.minhashSignature(b0.limit(0), "text", "doc_id"),
+      "doc_id", "ditc")
+    DedupIndex.ingestBatchOverIndex(b0, 0L, "ditc", outDir,
+      "text", "doc_id", 0.8)
+
+    // batch 1 crashes INSIDE the unhealed window: output written, state
+    // appended, marker never created
+    val st = DedupIndex.neardupDeltaOverIndex(spark, "ditc", b1,
+      "text", "doc_id", 0.8, belowBatch = Some(1L))
+    st.kept.write.mode("overwrite").parquet(s"$outDir/batch=1")
+    DedupIndex.appendState(st.state, "doc_id", "ditc", batchId = 1L)
+    val before = outIds(1L)
+    assert(before.nonEmpty)
+
+    // out-of-band compaction between waves — batch 1's ids are in its
+    // kept output, so its rows survive AND must keep _ib = 1 (a -1
+    // re-stamp would make the replay below see them as prior state)
+    DedupIndex.compactState(spark, "ditc", "doc_id", outDir)
+    assert(spark.table("ditc_sigs").filter(col("_ib") === 1L).count()
+      === st.state.count())
+
+    // the at-least-once driver re-delivers the unmarked batch: the
+    // pre-append view must still hide batch 1's own rows, so the kept
+    // set recomputes exactly (the bug mode was an EMPTY overwrite —
+    // every doc flagged as a dup of its own compacted signature)
+    DedupIndex.ingestBatchOverIndex(b1, 1L, "ditc", outDir,
+      "text", "doc_id", 0.8)
+    assert(outIds(1L) === before)
+  }
+
   test("neardup_over_index TVF equals the Scala API over the same " +
     "stored index") {
     val b1 = docs.filter($"doc_id" < 200)
