@@ -47,8 +47,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `repetition_stats`, `quality_slices`, `url_domains`,
   * `domain_report`, `dsir_weights`,
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
-  * `pii_stats`, `pii_redact`, `decontam`, `hll_buckets`,
-  * `label_propagate` — e.g.
+  * `pii_stats`, `pii_redact`, `decontam`, `decontam_over_index`,
+  * `hll_buckets`, `label_propagate` — e.g.
   * {{{
   *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
   *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
@@ -538,6 +538,16 @@ object GraftExtensions {
           if (args.length == 3) graft.llm.Dedup.simhashNearDups(d, tc, ic)
           else graft.llm.Dedup.simhashNearDups(d, tc, ic,
             bits = lit2int(args(3), u), maxHamming = lit2int(args(4), u)))
+      },
+      "decontam_over_index" -> { args =>
+        val u = "usage: decontam_over_index('train_table', " +
+          "'index_dir', 'text_col', 'id_col')"
+        require(args.length == 4, u)
+        val Seq(t, d, tc, ic) = args.map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.DecontamIndex.contaminatedDocsOverIndex(
+          s.table(t), graft.llm.DecontamIndex.readBenchIndex(s, d),
+          tc, ic))
       },
       "hll_buckets" -> { args =>
         val u = "usage: hll_buckets('table', 'value_col'[, p])"

@@ -1696,6 +1696,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // x11 served from the PERSISTED benchmark artifact (the d11/a17
+    // encode-once story for decontamination): the bench side's distinct
+    // grams + Bloom sketch + shingle width are written once and read
+    // back, the train side probes the stored sketch map-side and
+    // verifies against the stored gram table — zero bench scans at
+    // screening time, bit-identical output, x11's oracle verbatim.
+    "x85_decontam_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("x85_bench_idx").toString
+      DecontamIndex.writeBenchIndex(
+        d.filter(col("source") === "src0"), "text", "doc_id", idxDir,
+        k = 4, expectedGrams = 1L << 17)
+      DecontamIndex.contaminatedDocsOverIndex(
+          d.filter(col("source") =!= "src0"),
+          DecontamIndex.readBenchIndex(s, idxDir), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // C4-style line-level boilerplate removal. The word-soup corpus has no
     // organic line structure, so the query plants it deterministically in
     // BOTH engines: every doc becomes three lines — a unique content
@@ -4733,6 +4752,20 @@ object LlmQueries {
           SELECT t.doc_id, t.n_grams, s.n_shared_grams,
                  CAST(s.n_shared_grams AS DOUBLE) / t.n_grams AS overlap_frac
           FROM tot t JOIN sh s USING (doc_id) ORDER BY doc_id""",
+    // x85 must reproduce x11 exactly (the stored sketch only prunes;
+    // the stored gram table is the same exact verify side) — same
+    // oracle as x11/x21.
+    "x85_decontam_index" ->
+      s"""WITH toks AS (SELECT doc_id, source, $duckToks AS w FROM documents),
+              pos AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 2)) AS i
+                      FROM toks WHERE len(w) >= 4),
+              grams AS (SELECT DISTINCT doc_id, source,
+                          array_to_string(w[i:i+3], ' ') AS g FROM pos),
+              bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+          SELECT doc_id, count(*) AS n_shared_grams
+          FROM grams JOIN bench USING (g)
+          WHERE source <> 'src0'
+          GROUP BY doc_id ORDER BY doc_id""",
     // x21 must reproduce x11 exactly (the Bloom sketch only prunes the
     // shuffle; false positives die in the verify join) — same oracle.
     "x21_decontam_bloom" ->

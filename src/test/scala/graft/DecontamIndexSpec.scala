@@ -1,0 +1,60 @@
+package graft
+
+import graft.llm.{Corpus, DecontamIndex}
+import org.apache.spark.sql.functions._
+
+/** The persisted decontamination artifact: screening over the stored
+  * index must be bit-identical to the fresh exact operator (the Bloom
+  * sketch only prunes), the shingle width must travel with the
+  * artifact, and re-registration must replace cleanly. */
+class DecontamIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val bench = docs.filter(col("source") === "src0")
+  private lazy val train = docs.filter(col("source") =!= "src0")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("doc_id", "n_shared_grams").as[(Long, Long)]
+      .collect().sorted.toSeq
+
+  test("screening over the stored artifact == fresh exact == fresh " +
+    "Bloom, and the artifact k wins over any caller assumption") {
+    val dir = java.nio.file.Files.createTempDirectory("dcidx").toString
+    DecontamIndex.writeBenchIndex(bench, "text", "doc_id", dir,
+      k = 4, expectedGrams = 1L << 16)
+    val idx = DecontamIndex.readBenchIndex(spark, dir)
+    assert(idx.k === 4)
+    val overIndex = rows(
+      DecontamIndex.contaminatedDocsOverIndex(train, idx, "text", "doc_id"))
+    assert(overIndex ===
+      rows(Corpus.contaminatedDocs(train, bench, "text", "doc_id", k = 4)))
+    assert(overIndex ===
+      rows(Corpus.contaminatedDocsBloom(train, bench, "text", "doc_id",
+        k = 4, expectedBenchGrams = 1L << 16)))
+    assert(overIndex.nonEmpty) // the corpus has organic 4-gram overlap
+
+    // re-registration with a different width REPLACES the artifact and
+    // the new k rides with it — a k=6 screen is a different (smaller)
+    // hit set, proving the probe used the stored width, not a default
+    DecontamIndex.writeBenchIndex(bench, "text", "doc_id", dir,
+      k = 6, expectedGrams = 1L << 16)
+    val idx6 = DecontamIndex.readBenchIndex(spark, dir)
+    assert(idx6.k === 6)
+    assert(rows(DecontamIndex.contaminatedDocsOverIndex(train, idx6,
+      "text", "doc_id")) ===
+      rows(Corpus.contaminatedDocs(train, bench, "text", "doc_id", k = 6)))
+  }
+
+  test("metadata records the build parameters and the gram count") {
+    val dir = java.nio.file.Files.createTempDirectory("dcidx_m").toString
+    DecontamIndex.writeBenchIndex(bench, "text", "doc_id", dir,
+      k = 4, expectedGrams = 1L << 16, fpp = 0.02)
+    val m = spark.read.parquet(s"$dir/meta")
+      .select("k", "fpp", "expected_grams", "n_grams")
+      .as[(Int, Double, Long, Long)].head()
+    assert(m._1 === 4 && m._2 === 0.02 && m._3 === (1L << 16))
+    assert(m._4 === spark.read.parquet(s"$dir/grams").count())
+  }
+}

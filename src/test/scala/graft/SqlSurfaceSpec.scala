@@ -344,8 +344,24 @@ class SqlSurfaceSpec extends SparkSpec {
       val err = intercept[Exception](
         spark.sql("SELECT * FROM hll_buckets('tvf5_toks')"))
       assert(err.getMessage.contains("usage: hll_buckets"))
+      // stored decontamination artifact from pure SQL
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("tvf5_dcidx").toString
+      graft.llm.DecontamIndex.writeBenchIndex(
+        docs.filter(col("source") === "src0"), "text", "doc_id",
+        idxDir, k = 4, expectedGrams = 1L << 16)
+      docs.filter(col("source") =!= "src0")
+        .createOrReplaceTempView("tvf5_train")
+      check(s"SELECT * FROM decontam_over_index('tvf5_train', " +
+          s"'$idxDir', 'text', 'doc_id')",
+        graft.llm.DecontamIndex.contaminatedDocsOverIndex(
+          docs.filter(col("source") =!= "src0"),
+          graft.llm.DecontamIndex.readBenchIndex(spark, idxDir),
+          "text", "doc_id"))
     } finally {
-      Seq("tvf5_toks", "tvf5_emb", "tvf5_seeds")
+      Seq("tvf5_toks", "tvf5_emb", "tvf5_seeds", "tvf5_train")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
     }
