@@ -68,6 +68,57 @@ object DecontamIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
+  /** Register ADDITIONAL benchmark documents into an existing artifact
+    * — eval suites grow, and re-registering the union from scratch
+    * re-pays every prior suite's scan. Only the new suite is shingled:
+    * its novel grams (anti-joined against the stored table, preserving
+    * the table's DISTINCT invariant — duplicate gram rows would
+    * double-count `n_shared_grams` in the verify join) are appended,
+    * and a sketch of the new grams is `mergeInPlace`d into the stored
+    * Bloom (built with the STORED expected/fpp so the bit layouts are
+    * compatible).
+    *
+    * Write order is the crash-safety contract: the merged Bloom lands
+    * FIRST (a sketch that over-approximates the gram table only admits
+    * extra candidates, which the verify join removes; one that
+    * under-approximates would silently drop true hits), then the gram
+    * append, then the metadata row. A replayed append is harmless: the
+    * anti-join re-appends nothing and the Bloom merge is idempotent. */
+  def appendBenchIndex(bench: DataFrame, textCol: String, idCol: String,
+      dir: String): Unit = {
+    val spark = bench.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("k", "fpp", "expected_grams", "n_grams")
+      .head()
+    val (k, fpp, expected) = (meta.getInt(0), meta.getDouble(1),
+      meta.getLong(2))
+    val stored = spark.read.parquet(s"$dir/grams")
+    val newGrams = graft.operators.Lineage.cut(
+      Dedup.shingleRows(bench, textCol, idCol, k)
+        .select(col("s")).distinct()
+        .join(stored, Seq("s"), "left_anti"))
+    val nNew = newGrams.count()
+    if (nNew > 0) {
+      val prior = readBenchIndex(spark, dir)
+      val bfPrior = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(prior.bloomBytes))
+      val bfNew = newGrams.select(xxhash64(col("s")).as("h"))
+        .stat.bloomFilter("h", expected, fpp)
+      bfPrior.mergeInPlace(bfNew)
+      val bos = new java.io.ByteArrayOutputStream()
+      bfPrior.writeTo(bos)
+      val path = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(path, true)
+      try out.write(bos.toByteArray) finally out.close()
+      newGrams.write.mode(SaveMode.Append).parquet(s"$dir/grams")
+      import spark.implicits._
+      Seq((k, fpp, expected, meta.getLong(3) + nNew))
+        .toDF("k", "fpp", "expected_grams", "n_grams")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    }
+  }
+
   /** Load a stored artifact. The gram table comes back lazy (scanned
     * only by the verify join, with the Bloom prune ahead of it); the
     * sketch bytes and `k` are read eagerly — both are small. */

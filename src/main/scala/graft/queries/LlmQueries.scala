@@ -1715,6 +1715,28 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // x85's artifact grown INCREMENTALLY (the a18 index-append story
+    // for decontamination): the benchmark registers in two waves —
+    // even-id docs at build, odd-id docs appended (novel grams
+    // anti-joined in, the Bloom merged in place) — and screening over
+    // the grown artifact must equal one-shot registration of the whole
+    // suite: x11's oracle verbatim again.
+    "x86_decontam_append" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("source") === "src0")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("x86_bench_idx").toString
+      DecontamIndex.writeBenchIndex(
+        bench.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        idxDir, k = 4, expectedGrams = 1L << 17)
+      DecontamIndex.appendBenchIndex(
+        bench.filter(col("doc_id") % 2 === 1), "text", "doc_id", idxDir)
+      DecontamIndex.contaminatedDocsOverIndex(
+          d.filter(col("source") =!= "src0"),
+          DecontamIndex.readBenchIndex(s, idxDir), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // C4-style line-level boilerplate removal. The word-soup corpus has no
     // organic line structure, so the query plants it deterministically in
     // BOTH engines: every doc becomes three lines — a unique content
@@ -4756,6 +4778,19 @@ object LlmQueries {
     // the stored gram table is the same exact verify side) — same
     // oracle as x11/x21.
     "x85_decontam_index" ->
+      s"""WITH toks AS (SELECT doc_id, source, $duckToks AS w FROM documents),
+              pos AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 2)) AS i
+                      FROM toks WHERE len(w) >= 4),
+              grams AS (SELECT DISTINCT doc_id, source,
+                          array_to_string(w[i:i+3], ' ') AS g FROM pos),
+              bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+          SELECT doc_id, count(*) AS n_shared_grams
+          FROM grams JOIN bench USING (g)
+          WHERE source <> 'src0'
+          GROUP BY doc_id ORDER BY doc_id""",
+    // x86's two-wave registration must converge to the same artifact
+    // as one-shot registration — x11's oracle a third time.
+    "x86_decontam_append" ->
       s"""WITH toks AS (SELECT doc_id, source, $duckToks AS w FROM documents),
               pos AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 2)) AS i
                       FROM toks WHERE len(w) >= 4),

@@ -47,6 +47,36 @@ class DecontamIndexSpec extends SparkSpec {
       rows(Corpus.contaminatedDocs(train, bench, "text", "doc_id", k = 6)))
   }
 
+  test("incremental registration: append == one-shot rebuild, replayed " +
+    "appends are no-ops, and disjoint-suite appends only grow") {
+    val half1 = bench.filter(col("doc_id") % 2 === 0)
+    val half2 = bench.filter(col("doc_id") % 2 === 1)
+    val grown = java.nio.file.Files.createTempDirectory("dcidx_a").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("dcidx_b").toString
+    DecontamIndex.writeBenchIndex(half1, "text", "doc_id", grown,
+      k = 4, expectedGrams = 1L << 16)
+    DecontamIndex.appendBenchIndex(half2, "text", "doc_id", grown)
+    DecontamIndex.writeBenchIndex(bench, "text", "doc_id", oneShot,
+      k = 4, expectedGrams = 1L << 16)
+    // same gram set, same metadata count, same screening result
+    val gGrown = spark.read.parquet(s"$grown/grams")
+    val gOne = spark.read.parquet(s"$oneShot/grams")
+    assert(gGrown.count() === gGrown.distinct().count()) // invariant held
+    assert(gGrown.count() === gOne.count())
+    assert(gGrown.join(gOne, Seq("s"), "left_anti").isEmpty)
+    val screenGrown = rows(DecontamIndex.contaminatedDocsOverIndex(
+      train, DecontamIndex.readBenchIndex(spark, grown), "text", "doc_id"))
+    assert(screenGrown === rows(DecontamIndex.contaminatedDocsOverIndex(
+      train, DecontamIndex.readBenchIndex(spark, oneShot),
+      "text", "doc_id")))
+    // replayed append: nothing re-appends (anti-join), screening stable
+    DecontamIndex.appendBenchIndex(half2, "text", "doc_id", grown)
+    assert(spark.read.parquet(s"$grown/grams").count() === gOne.count())
+    assert(rows(DecontamIndex.contaminatedDocsOverIndex(train,
+      DecontamIndex.readBenchIndex(spark, grown), "text", "doc_id"))
+      === screenGrown)
+  }
+
   test("metadata records the build parameters and the gram count") {
     val dir = java.nio.file.Files.createTempDirectory("dcidx_m").toString
     DecontamIndex.writeBenchIndex(bench, "text", "doc_id", dir,
