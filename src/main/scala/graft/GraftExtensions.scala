@@ -48,7 +48,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `domain_report`, `dsir_weights`,
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
   * `pii_stats`, `pii_redact`, `decontam`, `decontam_over_index`,
-  * `hll_buckets`, `label_propagate` — e.g.
+  * `hll_buckets`, `label_propagate`, `perceptron_step` — e.g.
   * {{{
   *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
   *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
@@ -548,6 +548,15 @@ object GraftExtensions {
         plan(graft.llm.DecontamIndex.contaminatedDocsOverIndex(
           s.table(t), graft.llm.DecontamIndex.readBenchIndex(s, d),
           tc, ic))
+      },
+      "perceptron_step" -> { args =>
+        val u = "usage: perceptron_step('table', 'text_col', 'id_col', " +
+          "'label_col'[, buckets])"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(t, tc, ic, lc) = args.take(4).map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.perceptronStep(
+          SparkSession.active.table(t), tc, ic, lc,
+          args.lift(4).map(lit2int(_, u)).getOrElse(1024)))
       },
       "hll_buckets" -> { args =>
         val u = "usage: hll_buckets('table', 'value_col'[, p])"

@@ -1027,27 +1027,8 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets ($buckets) must be positive")
     require(threshDen > 0, s"threshDen ($threshDen) must be positive")
-    val tk = df.select(col(idCol),
-        filter(tokens(coalesce(col(textCol), lit(""))),
-          x => length(x) > 0).as("_tk"))
-    // features exploded to rows so the md5 stays codegen'd (never inside
-    // an interpreted higher-order lambda — the Hashing.hex32 contract)
-    val uni = tk.filter(size(col("_tk")) >= 1)
-      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")))))
-      .select(col(idCol), (Hashing.hex32(concat(lit("u:"),
-        element_at(col("_tk"), col("_p")))) % buckets).as("_b"))
-    val bi = tk.filter(size(col("_tk")) >= 2)
-      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
-      .select(col(idCol), (Hashing.hex32(concat_ws(" ",
-        concat(lit("b:"), element_at(col("_tk"), col("_p"))),
-        element_at(col("_tk"), col("_p") + 1))) % buckets).as("_b"))
-    val weights = df.sparkSession.range(buckets.toLong)
-      .select(col("id").as("_b"),
-        (Hashing.hex32(concat(lit("qcw:"), col("id").cast("string")))
-          % 17 - 8).as("_w"))
-    val agg = uni.unionByName(bi)
-      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m"))
-      .join(broadcast(weights), "_b")
+    val agg = hashedFeatureCounts(df, textCol, idCol, buckets)
+      .join(broadcast(frozenWeights(df.sparkSession, buckets)), "_b")
       .groupBy(col(idCol))
       .agg(sum("_m").cast("long").as("n_feats"),
         sum(col("_m") * col("_w")).cast("long").as("margin"))
@@ -1058,5 +1039,87 @@ object TextAnalysis {
         col("margin").cast("double") / col("n_feats").cast("double")))
       .withColumn("pass", col("n_feats") > 0 &&
         col("margin") * threshDen >= col("n_feats") * threshNum)
+  }
+
+  /** The shared hashed unigram+bigram feature extraction of the linear
+    * classifier family ([[linearQualityScore]] scoring,
+    * [[perceptronStep]] training): per-doc bucket counts (idCol, _b,
+    * _m). Features exploded to rows so the md5 stays codegen'd (never
+    * inside an interpreted higher-order lambda — the Hashing.hex32
+    * contract). */
+  private def hashedFeatureCounts(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, buckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = df.select(col(idCol),
+        filter(tokens(coalesce(col(textCol), lit(""))),
+          x => length(x) > 0).as("_tk"))
+    val uni = tk.filter(size(col("_tk")) >= 1)
+      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")))))
+      .select(col(idCol), (Hashing.hex32(concat(lit("u:"),
+        element_at(col("_tk"), col("_p")))) % buckets).as("_b"))
+    val bi = tk.filter(size(col("_tk")) >= 2)
+      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
+      .select(col(idCol), (Hashing.hex32(concat_ws(" ",
+        concat(lit("b:"), element_at(col("_tk"), col("_p"))),
+        element_at(col("_tk"), col("_p") + 1))) % buckets).as("_b"))
+    uni.unionByName(bi)
+      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m"))
+  }
+
+  /** The frozen md5-derived integer weight table (_b, _w in [−8, 8]) —
+    * the deterministic "pretrained" initialization both engines derive
+    * from the same constants. */
+  private def frozenWeights(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    spark.range(buckets.toLong)
+      .select(col("id").as("_b"),
+        (Hashing.hex32(concat(lit("qcw:"), col("id").cast("string")))
+          % 17 - 8).as("_w"))
+
+  /** ONE distributed batch-perceptron update of the hashed linear
+    * classifier — the TRAINING half [[linearQualityScore]] infers with
+    * (the a5 k-means pattern applied to supervised learning: the
+    * corpus-scale accumulation is certified; driving it to convergence
+    * is a driver-side loop over vocabulary-sized tables). All-integer
+    * by construction, so the oracle replays every decision: labels are
+    * ±1, a document is misclassified iff `label · margin ≤ 0` (margin
+    * from `weights`, the frozen init by default), and the gradient is
+    * the classic perceptron sum `Σ label · count` per bucket over
+    * misclassified documents only, applied at learning rate 1.
+    *
+    * Scale shape: one feature pass over the corpus (shared extraction
+    * with the scorer), margins from a broadcast weight join + per-doc
+    * rollup, the gradient one bucket-keyed aggregate — output is
+    * `buckets` rows regardless of corpus size. Featureless documents
+    * count as misclassified (margin 0) but contribute no gradient.
+    *
+    * @param labelCol ±1 integer label column of `df`
+    * @return (bucket, w_old, grad, w_new = w_old + grad) — all
+    *         `buckets` rows, zero grad where no misclassified doc
+    *         touched the bucket
+    */
+  def perceptronStep(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, labelCol: String, buckets: Int = 1024,
+      weights: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val w0 = weights.getOrElse(frozenWeights(df.sparkSession, buckets))
+    val feats = graft.operators.Lineage.cut(
+      hashedFeatureCounts(df, textCol, idCol, buckets))
+    val margins = feats
+      .join(broadcast(w0), "_b")
+      .groupBy(col(idCol))
+      .agg(sum(col("_m") * col("_w")).cast("long").as("_margin"))
+    val mis = df.select(col(idCol), col(labelCol).cast("long").as("_y"))
+      .join(margins, Seq(idCol), "left")
+      .filter(col("_y") * coalesce(col("_margin"), lit(0L)) <= 0)
+      .select(col(idCol), col("_y"))
+    val grad = feats.join(mis, Seq(idCol))
+      .groupBy(col("_b"))
+      .agg(sum(col("_y") * col("_m")).cast("long").as("grad"))
+    w0.join(grad, Seq("_b"), "left")
+      .select(col("_b").as("bucket"), col("_w").cast("long").as("w_old"),
+        coalesce(col("grad"), lit(0L)).as("grad"))
+      .withColumn("w_new", col("w_old") + col("grad"))
   }
 }

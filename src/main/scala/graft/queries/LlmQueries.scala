@@ -1279,6 +1279,20 @@ object LlmQueries {
         .orderBy("key")
     }),
 
+    // ONE distributed batch-perceptron update of the hashed linear
+    // classifier — the TRAINING half of x78 (the a5 k-means pattern for
+    // supervised learning). Labels ±1 by source, misclassified ⟺
+    // label·margin ≤ 0 against the frozen init, gradient = Σ label·count
+    // per bucket over misclassified docs — all integer, every decision
+    // replayed.
+    "x87_perceptron_step" -> ((s, dir) => {
+      graft.llm.TextAnalysis.perceptronStep(
+          t(s, dir, "documents").withColumn("y",
+            when(col("source") === "src1", 1).otherwise(-1)),
+          "text", "doc_id", "y")
+        .orderBy("bucket")
+    }),
+
     // Frozen hashed-linear quality classifier (fastText-style scoring):
     // hashed unigram+bigram counts × a frozen md5-derived integer weight
     // table; margin and the pass decision are pure integer arithmetic
@@ -3839,6 +3853,30 @@ object LlmQueries {
                 sqrt(CAST(n_docs AS DOUBLE)) AS scaled,
                 sqrt(CAST(n_docs AS DOUBLE)) / t.total AS rate
          FROM g, t ORDER BY key""",
+    // x78's feature/weight CTEs, then the perceptron decision chain:
+    // per-doc margins, the label·margin ≤ 0 misclassified set
+    // (featureless docs included via the left join's coalesce), and the
+    // bucket-keyed integer gradient at learning rate 1.
+    "x87_perceptron_step" ->
+      s"""WITH $duckQcCtes,
+              lab AS (SELECT doc_id,
+                        CASE WHEN source = 'src1' THEN 1 ELSE -1 END AS y
+                      FROM documents),
+              marg AS (SELECT db.doc_id,
+                         CAST(sum(db.m * wt.w) AS BIGINT) AS margin
+                       FROM db JOIN wt ON db.b = wt.b GROUP BY 1),
+              mis AS (SELECT l.doc_id, l.y
+                      FROM lab l LEFT JOIN marg m ON l.doc_id = m.doc_id
+                      WHERE l.y * coalesce(m.margin, 0) <= 0),
+              grad AS (SELECT db.b,
+                         CAST(sum(mis.y * db.m) AS BIGINT) AS grad
+                       FROM db JOIN mis ON db.doc_id = mis.doc_id
+                       GROUP BY 1)
+         SELECT wt.b AS bucket, CAST(wt.w AS BIGINT) AS w_old,
+                coalesce(grad.grad, 0) AS grad,
+                CAST(wt.w AS BIGINT) + coalesce(grad.grad, 0) AS w_new
+         FROM wt LEFT JOIN grad ON wt.b = grad.b
+         ORDER BY bucket""",
     // Same md5 feature hashing ('u:'/'b:' prefixes), same md5-derived
     // frozen weight table, same integer margin + cross-multiplied
     // decision; score is the one shared IEEE division.

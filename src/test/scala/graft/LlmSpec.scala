@@ -2312,6 +2312,56 @@ class LlmSpec extends SparkSpec {
       bk >= 0 && bk < 64 && r >= 1 && r <= 27 })
   }
 
+  test("perceptron step: full driver-side replay (md5 features, frozen " +
+    "init, mis set, gradient), featureless docs mis but gradient-free") {
+    def md5hex32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val buckets = 1024
+    def feats(text: String): Map[Long, Long] = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val fs = tk.map("u:" + _) ++
+        tk.sliding(2).filter(_.size == 2).map(p => s"b:${p(0)} ${p(1)}")
+      fs.groupBy(f => md5hex32(f) % buckets)
+        .map { case (b, v) => b -> v.size.toLong }
+    }
+    val w0 = (0L until buckets).map(b =>
+      b -> (md5hex32(s"qcw:$b") % 17 - 8)).toMap
+    val lab = docs.withColumn("y",
+      when(col("source") === "src1", 1).otherwise(-1))
+    val rows = lab.select("doc_id", "text", "y")
+      .as[(Long, String, Int)].collect().toSeq
+    // reference: margins -> misclassified -> bucket gradient
+    val grad = new scala.collection.mutable.HashMap[Long, Long]()
+    rows.foreach { case (_, text, y) =>
+      val f = feats(Option(text).getOrElse(""))
+      val margin = f.map { case (b, m) => m * w0(b) }.sum
+      if (y * margin <= 0)
+        f.foreach { case (b, m) =>
+          grad(b) = grad.getOrElse(b, 0L) + y * m }
+    }
+    val out = TextAnalysis.perceptronStep(lab, "text", "doc_id", "y")
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.size === buckets)
+    out.foreach { case (b, wo, g, wn) =>
+      assert(wo === w0(b), s"w_old bucket $b")
+      assert(g === grad.getOrElse(b, 0L), s"grad bucket $b")
+      assert(wn === wo + g, s"w_new bucket $b")
+    }
+    assert(out.exists(_._3 != 0)) // the frozen init misclassifies some
+    // a featureless doc is misclassified (margin 0) but moves nothing:
+    // adding it changes no gradient
+    val plus = lab.unionByName(Seq((999999L, "   ", "srcX", "xx", 3L, 1))
+      .toDF("doc_id", "text", "source", "lang", "n_chars", "y")
+      .select(lab.columns.map(col).toIndexedSeq: _*))
+    val out2 = TextAnalysis.perceptronStep(plus, "text", "doc_id", "y")
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out2 === out)
+  }
+
   test("label propagation: majority vote over the kNN graph replayed " +
     "driver-side, seeds-only votes, vote counts bounded by k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

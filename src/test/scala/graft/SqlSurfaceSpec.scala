@@ -341,12 +341,17 @@ class SqlSurfaceSpec extends SparkSpec {
           "'vec_id', 'embedding', 'label', 5)",
         Similarity.propagateLabels(emb, seeds, "vec_id", "embedding",
           "label", k = 5))
+      val labeled = docs.withColumn("y",
+        when(col("source") === "src1", 1).otherwise(-1))
+      labeled.createOrReplaceTempView("tvf5_lab")
+      check("SELECT * FROM perceptron_step('tvf5_lab', 'text', " +
+          "'doc_id', 'y')",
+        graft.llm.TextAnalysis.perceptronStep(labeled, "text",
+          "doc_id", "y"))
       val err = intercept[Exception](
         spark.sql("SELECT * FROM hll_buckets('tvf5_toks')"))
       assert(err.getMessage.contains("usage: hll_buckets"))
       // stored decontamination artifact from pure SQL
-      val docs = spark.read
-        .parquet("/root/testdata/sf0.001/documents.parquet")
       val idxDir = java.nio.file.Files
         .createTempDirectory("tvf5_dcidx").toString
       graft.llm.DecontamIndex.writeBenchIndex(
@@ -361,7 +366,8 @@ class SqlSurfaceSpec extends SparkSpec {
           graft.llm.DecontamIndex.readBenchIndex(spark, idxDir),
           "text", "doc_id"))
     } finally {
-      Seq("tvf5_toks", "tvf5_emb", "tvf5_seeds", "tvf5_train")
+      Seq("tvf5_toks", "tvf5_emb", "tvf5_seeds", "tvf5_train",
+        "tvf5_lab")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
     }
