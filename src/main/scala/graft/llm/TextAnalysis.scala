@@ -1106,20 +1106,74 @@ object TextAnalysis {
     val w0 = weights.getOrElse(frozenWeights(df.sparkSession, buckets))
     val feats = graft.operators.Lineage.cut(
       hashedFeatureCounts(df, textCol, idCol, buckets))
-    val margins = feats
-      .join(broadcast(w0), "_b")
-      .groupBy(col(idCol))
-      .agg(sum(col("_m") * col("_w")).cast("long").as("_margin"))
-    val mis = df.select(col(idCol), col(labelCol).cast("long").as("_y"))
-      .join(margins, Seq(idCol), "left")
-      .filter(col("_y") * coalesce(col("_margin"), lit(0L)) <= 0)
-      .select(col(idCol), col("_y"))
-    val grad = feats.join(mis, Seq(idCol))
-      .groupBy(col("_b"))
-      .agg(sum(col("_y") * col("_m")).cast("long").as("grad"))
+    val labels = df.select(col(idCol), col(labelCol).cast("long").as("_y"))
+    val grad = perceptronRound(feats, labels, w0, idCol)._2
     w0.join(grad, Seq("_b"), "left")
       .select(col("_b").as("bucket"), col("_w").cast("long").as("w_old"),
         coalesce(col("grad"), lit(0L)).as("grad"))
       .withColumn("w_new", col("w_old") + col("grad"))
+  }
+
+  /** One perceptron decision chain off prepared inputs: per-doc bucket
+    * counts `feats` (idCol, _b, _m), `labels` (idCol, _y ∈ {−1, +1}),
+    * the current weight table `w` (_b, _w). Returns the misclassified
+    * set (idCol, _y) and the gradient (_b, grad) over touched buckets.
+    * Defined ONCE for [[perceptronStep]] and [[perceptronTrain]], for
+    * the same reason as the Gopher signal block. */
+  private def perceptronRound(feats: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame, idCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val margins = feats
+      .join(broadcast(w), "_b")
+      .groupBy(col(idCol))
+      .agg(sum(col("_m") * col("_w")).cast("long").as("_margin"))
+    val mis = labels
+      .join(margins, Seq(idCol), "left")
+      .filter(col("_y") * coalesce(col("_margin"), lit(0L)) <= 0)
+      .select(col(idCol), col("_y"))
+    (mis, feats.join(mis, Seq(idCol))
+      .groupBy(col("_b"))
+      .agg(sum(col("_y") * col("_m")).cast("long").as("grad")))
+  }
+
+  /** [[perceptronStep]] driven for `steps` rounds — training to (toward)
+    * convergence, with the x57 "certify the loop" discipline: the
+    * gradient chain re-runs against each round's UPDATED weights, and
+    * the per-round summary is all-integer so the driver's oracle replays
+    * every round as chained SQL. Like [[Bpe.train]], the round loop is
+    * driver-side and vocabulary-scale: each round's driver work is two
+    * `buckets`-row aggregates; the corpus-scale feature extraction runs
+    * ONCE (lineage-cut) and every round reuses it.
+    *
+    * @return one row per round: (step 1.., n_mis = misclassified docs
+    *         BEFORE the update, n_moved = buckets whose weight changed,
+    *         w_l1 = Σ|w| AFTER the update)
+    */
+  def perceptronTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, labelCol: String, steps: Int, buckets: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(steps >= 1, s"steps ($steps) must be >= 1")
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val spark = df.sparkSession
+    val feats = graft.operators.Lineage.cut(
+      hashedFeatureCounts(df, textCol, idCol, buckets))
+    val labels = graft.operators.Lineage.cut(
+      df.select(col(idCol), col(labelCol).cast("long").as("_y")))
+    var w = frozenWeights(spark, buckets)
+    val rounds = (1 to steps).map { step =>
+      val (mis, grad0) = perceptronRound(feats, labels, w, idCol)
+      val grad = graft.operators.Lineage.cut(grad0)
+      val nMis = mis.count()
+      val nMoved = grad.filter(col("grad") =!= 0L).count()
+      w = graft.operators.Lineage.cut(
+        w.join(grad, Seq("_b"), "left")
+          .select(col("_b"),
+            (col("_w") + coalesce(col("grad"), lit(0L))).as("_w")))
+      val l1 = w.agg(sum(abs(col("_w"))).cast("long")).head().getLong(0)
+      (step, nMis, nMoved, l1)
+    }
+    import spark.implicits._
+    rounds.toDF("step", "n_mis", "n_moved", "w_l1")
   }
 }

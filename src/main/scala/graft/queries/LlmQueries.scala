@@ -1293,6 +1293,18 @@ object LlmQueries {
         .orderBy("bucket")
     }),
 
+    // The x87 update driven for THREE rounds against each round's
+    // updated weights (the x57 certify-the-loop discipline): per-round
+    // misclassified count, moved-bucket count, and the post-update
+    // weight L1 — all integer, the oracle chains the per-round CTEs.
+    "x88_perceptron_train" -> ((s, dir) => {
+      graft.llm.TextAnalysis.perceptronTrain(
+          t(s, dir, "documents").withColumn("y",
+            when(col("source") === "src1", 1).otherwise(-1)),
+          "text", "doc_id", "y", steps = 3)
+        .orderBy("step")
+    }),
+
     // Frozen hashed-linear quality classifier (fastText-style scoring):
     // hashed unigram+bigram counts × a frozen md5-derived integer weight
     // table; margin and the pass decision are pure integer arithmetic
@@ -1998,6 +2010,48 @@ object LlmQueries {
               agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
                         CAST(sum(m * w) AS BIGINT) AS margin
                       FROM db JOIN wt USING (b) GROUP BY 1)"""
+
+  /** x88's generated per-round CTE chain (the x57 certify-the-loop
+    * pattern for classifier training): round i derives margins from
+    * round i−1's weights, the misclassified set, the integer gradient,
+    * the updated weight table, and the round's summary row. */
+  private def duckPerceptronTrainSql(steps: Int): String = {
+    val roundCtes = (1 to steps).map { i =>
+      s"""marg$i AS (SELECT db.doc_id,
+                       CAST(sum(db.m * w${i - 1}.w) AS BIGINT) AS margin
+                     FROM db JOIN w${i - 1} ON db.b = w${i - 1}.b
+                     GROUP BY 1),
+              mis$i AS (SELECT l.doc_id, l.y
+                        FROM lab l LEFT JOIN marg$i m
+                          ON l.doc_id = m.doc_id
+                        WHERE l.y * coalesce(m.margin, 0) <= 0),
+              grad$i AS (SELECT db.b,
+                           CAST(sum(mis$i.y * db.m) AS BIGINT) AS g
+                         FROM db JOIN mis$i ON db.doc_id = mis$i.doc_id
+                         GROUP BY 1),
+              w$i AS (SELECT w${i - 1}.b,
+                        w${i - 1}.w + coalesce(grad$i.g, 0) AS w
+                      FROM w${i - 1} LEFT JOIN grad$i
+                        ON w${i - 1}.b = grad$i.b),
+              st$i AS (SELECT $i AS step,
+                         (SELECT count(*) FROM mis$i) AS n_mis,
+                         (SELECT count(*) FROM grad$i WHERE g <> 0)
+                           AS n_moved,
+                         (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w$i)
+                           AS w_l1)"""
+    }.mkString(",\n              ")
+    val union = (1 to steps).map(i => s"SELECT * FROM st$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $duckQcCtes,
+              lab AS (SELECT doc_id,
+                        CASE WHEN source = 'src1' THEN 1 ELSE -1 END AS y
+                      FROM documents),
+              w0 AS (SELECT CAST(b AS BIGINT) AS b, CAST(w AS BIGINT) AS w
+                     FROM wt),
+              $roundCtes
+         SELECT step, n_mis, n_moved, w_l1 FROM ($union)
+         ORDER BY step"""
+  }
 
   /** The w9 composed redaction: PII chain, x75 secret chain, then the
     * x61 card-candidate mask — corpusIngestStep's pinned order. */
@@ -3877,6 +3931,9 @@ object LlmQueries {
                 CAST(wt.w AS BIGINT) + coalesce(grad.grad, 0) AS w_new
          FROM wt LEFT JOIN grad ON wt.b = grad.b
          ORDER BY bucket""",
+    // Three chained rounds of x87's decision arithmetic, generated from
+    // the same step count as the Spark loop.
+    "x88_perceptron_train" -> duckPerceptronTrainSql(3),
     // Same md5 feature hashing ('u:'/'b:' prefixes), same md5-derived
     // frozen weight table, same integer margin + cross-multiplied
     // decision; score is the one shared IEEE division.

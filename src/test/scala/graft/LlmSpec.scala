@@ -2362,6 +2362,52 @@ class LlmSpec extends SparkSpec {
     assert(out2 === out)
   }
 
+  test("perceptron training loop: two rounds replayed driver-side, " +
+    "round 1 consistent with the single step, error drops on round 2") {
+    def md5hex32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val buckets = 1024
+    def feats(text: String): Map[Long, Long] = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val fs = tk.map("u:" + _) ++
+        tk.sliding(2).filter(_.size == 2).map(p => s"b:${p(0)} ${p(1)}")
+      fs.groupBy(f => md5hex32(f) % buckets)
+        .map { case (b, v) => b -> v.size.toLong }
+    }
+    val lab = docs.withColumn("y",
+      when(col("source") === "src1", 1).otherwise(-1))
+    val rows = lab.select("doc_id", "text", "y")
+      .as[(Long, String, Int)].collect().toSeq
+      .map { case (id, t, y) => (id, feats(Option(t).getOrElse("")), y) }
+    var w = (0L until buckets).map(b =>
+      b -> (md5hex32(s"qcw:$b") % 17 - 8)).toMap
+    val expected = (1 to 2).map { step =>
+      val mis = rows.filter { case (_, f, y) =>
+        y * f.map { case (b, m) => m * w(b) }.sum <= 0 }
+      val grad = mis.foldLeft(Map.empty[Long, Long]) {
+        case (g, (_, f, y)) => f.foldLeft(g) { case (g2, (b, m)) =>
+          g2 + (b -> (g2.getOrElse(b, 0L) + y * m)) } }
+      w = w.map { case (b, v) => b -> (v + grad.getOrElse(b, 0L)) }
+      (step, mis.size.toLong, grad.count(_._2 != 0L).toLong,
+        w.values.map(math.abs).sum)
+    }
+    val out = TextAnalysis.perceptronTrain(lab, "text", "doc_id", "y",
+        steps = 2)
+      .orderBy("step").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out === expected)
+    // the first update helps on this corpus
+    assert(out(1)._2 < out(0)._2)
+    // round 1 ≡ the single-step operator's implied summary
+    val step1 = TextAnalysis.perceptronStep(lab, "text", "doc_id", "y")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out(0)._3 === step1.count(_._3 != 0L).toLong)
+    assert(out(0)._4 === step1.map(r => math.abs(r._4)).sum)
+  }
+
   test("label propagation: majority vote over the kNN graph replayed " +
     "driver-side, seeds-only votes, vote counts bounded by k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
