@@ -1152,7 +1152,23 @@ object TextAnalysis {
     */
   def perceptronTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, labelCol: String, steps: Int, buckets: Int = 1024)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    trainLoop(df, textCol, idCol, labelCol, steps, buckets)._1
+
+  /** [[perceptronTrain]]'s final weight table (bucket, w) — what a
+    * caller deploys: feed it to [[classifierEval]] for held-out
+    * evaluation or to [[perceptronStep]]'s `weights` to keep
+    * training. */
+  def perceptronFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, labelCol: String, steps: Int, buckets: Int = 1024)
+      : org.apache.spark.sql.DataFrame =
+    trainLoop(df, textCol, idCol, labelCol, steps, buckets)._2
+      .select(col("_b").as("bucket"), col("_w").as("w"))
+
+  private def trainLoop(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, labelCol: String, steps: Int,
+      buckets: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(steps >= 1, s"steps ($steps) must be >= 1")
     require(buckets > 0, s"buckets ($buckets) must be positive")
     val spark = df.sparkSession
@@ -1174,6 +1190,33 @@ object TextAnalysis {
       (step, nMis, nMoved, l1)
     }
     import spark.implicits._
-    rounds.toDF("step", "n_mis", "n_moved", "w_l1")
+    (rounds.toDF("step", "n_mis", "n_moved", "w_l1"), w)
+  }
+
+  /** Held-out evaluation of a hashed linear classifier: long-format
+    * confusion counts (label, pred, n) of sign-of-margin predictions
+    * (the zero margin predicts −1 — featureless documents can never
+    * claim the positive class) against the true ±1 labels. All
+    * integer; one feature pass over the eval split, margins off a
+    * broadcast weight join, the confusion a 4-row aggregate.
+    *
+    * @param weights (bucket, w) — [[perceptronFit]] output or any
+    *                compatible table
+    */
+  def classifierEval(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, labelCol: String,
+      weights: org.apache.spark.sql.DataFrame, buckets: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val w = weights.select(col("bucket").as("_b"), col("w").as("_w"))
+    val margins = hashedFeatureCounts(df, textCol, idCol, buckets)
+      .join(broadcast(w), "_b")
+      .groupBy(col(idCol))
+      .agg(sum(col("_m") * col("_w")).cast("long").as("_margin"))
+    df.select(col(idCol), col(labelCol).cast("long").as("label"))
+      .join(margins, Seq(idCol), "left")
+      .withColumn("pred",
+        when(coalesce(col("_margin"), lit(0L)) > 0, 1L).otherwise(-1L))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
   }
 }

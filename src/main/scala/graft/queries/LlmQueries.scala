@@ -1305,6 +1305,21 @@ object LlmQueries {
         .orderBy("step")
     }),
 
+    // The trained classifier EVALUATED on a held-out split: x88's loop
+    // fit on even-id docs (2 rounds), sign-of-margin predictions scored
+    // on odd-id docs as a long-format confusion table — train / eval
+    // separation, all integer.
+    "x89_classifier_eval" -> ((s, dir) => {
+      val lab = t(s, dir, "documents").withColumn("y",
+        when(col("source") === "src1", 1).otherwise(-1))
+      val w = graft.llm.TextAnalysis.perceptronFit(
+        lab.filter(col("doc_id") % 2 === 0), "text", "doc_id", "y",
+        steps = 2)
+      graft.llm.TextAnalysis.classifierEval(
+          lab.filter(col("doc_id") % 2 === 1), "text", "doc_id", "y", w)
+        .orderBy("label", "pred")
+    }),
+
     // Frozen hashed-linear quality classifier (fastText-style scoring):
     // hashed unigram+bigram counts × a frozen md5-derived integer weight
     // table; margin and the pass decision are pure integer arithmetic
@@ -2015,19 +2030,25 @@ object LlmQueries {
     * pattern for classifier training): round i derives margins from
     * round i−1's weights, the misclassified set, the integer gradient,
     * the updated weight table, and the round's summary row. */
-  private def duckPerceptronTrainSql(steps: Int): String = {
-    val roundCtes = (1 to steps).map { i =>
-      s"""marg$i AS (SELECT db.doc_id,
-                       CAST(sum(db.m * w${i - 1}.w) AS BIGINT) AS margin
-                     FROM db JOIN w${i - 1} ON db.b = w${i - 1}.b
+  /** The per-round CTE block (lab/dbt restricted by `docFilter`,
+    * rounds 1..steps each deriving margins from the prior round's
+    * weights, the misclassified set, the gradient, the updated `w$i`,
+    * and the round summary `st$i`). Callers prepend `duckQcCtes` and
+    * a `w0` weight CTE. */
+  private def duckPerceptronRoundCtes(steps: Int,
+      docFilter: String): String = {
+    val rounds = (1 to steps).map { i =>
+      s"""marg$i AS (SELECT dbt.doc_id,
+                       CAST(sum(dbt.m * w${i - 1}.w) AS BIGINT) AS margin
+                     FROM dbt JOIN w${i - 1} ON dbt.b = w${i - 1}.b
                      GROUP BY 1),
               mis$i AS (SELECT l.doc_id, l.y
                         FROM lab l LEFT JOIN marg$i m
                           ON l.doc_id = m.doc_id
                         WHERE l.y * coalesce(m.margin, 0) <= 0),
-              grad$i AS (SELECT db.b,
-                           CAST(sum(mis$i.y * db.m) AS BIGINT) AS g
-                         FROM db JOIN mis$i ON db.doc_id = mis$i.doc_id
+              grad$i AS (SELECT dbt.b,
+                           CAST(sum(mis$i.y * dbt.m) AS BIGINT) AS g
+                         FROM dbt JOIN mis$i ON dbt.doc_id = mis$i.doc_id
                          GROUP BY 1),
               w$i AS (SELECT w${i - 1}.b,
                         w${i - 1}.w + coalesce(grad$i.g, 0) AS w
@@ -2040,15 +2061,20 @@ object LlmQueries {
                          (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w$i)
                            AS w_l1)"""
     }.mkString(",\n              ")
+    s"""lab AS (SELECT doc_id,
+                  CASE WHEN source = 'src1' THEN 1 ELSE -1 END AS y
+                FROM documents WHERE $docFilter),
+              dbt AS (SELECT db.* FROM db JOIN lab USING (doc_id)),
+              w0 AS (SELECT CAST(b AS BIGINT) AS b, CAST(w AS BIGINT) AS w
+                     FROM wt),
+              $rounds"""
+  }
+
+  private def duckPerceptronTrainSql(steps: Int): String = {
     val union = (1 to steps).map(i => s"SELECT * FROM st$i")
       .mkString(" UNION ALL ")
     s"""WITH $duckQcCtes,
-              lab AS (SELECT doc_id,
-                        CASE WHEN source = 'src1' THEN 1 ELSE -1 END AS y
-                      FROM documents),
-              w0 AS (SELECT CAST(b AS BIGINT) AS b, CAST(w AS BIGINT) AS w
-                     FROM wt),
-              $roundCtes
+              ${duckPerceptronRoundCtes(steps, "TRUE")}
          SELECT step, n_mis, n_moved, w_l1 FROM ($union)
          ORDER BY step"""
   }
@@ -3934,6 +3960,28 @@ object LlmQueries {
     // Three chained rounds of x87's decision arithmetic, generated from
     // the same step count as the Spark loop.
     "x88_perceptron_train" -> duckPerceptronTrainSql(3),
+    // Two rounds trained on the even-id half (the same generated round
+    // CTEs, doc-filtered), then sign-of-margin predictions on the
+    // held-out odd-id half aggregated to the confusion table.
+    "x89_classifier_eval" ->
+      s"""WITH $duckQcCtes,
+              ${duckPerceptronRoundCtes(2, "doc_id % 2 = 0")},
+              evl AS (SELECT doc_id,
+                        CASE WHEN source = 'src1' THEN 1 ELSE -1 END
+                          AS label
+                      FROM documents WHERE doc_id % 2 = 1),
+              emarg AS (SELECT db.doc_id,
+                          CAST(sum(db.m * w2.w) AS BIGINT) AS margin
+                        FROM db JOIN w2 ON db.b = w2.b
+                        JOIN evl ON db.doc_id = evl.doc_id
+                        GROUP BY 1),
+              pr AS (SELECT e.label,
+                       CASE WHEN coalesce(m.margin, 0) > 0 THEN 1
+                            ELSE -1 END AS pred
+                     FROM evl e LEFT JOIN emarg m ON e.doc_id = m.doc_id)
+         SELECT CAST(label AS BIGINT) AS label,
+                CAST(pred AS BIGINT) AS pred, count(*) AS n
+         FROM pr GROUP BY 1, 2 ORDER BY label, pred""",
     // Same md5 feature hashing ('u:'/'b:' prefixes), same md5-derived
     // frozen weight table, same integer margin + cross-multiplied
     // decision; score is the one shared IEEE division.

@@ -2408,6 +2408,35 @@ class LlmSpec extends SparkSpec {
     assert(out(0)._4 === step1.map(r => math.abs(r._4)).sum)
   }
 
+  test("classifier eval: counts conserve, fitted weights beat the " +
+    "frozen init on the training split, featureless docs predict -1") {
+    val lab = docs.withColumn("y",
+      when(col("source") === "src1", 1).otherwise(-1))
+    val even = lab.filter(col("doc_id") % 2 === 0)
+    val n = even.count()
+    def errs(conf: Seq[(Long, Long, Long)]) =
+      conf.filter(r => r._1 != r._2).map(_._3).sum
+    val frozenW = TextAnalysis.perceptronStep(even, "text", "doc_id", "y")
+      .select(col("bucket"), col("w_old").as("w"))
+    val fitW = TextAnalysis.perceptronFit(even, "text", "doc_id", "y",
+      steps = 2)
+    def confusion(w: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.classifierEval(even, "text", "doc_id", "y", w)
+        .as[(Long, Long, Long)].collect().toSeq
+    val before = confusion(frozenW)
+    val after = confusion(fitW)
+    assert(before.map(_._3).sum === n) // every doc lands in one cell
+    assert(after.map(_._3).sum === n)
+    assert(errs(after) < errs(before)) // training helps where it trained
+    // a featureless doc predicts -1 (zero margin never claims positive)
+    val one = Seq((424242L, "   ", "src1", "xx", 3L, 1))
+      .toDF("doc_id", "text", "source", "lang", "n_chars", "y")
+      .select(lab.columns.map(col).toIndexedSeq: _*)
+    val c1 = TextAnalysis.classifierEval(one, "text", "doc_id", "y", fitW)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(c1 === Seq((1L, -1L, 1L)))
+  }
+
   test("label propagation: majority vote over the kNN graph replayed " +
     "driver-side, seeds-only votes, vote counts bounded by k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
