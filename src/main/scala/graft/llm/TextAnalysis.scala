@@ -999,6 +999,52 @@ object TextAnalysis {
         col("_s.new_types"))
   }
 
+  /** Per-document lexical-diversity sufficient statistics — the
+    * frequency-spectrum signals behind repetition / template detection
+    * that the ratio-style stats ([[textStatsDf]]) can't see: two
+    * documents with the same type-token ratio differ sharply in their
+    * hapax mass when one is boilerplate stamped from a template. Emits
+    * the token count, type count, hapax legomena (types occurring
+    * once), dis legomena (twice), and the integer Yule numerator
+    * `Σ m² − N` (Yule 1944's characteristic K is
+    * `10⁴·(Σ m² − N)/N²` — the float K stays OUT of the cross-engine
+    * oracle per the x29 float rule and is pinned in LlmSpec); `ttr` is
+    * the one IEEE division types / tokens.
+    *
+    * Scale shape: explode to (doc, type) counts with map-side partial
+    * aggregation, then one doc-keyed rollup — two key-partitioned
+    * exchanges, no windows, all integer until the final division.
+    * Empty/null documents keep a row (zero counts, null ttr) via the
+    * left join.
+    *
+    * @return one row per document: (idCol, n_tokens, n_types, n_hapax,
+    *         n_dis, yule_num, ttr)
+    */
+  def lexicalDiversity(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val tc = df
+      .select(col(idCol),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_m"))
+    val agg = tc.groupBy(col(idCol)).agg(
+      sum(col("_m")).cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_types"),
+      sum(when(col("_m") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      sum(when(col("_m") === 2, 1L).otherwise(0L)).as("n_dis"),
+      (sum(col("_m") * col("_m")) - sum(col("_m"))).cast("long")
+        .as("yule_num"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        coalesce(col("n_dis"), lit(0L)).as("n_dis"),
+        coalesce(col("yule_num"), lit(0L)).as("yule_num"))
+      .withColumn("ttr", when(col("n_tokens") > 0,
+        col("n_types").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Frozen hashed-linear quality classifier — fastText-style scoring
     * (Joulin et al. 2016, arXiv:1607.01759), the deployment shape of the
     * logistic quality filters web-scale corpora are screened with

@@ -1320,6 +1320,18 @@ object LlmQueries {
         .orderBy("label", "pred")
     }),
 
+    // Lexical-diversity frequency spectrum per document: hapax / dis
+    // legomena counts and the integer Yule numerator Σm²−N — the
+    // template/boilerplate signals ratio-style stats miss. All integer
+    // sufficient statistics; ttr is the one IEEE division and the float
+    // Yule K never crosses engines (LlmSpec pins it).
+    "x91_lexical_diversity" -> ((s, dir) => {
+      graft.llm.TextAnalysis.lexicalDiversity(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Frozen hashed-linear quality classifier (fastText-style scoring):
     // hashed unigram+bigram counts × a frozen md5-derived integer weight
     // table; margin and the pass decision are pure integer arithmetic
@@ -3982,6 +3994,34 @@ object LlmQueries {
          SELECT CAST(label AS BIGINT) AS label,
                 CAST(pred AS BIGINT) AS pred, count(*) AS n
          FROM pr GROUP BY 1, 2 ORDER BY label, pred""",
+    // Same tokenization, same (doc, type) count table, same integer
+    // frequency-spectrum sums; ttr is the single shared IEEE division.
+    "x91_lexical_diversity" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS w FROM documents),
+              tok AS (SELECT doc_id, w[i] AS t
+                      FROM (SELECT doc_id, w,
+                              unnest(range(1, len(w) + 1)) AS i
+                            FROM tk)
+                      WHERE w[i] <> ''),
+              tc AS (SELECT doc_id, t, count(*) AS m FROM tok GROUP BY 1, 2),
+              agg AS (SELECT doc_id,
+                        CAST(sum(m) AS BIGINT) AS n_tokens,
+                        CAST(count(*) AS BIGINT) AS n_types,
+                        CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hapax,
+                        CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dis,
+                        CAST(sum(m * m) - sum(m) AS BIGINT) AS yule_num
+                      FROM tc GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+                coalesce(n_types, 0) AS n_types,
+                coalesce(n_hapax, 0) AS n_hapax,
+                coalesce(n_dis, 0) AS n_dis,
+                coalesce(yule_num, 0) AS yule_num,
+                CASE WHEN coalesce(n_tokens, 0) > 0
+                  THEN CAST(n_types AS DOUBLE) / n_tokens END AS ttr
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
     // Same md5 feature hashing ('u:'/'b:' prefixes), same md5-derived
     // frozen weight table, same integer margin + cross-multiplied
     // decision; score is the one shared IEEE division.

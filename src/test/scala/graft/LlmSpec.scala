@@ -916,6 +916,41 @@ class LlmSpec extends SparkSpec {
       TextAnalysis.tokenCoverage(docs, "text", Seq(10, 10)))
   }
 
+  test("lexicalDiversity matches a driver-side frequency-spectrum replay; " +
+    "Yule K derives from the certified integer numerator") {
+    val got = TextAnalysis.lexicalDiversity(
+        docs.select("doc_id", "text"), "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])].collect()
+    val ref = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .sortBy(_._1)
+    assert(got.length === ref.length)
+    var sawHapax = false
+    got.zip(ref).foreach {
+      case ((id, nt, nty, h1, h2, yn, ttr), (rid, text)) =>
+        assert(id === rid)
+        val m = Option(text).getOrElse("").toLowerCase
+          .split("\\s+", -1).filter(_.nonEmpty)
+          .groupBy(identity).map(_._2.length.toLong).toSeq
+        assert(nt === m.sum, s"doc $id n_tokens")
+        assert(nty === m.size.toLong, s"doc $id n_types")
+        assert(h1 === m.count(_ == 1L).toLong, s"doc $id hapax")
+        assert(h2 === m.count(_ == 2L).toLong, s"doc $id dis")
+        assert(yn === m.map(x => x * x).sum - m.sum, s"doc $id yule_num")
+        if (m.sum > 0) {
+          assert(ttr.contains(m.size.toDouble / m.sum), s"doc $id ttr")
+          // the float Yule K (kept out of the cross-engine oracle) is a
+          // pure function of the certified integers — pin the derivation
+          val k = 1e4 * yn.toDouble / (nt.toDouble * nt.toDouble)
+          val kRef = 1e4 * (m.map(x => x * x).sum - m.sum).toDouble /
+            (m.sum.toDouble * m.sum.toDouble)
+          assert(k === kRef, s"doc $id yule K")
+        } else assert(ttr.isEmpty)
+        if (h1 > 0) sawHapax = true
+    }
+    assert(sawHapax, "testdata should exercise the hapax counter")
+  }
+
   test("dsirWeights matches a driver-side reference on the real corpus " +
     "and ranks target-like docs above unrelated ones") {
     import spark.implicits._
