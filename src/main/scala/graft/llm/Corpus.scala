@@ -208,6 +208,51 @@ object Corpus {
           s => s.getField(chunkCol)), sep).as("text"))
   }
 
+  /** Padding-waste report for length-bucketed batching — the
+    * training-efficiency ledger behind a `bucketEdges` choice: each
+    * document lands in the smallest sequence-length bucket that holds
+    * its token count (documents longer than the largest edge are
+    * TRUNCATED to it), and per bucket the report totals real, padded,
+    * truncated, and wasted token slots. A dataloader batching at these
+    * lengths pays exactly `n_padded` slots of compute for `n_tokens_kept`
+    * slots of signal — `pad_frac` is what tuning the edges minimizes.
+    * Zero-token documents emit no sequence and are excluded.
+    *
+    * Scale shape: one row-local token count + a when-chain bucket
+    * assignment, then ONE aggregate keyed by the (tiny) bucket set —
+    * map-side combine does nearly all the work; all-integer except the
+    * final `pad_frac` division.
+    *
+    * @param bucketEdges candidate sequence lengths, strictly ascending
+    * @return one row per non-empty bucket: (seq_len, n_docs,
+    *         n_tokens_kept, n_tokens_trunc, n_padded, n_pad, pad_frac)
+    */
+  def paddingEfficiencyReport(df: DataFrame, textCol: String,
+      bucketEdges: Seq[Int]): DataFrame = {
+    require(bucketEdges.nonEmpty, "bucketEdges must be non-empty")
+    require(bucketEdges.forall(_ >= 1),
+      s"bucket edges must be >= 1: $bucketEdges")
+    require(bucketEdges == bucketEdges.sorted.distinct,
+      s"bucket edges must be strictly ascending: $bucketEdges")
+    val nt = size(filter(Dedup.tokens(coalesce(col(textCol), lit(""))),
+      t => t =!= ""))
+    val seqLen = bucketEdges.init.foldRight(lit(bucketEdges.last): Column)(
+      (e, acc) => when(col("_nt") <= e, lit(e)).otherwise(acc))
+    df.select(nt.as("_nt"))
+      .filter(col("_nt") > 0)
+      .select(col("_nt"), seqLen.cast("long").as("seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("_nt").cast("long"), col("seq_len")))
+          .as("n_tokens_kept"),
+        sum(greatest(col("_nt").cast("long") - col("seq_len"), lit(0L)))
+          .as("n_tokens_trunc"))
+      .withColumn("n_padded", col("n_docs") * col("seq_len"))
+      .withColumn("n_pad", col("n_padded") - col("n_tokens_kept"))
+      .withColumn("pad_frac",
+        col("n_pad").cast("double") / col("n_padded").cast("double"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

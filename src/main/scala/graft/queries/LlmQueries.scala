@@ -36,6 +36,11 @@ object LlmQueries {
     .map { case (id, txt) => s"(CAST($id AS BIGINT), '$txt')" }
     .mkString(", ")
 
+  /** Sequence-length bucket edges for the x94 padding-efficiency report —
+    * shared verbatim by the Spark when-chain and the generated DuckDB
+    * CASE chain. */
+  private val PackEdges = Seq(16, 32, 48, 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy — one shuffle, any scale.
@@ -1330,6 +1335,17 @@ object LlmQueries {
           t(s, dir, "documents").select("doc_id", "text"),
           "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Padding-waste ledger for length-bucketed batching: smallest-edge
+    // bucket assignment (longest docs truncate to the top edge), per
+    // bucket the real / padded / truncated / wasted token-slot totals a
+    // dataloader at these sequence lengths would pay. Integer except the
+    // one pad_frac division.
+    "x94_pack_efficiency" -> ((s, dir) => {
+      graft.llm.Corpus.paddingEfficiencyReport(
+          t(s, dir, "documents"), "text", PackEdges)
+        .orderBy("seq_len")
     }),
 
     // Frozen hashed-linear quality classifier (fastText-style scoring):
@@ -4022,6 +4038,32 @@ object LlmQueries {
                   THEN CAST(n_types AS DOUBLE) / n_tokens END AS ttr
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // Same empty-filtered token count, the same smallest-edge CASE chain
+    // generated from PackEdges, the same integer slot sums; pad_frac is
+    // the single shared division.
+    "x94_pack_efficiency" -> {
+      val caseChain = PackEdges.init
+        .map(e => s"WHEN nt <= $e THEN $e").mkString(" ") +
+        s" ELSE ${PackEdges.last}"
+      s"""WITH tk AS (SELECT len(list_filter($duckToks, x -> x <> ''))
+                        AS nt
+                      FROM documents),
+              b AS (SELECT nt, CASE $caseChain END AS seq_len
+                    FROM tk WHERE nt > 0),
+              g AS (SELECT seq_len, count(*) AS n_docs,
+                      sum(least(nt, seq_len)) AS kept,
+                      sum(greatest(nt - seq_len, 0)) AS tr
+                    FROM b GROUP BY 1)
+         SELECT CAST(seq_len AS BIGINT) AS seq_len,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(kept AS BIGINT) AS n_tokens_kept,
+                CAST(tr AS BIGINT) AS n_tokens_trunc,
+                CAST(n_docs * seq_len AS BIGINT) AS n_padded,
+                CAST(n_docs * seq_len - kept AS BIGINT) AS n_pad,
+                CAST(n_docs * seq_len - kept AS DOUBLE) /
+                  (n_docs * seq_len) AS pad_frac
+         FROM g ORDER BY seq_len"""
+    },
     // Same md5 feature hashing ('u:'/'b:' prefixes), same md5-derived
     // frozen weight table, same integer margin + cross-multiplied
     // decision; score is the one shared IEEE division.

@@ -951,6 +951,31 @@ class LlmSpec extends SparkSpec {
     assert(sawHapax, "testdata should exercise the hapax counter")
   }
 
+  test("paddingEfficiencyReport: smallest-edge assignment, truncation at " +
+    "the top edge, empty docs excluded, slot totals reconcile") {
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(doc(3), doc(4), doc(5), doc(9), doc(25), "", "   ")
+      .toDF("text")
+    val got = Corpus.paddingEfficiencyReport(d, "text", Seq(4, 8, 16))
+      .orderBy("seq_len")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    // 3,4 → bucket 4; 5 → 8 (smallest edge ≥ 5, not exact fit); 9 → 16;
+    // 25 → truncated to 16; empty/whitespace docs excluded
+    assert(got.toSeq === Seq(
+      (4L, 2L, 7L, 0L, 8L, 1L, 1.0 / 8),
+      (8L, 1L, 5L, 0L, 8L, 3L, 3.0 / 8),
+      (16L, 2L, 25L, 9L, 32L, 7L, 7.0 / 32)))
+    // totals reconcile: kept + pad == padded per bucket
+    got.foreach { case (_, _, kept, _, padded, pad, frac) =>
+      assert(kept + pad === padded)
+      assert(frac === pad.toDouble / padded)
+    }
+    intercept[IllegalArgumentException](
+      Corpus.paddingEfficiencyReport(d, "text", Seq(8, 4)))
+    intercept[IllegalArgumentException](
+      Corpus.paddingEfficiencyReport(d, "text", Seq.empty))
+  }
+
   test("dsirWeights matches a driver-side reference on the real corpus " +
     "and ranks target-like docs above unrelated ones") {
     import spark.implicits._
