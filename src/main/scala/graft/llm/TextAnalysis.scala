@@ -1045,6 +1045,56 @@ object TextAnalysis {
         col("n_types").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Corpus drift report between two snapshots — the monitoring table a
+    * recurring crawl/ingest pipeline alarms on: per quality signal
+    * (token count, char count, punctuation mass, line count), fixed-
+    * width integer histogram buckets with each snapshot's document count
+    * and the per-bucket delta. A new crawl whose length or punctuation
+    * histogram shifts against the last accepted snapshot gets flagged
+    * before it trains anything. All-integer (bucket = signal // width,
+    * floor on the nonnegative signal), so the report is bit-reproducible
+    * cross-engine; distributional test statistics (chi-square, KS) are
+    * pure driver-side functions of these counts.
+    *
+    * Scale shape: one row-local pass per snapshot exploding each doc to
+    * 4 (signal, bucket) rows, map-side-combined into histogram-sized
+    * count tables, then a full-outer join keyed by (signal, bucket) —
+    * the join inputs are histogram-sized, never corpus-sized.
+    *
+    * @return (signal, bucket, n_a, n_b, delta) with delta = n_b − n_a
+    */
+  def signalDriftReport(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    def hist(df: org.apache.spark.sql.DataFrame, cnt: String)
+        : org.apache.spark.sql.DataFrame = {
+      val text = coalesce(col(textCol), lit(""))
+      val nt = size(filter(tokens(text), t => t =!= "")).cast("long")
+      val nChars = length(text).cast("long")
+      val punct = length(regexp_replace(text, "[^.,!?;:'\"()]", ""))
+        .cast("long")
+      val nLines = size(split(text, "\n", -1)).cast("long")
+      df.select(explode(array(
+          struct(lit("n_tokens").as("signal"),
+            (nt / 16).cast("long").as("bucket")),
+          struct(lit("n_chars").as("signal"),
+            (nChars / 256).cast("long").as("bucket")),
+          struct(lit("punct").as("signal"),
+            (punct / 8).cast("long").as("bucket")),
+          struct(lit("n_lines").as("signal"),
+            (nLines / 4).cast("long").as("bucket")))).as("_s"))
+        .groupBy(col("_s.signal").as("signal"),
+          col("_s.bucket").as("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    hist(a, "n_a").join(hist(b, "n_b"), Seq("signal", "bucket"),
+        "full_outer")
+      .select(col("signal"), col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("delta", col("n_b") - col("n_a"))
+  }
+
   /** Frozen hashed-linear quality classifier — fastText-style scoring
     * (Joulin et al. 2016, arXiv:1607.01759), the deployment shape of the
     * logistic quality filters web-scale corpora are screened with

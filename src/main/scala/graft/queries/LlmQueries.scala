@@ -1348,6 +1348,18 @@ object LlmQueries {
         .orderBy("seq_len")
     }),
 
+    // Corpus drift report: fixed-width integer signal histograms (token /
+    // char / punct / line counts) for snapshot A (the even-id half, the
+    // "last accepted" corpus) vs snapshot B (the full grown corpus),
+    // full-outer joined per (signal, bucket) with the count delta — the
+    // ingest-monitoring table a recurring crawl alarms on. All integer.
+    "x92_signal_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.TextAnalysis.signalDriftReport(
+          docs.filter(col("doc_id") % 2 === 0), docs, "text")
+        .orderBy("signal", "bucket")
+    }),
+
     // Frozen hashed-linear quality classifier (fastText-style scoring):
     // hashed unigram+bigram counts × a frozen md5-derived integer weight
     // table; margin and the pass decision are pure integer arithmetic
@@ -4038,6 +4050,44 @@ object LlmQueries {
                   THEN CAST(n_types AS DOUBLE) / n_tokens END AS ttr
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // Same four signal extractions, same fixed bucket widths (integer
+    // floor division both engines), same full-outer histogram join.
+    "x92_signal_drift" -> {
+      def hist(cond: String, cnt: String) =
+        s"""SELECT signal, bucket, CAST(count(*) AS BIGINT) AS $cnt
+            FROM (
+              SELECT 'n_tokens' AS signal,
+                     CAST(len(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '[\\s\\x0b]+'),
+                       x -> x <> '')) // 16 AS BIGINT) AS bucket
+              FROM documents WHERE $cond
+              UNION ALL
+              SELECT 'n_chars',
+                     CAST(length(coalesce(text, '')) // 256 AS BIGINT)
+              FROM documents WHERE $cond
+              UNION ALL
+              SELECT 'punct',
+                     CAST(length(regexp_replace(coalesce(text, ''),
+                       '[^.,!?;:''"()]', '', 'g')) // 8 AS BIGINT)
+              FROM documents WHERE $cond
+              UNION ALL
+              SELECT 'n_lines',
+                     CAST(len(string_split(coalesce(text, ''), chr(10)))
+                       // 4 AS BIGINT)
+              FROM documents WHERE $cond
+            ) GROUP BY 1, 2"""
+      s"""WITH ha AS (${hist("doc_id % 2 = 0", "n_a")}),
+              hb AS (${hist("TRUE", "n_b")})
+         SELECT coalesce(ha.signal, hb.signal) AS signal,
+                coalesce(ha.bucket, hb.bucket) AS bucket,
+                CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+                CAST(coalesce(n_b, 0) - coalesce(n_a, 0) AS BIGINT)
+                  AS delta
+         FROM ha FULL OUTER JOIN hb
+           ON ha.signal = hb.signal AND ha.bucket = hb.bucket
+         ORDER BY signal, bucket"""
+    },
     // Same empty-filtered token count, the same smallest-edge CASE chain
     // generated from PackEdges, the same integer slot sums; pad_frac is
     // the single shared division.

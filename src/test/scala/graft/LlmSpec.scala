@@ -976,6 +976,30 @@ class LlmSpec extends SparkSpec {
       Corpus.paddingEfficiencyReport(d, "text", Seq.empty))
   }
 
+  test("signalDriftReport: per-signal histogram deltas, zero-filled on " +
+    "both sides of the full-outer join, per-signal totals = doc counts") {
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val a = Seq(doc(3), doc(5)).toDF("text") // n_tokens bucket 0 twice
+    val b = Seq(doc(20), doc(21), doc(40)).toDF("text") // buckets 1,1,2
+    val got = TextAnalysis.signalDriftReport(a, b, "text")
+      .orderBy("signal", "bucket")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val ntok = got.filter(_._1 == "n_tokens").toSeq
+    assert(ntok === Seq(
+      ("n_tokens", 0L, 2L, 0L, -2L), // only in A: zero-filled B side
+      ("n_tokens", 1L, 0L, 2L, 2L), // only in B: zero-filled A side
+      ("n_tokens", 2L, 0L, 1L, 1L)))
+    // every signal's histogram masses equal the snapshot doc counts
+    Seq("n_tokens", "n_chars", "punct", "n_lines").foreach { s =>
+      val rows = got.filter(_._1 == s)
+      assert(rows.map(_._3).sum === 2L, s"$s n_a mass")
+      assert(rows.map(_._4).sum === 3L, s"$s n_b mass")
+      assert(rows.map(_._5).sum === 1L, s"$s delta mass")
+    }
+    assert(got.map(_._1).distinct.sorted ===
+      Array("n_chars", "n_lines", "n_tokens", "punct"))
+  }
+
   test("dsirWeights matches a driver-side reference on the real corpus " +
     "and ranks target-like docs above unrelated ones") {
     import spark.implicits._
