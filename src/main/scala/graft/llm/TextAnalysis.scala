@@ -1045,6 +1045,68 @@ object TextAnalysis {
         col("n_types").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Count-based bigram-LM coverage scoring — the KenLM-lite fluency
+    * filter (the in-domain/out-of-domain signal CCNet-style pipelines
+    * use an n-gram LM for, without the float perplexity): train a
+    * bigram + unigram vocabulary on the in-domain snapshot, then score
+    * every candidate document by how its adjacent-token pairs resolve —
+    * `n_seen` (bigram in the LM), `n_backoff` (bigram unseen, its
+    * continuation token known — the KN-backoff case), `n_oov`
+    * (continuation token itself unknown). All-integer decisions;
+    * `coverage` = n_seen / n_bigrams is the one IEEE division. Docs
+    * with fewer than two tokens score zero counts with null coverage.
+    *
+    * Scale shape: the LM tables are vocabulary-sized DISTINCT
+    * aggregates of one training pass; scoring explodes candidates once
+    * to bigram rows and resolves membership by two gram-keyed hash
+    * joins (broadcast-able when the LM is small, shuffle hash joins at
+    * web vocabulary scale — never a product), then one doc-keyed
+    * rollup.
+    *
+    * @return one row per eval document: (idCol, n_bigrams, n_seen,
+    *         n_backoff, n_oov, coverage)
+    */
+  def bigramLmCoverage(train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    def withToks(df: org.apache.spark.sql.DataFrame, cols: Column*) =
+      df.select(cols :+ filter(tokens(coalesce(col(textCol), lit(""))),
+        x => length(x) > 0).as("_tk"): _*)
+    val trainTk = withToks(train)
+    val uniVocab = trainTk
+      .select(explode(col("_tk")).as("_w2")).distinct()
+    val biVocab = trainTk.filter(size(col("_tk")) >= 2)
+      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
+      .select(concat_ws(" ", element_at(col("_tk"), col("_p")),
+        element_at(col("_tk"), col("_p") + 1)).as("_g"))
+      .distinct()
+    val evalBi = withToks(eval, col(idCol))
+      .filter(size(col("_tk")) >= 2)
+      .withColumn("_p", explode(sequence(lit(1), size(col("_tk")) - 1)))
+      .select(col(idCol),
+        concat_ws(" ", element_at(col("_tk"), col("_p")),
+          element_at(col("_tk"), col("_p") + 1)).as("_g"),
+        element_at(col("_tk"), col("_p") + 1).as("_w2"))
+    val agg = evalBi
+      .join(biVocab.withColumn("_in_bi", lit(1)), Seq("_g"), "left")
+      .join(uniVocab.withColumn("_in_uni", lit(1)), Seq("_w2"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("_in_bi") === 1, 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("_in_bi").isNull && col("_in_uni") === 1, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("_in_bi").isNull && col("_in_uni").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+    eval.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("coverage", when(col("n_bigrams") > 0,
+        col("n_seen").cast("double") / col("n_bigrams").cast("double")))
+  }
+
   /** Corpus drift report between two snapshots — the monitoring table a
     * recurring crawl/ingest pipeline alarms on: per quality signal
     * (token count, char count, punctuation mass, line count), fixed-

@@ -1348,6 +1348,18 @@ object LlmQueries {
         .orderBy("seq_len")
     }),
 
+    // Count-based bigram-LM coverage (KenLM-lite fluency scoring): LM
+    // vocab trained on the doc_id%3==0 in-domain slice, every other doc
+    // scored by seen / backoff / OOV bigram resolution — integer counts,
+    // coverage the single division.
+    "x93_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.llm.TextAnalysis.bigramLmCoverage(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Corpus drift report: fixed-width integer signal histograms (token /
     // char / punct / line counts) for snapshot A (the even-id half, the
     // "last accepted" corpus) vs snapshot B (the full grown corpus),
@@ -4049,6 +4061,48 @@ object LlmQueries {
                 CASE WHEN coalesce(n_tokens, 0) > 0
                   THEN CAST(n_types AS DOUBLE) / n_tokens END AS ttr
          FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
+    // Same tokenization, same DISTINCT bigram/unigram LM tables from the
+    // same training slice, same left-join resolution order (bigram hit
+    // first, then continuation-token backoff); coverage is the single
+    // shared division.
+    "x93_bigram_lm" ->
+      s"""WITH ttk AS (SELECT list_filter($duckToks, x -> x <> '') AS w
+                       FROM documents WHERE doc_id % 3 = 0),
+              uv AS (SELECT DISTINCT w[i] AS t
+                     FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i
+                           FROM ttk)),
+              bv AS (SELECT DISTINCT w[i] || ' ' || w[i+1] AS g
+                     FROM (SELECT w, unnest(range(1, len(w))) AS i
+                           FROM ttk WHERE len(w) >= 2)),
+              etk AS (SELECT doc_id,
+                        list_filter($duckToks, x -> x <> '') AS w
+                      FROM documents WHERE doc_id % 3 <> 0),
+              eb AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g,
+                       w[i+1] AS w2
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                           FROM etk WHERE len(w) >= 2)),
+              fl AS (SELECT eb.doc_id,
+                       CASE WHEN bv.g IS NOT NULL THEN 1 ELSE 0 END AS s,
+                       CASE WHEN bv.g IS NULL AND uv.t IS NOT NULL
+                         THEN 1 ELSE 0 END AS bo,
+                       CASE WHEN bv.g IS NULL AND uv.t IS NULL
+                         THEN 1 ELSE 0 END AS ov
+                     FROM eb LEFT JOIN bv ON eb.g = bv.g
+                     LEFT JOIN uv ON eb.w2 = uv.t),
+              agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                        CAST(sum(s) AS BIGINT) AS n_seen,
+                        CAST(sum(bo) AS BIGINT) AS n_backoff,
+                        CAST(sum(ov) AS BIGINT) AS n_oov
+                      FROM fl GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+                coalesce(n_seen, 0) AS n_seen,
+                coalesce(n_backoff, 0) AS n_backoff,
+                coalesce(n_oov, 0) AS n_oov,
+                CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN CAST(n_seen AS DOUBLE) / n_bigrams END AS coverage
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+         LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
     // Same four signal extractions, same fixed bucket widths (integer
     // floor division both engines), same full-outer histogram join.

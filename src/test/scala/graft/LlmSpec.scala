@@ -976,6 +976,24 @@ class LlmSpec extends SparkSpec {
       Corpus.paddingEfficiencyReport(d, "text", Seq.empty))
   }
 
+  test("bigramLmCoverage: seen / backoff / OOV resolution order, short " +
+    "and empty docs zero-filled with null coverage") {
+    val train = Seq("a b", "b c").toDF("text")
+    val eval = Seq((1L, "a b c"), (2L, "c a"), (3L, "a z"),
+      (4L, "hello"), (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmCoverage(train, eval, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 0L, 0L, Some(1.0)), // both bigrams in the LM
+      (2L, 1L, 0L, 1L, 0L, Some(0.0)), // unseen bigram, known continuation
+      (3L, 1L, 0L, 0L, 1L, Some(0.0)), // continuation token itself OOV
+      (4L, 0L, 0L, 0L, 0L, None), // single token: no bigram to score
+      (5L, 0L, 0L, 0L, 0L, None))) // empty doc
+    // counts partition: every bigram resolves exactly one way
+    got.foreach { case (_, nb, s, bo, ov, _) => assert(s + bo + ov === nb) }
+  }
+
   test("signalDriftReport: per-signal histogram deltas, zero-filled on " +
     "both sides of the full-outer join, per-signal totals = doc counts") {
     def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
