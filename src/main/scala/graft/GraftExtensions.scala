@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, PatternAlt, RegexFirstMatch}
+import graft.expressions.{CosineSimilarity, PatternAlt, RegexFirstMatch, UnicodeNormalize}
 import graft.operators.AsofJoin
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -67,6 +67,20 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "usage: cosine_sim(vec_a, vec_b)")
         CosineSimilarity(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "usage: unicode_normalize(str [, 'NFC'|'NFD'|'NFKC'|'NFKD'])")
+        val form = if (args.length == 2) args(1) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        } else "NFC"
+        UnicodeNormalize(args(0), form)
       }))
     for (variant <- Seq("backward", "forward", "nearest"))
       ext.injectTableFunction((

@@ -1,0 +1,77 @@
+package graft.expressions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Serializable normalizer bundle shipped to executors as one codegen
+  * reference object (the CompiledAlts pattern): the `Normalizer.Form` is
+  * resolved once per task from its stable name, and already-normalized
+  * inputs — the overwhelmingly common ASCII case — return the original
+  * `UTF8String` without allocating an output copy. */
+final class NormalizerBundle(formName: String) extends Serializable {
+  @transient private lazy val form = Normalizer.Form.valueOf(formName)
+
+  def normalize(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    if (Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(Normalizer.normalize(str, form))
+  }
+}
+
+/** Unicode normalization (NFC / NFD / NFKC / NFKD) as a native Catalyst
+  * expression with whole-stage codegen — the dedup-preprocessing
+  * primitive Spark's built-in function set lacks: without it, the same
+  * text crawled once precomposed (U+00E9) and once decomposed
+  * (`e` + U+0301) hashes to two different documents and defeats exact
+  * dedup, n-gram decontamination, and every md5-keyed operator in the
+  * pipeline. Backed by `java.text.Normalizer` (the JDK's ICU-derived
+  * implementation of UAX #15), so the semantics are the Unicode
+  * standard's — the same NFC DuckDB's `nfc_normalize` implements, which
+  * is what makes the cross-engine oracle possible.
+  *
+  * Null in → null out; normalized input returns the input buffer
+  * unchanged (no allocation).
+  */
+final case class UnicodeNormalize(child: Expression, formName: String)
+    extends UnaryExpression {
+
+  UnicodeNormalize.requireValidForm(formName)
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val bundle = new NormalizerBundle(formName)
+
+  override def nullSafeEval(input: Any): Any =
+    bundle.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bundleRef = ctx.addReferenceObj("normalizer",
+      new NormalizerBundle(formName), classOf[NormalizerBundle].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $bundleRef.normalize($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+
+  private val ValidForms = Normalizer.Form.values.map(_.name).toSet
+
+  private[expressions] def requireValidForm(formName: String): Unit =
+    require(ValidForms.contains(formName),
+      s"unknown Unicode normalization form '$formName' " +
+        s"(expected one of ${ValidForms.toSeq.sorted.mkString(", ")})")
+
+  /** Column API: normalize `c` to the given Unicode form ("NFC" by
+    * default — the canonical-composition form dedup keys should use). */
+  def apply(c: Column, formName: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(c), formName))
+}

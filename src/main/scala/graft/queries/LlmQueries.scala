@@ -1348,6 +1348,28 @@ object LlmQueries {
         .orderBy("seq_len")
     }),
 
+    // Unicode NFC normalization via the native codegen'd
+    // UnicodeNormalize expression (the dedup-preprocessing primitive
+    // Spark lacks): every third doc gets a decomposed combining-accent
+    // suffix planted, normalization recomposes it — byte lengths before/
+    // after, the changed flag, and the md5 of the normalized text all
+    // hash-match DuckDB's nfc_normalize, certifying UAX #15 agreement.
+    "x90_nfc_normalize" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" cafe\u0301"))) // decomposed: COMBINING ACUTE
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      aug.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes_raw"),
+          octet_length(graft.expressions.UnicodeNormalize(col("text")))
+            .cast("long").as("n_bytes_nfc"),
+          (graft.expressions.UnicodeNormalize(col("text")) =!= col("text"))
+            .as("changed"),
+          md5(graft.expressions.UnicodeNormalize(col("text")))
+            .as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Count-based bigram-LM coverage (KenLM-lite fluency scoring): LM
     // vocab trained on the doc_id%3==0 in-domain slice, every other doc
     // scored by seen / backoff / OOV bigram resolution — integer counts,
@@ -4062,6 +4084,22 @@ object LlmQueries {
                   THEN CAST(n_types AS DOUBLE) / n_tokens END AS ttr
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // DuckDB's nfc_normalize implements the same UAX #15 NFC as the
+    // JDK Normalizer behind UnicodeNormalize; byte lengths (strlen) and
+    // the md5 of the recomposed text certify agreement. chr(769) is the
+    // same COMBINING ACUTE (U+0301) the Spark side plants.
+    "x90_nfc_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0
+                THEN coalesce(text, '') || ' cafe' || chr(769)
+                ELSE coalesce(text, '') END AS text
+            FROM documents),
+              n AS (SELECT doc_id, text, nfc_normalize(text) AS norm
+                    FROM aug)
+         SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes_raw,
+                CAST(strlen(norm) AS BIGINT) AS n_bytes_nfc,
+                text <> norm AS changed, md5(norm) AS norm_md5
+         FROM n ORDER BY doc_id""",
     // Same tokenization, same DISTINCT bigram/unigram LM tables from the
     // same training slice, same left-join resolution order (bigram hit
     // first, then continuation-token backoff); coverage is the single

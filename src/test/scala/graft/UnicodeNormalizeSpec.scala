@@ -1,0 +1,80 @@
+package graft
+
+import java.text.Normalizer
+
+import graft.expressions.UnicodeNormalize
+import org.apache.spark.sql.functions._
+
+/** The native normalization expression must agree with
+  * `java.text.Normalizer` on every form, pass nulls through, run inside
+  * whole-stage codegen, and be reachable from SQL. All non-ASCII
+  * fixtures use explicit escapes — a source file holding raw combining
+  * characters is one editor-normalization away from silently testing
+  * the wrong form. */
+class UnicodeNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val decomposed = "cafe\u0301" // e + COMBINING ACUTE
+  private val precomposed = "caf\u00e9" // U+00E9 LATIN SMALL E WITH ACUTE
+
+  // decomposed accent, precomposed accent, Angstrom sign (NFC → Å),
+  // fi ligature (NFKC-only change), half-width katakana + voiced mark
+  // (NFKC), plain ASCII, empty
+  private val samples = Seq(
+    decomposed, precomposed, "\u212bngstrom", "\ufb01le",
+    "\uff76\uff9e", "plain ascii", "")
+
+  test("all four forms match java.text.Normalizer on tricky samples") {
+    val df = samples.toDF("t")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select(UnicodeNormalize(col("t"), form).as("v"))
+        .as[String].collect().toSeq
+      val ref = samples.map(s =>
+        Normalizer.normalize(s, Normalizer.Form.valueOf(form)))
+      assert(got === ref, s"form $form")
+    }
+    // the NFC fixture actually exercises a change
+    assert(Normalizer.normalize(decomposed, Normalizer.Form.NFC) ===
+      precomposed)
+  }
+
+  test("null passes through; invalid form rejected eagerly") {
+    val out = Seq[Option[String]](None, Some("a"))
+      .toDF("t").select(UnicodeNormalize(col("t")).as("v"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(out === Seq(None, Some("a")))
+    intercept[IllegalArgumentException](
+      UnicodeNormalize(col("t"), "NFX"))
+  }
+
+  test("NFC-keyed dedup unifies precomposed and decomposed spellings") {
+    val df = Seq((1L, s"$precomposed menu"), (2L, s"$decomposed menu"))
+      .toDF("doc_id", "text")
+    val rawKeys = df.select(md5(col("text"))).distinct().count()
+    val nfcKeys = df.select(md5(UnicodeNormalize(col("text"))))
+      .distinct().count()
+    assert(rawKeys === 2L, "raw md5 keys treat the spellings as distinct")
+    assert(nfcKeys === 1L, "NFC keys unify them")
+  }
+
+  test("runs inside whole-stage codegen") {
+    // parquet-backed input: a local Seq collapses to LocalTableScan
+    // before the plan ever shows the projection
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs.select(UnicodeNormalize(col("text")).as("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [unicodenormalize"))
+  }
+
+  test("SQL surface: unicode_normalize with default and explicit form") {
+    val one = spark.sql("SELECT unicode_normalize('cafe\u0301') AS v")
+      .as[String].head()
+    assert(one === precomposed)
+    assert(spark.sql("SELECT unicode_normalize('\ufb01le', 'NFKC') AS v")
+      .as[String].head() === "file")
+    val err = intercept[Exception](
+      spark.sql("SELECT unicode_normalize('x', 'BOGUS')").collect())
+    assert(err.getMessage.contains("BOGUS") ||
+      err.getMessage.contains("normalization form"))
+  }
+}
