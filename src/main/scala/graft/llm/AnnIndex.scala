@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted ANN index artifacts — the encode-once / query-many
@@ -43,19 +43,24 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** Encode a corpus into IVF index rows: (idCol, vecCol, cell) — the
-    * nearest-centroid cell per vector under `centroids` (default: the
-    * deterministic seed codebook a4 certifies; pass
-    * [[Similarity.trainIvfCentroids]] output for a trained quantizer). */
+  /** Encode a corpus into IVF index rows: (idCol, vecCol, attrs...,
+    * cell) — the nearest-centroid cell per vector under `centroids`
+    * (default: the deterministic seed codebook a4 certifies; pass
+    * [[Similarity.trainIvfCentroids]] output for a trained quantizer).
+    * `attrCols` rides filterable metadata (license, language, label…)
+    * INTO the index rows — the vector-DB "payload attribute" shape that
+    * makes [[ivfTopKOverIndexFiltered]]'s predicate a plain parquet
+    * pushdown instead of a corpus join at query time. */
   def encodeIvf(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 8, dims: Int = 64,
-      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+      centroids: Option[Seq[IndexedSeq[Double]]] = None,
+      attrCols: Seq[String] = Nil): DataFrame = {
     val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
     require(cents.size == nlist && cents.forall(_.size == dims),
       s"centroids must be a $nlist x $dims codebook")
-    Similarity.ivfEncode(corpus, idCol, vecCol, cents)
-      .select(col("neighbor_id").as(idCol), col("_v").as(vecCol),
-        col("_cell").as("cell"))
+    Similarity.ivfEncode(corpus, idCol, vecCol, cents, attrCols)
+      .select(col("neighbor_id").as(idCol) +: col("_v").as(vecCol) +:
+        attrCols.map(col) :+ col("_cell").as("cell"): _*)
   }
 
   /** Encode a corpus into IVF-PQ index rows: (idCol, cell, c0..c{m-1})
@@ -114,6 +119,38 @@ object AnnIndex {
       s"centroids must be a $nlist x $dims codebook")
     val encoded = index.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_v"), col("cell").cast("int").as("_cell"))
+    Similarity.ivfRank(encoded,
+      Similarity.probedQueries(queries, idCol, vecCol, cents, nlist,
+        nProbe), k)
+  }
+
+  /** Metadata-FILTERED ANN over a stored IVF index — "nearest permissive-
+    * license docs", "nearest same-language paragraphs": top-k among the
+    * index vectors satisfying `predicate`, the filtered-search semantics
+    * vector stores call pre-filtering. The predicate applies to the
+    * index rows BEFORE the cell join and the rank window, so every one
+    * of the k results qualifies — never a post-filter of an unfiltered
+    * top-k, which returns < k (or wrong) results whenever qualifying
+    * neighbors rank below disqualified ones.
+    *
+    * Scale shape: the predicate references stored attribute columns
+    * ([[encodeIvf]]'s `attrCols`), so Catalyst pushes it into the
+    * parquet scan (`PushedFilters`) UNDER the cell partition pruning —
+    * the probe reads only probed-cell directories and row-groups that
+    * can satisfy the predicate; no corpus join, no post-hoc candidate
+    * re-fetch (AnnIndexSpec pins both pushdowns in the plan). */
+  def ivfTopKOverIndexFiltered(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, predicate: Column, k: Int,
+      nlist: Int = 8, nProbe: Int = 2, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
+    require(cents.size == nlist && cents.forall(_.size == dims),
+      s"centroids must be a $nlist x $dims codebook")
+    val encoded = index.filter(predicate)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+        col("cell").cast("int").as("_cell"))
     Similarity.ivfRank(encoded,
       Similarity.probedQueries(queries, idCol, vecCol, cents, nlist,
         nProbe), k)

@@ -509,8 +509,10 @@ object Similarity {
     * ([[graft.llm.AnnIndex]]). Internal column names (`neighbor_id`,
     * `_v`, `_cell`) are the join contract [[probedQueries]] pairs with. */
   private[llm] def ivfEncode(corpus: DataFrame, idCol: String,
-      vecCol: String, cents: Seq[IndexedSeq[Double]]): DataFrame =
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      vecCol: String, cents: Seq[IndexedSeq[Double]],
+      attrCols: Seq[String] = Nil): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("_v") +:
+        attrCols.map(col): _*)
       .withColumn("_ps", centroidProjections(col("_v"), cents))
       .withColumn("_cell",
         (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))

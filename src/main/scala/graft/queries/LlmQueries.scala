@@ -323,6 +323,29 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Metadata-FILTERED ANN over the persisted IVF index: `label` rides
+    // the index rows as a payload attribute (encodeIvf attrCols) and the
+    // even-label predicate applies BEFORE the cell join and rank window
+    // — every returned neighbor qualifies, the pre-filtering contract
+    // vector stores guarantee (a post-filter of an unfiltered top-k
+    // would under-fill k). Oracle = a4's recompute chain with the same
+    // restriction on the corpus CTE; queries stay unfiltered.
+    "a24_ivf_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("a24_ivf_filtered").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8,
+          attrCols = Seq("label")),
+        idxDir)
+      graft.llm.AnnIndex.ivfTopKOverIndexFiltered(
+          graft.llm.AnnIndex.readIndex(s, idxDir),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          col("label") % 2 === 0, 10, nlist = 8, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN recall eval: per-query recall@10 of the IVF index (a4's exact
     // configuration) against brute-force cosine (a1's) — the measurement
     // that tunes nlist/nProbe before an index ships. Integer counts +
@@ -2168,15 +2191,17 @@ object LlmQueries {
          '\b(?:\d[ -]?){12,18}\d\b', '<CARD>', 'g'))"""
 
   /** The a4 IVF top-k oracle chain (deterministic quantizer, probe
-    * rule, exact-cosine rank) — a val because a17 certifies the SAME
-    * math answered from a persisted raw-vector index. */
-  private lazy val duckIvfTopKSql: String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    * rule, exact-cosine rank) — shared: a17 certifies the SAME math
+    * answered from a persisted raw-vector index, and a24 the same math
+    * with the corpus side restricted by a metadata predicate (the
+    * filtered-search contract: restriction BEFORE the rank window). */
+  private def duckIvfTopKSqlWhere(corpusCond: String): String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                      FROM embeddings),
-              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              pc AS (SELECT vec_id, label, v, $duckIvfProjs AS ps FROM e),
               cc AS (SELECT vec_id, v,
                        CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
-                     FROM pc),
+                     FROM pc WHERE $corpusCond),
               qp AS (SELECT vec_id AS query_id, v AS qv, ps FROM pc WHERE vec_id < 5),
               pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
                        row_number() OVER (PARTITION BY query_id
@@ -2194,6 +2219,8 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank"""
+
+  private lazy val duckIvfTopKSql: String = duckIvfTopKSqlWhere("TRUE")
 
   /** The a15 IVFADC+R oracle chain (a7's generated encode/probe/ADC
     * CTEs at refineK=30, then exact-cosine re-rank of just those
@@ -2972,6 +2999,7 @@ object LlmQueries {
     },
     "a4_ivf_topk" -> duckIvfTopKSql,
     "a17_ivf_index" -> duckIvfTopKSql,
+    "a24_ivf_filtered" -> duckIvfTopKSqlWhere("label % 2 = 0"),
     "a9_ivf_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                      FROM embeddings),

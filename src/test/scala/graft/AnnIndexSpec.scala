@@ -69,6 +69,39 @@ class AnnIndexSpec extends SparkSpec {
         centroids = Some(trained))))
   }
 
+  test("filtered search: attribute predicate over the stored index " +
+    "equals ivfTopK over the pre-filtered corpus, every hit qualifies, " +
+    "and the predicate is pushed into the parquet scan") {
+    val dir = tmp("annidx_filtered")
+    AnnIndex.writeIndex(AnnIndex.encodeIvf(emb, "vec_id", "embedding",
+      attrCols = Seq("label")), dir)
+    val idx = AnnIndex.readIndex(spark, dir)
+    assert(idx.columns.sorted.toSeq ===
+      Seq("cell", "embedding", "label", "vec_id"))
+    val pred = col("label") <= 4
+    val got = AnnIndex.ivfTopKOverIndexFiltered(idx, queries, "vec_id",
+      "embedding", pred, 5)
+    // pre-filtering contract: identical to recomputing IVF over the
+    // corpus restricted FIRST (never a post-filter of unfiltered top-k)
+    assert(rows(got) === rows(Similarity.ivfTopK(
+      emb.filter(pred), queries, "vec_id", "embedding", 5)))
+    // every returned neighbor satisfies the predicate
+    val bad = got.join(emb.filter(col("label") > 4),
+      got("neighbor_id") === emb("vec_id"), "left_semi")
+    assert(bad.count() === 0L, "disqualified neighbor returned")
+    // scale posture: the attribute predicate reaches the parquet scan
+    val filtered = idx.filter(pred)
+    filtered.collect()
+    val fplan = filtered.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val fscan = fplan.collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in the plan"))
+    assert(fscan.metadata("PushedFilters").contains("LessThanOrEqual(label"),
+      s"label predicate not pushed: ${fscan.metadata("PushedFilters")}")
+  }
+
   test("incremental append: encode+append of a delta equals a full " +
     "rebuild, through both the rows and the query path") {
     val dir = tmp("annidx_delta")
