@@ -150,7 +150,8 @@ class SqlSurfaceSpec extends SparkSpec {
     val pqDir = java.nio.file.Files
       .createTempDirectory("tvf3_pq_idx").toString
     graft.llm.AnnIndex.writeIndex(
-      graft.llm.AnnIndex.encodeIvf(emb, "vec_id", "embedding"), ivfDir)
+      graft.llm.AnnIndex.encodeIvf(emb, "vec_id", "embedding",
+        attrCols = Seq("label")), ivfDir)
     graft.llm.AnnIndex.writeIndex(
       graft.llm.AnnIndex.encodeIvfPq(emb, "vec_id", "embedding"), pqDir)
     graft.llm.AnnIndex.readIndex(spark, ivfDir)
@@ -213,6 +214,11 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.AnnIndex.ivfPqTopKRefinedOverIndex(
           graft.llm.AnnIndex.readIndex(spark, pqDir), emb, q, "vec_id",
           "embedding", 3, refineK = 10))
+      check("SELECT * FROM ivf_topk_filtered('tvf3_ivf_idx', " +
+          "'tvf3_q', 'vec_id', 'embedding', 'label % 2 = 0', 3)",
+        graft.llm.AnnIndex.ivfTopKOverIndexFiltered(
+          graft.llm.AnnIndex.readIndex(spark, ivfDir), q, "vec_id",
+          "embedding", expr("label % 2 = 0"), 3))
       // the stored-index TVF agrees with the recompute TVF — the a16/a17
       // property, stated purely in SQL
       check("SELECT * FROM ivf_topk_over_index('tvf3_ivf_idx', " +
