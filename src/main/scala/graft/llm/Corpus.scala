@@ -1359,6 +1359,59 @@ object Corpus {
     Dedup.DeltaState(scored, rdist)
   }
 
+  /** Reference bucket distributions for the FROZEN-distribution DSIR
+    * gate ([[dsirScoreFrozen]]): (target (_b,_tc), raw (_b,_rc)), each a
+    * `buckets`-row lineage-cut table. This is the offline half of the
+    * deployment shape — distributions trained once over reference
+    * corpora, then broadcast against every ingest batch; computing them
+    * here (not per batch) is what keeps the gate batch-sized. */
+  def dsirReferenceDists(target: DataFrame, raw: DataFrame,
+      textCol: String, buckets: Int = 1024): (DataFrame, DataFrame) = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    (dsirTargetDist(target, textCol, buckets),
+      graft.operators.Lineage.cut(
+        dsirBucketRows(raw, textCol, None, buckets)
+          .groupBy("_b").agg(count(lit(1)).as("_rc"))))
+  }
+
+  /** [[dsirWeights]] against FROZEN reference distributions instead of
+    * the scored corpus's own — the ingest-gate shape: target/raw dists
+    * come from [[dsirReferenceDists]] (trained offline, `buckets` must
+    * match), each batch pays one bigram pass plus two broadcast joins.
+    * Unlike [[dsirWeights]] the raw dist is NOT derived from the input,
+    * so batch features may land in buckets the raw reference never saw —
+    * both joins are therefore left joins with zero-coalesced counts
+    * (add-one smoothing covers the log). Docs with fewer than 2 tokens
+    * have no features and emit no row — a downstream affinity gate
+    * drops them, which is the intended no-evidence semantics.
+    *
+    * @return (idCol, n_feats, target_mass, raw_mass, weight) */
+  def dsirScoreFrozen(batch: DataFrame, textCol: String, idCol: String,
+      targetDist: DataFrame, rawDist: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val db = dsirBucketRows(batch, textCol, Some(idCol), buckets)
+      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m"))
+    val consts = targetDist.agg(coalesce(sum("_tc"), lit(0L)).as("_T"))
+      .crossJoin(rawDist.agg(coalesce(sum("_rc"), lit(0L)).as("_R")))
+    db.join(broadcast(rawDist), Seq("_b"), "left")
+      .join(broadcast(targetDist), Seq("_b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("_m").cast("long").as("n_feats"),
+        sum(col("_m") * coalesce(col("_tc"), lit(0L))).cast("long")
+          .as("target_mass"),
+        sum(col("_m") * coalesce(col("_rc"), lit(0L))).cast("long")
+          .as("raw_mass"),
+        sum(col("_m") * (log(coalesce(col("_tc"), lit(0L)) + lit(1.0)) -
+          log(coalesce(col("_rc"), lit(0L)) + lit(1.0)))).as("_wsum"))
+      .crossJoin(broadcast(consts))
+      .select(col(idCol), col("n_feats"), col("target_mass"),
+        col("raw_mass"),
+        (col("_wsum") + col("n_feats") *
+          (log(col("_R") + lit(buckets.toDouble)) -
+           log(col("_T") + lit(buckets.toDouble)))).as("weight"))
+  }
+
   /** One hashed-bigram bucket row per feature occurrence of `df` —
     * the shared feature extraction of the DSIR family. */
   private def dsirBucketRows(df: DataFrame, textCol: String,

@@ -937,6 +937,41 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The ingest gate with the DSIR AFFINITY stage engaged: quality
+    // floor → frozen-distribution DSIR gate → incremental exact dedup,
+    // over the same two-batch replay. The reference dists are trained
+    // ONCE (target = src0, raw = the full train split — the offline
+    // half of the deployment shape) and the keep decision is the x63
+    // affinity stated as an integer cross-multiplication
+    // (target_mass·200 ≥ raw_mass·11, i.e. affinity ≥ 0.055 ≈ the
+    // corpus median — the gate provably SPLITS the stream). Certifies
+    // corpusIngestStep's dsirGate stage IN COMPOSITION, including its
+    // pinned position BEFORE the dedup state update (x58/x63 certify
+    // the scoring solo; x64 the cumulative-state variant).
+    "w10_ingest_gate_dsir" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val target = base.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val train = base.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+      val (tdist, rdist) = graft.llm.Corpus.dsirReferenceDists(
+        target, train, "text")
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250).unionByName(
+        b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", minQuality = 0.6,
+        dsirGate = Some((tdist, rdist)))
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch")))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training END-TO-END: the full argmax + re-merge loop
     // (x39 certifies step-0 pair counts, x56 the apply step with FIXED
     // constants; this certifies the learned merge SEQUENCE itself — the
@@ -3759,6 +3794,76 @@ object LlmQueries {
             UNION ALL
             SELECT doc_id, 1 AS batch, $duckRedactSecretsCardsMd5 AS text_md5
             FROM kept2)
+          ORDER BY doc_id""",
+    // The ingest chain with the DSIR affinity gate: frozen dists (tdist
+    // from src0, rdistf from the FULL train split — trained once, like
+    // the composition-time bench grams), per-batch stats via left joins
+    // with zero-coalesced counts (frozen refs may miss buckets), keep =
+    // integer cross-multiplication, then w6's exact-dedup state replay.
+    "w10_ingest_gate_dsir" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents
+                WHERE source <> 'src0'),
+              rwf AS (SELECT $duckWordToks AS w FROM train),
+              rgf AS (SELECT ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                      FROM (SELECT w, unnest(range(1, len(w))) AS i
+                            FROM rwf WHERE len(w) >= 2)),
+              rdistf AS (SELECT b, count(*) AS rc FROM rgf GROUP BY b),
+              twf AS (SELECT $duckWordToks AS w FROM documents
+                      WHERE source = 'src0'),
+              tgf AS (SELECT ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                      FROM (SELECT w, unnest(range(1, len(w))) AS i
+                            FROM twf WHERE len(w) >= 2)),
+              tdist AS (SELECT b, count(*) AS tc FROM tgf GROUP BY b),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0),
+              q1 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b1)
+                     WHERE $duckQualityExpr >= 0.6),
+              g1 AS (SELECT doc_id,
+                       ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                           FROM (SELECT doc_id, $duckWordToks AS w FROM q1)
+                           WHERE len(w) >= 2)),
+              m1 AS (SELECT doc_id, b, count(*) AS m FROM g1 GROUP BY 1, 2),
+              a1 AS (SELECT doc_id FROM
+                       (SELECT doc_id,
+                          sum(m * coalesce(tc, 0)) AS tm,
+                          sum(m * coalesce(rc, 0)) AS rm
+                        FROM m1 LEFT JOIN rdistf USING (b)
+                        LEFT JOIN tdist USING (b) GROUP BY doc_id)
+                     WHERE tm * 200 >= rm * 11),
+              c1 AS (SELECT q1.doc_id, q1.text FROM q1 JOIN a1 USING (doc_id)),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM c1 GROUP BY md5(text)),
+              kept1 AS (SELECT c.doc_id FROM c1 c JOIN k1 USING (doc_id)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM c1),
+              q2 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b2)
+                     WHERE $duckQualityExpr >= 0.6),
+              g2 AS (SELECT doc_id,
+                       ${duckHex32("w[i] || ' ' || w[i+1]")} % 1024 AS b
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                           FROM (SELECT doc_id, $duckWordToks AS w FROM q2)
+                           WHERE len(w) >= 2)),
+              m2 AS (SELECT doc_id, b, count(*) AS m FROM g2 GROUP BY 1, 2),
+              a2 AS (SELECT doc_id FROM
+                       (SELECT doc_id,
+                          sum(m * coalesce(tc, 0)) AS tm,
+                          sum(m * coalesce(rc, 0)) AS rm
+                        FROM m2 LEFT JOIN rdistf USING (b)
+                        LEFT JOIN tdist USING (b) GROUP BY doc_id)
+                     WHERE tm * 200 >= rm * 11),
+              c2 AS (SELECT q2.doc_id, q2.text FROM q2 JOIN a2 USING (doc_id)),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM c2 GROUP BY 1),
+              kept2 AS (SELECT doc_id FROM k2
+                        WHERE h NOT IN (SELECT h FROM state1))
+          SELECT doc_id, batch FROM (
+            SELECT doc_id, 0 AS batch FROM kept1
+            UNION ALL
+            SELECT doc_id, 1 AS batch FROM kept2)
           ORDER BY doc_id""",
     // w6's chain with the Gopher stage (gq1/gq2, the x59 integer rule
     // conjunction) inserted between the quality floor and decontam —

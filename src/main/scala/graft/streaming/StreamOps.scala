@@ -150,9 +150,12 @@ object StreamOps {
   /** The batch pipeline's per-document gates composed into ONE
     * [[DeltaStep]]: quality floor → optional Gopher rule suite
     * ([[graft.llm.TextAnalysis.gopherRules]], per-document and therefore
-    * streaming-decidable) → benchmark decontamination → incremental
-    * dedup → optional PII → secret → card redaction (in that pinned
-    * order) — the streaming form of
+    * streaming-decidable) → optional DSIR affinity gate against frozen
+    * reference distributions ([[graft.llm.Corpus.dsirScoreFrozen]] —
+    * dists trained offline via `dsirReferenceDists`, broadcast per
+    * batch, keep decided by integer cross-multiplication) → benchmark
+    * decontamination → incremental dedup → optional PII → secret → card
+    * redaction (in that pinned order) — the streaming form of
     * [[graft.llm.Pipeline.buildTrainingCorpus]] for every stage that is
     * decidable per document. Drive it with [[durableIngestDedup]]:
     * contaminated, low-quality, and duplicate docs then never land in
@@ -177,8 +180,15 @@ object StreamOps {
       gopherMaxWords: Long = 100000,
       gopherAlphaPattern: String = "[a-z]",
       redactSecrets: Boolean = false,
-      redactCards: Boolean = false): DeltaStep = {
+      redactCards: Boolean = false,
+      dsirGate: Option[(DataFrame, DataFrame)] = None,
+      dsirMinAffinityNum: Long = 11L,
+      dsirMinAffinityDen: Long = 200L,
+      dsirBuckets: Int = 1024): DeltaStep = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
+    require(dsirMinAffinityNum >= 0 && dsirMinAffinityDen > 0,
+      "dsirMinAffinity must be a non-negative rational with positive " +
+        s"denominator (got $dsirMinAffinityNum/$dsirMinAffinityDen)")
     val benchGrams = bench.map(b => graft.operators.Lineage.cut(
       graft.llm.Dedup.shingleRows(b, textCol, idCol, decontamK)
         .select(col("s")).distinct()))
@@ -194,11 +204,25 @@ object StreamOps {
         if (!gopherFilter) qGated
         else qGated.filter(graft.llm.TextAnalysis.gopherPassCol(
           col(textCol), gopherMinWords, gopherMaxWords, gopherAlphaPattern))
-      val clean = benchGrams.fold(gated) { g =>
-        val hit = graft.llm.Dedup.shingleRows(gated, textCol, idCol, decontamK)
+      // optional DSIR affinity gate against FROZEN reference dists
+      // (dsirReferenceDists output — trained offline, broadcast here):
+      // keep iff target_mass/raw_mass >= num/den, decided by integer
+      // cross-multiplication (never a float compare); featureless docs
+      // (<2 tokens) emit no score row and drop with the semi-join
+      val affGated = dsirGate.fold(gated) { case (tdist, rdist) =>
+        val keep = graft.llm.Corpus.dsirScoreFrozen(gated, textCol, idCol,
+            tdist, rdist, dsirBuckets)
+          .filter(col("target_mass") * dsirMinAffinityDen >=
+            col("raw_mass") * dsirMinAffinityNum)
+          .select(idCol)
+        gated.join(keep, Seq(idCol), "left_semi")
+      }
+      val clean = benchGrams.fold(affGated) { g =>
+        val hit = graft.llm.Dedup.shingleRows(affGated, textCol, idCol,
+            decontamK)
           .join(broadcast(g), Seq("s"), "left_semi")
           .select(idCol).distinct()
-        gated.join(hit, Seq(idCol), "left_anti")
+        affGated.join(hit, Seq(idCol), "left_anti")
       }
       val out = dedup(clean, prior)
       val piiDone =
