@@ -159,6 +159,13 @@ object GraftExtensions {
         val Seq(t, tc, ic) = args.map(lit2str(_, u))
         plan(graft.llm.Dedup.exactDedup(SparkSession.active.table(t), tc, ic))
       },
+      "dedup_canonical" -> { args =>
+        val u = "usage: dedup_canonical('table', 'text_col', 'id_col')"
+        require(args.length == 3, u)
+        val Seq(t, tc, ic) = args.map(lit2str(_, u))
+        plan(graft.llm.Dedup.canonicalDedup(
+          SparkSession.active.table(t), tc, ic))
+      },
       "dedup_minhash" -> { args =>
         val u =
           "usage: dedup_minhash('table', 'text_col', 'id_col', threshold)"

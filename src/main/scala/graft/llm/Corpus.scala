@@ -882,6 +882,28 @@ object Corpus {
       .drop("_b", "_off", "_w")
   }
 
+  /** Balanced source interleave: a total training order in which the
+    * sources take turns — every source contributes its rank-r document
+    * before any source contributes rank r+1 (round-robin epochs over
+    * sources, the anti-clumping schedule that keeps a giant crawl from
+    * monopolizing any contiguous stretch of training). Rank within
+    * source is deterministic by ascending `idCol`; the global position
+    * orders by (src_rank, source, id) through [[globalOrderIndex]], so
+    * the whole thing is two bounded shuffles plus one source-partitioned
+    * window — never a single-partition global row_number.
+    *
+    * @return `df` plus `src_rank: long` (0-based within source) and
+    *         `pos: long` (global schedule position) */
+  def interleaveBySource(df: DataFrame, sourceCol: String, idCol: String,
+      nBuckets: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
+    globalOrderIndex(
+      df.withColumn("src_rank", (row_number().over(w) - 1).cast("long")),
+      nBuckets,
+      col("src_rank").asc, col(sourceCol).asc, col(idCol).asc)
+  }
+
   /** CCNet-style quality slices (Wenzek et al. 2020 §4.3: the corpus
     * split into head/middle/tail by model-score terciles): every row's
     * slice 0..nSlices-1 under a TOTAL ordering, computed as

@@ -69,6 +69,29 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** CCNet-style canonical form (Wenzek et al. 2020 §4.1's dedup
+    * normalization): NFD → lowercase → strip combining marks (the
+    * accent fold, = utf8proc/DuckDB `strip_accents` on Latin text) →
+    * fold every digit to `0` → collapse whitespace runs (incl. U+000B,
+    * which Java's `\s` covers but RE2's does not — the duckToks rule) →
+    * trim. Case, accent, number and spacing variants of one document
+    * then share a key, which is what [[canonicalDedup]] groups on. Pure
+    * row-local Column algebra inside whole-stage codegen. */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(graft.expressions.UnicodeNormalize(c, "NFD")),
+      "\\p{Mn}", ""), "[0-9]", "0"), "[\\s\\x0B]+", " "))
+
+  /** [[exactDedup]] on the [[canonicalText]] key: near-identical copies
+    * that differ only in case, accents, digits, or whitespace collapse
+    * into one group — the cheap normalization pass CCNet runs BEFORE
+    * paragraph hashing, catching re-encoded mirrors that byte-exact
+    * dedup misses at a fraction of MinHash's cost. Same single-shuffle
+    * shape and output contract as exactDedup. */
+  def canonicalDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(canonicalText(col(textCol))).as("canon_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------

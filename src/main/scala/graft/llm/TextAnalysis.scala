@@ -311,6 +311,35 @@ object TextAnalysis {
           ":\\d+$", ""))
   }
 
+  /** KWIC concordance (keyword-in-context): one row per occurrence of
+    * `keyword` among the (lowercased, empty-dropped) word tokens —
+    * (idCol, pos, left_ctx, right_ctx), pos the 1-based token index,
+    * contexts the up-to-`window` tokens either side space-joined
+    * (clamped at document edges; empty string when no context) — the
+    * corpus-inspection table behind "show me how this term is actually
+    * used" QA sweeps and targeted filter design. Row-local explode +
+    * array slices, no joins; output is occurrence-sized, so filter or
+    * sample upstream when the keyword is corpus-hot. */
+  def concordance(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, keyword: String, window: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(window >= 0, s"window ($window) must be non-negative")
+    df.select(col(idCol),
+        filter(Dedup.tokens(coalesce(col(textCol), lit(""))),
+          x => length(x) > 0).as("_tk"))
+      .filter(size(col("_tk")) >= 1)
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(1), size(col("_tk")))).as("_p"))
+      .filter(element_at(col("_tk"), col("_p")) === keyword)
+      .select(col(idCol), col("_p").cast("long").as("pos"),
+        array_join(slice(col("_tk"),
+          greatest(col("_p") - window, lit(1)),
+          least(lit(window), col("_p") - 1)), " ").as("left_ctx"),
+        array_join(slice(col("_tk"), col("_p") + 1,
+          least(lit(window), size(col("_tk")) - col("_p"))), " ")
+          .as("right_ctx"))
+  }
+
   /** Per-domain corpus report: URL occurrences and distinct documents —
     * the measurement behind domain caps and blocklist curation. One
     * domain-keyed aggregate over the (doc, url) rows. */

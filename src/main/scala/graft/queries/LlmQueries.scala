@@ -49,6 +49,24 @@ object LlmQueries {
         .select("keep_id", "n_copies").orderBy("keep_id")
     }),
 
+    // CANONICAL-form dedup (CCNet's normalization pass): case, accent,
+    // digit, and whitespace variants collapse to one key. The synthetic
+    // corpus is pure ASCII, so re-encoded mirrors are PLANTED (the x90
+    // protocol): every doc_id % 5 == 0 re-ingests at +20000 uppercased
+    // with an accented/respaced suffix ('Café   42' vs 'cafe 42') — d1's
+    // byte-exact hash sees two documents, the canonical key provably
+    // collapses them (and the d1-visible duplicate groups stay grouped).
+    "d12_canonical_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val aug = d.select(col("doc_id"),
+          concat(col("text"), lit(" cafe 42")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            concat(upper(col("text")), lit("  Café   42")).as("text")))
+      Dedup.canonicalDedup(aug, "text", "doc_id")
+        .select("keep_id", "n_copies").orderBy("keep_id")
+    }),
+
     // MinHash signatures (4 permutations) — the narrow stage of the LSH
     // near-dup pipeline, certified value-exact against the oracle.
     "d2_minhash_sig" -> ((s, dir) => {
@@ -477,6 +495,30 @@ object LlmQueries {
           col("n_chars").desc, col("doc_id").asc)
         .select("doc_id", "pos")
         .orderBy("doc_id")
+    }),
+
+    // Balanced source interleave: the round-robin training schedule —
+    // every source contributes its rank-r doc before any source
+    // contributes rank r+1, via a source-partitioned rank window feeding
+    // x34's two-level global order (never a single-partition window).
+    // All integers; the oracle replays both windows directly.
+    "x95_interleave" -> ((s, dir) => {
+      graft.llm.Corpus.interleaveBySource(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", nBuckets = 8)
+        .select("doc_id", "source", "src_rank", "pos")
+        .orderBy("doc_id")
+    }),
+
+    // KWIC concordance over a corpus-real keyword: 1-based token
+    // position plus up-to-3-token contexts either side, edge-clamped —
+    // occurrences at document start/end exercise the clamp on both
+    // engines. Deterministic strings, no floats.
+    "x96_concordance" -> ((s, dir) => {
+      graft.llm.TextAnalysis.concordance(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", "join", window = 3)
+        .orderBy("doc_id", "pos")
     }),
 
     // Embedding outliers: per IVF cell, the 3 vectors their own centroid
@@ -2612,6 +2654,24 @@ object LlmQueries {
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    // canonical key = trim(ws-collapse(digit-fold(lower(strip_accents)))),
+    // DuckDB's strip_accents ≡ the engine's NFD + \p{Mn} removal on
+    // Latin text (both leave ligatures alone); [\s\x0b] per the duckToks
+    // whitespace rule.
+    "d12_canonical_dedup" ->
+      """WITH aug AS (SELECT doc_id, text || ' cafe 42' AS text
+                      FROM documents
+                      UNION ALL
+                      SELECT doc_id + 20000, upper(text) || '  Café   42'
+                      FROM documents WHERE doc_id % 5 = 0),
+              c AS (SELECT doc_id,
+                      md5(trim(regexp_replace(regexp_replace(
+                        lower(strip_accents(text)),
+                        '[0-9]', '0', 'g'),
+                        '[\s\x0b]+', ' ', 'g'))) AS h
+                    FROM aug)
+         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM c GROUP BY h ORDER BY keep_id""",
     "d2_minhash_sig" ->
       s"""WITH ws AS (SELECT doc_id, $duckToks AS w FROM documents),
               sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3)
@@ -3278,6 +3338,31 @@ object LlmQueries {
       """SELECT doc_id,
                 row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS pos
          FROM documents ORDER BY doc_id""",
+    "x95_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY doc_id) - 1 AS BIGINT) AS src_rank
+                    FROM documents)
+         SELECT doc_id, source, src_rank,
+                CAST(row_number() OVER (ORDER BY src_rank, source, doc_id)
+                  - 1 AS BIGINT) AS pos
+         FROM r ORDER BY doc_id""",
+    "x96_concordance" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWordToks AS w FROM documents),
+              hits AS (SELECT doc_id, w, CAST(i AS BIGINT) AS pos
+                       FROM (SELECT doc_id, w,
+                               unnest(range(1, len(w) + 1)) AS i
+                             FROM ws WHERE len(w) >= 1)
+                       WHERE w[CAST(i AS INTEGER)] = 'join')
+          SELECT doc_id, pos,
+                 coalesce(array_to_string(
+                   w[CAST(greatest(pos - 3, 1) AS INTEGER):
+                     CAST(pos - 1 AS INTEGER)], ' '), '') AS left_ctx,
+                 coalesce(array_to_string(
+                   w[CAST(pos + 1 AS INTEGER):
+                     CAST(least(pos + 3, len(w)) AS INTEGER)], ' '), '')
+                   AS right_ctx
+          FROM hits ORDER BY doc_id, pos""",
     "x20_shuffle_shards" ->
       s"""SELECT doc_id,
                  CAST(${duckHex32("'shuffle:' || CAST(doc_id AS VARCHAR)")} % 8

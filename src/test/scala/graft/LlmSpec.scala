@@ -1986,6 +1986,53 @@ class LlmSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("interleaveBySource: round-robin schedule — every source plays " +
+    "rank r before any source plays rank r+1") {
+    val d = Seq((1L, "A"), (3L, "A"), (5L, "A"), (2L, "B"), (4L, "B"))
+      .toDF("doc_id", "source")
+    val out = Corpus.interleaveBySource(d, "source", "doc_id", nBuckets = 2)
+      .select("doc_id", "source", "src_rank", "pos")
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "A", 0L, 0L), (2L, "B", 0L, 1L),
+      (3L, "A", 1L, 2L), (4L, "B", 1L, 3L),
+      (5L, "A", 2L, 4L)))
+  }
+
+  test("concordance: 1-based positions with edge-clamped contexts") {
+    val d = Seq((1L, "The cat the dog"), (2L, "no hits here"),
+      (3L, "the")).toDF("doc_id", "text")
+    val out = TextAnalysis.concordance(d, "text", "doc_id", "the",
+        window = 2)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "", "cat the"),
+      (1L, 3L, "the cat", "dog"),
+      (3L, 1L, "", "")))
+  }
+
+  test("canonical dedup collapses case/accent/digit/whitespace variants " +
+    "and keeps distinct content apart") {
+    // NFC 'é' (precomposed), decomposed 'e'+U+0301, case, digit, and
+    // vertical-tab/whitespace variants of one sentence + one distinct doc
+    val d = Seq(
+      (1L, "Café costs 12 dollars"),
+      (2L, "café  COSTS98   DOLLARS"),
+      (3L, "cafe costs 00 dollars"),
+      (4L, "tea costs 12 dollars"))
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalDedup(d, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L), (4L, 1L)))
+    // the canonical form itself is the CCNet normalization
+    val canon = d.select(Dedup.canonicalText(col("text")).as("c"))
+      .as[String].collect()
+    assert(canon.take(3).forall(_ === "cafe costs 00 dollars"), canon.toSeq)
+  }
+
   test("lm score: exact count-space stats against hand-computed corpus") {
     // corpus counts: a=3, b=2, c=1, z=2; bigrams: "a b"=2, "b a"=1,
     // "a c"=1, "z z"=1

@@ -36,6 +36,8 @@ class SqlSurfaceSpec extends SparkSpec {
     try {
       check("SELECT * FROM dedup_exact('tvf_docs', 'text', 'doc_id')",
         Dedup.exactDedup(docs, "text", "doc_id"))
+      check("SELECT * FROM dedup_canonical('tvf_docs', 'text', 'doc_id')",
+        Dedup.canonicalDedup(docs, "text", "doc_id"))
       check("SELECT * FROM dedup_minhash('tvf_docs', 'text', 'doc_id', 0.8)",
         Dedup.minhashNearDups(docs, "text", "doc_id", 0.8))
       check("SELECT * FROM cosine_topk('tvf_emb', 'tvf_q', 'vec_id', " +
