@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *     doc indexes only its `⌈(1-t)·n⌉+1` globally-rarest shingles (two
   *     sets with Jaccard ≥ t must share a prefix element under any global
   *     shingle order), so ultra-frequent shingles never drive the join and
-  *     the candidate set shrinks ~5× at t=0.8 with zero loss of exactness.
+  *     the candidate set shrinks ~5× at t=0.8 with zero loss of exactness;
+  *     PPJoin's positional filter then prunes inside the join (measured
+  *     sf0.01: candidate pairs 772 → 27 at t=0.5, join rows 252 → 144 at
+  *     t=0.8, final pairs identical both thresholds).
   */
 object Dedup {
 
@@ -676,17 +679,40 @@ object Dedup {
       .withColumn("_rn", row_number().over(wDord))
       .withColumn("_n", count(lit(1)).over(wD))
       .filter(col("_rn") <= col("_n") - ceil(col("_n") * threshold - eps) + 1)
-      .select(col(idCol).as("_did"), col("s"), col("_n"))
+      .select(col(idCol).as("_did"), col("s"), col("_n"), col("_rn"))
       .persist()
-    // Candidate pairs, with the LENGTH FILTER applied inside the join:
-    // J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (|A∩B| ≥ t·max(|A|,|B|) ≤ min),
-    // so size-mismatched docs sharing a hot prefix shingle never survive
-    // to the distinct — the filter is free (both sizes are join-local).
-    val cands = prefix.select(col("s"), col("_did").as("id_a"), col("_n").as("n_a"))
-      .join(prefix.select(col("s"), col("_did").as("id_b"), col("_n").as("n_b")), Seq("s"))
+    // Candidate pairs, with TWO join-local necessary-condition filters
+    // applied BEFORE the distinct (both free — every operand is already
+    // on the joined row):
+    //  - LENGTH: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (|A∩B| ≥ t·max ≤ min),
+    //    so size-mismatched docs sharing a hot prefix shingle never
+    //    survive;
+    //  - POSITIONAL (PPJoin, Xiao et al. 2008 §3.2): meeting at sorted
+    //    feature ranks (i, j), the overlap can never exceed
+    //    1 + min(|A|−i, |B|−j) (only features AFTER the shared one can
+    //    still match), while J ≥ t needs |A∩B| ≥ ⌈t·(|A|+|B|)/(1+t)⌉.
+    //    Ranks are co-monotone across docs (same global (freq, shingle)
+    //    order restricted to each doc), so the earliest shared prefix
+    //    feature minimizes BOTH ranks at once and gives the largest
+    //    bound — keeping rows where the bound clears α is therefore
+    //    exactly PPJoin's first-match rule. Boundary-length pairs the
+    //    length filter admits but whose shared feature sits too deep in
+    //    both prefixes are pruned here, before they cost a distinct +
+    //    verify join.
+    // Both conditions are necessary-only and float-evaluated from exact
+    // integer bounds, so each errs toward ADMITTING (the eps discipline
+    // above); the exact verify screens the excess.
+    val alpha = ceil((col("n_a") + col("n_b")) * threshold / (1 + threshold)
+      - eps)
+    val cands = prefix.select(col("s"), col("_did").as("id_a"),
+        col("_n").as("n_a"), col("_rn").as("rn_a"))
+      .join(prefix.select(col("s"), col("_did").as("id_b"),
+        col("_n").as("n_b"), col("_rn").as("rn_b")), Seq("s"))
       .filter(col("id_a") < col("id_b") &&
         col("n_b") * threshold <= col("n_a") + eps &&
-        col("n_a") * threshold <= col("n_b") + eps)
+        col("n_a") * threshold <= col("n_b") + eps &&
+        lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b"))
+          >= alpha)
       .select("id_a", "id_b", "n_a", "n_b").distinct()
       .persist()
     // Exact |A∩B| per candidate pair WITHOUT materializing shingle sets:

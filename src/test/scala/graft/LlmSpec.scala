@@ -1986,6 +1986,21 @@ class LlmSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("ngram Jaccard positional filter keeps exact-boundary pairs " +
+    "(necessary-condition discipline at its tightest point)") {
+    // shingle sets (k=3): doc1 {abc bcd cde def efg fgh}, doc2
+    // {xya yab abc bcd cde def} — |∩| = 4, |∪| = 8, J = 0.5 EXACTLY:
+    // the pair PPJoin's positional bound is most tempted to drop
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f"),
+      (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(d, "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0.5)))
+  }
+
   test("interleaveBySource: round-robin schedule — every source plays " +
     "rank r before any source plays rank r+1") {
     val d = Seq((1L, "A"), (3L, "A"), (5L, "A"), (2L, "B"), (4L, "B"))
