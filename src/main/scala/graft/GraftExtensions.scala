@@ -688,6 +688,23 @@ object GraftExtensions {
             s.table(qt), ic, vc, pred, k, nlist = lit2int(args(6), u),
             nProbe = lit2int(args(7), u)))
       },
+      "ivfpq_topk_filtered" -> { args =>
+        val u = "usage: ivfpq_topk_filtered('index_table', 'queries', " +
+          "'id_col', 'vec_col', 'predicate_sql', k[, nlist, nprobe]) — " +
+          "pre-filtering ADC search over stored PQ codes"
+        require(args.length == 6 || args.length == 8, u)
+        val Seq(it, qt, ic, vc, ps) = args.take(5).map(lit2str(_, u))
+        val s = SparkSession.active
+        val pred = org.apache.spark.sql.functions.expr(ps)
+        val k = lit2int(args(5), u)
+        plan(
+          if (args.length == 6) graft.llm.AnnIndex
+            .ivfPqTopKOverIndexFiltered(s.table(it), s.table(qt), ic, vc,
+              pred, k)
+          else graft.llm.AnnIndex.ivfPqTopKOverIndexFiltered(s.table(it),
+            s.table(qt), ic, vc, pred, k, nlist = lit2int(args(6), u),
+            nProbe = lit2int(args(7), u)))
+      },
       "ivfpq_refined_over_index" -> { args =>
         val u = "usage: ivfpq_refined_over_index('index_table', " +
           "'corpus', 'queries', 'id_col', 'vec_col', k, refine_k)"

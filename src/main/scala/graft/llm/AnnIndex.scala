@@ -69,13 +69,15 @@ object AnnIndex {
     * [[Similarity.ivfPqTopK]]'s), so encode-then-query equals recompute
     * bit for bit. */
   def encodeIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 8, m: Int = 4, ksub: Int = 16, dims: Int = 64)
-      : DataFrame = {
+      nlist: Int = 8, m: Int = 4, ksub: Int = 16, dims: Int = 64,
+      attrCols: Seq[String] = Nil): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
     require(ksub >= 2, s"ksub ($ksub) must be >= 2")
-    Similarity.ivfPqEncode(corpus, idCol, vecCol, nlist, m, ksub, dims)
+    Similarity.ivfPqEncode(corpus, idCol, vecCol, nlist, m, ksub, dims,
+        attrCols)
       .select(col("neighbor_id").as(idCol) +: col("_cell").as("cell") +:
-        (0 until m).map(j => col(s"_c$j").as(s"c$j")): _*)
+        ((0 until m).map(j => col(s"_c$j").as(s"c$j")) ++
+          attrCols.map(col)): _*)
   }
 
   /** Write encoded index rows ([[encodeIvf]]/[[encodeIvfPq]] output) as
@@ -170,6 +172,30 @@ object AnnIndex {
     val encoded = index.select(col(idCol).as("neighbor_id") +:
       col("cell").cast("int").as("_cell") +:
       (0 until m).map(j => col(s"c$j").as(s"_c$j")): _*)
+    Similarity.ivfPqRank(encoded,
+      Similarity.ivfPqQueryTables(queries, idCol, vecCol, nlist, nProbe,
+        m, ksub, dims), k, m)
+  }
+
+  /** [[ivfTopKOverIndexFiltered]]'s pre-filtering contract on the
+    * compressed path: metadata-filtered ADC top-k over a stored IVF-PQ
+    * code index whose rows carry [[encodeIvfPq]]'s `attrCols`. The
+    * predicate restricts the CODES before the probe join and the rank
+    * window (all k results qualify), and — codes being a plain
+    * attribute-bearing parquet table — it pushes into the scan under
+    * the cell partition pruning, so a filtered probe reads only
+    * row-groups that can qualify inside the probed cell directories. */
+  def ivfPqTopKOverIndexFiltered(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, predicate: Column, k: Int,
+      nlist: Int = 8, nProbe: Int = 2, m: Int = 4, ksub: Int = 16,
+      dims: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
+    val encoded = index.filter(predicate)
+      .select(col(idCol).as("neighbor_id") +:
+        col("cell").cast("int").as("_cell") +:
+        (0 until m).map(j => col(s"c$j").as(s"_c$j")): _*)
     Similarity.ivfPqRank(encoded,
       Similarity.ivfPqQueryTables(queries, idCol, vecCol, nlist, nProbe,
         m, ksub, dims), k, m)

@@ -688,19 +688,20 @@ object Similarity {
     * exactly the frame [[graft.llm.AnnIndex.encodeIvfPq]] persists
     * (under public column names) and queries never recompute. */
   private[llm] def ivfPqEncode(corpus: DataFrame, idCol: String,
-      vecCol: String, nlist: Int, m: Int, ksub: Int, dims: Int)
-      : DataFrame = {
+      vecCol: String, nlist: Int, m: Int, ksub: Int, dims: Int,
+      attrCols: Seq[String] = Nil): DataFrame = {
     val cents = seedCentroids(nlist, dims)
-    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+    val c0 = corpus.select(col(idCol).as("neighbor_id") +:
+        col(vecCol).as("_v") +: attrCols.map(col): _*)
       .withColumn("_cps", centroidProjections(col("_v"), cents))
       .withColumn("_cell",
         (array_position(col("_cps"), array_max(col("_cps"))) - 1).cast("int"))
       .drop("_cps")
     (0 until m).foldLeft(c0) { (df, j) =>
       df.withColumn(s"_s$j", pqBiasedProjections(col("_v"), j, m, ksub, dims))
-    }.select(col("neighbor_id") +: col("_cell") +: (0 until m).map(j =>
+    }.select(col("neighbor_id") +: col("_cell") +: ((0 until m).map(j =>
       (array_position(col(s"_s$j"), array_max(col(s"_s$j"))) - 1)
-        .cast("int").as(s"_c$j")): _*)
+        .cast("int").as(s"_c$j")) ++ attrCols.map(col)): _*)
   }
 
   /** Query side of IVF-PQ: probe list (same rule as ivfTopK: top-nProbe

@@ -102,6 +102,24 @@ class AnnIndexSpec extends SparkSpec {
       s"label predicate not pushed: ${fscan.metadata("PushedFilters")}")
   }
 
+  test("filtered search on the compressed path: attribute predicate " +
+    "over stored PQ codes equals ivfPqTopK over the pre-filtered corpus") {
+    val dir = tmp("annidx_pq_filtered")
+    AnnIndex.writeIndex(AnnIndex.encodeIvfPq(emb, "vec_id", "embedding",
+      attrCols = Seq("label")), dir)
+    val idx = AnnIndex.readIndex(spark, dir)
+    assert(idx.columns.sorted.toSeq ===
+      Seq("c0", "c1", "c2", "c3", "cell", "label", "vec_id"))
+    val pred = col("label") <= 4
+    val got = AnnIndex.ivfPqTopKOverIndexFiltered(idx, queries, "vec_id",
+      "embedding", pred, 5)
+    assert(rows(got) === rows(Similarity.ivfPqTopK(
+      emb.filter(pred), queries, "vec_id", "embedding", 5)))
+    val bad = got.join(emb.filter(col("label") > 4),
+      got("neighbor_id") === emb("vec_id"), "left_semi")
+    assert(bad.count() === 0L, "disqualified neighbor returned")
+  }
+
   test("incremental append: encode+append of a delta equals a full " +
     "rebuild, through both the rows and the query path") {
     val dir = tmp("annidx_delta")

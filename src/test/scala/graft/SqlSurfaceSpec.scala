@@ -155,7 +155,8 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.llm.AnnIndex.encodeIvf(emb, "vec_id", "embedding",
         attrCols = Seq("label")), ivfDir)
     graft.llm.AnnIndex.writeIndex(
-      graft.llm.AnnIndex.encodeIvfPq(emb, "vec_id", "embedding"), pqDir)
+      graft.llm.AnnIndex.encodeIvfPq(emb, "vec_id", "embedding",
+        attrCols = Seq("label")), pqDir)
     graft.llm.AnnIndex.readIndex(spark, ivfDir)
       .createOrReplaceTempView("tvf3_ivf_idx")
     graft.llm.AnnIndex.readIndex(spark, pqDir)
@@ -220,6 +221,11 @@ class SqlSurfaceSpec extends SparkSpec {
           "'tvf3_q', 'vec_id', 'embedding', 'label % 2 = 0', 3)",
         graft.llm.AnnIndex.ivfTopKOverIndexFiltered(
           graft.llm.AnnIndex.readIndex(spark, ivfDir), q, "vec_id",
+          "embedding", expr("label % 2 = 0"), 3))
+      check("SELECT * FROM ivfpq_topk_filtered('tvf3_pq_idx', " +
+          "'tvf3_q', 'vec_id', 'embedding', 'label % 2 = 0', 3)",
+        graft.llm.AnnIndex.ivfPqTopKOverIndexFiltered(
+          graft.llm.AnnIndex.readIndex(spark, pqDir), q, "vec_id",
           "embedding", expr("label % 2 = 0"), 3))
       // the stored-index TVF agrees with the recompute TVF — the a16/a17
       // property, stated purely in SQL
