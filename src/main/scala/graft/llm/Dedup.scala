@@ -807,8 +807,26 @@ object Dedup {
     *         state = content hashes of everything ingested so far
     */
   def exactDedupDelta(newDocs: DataFrame, textCol: String, idCol: String,
-      priorHashes: Option[DataFrame] = None): DeltaState = {
-    val withinKeep = newDocs.groupBy(md5(col(textCol)).as("content_hash"))
+      priorHashes: Option[DataFrame] = None): DeltaState =
+    keyedDedupDelta(newDocs, md5(col(textCol)), idCol, priorHashes)
+
+  /** [[exactDedupDelta]] on the [[canonicalText]] key — incremental
+    * canonical dedup for continuous ingest: a batch-2 re-encode of a
+    * batch-1 document (case/accent/digit/whitespace variant) is dropped
+    * against the carried canonical-hash state exactly as a byte-exact
+    * copy would be. State stays hash-sized; prior text is never reread. */
+  def canonicalDedupDelta(newDocs: DataFrame, textCol: String,
+      idCol: String, priorHashes: Option[DataFrame] = None): DeltaState =
+    keyedDedupDelta(newDocs, md5(canonicalText(col(textCol))), idCol,
+      priorHashes)
+
+  /** The shared delta-dedup step over an arbitrary row-local content
+    * key: within-batch min-id per key, anti-join against the carried
+    * key state, state = prior ∪ this batch's novel keys. ONE definition
+    * so the exact and canonical variants cannot diverge. */
+  private def keyedDedupDelta(newDocs: DataFrame, key: Column,
+      idCol: String, priorHashes: Option[DataFrame]): DeltaState = {
+    val withinKeep = newDocs.groupBy(key.as("content_hash"))
       .agg(min(col(idCol)).as("_keep_id"))
     val novel = priorHashes.fold(withinKeep)(prior =>
       withinKeep.join(prior.select(col("content_hash")),

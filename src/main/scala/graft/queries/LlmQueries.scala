@@ -364,6 +364,26 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // a24's pre-filtering contract on the COMPRESSED path: the even-label
+    // predicate restricts the stored PQ codes before the probe join and
+    // the ADC rank window. Oracle = a7's recompute chain with the same
+    // restriction on the encoded-codes CTE; queries stay unfiltered.
+    "a25_ivfpq_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("a25_ivfpq_filtered").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvfPq(e, "vec_id", "embedding",
+          attrCols = Seq("label")),
+        idxDir)
+      graft.llm.AnnIndex.ivfPqTopKOverIndexFiltered(
+          graft.llm.AnnIndex.readIndex(s, idxDir),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          col("label") % 2 === 0, 10, nlist = 8, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN recall eval: per-query recall@10 of the IVF index (a4's exact
     // configuration) against brute-force cosine (a1's) — the measurement
     // that tunes nlist/nProbe before an index ships. Integer counts +
@@ -1007,6 +1027,33 @@ object LlmQueries {
           graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
         "text", "doc_id", minQuality = 0.6,
         dsirGate = Some((tdist, rdist)))
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch")))
+        .orderBy("doc_id")
+    }),
+
+    // The ingest gate with CANONICAL dedup as the delta step (d12 on the
+    // stream): batch 2 re-ingests batch-1 docs at +1000000 UPPERCASED
+    // with doubled internal spaces — byte-different (exact dedup would
+    // keep them), canonically identical — and the carried canonical-hash
+    // state provably drops them. Quality floor composes upstream as in
+    // w6; token lists are case/respace-invariant so the plants face the
+    // identical gate.
+    "w11_ingest_gate_canonical" -> ((s, dir) => {
+      val train = t(s, dir, "documents").filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250).unionByName(
+        b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            upper(regexp_replace(col("text"), " ", "  ")).as("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.canonicalDedupDelta(batch, "text", "doc_id",
+            prior),
+        "text", "doc_id", minQuality = 0.6)
       val s1 = step(b1, None)
       val s2 = step(b2, Some(s1.state))
       s1.kept.select(col("doc_id"), lit(0).as("batch"))
@@ -2154,6 +2201,15 @@ object LlmQueries {
         (CASE WHEN CAST(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x))) AS DOUBLE) / len(w) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
         (CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0"""
 
+  /** md5 of [[graft.llm.Dedup.canonicalText]]'s normalization of column
+    * `text` — the d12 chain (strip_accents ≡ NFD + mark removal on
+    * Latin), shared by the w11 streaming replay. */
+  private val duckCanonicalMd5: String =
+    """md5(trim(regexp_replace(regexp_replace(
+         lower(strip_accents(text)),
+         '[0-9]', '0', 'g'),
+         '[\s\x0b]+', ' ', 'g')))"""
+
   /** md5 of [[graft.llm.Privacy.redact]]'s staged email→IP→phone rewrite
     * of column `text` — the identical chain the x9 oracle pins. */
   private val duckRedactMd5: String =
@@ -2298,6 +2354,50 @@ object LlmQueries {
           FROM r WHERE rn <= 10 ORDER BY query_id, rank"""
 
   private lazy val duckIvfTopKSql: String = duckIvfTopKSqlWhere("TRUE")
+
+  /** The a7 IVF-PQ ADC top-k oracle chain, parameterized by a corpus
+    * restriction applied to the encoded CODES (a25's filtered-search
+    * contract: the predicate lands BEFORE the probe join and the rank
+    * window; the query side stays unfiltered). a7 passes TRUE. */
+  private def duckIvfPqTopKSqlWhere(corpusCond: String): String =
+    s"""WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+              sv AS (SELECT vec_id, label, v,
+                       v[1:16] || [1.0] AS v0, v[17:32] || [1.0] AS v1,
+                       v[33:48] || [1.0] AS v2, v[49:64] || [1.0] AS v3
+                     FROM e),
+              ps AS (SELECT vec_id, label, $duckIvfProjs AS cp,
+                       ${duckPqProjs(0)} AS s0, ${duckPqProjs(1)} AS s1,
+                       ${duckPqProjs(2)} AS s2, ${duckPqProjs(3)} AS s3
+                     FROM sv),
+              enc AS (SELECT vec_id,
+                        CAST(list_position(cp, list_max(cp)) AS INTEGER) - 1 AS cell,
+                        CAST(list_position(s0, list_max(s0)) AS INTEGER) - 1 AS c0,
+                        CAST(list_position(s1, list_max(s1)) AS INTEGER) - 1 AS c1,
+                        CAST(list_position(s2, list_max(s2)) AS INTEGER) - 1 AS c2,
+                        CAST(list_position(s3, list_max(s3)) AS INTEGER) - 1 AS c3
+                      FROM ps WHERE $corpusCond),
+              qp AS (SELECT vec_id AS query_id, cp, s0, s1, s2, s3
+                     FROM ps WHERE vec_id < 5),
+              pr AS (SELECT query_id, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cp[CAST(i AS INTEGER)] DESC,
+                                                   i ASC) AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       q.s0[c.c0 + 1] + q.s1[c.c1 + 1]
+                       + q.s2[c.c2 + 1] + q.s3[c.c3 + 1] AS adc
+                     FROM enc c
+                     JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id
+                     JOIN qp q ON q.query_id = p.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, neighbor_id) AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank"""
 
   /** The a15 IVFADC+R oracle chain (a7's generated encode/probe/ADC
     * CTEs at refineK=30, then exact-cosine re-rank of just those
@@ -3203,45 +3303,8 @@ object LlmQueries {
                     FROM sc)
           SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
-    "a7_ivfpq_topk" ->
-      s"""WITH e AS (SELECT vec_id,
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings),
-              sv AS (SELECT vec_id, v,
-                       v[1:16] || [1.0] AS v0, v[17:32] || [1.0] AS v1,
-                       v[33:48] || [1.0] AS v2, v[49:64] || [1.0] AS v3
-                     FROM e),
-              ps AS (SELECT vec_id, $duckIvfProjs AS cp,
-                       ${duckPqProjs(0)} AS s0, ${duckPqProjs(1)} AS s1,
-                       ${duckPqProjs(2)} AS s2, ${duckPqProjs(3)} AS s3
-                     FROM sv),
-              enc AS (SELECT vec_id,
-                        CAST(list_position(cp, list_max(cp)) AS INTEGER) - 1 AS cell,
-                        CAST(list_position(s0, list_max(s0)) AS INTEGER) - 1 AS c0,
-                        CAST(list_position(s1, list_max(s1)) AS INTEGER) - 1 AS c1,
-                        CAST(list_position(s2, list_max(s2)) AS INTEGER) - 1 AS c2,
-                        CAST(list_position(s3, list_max(s3)) AS INTEGER) - 1 AS c3
-                      FROM ps),
-              qp AS (SELECT vec_id AS query_id, cp, s0, s1, s2, s3
-                     FROM ps WHERE vec_id < 5),
-              pr AS (SELECT query_id, CAST(i AS INTEGER) - 1 AS cell,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cp[CAST(i AS INTEGER)] DESC,
-                                                   i ASC) AS prn
-                     FROM qp, range(1, 9) t(i)),
-              probes AS (SELECT query_id, cell FROM pr WHERE prn <= 2),
-              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-                       q.s0[c.c0 + 1] + q.s1[c.c1 + 1]
-                       + q.s2[c.c2 + 1] + q.s3[c.c3 + 1] AS adc
-                     FROM enc c
-                     JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id
-                     JOIN qp q ON q.query_id = p.query_id),
-              r AS (SELECT query_id, neighbor_id,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY adc DESC, neighbor_id) AS rn
-                    FROM sc)
-          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
-          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "a7_ivfpq_topk" -> duckIvfPqTopKSqlWhere("TRUE"),
+    "a25_ivfpq_filtered" -> duckIvfPqTopKSqlWhere("label % 2 = 0"),
     // a7's generated chain at refineK=30, then exact-cosine re-rank of
     // just those candidates (the a1 cosine formula) — IVFADC+R replayed.
     // Shared verbatim with a16: the oracle ALWAYS replays the recompute
@@ -3947,6 +4010,37 @@ object LlmQueries {
                         WHERE h NOT IN (SELECT h FROM state1))
           SELECT doc_id, batch FROM (
             SELECT doc_id, 0 AS batch FROM kept1
+            UNION ALL
+            SELECT doc_id, 1 AS batch FROM kept2)
+          ORDER BY doc_id""",
+    // The quality floor + d12's canonical key driving the w6 dedup state
+    // replay: batch-2 plants are uppercased/respaced b1 docs — distinct
+    // md5(text), identical canonical hash — so kept2 excludes them via
+    // the carried state. duckCanon = the d12 normalization chain.
+    "w11_ingest_gate_canonical" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents
+                WHERE source <> 'src0'),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000,
+                            upper(regexp_replace(text, ' ', '  ', 'g'))
+                     FROM b1 WHERE doc_id % 7 = 0),
+              q1 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b1)
+                     WHERE $duckQualityExpr >= 0.6),
+              c1 AS (SELECT doc_id, $duckCanonicalMd5 AS h FROM q1),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM c1 GROUP BY h),
+              state1 AS (SELECT DISTINCT h FROM c1),
+              q2 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b2)
+                     WHERE $duckQualityExpr >= 0.6),
+              c2 AS (SELECT doc_id, $duckCanonicalMd5 AS h FROM q2),
+              k2 AS (SELECT h, min(doc_id) AS doc_id FROM c2 GROUP BY 1),
+              kept2 AS (SELECT doc_id FROM k2
+                        WHERE h NOT IN (SELECT h FROM state1))
+          SELECT doc_id, batch FROM (
+            SELECT doc_id, 0 AS batch FROM k1
             UNION ALL
             SELECT doc_id, 1 AS batch FROM kept2)
           ORDER BY doc_id""",

@@ -27,6 +27,21 @@ class DeltaDedupSpec extends SparkSpec {
     assert(s2.state.distinct().count() === 3L)
   }
 
+  test("canonical delta: re-encoded variants drop against carried state, " +
+    "genuinely new content survives") {
+    val b1 = docs((1L, "Cafe costs 12 dollars"), (2L, "other text here"))
+    val s1 = Dedup.canonicalDedupDelta(b1, "text", "doc_id")
+    assert(s1.kept.count() === 2L)
+    // batch 2: an uppercased/respaced/digit variant of doc 1 (drops), a
+    // case variant of doc 2 (drops), and novel content (survives)
+    val b2 = docs((10L, "CAFE  costs 98   dollars"),
+      (11L, "OTHER TEXT HERE"), (12L, "brand new content"))
+    val s2 = Dedup.canonicalDedupDelta(b2, "text", "doc_id", Some(s1.state))
+    assert(s2.kept.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(12L))
+    assert(s2.state.count() === 3L)
+  }
+
   test("exact delta over two batches equals batch dedup when ids ingest-order") {
     val all = (1L to 40L).map(i => (i, s"content ${i % 7}"))
     val (a, b) = all.partition(_._1 <= 20L)
