@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) word segmentation scoring — the
+  * Viterbi DP of Kudo 2018 ("Subword Regularization", §3.2) over a FIXED
+  * scored piece vocabulary, specialized to integer scores so the whole
+  * optimum is oracle-checkable cross-engine (the x29 float discipline:
+  * real unigram-LM log-probs are floats; certify the DP machinery in an
+  * isomorphic integer score space, pin float scoring in specs if ever
+  * needed).
+  *
+  * best(w, i) = max score over segmentations of the first `i` chars:
+  *   best(0) = 0
+  *   best(i) = max( best(i-1) + 1,                        // single-char
+  *                  max over pieces p ending at i of best(i-|p|) + s_p )
+  * The single-char fallback (every character scores 1) guarantees every
+  * word segments — SentencePiece's character-coverage floor.
+  *
+  * Spark shape: the DP is UNROLLED into `maxLen` chained projections
+  * (`withColumn` per position — each step references the previous step's
+  * attribute, never a copied expression tree), so the whole recurrence
+  * is plain row-local Column algebra inside whole-stage codegen: no UDF,
+  * no driver loop, no shuffle beyond the final per-doc aggregate.
+  * `maxLen` caps the unroll; words longer than that fall back to the
+  * all-single-chars score (= their length), the same pre-split rule
+  * SentencePiece applies to pathological tokens — document the cap, it
+  * is part of the operator's contract and the oracle replays it.
+  */
+object Unigram {
+
+  /** Per-document unigram-LM segmentation stats over whitespace word
+    * tokens: (idCol, n_tokens, total_score) where total_score sums each
+    * token occurrence's OPTIMAL segmentation score under `pieces`.
+    * Greedy longest-match is NOT optimal in general (pieces overlap);
+    * the DP is what a correct tokenizer costs, and the integer optimum
+    * is what the oracle certifies. */
+  def scoreDocs(df: DataFrame, textCol: String, idCol: String,
+      pieces: Seq[(String, Int)], maxLen: Int = 16): DataFrame = {
+    require(maxLen >= 1, s"maxLen ($maxLen) must be >= 1")
+    require(pieces.nonEmpty, "pieces must be non-empty")
+    require(pieces.forall { case (p, s) =>
+      p.nonEmpty && p.length <= maxLen && s >= 1 },
+      s"every piece must be non-empty, at most maxLen ($maxLen) chars, " +
+        "and score >= 1")
+    require(pieces.map(_._1).distinct.size == pieces.size,
+      "duplicate piece strings")
+    val toks = df.select(col(idCol),
+        filter(Dedup.tokens(coalesce(col(textCol), lit(""))),
+          x => length(x) > 0).as("_tk"))
+      .select(col(idCol), explode(col("_tk")).as("_w"))
+    val withDp = (1 to maxLen).foldLeft(toks.withColumn("_b0", lit(0))) {
+      (d, i) =>
+        val cands: Seq[Column] =
+          (col(s"_b${i - 1}") + lit(1)) +: pieces.collect {
+            case (p, s) if p.length <= i =>
+              when(substring(col("_w"), i - p.length + 1, p.length) === p,
+                col(s"_b${i - p.length}") + lit(s))
+          }
+        d.withColumn(s"_b$i",
+          if (cands.size == 1) cands.head else greatest(cands: _*))
+    }
+    val pick = (1 to maxLen).foldLeft(
+        when(length(col("_w")) > maxLen, length(col("_w")))) { (c, i) =>
+      c.when(length(col("_w")) === i, col(s"_b$i"))
+    }
+    withDp.withColumn("_score", pick)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_score")).cast("long").as("total_score"))
+  }
+
+  /** The generated DuckDB replay of [[scoreDocs]]' DP — one CTE step per
+    * position over the DISTINCT word table (the oracle-side shape; the
+    * engine computes per occurrence, which is score-identical). The
+    * word-token and greatest-skips-NULL semantics match the engine's.
+    * Lives here so the recurrence has ONE definition feeding both
+    * engines' generators. */
+  def duckDpSteps(pieces: Seq[(String, Int)], maxLen: Int): String =
+    (1 to maxLen).map { i =>
+      val cands = s"b${i - 1} + 1" +: pieces.collect {
+        case (p, s) if p.length <= i =>
+          s"CASE WHEN substr(word, ${i - p.length + 1}, ${p.length}) = " +
+            s"'$p' THEN b${i - p.length} + $s END"
+      }
+      val expr =
+        if (cands.size == 1) cands.head
+        else s"greatest(${cands.mkString(", ")})"
+      s"u$i AS (SELECT *, $expr AS b$i FROM u${i - 1})"
+    }.mkString(",\n              ")
+
+  /** The oracle-side score pick: the cap fallback, then the per-length
+    * DP cell — mirrors [[scoreDocs]]' `pick` chain. */
+  def duckScorePick(maxLen: Int): String =
+    s"CASE WHEN length(word) > $maxLen THEN length(word) " +
+      (1 to maxLen).map(i => s"WHEN length(word) = $i THEN b$i")
+        .mkString(" ") + " END"
+}

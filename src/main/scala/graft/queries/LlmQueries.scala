@@ -1061,6 +1061,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM (SentencePiece) Viterbi segmentation scoring: per-doc
+    // optimal-segmentation totals under the fixed overlapping piece
+    // vocabulary — the DP unrolled into 16 chained codegen projections,
+    // certified against the generated per-position CTE replay (the x57
+    // certify-the-loop pattern applied to a recurrence instead of a
+    // training loop). Integer score space per the x29 rule.
+    "x97_unigram_score" -> ((s, dir) => {
+      graft.llm.Unigram.scoreDocs(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", UnigramPieces, maxLen = 16)
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training END-TO-END: the full argmax + re-merge loop
     // (x39 certifies step-0 pair counts, x56 the apply step with FIXED
     // constants; this certifies the learned merge SEQUENCE itself — the
@@ -2178,6 +2191,21 @@ object LlmQueries {
   private val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "s" -> "t", "c" -> "o")
+
+  /** Fixed scored piece vocabulary for the x97 unigram-LM DP —
+    * deliberately OVERLAPPING so greedy longest-match is suboptimal on
+    * corpus words (e.g. 'scan': greedy sc(3)+a+n = 5, optimal
+    * s+can(5) = 6; 'join': jo(3)+i+n = 5 vs join(8)) and the oracle
+    * would catch a greedy (or off-by-one) implementation. */
+  private val UnigramPieces: Seq[(String, Int)] = Seq(
+    "join" -> 8, "jo" -> 3, "oin" -> 5, "ha" -> 3, "ash" -> 5,
+    "sc" -> 3, "can" -> 5, "ba" -> 3, "atch" -> 6, "cus" -> 4,
+    "tom" -> 4, "er" -> 2, "col" -> 4, "umn" -> 5, "fil" -> 4,
+    "ter" -> 4, "mer" -> 4, "ge" -> 2, "or" -> 3, "der" -> 4,
+    "ta" -> 3, "ble" -> 4, "va" -> 3, "lue" -> 4, "st" -> 3,
+    "ream" -> 6, "da" -> 3, "at" -> 3, "key" -> 6, "li" -> 3,
+    "ne" -> 2, "ro" -> 3, "ow" -> 3, "sm" -> 3, "all" -> 5,
+    "slo" -> 4, "low" -> 4, "agg" -> 7, "vec" -> 4, "tor" -> 4)
 
   /** The double-space separator formulation of the merge chain over word
     * alias `w` — the identical algebra [[graft.llm.Bpe.tokenizeCol]]
@@ -3401,6 +3429,23 @@ object LlmQueries {
       """SELECT doc_id,
                 row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS pos
          FROM documents ORDER BY doc_id""",
+    // The DP replayed over the distinct-word table: one generated CTE
+    // per position (Unigram.duckDpSteps — the SAME Scala generator that
+    // documents the recurrence), greatest-skips-NULL on both engines,
+    // substr-beyond-end = '' on both engines, cap fallback replayed.
+    "x97_unigram_score" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWordToks AS w FROM documents),
+              occ AS (SELECT doc_id, t AS word
+                      FROM (SELECT doc_id, unnest(w) AS t FROM ws)),
+              u0 AS (SELECT DISTINCT word, 0 AS b0 FROM occ),
+              ${graft.llm.Unigram.duckDpSteps(UnigramPieces, 16)},
+              wsc AS (SELECT word,
+                        ${graft.llm.Unigram.duckScorePick(16)} AS score
+                      FROM u16)
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(score) AS BIGINT) AS total_score
+          FROM occ JOIN wsc USING (word)
+          GROUP BY doc_id ORDER BY doc_id""",
     "x95_interleave" ->
       """WITH r AS (SELECT doc_id, source,
                       CAST(row_number() OVER (PARTITION BY source

@@ -1986,6 +1986,23 @@ class LlmSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("unigram Viterbi scoring: DP beats greedy, cap falls back to " +
+    "single chars, hand-computed totals") {
+    val pieces = Seq("ab" -> 3, "bc" -> 4, "abcd" -> 6)
+    // 'abc': greedy-from-left ab+c = 4, OPTIMAL a+bc = 5
+    // 'abcd': abcd = 6 (ties a+bc+d = 6 — same optimum)
+    // 'zz': no pieces apply, 2 single chars
+    // 'abcdefg': length 7 > maxLen 6, fallback = 7
+    val d = Seq((1L, "abc abcd zz"), (2L, "abcdefg"), (3L, " "))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Unigram.scoreDocs(d, "text", "doc_id", pieces,
+        maxLen = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 3 is whitespace-only: no tokens, no row
+    assert(out.toSeq === Seq((1L, 3L, 13L), (2L, 1L, 7L)))
+  }
+
   test("ngram Jaccard positional filter keeps exact-boundary pairs " +
     "(necessary-condition discipline at its tightest point)") {
     // shingle sets (k=3): doc1 {abc bcd cde def efg fgh}, doc2
