@@ -688,6 +688,38 @@ object GraftExtensions {
             s.table(qt), ic, vc, pred, k, nlist = lit2int(args(6), u),
             nProbe = lit2int(args(7), u)))
       },
+      "concordance" -> { args =>
+        val u = "usage: concordance('table', 'text_col', 'id_col', " +
+          "'keyword'[, window])"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(t, tc, ic, kw) = args.take(4).map(lit2str(_, u))
+        plan(graft.llm.TextAnalysis.concordance(
+          SparkSession.active.table(t), tc, ic, kw,
+          window = args.lift(4).map(lit2int(_, u)).getOrElse(3)))
+      },
+      "interleave_by_source" -> { args =>
+        val u = "usage: interleave_by_source('table', 'source_col', " +
+          "'id_col'[, n_buckets])"
+        require(args.length == 3 || args.length == 4, u)
+        val Seq(t, sc, ic) = args.take(3).map(lit2str(_, u))
+        plan(graft.llm.Corpus.interleaveBySource(
+          SparkSession.active.table(t), sc, ic,
+          nBuckets = args.lift(3).map(lit2int(_, u)).getOrElse(8)))
+      },
+      "ivf_radius_over_index" -> { args =>
+        val u = "usage: ivf_radius_over_index('index_table', 'queries', " +
+          "'id_col', 'vec_col', min_cos[, nlist, nprobe])"
+        require(args.length == 5 || args.length == 7, u)
+        val Seq(it, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val r = lit2dbl(args(4), u)
+        plan(
+          if (args.length == 5) graft.llm.AnnIndex.ivfRadiusOverIndex(
+            s.table(it), s.table(qt), ic, vc, r)
+          else graft.llm.AnnIndex.ivfRadiusOverIndex(s.table(it),
+            s.table(qt), ic, vc, r, nlist = lit2int(args(5), u),
+            nProbe = lit2int(args(6), u)))
+      },
       "ivfpq_topk_filtered" -> { args =>
         val u = "usage: ivfpq_topk_filtered('index_table', 'queries', " +
           "'id_col', 'vec_col', 'predicate_sql', k[, nlist, nprobe]) — " +

@@ -177,6 +177,29 @@ object AnnIndex {
         m, ksub, dims), k, m)
   }
 
+  /** Radius (range) search served from a stored IVF index: every
+    * probed-cell neighbor at cosine ≥ `minCos` — a13's semantics with
+    * IVF's cell-pruned recall trade (a neighbor in an unprobed cell is
+    * missed; raise nProbe for recall, the a9 eval measures it). Same
+    * partition-pruned read as [[ivfTopKOverIndex]]; output is
+    * (query_id, neighbor_id, cos), unbounded by design — radius queries
+    * size their own result, callers cap downstream if needed. */
+  def ivfRadiusOverIndex(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, nlist: Int = 8,
+      nProbe: Int = 2, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
+    require(cents.size == nlist && cents.forall(_.size == dims),
+      s"centroids must be a $nlist x $dims codebook")
+    val encoded = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_v"), col("cell").cast("int").as("_cell"))
+    Similarity.ivfRadius(encoded,
+      Similarity.probedQueries(queries, idCol, vecCol, cents, nlist,
+        nProbe), minCos)
+  }
+
   /** [[ivfTopKOverIndexFiltered]]'s pre-filtering contract on the
     * compressed path: metadata-filtered ADC top-k over a stored IVF-PQ
     * code index whose rows carry [[encodeIvfPq]]'s `attrCols`. The

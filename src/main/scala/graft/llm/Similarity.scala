@@ -548,6 +548,17 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** The rank-free sibling of [[ivfRank]]: every probed-cell neighbor at
+    * cosine ≥ `minCos` — radius semantics served from an encoded corpus,
+    * shared by [[graft.llm.AnnIndex.ivfRadiusOverIndex]]. */
+  private[llm] def ivfRadius(encoded: DataFrame, probed: DataFrame,
+      minCos: Double): DataFrame =
+    encoded.join(broadcast(probed), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_v"), col("_q")))
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id", "cos")
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 8, nProbe: Int = 2,
       dims: Int = 64, centroids: Option[Seq[IndexedSeq[Double]]] = None)

@@ -364,6 +364,27 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // RADIUS search served from the persisted IVF index: every
+    // probed-cell neighbor at cosine >= 0.3 — a13's semantics with the
+    // cell-pruned recall trade, completing the index-serving matrix
+    // (top-k, filtered, refined, and now range queries all answer from
+    // the same stored artifact). Output unbounded by design; ids only
+    // per the a13 precedent.
+    "a26_ivf_radius_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("a26_ivf_radius").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8),
+        idxDir)
+      graft.llm.AnnIndex.ivfRadiusOverIndex(
+          graft.llm.AnnIndex.readIndex(s, idxDir),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          minCos = 0.3, nlist = 8, nProbe = 2)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // a24's pre-filtering contract on the COMPRESSED path: the even-label
     // predicate restricts the stored PQ codes before the probe join and
     // the ADC rank window. Oracle = a7's recompute chain with the same
@@ -3223,6 +3244,28 @@ object LlmQueries {
     "a4_ivf_topk" -> duckIvfTopKSql,
     "a17_ivf_index" -> duckIvfTopKSql,
     "a24_ivf_filtered" -> duckIvfTopKSqlWhere("label % 2 = 0"),
+    // a4's probe chain with the rank window replaced by the radius
+    // predicate — the same cells, the same exact cosine, no k.
+    "a26_ivf_radius_index" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              qp AS (SELECT vec_id AS query_id, v AS qv, ps FROM pc WHERE vec_id < 5),
+              pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC) AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65), i -> c.v[i] * p.qv[i])) /
+                       (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(p.qv, x -> x*x)))) AS cos
+                     FROM cc c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id)
+          SELECT query_id, neighbor_id FROM sc WHERE cos >= 0.3
+          ORDER BY query_id, neighbor_id""",
     "a9_ivf_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                      FROM embeddings),

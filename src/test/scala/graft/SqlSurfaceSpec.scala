@@ -227,6 +227,18 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.AnnIndex.ivfPqTopKOverIndexFiltered(
           graft.llm.AnnIndex.readIndex(spark, pqDir), q, "vec_id",
           "embedding", expr("label % 2 = 0"), 3))
+      check("SELECT * FROM ivf_radius_over_index('tvf3_ivf_idx', " +
+          "'tvf3_q', 'vec_id', 'embedding', 0.3)",
+        graft.llm.AnnIndex.ivfRadiusOverIndex(
+          graft.llm.AnnIndex.readIndex(spark, ivfDir), q, "vec_id",
+          "embedding", 0.3))
+      check("SELECT * FROM concordance('tvf3_docs', 'text', 'doc_id', " +
+          "'join', 3)",
+        graft.llm.TextAnalysis.concordance(docs, "text", "doc_id",
+          "join", window = 3))
+      check("SELECT * FROM interleave_by_source('tvf3_emb', 'label', " +
+          "'vec_id', 4)",
+        Corpus.interleaveBySource(emb, "label", "vec_id", nBuckets = 4))
       // the stored-index TVF agrees with the recompute TVF — the a16/a17
       // property, stated purely in SQL
       check("SELECT * FROM ivf_topk_over_index('tvf3_ivf_idx', " +
