@@ -119,12 +119,18 @@ object AnnIndex {
     val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
     require(cents.size == nlist && cents.forall(_.size == dims),
       s"centroids must be a $nlist x $dims codebook")
-    val encoded = index.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("_v"), col("cell").cast("int").as("_cell"))
-    Similarity.ivfRank(encoded,
+    Similarity.ivfRank(rawIndexEncoded(index, idCol, vecCol),
       Similarity.probedQueries(queries, idCol, vecCol, cents, nlist,
         nProbe), k)
   }
+
+  /** The ONE mapping from the public raw-vector index schema to the
+    * Similarity-internal column contract — top-k, filtered, and radius
+    * serving all read the index through it. */
+  private def rawIndexEncoded(index: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    index.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+      col("cell").cast("int").as("_cell"))
 
   /** Metadata-FILTERED ANN over a stored IVF index — "nearest permissive-
     * license docs", "nearest same-language paragraphs": top-k among the
@@ -144,19 +150,11 @@ object AnnIndex {
   def ivfTopKOverIndexFiltered(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, predicate: Column, k: Int,
       nlist: Int = 8, nProbe: Int = 2, dims: Int = 64,
-      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nlist,
-      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
-    val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
-    require(cents.size == nlist && cents.forall(_.size == dims),
-      s"centroids must be a $nlist x $dims codebook")
-    val encoded = index.filter(predicate)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
-        col("cell").cast("int").as("_cell"))
-    Similarity.ivfRank(encoded,
-      Similarity.probedQueries(queries, idCol, vecCol, cents, nlist,
-        nProbe), k)
-  }
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame =
+    // pre-filtering IS restriction-before-search: one delegation, so the
+    // filtered and unfiltered paths can never read the index differently
+    ivfTopKOverIndex(index.filter(predicate), queries, idCol, vecCol, k,
+      nlist, nProbe, dims, centroids)
 
   /** [[Similarity.ivfPqTopK]] served from a stored IVF-PQ code index:
     * the corpus-side encode is never recomputed — queries build their
@@ -193,9 +191,7 @@ object AnnIndex {
     val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
     require(cents.size == nlist && cents.forall(_.size == dims),
       s"centroids must be a $nlist x $dims codebook")
-    val encoded = index.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("_v"), col("cell").cast("int").as("_cell"))
-    Similarity.ivfRadius(encoded,
+    Similarity.ivfRadius(rawIndexEncoded(index, idCol, vecCol),
       Similarity.probedQueries(queries, idCol, vecCol, cents, nlist,
         nProbe), minCos)
   }
@@ -211,18 +207,9 @@ object AnnIndex {
   def ivfPqTopKOverIndexFiltered(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, predicate: Column, k: Int,
       nlist: Int = 8, nProbe: Int = 2, m: Int = 4, ksub: Int = 16,
-      dims: Int = 64): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nlist,
-      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
-    require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
-    val encoded = index.filter(predicate)
-      .select(col(idCol).as("neighbor_id") +:
-        col("cell").cast("int").as("_cell") +:
-        (0 until m).map(j => col(s"c$j").as(s"_c$j")): _*)
-    Similarity.ivfPqRank(encoded,
-      Similarity.ivfPqQueryTables(queries, idCol, vecCol, nlist, nProbe,
-        m, ksub, dims), k, m)
-  }
+      dims: Int = 64): DataFrame =
+    ivfPqTopKOverIndex(index.filter(predicate), queries, idCol, vecCol,
+      k, nlist, nProbe, m, ksub, dims)
 
   /** [[Similarity.ivfPqTopKRefined]] (IVFADC+R) over a stored code
     * index: ADC candidates come from the index, the exact re-rank joins

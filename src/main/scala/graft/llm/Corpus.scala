@@ -896,6 +896,9 @@ object Corpus {
     *         `pos: long` (global schedule position) */
   def interleaveBySource(df: DataFrame, sourceCol: String, idCol: String,
       nBuckets: Int = 8): DataFrame = {
+    require(!df.columns.contains("src_rank"),
+      "input must not carry a src_rank column — it would be clobbered " +
+        "(globalOrderIndex guards _b/_off/pos the same way)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
     globalOrderIndex(
@@ -1331,8 +1334,8 @@ object Corpus {
         .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m")))
     val rdist = graft.operators.Lineage.cut(
       db.groupBy("_b").agg(sum("_m").as("_rc")))
-    dsirScore(db, rdist, dsirTargetDist(target, textCol, buckets),
-      idCol, buckets)
+    val tdist = dsirTargetDist(target, textCol, buckets)
+    dsirScore(dsirMasses(db, rdist, tdist, idCol), rdist, tdist, buckets)
   }
 
   /** Top-`k` raw documents by [[dsirWeights]] log-likelihood ratio
@@ -1376,8 +1379,9 @@ object Corpus {
       priorCounts.fold(batchDist)(prior =>
         prior.select(col("_b"), col("_rc")).unionByName(batchDist)
           .groupBy("_b").agg(sum("_rc").as("_rc"))))
-    val scored = dsirScore(db, rdist,
-      dsirTargetDist(target, textCol, buckets), idCol, buckets)
+    val tdist = dsirTargetDist(target, textCol, buckets)
+    val scored = dsirScore(dsirMasses(db, rdist, tdist, idCol), rdist,
+      tdist, buckets)
     Dedup.DeltaState(scored, rdist)
   }
 
@@ -1410,28 +1414,23 @@ object Corpus {
     * @return (idCol, n_feats, target_mass, raw_mass, weight) */
   def dsirScoreFrozen(batch: DataFrame, textCol: String, idCol: String,
       targetDist: DataFrame, rawDist: DataFrame,
+      buckets: Int = 1024): DataFrame =
+    dsirScore(dsirMassesFrozen(batch, textCol, idCol, targetDist, rawDist,
+      buckets), rawDist, targetDist, buckets)
+
+  /** The integer-mass half of [[dsirScoreFrozen]] — everything an
+    * affinity GATE needs (the keep decision is a cross-multiplication of
+    * target_mass/raw_mass), WITHOUT the weight's 1-row normalization-
+    * totals cross-join: the streaming ingest gate calls this so its
+    * per-batch plan carries no nested-loop join at all. */
+  private[graft] def dsirMassesFrozen(batch: DataFrame, textCol: String,
+      idCol: String, targetDist: DataFrame, rawDist: DataFrame,
       buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets ($buckets) must be positive")
-    val db = dsirBucketRows(batch, textCol, Some(idCol), buckets)
-      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m"))
-    val consts = targetDist.agg(coalesce(sum("_tc"), lit(0L)).as("_T"))
-      .crossJoin(rawDist.agg(coalesce(sum("_rc"), lit(0L)).as("_R")))
-    db.join(broadcast(rawDist), Seq("_b"), "left")
-      .join(broadcast(targetDist), Seq("_b"), "left")
-      .groupBy(col(idCol))
-      .agg(sum("_m").cast("long").as("n_feats"),
-        sum(col("_m") * coalesce(col("_tc"), lit(0L))).cast("long")
-          .as("target_mass"),
-        sum(col("_m") * coalesce(col("_rc"), lit(0L))).cast("long")
-          .as("raw_mass"),
-        sum(col("_m") * (log(coalesce(col("_tc"), lit(0L)) + lit(1.0)) -
-          log(coalesce(col("_rc"), lit(0L)) + lit(1.0)))).as("_wsum"))
-      .crossJoin(broadcast(consts))
-      .select(col(idCol), col("n_feats"), col("target_mass"),
-        col("raw_mass"),
-        (col("_wsum") + col("n_feats") *
-          (log(col("_R") + lit(buckets.toDouble)) -
-           log(col("_T") + lit(buckets.toDouble)))).as("weight"))
+    dsirMasses(
+      dsirBucketRows(batch, textCol, Some(idCol), buckets)
+        .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_m")),
+      rawDist, targetDist, idCol)
   }
 
   /** One hashed-bigram bucket row per feature occurrence of `df` —
@@ -1460,27 +1459,41 @@ object Corpus {
       dsirBucketRows(target, textCol, None, buckets)
         .groupBy("_b").agg(count(lit(1)).as("_tc")))
 
-  /** The DSIR scoring join + rollup over per-doc bucket counts `db`
+  /** The ONE DSIR mass rollup over per-doc bucket counts `db`
     * (idCol, _b, _m), a raw distribution `rdist` (_b, _rc) and a target
-    * distribution `tdist` (_b, _tc) — both distributions broadcast,
-    * normalization totals on a 1-row broadcast. */
-  private def dsirScore(db: DataFrame, rdist: DataFrame, tdist: DataFrame,
-      idCol: String, buckets: Int): DataFrame = {
-    val consts = tdist.agg(coalesce(sum("_tc"), lit(0L)).as("_T"))
-      .crossJoin(rdist.agg(coalesce(sum("_rc"), lit(0L)).as("_R")))
-    db.join(broadcast(rdist), Seq("_b"))
+    * distribution `tdist` (_b, _tc) — both distributions broadcast.
+    * Both dist joins are LEFT with zero-coalesced counts: for the
+    * self-derived dists of dsirWeights/dsirDelta every db bucket is
+    * present in rdist (so left ≡ inner there), and frozen reference
+    * dists may genuinely miss buckets — one definition covers both, so
+    * the batch and frozen paths cannot diverge (the keyedDedupDelta
+    * discipline). `_wsum` carries the row-local log half of the weight;
+    * the 1-row normalization totals live in [[dsirScore]] so mass-only
+    * callers never pay that cross-join. */
+  private def dsirMasses(db: DataFrame, rdist: DataFrame,
+      tdist: DataFrame, idCol: String): DataFrame =
+    db.join(broadcast(rdist), Seq("_b"), "left")
       .join(broadcast(tdist), Seq("_b"), "left")
       .groupBy(col(idCol))
       .agg(sum("_m").cast("long").as("n_feats"),
         sum(col("_m") * coalesce(col("_tc"), lit(0L))).cast("long")
           .as("target_mass"),
-        sum(col("_m") * col("_rc")).cast("long").as("raw_mass"),
+        sum(col("_m") * coalesce(col("_rc"), lit(0L))).cast("long")
+          .as("raw_mass"),
         sum(col("_m") * (log(coalesce(col("_tc"), lit(0L)) + lit(1.0)) -
-          log(col("_rc") + lit(1.0)))).as("_wsum"))
-      .crossJoin(broadcast(consts))
-      .select(col(idCol), col("n_feats"), col("target_mass"), col("raw_mass"),
-        (col("_wsum") + col("n_feats") *
-          (log(col("_R") + lit(buckets.toDouble)) -
-           log(col("_T") + lit(buckets.toDouble)))).as("weight"))
+          log(coalesce(col("_rc"), lit(0L)) + lit(1.0)))).as("_wsum"))
+
+  /** [[dsirMasses]] output + the weight column: the normalization
+    * totals ride the documented 1-row broadcast cross-join (the BM25
+    * stats pattern, PlanAuditSpec-whitelisted per query). */
+  private def dsirScore(masses: DataFrame, rdist: DataFrame,
+      tdist: DataFrame, buckets: Int): DataFrame = {
+    val consts = tdist.agg(coalesce(sum("_tc"), lit(0L)).as("_T"))
+      .crossJoin(rdist.agg(coalesce(sum("_rc"), lit(0L)).as("_R")))
+    masses.crossJoin(broadcast(consts))
+      .withColumn("weight", col("_wsum") + col("n_feats") *
+        (log(col("_R") + lit(buckets.toDouble)) -
+         log(col("_T") + lit(buckets.toDouble))))
+      .drop("_wsum", "_T", "_R")
   }
 }

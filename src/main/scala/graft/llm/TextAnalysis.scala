@@ -330,7 +330,9 @@ object TextAnalysis {
       .filter(size(col("_tk")) >= 1)
       .select(col(idCol), col("_tk"),
         explode(sequence(lit(1), size(col("_tk")))).as("_p"))
-      .filter(element_at(col("_tk"), col("_p")) === keyword)
+      // tokens are lowercased (Dedup.tokens) — fold the keyword too, or
+      // any uppercase letter in it would silently match nothing
+      .filter(element_at(col("_tk"), col("_p")) === lower(lit(keyword)))
       .select(col(idCol), col("_p").cast("long").as("pos"),
         array_join(slice(col("_tk"),
           greatest(col("_p") - window, lit(1)),

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * Spark shape: the DP is UNROLLED into `maxLen` chained projections
   * (`withColumn` per position — each step references the previous step's
   * attribute, never a copied expression tree), so the whole recurrence
-  * is plain row-local Column algebra inside whole-stage codegen: no UDF,
-  * no driver loop, no shuffle beyond the final per-doc aggregate.
+  * is plain Column algebra inside whole-stage codegen: no UDF, no
+  * driver loop. It runs over the VOCABULARY (distinct words), not per
+  * token occurrence — at corpus scale the unrolled expression is the
+  * dominant cost and token text is zipfian, so the corpus-sized frames
+  * carry only (doc, word, count) rows and the scored vocabulary
+  * broadcast-joins back (measured: 4.05 s → per-word at sf0.1).
   * `maxLen` caps the unroll; words longer than that fall back to the
   * all-single-chars score (= their length), the same pre-split rule
   * SentencePiece applies to pathological tokens — document the cap, it
@@ -41,16 +45,27 @@ object Unigram {
     require(maxLen >= 1, s"maxLen ($maxLen) must be >= 1")
     require(pieces.nonEmpty, "pieces must be non-empty")
     require(pieces.forall { case (p, s) =>
-      p.nonEmpty && p.length <= maxLen && s >= 1 },
+      p.nonEmpty && p.length <= maxLen && s >= 1 && !p.contains("'") },
       s"every piece must be non-empty, at most maxLen ($maxLen) chars, " +
-        "and score >= 1")
+        "score >= 1, and quote-free (pieces are interpolated into the " +
+        "generated oracle SQL as literals)")
     require(pieces.map(_._1).distinct.size == pieces.size,
       "duplicate piece strings")
-    val toks = df.select(col(idCol),
-        filter(Dedup.tokens(coalesce(col(textCol), lit(""))),
-          x => length(x) > 0).as("_tk"))
-      .select(col(idCol), explode(col("_tk")).as("_w"))
-    val withDp = (1 to maxLen).foldLeft(toks.withColumn("_b0", lit(0))) {
+    // DP once per DISTINCT word, not per occurrence: token text is
+    // zipfian, so the corpus-sized frame carries only (doc, word, n)
+    // counts while the unrolled recurrence — the expensive expression —
+    // runs over the vocabulary-sized word table and broadcast-joins
+    // back (the oracle scores the same distinct-word table). For a
+    // beyond-broadcast vocabulary swap the broadcast hint for a plain
+    // equi-join; semantics are unchanged.
+    val counts = graft.operators.Lineage.cut(
+      df.select(col(idCol),
+          filter(Dedup.tokens(coalesce(col(textCol), lit(""))),
+            x => length(x) > 0).as("_tk"))
+        .select(col(idCol), explode(col("_tk")).as("_w"))
+        .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_n")))
+    val words = counts.select(col("_w")).distinct()
+    val withDp = (1 to maxLen).foldLeft(words.withColumn("_b0", lit(0))) {
       (d, i) =>
         val cands: Seq[Column] =
           (col(s"_b${i - 1}") + lit(1)) +: pieces.collect {
@@ -65,10 +80,11 @@ object Unigram {
         when(length(col("_w")) > maxLen, length(col("_w")))) { (c, i) =>
       c.when(length(col("_w")) === i, col(s"_b$i"))
     }
-    withDp.withColumn("_score", pick)
+    val scored = withDp.select(col("_w"), pick.as("_score"))
+    counts.join(broadcast(scored), Seq("_w"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("_score")).cast("long").as("total_score"))
+      .agg(sum(col("_n")).cast("long").as("n_tokens"),
+        sum(col("_n") * col("_score")).cast("long").as("total_score"))
   }
 
   /** The generated DuckDB replay of [[scoreDocs]]' DP — one CTE step per
@@ -77,7 +93,10 @@ object Unigram {
     * word-token and greatest-skips-NULL semantics match the engine's.
     * Lives here so the recurrence has ONE definition feeding both
     * engines' generators. */
-  def duckDpSteps(pieces: Seq[(String, Int)], maxLen: Int): String =
+  def duckDpSteps(pieces: Seq[(String, Int)], maxLen: Int): String = {
+    require(pieces.forall(p => !p._1.contains("'")),
+      "piece strings are interpolated into SQL literals — quotes would " +
+        "break (or inject into) the generated oracle")
     (1 to maxLen).map { i =>
       val cands = s"b${i - 1} + 1" +: pieces.collect {
         case (p, s) if p.length <= i =>
@@ -89,6 +108,7 @@ object Unigram {
         else s"greatest(${cands.mkString(", ")})"
       s"u$i AS (SELECT *, $expr AS b$i FROM u${i - 1})"
     }.mkString(",\n              ")
+  }
 
   /** The oracle-side score pick: the cap fallback, then the per-length
     * DP cell — mirrors [[scoreDocs]]' `pick` chain. */

@@ -151,9 +151,11 @@ object StreamOps {
     * [[DeltaStep]]: quality floor → optional Gopher rule suite
     * ([[graft.llm.TextAnalysis.gopherRules]], per-document and therefore
     * streaming-decidable) → optional DSIR affinity gate against frozen
-    * reference distributions ([[graft.llm.Corpus.dsirScoreFrozen]] —
+    * reference distributions ([[graft.llm.Corpus.dsirMassesFrozen]] —
     * dists trained offline via `dsirReferenceDists`, broadcast per
-    * batch, keep decided by integer cross-multiplication) → benchmark
+    * batch, keep decided by integer cross-multiplication of the mass
+    * sufficient statistics; the float weight and its 1-row cross-join
+    * never enter the hot path) → benchmark
     * decontamination → incremental dedup → optional PII → secret → card
     * redaction (in that pinned order) — the streaming form of
     * [[graft.llm.Pipeline.buildTrainingCorpus]] for every stage that is
@@ -209,8 +211,11 @@ object StreamOps {
       // keep iff target_mass/raw_mass >= num/den, decided by integer
       // cross-multiplication (never a float compare); featureless docs
       // (<2 tokens) emit no score row and drop with the semi-join
+      // mass-only scoring: the gate never reads the float weight, so it
+      // skips dsirScoreFrozen's 1-row normalization-totals cross-join —
+      // the per-batch plan carries no nested-loop join at all
       val affGated = dsirGate.fold(gated) { case (tdist, rdist) =>
-        val keep = graft.llm.Corpus.dsirScoreFrozen(gated, textCol, idCol,
+        val keep = graft.llm.Corpus.dsirMassesFrozen(gated, textCol, idCol,
             tdist, rdist, dsirBuckets)
           .filter(col("target_mass") * dsirMinAffinityDen >=
             col("raw_mass") * dsirMinAffinityNum)

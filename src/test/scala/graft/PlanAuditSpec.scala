@@ -47,12 +47,13 @@ class PlanAuditSpec extends SparkSpec {
     // shape) — only the 1-row SQ8 stats broadcasts ride a nested loop
     "x72_quota_sample", // composes x71's two 1-row broadcasts; the draw
     // itself is a strata-keyed equi-join + per-stratum window
-    "x79_temperature_mix", // the x22 pattern once more: the 1-row folded
+    "x79_temperature_mix" // the x22 pattern once more: the 1-row folded
     // normalizer broadcasts onto the sources-sized rates table
-    "w10_ingest_gate_dsir" // dsirScoreFrozen = x58's scoring join with
-    // FROZEN dists — the same 1-row (T, R) normalization-totals
-    // broadcast rides each batch's per-doc rollup, both sides bounded
   )
+  // NOT whitelisted by design: w10_ingest_gate_dsir — the streaming gate
+  // reads only the integer masses (Corpus.dsirMassesFrozen), so its plan
+  // carries no normalization-totals cross-join at all; the audit proves
+  // the hot ingest path is nested-loop-free.
 
   test("no cartesian products or unintended nested-loop joins") {
     // accumulate across ALL queries before asserting — a single bad plan
