@@ -688,6 +688,29 @@ object GraftExtensions {
             s.table(qt), ic, vc, pred, k, nlist = lit2int(args(6), u),
             nProbe = lit2int(args(7), u)))
       },
+      "dsir_gate" -> { args =>
+        val u = "usage: dsir_gate('batch', 'target', 'raw_ref', " +
+          "'text_col', 'id_col', min_num, min_den[, buckets]) — keep " +
+          "batch rows whose frozen-reference-dist DSIR affinity " +
+          "target_mass/raw_mass >= min_num/min_den (integer " +
+          "cross-multiplication; featureless docs drop)"
+        require(args.length == 7 || args.length == 8, u)
+        val Seq(bt, tt, rt, tc, ic) = args.take(5).map(lit2str(_, u))
+        val s = SparkSession.active
+        val num = lit2int(args(5), u).toLong
+        val den = lit2int(args(6), u).toLong
+        require(num >= 0 && den > 0, u)
+        val buckets = args.lift(7).map(lit2int(_, u)).getOrElse(1024)
+        val batch = s.table(bt)
+        val (tdist, rdist) = graft.llm.Corpus.dsirReferenceDists(
+          s.table(tt), s.table(rt), tc, buckets)
+        val c = org.apache.spark.sql.functions.col _
+        val keep = graft.llm.Corpus.dsirMassesFrozen(batch, tc, ic,
+            tdist, rdist, buckets)
+          .filter(c("target_mass") * den >= c("raw_mass") * num)
+          .select(ic)
+        plan(batch.join(keep, Seq(ic), "left_semi"))
+      },
       "concordance" -> { args =>
         val u = "usage: concordance('table', 'text_col', 'id_col', " +
           "'keyword'[, window])"

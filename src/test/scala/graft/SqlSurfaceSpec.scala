@@ -239,6 +239,20 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM interleave_by_source('tvf3_emb', 'label', " +
           "'vec_id', 4)",
         Corpus.interleaveBySource(emb, "label", "vec_id", nBuckets = 4))
+      // the w10 ingest gate's SQL spelling: frozen dists from the target
+      // and raw-reference tables, keep by integer cross-multiplication
+      docs.filter(col("doc_id") < 100).createOrReplaceTempView("tvf3_tgt")
+      docs.filter(col("doc_id") >= 100)
+        .createOrReplaceTempView("tvf3_rawref")
+      val (gt, gr) = Corpus.dsirReferenceDists(
+        spark.table("tvf3_tgt"), spark.table("tvf3_rawref"), "text")
+      val gateKeep = Corpus.dsirMassesFrozen(docs, "text", "doc_id",
+          gt, gr)
+        .filter(col("target_mass") * 200L >= col("raw_mass") * 11L)
+        .select("doc_id")
+      check("SELECT * FROM dsir_gate('tvf3_docs', 'tvf3_tgt', " +
+          "'tvf3_rawref', 'text', 'doc_id', 11, 200)",
+        docs.join(gateKeep, Seq("doc_id"), "left_semi"))
       // the stored-index TVF agrees with the recompute TVF — the a16/a17
       // property, stated purely in SQL
       check("SELECT * FROM ivf_topk_over_index('tvf3_ivf_idx', " +
@@ -246,7 +260,8 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.sql("SELECT * FROM ivf_topk('tvf3_emb', 'tvf3_q', " +
           "'vec_id', 'embedding', 3)"))
     } finally {
-      Seq("tvf3_docs", "tvf3_emb", "tvf3_q", "tvf3_ivf_idx", "tvf3_pq_idx")
+      Seq("tvf3_docs", "tvf3_emb", "tvf3_q", "tvf3_ivf_idx", "tvf3_pq_idx",
+          "tvf3_tgt", "tvf3_rawref")
         .foreach(spark.catalog.dropTempView)
     }
   }
