@@ -1469,19 +1469,26 @@ object Corpus {
     * the batch and frozen paths cannot diverge (the keyedDedupDelta
     * discipline). `_wsum` carries the row-local log half of the weight;
     * the 1-row normalization totals live in [[dsirScore]] so mass-only
-    * callers never pay that cross-join. */
+    * callers never pay that cross-join. The per-bucket logs are
+    * projected on the BROADCAST side (`buckets` log calls total) rather
+    * than per joined (doc, bucket) row — corpus-scale rows then pay only
+    * a subtract and a multiply, and a missing bucket's zero-coalesced
+    * log is exactly log(0+1) = 0, so the fold is bit-identical to
+    * logging after the join. */
   private def dsirMasses(db: DataFrame, rdist: DataFrame,
       tdist: DataFrame, idCol: String): DataFrame =
-    db.join(broadcast(rdist), Seq("_b"), "left")
-      .join(broadcast(tdist), Seq("_b"), "left")
+    db.join(broadcast(rdist.withColumn("_lr", log(col("_rc") + lit(1.0)))),
+        Seq("_b"), "left")
+      .join(broadcast(tdist.withColumn("_lt", log(col("_tc") + lit(1.0)))),
+        Seq("_b"), "left")
       .groupBy(col(idCol))
       .agg(sum("_m").cast("long").as("n_feats"),
         sum(col("_m") * coalesce(col("_tc"), lit(0L))).cast("long")
           .as("target_mass"),
         sum(col("_m") * coalesce(col("_rc"), lit(0L))).cast("long")
           .as("raw_mass"),
-        sum(col("_m") * (log(coalesce(col("_tc"), lit(0L)) + lit(1.0)) -
-          log(coalesce(col("_rc"), lit(0L)) + lit(1.0)))).as("_wsum"))
+        sum(col("_m") * (coalesce(col("_lt"), lit(0.0)) -
+          coalesce(col("_lr"), lit(0.0)))).as("_wsum"))
 
   /** [[dsirMasses]] output + the weight column: the normalization
     * totals ride the documented 1-row broadcast cross-join (the BM25

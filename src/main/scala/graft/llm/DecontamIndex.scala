@@ -39,6 +39,46 @@ object DecontamIndex {
   final case class BenchIndex(grams: DataFrame, bloomBytes: Array[Byte],
       k: Int)
 
+  /** Crash-safe metadata swap: the row lands durably under `meta_next`
+    * BEFORE the live `meta` is touched, then the swap completes with a
+    * delete + rename. A plain Overwrite of `meta` has a window where a
+    * crash leaves the artifact with NO metadata at all (bricking every
+    * later read); here the only crash window leaves `meta` absent but
+    * `meta_next` complete, and [[readMeta]] detects that state and
+    * finishes the rename. A crash DURING the `meta_next` write leaves
+    * the live `meta` untouched (stale `n_grams` at worst — advisory
+    * only; `k`/`fpp`/`expected_grams` never change after build). */
+  private def writeMeta(spark: SparkSession, dir: String, k: Int,
+      fpp: Double, expectedGrams: Long, nGrams: Long): Unit = {
+    import spark.implicits._
+    Seq((k, fpp, expectedGrams, nGrams))
+      .toDF("k", "fpp", "expected_grams", "n_grams")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta_next")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/meta_next")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    fs.rename(next, live)
+    ()
+  }
+
+  /** Read the metadata row, completing an interrupted [[writeMeta]] swap
+    * first when the crash landed between its delete and rename. */
+  private def readMeta(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Row = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) {
+      val next = new org.apache.hadoop.fs.Path(s"$dir/meta_next")
+      require(fs.exists(next),
+        s"decontam artifact at $dir carries no metadata — not an " +
+          "artifact, or its build never completed")
+      fs.rename(next, live) // finish the interrupted swap
+    }
+    spark.read.parquet(s"$dir/meta")
+      .select("k", "fpp", "expected_grams", "n_grams").head()
+  }
+
   /** Register a benchmark: write the distinct-gram table, the Bloom
     * sketch, and the metadata row under `dir`, replacing any prior
     * artifact. One bench-side scan total — the gram set is lineage-cut
@@ -62,10 +102,7 @@ object DecontamIndex {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try out.write(bos.toByteArray) finally out.close()
-    import spark.implicits._
-    Seq((k, fpp, expectedGrams, nGrams))
-      .toDF("k", "fpp", "expected_grams", "n_grams")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    writeMeta(spark, dir, k, fpp, expectedGrams, nGrams)
   }
 
   /** Register ADDITIONAL benchmark documents into an existing artifact
@@ -87,9 +124,7 @@ object DecontamIndex {
   def appendBenchIndex(bench: DataFrame, textCol: String, idCol: String,
       dir: String): Unit = {
     val spark = bench.sparkSession
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select("k", "fpp", "expected_grams", "n_grams")
-      .head()
+    val meta = readMeta(spark, dir)
     val (k, fpp, expected) = (meta.getInt(0), meta.getDouble(1),
       meta.getLong(2))
     val stored = spark.read.parquet(s"$dir/grams")
@@ -112,10 +147,7 @@ object DecontamIndex {
       val out = fs.create(path, true)
       try out.write(bos.toByteArray) finally out.close()
       newGrams.write.mode(SaveMode.Append).parquet(s"$dir/grams")
-      import spark.implicits._
-      Seq((k, fpp, expected, meta.getLong(3) + nNew))
-        .toDF("k", "fpp", "expected_grams", "n_grams")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+      writeMeta(spark, dir, k, fpp, expected, meta.getLong(3) + nNew)
     }
   }
 
@@ -123,8 +155,7 @@ object DecontamIndex {
     * only by the verify join, with the Bloom prune ahead of it); the
     * sketch bytes and `k` are read eagerly — both are small. */
   def readBenchIndex(spark: SparkSession, dir: String): BenchIndex = {
-    val k = spark.read.parquet(s"$dir/meta").select("k")
-      .head().getInt(0)
+    val k = readMeta(spark, dir).getInt(0)
     val path = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(path)

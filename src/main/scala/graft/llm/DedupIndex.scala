@@ -252,21 +252,38 @@ object DedupIndex {
     * to −1) would make a still-unmarked batch's replay see its own
     * compacted rows as prior state and drop all of its documents.
     * Ids-only semi-join on the id-bucketed layout; run it between
-    * ingest waves, never concurrently with one. (At index sizes where
-    * the in-place rebuild's transient double-footprint hurts, write to
-    * a fresh `base` and repoint.) */
+    * ingest waves, never concurrently with one.
+    *
+    * Crash safety: the reconciled index lands DURABLY under fresh
+    * `<base>__compact_*` tables while the live tables stay untouched;
+    * only then is each live table dropped and its compact twin renamed
+    * into place. A crash before the drops leaves the live index intact
+    * (stale compact tables are simply overwritten by the next run); a
+    * crash between a drop and its rename leaves the reconciled data
+    * durable under the compact name (recovery = one
+    * `ALTER TABLE ... RENAME TO ...`), never lost. An in-place rebuild
+    * would instead hold the ONLY copy of the reconciled signatures in
+    * non-durable localCheckpoint blocks across its own DROP TABLE —
+    * a driver or executor failure there destroys the index outright.
+    * The transient double-footprint (old + compact on disk together)
+    * is the price of that durability. */
   def compactState(spark: SparkSession, base: String, idCol: String,
       outDir: String, numHashes: Int = 16, bands: Int = 4,
       nBuckets: Int = 8): Unit = {
     val keptIds = spark.read.parquet(outDir).select(idCol).distinct()
     val all = spark.table(s"${base}_sigs")
-    // lineage-cut BEFORE writeStateTagged truncates the source: a plain
-    // persist would be evicted by writeBucketed's DROP TABLE cascade
+    // lineage-cut: the reconciled relation feeds both table writes below
+    // (one materialization instead of two filter+semi-join scans)
     val sigs = graft.operators.Lineage.cut(
       all.filter(col("_ib") === -1L)
         .unionByName(all.filter(col("_ib") >= 0L)
           .join(keptIds, Seq(idCol), "left_semi"))
         .dropDuplicates(idCol))
-    writeStateTagged(sigs, idCol, base, numHashes, bands, nBuckets)
+    val tmpBase = s"${base}__compact"
+    writeStateTagged(sigs, idCol, tmpBase, numHashes, bands, nBuckets)
+    for (suffix <- Seq("_sigs", "_bands")) {
+      spark.sql(s"DROP TABLE IF EXISTS `$base$suffix`")
+      spark.sql(s"ALTER TABLE `$tmpBase$suffix` RENAME TO `$base$suffix`")
+    }
   }
 }

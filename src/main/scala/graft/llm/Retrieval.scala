@@ -253,7 +253,12 @@ object Retrieval {
     *
     * @param rankings ≥ 2 frames of (queryIdCol, idCol, rankCol), ranks
     *                 1-based (e.g. [[bm25BatchTopK]] and
-    *                 [[Similarity.cosineTopK]] output)
+    *                 [[Similarity.cosineTopK]] output). A ranking that
+    *                 carries duplicate (query, doc) rows — a ranker bug,
+    *                 or a union of shard-local rankings — is collapsed to
+    *                 its BEST (minimum) rank per pair before fusion:
+    *                 duplicates would otherwise fan out through the
+    *                 full-outer join chain and occupy several fused ranks
     * @param kRrf     the standard dampening constant (60 in the paper)
     * @return (queryIdCol, idCol, rank_1..rank_n — the source ranks, null
     *         where that ranker missed the doc — score, rank 1..topK)
@@ -265,8 +270,11 @@ object Retrieval {
     require(topK > 0, s"topK ($topK) must be positive")
     require(kRrf >= 1, s"kRrf ($kRrf) must be >= 1")
     val shaped = rankings.zipWithIndex.map { case (r, i) =>
-      r.select(col(queryIdCol), col(idCol),
-        col(rankCol).cast("long").as(s"rank_${i + 1}"))
+      // min(rank) per (query, doc): deterministic collapse of duplicate
+      // rows (see @param rankings) — a no-op shuffle-wise for the normal
+      // already-unique top-k inputs, which are |queries|·k-sized
+      r.groupBy(col(queryIdCol), col(idCol))
+        .agg(min(col(rankCol).cast("long")).as(s"rank_${i + 1}"))
     }
     val joined = shaped.reduce(
       (a, b) => a.join(b, Seq(queryIdCol, idCol), "full_outer"))

@@ -105,8 +105,12 @@ object Sketches {
     * exception to the no-collect rule, like the k-means codebook).
     * Standard HLL bias correction (Flajolet et al. 2007 fig. 3): raw
     * harmonic mean with alpha_m, linear counting below 2.5m when empty
-    * buckets remain. Never crosses engines — LlmSpec pins it against
-    * exact distinct counts. */
+    * buckets remain, and the LARGE-range correction above 2^32/30 —
+    * the rho values come from a 32-bit hash, so beyond ~1.4e8 distinct
+    * values hash collisions bias the raw estimate low and
+    * −2^32·ln(1−E/2^32) inverts the collision birthday math (that branch
+    * is exactly the 100 TB regime this module is framed for). Never
+    * crosses engines — LlmSpec pins it against exact distinct counts. */
   def hllEstimate(buckets: DataFrame, p: Int = DefaultP): Double = {
     val m = 1 << p
     val ranks = buckets.select(col("bucket").cast("int"),
@@ -122,7 +126,9 @@ object Sketches {
       -ranks.getOrElse(j, 0).toDouble)).sum
     val raw = alpha * m * m / z
     val zeros = m - ranks.count(_._2 > 0)
+    val two32 = 4294967296.0 // the 32-bit hash space the buckets key on
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else if (raw > two32 / 30.0) -two32 * math.log(1.0 - raw / two32)
     else raw
   }
 }
