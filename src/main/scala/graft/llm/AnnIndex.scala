@@ -92,13 +92,88 @@ object AnnIndex {
     * codebook must be the one the index was built with.
     *
     * Plain parquet append is NOT replay-idempotent: an at-least-once
-    * driver (foreachBatch) must key appends by batch id — either write
-    * each delta under its own subdir and union at read, or run the
-    * whole thing through the versioned
-    * [[graft.streaming.StreamOps.durableIngestDedup]] layout — exactly
-    * the contract documented there. */
+    * driver (foreachBatch) must key appends by batch id. That driver
+    * exists — [[ingestIndexBatch]] and the batch-versioned layout below
+    * — so use THIS method only from a scheduler that delivers each
+    * delta exactly once (a manual backfill, a run-once batch job). */
   def appendIndex(encoded: DataFrame, path: String): Unit =
     encoded.write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
+
+  // ------------------------------------------------------------------
+  // Replay-idempotent batch ingest — the streaming deployment shape.
+  //
+  // [[appendIndex]] double-writes under an at-least-once driver (a
+  // foreachBatch retry re-appends the same rows). For DedupIndex,
+  // duplicate state rows only perturb hot-bucket counts and compaction
+  // reconciles them; HERE duplicates corrupt answers outright — a
+  // twice-appended vector occupies two of a query's k ranks. So the
+  // streamed index versions rows BY BATCH:
+  //
+  //   base/batches/ib=<batchId>/cell=<c>/*.parquet  one dir per batch
+  //   base/_applied/batch=<batchId>                 filesystem marker
+  //
+  // Idempotency is structural, not reconciled after the fact:
+  //  - a batch writes ONLY its own ib=<id> directory, in Overwrite
+  //    mode — a replay of a partially-landed append rewrites that
+  //    directory whole and touches no other batch's rows;
+  //  - the marker lands only after the write completes; a marked batch
+  //    is skipped outright;
+  //  - [[readBatchedIndex]] mounts ONLY marked batch directories, so a
+  //    partially-written unmarked batch is invisible to every query.
+  // Unlike DedupIndex's append path there is NO unhealed window: every
+  // crash point replays to the identical index (AnnIndexSpec drives
+  // the partial-append replay and proves it).
+  //
+  // The read side stays partition-pruned: `cell` remains a partition
+  // column inside each batch directory, so an nProbe-cell probe reads
+  // nProbe directories per batch. Batch count is the new knob — at
+  // 100 TB with frequent triggers, fold old batches into one between
+  // ingest waves (write their union as a fresh batch dir, drop the
+  // originals and their markers), the same compaction rhythm
+  // DedupIndex documents.
+  // ------------------------------------------------------------------
+
+  /** One idempotent index-ingest batch: `encoded`
+    * ([[encodeIvf]]/[[encodeIvfPq]] output under the index's FROZEN
+    * codebook) lands under the batch's own `ib=<batchId>` directory.
+    * Drive it from `foreachBatch`
+    * ([[graft.streaming.StreamOps.durableIngestAnnIndex]]) or replay
+    * batches manually — both converge to the same index. */
+  def ingestIndexBatch(encoded: DataFrame, base: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId ($batchId) must be >= 0")
+    val spark = encoded.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$base/_applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // rows + marker already durable
+    encoded.write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$base/batches/ib=$batchId")
+    fs.mkdirs(marker)
+    ()
+  }
+
+  /** Mount a batch-versioned index: the union of all MARKED batch
+    * directories, presented with the standard index schema (the `ib`
+    * provenance partition column is dropped) — serve it through the
+    * same query family ([[ivfTopKOverIndex]], [[ivfPqTopKOverIndex]],
+    * radius, filtered). `cell` is still a partition column under every
+    * batch dir, so probes prune directories exactly as [[readIndex]]. */
+  def readBatchedIndex(spark: SparkSession, base: String): DataFrame = {
+    val applied = new org.apache.hadoop.fs.Path(s"$base/_applied")
+    val fs = applied.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(applied),
+      s"$base carries no applied batches — not a batch-versioned index")
+    val ids = fs.listStatus(applied).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") =>
+        s.stripPrefix("batch=").toLong }
+      .sorted
+    require(ids.nonEmpty,
+      s"$base carries no applied batches — not a batch-versioned index")
+    spark.read.option("basePath", s"$base/batches")
+      .parquet(ids.map(i => s"$base/batches/ib=$i"): _*)
+      .drop("ib")
+  }
 
   /** Read an index back. `cell` returns as a partition column — filters
     * on it prune directories before any file is opened. */

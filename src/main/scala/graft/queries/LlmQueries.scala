@@ -321,6 +321,39 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The batch-versioned STREAMING index layout driver-certified: the
+    // corpus arrives as two ingest batches; batch 1 first lands
+    // PARTIALLY (a quarter of the corpus, no marker — the foreachBatch
+    // crash window appendIndex documents), then the at-least-once driver
+    // replays it whole (the Overwrite of its own ib=1 dir heals the
+    // partial rows), then replays it AGAIN after the marker (the
+    // spurious-retry case, skipped outright). Top-k over the mounted
+    // index must equal a4's one-shot recompute oracle — a double-written
+    // vector would occupy two of a query's k ranks and fail the hash.
+    "a27_ivf_stream_replay" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = java.nio.file.Files
+        .createTempDirectory("a27_ivf_stream").toString
+      def enc(p: org.apache.spark.sql.Column) =
+        graft.llm.AnnIndex.encodeIvf(e.filter(p), "vec_id", "embedding")
+      graft.llm.AnnIndex.ingestIndexBatch(enc(col("vec_id") % 2 === 0),
+        base, 0L)
+      // crash simulation: part of batch 1 lands, unmarked
+      enc(col("vec_id") % 4 === 1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$base/batches/ib=1")
+      graft.llm.AnnIndex.ingestIndexBatch(enc(col("vec_id") % 2 =!= 0),
+        base, 1L) // the replay: rewrites ib=1 whole, then marks it
+      graft.llm.AnnIndex.ingestIndexBatch(enc(col("vec_id") % 2 =!= 0),
+        base, 1L) // marked batch: skipped
+      graft.llm.AnnIndex.ivfTopKOverIndex(
+          graft.llm.AnnIndex.readBatchedIndex(s, base),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nlist = 8, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // a4 answered from a PERSISTED raw-vector IVF index (the a16 story
     // for the uncompressed path): id + vector + cell written
     // partitioned-by-cell, read back, exact cosine over the stored
@@ -3243,6 +3276,7 @@ object LlmQueries {
     },
     "a4_ivf_topk" -> duckIvfTopKSql,
     "a17_ivf_index" -> duckIvfTopKSql,
+    "a27_ivf_stream_replay" -> duckIvfTopKSql,
     "a24_ivf_filtered" -> duckIvfTopKSqlWhere("label % 2 = 0"),
     // a4's probe chain with the rank window replaced by the radius
     // predicate — the same cells, the same exact cosine, no k.

@@ -338,6 +338,31 @@ object StreamOps {
     }
   }
 
+  /** Durable ANN-index ingest: encode each micro-batch of vectors under
+    * the index's FROZEN codebook and land it in the batch-versioned
+    * [[graft.llm.AnnIndex]] layout (`base/batches/ib=<id>` + markers) —
+    * the streaming half of the encode-once/query-many story, completing
+    * for ANN what [[durableIngestDedup]] does for dedup state.
+    * `foreachBatch` is at-least-once; the layout makes every replay
+    * rewrite its own batch directory whole and queries mount only
+    * marked batches, so a crash at ANY point replays to the identical
+    * index (AnnIndexSpec certifies the partial-append replay). Query
+    * the result with [[graft.llm.AnnIndex.readBatchedIndex]] under the
+    * SAME centroids. */
+  def durableIngestAnnIndex(vectors: DataFrame, idCol: String,
+      vecCol: String, base: String, nlist: Int = 8, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", s"$base/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.AnnIndex.ingestIndexBatch(
+          graft.llm.AnnIndex.encodeIvf(batch, idCol, vecCol, nlist, dims,
+            centroids), base, batchId)
+      }
+      .start()
+
   private def stateVersions(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(stateDir)

@@ -205,6 +205,59 @@ class AnnIndexSpec extends SparkSpec {
         "contract test lost its teeth")
   }
 
+  test("batch ingest: a partially-landed unmarked batch is invisible, " +
+    "its replay heals to the one-shot encode, and a marked replay is " +
+    "skipped — the DedupIndexSpec replay contract for the ANN index") {
+    val base = tmp("annidx_stream")
+    val b0 = AnnIndex.encodeIvf(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding")
+    val b1 = AnnIndex.encodeIvf(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding")
+    AnnIndex.ingestIndexBatch(b0, base, 0L)
+    // crash window: some of batch 1's rows land, marker never written
+    b1.filter(col("vec_id") % 4 === 1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$base/batches/ib=1")
+    // unmarked partial rows are invisible to queries
+    assert(rows(AnnIndex.readBatchedIndex(spark, base)) === rows(b0))
+    // the at-least-once replay rewrites ib=1 whole and marks it
+    AnnIndex.ingestIndexBatch(b1, base, 1L)
+    assert(rows(AnnIndex.readBatchedIndex(spark, base)) ===
+      rows(AnnIndex.encodeIvf(emb, "vec_id", "embedding")))
+    // a spurious re-replay of the marked batch — even with DIFFERENT
+    // rows — is skipped outright, so the index cannot double-write
+    AnnIndex.ingestIndexBatch(
+      b1.withColumn("vec_id", col("vec_id") + 999000L), base, 1L)
+    assert(rows(AnnIndex.readBatchedIndex(spark, base)) ===
+      rows(AnnIndex.encodeIvf(emb, "vec_id", "embedding")))
+    // served answers equal the recompute operator (a4 parity)
+    assert(rows(AnnIndex.ivfTopKOverIndex(
+        AnnIndex.readBatchedIndex(spark, base), queries, "vec_id",
+        "embedding", 10)) ===
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)))
+  }
+
+  test("batch ingest: a streaming query drives the layout — across a " +
+    "query restart — to the same index as the manual batch replay") {
+    val base = tmp("annidx_streamq"); val in = tmp("annidx_streamin")
+    def stream() = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(in)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    // wave 1, then a restart (resumes from the checkpoint), then wave 2
+    vecs.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(in)
+    graft.streaming.StreamOps.durableIngestAnnIndex(stream(), "vec_id",
+      "embedding", base).awaitTermination()
+    vecs.filter(col("vec_id") % 2 =!= 0).write.mode("append").parquet(in)
+    graft.streaming.StreamOps.durableIngestAnnIndex(stream(), "vec_id",
+      "embedding", base).awaitTermination()
+    // the streamed index answers equal the one-shot recompute operator
+    assert(rows(AnnIndex.ivfTopKOverIndex(
+        AnnIndex.readBatchedIndex(spark, base), queries, "vec_id",
+        "embedding", 10)) ===
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)))
+    assert(AnnIndex.readBatchedIndex(spark, base).count() === emb.count())
+  }
+
   test("indexReport: per-cell occupancy sums to the corpus and matches " +
     "the encoder's own assignment counts") {
     val dir = tmp("annidx_report")
