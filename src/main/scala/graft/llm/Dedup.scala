@@ -196,12 +196,23 @@ object Dedup {
     val sigs = signatureFromShingleRows(rows, idCol, numHashes).persist()
     val cands = lshCandidates(sigs, idCol, numHashes, bands, maxBucketSize)
       .persist()
+    val out = verifyJaccardPairs(rows, cands, idCol, threshold)
+    rows.unpersist(); sigs.unpersist(); cands.unpersist()
+    out
+  }
+
+  /** The exact-Jaccard verification stage shared by [[minhashNearDups]]
+    * and [[minhashNearDupsSalted]]: intersection sizes from a codegen
+    * (doc, shingle) equi-join restricted to the candidate pairs, shingle
+    * counts joined back by id, one division, threshold filter. */
+  private def verifyJaccardPairs(rows: DataFrame, cands: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = cands
       .join(rows.select(col(idCol).as("id_a"), col("s")), Seq("id_a"))
       .join(rows.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val out = cands.join(inter, Seq("id_a", "id_b"))
+    cands.join(inter, Seq("id_a", "id_b"))
       .join(sizes.select(col(idCol).as("id_a"), col("_n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("_n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -209,6 +220,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .transform(graft.operators.Lineage.cut)
+  }
+
+  /** Recall-preserving LSH candidate pairs: [[lshCandidates]] with hot
+    * buckets PROCESSED instead of dropped. The cold bulk takes the plain
+    * band self-join; buckets above `maxBucketSize` take a `salts`-way
+    * salted self-join ([[graft.operators.SkewJoin.saltedJoin]]'s
+    * machinery), so one boilerplate bucket's quadratic pair set spreads
+    * across `salts` reducers instead of stalling one reducer — or, under
+    * the capped operator, silently vanishing. Candidate SET ≡ an
+    * uncapped [[lshCandidates]] run (d13 certifies it against the
+    * uncapped oracle on data where the capped path provably diverges).
+    *
+    * The quadratic WORK of a hot bucket is still paid — it must be, the
+    * pairs exist; what changes is that no single reducer pays it alone.
+    * Use the capped operator when boilerplate-bucket pairs are noise to
+    * discard (exact dedup should have collapsed them first); use this
+    * when they are signal — template families, licence plates,
+    * paraphrase mills — exactly the buckets where near-dup mass lives
+    * at 100 TB. */
+  def lshCandidatesSalted(sigs: DataFrame, idCol: String,
+      numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize, salts: Int = 8)
+      : DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2")
+    require(salts >= 1, s"salts ($salts) must be >= 1")
+    val exploded = bandRows(sigs, idCol, numHashes, bands)
+    val hot = exploded.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("bk")
+    // hot is a tiny bucket list (buckets, not docs) → broadcast both the
+    // carve-out and the keep; a row is hot or cold PER bucket key, so
+    // cold×cold ∪ salted hot×hot covers every within-bucket pair exactly
+    val cold = exploded.join(broadcast(hot), Seq("bk"), "left_anti")
+    val hotRows = exploded.join(broadcast(hot), Seq("bk"), "left_semi")
+    val coldPairs = cold.select(col("_mid").as("id_a"), col("bk"))
+      .join(cold.select(col("_mid").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+    val hotPairs = graft.operators.SkewJoin.saltedJoin(
+        hotRows.select(col("_mid").as("id_a"), col("bk")),
+        hotRows.select(col("_mid").as("id_b"), col("bk")),
+        Seq("bk"), col("id_a"), salts)
+      .filter(col("id_a") < col("id_b"))
+    coldPairs.unionByName(hotPairs).select("id_a", "id_b").distinct()
+  }
+
+  /** [[minhashNearDups]] with the recall-preserving salted hot path:
+    * output ≡ an UNCAPPED run of the capped operator, at bounded
+    * per-reducer cost — `maxBucketSize` here is the hot/cold routing
+    * threshold, not a drop cap. */
+  def minhashNearDupsSalted(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize, salts: Int = 8)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1] — the verify join counts " +
+      "shared shingles, so only positive thresholds are expressible")
+    val rows = shingleRows(df, textCol, idCol, k).persist()
+    val sigs = signatureFromShingleRows(rows, idCol, numHashes).persist()
+    val cands = lshCandidatesSalted(sigs, idCol, numHashes, bands,
+      maxBucketSize, salts).persist()
+    val out = verifyJaccardPairs(rows, cands, idCol, threshold)
     rows.unpersist(); sigs.unpersist(); cands.unpersist()
     out
   }

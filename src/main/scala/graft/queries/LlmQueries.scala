@@ -195,6 +195,27 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // The RECALL-PRESERVING salted band probe: hot LSH buckets are
+    // processed through a salted self-join instead of dropped. Every
+    // doc_id % 50 == 0 document is planted twice (exact copies at
+    // +10000 / +20000), so those band buckets hold >= 3 members — above
+    // the deliberately tiny maxBucketSize = 2, where the CAPPED operator
+    // provably loses the planted pairs (LlmSpec pins the divergence).
+    // The salted result must instead equal the UNCAPPED oracle: same
+    // 16-perm/4-band model as d8, no bucket guard.
+    "d13_neardup_salted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val plants = d.filter(col("doc_id") % 50 === 0)
+      val aug = d
+        .unionByName(plants.select((col("doc_id") + 10000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 20000L).as("doc_id"),
+          col("text")))
+      Dedup.minhashNearDupsSalted(aug, "text", "doc_id", 0.8,
+          maxBucketSize = 2, salts = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fuzzy cross-corpus decontamination: MinHash-LSH near-dups BETWEEN
     // the training split and the src0 "benchmark" — catches the
     // paraphrased leak x11's exact-gram test misses. Same 16-perm/4-band
@@ -3063,6 +3084,39 @@ object LlmQueries {
               cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                        FROM bands a
                        JOIN keptb k ON a.b = k.b AND a.bucket = k.bucket
+                       JOIN bands b
+                         ON a.b = b.b AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id)
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+          ORDER BY id_a, id_b""",
+    "d13_neardup_salted" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 10000, text FROM documents
+                       WHERE doc_id % 50 = 0
+                       UNION ALL
+                       SELECT doc_id + 20000, text FROM documents
+                       WHERE doc_id % 50 = 0),
+              ws AS (SELECT doc_id, $duckToks AS w FROM aug),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              sig AS (SELECT doc_id, sh,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              bands AS (
+                ${(0 until 4).map(b =>
+                  s"SELECT doc_id, $b AS b, concat_ws('_', sig_${4*b}, sig_${4*b+1}, sig_${4*b+2}, sig_${4*b+3}) AS bucket FROM sig")
+                  .mkString("\n                UNION ALL\n                ")}),
+              -- NO hot-bucket guard: the salted probe preserves recall,
+              -- so the oracle is the uncapped candidate set
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM bands a
                        JOIN bands b
                          ON a.b = b.b AND a.bucket = b.bucket
                         AND a.doc_id < b.doc_id)

@@ -72,6 +72,38 @@ class LlmSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("salted band probe: equals the uncapped run exactly where the " +
+    "capped operator provably loses pairs, and on unskewed data") {
+    // d13's plant: every doc_id % 50 == 0 document copied twice, so its
+    // band buckets hold >= 3 members — above the routing threshold 2
+    val base = docs.select("doc_id", "text")
+    val plants = base.filter(col("doc_id") % 50 === 0)
+    val aug = base
+      .unionByName(plants.select((col("doc_id") + 10000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 20000L).as("doc_id"),
+        col("text")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Dedup.minhashNearDups(aug, "text", "doc_id", 0.8,
+      maxBucketSize = Int.MaxValue))
+    val salted = pairs(Dedup.minhashNearDupsSalted(aug, "text", "doc_id",
+      0.8, maxBucketSize = 2, salts = 4))
+    val capped = pairs(Dedup.minhashNearDups(aug, "text", "doc_id", 0.8,
+      maxBucketSize = 2))
+    assert(salted === uncapped)
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size,
+      "the cap was expected to bind on the planted buckets — the " +
+        "divergence this test exists to exhibit")
+    // the planted triples are exactly what the capped path loses
+    assert((uncapped -- capped)
+      .exists { case (a, b) => b - a == 10000L || b - a == 20000L })
+    // salts = 1 degenerates to the plain join; still exact
+    assert(pairs(Dedup.minhashNearDupsSalted(aug, "text", "doc_id", 0.8,
+      maxBucketSize = 2, salts = 1)) === uncapped)
+  }
+
   test("embedding near-dups finds planted duplicate vectors, never all-pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant an exact duplicate of vec 0 with id 100000
