@@ -48,7 +48,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `domain_report`, `dsir_weights`,
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
   * `pii_stats`, `pii_redact`, `decontam`, `decontam_over_index`,
-  * `hll_buckets`, `label_propagate`, `perceptron_step` — e.g.
+  * `hll_buckets`, `label_propagate`, `perceptron_step` — plus the index
+  * BUILD surface (`ivf_build_index`, `ivfpq_build_index`,
+  * `neardup_build_index`, `decontam_build`, `ivf_index_mount`,
+  * `dedup_minhash_salted`), so build → append → query runs in pure SQL —
+  * e.g.
   * {{{
   *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
   *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
@@ -769,6 +773,97 @@ object GraftExtensions {
         plan(graft.llm.AnnIndex.ivfPqTopKRefinedOverIndex(s.table(it),
           s.table(ct), s.table(qt), ic, vc, lit2int(args(5), u),
           refineK = lit2int(args(6), u)))
+      },
+
+      // -------------------------------------------------------------
+      // Index BUILD surface — a SQL-only consumer can now complete the
+      // whole encode-once/query-many story (build → append → query)
+      // without a line of Scala. A build TVF performs its write when
+      // the call RESOLVES (eager, like every TVF here — the same moment
+      // a subquery would read its tables) and returns a small summary
+      // relation so the statement has a result to show.
+      // -------------------------------------------------------------
+      "ivf_build_index" -> { args =>
+        val u = "usage: ivf_build_index('corpus', 'id_col', 'vec_col', " +
+          "'path'[, nlist]) — writes the partitioned-by-cell IVF index " +
+          "at 'path' (replacing any prior index) and returns its " +
+          "per-cell occupancy report"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(ct, ic, vc, path) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        graft.llm.AnnIndex.writeIndex(
+          graft.llm.AnnIndex.encodeIvf(s.table(ct), ic, vc,
+            nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8)), path)
+        plan(graft.llm.AnnIndex.indexReport(
+          graft.llm.AnnIndex.readIndex(s, path)))
+      },
+      "ivfpq_build_index" -> { args =>
+        val u = "usage: ivfpq_build_index('corpus', 'id_col', " +
+          "'vec_col', 'path'[, nlist, m, ksub]) — writes the " +
+          "partitioned-by-cell IVF-PQ code index at 'path' and returns " +
+          "its per-cell occupancy report"
+        require(args.length == 4 || args.length == 7, u)
+        val Seq(ct, ic, vc, path) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        graft.llm.AnnIndex.writeIndex(
+          graft.llm.AnnIndex.encodeIvfPq(s.table(ct), ic, vc,
+            nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8),
+            m = args.lift(5).map(lit2int(_, u)).getOrElse(4),
+            ksub = args.lift(6).map(lit2int(_, u)).getOrElse(16)), path)
+        plan(graft.llm.AnnIndex.indexReport(
+          graft.llm.AnnIndex.readIndex(s, path)))
+      },
+      "neardup_build_index" -> { args =>
+        val u = "usage: neardup_build_index('docs', 'text_col', " +
+          "'id_col', 'base', threshold) — dedups the base corpus at " +
+          "'threshold' and writes the survivors' signatures as the " +
+          "bucketed <base>_sigs/<base>_bands tables (replacing any " +
+          "prior index; the d11 build shape), returning the indexed " +
+          "document count; probe it with neardup_over_index"
+        require(args.length == 5, u)
+        val Seq(dt, tc, ic, base) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        graft.llm.DedupIndex.writeState(
+          graft.llm.Dedup.minhashNearDupDelta(s.table(dt), tc, ic,
+            lit2dbl(args(4), u)).state, ic, base)
+        plan(s.table(s"${base}_sigs")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs")))
+      },
+      "decontam_build" -> { args =>
+        val u = "usage: decontam_build('bench', 'text_col', 'id_col', " +
+          "'dir'[, k]) — registers the benchmark as a stored decontam " +
+          "artifact (gram table + Bloom + metadata) and returns the " +
+          "metadata row; probe it with decontam_over_index"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(bt, tc, ic, dir) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        graft.llm.DecontamIndex.writeBenchIndex(s.table(bt), tc, ic, dir,
+          k = args.lift(4).map(lit2int(_, u)).getOrElse(8))
+        plan(s.read.parquet(s"$dir/meta"))
+      },
+      "ivf_index_mount" -> { args =>
+        val u = "usage: ivf_index_mount('base') — mount a " +
+          "batch-versioned (streamed) ANN index as a relation; register " +
+          "a temp view over it to feed the *_over_index TVFs"
+        require(args.length == 1, u)
+        plan(graft.llm.AnnIndex.readBatchedIndex(SparkSession.active,
+          lit2str(args.head, u)))
+      },
+      "dedup_minhash_salted" -> { args =>
+        val u = "usage: dedup_minhash_salted('table', 'text_col', " +
+          "'id_col', threshold[, max_bucket_size, salts]) — the " +
+          "recall-preserving hot-bucket variant of dedup_minhash"
+        require(args.length == 4 || args.length == 6, u)
+        val Seq(t, tc, ic) = args.take(3).map(lit2str(_, u))
+        val d = SparkSession.active.table(t)
+        val thr = lit2dbl(args(3), u)
+        plan(
+          if (args.length == 4)
+            graft.llm.Dedup.minhashNearDupsSalted(d, tc, ic, thr)
+          else graft.llm.Dedup.minhashNearDupsSalted(d, tc, ic, thr,
+            maxBucketSize = lit2int(args(4), u),
+            salts = lit2int(args(5), u)))
       })
 
   private[graft] def buildRegexFirstMatch(args: Seq[Expression]): Expression = {

@@ -413,4 +413,92 @@ class SqlSurfaceSpec extends SparkSpec {
           spark.catalog.dropTempView(v))
     }
   }
+
+  test("SQL-only index lifecycle: build, register and query every " +
+    "stored artifact family with no Scala index call in the SQL path") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.select("doc_id", "text")
+    val bench = all.filter(col("source") === "src0").select("doc_id", "text")
+    val train = all.filter(col("source") =!= "src0").select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val base = docs.filter(col("doc_id") < 250)
+    val delta = docs.filter(col("doc_id") >= 250)
+    emb.createOrReplaceTempView("tvf6_emb")
+    q.createOrReplaceTempView("tvf6_q")
+    bench.createOrReplaceTempView("tvf6_bench")
+    train.createOrReplaceTempView("tvf6_train")
+    base.createOrReplaceTempView("tvf6_base")
+    delta.createOrReplaceTempView("tvf6_delta")
+    docs.createOrReplaceTempView("tvf6_docs")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val ivfDir = tmp("tvf6_ivf"); val pqDir = tmp("tvf6_pq")
+    val dcDir = tmp("tvf6_dc"); val mountBase = tmp("tvf6_mount")
+    try {
+      // IVF: the build statement's own result is the occupancy report
+      val rep = spark.sql("SELECT * FROM ivf_build_index('tvf6_emb', " +
+        s"'vec_id', 'embedding', '$ivfDir')")
+      assert(rep.agg(sum("n_vectors")).head.getLong(0) === emb.count())
+      // the stored files register as a plain SQL parquet view...
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf6_ivf_idx AS " +
+        s"SELECT * FROM parquet.`$ivfDir`")
+      // ...and the query TVF over them equals the recompute operator
+      check("SELECT * FROM ivf_topk_over_index('tvf6_ivf_idx', " +
+          "'tvf6_q', 'vec_id', 'embedding', 3)",
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3))
+      // IVF-PQ: build → refined query
+      spark.sql("SELECT * FROM ivfpq_build_index('tvf6_emb', " +
+        s"'vec_id', 'embedding', '$pqDir')").collect()
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf6_pq_idx AS " +
+        s"SELECT * FROM parquet.`$pqDir`")
+      check("SELECT * FROM ivfpq_refined_over_index('tvf6_pq_idx', " +
+          "'tvf6_emb', 'tvf6_q', 'vec_id', 'embedding', 3, 10)",
+        Similarity.ivfPqTopKRefined(emb, q, "vec_id", "embedding",
+          k = 3, refineK = 10))
+      // near-dup: build the d11 base state, probe the delta — expected
+      // is the fully in-memory two-batch chain (the DedupIndexSpec
+      // over-index ≡ in-memory property, restated through pure SQL)
+      val n = spark.sql("SELECT * FROM neardup_build_index('tvf6_base', " +
+        "'text', 'doc_id', 'tvf6_nd', 0.8)").head().getLong(0)
+      val baseState = Dedup.minhashNearDupDelta(base, "text", "doc_id", 0.8)
+      assert(n === baseState.state.count())
+      check("SELECT * FROM neardup_over_index('tvf6_nd', 'tvf6_delta', " +
+          "'text', 'doc_id', 0.8)",
+        Dedup.minhashNearDupDelta(delta, "text", "doc_id", 0.8,
+          Some(baseState.state)).kept)
+      // decontamination: register the benchmark, screen the train split
+      val meta = spark.sql("SELECT * FROM decontam_build('tvf6_bench', " +
+        s"'text', 'doc_id', '$dcDir', 4)")
+      assert(meta.select("k").head().getInt(0) === 4)
+      check(s"SELECT * FROM decontam_over_index('tvf6_train', '$dcDir', " +
+          "'text', 'doc_id')",
+        Corpus.contaminatedDocs(train, bench, "text", "doc_id", k = 4))
+      // batch-versioned (streamed) index: mount TVF + a view over it
+      // serve the same answers as the one-shot recompute
+      graft.llm.AnnIndex.ingestIndexBatch(graft.llm.AnnIndex.encodeIvf(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding"),
+        mountBase, 0L)
+      graft.llm.AnnIndex.ingestIndexBatch(graft.llm.AnnIndex.encodeIvf(
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding"),
+        mountBase, 1L)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf6_mounted AS " +
+        s"SELECT * FROM ivf_index_mount('$mountBase')")
+      check("SELECT * FROM ivf_topk_over_index('tvf6_mounted', " +
+          "'tvf6_q', 'vec_id', 'embedding', 3)",
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3))
+      // the salted near-dup surface
+      check("SELECT * FROM dedup_minhash_salted('tvf6_docs', 'text', " +
+          "'doc_id', 0.8, 2, 4)",
+        Dedup.minhashNearDupsSalted(docs, "text", "doc_id", 0.8,
+          maxBucketSize = 2, salts = 4))
+    } finally {
+      Seq("tvf6_emb", "tvf6_q", "tvf6_bench", "tvf6_train", "tvf6_base",
+        "tvf6_delta", "tvf6_docs", "tvf6_ivf_idx", "tvf6_pq_idx",
+        "tvf6_mounted")
+        .foreach(v => if (spark.catalog.tableExists(v))
+          spark.catalog.dropTempView(v))
+      Seq("tvf6_nd_sigs", "tvf6_nd_bands")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }
