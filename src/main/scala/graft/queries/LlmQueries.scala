@@ -375,6 +375,36 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The TRAINED-quantizer chain end-to-end: two distributed spherical
+    // k-means steps from the seed codebook (trainIvfCentroids — a5
+    // certifies one step's sufficient statistics; this certifies the
+    // LOOP and everything after it), codebook persisted and read back,
+    // corpus encoded and served under the trained centroids. The oracle
+    // replays the identical training (generated per-step CTEs — the
+    // x57/x88 pattern) and a4's encode/probe/rank chain against the
+    // trained relation, so the index family is proven to work with
+    // trained, not just seed, codebooks.
+    "a28_trained_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cdir = java.nio.file.Files
+        .createTempDirectory("a28_cents").toString
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("a28_idx").toString
+      val trained = Similarity.trainIvfCentroids(e, "embedding",
+        nlist = 8, dims = 64, iters = 2)
+      graft.llm.AnnIndex.writeCentroids(s, trained, cdir)
+      val cents = Some(graft.llm.AnnIndex.readCentroids(s, cdir))
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8,
+          centroids = cents), idxDir)
+      graft.llm.AnnIndex.ivfTopKOverIndex(
+          graft.llm.AnnIndex.readIndex(s, idxDir),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nlist = 8, nProbe = 2, centroids = cents)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // a4 answered from a PERSISTED raw-vector IVF index (the a16 story
     // for the uncompressed path): id + vector + cell written
     // partitioned-by-cell, read back, exact cosine over the stored
@@ -2458,6 +2488,91 @@ object LlmQueries {
 
   private lazy val duckIvfTopKSql: String = duckIvfTopKSqlWhere("TRUE")
 
+  /** Seed codebook as a DuckDB VALUES relation (cell, cv) — the same
+    * literal doubles [[duckCentroidProj]] embeds per cell. */
+  private lazy val duckSeedCentsValues: String =
+    (0 until 8).map { c =>
+      val comps = Similarity.unitCentroidVector(c, 64)
+        .map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"($c, $comps)"
+    }.mkString(",\n                ")
+
+  /** One spherical k-means (Lloyd) step as generated CTEs: assign every
+    * corpus vector (CTE `e`, columns vec_id/v) to its argmax-projection
+    * cell of relation `prev` (ties to the lower cell — the assignCells
+    * rule), average per (cell, pos), re-normalize to unit length; an
+    * empty or zero-norm cell keeps its previous centroid. The x57/x88
+    * "certify the loop" pattern applied to [[Similarity.kmeansStep]] —
+    * this ONE definition generates every step of the a28 chain. */
+  private def duckKmeansStepCtes(prev: String, out: String): String =
+    s"""${out}_asg AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> e.v[i] * c.cv[i])) DESC, c.cell ASC) AS rn
+                FROM e, $prev c)
+              WHERE rn = 1),
+            ${out}_mean AS (
+              SELECT cell, CAST(i AS INTEGER) AS pos,
+                     avg(v[CAST(i AS INTEGER)]) AS mn
+              FROM ${out}_asg, range(1, 65) t(i)
+              GROUP BY cell, i),
+            ${out}_vec AS (
+              SELECT cell, mv,
+                     sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm
+              FROM (SELECT cell, list(mn ORDER BY pos) AS mv
+                    FROM ${out}_mean GROUP BY cell)),
+            $out AS (
+              SELECT p.cell,
+                     CASE WHEN u.cell IS NULL OR u.nrm = 0 THEN p.cv
+                          ELSE list_transform(u.mv, x -> x / u.nrm)
+                     END AS cv
+              FROM $prev p LEFT JOIN ${out}_vec u ON p.cell = u.cell)"""
+
+  /** The a28 oracle: two generated Lloyd steps from the seed codebook
+    * (exactly `trainIvfCentroids(iters = 2)` — organic doubles cannot
+    * hit the exact-fixpoint short-circuit), then a4's encode/probe/rank
+    * chain computed against the TRAINED centroid relation. */
+  private lazy val duckTrainedIvfSql: String =
+    s"""WITH e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+            c0 AS (SELECT * FROM (VALUES
+                $duckSeedCentsValues) t(cell, cv)),
+            ${duckKmeansStepCtes("c0", "c1")},
+            ${duckKmeansStepCtes("c1", "c2")},
+            cc AS (SELECT vec_id, v, cell FROM (
+                     SELECT e.vec_id, e.v, c.cell,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 65),
+                                i -> e.v[i] * c.cv[i])) DESC, c.cell ASC) AS rn
+                     FROM e, c2 c)
+                   WHERE rn = 1),
+            pr AS (SELECT query_id, qv, cell,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY proj DESC, cell ASC) AS prn
+                   FROM (SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+                                list_sum(list_transform(range(1, 65),
+                                  i -> q.v[i] * c.cv[i])) AS proj
+                         FROM e q, c2 c WHERE q.vec_id < 5)),
+            probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
+            sc AS (SELECT p.query_id, x.vec_id AS neighbor_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> x.v[i] * p.qv[i])) /
+                     (sqrt(list_sum(list_transform(x.v, y -> y * y))) *
+                      sqrt(list_sum(list_transform(p.qv, y -> y * y))))
+                       AS cos
+                   FROM cc x JOIN probes p
+                     ON x.cell = p.cell AND x.vec_id <> p.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                      AS rn
+                  FROM sc)
+        SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 10 ORDER BY query_id, rank"""
+
   /** The a7 IVF-PQ ADC top-k oracle chain, parameterized by a corpus
     * restriction applied to the encoded CODES (a25's filtered-search
     * contract: the predicate lands BEFORE the probe join and the rank
@@ -3331,6 +3446,7 @@ object LlmQueries {
     "a4_ivf_topk" -> duckIvfTopKSql,
     "a17_ivf_index" -> duckIvfTopKSql,
     "a27_ivf_stream_replay" -> duckIvfTopKSql,
+    "a28_trained_index" -> duckTrainedIvfSql,
     "a24_ivf_filtered" -> duckIvfTopKSqlWhere("label % 2 = 0"),
     // a4's probe chain with the rank window replaced by the radius
     // predicate — the same cells, the same exact cosine, no k.
