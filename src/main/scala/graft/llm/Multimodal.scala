@@ -331,6 +331,66 @@ object Multimodal {
           .cast("int").as("out_h"))
   }
 
+  /** The six decoded feature fields [[featureNearDups]] fingerprints —
+    * byte size, geometry, temporal extent: the cheap decoder outputs
+    * every real media pipeline has before any pixel/sample model runs. */
+  private val FingerprintFields = Seq("n_bytes", "width", "height",
+    "n_frames", "sample_rate", "duration_ms")
+
+  /** Feature-fingerprint near-duplicates over decoded media rows — the
+    * near-dup story for multimodal columns: pairs of SAME-KIND rows
+    * whose decoded feature tuple agrees on at least `minMatch` of the
+    * six [[FingerprintFields]]. Candidates come from a banded equi-join
+    * keyed by (kind, band index, band values) — three bands of two
+    * fields — never an all-pairs product: one mismatched field breaks
+    * exactly one band, so a pair at ≥ 5 matches always shares ≥ 2 full
+    * bands (pigeonhole recall 1 for minMatch ≥ 5 before the cap; lower
+    * thresholds trade recall the way LSH bands do). The hot-bucket cap
+    * is the same documented recall trade as
+    * [[Dedup.DefaultMaxBucketSize]], and it matters here because a
+    * field CONSTANT within a kind (stub audio rows all carry
+    * sample_rate 0) makes its band degenerate — at corpus scale that
+    * band saturates the cap and the discriminating bands carry recall.
+    * Verification counts matching fields: pure integer algebra, so the
+    * mm4 oracle replays it bit-exact from the deterministic stub
+    * features; a real decoder swap changes only the feature source,
+    * never this plan.
+    *
+    * @return (id_a, id_b, n_match) with id_a < id_b */
+  def featureNearDups(features: Dataset[MediaFeatures], minMatch: Int = 5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(minMatch >= 1 && minMatch <= FingerprintFields.size,
+      s"minMatch ($minMatch) must be in [1, ${FingerprintFields.size}]")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2")
+    val f = features.toDF()
+    val bandCols = FingerprintFields.grouped(2).zipWithIndex.map {
+      case (fs, b) =>
+        struct(col("kind"), lit(b).as("band"),
+          concat_ws("_", fs.map(n => col(n).cast("string")): _*).as("bv"))
+    }.toSeq
+    val exploded = f.select(col("media_id").as("_mid"),
+      explode(array(bandCols: _*)).as("bk"))
+    val hot = exploded.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("bk")
+    val kept = exploded.join(broadcast(hot), Seq("bk"), "left_anti")
+    val cands = kept.select(col("_mid").as("id_a"), col("bk"))
+      .join(kept.select(col("_mid").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val fa = f.select(col("media_id").as("id_a") +:
+      FingerprintFields.map(n => col(n).as(s"_a_$n")): _*)
+    val fb = f.select(col("media_id").as("id_b") +:
+      FingerprintFields.map(n => col(n).as(s"_b_$n")): _*)
+    val nMatch = FingerprintFields
+      .map(n => when(col(s"_a_$n") === col(s"_b_$n"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
+      .withColumn("n_match", nMatch)
+      .filter(col("n_match") >= minMatch)
+      .select("id_a", "id_b", "n_match")
+  }
+
   /** Build a media dataset from the documents table (payload = utf-8 bytes
     * of the text — a stand-in corpus with real binary columns). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

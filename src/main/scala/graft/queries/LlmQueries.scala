@@ -2258,6 +2258,24 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // Multimodal NEAR-DUP over the decoded feature fingerprints (the
+    // dedup story extended past text into media columns): same-kind
+    // pairs agreeing on >= 5 of the 6 stub-decoded features, candidates
+    // from the 3-band (kind, band, values) equi-join. Exact re-ingests
+    // are planted at +120000 (a multiple of 3, so the doc_id % 3 kind
+    // assignment — and therefore same-kind candidacy — is preserved);
+    // each must surface with n_match = 6 alongside the corpus's organic
+    // same-length/same-geometry collisions, all integer-deterministic.
+    "mm4_feature_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val aug = d.unionByName(d.filter(col("doc_id") % 40 === 0)
+        .withColumn("doc_id", col("doc_id") + 120000L))
+      Multimodal.featureNearDups(
+          Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, aug)),
+          minMatch = 5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // D2 point lookup: first record by key — the sink's get() shape.
     "d5_point_get" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5998,6 +6016,61 @@ object LlmQueries {
                           WHEN wbind THEN greatest(1, round(height * 224 / width))
                           ELSE 224 END AS INTEGER) AS out_h
          FROM g ORDER BY media_id""",
+    // the stub feature tuple replayed per mm1/mm3 (ASCII corpus: head
+    // byte == first codepoint), then the 3-band candidate join + the
+    // integer match count — no real container parses a text payload, so
+    // every row takes the deterministic-fallback branch on both sides
+    "mm4_feature_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 120000, text FROM documents
+                      WHERE doc_id % 40 = 0),
+              feats AS (SELECT doc_id AS media_id,
+                          CASE CAST(doc_id % 3 AS INTEGER)
+                               WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+                          octet_length(encode(text)) AS n_bytes,
+                          (ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS width,
+                          (CAST(octet_length(encode(text)) % 64 AS INTEGER) + 1) * 16 AS height,
+                          CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2
+                               THEN CAST(octet_length(encode(text)) % 240 AS INTEGER) + 1
+                               ELSE 1 END AS n_frames,
+                          0 AS sample_rate, 0 AS duration_ms
+                        FROM aug),
+              bands AS (SELECT media_id, kind, 0 AS b,
+                          CAST(n_bytes AS VARCHAR) || '_' || CAST(width AS VARCHAR) AS bv
+                        FROM feats
+                        UNION ALL
+                        SELECT media_id, kind, 1,
+                          CAST(height AS VARCHAR) || '_' || CAST(n_frames AS VARCHAR)
+                        FROM feats
+                        UNION ALL
+                        SELECT media_id, kind, 2,
+                          CAST(sample_rate AS VARCHAR) || '_' || CAST(duration_ms AS VARCHAR)
+                        FROM feats),
+              keptb AS (SELECT kind, b, bv FROM bands
+                        GROUP BY kind, b, bv HAVING count(*) <= 10000),
+              cand AS (SELECT DISTINCT a.media_id AS id_a,
+                                       b2.media_id AS id_b
+                       FROM bands a
+                       JOIN keptb k
+                         ON a.kind = k.kind AND a.b = k.b AND a.bv = k.bv
+                       JOIN bands b2
+                         ON a.kind = b2.kind AND a.b = b2.b
+                        AND a.bv = b2.bv AND a.media_id < b2.media_id),
+              m AS (SELECT c.id_a, c.id_b,
+                      CAST(fa.n_bytes = fb.n_bytes AS INTEGER) +
+                      CAST(fa.width = fb.width AS INTEGER) +
+                      CAST(fa.height = fb.height AS INTEGER) +
+                      CAST(fa.n_frames = fb.n_frames AS INTEGER) +
+                      CAST(fa.sample_rate = fb.sample_rate AS INTEGER) +
+                      CAST(fa.duration_ms = fb.duration_ms AS INTEGER)
+                        AS n_match
+                    FROM cand c
+                    JOIN feats fa ON fa.media_id = c.id_a
+                    JOIN feats fb ON fb.media_id = c.id_b)
+         SELECT id_a, id_b, n_match FROM m WHERE n_match >= 5
+         ORDER BY id_a, id_b""",
     "d5_point_get" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 1"""

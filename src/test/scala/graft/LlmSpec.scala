@@ -104,6 +104,33 @@ class LlmSpec extends SparkSpec {
       maxBucketSize = 2, salts = 1)) === uncapped)
   }
 
+  test("multimodal feature near-dup: planted byte-identical media rows " +
+    "surface at a full 6/6 match, pairs never cross kinds, and minMatch " +
+    "binds") {
+    import graft.llm.Multimodal
+    // +120000 is a multiple of 3: the doc_id % 3 kind assignment (and
+    // therefore same-kind candidacy) is preserved for every plant
+    val aug = docs.unionByName(docs.filter(col("doc_id") % 40 === 0)
+      .withColumn("doc_id", col("doc_id") + 120000L))
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.mediaFromDocuments(spark, aug))
+    val pairs = Multimodal.featureNearDups(feats, minMatch = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = docs.filter(col("doc_id") % 40 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every plant pairs with its original at a perfect 6/6
+    assert(planted.forall(id =>
+      pairs.contains((id, id + 120000L, 6))), "a planted pair is missing")
+    // no pair crosses kinds (band keys carry the kind)
+    val kindOf = feats.toDF().select("media_id", "kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.forall { case (a, b, _) => kindOf(a) == kindOf(b) })
+    // a full-match threshold keeps exactly the n_match = 6 subset
+    val strict = Multimodal.featureNearDups(feats, minMatch = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(strict === pairs.filter(_._3 == 6).toSet)
+  }
+
   test("embedding near-dups finds planted duplicate vectors, never all-pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant an exact duplicate of vec 0 with id 100000
