@@ -842,6 +842,26 @@ object GraftExtensions {
           k = args.lift(4).map(lit2int(_, u)).getOrElse(8))
         plan(s.read.parquet(s"$dir/meta"))
       },
+      "sq8_build_index" -> { args =>
+        val u = "usage: sq8_build_index('corpus', 'id_col', 'vec_col', " +
+          "'index_path', 'stats_path') — freezes the SQ8 stats model at " +
+          "'stats_path', writes the code index at 'index_path' (encoded " +
+          "under the STORED stats — the freeze contract), and returns " +
+          "the code count; query via sq8_topk_over_index over parquet " +
+          "views of both paths"
+        require(args.length == 5, u)
+        val Seq(ct, ic, vc, ipath, spath) = args.map(lit2str(_, u))
+        val s = SparkSession.active
+        val corpus = s.table(ct)
+        graft.llm.AnnIndex.writeSq8Stats(
+          graft.llm.AnnIndex.sq8Stats(corpus, vc), spath)
+        graft.llm.AnnIndex.writeSq8Index(
+          graft.llm.AnnIndex.encodeSq8(corpus, ic, vc,
+            graft.llm.AnnIndex.readSq8Stats(s, spath)), ipath)
+        plan(s.read.parquet(ipath)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_codes")))
+      },
       "ivf_index_mount" -> { args =>
         val u = "usage: ivf_index_mount('base') — mount a " +
           "batch-versioned (streamed) ANN index as a relation; register " +

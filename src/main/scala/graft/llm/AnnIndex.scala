@@ -175,6 +175,53 @@ object AnnIndex {
       .drop("ib")
   }
 
+  /** Batch ids currently marked applied under `base` — maintenance
+    * introspection (batch-count scale). */
+  def appliedBatches(spark: SparkSession, base: String): Seq[Long] = {
+    val applied = new org.apache.hadoop.fs.Path(s"$base/_applied")
+    val fs = applied.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(applied)) Nil
+    else fs.listStatus(applied).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") =>
+        s.stripPrefix("batch=").toLong }
+      .sorted
+  }
+
+  /** Out-of-band batch compaction: fold every marked batch into ONE
+    * fresh batch directory and retire the originals — the maintenance
+    * rhythm the batch-ingest note prescribes, so per-query directory
+    * counts stay bounded under frequent triggers. The folded batch gets
+    * id max(marked)+1; rows dedup by `idCol`, so a REPLAYED fold — one
+    * whose crash left both the folded batch and not-yet-retired
+    * originals marked — converges to the identical index instead of
+    * doubling rows (duplicate rows are byte-identical encodes, so which
+    * survives is immaterial). A crash mid-write leaves the fold
+    * unmarked and therefore invisible; the re-run overwrites the same
+    * directory. Run it between ingest waves, never concurrently with
+    * queries or appends — marker creation and retirement cannot be
+    * atomic TOGETHER, so a mid-fold reader could double-count — the
+    * same out-of-band contract as [[DedupIndex.compactState]]. */
+  def foldBatches(spark: SparkSession, base: String, idCol: String): Unit = {
+    val ids = appliedBatches(spark, base)
+    require(ids.nonEmpty,
+      s"$base carries no applied batches — not a batch-versioned index")
+    if (ids.size == 1) return // already folded
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = ids.max + 1
+    readBatchedIndex(spark, base).dropDuplicates(idCol)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$base/batches/ib=$folded")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$base/_applied/batch=$folded"))
+    ids.foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$base/_applied/batch=$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$base/batches/ib=$i"), true)
+    }
+  }
+
   /** Read an index back. `cell` returns as a partition column — filters
     * on it prune directories before any file is opened. */
   def readIndex(spark: SparkSession, path: String): DataFrame =

@@ -375,6 +375,29 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Batch COMPACTION of the streamed index driver-certified: three
+    // ingest batches fold into one directory (ids retire, the folded
+    // batch carries max+1), and queries over the folded index must still
+    // equal a4's one-shot recompute oracle — the maintenance operation
+    // that bounds per-query directory counts is proven answer-preserving.
+    "a29_ivf_fold_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = java.nio.file.Files
+        .createTempDirectory("a29_ivf_fold").toString
+      (0 until 3).foreach { b =>
+        graft.llm.AnnIndex.ingestIndexBatch(
+          graft.llm.AnnIndex.encodeIvf(e.filter(col("vec_id") % 3 === b),
+            "vec_id", "embedding"), base, b.toLong)
+      }
+      graft.llm.AnnIndex.foldBatches(s, base, "vec_id")
+      graft.llm.AnnIndex.ivfTopKOverIndex(
+          graft.llm.AnnIndex.readBatchedIndex(s, base),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nlist = 8, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // The TRAINED-quantizer chain end-to-end: two distributed spherical
     // k-means steps from the seed codebook (trainIvfCentroids — a5
     // certifies one step's sufficient statistics; this certifies the
@@ -3465,6 +3488,7 @@ object LlmQueries {
     "a17_ivf_index" -> duckIvfTopKSql,
     "a27_ivf_stream_replay" -> duckIvfTopKSql,
     "a28_trained_index" -> duckTrainedIvfSql,
+    "a29_ivf_fold_compact" -> duckIvfTopKSql,
     "a24_ivf_filtered" -> duckIvfTopKSqlWhere("label % 2 = 0"),
     // a4's probe chain with the rank window replaced by the radius
     // predicate — the same cells, the same exact cosine, no k.

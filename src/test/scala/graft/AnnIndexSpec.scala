@@ -237,6 +237,40 @@ class AnnIndexSpec extends SparkSpec {
       rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)))
   }
 
+  test("batch compaction: foldBatches collapses marked batches into one " +
+    "answer-preserving directory, and a crash-replayed fold converges") {
+    val base = tmp("annidx_fold")
+    val oneShot = AnnIndex.encodeIvf(emb, "vec_id", "embedding")
+    (0 until 3).foreach { b =>
+      AnnIndex.ingestIndexBatch(AnnIndex.encodeIvf(
+        emb.filter(col("vec_id") % 3 === b), "vec_id", "embedding"),
+        base, b.toLong)
+    }
+    AnnIndex.foldBatches(spark, base, "vec_id")
+    assert(AnnIndex.appliedBatches(spark, base) === Seq(3L))
+    assert(rows(AnnIndex.readBatchedIndex(spark, base)) === rows(oneShot))
+    // folding a folded index is a no-op
+    AnnIndex.foldBatches(spark, base, "vec_id")
+    assert(AnnIndex.appliedBatches(spark, base) === Seq(3L))
+    // crash replay: rebuild the worst interrupted state — the folded
+    // batch marked but the originals not yet retired — and fold again;
+    // the id-dedup must converge to the one-shot rows, never double them
+    (0 until 2).foreach { b =>
+      AnnIndex.ingestIndexBatch(AnnIndex.encodeIvf(
+        emb.filter(col("vec_id") % 3 === b), "vec_id", "embedding"),
+        base, b.toLong)
+    }
+    assert(AnnIndex.appliedBatches(spark, base) === Seq(0L, 1L, 3L))
+    AnnIndex.foldBatches(spark, base, "vec_id")
+    assert(AnnIndex.appliedBatches(spark, base) === Seq(4L))
+    assert(rows(AnnIndex.readBatchedIndex(spark, base)) === rows(oneShot))
+    // served answers unchanged through the whole maintenance cycle
+    assert(rows(AnnIndex.ivfTopKOverIndex(
+        AnnIndex.readBatchedIndex(spark, base), queries, "vec_id",
+        "embedding", 10)) ===
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)))
+  }
+
   test("batch ingest: a streaming query drives the layout — across a " +
     "query restart — to the same index as the manual batch replay") {
     val base = tmp("annidx_streamq"); val in = tmp("annidx_streamin")

@@ -491,10 +491,24 @@ class SqlSurfaceSpec extends SparkSpec {
           "'doc_id', 0.8, 2, 4)",
         Dedup.minhashNearDupsSalted(docs, "text", "doc_id", 0.8,
           maxBucketSize = 2, salts = 4))
+      // SQ8: freeze-and-build in SQL, then serve from views over the
+      // stored stats + codes (the a20 parity, lifecycle-complete)
+      val sq8Idx = tmp("tvf6_sq8i"); val sq8Stats = tmp("tvf6_sq8s")
+      val nCodes = spark.sql("SELECT * FROM sq8_build_index('tvf6_emb', " +
+        s"'vec_id', 'embedding', '$sq8Idx', '$sq8Stats')").head().getLong(0)
+      assert(nCodes === emb.count())
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf6_sq8_idx AS " +
+        s"SELECT * FROM parquet.`$sq8Idx`")
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf6_sq8_stats AS " +
+        s"SELECT * FROM parquet.`$sq8Stats`")
+      check("SELECT * FROM sq8_topk_over_index('tvf6_sq8_idx', " +
+          "'tvf6_sq8_stats', 'tvf6_emb', 'tvf6_q', 'vec_id', " +
+          "'embedding', 3, 10)",
+        Similarity.sq8TopK(emb, q, "vec_id", "embedding", 3, refineK = 10))
     } finally {
       Seq("tvf6_emb", "tvf6_q", "tvf6_bench", "tvf6_train", "tvf6_base",
         "tvf6_delta", "tvf6_docs", "tvf6_ivf_idx", "tvf6_pq_idx",
-        "tvf6_mounted")
+        "tvf6_mounted", "tvf6_sq8_idx", "tvf6_sq8_stats")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
       Seq("tvf6_nd_sigs", "tvf6_nd_bands")
