@@ -862,6 +862,33 @@ object GraftExtensions {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("n_codes")))
       },
+      "decontam_append" -> { args =>
+        val u = "usage: decontam_append('bench', 'text_col', 'id_col', " +
+          "'dir') — appends a new suite's novel grams into an existing " +
+          "decontam artifact (Bloom-first write order, replay-safe) and " +
+          "returns the updated metadata row"
+        require(args.length == 4, u)
+        val Seq(bt, tc, ic, dir) = args.map(lit2str(_, u))
+        val s = SparkSession.active
+        graft.llm.DecontamIndex.appendBenchIndex(s.table(bt), tc, ic, dir)
+        plan(s.read.parquet(s"$dir/meta"))
+      },
+      "neardup_ingest_batch" -> { args =>
+        val u = "usage: neardup_ingest_batch('base', 'batch_table', " +
+          "'text_col', 'id_col', threshold, batch_id, 'out_dir') — one " +
+          "idempotent marked-batch ingest against the stored near-dup " +
+          "index (probe the pre-batch view, land survivors under " +
+          "out_dir/batch=<id>, append their signatures, mark); a " +
+          "replayed call is skipped and returns the same landed rows"
+        require(args.length == 7, u)
+        val Seq(base, bt, tc, ic) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val bid = lit2int(args(5), u).toLong
+        val outDir = lit2str(args(6), u)
+        graft.llm.DedupIndex.ingestBatchOverIndex(s.table(bt), bid, base,
+          outDir, tc, ic, lit2dbl(args(4), u))
+        plan(s.read.parquet(s"$outDir/batch=$bid"))
+      },
       "ivf_index_mount" -> { args =>
         val u = "usage: ivf_index_mount('base') — mount a " +
           "batch-versioned (streamed) ANN index as a relation; register " +

@@ -2293,9 +2293,14 @@ object LlmQueries {
       val d = t(s, dir, "documents")
       val aug = d.unionByName(d.filter(col("doc_id") % 40 === 0)
         .withColumn("doc_id", col("doc_id") + 120000L))
+      // cap 500 (replayed by the oracle): at minMatch = 5 dropping a hot
+      // band cannot change the output — a pair found ONLY through it has
+      // two broken bands, i.e. <= 4 matches, and fails the verify anyway
+      // — while cutting the degenerate constant band's quadratic
+      // candidate mass once a kind's population passes the cap
       Multimodal.featureNearDups(
           Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, aug)),
-          minMatch = 5)
+          minMatch = 5, maxBucketSize = 500)
         .orderBy("id_a", "id_b")
     }),
 
@@ -6073,7 +6078,7 @@ object LlmQueries {
                           CAST(sample_rate AS VARCHAR) || '_' || CAST(duration_ms AS VARCHAR)
                         FROM feats),
               keptb AS (SELECT kind, b, bv FROM bands
-                        GROUP BY kind, b, bv HAVING count(*) <= 10000),
+                        GROUP BY kind, b, bv HAVING count(*) <= 500),
               cand AS (SELECT DISTINCT a.media_id AS id_a,
                                        b2.media_id AS id_b
                        FROM bands a

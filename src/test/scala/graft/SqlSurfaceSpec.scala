@@ -491,6 +491,34 @@ class SqlSurfaceSpec extends SparkSpec {
           "'doc_id', 0.8, 2, 4)",
         Dedup.minhashNearDupsSalted(docs, "text", "doc_id", 0.8,
           maxBucketSize = 2, salts = 4))
+      // near-dup APPEND in SQL: one marked-batch ingest of the delta
+      // against the stored index — landed survivors equal the in-memory
+      // two-batch chain, and a replayed call (marker skip) returns the
+      // identical landed rows
+      val ndOut = tmp("tvf6_nd_out")
+      val ingestSql = "SELECT * FROM neardup_ingest_batch('tvf6_nd', " +
+        s"'tvf6_delta', 'text', 'doc_id', 0.8, 0, '$ndOut')"
+      check(ingestSql,
+        Dedup.minhashNearDupDelta(delta, "text", "doc_id", 0.8,
+          Some(baseState.state)).kept)
+      check(ingestSql,
+        Dedup.minhashNearDupDelta(delta, "text", "doc_id", 0.8,
+          Some(baseState.state)).kept)
+      // decontam APPEND in SQL: a second suite's novel grams land in the
+      // stored artifact; screening then equals the union-bench recompute
+      val bench2 = docs.filter(col("doc_id") % 97 === 0)
+      bench2.createOrReplaceTempView("tvf6_bench2")
+      // capture the pre-append gram count with a FRESH read: the swap
+      // replaces the meta files, so older frames hold stale listings
+      val gramsBefore = spark.read.parquet(s"$dcDir/meta")
+        .select("n_grams").head().getLong(0)
+      val meta2 = spark.sql("SELECT * FROM decontam_append('tvf6_bench2', " +
+        s"'text', 'doc_id', '$dcDir')")
+      assert(meta2.select("n_grams").head().getLong(0) > gramsBefore)
+      check(s"SELECT * FROM decontam_over_index('tvf6_train', '$dcDir', " +
+          "'text', 'doc_id')",
+        Corpus.contaminatedDocs(train, bench.unionByName(bench2),
+          "text", "doc_id", k = 4))
       // SQ8: freeze-and-build in SQL, then serve from views over the
       // stored stats + codes (the a20 parity, lifecycle-complete)
       val sq8Idx = tmp("tvf6_sq8i"); val sq8Stats = tmp("tvf6_sq8s")
@@ -508,7 +536,7 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally {
       Seq("tvf6_emb", "tvf6_q", "tvf6_bench", "tvf6_train", "tvf6_base",
         "tvf6_delta", "tvf6_docs", "tvf6_ivf_idx", "tvf6_pq_idx",
-        "tvf6_mounted", "tvf6_sq8_idx", "tvf6_sq8_stats")
+        "tvf6_mounted", "tvf6_sq8_idx", "tvf6_sq8_stats", "tvf6_bench2")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
       Seq("tvf6_nd_sigs", "tvf6_nd_bands")
