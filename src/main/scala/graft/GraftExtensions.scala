@@ -782,6 +782,14 @@ object GraftExtensions {
       // the call RESOLVES (eager, like every TVF here — the same moment
       // a subquery would read its tables) and returns a small summary
       // relation so the statement has a result to show.
+      //
+      // CAUTION — resolution is not execution-once: EXPLAIN, a
+      // discarded spark.sql() handle, and EVERY SELECT from a view
+      // defined over a build TVF re-resolve the call and re-run the
+      // build (an Overwrite rewrite can even fail a concurrent reader
+      // of the same path mid-scan). Run a build as its own statement;
+      // register views over the WRITTEN files (parquet.`path`), never
+      // over the build call itself.
       // -------------------------------------------------------------
       "ivf_build_index" -> { args =>
         val u = "usage: ivf_build_index('corpus', 'id_col', 'vec_col', " +

@@ -153,72 +153,105 @@ object AnnIndex {
     ()
   }
 
-  /** Mount a batch-versioned index: the union of all MARKED batch
-    * directories, presented with the standard index schema (the `ib`
-    * provenance partition column is dropped) — serve it through the
-    * same query family ([[ivfTopKOverIndex]], [[ivfPqTopKOverIndex]],
-    * radius, filtered). `cell` is still a partition column under every
-    * batch dir, so probes prune directories exactly as [[readIndex]]. */
-  def readBatchedIndex(spark: SparkSession, base: String): DataFrame = {
-    val applied = new org.apache.hadoop.fs.Path(s"$base/_applied")
-    val fs = applied.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(applied),
-      s"$base carries no applied batches — not a batch-versioned index")
-    val ids = fs.listStatus(applied).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") =>
-        s.stripPrefix("batch=").toLong }
-      .sorted
-    require(ids.nonEmpty,
-      s"$base carries no applied batches — not a batch-versioned index")
-    spark.read.option("basePath", s"$base/batches")
-      .parquet(ids.map(i => s"$base/batches/ib=$i"): _*)
-      .drop("ib")
-  }
-
-  /** Batch ids currently marked applied under `base` — maintenance
-    * introspection (batch-count scale). */
-  def appliedBatches(spark: SparkSession, base: String): Seq[Long] = {
+  /** Marker ids with the given prefix under `base/_applied` — the ONE
+    * lister behind every read/maintenance path, so marker parsing can
+    * never diverge between them. */
+  private def markedIds(spark: SparkSession, base: String,
+      prefix: String): Seq[Long] = {
     val applied = new org.apache.hadoop.fs.Path(s"$base/_applied")
     val fs = applied.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(applied)) Nil
     else fs.listStatus(applied).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") =>
-        s.stripPrefix("batch=").toLong }
+      .collect { case s if s.startsWith(prefix) =>
+        s.stripPrefix(prefix).toLong }
       .sorted
   }
 
-  /** Out-of-band batch compaction: fold every marked batch into ONE
-    * fresh batch directory and retire the originals — the maintenance
-    * rhythm the batch-ingest note prescribes, so per-query directory
-    * counts stay bounded under frequent triggers. The folded batch gets
-    * id max(marked)+1; rows dedup by `idCol`, so a REPLAYED fold — one
-    * whose crash left both the folded batch and not-yet-retired
-    * originals marked — converges to the identical index instead of
-    * doubling rows (duplicate rows are byte-identical encodes, so which
-    * survives is immaterial). A crash mid-write leaves the fold
-    * unmarked and therefore invisible; the re-run overwrites the same
-    * directory. Run it between ingest waves, never concurrently with
-    * queries or appends — marker creation and retirement cannot be
-    * atomic TOGETHER, so a mid-fold reader could double-count — the
+  /** Streaming batch ids currently marked applied under `base` —
+    * maintenance introspection (batch-count scale). */
+  def appliedBatches(spark: SparkSession, base: String): Seq[Long] =
+    markedIds(spark, base, "batch=")
+
+  /** Fold ids currently marked applied under `base` ([[foldBatches]]'
+    * own id namespace — deliberately DISJOINT from streaming batch ids,
+    * see its scaladoc). */
+  def appliedFolds(spark: SparkSession, base: String): Seq[Long] =
+    markedIds(spark, base, "fold=")
+
+  /** Mount a batch-versioned index: the union of all MARKED batch and
+    * fold directories, presented with the standard index schema (the
+    * `ib`/`fb` provenance partition columns are dropped) — serve it
+    * through the same query family ([[ivfTopKOverIndex]],
+    * [[ivfPqTopKOverIndex]], radius, filtered). `cell` is still a
+    * partition column under every directory, so probes prune exactly
+    * as [[readIndex]]. */
+  def readBatchedIndex(spark: SparkSession, base: String): DataFrame = {
+    val batches = appliedBatches(spark, base)
+    val folds = appliedFolds(spark, base)
+    require(batches.nonEmpty || folds.nonEmpty,
+      s"$base carries no applied batches — not a batch-versioned index")
+    val parts =
+      (if (folds.isEmpty) Nil
+       else Seq(spark.read.option("basePath", s"$base/folds")
+         .parquet(folds.map(k => s"$base/folds/fb=$k"): _*)
+         .drop("fb"))) ++
+      (if (batches.isEmpty) Nil
+       else Seq(spark.read.option("basePath", s"$base/batches")
+         .parquet(batches.map(i => s"$base/batches/ib=$i"): _*)
+         .drop("ib")))
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Out-of-band batch compaction: fold every marked batch (and every
+    * prior fold) into ONE fresh fold directory and retire the
+    * originals — the maintenance rhythm the batch-ingest note
+    * prescribes, so per-query directory counts stay bounded under
+    * frequent triggers.
+    *
+    * Folds carry their own id namespace (`fold=<k>` markers,
+    * `folds/fb=<k>` directories) — deliberately DISJOINT from the
+    * streaming `batch=`/`ib=` namespace. Reusing batch ids would be a
+    * data-loss bug: the streaming checkpoint keeps numbering from where
+    * it stopped, so a fold marked as batch max+1 would make
+    * [[ingestIndexBatch]] silently SKIP the first post-fold micro-batch
+    * (its marker would already exist). With the separate namespace a
+    * post-fold restart ingests normally, and an in-flight unmarked
+    * batch's directory is never touched (only MARKED batches retire),
+    * so its pending replay still lands.
+    *
+    * Rows dedup by `idCol`, so a REPLAYED fold — one whose crash left
+    * both the new fold and not-yet-retired originals marked —
+    * converges to the identical index instead of doubling rows
+    * (duplicate rows are byte-identical encodes). A crash mid-write
+    * leaves the fold unmarked and therefore invisible; the re-run
+    * overwrites the same directory. Run it between ingest waves, never
+    * concurrently with queries — marker creation and retirement cannot
+    * be atomic TOGETHER, so a mid-fold reader could double-count — the
     * same out-of-band contract as [[DedupIndex.compactState]]. */
   def foldBatches(spark: SparkSession, base: String, idCol: String): Unit = {
-    val ids = appliedBatches(spark, base)
-    require(ids.nonEmpty,
+    val batches = appliedBatches(spark, base)
+    val folds = appliedFolds(spark, base)
+    require(batches.nonEmpty || folds.nonEmpty,
       s"$base carries no applied batches — not a batch-versioned index")
-    if (ids.size == 1) return // already folded
+    if (batches.isEmpty && folds.size <= 1) return // already folded
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val folded = ids.max + 1
+    val k = (folds :+ -1L).max + 1
     readBatchedIndex(spark, base).dropDuplicates(idCol)
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(s"$base/batches/ib=$folded")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(
-      s"$base/_applied/batch=$folded"))
-    ids.foreach { i =>
+      .parquet(s"$base/folds/fb=$k")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/_applied/fold=$k"))
+    batches.foreach { i =>
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$base/_applied/batch=$i"), true)
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$base/batches/ib=$i"), true)
+    }
+    folds.foreach { j =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$base/_applied/fold=$j"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$base/folds/fb=$j"), true)
     }
   }
 

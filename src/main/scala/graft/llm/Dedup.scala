@@ -249,8 +249,13 @@ object Dedup {
       s"maxBucketSize ($maxBucketSize) must be >= 2")
     require(salts >= 1, s"salts ($salts) must be >= 1")
     val exploded = bandRows(sigs, idCol, numHashes, bands)
-    val hot = exploded.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
-      .filter(col("_bc") > maxBucketSize).select("bk")
+    // lineage-cut: unlike lshCandidates' single-consumer hot list, this
+    // one feeds BOTH the carve-out and the keep — without the cut the
+    // band-explode + count aggregation would run twice (the
+    // SkewJoin.hotColdJoin discipline)
+    val hot = graft.operators.Lineage.cut(
+      exploded.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") > maxBucketSize).select("bk"))
     // hot is a tiny bucket list (buckets, not docs) → broadcast both the
     // carve-out and the keep; a row is hot or cold PER bucket key, so
     // cold×cold ∪ salted hot×hot covers every within-bucket pair exactly

@@ -363,7 +363,11 @@ object Multimodal {
       s"minMatch ($minMatch) must be in [1, ${FingerprintFields.size}]")
     require(maxBucketSize >= 2,
       s"maxBucketSize ($maxBucketSize) must be >= 2")
-    val f = features.toDF()
+    // persisted: the feature frame feeds FOUR consumers (hot counts,
+    // the anti-join keep, and both verify sides) — behind it sits the
+    // mapPartitions decode, which with a real codec must run once, not
+    // four times (the minhashNearDups persist discipline)
+    val f = features.toDF().persist()
     val bandCols = FingerprintFields.grouped(2).zipWithIndex.map {
       case (fs, b) =>
         struct(col("kind"), lit(b).as("band"),
@@ -385,10 +389,13 @@ object Multimodal {
     val nMatch = FingerprintFields
       .map(n => when(col(s"_a_$n") === col(s"_b_$n"), 1).otherwise(0))
       .reduce(_ + _)
-    cands.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
-      .withColumn("n_match", nMatch)
-      .filter(col("n_match") >= minMatch)
-      .select("id_a", "id_b", "n_match")
+    val out = graft.operators.Lineage.cut(
+      cands.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
+        .withColumn("n_match", nMatch)
+        .filter(col("n_match") >= minMatch)
+        .select("id_a", "id_b", "n_match"))
+    f.unpersist()
+    out
   }
 
   /** Build a media dataset from the documents table (payload = utf-8 bytes

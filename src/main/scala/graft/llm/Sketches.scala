@@ -128,7 +128,13 @@ object Sketches {
     val zeros = m - ranks.count(_._2 > 0)
     val two32 = 4294967296.0 // the 32-bit hash space the buckets key on
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
-    else if (raw > two32 / 30.0) -two32 * math.log(1.0 - raw / two32)
+    else if (raw > two32 / 30.0)
+      // a fully saturated sketch can push raw past 2^32 itself, where
+      // ln(1 - raw/2^32) is undefined — clamp to the last invertible
+      // point (one hash value shy of the full space): the estimator's
+      // usable range ends at the hash space, and a finite ~2^32·ln(2^32)
+      // ceiling beats returning NaN to every downstream consumer
+      -two32 * math.log(math.max(1.0 - raw / two32, 1.0 / two32))
     else raw
   }
 }

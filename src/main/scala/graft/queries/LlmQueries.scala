@@ -376,10 +376,12 @@ object LlmQueries {
     }),
 
     // Batch COMPACTION of the streamed index driver-certified: three
-    // ingest batches fold into one directory (ids retire, the folded
-    // batch carries max+1), and queries over the folded index must still
-    // equal a4's one-shot recompute oracle — the maintenance operation
-    // that bounds per-query directory counts is proven answer-preserving.
+    // ingest batches fold into one directory in the fold's OWN id
+    // namespace (fold=/fb= — batch ids stay free for the stream's
+    // checkpoint numbering), and queries over the folded index must
+    // still equal a4's one-shot recompute oracle — the maintenance
+    // operation that bounds per-query directory counts is proven
+    // answer-preserving.
     "a29_ivf_fold_compact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val base = java.nio.file.Files

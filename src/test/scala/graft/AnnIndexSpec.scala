@@ -247,14 +247,25 @@ class AnnIndexSpec extends SparkSpec {
         base, b.toLong)
     }
     AnnIndex.foldBatches(spark, base, "vec_id")
-    assert(AnnIndex.appliedBatches(spark, base) === Seq(3L))
+    assert(AnnIndex.appliedBatches(spark, base) === Seq())
+    assert(AnnIndex.appliedFolds(spark, base) === Seq(0L))
     assert(rows(AnnIndex.readBatchedIndex(spark, base)) === rows(oneShot))
     // folding a folded index is a no-op
     AnnIndex.foldBatches(spark, base, "vec_id")
-    assert(AnnIndex.appliedBatches(spark, base) === Seq(3L))
-    // crash replay: rebuild the worst interrupted state — the folded
-    // batch marked but the originals not yet retired — and fold again;
-    // the id-dedup must converge to the one-shot rows, never double them
+    assert(AnnIndex.appliedFolds(spark, base) === Seq(0L))
+    // THE REGRESSION THAT MOTIVATED THE FOLD NAMESPACE: a post-fold
+    // stream keeps numbering from its checkpoint (batch 3 next) — the
+    // fold must not have minted a marker that makes ingest skip it
+    val late = AnnIndex.encodeIvf(
+      emb.limit(1).withColumn("vec_id", lit(900001L)),
+      "vec_id", "embedding")
+    AnnIndex.ingestIndexBatch(late, base, 3L)
+    assert(AnnIndex.readBatchedIndex(spark, base)
+      .filter(col("vec_id") === 900001L).count() === 1L,
+      "the first post-fold streaming batch was silently skipped")
+    // crash replay: rebuild the worst interrupted state — the new fold
+    // marked but the originals not yet retired — and fold again; the
+    // id-dedup must converge to the one-shot rows, never double them
     (0 until 2).foreach { b =>
       AnnIndex.ingestIndexBatch(AnnIndex.encodeIvf(
         emb.filter(col("vec_id") % 3 === b), "vec_id", "embedding"),
@@ -262,11 +273,14 @@ class AnnIndexSpec extends SparkSpec {
     }
     assert(AnnIndex.appliedBatches(spark, base) === Seq(0L, 1L, 3L))
     AnnIndex.foldBatches(spark, base, "vec_id")
-    assert(AnnIndex.appliedBatches(spark, base) === Seq(4L))
-    assert(rows(AnnIndex.readBatchedIndex(spark, base)) === rows(oneShot))
+    assert(AnnIndex.appliedBatches(spark, base) === Seq())
+    assert(AnnIndex.appliedFolds(spark, base) === Seq(1L))
+    assert(rows(AnnIndex.readBatchedIndex(spark, base)
+        .filter(col("vec_id") =!= 900001L)) === rows(oneShot))
     // served answers unchanged through the whole maintenance cycle
     assert(rows(AnnIndex.ivfTopKOverIndex(
-        AnnIndex.readBatchedIndex(spark, base), queries, "vec_id",
+        AnnIndex.readBatchedIndex(spark, base)
+          .filter(col("vec_id") =!= 900001L), queries, "vec_id",
         "embedding", 10)) ===
       rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)))
   }
