@@ -235,6 +235,19 @@ class AnnIndexSpec extends SparkSpec {
         AnnIndex.readBatchedIndex(spark, base), queries, "vec_id",
         "embedding", 10)) ===
       rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)))
+    // the layout is family-agnostic: the same ingest/mount/fold cycle
+    // carries IVF-PQ code rows (they key on `cell` identically)
+    val pqBase = tmp("annidx_stream_pq")
+    (0 until 2).foreach { b =>
+      AnnIndex.ingestIndexBatch(AnnIndex.encodeIvfPq(
+        emb.filter(col("vec_id") % 2 === b), "vec_id", "embedding"),
+        pqBase, b.toLong)
+    }
+    AnnIndex.foldBatches(spark, pqBase, "vec_id")
+    assert(rows(AnnIndex.ivfPqTopKOverIndex(
+        AnnIndex.readBatchedIndex(spark, pqBase), queries, "vec_id",
+        "embedding", 10)) ===
+      rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 10)))
   }
 
   test("batch compaction: foldBatches collapses marked batches into one " +
