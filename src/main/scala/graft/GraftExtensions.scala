@@ -870,6 +870,38 @@ object GraftExtensions {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("n_codes")))
       },
+      "cms_sketch" -> { args =>
+        val u = "usage: cms_sketch('table', 'value_col'[, depth, width])"
+        require(args.length == 2 || args.length == 4, u)
+        val Seq(t, vc) = args.take(2).map(lit2str(_, u))
+        plan(graft.llm.Sketches.cmsSketch(SparkSession.active.table(t),
+          org.apache.spark.sql.functions.col(vc),
+          depth = args.lift(2).map(lit2int(_, u)).getOrElse(4),
+          width = args.lift(3).map(lit2int(_, u)).getOrElse(1024)))
+      },
+      "cms_estimate" -> { args =>
+        val u = "usage: cms_estimate('sketch_table', 'probes_table', " +
+          "'value_col'[, depth, width]) — depth/width must be the " +
+          "sketch's own"
+        require(args.length == 3 || args.length == 5, u)
+        val Seq(st, pt, vc) = args.take(3).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.Sketches.cmsEstimate(s.table(st), s.table(pt), vc,
+          depth = args.lift(3).map(lit2int(_, u)).getOrElse(4),
+          width = args.lift(4).map(lit2int(_, u)).getOrElse(1024)))
+      },
+      "decontam_fuzzy_over_index" -> { args =>
+        val u = "usage: decontam_fuzzy_over_index('index_base', " +
+          "'probe_table', 'text_col', 'id_col', threshold) — " +
+          "signature-estimated near-dup pairs of probe docs against a " +
+          "stored bench near-dup index (the paraphrase-leak screen; " +
+          "DedupIndex tables <base>_sigs/<base>_bands must exist)"
+        require(args.length == 5, u)
+        val Seq(base, pt, tc, ic) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.DedupIndex.crossNeardupOverIndex(s, base,
+          s.table(pt), tc, ic, lit2dbl(args(4), u)))
+      },
       "decontam_append" -> { args =>
         val u = "usage: decontam_append('bench', 'text_col', 'id_col', " +
           "'dir') — appends a new suite's novel grams into an existing " +

@@ -192,6 +192,59 @@ object DedupIndex {
     Dedup.DeltaState(kept, keptSigs)
   }
 
+  /** Fuzzy decontamination served from a PERSISTED near-dup index of
+    * the BENCHMARK side — [[Dedup.crossCorpusNearDups]]' register-once/
+    * screen-forever deployment shape, catching the paraphrased leaks
+    * [[DecontamIndex]]'s exact grams miss: flag (probe, bench) pairs
+    * whose signature-estimated Jaccard reaches `threshold` (the x55
+    * estimate verification — the stored side carries signatures, not
+    * shingles, so estimate-verify IS the artifact's contract; run the
+    * exact-Jaccard [[Dedup.crossCorpusNearDups]] when both text sides
+    * are in hand). Probe side pays one sig + band explode per call; the
+    * stored band table reads via its bucket layout and the probe join
+    * is a `bkey` equi-join. Hot buckets cap PER SIDE (the
+    * crossCorpusNearDups rule — a cross join's blow-up is the product
+    * of the two sides' widths, so each side bounds its own).
+    *
+    * @return (idCol = probe id, bench_id) candidate pairs that verify */
+  def crossNeardupOverIndex(spark: SparkSession, base: String,
+      probe: DataFrame, textCol: String, idCol: String, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    val probeSigs = Dedup
+      .minhashSignature(probe, textCol, idCol, numHashes, k).persist()
+    val probeBands = bandTable(probeSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("_pid"), col("bkey")).persist()
+    val storedBands = spark.table(s"${base}_bands")
+      .select(col(idCol).as("bench_id"), col("bkey"))
+    def hotOf(bandsDf: DataFrame) = bandsDf.groupBy("bkey")
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("bkey")
+    val pKept = probeBands
+      .join(broadcast(hotOf(probeBands)), Seq("bkey"), "left_anti")
+    val sKept = storedBands
+      .join(broadcast(hotOf(storedBands)), Seq("bkey"), "left_anti")
+    val pairs = pKept.join(sKept, Seq("bkey"))
+      .select(col("_pid"), col("bench_id")).distinct()
+    val matchFrac = (0 until numHashes)
+      .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1)
+        .otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    val aSide = probeSigs.select(col(idCol).as("_pid") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_a_sig_$j")): _*)
+    val bSide = spark.table(s"${base}_sigs").select(
+      col(idCol).as("bench_id") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_b_sig_$j")): _*)
+    val out = graft.operators.Lineage.cut(
+      pairs.join(aSide, Seq("_pid")).join(bSide, Seq("bench_id"))
+        .filter(matchFrac >= threshold)
+        .select(col("_pid").as(idCol), col("bench_id")))
+    probeSigs.unpersist(); probeBands.unpersist()
+    out
+  }
+
   /** One idempotent streaming micro-batch over the persisted index —
     * the continuous-ingest deployment the in-memory
     * [[graft.streaming.StreamOps.durableIngestDedup]] versioned layout

@@ -100,6 +100,76 @@ object Sketches {
       .groupBy("bucket").agg(max("max_rho").as("max_rho"))
   }
 
+  // --------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+  // FREQUENCY sketch beside HLL's cardinality one: "how often does this
+  // token / url / shingle occur" answered from depth × width integer
+  // counters instead of a corpus-keyed exact count. Estimates are
+  // one-sided (never below the true count; overshoot ≤ corpus/width per
+  // row, and the min over depth rows takes the luckiest row). Entirely
+  // integer arithmetic over [[Hashing.hex32]] — sketch tables AND
+  // estimates certify bit-for-bit cross-engine (x98), including the
+  // shard-merge path (per-counter sums are associative, so
+  // merge-of-shard-sketches ≡ direct whole-corpus sketch exactly).
+  // --------------------------------------------------------------------
+
+  /** Build a Count-Min sketch over a value column: one (row, bucket, c)
+    * per TOUCHED counter (absent counters are 0). Row `j`'s hash is
+    * `hex32("cms<j>:" || value) % width` — deterministic, replayed by
+    * the oracle. Scale shape: the groupBy map-side combines every
+    * partition to ≤ depth·width rows before the exchange, so the
+    * shuffle is O(partitions · depth · width) at any corpus size. */
+  def cmsSketch(df: DataFrame, valueCol: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1, s"depth ($depth) must be >= 1")
+    require(width >= 1, s"width ($width) must be >= 1")
+    df.select(valueCol.cast("string").as("_v"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("row"),
+          (Hashing.hex32(concat(lit(s"cms$j:"), col("_v"))) % width)
+            .cast("int").as("bucket"))): _*)).as("_rb"))
+      .select(col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge sketch tables (same depth/width): union → per-counter sum —
+    * identical to sketching the concatenated corpus (sums are
+    * associative; x98 certifies shard-merge ≡ whole-corpus through the
+    * estimates). Refuses frames that are not plain sketch tables, the
+    * [[hllMerge]] discipline. */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.foreach(s => require(
+      s.columns.sorted.toSeq == Seq("bucket", "c", "row"),
+      s"cmsMerge takes plain (row, bucket, c) sketch tables; got " +
+        s"columns [${s.columns.mkString(", ")}]"))
+    sketches.reduce(_.unionByName(_))
+      .groupBy("row", "bucket").agg(sum("c").as("c"))
+  }
+
+  /** Point estimates for a probe table against a sketch: re-hash each
+    * probe value per row, LEFT-join the (depth·width)-bounded sketch
+    * (broadcast — counter-scale, never corpus-scale), min over rows of
+    * the zero-coalesced counters. Returns (valueCol, n_est); the
+    * estimate is ≥ the true count by construction. `depth`/`width` must
+    * be the sketch's own. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1, s"depth ($depth) must be >= 1")
+    require(width >= 1, s"width ($width) must be >= 1")
+    probes.select(col(valueCol))
+      .select(col(valueCol), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("row"),
+          (Hashing.hex32(concat(lit(s"cms$j:"),
+              col(valueCol).cast("string"))) % width)
+            .cast("int").as("bucket"))): _*)).as("_rb"))
+      .select(col(valueCol), col("_rb.row").as("row"),
+        col("_rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
+  }
+
   /** The float estimate off a (bucket, max_rho) table — driver-side (the
     * table is ≤ 2^p rows by construction; collecting it is the documented
     * exception to the no-collect rule, like the k-means codebook).

@@ -2250,6 +2250,55 @@ object LlmQueries {
       out.orderBy("doc_id")
     }),
 
+    // Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    // FREQUENCY sketch beside x82's HLL cardinality one, certified
+    // bit-for-bit: four shard-local sketches are MERGED (per-counter
+    // sums are associative, so the oracle sketches the whole corpus at
+    // once and the hash match certifies merge ≡ global, the x82
+    // framing), then the exact top-20 tokens are estimated from the
+    // merged counters. Pure integer arithmetic over hex32 end-to-end;
+    // n_est >= n_exact is the CMS one-sided guarantee, visible in the
+    // certified rows.
+    "x98_cms_heavy_hitters" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val sk = Sketches.cmsMerge((0 until 4).map(i =>
+        Sketches.cmsSketch(tk.filter(col("doc_id") % 4 === i),
+          col("tok"))): _*)
+      val top = graft.operators.Lineage.cut(
+        tk.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok")).limit(20))
+      top.join(Sketches.cmsEstimate(sk, top, "tok"), Seq("tok"))
+        .select(col("tok").as("token"), col("n_exact"), col("n_est"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
+    // Fuzzy decontamination served from a PERSISTED near-dup index of
+    // the benchmark (d10's cross-corpus semantics in x85's
+    // register-once/screen-forever shape): the src0 bench registers its
+    // SIGNATURES once, and every probe slice band-joins against the
+    // stored tables — signature-estimate verification (the x55 rule; the
+    // artifact holds signatures, not shingles). Exact bench leaks are
+    // planted into the probe at +50000 and must pair with their
+    // originals at estimate 1.0.
+    "d14_cross_neardup_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val probe = d.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+        .unionByName(bench.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+      graft.llm.DedupIndex.writeState(
+        Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id",
+        "d14_idx")
+      graft.llm.DedupIndex.crossNeardupOverIndex(s, "d14_idx", probe,
+          "text", "doc_id", 0.8)
+        .select(col("doc_id").as("train_id"), col("bench_id"))
+        .orderBy("train_id", "bench_id")
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (decode plumbing
     // itself is Dataset-level, see Multimodal.scala + MultimodalSpec).
     "mm1_binary_meta" -> ((s, dir) => {
@@ -3292,6 +3341,72 @@ object LlmQueries {
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
           ORDER BY id_a, id_b""",
+    "x98_cms_heavy_hitters" ->
+      s"""WITH occ AS (SELECT unnest($duckToks) AS tok FROM documents),
+              toks AS (SELECT tok FROM occ WHERE tok <> ''),
+              tc AS (SELECT tok, count(*) AS n_exact FROM toks
+                     GROUP BY tok),
+              top AS (SELECT tok, n_exact FROM tc
+                      ORDER BY n_exact DESC, tok LIMIT 20),
+              rb AS (SELECT CAST(j AS INTEGER) AS rw,
+                       CAST(${duckHex32("'cms' || CAST(j AS VARCHAR) || ':' || tok")} % 1024
+                         AS INTEGER) AS bucket
+                     FROM toks, range(0, 4) t(j)),
+              sk AS (SELECT rw, bucket, count(*) AS c FROM rb
+                     GROUP BY rw, bucket),
+              pe AS (SELECT top.tok, CAST(j AS INTEGER) AS rw,
+                       CAST(${duckHex32("'cms' || CAST(j AS VARCHAR) || ':' || top.tok")} % 1024
+                         AS INTEGER) AS bucket
+                     FROM top, range(0, 4) t(j)),
+              est AS (SELECT pe.tok,
+                        min(coalesce(sk.c, CAST(0 AS BIGINT))) AS n_est
+                      FROM pe LEFT JOIN sk
+                        ON sk.rw = pe.rw AND sk.bucket = pe.bucket
+                      GROUP BY pe.tok)
+          SELECT top.tok AS token, top.n_exact, est.n_est
+          FROM top JOIN est ON est.tok = top.tok
+          ORDER BY top.n_exact DESC, token""",
+    "d14_cross_neardup_index" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+                         WHERE source = 'src0'),
+              probe AS (SELECT doc_id, text FROM documents
+                        WHERE source <> 'src0'
+                        UNION ALL
+                        SELECT doc_id + 50000, text FROM documents
+                        WHERE source = 'src0' AND doc_id % 11 = 0),
+              bws AS (SELECT doc_id, $duckToks AS w FROM bench),
+              bsh AS (SELECT doc_id, $duckShingles AS sh FROM bws
+                      WHERE len(w) >= 3),
+              bsig AS (SELECT doc_id,
+                         ${(0 to 15).map(duckSig).mkString(",\n                         ")}
+                       FROM bsh),
+              pws AS (SELECT doc_id, $duckToks AS w FROM probe),
+              psh AS (SELECT doc_id, $duckShingles AS sh FROM pws
+                      WHERE len(w) >= 3),
+              psig AS (SELECT doc_id,
+                         ${(0 to 15).map(duckSig).mkString(",\n                         ")}
+                       FROM psh),
+              bb AS (${duckBandRows("bsig")}),
+              pb AS (${duckBandRows("psig")}),
+              bkept AS (SELECT b, bucket FROM bb GROUP BY b, bucket
+                        HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              pkept AS (SELECT b, bucket FROM pb GROUP BY b, bucket
+                        HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              cand AS (SELECT DISTINCT p.doc_id AS train_id,
+                                       bx.doc_id AS bench_id
+                       FROM pb p
+                       JOIN pkept pk
+                         ON p.b = pk.b AND p.bucket = pk.bucket
+                       JOIN bb bx
+                         ON bx.b = p.b AND bx.bucket = p.bucket
+                       JOIN bkept bk
+                         ON bx.b = bk.b AND bx.bucket = bk.bucket)
+          SELECT c.train_id, c.bench_id
+          FROM cand c
+          JOIN psig x ON x.doc_id = c.train_id
+          JOIN bsig y ON y.doc_id = c.bench_id
+          WHERE $duckSigFrac
+          ORDER BY train_id, bench_id""",
     "d10_cross_neardup" ->
       s"""WITH ws AS (SELECT doc_id, source, $duckToks AS w FROM documents),
               sh AS (SELECT doc_id, source, $duckShingles AS sh FROM ws

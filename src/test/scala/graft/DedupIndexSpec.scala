@@ -216,4 +216,33 @@ class DedupIndexSpec extends SparkSpec {
     assert(keys.forall(_.count(_ == ':') == 1))
     assert(keys.map(_.takeWhile(_ != ':')).toSet === Set("0", "1", "2", "3"))
   }
+
+  test("crossNeardupOverIndex: planted bench leaks pair with their " +
+    "stored originals, probing is read-only, and sub-threshold organic " +
+    "docs never pair") {
+    val bench = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("source") === "src0").select("doc_id", "text")
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(bench.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 70000L).as("doc_id"), col("text")))
+    DedupIndex.writeState(
+      Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id", "xni")
+    val before = spark.table("xni_sigs").count()
+    def run() = DedupIndex.crossNeardupOverIndex(spark, "xni", probe,
+        "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = run()
+    // every planted exact leak pairs with exactly its original
+    val planted = bench.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(planted.forall(id => pairs.contains((id + 70000L, id))),
+      "a planted leak is missing")
+    // probing never mutates the stored artifact (screen-forever reads)
+    assert(run() === pairs)
+    assert(spark.table("xni_sigs").count() === before)
+    // pairs reference real ids on both sides
+    val benchIds = bench.select("doc_id").as[Long].collect().toSet
+    assert(pairs.forall { case (_, b) => benchIds.contains(b) })
+  }
 }

@@ -104,6 +104,38 @@ class LlmSpec extends SparkSpec {
       maxBucketSize = 2, salts = 1)) === uncapped)
   }
 
+  test("Count-Min sketch: merging shard sketches equals the global " +
+    "sketch, counter mass is conserved per row, and every estimate is " +
+    "one-sided") {
+    import graft.llm.Sketches
+    val tk = docs.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0).persist()
+    val global = Sketches.cmsSketch(tk, col("tok"))
+    val merged = Sketches.cmsMerge((0 until 3).map(i =>
+      Sketches.cmsSketch(tk.filter(col("doc_id") % 3 === i),
+        col("tok"))): _*)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m(merged) === m(global))
+    // each depth row holds every occurrence exactly once
+    val total = tk.count()
+    m(global).toSeq.groupBy(_._1._1).values.foreach(row =>
+      assert(row.map(_._2).sum === total))
+    // one-sided guarantee for EVERY distinct token
+    val exact = tk.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val joined = exact
+      .join(Sketches.cmsEstimate(global, exact, "tok"), Seq("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(joined.nonEmpty)
+    assert(joined.forall { case (_, ex, es) => es >= ex })
+    // grouped/malformed frames are refused, the hllMerge discipline
+    val err = intercept[IllegalArgumentException](
+      Sketches.cmsMerge(global.withColumn("extra", lit(1))))
+    assert(err.getMessage.contains("plain (row, bucket, c)"))
+    tk.unpersist()
+  }
+
   test("multimodal feature near-dup: planted byte-identical media rows " +
     "surface at a full 6/6 match, pairs never cross kinds, and minMatch " +
     "binds") {

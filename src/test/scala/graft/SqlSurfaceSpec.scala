@@ -378,6 +378,17 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.Sketches.hllBuckets(toks, col("tok")))
       check("SELECT * FROM hll_buckets('tvf5_toks', 'tok', 8)",
         graft.llm.Sketches.hllBuckets(toks, col("tok"), p = 8))
+      check("SELECT * FROM cms_sketch('tvf5_toks', 'tok')",
+        graft.llm.Sketches.cmsSketch(toks, col("tok")))
+      check("SELECT * FROM cms_sketch('tvf5_toks', 'tok', 2, 64)",
+        graft.llm.Sketches.cmsSketch(toks, col("tok"),
+          depth = 2, width = 64))
+      graft.llm.Sketches.cmsSketch(toks, col("tok"))
+        .createOrReplaceTempView("tvf5_cms")
+      toks.distinct().createOrReplaceTempView("tvf5_probe")
+      check("SELECT * FROM cms_estimate('tvf5_cms', 'tvf5_probe', 'tok')",
+        graft.llm.Sketches.cmsEstimate(spark.table("tvf5_cms"),
+          toks.distinct(), "tok"))
       check("SELECT * FROM label_propagate('tvf5_emb', 'tvf5_seeds', " +
           "'vec_id', 'embedding', 'label', 5)",
         Similarity.propagateLabels(emb, seeds, "vec_id", "embedding",
@@ -408,7 +419,7 @@ class SqlSurfaceSpec extends SparkSpec {
           "text", "doc_id"))
     } finally {
       Seq("tvf5_toks", "tvf5_emb", "tvf5_seeds", "tvf5_train",
-        "tvf5_lab")
+        "tvf5_lab", "tvf5_cms", "tvf5_probe")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
     }
@@ -491,6 +502,11 @@ class SqlSurfaceSpec extends SparkSpec {
           "'doc_id', 0.8, 2, 4)",
         Dedup.minhashNearDupsSalted(docs, "text", "doc_id", 0.8,
           maxBucketSize = 2, salts = 4))
+      // fuzzy decontamination from the same stored index, pure SQL
+      check("SELECT * FROM decontam_fuzzy_over_index('tvf6_nd', " +
+          "'tvf6_delta', 'text', 'doc_id', 0.8)",
+        graft.llm.DedupIndex.crossNeardupOverIndex(spark, "tvf6_nd",
+          delta, "text", "doc_id", 0.8))
       // near-dup APPEND in SQL: one marked-batch ingest of the delta
       // against the stored index — landed survivors equal the in-memory
       // two-batch chain, and a replayed call (marker skip) returns the
