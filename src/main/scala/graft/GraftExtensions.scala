@@ -48,11 +48,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `domain_report`, `dsir_weights`,
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
   * `pii_stats`, `pii_redact`, `decontam`, `decontam_over_index`,
-  * `hll_buckets`, `label_propagate`, `perceptron_step` — plus the index
+  * `hll_buckets`, `label_propagate`, `perceptron_step`,
+  * `wordpiece_stats`, `knn_classify_index` — plus the index
   * BUILD surface (`ivf_build_index`, `ivfpq_build_index`,
   * `neardup_build_index`, `decontam_build`, `ivf_index_mount`,
-  * `dedup_minhash_salted`), so build → append → query runs in pure SQL —
-  * e.g.
+  * `dedup_minhash_salted`) and the versioned-generation lifecycle
+  * (`ivf_versioned_build`, `ivf_refresh_index`, `ivf_latest_mount`,
+  * `ivf_latest_topk`),
+  * so build → append → refresh → query runs in pure SQL — e.g.
   * {{{
   *   SELECT * FROM dedup_minhash('docs', 'text', 'doc_id', 0.8)
   *   SELECT * FROM cosine_topk('corpus', 'queries', 'vec_id', 'embedding', 10)
@@ -793,15 +796,20 @@ object GraftExtensions {
       // -------------------------------------------------------------
       "ivf_build_index" -> { args =>
         val u = "usage: ivf_build_index('corpus', 'id_col', 'vec_col', " +
-          "'path'[, nlist]) — writes the partitioned-by-cell IVF index " +
-          "at 'path' (replacing any prior index) and returns its " +
+          "'path'[, nlist[, 'attr1,attr2,...']]) — writes the " +
+          "partitioned-by-cell IVF index at 'path' (replacing any prior " +
+          "index; optional payload attribute columns ride the rows for " +
+          "filtered search / knn_classify_index) and returns its " +
           "per-cell occupancy report"
-        require(args.length == 4 || args.length == 5, u)
+        require(args.length >= 4 && args.length <= 6, u)
         val Seq(ct, ic, vc, path) = args.take(4).map(lit2str(_, u))
         val s = SparkSession.active
+        val attrs = args.lift(5).map(lit2str(_, u))
+          .map(_.split(',').toSeq).getOrElse(Nil)
         graft.llm.AnnIndex.writeIndex(
           graft.llm.AnnIndex.encodeIvf(s.table(ct), ic, vc,
-            nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8)), path)
+            nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8),
+            attrCols = attrs), path)
         plan(graft.llm.AnnIndex.indexReport(
           graft.llm.AnnIndex.readIndex(s, path)))
       },
@@ -951,6 +959,92 @@ object GraftExtensions {
           else graft.llm.Dedup.minhashNearDupsSalted(d, tc, ic, thr,
             maxBucketSize = lit2int(args(4), u),
             salts = lit2int(args(5), u)))
+      },
+      "wordpiece_stats" -> { args =>
+        val u = "usage: wordpiece_stats('docs', 'text_col', 'id_col', " +
+          "'init1|init2|...', 'cont1|cont2|...'[, max_len]) — WordPiece " +
+          "greedy longest-match piece counts per doc; continuation " +
+          "pieces are listed WITHOUT the ## marker"
+        require(args.length == 5 || args.length == 6, u)
+        val Seq(t, tc, ic, ini, cont) = args.take(5).map(lit2str(_, u))
+        plan(graft.llm.Wordpiece.pieceStats(
+          SparkSession.active.table(t), tc, ic,
+          ini.split('|').toSeq, cont.split('|').toSeq,
+          maxLen = args.lift(5).map(lit2int(_, u)).getOrElse(16)))
+      },
+      "knn_classify_index" -> { args =>
+        val u = "usage: knn_classify_index('index_table', 'queries', " +
+          "'id_col', 'vec_col', 'label_col', k[, nlist, nprobe]) — kNN " +
+          "majority-vote classification served from a stored labeled " +
+          "IVF index (label must ride the index as a payload attribute)"
+        require(args.length == 6 || args.length == 8, u)
+        val Seq(it, qt, ic, vc, lc) = args.take(5).map(lit2str(_, u))
+        val s = SparkSession.active
+        val k = lit2int(args(5), u)
+        plan(
+          if (args.length == 6) graft.llm.AnnIndex.knnClassifyOverIndex(
+            s.table(it), s.table(qt), ic, vc, lc, k)
+          else graft.llm.AnnIndex.knnClassifyOverIndex(s.table(it),
+            s.table(qt), ic, vc, lc, k, nlist = lit2int(args(6), u),
+            nProbe = lit2int(args(7), u)))
+      },
+      "ivf_refresh_index" -> { args =>
+        val u = "usage: ivf_refresh_index('base', 'id_col', 'vec_col'" +
+          "[, iters, nlist]) — retrain the codebook from the LIVE " +
+          "generation's stored vectors (N Lloyd steps from the seed " +
+          "codebook), migrate into generation N+1, publish it " +
+          "atomically, and return the new generation's occupancy report"
+        require(args.length >= 3 && args.length <= 5, u)
+        val Seq(base, ic, vc) = args.take(3).map(lit2str(_, u))
+        val s = SparkSession.active
+        val iters = args.lift(3).map(lit2int(_, u)).getOrElse(2)
+        val nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8)
+        val live = graft.llm.AnnIndex.readLatestIndex(s, base)
+        val trained = graft.llm.Similarity.trainIvfCentroids(
+          live.select(ic, vc), vc, nlist = nlist, dims = 64,
+          iters = iters)
+        graft.llm.AnnIndex.migrateIndex(s, base, ic, vc, trained)
+        plan(graft.llm.AnnIndex.indexReport(
+          graft.llm.AnnIndex.readLatestIndex(s, base)))
+      },
+      "ivf_versioned_build" -> { args =>
+        val u = "usage: ivf_versioned_build('corpus', 'id_col', " +
+          "'vec_col', 'base'[, nlist]) — write generation 1 of a " +
+          "versioned IVF index under 'base', publish it via the atomic " +
+          "LATEST pointer, and return its occupancy report"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(ct, ic, vc, base) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        graft.llm.AnnIndex.writeVersionedIndex(
+          graft.llm.AnnIndex.encodeIvf(s.table(ct), ic, vc,
+            nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8)),
+          base, 1)
+        plan(graft.llm.AnnIndex.indexReport(
+          graft.llm.AnnIndex.readLatestIndex(s, base)))
+      },
+      "ivf_latest_mount" -> { args =>
+        val u = "usage: ivf_latest_mount('base') — mount the LIVE " +
+          "generation of a versioned IVF index as a relation; register " +
+          "a temp view over it to feed the *_over_index TVFs"
+        require(args.length == 1, u)
+        plan(graft.llm.AnnIndex.readLatestIndex(SparkSession.active,
+          lit2str(args.head, u)))
+      },
+      "ivf_latest_topk" -> { args =>
+        val u = "usage: ivf_latest_topk('base', 'queries', 'id_col', " +
+          "'vec_col', k[, nlist, nprobe]) — top-k from the LIVE " +
+          "generation under its OWN persisted codebook (the only safe " +
+          "probe of a refreshed index)"
+        require(args.length == 5 || args.length == 7, u)
+        val Seq(base, qt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val k = lit2int(args(4), u)
+        plan(
+          if (args.length == 5) graft.llm.AnnIndex.ivfTopKOverLatest(
+            s, base, s.table(qt), ic, vc, k)
+          else graft.llm.AnnIndex.ivfTopKOverLatest(s, base, s.table(qt),
+            ic, vc, k, nlist = lit2int(args(5), u),
+            nProbe = lit2int(args(6), u)))
       })
 
   private[graft] def buildRegexFirstMatch(args: Seq[Expression]): Expression = {

@@ -279,6 +279,46 @@ object AnnIndex {
         nProbe), k)
   }
 
+  /** kNN CLASSIFICATION served from a stored IVF index whose rows carry
+    * a label payload attribute ([[encodeIvf]]'s `attrCols`): each query
+    * vector's top-`k` stored neighbors vote, majority wins, ties break
+    * toward the smaller label — [[Similarity.propagateLabels]]' decision
+    * rule, relocated to the serve-time shape (classify a stream of new
+    * documents against a frozen labeled index; the labels were paid for
+    * once, at index build).
+    *
+    * Scale shape: the probe is the cell-pruned [[ivfTopKOverIndex]]
+    * chain; the label lookup joins the |queries|·k candidate set BACK to
+    * the index BROADCAST (map-side, no corpus shuffle); the vote groupBy
+    * is bounded at k rows per query before its map-side combine.
+    *
+    * @return (query_id, pred_label, n_votes, k_used) — n_votes the
+    *         winning label's count, k_used how many neighbors voted
+    *         (< k only when fewer than k vectors live in probed cells) */
+  def knnClassifyOverIndex(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      nlist: Int = 8, nProbe: Int = 2, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+    val topk = ivfTopKOverIndex(index, queries, idCol, vecCol, k, nlist,
+      nProbe, dims, centroids)
+    val votes = index
+      .select(col(idCol).as("neighbor_id"), col(labelCol))
+      .join(broadcast(topk.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col(labelCol).asc)
+    val totals = votes.groupBy("query_id")
+      .agg(sum("n_votes").cast("long").as("k_used"))
+    votes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(totals, Seq("query_id"))
+      .select(col("query_id"), col(labelCol).as("pred_label"),
+        col("n_votes"), col("k_used"))
+  }
+
   /** The ONE mapping from the public raw-vector index schema to the
     * Similarity-internal column contract — top-k, filtered, and radius
     * serving all read the index through it. */
@@ -475,4 +515,131 @@ object AnnIndex {
       Similarity.sq8EncodeWith(queries, idCol, vecCol, stats, "query_id",
         "_cq"),
       corpus, queries, idCol, vecCol, k, refineK)
+
+  // ------------------------------------------------------------------
+  // Versioned index generations — the codebook-refresh deployment shape.
+  //
+  // A quantizer trained on last year's distribution degrades as the
+  // corpus drifts: cells go skewed, probe cost climbs. The cure is a
+  // RETRAIN + REBUILD, and at 100 TB that rebuild must be (a) sourced
+  // from the index itself — the raw vectors ride the IVF rows, so
+  // migration never rescans the source corpus — and (b) never in place:
+  // queries keep reading the live generation while the next one builds,
+  // and the cutover is one atomic pointer swap (the DecontamIndex
+  // meta_next discipline). Layout:
+  //
+  //   base/v<N>/cell=<c>/*.parquet   one immutable generation per N
+  //   base/LATEST                    1-row parquet naming the live N
+  //
+  // A crash mid-build leaves a partial v<N+1> that LATEST never names —
+  // invisible to every reader, rebuildable by rerunning the migration.
+  // The previous generation stays on disk for rollback until explicitly
+  // dropped.
+  // ------------------------------------------------------------------
+
+  /** Directory of one index generation. */
+  def versionPath(base: String, version: Int): String = s"$base/v$version"
+
+  /** Codebook directory of one generation — the quantizer is PART of
+    * the generation artifact: probing a trained index under a different
+    * codebook silently probes the wrong cells, so the two version
+    * together or not at all. Absent for seed-codebook generations (the
+    * seed is a deterministic constant, not data). */
+  def centroidsPath(base: String, version: Int): String =
+    s"$base/centroids_v$version"
+
+  /** The live generation number, completing an interrupted
+    * [[repointLatest]] swap first; None when no generation was ever
+    * published (a fresh base, or a crash before the first repoint). */
+  def latestVersion(spark: SparkSession, base: String): Option[Int] = {
+    val live = new org.apache.hadoop.fs.Path(s"$base/LATEST")
+    val next = new org.apache.hadoop.fs.Path(s"$base/LATEST_next")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(next)) fs.rename(next, live)
+    if (!fs.exists(live)) None
+    else Some(spark.read.parquet(s"$base/LATEST")
+      .select(col("version").cast("int")).head().getInt(0))
+  }
+
+  /** Atomically publish generation `version` as live: the pointer row
+    * lands durably under `LATEST_next` BEFORE the live pointer is
+    * touched, then delete + rename completes the swap ([[latestVersion]]
+    * heals the only crash window). The generation's data must already
+    * be fully written — this is the LAST step of a migration. */
+  def repointLatest(spark: SparkSession, base: String, version: Int): Unit = {
+    import spark.implicits._
+    Seq(version).toDF("version").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/LATEST_next")
+    val live = new org.apache.hadoop.fs.Path(s"$base/LATEST")
+    val next = new org.apache.hadoop.fs.Path(s"$base/LATEST_next")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    fs.rename(next, live)
+    ()
+  }
+
+  /** Write encoded rows as generation `version` and publish it —
+    * the bootstrap (`version = 1`) and every migration use the same
+    * write-then-repoint order: data (and codebook, when non-seed) land
+    * fully before the pointer moves. */
+  def writeVersionedIndex(encoded: DataFrame, base: String, version: Int,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): Unit = {
+    val spark = encoded.sparkSession
+    writeIndex(encoded, versionPath(base, version))
+    centroids.foreach(c =>
+      writeCentroids(spark, c, centroidsPath(base, version)))
+    repointLatest(spark, base, version)
+  }
+
+  /** Mount the live generation. */
+  def readLatestIndex(spark: SparkSession, base: String): DataFrame = {
+    val v = latestVersion(spark, base).getOrElse(throw
+      new IllegalArgumentException(
+        s"no published index generation under $base"))
+    readIndex(spark, versionPath(base, v))
+  }
+
+  /** The live generation's persisted codebook — None means the
+    * generation was built under the deterministic seed codebook. */
+  def readLatestCentroids(spark: SparkSession, base: String)
+      : Option[Seq[IndexedSeq[Double]]] = {
+    val v = latestVersion(spark, base).getOrElse(throw
+      new IllegalArgumentException(
+        s"no published index generation under $base"))
+    val p = new org.apache.hadoop.fs.Path(centroidsPath(base, v))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(readCentroids(spark, p.toString)) else None
+  }
+
+  /** Serve top-k from the LIVE generation under its OWN codebook — the
+    * only safe way to query a refreshed index (probing trained cells
+    * with seed centroids silently searches the wrong lists). */
+  def ivfTopKOverLatest(spark: SparkSession, base: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 8, nProbe: Int = 2, dims: Int = 64): DataFrame =
+    ivfTopKOverIndex(readLatestIndex(spark, base), queries, idCol,
+      vecCol, k, nlist, nProbe, dims,
+      centroids = readLatestCentroids(spark, base))
+
+  /** Codebook refresh: re-encode the LIVE generation's stored rows
+    * (id + raw vector + payload attrs — never the source corpus) under
+    * `newCents` into generation N+1, persist the codebook beside it,
+    * publish both with one pointer swap, and return the new version.
+    * The old generation is left intact for rollback; queries running
+    * through the migration read a consistent (index, codebook) pair
+    * throughout — before the repoint the old one, after it the new. */
+  def migrateIndex(spark: SparkSession, base: String, idCol: String,
+      vecCol: String, newCents: Seq[IndexedSeq[Double]],
+      attrCols: Seq[String] = Nil): Int = {
+    val v = latestVersion(spark, base).getOrElse(throw
+      new IllegalArgumentException(
+        s"no published index generation under $base to migrate"))
+    val stored = readIndex(spark, versionPath(base, v))
+      .select(col(idCol) +: col(vecCol) +: attrCols.map(col): _*)
+    val encoded = encodeIvf(stored, idCol, vecCol,
+      nlist = newCents.size, dims = newCents.head.size,
+      centroids = Some(newCents), attrCols = attrCols)
+    writeVersionedIndex(encoded, base, v + 1, Some(newCents))
+    v + 1
+  }
 }

@@ -1395,17 +1395,32 @@ object TextAnalysis {
   def classifierEval(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, labelCol: String,
       weights: org.apache.spark.sql.DataFrame, buckets: Int = 1024)
-      : org.apache.spark.sql.DataFrame = {
-    require(buckets > 0, s"buckets ($buckets) must be positive")
-    val w = weights.select(col("bucket").as("_b"), col("w").as("_w"))
-    val margins = hashedFeatureCounts(df, textCol, idCol, buckets)
-      .join(broadcast(w), "_b")
-      .groupBy(col(idCol))
-      .agg(sum(col("_m") * col("_w")).cast("long").as("_margin"))
+      : org.apache.spark.sql.DataFrame =
     df.select(col(idCol), col(labelCol).cast("long").as("label"))
-      .join(margins, Seq(idCol), "left")
+      .join(classifierMargins(df, textCol, idCol, weights, buckets)
+        .withColumnRenamed("margin", "_margin"), Seq(idCol), "left")
       .withColumn("pred",
         when(coalesce(col("_margin"), lit(0L)) > 0, 1L).otherwise(-1L))
       .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+
+  /** Per-document integer margin of a hashed linear classifier —
+    * (idCol, margin) where margin = Σ count(bucket) · w(bucket) over the
+    * document's hashed uni+bigram features. The decision primitive
+    * [[classifierEval]] scores with and
+    * [[graft.streaming.StreamOps.corpusIngestStep]]'s model gate
+    * filters by. Documents with NO features (no tokens) are ABSENT —
+    * sign-of-margin consumers treat absence as the −1 class, the same
+    * zero-margin rule the eval applies. One feature pass; the weight
+    * table (≤ `buckets` rows) joins broadcast; all integer. */
+  def classifierMargins(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String,
+      weights: org.apache.spark.sql.DataFrame, buckets: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val w = weights.select(col("bucket").as("_b"), col("w").as("_w"))
+    hashedFeatureCounts(df, textCol, idCol, buckets)
+      .join(broadcast(w), "_b")
+      .groupBy(col(idCol))
+      .agg(sum(col("_m") * col("_w")).cast("long").as("margin"))
   }
 }

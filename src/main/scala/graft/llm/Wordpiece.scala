@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece (BERT-style) tokenization stats — greedy longest-match-first
+  * over a fixed (initial, continuation) piece vocabulary, the third
+  * tokenizer family next to BPE merges ([[Bpe]]) and the unigram-LM
+  * Viterbi optimum ([[Unigram]]). Wu et al. 2016 §4.1 / the BERT
+  * reference `WordpieceTokenizer`: walk the word left to right; at each
+  * position COMMIT to the longest vocabulary piece that matches (word
+  *-start pieces at position 1, `##`-continuation pieces after); if no
+  * piece matches at some position — even when a shorter earlier choice
+  * would have let the rest tokenize — the WHOLE word is `[UNK]`. That
+  * commit-don't-backtrack semantics is exactly what distinguishes
+  * WordPiece from [[Unigram.scoreDocs]]' DP, and the spec pins a word
+  * where they diverge.
+  *
+  * Spark shape (the x97 discipline): the walk is re-expressed as a
+  * BACKWARD recurrence over character positions so it unrolls into
+  * chained codegen projections with no UDF and no driver loop —
+  *
+  *   c(len+1) = 0
+  *   c(j)     = 1 + c(j + |p*|)   where p* = longest piece matching at j
+  *            = NULL              if no piece matches at j (UNK)
+  *
+  * `c(1)` is then the piece count of the whole word, NULL meaning
+  * `[UNK]`. Each unrolled cell is one CASE chain whose branches test
+  * pieces longest-first, so the FIRST matching branch IS the greedy
+  * choice, and a committed branch whose continuation cell is NULL
+  * propagates NULL — greedy-then-fail, never backtrack. The recurrence
+  * runs over the DISTINCT word table and broadcast-joins back to the
+  * corpus-sized (doc, word, count) frame; words longer than `maxLen`
+  * have no reachable boundary cell inside the unroll, so every walk on
+  * them ends NULL — the same treat-overlong-as-UNK rule BERT's
+  * `max_input_chars_per_word` applies, falling out of the recurrence
+  * rather than a special case (the oracle replays it identically).
+  */
+object Wordpiece {
+
+  private def validate(pieces: Seq[String], what: String, maxLen: Int): Unit = {
+    require(pieces.nonEmpty, s"$what pieces must be non-empty")
+    require(pieces.forall(p =>
+      p.nonEmpty && p.length <= maxLen && !p.contains("'")),
+      s"every $what piece must be non-empty, at most maxLen ($maxLen) " +
+        "chars, and quote-free (pieces are interpolated into the " +
+        "generated oracle SQL as literals)")
+    require(pieces.distinct.size == pieces.size,
+      s"duplicate $what piece strings")
+  }
+
+  /** The pieces that may open a CASE branch at position `j`: the right
+    * form for the position, fitting inside the unroll (the referenced
+    * continuation cell `c(j+|p|)` must exist), longest first so the
+    * first match is the greedy match. Ties in length cannot co-match
+    * (two distinct equal-length strings can't both equal one substring);
+    * the lexicographic tiebreak just makes generated SQL stable. */
+  private def branchPieces(initial: Seq[String], continuation: Seq[String],
+      j: Int, maxLen: Int): Seq[String] =
+    (if (j == 1) initial else continuation)
+      .filter(p => j + p.length <= maxLen + 1)
+      .sortBy(p => (-p.length, p))
+
+  /** Per-document WordPiece stats over whitespace word tokens:
+    * (idCol, n_tokens, n_pieces, n_unk) where an `[UNK]` word counts as
+    * one emitted piece (BERT emits the single `[UNK]` token for it). */
+  def pieceStats(df: DataFrame, textCol: String, idCol: String,
+      initial: Seq[String], continuation: Seq[String],
+      maxLen: Int = 16): DataFrame = {
+    require(maxLen >= 1, s"maxLen ($maxLen) must be >= 1")
+    validate(initial, "initial", maxLen)
+    validate(continuation, "continuation", maxLen)
+    val counts = graft.operators.Lineage.cut(
+      df.select(col(idCol),
+          filter(Dedup.tokens(coalesce(col(textCol), lit(""))),
+            x => length(x) > 0).as("_tk"))
+        .select(col(idCol), explode(col("_tk")).as("_w"))
+        .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_n")))
+    val words = counts.select(col("_w")).distinct()
+    // boundary-first unroll: cell j only references cells j+1..maxLen+1,
+    // all added by earlier iterations of the fold
+    val withC = ((maxLen + 1) to 1 by -1).foldLeft(words) { (d, j) =>
+      val base: Column = when(length(col("_w")) + 1 === j, lit(0))
+      val chain = branchPieces(initial, continuation, j, maxLen)
+        .foldLeft(base) { (c, p) =>
+          c.when(substring(col("_w"), j, p.length) === p,
+            lit(1) + col(s"_c${j + p.length}"))
+        }
+      d.withColumn(s"_c$j", chain)
+    }
+    val scored = withC.select(col("_w"), col("_c1").as("_pieces"))
+    counts.join(broadcast(scored), Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).cast("long").as("n_tokens"),
+        sum(col("_n") * coalesce(col("_pieces"), lit(1)))
+          .cast("long").as("n_pieces"),
+        sum(col("_n") * when(col("_pieces").isNull, 1).otherwise(0))
+          .cast("long").as("n_unk"))
+  }
+
+  /** The generated DuckDB replay of [[pieceStats]]' recurrence — one CTE
+    * per position, boundary-first (`g<maxLen+1>` down to `g1`), each
+    * referencing only cells earlier CTEs defined, over a base CTE
+    * `g<maxLen+2>` holding the DISTINCT `word` column. One definition
+    * feeds both engines' generators (the x97 rule). */
+  def duckGreedySteps(initial: Seq[String], continuation: Seq[String],
+      maxLen: Int): String = {
+    validate(initial, "initial", maxLen)
+    validate(continuation, "continuation", maxLen)
+    ((maxLen + 1) to 1 by -1).map { j =>
+      val branches = s"WHEN length(word) + 1 = $j THEN 0" +:
+        branchPieces(initial, continuation, j, maxLen).map(p =>
+          s"WHEN substr(word, $j, ${p.length}) = '$p' " +
+            s"THEN 1 + c${j + p.length}")
+      s"g$j AS (SELECT *, CASE ${branches.mkString(" ")} END AS c$j " +
+        s"FROM g${j + 1})"
+    }.mkString(",\n              ")
+  }
+}

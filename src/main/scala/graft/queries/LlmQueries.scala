@@ -430,6 +430,57 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Codebook REFRESH as a versioned generation migration: generation 1
+    // is built under the seed codebook and published; the quantizer is
+    // then retrained (the a28 loop) and the index migrates by
+    // re-encoding its OWN stored rows — never rescanning the corpus —
+    // into generation 2, published with an atomic LATEST repoint
+    // (AnnIndexSpec pins the crash-heal, the invisible-partial-build,
+    // and the rollback readability of v1). The oracle recomputes from
+    // the corpus under the same replayed training, so migrated-from-
+    // storage ≡ fresh-encode is the certified property.
+    "a30_index_refresh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = java.nio.file.Files
+        .createTempDirectory("a30_gen").toString
+      graft.llm.AnnIndex.writeVersionedIndex(
+        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8),
+        base, 1)
+      val trained = Similarity.trainIvfCentroids(e, "embedding",
+        nlist = 8, dims = 64, iters = 2)
+      graft.llm.AnnIndex.migrateIndex(s, base, "vec_id", "embedding",
+        trained)
+      // serve under the generation's OWN persisted codebook — the
+      // caller never re-threads the trained centroids
+      graft.llm.AnnIndex.ivfTopKOverLatest(s, base,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nlist = 8, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // kNN CLASSIFICATION at serve time: labels ride the stored IVF index
+    // as payload attributes, each query's top-10 stored neighbors vote,
+    // majority wins with the smaller-label tie-break (x83's decision
+    // rule relocated from corpus recompute to the frozen-artifact
+    // shape — classify new documents against labels paid for once, at
+    // index build). The oracle replays quantizer, probe, ranking, vote,
+    // and argmax from the corpus; AnnIndexSpec additionally pins
+    // serve-time ≡ propagateLabels under a full seed set.
+    "a31_knn_classify_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("a31_idx").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8,
+          attrCols = Seq("label")), idxDir)
+      graft.llm.AnnIndex.knnClassifyOverIndex(
+          graft.llm.AnnIndex.readIndex(s, idxDir),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", "label",
+          10, nlist = 8, nProbe = 2)
+        .orderBy("query_id")
+    }),
+
     // a4 answered from a PERSISTED raw-vector IVF index (the a16 story
     // for the uncompressed path): id + vector + cell written
     // partitioned-by-cell, read back, exact cosine over the stored
@@ -1191,6 +1242,75 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The ingest gate with FUZZY decontamination engaged against the
+    // PERSISTED bench near-dup index (d14's register-once/
+    // screen-forever artifact wired into corpusIngestStep): the bench
+    // side is signed and indexed ONCE offline; each micro-batch then
+    // pays one sig+band pass and a bkey equi-join against the stored
+    // band table. Batch 2 plants bench docs verbatim at +50000 — the
+    // signature estimate flags them at 1.0 and the gate drops them
+    // BEFORE they enter the dedup state — alongside the +1000000 exact
+    // re-ingests the carried dedup state drops. Certifies the fuzzy
+    // stage IN COMPOSITION with the quality floor and the incremental
+    // dedup (d14 certifies the index probe solo).
+    "w12_ingest_gate_fuzzy_decontam" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val bench = base.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      graft.llm.DedupIndex.writeState(
+        Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id",
+        "w12_idx")
+      val train = base.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250)
+        .unionByName(b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(bench.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", minQuality = 0.6,
+        fuzzyDecontamIndex = Some("w12_idx"))
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch")))
+        .orderBy("doc_id")
+    }),
+
+    // The ingest gate with the MODEL-based quality stage engaged
+    // (FineWeb-Edu-style: a classifier's verdict gates, not heuristic
+    // rules): a frozen (bucket, w) hashed-linear weight table broadcasts
+    // into corpusIngestStep, and each micro-batch keeps only docs whose
+    // integer margin is positive, before the carried-state exact dedup
+    // drops batch-2's verbatim re-ingests. The model here is the
+    // deterministic md5-derived weight table (the repo's frozen-model
+    // discipline — bit-replayable cross-engine; margins split ~80/20 on
+    // this corpus); TRAINING the table is x88's certified loop and
+    // EVALUATING it x89's — the weight table is the interchange
+    // artifact between all three.
+    "w13_ingest_gate_classifier" -> ((s, dir) => {
+      val w = s.range(1024).select(col("id").cast("long").as("bucket"),
+        (graft.llm.Hashing.hex32(concat(lit("qcw:"),
+          col("id").cast("string"))) % 17 - 8).as("w"))
+      val train = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250)
+        .unionByName(b1.filter(col("doc_id") % 7 === 1))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", classifierGate = Some(w))
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch")))
+        .orderBy("doc_id", "batch")
+    }),
+
     // Unigram-LM (SentencePiece) Viterbi segmentation scoring: per-doc
     // optimal-segmentation totals under the fixed overlapping piece
     // vocabulary — the DP unrolled into 16 chained codegen projections,
@@ -1201,6 +1321,24 @@ object LlmQueries {
       graft.llm.Unigram.scoreDocs(
           t(s, dir, "documents").select("doc_id", "text"),
           "text", "doc_id", UnigramPieces, maxLen = 16)
+        .orderBy("doc_id")
+    }),
+
+    // WordPiece (BERT-style) tokenization stats: greedy longest-match
+    // piece counts per doc under a fixed (initial, ##continuation)
+    // vocabulary — the third tokenizer family next to BPE (x39/x56/x57)
+    // and the unigram Viterbi optimum (x97). The vocabulary plants a
+    // greedy trap ('scan': the committed longest initial 'sca' strands
+    // 'n' → [UNK], though 'sc'+'##an' tokenizes — a DP or backtracking
+    // implementation would wrongly rescue it; LlmSpec pins it) and a
+    // no-initial word ('dup' → [UNK]). The oracle replays the same
+    // backward recurrence as generated CTE steps over the distinct-word
+    // table.
+    "x99_wordpiece" -> ((s, dir) => {
+      graft.llm.Wordpiece.pieceStats(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", WordpieceInitial, WordpieceContinuation,
+          maxLen = 16)
         .orderBy("doc_id")
     }),
 
@@ -2393,6 +2531,25 @@ object LlmQueries {
   private val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "s" -> "t", "c" -> "o")
+
+  /** WordPiece vocabulary for x99 — word-start pieces. Deliberate
+    * traps: 'sca' AND 'sc' both open 'scan', and greedy must commit to
+    * 'sca' and strand the 'n' (→ [UNK]) rather than backtrack to
+    * 'sc'+'##an'; 'dup' has no matching initial at all. Every other
+    * corpus word tokenizes in 1–3 pieces. */
+  private val WordpieceInitial: Seq[String] = Seq(
+    "join", "sca", "sc", "cus", "mer", "fil", "bat", "val", "key", "the",
+    "a", "gro", "que", "row", "tab", "ord", "sma", "big", "has", "lin",
+    "col", "par", "slo", "sor", "str", "win", "dat", "ag", "spa", "fas",
+    "vec")
+
+  /** WordPiece vocabulary for x99 — `##`-continuation pieces (stored
+    * stripped of the `##` marker; position > 1 selects this form).
+    * 'an' exists so 'scan' is a pure greedy failure, not a coverage
+    * gap; 'er' vs 'e' and 'ch' vs 'h' pin longest-first selection. */
+  private val WordpieceContinuation: Seq[String] = Seq(
+    "an", "tom", "er", "ge", "ter", "ch", "ue", "up", "ry", "le", "ll",
+    "h", "e", "umn", "t", "w", "eam", "dow", "a", "g", "rk", "tor")
 
   /** Fixed scored piece vocabulary for the x97 unigram-LM DP —
     * deliberately OVERLAPPING so greedy longest-match is suboptimal on
@@ -3610,6 +3767,49 @@ object LlmQueries {
     "a17_ivf_index" -> duckIvfTopKSql,
     "a27_ivf_stream_replay" -> duckIvfTopKSql,
     "a28_trained_index" -> duckTrainedIvfSql,
+    // migration ≡ fresh encode: the oracle recomputes from the corpus
+    // under the same replayed training — equality proves the generation
+    // rebuild moved every stored row faithfully through the new codebook
+    "a30_index_refresh" -> duckTrainedIvfSql,
+    // a4's probe chain carrying the label payload, then k=10 ranks →
+    // integer votes → the (count DESC, label ASC) argmax — x83's vote
+    // CTEs over the serve-time candidate set.
+    "a31_knn_classify_index" ->
+      s"""WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              pc AS (SELECT vec_id, label, v, $duckIvfProjs AS ps FROM e),
+              cc AS (SELECT vec_id, label, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              qp AS (SELECT vec_id AS query_id, v AS qv, ps FROM pc WHERE vec_id < 5),
+              pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC) AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.label,
+                       list_sum(list_transform(range(1, 65), i -> c.v[i] * p.qv[i])) /
+                       (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(p.qv, x -> x*x)))) AS cos
+                     FROM cc c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id),
+              r AS (SELECT query_id, neighbor_id, label,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+                    FROM sc),
+              topk AS (SELECT query_id, label FROM r WHERE rn <= 10),
+              votes AS (SELECT query_id, label, count(*) AS n_votes
+                        FROM topk GROUP BY query_id, label),
+              tot AS (SELECT query_id, CAST(sum(n_votes) AS BIGINT) AS k_used
+                      FROM votes GROUP BY query_id),
+              best AS (SELECT query_id, label, n_votes,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY n_votes DESC, label ASC) AS brn
+                       FROM votes)
+          SELECT b.query_id, b.label AS pred_label,
+                 CAST(b.n_votes AS BIGINT) AS n_votes, t.k_used
+          FROM best b JOIN tot t USING (query_id)
+          WHERE brn = 1 ORDER BY query_id""",
     "a29_ivf_fold_compact" -> duckIvfTopKSql,
     "a24_ivf_filtered" -> duckIvfTopKSqlWhere("label % 2 = 0"),
     // a4's probe chain with the rank window replaced by the radius
@@ -3855,6 +4055,27 @@ object LlmQueries {
                       FROM u16)
           SELECT doc_id, count(*) AS n_tokens,
                  CAST(sum(score) AS BIGINT) AS total_score
+          FROM occ JOIN wsc USING (word)
+          GROUP BY doc_id ORDER BY doc_id""",
+    // The greedy walk replayed boundary-first over the distinct-word
+    // table (Wordpiece.duckGreedySteps — the SAME Scala generator that
+    // documents the recurrence): base CTE g18 = distinct words, then one
+    // CTE per position from g17 down to g1, each CASE testing pieces
+    // longest-first so the first match IS the greedy commit; a committed
+    // branch over a NULL continuation cell propagates NULL = [UNK] on
+    // both engines.
+    "x99_wordpiece" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWordToks AS w FROM documents),
+              occ AS (SELECT doc_id, t AS word
+                      FROM (SELECT doc_id, unnest(w) AS t FROM ws)),
+              g18 AS (SELECT DISTINCT word FROM occ),
+              ${graft.llm.Wordpiece.duckGreedySteps(
+                WordpieceInitial, WordpieceContinuation, 16)},
+              wsc AS (SELECT word, c1 FROM g1)
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(coalesce(c1, 1)) AS BIGINT) AS n_pieces,
+                 CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_unk
           FROM occ JOIN wsc USING (word)
           GROUP BY doc_id ORDER BY doc_id""",
     "x95_interleave" ->
@@ -4500,6 +4721,101 @@ object LlmQueries {
             UNION ALL
             SELECT doc_id, 1 AS batch FROM kept2)
           ORDER BY doc_id""",
+    // The w6 two-batch skeleton with d14's signature machinery replacing
+    // the exact-gram stage: per batch, quality floor → probe sigs/bands
+    // → per-side hot-bucket caps → bkey candidates vs the bench band
+    // table → 16-component estimate verify at 0.8 → drop flagged →
+    // exact dedup with carried state. Mirrors corpusIngestStep's
+    // fuzzyDecontamIndex stage over DedupIndex.crossNeardupOverIndex.
+    "w12_ingest_gate_fuzzy_decontam" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+                         WHERE source = 'src0'),
+              train AS (SELECT doc_id, text FROM documents
+                        WHERE source <> 'src0'),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0
+                     UNION ALL
+                     SELECT doc_id + 50000, text FROM bench
+                     WHERE doc_id % 11 = 0),
+              bws AS (SELECT doc_id, $duckToks AS w FROM bench),
+              bsh AS (SELECT doc_id, $duckShingles AS sh FROM bws
+                      WHERE len(w) >= 3),
+              bsig AS (SELECT doc_id,
+                         ${(0 to 15).map(duckSig).mkString(",\n                         ")}
+                       FROM bsh),
+              bb AS (${duckBandRows("bsig")}),
+              bkept AS (SELECT b, bucket FROM bb GROUP BY b, bucket
+                        HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              q1 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b1)
+                     WHERE $duckQualityExpr >= 0.6),
+              pws1 AS (SELECT doc_id, $duckToks AS w FROM q1),
+              psh1 AS (SELECT doc_id, $duckShingles AS sh FROM pws1
+                       WHERE len(w) >= 3),
+              psig1 AS (SELECT doc_id,
+                          ${(0 to 15).map(duckSig).mkString(",\n                          ")}
+                        FROM psh1),
+              pb1 AS (${duckBandRows("psig1")}),
+              pk1 AS (SELECT b, bucket FROM pb1 GROUP BY b, bucket
+                      HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              cand1 AS (SELECT DISTINCT p.doc_id AS train_id,
+                                        bx.doc_id AS bench_id
+                        FROM pb1 p
+                        JOIN pk1 pk
+                          ON p.b = pk.b AND p.bucket = pk.bucket
+                        JOIN bb bx
+                          ON bx.b = p.b AND bx.bucket = p.bucket
+                        JOIN bkept bk
+                          ON bx.b = bk.b AND bx.bucket = bk.bucket),
+              flag1 AS (SELECT DISTINCT c.train_id AS doc_id
+                        FROM cand1 c
+                        JOIN psig1 x ON x.doc_id = c.train_id
+                        JOIN bsig y ON y.doc_id = c.bench_id
+                        WHERE $duckSigFrac),
+              c1 AS (SELECT doc_id, text FROM q1
+                     WHERE doc_id NOT IN (SELECT doc_id FROM flag1)),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM c1 GROUP BY md5(text)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM c1),
+              q2 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b2)
+                     WHERE $duckQualityExpr >= 0.6),
+              pws2 AS (SELECT doc_id, $duckToks AS w FROM q2),
+              psh2 AS (SELECT doc_id, $duckShingles AS sh FROM pws2
+                       WHERE len(w) >= 3),
+              psig2 AS (SELECT doc_id,
+                          ${(0 to 15).map(duckSig).mkString(",\n                          ")}
+                        FROM psh2),
+              pb2 AS (${duckBandRows("psig2")}),
+              pk2 AS (SELECT b, bucket FROM pb2 GROUP BY b, bucket
+                      HAVING count(*) <= ${Dedup.DefaultMaxBucketSize}),
+              cand2 AS (SELECT DISTINCT p.doc_id AS train_id,
+                                        bx.doc_id AS bench_id
+                        FROM pb2 p
+                        JOIN pk2 pk
+                          ON p.b = pk.b AND p.bucket = pk.bucket
+                        JOIN bb bx
+                          ON bx.b = p.b AND bx.bucket = p.bucket
+                        JOIN bkept bk
+                          ON bx.b = bk.b AND bx.bucket = bk.bucket),
+              flag2 AS (SELECT DISTINCT c.train_id AS doc_id
+                        FROM cand2 c
+                        JOIN psig2 x ON x.doc_id = c.train_id
+                        JOIN bsig y ON y.doc_id = c.bench_id
+                        WHERE $duckSigFrac),
+              c2 AS (SELECT doc_id, text FROM q2
+                     WHERE doc_id NOT IN (SELECT doc_id FROM flag2)),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM c2 GROUP BY 1),
+              kept2 AS (SELECT doc_id FROM k2
+                        WHERE h NOT IN (SELECT h FROM state1))
+          SELECT doc_id, batch FROM (
+            SELECT doc_id, 0 AS batch FROM k1
+            UNION ALL
+            SELECT doc_id, 1 AS batch FROM kept2)
+          ORDER BY doc_id""",
     // w6's chain with the Gopher stage (gq1/gq2, the x59 integer rule
     // conjunction) inserted between the quality floor and decontam —
     // exactly where corpusIngestStep applies it — over text with the
@@ -4802,6 +5118,40 @@ object LlmQueries {
     // Three chained rounds of x87's decision arithmetic, generated from
     // the same step count as the Spark loop.
     "x88_perceptron_train" -> duckPerceptronTrainSql(3),
+    // The frozen md5-derived weight table (the shared wt CTE) scores
+    // EVERY doc's margin off the shared db feature CTE; each batch then
+    // keeps positive-margin docs (featureless docs carry no db row and
+    // drop with the join) before the w6 exact-dedup chain with carried
+    // state.
+    "w13_ingest_gate_classifier" ->
+      s"""WITH $duckQcCtes,
+              marg AS (SELECT db.doc_id,
+                         CAST(sum(db.m * wt.w) AS BIGINT) AS margin
+                       FROM db JOIN wt ON db.b = wt.b GROUP BY 1),
+              train AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 2 = 1),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id, text FROM b1 WHERE doc_id % 7 = 1),
+              g1 AS (SELECT b.doc_id, b.text FROM b1 b
+                     JOIN marg m ON b.doc_id = m.doc_id
+                     WHERE m.margin > 0),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM g1
+                     GROUP BY md5(text)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM g1),
+              g2 AS (SELECT b.doc_id, b.text FROM b2 b
+                     JOIN marg m ON b.doc_id = m.doc_id
+                     WHERE m.margin > 0),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM g2 GROUP BY 1),
+              kept2 AS (SELECT doc_id FROM k2
+                        WHERE h NOT IN (SELECT h FROM state1))
+          SELECT doc_id, batch FROM (
+            SELECT doc_id, 0 AS batch FROM k1
+            UNION ALL
+            SELECT doc_id, 1 AS batch FROM kept2)
+          ORDER BY doc_id, batch""",
     // Two rounds trained on the even-id half (the same generated round
     // CTEs, doc-filtered), then sign-of-margin predictions on the
     // held-out odd-id half aggregated to the confusion table.

@@ -150,14 +150,17 @@ object StreamOps {
   /** The batch pipeline's per-document gates composed into ONE
     * [[DeltaStep]]: quality floor → optional Gopher rule suite
     * ([[graft.llm.TextAnalysis.gopherRules]], per-document and therefore
-    * streaming-decidable) → optional DSIR affinity gate against frozen
+    * streaming-decidable) → optional MODEL-based quality gate (a frozen
+    * hashed-linear classifier — [[graft.llm.TextAnalysis.perceptronFit]]
+    * weights, keep on positive margin) → optional DSIR affinity gate against frozen
     * reference distributions ([[graft.llm.Corpus.dsirMassesFrozen]] —
     * dists trained offline via `dsirReferenceDists`, broadcast per
     * batch, keep decided by integer cross-multiplication of the mass
     * sufficient statistics; the float weight and its 1-row cross-join
     * never enter the hot path) → benchmark
-    * decontamination → incremental dedup → optional PII → secret → card
-    * redaction (in that pinned order) — the streaming form of
+    * decontamination (exact grams, then optionally FUZZY against a
+    * persisted bench near-dup index) → incremental dedup → optional
+    * PII → secret → card redaction (in that pinned order) — the streaming form of
     * [[graft.llm.Pipeline.buildTrainingCorpus]] for every stage that is
     * decidable per document. Drive it with [[durableIngestDedup]]:
     * contaminated, low-quality, and duplicate docs then never land in
@@ -186,7 +189,13 @@ object StreamOps {
       dsirGate: Option[(DataFrame, DataFrame)] = None,
       dsirMinAffinityNum: Long = 11L,
       dsirMinAffinityDen: Long = 200L,
-      dsirBuckets: Int = 1024): DeltaStep = {
+      dsirBuckets: Int = 1024,
+      fuzzyDecontamIndex: Option[String] = None,
+      fuzzyThreshold: Double = 0.8,
+      fuzzyNumHashes: Int = 16,
+      fuzzyBands: Int = 4,
+      classifierGate: Option[DataFrame] = None,
+      classifierBuckets: Int = 1024): DeltaStep = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
     require(dsirMinAffinityNum >= 0 && dsirMinAffinityDen > 0,
       "dsirMinAffinity must be a non-negative rational with positive " +
@@ -206,6 +215,21 @@ object StreamOps {
         if (!gopherFilter) qGated
         else qGated.filter(graft.llm.TextAnalysis.gopherPassCol(
           col(textCol), gopherMinWords, gopherMaxWords, gopherAlphaPattern))
+      // optional MODEL-based quality gate (FineWeb-Edu-style: a trained
+      // classifier replaces/augments the heuristic rules): keep docs the
+      // frozen hashed-linear classifier scores POSITIVE. Weights are the
+      // x88 certified training loop's output (perceptronFit) or any
+      // compatible (bucket, w) table — trained offline, broadcast here;
+      // per batch the cost is one feature pass + an integer margin sum.
+      // Featureless docs have no margin row and drop with the semi-join
+      // (sign-of-zero predicts −1, the classifierEval rule).
+      val clsGated = classifierGate.fold(gated) { weights =>
+        val keep = graft.llm.TextAnalysis.classifierMargins(gated,
+            textCol, idCol, weights, classifierBuckets)
+          .filter(col("margin") > 0)
+          .select(idCol)
+        gated.join(keep, Seq(idCol), "left_semi")
+      }
       // optional DSIR affinity gate against FROZEN reference dists
       // (dsirReferenceDists output — trained offline, broadcast here):
       // keep iff target_mass/raw_mass >= num/den, decided by integer
@@ -214,13 +238,13 @@ object StreamOps {
       // mass-only scoring: the gate never reads the float weight, so it
       // skips dsirScoreFrozen's 1-row normalization-totals cross-join —
       // the per-batch plan carries no nested-loop join at all
-      val affGated = dsirGate.fold(gated) { case (tdist, rdist) =>
-        val keep = graft.llm.Corpus.dsirMassesFrozen(gated, textCol, idCol,
-            tdist, rdist, dsirBuckets)
+      val affGated = dsirGate.fold(clsGated) { case (tdist, rdist) =>
+        val keep = graft.llm.Corpus.dsirMassesFrozen(clsGated, textCol,
+            idCol, tdist, rdist, dsirBuckets)
           .filter(col("target_mass") * dsirMinAffinityDen >=
             col("raw_mass") * dsirMinAffinityNum)
           .select(idCol)
-        gated.join(keep, Seq(idCol), "left_semi")
+        clsGated.join(keep, Seq(idCol), "left_semi")
       }
       val clean = benchGrams.fold(affGated) { g =>
         val hit = graft.llm.Dedup.shingleRows(affGated, textCol, idCol,
@@ -229,7 +253,25 @@ object StreamOps {
           .select(idCol).distinct()
         affGated.join(hit, Seq(idCol), "left_anti")
       }
-      val out = dedup(clean, prior)
+      // optional FUZZY decontamination against a PERSISTED bench
+      // near-dup index (DedupIndex.crossNeardupOverIndex — the d14
+      // register-once/screen-forever artifact, here engaged AT INGEST):
+      // drops docs whose signature-estimated Jaccard against any stored
+      // bench signature reaches the threshold — the paraphrased leaks
+      // the exact-gram stage above cannot see. Stored side reads via its
+      // bucketed band layout; each batch pays one sig+band pass over the
+      // batch plus a bkey equi-join. fuzzyNumHashes/fuzzyBands MUST match
+      // how the artifact was written (DedupIndex stores raw sig/band
+      // tables, not its parameters) — finer banding raises recall on
+      // paraphrases at the cost of more candidate pairs per batch.
+      val fuzzyClean = fuzzyDecontamIndex.fold(clean) { idxBase =>
+        val hits = graft.llm.DedupIndex.crossNeardupOverIndex(
+            clean.sparkSession, idxBase, clean, textCol, idCol,
+            fuzzyThreshold, fuzzyNumHashes, fuzzyBands)
+          .select(idCol).distinct()
+        clean.join(hits, Seq(idCol), "left_anti")
+      }
+      val out = dedup(fuzzyClean, prior)
       val piiDone =
         if (redactPii)
           out.kept.withColumn(textCol,

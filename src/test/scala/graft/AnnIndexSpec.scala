@@ -319,6 +319,92 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.readBatchedIndex(spark, base).count() === emb.count())
   }
 
+  test("knnClassifyOverIndex: serve-time classification from the stored " +
+    "labeled index equals propagateLabels under a full seed set") {
+    val dir = tmp("annidx_classify")
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8,
+        attrCols = Seq("label")), dir)
+    // nProbe = 1: the query's top probe IS its assigned cell, so the
+    // candidate set matches ivfKnnGraph's same-cell self-join exactly
+    val served = AnnIndex.knnClassifyOverIndex(
+      AnnIndex.readIndex(spark, dir), queries, "vec_id", "embedding",
+      "label", 5, nProbe = 1)
+    // every corpus vector labeled ⇒ every neighbor is a seed: the
+    // recompute operator's vote set is exactly the serve-time one
+    val recompute = Similarity.propagateLabels(emb,
+        emb.select(col("vec_id"), col("label")), "vec_id", "embedding",
+        "label", k = 5)
+      .filter(col("vec_id") < 5)
+    assert(rows(served.select(col("query_id"),
+        col("pred_label").cast("int"), col("n_votes"), col("k_used"))) ===
+      rows(recompute.select(col("vec_id"), col("pred_label").cast("int"),
+        col("n_votes"), col("n_seed_nbrs"))))
+    assert(served.count() === 5)
+  }
+
+  test("versioned generations: migration re-encodes stored rows under a " +
+    "new codebook and equals a fresh encode; the old generation stays " +
+    "readable for rollback") {
+    val base = tmp("annidx_gen")
+    AnnIndex.writeVersionedIndex(
+      AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8), base, 1)
+    assert(AnnIndex.latestVersion(spark, base) === Some(1))
+    // a seed-codebook generation persists no codebook file
+    assert(AnnIndex.readLatestCentroids(spark, base) === None)
+    val trained = Similarity.trainIvfCentroids(emb, "embedding",
+      nlist = 8, dims = 64, iters = 2)
+    assert(AnnIndex.migrateIndex(spark, base, "vec_id", "embedding",
+      trained) === 2)
+    assert(AnnIndex.latestVersion(spark, base) === Some(2))
+    // migrated-from-storage ≡ fresh encode from the corpus
+    assert(rows(AnnIndex.readLatestIndex(spark, base)
+        .select("vec_id", "cell")) ===
+      rows(AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8,
+        centroids = Some(trained)).select("vec_id", "cell")))
+    // the codebook is part of the generation: persisted by the
+    // migration, round-tripped exactly
+    assert(AnnIndex.readLatestCentroids(spark, base) === Some(trained))
+    // served answers under the generation's OWN codebook equal the
+    // recompute operator — no caller-side centroid threading
+    assert(rows(AnnIndex.ivfTopKOverLatest(spark, base, queries,
+        "vec_id", "embedding", 10, nlist = 8, nProbe = 2)) ===
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nlist = 8, nProbe = 2, centroids = Some(trained))))
+    // rollback: generation 1 is untouched and still answers under the
+    // seed codebook
+    assert(rows(AnnIndex.ivfTopKOverIndex(
+        AnnIndex.readIndex(spark, AnnIndex.versionPath(base, 1)),
+        queries, "vec_id", "embedding", 10, nlist = 8, nProbe = 2)) ===
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nlist = 8, nProbe = 2)))
+  }
+
+  test("versioned generations: a partial unpublished build is invisible, " +
+    "and an interrupted repoint swap heals on the next read") {
+    val base = tmp("annidx_gen_crash")
+    AnnIndex.writeVersionedIndex(
+      AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8), base, 1)
+    // a crashed migration: v2 data landed (even fully) but was never
+    // published — every reader still mounts v1
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvf(emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", nlist = 8), AnnIndex.versionPath(base, 2))
+    assert(AnnIndex.latestVersion(spark, base) === Some(1))
+    assert(AnnIndex.readLatestIndex(spark, base).count() === emb.count())
+    // a crash BETWEEN repointLatest's delete and rename: LATEST is gone,
+    // LATEST_next is complete — the next read finishes the swap
+    import spark.implicits._
+    Seq(2).toDF("version").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$base/LATEST_next")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/LATEST"), true)
+    assert(AnnIndex.latestVersion(spark, base) === Some(2))
+    assert(AnnIndex.readLatestIndex(spark, base).count() === 3)
+  }
+
   test("indexReport: per-cell occupancy sums to the corpus and matches " +
     "the encoder's own assignment counts") {
     val dir = tmp("annidx_report")

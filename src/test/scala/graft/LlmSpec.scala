@@ -2094,6 +2094,32 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 3L, 13L), (2L, 1L, 7L)))
   }
 
+  test("wordpiece: greedy commits and never backtracks (UNK where the " +
+    "DP would succeed), continuation form after position 1, over-cap " +
+    "words are UNK, counts weight by occurrence") {
+    val init = Seq("sca", "sc", "cus", "ab")
+    val cont = Seq("an", "tom", "er", "cd")
+    // 'scan': greedy commits to sca (longest), 'n' has no continuation
+    //   → UNK — even though sc+##an tokenizes (the Viterbi DP would
+    //   find it; WordPiece must not)
+    // 'customer': cus+##tom+##er = 3 pieces
+    // 'abcd': ab+##cd = 2 pieces
+    // 'an': continuation-only piece never matches position 1 → UNK
+    // 'abcdabcdab': 10 chars > maxLen 8 → UNK (no reachable boundary)
+    val d = Seq(
+      (1L, "scan customer abcd an"),
+      (2L, "abcdabcdab ab ab"),
+      (3L, " ")).toDF("doc_id", "text")
+    val out = graft.llm.Wordpiece.pieceStats(d, "text", "doc_id",
+        init, cont, maxLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 is whitespace-only: no tokens, no row
+    assert(out.toSeq === Seq(
+      (1L, 4L, 1L + 3L + 2L + 1L, 2L),
+      (2L, 3L, 1L + 1L + 1L, 1L)))
+  }
+
   test("ngram Jaccard positional filter keeps exact-boundary pairs " +
     "(necessary-condition discipline at its tightest point)") {
     // shingle sets (k=3): doc1 {abc bcd cde def efg fgh}, doc2

@@ -559,4 +559,63 @@ class SqlSurfaceSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
+
+  test("SQL TVF surface: WordPiece, serve-time classification, and the " +
+    "versioned-generation lifecycle equal the Scala API") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    docs.createOrReplaceTempView("tvf7_docs")
+    emb.createOrReplaceTempView("tvf7_emb")
+    q.createOrReplaceTempView("tvf7_q")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    try {
+      // WordPiece greedy piece stats
+      check("SELECT * FROM wordpiece_stats('tvf7_docs', 'text', " +
+          "'doc_id', 'join|sca|sc|cus', 'an|tom|er', 16)",
+        graft.llm.Wordpiece.pieceStats(docs, "text", "doc_id",
+          Seq("join", "sca", "sc", "cus"), Seq("an", "tom", "er"),
+          maxLen = 16))
+      // labeled index built in SQL (payload attr), classification served
+      // from it in SQL
+      val clsDir = tmp("tvf7_cls")
+      spark.sql("SELECT * FROM ivf_build_index('tvf7_emb', 'vec_id', " +
+        s"'embedding', '$clsDir', 8, 'label')").collect()
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf7_cls_idx AS " +
+        s"SELECT * FROM parquet.`$clsDir`")
+      check("SELECT * FROM knn_classify_index('tvf7_cls_idx', 'tvf7_q', " +
+          "'vec_id', 'embedding', 'label', 5)",
+        graft.llm.AnnIndex.knnClassifyOverIndex(
+          graft.llm.AnnIndex.readIndex(spark, clsDir), q, "vec_id",
+          "embedding", "label", 5))
+      // versioned lifecycle, pure SQL: build gen 1 → refresh (retrain +
+      // migrate + atomic repoint) → serve from the live generation under
+      // its OWN persisted codebook
+      val genBase = tmp("tvf7_gen")
+      val rep = spark.sql("SELECT * FROM ivf_versioned_build('tvf7_emb', " +
+        s"'vec_id', 'embedding', '$genBase')")
+      assert(rep.agg(sum("n_vectors")).head.getLong(0) === emb.count())
+      spark.sql(s"SELECT * FROM ivf_refresh_index('$genBase', 'vec_id', " +
+        "'embedding', 2)").collect()
+      assert(graft.llm.AnnIndex.latestVersion(spark, genBase) === Some(2))
+      // the refresh persisted a trained codebook beside generation 2
+      assert(graft.llm.AnnIndex.readLatestCentroids(spark, genBase)
+        .isDefined)
+      // TVF ≡ the Scala serve API reading the SAME (index, codebook)
+      // pair (a30's CORRECTNESS row certifies the migration math)
+      check(s"SELECT * FROM ivf_latest_topk('$genBase', 'tvf7_q', " +
+          "'vec_id', 'embedding', 3)",
+        graft.llm.AnnIndex.ivfTopKOverLatest(spark, genBase, q,
+          "vec_id", "embedding", 3))
+      // the mount TVF exposes the live generation as a relation
+      assert(spark.sql(s"SELECT * FROM ivf_latest_mount('$genBase')")
+        .count() === emb.count())
+    } finally {
+      Seq("tvf7_docs", "tvf7_emb", "tvf7_q", "tvf7_cls_idx")
+        .foreach(v => if (spark.catalog.tableExists(v))
+          spark.catalog.dropTempView(v))
+    }
+  }
 }
