@@ -998,11 +998,13 @@ object GraftExtensions {
         val Seq(base, ic, vc) = args.take(3).map(lit2str(_, u))
         val s = SparkSession.active
         val iters = args.lift(3).map(lit2int(_, u)).getOrElse(2)
-        val nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8)
+        val oldCents = graft.llm.AnnIndex.readLatestCentroids(s, base)
+        val nlist = args.lift(4).map(lit2int(_, u))
+          .getOrElse(oldCents.size)
         val live = graft.llm.AnnIndex.readLatestIndex(s, base)
         val trained = graft.llm.Similarity.trainIvfCentroids(
-          live.select(ic, vc), vc, nlist = nlist, dims = 64,
-          iters = iters)
+          live.select(ic, vc), vc, nlist = nlist,
+          dims = oldCents.head.size, iters = iters)
         graft.llm.AnnIndex.migrateIndex(s, base, ic, vc, trained)
         plan(graft.llm.AnnIndex.indexReport(
           graft.llm.AnnIndex.readLatestIndex(s, base)))
@@ -1015,10 +1017,12 @@ object GraftExtensions {
         require(args.length == 4 || args.length == 5, u)
         val Seq(ct, ic, vc, base) = args.take(4).map(lit2str(_, u))
         val s = SparkSession.active
+        val nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8)
+        val seed = graft.llm.Similarity.seedCentroids(nlist, 64)
         graft.llm.AnnIndex.writeVersionedIndex(
           graft.llm.AnnIndex.encodeIvf(s.table(ct), ic, vc,
-            nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8)),
-          base, 1)
+            nlist = nlist, centroids = Some(seed)),
+          base, 1, seed)
         plan(graft.llm.AnnIndex.indexReport(
           graft.llm.AnnIndex.readLatestIndex(s, base)))
       },
@@ -1032,19 +1036,16 @@ object GraftExtensions {
       },
       "ivf_latest_topk" -> { args =>
         val u = "usage: ivf_latest_topk('base', 'queries', 'id_col', " +
-          "'vec_col', k[, nlist, nprobe]) — top-k from the LIVE " +
-          "generation under its OWN persisted codebook (the only safe " +
-          "probe of a refreshed index)"
-        require(args.length == 5 || args.length == 7, u)
+          "'vec_col', k[, nprobe]) — top-k from the LIVE generation " +
+          "under its OWN persisted codebook (nlist/dims come from the " +
+          "artifact, never from the caller — the only safe probe of a " +
+          "refreshed index)"
+        require(args.length == 5 || args.length == 6, u)
         val Seq(base, qt, ic, vc) = args.take(4).map(lit2str(_, u))
         val s = SparkSession.active
-        val k = lit2int(args(4), u)
-        plan(
-          if (args.length == 5) graft.llm.AnnIndex.ivfTopKOverLatest(
-            s, base, s.table(qt), ic, vc, k)
-          else graft.llm.AnnIndex.ivfTopKOverLatest(s, base, s.table(qt),
-            ic, vc, k, nlist = lit2int(args(5), u),
-            nProbe = lit2int(args(6), u)))
+        plan(graft.llm.AnnIndex.ivfTopKOverLatest(s, base, s.table(qt),
+          ic, vc, lit2int(args(4), u),
+          nProbe = args.lift(5).map(lit2int(_, u)).getOrElse(2)))
       })
 
   private[graft] def buildRegexFirstMatch(args: Seq[Expression]): Expression = {

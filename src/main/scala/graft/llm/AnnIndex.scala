@@ -287,10 +287,14 @@ object AnnIndex {
     * documents against a frozen labeled index; the labels were paid for
     * once, at index build).
     *
-    * Scale shape: the probe is the cell-pruned [[ivfTopKOverIndex]]
-    * chain; the label lookup joins the |queries|·k candidate set BACK to
-    * the index BROADCAST (map-side, no corpus shuffle); the vote groupBy
-    * is bounded at k rows per query before its map-side combine.
+    * Scale shape: ONE cell-pruned pass — the label rides the ranked
+    * candidates through [[Similarity.ivfRank]]'s `extraCols`, so
+    * classification reads exactly the probed cell directories the top-k
+    * probe reads (never a second full-index scan to re-join labels);
+    * the vote groupBy is bounded at k rows per query before its
+    * map-side combine, and the argmax is [[Similarity.voteArgmax]] —
+    * the SAME decision block `propagateLabels` uses, so the two can
+    * never diverge.
     *
     * @return (query_id, pred_label, n_votes, k_used) — n_votes the
     *         winning label's count, k_used how many neighbors voted
@@ -299,24 +303,22 @@ object AnnIndex {
       idCol: String, vecCol: String, labelCol: String, k: Int,
       nlist: Int = 8, nProbe: Int = 2, dims: Int = 64,
       centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
-    val topk = ivfTopKOverIndex(index, queries, idCol, vecCol, k, nlist,
-      nProbe, dims, centroids)
-    val votes = index
-      .select(col(idCol).as("neighbor_id"), col(labelCol))
-      .join(broadcast(topk.select(col("query_id"), col("neighbor_id"))),
-        Seq("neighbor_id"))
-      .groupBy(col("query_id"), col(labelCol))
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe ($nProbe) must be in [1, nlist=$nlist]")
+    val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
+    require(cents.size == nlist && cents.forall(_.size == dims),
+      s"centroids must be a $nlist x $dims codebook")
+    val encoded = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_v"), col("cell").cast("int").as("_cell"),
+      col(labelCol))
+    val topk = Similarity.ivfRank(encoded,
+      Similarity.probedQueries(queries, idCol, vecCol, cents, nlist,
+        nProbe), k, extraCols = Seq(labelCol))
+    val votes = topk.groupBy(col("query_id"), col(labelCol))
       .agg(count(lit(1)).as("n_votes"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("n_votes").desc, col(labelCol).asc)
-    val totals = votes.groupBy("query_id")
-      .agg(sum("n_votes").cast("long").as("k_used"))
-    votes.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .join(totals, Seq("query_id"))
+    Similarity.voteArgmax(votes, "query_id", labelCol)
       .select(col("query_id"), col(labelCol).as("pred_label"),
-        col("n_votes"), col("k_used"))
+        col("n_votes"), col("_total").as("k_used"))
   }
 
   /** The ONE mapping from the public raw-vector index schema to the
@@ -542,23 +544,34 @@ object AnnIndex {
 
   /** Codebook directory of one generation — the quantizer is PART of
     * the generation artifact: probing a trained index under a different
-    * codebook silently probes the wrong cells, so the two version
-    * together or not at all. Absent for seed-codebook generations (the
-    * seed is a deterministic constant, not data). */
+    * codebook (or a seed codebook of the wrong nlist) silently probes
+    * the wrong cells, so every generation persists its codebook — seed
+    * generations included ([[writeVersionedIndex]] requires it) — and
+    * serving reads it back rather than trusting the caller's
+    * parameters. */
   def centroidsPath(base: String, version: Int): String =
     s"$base/centroids_v$version"
 
   /** The live generation number, completing an interrupted
     * [[repointLatest]] swap first; None when no generation was ever
-    * published (a fresh base, or a crash before the first repoint). */
+    * published (a fresh base, or a crash before the first repoint).
+    * A concurrent [[repointLatest]]'s delete→rename window can make the
+    * pointer vanish between the existence check and the read — the read
+    * retries once (generations are immutable, so whichever pointer the
+    * retry sees is a consistent answer); a second failure propagates. */
   def latestVersion(spark: SparkSession, base: String): Option[Int] = {
     val live = new org.apache.hadoop.fs.Path(s"$base/LATEST")
     val next = new org.apache.hadoop.fs.Path(s"$base/LATEST_next")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(next)) fs.rename(next, live)
-    if (!fs.exists(live)) None
-    else Some(spark.read.parquet(s"$base/LATEST")
-      .select(col("version").cast("int")).head().getInt(0))
+    def readOnce(): Option[Int] = {
+      if (!fs.exists(live) && fs.exists(next)) fs.rename(next, live)
+      if (!fs.exists(live)) None
+      else Some(spark.read.parquet(s"$base/LATEST")
+        .select(col("version").cast("int")).head().getInt(0))
+    }
+    try readOnce() catch {
+      case scala.util.control.NonFatal(_) => readOnce()
+    }
   }
 
   /** Atomically publish generation `version` as live: the pointer row
@@ -580,66 +593,92 @@ object AnnIndex {
 
   /** Write encoded rows as generation `version` and publish it —
     * the bootstrap (`version = 1`) and every migration use the same
-    * write-then-repoint order: data (and codebook, when non-seed) land
-    * fully before the pointer moves. */
+    * write-then-repoint order: data and codebook land fully before the
+    * pointer moves. `centroids` is the codebook the rows were encoded
+    * under (pass the seed codebook for seed builds — the artifact must
+    * record it so serving never guesses nlist). */
   def writeVersionedIndex(encoded: DataFrame, base: String, version: Int,
-      centroids: Option[Seq[IndexedSeq[Double]]] = None): Unit = {
+      centroids: Seq[IndexedSeq[Double]]): Unit = {
     val spark = encoded.sparkSession
     writeIndex(encoded, versionPath(base, version))
-    centroids.foreach(c =>
-      writeCentroids(spark, c, centroidsPath(base, version)))
+    writeCentroids(spark, centroids, centroidsPath(base, version))
     repointLatest(spark, base, version)
   }
 
-  /** Mount the live generation. */
-  def readLatestIndex(spark: SparkSession, base: String): DataFrame = {
-    val v = latestVersion(spark, base).getOrElse(throw
+  private def requireLatest(spark: SparkSession, base: String): Int =
+    latestVersion(spark, base).getOrElse(throw
       new IllegalArgumentException(
         s"no published index generation under $base"))
-    readIndex(spark, versionPath(base, v))
+
+  /** Mount the live generation. */
+  def readLatestIndex(spark: SparkSession, base: String): DataFrame =
+    readIndex(spark, versionPath(base, requireLatest(spark, base)))
+
+  /** Generation `version`'s persisted codebook — every generation has
+    * one ([[writeVersionedIndex]] requires it); a base missing it is
+    * not a versioned-index artifact (or predates the codebook layout
+    * and must be rebuilt), and that fails LOUD here rather than letting
+    * a caller probe under a guessed codebook. */
+  def readVersionCentroids(spark: SparkSession, base: String,
+      version: Int): Seq[IndexedSeq[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(centroidsPath(base, version))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"generation v$version under $base has no persisted codebook — " +
+        "not a versioned-index artifact (rebuild via writeVersionedIndex)")
+    readCentroids(spark, p.toString)
   }
 
-  /** The live generation's persisted codebook — None means the
-    * generation was built under the deterministic seed codebook. */
+  /** The live generation's persisted codebook. */
   def readLatestCentroids(spark: SparkSession, base: String)
-      : Option[Seq[IndexedSeq[Double]]] = {
-    val v = latestVersion(spark, base).getOrElse(throw
-      new IllegalArgumentException(
-        s"no published index generation under $base"))
-    val p = new org.apache.hadoop.fs.Path(centroidsPath(base, v))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(readCentroids(spark, p.toString)) else None
-  }
+      : Seq[IndexedSeq[Double]] =
+    readVersionCentroids(spark, base, requireLatest(spark, base))
 
   /** Serve top-k from the LIVE generation under its OWN codebook — the
     * only safe way to query a refreshed index (probing trained cells
-    * with seed centroids silently searches the wrong lists). */
+    * with seed centroids silently searches the wrong lists). The
+    * version is resolved ONCE and index + codebook both read from it,
+    * so a refresh racing this call can never pair generation N's cell
+    * assignments with generation N+1's codebook; nlist and dims come
+    * from the stored codebook, never from the caller. */
   def ivfTopKOverLatest(spark: SparkSession, base: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 8, nProbe: Int = 2, dims: Int = 64): DataFrame =
-    ivfTopKOverIndex(readLatestIndex(spark, base), queries, idCol,
-      vecCol, k, nlist, nProbe, dims,
-      centroids = readLatestCentroids(spark, base))
+      nProbe: Int = 2): DataFrame = {
+    val v = requireLatest(spark, base)
+    val cents = readVersionCentroids(spark, base, v)
+    ivfTopKOverIndex(readIndex(spark, versionPath(base, v)), queries,
+      idCol, vecCol, k, nlist = cents.size, nProbe = nProbe,
+      dims = cents.head.size, centroids = Some(cents))
+  }
 
   /** Codebook refresh: re-encode the LIVE generation's stored rows
     * (id + raw vector + payload attrs — never the source corpus) under
     * `newCents` into generation N+1, persist the codebook beside it,
     * publish both with one pointer swap, and return the new version.
-    * The old generation is left intact for rollback; queries running
-    * through the migration read a consistent (index, codebook) pair
-    * throughout — before the repoint the old one, after it the new. */
+    * Payload attribute columns are carried over automatically (every
+    * stored column except the id, the vector, and `cell`) unless
+    * `attrCols` narrows them explicitly — a refresh must never silently
+    * strip the labels/licenses that filtered search and classification
+    * serve from. The old generation is left intact for rollback;
+    * queries running through the migration read a consistent
+    * (index, codebook) pair throughout — before the repoint the old
+    * one, after it the new. */
   def migrateIndex(spark: SparkSession, base: String, idCol: String,
       vecCol: String, newCents: Seq[IndexedSeq[Double]],
-      attrCols: Seq[String] = Nil): Int = {
+      attrCols: Option[Seq[String]] = None): Int = {
     val v = latestVersion(spark, base).getOrElse(throw
       new IllegalArgumentException(
         s"no published index generation under $base to migrate"))
-    val stored = readIndex(spark, versionPath(base, v))
-      .select(col(idCol) +: col(vecCol) +: attrCols.map(col): _*)
+    val idx = readIndex(spark, versionPath(base, v))
+    val attrs = attrCols.getOrElse(
+      idx.columns.filterNot(c =>
+        c == idCol || c == vecCol || c == "cell").toSeq)
+    val stored = idx
+      .select(col(idCol) +: col(vecCol) +: attrs.map(col): _*)
     val encoded = encodeIvf(stored, idCol, vecCol,
       nlist = newCents.size, dims = newCents.head.size,
-      centroids = Some(newCents), attrCols = attrCols)
-    writeVersionedIndex(encoded, base, v + 1, Some(newCents))
+      centroids = Some(newCents), attrCols = attrs)
+    writeVersionedIndex(encoded, base, v + 1, newCents)
     v + 1
   }
 }

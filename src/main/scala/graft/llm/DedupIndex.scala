@@ -69,9 +69,56 @@ object DedupIndex {
     * replay probe the exact pre-append view ([[ingestBatchOverIndex]]). */
   def writeState(sigs: DataFrame, idCol: String, base: String,
       numHashes: Int = 16, bands: Int = 4, nBuckets: Int = 8,
-      batchId: Long = -1L): Unit =
+      batchId: Long = -1L, k: Int = 3): Unit = {
     writeStateTagged(sigs.withColumn("_ib", lit(batchId)), idCol, base,
       numHashes, bands, nBuckets)
+    writeBuildMeta(sigs.sparkSession, base, numHashes, bands, k)
+  }
+
+  /** Record how the index was built. The probe MUST shingle and band
+    * exactly as the build did: a mismatched `bands` (or `numHashes`/`k`)
+    * computes incompatible band keys, the bkey equi-join matches
+    * NOTHING, and a dedup/decontam stage silently keeps every duplicate
+    * and every leak — the worst failure direction. Persisting the
+    * params turns that silent zero into [[requireBuildParams]]' loud
+    * error. `k` is the shingle width the signatures were built from
+    * ([[Dedup.minhashSignature]]'s `k`) — the writer must pass the same
+    * value it signed with. */
+  private def writeBuildMeta(spark: SparkSession, base: String,
+      numHashes: Int, bands: Int, k: Int): Unit = {
+    import spark.implicits._
+    val table = s"${base}_meta"
+    // same restart shape as Bucketing.writeBucketed: drop the catalog
+    // entry AND any orphaned managed location a previous application
+    // left, so the overwrite never dies on LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    Seq((numHashes, bands, k)).toDF("num_hashes", "bands", "k")
+      .write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** Fail LOUD when probe params disagree with the recorded build
+    * params. Indexes written before the meta table existed carry none —
+    * those keep the old trust-the-caller behavior. `k` is not checked
+    * for band-only operations (pass None). */
+  private def requireBuildParams(spark: SparkSession, base: String,
+      numHashes: Int, bands: Int, k: Option[Int]): Unit =
+    if (spark.catalog.tableExists(s"${base}_meta")) {
+      val r = spark.table(s"${base}_meta")
+        .select("num_hashes", "bands", "k").head()
+      require(r.getInt(0) == numHashes && r.getInt(1) == bands &&
+        k.forall(_ == r.getInt(2)),
+        s"probe params (numHashes=$numHashes, bands=$bands" +
+          k.fold("")(v => s", k=$v") + ") do not match how the index " +
+          s"at $base was built (numHashes=${r.getInt(0)}, " +
+          s"bands=${r.getInt(1)}, k=${r.getInt(2)}) — a mismatched " +
+          "probe computes incompatible band keys and silently finds " +
+          "nothing")
+    }
 
   /** [[writeState]] for signature rows that ALREADY carry per-row `_ib`
     * provenance — what [[compactState]] must preserve: re-stamping a
@@ -94,6 +141,7 @@ object DedupIndex {
   def appendState(keptSigs: DataFrame, idCol: String, base: String,
       numHashes: Int = 16, bands: Int = 4, batchId: Long = -1L): Unit = {
     val spark = keptSigs.sparkSession
+    requireBuildParams(spark, base, numHashes, bands, None)
     def append(df0: DataFrame, table: String, key: String): Unit = {
       val df = df0.withColumn("_ib", lit(batchId))
       // replicate the EXACT existing spec (bucket count + sort columns)
@@ -133,6 +181,7 @@ object DedupIndex {
       belowBatch: Option[Long] = None): Dedup.DeltaState = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1]")
+    requireBuildParams(spark, base, numHashes, bands, Some(k))
     // belowBatch restricts the stored view to rows appended by earlier
     // ingest batches — a replay of batch N probes the exact pre-N view
     // even if N's own append partially landed (the _ib filter pushes to
@@ -213,6 +262,7 @@ object DedupIndex {
       maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1]")
+    requireBuildParams(spark, base, numHashes, bands, Some(k))
     val probeSigs = Dedup
       .minhashSignature(probe, textCol, idCol, numHashes, k).persist()
     val probeBands = bandTable(probeSigs, idCol, numHashes, bands)
@@ -323,6 +373,7 @@ object DedupIndex {
   def compactState(spark: SparkSession, base: String, idCol: String,
       outDir: String, numHashes: Int = 16, bands: Int = 4,
       nBuckets: Int = 8): Unit = {
+    requireBuildParams(spark, base, numHashes, bands, None)
     val keptIds = spark.read.parquet(outDir).select(idCol).distinct()
     val all = spark.table(s"${base}_sigs")
     // lineage-cut: the reconciled relation feeds both table writes below

@@ -425,15 +425,9 @@ object Similarity {
     val votes = g.join(s, Seq("nbr_id"))
       .groupBy(col("src_id"), col("_sl"))
       .agg(count(lit(1)).as("n_votes"))
-    val w = Window.partitionBy(col("src_id"))
-      .orderBy(col("n_votes").desc, col("_sl").asc)
-    val totals = votes.groupBy("src_id")
-      .agg(sum("n_votes").cast("long").as("n_seed_nbrs"))
-    votes.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .join(totals, Seq("src_id"))
+    voteArgmax(votes, "src_id", "_sl")
       .select(col("src_id").as(idCol), col("_sl").as("pred_label"),
-        col("n_votes"), col("n_seed_nbrs"))
+        col("n_votes"), col("_total").as("n_seed_nbrs"))
   }
 
   /** One Lloyd accumulation as a DataFrame: per (cell, pos) the member
@@ -536,16 +530,38 @@ object Similarity {
   /** The probe join + exact-cosine rank shared by [[ivfTopK]] and
     * [[graft.llm.AnnIndex.ivfTopKOverIndex]]: encoded corpus rows
     * (neighbor_id, _v, _cell) × probed queries → top-k per query. */
-  private[llm] def ivfRank(encoded: DataFrame, probed: DataFrame, k: Int)
-      : DataFrame = {
+  private[llm] def ivfRank(encoded: DataFrame, probed: DataFrame, k: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val scored = encoded.join(broadcast(probed), Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("_v"), col("_q")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // extraCols: payload attributes riding the encoded rows that the
+    // caller needs PER RANKED NEIGHBOR (e.g. the label a classifier
+    // votes with) — carried through the rank so consumers never pay a
+    // second full-index scan to re-join them
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+      .select((Seq("query_id", "neighbor_id", "cos", "rank") ++
+        extraCols).map(col): _*)
+  }
+
+  /** The shared majority-vote argmax of [[propagateLabels]] and
+    * [[graft.llm.AnnIndex.knnClassifyOverIndex]]: given per-(key, label)
+    * vote counts, keep each key's (n_votes DESC, label ASC) winner and
+    * attach the key's total vote count as `_total`. ONE definition so
+    * the serve-time classifier can never diverge from the recompute
+    * operator it is spec-certified equal to. */
+  private[llm] def voteArgmax(votes: DataFrame, keyCol: String,
+      labelCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("n_votes").desc, col(labelCol).asc)
+    val totals = votes.groupBy(keyCol)
+      .agg(sum("n_votes").cast("long").as("_total"))
+    votes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(totals, Seq(keyCol)).drop("_rn")
   }
 
   /** The rank-free sibling of [[ivfRank]]: every probed-cell neighbor at

@@ -443,18 +443,20 @@ object LlmQueries {
       val e = t(s, dir, "embeddings")
       val base = java.nio.file.Files
         .createTempDirectory("a30_gen").toString
+      val seed = Similarity.seedCentroids(8, 64)
       graft.llm.AnnIndex.writeVersionedIndex(
-        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8),
-        base, 1)
+        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8,
+          centroids = Some(seed)),
+        base, 1, seed)
       val trained = Similarity.trainIvfCentroids(e, "embedding",
         nlist = 8, dims = 64, iters = 2)
       graft.llm.AnnIndex.migrateIndex(s, base, "vec_id", "embedding",
         trained)
-      // serve under the generation's OWN persisted codebook — the
-      // caller never re-threads the trained centroids
+      // serve under the generation's OWN persisted codebook — nlist and
+      // dims come from the artifact, never from the caller
       graft.llm.AnnIndex.ivfTopKOverLatest(s, base,
           e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
-          nlist = 8, nProbe = 2)
+          nProbe = 2)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),

@@ -347,11 +347,14 @@ class AnnIndexSpec extends SparkSpec {
     "new codebook and equals a fresh encode; the old generation stays " +
     "readable for rollback") {
     val base = tmp("annidx_gen")
+    val seed = Similarity.seedCentroids(8, 64)
     AnnIndex.writeVersionedIndex(
-      AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8), base, 1)
+      AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8),
+      base, 1, seed)
     assert(AnnIndex.latestVersion(spark, base) === Some(1))
-    // a seed-codebook generation persists no codebook file
-    assert(AnnIndex.readLatestCentroids(spark, base) === None)
+    // every generation records its codebook — seed builds included, so
+    // serving never guesses nlist
+    assert(AnnIndex.readLatestCentroids(spark, base) === seed)
     val trained = Similarity.trainIvfCentroids(emb, "embedding",
       nlist = 8, dims = 64, iters = 2)
     assert(AnnIndex.migrateIndex(spark, base, "vec_id", "embedding",
@@ -364,11 +367,11 @@ class AnnIndexSpec extends SparkSpec {
         centroids = Some(trained)).select("vec_id", "cell")))
     // the codebook is part of the generation: persisted by the
     // migration, round-tripped exactly
-    assert(AnnIndex.readLatestCentroids(spark, base) === Some(trained))
+    assert(AnnIndex.readLatestCentroids(spark, base) === trained)
     // served answers under the generation's OWN codebook equal the
     // recompute operator — no caller-side centroid threading
     assert(rows(AnnIndex.ivfTopKOverLatest(spark, base, queries,
-        "vec_id", "embedding", 10, nlist = 8, nProbe = 2)) ===
+        "vec_id", "embedding", 10, nProbe = 2)) ===
       rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
         nlist = 8, nProbe = 2, centroids = Some(trained))))
     // rollback: generation 1 is untouched and still answers under the
@@ -384,7 +387,8 @@ class AnnIndexSpec extends SparkSpec {
     "and an interrupted repoint swap heals on the next read") {
     val base = tmp("annidx_gen_crash")
     AnnIndex.writeVersionedIndex(
-      AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8), base, 1)
+      AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8), base, 1,
+      Similarity.seedCentroids(8, 64))
     // a crashed migration: v2 data landed (even fully) but was never
     // published — every reader still mounts v1
     AnnIndex.writeIndex(

@@ -245,4 +245,35 @@ class DedupIndexSpec extends SparkSpec {
     val benchIds = bench.select("doc_id").as[Long].collect().toSet
     assert(pairs.forall { case (_, b) => benchIds.contains(b) })
   }
+
+  test("build-params meta: probing (or appending/compacting) with " +
+    "params that don't match how the index was built fails LOUD " +
+    "instead of silently finding nothing") {
+    val bench = docs.filter(col("doc_id") < 50)
+    DedupIndex.writeState(
+      Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id",
+      "paramguard", bands = 16)
+    // matching probe works
+    assert(DedupIndex.crossNeardupOverIndex(spark, "paramguard",
+      bench.limit(5), "text", "doc_id", 0.8, bands = 16).count() >= 0)
+    // a bands mismatch would compute incompatible band keys → loud
+    val e1 = intercept[IllegalArgumentException] {
+      DedupIndex.crossNeardupOverIndex(spark, "paramguard",
+        bench.limit(5), "text", "doc_id", 0.8) // default bands = 4
+    }
+    assert(e1.getMessage.contains("do not match"))
+    // a shingle-width mismatch is equally fatal for the estimate
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.neardupDeltaOverIndex(spark, "paramguard",
+        bench.limit(5), "text", "doc_id", 0.8, bands = 16, k = 5)
+    }
+    assert(e2.getMessage.contains("do not match"))
+    // append and compaction are guarded too
+    val e3 = intercept[IllegalArgumentException] {
+      DedupIndex.appendState(
+        Dedup.minhashSignature(bench.limit(1), "text", "doc_id"),
+        "doc_id", "paramguard", bands = 8)
+    }
+    assert(e3.getMessage.contains("do not match"))
+  }
 }

@@ -555,7 +555,7 @@ class SqlSurfaceSpec extends SparkSpec {
         "tvf6_mounted", "tvf6_sq8_idx", "tvf6_sq8_stats", "tvf6_bench2")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
-      Seq("tvf6_nd_sigs", "tvf6_nd_bands")
+      Seq("tvf6_nd_sigs", "tvf6_nd_bands", "tvf6_nd_meta")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
@@ -602,7 +602,7 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(graft.llm.AnnIndex.latestVersion(spark, genBase) === Some(2))
       // the refresh persisted a trained codebook beside generation 2
       assert(graft.llm.AnnIndex.readLatestCentroids(spark, genBase)
-        .isDefined)
+        .size === 8)
       // TVF ≡ the Scala serve API reading the SAME (index, codebook)
       // pair (a30's CORRECTNESS row certifies the migration math)
       check(s"SELECT * FROM ivf_latest_topk('$genBase', 'tvf7_q', " +
