@@ -49,7 +49,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
   * `pii_stats`, `pii_redact`, `decontam`, `decontam_over_index`,
   * `hll_buckets`, `label_propagate`, `perceptron_step`,
-  * `wordpiece_stats`, `knn_classify_index` — plus the index
+  * `wordpiece_stats`, `knn_classify_index`, `semantic_dedup_delta` —
+  * plus the index
   * BUILD surface (`ivf_build_index`, `ivfpq_build_index`,
   * `neardup_build_index`, `decontam_build`, `ivf_index_mount`,
   * `dedup_minhash_salted`) and the versioned-generation lifecycle
@@ -1033,6 +1034,19 @@ object GraftExtensions {
         require(args.length == 1, u)
         plan(graft.llm.AnnIndex.readLatestIndex(SparkSession.active,
           lit2str(args.head, u)))
+      },
+      "semantic_dedup_delta" -> { args =>
+        val u = "usage: semantic_dedup_delta('index_table', 'batch', " +
+          "'id_col', 'vec_col', min_cos[, nlist]) — incremental " +
+          "SemDeDup: batch rows kept after screening against the kept " +
+          "history in a stored IVF index (cross cell-join) and against " +
+          "smaller-id batch rows (within cell-join)"
+        require(args.length == 5 || args.length == 6, u)
+        val Seq(it, bt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.AnnIndex.semanticDedupDelta(s.table(it),
+          s.table(bt), ic, vc, lit2dbl(args(4), u),
+          nlist = args.lift(5).map(lit2int(_, u)).getOrElse(8)))
       },
       "ivf_latest_topk" -> { args =>
         val u = "usage: ivf_latest_topk('base', 'queries', 'id_col', " +

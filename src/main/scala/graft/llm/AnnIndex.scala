@@ -185,8 +185,16 @@ object AnnIndex {
     * [[ivfPqTopKOverIndex]], radius, filtered). `cell` is still a
     * partition column under every directory, so probes prune exactly
     * as [[readIndex]]. */
-  def readBatchedIndex(spark: SparkSession, base: String): DataFrame = {
+  def readBatchedIndex(spark: SparkSession, base: String,
+      belowBatch: Option[Long] = None): DataFrame = {
+    // belowBatch: the pre-batch view — marked batches STRICTLY below the
+    // given id only. What lets a replayed batch whose own append already
+    // landed and got marked screen against exactly the state it saw the
+    // first time (its own rows would match everything at cosine 1.0).
+    // Folds stay included: folding runs out-of-band between ingest
+    // waves, so every folded row predates any live batch id.
     val batches = appliedBatches(spark, base)
+      .filter(i => belowBatch.forall(i < _))
     val folds = appliedFolds(spark, base)
     require(batches.nonEmpty || folds.nonEmpty,
       s"$base carries no applied batches — not a batch-versioned index")
@@ -319,6 +327,55 @@ object AnnIndex {
     Similarity.voteArgmax(votes, "query_id", labelCol)
       .select(col("query_id"), col(labelCol).as("pred_label"),
         col("n_votes"), col("_total").as("k_used"))
+  }
+
+  /** Incremental SemDeDup — [[Similarity.semanticDedup]]'s delta
+    * protocol (the vector-space sibling of
+    * [[Dedup.minhashNearDupDelta]]): screen a batch against the KEPT
+    * history served from a stored raw-vector IVF index, so an ingest
+    * pipeline dedups semantically without ever rescanning the corpus.
+    * A batch vector drops when (a) any same-cell STORED vector sits at
+    * cosine >= `minCos` (the history always wins — it is already kept),
+    * or (b) any same-cell SMALLER-ID batch vector does (a8's pairwise
+    * within-batch rule). Survivors are what the caller appends back to
+    * the index ([[ingestIndexBatch]] for at-least-once drivers) —
+    * exactly the state protocol the hash-dedup family runs on text.
+    *
+    * When every stored id is smaller than every batch id, the result
+    * provably equals one-shot [[Similarity.semanticDedup]] over the
+    * UNION (AnnIndexSpec pins it): "stored neighbor or smaller-id batch
+    * neighbor" is then literally "smaller-id union neighbor".
+    *
+    * Scale shape: cell assignment is a per-row matvec; both the cross
+    * screen and the within screen are cell equi-joins (never
+    * all-pairs); the stored side reads only cells the batch occupies
+    * (the cell join prunes partitions). */
+  def semanticDedupDelta(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, nlist: Int = 8,
+      dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
+    require(cents.size == nlist && cents.forall(_.size == dims),
+      s"centroids must be a $nlist x $dims codebook")
+    // cut: the assigned batch feeds the cross screen, the within screen
+    // (both sides), and the survivor anti-join
+    val assigned = graft.operators.Lineage.cut(Similarity.assignCells(
+      batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+      "_v", cents))
+    val stored = index.select(col(vecCol).as("_sv"),
+      col("cell").cast("int").as("_cell"))
+    val crossHit = assigned.join(stored, Seq("_cell"))
+      .filter(Similarity.cosine(col("_v"), col("_sv")) >= minCos)
+      .select(col("_id")).distinct()
+    val withinHit = assigned.select(col("_id"), col("_v"), col("_cell"))
+      .join(assigned.select(col("_id").as("_nid"), col("_v").as("_nv"),
+        col("_cell")), Seq("_cell"))
+      .filter(col("_nid") < col("_id"))
+      .filter(Similarity.cosine(col("_v"), col("_nv")) >= minCos)
+      .select(col("_id")).distinct()
+    batch.join(crossHit.unionByName(withinHit).distinct()
+        .select(col("_id").as(idCol)),
+      Seq(idCol), "left_anti")
   }
 
   /** The ONE mapping from the public raw-vector index schema to the

@@ -461,6 +461,38 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Incremental SemDeDup: a8's embedding-space dedup run as a DELTA
+    // against the kept history served from the stored IVF index — the
+    // vector-space sibling of x55/d11's hash-dedup state protocol.
+    // The batch plants exact copies of STORED vectors (+100000 — the
+    // cross screen drops them at cosine 1.0) and exact copies of its
+    // OWN vectors (+200000 — the smaller-id within-batch rule drops
+    // them); organic batch vectors pass at the 0.99 bar. The oracle
+    // replays quantizer cells, both cell equi-joins, and the survivor
+    // anti-join.
+    "a32_semantic_dedup_delta" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val state = e.filter(col("vec_id") < 250)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("a32_idx").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(state, "vec_id", "embedding",
+          nlist = 8), idxDir)
+      val batch = e.filter(col("vec_id") >= 250)
+        .select("vec_id", "embedding")
+        .unionByName(state.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+        .unionByName(e.filter(col("vec_id") >= 250 &&
+            col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 200000L).as("vec_id"),
+            col("embedding")))
+      graft.llm.AnnIndex.semanticDedupDelta(
+          graft.llm.AnnIndex.readIndex(s, idxDir), batch,
+          "vec_id", "embedding", 0.99)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // kNN CLASSIFICATION at serve time: labels ride the stored IVF index
     // as payload attributes, each query's top-10 stored neighbors vote,
     // majority wins with the smaller-label tie-break (x83's decision
@@ -3773,6 +3805,48 @@ object LlmQueries {
     // under the same replayed training — equality proves the generation
     // rebuild moved every stored row faithfully through the new codebook
     "a30_index_refresh" -> duckTrainedIvfSql,
+    // a8's cell/cosine CTEs split into a state side and a batch side:
+    // the cross screen joins batch cells to state cells, the within
+    // screen is the smaller-id self-join, survivors anti-join both.
+    "a32_semantic_dedup_delta" ->
+      s"""WITH e0 AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+              st AS (SELECT vec_id, v FROM e0 WHERE vec_id < 250),
+              b AS (SELECT vec_id, v FROM e0 WHERE vec_id >= 250
+                    UNION ALL
+                    SELECT vec_id + 100000, v FROM e0
+                    WHERE vec_id < 250 AND vec_id % 50 = 0
+                    UNION ALL
+                    SELECT vec_id + 200000, v FROM e0
+                    WHERE vec_id >= 250 AND vec_id % 50 = 0),
+              pcs AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM st),
+              ccs AS (SELECT vec_id, v,
+                        CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                      FROM pcs),
+              pcb AS (SELECT vec_id, v, $duckIvfProjs AS ps FROM b),
+              ccb AS (SELECT vec_id, v,
+                        CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                      FROM pcb),
+              crossh AS (SELECT DISTINCT a.vec_id
+                         FROM ccb a JOIN ccs s ON a.cell = s.cell
+                         WHERE list_sum(list_transform(range(1, 65),
+                                 i -> a.v[i] * s.v[i])) /
+                               (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                                sqrt(list_sum(list_transform(s.v, x -> x*x))))
+                               >= 0.99),
+              withinh AS (SELECT DISTINCT a.vec_id
+                          FROM ccb a JOIN ccb c
+                            ON a.cell = c.cell AND c.vec_id < a.vec_id
+                          WHERE list_sum(list_transform(range(1, 65),
+                                  i -> a.v[i] * c.v[i])) /
+                                (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                                 sqrt(list_sum(list_transform(c.v, x -> x*x))))
+                                >= 0.99)
+          SELECT vec_id FROM b
+          WHERE vec_id NOT IN (SELECT vec_id FROM crossh)
+            AND vec_id NOT IN (SELECT vec_id FROM withinh)
+          ORDER BY vec_id""",
     // a4's probe chain carrying the label payload, then k=10 ranks →
     // integer votes → the (count DESC, label ASC) argmax — x83's vote
     // CTEs over the serve-time candidate set.

@@ -405,6 +405,71 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming incremental SemDeDup: each micro-batch is screened
+    * against the kept history in the batch-versioned ANN index
+    * ([[graft.llm.AnnIndex.semanticDedupDelta]]), survivors land under
+    * `outDir/batch=<id>` AND append into the index — so the corpus
+    * stays semantically deduplicated as it ingests, the vector-space
+    * form of [[durableIngestDedup]]. Idempotent under at-least-once
+    * replay by construction (see [[ingestSemanticDedupBatch]]). */
+  def durableIngestSemanticDedup(vectors: DataFrame, idCol: String,
+      vecCol: String, base: String, outDir: String, minCos: Double,
+      nlist: Int = 8, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", s"$base/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestSemanticDedupBatch(batch, batchId, base, outDir, idCol,
+          vecCol, minCos, nlist, dims, centroids)
+      }
+      .start()
+
+  /** One idempotent micro-batch of [[durableIngestSemanticDedup]] —
+    * public so a replay can be driven (and certified) without a
+    * streaming query. Crash matrix: the screen always reads the
+    * pre-batch index view (`belowBatch` excludes this batch's own rows
+    * even when a prior attempt's append landed AND got marked — they
+    * would match everything at cosine 1.0 and empty the output);
+    * survivors are written, THEN read back from disk and encoded into
+    * the index (so output and index carry byte-identical rows);
+    * [[graft.llm.AnnIndex.ingestIndexBatch]]'s own marker makes the
+    * append replay-safe; the outDir marker lands last and gates the
+    * whole batch. Every crash point therefore replays to the identical
+    * output + index. */
+  def ingestSemanticDedupBatch(batch: DataFrame, batchId: Long,
+      base: String, outDir: String, idCol: String, vecCol: String,
+      minCos: Double, nlist: Int = 8, dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$outDir/_applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // completed batch: fully durable
+    val priorBatches = graft.llm.AnnIndex.appliedBatches(spark, base)
+      .exists(_ < batchId)
+    val priorFolds = graft.llm.AnnIndex.appliedFolds(spark, base).nonEmpty
+    // first batch: no history — an empty frame with the index schema
+    // turns the cross screen into a no-op and only the within-batch
+    // smaller-id rule applies
+    val index =
+      if (priorBatches || priorFolds)
+        graft.llm.AnnIndex.readBatchedIndex(spark, base,
+          belowBatch = Some(batchId))
+      else graft.llm.AnnIndex.encodeIvf(batch.limit(0), idCol, vecCol,
+        nlist, dims, centroids)
+    graft.llm.AnnIndex.semanticDedupDelta(index, batch, idCol, vecCol,
+        minCos, nlist, dims, centroids)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+    val kept = spark.read.parquet(s"$outDir/batch=$batchId")
+    graft.llm.AnnIndex.ingestIndexBatch(
+      graft.llm.AnnIndex.encodeIvf(kept, idCol, vecCol, nlist, dims,
+        centroids), base, batchId)
+    fs.mkdirs(marker)
+    ()
+  }
+
   private def stateVersions(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(stateDir)

@@ -343,6 +343,80 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.count() === 5)
   }
 
+  test("semanticDedupDelta: screening a batch against the stored index " +
+    "equals one-shot semanticDedup over the union when state ids all " +
+    "precede batch ids, and an appended survivor set replays clean") {
+    import spark.implicits._
+    val dir = tmp("annidx_semdelta")
+    val state = emb.filter(col("vec_id") < 250)
+      .select("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") >= 250)
+      .select("vec_id", "embedding")
+      .unionByName(state.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvf(state, "vec_id", "embedding", nlist = 8), dir)
+    val kept = AnnIndex.semanticDedupDelta(AnnIndex.readIndex(spark, dir),
+        batch, "vec_id", "embedding", 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    // union parity: every state id < every batch id, so "stored neighbor
+    // OR smaller-id batch neighbor" ≡ "smaller-id union neighbor"
+    val unionDropped = Similarity.semanticDedup(
+        state.unionByName(batch), "vec_id", "embedding", 0.99)
+      .select("dropped_id").as[Long].collect().toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(kept === batchIds -- unionDropped)
+    // the planted exact copies of stored vectors all dropped
+    assert(kept.forall(_ < 100000L))
+    // survivors append back and a re-screen of the SAME batch drops
+    // everything — the idempotence the ingest protocol relies on
+    AnnIndex.appendIndex(
+      AnnIndex.encodeIvf(batch.join(
+          kept.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", nlist = 8), dir)
+    assert(AnnIndex.semanticDedupDelta(AnnIndex.readIndex(spark, dir),
+      batch, "vec_id", "embedding", 0.99).count() === 0)
+  }
+
+  test("ingestSemanticDedupBatch: two-batch screen+append chain drops " +
+    "cross- and within-batch near-dups, and a replay whose append " +
+    "already landed+marked still produces the identical output") {
+    import spark.implicits._
+    val base = tmp("semdd_base"); val out = tmp("semdd_out")
+    val b0 = emb.filter(col("vec_id") < 250).select("vec_id", "embedding")
+    val b1 = emb.filter(col("vec_id") >= 250).select("vec_id", "embedding")
+      .unionByName(b0.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") >= 250 &&
+          col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    graft.streaming.StreamOps.ingestSemanticDedupBatch(b0, 0L, base, out,
+      "vec_id", "embedding", 0.99)
+    graft.streaming.StreamOps.ingestSemanticDedupBatch(b1, 1L, base, out,
+      "vec_id", "embedding", 0.99)
+    def kept1() = spark.read.parquet(s"$out/batch=1")
+      .select("vec_id").as[Long].collect().toSet
+    val first = kept1()
+    // every plant dropped, organic batch-1 vectors kept
+    assert(first.forall(_ < 100000L))
+    assert(first === emb.filter(col("vec_id") >= 250)
+      .select("vec_id").as[Long].collect().toSet)
+    // crash window: batch 1's append landed AND got marked in the index,
+    // but the outDir marker never landed — the replay must screen against
+    // the PRE-batch view (its own rows would match at cosine 1.0 and
+    // empty the output)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_applied/batch=1"),
+      true)
+    graft.streaming.StreamOps.ingestSemanticDedupBatch(b1, 1L, base, out,
+      "vec_id", "embedding", 0.99)
+    assert(kept1() === first)
+    // the index holds exactly the kept union — no double-append
+    assert(AnnIndex.readBatchedIndex(spark, base).count() ===
+      250L + first.size)
+  }
+
   test("versioned generations: migration re-encodes stored rows under a " +
     "new codebook and equals a fresh encode; the old generation stays " +
     "readable for rollback") {

@@ -612,8 +612,28 @@ class SqlSurfaceSpec extends SparkSpec {
       // the mount TVF exposes the live generation as a relation
       assert(spark.sql(s"SELECT * FROM ivf_latest_mount('$genBase')")
         .count() === emb.count())
+      // incremental SemDeDup from a stored index, pure SQL
+      val semDir = tmp("tvf7_sem")
+      val semState = emb.filter(col("vec_id") < 250)
+        .select("vec_id", "embedding")
+      val semBatch = emb.filter(col("vec_id") >= 250)
+        .select("vec_id", "embedding")
+        .unionByName(semState.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+      graft.llm.AnnIndex.writeIndex(graft.llm.AnnIndex.encodeIvf(
+        semState, "vec_id", "embedding", nlist = 8), semDir)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf7_sem_idx AS " +
+        s"SELECT * FROM parquet.`$semDir`")
+      semBatch.createOrReplaceTempView("tvf7_sem_batch")
+      check("SELECT * FROM semantic_dedup_delta('tvf7_sem_idx', " +
+          "'tvf7_sem_batch', 'vec_id', 'embedding', 0.99)",
+        graft.llm.AnnIndex.semanticDedupDelta(
+          graft.llm.AnnIndex.readIndex(spark, semDir), semBatch,
+          "vec_id", "embedding", 0.99))
     } finally {
-      Seq("tvf7_docs", "tvf7_emb", "tvf7_q", "tvf7_cls_idx")
+      Seq("tvf7_docs", "tvf7_emb", "tvf7_q", "tvf7_cls_idx",
+          "tvf7_sem_idx", "tvf7_sem_batch")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
     }
