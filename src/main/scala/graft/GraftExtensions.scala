@@ -49,8 +49,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `dsir_select`, `bm25_topk`, `hard_negatives`, `card_stats`,
   * `pii_stats`, `pii_redact`, `decontam`, `decontam_over_index`,
   * `hll_buckets`, `label_propagate`, `perceptron_step`,
-  * `wordpiece_stats`, `knn_classify_index`, `semantic_dedup_delta` —
-  * plus the index
+  * `wordpiece_stats`, `knn_classify_index`, `semantic_dedup_delta`,
+  * `zorder_key` — plus the index
   * BUILD surface (`ivf_build_index`, `ivfpq_build_index`,
   * `neardup_build_index`, `decontam_build`, `ivf_index_mount`,
   * `dedup_minhash_salted`) and the versioned-generation lifecycle
@@ -1034,6 +1034,19 @@ object GraftExtensions {
         require(args.length == 1, u)
         plan(graft.llm.AnnIndex.readLatestIndex(SparkSession.active,
           lit2str(args.head, u)))
+      },
+      "zorder_key" -> { args =>
+        val u = "usage: zorder_key('table', 'a_col', 'b_col', bits) — " +
+          "append the Morton interleave of two bucketized dimensions " +
+          "as `zkey` (values must already sit in [0, 2^bits)); feed " +
+          "the result to a range-partitioned sorted write for " +
+          "two-dimensional file skipping"
+        require(args.length == 4, u)
+        val Seq(t, a, b) = args.take(3).map(lit2str(_, u))
+        val d = SparkSession.active.table(t)
+        plan(d.withColumn("zkey", graft.operators.ZOrder.mortonCode(
+          org.apache.spark.sql.functions.col(a),
+          org.apache.spark.sql.functions.col(b), lit2int(args(3), u))))
       },
       "semantic_dedup_delta" -> { args =>
         val u = "usage: semantic_dedup_delta('index_table', 'batch', " +

@@ -461,6 +461,20 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Z-order (Morton) clustering key: the multi-column layout
+    // technique behind ZORDER BY — interleave two dimensions' bits so
+    // a range-partitioned sorted write gets tight per-file min/max on
+    // BOTH columns (ZOrderSpec pins the locality property and the
+    // disjoint-sorted-files writer; this certifies the key arithmetic
+    // itself, bit for bit, via the shared duckMorton generator).
+    "x101_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.ZOrder.mortonCode(col("l_partkey") % 256,
+            col("l_suppkey") % 256, 8).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Incremental SemDeDup: a8's embedding-space dedup run as a DELTA
     // against the kept history served from the stored IVF index — the
     // vector-space sibling of x55/d11's hash-dedup state protocol.
@@ -3805,6 +3819,14 @@ object LlmQueries {
     // under the same replayed training — equality proves the generation
     // rebuild moved every stored row faithfully through the new codebook
     "a30_index_refresh" -> duckTrainedIvfSql,
+    // The identical interleave arithmetic, generated by the same Scala
+    // definition (ZOrder.duckMorton).
+    "x101_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+                 CAST(${graft.operators.ZOrder.duckMorton(
+                   "l_partkey % 256", "l_suppkey % 256", 8)} AS BIGINT)
+                   AS zkey
+          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     // a8's cell/cosine CTEs split into a state side and a batch side:
     // the cross screen joins batch cells to state cells, the within
     // screen is the smaller-id self-join, survivors anti-join both.

@@ -631,6 +631,10 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.AnnIndex.semanticDedupDelta(
           graft.llm.AnnIndex.readIndex(spark, semDir), semBatch,
           "vec_id", "embedding", 0.99))
+      // the z-order key TVF equals the Column-algebra operator
+      check("SELECT * FROM zorder_key('tvf7_q', 'vec_id', 'label', 4)",
+        q.withColumn("zkey", graft.operators.ZOrder.mortonCode(
+          col("vec_id"), col("label"), 4)))
     } finally {
       Seq("tvf7_docs", "tvf7_emb", "tvf7_q", "tvf7_cls_idx",
           "tvf7_sem_idx", "tvf7_sem_batch")

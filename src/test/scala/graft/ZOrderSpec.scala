@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.ZOrder
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: the Morton key's bit math against hand-computed
+  * values, and the layout property that justifies it — after a
+  * z-clustered write, per-file min/max statistics are tight on BOTH
+  * interleaved columns, where a linear sort leaves the second column's
+  * span at full range in every file. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mortonCode: hand-computed interleaves, a in odd bits, b in even") {
+    val d = Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L), (255L, 0L))
+      .toDF("a", "b")
+    val out = d.select(ZOrder.mortonCode(col("a"), col("b"), 8).as("z"))
+      .as[Long].collect().toSeq
+    // (1,0): a bit0 -> position 1 -> 2;   (0,1): b bit0 -> position 0 -> 1
+    // (3,3): 0b1111 = 15;  (2,1): a bit1 -> pos 3 (8), b bit0 -> pos 0 (1)
+    // (255,0): all odd positions of 16 bits -> 0b1010101010101010 = 43690
+    assert(out === Seq(2L, 1L, 15L, 9L, 43690L))
+  }
+
+  test("mortonCode is monotone in each argument with the other fixed " +
+    "(the property range-pruning relies on)") {
+    val d = (0 until 64).map(_.toLong).toDF("v")
+    val za = d.select(ZOrder.mortonCode(col("v"), lit(7L), 6).as("z"))
+      .as[Long].collect().toSeq
+    assert(za === za.sorted)
+    val zb = d.select(ZOrder.mortonCode(lit(7L), col("v"), 6).as("z"))
+      .as[Long].collect().toSeq
+    assert(zb === zb.sorted)
+  }
+
+  test("aligned z-prefix groups bound BOTH dimensions, where a linear " +
+    "sort leaves dimension b at full range — the locality the layout " +
+    "buys") {
+    // the full 256x256 grid: deterministic spans
+    val grid = spark.range(65536L)
+      .select((col("id") % 256).as("a"),
+        (col("id") / 256).cast("long").as("b"))
+      .withColumn("z", ZOrder.mortonCode(col("a"), col("b"), 8))
+    // top-3-bit z prefixes = octants (a7, b7, a6): a-span <= 63 (a
+    // quarter of the range), b-span <= 127 (half) — what per-file
+    // min/max stats become once file boundaries align with prefixes
+    val spans = grid.groupBy(shiftright(col("z"), 13).as("oct"))
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .select("sa", "sb").as[(Long, Long)].collect()
+    assert(spans.length === 8)
+    assert(spans.forall(_._1 <= 63L), s"a spans: ${spans.map(_._1).toSeq}")
+    assert(spans.forall(_._2 <= 127L), s"b spans: ${spans.map(_._2).toSeq}")
+    // the linear-sort baseline: equal slices of an a-sort leave EVERY
+    // slice spanning b's full range — the second dimension never prunes
+    val linSpans = grid
+      .groupBy(shiftright(col("a"), 5).as("slice"))
+      .agg((max("b") - min("b")).as("sb"))
+      .select("sb").as[Long].collect()
+    assert(linSpans.forall(_ === 255L))
+  }
+
+  test("clusterWrite: range-partitioned sorted layout — files carry " +
+    "disjoint z intervals, each internally sorted") {
+    val grid = spark.range(4096L)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    val zDir = tmp("zorder_grid")
+    ZOrder.clusterWrite(grid, zDir,
+      ZOrder.mortonCode(col("a"), col("b"), 6), nFiles = 4)
+    val files = spark.read.parquet(zDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zkey").as("lo"), max("zkey").as("hi"),
+        count(lit(1)).as("n"))
+      .select("lo", "hi", "n").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(files.map(_._3).sum === 4096L)
+    // disjoint intervals: each file's min exceeds the previous file's max
+    files.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(lo2 > hi1)
+      case _ =>
+    }
+    // z survives in the output for direct range filtering
+    assert(spark.read.parquet(zDir).columns.contains("zkey"))
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}
