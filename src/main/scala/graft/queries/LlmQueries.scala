@@ -461,6 +461,37 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The ingest gate's REJECTION LEDGER: w6's exact configuration
+    // (quality floor 0.6, bench decontam at k=4, carried-state exact
+    // dedup) but the output is the per-document accounting — (doc_id,
+    // first-dropping stage, batch) — that production ingest needs to
+    // answer "why did these documents vanish?" per stage instead of by
+    // diffing counts. ONE pipeline definition: corpusIngestStep
+    // delegates to the ledger variant, so the ledger can never drift
+    // from the certified gates (w6–w13).
+    "w14_ingest_ledger" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val bench = base.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val train = base.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250).unionByName(
+        b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStepLedger(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", minQuality = 0.6, bench = Some(bench),
+        decontamK = 4)
+      val (s1, l1) = step(b1, None)
+      val (s2, l2) = step(b2, Some(s1.state))
+      l1.select(col("doc_id"), col("stage"), lit(0).as("batch"))
+        .unionByName(l2.select(col("doc_id"), col("stage"),
+          lit(1).as("batch")))
+        .orderBy("batch", "doc_id")
+    }),
+
     // Z-order (Morton) clustering key: the multi-column layout
     // technique behind ZORDER BY — interleave two dimensions' bits so
     // a range-partitioned sorted write gets tight per-file min/max on
@@ -3819,6 +3850,72 @@ object LlmQueries {
     // under the same replayed training — equality proves the generation
     // rebuild moved every stored row faithfully through the new codebook
     "a30_index_refresh" -> duckTrainedIvfSql,
+    // w6's CTE skeleton (quality floor, bench 4-grams, per-batch min-id
+    // dedup with carried state), emitting the REJECTS per stage instead
+    // of the survivors: each stage's rejects are the ids the previous
+    // stage passed and this stage didn't.
+    "w14_ingest_ledger" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents
+                         WHERE source <> 'src0'),
+              bench AS (SELECT text FROM documents WHERE source = 'src0'),
+              bws AS (SELECT $duckToks AS w FROM bench),
+              bg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT w, unnest(range(1, len(w) - 2)) AS i
+                           FROM bws WHERE len(w) >= 4)),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0),
+              q1 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b1)
+                     WHERE $duckQualityExpr >= 0.6),
+              g1 AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM (SELECT doc_id, $duckToks AS w FROM q1)
+                           WHERE len(w) >= 4)),
+              c1 AS (SELECT doc_id, text FROM q1
+                     WHERE doc_id NOT IN
+                       (SELECT doc_id FROM g1 JOIN bg USING (g))),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM c1
+                     GROUP BY md5(text)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM c1),
+              q2 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b2)
+                     WHERE $duckQualityExpr >= 0.6),
+              g2 AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+3], ' ') AS g
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                           FROM (SELECT doc_id, $duckToks AS w FROM q2)
+                           WHERE len(w) >= 4)),
+              c2 AS (SELECT doc_id, text FROM q2
+                     WHERE doc_id NOT IN
+                       (SELECT doc_id FROM g2 JOIN bg USING (g))),
+              kk2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                      FROM c2 GROUP BY 1),
+              kept2 AS (SELECT doc_id FROM kk2
+                        WHERE h NOT IN (SELECT h FROM state1)),
+              rej AS (
+                SELECT doc_id, 'quality' AS stage, 0 AS batch FROM b1
+                WHERE doc_id NOT IN (SELECT doc_id FROM q1)
+                UNION ALL
+                SELECT doc_id, 'decontam', 0 FROM q1
+                WHERE doc_id NOT IN (SELECT doc_id FROM c1)
+                UNION ALL
+                SELECT doc_id, 'duplicate', 0 FROM c1
+                WHERE doc_id NOT IN (SELECT doc_id FROM k1)
+                UNION ALL
+                SELECT doc_id, 'quality', 1 FROM b2
+                WHERE doc_id NOT IN (SELECT doc_id FROM q2)
+                UNION ALL
+                SELECT doc_id, 'decontam', 1 FROM q2
+                WHERE doc_id NOT IN (SELECT doc_id FROM c2)
+                UNION ALL
+                SELECT doc_id, 'duplicate', 1 FROM c2
+                WHERE doc_id NOT IN (SELECT doc_id FROM kept2))
+          SELECT doc_id, stage, batch FROM rej
+          ORDER BY batch, doc_id""",
     // The identical interleave arithmetic, generated by the same Scala
     // definition (ZOrder.duckMorton).
     "x101_zorder" ->

@@ -196,6 +196,48 @@ object StreamOps {
       fuzzyBands: Int = 4,
       classifierGate: Option[DataFrame] = None,
       classifierBuckets: Int = 1024): DeltaStep = {
+    val stepWithLedger = corpusIngestStepLedger(dedup, textCol, idCol,
+      minQuality, bench, decontamK, redactPii, stopwords, gopherFilter,
+      gopherMinWords, gopherMaxWords, gopherAlphaPattern, redactSecrets,
+      redactCards, dsirGate, dsirMinAffinityNum, dsirMinAffinityDen,
+      dsirBuckets, fuzzyDecontamIndex, fuzzyThreshold, fuzzyNumHashes,
+      fuzzyBands, classifierGate, classifierBuckets)
+    (batch, prior) => stepWithLedger(batch, prior)._1
+  }
+
+  /** [[corpusIngestStep]] with the REJECTION LEDGER: the same composed
+    * gate (ONE definition — corpusIngestStep delegates here), plus a
+    * per-document accounting frame (idCol, stage) naming the FIRST
+    * pipeline stage that dropped each rejected document — `quality`,
+    * `gopher`, `classifier`, `dsir`, `decontam`, `fuzzy_decontam`, or
+    * `duplicate`, in the pinned stage order. The observability layer a
+    * production ingest needs: "why did 40% of this crawl vanish?" is
+    * answered per document, per stage, instead of by diffing counts.
+    *
+    * The ledger is a LAZY frame of per-stage anti-joins: callers that
+    * ignore it (corpusIngestStep) never pay for it; callers that
+    * materialize it pay one id-level anti-join per engaged stage. */
+  def corpusIngestStepLedger(dedup: DeltaStep, textCol: String,
+      idCol: String,
+      minQuality: Double = 0.0, bench: Option[DataFrame] = None,
+      decontamK: Int = 8, redactPii: Boolean = false,
+      stopwords: Seq[String] = graft.llm.TextAnalysis.langMarkers.head._2,
+      gopherFilter: Boolean = false, gopherMinWords: Long = 50,
+      gopherMaxWords: Long = 100000,
+      gopherAlphaPattern: String = "[a-z]",
+      redactSecrets: Boolean = false,
+      redactCards: Boolean = false,
+      dsirGate: Option[(DataFrame, DataFrame)] = None,
+      dsirMinAffinityNum: Long = 11L,
+      dsirMinAffinityDen: Long = 200L,
+      dsirBuckets: Int = 1024,
+      fuzzyDecontamIndex: Option[String] = None,
+      fuzzyThreshold: Double = 0.8,
+      fuzzyNumHashes: Int = 16,
+      fuzzyBands: Int = 4,
+      classifierGate: Option[DataFrame] = None,
+      classifierBuckets: Int = 1024)
+      : (DataFrame, Option[DataFrame]) => (DeltaState, DataFrame) = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
     require(dsirMinAffinityNum >= 0 && dsirMinAffinityDen > 0,
       "dsirMinAffinity must be a non-negative rational with positive " +
@@ -293,7 +335,24 @@ object StreamOps {
           secretsDone.withColumn(textCol,
             graft.llm.Privacy.redactCardCandidates(col(textCol)))
         else secretsDone
-      DeltaState(kept, out.state)
+      // the rejection ledger: per stage, ids present before the gate
+      // and absent after — first-dropping-stage attribution falls out
+      // of the pipeline order (a doc never reaches later gates). Built
+      // lazily; disengaged stages contribute a no-op anti-join of two
+      // identical frames (provably empty)
+      val ledger = Seq(
+        ("quality", batch, qGated), ("gopher", qGated, gated),
+        ("classifier", gated, clsGated), ("dsir", clsGated, affGated),
+        ("decontam", affGated, clean),
+        ("fuzzy_decontam", clean, fuzzyClean),
+        ("duplicate", fuzzyClean, out.kept))
+        .map { case (stage, before, after) =>
+          before.select(col(idCol))
+            .join(after.select(col(idCol)), Seq(idCol), "left_anti")
+            .withColumn("stage", lit(stage))
+        }
+        .reduce(_.unionByName(_))
+      (DeltaState(kept, out.state), ledger)
     }
   }
 

@@ -139,6 +139,39 @@ class DurableIngestSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("corpusIngestStepLedger: rejects carry their FIRST-dropping " +
+    "stage in pipeline order, kept docs are absent, and the gate " +
+    "output equals corpusIngestStep's") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog naps under a warm tree all day"
+    val junk = "the of and" // fails the 0.6 quality floor
+    // quality-passing text CARRYING a benchmark 4-gram, so the doc
+    // reaches (and fails at) the decontam stage, not the quality floor
+    val leak = "the quick brown fox says alpha beta gamma delta and " +
+      "then it naps under a warm tree all day long"
+    val bench = Seq(100L ->
+      "alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("doc_id", "text")
+    // doc 4 duplicates doc 1 (duplicate); doc 5 is junk AND a duplicate
+    // of doc 3 — the quality stage sees it first, so 'quality' wins
+    val in = docs(1L -> good, 2L -> junk, 3L -> junk, 4L -> good,
+      5L -> junk, 6L -> leak)
+    val step = StreamOps.corpusIngestStepLedger(exactStep, "text",
+      "doc_id", minQuality = 0.6, bench = Some(bench), decontamK = 4)
+    val (st, ledger) = step(in, None)
+    val rows = ledger.select($"doc_id".cast("long"), $"stage")
+      .as[(Long, String)].collect().toSet
+    assert(rows === Set(2L -> "quality", 3L -> "quality",
+      5L -> "quality", 6L -> "decontam", 4L -> "duplicate"))
+    assert(st.kept.select("doc_id").as[Long].collect().toSet === Set(1L))
+    // one definition: the ledger variant's gate equals corpusIngestStep
+    val plain = StreamOps.corpusIngestStep(exactStep, "text", "doc_id",
+      minQuality = 0.6, bench = Some(bench), decontamK = 4)(in, None)
+    assert(plain.kept.select("doc_id").as[Long].collect().toSet ===
+      st.kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("corpusIngestStep: the optional model gate keeps positive-margin " +
     "docs, drops negative-margin and featureless docs, and is off by " +
     "default") {
