@@ -50,7 +50,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `pii_stats`, `pii_redact`, `decontam`, `decontam_over_index`,
   * `hll_buckets`, `label_propagate`, `perceptron_step`,
   * `wordpiece_stats`, `knn_classify_index`, `semantic_dedup_delta`,
-  * `zorder_key` — plus the index
+  * `zorder_key`, `classifier_build`, `classifier_margins_store` —
+  * plus the index
   * BUILD surface (`ivf_build_index`, `ivfpq_build_index`,
   * `neardup_build_index`, `decontam_build`, `ivf_index_mount`,
   * `dedup_minhash_salted`) and the versioned-generation lifecycle
@@ -1034,6 +1035,31 @@ object GraftExtensions {
         require(args.length == 1, u)
         plan(graft.llm.AnnIndex.readLatestIndex(SparkSession.active,
           lit2str(args.head, u)))
+      },
+      "classifier_build" -> { args =>
+        val u = "usage: classifier_build('labeled_table', 'text_col', " +
+          "'id_col', 'label_col', steps, 'dir') — perceptron-fit a " +
+          "hashed-linear classifier on the ±1-labeled table and persist " +
+          "the (weights, buckets) artifact at 'dir'; returns the weight " +
+          "table"
+        require(args.length == 6, u)
+        val Seq(t, tc, ic, lc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        val w = graft.llm.TextAnalysis.perceptronFit(s.table(t), tc, ic,
+          lc, steps = lit2int(args(4), u))
+        graft.llm.ModelStore.writeClassifier(w, 1024,
+          lit2str(args(5), u))
+        plan(w)
+      },
+      "classifier_margins_store" -> { args =>
+        val u = "usage: classifier_margins_store('table', 'text_col', " +
+          "'id_col', 'dir') — per-document integer margins under the " +
+          "STORED (weights, buckets) pair, the serve entry that cannot " +
+          "mis-hash"
+        require(args.length == 4, u)
+        val Seq(t, tc, ic, dir) = args.map(lit2str(_, u))
+        plan(graft.llm.ModelStore.classifierMarginsOverStore(
+          SparkSession.active.table(t), tc, ic, dir))
       },
       "zorder_key" -> { args =>
         val u = "usage: zorder_key('table', 'a_col', 'b_col', bits) — " +

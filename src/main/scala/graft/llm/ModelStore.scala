@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted model artifacts for the trained text operators — the
+  * encode-once / serve-many discipline ([[AnnIndex]], [[DedupIndex]],
+  * [[DecontamIndex]]) applied to the MODELS the pipeline trains:
+  *
+  *  - a hashed-linear classifier is a (bucket, w) weight table PLUS the
+  *    bucket count it hashes under — probing stored weights with a
+  *    different `buckets` mis-hashes every feature and silently scores
+  *    garbage (the same silent-mismatch class the DedupIndex build-meta
+  *    guard closes), so the artifact records `buckets` and serving
+  *    reads it back instead of trusting the caller;
+  *  - a BPE tokenizer is its ORDERED merge list — rank must round-trip
+  *    exactly, or apply-time merge order (and therefore every token
+  *    boundary) drifts from training.
+  *
+  * Metadata swaps follow the [[DecontamIndex]] `meta_next` discipline:
+  * the new row lands durably beside the live one, then delete + rename
+  * completes — a reader can always finish an interrupted swap. */
+object ModelStore {
+
+  private def swapDir(spark: SparkSession, dir: String, name: String,
+      write: String => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    write(next.toString)
+    fs.delete(live, true)
+    fs.rename(next, live)
+    ()
+  }
+
+  private def healRead(spark: SparkSession, dir: String, name: String)
+      : String = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) {
+      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
+      require(fs.exists(next),
+        s"model artifact at $dir carries no $name — not an artifact, " +
+          "or its build never completed")
+      fs.rename(next, live) // finish the interrupted swap
+    }
+    live.toString
+  }
+
+  /** Persist a hashed-linear classifier: the weight table and the
+    * bucket count it was trained under ([[TextAnalysis.perceptronFit]]
+    * output, or any compatible (bucket, w) table). Weights land first,
+    * the meta swap publishes them. */
+  def writeClassifier(weights: DataFrame, buckets: Int,
+      dir: String): Unit = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val spark = weights.sparkSession
+    import spark.implicits._
+    swapDir(spark, dir, "weights", p =>
+      weights.select(col("bucket").cast("long"), col("w").cast("long"))
+        .write.mode(SaveMode.Overwrite).parquet(p))
+    swapDir(spark, dir, "meta", p =>
+      Seq(buckets).toDF("buckets").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(p))
+  }
+
+  /** Read a classifier back: (weights, buckets) — the matched pair, so
+    * a caller can never pair stored weights with the wrong hash width. */
+  def readClassifier(spark: SparkSession, dir: String)
+      : (DataFrame, Int) = {
+    val buckets = spark.read.parquet(healRead(spark, dir, "meta"))
+      .select(col("buckets").cast("int")).head().getInt(0)
+    (spark.read.parquet(healRead(spark, dir, "weights"))
+      .select(col("bucket"), col("w")), buckets)
+  }
+
+  /** [[TextAnalysis.classifierMargins]] under the STORED hash width —
+    * the serve entry that cannot mis-hash. */
+  def classifierMarginsOverStore(df: DataFrame, textCol: String,
+      idCol: String, dir: String): DataFrame = {
+    val (w, buckets) = readClassifier(df.sparkSession, dir)
+    TextAnalysis.classifierMargins(df, textCol, idCol, w, buckets)
+  }
+
+  /** Persist an ORDERED BPE merge list ([[Bpe.train]] output) as
+    * (rank, a, b) rows — rank is the apply order and must round-trip
+    * exactly. */
+  def writeBpeMerges(spark: SparkSession,
+      merges: Seq[(String, String)], dir: String): Unit = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    import spark.implicits._
+    swapDir(spark, dir, "merges", p =>
+      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "a", "b").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(p))
+  }
+
+  /** Read a merge list back in training order. Driver-sized by
+    * construction — a merge list is vocabulary-scale, never corpus-
+    * scale. */
+  def readBpeMerges(spark: SparkSession, dir: String)
+      : Seq[(String, String)] =
+    spark.read.parquet(healRead(spark, dir, "merges"))
+      .select(col("rank").cast("int"), col("a"), col("b"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+}

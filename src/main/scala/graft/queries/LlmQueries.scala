@@ -1107,6 +1107,44 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // Tokenizer ARTIFACT round-trip: the ordered BPE merge list is
+    // persisted (rank, a, b — the ModelStore encode-once discipline for
+    // models), read back, and applied; the oracle is x56's apply chain
+    // VERBATIM, so any rank/order corruption in the store shifts a
+    // merge and hash-fails the row.
+    "x102_bpe_store" -> ((s, dir) => {
+      val mdir = java.nio.file.Files
+        .createTempDirectory("x102_bpe").toString
+      graft.llm.ModelStore.writeBpeMerges(s, BpeMerges, mdir)
+      val merges = graft.llm.ModelStore.readBpeMerges(s, mdir)
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          array_join(graft.llm.Bpe.tokenizeCol(col("text"), merges), " ")
+            .as("tokens"))
+        .orderBy("id")
+    }),
+
+    // Classifier ARTIFACT round-trip: x89's trained weights persist
+    // WITH the bucket count they hash under (the matched pair — stored
+    // weights probed at a different hash width mis-hash every feature
+    // and silently score garbage), read back, and evaluate the same
+    // holdout; the oracle is x89's VERBATIM.
+    "x103_classifier_store" -> ((s, dir) => {
+      val lab = t(s, dir, "documents").withColumn("y",
+        when(col("source") === "src1", 1).otherwise(-1))
+      val w = graft.llm.TextAnalysis.perceptronFit(
+        lab.filter(col("doc_id") % 2 === 0), "text", "doc_id", "y",
+        steps = 2)
+      val mdir = java.nio.file.Files
+        .createTempDirectory("x103_cls").toString
+      graft.llm.ModelStore.writeClassifier(w, 1024, mdir)
+      val (stored, buckets) = graft.llm.ModelStore.readClassifier(s, mdir)
+      graft.llm.TextAnalysis.classifierEval(
+          lab.filter(col("doc_id") % 2 === 1), "text", "doc_id", "y",
+          stored, buckets)
+        .orderBy("label", "pred")
+    }),
+
     // The STREAMING INGEST GATE oracle-certified end-to-end (x14 did this
     // for the batch pipeline): corpusIngestStep composes quality floor →
     // benchmark decontamination → incremental exact dedup → PII redaction
@@ -2657,6 +2695,41 @@ object LlmQueries {
       case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
     }
   private val duckBpeChain: String = duckBpeChainFrom(BpeMerges)
+
+  /** x56's full oracle — shared verbatim by x102 (store round-trip):
+    * the stored merges must apply EXACTLY as the in-memory list. */
+  private lazy val duckBpeTokenizeSql: String =
+    s"""SELECT doc_id AS id,
+               array_to_string(flatten(list_transform(
+                 list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+                             w -> w <> ''),
+                 w -> list_filter(string_split($duckBpeChain, ' '),
+                                  x -> x <> ''))), ' ') AS tokens
+        FROM documents ORDER BY id"""
+
+  /** x89's full oracle — shared verbatim by x103 (store round-trip):
+    * the stored (weights, buckets) pair must score EXACTLY as the
+    * freshly trained one. Two generated training rounds on the even-id
+    * split, then sign-of-margin confusion on the odd-id holdout. */
+  private lazy val duckClassifierEvalSql: String =
+    s"""WITH $duckQcCtes,
+            ${duckPerceptronRoundCtes(2, "doc_id % 2 = 0")},
+            evl AS (SELECT doc_id,
+                      CASE WHEN source = 'src1' THEN 1 ELSE -1 END
+                        AS label
+                    FROM documents WHERE doc_id % 2 = 1),
+            emarg AS (SELECT db.doc_id,
+                        CAST(sum(db.m * w2.w) AS BIGINT) AS margin
+                      FROM db JOIN w2 ON db.b = w2.b
+                      JOIN evl ON db.doc_id = evl.doc_id
+                      GROUP BY 1),
+            pr AS (SELECT e.label,
+                     CASE WHEN coalesce(m.margin, 0) > 0 THEN 1
+                          ELSE -1 END AS pred
+                   FROM evl e LEFT JOIN emarg m ON e.doc_id = m.doc_id)
+       SELECT CAST(label AS BIGINT) AS label,
+              CAST(pred AS BIGINT) AS pred, count(*) AS n
+       FROM pr GROUP BY 1, 2 ORDER BY label, pred"""
 
   /** The certified x1 composite quality score over CTE columns `text` +
     * `w` (the token list) — the same formula inlined by the x1/x33/x51/
@@ -4573,14 +4646,10 @@ object LlmQueries {
     // bucketed index tables — query-over-index ≡ recompute, so the
     // oracle is x55's verbatim.
     "d11_neardup_index" -> duckNeardupDeltaSql,
-    "x56_bpe_tokenize" ->
-      s"""SELECT doc_id AS id,
-                 array_to_string(flatten(list_transform(
-                   list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
-                               w -> w <> ''),
-                   w -> list_filter(string_split($duckBpeChain, ' '),
-                                    x -> x <> ''))), ' ') AS tokens
-          FROM documents ORDER BY id""",
+    "x56_bpe_tokenize" -> duckBpeTokenizeSql,
+    // the round-trip query's certified property IS x56's oracle: the
+    // merges pass through the store and apply identically
+    "x102_bpe_store" -> duckBpeTokenizeSql,
     "x57_bpe_train" -> duckBpeTrainSql(BpeTrainSteps),
     // Replays the DSIR machinery in integer space: same md5 bucket fold
     // (duckHex32), same bigram features, same add-nothing count joins.
@@ -5350,25 +5419,11 @@ object LlmQueries {
     // Two rounds trained on the even-id half (the same generated round
     // CTEs, doc-filtered), then sign-of-margin predictions on the
     // held-out odd-id half aggregated to the confusion table.
-    "x89_classifier_eval" ->
-      s"""WITH $duckQcCtes,
-              ${duckPerceptronRoundCtes(2, "doc_id % 2 = 0")},
-              evl AS (SELECT doc_id,
-                        CASE WHEN source = 'src1' THEN 1 ELSE -1 END
-                          AS label
-                      FROM documents WHERE doc_id % 2 = 1),
-              emarg AS (SELECT db.doc_id,
-                          CAST(sum(db.m * w2.w) AS BIGINT) AS margin
-                        FROM db JOIN w2 ON db.b = w2.b
-                        JOIN evl ON db.doc_id = evl.doc_id
-                        GROUP BY 1),
-              pr AS (SELECT e.label,
-                       CASE WHEN coalesce(m.margin, 0) > 0 THEN 1
-                            ELSE -1 END AS pred
-                     FROM evl e LEFT JOIN emarg m ON e.doc_id = m.doc_id)
-         SELECT CAST(label AS BIGINT) AS label,
-                CAST(pred AS BIGINT) AS pred, count(*) AS n
-         FROM pr GROUP BY 1, 2 ORDER BY label, pred""",
+    "x89_classifier_eval" -> duckClassifierEvalSql,
+    // the round-trip query's certified property IS x89's oracle: the
+    // (weights, buckets) pair passes through the store and scores
+    // identically
+    "x103_classifier_store" -> duckClassifierEvalSql,
     // Same tokenization, same (doc, type) count table, same integer
     // frequency-spectrum sums; ttr is the single shared IEEE division.
     "x91_lexical_diversity" ->

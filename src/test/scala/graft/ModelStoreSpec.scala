@@ -1,0 +1,57 @@
+package graft
+
+import graft.llm.ModelStore
+import org.apache.spark.sql.functions._
+
+/** Persisted model artifacts: the classifier's (weights, buckets) pair
+  * and the BPE merge order must round-trip exactly, and interrupted
+  * metadata swaps must heal on read. */
+class ModelStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("classifier store: the matched (weights, buckets) pair " +
+    "round-trips, and margins over the store equal the direct operator") {
+    val dir = tmp("cls_store")
+    val w = Seq((0L, 5L), (1L, -3L), (7L, 2L)).toDF("bucket", "w")
+    ModelStore.writeClassifier(w, 8, dir)
+    val (stored, buckets) = ModelStore.readClassifier(spark, dir)
+    assert(buckets === 8)
+    assert(stored.as[(Long, Long)].collect().toSet ===
+      Set((0L, 5L), (1L, -3L), (7L, 2L)))
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val direct = graft.llm.TextAnalysis.classifierMargins(
+      docs, "text", "doc_id", w, 8).collect().map(_.toSeq).toSet
+    val over = ModelStore.classifierMarginsOverStore(
+      docs, "text", "doc_id", dir).collect().map(_.toSeq).toSet
+    assert(over === direct)
+  }
+
+  test("classifier store: an interrupted meta swap (live deleted, next " +
+    "complete) heals on the next read") {
+    val dir = tmp("cls_heal")
+    ModelStore.writeClassifier(
+      Seq((0L, 1L)).toDF("bucket", "w"), 16, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: meta vanished, meta_next holds the row
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/meta"),
+      new org.apache.hadoop.fs.Path(s"$dir/meta_next"))
+    assert(ModelStore.readClassifier(spark, dir)._2 === 16)
+    // healed: the live name exists again
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")))
+  }
+
+  test("bpe store: merge ORDER round-trips exactly (rank is the apply " +
+    "order — a reorder shifts every later merge)") {
+    val dir = tmp("bpe_store")
+    val merges = Seq("a" -> "b", "ab" -> "c", "x" -> "y", "ab" -> "ab")
+    ModelStore.writeBpeMerges(spark, merges, dir)
+    assert(ModelStore.readBpeMerges(spark, dir) === merges)
+    // overwrite replaces, never appends
+    ModelStore.writeBpeMerges(spark, merges.reverse, dir)
+    assert(ModelStore.readBpeMerges(spark, dir) === merges.reverse)
+  }
+}

@@ -635,9 +635,27 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM zorder_key('tvf7_q', 'vec_id', 'label', 4)",
         q.withColumn("zkey", graft.operators.ZOrder.mortonCode(
           col("vec_id"), col("label"), 4)))
+      // classifier lifecycle in SQL: fit + persist, then serve margins
+      // from the stored matched pair
+      val allDocs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val lab = allDocs.withColumn("y",
+        when(col("source") === "src1", 1).otherwise(-1))
+      lab.createOrReplaceTempView("tvf7_lab")
+      val clsStore = tmp("tvf7_cls_store")
+      val wTvf = spark.sql("SELECT * FROM classifier_build('tvf7_lab', " +
+        s"'text', 'doc_id', 'y', 2, '$clsStore')")
+      val wDirect = graft.llm.TextAnalysis.perceptronFit(lab, "text",
+        "doc_id", "y", steps = 2)
+      assert(wTvf.collect().map(_.toSeq).toSet ===
+        wDirect.collect().map(_.toSeq).toSet)
+      check("SELECT * FROM classifier_margins_store('tvf7_docs', " +
+          s"'text', 'doc_id', '$clsStore')",
+        graft.llm.TextAnalysis.classifierMargins(docs, "text", "doc_id",
+          wDirect, 1024))
     } finally {
       Seq("tvf7_docs", "tvf7_emb", "tvf7_q", "tvf7_cls_idx",
-          "tvf7_sem_idx", "tvf7_sem_batch")
+          "tvf7_sem_idx", "tvf7_sem_batch", "tvf7_lab")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
     }
