@@ -1045,9 +1045,13 @@ object GraftExtensions {
         require(args.length == 6, u)
         val Seq(t, tc, ic, lc) = args.take(4).map(lit2str(_, u))
         val s = SparkSession.active
+        // ONE width constant feeds both the training and the artifact —
+        // the matched pair must be matched by construction, not by two
+        // distant literals happening to agree
+        val buckets = 1024
         val w = graft.llm.TextAnalysis.perceptronFit(s.table(t), tc, ic,
-          lc, steps = lit2int(args(4), u))
-        graft.llm.ModelStore.writeClassifier(w, 1024,
+          lc, steps = lit2int(args(4), u), buckets = buckets)
+        graft.llm.ModelStore.writeClassifier(w, buckets,
           lit2str(args(5), u))
         plan(w)
       },
@@ -1070,6 +1074,9 @@ object GraftExtensions {
         require(args.length == 4, u)
         val Seq(t, a, b) = args.take(3).map(lit2str(_, u))
         val d = SparkSession.active.table(t)
+        require(!d.columns.contains("zkey"),
+          s"table $t already carries a zkey column — it would be " +
+            "silently clobbered (clusterWrite refuses the same input)")
         plan(d.withColumn("zkey", graft.operators.ZOrder.mortonCode(
           org.apache.spark.sql.functions.col(a),
           org.apache.spark.sql.functions.col(b), lit2int(args(3), u))))

@@ -22,14 +22,25 @@ import org.apache.spark.sql.functions._
   * completes — a reader can always finish an interrupted swap. */
 object ModelStore {
 
+  /** Swap-publish a directory: the writer lambda fills `<name>_next`
+    * completely, then delete + rename moves it live. Hadoop delete and
+    * rename report failure by RETURNING FALSE, not by throwing — an
+    * unchecked false rename would leave the stale artifact live while
+    * the write "succeeds", so both results are required loud. */
   private def swapDir(spark: SparkSession, dir: String, name: String,
       write: String => Unit): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
     val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(next, true) // a dead prior attempt must not pollute ours
     write(next.toString)
-    fs.delete(live, true)
-    fs.rename(next, live)
+    if (fs.exists(live))
+      require(fs.delete(live, true),
+        s"could not retire the live $name at $dir — swap aborted with " +
+          "the old artifact still live")
+    require(fs.rename(next, live),
+      s"could not publish $name at $dir — the artifact is in " +
+        s"${name}_next; re-run the write or rename it manually")
     ()
   }
 
@@ -42,35 +53,40 @@ object ModelStore {
       require(fs.exists(next),
         s"model artifact at $dir carries no $name — not an artifact, " +
           "or its build never completed")
-      fs.rename(next, live) // finish the interrupted swap
+      require(fs.rename(next, live), // finish the interrupted swap
+        s"could not heal the interrupted $name swap at $dir")
     }
     live.toString
   }
 
   /** Persist a hashed-linear classifier: the weight table and the
     * bucket count it was trained under ([[TextAnalysis.perceptronFit]]
-    * output, or any compatible (bucket, w) table). Weights land first,
-    * the meta swap publishes them. */
+    * output, or any compatible (bucket, w) table). Weights AND meta
+    * land inside ONE swapped directory — publishing them as two swaps
+    * would open a crash/read window pairing new weights with a stale
+    * bucket count, exactly the silent mis-hash this store exists to
+    * prevent. */
   def writeClassifier(weights: DataFrame, buckets: Int,
       dir: String): Unit = {
     require(buckets > 0, s"buckets ($buckets) must be positive")
     val spark = weights.sparkSession
     import spark.implicits._
-    swapDir(spark, dir, "weights", p =>
+    swapDir(spark, dir, "model", { p =>
       weights.select(col("bucket").cast("long"), col("w").cast("long"))
-        .write.mode(SaveMode.Overwrite).parquet(p))
-    swapDir(spark, dir, "meta", p =>
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/weights")
       Seq(buckets).toDF("buckets").coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(p))
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/meta")
+    })
   }
 
   /** Read a classifier back: (weights, buckets) — the matched pair, so
     * a caller can never pair stored weights with the wrong hash width. */
   def readClassifier(spark: SparkSession, dir: String)
       : (DataFrame, Int) = {
-    val buckets = spark.read.parquet(healRead(spark, dir, "meta"))
+    val root = healRead(spark, dir, "model")
+    val buckets = spark.read.parquet(s"$root/meta")
       .select(col("buckets").cast("int")).head().getInt(0)
-    (spark.read.parquet(healRead(spark, dir, "weights"))
+    (spark.read.parquet(s"$root/weights")
       .select(col("bucket"), col("w")), buckets)
   }
 

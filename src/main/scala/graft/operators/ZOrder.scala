@@ -36,12 +36,16 @@ object ZOrder {
   }
 
   /** [[mortonCode]] as generated DuckDB SQL over the given operand
-    * expressions — one definition feeds both engines. */
+    * expressions — one definition feeds both engines. The operands are
+    * widened to BIGINT exactly as the Column version's `cast("long")`:
+    * without it an INTEGER operand at bits > 15 shifts past 32 bits and
+    * the generated arithmetic overflows where Spark's does not. */
   def duckMorton(a: String, b: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits ($bits) must be in [1, 31]")
+    val (wa, wb) = (s"CAST(($a) AS BIGINT)", s"CAST(($b) AS BIGINT)")
     (0 until bits).map(i =>
-      s"(((($a) >> $i) & 1) << ${2 * i + 1}) + " +
-        s"(((($b) >> $i) & 1) << ${2 * i})").mkString(" + ")
+      s"((($wa >> $i) & 1) << ${2 * i + 1}) + " +
+        s"((($wb >> $i) & 1) << ${2 * i})").mkString(" + ")
   }
 
   /** Write `df` z-clustered on the given Morton key: range-partition

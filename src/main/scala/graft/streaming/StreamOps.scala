@@ -196,12 +196,22 @@ object StreamOps {
       fuzzyBands: Int = 4,
       classifierGate: Option[DataFrame] = None,
       classifierBuckets: Int = 1024): DeltaStep = {
+    // named forwarding: a positional list of 20+ arguments would let a
+    // swapped same-typed pair (fuzzyNumHashes/fuzzyBands) compile and
+    // ship silently
     val stepWithLedger = corpusIngestStepLedger(dedup, textCol, idCol,
-      minQuality, bench, decontamK, redactPii, stopwords, gopherFilter,
-      gopherMinWords, gopherMaxWords, gopherAlphaPattern, redactSecrets,
-      redactCards, dsirGate, dsirMinAffinityNum, dsirMinAffinityDen,
-      dsirBuckets, fuzzyDecontamIndex, fuzzyThreshold, fuzzyNumHashes,
-      fuzzyBands, classifierGate, classifierBuckets)
+      minQuality = minQuality, bench = bench, decontamK = decontamK,
+      redactPii = redactPii, stopwords = stopwords,
+      gopherFilter = gopherFilter, gopherMinWords = gopherMinWords,
+      gopherMaxWords = gopherMaxWords,
+      gopherAlphaPattern = gopherAlphaPattern,
+      redactSecrets = redactSecrets, redactCards = redactCards,
+      dsirGate = dsirGate, dsirMinAffinityNum = dsirMinAffinityNum,
+      dsirMinAffinityDen = dsirMinAffinityDen, dsirBuckets = dsirBuckets,
+      fuzzyDecontamIndex = fuzzyDecontamIndex,
+      fuzzyThreshold = fuzzyThreshold, fuzzyNumHashes = fuzzyNumHashes,
+      fuzzyBands = fuzzyBands, classifierGate = classifierGate,
+      classifierBuckets = classifierBuckets)
     (batch, prior) => stepWithLedger(batch, prior)._1
   }
 
@@ -506,25 +516,71 @@ object StreamOps {
       s"$outDir/_applied/batch=$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return // completed batch: fully durable
-    val priorBatches = graft.llm.AnnIndex.appliedBatches(spark, base)
-      .exists(_ < batchId)
-    val priorFolds = graft.llm.AnnIndex.appliedFolds(spark, base).nonEmpty
+    // the codebook is PART of this index: a driver restart with
+    // different quantizer params would assign batch cells under one
+    // codebook and join them against cells assigned under another —
+    // true neighbors land in different cells and duplicates stream
+    // through silently. The first batch persists the codebook
+    // (write-then-rename, so a crashed first attempt never leaves a
+    // torn artifact); every later batch must match it loud.
+    val cents =
+      centroids.getOrElse(graft.llm.Similarity.seedCentroids(nlist, dims))
+    val cpath = new org.apache.hadoop.fs.Path(s"$base/centroids")
+    if (!fs.exists(cpath)) {
+      val next = new org.apache.hadoop.fs.Path(s"$base/centroids_next")
+      fs.delete(next, true)
+      graft.llm.AnnIndex.writeCentroids(spark, cents, next.toString)
+      require(fs.rename(next, cpath),
+        s"could not publish the codebook at $cpath")
+    } else
+      require(graft.llm.AnnIndex.readCentroids(spark,
+        cpath.toString) == cents,
+        s"quantizer mismatch: the index at $base was built under a " +
+          "different codebook (nlist/dims/centroids) than this batch's " +
+          "— duplicates would pass the screen silently")
     // first batch: no history — an empty frame with the index schema
     // turns the cross screen into a no-op and only the within-batch
     // smaller-id rule applies
+    val priorBatches = graft.llm.AnnIndex.appliedBatches(spark, base)
+      .exists(_ < batchId)
+    val priorFolds = graft.llm.AnnIndex.appliedFolds(spark, base).nonEmpty
     val index =
       if (priorBatches || priorFolds)
         graft.llm.AnnIndex.readBatchedIndex(spark, base,
           belowBatch = Some(batchId))
       else graft.llm.AnnIndex.encodeIvf(batch.limit(0), idCol, vecCol,
-        nlist, dims, centroids)
-    graft.llm.AnnIndex.semanticDedupDelta(index, batch, idCol, vecCol,
-        minCos, nlist, dims, centroids)
+        nlist, dims, Some(cents))
+    // exclude this batch's OWN ids from the screen: belowBatch hides the
+    // batch's directory, but a fold run inside the crash window (index
+    // appended+marked, output marker missing) absorbs those rows into a
+    // fold directory that belowBatch cannot exclude — the replay would
+    // then self-match at cosine 1.0 and permanently write an EMPTY
+    // output. Id-level exclusion keeps every crash+fold interleaving
+    // replaying to the identical output (ids are unique by contract).
+    val priorOnly = index.join(batch.select(col(idCol)), Seq(idCol),
+      "left_anti")
+    graft.llm.AnnIndex.semanticDedupDelta(priorOnly, batch, idCol,
+        vecCol, minCos, nlist, dims, Some(cents))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
     val kept = spark.read.parquet(s"$outDir/batch=$batchId")
-    graft.llm.AnnIndex.ingestIndexBatch(
-      graft.llm.AnnIndex.encodeIvf(kept, idCol, vecCol, nlist, dims,
-        centroids), base, batchId)
+    // append only rows the mounted index does not already hold: in the
+    // fold-inside-the-crash-window interleaving the batch's rows were
+    // absorbed into a fold AND its batch marker retired, so a plain
+    // re-append would double every row (two of a query's k ranks). A
+    // replayed batch whose rows are all present appends nothing and
+    // just re-marks the output.
+    val anyApplied =
+      graft.llm.AnnIndex.appliedBatches(spark, base).nonEmpty ||
+        graft.llm.AnnIndex.appliedFolds(spark, base).nonEmpty
+    val keptNew =
+      if (anyApplied)
+        kept.join(graft.llm.AnnIndex.readBatchedIndex(spark, base)
+          .select(col(idCol)), Seq(idCol), "left_anti")
+      else kept
+    if (!keptNew.isEmpty)
+      graft.llm.AnnIndex.ingestIndexBatch(
+        graft.llm.AnnIndex.encodeIvf(keptNew, idCol, vecCol, nlist, dims,
+          Some(cents)), base, batchId)
     fs.mkdirs(marker)
     ()
   }

@@ -415,6 +415,28 @@ class AnnIndexSpec extends SparkSpec {
     // the index holds exactly the kept union — no double-append
     assert(AnnIndex.readBatchedIndex(spark, base).count() ===
       250L + first.size)
+    // the NASTIEST interleaving: same crash window, but a fold runs
+    // before the replay — the batch's rows now live in a fold directory
+    // the belowBatch filter cannot exclude; the id-level self-exclusion
+    // must still replay the identical output
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_applied/batch=1"),
+      true)
+    AnnIndex.foldBatches(spark, base, "vec_id")
+    graft.streaming.StreamOps.ingestSemanticDedupBatch(b1, 1L, base, out,
+      "vec_id", "embedding", 0.99)
+    assert(kept1() === first)
+    // ...and the replay did NOT re-append the fold-absorbed rows: the
+    // index still holds exactly the kept union, duplicate-free
+    assert(AnnIndex.readBatchedIndex(spark, base).count() ===
+      250L + first.size)
+    // a restart under a DIFFERENT quantizer fails loud, never screens
+    // under mismatched cells
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.ingestSemanticDedupBatch(
+        emb.filter(col("vec_id") < 3).select("vec_id", "embedding"), 2L,
+        base, out, "vec_id", "embedding", 0.99, nlist = 4)
+    }
+    assert(e.getMessage.contains("quantizer mismatch"))
   }
 
   test("versioned generations: migration re-encodes stored rows under a " +

@@ -29,19 +29,25 @@ class ModelStoreSpec extends SparkSpec {
     assert(over === direct)
   }
 
-  test("classifier store: an interrupted meta swap (live deleted, next " +
-    "complete) heals on the next read") {
+  test("classifier store: an interrupted model swap (live deleted, next " +
+    "complete) heals on the next read, and weights+meta publish as ONE " +
+    "unit — never a new-weights/stale-buckets pair") {
     val dir = tmp("cls_heal")
     ModelStore.writeClassifier(
       Seq((0L, 1L)).toDF("bucket", "w"), 16, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate the crash window: meta vanished, meta_next holds the row
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/meta"),
-      new org.apache.hadoop.fs.Path(s"$dir/meta_next"))
+    // simulate the crash window: model vanished, model_next holds it
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/model"),
+      new org.apache.hadoop.fs.Path(s"$dir/model_next"))
     assert(ModelStore.readClassifier(spark, dir)._2 === 16)
     // healed: the live name exists again
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/model")))
+    // a retrain with a different width replaces the WHOLE pair
+    ModelStore.writeClassifier(
+      Seq((0L, 1L), (5L, 2L)).toDF("bucket", "w"), 32, dir)
+    val (w2, b2) = ModelStore.readClassifier(spark, dir)
+    assert(b2 === 32 && w2.count() === 2)
   }
 
   test("bpe store: merge ORDER round-trips exactly (rank is the apply " +
