@@ -806,8 +806,11 @@ object GraftExtensions {
         require(args.length >= 4 && args.length <= 6, u)
         val Seq(ct, ic, vc, path) = args.take(4).map(lit2str(_, u))
         val s = SparkSession.active
+        // tolerate 'label, license' / trailing commas — an untrimmed
+        // ' license' would surface as a baffling column-resolution error
         val attrs = args.lift(5).map(lit2str(_, u))
-          .map(_.split(',').toSeq).getOrElse(Nil)
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
         graft.llm.AnnIndex.writeIndex(
           graft.llm.AnnIndex.encodeIvf(s.table(ct), ic, vc,
             nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8),
@@ -911,6 +914,35 @@ object GraftExtensions {
         val s = SparkSession.active
         plan(graft.llm.DedupIndex.crossNeardupOverIndex(s, base,
           s.table(pt), tc, ic, lit2dbl(args(4), u)))
+      },
+      "decontam_fuzzy_salted" -> { args =>
+        val u = "usage: decontam_fuzzy_salted('index_base', " +
+          "'probe_table', 'text_col', 'id_col', threshold[, salts]) — " +
+          "decontam_fuzzy_over_index with the RECALL-PRESERVING salted " +
+          "hot path: candidate pairs equal an uncapped probe (hot " +
+          "boilerplate buckets are processed across salted reducers, " +
+          "never dropped) — the gate shape, since a dropped bucket is " +
+          "an admitted leak"
+        require(args.length == 5 || args.length == 6, u)
+        val Seq(base, pt, tc, ic) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.DedupIndex.crossNeardupOverIndexSalted(s, base,
+          s.table(pt), tc, ic, lit2dbl(args(4), u),
+          salts = args.lift(5).map(lit2int(_, u)).getOrElse(8)))
+      },
+      "neardup_index_stamp_meta" -> { args =>
+        val u = "usage: neardup_index_stamp_meta('index_base', " +
+          "num_hashes, bands, k) — backfills the build-params meta " +
+          "table onto a PRE-META near-dup/decontam index (params " +
+          "verified against the stored table shape where derivable) so " +
+          "every later probe can fail loud on a mismatch; returns the " +
+          "stamped meta row"
+        require(args.length == 4, u)
+        val base = lit2str(args(0), u)
+        val s = SparkSession.active
+        graft.llm.DedupIndex.stampMeta(s, base, lit2int(args(1), u),
+          lit2int(args(2), u), lit2int(args(3), u))
+        plan(s.table(s"${base}_meta"))
       },
       "decontam_append" -> { args =>
         val u = "usage: decontam_append('bench', 'text_col', 'id_col', " +

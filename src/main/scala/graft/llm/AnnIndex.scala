@@ -643,8 +643,18 @@ object AnnIndex {
     val live = new org.apache.hadoop.fs.Path(s"$base/LATEST")
     val next = new org.apache.hadoop.fs.Path(s"$base/LATEST_next")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(live, true)
-    fs.rename(next, live)
+    // Hadoop FS reports failure by RETURNING false, not throwing — an
+    // unchecked delete/rename would leave the OLD generation live while
+    // this method returns success, the exact silent-stale-artifact
+    // failure the swap exists to prevent. Fail LOUD instead (the
+    // ModelStore.swapDir discipline); LATEST_next survives a failed
+    // swap, so latestVersion's healing completes it on the next read.
+    require(fs.delete(live, true) || !fs.exists(live),
+      s"repointLatest: could not delete live pointer $live — aborting " +
+        s"the publish of v$version (the previous generation stays live)")
+    require(fs.rename(next, live),
+      s"repointLatest: rename $next -> $live failed — v$version is " +
+        "written but NOT live; a subsequent read heals from LATEST_next")
     ()
   }
 

@@ -70,10 +70,28 @@ object DedupIndex {
   def writeState(sigs: DataFrame, idCol: String, base: String,
       numHashes: Int = 16, bands: Int = 4, nBuckets: Int = 8,
       batchId: Long = -1L, k: Int = 3): Unit = {
+    // drop any STALE meta before the sig tables are rewritten: a crash
+    // mid-rebuild must never leave new sigs guarded by the previous
+    // build's params (a probe using the old params would pass the guard
+    // yet compute incompatible band keys and silently match nothing —
+    // the silent zero the meta table exists to prevent). The torn state
+    // is instead sigs-without-meta, which stampMeta can re-certify.
+    // A rebuild also retires any interrupted compaction first: healing
+    // completes a committed swap, and the leftover __compact twins are
+    // dropped so a LATER heal can never mistake them for an in-flight
+    // swap and clobber the fresh tables with stale compacted ones.
+    healCompact(sigs.sparkSession, base)
+    for (suffix <- Seq("_sigs", "_bands"))
+      sigs.sparkSession.sql(
+        s"DROP TABLE IF EXISTS `${base}__compact$suffix`")
+    dropMeta(sigs.sparkSession, base)
     writeStateTagged(sigs.withColumn("_ib", lit(batchId)), idCol, base,
       numHashes, bands, nBuckets)
     writeBuildMeta(sigs.sparkSession, base, numHashes, bands, k)
   }
+
+  private def dropMeta(spark: SparkSession, base: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `${base}_meta`")
 
   /** Record how the index was built. The probe MUST shingle and band
     * exactly as the build did: a mismatched `bands` (or `numHashes`/`k`)
@@ -101,12 +119,61 @@ object DedupIndex {
       .write.mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
+  /** Backfill the `_meta` build-params table onto a PRE-META artifact
+    * (one written before [[writeBuildMeta]] existed), so every probe
+    * path can [[requireBuildParams]] on it instead of trusting the
+    * caller forever. The caller supplies the params ONCE; everything
+    * derivable from the table shape is verified before the stamp lands:
+    *  - `numHashes` against the `sig_*` column count of `<base>_sigs`;
+    *  - `bands` against the distinct band indices actually present in
+    *    `<base>_bands` (every `bkey` is `band ':' ...`, so the band
+    *    count is in the data) AND divisibility;
+    *  - `k` is the shingle width — not recoverable from signatures, so
+    *    it is recorded as given (the one residual trust-the-caller bit,
+    *    now paid once at migration instead of on every probe).
+    * Refuses to restamp an artifact that already carries meta — the
+    * recorded params are authoritative; a disagreeing caller is exactly
+    * who the guard exists to stop. */
+  def stampMeta(spark: SparkSession, base: String, numHashes: Int,
+      bands: Int, k: Int): Unit = {
+    require(!spark.catalog.tableExists(s"${base}_meta"),
+      s"$base already carries build-params meta — refusing to restamp " +
+        "(drop the _meta table first if the artifact was truly rebuilt)")
+    val sigCols = spark.table(s"${base}_sigs").columns
+      .count(_.startsWith("sig_"))
+    require(sigCols == numHashes,
+      s"stampMeta: numHashes=$numHashes but ${base}_sigs carries " +
+        s"$sigCols sig_* columns — wrong params would bless silent-zero " +
+        "probes, the failure meta exists to prevent")
+    require(numHashes % bands == 0,
+      s"stampMeta: numHashes ($numHashes) must be divisible by bands " +
+        s"($bands)")
+    val bandIdx = spark.table(s"${base}_bands")
+      .select(split(col("bkey"), ":").getItem(0).cast("int").as("b"))
+      .agg(countDistinct(col("b")).as("n"), max(col("b")).as("mx"))
+      .head()
+    // an empty band table derives nothing — stamp as given; otherwise
+    // the distinct band indices must be exactly 0..bands-1
+    require(bandIdx.isNullAt(1) ||
+      (bandIdx.getLong(0) == bands.toLong &&
+        bandIdx.getInt(1) == bands - 1),
+      s"stampMeta: bands=$bands but ${base}_bands holds " +
+        s"${if (bandIdx.isNullAt(1)) 0 else bandIdx.getLong(0)} distinct " +
+        "band indices — the artifact was banded differently")
+    writeBuildMeta(spark, base, numHashes, bands, k)
+  }
+
   /** Fail LOUD when probe params disagree with the recorded build
     * params. Indexes written before the meta table existed carry none —
-    * those keep the old trust-the-caller behavior. `k` is not checked
-    * for band-only operations (pass None). */
+    * those keep the old trust-the-caller behavior until [[stampMeta]]
+    * migrates them. `k` is not checked for band-only operations (pass
+    * None). Also completes any interrupted [[compactState]] swap first
+    * — every probe/append entry point calls through here, so a crashed
+    * compaction heals on the next touch instead of needing a manual
+    * ALTER TABLE. */
   private def requireBuildParams(spark: SparkSession, base: String,
-      numHashes: Int, bands: Int, k: Option[Int]): Unit =
+      numHashes: Int, bands: Int, k: Option[Int]): Unit = {
+    healCompact(spark, base)
     if (spark.catalog.tableExists(s"${base}_meta")) {
       val r = spark.table(s"${base}_meta")
         .select("num_hashes", "bands", "k").head()
@@ -119,6 +186,40 @@ object DedupIndex {
           "probe computes incompatible band keys and silently finds " +
           "nothing")
     }
+  }
+
+  /** Complete an interrupted [[compactState]] swap. The commit point of
+    * a compaction is the DROP of the live `_sigs` table (data lands
+    * fully under the `__compact` twins BEFORE any drop — the AnnIndex
+    * write-then-repoint order): while live `_sigs` exists, live wins and
+    * any `__compact` leftovers are stale (a crash before the drops, or a
+    * torn compact write — indistinguishable, and both correctly resolved
+    * by ignoring them: the next compaction overwrites). Once live
+    * `_sigs` is gone, the compact generation is committed and healing
+    * rolls FORWARD, finishing the renames in [[compactState]]'s order so
+    * the pair can never serve one old and one new table (old band rows
+    * against compacted sigs would inflate hot-bucket counts and propose
+    * phantom candidates). Idempotent; called from every entry point via
+    * [[requireBuildParams]]. */
+  private def healCompact(spark: SparkSession, base: String): Unit = {
+    def exists(t: String) = spark.catalog.tableExists(t)
+    val liveSigs = exists(s"${base}_sigs")
+    val compactSigs = exists(s"${base}__compact_sigs")
+    val compactBands = exists(s"${base}__compact_bands")
+    if (!liveSigs && compactSigs) {
+      // crashed between DROP(_sigs) and its rename: finish the whole swap
+      spark.sql(s"ALTER TABLE `${base}__compact_sigs` " +
+        s"RENAME TO `${base}_sigs`")
+      spark.sql(s"DROP TABLE IF EXISTS `${base}_bands`")
+      spark.sql(s"ALTER TABLE `${base}__compact_bands` " +
+        s"RENAME TO `${base}_bands`")
+    } else if (liveSigs && !compactSigs && compactBands) {
+      // sigs swap completed, bands swap pending: finish it
+      spark.sql(s"DROP TABLE IF EXISTS `${base}_bands`")
+      spark.sql(s"ALTER TABLE `${base}__compact_bands` " +
+        s"RENAME TO `${base}_bands`")
+    }
+  }
 
   /** [[writeState]] for signature rows that ALREADY carry per-row `_ib`
     * provenance — what [[compactState]] must preserve: re-stamping a
@@ -278,6 +379,78 @@ object DedupIndex {
       .join(broadcast(hotOf(storedBands)), Seq("bkey"), "left_anti")
     val pairs = pKept.join(sKept, Seq("bkey"))
       .select(col("_pid"), col("bench_id")).distinct()
+    val out = verifyCrossPairs(spark, base, probeSigs, pairs, idCol,
+      numHashes, threshold)
+    probeSigs.unpersist(); probeBands.unpersist()
+    out
+  }
+
+  /** [[crossNeardupOverIndex]] with the RECALL-PRESERVING salted hot
+    * path ([[Dedup.lshCandidatesSalted]]'s d13 machinery applied to the
+    * stored-index cross probe): buckets hot on EITHER side — exactly the
+    * buckets the capped operator silently drops from both — are routed
+    * through a `salts`-way salted probe×stored join instead, so the
+    * candidate pair set is provably that of an UNCAPPED probe while no
+    * single reducer pays a boilerplate bucket's product alone.
+    *
+    * This is the decontamination-gate shape: a paraphrased benchmark
+    * leak living in a boilerplate-heavy bucket — precisely what 100 TB
+    * of web text produces — sails through the capped gate unseen, and
+    * silent leak admission is the worst failure direction a decontam
+    * stage has. Use the capped [[crossNeardupOverIndex]] only where
+    * hot-bucket pairs are discardable noise; use this one to GATE.
+    *
+    * @return (idCol = probe id, bench_id) pairs whose signature-estimated
+    *         Jaccard reaches `threshold` — ≡ an uncapped probe */
+  def crossNeardupOverIndexSalted(spark: SparkSession, base: String,
+      probe: DataFrame, textCol: String, idCol: String, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize, salts: Int = 8)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(salts >= 1, s"salts ($salts) must be >= 1")
+    requireBuildParams(spark, base, numHashes, bands, Some(k))
+    val probeSigs = Dedup
+      .minhashSignature(probe, textCol, idCol, numHashes, k).persist()
+    val probeBands = bandTable(probeSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("_pid"), col("bkey")).persist()
+    val storedBands = spark.table(s"${base}_bands")
+      .select(col(idCol).as("bench_id"), col("bkey"))
+    def hotOf(bandsDf: DataFrame) = bandsDf.groupBy("bkey")
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("bkey")
+    // hot = buckets over-cap on EITHER side (the set the capped probe
+    // loses pairs from); tiny by construction (buckets, not rows) →
+    // broadcast into the four carve-outs. The stored side's groupBy
+    // rides its bucket layout Exchange-free.
+    val hot = graft.operators.Lineage.cut(
+      hotOf(probeBands).unionByName(hotOf(storedBands)).distinct())
+    val pCold = probeBands.join(broadcast(hot), Seq("bkey"), "left_anti")
+    val sCold = storedBands.join(broadcast(hot), Seq("bkey"), "left_anti")
+    val pHot = probeBands.join(broadcast(hot), Seq("bkey"), "left_semi")
+    val sHot = storedBands.join(broadcast(hot), Seq("bkey"), "left_semi")
+    // a bucket is hot or cold as a whole, so cold×cold ∪ salted hot×hot
+    // covers every within-bucket (probe, stored) pair exactly once
+    val pairs = pCold.join(sCold, Seq("bkey"))
+      .select(col("_pid"), col("bench_id"))
+      .unionByName(graft.operators.SkewJoin.saltedJoin(
+          pHot, sHot, Seq("bkey"), col("_pid"), salts)
+        .select(col("_pid"), col("bench_id")))
+      .distinct()
+    val out = verifyCrossPairs(spark, base, probeSigs, pairs, idCol,
+      numHashes, threshold)
+    probeSigs.unpersist(); probeBands.unpersist()
+    out
+  }
+
+  /** Signature-estimate verification shared by the capped and salted
+    * cross probes: estimated Jaccard = matching-minhash fraction (the
+    * x55 rule — the artifact stores signatures, not shingles), joined
+    * by id on both sides and thresholded. */
+  private def verifyCrossPairs(spark: SparkSession, base: String,
+      probeSigs: DataFrame, pairs: DataFrame, idCol: String,
+      numHashes: Int, threshold: Double): DataFrame = {
     val matchFrac = (0 until numHashes)
       .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1)
         .otherwise(0))
@@ -287,12 +460,10 @@ object DedupIndex {
     val bSide = spark.table(s"${base}_sigs").select(
       col(idCol).as("bench_id") +:
       (0 until numHashes).map(j => col(s"sig_$j").as(s"_b_sig_$j")): _*)
-    val out = graft.operators.Lineage.cut(
+    graft.operators.Lineage.cut(
       pairs.join(aSide, Seq("_pid")).join(bSide, Seq("bench_id"))
         .filter(matchFrac >= threshold)
         .select(col("_pid").as(idCol), col("bench_id")))
-    probeSigs.unpersist(); probeBands.unpersist()
-    out
   }
 
   /** One idempotent streaming micro-batch over the persisted index —
@@ -360,11 +531,13 @@ object DedupIndex {
     * Crash safety: the reconciled index lands DURABLY under fresh
     * `<base>__compact_*` tables while the live tables stay untouched;
     * only then is each live table dropped and its compact twin renamed
-    * into place. A crash before the drops leaves the live index intact
-    * (stale compact tables are simply overwritten by the next run); a
-    * crash between a drop and its rename leaves the reconciled data
-    * durable under the compact name (recovery = one
-    * `ALTER TABLE ... RENAME TO ...`), never lost. An in-place rebuild
+    * into place (sigs first — the DROP of live `_sigs` is the commit
+    * point). A crash before that drop leaves the live index intact
+    * (stale compact tables are ignored and overwritten by the next
+    * run); a crash anywhere after it leaves the reconciled data durable
+    * and [[healCompact]] completes the swap automatically on the next
+    * probe/append/compact touch — no manual ALTER, and never a mixed
+    * old-sigs/new-bands pair. An in-place rebuild
     * would instead hold the ONLY copy of the reconciled signatures in
     * non-durable localCheckpoint blocks across its own DROP TABLE —
     * a driver or executor failure there destroys the index outright.

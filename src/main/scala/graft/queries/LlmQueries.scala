@@ -2554,6 +2554,38 @@ object LlmQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // The RECALL-PRESERVING salted cross probe over the persisted bench
+    // index — d13's salted machinery applied to the decontamination-gate
+    // shape (d14), where a dropped hot bucket is a silently ADMITTED
+    // leak. Each doc_id % 11 == 0 bench doc is planted into the probe
+    // THREE times (+50000/+60000/+70000), so its probe-side band buckets
+    // hold >= 3 members — above the deliberately tiny maxBucketSize = 2,
+    // where the CAPPED crossNeardupOverIndex provably loses the planted
+    // (leak, bench) pairs (LlmSpec pins the divergence). The salted
+    // result must instead equal the UNCAPPED oracle: all candidate
+    // pairs, signature-estimate verified, no bucket guard.
+    "d15_cross_neardup_salted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val plants = bench.filter(col("doc_id") % 11 === 0)
+      val probe = d.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+        .unionByName(plants.select((col("doc_id") + 50000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 60000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 70000L).as("doc_id"),
+          col("text")))
+      graft.llm.DedupIndex.writeState(
+        Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id",
+        "d15_idx")
+      graft.llm.DedupIndex.crossNeardupOverIndexSalted(s, "d15_idx",
+          probe, "text", "doc_id", 0.8, maxBucketSize = 2, salts = 4)
+        .select(col("doc_id").as("train_id"), col("bench_id"))
+        .orderBy("train_id", "bench_id")
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (decode plumbing
     // itself is Dataset-level, see Multimodal.scala + MultimodalSpec).
     "mm1_binary_meta" -> ((s, dir) => {
@@ -3710,6 +3742,47 @@ object LlmQueries {
                          ON bx.b = p.b AND bx.bucket = p.bucket
                        JOIN bkept bk
                          ON bx.b = bk.b AND bx.bucket = bk.bucket)
+          SELECT c.train_id, c.bench_id
+          FROM cand c
+          JOIN psig x ON x.doc_id = c.train_id
+          JOIN bsig y ON y.doc_id = c.bench_id
+          WHERE $duckSigFrac
+          ORDER BY train_id, bench_id""",
+    "d15_cross_neardup_salted" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+                         WHERE source = 'src0'),
+              probe AS (SELECT doc_id, text FROM documents
+                        WHERE source <> 'src0'
+                        UNION ALL
+                        SELECT doc_id + 50000, text FROM documents
+                        WHERE source = 'src0' AND doc_id % 11 = 0
+                        UNION ALL
+                        SELECT doc_id + 60000, text FROM documents
+                        WHERE source = 'src0' AND doc_id % 11 = 0
+                        UNION ALL
+                        SELECT doc_id + 70000, text FROM documents
+                        WHERE source = 'src0' AND doc_id % 11 = 0),
+              bws AS (SELECT doc_id, $duckToks AS w FROM bench),
+              bsh AS (SELECT doc_id, $duckShingles AS sh FROM bws
+                      WHERE len(w) >= 3),
+              bsig AS (SELECT doc_id,
+                         ${(0 to 15).map(duckSig).mkString(",\n                         ")}
+                       FROM bsh),
+              pws AS (SELECT doc_id, $duckToks AS w FROM probe),
+              psh AS (SELECT doc_id, $duckShingles AS sh FROM pws
+                      WHERE len(w) >= 3),
+              psig AS (SELECT doc_id,
+                         ${(0 to 15).map(duckSig).mkString(",\n                         ")}
+                       FROM psh),
+              bb AS (${duckBandRows("bsig")}),
+              pb AS (${duckBandRows("psig")}),
+              -- NO hot-bucket guard: the salted probe preserves recall,
+              -- so the oracle is the uncapped cross candidate set
+              cand AS (SELECT DISTINCT p.doc_id AS train_id,
+                                       bx.doc_id AS bench_id
+                       FROM pb p
+                       JOIN bb bx
+                         ON bx.b = p.b AND bx.bucket = p.bucket)
           SELECT c.train_id, c.bench_id
           FROM cand c
           JOIN psig x ON x.doc_id = c.train_id

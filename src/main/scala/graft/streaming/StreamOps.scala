@@ -194,6 +194,9 @@ object StreamOps {
       fuzzyThreshold: Double = 0.8,
       fuzzyNumHashes: Int = 16,
       fuzzyBands: Int = 4,
+      fuzzySalted: Boolean = false,
+      fuzzySalts: Int = 8,
+      fuzzyMaxBucket: Int = graft.llm.Dedup.DefaultMaxBucketSize,
       classifierGate: Option[DataFrame] = None,
       classifierBuckets: Int = 1024): DeltaStep = {
     // named forwarding: a positional list of 20+ arguments would let a
@@ -210,8 +213,13 @@ object StreamOps {
       dsirMinAffinityDen = dsirMinAffinityDen, dsirBuckets = dsirBuckets,
       fuzzyDecontamIndex = fuzzyDecontamIndex,
       fuzzyThreshold = fuzzyThreshold, fuzzyNumHashes = fuzzyNumHashes,
-      fuzzyBands = fuzzyBands, classifierGate = classifierGate,
-      classifierBuckets = classifierBuckets)
+      fuzzyBands = fuzzyBands, fuzzySalted = fuzzySalted,
+      fuzzySalts = fuzzySalts, fuzzyMaxBucket = fuzzyMaxBucket,
+      classifierGate = classifierGate,
+      classifierBuckets = classifierBuckets,
+      // the ledger is discarded below, so its consumers never exist:
+      // keep every stage frame fully lazy — this caller pays nothing
+      materializeStages = false)
     (batch, prior) => stepWithLedger(batch, prior)._1
   }
 
@@ -225,8 +233,17 @@ object StreamOps {
     * answered per document, per stage, instead of by diffing counts.
     *
     * The ledger is a LAZY frame of per-stage anti-joins: callers that
-    * ignore it (corpusIngestStep) never pay for it; callers that
-    * materialize it pay one id-level anti-join per engaged stage. */
+    * ignore it (corpusIngestStep) never pay for it. Callers that DO
+    * materialize it would otherwise re-evaluate the gate chain once per
+    * stage (each anti-join's `before`/`after` lineage re-derives every
+    * gate upstream of it — O(stages²) prefix evaluations), so
+    * `materializeStages` (default true here; corpusIngestStep forwards
+    * false) lineage-cuts each engaged stage frame as it is built:
+    * every gate then runs EXACTLY ONCE per batch, the ledger's
+    * anti-joins and the kept output both read the materialized frames,
+    * and the cut policy is [[graft.operators.Lineage.cut]]'s (reliable
+    * checkpoint when a checkpoint dir is set, else localCheckpoint) —
+    * batch-sized frames, never corpus-sized. */
   def corpusIngestStepLedger(dedup: DeltaStep, textCol: String,
       idCol: String,
       minQuality: Double = 0.0, bench: Option[DataFrame] = None,
@@ -245,8 +262,12 @@ object StreamOps {
       fuzzyThreshold: Double = 0.8,
       fuzzyNumHashes: Int = 16,
       fuzzyBands: Int = 4,
+      fuzzySalted: Boolean = false,
+      fuzzySalts: Int = 8,
+      fuzzyMaxBucket: Int = graft.llm.Dedup.DefaultMaxBucketSize,
       classifierGate: Option[DataFrame] = None,
-      classifierBuckets: Int = 1024)
+      classifierBuckets: Int = 1024,
+      materializeStages: Boolean = true)
       : (DataFrame, Option[DataFrame]) => (DeltaState, DataFrame) = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
     require(dsirMinAffinityNum >= 0 && dsirMinAffinityDen > 0,
@@ -256,17 +277,27 @@ object StreamOps {
       graft.llm.Dedup.shingleRows(b, textCol, idCol, decontamK)
         .select(col("s")).distinct()))
     (batch, prior) => {
-      val qGated =
+      // one-evaluation-per-stage discipline (see the Scaladoc): cut each
+      // ENGAGED stage as it is built; a disengaged stage returns its
+      // input frame unchanged (`eq`) and must not be re-checkpointed
+      def stage(df: DataFrame, prev: DataFrame): DataFrame =
+        if (materializeStages && (df ne prev))
+          graft.operators.Lineage.cut(df)
+        else df
+      val qGated = stage(
         if (minQuality <= 0.0) batch
         else batch.filter(graft.llm.TextAnalysis
-          .qualityScore(col(textCol), stopwords) >= minQuality)
+          .qualityScore(col(textCol), stopwords) >= minQuality),
+        batch)
       // optional Gopher rule suite (per-document, so streaming-decidable):
       // one row-local codegen predicate — no second batch scan, no join
       // (gopherPassCol ≡ gopherRules' pass column, property-spec-pinned)
-      val gated =
+      val gated = stage(
         if (!gopherFilter) qGated
         else qGated.filter(graft.llm.TextAnalysis.gopherPassCol(
-          col(textCol), gopherMinWords, gopherMaxWords, gopherAlphaPattern))
+          col(textCol), gopherMinWords, gopherMaxWords,
+          gopherAlphaPattern)),
+        qGated)
       // optional MODEL-based quality gate (FineWeb-Edu-style: a trained
       // classifier replaces/augments the heuristic rules): keep docs the
       // frozen hashed-linear classifier scores POSITIVE. Weights are the
@@ -275,13 +306,13 @@ object StreamOps {
       // per batch the cost is one feature pass + an integer margin sum.
       // Featureless docs have no margin row and drop with the semi-join
       // (sign-of-zero predicts −1, the classifierEval rule).
-      val clsGated = classifierGate.fold(gated) { weights =>
+      val clsGated = stage(classifierGate.fold(gated) { weights =>
         val keep = graft.llm.TextAnalysis.classifierMargins(gated,
             textCol, idCol, weights, classifierBuckets)
           .filter(col("margin") > 0)
           .select(idCol)
         gated.join(keep, Seq(idCol), "left_semi")
-      }
+      }, gated)
       // optional DSIR affinity gate against FROZEN reference dists
       // (dsirReferenceDists output — trained offline, broadcast here):
       // keep iff target_mass/raw_mass >= num/den, decided by integer
@@ -290,21 +321,21 @@ object StreamOps {
       // mass-only scoring: the gate never reads the float weight, so it
       // skips dsirScoreFrozen's 1-row normalization-totals cross-join —
       // the per-batch plan carries no nested-loop join at all
-      val affGated = dsirGate.fold(clsGated) { case (tdist, rdist) =>
+      val affGated = stage(dsirGate.fold(clsGated) { case (tdist, rdist) =>
         val keep = graft.llm.Corpus.dsirMassesFrozen(clsGated, textCol,
             idCol, tdist, rdist, dsirBuckets)
           .filter(col("target_mass") * dsirMinAffinityDen >=
             col("raw_mass") * dsirMinAffinityNum)
           .select(idCol)
         clsGated.join(keep, Seq(idCol), "left_semi")
-      }
-      val clean = benchGrams.fold(affGated) { g =>
+      }, clsGated)
+      val clean = stage(benchGrams.fold(affGated) { g =>
         val hit = graft.llm.Dedup.shingleRows(affGated, textCol, idCol,
             decontamK)
           .join(broadcast(g), Seq("s"), "left_semi")
           .select(idCol).distinct()
         affGated.join(hit, Seq(idCol), "left_anti")
-      }
+      }, affGated)
       // optional FUZZY decontamination against a PERSISTED bench
       // near-dup index (DedupIndex.crossNeardupOverIndex — the d14
       // register-once/screen-forever artifact, here engaged AT INGEST):
@@ -312,23 +343,39 @@ object StreamOps {
       // bench signature reaches the threshold — the paraphrased leaks
       // the exact-gram stage above cannot see. Stored side reads via its
       // bucketed band layout; each batch pays one sig+band pass over the
-      // batch plus a bkey equi-join. fuzzyNumHashes/fuzzyBands MUST match
-      // how the artifact was written (DedupIndex stores raw sig/band
-      // tables, not its parameters) — finer banding raises recall on
-      // paraphrases at the cost of more candidate pairs per batch.
-      val fuzzyClean = fuzzyDecontamIndex.fold(clean) { idxBase =>
-        val hits = graft.llm.DedupIndex.crossNeardupOverIndex(
-            clean.sparkSession, idxBase, clean, textCol, idCol,
-            fuzzyThreshold, fuzzyNumHashes, fuzzyBands)
+      // batch plus a bkey equi-join. A mismatched fuzzyNumHashes/
+      // fuzzyBands is rejected LOUDLY against the index's persisted
+      // build params (the `_meta` table DedupIndex.writeState records);
+      // finer banding raises recall on paraphrases at the cost of more
+      // candidate pairs per batch.
+      // fuzzySalted routes the probe through the RECALL-PRESERVING
+      // salted hot path (crossNeardupOverIndexSalted): hot-bucket
+      // candidates are processed instead of dropped, so a paraphrased
+      // leak living in a boilerplate bucket cannot silently pass the
+      // gate — the shape a decontam stage at 100 TB wants
+      val fuzzyClean = stage(fuzzyDecontamIndex.fold(clean) { idxBase =>
+        val hits =
+          (if (fuzzySalted)
+             graft.llm.DedupIndex.crossNeardupOverIndexSalted(
+               clean.sparkSession, idxBase, clean, textCol, idCol,
+               fuzzyThreshold, fuzzyNumHashes, fuzzyBands,
+               maxBucketSize = fuzzyMaxBucket, salts = fuzzySalts)
+           else graft.llm.DedupIndex.crossNeardupOverIndex(
+             clean.sparkSession, idxBase, clean, textCol, idCol,
+             fuzzyThreshold, fuzzyNumHashes, fuzzyBands,
+             maxBucketSize = fuzzyMaxBucket))
           .select(idCol).distinct()
         clean.join(hits, Seq(idCol), "left_anti")
-      }
+      }, clean)
       val out = dedup(fuzzyClean, prior)
+      // the dedup survivors feed BOTH the redaction chain and the
+      // ledger's duplicate stage — the same one-evaluation rule applies
+      val dedupKept = stage(out.kept, fuzzyClean)
       val piiDone =
         if (redactPii)
-          out.kept.withColumn(textCol,
+          dedupKept.withColumn(textCol,
             graft.llm.Privacy.redact(col(textCol)))
-        else out.kept
+        else dedupKept
       // secrets after PII: both passes are row-local replace chains, and
       // the fixed order makes the composed output engine-replayable
       val secretsDone =
@@ -347,19 +394,20 @@ object StreamOps {
         else secretsDone
       // the rejection ledger: per stage, ids present before the gate
       // and absent after — first-dropping-stage attribution falls out
-      // of the pipeline order (a doc never reaches later gates). Built
-      // lazily; disengaged stages contribute a no-op anti-join of two
-      // identical frames (provably empty)
+      // of the pipeline order (a doc never reaches later gates). With
+      // materializeStages the anti-joins read the cut frames (each gate
+      // ran exactly once above); disengaged stages contribute a no-op
+      // anti-join of two identical frames (provably empty)
       val ledger = Seq(
         ("quality", batch, qGated), ("gopher", qGated, gated),
         ("classifier", gated, clsGated), ("dsir", clsGated, affGated),
         ("decontam", affGated, clean),
         ("fuzzy_decontam", clean, fuzzyClean),
-        ("duplicate", fuzzyClean, out.kept))
-        .map { case (stage, before, after) =>
+        ("duplicate", fuzzyClean, dedupKept))
+        .map { case (stageName, before, after) =>
           before.select(col(idCol))
             .join(after.select(col(idCol)), Seq(idCol), "left_anti")
-            .withColumn("stage", lit(stage))
+            .withColumn("stage", lit(stageName))
         }
         .reduce(_.unionByName(_))
       (DeltaState(kept, out.state), ledger)

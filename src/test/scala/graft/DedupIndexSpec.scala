@@ -276,4 +276,139 @@ class DedupIndexSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("do not match"))
   }
+
+  test("crossNeardupOverIndexSalted equals an UNCAPPED cross probe " +
+    "exactly where the capped probe provably loses planted hot-bucket " +
+    "leaks") {
+    val bench = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("source") === "src0").select("doc_id", "text")
+    // plant each %5 bench doc into the probe THREE times: its probe-side
+    // band buckets then hold >= 3 members, over maxBucketSize = 2
+    val plants = bench.filter(col("doc_id") % 5 === 0)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(plants.select((col("doc_id") + 70000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 80000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 90000L).as("doc_id"),
+        col("text")))
+    DedupIndex.writeState(
+      Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id", "xnis")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(DedupIndex.crossNeardupOverIndex(spark, "xnis",
+      probe, "text", "doc_id", 0.8, maxBucketSize = Int.MaxValue))
+    val salted = pairs(DedupIndex.crossNeardupOverIndexSalted(spark,
+      "xnis", probe, "text", "doc_id", 0.8, maxBucketSize = 2,
+      salts = 4))
+    val capped = pairs(DedupIndex.crossNeardupOverIndex(spark, "xnis",
+      probe, "text", "doc_id", 0.8, maxBucketSize = 2))
+    assert(salted === uncapped)
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size,
+      "the cap was expected to bind on the planted buckets — the " +
+        "silent leak admission this operator exists to close")
+    // what the capped DECONTAM gate admits is exactly planted leaks
+    assert((uncapped -- capped).exists { case (p, b) =>
+      p - b == 70000L || p - b == 80000L || p - b == 90000L })
+    // salts = 1 degenerates to the plain join; still exact
+    assert(pairs(DedupIndex.crossNeardupOverIndexSalted(spark, "xnis",
+      probe, "text", "doc_id", 0.8, maxBucketSize = 2, salts = 1))
+      === uncapped)
+  }
+
+  test("an interrupted compaction swap heals automatically on the next " +
+    "probe — at every crash point, and never serves a mixed " +
+    "old-sigs/new-bands pair") {
+    val sigsA = Dedup.minhashSignature(docs.filter($"doc_id" < 150),
+      "text", "doc_id")
+    val sigsB = Dedup.minhashSignature(docs.filter($"doc_id" < 300),
+      "text", "doc_id")
+    def ids(t: String): Set[Long] =
+      spark.table(t).select("doc_id").distinct().as[Long].collect().toSet
+    val idsB = sigsB.select("doc_id").as[Long].collect().toSet
+    def mkCrashState(base: String): Unit = {
+      // live = A; fully-written compact twins = B (the state right
+      // before compactState's first DROP). writeState into the compact
+      // namespace stamps a meta table compactState never writes — drop
+      // it to match the real layout.
+      DedupIndex.writeState(sigsA, "doc_id", base)
+      DedupIndex.writeState(sigsB, "doc_id", s"${base}__compact")
+      spark.sql(s"DROP TABLE `${base}__compact_meta`")
+    }
+    def probe(base: String): Unit =
+      DedupIndex.crossNeardupOverIndex(spark, base, docs.limit(5),
+        "text", "doc_id", 0.8).count()
+
+    // crash BEFORE the commit point (no drop happened): live wins
+    mkCrashState("hc0")
+    probe("hc0")
+    assert(ids("hc0_sigs") !== idsB)
+    // ... and a full rebuild retires the stale twins instead of letting
+    // a later heal clobber the fresh tables with them
+    DedupIndex.writeState(sigsB, "doc_id", "hc0")
+    assert(!spark.catalog.tableExists("hc0__compact_sigs") &&
+      !spark.catalog.tableExists("hc0__compact_bands"))
+    probe("hc0")
+    assert(ids("hc0_sigs") === idsB)
+
+    // crash between DROP(_sigs) and its rename: heal completes the
+    // whole swap forward
+    mkCrashState("hc1")
+    spark.sql("DROP TABLE `hc1_sigs`")
+    probe("hc1")
+    assert(ids("hc1_sigs") === idsB && ids("hc1_bands") === idsB)
+    assert(!spark.catalog.tableExists("hc1__compact_sigs") &&
+      !spark.catalog.tableExists("hc1__compact_bands"))
+
+    // crash after the sigs swap, bands swap pending: the mixed
+    // new-sigs/old-bands pair must be finished, not served
+    mkCrashState("hc2")
+    spark.sql("DROP TABLE `hc2_sigs`")
+    spark.sql("ALTER TABLE `hc2__compact_sigs` RENAME TO `hc2_sigs`")
+    probe("hc2")
+    assert(ids("hc2_sigs") === idsB && ids("hc2_bands") === idsB)
+    assert(!spark.catalog.tableExists("hc2__compact_bands"))
+
+    // crash between DROP(_bands) and its rename
+    mkCrashState("hc3")
+    spark.sql("DROP TABLE `hc3_sigs`")
+    spark.sql("ALTER TABLE `hc3__compact_sigs` RENAME TO `hc3_sigs`")
+    spark.sql("DROP TABLE `hc3_bands`")
+    probe("hc3")
+    assert(ids("hc3_sigs") === idsB && ids("hc3_bands") === idsB)
+  }
+
+  test("stampMeta backfills build params onto a pre-meta artifact, " +
+    "verifies them against the table shape, and refuses restamps") {
+    val bench = docs.filter($"doc_id" < 80)
+    DedupIndex.writeState(
+      Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id",
+      "legacyidx", bands = 8)
+    spark.sql("DROP TABLE `legacyidx_meta`") // pre-meta era artifact
+    // the legacy failure mode: a wrong-params probe passes silently and
+    // finds NOTHING (incompatible band keys) — what stampMeta closes
+    assert(DedupIndex.crossNeardupOverIndex(spark, "legacyidx",
+      bench.limit(10), "text", "doc_id", 0.8).count() === 0L)
+    // derivable-wrong params refuse the stamp
+    val e1 = intercept[IllegalArgumentException](
+      DedupIndex.stampMeta(spark, "legacyidx", 32, 8, 3))
+    assert(e1.getMessage.contains("sig_"))
+    val e2 = intercept[IllegalArgumentException](
+      DedupIndex.stampMeta(spark, "legacyidx", 16, 4, 3))
+    assert(e2.getMessage.contains("band"))
+    DedupIndex.stampMeta(spark, "legacyidx", 16, 8, 3)
+    // the same wrong probe now fails LOUD
+    val e3 = intercept[IllegalArgumentException](
+      DedupIndex.crossNeardupOverIndex(spark, "legacyidx",
+        bench.limit(10), "text", "doc_id", 0.8))
+    assert(e3.getMessage.contains("do not match"))
+    // a matching probe works, and self-pairs verify at estimate 1.0
+    assert(DedupIndex.crossNeardupOverIndex(spark, "legacyidx",
+      bench.limit(10), "text", "doc_id", 0.8, bands = 8).count() > 0L)
+    // restamps are refused — the recorded params are authoritative
+    val e4 = intercept[IllegalArgumentException](
+      DedupIndex.stampMeta(spark, "legacyidx", 16, 8, 3))
+    assert(e4.getMessage.contains("refusing"))
+  }
 }

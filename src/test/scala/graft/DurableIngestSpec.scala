@@ -170,6 +170,73 @@ class DurableIngestSpec extends SparkSpec {
       minQuality = 0.6, bench = Some(bench), decontamK = 4)(in, None)
     assert(plain.kept.select("doc_id").as[Long].collect().toSet ===
       st.kept.select("doc_id").as[Long].collect().toSet)
+
+    // one-evaluation-per-stage discipline: with materializeStages (the
+    // ledger default) each engaged gate ran exactly once when the step
+    // was invoked, and the ledger's anti-joins read the MATERIALIZED
+    // stage frames — its plan holds checkpoint scans, never a re-derived
+    // gate chain (the O(stages²) recompute the lazy form pays)
+    // marker: the decontam stage's shingle explode ("Generate
+    // explode"). The quality gate itself constant-folds over a local
+    // test input (ConvertToLocalRelation), so the shingle join is the
+    // robust re-derivation witness.
+    val matPlan = ledger.queryExecution.optimizedPlan.toString
+    assert(matPlan.contains("LogicalRDD"),
+      "materialized ledger should read cut stage frames")
+    assert(!matPlan.contains("Generate explode"),
+      "materialized ledger must not re-derive the decontam gate")
+    val (_, lazyLedger) = StreamOps.corpusIngestStepLedger(exactStep,
+      "text", "doc_id", minQuality = 0.6, bench = Some(bench),
+      decontamK = 4, materializeStages = false)(in, None)
+    // the lazy form DOES carry the gate chain (the contrast that makes
+    // the assertion above meaningful) — and both agree on the rows
+    assert(lazyLedger.queryExecution.optimizedPlan.toString
+      .contains("Generate explode"))
+    assert(lazyLedger.select($"doc_id".cast("long"), $"stage")
+      .as[(Long, String)].collect().toSet === rows)
+  }
+
+  test("corpusIngestStep: fuzzySalted routes the decontam probe through " +
+    "the recall-preserving salted path — hot-bucket leaks the capped " +
+    "gate silently admits are dropped") {
+    import spark.implicits._
+    val docsTd = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docsTd.filter(col("source") === "src0")
+      .select("doc_id", "text")
+    graft.llm.DedupIndex.writeState(
+      graft.llm.Dedup.minhashSignature(bench, "text", "doc_id"),
+      "doc_id", "fzs_idx")
+    // three copies of each %5 bench doc in ONE batch: their band
+    // buckets hold >= 3 probe rows — hot under maxBucketSize = 2, so
+    // the capped gate drops the buckets and ADMITS the leaks
+    val plants = bench.filter(col("doc_id") % 5 === 0)
+    val batch = docsTd.filter(col("source") =!= "src0")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .unionByName(plants.select((col("doc_id") + 70000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 80000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 90000L).as("doc_id"),
+        col("text")))
+    // fuzzyMaxBucket = 2 makes the planted buckets hot — under the
+    // capped gate they are dropped from candidacy, i.e. ADMITTED
+    def gate(salted: Boolean) = StreamOps.corpusIngestStep(exactStep,
+      "text", "doc_id", fuzzyDecontamIndex = Some("fzs_idx"),
+      fuzzySalted = salted, fuzzySalts = 4, fuzzyMaxBucket = 2)(
+      batch, None).kept.select("doc_id").as[Long].collect().toSet
+    val plantedIds = plants.select("doc_id").as[Long].collect()
+      .flatMap(id => Seq(id + 70000L, id + 80000L, id + 90000L)).toSet
+    val keptSalted = gate(salted = true)
+    assert((keptSalted & plantedIds).isEmpty,
+      "the salted gate must drop every planted leak")
+    val keptCapped = gate(salted = false)
+    assert((keptCapped & plantedIds).nonEmpty,
+      "the cap was expected to bind — the silent admission this " +
+        "option exists to close")
+    // recall-preserving means the salted gate only ever drops MORE:
+    // every capped rejection is a salted rejection too
+    assert(keptSalted.subsetOf(keptCapped))
   }
 
   test("corpusIngestStep: the optional model gate keeps positive-margin " +

@@ -507,6 +507,27 @@ class SqlSurfaceSpec extends SparkSpec {
           "'tvf6_delta', 'text', 'doc_id', 0.8)",
         graft.llm.DedupIndex.crossNeardupOverIndex(spark, "tvf6_nd",
           delta, "text", "doc_id", 0.8))
+      // ... and its recall-preserving salted twin (≡ the uncapped probe)
+      check("SELECT * FROM decontam_fuzzy_salted('tvf6_nd', " +
+          "'tvf6_delta', 'text', 'doc_id', 0.8, 4)",
+        graft.llm.DedupIndex.crossNeardupOverIndexSalted(spark,
+          "tvf6_nd", delta, "text", "doc_id", 0.8, salts = 4))
+      // meta backfill for a pre-meta artifact, pure SQL: drop the meta
+      // (simulating the legacy layout), restamp through the TVF —
+      // shape-mismatched params are refused, matching ones land and the
+      // probes above keep working (the loud-guard semantics themselves
+      // are pinned in DedupIndexSpec)
+      spark.sql("DROP TABLE `tvf6_nd_meta`")
+      val stampErr = intercept[Exception](spark.sql(
+        "SELECT * FROM neardup_index_stamp_meta('tvf6_nd', 16, 8, 3)")
+        .collect())
+      assert(stampErr.getMessage.contains("band"))
+      val stamped = spark.sql("SELECT * FROM neardup_index_stamp_meta(" +
+        "'tvf6_nd', 16, 4, 3)").head()
+      assert((stamped.getInt(0), stamped.getInt(1), stamped.getInt(2))
+        === ((16, 4, 3)))
+      assert(spark.sql("SELECT * FROM decontam_fuzzy_salted('tvf6_nd', " +
+        "'tvf6_delta', 'text', 'doc_id', 0.8)").count() >= 0)
       // near-dup APPEND in SQL: one marked-batch ingest of the delta
       // against the stored index — landed survivors equal the in-memory
       // two-batch chain, and a replayed call (marker skip) returns the

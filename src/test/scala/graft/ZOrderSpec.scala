@@ -82,6 +82,76 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).columns.contains("zkey"))
   }
 
+  test("file skipping payoff: a predicate on the SECOND dimension over " +
+    "clusterWrite output prunes most row groups at the scan (pushed " +
+    "filters + parquet min/max), where the linear-sort layout reads " +
+    "every row of every file") {
+    val grid = spark.range(65536L)
+      .select((col("id") % 256).as("a"),
+        (col("id") / 256).cast("long").as("b"))
+    val zDir = tmp("zskip")
+    val linDir = tmp("linskip")
+    // identical file counts: 64 small files, each one parquet row group,
+    // so row-group skipping IS file skipping here
+    ZOrder.clusterWrite(grid, zDir,
+      ZOrder.mortonCode(col("a"), col("b"), 8), nFiles = 64)
+    grid.repartitionByRange(64, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(linDir)
+
+    // rows the scan node actually emitted = rows in row groups that
+    // survived the pushed min/max filters (each file is one row group)
+    def scanned(dir: String, pred: org.apache.spark.sql.Column)
+        : (Long, Long, String) = {
+      val df = spark.read.parquet(dir).filter(pred)
+      val plan = df.queryExecution.executedPlan
+      val kept = plan.executeCollect().length.toLong
+      val scan = plan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty, "expected a FileSourceScanExec leaf")
+      (scan.map(_.metrics("numOutputRows").value).sum, kept,
+        scan.head.metadata("PushedFilters"))
+    }
+    // the b-stripe: exactly what a linear a-sort can NEVER prune
+    val stripe = col("b") >= 64 && col("b") <= 95
+    val (zRows, zKept, zPushed) = scanned(zDir, stripe)
+    val (linRows, linKept, _) = scanned(linDir, stripe)
+    assert(zPushed.contains("GreaterThanOrEqual(b,64)") &&
+      zPushed.contains("LessThanOrEqual(b,95)"),
+      s"filters must reach the parquet scan (got $zPushed)")
+    assert(zKept === 8192L && linKept === 8192L) // same answer
+    assert(linRows === 65536L,
+      s"linear layout should read everything, read $linRows")
+    // 64 z-range files over the 256x256 grid ≈ 32x32 tiles: the stripe
+    // touches ~1/8 of them; repartitionByRange samples its boundaries,
+    // so unaligned files widen each touched range — the honest bound is
+    // the RATIO, and it still reads under a third of the linear scan
+    assert(zRows * 3 <= linRows,
+      s"z layout should skip most row groups, read $zRows of $linRows")
+
+    // the same contrast as WOULD-BE-PRUNED FILE COUNTS from the files'
+    // own min/max footers (what a format-level file index consults)
+    def filesTouched(dir: String): Long = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min("b").as("lo"), max("b").as("hi"))
+      .filter(col("hi") >= 64 && col("lo") <= 95)
+      .count()
+    // ~8 aligned tiles + boundary-straddling neighbors (sampled ranges)
+    val zf = filesTouched(zDir)
+    assert(zf * 3 <= 64L,
+      s"stripe should touch under a third of the z files, touched $zf")
+    assert(filesTouched(linDir) === 64L)
+
+    // two-dimensional box: BOTH dimensions prune under z; the linear
+    // layout only prunes via its leading column
+    val box = col("a") <= 31 && col("b") <= 31
+    val (zBox, zbKept, _) = scanned(zDir, box)
+    val (linBox, lbKept, _) = scanned(linDir, box)
+    assert(zbKept === 1024L && lbKept === 1024L)
+    assert(zBox * 2 <= linBox,
+      s"z ($zBox rows) should out-prune the linear layout ($linBox)")
+  }
+
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 }
