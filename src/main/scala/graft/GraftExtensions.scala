@@ -1119,12 +1119,38 @@ object GraftExtensions {
           "SemDeDup: batch rows kept after screening against the kept " +
           "history in a stored IVF index (cross cell-join) and against " +
           "smaller-id batch rows (within cell-join)"
-        require(args.length == 5 || args.length == 6, u)
+        require(args.length >= 5 && args.length <= 7, u)
         val Seq(it, bt, ic, vc) = args.take(4).map(lit2str(_, u))
         val s = SparkSession.active
         plan(graft.llm.AnnIndex.semanticDedupDelta(s.table(it),
           s.table(bt), ic, vc, lit2dbl(args(4), u),
-          nlist = args.lift(5).map(lit2int(_, u)).getOrElse(8)))
+          nlist = args.lift(5).map(lit2int(_, u)).getOrElse(8),
+          dims = args.lift(6).map(lit2int(_, u)).getOrElse(64)))
+      },
+      "media_features" -> { args =>
+        val u = "usage: media_features('docs_table') — the multimodal " +
+          "decode pipeline as SQL: one typed feature row per media " +
+          "record (kind, dims, frames, audio meta, checksum, decode_ok " +
+          "quarantine flag); payloads are the docs' utf-8 bytes (the " +
+          "stand-in binary column), decode runs once per partition"
+        require(args.length == 1, u)
+        val s = SparkSession.active
+        plan(graft.llm.Multimodal.decodeFeatures(
+          graft.llm.Multimodal.mediaFromDocuments(
+            s, s.table(lit2str(args(0), u)))).toDF())
+      },
+      "media_feature_vectors" -> { args =>
+        val u = "usage: media_feature_vectors('docs_table') — decoded " +
+          "media features as an 8-dim vector column (media_id, vec): " +
+          "the bridge into the vector machinery — feed it to " +
+          "ivf_build_index / semantic_dedup_delta(..., nlist, 8) for " +
+          "media ANN and semantic dedup (the mm5 shape)"
+        require(args.length == 1, u)
+        val s = SparkSession.active
+        plan(graft.llm.Multimodal.featureVector(
+          graft.llm.Multimodal.decodeFeatures(
+            graft.llm.Multimodal.mediaFromDocuments(
+              s, s.table(lit2str(args(0), u))))))
       },
       "ivf_latest_topk" -> { args =>
         val u = "usage: ivf_latest_topk('base', 'queries', 'id_col', " +

@@ -398,6 +398,27 @@ object Multimodal {
     out
   }
 
+  /** The decoded features as a small dense vector (array<double>) — the
+    * bridge from the multimodal decode pipeline into the vector-space
+    * machinery ([[AnnIndex]] persisted indexes, semantic dedup): decode
+    * once, then media rows ride the SAME similarity/dedup operators as
+    * text embeddings. Components are small NON-ZERO integers (mod-97
+    * folds of the feature fields, +1), so every downstream dot product /
+    * norm is exact in double arithmetic — cosine comparisons are
+    * bit-identical across engines, which is what lets the DuckDB oracle
+    * certify an approximate-similarity operator exactly (mm5). A real
+    * deployment swaps this for a model embedding; every operator
+    * downstream is unchanged. */
+  def featureVector(features: Dataset[MediaFeatures]): DataFrame = {
+    def c(e: org.apache.spark.sql.Column) = (e % 97 + 1).cast("double")
+    features.toDF().select(col("media_id"),
+      array(
+        c(col("n_bytes")), c(col("width")), c(col("height")),
+        c(col("n_frames")), c(col("sample_rate")), c(col("duration_ms")),
+        c(col("n_bytes") * 7 + col("width")),
+        c(col("height") * 5 + col("n_frames"))).as("vec"))
+  }
+
   /** Build a media dataset from the documents table (payload = utf-8 bytes
     * of the text — a stand-in corpus with real binary columns). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -2642,6 +2642,42 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal SEMANTIC dedup: the decoded feature VECTORS ride the
+    // persisted-IVF incremental SemDeDup machinery (a32) — media rows
+    // are full members of the vector-dedup family, not just the
+    // fingerprint one (mm4). doc_id < 300 registers as the stored kept
+    // history (one IVF index build, 4 cells over the 8-dim feature
+    // vector); the batch is the rest plus re-ingests of STORED media
+    // (+120000, dropped by the cross screen at cosine 1.0) and
+    // within-batch dup pairs (+240000, dropped by the smaller-id rule).
+    // Both plant offsets are multiples of 3, preserving the doc_id % 3
+    // kind assignment. Survivor ids are the certified output; the
+    // oracle replays decode -> vector -> cell assignment -> both
+    // screens (all components exact integers, so cosine is
+    // bit-identical across engines).
+    "mm5_semantic_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def vecs(docs: org.apache.spark.sql.DataFrame) =
+        Multimodal.featureVector(
+          Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, docs)))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("mm5_idx").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(vecs(d.filter(col("doc_id") < 300)),
+          "media_id", "vec", nlist = 4, dims = 8), idxDir)
+      val batch = d.filter(col("doc_id") >= 300)
+        .unionByName(d.filter(col("doc_id") < 300 &&
+            col("doc_id") % 30 === 0)
+          .withColumn("doc_id", col("doc_id") + 120000L))
+        .unionByName(d.filter(col("doc_id") >= 300 &&
+            col("doc_id") % 30 === 0)
+          .withColumn("doc_id", col("doc_id") + 240000L))
+      graft.llm.AnnIndex.semanticDedupDelta(
+          graft.llm.AnnIndex.readIndex(s, idxDir), vecs(batch),
+          "media_id", "vec", 0.999, nlist = 4, dims = 8)
+        .select("media_id").orderBy("media_id")
+    }),
+
     // D2 point lookup: first record by key — the sink's get() shape.
     "d5_point_get" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -3365,6 +3401,17 @@ object LlmQueries {
     * `_ps` array column in [[Similarity.ivfTopK]]. */
   private val duckIvfProjs: String =
     (0 until 8).map(duckCentroidProj).mkString("[", ", ", "]")
+
+  /** [[duckIvfProjs]] for an arbitrary (nlist, dims) seed codebook —
+    * the mm5 8-dim media-feature space. Same constants-as-model rule:
+    * literal doubles from [[Similarity.unitCentroidVector]]. */
+  private def duckIvfProjsAt(nlist: Int, dims: Int): String =
+    (0 until nlist).map { c =>
+      val comps = Similarity.unitCentroidVector(c, dims)
+        .map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, ${dims + 1}), " +
+        s"i -> v[i] * ($comps)[i]))"
+    }.mkString("[", ", ", "]")
 
   /** The 16 biased PQ projections of subspace `j` over the staged
     * 17-element subvector column `v$j` — mirrors `_s$j`/`_qs$j` in
@@ -6890,6 +6937,66 @@ object LlmQueries {
                     JOIN feats fb ON fb.media_id = c.id_b)
          SELECT id_a, id_b, n_match FROM m WHERE n_match >= 5
          ORDER BY id_a, id_b""",
+    "mm5_semantic_dedup" ->
+      s"""WITH aug AS (SELECT doc_id, text, 0 AS is_b FROM documents
+                       WHERE doc_id < 300
+                       UNION ALL
+                       SELECT doc_id, text, 1 FROM documents
+                       WHERE doc_id >= 300
+                       UNION ALL
+                       SELECT doc_id + 120000, text, 1 FROM documents
+                       WHERE doc_id < 300 AND doc_id % 30 = 0
+                       UNION ALL
+                       SELECT doc_id + 240000, text, 1 FROM documents
+                       WHERE doc_id >= 300 AND doc_id % 30 = 0),
+              feats AS (SELECT doc_id AS media_id, is_b,
+                          octet_length(encode(text)) AS n_bytes,
+                          (ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS width,
+                          (CAST(octet_length(encode(text)) % 64 AS INTEGER) + 1) * 16 AS height,
+                          CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2
+                               THEN CAST(octet_length(encode(text)) % 240 AS INTEGER) + 1
+                               ELSE 1 END AS n_frames
+                        FROM aug),
+              vecs AS (SELECT media_id, is_b,
+                         [CAST(n_bytes % 97 + 1 AS DOUBLE),
+                          CAST(width % 97 + 1 AS DOUBLE),
+                          CAST(height % 97 + 1 AS DOUBLE),
+                          CAST(n_frames % 97 + 1 AS DOUBLE),
+                          CAST(1 AS DOUBLE), CAST(1 AS DOUBLE),
+                          CAST((n_bytes * 7 + width) % 97 + 1 AS DOUBLE),
+                          CAST((height * 5 + n_frames) % 97 + 1 AS DOUBLE)]
+                           AS v
+                       FROM feats),
+              pcs AS (SELECT media_id, v, ${duckIvfProjsAt(4, 8)} AS ps
+                      FROM vecs WHERE is_b = 0),
+              ccs AS (SELECT media_id, v,
+                        CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                      FROM pcs),
+              pcb AS (SELECT media_id, v, ${duckIvfProjsAt(4, 8)} AS ps
+                      FROM vecs WHERE is_b = 1),
+              ccb AS (SELECT media_id, v,
+                        CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                      FROM pcb),
+              crossh AS (SELECT DISTINCT a.media_id
+                         FROM ccb a JOIN ccs s ON a.cell = s.cell
+                         WHERE list_sum(list_transform(range(1, 9),
+                                 i -> a.v[i] * s.v[i])) /
+                               (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                                sqrt(list_sum(list_transform(s.v, x -> x*x))))
+                               >= 0.999),
+              withinh AS (SELECT DISTINCT a.media_id
+                          FROM ccb a JOIN ccb c
+                            ON a.cell = c.cell AND c.media_id < a.media_id
+                          WHERE list_sum(list_transform(range(1, 9),
+                                  i -> a.v[i] * c.v[i])) /
+                                (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                                 sqrt(list_sum(list_transform(c.v, x -> x*x))))
+                                >= 0.999)
+          SELECT media_id FROM vecs
+          WHERE is_b = 1
+            AND media_id NOT IN (SELECT media_id FROM crossh)
+            AND media_id NOT IN (SELECT media_id FROM withinh)
+          ORDER BY media_id""",
     "d5_point_get" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 1"""

@@ -163,6 +163,38 @@ class LlmSpec extends SparkSpec {
     assert(strict === pairs.filter(_._3 == 6).toSet)
   }
 
+  test("multimodal semantic dedup: media feature vectors ride the " +
+    "persisted-IVF SemDeDup delta — re-ingested media drop against the " +
+    "stored history, within-batch dups keep the smaller id") {
+    import graft.llm.{AnnIndex, Multimodal}
+    def vecs(d: org.apache.spark.sql.DataFrame) = Multimodal.featureVector(
+      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, d)))
+    val state = docs.filter(col("doc_id") < 200)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("mm5spec_idx").toString
+    AnnIndex.writeIndex(AnnIndex.encodeIvf(vecs(state), "media_id",
+      "vec", nlist = 4, dims = 8), idxDir)
+    // +120000/+240000 are multiples of 3: kind assignment preserved
+    val reingest = state.filter(col("doc_id") % 30 === 0)
+      .withColumn("doc_id", col("doc_id") + 120000L)
+    val fresh = docs.filter(col("doc_id") >= 200)
+    val batchDups = fresh.filter(col("doc_id") % 30 === 0)
+      .withColumn("doc_id", col("doc_id") + 240000L)
+    val kept = AnnIndex.semanticDedupDelta(
+        AnnIndex.readIndex(spark, idxDir),
+        vecs(fresh.unionByName(reingest).unionByName(batchDups)),
+        "media_id", "vec", 0.999, nlist = 4, dims = 8)
+      .select("media_id").as[Long].collect().toSet
+    // every stored re-ingest drops at cosine 1.0 against the history
+    assert(reingest.select("doc_id").as[Long].collect()
+      .forall(!kept.contains(_)), "a stored re-ingest survived")
+    // every within-batch dup drops; its smaller-id original's fate is
+    // decided by the history screen only
+    assert(batchDups.select("doc_id").as[Long].collect()
+      .forall(!kept.contains(_)), "a within-batch dup survived")
+    assert(kept.nonEmpty)
+  }
+
   test("embedding near-dups finds planted duplicate vectors, never all-pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant an exact duplicate of vec 0 with id 100000

@@ -656,6 +656,35 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM zorder_key('tvf7_q', 'vec_id', 'label', 4)",
         q.withColumn("zkey", graft.operators.ZOrder.mortonCode(
           col("vec_id"), col("label"), 4)))
+      // multimodal, pure SQL: decode features, lift to vectors, and run
+      // media semantic dedup through the SAME semantic_dedup_delta TVF
+      // (dims argument) — the mm5 shape with no Scala in the SQL path
+      val mmDocs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+      mmDocs.createOrReplaceTempView("tvf7_media_docs")
+      def mmVecs(d: org.apache.spark.sql.DataFrame) =
+        graft.llm.Multimodal.featureVector(
+          graft.llm.Multimodal.decodeFeatures(
+            graft.llm.Multimodal.mediaFromDocuments(spark, d)))
+      check("SELECT * FROM media_feature_vectors('tvf7_media_docs')",
+        mmVecs(mmDocs))
+      val mmIdxDir = tmp("tvf7_mm_idx")
+      graft.llm.AnnIndex.writeIndex(graft.llm.AnnIndex.encodeIvf(
+        mmVecs(mmDocs.filter(col("doc_id") < 200)), "media_id", "vec",
+        nlist = 4, dims = 8), mmIdxDir)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf7_mm_idx AS " +
+        s"SELECT * FROM parquet.`$mmIdxDir`")
+      val mmBatch = mmVecs(mmDocs.filter(col("doc_id") >= 200)
+        .unionByName(mmDocs.filter(col("doc_id") < 200 &&
+            col("doc_id") % 30 === 0)
+          .withColumn("doc_id", col("doc_id") + 120000L)))
+      mmBatch.createOrReplaceTempView("tvf7_mm_batch")
+      check("SELECT * FROM semantic_dedup_delta('tvf7_mm_idx', " +
+          "'tvf7_mm_batch', 'media_id', 'vec', 0.999, 4, 8)",
+        graft.llm.AnnIndex.semanticDedupDelta(
+          graft.llm.AnnIndex.readIndex(spark, mmIdxDir), mmBatch,
+          "media_id", "vec", 0.999, nlist = 4, dims = 8))
       // classifier lifecycle in SQL: fit + persist, then serve margins
       // from the stored matched pair
       val allDocs = spark.read
