@@ -60,9 +60,21 @@ object Bench {
     * exception class/message — a crash must be diagnosable from the
     * bench artifact alone, not just named. Cross-run aggregation
     * (median/min over passes) lives in [[aggregatePasses]]. */
+  /** The benched query set: all of SparkEntry.queries, or the
+    * comma-separated subset named by SPARK_GRAFT_ONLY — the hook the
+    * fresh-JVM drift measurement uses to time one query (or group) per
+    * process, free of the 180-plan session/catalog pressure an
+    * in-session pass accumulates. Unset in driver runs. */
+  private lazy val selectedQueries = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+  }
+
   private def timeSuite(spark: SparkSession, sfDir: String)
       : Seq[(String, Double, Option[String])] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    selectedQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         force(fn(spark, sfDir))
@@ -176,7 +188,7 @@ object Bench {
     // C2 — two escalating passes measure steady-state execution (what a
     // long-lived cluster session sees), not compiler warm-up.
     for (warmDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
-         (_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+         (_, fn) <- selectedQueries)
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
 
     // Three full timed passes; the reported "total" is the per-query

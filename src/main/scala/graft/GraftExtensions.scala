@@ -664,6 +664,20 @@ object GraftExtensions {
           SparkSession.active, base, SparkSession.active.table(dt),
           tc, ic, lit2dbl(args(4), u)).kept)
       },
+      "neardup_over_index_salted" -> { args =>
+        val u = "usage: neardup_over_index_salted('index_base', " +
+          "'delta_table', 'text_col', 'id_col', threshold[, salts]) — " +
+          "neardup_over_index with the RECALL-PRESERVING salted hot " +
+          "path: the challenge set equals an UNCAPPED delta (hot " +
+          "boilerplate buckets are processed across salted reducers, " +
+          "never dropped — a dropped bucket silently KEEPS duplicates)"
+        require(args.length == 5 || args.length == 6, u)
+        val Seq(base, dt, tc, ic) = args.take(4).map(lit2str(_, u))
+        plan(graft.llm.DedupIndex.neardupDeltaOverIndexSalted(
+          SparkSession.active, base, SparkSession.active.table(dt),
+          tc, ic, lit2dbl(args(4), u),
+          salts = args.lift(5).map(lit2int(_, u)).getOrElse(8)).kept)
+      },
       "ivf_topk_over_index" -> { args =>
         val u = "usage: ivf_topk_over_index('index_table', 'queries', " +
           "'id_col', 'vec_col', k[, nlist, nprobe]) — index_table is a " +

@@ -1003,6 +1003,76 @@ object Dedup {
     DeltaState(kept, state)
   }
 
+  /** [[minhashNearDupDelta]] with the RECALL-PRESERVING salted hot path
+    * ([[lshCandidatesSalted]]'s d13 machinery on the delta protocol):
+    * buckets over `maxBucketSize` are PROCESSED through a `salts`-way
+    * salted join instead of dropped, so the challenge set — prior docs
+    * in the bucket plus smaller-id delta docs — is provably that of an
+    * UNCAPPED delta run. The capped operator's drop is a silent
+    * DUPLICATE ADMISSION at exactly the boilerplate buckets where
+    * near-dup mass lives at 100 TB; use this variant when those
+    * duplicates must not survive ingest, the capped one when hot-bucket
+    * pairs are discardable noise. */
+  def minhashNearDupDeltaSalted(newDocs: DataFrame, textCol: String,
+      idCol: String, threshold: Double,
+      priorSigs: Option[DataFrame] = None,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize, salts: Int = 8)
+      : DeltaState = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(salts >= 1, s"salts ($salts) must be >= 1")
+    val deltaSigs = minhashSignature(newDocs, textCol, idCol, numHashes, k)
+      .persist()
+    val deltaBands = explodeBands(deltaSigs, idCol, numHashes, bands,
+      src = 1)
+    // cut: the union feeds the hot count AND both carve-outs (the
+    // lshCandidatesSalted discipline — three consumers, one band pass)
+    val allBands = graft.operators.Lineage.cut(
+      priorSigs.fold(deltaBands)(p =>
+        explodeBands(p, idCol, numHashes, bands, src = 0)
+          .unionByName(deltaBands)))
+    val hot = graft.operators.Lineage.cut(
+      allBands.groupBy(col("bk")).agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") > maxBucketSize).select("bk"))
+    val cold = allBands.join(broadcast(hot), Seq("bk"), "left_anti")
+    val hotRows = allBands.join(broadcast(hot), Seq("bk"), "left_semi")
+    // a bucket is hot or cold as a whole: cold challenges ∪ salted hot
+    // challenges = exactly the uncapped challenge set
+    def challenges(b: DataFrame, pairsOf: (DataFrame, DataFrame) => DataFrame)
+        : DataFrame =
+      pairsOf(b.filter(col("_src") === 1)
+          .select(col("_mid").as("_d"), col("bk")),
+        b.select(col("_mid").as("_o"), col("_src"), col("bk")))
+    val coldPairs = challenges(cold, (d, o) => d.join(o, Seq("bk")))
+    val hotPairs = challenges(hotRows, (d, o) =>
+      graft.operators.SkewJoin.saltedJoin(d, o, Seq("bk"), col("_d"),
+        salts))
+    val pairs = coldPairs.unionByName(hotPairs)
+      .filter(col("_src") === 0 || col("_o") < col("_d"))
+      .select("_d", "_o").distinct()
+    val allSigs = priorSigs.fold(deltaSigs)(_.unionByName(deltaSigs))
+    val matchFrac = (0 until numHashes)
+      .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    val aSide = deltaSigs.select(col(idCol).as("_d") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_a_sig_$j")): _*)
+    val bSide = allSigs.select(col(idCol).as("_o") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_b_sig_$j")): _*)
+    val flagged = pairs.join(aSide, Seq("_d")).join(bSide, Seq("_o"))
+      .filter(matchFrac >= threshold)
+      .select(col("_d").as(idCol)).distinct()
+      .transform(graft.operators.Lineage.cut)
+    val kept = newDocs.join(flagged, Seq(idCol), "left_anti")
+    val keptSigs = deltaSigs.join(flagged, Seq(idCol), "left_anti")
+      .transform(graft.operators.Lineage.cut)
+    val state = priorSigs.map(_.unionByName(keptSigs)).getOrElse(keptSigs)
+    deltaSigs.unpersist()
+    DeltaState(kept, state)
+  }
+
   /** The k-gram string starting at window position `_p` of token array
     * `_tk` — transient: hashed or projected away within the same map pass,
     * never persisted and never shuffled corpus-wide. */

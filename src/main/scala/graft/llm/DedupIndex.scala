@@ -342,6 +342,82 @@ object DedupIndex {
     Dedup.DeltaState(kept, keptSigs)
   }
 
+  /** [[neardupDeltaOverIndex]] with the RECALL-PRESERVING salted hot
+    * path — [[Dedup.minhashNearDupDeltaSalted]] served from the stored
+    * index: hot buckets (stored + delta count over `maxBucketSize`, the
+    * same union rule the capped pair uses to DROP) route through
+    * `salts`-way salted joins for both the delta×stored and the
+    * delta×delta challenge sets, so the result is provably an UNCAPPED
+    * delta's. The capped pair's drop silently ADMITS duplicates living
+    * in boilerplate buckets — use this variant when ingest must not
+    * keep them. Same replay contract as the capped operator
+    * (`belowBatch` pins the pre-append view). */
+  def neardupDeltaOverIndexSalted(spark: SparkSession, base: String,
+      newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize, salts: Int = 8,
+      belowBatch: Option[Long] = None): Dedup.DeltaState = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(salts >= 1, s"salts ($salts) must be >= 1")
+    requireBuildParams(spark, base, numHashes, bands, Some(k))
+    def visible(t: String) = belowBatch.fold(spark.table(t))(b =>
+      spark.table(t).filter(col("_ib") < b))
+    val deltaSigs = Dedup
+      .minhashSignature(newDocs, textCol, idCol, numHashes, k).persist()
+    val deltaBands = bandTable(deltaSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("_mid"), col("bkey")).persist()
+    val storedBands = visible(s"${base}_bands")
+      .select(col(idCol).as("_mid"), col("bkey"))
+    // union-rule hot list as a JOIN of per-side counts (the capped
+    // operator's shape — the corpus-sized stored rows are never unioned
+    // into a re-shuffle); cut: it broadcasts into four carve-outs
+    val hot = graft.operators.Lineage.cut(
+      storedBands.groupBy("bkey").agg(count(lit(1)).as("_sc"))
+        .join(deltaBands.groupBy("bkey").agg(count(lit(1)).as("_dc")),
+          Seq("bkey"), "full_outer")
+        .filter(coalesce(col("_sc"), lit(0L)) +
+          coalesce(col("_dc"), lit(0L)) > maxBucketSize)
+        .select("bkey"))
+    val dCold = deltaBands.join(broadcast(hot), Seq("bkey"), "left_anti")
+    val dHot = deltaBands.join(broadcast(hot), Seq("bkey"), "left_semi")
+    val sCold = storedBands.join(broadcast(hot), Seq("bkey"), "left_anti")
+    val sHot = storedBands.join(broadcast(hot), Seq("bkey"), "left_semi")
+    def d(b: DataFrame) = b.select(col("_mid").as("_d"), col("bkey"))
+    def o(b: DataFrame) = b.select(col("_mid").as("_o"), col("bkey"))
+    // cross: every stored doc in the bucket challenges; within: every
+    // smaller-id delta doc — cold ∪ salted hot covers each exactly
+    val crossPairs = d(dCold).join(o(sCold), Seq("bkey"))
+      .unionByName(graft.operators.SkewJoin.saltedJoin(
+        d(dHot), o(sHot), Seq("bkey"), col("_d"), salts))
+    val withinPairs = d(dCold).join(o(dCold), Seq("bkey"))
+      .unionByName(graft.operators.SkewJoin.saltedJoin(
+        d(dHot), o(dHot), Seq("bkey"), col("_d"), salts))
+      .filter(col("_o") < col("_d"))
+    val pairs = crossPairs.select("_d", "_o")
+      .unionByName(withinPairs.select("_d", "_o"))
+      .distinct()
+    val allSigs = visible(s"${base}_sigs").drop("_ib")
+      .unionByName(deltaSigs)
+    val matchFrac = (0 until numHashes)
+      .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1)
+        .otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    val aSide = deltaSigs.select(col(idCol).as("_d") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_a_sig_$j")): _*)
+    val bSide = allSigs.select(col(idCol).as("_o") +:
+      (0 until numHashes).map(j => col(s"sig_$j").as(s"_b_sig_$j")): _*)
+    val flagged = pairs.join(aSide, Seq("_d")).join(bSide, Seq("_o"))
+      .filter(matchFrac >= threshold)
+      .select(col("_d").as(idCol)).distinct()
+      .transform(graft.operators.Lineage.cut)
+    val kept = newDocs.join(flagged, Seq(idCol), "left_anti")
+    val keptSigs = deltaSigs.join(flagged, Seq(idCol), "left_anti")
+      .transform(graft.operators.Lineage.cut)
+    deltaSigs.unpersist(); deltaBands.unpersist()
+    Dedup.DeltaState(kept, keptSigs)
+  }
+
   /** Fuzzy decontamination served from a PERSISTED near-dup index of
     * the BENCHMARK side — [[Dedup.crossCorpusNearDups]]' register-once/
     * screen-forever deployment shape, catching the paraphrased leaks

@@ -1091,6 +1091,55 @@ object LlmQueries {
         .kept.select("doc_id").orderBy("doc_id")
     }),
 
+    // The RECALL-PRESERVING salted DELTA: d13's salted machinery on the
+    // incremental dedup protocol. Every % 25 doc is planted three more
+    // times (+10000/+20000/+30000, all landing in the delta batch), so
+    // its buckets hold >= 4 members — hot under maxBucketSize = 2,
+    // where the CAPPED delta silently KEEPS the duplicates
+    // (DeltaDedupSpec pins the divergence). Salted ≡ the UNCAPPED
+    // oracle, batch for batch (batch 1's state is built salted too).
+    "d16_neardup_delta_salted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val plants = d.filter(col("doc_id") % 25 === 0)
+      val aug = d
+        .unionByName(plants.select((col("doc_id") + 10000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 20000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 30000L).as("doc_id"),
+          col("text")))
+      val prior = aug.filter(col("doc_id") < 250)
+      val delta = aug.filter(col("doc_id") >= 250)
+      val st = graft.llm.Dedup.minhashNearDupDeltaSalted(
+        prior, "text", "doc_id", 0.8, maxBucketSize = 2, salts = 4).state
+      graft.llm.Dedup.minhashNearDupDeltaSalted(delta, "text", "doc_id",
+          0.8, Some(st), maxBucketSize = 2, salts = 4)
+        .kept.select("doc_id").orderBy("doc_id")
+    }),
+
+    // d16's second batch served from the PERSISTED index — the salted
+    // delta's encode-once story (d11's shape): query-over-stored-index
+    // ≡ recompute, certified by sharing d16's uncapped oracle verbatim.
+    "d17_neardup_index_salted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val plants = d.filter(col("doc_id") % 25 === 0)
+      val aug = d
+        .unionByName(plants.select((col("doc_id") + 10000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 20000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 30000L).as("doc_id"),
+          col("text")))
+      val prior = aug.filter(col("doc_id") < 250)
+      val delta = aug.filter(col("doc_id") >= 250)
+      val st = graft.llm.Dedup.minhashNearDupDeltaSalted(
+        prior, "text", "doc_id", 0.8, maxBucketSize = 2, salts = 4).state
+      graft.llm.DedupIndex.writeState(st, "doc_id", "d17_idx")
+      graft.llm.DedupIndex.neardupDeltaOverIndexSalted(s, "d17_idx",
+          delta, "text", "doc_id", 0.8, maxBucketSize = 2, salts = 4)
+        .kept.select("doc_id").orderBy("doc_id")
+    }),
+
     // BPE tokenization with a fixed merge list (x39 mines merges; this is
     // the APPLY step, completing the tokenizer story) — pure Column
     // algebra via the double-space separator formulation, fully inside
@@ -1390,6 +1439,49 @@ object LlmQueries {
           graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
         "text", "doc_id", minQuality = 0.6,
         fuzzyDecontamIndex = Some("w12_idx"))
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch")))
+        .orderBy("doc_id")
+    }),
+
+    // w12's fuzzy-decontam gate with the RECALL-PRESERVING salted probe
+    // engaged (fuzzySalted) — the d15 machinery certified through the
+    // full two-batch ingest chain. Each % 11 bench doc is planted into
+    // batch 2 THREE times (+50000/+60000/+70000): their band buckets
+    // hold >= 3 probe rows, hot under the deliberately tiny
+    // fuzzyMaxBucket = 2 — where the CAPPED gate silently ADMITS the
+    // leaks (and exact dedup then keeps one copy). The salted gate's
+    // candidate set is provably that of an UNCAPPED probe, so the
+    // oracle replays the cross screen with NO bucket guard and every
+    // planted leak must be gone from the kept output.
+    "w15_ingest_gate_fuzzy_salted" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val bench = base.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      graft.llm.DedupIndex.writeState(
+        Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id",
+        "w15_idx")
+      val train = base.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+      val b1 = train.filter(col("doc_id") < 250)
+      val plants = bench.filter(col("doc_id") % 11 === 0)
+      val b2 = train.filter(col("doc_id") >= 250)
+        .unionByName(b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(plants.select((col("doc_id") + 50000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 60000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 70000L).as("doc_id"),
+          col("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", minQuality = 0.6,
+        fuzzyDecontamIndex = Some("w15_idx"), fuzzySalted = true,
+        fuzzySalts = 4, fuzzyMaxBucket = 2)
       val s1 = step(b1, None)
       val s2 = step(b2, Some(s1.state))
       s1.kept.select(col("doc_id"), lit(0).as("batch"))
@@ -3273,6 +3365,62 @@ object LlmQueries {
             AND doc_id NOT IN (SELECT d FROM drop2)
           ORDER BY doc_id"""
 
+  /** The UNCAPPED two-batch delta replay shared by d16 (in-memory
+    * salted delta) and d17 (salted delta over the stored index): the
+    * salted operators' certified property is candidate-set ≡ uncapped,
+    * so the oracle carries NO hot-bucket guard. Every doc_id % 25 == 0
+    * document is planted three more times (+10000/+20000/+30000 — all
+    * landing in the delta batch), so its buckets hold >= 4 members,
+    * over the queries' maxBucketSize = 2 where the CAPPED delta
+    * provably keeps the duplicates (DeltaDedupSpec pins the
+    * divergence). */
+  private lazy val duckNeardupDeltaSaltedSql =
+    s"""WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id % 25 = 0
+              UNION ALL
+              SELECT doc_id + 20000 AS doc_id, text FROM documents
+              WHERE doc_id % 25 = 0
+              UNION ALL
+              SELECT doc_id + 30000 AS doc_id, text FROM documents
+              WHERE doc_id % 25 = 0),
+              ws AS (SELECT doc_id, $duckToks AS w FROM base),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              sig AS (SELECT doc_id,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              sig1 AS (SELECT * FROM sig WHERE doc_id < 250),
+              b1 AS (${duckBandRows("sig1")}),
+              p1 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
+                     FROM b1 a
+                     JOIN b1 o ON o.b = a.b AND o.bucket = a.bucket
+                      AND o.doc_id < a.doc_id),
+              drop1 AS (SELECT DISTINCT p1.d FROM p1
+                        JOIN sig1 x ON x.doc_id = p1.d
+                        JOIN sig1 y ON y.doc_id = p1.o
+                        WHERE $duckSigFrac),
+              st1 AS (SELECT * FROM sig1
+                      WHERE doc_id NOT IN (SELECT d FROM drop1)),
+              sig2 AS (SELECT * FROM sig WHERE doc_id >= 250),
+              b2p AS (${duckBandRows("st1")}),
+              b2d AS (${duckBandRows("sig2")}),
+              b2 AS (SELECT doc_id, 0 AS src, b, bucket FROM b2p
+                     UNION ALL
+                     SELECT doc_id, 1 AS src, b, bucket FROM b2d),
+              p2 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
+                     FROM b2 a
+                     JOIN b2 o ON o.b = a.b AND o.bucket = a.bucket
+                     WHERE a.src = 1 AND (o.src = 0 OR o.doc_id < a.doc_id)),
+              drop2 AS (SELECT DISTINCT p2.d FROM p2
+                        JOIN sig2 x ON x.doc_id = p2.d
+                        JOIN sig y ON y.doc_id = p2.o
+                        WHERE $duckSigFrac)
+          SELECT doc_id FROM base WHERE doc_id >= 250
+            AND doc_id NOT IN (SELECT d FROM drop2)
+          ORDER BY doc_id"""
+
   /** Shared CTE prefix of the x58/x63 DSIR oracles: hashed-bigram bucket
     * features of the non-src0 training docs vs the src0 target, both
     * distributions, and the per-doc integer sufficient statistics as a
@@ -4766,6 +4914,10 @@ object LlmQueries {
     // bucketed index tables — query-over-index ≡ recompute, so the
     // oracle is x55's verbatim.
     "d11_neardup_index" -> duckNeardupDeltaSql,
+    // d16/d17: salted ≡ UNCAPPED is the certified property, in memory
+    // and over the stored index — one oracle, no bucket guard.
+    "d16_neardup_delta_salted" -> duckNeardupDeltaSaltedSql,
+    "d17_neardup_index_salted" -> duckNeardupDeltaSaltedSql,
     "x56_bpe_tokenize" -> duckBpeTokenizeSql,
     // the round-trip query's certified property IS x56's oracle: the
     // merges pass through the store and apply identically
@@ -5184,6 +5336,90 @@ object LlmQueries {
                           ON bx.b = p.b AND bx.bucket = p.bucket
                         JOIN bkept bk
                           ON bx.b = bk.b AND bx.bucket = bk.bucket),
+              flag2 AS (SELECT DISTINCT c.train_id AS doc_id
+                        FROM cand2 c
+                        JOIN psig2 x ON x.doc_id = c.train_id
+                        JOIN bsig y ON y.doc_id = c.bench_id
+                        WHERE $duckSigFrac),
+              c2 AS (SELECT doc_id, text FROM q2
+                     WHERE doc_id NOT IN (SELECT doc_id FROM flag2)),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM c2 GROUP BY 1),
+              kept2 AS (SELECT doc_id FROM k2
+                        WHERE h NOT IN (SELECT h FROM state1))
+          SELECT doc_id, batch FROM (
+            SELECT doc_id, 0 AS batch FROM k1
+            UNION ALL
+            SELECT doc_id, 1 AS batch FROM kept2)
+          ORDER BY doc_id""",
+    // w12's chain with the salted (recall-preserving) fuzzy screen:
+    // triple hot plants in b2, and the cross candidate set carries NO
+    // hot-bucket guard — salted ≡ uncapped is the certified property.
+    "w15_ingest_gate_fuzzy_salted" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+                         WHERE source = 'src0'),
+              train AS (SELECT doc_id, text FROM documents
+                        WHERE source <> 'src0'),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0
+                     UNION ALL
+                     SELECT doc_id + 50000, text FROM bench
+                     WHERE doc_id % 11 = 0
+                     UNION ALL
+                     SELECT doc_id + 60000, text FROM bench
+                     WHERE doc_id % 11 = 0
+                     UNION ALL
+                     SELECT doc_id + 70000, text FROM bench
+                     WHERE doc_id % 11 = 0),
+              bws AS (SELECT doc_id, $duckToks AS w FROM bench),
+              bsh AS (SELECT doc_id, $duckShingles AS sh FROM bws
+                      WHERE len(w) >= 3),
+              bsig AS (SELECT doc_id,
+                         ${(0 to 15).map(duckSig).mkString(",\n                         ")}
+                       FROM bsh),
+              bb AS (${duckBandRows("bsig")}),
+              q1 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b1)
+                     WHERE $duckQualityExpr >= 0.6),
+              pws1 AS (SELECT doc_id, $duckToks AS w FROM q1),
+              psh1 AS (SELECT doc_id, $duckShingles AS sh FROM pws1
+                       WHERE len(w) >= 3),
+              psig1 AS (SELECT doc_id,
+                          ${(0 to 15).map(duckSig).mkString(",\n                          ")}
+                        FROM psh1),
+              pb1 AS (${duckBandRows("psig1")}),
+              cand1 AS (SELECT DISTINCT p.doc_id AS train_id,
+                                        bx.doc_id AS bench_id
+                        FROM pb1 p
+                        JOIN bb bx
+                          ON bx.b = p.b AND bx.bucket = p.bucket),
+              flag1 AS (SELECT DISTINCT c.train_id AS doc_id
+                        FROM cand1 c
+                        JOIN psig1 x ON x.doc_id = c.train_id
+                        JOIN bsig y ON y.doc_id = c.bench_id
+                        WHERE $duckSigFrac),
+              c1 AS (SELECT doc_id, text FROM q1
+                     WHERE doc_id NOT IN (SELECT doc_id FROM flag1)),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM c1 GROUP BY md5(text)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM c1),
+              q2 AS (SELECT doc_id, text FROM
+                       (SELECT doc_id, text, $duckToks AS w FROM b2)
+                     WHERE $duckQualityExpr >= 0.6),
+              pws2 AS (SELECT doc_id, $duckToks AS w FROM q2),
+              psh2 AS (SELECT doc_id, $duckShingles AS sh FROM pws2
+                       WHERE len(w) >= 3),
+              psig2 AS (SELECT doc_id,
+                          ${(0 to 15).map(duckSig).mkString(",\n                          ")}
+                        FROM psh2),
+              pb2 AS (${duckBandRows("psig2")}),
+              cand2 AS (SELECT DISTINCT p.doc_id AS train_id,
+                                        bx.doc_id AS bench_id
+                        FROM pb2 p
+                        JOIN bb bx
+                          ON bx.b = p.b AND bx.bucket = p.bucket),
               flag2 AS (SELECT DISTINCT c.train_id AS doc_id
                         FROM cand2 c
                         JOIN psig2 x ON x.doc_id = c.train_id

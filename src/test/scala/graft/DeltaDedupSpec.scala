@@ -77,6 +77,64 @@ class DeltaDedupSpec extends SparkSpec {
     assert(s2.state.count() === 3L)
   }
 
+  test("salted minhash delta equals the UNCAPPED delta exactly where " +
+    "the capped delta provably keeps hot-bucket duplicates — in memory " +
+    "and served from the stored index") {
+    val td = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // every %25 doc planted three more times, all landing in the delta
+    // batch: buckets hold >= 4 members, hot under maxBucketSize = 2
+    val plants = td.filter(col("doc_id") % 25 === 0)
+    val aug = td
+      .unionByName(plants.select((col("doc_id") + 10000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 20000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 30000L).as("doc_id"),
+        col("text")))
+    val prior = aug.filter(col("doc_id") < 250)
+    val delta = aug.filter(col("doc_id") >= 250)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+
+    // uncapped reference chain (cap too large to ever bind)
+    val u1 = Dedup.minhashNearDupDelta(prior, "text", "doc_id", 0.8,
+      maxBucketSize = Int.MaxValue)
+    val u2 = Dedup.minhashNearDupDelta(delta, "text", "doc_id", 0.8,
+      Some(u1.state), maxBucketSize = Int.MaxValue)
+
+    // salted chain at the binding cap ≡ uncapped, batch for batch
+    val s1 = Dedup.minhashNearDupDeltaSalted(prior, "text", "doc_id",
+      0.8, maxBucketSize = 2, salts = 4)
+    assert(ids(s1.kept) === ids(u1.kept))
+    val s2 = Dedup.minhashNearDupDeltaSalted(delta, "text", "doc_id",
+      0.8, Some(s1.state), maxBucketSize = 2, salts = 4)
+    assert(ids(s2.kept) === ids(u2.kept))
+
+    // the capped delta at the same cap KEEPS planted duplicates the
+    // salted one drops — the silent duplicate admission
+    val c1 = Dedup.minhashNearDupDelta(prior, "text", "doc_id", 0.8,
+      maxBucketSize = 2)
+    val c2 = Dedup.minhashNearDupDelta(delta, "text", "doc_id", 0.8,
+      Some(c1.state), maxBucketSize = 2)
+    val admitted = ids(c2.kept) -- ids(s2.kept)
+    assert(admitted.nonEmpty, "the cap was expected to bind")
+    assert(admitted.exists(id => id >= 10000L && id < 40000L),
+      "planted duplicates should be among the capped path's keeps")
+
+    // served from the stored index: same salted semantics, same result
+    graft.llm.DedupIndex.writeState(s1.state, "doc_id", "d17spec_idx")
+    val i2 = graft.llm.DedupIndex.neardupDeltaOverIndexSalted(spark,
+      "d17spec_idx", delta, "text", "doc_id", 0.8, maxBucketSize = 2,
+      salts = 4)
+    assert(ids(i2.kept) === ids(u2.kept))
+    // salts = 1 degenerates to the plain join; still exact
+    assert(ids(Dedup.minhashNearDupDeltaSalted(delta, "text", "doc_id",
+      0.8, Some(s1.state), maxBucketSize = 2, salts = 1).kept)
+      === ids(u2.kept))
+  }
+
   test("minhash delta: short docs pass through without signatures") {
     val s = Dedup.minhashNearDupDelta(docs((1L, "too short")), "text",
       "doc_id", 0.8)
