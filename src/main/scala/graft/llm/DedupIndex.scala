@@ -568,7 +568,8 @@ object DedupIndex {
   def ingestBatchOverIndex(batch: DataFrame, batchId: Long, base: String,
       outDir: String, textCol: String, idCol: String, threshold: Double,
       numHashes: Int = 16, bands: Int = 4, k: Int = 3,
-      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): Unit = {
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      salted: Boolean = false, salts: Int = 8): Unit = {
     require(batchId >= 0, s"batchId ($batchId) must be >= 0 (negative " +
       "ids are reserved for the batch-less base load)")
     val spark = batch.sparkSession
@@ -581,9 +582,18 @@ object DedupIndex {
     if (fs.exists(marker)) {
       return // completed batch: output + state + marker all durable
     }
-    val st = neardupDeltaOverIndex(spark, base, batch, textCol, idCol,
-      threshold, numHashes, bands, k, maxBucketSize,
-      belowBatch = Some(batchId))
+    // salted = the recall-preserving hot path (duplicates in hot
+    // boilerplate buckets are dropped, not admitted) — pick ONE mode per
+    // index and keep it: the replay contract holds either way, but a
+    // mode switch mid-stream changes what earlier batches would have
+    // kept and compaction reconciles against the kept OUTPUTS
+    val st =
+      if (salted) neardupDeltaOverIndexSalted(spark, base, batch,
+        textCol, idCol, threshold, numHashes, bands, k, maxBucketSize,
+        salts, belowBatch = Some(batchId))
+      else neardupDeltaOverIndex(spark, base, batch, textCol, idCol,
+        threshold, numHashes, bands, k, maxBucketSize,
+        belowBatch = Some(batchId))
     st.kept.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/batch=$batchId")
     appendState(st.state, idCol, base, numHashes, bands, batchId)

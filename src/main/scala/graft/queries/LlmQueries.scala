@@ -2770,6 +2770,29 @@ object LlmQueries {
         .select("media_id").orderBy("media_id")
     }),
 
+    // Media SIMILARITY SEARCH over the persisted index (a17's serving
+    // shape on the mm5 feature vectors): top-10 nearest media per query
+    // from the probed cells only — multimodal rows are members of the
+    // ANN-serving family, not just the dedup one. Integer-exact vector
+    // components make every cosine (and so every rank, ties by
+    // neighbor id) bit-identical across engines.
+    "mm6_media_topk_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vecs = Multimodal.featureVector(
+        Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d)))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("mm6_idx").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(vecs, "media_id", "vec",
+          nlist = 4, dims = 8), idxDir)
+      graft.llm.AnnIndex.ivfTopKOverIndex(
+          graft.llm.AnnIndex.readIndex(s, idxDir),
+          vecs.filter(col("media_id") < 5), "media_id", "vec", 10,
+          nlist = 4, nProbe = 2, dims = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // D2 point lookup: first record by key — the sink's get() shape.
     "d5_point_get" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -7233,6 +7256,49 @@ object LlmQueries {
             AND media_id NOT IN (SELECT media_id FROM crossh)
             AND media_id NOT IN (SELECT media_id FROM withinh)
           ORDER BY media_id""",
+    "mm6_media_topk_index" ->
+      s"""WITH feats AS (SELECT doc_id AS media_id,
+                          octet_length(encode(text)) AS n_bytes,
+                          (ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS width,
+                          (CAST(octet_length(encode(text)) % 64 AS INTEGER) + 1) * 16 AS height,
+                          CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2
+                               THEN CAST(octet_length(encode(text)) % 240 AS INTEGER) + 1
+                               ELSE 1 END AS n_frames
+                        FROM documents),
+              vecs AS (SELECT media_id,
+                         [CAST(n_bytes % 97 + 1 AS DOUBLE),
+                          CAST(width % 97 + 1 AS DOUBLE),
+                          CAST(height % 97 + 1 AS DOUBLE),
+                          CAST(n_frames % 97 + 1 AS DOUBLE),
+                          CAST(1 AS DOUBLE), CAST(1 AS DOUBLE),
+                          CAST((n_bytes * 7 + width) % 97 + 1 AS DOUBLE),
+                          CAST((height * 5 + n_frames) % 97 + 1 AS DOUBLE)]
+                           AS v
+                       FROM feats),
+              pc AS (SELECT media_id, v, ${duckIvfProjsAt(4, 8)} AS ps
+                     FROM vecs),
+              cc AS (SELECT media_id, v,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                     FROM pc),
+              qp AS (SELECT media_id AS query_id, v AS qv, ps FROM pc
+                     WHERE media_id < 5),
+              pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC) AS prn
+                     FROM qp, range(1, 5) t(i)),
+              probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.media_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 9), i -> c.v[i] * p.qv[i])) /
+                       (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(p.qv, x -> x*x)))) AS cos
+                     FROM cc c JOIN probes p
+                       ON c.cell = p.cell AND c.media_id <> p.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
     "d5_point_get" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 1"""
