@@ -680,9 +680,12 @@ object GraftExtensions {
       },
       "ivf_topk_over_index" -> { args =>
         val u = "usage: ivf_topk_over_index('index_table', 'queries', " +
-          "'id_col', 'vec_col', k[, nlist, nprobe]) — index_table is a " +
-          "view over AnnIndex.readIndex output"
-        require(args.length == 5 || args.length == 7, u)
+          "'id_col', 'vec_col', k[, nlist, nprobe[, dims]]) — " +
+          "index_table is a view over AnnIndex.readIndex output; dims " +
+          "(default 64) must match the vectors the index was encoded " +
+          "from (8 for media_feature_vectors)"
+        require(args.length == 5 || args.length == 7 || args.length == 8,
+          u)
         val Seq(it, qt, ic, vc) = args.take(4).map(lit2str(_, u))
         val s = SparkSession.active
         val k = lit2int(args(4), u)
@@ -691,7 +694,8 @@ object GraftExtensions {
             s.table(it), s.table(qt), ic, vc, k)
           else graft.llm.AnnIndex.ivfTopKOverIndex(s.table(it),
             s.table(qt), ic, vc, k, nlist = lit2int(args(5), u),
-            nProbe = lit2int(args(6), u)))
+            nProbe = lit2int(args(6), u),
+            dims = args.lift(7).map(lit2int(_, u)).getOrElse(64)))
       },
       "ivf_topk_filtered" -> { args =>
         val u = "usage: ivf_topk_filtered('index_table', 'queries', " +
@@ -812,12 +816,13 @@ object GraftExtensions {
       // -------------------------------------------------------------
       "ivf_build_index" -> { args =>
         val u = "usage: ivf_build_index('corpus', 'id_col', 'vec_col', " +
-          "'path'[, nlist[, 'attr1,attr2,...']]) — writes the " +
+          "'path'[, nlist[, 'attr1,attr2,...'[, dims]]]) — writes the " +
           "partitioned-by-cell IVF index at 'path' (replacing any prior " +
           "index; optional payload attribute columns ride the rows for " +
-          "filtered search / knn_classify_index) and returns its " +
-          "per-cell occupancy report"
-        require(args.length >= 4 && args.length <= 6, u)
+          "filtered search / knn_classify_index; dims default 64 — pass " +
+          "8 for media_feature_vectors) and returns its per-cell " +
+          "occupancy report"
+        require(args.length >= 4 && args.length <= 7, u)
         val Seq(ct, ic, vc, path) = args.take(4).map(lit2str(_, u))
         val s = SparkSession.active
         // tolerate 'label, license' / trailing commas — an untrimmed
@@ -828,6 +833,7 @@ object GraftExtensions {
         graft.llm.AnnIndex.writeIndex(
           graft.llm.AnnIndex.encodeIvf(s.table(ct), ic, vc,
             nlist = args.lift(4).map(lit2int(_, u)).getOrElse(8),
+            dims = args.lift(6).map(lit2int(_, u)).getOrElse(64),
             attrCols = attrs), path)
         plan(graft.llm.AnnIndex.indexReport(
           graft.llm.AnnIndex.readIndex(s, path)))

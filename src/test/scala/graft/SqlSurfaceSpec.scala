@@ -685,6 +685,24 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.AnnIndex.semanticDedupDelta(
           graft.llm.AnnIndex.readIndex(spark, mmIdxDir), mmBatch,
           "media_id", "vec", 0.999, nlist = 4, dims = 8))
+      // ... and media similarity SEARCH, SQL-only end-to-end: build the
+      // media IVF index through the TVF (dims = 8) and serve top-k from
+      // it — the mm6 shape with no Scala in the SQL path
+      val mmVecsAll = mmVecs(mmDocs)
+      mmVecsAll.createOrReplaceTempView("tvf7_mm_vecs")
+      val mmIdx2 = tmp("tvf7_mm_idx2")
+      spark.sql("SELECT * FROM ivf_build_index('tvf7_mm_vecs', " +
+        s"'media_id', 'vec', '$mmIdx2', 4, '', 8)").collect()
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf7_mm_mounted AS " +
+        s"SELECT * FROM parquet.`$mmIdx2`")
+      mmVecsAll.filter(col("media_id") < 5)
+        .createOrReplaceTempView("tvf7_mm_q")
+      check("SELECT * FROM ivf_topk_over_index('tvf7_mm_mounted', " +
+          "'tvf7_mm_q', 'media_id', 'vec', 10, 4, 2, 8)",
+        graft.llm.AnnIndex.ivfTopKOverIndex(
+          graft.llm.AnnIndex.readIndex(spark, mmIdx2),
+          mmVecsAll.filter(col("media_id") < 5), "media_id", "vec", 10,
+          nlist = 4, nProbe = 2, dims = 8))
       // classifier lifecycle in SQL: fit + persist, then serve margins
       // from the stored matched pair
       val allDocs = spark.read
