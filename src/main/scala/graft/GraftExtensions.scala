@@ -923,6 +923,29 @@ object GraftExtensions {
           depth = args.lift(3).map(lit2int(_, u)).getOrElse(4),
           width = args.lift(4).map(lit2int(_, u)).getOrElse(1024)))
       },
+      "quantile_sketch" -> { args =>
+        val u = "usage: quantile_sketch('table', 'value_col', " +
+          "'0.5,0.9,0.99'[, levels, depth, width]) — mergeable dyadic " +
+          "Count-Min quantiles (Cormode-Muthukrishnan) of an integer " +
+          "column clamped to [0, 2^levels): builds the per-level " +
+          "counter sketch and extracts each quantile via the binary " +
+          "descent; returns (q, value_est)"
+        require(args.length >= 3 && args.length <= 6, u)
+        val Seq(tn, vc) = args.take(2).map(lit2str(_, u))
+        val qs = lit2str(args(2), u).split(',').map(_.trim)
+          .filter(_.nonEmpty).map(_.toDouble).toSeq
+        val levels = args.lift(3).map(lit2int(_, u)).getOrElse(16)
+        val depth = args.lift(4).map(lit2int(_, u)).getOrElse(4)
+        val width = args.lift(5).map(lit2int(_, u)).getOrElse(1024)
+        val s = SparkSession.active
+        val tdf = s.table(tn)
+        val sk = graft.llm.Sketches.dyadicSketch(tdf,
+          org.apache.spark.sql.functions.col(vc), levels, depth, width)
+        val est = graft.llm.Sketches.dyadicQuantiles(sk, tdf.count(),
+          qs, levels, depth, width)
+        import s.implicits._
+        plan(est.toDF("q", "value_est"))
+      },
       "decontam_fuzzy_over_index" -> { args =>
         val u = "usage: decontam_fuzzy_over_index('index_base', " +
           "'probe_table', 'text_col', 'id_col', threshold) — " +

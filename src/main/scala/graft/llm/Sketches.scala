@@ -207,4 +207,117 @@ object Sketches {
       -two32 * math.log(math.max(1.0 - raw / two32, 1.0 / two32))
     else raw
   }
+
+  // ---------------------------------------------------------------------
+  // dyadic Count-Min quantiles — mergeable rank/quantile estimation
+  // ---------------------------------------------------------------------
+
+  /** Dyadic Count-Min rank/quantile sketch (Cormode & Muthukrishnan
+    * 2005, "An improved data stream summary: the count-min sketch and
+    * its applications", §4.2) — the QUANTILE member of the mergeable
+    * sketch family ([[hllSketch]] answers distinct-count, [[cmsSketch]]
+    * point frequency, this one rank): one CMS per dyadic LEVEL over the
+    * integer value domain [0, 2^levels), values clamped into range.
+    * Node id at level `l` is `v >> l` (the node covers 2^l consecutive
+    * values), so `rank(x)` decomposes into ≤ `levels` dyadic point
+    * queries — each a one-sided CMS overestimate — and quantiles fall
+    * out of a binary descent ([[dyadicQuantiles]]).
+    *
+    * 100 TB shape: fixed `levels·depth·width` counter state per shard,
+    * merged by plain counter SUM ([[dyadicMerge]] ≡ sketching the
+    * concatenated corpus — certified through the extracted quantiles by
+    * x104's oracle); the monitoring story exact quantiles cannot give
+    * at corpus scale (exact needs a value-keyed shuffle per question,
+    * the sketch answers any q forever from register-scale state).
+    * Per input row the explode emits `levels·depth` struct rows —
+    * map-side combine collapses them before any shuffle.
+    *
+    * @return (lvl, row, bucket, c) counter rows */
+  def dyadicSketch(df: DataFrame, value: Column, levels: Int = 16,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(levels >= 1 && levels <= 30,
+      s"levels ($levels) must be in [1, 30]")
+    require(depth >= 1, s"depth ($depth) must be >= 1")
+    require(width >= 1, s"width ($width) must be >= 1")
+    val maxV = (1L << levels) - 1
+    val v = least(greatest(value.cast("long"), lit(0L)), lit(maxV))
+    df.select(v.as("_v"))
+      .select(explode(array((for (l <- 0 until levels; j <- 0 until depth)
+        yield struct(lit(l).as("lvl"), lit(j).as("row"),
+          (Hashing.hex32(concat(lit(s"dq$l:$j:"),
+              shiftright(col("_v"), l).cast("string"))) % width)
+            .cast("int").as("bucket"))): _*)).as("_x"))
+      .select(col("_x.lvl").as("lvl"), col("_x.row").as("row"),
+        col("_x.bucket").as("bucket"))
+      .groupBy("lvl", "row", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge dyadic sketches (same levels/depth/width): union → counter
+    * sum — identical to sketching the concatenated corpus. Refuses
+    * frames that are not plain sketch tables, the [[hllMerge]]
+    * discipline. */
+  def dyadicMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.foreach(s => require(
+      s.columns.sorted.toSeq == Seq("bucket", "c", "lvl", "row"),
+      s"dyadicMerge takes plain (lvl, row, bucket, c) sketch tables; " +
+        s"got columns [${s.columns.mkString(", ")}]"))
+    sketches.reduce(_.unionByName(_))
+      .groupBy("lvl", "row", "bucket").agg(sum("c").as("c"))
+  }
+
+  /** Driver-side replica of [[Hashing.hex32]] — first 8 md5 hex digits
+    * as a long; byte-for-byte the Column version, so the descent below
+    * probes exactly the buckets the sketch wrote. */
+  private def hex32Driver(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_))
+        .mkString, 16)
+  }
+
+  /** Estimated q-quantiles from a dyadic sketch: for each q, target
+    * rank `t = max(1, ceil(q·total))`, then the binary descent — at
+    * each level probe the LEFT child's estimated count; go left when
+    * `acc + est >= t`, else absorb it and go right. Driver-side: the
+    * sketch is counter-scale (≤ levels·depth·width rows) — collecting
+    * it is the documented exception to the no-collect rule, the
+    * [[hllEstimate]] shape. Estimates are one-sided per node, so the
+    * result is the standard CMS-quantile answer: rank error bounded by
+    * the summed node overestimates (≈ 2·levels·N/width expected).
+    *
+    * `total` is the exact row count the sketch was built from (the one
+    * scalar the counters do not record — callers have it from the same
+    * pass). Returns (q, value_est), ascending in q. */
+  def dyadicQuantiles(sketch: DataFrame, total: Long, qs: Seq[Double],
+      levels: Int = 16, depth: Int = 4, width: Int = 1024)
+      : Seq[(Double, Long)] = {
+    require(total >= 1, s"total ($total) must be >= 1")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val m = sketch.select(col("lvl").cast("int"), col("row").cast("int"),
+        col("bucket").cast("int"), col("c").cast("long"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    def est(l: Int, node: Long): Long =
+      (0 until depth).map { j =>
+        val b = (hex32Driver(s"dq$l:$j:$node") % width).toInt
+        m.getOrElse((l, j, b), 0L)
+      }.min
+    qs.sorted.map { q =>
+      val t = math.max(1L, math.ceil(q * total).toLong)
+      var node = 0L
+      var acc = 0L
+      var l = levels - 1
+      while (l >= 0) {
+        val left = node * 2
+        val c = est(l, left)
+        if (acc + c >= t) node = left
+        else { node = left + 1; acc += c }
+        l -= 1
+      }
+      (q, node)
+    }
+  }
 }

@@ -2621,6 +2621,27 @@ object LlmQueries {
         .orderBy(col("n_exact").desc, col("token"))
     }),
 
+    // Dyadic Count-Min QUANTILES (Cormode & Muthukrishnan 2005) — the
+    // rank member of the mergeable sketch family (x82/x84 distinct,
+    // x98 frequency): per-level CMS counters over clamped n_chars,
+    // built as a THREE-SHARD MERGE (merge ≡ whole-corpus is certified
+    // through the extracted values — the oracle sketches globally),
+    // then seven quantiles via the binary descent. Deterministic
+    // md5-bucket hashing and integer counters make every estimate —
+    // and therefore every descent decision — bit-identical across
+    // engines; the oracle replays the descent as 16 chained CTEs (the
+    // a28/x57 certify-the-loop pattern).
+    "x104_dyadic_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val sk = Sketches.dyadicMerge((0 until 3).map(i =>
+        Sketches.dyadicSketch(d.filter(col("doc_id") % 3 === i),
+          col("n_chars"))): _*)
+      Sketches.dyadicQuantiles(sk, d.count(),
+          Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))
+        .toDF("q", "value_est").orderBy("q")
+    }),
+
     // Fuzzy decontamination served from a PERSISTED near-dup index of
     // the benchmark (d10's cross-corpus semantics in x85's
     // register-once/screen-forever shape): the src0 bench registers its
@@ -3387,6 +3408,53 @@ object LlmQueries {
           SELECT doc_id FROM base WHERE doc_id >= 250
             AND doc_id NOT IN (SELECT d FROM drop2)
           ORDER BY doc_id"""
+
+  /** The x104 oracle: replay the dyadic CMS (16 levels × 4 rows × 1024
+    * md5 buckets over clamped n_chars — built GLOBALLY, which certifies
+    * the query's three-shard merge) and the binary quantile descent as
+    * 16 chained CTEs, one per level — the a28/x57 certify-the-loop
+    * pattern. Every counter and every descent decision is integer /
+    * md5-deterministic, so the extracted values hash-match exactly. */
+  private lazy val duckDyadicQuantilesSql: String = {
+    val descent = (15 to 0 by -1).map { l =>
+      s"""s$l AS (
+              SELECT q, t,
+                     node * 2 + CASE WHEN acc + est >= t THEN 0 ELSE 1 END AS node,
+                     acc + CASE WHEN acc + est >= t THEN CAST(0 AS BIGINT) ELSE est END AS acc
+              FROM (
+                SELECT p.q, p.t, p.node, p.acc,
+                       min(coalesce(sk.c, CAST(0 AS BIGINT))) AS est
+                FROM (SELECT q, t, node, acc, CAST(j AS INTEGER) AS rw,
+                        CAST(${duckHex32(s"'dq$l:' || CAST(j AS VARCHAR) || ':' || CAST(node * 2 AS VARCHAR)")} % 1024 AS INTEGER) AS bucket
+                      FROM s${l + 1}, range(0, 4) t(j)) p
+                LEFT JOIN sk ON sk.lvl = $l AND sk.rw = p.rw
+                            AND sk.bucket = p.bucket
+                GROUP BY p.q, p.t, p.node, p.acc))"""
+    }.mkString(",\n              ")
+    s"""WITH v AS (SELECT least(greatest(CAST(n_chars AS BIGINT), 0),
+                     65535) AS v
+                   FROM documents),
+              tot AS (SELECT count(*) AS n FROM v),
+              nodes AS (SELECT CAST(l AS INTEGER) AS lvl,
+                               v >> CAST(l AS INTEGER) AS node
+                        FROM v, range(0, 16) t(l)),
+              rb AS (SELECT lvl, CAST(j AS INTEGER) AS rw,
+                       CAST(${duckHex32("'dq' || CAST(lvl AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(node AS VARCHAR)")} % 1024 AS INTEGER) AS bucket
+                     FROM nodes, range(0, 4) t(j)),
+              sk AS (SELECT lvl, rw, bucket, count(*) AS c FROM rb
+                     GROUP BY 1, 2, 3),
+              -- CAST: a bare decimal list literal is DECIMAL(3,2) in
+              -- DuckDB; the engine's q column is DOUBLE, and the
+              -- descent's q*n must be the same double product
+              qs AS (SELECT CAST(unnest([0.01, 0.05, 0.25, 0.5, 0.75,
+                       0.95, 0.99]) AS DOUBLE) AS q),
+              s16 AS (SELECT q,
+                        CAST(greatest(1, ceil(q * n)) AS BIGINT) AS t,
+                        CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS acc
+                      FROM qs, tot),
+              $descent
+          SELECT q, node AS value_est FROM s0 ORDER BY q"""
+  }
 
   /** The UNCAPPED two-batch delta replay shared by d16 (in-memory
     * salted delta) and d17 (salted delta over the stored index): the
@@ -4941,6 +5009,7 @@ object LlmQueries {
     // and over the stored index — one oracle, no bucket guard.
     "d16_neardup_delta_salted" -> duckNeardupDeltaSaltedSql,
     "d17_neardup_index_salted" -> duckNeardupDeltaSaltedSql,
+    "x104_dyadic_quantiles" -> duckDyadicQuantilesSql,
     "x56_bpe_tokenize" -> duckBpeTokenizeSql,
     // the round-trip query's certified property IS x56's oracle: the
     // merges pass through the store and apply identically

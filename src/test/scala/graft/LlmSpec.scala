@@ -136,6 +136,49 @@ class LlmSpec extends SparkSpec {
     tk.unpersist()
   }
 
+  test("dyadic CM quantile sketch: shard-merge equals the global " +
+    "sketch, per-node estimates are one-sided, and extracted quantiles " +
+    "are monotone and rank-accurate within the CMS error band") {
+    import graft.llm.Sketches
+    val vals = docs.select(col("n_chars").cast("long").as("v"))
+    val total = vals.count()
+    val global = Sketches.dyadicSketch(docs, col("n_chars"))
+    val merged = Sketches.dyadicMerge((0 until 3).map(i =>
+      Sketches.dyadicSketch(docs.filter(col("doc_id") % 3 === i),
+        col("n_chars"))): _*)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(m(merged) === m(global))
+    // every level conserves the full count per row (each value lands in
+    // exactly one node per (level, row))
+    val perLvlRow = global.groupBy("lvl", "row")
+      .agg(sum("c").as("s")).select("s").as[Long].collect()
+    assert(perLvlRow.nonEmpty && perLvlRow.forall(_ === total))
+    // quantiles: monotone in q, in-domain, and the exact rank of each
+    // estimate is within the CMS band of the target rank
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val est = Sketches.dyadicQuantiles(global, total, qs)
+    assert(est.map(_._1) === qs)
+    val xs = est.map(_._2)
+    assert(xs === xs.sorted)
+    assert(xs.forall(x => x >= 0L && x < 65536L))
+    val sorted = vals.as[Long].collect().map(v =>
+      math.min(math.max(v, 0L), 65535L)).sorted
+    val tol = math.max(3L, total / 10)
+    est.foreach { case (q, x) =>
+      val t = math.max(1L, math.ceil(q * total).toLong)
+      val rankLe = sorted.count(_ <= x).toLong  // exact #values <= x
+      val rankLt = sorted.count(_ < x).toLong
+      assert(rankLe >= t - tol && rankLt <= t + tol,
+        s"q=$q est=$x exact-rank window [$rankLt, $rankLe] vs t=$t")
+    }
+    // malformed frames are refused, the hllMerge/cmsMerge discipline
+    val err2 = intercept[IllegalArgumentException](
+      Sketches.dyadicMerge(global.withColumn("extra", lit(1))))
+    assert(err2.getMessage.contains("plain (lvl, row, bucket, c)"))
+  }
+
   test("multimodal feature near-dup: planted byte-identical media rows " +
     "surface at a full 6/6 match, pairs never cross kinds, and minMatch " +
     "binds") {

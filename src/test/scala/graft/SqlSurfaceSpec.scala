@@ -389,6 +389,17 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM cms_estimate('tvf5_cms', 'tvf5_probe', 'tok')",
         graft.llm.Sketches.cmsEstimate(spark.table("tvf5_cms"),
           toks.distinct(), "tok"))
+      // dyadic CM quantiles: sketch + descent through one TVF call
+      docs.createOrReplaceTempView("tvf5_docs")
+      check("SELECT * FROM quantile_sketch('tvf5_docs', 'n_chars', " +
+          "'0.25,0.5,0.9')",
+        {
+          import spark.implicits._
+          graft.llm.Sketches.dyadicQuantiles(
+              graft.llm.Sketches.dyadicSketch(docs, col("n_chars")),
+              docs.count(), Seq(0.25, 0.5, 0.9))
+            .toDF("q", "value_est")
+        })
       check("SELECT * FROM label_propagate('tvf5_emb', 'tvf5_seeds', " +
           "'vec_id', 'embedding', 'label', 5)",
         Similarity.propagateLabels(emb, seeds, "vec_id", "embedding",
