@@ -276,6 +276,32 @@ object Sketches {
         .mkString, 16)
   }
 
+  /** The dyadic sketch as an INGEST FOLD (the vocabDelta/dsirDelta
+    * delta-state shape, so [[graft.streaming.StreamOps.durableIngestDedup]]
+    * drives it): state = the cumulative merged sketch, kept = the
+    * running corpus quantiles after this batch — the distribution
+    * monitor a 100 TB ingest wants ("what is P99 document length NOW"),
+    * paid as one batch-sized sketch pass + a counter-scale merge per
+    * batch, never a corpus rescan. The cumulative total needs no side
+    * channel: every (level, row) plane conserves the full count, so it
+    * is read back off the state itself. */
+  def dyadicSketchDelta(batch: DataFrame, value: Column, qs: Seq[Double],
+      prior: Option[DataFrame] = None, levels: Int = 16, depth: Int = 4,
+      width: Int = 1024): Dedup.DeltaState = {
+    val bs = dyadicSketch(batch, value, levels, depth, width)
+    val state = graft.operators.Lineage.cut(
+      prior.fold(bs)(p => dyadicMerge(p, bs)))
+    val total = state.filter(col("lvl") === 0 && col("row") === 0)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n")).head().getLong(0)
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val kept =
+      if (total == 0L) Seq.empty[(Double, Long)].toDF("q", "value_est")
+      else dyadicQuantiles(state, total, qs, levels, depth, width)
+        .toDF("q", "value_est")
+    Dedup.DeltaState(kept, state)
+  }
+
   /** Estimated q-quantiles from a dyadic sketch: for each q, target
     * rank `t = max(1, ceil(q·total))`, then the binary descent — at
     * each level probe the LEFT child's estimated count; go left when

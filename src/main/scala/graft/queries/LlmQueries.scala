@@ -2642,6 +2642,25 @@ object LlmQueries {
         .toDF("q", "value_est").orderBy("q")
     }),
 
+    // x104's sketch run as an INGEST FOLD (the x74/x64 delta-state
+    // split): batch 1 seeds the cumulative sketch state, batch 2 merges
+    // into it and reports the RUNNING corpus quantiles — which must
+    // equal a one-shot whole-corpus extraction (counter-sum
+    // mergeability certified through the streaming fold path; the
+    // oracle is x104's global replay verbatim). The 100 TB monitoring
+    // shape: per batch, one batch-sized sketch pass + a counter-scale
+    // merge — "what is P99 document length NOW" without a corpus
+    // rescan, ever.
+    "w16_sketch_fold" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val qs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+      val s1 = Sketches.dyadicSketchDelta(
+        d.filter(col("doc_id") < 250), col("n_chars"), qs)
+      Sketches.dyadicSketchDelta(d.filter(col("doc_id") >= 250),
+          col("n_chars"), qs, Some(s1.state))
+        .kept.orderBy("q")
+    }),
+
     // Fuzzy decontamination served from a PERSISTED near-dup index of
     // the benchmark (d10's cross-corpus semantics in x85's
     // register-once/screen-forever shape): the src0 bench registers its
@@ -5010,6 +5029,9 @@ object LlmQueries {
     "d16_neardup_delta_salted" -> duckNeardupDeltaSaltedSql,
     "d17_neardup_index_salted" -> duckNeardupDeltaSaltedSql,
     "x104_dyadic_quantiles" -> duckDyadicQuantilesSql,
+    // the ingest fold's cumulative state IS the whole-corpus sketch
+    // (counter-sum merge), so the oracle is x104's global replay
+    "w16_sketch_fold" -> duckDyadicQuantilesSql,
     "x56_bpe_tokenize" -> duckBpeTokenizeSql,
     // the round-trip query's certified property IS x56's oracle: the
     // merges pass through the store and apply identically

@@ -435,4 +435,45 @@ class DurableIngestSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap
     assert(counts(spark.read.parquet(s"$st/v=1")) === counts(s2.state))
   }
+
+  test("streaming corpus quantiles: dyadicSketchDelta through " +
+    "durableIngestDedup equals the two-batch replay, and the cumulative " +
+    "state equals the whole-corpus sketch (merge property on the wire)") {
+    import graft.llm.Sketches
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val step: StreamOps.DeltaStep =
+      (b, p) => Sketches.dyadicSketchDelta(b, col("n_chars"), qs, p)
+    val in = tmp("dq_in"); val out = tmp("dq_out"); val st = tmp("dq_state")
+    def stream() =
+      spark.readStream.schema("doc_id LONG, n_chars LONG").parquet(in)
+    d.filter($"doc_id" < 250).write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st).awaitTermination()
+    d.filter($"doc_id" >= 250).write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st).awaitTermination()
+    val s1 = Sketches.dyadicSketchDelta(d.filter($"doc_id" < 250),
+      col("n_chars"), qs)
+    val s2 = Sketches.dyadicSketchDelta(d.filter($"doc_id" >= 250),
+      col("n_chars"), qs, Some(s1.state))
+    def qv(df: org.apache.spark.sql.DataFrame): Seq[(Double, Long)] =
+      df.select($"q".cast("double"), $"value_est".cast("long"))
+        .orderBy($"q").as[(Double, Long)].collect().toSeq
+    val streamed = spark.read.parquet(out)
+    assert(qv(streamed.filter($"batch" === 0)) === qv(s1.kept))
+    assert(qv(streamed.filter($"batch" === 1)) === qv(s2.kept))
+    // the folded state IS the whole-corpus sketch — mergeability on the
+    // actual streaming wire, not just in-memory
+    def sk(df: org.apache.spark.sql.DataFrame) = df
+      .select($"lvl".cast("int"), $"row".cast("int"),
+        $"bucket".cast("int"), $"c".cast("long"))
+      .as[(Int, Int, Int, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(sk(spark.read.parquet(s"$st/v=1")) ===
+      sk(Sketches.dyadicSketch(d, col("n_chars"))))
+    // and the batch-2 running quantiles equal a one-shot whole-corpus
+    // extraction (what "corpus quantiles NOW" must mean)
+    assert(qv(s2.kept) === Sketches.dyadicQuantiles(
+      Sketches.dyadicSketch(d, col("n_chars")), d.count(), qs))
+  }
 }
