@@ -946,6 +946,31 @@ object GraftExtensions {
         import s.implicits._
         plan(est.toDF("q", "value_est"))
       },
+      "kmv_sketch" -> { args =>
+        val u = "usage: kmv_sketch('table', 'group_col', 'value_col'" +
+          "[, k]) — grouped KMV/theta sketch (Bar-Yossef 2002): the k " +
+          "smallest distinct md5 hashes of value_col per group; " +
+          "returns (group_col, h). CREATE TABLE AS to persist; sketches " +
+          "of disjoint slices union into kmv_overlap inputs (k-min is " +
+          "a semilattice)"
+        require(args.length >= 3 && args.length <= 4, u)
+        val Seq(tn, gc, vc) = args.take(3).map(lit2str(_, u))
+        val k = args.lift(3).map(lit2int(_, u)).getOrElse(64)
+        val s = SparkSession.active
+        plan(graft.llm.Sketches.kmvSketchBy(s.table(tn), Seq(gc),
+          org.apache.spark.sql.functions.col(vc), k))
+      },
+      "kmv_overlap" -> { args =>
+        val u = "usage: kmv_overlap('sketch_table', 'group_col'[, k]) — " +
+          "pairwise corpus-overlap estimates between the groups of a " +
+          "kmv_sketch table: (src_a, src_b, theta, n_common, n_union, " +
+          "jaccard_est). Sketch-sized math: the corpora are never joined"
+        require(args.length >= 2 && args.length <= 3, u)
+        val Seq(tn, gc) = args.take(2).map(lit2str(_, u))
+        val k = args.lift(2).map(lit2int(_, u)).getOrElse(64)
+        val s = SparkSession.active
+        plan(graft.llm.Sketches.kmvOverlapBy(s.table(tn), gc, k))
+      },
       "decontam_fuzzy_over_index" -> { args =>
         val u = "usage: decontam_fuzzy_over_index('index_base', " +
           "'probe_table', 'text_col', 'id_col', threshold) — " +
@@ -1085,6 +1110,20 @@ object GraftExtensions {
         graft.llm.AnnIndex.migrateIndex(s, base, ic, vc, trained)
         plan(graft.llm.AnnIndex.indexReport(
           graft.llm.AnnIndex.readLatestIndex(s, base)))
+      },
+      "ivf_index_gc" -> { args =>
+        val u = "usage: ivf_index_gc('base'[, keep]) — reclaim index " +
+          "generations older than LATEST minus keep (default 1: live + " +
+          "one rollback survive); never touches the live generation, " +
+          "the retention window, or partial builds above live. Returns " +
+          "the reclaimed version numbers"
+        require(args.length == 1 || args.length == 2, u)
+        val base = lit2str(args(0), u)
+        val keep = args.lift(1).map(lit2int(_, u)).getOrElse(1)
+        val s = SparkSession.active
+        val dead = graft.llm.AnnIndex.gcGenerations(s, base, keep)
+        import s.implicits._
+        plan(dead.toDF("reclaimed_version"))
       },
       "ivf_versioned_build" -> { args =>
         val u = "usage: ivf_versioned_build('corpus', 'id_col', " +

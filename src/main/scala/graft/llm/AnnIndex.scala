@@ -748,4 +748,55 @@ object AnnIndex {
     writeVersionedIndex(encoded, base, v + 1, newCents)
     v + 1
   }
+
+  /** Generation retention: delete every generation STRICTLY OLDER than
+    * `live - keep` (data directory + codebook), returning the versions
+    * reclaimed. [[migrateIndex]] leaves each superseded generation on
+    * disk for rollback — correct per refresh, but a long-lived index
+    * accumulates a full corpus copy per migration until something
+    * reclaims them; at 100 TB that is the difference between one index
+    * and N dead ones.
+    *
+    * Safety invariants:
+    *  - the live pointer is resolved ONCE via [[latestVersion]] (which
+    *    first heals any interrupted repoint, so "live" is unambiguous);
+    *  - the live generation and the `keep` most recent behind it are
+    *    never touched;
+    *  - versions ABOVE live are never touched either — a partial
+    *    v(N+1) may be an in-flight [[migrateIndex]] about to publish;
+    *  - per reclaimed generation the CODEBOOK is deleted before the
+    *    data directory, and the deletable set is derived from whichever
+    *    of the two still exists — any crash mid-GC leaves remnants that
+    *    are still below the retention line, so a rerun converges and no
+    *    pointer ever names a half-deleted generation.
+    * AnnIndexSpec pins rollback-window survival, the in-flight-partial
+    * exclusion, crash-remnant convergence, and idempotence. */
+  def gcGenerations(spark: SparkSession, base: String,
+      keep: Int = 1): Seq[Int] = {
+    require(keep >= 0, s"keep ($keep) must be >= 0")
+    val live = latestVersion(spark, base).getOrElse(throw
+      new IllegalArgumentException(
+        s"no published index generation under $base — nothing to gc"))
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Gen = "^v(\\d+)$".r
+    val Cb = "^centroids_v(\\d+)$".r
+    val present = fs.listStatus(basePath).toSeq.map(_.getPath.getName)
+      .collect { case Gen(n) => n.toInt; case Cb(n) => n.toInt }
+      .distinct.sorted
+    val cutoff = live - keep
+    val dead = present.filter(_ < cutoff)
+    dead.foreach { v =>
+      for (dir <- Seq(centroidsPath(base, v), versionPath(base, v))) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        // Hadoop reports failure by returning false (the repointLatest
+        // lesson): a silently-failed delete would report the space as
+        // reclaimed while the dead generation keeps paying for itself
+        require(!fs.exists(p) || fs.delete(p, true),
+          s"gcGenerations: could not delete $p — aborting; rerun " +
+            "converges (already-reclaimed generations are skipped)")
+      }
+    }
+    dead
+  }
 }

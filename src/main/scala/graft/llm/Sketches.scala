@@ -346,4 +346,169 @@ object Sketches {
       (q, node)
     }
   }
+
+  // --------------------------------------------------------------------
+  // KMV / theta sketch (Bar-Yossef et al. 2002 "Counting distinct
+  // elements in a data stream"; Beyer et al. 2007 "On synopses for
+  // distinct-value estimation under multiset operations") — the
+  // SET-OPERATIONS member of the sketch family. HLL answers "how many
+  // distinct", CMS "how often", the dyadic CMS "what rank"; KMV answers
+  // "how much do two corpora OVERLAP" without ever joining them: a
+  // sketch is the k smallest distinct [[Hashing.hex32]] values of a
+  // set, sketches merge by k-min-of-union (≡ sketching the concatenated
+  // corpus — a semilattice, so shard-merge is exact, not approximate),
+  // and two sketches intersect by counting common hashes below the
+  // shared theta = min(theta_a, theta_b). This is what HLL structurally
+  // cannot do: HLL registers support union only, and
+  // inclusion-exclusion on HLL estimates explodes relative error when
+  // the intersection is small — exactly the "did crawl B re-fetch
+  // crawl A?" question a 100 TB ingest asks. The exact answer (x32's
+  // cross-source shingle join) costs an all-pairs corpus-keyed join;
+  // the KMV answer costs one pass per corpus and k-row math forever
+  // after.
+  //
+  // Determinism: hashes are md5-derived, so the sketch TABLES and every
+  // overlap counter (theta, n_common, n_union) are pure integers both
+  // engines compute identically — x105 certifies the whole estimate
+  // cross-engine, including the shard-merge path.
+  // --------------------------------------------------------------------
+
+  /** Hash-domain size of [[Hashing.hex32]]: theta for an UNSATURATED
+    * sketch (fewer than k distinct hashes = the group's exact set, so
+    * every hash is "below theta"). */
+  private val KmvHashDomain: Long = 1L << 32
+
+  /** Grouped KMV sketches: the `k` smallest distinct hashes of `value`
+    * per group — one sketch per source / language / crawl snapshot from
+    * ONE pass. Input rows need NOT be pre-deduplicated.
+    *
+    * Scale shape: a `dense_rank() <= k` window, which Spark's
+    * InferWindowGroupLimit rewrites into a map-side per-group top-k
+    * BEFORE the exchange (WindowGroupLimit partial mode) — each task
+    * ships at most the k smallest hash values it saw per group, the
+    * mergeable-sketch shape, with no corpus-sized distinct shuffle.
+    * dense_rank (not row_number) so duplicate occurrences of one value
+    * share a rank and cannot evict a genuinely distinct k-th value; the
+    * trailing distinct collapses them over the ≤ k-rank survivors.
+    * PlanAuditSpec pins the WindowGroupLimit rewrite. */
+  def kmvSketchBy(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 2, s"k ($k) must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    df.select(groupCols.map(col) :+ Hashing.hex32(value).as("h"): _*)
+      .withColumn("_r", dense_rank().over(w))
+      .filter(col("_r") <= k)
+      .select(groupCols.map(col) :+ col("h"): _*)
+      .distinct()
+  }
+
+  /** Ungrouped KMV sketch: plain (h) table, k rows (fewer when the
+    * input has fewer distinct values). Same map-side-bounded window
+    * shape as [[kmvSketchBy]] via a constant group. */
+  def kmvSketch(df: DataFrame, value: Column, k: Int = 64): DataFrame =
+    kmvSketchBy(df.select(value.as("_kv"), lit(1).as("_g")),
+      Seq("_g"), col("_kv"), k).select("h")
+
+  /** Merge grouped sketch tables (same k, same group column set):
+    * union → k smallest distinct per group. EXACTLY equal to sketching
+    * the concatenated corpora (k-min-of-distinct is associative,
+    * commutative, idempotent) — certified cross-engine by x105, whose
+    * Spark side merges per-shard sketches while the oracle sketches
+    * globally. Refuses frames that are not plain sketch tables, the
+    * [[hllMerge]] discipline. */
+  def kmvMergeBy(groupCols: Seq[String], k: Int)(sketches: DataFrame*)
+      : DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(sketches.nonEmpty, "need at least one sketch")
+    val want = (groupCols :+ "h").sorted
+    sketches.foreach(s => require(s.columns.sorted.toSeq == want,
+      s"kmvMergeBy takes (${groupCols.mkString(", ")}, h) sketch tables; " +
+        s"got columns [${s.columns.mkString(", ")}]"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    sketches.reduce(_.unionByName(_)).distinct()
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .select(groupCols.map(col) :+ col("h"): _*)
+  }
+
+  /** Merge plain (h) sketch tables: k smallest distinct of the union. */
+  def kmvMerge(k: Int)(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.foreach(s => require(s.columns.toSeq == Seq("h"),
+      s"kmvMerge takes plain (h) sketch tables; got " +
+        s"columns [${s.columns.mkString(", ")}]"))
+    kmvMergeBy(Seq("_g"), k)(sketches.map(_.withColumn("_g", lit(1))): _*)
+      .select("h")
+  }
+
+  /** Distinct-count estimate from a plain (h) sketch. Fewer than k rows
+    * means the sketch IS the exact distinct hash set — return its size;
+    * otherwise the standard unbiased KMV estimator
+    * `(k-1) · 2^32 / h_k` (Beyer et al. 2007 §3, UB estimator).
+    * Driver-side k-row collect, the [[hllEstimate]] exception. */
+  def kmvDistinctEstimate(sketch: DataFrame, k: Int): Double = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    val hs = sketch.select(col("h").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    require(hs.length <= k,
+      s"sketch has ${hs.length} rows — more than k=$k; pass the k it " +
+        "was built with")
+    if (hs.length < k) hs.length.toDouble
+    else (k - 1).toDouble * KmvHashDomain.toDouble / hs(k - 1).toDouble
+  }
+
+  /** Pairwise overlap estimates between the groups of one grouped
+    * sketch table: for each group pair (src_a < src_b),
+    * `theta = min(theta_a, theta_b)` where a group's theta is its k-th
+    * (= max) hash when it saturated the k budget and 2^32 otherwise (an
+    * unsaturated sketch is the group's exact distinct-hash set, making
+    * the pair's overlap EXACT when both sides are unsaturated); hashes
+    * below theta form a uniform random sample of each side, so
+    * `jaccard_est = |common < theta| / |union < theta|` is the standard
+    * theta-sketch Jaccard estimator. Everything except the final
+    * division is integer-exact.
+    *
+    * Scale shape: all inputs are sketch tables — groups × k rows — so
+    * every join here is metadata-scale regardless of corpus size; the
+    * corpus was touched once, by [[kmvSketchBy]].
+    *
+    * @return (src_a, src_b, theta, n_common, n_union, jaccard_est),
+    *         one row per unordered group pair */
+  def kmvOverlapBy(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    val g = col(groupCol)
+    val thetas = sk.groupBy(g).agg(count(lit(1)).as("n_h"),
+        max(col("h")).as("max_h"))
+      .select(g, when(col("n_h") < k, lit(KmvHashDomain))
+        .otherwise(col("max_h")).as("theta"))
+    val pairs = thetas.select(g.as("src_a"), col("theta").as("th_a"))
+      .join(thetas.select(g.as("src_b"), col("theta").as("th_b")),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        least(col("th_a"), col("th_b")).as("theta"))
+    def sideCount(side: String): DataFrame =
+      pairs.join(sk.select(g.as(side), col("h")), Seq(side))
+        .filter(col("h") < col("theta"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as(s"n_$side"))
+    val common = pairs
+      .join(sk.select(g.as("src_a"), col("h")), Seq("src_a"))
+      .join(sk.select(g.as("src_b"), col("h")), Seq("src_b", "h"))
+      .filter(col("h") < col("theta"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    val nu = coalesce(col("n_src_a"), lit(0L)) +
+      coalesce(col("n_src_b"), lit(0L)) - coalesce(col("n_common"), lit(0L))
+    pairs
+      .join(sideCount("src_a"), Seq("src_a", "src_b"), "left")
+      .join(sideCount("src_b"), Seq("src_a", "src_b"), "left")
+      .join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("theta"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        nu.as("n_union"),
+        when(nu === 0, lit(0.0))
+          .otherwise(coalesce(col("n_common"), lit(0L)).cast("double") / nu)
+          .as("jaccard_est"))
+  }
 }

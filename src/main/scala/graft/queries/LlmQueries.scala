@@ -461,6 +461,37 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // a30's refresh lifecycle COMPLETED with retention: after the
+    // trained migration publishes generation 2, gcGenerations(keep=0)
+    // reclaims the rolled-past seed generation (v1 data + codebook),
+    // and serving from the live generation must be byte-identical to
+    // a30 — the certified property is that GC can never change what the
+    // LATEST pointer serves (it deleted v1; had it touched v2 or the
+    // pointer, this row goes red). AnnIndexSpec pins the destructive
+    // side: v1 gone, in-flight partials above live untouched,
+    // crash-remnant reruns converge.
+    "a33_index_gc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = java.nio.file.Files
+        .createTempDirectory("a33_gen").toString
+      val seed = Similarity.seedCentroids(8, 64)
+      graft.llm.AnnIndex.writeVersionedIndex(
+        graft.llm.AnnIndex.encodeIvf(e, "vec_id", "embedding", nlist = 8,
+          centroids = Some(seed)),
+        base, 1, seed)
+      val trained = Similarity.trainIvfCentroids(e, "embedding",
+        nlist = 8, dims = 64, iters = 2)
+      graft.llm.AnnIndex.migrateIndex(s, base, "vec_id", "embedding",
+        trained)
+      val dead = graft.llm.AnnIndex.gcGenerations(s, base, keep = 0)
+      require(dead == Seq(1), s"expected GC to reclaim v1, got $dead")
+      graft.llm.AnnIndex.ivfTopKOverLatest(s, base,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // The ingest gate's REJECTION LEDGER: w6's exact configuration
     // (quality floor 0.6, bench decontam at k=4, carried-state exact
     // dedup) but the output is the per-document accounting — (doc_id,
@@ -2661,6 +2692,26 @@ object LlmQueries {
         .kept.orderBy("q")
     }),
 
+    // KMV / theta-sketch corpus overlap (Bar-Yossef 2002, Beyer 2007):
+    // per-source k=64 sketches of the 3-shingle sets, built as a MERGE
+    // of 3 doc_id-sharded sketches (k-min-of-union is a semilattice, so
+    // shard-merge ≡ whole-corpus — the oracle sketches globally), then
+    // pairwise overlap below the shared theta. The set-INTERSECTION
+    // estimate HLL cannot give: x32 answers the same question with an
+    // all-pairs shingle join; this answers it from k-row artifacts after
+    // one pass per source. Deterministic md5 hashes make theta and every
+    // counter integer-exact cross-engine; only jaccard_est divides.
+    "x105_kmv_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "source", "text")
+      val sk = Sketches.kmvMergeBy(Seq("source"), 64)((0 until 3).map(i =>
+        Sketches.kmvSketchBy(
+          Dedup.shingleRows(d.filter(col("doc_id") % 3 === i),
+            "text", "source", k = 3),
+          Seq("source"), col("s"), k = 64)): _*)
+      Sketches.kmvOverlapBy(sk, "source", k = 64)
+        .orderBy("src_a", "src_b")
+    }),
+
     // Fuzzy decontamination served from a PERSISTED near-dup index of
     // the benchmark (d10's cross-corpus semantics in x85's
     // register-once/screen-forever shape): the src0 bench registers its
@@ -4301,6 +4352,10 @@ object LlmQueries {
     // under the same replayed training — equality proves the generation
     // rebuild moved every stored row faithfully through the new codebook
     "a30_index_refresh" -> duckTrainedIvfSql,
+    // GC preserves serving: a33 is a30 plus gcGenerations(keep=0) before
+    // the serve — the reclaim deleted only the rolled-past generation,
+    // so the live generation's answers are a30's, bit for bit
+    "a33_index_gc" -> duckTrainedIvfSql,
     // w6's CTE skeleton (quality floor, bench 4-grams, per-batch min-id
     // dedup with carried state), emitting the REJECTS per stage instead
     // of the survivors: each stage's rejects are the ids the previous
@@ -5032,6 +5087,61 @@ object LlmQueries {
     // the ingest fold's cumulative state IS the whole-corpus sketch
     // (counter-sum merge), so the oracle is x104's global replay
     "w16_sketch_fold" -> duckDyadicQuantilesSql,
+    // KMV theta-sketch overlap: the oracle sketches each source GLOBALLY
+    // (k smallest distinct shingle hashes via row_number) while the
+    // Spark side merged per-shard sketches — hash equality across the
+    // paths certifies the semilattice merge; theta and the counters are
+    // integers, jaccard_est the one exact division.
+    "x105_kmv_overlap" ->
+      s"""WITH ws AS (SELECT source, $duckToks AS w FROM documents),
+              shs AS (SELECT DISTINCT source, s
+                      FROM (SELECT source, unnest($duckShingles) AS s
+                            FROM ws WHERE len(w) >= 3)),
+              hv AS (SELECT DISTINCT source, ${duckHex32("s")} AS h
+                     FROM shs),
+              rk AS (SELECT source, h,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY h) AS rn
+                     FROM hv),
+              sk AS (SELECT source, h FROM rk WHERE rn <= 64),
+              th AS (SELECT source,
+                       CASE WHEN count(*) < 64
+                            THEN CAST(4294967296 AS BIGINT)
+                            ELSE max(h) END AS theta
+                     FROM sk GROUP BY source),
+              pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                            least(a.theta, b.theta) AS theta
+                     FROM th a JOIN th b ON a.source < b.source),
+              na AS (SELECT pr.src_a, pr.src_b, count(*) AS n_a
+                     FROM pr JOIN sk ON sk.source = pr.src_a
+                                    AND sk.h < pr.theta
+                     GROUP BY 1, 2),
+              nb AS (SELECT pr.src_a, pr.src_b, count(*) AS n_b
+                     FROM pr JOIN sk ON sk.source = pr.src_b
+                                    AND sk.h < pr.theta
+                     GROUP BY 1, 2),
+              nc AS (SELECT pr.src_a, pr.src_b, count(*) AS n_common
+                     FROM pr
+                     JOIN sk sa ON sa.source = pr.src_a
+                               AND sa.h < pr.theta
+                     JOIN sk sb ON sb.source = pr.src_b
+                               AND sb.h = sa.h
+                     GROUP BY 1, 2)
+          SELECT pr.src_a, pr.src_b, pr.theta,
+                 coalesce(nc.n_common, 0) AS n_common,
+                 coalesce(na.n_a, 0) + coalesce(nb.n_b, 0)
+                   - coalesce(nc.n_common, 0) AS n_union,
+                 CASE WHEN coalesce(na.n_a, 0) + coalesce(nb.n_b, 0)
+                           - coalesce(nc.n_common, 0) = 0 THEN 0.0
+                      ELSE CAST(coalesce(nc.n_common, 0) AS DOUBLE) /
+                           (coalesce(na.n_a, 0) + coalesce(nb.n_b, 0)
+                            - coalesce(nc.n_common, 0))
+                 END AS jaccard_est
+          FROM pr
+          LEFT JOIN na ON na.src_a = pr.src_a AND na.src_b = pr.src_b
+          LEFT JOIN nb ON nb.src_a = pr.src_a AND nb.src_b = pr.src_b
+          LEFT JOIN nc ON nc.src_a = pr.src_a AND nc.src_b = pr.src_b
+          ORDER BY pr.src_a, pr.src_b""",
     "x56_bpe_tokenize" -> duckBpeTokenizeSql,
     // the round-trip query's certified property IS x56's oracle: the
     // merges pass through the store and apply identically

@@ -505,6 +505,57 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.readLatestIndex(spark, base).count() === 3)
   }
 
+  test("generation GC: reclaims only rolled-past generations, never the " +
+    "retention window, the live pointer, or in-flight partials above " +
+    "live; crash remnants converge and reruns are idempotent") {
+    val base = tmp("annidx_gc")
+    val seed = Similarity.seedCentroids(8, 64)
+    AnnIndex.writeVersionedIndex(
+      AnnIndex.encodeIvf(emb, "vec_id", "embedding", nlist = 8), base, 1,
+      seed)
+    val trained = Similarity.trainIvfCentroids(emb, "embedding",
+      nlist = 8, dims = 64, iters = 2)
+    AnnIndex.migrateIndex(spark, base, "vec_id", "embedding", trained)
+    AnnIndex.migrateIndex(spark, base, "vec_id", "embedding", trained)
+    assert(AnnIndex.latestVersion(spark, base) === Some(3))
+    // an in-flight migration's partial v99 (above live) must survive GC
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvf(emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", nlist = 8), AnnIndex.versionPath(base, 99))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    val served = rows(AnnIndex.ivfTopKOverLatest(spark, base, queries,
+      "vec_id", "embedding", 10, nProbe = 2))
+    // keep=1: v1 dies, v2 (rollback window) and v3 (live) survive
+    assert(AnnIndex.gcGenerations(spark, base, keep = 1) === Seq(1))
+    assert(!exists(AnnIndex.versionPath(base, 1)) &&
+      !exists(AnnIndex.centroidsPath(base, 1)))
+    assert(exists(AnnIndex.versionPath(base, 2)) &&
+      exists(AnnIndex.centroidsPath(base, 2)))
+    assert(exists(AnnIndex.versionPath(base, 99)),
+      "GC touched a partial build above live")
+    // serving is unchanged, and the rollback generation still mounts
+    assert(rows(AnnIndex.ivfTopKOverLatest(spark, base, queries,
+      "vec_id", "embedding", 10, nProbe = 2)) === served)
+    assert(AnnIndex.readVersionCentroids(spark, base, 2) === trained)
+    // crash remnant: v2's codebook deleted but data still present (the
+    // GC order is codebook first) — a rerun at keep=0 converges
+    fs.delete(new org.apache.hadoop.fs.Path(
+      AnnIndex.centroidsPath(base, 2)), true)
+    assert(AnnIndex.gcGenerations(spark, base, keep = 0) === Seq(2))
+    assert(!exists(AnnIndex.versionPath(base, 2)))
+    // idempotent: nothing left below the line
+    assert(AnnIndex.gcGenerations(spark, base, keep = 0) === Seq.empty)
+    assert(rows(AnnIndex.ivfTopKOverLatest(spark, base, queries,
+      "vec_id", "embedding", 10, nProbe = 2)) === served)
+    // an unpublished base refuses to gc (nothing is unambiguously live)
+    val err = intercept[IllegalArgumentException](
+      AnnIndex.gcGenerations(spark, tmp("annidx_gc_empty"), keep = 0))
+    assert(err.getMessage.contains("no published index generation"))
+  }
+
   test("indexReport: per-cell occupancy sums to the corpus and matches " +
     "the encoder's own assignment counts") {
     val dir = tmp("annidx_report")

@@ -179,6 +179,76 @@ class LlmSpec extends SparkSpec {
     assert(err2.getMessage.contains("plain (lvl, row, bucket, c)"))
   }
 
+  test("KMV theta sketch: the sketch IS the k smallest distinct hashes, " +
+    "shard-merge equals the global sketch, unsaturated pairs are exact, " +
+    "and saturated estimates land in the k-bounded error band") {
+    import graft.llm.Sketches
+    val k = 64
+    val sh = Dedup.shingleRows(docs.select("doc_id", "source", "text"),
+      "text", "source", k = 3)
+    // exactness: per source, the sketch equals the k smallest DISTINCT
+    // hex32 hashes of the source's shingle set
+    val global = Sketches.kmvSketchBy(sh, Seq("source"), col("s"), k)
+    def st(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = sh.select(col("source"), Hashing.hex32(col("s")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (src, rs) =>
+        src -> rs.map(_._2).toSeq.sorted.take(k) }
+    assert(st(global) ===
+      exact.toSeq.flatMap { case (src, hs) => hs.map(src -> _) }.toSet)
+    // semilattice merge: merging doc-sharded sketches ≡ the global one,
+    // idempotent, and order-free
+    val shards = (0 until 3).map(i => Sketches.kmvSketchBy(
+      Dedup.shingleRows(
+        docs.filter(col("doc_id") % 3 === i).select("doc_id", "source", "text"),
+        "text", "source", k = 3),
+      Seq("source"), col("s"), k))
+    assert(st(Sketches.kmvMergeBy(Seq("source"), k)(shards: _*)) === st(global))
+    assert(st(Sketches.kmvMergeBy(Seq("source"), k)(shards.reverse: _*)) ===
+      st(global))
+    assert(st(Sketches.kmvMergeBy(Seq("source"), k)(global, global)) ===
+      st(global))
+    // unsaturated pairs are EXACT: two small sets below the k budget
+    val a = (1 to 30).map(i => ("a", s"v$i"))
+    val b = (20 to 50).map(i => ("b", s"v$i"))
+    val small = (a ++ b).toDF("src", "v")
+    val smallSk = Sketches.kmvSketchBy(small, Seq("src"), col("v"), k)
+    val ov = Sketches.kmvOverlapBy(smallSk, "src", k).collect()
+    assert(ov.length === 1)
+    val r = ov.head
+    assert(r.getAs[Long]("theta") === (1L << 32))
+    assert(r.getAs[Long]("n_common") === 11L) // v20..v30
+    assert(r.getAs[Long]("n_union") === 50L)  // v1..v50
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 11.0 / 50.0) < 1e-12)
+    // saturated estimates: planted 1/3 Jaccard at 15k distinct values,
+    // k=256 → se(J) ≈ sqrt(J(1-J)/k) ≈ 0.029; ±0.15 is a 5-sigma band
+    val k2 = 256
+    val bigA = (0 until 10000).map(i => ("a", s"w$i"))
+    val bigB = (5000 until 15000).map(i => ("b", s"w$i"))
+    val bigSk = Sketches.kmvSketchBy((bigA ++ bigB).toDF("src", "v"),
+      Seq("src"), col("v"), k2)
+    val est = Sketches.kmvOverlapBy(bigSk, "src", k2).collect().head
+    val j = est.getAs[Double]("jaccard_est")
+    assert(math.abs(j - 1.0 / 3.0) < 0.15, s"jaccard_est $j vs 1/3")
+    assert(est.getAs[Double]("jaccard_est") ===
+      est.getAs[Long]("n_common").toDouble / est.getAs[Long]("n_union"))
+    // distinct-count estimator: ~6% se at k=256; ±30% is ~5 sigma. An
+    // unsaturated sketch returns the EXACT count.
+    val dEst = Sketches.kmvDistinctEstimate(
+      bigSk.filter(col("src") === "a").select("h"), k2)
+    assert(math.abs(dEst - 10000.0) / 10000.0 < 0.3, s"distinct est $dEst")
+    assert(Sketches.kmvDistinctEstimate(
+      smallSk.filter(col("src") === "a").select("h"), k) === 30.0)
+    // malformed frames are refused, the hllMerge discipline
+    val err = intercept[IllegalArgumentException](
+      Sketches.kmvMergeBy(Seq("source"), k)(global.withColumn("x", lit(1))))
+    assert(err.getMessage.contains("sketch tables"))
+    val err2 = intercept[IllegalArgumentException](
+      Sketches.kmvMerge(k)(global))
+    assert(err2.getMessage.contains("plain (h)"))
+  }
+
   test("multimodal feature near-dup: planted byte-identical media rows " +
     "surface at a full 6/6 match, pairs never cross kinds, and minMatch " +
     "binds") {

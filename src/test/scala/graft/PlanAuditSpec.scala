@@ -133,6 +133,29 @@ class PlanAuditSpec extends SparkSpec {
         s"exchange $lastExchange)")
   }
 
+  test("kmv sketch window is group-limited map-side: WindowGroupLimit " +
+    "Partial sits below the exchange") {
+    // the KMV sketch's scale claim is that each task ships at most k
+    // hash rows per group — that is InferWindowGroupLimit rewriting the
+    // dense_rank <= k filter into a Partial WindowGroupLimit BELOW the
+    // window's hash exchange. If this pin breaks (filter shape drifted,
+    // rule disabled), the sketch silently degrades to a corpus-sized
+    // window shuffle.
+    val df = SparkEntry.queries("x105_kmv_overlap")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val lines = df.queryExecution.executedPlan.toString.split("\n").toSeq
+    val partials = lines.zipWithIndex.filter { case (l, _) =>
+      l.contains("WindowGroupLimit") && l.contains("Partial") }
+    assert(partials.nonEmpty, "no partial-mode WindowGroupLimit in the " +
+      "kmv plan — the map-side top-k rewrite did not fire")
+    // tree prints top-down: the partial limit must sit BELOW (print
+    // after) at least one exchange — the map side of the window shuffle
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    assert(firstExchange >= 0 && partials.exists(_._2 > firstExchange),
+      "partial WindowGroupLimit is not below an exchange")
+  }
+
   test("x31's rollup reuses the window's doc partitioning: one hash " +
     "exchange total") {
     val df = SparkEntry.queries("x31_cdc_chunks")(

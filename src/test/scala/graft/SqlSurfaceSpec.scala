@@ -400,6 +400,18 @@ class SqlSurfaceSpec extends SparkSpec {
               docs.count(), Seq(0.25, 0.5, 0.9))
             .toDF("q", "value_est")
         })
+      // KMV theta sketch + overlap: sketch from SQL, persist as a view,
+      // estimate pairwise corpus overlap without joining the corpora
+      val shr = Dedup.shingleRows(docs.select("doc_id", "source", "text"),
+        "text", "source", k = 3)
+      shr.createOrReplaceTempView("tvf5_shingles")
+      check("SELECT * FROM kmv_sketch('tvf5_shingles', 'source', 's', 64)",
+        graft.llm.Sketches.kmvSketchBy(shr, Seq("source"), col("s"), 64))
+      graft.llm.Sketches.kmvSketchBy(shr, Seq("source"), col("s"), 64)
+        .createOrReplaceTempView("tvf5_kmv")
+      check("SELECT * FROM kmv_overlap('tvf5_kmv', 'source', 64)",
+        graft.llm.Sketches.kmvOverlapBy(spark.table("tvf5_kmv"),
+          "source", 64))
       check("SELECT * FROM label_propagate('tvf5_emb', 'tvf5_seeds', " +
           "'vec_id', 'embedding', 'label', 5)",
         Similarity.propagateLabels(emb, seeds, "vec_id", "embedding",
@@ -430,7 +442,7 @@ class SqlSurfaceSpec extends SparkSpec {
           "text", "doc_id"))
     } finally {
       Seq("tvf5_toks", "tvf5_emb", "tvf5_seeds", "tvf5_train",
-        "tvf5_lab", "tvf5_cms", "tvf5_probe")
+        "tvf5_lab", "tvf5_cms", "tvf5_probe", "tvf5_shingles", "tvf5_kmv")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
     }
@@ -642,6 +654,15 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.AnnIndex.ivfTopKOverLatest(spark, genBase, q,
           "vec_id", "embedding", 3))
       // the mount TVF exposes the live generation as a relation
+      assert(spark.sql(s"SELECT * FROM ivf_latest_mount('$genBase')")
+        .count() === emb.count())
+      // retention from pure SQL: reclaim the rolled-past generation 1;
+      // the live generation still serves and mounts
+      val gcd = spark.sql(s"SELECT * FROM ivf_index_gc('$genBase', 0)")
+        .collect().map(_.getInt(0)).toSeq
+      assert(gcd === Seq(1))
+      assert(spark.sql(s"SELECT * FROM ivf_index_gc('$genBase', 0)")
+        .isEmpty) // idempotent
       assert(spark.sql(s"SELECT * FROM ivf_latest_mount('$genBase')")
         .count() === emb.count())
       // incremental SemDeDup from a stored index, pure SQL
