@@ -946,6 +946,21 @@ object GraftExtensions {
         import s.implicits._
         plan(est.toDF("q", "value_est"))
       },
+      "dict_scan" -> { args =>
+        val u = "usage: dict_scan('table', 'text_col', 'id_col', " +
+          "'term1,term2,...') — Aho-Corasick blocklist scan: per row, " +
+          "total occurrences of any dictionary term (overlaps and " +
+          "nested terms included) and the distinct terms that fired; " +
+          "one text pass regardless of dictionary size. Terms are " +
+          "comma-separated and trimmed; matching is case-sensitive"
+        require(args.length == 4, u)
+        val Seq(tn, tc, ic, ts) = args.map(lit2str(_, u))
+        val terms = ts.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(terms.nonEmpty, u)
+        val s = SparkSession.active
+        plan(graft.llm.TextAnalysis.dictionaryScan(s.table(tn), tc, ic,
+          terms))
+      },
       "kmv_sketch" -> { args =>
         val u = "usage: kmv_sketch('table', 'group_col', 'value_col'" +
           "[, k]) — grouped KMV/theta sketch (Bar-Yossef 2002): the k " +

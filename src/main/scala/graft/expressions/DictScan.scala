@@ -1,0 +1,168 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Serializable Aho–Corasick automaton (Aho & Corasick 1975, CACM 18(6))
+  * shipped to executors as one codegen reference object; the trie +
+  * failure links build once per task, not per row.
+  *
+  * Why not a regex alternation: `(?:t1|t2|…|t10000)` is how a curation
+  * blocklist dies at scale — java.util.regex compiles alternations into
+  * backtracking alternatives evaluated per position, so the scan cost is
+  * O(text × terms). Aho–Corasick matches EVERY dictionary term in one
+  * left-to-right pass, O(text + matches), independent of dictionary
+  * size — the 10k-phrase blocklist costs the same text scan as the
+  * 10-phrase one.
+  *
+  * Matching is raw substring matching over UTF-16 code units (callers
+  * `lower()` the input for case-insensitive scans); every occurrence
+  * counts, including overlapping ones and terms nested inside other
+  * terms ("he" inside "she") — the standard AC output function, and the
+  * semantics the x106 oracle replays positionally.
+  */
+final class AcAutomaton(val terms: Seq[String]) extends Serializable {
+  require(terms.nonEmpty, "dictionary must be non-empty")
+  require(terms.forall(_.nonEmpty), "dictionary terms must be non-empty")
+  require(terms.distinct.size == terms.size,
+    "dictionary terms must be distinct")
+
+  /** (goto per node as a char map, failure link per node, matched term
+    * indices per node — own output plus inherited via failure links,
+    * deduplicated). Built lazily so the executor-side object carries
+    * only the term list over the wire. */
+  @transient private lazy val (gotoMaps, fail, outs) = {
+    import scala.collection.mutable
+    val maps = mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
+    val out = mutable.ArrayBuffer(mutable.ListBuffer.empty[Int])
+    terms.zipWithIndex.foreach { case (t, ti) =>
+      var node = 0
+      t.foreach { ch =>
+        node = maps(node).getOrElseUpdate(ch, {
+          maps += mutable.Map.empty[Char, Int]
+          out += mutable.ListBuffer.empty[Int]
+          maps.size - 1
+        })
+      }
+      out(node) += ti
+    }
+    val f = Array.fill(maps.size)(0)
+    val queue = mutable.Queue.empty[Int]
+    maps(0).values.foreach(queue += _)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      maps(u).foreach { case (ch, v) =>
+        queue += v
+        var w = f(u)
+        while (w != 0 && !maps(w).contains(ch)) w = f(w)
+        f(v) = maps(w).get(ch).filter(_ != v).getOrElse(0)
+        out(v) ++= out(f(v))
+      }
+    }
+    (maps.map(_.toMap).toArray, f, out.map(_.distinct.toArray).toArray)
+  }
+
+  private def step(node0: Int, ch: Char): Int = {
+    var node = node0
+    while (node != 0 && !gotoMaps(node).contains(ch)) node = fail(node)
+    gotoMaps(node).getOrElse(ch, 0)
+  }
+
+  /** Total number of (position, term) occurrences in `s` — overlapping
+    * and nested matches included. Null-safe: null in, 0 is NOT returned
+    * (the expression wrapper propagates null before calling). */
+  def countMatches(s: UTF8String): Long = {
+    val str = s.toString
+    var node = 0
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      node = step(node, str.charAt(i))
+      n += outs(node).length
+      i += 1
+    }
+    n
+  }
+
+  /** The distinct dictionary terms present in `s`, lexicographically
+    * sorted (deterministic independent of match positions and of the
+    * dictionary's declaration order). */
+  def matchedTerms(s: UTF8String): GenericArrayData = {
+    val str = s.toString
+    val seen = new java.util.BitSet(terms.size)
+    var node = 0
+    var i = 0
+    while (i < str.length) {
+      node = step(node, str.charAt(i))
+      val o = outs(node)
+      var j = 0
+      while (j < o.length) { seen.set(o(j)); j += 1 }
+      i += 1
+    }
+    val hits = terms.zipWithIndex.collect {
+      case (t, ti) if seen.get(ti) => t
+    }.sorted
+    new GenericArrayData(hits.map(UTF8String.fromString).toArray[Any])
+  }
+}
+
+/** Total dictionary-occurrence count of `child` under an Aho–Corasick
+  * scan — one codegen'd text pass regardless of dictionary size. */
+final case class DictScanCount(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val bundle = new AcAutomaton(terms)
+
+  override def nullSafeEval(input: Any): Any =
+    bundle.countMatches(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", new AcAutomaton(terms),
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.countMatches($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DictScanCount = copy(child = newChild)
+}
+
+/** The distinct dictionary terms present in `child`, sorted — the
+  * "which blocklist entries fired" companion of [[DictScanCount]]. */
+final case class DictScanTerms(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val bundle = new AcAutomaton(terms)
+
+  override def nullSafeEval(input: Any): Any =
+    bundle.matchedTerms(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", new AcAutomaton(terms),
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.matchedTerms($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DictScanTerms = copy(child = newChild)
+}
+
+object DictScan {
+  /** Column API: total occurrence count (overlaps included). */
+  def count(c: Column, terms: Seq[String]): Column =
+    Bridge.column(DictScanCount(Bridge.expression(c), terms))
+
+  /** Column API: distinct matched terms, lexicographically sorted. */
+  def terms(c: Column, terms: Seq[String]): Column =
+    Bridge.column(DictScanTerms(Bridge.expression(c), terms))
+}

@@ -1423,4 +1423,27 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("_m") * col("_w")).cast("long").as("margin"))
   }
+
+  /** Blocklist / dictionary scan: per document, the total number of
+    * occurrences of ANY dictionary term (overlapping and nested matches
+    * included) and the distinct terms that fired (sorted) — the
+    * banned-phrase screen of a curation pipeline, via one Aho–Corasick
+    * pass per document ([[graft.expressions.DictScanCount]]).
+    *
+    * Why this exists beside the regex multimatchers (F5/F6): a regex
+    * alternation's scan cost grows with the pattern count — a
+    * 10k-phrase blocklist as `(?:p1|…|p10000)` backtracks per position
+    * and dies; the automaton matches the whole dictionary in
+    * O(text + matches) regardless of its size. Row-local, shuffle-free,
+    * whole-stage codegen (the automaton is a per-task reference object,
+    * built once, not per row). Matching is case-sensitive raw substring
+    * — pre-`lower()` the text column for case-insensitive screens. */
+  def dictionaryScan(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import graft.expressions.DictScan
+    df.select(col(idCol),
+      DictScan.count(col(textCol), terms).as("n_matches"),
+      DictScan.terms(col(textCol), terms).as("matched_terms"))
+  }
 }

@@ -2712,6 +2712,25 @@ object LlmQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Aho–Corasick blocklist scan: every occurrence of any dictionary
+    // term per document (overlaps and nested terms included — "scan"
+    // fires inside "table scan", "batch batch" overlaps itself in a
+    // batch-batch-batch run) in ONE text pass regardless of dictionary
+    // size — the 10k-phrase screen a regex alternation cannot survive.
+    // The oracle replays the match POSITIONALLY (substr at every start
+    // index), so the count semantics — not just the hit set — are
+    // certified. zzz_absent pins real term-level negatives; docs with
+    // no hits report 0/'' (real document-level negatives).
+    "x106_dict_scan" -> ((s, dir) => {
+      val dict = Seq("scan", "table scan", "er", "batch batch",
+        "merge", "window", "zzz_absent")
+      TextAnalysis.dictionaryScan(t(s, dir, "documents"),
+          "text", "doc_id", dict)
+        .select(col("doc_id"), col("n_matches"),
+          array_join(col("matched_terms"), ",").as("matched"))
+        .orderBy("doc_id")
+    }),
+
     // Fuzzy decontamination served from a PERSISTED near-dup index of
     // the benchmark (d10's cross-corpus semantics in x85's
     // register-once/screen-forever shape): the src0 bench registers its
@@ -5142,6 +5161,23 @@ object LlmQueries {
           LEFT JOIN nb ON nb.src_a = pr.src_a AND nb.src_b = pr.src_b
           LEFT JOIN nc ON nc.src_a = pr.src_a AND nc.src_b = pr.src_b
           ORDER BY pr.src_a, pr.src_b""",
+    // positional replay of the Aho–Corasick semantics: a term occurs at
+    // start index i iff substr(text, i, len(term)) = term — counting
+    // every i counts overlapping and nested matches exactly as the
+    // automaton's output function does
+    "x106_dict_scan" ->
+      """WITH dict(term) AS (
+             SELECT unnest(['scan', 'table scan', 'er', 'batch batch',
+                            'merge', 'window', 'zzz_absent'])),
+           m AS (SELECT doc_id, term,
+                   len(list_filter(
+                     range(1, len(text) - len(term) + 2),
+                     i -> substr(text, i, len(term)) = term)) AS c
+                 FROM documents CROSS JOIN dict)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_matches,
+                coalesce(string_agg(term, ',' ORDER BY term)
+                           FILTER (WHERE c > 0), '') AS matched
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     "x56_bpe_tokenize" -> duckBpeTokenizeSql,
     // the round-trip query's certified property IS x56's oracle: the
     // merges pass through the store and apply identically

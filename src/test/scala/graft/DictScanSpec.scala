@@ -1,0 +1,108 @@
+package graft
+
+import graft.expressions.{AcAutomaton, DictScan}
+import org.apache.spark.sql.functions._
+
+/** The Aho–Corasick dictionary scan must agree with a brute-force
+  * positional scan on every input — including overlapping matches,
+  * terms nested inside other terms, and the classic he/she/his/hers
+  * failure-link cases — and must stay O(text) as the dictionary grows
+  * to blocklist size. */
+class DictScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute force: a term occurs at start index i iff the substring at i
+    * equals it — the same positional semantics the x106 oracle replays. */
+  private def bruteCount(text: String, terms: Seq[String]): Long =
+    terms.map(t =>
+      (0 to text.length - t.length).count(i => text.startsWith(t, i)).toLong
+    ).filter(_ > 0).sum
+
+  private def bruteTerms(text: String, terms: Seq[String]): Seq[String] =
+    terms.filter(t =>
+      (0 to text.length - t.length).exists(i => text.startsWith(t, i))).sorted
+
+  test("classic failure-link dictionary (he/she/his/hers): counts and " +
+    "hit sets match brute force, nested and overlapping included") {
+    val dict = Seq("he", "she", "his", "hers")
+    val ac = new AcAutomaton(dict)
+    for (s <- Seq("ushers", "shehishers", "hehehe", "xyz", "", "h",
+        "hershey hers his she he")) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      assert(ac.countMatches(u) === bruteCount(s, dict), s"count('$s')")
+      assert(ac.matchedTerms(u).toSeq[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString) ===
+        bruteTerms(s, dict), s"terms('$s')")
+    }
+    // "ushers" contains she, he, hers — 3 terms, 3 occurrences
+    val ush = org.apache.spark.unsafe.types.UTF8String.fromString("ushers")
+    assert(ac.countMatches(ush) === 3L)
+  }
+
+  test("randomized property: automaton == brute force over a small " +
+    "alphabet (dense overlap regime)") {
+    val rnd = new scala.util.Random(42)
+    val dict = Seq("a", "ab", "ba", "aba", "bab", "aab", "abba", "bb")
+    val ac = new AcAutomaton(dict)
+    (1 to 200).foreach { _ =>
+      val s = (1 to (1 + rnd.nextInt(30)))
+        .map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      assert(ac.countMatches(u) === bruteCount(s, dict), s"count('$s')")
+      assert(ac.matchedTerms(u).toSeq[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString) ===
+        bruteTerms(s, dict), s"terms('$s')")
+    }
+  }
+
+  test("DataFrame path (whole-stage codegen): equals brute force on the " +
+    "corpus, null text propagates null, zero hits report 0 and empty") {
+    val dict = Seq("scan", "table scan", "er", "batch batch", "merge")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        DictScan.count(col("text"), dict).as("n"),
+        array_join(DictScan.terms(col("text"), dict), ",").as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val want = docs.collect().map { r =>
+      val t = r.getString(1)
+      r.getLong(0) -> ((bruteCount(t, dict), bruteTerms(t, dict).mkString(",")))
+    }.toMap
+    assert(got === want)
+    assert(want.values.exists(_._1 > 0), "corpus should hit the dictionary")
+    // null text → null count and null terms (Spark null propagation,
+    // not a fabricated zero); a present text with no hits → (0, empty)
+    val edge = Seq((1L, null: String), (2L, "nothing matches on q"),
+        (3L, "a table scans")).toDF("id", "text")
+      .select(col("id"), DictScan.count(col("text"), dict).as("n"),
+        DictScan.terms(col("text"), dict).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)).map(_ => r.getSeq[String](2))))
+      ).toMap
+    assert(edge(1L) === ((None, None)))
+    assert(edge(2L) === ((Some(0L), Some(Seq.empty[String]))))
+    // "a table scans": "table scan" fires AND its nested "scan" fires
+    assert(edge(3L) === ((Some(2L), Some(Seq("scan", "table scan")))))
+  }
+
+  test("blocklist scale: a 10k-term dictionary builds once and scans in " +
+    "one pass with exact counts") {
+    val junk = (1 to 10000).map(i => s"junkphrase${i}x").distinct
+    val dict = junk ++ Seq("needle one", "needle two")
+    val ac = new AcAutomaton(dict)
+    val text = "hay " * 50 + "needle one and needle two and junkphrase42x" +
+      " hay" * 50
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+    assert(ac.countMatches(u) === 3L)
+    assert(ac.matchedTerms(u).numElements() === 3)
+    // degenerate dictionaries are refused loudly
+    assert(intercept[IllegalArgumentException](
+      new AcAutomaton(Seq.empty)).getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException](
+      new AcAutomaton(Seq("a", ""))).getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException](
+      new AcAutomaton(Seq("a", "a"))).getMessage.contains("distinct"))
+  }
+}

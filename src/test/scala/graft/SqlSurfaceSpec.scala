@@ -400,6 +400,11 @@ class SqlSurfaceSpec extends SparkSpec {
               docs.count(), Seq(0.25, 0.5, 0.9))
             .toDF("q", "value_est")
         })
+      // Aho-Corasick blocklist scan from SQL
+      check("SELECT * FROM dict_scan('tvf5_docs', 'text', 'doc_id', " +
+          "'scan, table scan, merge')",
+        graft.llm.TextAnalysis.dictionaryScan(docs, "text", "doc_id",
+          Seq("scan", "table scan", "merge")))
       // KMV theta sketch + overlap: sketch from SQL, persist as a view,
       // estimate pairwise corpus overlap without joining the corpora
       val shr = Dedup.shingleRows(docs.select("doc_id", "source", "text"),
