@@ -1300,6 +1300,42 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The ingest gate with the BLOCKLIST stage engaged solo: banned
+    // phrases are planted deterministically (%5 docs gain "cheap pills"
+    // — whose nested "ill" makes them 2-match docs — %11 docs gain a
+    // 1-match "casino bonus"), and the gate keeps documents with at
+    // most ONE total Aho–Corasick occurrence: the threshold provably
+    // SPLITS the planted stream (1-match docs pass, 2/3-match docs
+    // drop) instead of passing or dropping everything. x106 certifies
+    // the scan solo; this row certifies it IN COMPOSITION with the
+    // carried-state dedup over the two-batch replay.
+    "w17_ingest_gate_blocklist" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val train = base.filter(col("source") =!= "src0")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" buy cheap pills now"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" casino bonus inside"))
+            .otherwise(lit(""))).as("text"))
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250).unionByName(
+        b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id",
+        blocklist = Seq("cheap pills", "casino bonus", "ill"),
+        blocklistMaxMatches = 1L)
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"),
+          md5(col("text")).as("text_md5"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch"),
+          md5(col("text")).as("text_md5")))
+        .orderBy("doc_id")
+    }),
+
     // The ingest gate with the SECRETS stage engaged on top of PII
     // redaction: quality floor → decontam → incremental dedup → PII
     // redaction → secret redaction, over the same two-batch replay with
@@ -5290,6 +5326,51 @@ object LlmQueries {
             SELECT doc_id, 0 AS batch, $duckRedactMd5 AS text_md5 FROM kept1
             UNION ALL
             SELECT doc_id, 1 AS batch, $duckRedactMd5 AS text_md5 FROM kept2)
+          ORDER BY doc_id""",
+    // the blocklist gate in composition: x106's positional count
+    // semantics (every start index, nested terms included) as the keep
+    // predicate, then the two-batch carried-state min-id dedup
+    "w17_ingest_gate_blocklist" ->
+      """WITH train AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 5 = 0
+                    THEN ' buy cheap pills now' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                    THEN ' casino bonus inside' ELSE '' END AS text
+                FROM documents WHERE source <> 'src0'),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0),
+              f1 AS (SELECT doc_id, text FROM b1 WHERE
+                       len(list_filter(range(1, len(text) - 9),
+                         i -> substr(text, i, 11) = 'cheap pills'))
+                     + len(list_filter(range(1, len(text) - 10),
+                         i -> substr(text, i, 12) = 'casino bonus'))
+                     + len(list_filter(range(1, len(text) - 1),
+                         i -> substr(text, i, 3) = 'ill')) <= 1),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM f1
+                     GROUP BY md5(text)),
+              kept1 AS (SELECT c.doc_id, c.text FROM f1 c
+                        JOIN k1 USING (doc_id)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM f1),
+              f2 AS (SELECT doc_id, text FROM b2 WHERE
+                       len(list_filter(range(1, len(text) - 9),
+                         i -> substr(text, i, 11) = 'cheap pills'))
+                     + len(list_filter(range(1, len(text) - 10),
+                         i -> substr(text, i, 12) = 'casino bonus'))
+                     + len(list_filter(range(1, len(text) - 1),
+                         i -> substr(text, i, 3) = 'ill')) <= 1),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM f2 GROUP BY 1),
+              kept2 AS (SELECT c.doc_id, c.text FROM f2 c
+                        JOIN (SELECT doc_id FROM k2
+                              WHERE h NOT IN (SELECT h FROM state1)) k
+                        USING (doc_id))
+          SELECT doc_id, batch, text_md5 FROM (
+            SELECT doc_id, 0 AS batch, md5(text) AS text_md5 FROM kept1
+            UNION ALL
+            SELECT doc_id, 1 AS batch, md5(text) AS text_md5 FROM kept2)
           ORDER BY doc_id""",
     // w6's chain verbatim, but the train plants add AWS keys (%3) and
     // credential assignments (%5) beside the emails, and the final md5

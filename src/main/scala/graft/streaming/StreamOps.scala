@@ -150,7 +150,10 @@ object StreamOps {
   /** The batch pipeline's per-document gates composed into ONE
     * [[DeltaStep]]: quality floor → optional Gopher rule suite
     * ([[graft.llm.TextAnalysis.gopherRules]], per-document and therefore
-    * streaming-decidable) → optional MODEL-based quality gate (a frozen
+    * streaming-decidable) → optional BLOCKLIST gate (Aho–Corasick
+    * banned-phrase screen, [[graft.llm.TextAnalysis.dictionaryScan]]'s
+    * count semantics: drop when total occurrences exceed
+    * `blocklistMaxMatches`) → optional MODEL-based quality gate (a frozen
     * hashed-linear classifier — [[graft.llm.TextAnalysis.perceptronFit]]
     * weights, keep on positive margin) → optional DSIR affinity gate against frozen
     * reference distributions ([[graft.llm.Corpus.dsirMassesFrozen]] —
@@ -184,6 +187,8 @@ object StreamOps {
       gopherFilter: Boolean = false, gopherMinWords: Long = 50,
       gopherMaxWords: Long = 100000,
       gopherAlphaPattern: String = "[a-z]",
+      blocklist: Seq[String] = Seq.empty,
+      blocklistMaxMatches: Long = 0L,
       redactSecrets: Boolean = false,
       redactCards: Boolean = false,
       dsirGate: Option[(DataFrame, DataFrame)] = None,
@@ -208,6 +213,7 @@ object StreamOps {
       gopherFilter = gopherFilter, gopherMinWords = gopherMinWords,
       gopherMaxWords = gopherMaxWords,
       gopherAlphaPattern = gopherAlphaPattern,
+      blocklist = blocklist, blocklistMaxMatches = blocklistMaxMatches,
       redactSecrets = redactSecrets, redactCards = redactCards,
       dsirGate = dsirGate, dsirMinAffinityNum = dsirMinAffinityNum,
       dsirMinAffinityDen = dsirMinAffinityDen, dsirBuckets = dsirBuckets,
@@ -227,8 +233,8 @@ object StreamOps {
     * gate (ONE definition — corpusIngestStep delegates here), plus a
     * per-document accounting frame (idCol, stage) naming the FIRST
     * pipeline stage that dropped each rejected document — `quality`,
-    * `gopher`, `classifier`, `dsir`, `decontam`, `fuzzy_decontam`, or
-    * `duplicate`, in the pinned stage order. The observability layer a
+    * `gopher`, `blocklist`, `classifier`, `dsir`, `decontam`,
+    * `fuzzy_decontam`, or `duplicate`, in the pinned stage order. The observability layer a
     * production ingest needs: "why did 40% of this crawl vanish?" is
     * answered per document, per stage, instead of by diffing counts.
     *
@@ -252,6 +258,8 @@ object StreamOps {
       gopherFilter: Boolean = false, gopherMinWords: Long = 50,
       gopherMaxWords: Long = 100000,
       gopherAlphaPattern: String = "[a-z]",
+      blocklist: Seq[String] = Seq.empty,
+      blocklistMaxMatches: Long = 0L,
       redactSecrets: Boolean = false,
       redactCards: Boolean = false,
       dsirGate: Option[(DataFrame, DataFrame)] = None,
@@ -270,6 +278,8 @@ object StreamOps {
       materializeStages: Boolean = true)
       : (DataFrame, Option[DataFrame]) => (DeltaState, DataFrame) = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
+    require(blocklistMaxMatches >= 0,
+      s"blocklistMaxMatches ($blocklistMaxMatches) must be >= 0")
     require(dsirMinAffinityNum >= 0 && dsirMinAffinityDen > 0,
       "dsirMinAffinity must be a non-negative rational with positive " +
         s"denominator (got $dsirMinAffinityNum/$dsirMinAffinityDen)")
@@ -298,6 +308,18 @@ object StreamOps {
           col(textCol), gopherMinWords, gopherMaxWords,
           gopherAlphaPattern)),
         qGated)
+      // optional BLOCKLIST gate: drop docs whose total Aho–Corasick
+      // occurrence count over the banned-phrase dictionary exceeds
+      // blocklistMaxMatches (x106's certified count semantics —
+      // overlaps and nested terms included). Deliberately EARLY
+      // (before the model/DSIR gates): one row-local codegen text pass
+      // whose cost is independent of dictionary size, screening out
+      // obvious banned content before anything pays a feature pass.
+      val blkGated = stage(
+        if (blocklist.isEmpty) gated
+        else gated.filter(graft.expressions.DictScan.count(col(textCol),
+          blocklist) <= blocklistMaxMatches),
+        gated)
       // optional MODEL-based quality gate (FineWeb-Edu-style: a trained
       // classifier replaces/augments the heuristic rules): keep docs the
       // frozen hashed-linear classifier scores POSITIVE. Weights are the
@@ -306,13 +328,13 @@ object StreamOps {
       // per batch the cost is one feature pass + an integer margin sum.
       // Featureless docs have no margin row and drop with the semi-join
       // (sign-of-zero predicts −1, the classifierEval rule).
-      val clsGated = stage(classifierGate.fold(gated) { weights =>
-        val keep = graft.llm.TextAnalysis.classifierMargins(gated,
+      val clsGated = stage(classifierGate.fold(blkGated) { weights =>
+        val keep = graft.llm.TextAnalysis.classifierMargins(blkGated,
             textCol, idCol, weights, classifierBuckets)
           .filter(col("margin") > 0)
           .select(idCol)
-        gated.join(keep, Seq(idCol), "left_semi")
-      }, gated)
+        blkGated.join(keep, Seq(idCol), "left_semi")
+      }, blkGated)
       // optional DSIR affinity gate against FROZEN reference dists
       // (dsirReferenceDists output — trained offline, broadcast here):
       // keep iff target_mass/raw_mass >= num/den, decided by integer
@@ -400,7 +422,8 @@ object StreamOps {
       // anti-join of two identical frames (provably empty)
       val ledger = Seq(
         ("quality", batch, qGated), ("gopher", qGated, gated),
-        ("classifier", gated, clsGated), ("dsir", clsGated, affGated),
+        ("blocklist", gated, blkGated),
+        ("classifier", blkGated, clsGated), ("dsir", clsGated, affGated),
         ("decontam", affGated, clean),
         ("fuzzy_decontam", clean, fuzzyClean),
         ("duplicate", fuzzyClean, dedupKept))

@@ -139,6 +139,39 @@ class DurableIngestSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("corpusIngestStep: the blocklist gate drops docs whose total " +
+    "Aho-Corasick occurrence count exceeds the threshold (nested and " +
+    "overlapping included), is off by default, and the ledger " +
+    "attributes its rejects") {
+    import spark.implicits._
+    val in = docs(
+      1L -> "a perfectly clean document about sorting algorithms",
+      2L -> "one mention of casino bonus only", // 1 match → at cap, kept
+      3L -> "buy cheap pills today", // "cheap pills" + nested "ill" = 2
+      4L -> "casino bonus casino bonus casino bonus") // 3 → drop
+    val dict = Seq("cheap pills", "casino bonus", "ill")
+    val on = StreamOps.corpusIngestStep(exactStep, "text", "doc_id",
+      blocklist = dict, blocklistMaxMatches = 1L)(in, None)
+    assert(on.kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L))
+    // zero tolerance: any hit drops
+    val strict = StreamOps.corpusIngestStep(exactStep, "text", "doc_id",
+      blocklist = dict)(in, None)
+    assert(strict.kept.select("doc_id").as[Long].collect().toSeq ===
+      Seq(1L))
+    // off by default
+    val off = StreamOps.corpusIngestStep(exactStep, "text", "doc_id")(
+      in, None)
+    assert(off.kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    // ledger attribution: blocklist rejects carry the stage name
+    val (_, ledger) = StreamOps.corpusIngestStepLedger(exactStep, "text",
+      "doc_id", blocklist = dict, blocklistMaxMatches = 1L)(in, None)
+    assert(ledger.select($"doc_id".cast("long"), $"stage")
+      .as[(Long, String)].collect().toSet ===
+      Set(3L -> "blocklist", 4L -> "blocklist"))
+  }
+
   test("corpusIngestStepLedger: rejects carry their FIRST-dropping " +
     "stage in pipeline order, kept docs are absent, and the gate " +
     "output equals corpusIngestStep's") {
