@@ -986,6 +986,17 @@ object GraftExtensions {
         val s = SparkSession.active
         plan(graft.llm.Sketches.kmvOverlapBy(s.table(tn), gc, k))
       },
+      "kmv_containment" -> { args =>
+        val u = "usage: kmv_containment('sketch_a', 'sketch_b'[, k]) — " +
+          "estimated |A∩B|/|A| from two plain (h) kmv sketch tables " +
+          "below the shared theta: (theta, n_a, n_common, " +
+          "containment_est). Exact when both sketches are unsaturated"
+        require(args.length >= 2 && args.length <= 3, u)
+        val Seq(ta, tb) = args.take(2).map(lit2str(_, u))
+        val k = args.lift(2).map(lit2int(_, u)).getOrElse(64)
+        val s = SparkSession.active
+        plan(graft.llm.Sketches.kmvContainment(s.table(ta), s.table(tb), k))
+      },
       "decontam_fuzzy_over_index" -> { args =>
         val u = "usage: decontam_fuzzy_over_index('index_base', " +
           "'probe_table', 'text_col', 'id_col', threshold) — " +

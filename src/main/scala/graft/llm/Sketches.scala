@@ -460,6 +460,83 @@ object Sketches {
     else (k - 1).toDouble * KmvHashDomain.toDouble / hs(k - 1).toDouble
   }
 
+  /** Containment of sketch `a`'s set in sketch `b`'s set, from the two
+    * plain (h) sketch tables alone: below the shared
+    * `theta = min(theta_a, theta_b)` each sketch is a uniform sample of
+    * its set, so `n_common / n_a` estimates `|A ∩ B| / |A|` — "what
+    * fraction of A has B already seen". An UNSATURATED pair (< k hashes
+    * each) is exact. One row out; all sketch-sized math; n_a = 0 (empty
+    * A, or a theta below every hash) reports containment 0.0 rather
+    * than a division by zero.
+    *
+    * @return (theta, n_a, n_common, containment_est) */
+  def kmvContainment(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    Seq(a, b).foreach(s => require(s.columns.toSeq == Seq("h"),
+      s"kmvContainment takes plain (h) sketch tables; got " +
+        s"columns [${s.columns.mkString(", ")}]"))
+    def thetaOf(sk: DataFrame, out: String): DataFrame =
+      sk.agg(count(lit(1)).as("_n"),
+          coalesce(max(col("h")), lit(KmvHashDomain)).as("_mx"))
+        .select(when(col("_n") < k, lit(KmvHashDomain))
+          .otherwise(col("_mx")).as(out))
+    // 1-row × 1-row cross joins — sketch-statistic scale, the BM25
+    // stats-broadcast shape, never data-sized
+    val th = thetaOf(a, "_ta").crossJoin(thetaOf(b, "_tb"))
+      .select(least(col("_ta"), col("_tb")).as("theta"))
+    val na = a.crossJoin(broadcast(th))
+      .filter(col("h") < col("theta"))
+      .groupBy("theta").agg(count(lit(1)).as("n_a"))
+    val nc = a.join(b, Seq("h"), "left_semi").crossJoin(broadcast(th))
+      .filter(col("h") < col("theta"))
+      .groupBy("theta").agg(count(lit(1)).as("n_common"))
+    th.join(na, Seq("theta"), "left").join(nc, Seq("theta"), "left")
+      .select(col("theta"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(coalesce(col("n_a"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_common"), lit(0L)).cast("double") /
+            coalesce(col("n_a"), lit(1L)))
+          .as("containment_est"))
+  }
+
+  /** The KMV sketch as an INGEST FOLD (the dyadicSketchDelta /
+    * vocabDelta delta-state shape, so
+    * [[graft.streaming.StreamOps.durableIngestDedup]] drives it):
+    * state = the cumulative corpus KMV sketch over `shingleK`-shingles,
+    * kept = ONE monitoring row per batch — the batch's estimated
+    * NOVELTY against everything ingested before it
+    * (`1 − containment(batch, prior)`): the "is this crawl new material
+    * or a re-fetch?" signal a 100 TB ingest wants per batch, paid as
+    * one batch-sized shingle+sketch pass plus k-row math against k-row
+    * state. The exact answer (x25's novelty join) re-reads the corpus
+    * per batch; this never does. The first batch (no prior) reports
+    * novelty 1.0 by construction (empty prior sketch = the exact empty
+    * set). */
+  def kmvNoveltyDelta(batch: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, shingleK: Int = 3, prior: Option[DataFrame] = None)
+      : Dedup.DeltaState = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // the batch sketch feeds the containment (twice: n_a and the
+    // common semi-join) AND the merged state — cut or the shingle
+    // explode re-runs per consumer
+    val sk = graft.operators.Lineage.cut(kmvSketch(
+      Dedup.shingleRows(batch, textCol, idCol, shingleK), col("s"), k))
+    val pr = prior.getOrElse(Seq.empty[Long].toDF("h"))
+    val kept = kmvContainment(sk, pr, k)
+      .select(col("theta"), col("n_a").as("n_batch"), col("n_common"),
+        // an EMPTY batch (no sketch hashes below theta) brought nothing
+        // new — 0.0, not the 1.0 that negating containment's
+        // division-guard default would claim
+        when(col("n_a") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("containment_est"))
+          .as("novelty_est"))
+    val state = graft.operators.Lineage.cut(
+      prior.fold(sk)(p => kmvMerge(k)(p, sk)))
+    Dedup.DeltaState(kept, state)
+  }
+
   /** Pairwise overlap estimates between the groups of one grouped
     * sketch table: for each group pair (src_a < src_b),
     * `theta = min(theta_a, theta_b)` where a group's theta is its k-th

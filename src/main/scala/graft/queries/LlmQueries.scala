@@ -2767,6 +2767,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // x105's KMV sketch as an INGEST FOLD (the w16 delta-state shape):
+    // state = the cumulative corpus sketch, kept = one monitoring row
+    // per batch estimating the batch's NOVELTY against everything
+    // ingested before it (1 − containment below the shared theta) —
+    // "is this crawl new material or a re-fetch?", answered per batch
+    // from k-row state without ever re-reading the corpus (x25's exact
+    // novelty join re-reads it every time). Batch 2 replays %7 of
+    // batch 1 under shifted ids, so the containment provably binds.
+    // The oracle replays both batches: sketch, theta, intersect,
+    // novelty — integers until the one final division.
+    "w18_kmv_novelty_fold" -> ((s, dir) => {
+      val train = t(s, dir, "documents").filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+      val b1 = train.filter(col("doc_id") < 250)
+      val b2 = train.filter(col("doc_id") >= 250).unionByName(
+        b1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val s1 = Sketches.kmvNoveltyDelta(b1, "text", "doc_id", k = 64)
+      val s2 = Sketches.kmvNoveltyDelta(b2, "text", "doc_id", k = 64,
+        prior = Some(s1.state))
+      def row(kept: org.apache.spark.sql.DataFrame, b: Int) =
+        kept.select(lit(b).as("batch"), col("theta"), col("n_batch"),
+          col("n_common"), col("novelty_est"))
+      row(s1.kept, 0).unionByName(row(s2.kept, 1)).orderBy("batch")
+    }),
+
     // Fuzzy decontamination served from a PERSISTED near-dup index of
     // the benchmark (d10's cross-corpus semantics in x85's
     // register-once/screen-forever shape): the src0 bench registers its
@@ -5197,6 +5223,60 @@ object LlmQueries {
           LEFT JOIN nb ON nb.src_a = pr.src_a AND nb.src_b = pr.src_b
           LEFT JOIN nc ON nc.src_a = pr.src_a AND nc.src_b = pr.src_b
           ORDER BY pr.src_a, pr.src_b""",
+    // the fold's per-batch replay: per batch the k-min distinct shingle
+    // hashes, theta = min over (batch, cumulative-prior), counters by
+    // INTERSECT below theta, novelty as the one final division
+    "w18_kmv_novelty_fold" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents
+                         WHERE source <> 'src0'),
+              b1 AS (SELECT doc_id, text FROM train WHERE doc_id < 250),
+              b2 AS (SELECT doc_id, text FROM train WHERE doc_id >= 250
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM b1
+                     WHERE doc_id % 7 = 0),
+              ws1 AS (SELECT $duckToks AS w FROM b1),
+              sh1 AS (SELECT DISTINCT s
+                      FROM (SELECT unnest($duckShingles) AS s FROM ws1
+                            WHERE len(w) >= 3)),
+              h1 AS (SELECT DISTINCT ${duckHex32("s")} AS h FROM sh1),
+              sk1 AS (SELECT h FROM
+                        (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                         FROM h1) WHERE rn <= 64),
+              ws2 AS (SELECT $duckToks AS w FROM b2),
+              sh2 AS (SELECT DISTINCT s
+                      FROM (SELECT unnest($duckShingles) AS s FROM ws2
+                            WHERE len(w) >= 3)),
+              h2 AS (SELECT DISTINCT ${duckHex32("s")} AS h FROM sh2),
+              sk2 AS (SELECT h FROM
+                        (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                         FROM h2) WHERE rn <= 64),
+              t1 AS (SELECT CASE WHEN count(*) < 64
+                              THEN CAST(4294967296 AS BIGINT)
+                              ELSE max(h) END AS th FROM sk1),
+              t2 AS (SELECT CASE WHEN count(*) < 64
+                              THEN CAST(4294967296 AS BIGINT)
+                              ELSE max(h) END AS th FROM sk2),
+              nb1 AS (SELECT count(*) AS n FROM sk1, t1 WHERE h < t1.th),
+              r1 AS (SELECT 0 AS batch, t1.th AS theta, nb1.n AS n_batch,
+                            CAST(0 AS BIGINT) AS n_common,
+                            CASE WHEN nb1.n = 0 THEN 0.0 ELSE 1.0 END
+                              AS novelty_est
+                     FROM t1, nb1),
+              th2 AS (SELECT least(t1.th, t2.th) AS theta FROM t1, t2),
+              nb2 AS (SELECT count(*) AS n FROM sk2, th2
+                      WHERE h < th2.theta),
+              cm AS (SELECT h FROM sk2 INTERSECT SELECT h FROM sk1),
+              ncm AS (SELECT count(*) AS n FROM cm, th2
+                      WHERE h < th2.theta),
+              r2 AS (SELECT 1 AS batch, th2.theta, nb2.n AS n_batch,
+                            ncm.n AS n_common,
+                            CASE WHEN nb2.n = 0 THEN 0.0
+                                 ELSE 1.0 - CAST(ncm.n AS DOUBLE) / nb2.n
+                            END AS novelty_est
+                     FROM th2, nb2, ncm)
+          SELECT batch, theta, n_batch, n_common, novelty_est FROM
+            (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+          ORDER BY batch""",
     // positional replay of the Aho–Corasick semantics: a term occurs at
     // start index i iff substr(text, i, len(term)) = term — counting
     // every i counts overlapping and nested matches exactly as the

@@ -509,4 +509,39 @@ class DurableIngestSpec extends SparkSpec {
     assert(qv(s2.kept) === Sketches.dyadicQuantiles(
       Sketches.dyadicSketch(d, col("n_chars")), d.count(), qs))
   }
+
+  test("streaming batch novelty: kmvNoveltyDelta through " +
+    "durableIngestDedup equals the two-batch replay, and the folded " +
+    "state is the whole-corpus KMV sketch on the wire") {
+    import graft.llm.Sketches
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val step: StreamOps.DeltaStep =
+      (b, p) => Sketches.kmvNoveltyDelta(b, "text", "doc_id", k = 64,
+        prior = p)
+    val in = tmp("kn_in"); val out = tmp("kn_out"); val st = tmp("kn_state")
+    def stream() =
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+    d.filter($"doc_id" < 250).write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st).awaitTermination()
+    d.filter($"doc_id" >= 250).write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st).awaitTermination()
+    val s1 = Sketches.kmvNoveltyDelta(d.filter($"doc_id" < 250), "text",
+      "doc_id", k = 64)
+    val s2 = Sketches.kmvNoveltyDelta(d.filter($"doc_id" >= 250), "text",
+      "doc_id", k = 64, prior = Some(s1.state))
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.select($"theta".cast("long"), $"n_batch".cast("long"),
+          $"n_common".cast("long"), $"novelty_est".cast("double"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val streamed = spark.read.parquet(out)
+    assert(row(streamed.filter($"batch" === 0)) === row(s1.kept))
+    assert(row(streamed.filter($"batch" === 1)) === row(s2.kept))
+    // the wire state is the whole-corpus sketch
+    def hs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"h".cast("long")).as[Long].collect().toSet
+    assert(hs(spark.read.parquet(s"$st/v=1")) ===
+      hs(Sketches.kmvSketch(graft.llm.Dedup.shingleRows(d, "text",
+        "doc_id", k = 3), col("s"), 64)))
+  }
 }

@@ -249,6 +249,56 @@ class LlmSpec extends SparkSpec {
     assert(err2.getMessage.contains("plain (h)"))
   }
 
+  test("KMV novelty fold: containment is exact below saturation, the " +
+    "first batch reports novelty 1.0, a pure replay reports 0.0, and " +
+    "the folded state is the whole-corpus sketch") {
+    import graft.llm.Sketches
+    // unsaturated containment is EXACT set math
+    val sa = Sketches.kmvSketch(Seq("a", "b", "c", "d").toDF("v"),
+      col("v"), 64)
+    val sb = Sketches.kmvSketch(Seq("c", "d", "e").toDF("v"), col("v"), 64)
+    val c = Sketches.kmvContainment(sa, sb, 64).collect().head
+    assert(c.getAs[Long]("theta") === (1L << 32))
+    assert(c.getAs[Long]("n_a") === 4L)
+    assert(c.getAs[Long]("n_common") === 2L)
+    assert(c.getAs[Double]("containment_est") === 0.5)
+    // an empty A side reports 0.0, never a division by zero
+    val ce = Sketches.kmvContainment(
+      Sketches.kmvSketch(Seq.empty[String].toDF("v"), col("v"), 64),
+      sb, 64).collect().head
+    assert(ce.getAs[Long]("n_a") === 0L)
+    assert(ce.getAs[Double]("containment_est") === 0.0)
+    // malformed sketch tables are refused
+    val err = intercept[IllegalArgumentException](
+      Sketches.kmvContainment(sa.withColumn("x", lit(1)), sb, 64))
+    assert(err.getMessage.contains("plain (h)"))
+    // the fold on the real corpus
+    val b1 = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+    val b2 = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+    val s1 = Sketches.kmvNoveltyDelta(b1, "text", "doc_id", k = 64)
+    val r1 = s1.kept.collect().head
+    assert(r1.getAs[Double]("novelty_est") === 1.0)
+    assert(r1.getAs[Long]("n_common") === 0L)
+    // a PURE REPLAY of batch 1 (shifted ids, identical text) has the
+    // identical shingle set, hence the identical sketch: novelty 0.0
+    // exactly, not approximately
+    val rep = Sketches.kmvNoveltyDelta(
+      b1.select((col("doc_id") + 999999L).as("doc_id"), col("text")),
+      "text", "doc_id", k = 64, prior = Some(s1.state))
+    val rr = rep.kept.collect().head
+    assert(rr.getAs[Double]("novelty_est") === 0.0)
+    assert(rr.getAs[Long]("n_common") === rr.getAs[Long]("n_batch"))
+    // the folded state is the whole-corpus sketch (semilattice merge
+    // through the delta protocol)
+    val s2 = Sketches.kmvNoveltyDelta(b2, "text", "doc_id", k = 64,
+      prior = Some(s1.state))
+    def hs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(hs(s2.state) === hs(Sketches.kmvSketch(
+      Dedup.shingleRows(docs.select("doc_id", "text"), "text", "doc_id",
+        k = 3), col("s"), 64)))
+  }
+
   test("multimodal feature near-dup: planted byte-identical media rows " +
     "surface at a full 6/6 match, pairs never cross kinds, and minMatch " +
     "binds") {

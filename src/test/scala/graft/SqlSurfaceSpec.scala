@@ -417,6 +417,16 @@ class SqlSurfaceSpec extends SparkSpec {
       check("SELECT * FROM kmv_overlap('tvf5_kmv', 'source', 64)",
         graft.llm.Sketches.kmvOverlapBy(spark.table("tvf5_kmv"),
           "source", 64))
+      val skA = graft.llm.Sketches.kmvSketch(
+        shr.filter(col("source") === "src1").select(col("s").as("v")),
+        col("v"), 64)
+      val skB = graft.llm.Sketches.kmvSketch(
+        shr.filter(col("source") === "src2").select(col("s").as("v")),
+        col("v"), 64)
+      skA.createOrReplaceTempView("tvf5_kmv_a")
+      skB.createOrReplaceTempView("tvf5_kmv_b")
+      check("SELECT * FROM kmv_containment('tvf5_kmv_a', 'tvf5_kmv_b', 64)",
+        graft.llm.Sketches.kmvContainment(skA, skB, 64))
       check("SELECT * FROM label_propagate('tvf5_emb', 'tvf5_seeds', " +
           "'vec_id', 'embedding', 'label', 5)",
         Similarity.propagateLabels(emb, seeds, "vec_id", "embedding",
@@ -447,7 +457,8 @@ class SqlSurfaceSpec extends SparkSpec {
           "text", "doc_id"))
     } finally {
       Seq("tvf5_toks", "tvf5_emb", "tvf5_seeds", "tvf5_train",
-        "tvf5_lab", "tvf5_cms", "tvf5_probe", "tvf5_shingles", "tvf5_kmv")
+        "tvf5_lab", "tvf5_cms", "tvf5_probe", "tvf5_shingles", "tvf5_kmv",
+        "tvf5_kmv_a", "tvf5_kmv_b")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
     }
