@@ -986,6 +986,20 @@ object GraftExtensions {
         val s = SparkSession.active
         plan(graft.llm.Sketches.kmvOverlapBy(s.table(tn), gc, k))
       },
+      "random_project" -> { args =>
+        val u = "usage: random_project('table', 'vec_col', out_dims" +
+          "[, dims]) — dense Johnson-Lindenstrauss projection to " +
+          "out_dims via the deterministic md5-derived matrix; adds a " +
+          "'proj' array<double> column the ANN operators consume " +
+          "directly. No training required (contrast matryoshka_topk)"
+        require(args.length == 3 || args.length == 4, u)
+        val Seq(tn, vc) = args.take(2).map(lit2str(_, u))
+        val outDims = lit2int(args(2), u)
+        val dims = args.lift(3).map(lit2int(_, u)).getOrElse(64)
+        val s = SparkSession.active
+        plan(graft.llm.Similarity.randomProject(s.table(tn), vc,
+          outDims, dims))
+      },
       "kmv_containment" -> { args =>
         val u = "usage: kmv_containment('sketch_a', 'sketch_b'[, k]) — " +
           "estimated |A∩B|/|A| from two plain (h) kmv sketch tables " +

@@ -81,6 +81,39 @@ object Similarity {
   private[graft] def planeVector(plane: Int, dims: Int): IndexedSeq[Double] =
     (0 until dims).map(planeComponentValue(plane, _))
 
+  /** One random-projection output component: fixed per (output dim,
+    * input dim), the [[planeComponentValue]] discipline under its own
+    * tag namespace. */
+  private[graft] def rpComponentValue(out: Int, dim: Int): Double =
+    hashComponent(s"rproj_${out}_$dim")
+
+  /** The full component vector of one random-projection output
+    * dimension — driver-side constants, exposed so the DuckDB oracle
+    * SQL generates from the identical matrix. */
+  private[graft] def rpVector(out: Int, dims: Int): IndexedSeq[Double] =
+    (0 until dims).map(rpComponentValue(out, _))
+
+  /** Dense random projection (Johnson–Lindenstrauss; Achlioptas 2003
+    * showed simple uniform component matrices suffice): `dims` →
+    * `outDims` via the deterministic md5-derived matrix above, as ONE
+    * native matvec kernel per row — no RNG state, no shuffles, codegen.
+    *
+    * This is the dimensionality-reduction member that works on ANY
+    * embedding: Matryoshka truncation (a21/a23) is cheaper and more
+    * faithful but requires nesting-aware TRAINING; a projection trades
+    * that for the JL distortion bound — at 100 TB it buys a 4× smaller
+    * ANN index and 4× cheaper distance math on embeddings whose trainer
+    * never heard of Matryoshka. Downstream the projected column drops
+    * into every existing operator (cosine top-k, IVF build, SemDeDup)
+    * unchanged. */
+  def randomProject(df: DataFrame, vecCol: String, outDims: Int,
+      dims: Int = 64, outCol: String = "proj"): DataFrame = {
+    require(outDims >= 1 && outDims <= dims,
+      s"outDims ($outDims) must be in [1, dims=$dims]")
+    df.withColumn(outCol, VectorExprs.matvecProjections(col(vecCol),
+      (0 until outDims).map(rpVector(_, dims))))
+  }
+
   /** Sign-pattern bits from a STAGED projections column (one bucket id
     * per row). Kept separate from the projection kernel so the matvec
     * runs once per row even though `planes` bits consume it. */

@@ -2767,6 +2767,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Dense Johnson–Lindenstrauss random projection (Achlioptas 2003):
+    // 64-d embeddings → 16-d via a deterministic md5-derived matrix
+    // (one native matvec kernel per row), then exact cosine top-10 in
+    // the PROJECTED space — the dimensionality-reduction member that
+    // needs no nesting-aware training (contrast a21 Matryoshka). The
+    // oracle replays the identical matrix as literal constants and the
+    // identical left-to-right double folds, so ranks match bit-exactly;
+    // LlmSpec pins the JL properties (near-dup preservation, pairwise
+    // cosine correlation, squared-norm concentration at outDims/3).
+    "a34_random_projection" -> ((s, dir) => {
+      val p = Similarity.randomProject(t(s, dir, "embeddings"),
+          "embedding", outDims = 16)
+        .select(col("vec_id"), col("proj"))
+      Similarity.cosineTopK(p, p.filter(col("vec_id") < 5),
+          "vec_id", "proj", 10)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // x105's KMV sketch as an INGEST FOLD (the w16 delta-state shape):
     // state = the cumulative corpus sketch, kept = one monitoring row
     // per batch estimating the batch's NOVELTY against everything
@@ -3778,6 +3797,19 @@ object LlmQueries {
     s"(CASE WHEN ps[${p + 1}] >= 0 THEN ${1L << p} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** Projection of `v` onto random-projection output dim `j` — literal
+    * doubles from [[Similarity.rpVector]], the exact matrix the Spark
+    * matvec kernel embeds. */
+  private def duckRpProj(j: Int): String = {
+    val comps = Similarity.rpVector(j, 64)
+      .map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, 65), i -> v[i] * ($comps)[i]))"
+  }
+
+  /** The full 16-d projected vector as one list expression. */
+  private val duckRpList: String =
+    (0 until 16).map(duckRpProj).mkString("[", ", ", "]")
+
   /** Projection of `v` onto IVF unit centroid `c` — literal doubles from
     * [[Similarity.unitCentroidVector]], the exact constants the Spark plan
     * embeds via `typedlit`. */
@@ -4307,6 +4339,29 @@ object LlmQueries {
                     FROM sc)
          SELECT query_id, neighbor_id FROM r WHERE rn <= 10
          ORDER BY query_id, neighbor_id""",
+    // projection replayed from the identical literal matrix, then a1's
+    // cosine/rank replay in the 16-d projected space
+    "a34_random_projection" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              p AS (SELECT vec_id, $duckRpList AS pv FROM e),
+              q AS (SELECT vec_id AS query_id, pv AS qv FROM p
+                    WHERE vec_id < 5),
+              sc AS (SELECT query_id, p.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 17),
+                         i -> p.pv[i] * q.qv[i])) /
+                       (sqrt(list_sum(list_transform(p.pv, x -> x*x))) *
+                        sqrt(list_sum(list_transform(q.qv, x -> x*x))))
+                         AS cos
+                     FROM p, q WHERE p.vec_id <> q.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                        AS rn
+                    FROM sc)
+         SELECT query_id, neighbor_id, rn AS rank FROM r WHERE rn <= 10
+         ORDER BY query_id, rn""",
     "a2_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                      FROM embeddings),

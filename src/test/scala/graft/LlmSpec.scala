@@ -299,6 +299,64 @@ class LlmSpec extends SparkSpec {
         k = 3), col("s"), 64)))
   }
 
+  test("random projection: duplicates project identically, planted " +
+    "near-dups stay near, pairwise cosine correlates, and squared " +
+    "norms concentrate at outDims/3") {
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val proj = Similarity.randomProject(e, "embedding", outDims = 16)
+      .select(col("vec_id"), col("proj"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toMap
+    val orig = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+    // linearity: an exact duplicate vector projects to the identical
+    // projected vector (the projection is a fixed matrix, no RNG state)
+    val dup = e.limit(1)
+      .select(lit(987654321L).as("vec_id"), col("embedding"))
+    val pd = Similarity.randomProject(dup, "embedding", outDims = 16)
+      .select("proj").head().getSeq[Double](0).toIndexedSeq
+    assert(pd === proj(e.select("vec_id").as[Long].head()))
+    def cos(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    // a planted near-duplicate (one component nudged 1%) stays near in
+    // the projected space — the STRONG-similarity preservation JL
+    // actually promises (weakly-separated noise neighbors are not)
+    val v0 = orig.head._2
+    val nudged = v0.updated(0, v0(0) + 0.01 * (math.abs(v0(0)) max 0.1))
+    def projOf(v: IndexedSeq[Double]): IndexedSeq[Double] =
+      (0 until 16).map(j => (0 until 64)
+        .map(i => v(i) * Similarity.rpComponentValue(j, i)).sum)
+    assert(cos(projOf(v0), projOf(nudged)) > 0.95)
+    assert(cos(projOf(v0), proj(orig.head._1)) > 0.999999)
+    // pairwise cosine correlates between spaces (sampled pairs)
+    val ids = orig.keys.toSeq.sorted.take(120)
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+    } yield (cos(orig(ids(i)), orig(ids(j))),
+      cos(proj(ids(i)), proj(ids(j))))
+    val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val corr = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      (math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
+    assert(corr > 0.3, s"cosine correlation $corr too weak")
+    // norm concentration: uniform [-1,1) components have E[c^2] = 1/3,
+    // so E[||Pv||^2] = (outDims/3)·||v||^2 — the mean ratio over rows
+    // must land near 16/3 (the JL concentration this matrix provides)
+    val ratios = orig.keys.toSeq.map { id =>
+      proj(id).map(x => x * x).sum / orig(id).map(x => x * x).sum
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 16.0 / 3 * 0.7 && mean < 16.0 / 3 * 1.3,
+      s"mean squared-norm ratio $mean vs expected ${16.0 / 3}")
+  }
+
   test("multimodal feature near-dup: planted byte-identical media rows " +
     "surface at a full 6/6 match, pairs never cross kinds, and minMatch " +
     "binds") {

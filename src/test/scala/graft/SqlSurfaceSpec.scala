@@ -427,6 +427,11 @@ class SqlSurfaceSpec extends SparkSpec {
       skB.createOrReplaceTempView("tvf5_kmv_b")
       check("SELECT * FROM kmv_containment('tvf5_kmv_a', 'tvf5_kmv_b', 64)",
         graft.llm.Sketches.kmvContainment(skA, skB, 64))
+      // JL random projection from SQL
+      check("SELECT vec_id, proj FROM random_project('tvf5_emb', " +
+          "'embedding', 16)",
+        Similarity.randomProject(emb, "embedding", 16)
+          .select("vec_id", "proj"))
       check("SELECT * FROM label_propagate('tvf5_emb', 'tvf5_seeds', " +
           "'vec_id', 'embedding', 'label', 5)",
         Similarity.propagateLabels(emb, seeds, "vec_id", "embedding",
