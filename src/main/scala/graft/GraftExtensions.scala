@@ -955,7 +955,8 @@ object GraftExtensions {
           "comma-separated and trimmed; matching is case-sensitive"
         require(args.length == 4, u)
         val Seq(tn, tc, ic, ts) = args.map(lit2str(_, u))
-        val terms = ts.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val terms = ts.split(',').map(_.trim).filter(_.nonEmpty)
+          .distinct.toSeq
         require(terms.nonEmpty, u)
         val s = SparkSession.active
         plan(graft.llm.TextAnalysis.dictionaryScan(s.table(tn), tc, ic,

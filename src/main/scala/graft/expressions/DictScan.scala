@@ -104,10 +104,36 @@ final class AcAutomaton(val terms: Seq[String]) extends Serializable {
       while (j < o.length) { seen.set(o(j)); j += 1 }
       i += 1
     }
+    sortedHits(seen)
+  }
+
+  private def sortedHits(seen: java.util.BitSet): GenericArrayData = {
     val hits = terms.zipWithIndex.collect {
       case (t, ti) if seen.get(ti) => t
     }.sorted
     new GenericArrayData(hits.map(UTF8String.fromString).toArray[Any])
+  }
+
+  /** Count AND matched terms from ONE automaton walk — the form
+    * [[graft.llm.TextAnalysis.dictionaryScan]] uses so asking both
+    * questions costs one text pass, not two. */
+  def scanStats(s: UTF8String)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val str = s.toString
+    val seen = new java.util.BitSet(terms.size)
+    var node = 0
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      node = step(node, str.charAt(i))
+      val o = outs(node)
+      n += o.length
+      var j = 0
+      while (j < o.length) { seen.set(o(j)); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sortedHits(seen)))
   }
 }
 
@@ -125,7 +151,7 @@ final case class DictScanCount(child: Expression, terms: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ac", new AcAutomaton(terms),
+    val ref = ctx.addReferenceObj("ac", bundle,
       classOf[AcAutomaton].getName)
     nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.countMatches($s);")
   }
@@ -148,13 +174,45 @@ final case class DictScanTerms(child: Expression, terms: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ac", new AcAutomaton(terms),
+    val ref = ctx.addReferenceObj("ac", bundle,
       classOf[AcAutomaton].getName)
     nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.matchedTerms($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
       : DictScanTerms = copy(child = newChild)
+}
+
+/** Count AND matched terms in one automaton walk:
+  * struct<n_matches: bigint, matched_terms: array<string>>. The
+  * two-question form [[DictScanCount]]/[[DictScanTerms]] would pay one
+  * full text scan EACH; this pays one total, and whole-stage codegen's
+  * subexpression elimination keeps it one even when both struct fields
+  * are projected from the same expression instance. */
+final case class DictScanStats(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_matches", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("matched_terms",
+        ArrayType(StringType, containsNull = false), nullable = false)))
+
+  @transient private lazy val bundle = new AcAutomaton(terms)
+
+  override def nullSafeEval(input: Any): Any =
+    bundle.scanStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", bundle,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.scanStats($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DictScanStats = copy(child = newChild)
 }
 
 object DictScan {
@@ -165,4 +223,8 @@ object DictScan {
   /** Column API: distinct matched terms, lexicographically sorted. */
   def terms(c: Column, terms: Seq[String]): Column =
     Bridge.column(DictScanTerms(Bridge.expression(c), terms))
+
+  /** Column API: (n_matches, matched_terms) struct from one walk. */
+  def stats(c: Column, terms: Seq[String]): Column =
+    Bridge.column(DictScanStats(Bridge.expression(c), terms))
 }

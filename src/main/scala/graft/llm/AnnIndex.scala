@@ -733,9 +733,7 @@ object AnnIndex {
   def migrateIndex(spark: SparkSession, base: String, idCol: String,
       vecCol: String, newCents: Seq[IndexedSeq[Double]],
       attrCols: Option[Seq[String]] = None): Int = {
-    val v = latestVersion(spark, base).getOrElse(throw
-      new IllegalArgumentException(
-        s"no published index generation under $base to migrate"))
+    val v = requireLatest(spark, base)
     val idx = readIndex(spark, versionPath(base, v))
     val attrs = attrCols.getOrElse(
       idx.columns.filterNot(c =>
@@ -774,9 +772,7 @@ object AnnIndex {
   def gcGenerations(spark: SparkSession, base: String,
       keep: Int = 1): Seq[Int] = {
     require(keep >= 0, s"keep ($keep) must be >= 0")
-    val live = latestVersion(spark, base).getOrElse(throw
-      new IllegalArgumentException(
-        s"no published index generation under $base — nothing to gc"))
+    val live = requireLatest(spark, base)
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val Gen = "^v(\\d+)$".r

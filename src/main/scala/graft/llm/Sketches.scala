@@ -398,6 +398,11 @@ object Sketches {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
     df.select(groupCols.map(col) :+ Hashing.hex32(value).as("h"): _*)
+      // a NULL value hashes to a NULL h, which Spark's ASC window order
+      // puts FIRST: it would take rank 1, permanently occupy a k-slot
+      // through every merge, and flip an unsaturated group's theta —
+      // null is "no value", not a member of the set
+      .filter(col("h").isNotNull)
       .withColumn("_r", dense_rank().over(w))
       .filter(col("_r") <= k)
       .select(groupCols.map(col) :+ col("h"): _*)
@@ -478,8 +483,13 @@ object Sketches {
     def thetaOf(sk: DataFrame, out: String): DataFrame =
       sk.agg(count(lit(1)).as("_n"),
           coalesce(max(col("h")), lit(KmvHashDomain)).as("_mx"))
-        .select(when(col("_n") < k, lit(KmvHashDomain))
-          .otherwise(col("_mx")).as(out))
+        // the kmvOverlapBy oversize guard: more than k rows is not a
+        // k-sketch and would silently mislabel saturation
+        .select(when(col("_n") > k, raise_error(concat(
+            lit("kmvContainment: sketch has "), col("_n").cast("string"),
+            lit(s" rows > k=$k — pass the k it was built with"))))
+          .otherwise(when(col("_n") < k, lit(KmvHashDomain))
+            .otherwise(col("_mx"))).as(out))
     // 1-row × 1-row cross joins — sketch-statistic scale, the BM25
     // stats-broadcast shape, never data-sized
     val th = thetaOf(a, "_ta").crossJoin(thetaOf(b, "_tb"))
@@ -556,11 +566,24 @@ object Sketches {
     *         one row per unordered group pair */
   def kmvOverlapBy(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k ($k) must be >= 2")
+    require(sk.columns.sorted.toSeq == Seq(groupCol, "h").sorted,
+      s"kmvOverlapBy takes a ($groupCol, h) sketch table; got " +
+        s"columns [${sk.columns.mkString(", ")}]")
     val g = col(groupCol)
     val thetas = sk.groupBy(g).agg(count(lit(1)).as("n_h"),
         max(col("h")).as("max_h"))
-      .select(g, when(col("n_h") < k, lit(KmvHashDomain))
-        .otherwise(col("max_h")).as("theta"))
+      // a group with MORE than k rows is not a k-sketch (raw hash rows,
+      // or a sketch built with a larger k): its `n_h < k` saturation
+      // test would mislabel it and the counters multiply wrong —
+      // kmvDistinctEstimate's "pass the k it was built with" guard,
+      // enforced in-plan (the kmvMergeBy/kmvMerge refusal discipline)
+      .select(g, when(col("n_h") > k, raise_error(concat(
+          lit(s"kmvOverlapBy: group "), g.cast("string"),
+          lit(s" has "), col("n_h").cast("string"),
+          lit(s" sketch rows > k=$k — pass the k the sketch was " +
+            "built with")))).otherwise(
+        when(col("n_h") < k, lit(KmvHashDomain))
+          .otherwise(col("max_h"))).as("theta"))
     val pairs = thetas.select(g.as("src_a"), col("theta").as("th_a"))
       .join(thetas.select(g.as("src_b"), col("theta").as("th_b")),
         col("src_a") < col("src_b"))

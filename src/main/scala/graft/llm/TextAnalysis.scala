@@ -1442,8 +1442,14 @@ object TextAnalysis {
       idCol: String, terms: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     import graft.expressions.DictScan
-    df.select(col(idCol),
-      DictScan.count(col(textCol), terms).as("n_matches"),
-      DictScan.terms(col(textCol), terms).as("matched_terms"))
+    // duplicates are semantically harmless for a blocklist — drop them
+    // here rather than letting the automaton's distinctness invariant
+    // kill a hand-maintained list at runtime. ONE struct expression =
+    // one automaton walk answers both questions; codegen subexpression
+    // elimination keeps the two field projections reading one pass.
+    val st = DictScan.stats(col(textCol), terms.distinct)
+    df.select(col(idCol), st.as("_st"))
+      .select(col(idCol), col("_st.n_matches").as("n_matches"),
+        col("_st.matched_terms").as("matched_terms"))
   }
 }

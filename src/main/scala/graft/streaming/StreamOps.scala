@@ -318,7 +318,7 @@ object StreamOps {
       val blkGated = stage(
         if (blocklist.isEmpty) gated
         else gated.filter(graft.expressions.DictScan.count(col(textCol),
-          blocklist) <= blocklistMaxMatches),
+          blocklist.distinct) <= blocklistMaxMatches),
         gated)
       // optional MODEL-based quality gate (FineWeb-Edu-style: a trained
       // classifier replaces/augments the heuristic rules): keep docs the

@@ -87,6 +87,36 @@ class DictScanSpec extends SparkSpec {
     assert(edge(3L) === ((Some(2L), Some(Seq("scan", "table scan")))))
   }
 
+  test("one-walk stats struct equals the separate count/terms " +
+    "expressions, and dictionaryScan tolerates duplicate dictionary " +
+    "entries") {
+    val dict = Seq("scan", "table scan", "er", "merge")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val viaStats = graft.llm.TextAnalysis.dictionaryScan(docs, "text",
+        "doc_id", dict)
+      .select(col("doc_id"), col("n_matches"),
+        array_join(col("matched_terms"), ",").as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val viaSeparate = docs.select(col("doc_id"),
+        DictScan.count(col("text"), dict).as("n"),
+        array_join(DictScan.terms(col("text"), dict), ",").as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(viaStats === viaSeparate)
+    // a hand-maintained blocklist with an accidental duplicate must not
+    // kill the scan — dictionaryScan dedups before the automaton
+    val dup = graft.llm.TextAnalysis.dictionaryScan(docs, "text",
+        "doc_id", dict ++ dict.take(2))
+      .select(col("doc_id"), col("n_matches"),
+        array_join(col("matched_terms"), ",").as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(dup === viaStats)
+  }
+
   test("blocklist scale: a 10k-term dictionary builds once and scans in " +
     "one pass with exact counts") {
     val junk = (1 to 10000).map(i => s"junkphrase${i}x").distinct

@@ -247,6 +247,27 @@ class LlmSpec extends SparkSpec {
     val err2 = intercept[IllegalArgumentException](
       Sketches.kmvMerge(k)(global))
     assert(err2.getMessage.contains("plain (h)"))
+    val err3 = intercept[IllegalArgumentException](
+      Sketches.kmvOverlapBy(global.withColumn("x", lit(1)), "source", k))
+    assert(err3.getMessage.contains("sketch table"))
+    // NULL values are "no value", not set members: they must not
+    // occupy a k-slot or flip an unsaturated group's saturation test
+    val withNull = Seq(("a", Some("v1")), ("a", Some("v2")), ("a", None))
+      .toDF("src", "v")
+    val nsk = Sketches.kmvSketchBy(withNull, Seq("src"), col("v"), k)
+    assert(nsk.count() === 2L)
+    assert(nsk.filter(col("h").isNull).isEmpty)
+    // a table with MORE than k rows per group is not a k-sketch — the
+    // in-plan guard fails loud instead of mislabeling saturation
+    val raw = (1 to 100).map(i => ("a", i.toLong)).toDF("source", "h")
+    val oversize = intercept[Exception](
+      Sketches.kmvOverlapBy(raw.unionByName(
+        Seq(("b", 1L)).toDF("source", "h")), "source", 64).collect())
+    assert(oversize.getMessage.contains("pass the k"))
+    val oversize2 = intercept[Exception](
+      Sketches.kmvContainment(raw.select("h"), raw.select("h"), 64)
+        .collect())
+    assert(oversize2.getMessage.contains("pass the k"))
   }
 
   test("KMV novelty fold: containment is exact below saturation, the " +
