@@ -1166,6 +1166,18 @@ object GraftExtensions {
         import s.implicits._
         plan(dead.toDF("reclaimed_version"))
       },
+      "ivf_generations" -> { args =>
+        val u = "usage: ivf_generations('base') — inventory of a " +
+          "versioned index's stored generations: (version, is_live, " +
+          "has_data, has_codebook), ascending; crash remnants (one of " +
+          "the two directories missing) stay visible"
+        require(args.length == 1, u)
+        val base = lit2str(args(0), u)
+        val s = SparkSession.active
+        import s.implicits._
+        plan(graft.llm.AnnIndex.listGenerations(s, base)
+          .toDF("version", "is_live", "has_data", "has_codebook"))
+      },
       "ivf_versioned_build" -> { args =>
         val u = "usage: ivf_versioned_build('corpus', 'id_col', " +
           "'vec_col', 'base'[, nlist]) — write generation 1 of a " +

@@ -747,6 +747,27 @@ object AnnIndex {
     v + 1
   }
 
+  /** Inventory of the stored generations under `base`: (version,
+    * is_live, has_data, has_codebook), ascending by version — what an
+    * operator inspects before and after [[gcGenerations]]. A version
+    * appears when EITHER its data directory or its codebook exists, so
+    * crash remnants (one of the two deleted) are visible rather than
+    * hidden. Pure directory listing + one pointer read. */
+  def listGenerations(spark: SparkSession, base: String)
+      : Seq[(Int, Boolean, Boolean, Boolean)] = {
+    val live = latestVersion(spark, base)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) return Seq.empty
+    val Gen = "^v(\\d+)$".r
+    val Cb = "^centroids_v(\\d+)$".r
+    val names = fs.listStatus(basePath).toSeq.map(_.getPath.getName)
+    val data = names.collect { case Gen(n) => n.toInt }.toSet
+    val cbs = names.collect { case Cb(n) => n.toInt }.toSet
+    (data ++ cbs).toSeq.sorted.map(v =>
+      (v, live.contains(v), data.contains(v), cbs.contains(v)))
+  }
+
   /** Generation retention: delete every generation STRICTLY OLDER than
     * `live - keep` (data directory + codebook), returning the versions
     * reclaimed. [[migrateIndex]] leaves each superseded generation on

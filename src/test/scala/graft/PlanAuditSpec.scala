@@ -47,8 +47,21 @@ class PlanAuditSpec extends SparkSpec {
     // shape) — only the 1-row SQ8 stats broadcasts ride a nested loop
     "x72_quota_sample", // composes x71's two 1-row broadcasts; the draw
     // itself is a strata-keyed equi-join + per-stratum window
-    "x79_temperature_mix" // the x22 pattern once more: the 1-row folded
+    "x79_temperature_mix", // the x22 pattern once more: the 1-row folded
     // normalizer broadcasts onto the sources-sized rates table
+    "a34_random_projection", // a1's whitelisted brute-force baseline
+    // shape (corpus × 5 broadcast queries, self-pairs excluded by a
+    // non-equi predicate) run in the 16-d PROJECTED space — the scale
+    // path is the same composition as a1's: feed the projected column
+    // to the IVF cell equi-join operators
+    "x105_kmv_overlap", // every nested-loop side here is SKETCH-sized
+    // by construction: the theta table (one row per group) pairs with
+    // itself on src_a < src_b, and the k-row-per-group sketch joins
+    // ride equi-keys — the corpora themselves never join (that is the
+    // operator's whole point vs x32)
+    "w18_kmv_novelty_fold" // kmvContainment's x22 pattern: 1-row theta
+    // statistics cross onto k-row sketch tables — every side bounded by
+    // k regardless of corpus size
   )
   // NOT whitelisted by design: w10_ingest_gate_dsir — the streaming gate
   // reads only the integer masses (Corpus.dsirMassesFrozen), so its plan

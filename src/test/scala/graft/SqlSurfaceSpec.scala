@@ -677,11 +677,17 @@ class SqlSurfaceSpec extends SparkSpec {
       // the mount TVF exposes the live generation as a relation
       assert(spark.sql(s"SELECT * FROM ivf_latest_mount('$genBase')")
         .count() === emb.count())
-      // retention from pure SQL: reclaim the rolled-past generation 1;
-      // the live generation still serves and mounts
+      // retention from pure SQL: inspect the inventory, reclaim the
+      // rolled-past generation 1, re-inspect — the live generation
+      // still serves and mounts
+      def gens() = spark
+        .sql(s"SELECT version, is_live FROM ivf_generations('$genBase')")
+        .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toSeq
+      assert(gens() === Seq(1 -> false, 2 -> true))
       val gcd = spark.sql(s"SELECT * FROM ivf_index_gc('$genBase', 0)")
         .collect().map(_.getInt(0)).toSeq
       assert(gcd === Seq(1))
+      assert(gens() === Seq(2 -> true))
       assert(spark.sql(s"SELECT * FROM ivf_index_gc('$genBase', 0)")
         .isEmpty) // idempotent
       assert(spark.sql(s"SELECT * FROM ivf_latest_mount('$genBase')")
