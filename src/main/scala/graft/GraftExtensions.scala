@@ -977,13 +977,17 @@ object GraftExtensions {
           org.apache.spark.sql.functions.col(vc), k))
       },
       "kmv_overlap" -> { args =>
-        val u = "usage: kmv_overlap('sketch_table', 'group_col'[, k]) — " +
+        val u = "usage: kmv_overlap('sketch_table', 'group_col', k) — " +
           "pairwise corpus-overlap estimates between the groups of a " +
           "kmv_sketch table: (src_a, src_b, theta, n_common, n_union, " +
-          "jaccard_est). Sketch-sized math: the corpora are never joined"
-        require(args.length >= 2 && args.length <= 3, u)
+          "jaccard_est). Sketch-sized math: the corpora are never " +
+          "joined. k is REQUIRED and must be the k the sketch was " +
+          "built with: too-small is caught in-plan, but a k LARGER " +
+          "than the build k would silently mislabel saturated groups " +
+          "as exact sets — no default can be safe"
+        require(args.length == 3, u)
         val Seq(tn, gc) = args.take(2).map(lit2str(_, u))
-        val k = args.lift(2).map(lit2int(_, u)).getOrElse(64)
+        val k = lit2int(args(2), u)
         val s = SparkSession.active
         plan(graft.llm.Sketches.kmvOverlapBy(s.table(tn), gc, k))
       },
@@ -1002,13 +1006,17 @@ object GraftExtensions {
           outDims, dims))
       },
       "kmv_containment" -> { args =>
-        val u = "usage: kmv_containment('sketch_a', 'sketch_b'[, k]) — " +
+        val u = "usage: kmv_containment('sketch_a', 'sketch_b', k) — " +
           "estimated |A∩B|/|A| from two plain (h) kmv sketch tables " +
           "below the shared theta: (theta, n_a, n_common, " +
-          "containment_est). Exact when both sketches are unsaturated"
-        require(args.length >= 2 && args.length <= 3, u)
+          "containment_est). Exact when both sketches are unsaturated. " +
+          "k is REQUIRED and must be the k the sketches were built " +
+          "with: too-small is caught in-plan, but a k LARGER than the " +
+          "build k would silently mislabel saturated sketches as exact " +
+          "sets — no default can be safe"
+        require(args.length == 3, u)
         val Seq(ta, tb) = args.take(2).map(lit2str(_, u))
-        val k = args.lift(2).map(lit2int(_, u)).getOrElse(64)
+        val k = lit2int(args(2), u)
         val s = SparkSession.active
         plan(graft.llm.Sketches.kmvContainment(s.table(ta), s.table(tb), k))
       },

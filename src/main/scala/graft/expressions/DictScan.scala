@@ -108,10 +108,17 @@ final class AcAutomaton(val terms: Seq[String]) extends Serializable {
   }
 
   private def sortedHits(seen: java.util.BitSet): GenericArrayData = {
-    val hits = terms.zipWithIndex.collect {
-      case (t, ti) if seen.get(ti) => t
-    }.sorted
-    new GenericArrayData(hits.map(UTF8String.fromString).toArray[Any])
+    // walk only the SET bits: a full terms.zipWithIndex scan would make
+    // every row pay O(|dict|) and sink the O(text + matches) claim at
+    // the 10k-term blocklist sizes this automaton exists for
+    val hits = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ti = seen.nextSetBit(0)
+    while (ti >= 0) {
+      hits += terms(ti)
+      ti = seen.nextSetBit(ti + 1)
+    }
+    new GenericArrayData(
+      hits.sorted.map(UTF8String.fromString).toArray[Any])
   }
 
   /** Count AND matched terms from ONE automaton walk — the form

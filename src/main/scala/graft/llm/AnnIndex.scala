@@ -794,13 +794,11 @@ object AnnIndex {
       keep: Int = 1): Seq[Int] = {
     require(keep >= 0, s"keep ($keep) must be >= 0")
     val live = requireLatest(spark, base)
-    val basePath = new org.apache.hadoop.fs.Path(base)
-    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val Gen = "^v(\\d+)$".r
-    val Cb = "^centroids_v(\\d+)$".r
-    val present = fs.listStatus(basePath).toSeq.map(_.getPath.getName)
-      .collect { case Gen(n) => n.toInt; case Cb(n) => n.toInt }
-      .distinct.sorted
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE definition of the generation layout: the candidate set comes
+    // from the same inventory the ivf_generations TVF serves
+    val present = listGenerations(spark, base).map(_._1)
     val cutoff = live - keep
     val dead = present.filter(_ < cutoff)
     dead.foreach { v =>

@@ -472,7 +472,9 @@ object Sketches {
     * fraction of A has B already seen". An UNSATURATED pair (< k hashes
     * each) is exact. One row out; all sketch-sized math; n_a = 0 (empty
     * A, or a theta below every hash) reports containment 0.0 rather
-    * than a division by zero.
+    * than a division by zero. `k` must be the build k — see
+    * [[kmvOverlapBy]]'s guard note (the larger-k direction is
+    * structurally undetectable).
     *
     * @return (theta, n_a, n_common, containment_est) */
   def kmvContainment(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
@@ -557,6 +559,13 @@ object Sketches {
     * `jaccard_est = |common < theta| / |union < theta|` is the standard
     * theta-sketch Jaccard estimator. Everything except the final
     * division is integer-exact.
+    *
+    * `k` MUST be the k the sketch was built with. A k smaller than the
+    * build k fails loud in-plan (groups then carry more than k rows);
+    * a k LARGER than the build k is structurally undetectable — a
+    * saturated 32-hash group looks exactly like an unsaturated exact
+    * 32-element set under k=64 — and silently biases the estimates, so
+    * the SQL TVFs refuse to default it.
     *
     * Scale shape: all inputs are sketch tables — groups × k rows — so
     * every join here is metadata-scale regardless of corpus size; the

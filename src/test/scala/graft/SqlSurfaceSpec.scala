@@ -427,6 +427,11 @@ class SqlSurfaceSpec extends SparkSpec {
       skB.createOrReplaceTempView("tvf5_kmv_b")
       check("SELECT * FROM kmv_containment('tvf5_kmv_a', 'tvf5_kmv_b', 64)",
         graft.llm.Sketches.kmvContainment(skA, skB, 64))
+      // k is mandatory on the estimate TVFs: a defaulted k larger than
+      // the build k would silently mislabel saturation
+      val kerr = intercept[Exception](
+        spark.sql("SELECT * FROM kmv_overlap('tvf5_kmv', 'source')"))
+      assert(kerr.getMessage.contains("usage: kmv_overlap"))
       // JL random projection from SQL
       check("SELECT vec_id, proj FROM random_project('tvf5_emb', " +
           "'embedding', 16)",
