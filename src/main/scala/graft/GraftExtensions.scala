@@ -962,6 +962,26 @@ object GraftExtensions {
         plan(graft.llm.TextAnalysis.dictionaryScan(s.table(tn), tc, ic,
           terms))
       },
+      "dict_severity" -> { args =>
+        val u = "usage: dict_severity('table', 'text_col', 'id_col', " +
+          "'term:weight,term:weight,...') — severity-weighted " +
+          "Aho-Corasick blocklist: per row, severity = sum of " +
+          "occurrences(term) * weight(term) plus the raw count, in one " +
+          "text pass. Weights are integers after the LAST ':' of each " +
+          "entry; duplicate terms sum their weights"
+        require(args.length == 4, u)
+        val Seq(tn, tc, ic, ts) = args.map(lit2str(_, u))
+        val weighted = ts.split(',').map(_.trim).filter(_.nonEmpty)
+          .map { e =>
+            val cut = e.lastIndexOf(':')
+            require(cut > 0 && cut < e.length - 1, u)
+            (e.substring(0, cut).trim, e.substring(cut + 1).trim.toLong)
+          }.toSeq
+        require(weighted.nonEmpty, u)
+        val s = SparkSession.active
+        plan(graft.llm.TextAnalysis.dictionaryScanWeighted(s.table(tn),
+          tc, ic, weighted))
+      },
       "kmv_sketch" -> { args =>
         val u = "usage: kmv_sketch('table', 'group_col', 'value_col'" +
           "[, k]) — grouped KMV/theta sketch (Bar-Yossef 2002): the k " +

@@ -121,6 +121,32 @@ final class AcAutomaton(val terms: Seq[String]) extends Serializable {
       hits.sorted.map(UTF8String.fromString).toArray[Any])
   }
 
+  /** Weighted severity AND raw count from ONE automaton walk:
+    * `severity = Σ occurrences(term) · weight(term)` — the policy-tier
+    * form of the blocklist (a slur outweighs a mild spam phrase), still
+    * O(text + matches) because the weight lookup rides each output hit
+    * rather than a per-row dictionary scan. */
+  def weightedStats(s: UTF8String, weights: Array[Long])
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    require(weights.length == terms.size,
+      s"weights (${weights.length}) must align with terms (${terms.size})")
+    val str = s.toString
+    var node = 0
+    var n = 0L
+    var sev = 0L
+    var i = 0
+    while (i < str.length) {
+      node = step(node, str.charAt(i))
+      val o = outs(node)
+      var j = 0
+      while (j < o.length) { sev += weights(o(j)); j += 1 }
+      n += o.length
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sev, n))
+  }
+
   /** Count AND matched terms from ONE automaton walk — the form
     * [[graft.llm.TextAnalysis.dictionaryScan]] uses so asking both
     * questions costs one text pass, not two. */
@@ -222,6 +248,43 @@ final case class DictScanStats(child: Expression, terms: Seq[String])
       : DictScanStats = copy(child = newChild)
 }
 
+/** Severity-weighted scan in one automaton walk:
+  * struct<severity: bigint, n_matches: bigint> where
+  * `severity = Σ occurrences(term) · weight(term)` — blocklists are
+  * tiered in practice (policy severity), and folding the weights into
+  * the walk keeps the cost O(text + matches) where a per-term-counts
+  * vector consumed by a fold would re-pay O(|dict|) per row. */
+final case class DictScanSeverity(child: Expression, terms: Seq[String],
+    weights: Seq[Long]) extends UnaryExpression {
+  require(weights.size == terms.size,
+    s"weights (${weights.size}) must align with terms (${terms.size})")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("severity", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_matches", LongType,
+        nullable = false)))
+
+  @transient private lazy val bundle = new AcAutomaton(terms)
+  @transient private lazy val ws: Array[Long] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    bundle.weightedStats(input.asInstanceOf[UTF8String], ws)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", bundle,
+      classOf[AcAutomaton].getName)
+    val wref = ctx.addReferenceObj("ws", ws, "long[]")
+    nullSafeCodeGen(ctx, ev,
+      s => s"${ev.value} = $ref.weightedStats($s, $wref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DictScanSeverity = copy(child = newChild)
+}
+
 object DictScan {
   /** Column API: total occurrence count (overlaps included). */
   def count(c: Column, terms: Seq[String]): Column =
@@ -234,4 +297,8 @@ object DictScan {
   /** Column API: (n_matches, matched_terms) struct from one walk. */
   def stats(c: Column, terms: Seq[String]): Column =
     Bridge.column(DictScanStats(Bridge.expression(c), terms))
+
+  /** Column API: (severity, n_matches) struct from one weighted walk. */
+  def severity(c: Column, terms: Seq[String], weights: Seq[Long]): Column =
+    Bridge.column(DictScanSeverity(Bridge.expression(c), terms, weights))
 }

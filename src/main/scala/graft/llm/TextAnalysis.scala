@@ -1452,4 +1452,29 @@ object TextAnalysis {
       .select(col(idCol), col("_st.n_matches").as("n_matches"),
         col("_st.matched_terms").as("matched_terms"))
   }
+
+  /** Severity-weighted blocklist scan: per document,
+    * `severity = Σ occurrences(term) · weight(term)` plus the raw
+    * occurrence count — real blocklists are TIERED (policy severity:
+    * a slur is not a spam phrase), and the weights fold into the same
+    * single O(text + matches) automaton walk ([[dictionaryScan]]'s
+    * engine), never a per-row dictionary pass. A duplicated term's
+    * weights SUM (two list entries for one phrase mean its severity
+    * contributions add); integer weights keep the whole row
+    * engine-exact. Threshold the severity downstream (`severity <= s`)
+    * for the graded form of the ingest gate's boolean blocklist. */
+  def dictionaryScanWeighted(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String,
+      weightedTerms: Seq[(String, Long)])
+      : org.apache.spark.sql.DataFrame = {
+    import graft.expressions.DictScan
+    require(weightedTerms.nonEmpty, "weightedTerms must be non-empty")
+    val (terms, weights) = weightedTerms.groupBy(_._1).toSeq
+      .map { case (t, ws) => (t, ws.map(_._2).sum) }
+      .sortBy(_._1).unzip
+    val st = DictScan.severity(col(textCol), terms, weights)
+    df.select(col(idCol), st.as("_st"))
+      .select(col(idCol), col("_st.severity").as("severity"),
+        col("_st.n_matches").as("n_matches"))
+  }
 }

@@ -2767,6 +2767,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Severity-weighted blocklist (the TIERED form of x106): severity =
+    // Σ occurrences(term) · weight(term) folded into the same single
+    // automaton walk — "cheap pills" costs 5 per hit (and its nested
+    // "ill" one more), "casino bonus" 2 — against w17's planted stream.
+    // All-integer math; the oracle replays the positional counts and
+    // the weighted sum exactly.
+    "x107_blocklist_severity" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" buy cheap pills now"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" casino bonus inside"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.dictionaryScanWeighted(aug, "text", "doc_id",
+          Seq("cheap pills" -> 5L, "casino bonus" -> 2L, "ill" -> 1L))
+        .orderBy("doc_id")
+    }),
+
     // Dense Johnson–Lindenstrauss random projection (Achlioptas 2003):
     // 64-d embeddings → 16-d via a deterministic md5-derived matrix
     // (one native matvec kernel per row), then exact cosine top-10 in
@@ -5332,6 +5350,25 @@ object LlmQueries {
           SELECT batch, theta, n_batch, n_common, novelty_est FROM
             (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
           ORDER BY batch""",
+    // x106's positional count replay times the per-term weights —
+    // severity and count as one integer rollup per document
+    "x107_blocklist_severity" ->
+      """WITH aug AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 5 = 0
+                    THEN ' buy cheap pills now' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                    THEN ' casino bonus inside' ELSE '' END AS text
+                FROM documents),
+              dict(term, w) AS (VALUES ('cheap pills', 5),
+                                       ('casino bonus', 2), ('ill', 1)),
+              m AS (SELECT doc_id, w,
+                      len(list_filter(
+                        range(1, len(text) - len(term) + 2),
+                        i -> substr(text, i, len(term)) = term)) AS c
+                    FROM aug CROSS JOIN dict)
+         SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS severity,
+                CAST(sum(c) AS BIGINT) AS n_matches
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     // positional replay of the Aho–Corasick semantics: a term occurs at
     // start index i iff substr(text, i, len(term)) = term — counting
     // every i counts overlapping and nested matches exactly as the

@@ -117,6 +117,45 @@ class DictScanSpec extends SparkSpec {
     assert(dup === viaStats)
   }
 
+  test("weighted severity: equals brute-force counts x weights, " +
+    "duplicate entries sum their weights, zero-weight terms count but " +
+    "do not score") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val weighted = Seq("scan" -> 3L, "table scan" -> 10L, "er" -> 0L,
+      "merge" -> 1L)
+    val got = graft.llm.TextAnalysis.dictionaryScanWeighted(docs, "text",
+        "doc_id", weighted)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val wm = weighted.toMap
+    val want = docs.collect().map { r =>
+      val t = r.getString(1)
+      val perTerm = weighted.map { case (term, _) =>
+        term -> (0 to t.length - term.length)
+          .count(i => t.startsWith(term, i)).toLong }
+      r.getLong(0) -> ((perTerm.map { case (term, c) => c * wm(term) }.sum,
+        perTerm.map(_._2).sum))
+    }.toMap
+    assert(got === want)
+    // zero-weight "er" fires constantly in this corpus: n_matches must
+    // exceed severity's reach somewhere (it counted but scored 0)
+    assert(want.values.exists { case (sev, n) => n > sev })
+    // duplicate entries SUM their weights
+    val dup = graft.llm.TextAnalysis.dictionaryScanWeighted(docs, "text",
+        "doc_id", weighted ++ Seq("scan" -> 2L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val wantDup = docs.collect().map { r =>
+      val t = r.getString(1)
+      val scanC = (0 to t.length - 4).count(i => t.startsWith("scan", i))
+      val (sev, n) = want(r.getLong(0))
+      r.getLong(0) -> ((sev + 2L * scanC, n))
+    }.toMap
+    assert(dup === wantDup)
+  }
+
   test("blocklist scale: a 10k-term dictionary builds once and scans in " +
     "one pass with exact counts") {
     val junk = (1 to 10000).map(i => s"junkphrase${i}x").distinct

@@ -405,6 +405,10 @@ class SqlSurfaceSpec extends SparkSpec {
           "'scan, table scan, merge')",
         graft.llm.TextAnalysis.dictionaryScan(docs, "text", "doc_id",
           Seq("scan", "table scan", "merge")))
+      check("SELECT * FROM dict_severity('tvf5_docs', 'text', 'doc_id', " +
+          "'scan:3, table scan:10, merge:1')",
+        graft.llm.TextAnalysis.dictionaryScanWeighted(docs, "text",
+          "doc_id", Seq("scan" -> 3L, "table scan" -> 10L, "merge" -> 1L)))
       // KMV theta sketch + overlap: sketch from SQL, persist as a view,
       // estimate pairwise corpus overlap without joining the corpora
       val shr = Dedup.shingleRows(docs.select("doc_id", "source", "text"),
