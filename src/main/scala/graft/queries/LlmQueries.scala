@@ -2804,6 +2804,23 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The COMPRESS-THEN-INDEX composition certified end-to-end: a34's
+    // JL projection feeds the IVF cell quantizer and serving runs
+    // entirely in the 16-d projected space — 4× smaller index rows and
+    // 4× cheaper distance math, the production shape for embeddings
+    // whose trainer offers no Matryoshka nesting. The oracle replays
+    // projection → 16-d seed quantizer → nProbe=2 probes → ranked
+    // cosine, bit-exactly (a4's replay skeleton in projected space).
+    "a35_projected_ivf" -> ((s, dir) => {
+      val p = Similarity.randomProject(t(s, dir, "embeddings"),
+          "embedding", outDims = 16)
+        .select(col("vec_id"), col("proj"))
+      Similarity.ivfTopK(p, p.filter(col("vec_id") < 5),
+          "vec_id", "proj", 10, nlist = 8, nProbe = 2, dims = 16)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // x105's KMV sketch as an INGEST FOLD (the w16 delta-state shape):
     // state = the cumulative corpus sketch, kept = one monitoring row
     // per batch estimating the batch's NOVELTY against everything
@@ -3827,6 +3844,15 @@ object LlmQueries {
   /** The full 16-d projected vector as one list expression. */
   private val duckRpList: String =
     (0 until 16).map(duckRpProj).mkString("[", ", ", "]")
+
+  /** Projection of the 16-d projected vector `pv` onto 16-d IVF unit
+    * centroid `c` — [[Similarity.unitCentroidVector]](c, 16), the seed
+    * codebook ivfTopK derives at dims = 16. */
+  private def duckRp16CentProj(c: Int): String = {
+    val comps = Similarity.unitCentroidVector(c, 16)
+      .map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, 17), i -> pv[i] * ($comps)[i]))"
+  }
 
   /** Projection of `v` onto IVF unit centroid `c` — literal doubles from
     * [[Similarity.unitCentroidVector]], the exact constants the Spark plan
@@ -5296,6 +5322,45 @@ object LlmQueries {
           LEFT JOIN nb ON nb.src_a = pr.src_a AND nb.src_b = pr.src_b
           LEFT JOIN nc ON nc.src_a = pr.src_a AND nc.src_b = pr.src_b
           ORDER BY pr.src_a, pr.src_b""",
+    // a4's IVF replay skeleton run in the PROJECTED space: project via
+    // the literal matrix, quantize against the 16-d seed codebook
+    // (argmax projection, first-max tie to the lower cell), rank the
+    // nProbe=2 probed cells' candidates by 16-d cosine
+    "a35_projected_ivf" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              p AS (SELECT vec_id, $duckRpList AS pv FROM e),
+              pc AS (SELECT vec_id, pv,
+                       [${(0 until 8).map(duckRp16CentProj).mkString(",\n                        ")}] AS ps
+                     FROM p),
+              cc AS (SELECT vec_id, pv,
+                       CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1
+                         AS cell
+                     FROM pc),
+              qp AS (SELECT vec_id AS query_id, pv AS qv, ps FROM pc
+                     WHERE vec_id < 5),
+              pr AS (SELECT query_id, qv, CAST(i AS INTEGER) - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY ps[CAST(i AS INTEGER)] DESC, i ASC)
+                         AS prn
+                     FROM qp, range(1, 9) t(i)),
+              probes AS (SELECT query_id, qv, cell FROM pr WHERE prn <= 2),
+              sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 17),
+                         i -> c.pv[i] * p.qv[i])) /
+                       (sqrt(list_sum(list_transform(c.pv, x -> x*x))) *
+                        sqrt(list_sum(list_transform(p.qv, x -> x*x))))
+                         AS cos
+                     FROM cc c JOIN probes p ON c.cell = p.cell
+                                            AND c.vec_id <> p.query_id),
+              r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                        AS rn
+                    FROM sc)
+          SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
     // the fold's per-batch replay: per batch the k-min distinct shingle
     // hashes, theta = min over (batch, cumulative-prior), counters by
     // INTERSECT below theta, novelty as the one final division
