@@ -975,7 +975,12 @@ object GraftExtensions {
           .map { e =>
             val cut = e.lastIndexOf(':')
             require(cut > 0 && cut < e.length - 1, u)
-            (e.substring(0, cut).trim, e.substring(cut + 1).trim.toLong)
+            // a malformed weight ('scan:x') must fail with the usage
+            // text like every other arg-validation path in this TVF,
+            // not a raw NumberFormatException
+            val w = scala.util.Try(e.substring(cut + 1).trim.toLong)
+              .getOrElse(throw new IllegalArgumentException(u))
+            (e.substring(0, cut).trim, w)
           }.toSeq
         require(weighted.nonEmpty, u)
         val s = SparkSession.active
@@ -988,7 +993,9 @@ object GraftExtensions {
           "smallest distinct md5 hashes of value_col per group; " +
           "returns (group_col, h). CREATE TABLE AS to persist; sketches " +
           "of disjoint slices union into kmv_overlap inputs (k-min is " +
-          "a semilattice)"
+          "a semilattice). Merging/comparing sketches built with a " +
+          "SMALLER k than assumed silently biases estimates and is " +
+          "undetectable from the tables — persist k alongside"
         require(args.length >= 3 && args.length <= 4, u)
         val Seq(tn, gc, vc) = args.take(3).map(lit2str(_, u))
         val k = args.lift(3).map(lit2int(_, u)).getOrElse(64)
@@ -1206,6 +1213,37 @@ object GraftExtensions {
         plan(graft.llm.AnnIndex.listGenerations(s, base)
           .toDF("version", "is_live", "has_data", "has_codebook"))
       },
+      "neardup_inventory" -> { args =>
+        val u = "usage: neardup_inventory('base') — inventory of a " +
+          "persisted near-dup index: one row (base, has_sigs, " +
+          "has_bands, has_meta, num_hashes, bands, k, n_docs, " +
+          "batch_watermark, n_batches, compact_in_flight); param " +
+          "columns are null on a pre-meta artifact (stamp it with " +
+          "neardup_index_stamp_meta), compact_in_flight flags a " +
+          "crashed compaction the next touch will heal"
+        require(args.length == 1, u)
+        plan(graft.llm.DedupIndex.inventory(SparkSession.active,
+          lit2str(args(0), u)))
+      },
+      "decontam_inventory" -> { args =>
+        val u = "usage: decontam_inventory('dir') — inventory of a " +
+          "persisted decontamination artifact: one row (dir, k, fpp, " +
+          "expected_grams, n_grams, has_grams, bloom_bytes, " +
+          "meta_next_pending); reading heals any interrupted metadata " +
+          "swap first"
+        require(args.length == 1, u)
+        plan(graft.llm.DecontamIndex.inventory(SparkSession.active,
+          lit2str(args(0), u)))
+      },
+      "model_inventory" -> { args =>
+        val u = "usage: model_inventory('dir') — inventory of a model " +
+          "store: one row per artifact found (artifact, present, " +
+          "next_pending, buckets, n_rows); empty when the dir holds no " +
+          "model artifacts. Reading heals an interrupted publish first"
+        require(args.length == 1, u)
+        plan(graft.llm.ModelStore.inventory(SparkSession.active,
+          lit2str(args(0), u)))
+      },
       "ivf_versioned_build" -> { args =>
         val u = "usage: ivf_versioned_build('corpus', 'id_col', " +
           "'vec_col', 'base'[, nlist]) — write generation 1 of a " +
@@ -1314,6 +1352,25 @@ object GraftExtensions {
           graft.llm.Multimodal.decodeFeatures(
             graft.llm.Multimodal.mediaFromDocuments(
               s, s.table(lit2str(args(0), u))))))
+      },
+      "media_ingest_screen" -> { args =>
+        val u = "usage: media_ingest_screen('index_dir', 'table', " +
+          "'id_col', 'payload_col', 'kind_col'[, threshold[, nlist[, " +
+          "dims]]]) — the ingest gate's media stage as SQL: rows with " +
+          "a non-null binary payload decode -> feature-embed -> drop " +
+          "when any vector in the persisted IVF index (or a smaller-id " +
+          "media row of the table) reaches the cosine threshold " +
+          "(default 0.999, nlist 4, dims 8 — the feature-vector " +
+          "space); NULL-payload rows are text-only and pass through. " +
+          "Returns the surviving rows"
+        require(args.length >= 5 && args.length <= 8, u)
+        val Seq(idx, tn, ic, pc, kc) = args.take(5).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.streaming.StreamOps.mediaSemanticScreen(s.table(tn),
+          ic, pc, kc, idx,
+          threshold = args.lift(5).map(lit2dbl(_, u)).getOrElse(0.999),
+          nlist = args.lift(6).map(lit2int(_, u)).getOrElse(4),
+          dims = args.lift(7).map(lit2int(_, u)).getOrElse(8)))
       },
       "ivf_latest_topk" -> { args =>
         val u = "usage: ivf_latest_topk('base', 'queries', 'id_col', " +

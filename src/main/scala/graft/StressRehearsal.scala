@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off skew/scale rehearsal ABOVE sf0.1: blow the sf0.1 documents up
+  * ~25–30x with a deliberately Zipf-skewed replica distribution (a
+  * handful of boilerplate texts dominate — the hot-LSH-bucket regime the
+  * salted machinery exists for, and exactly what 100 TB of web text
+  * produces), drive the three heaviest certified pipelines once, and
+  * record shuffle / spill / reducer-balance evidence from the Spark
+  * listener. The plan-shape arguments (PlanAuditSpec, WindowGroupLimit
+  * pins, zero-Exchange asserts) say these pipelines survive scale; this
+  * tool MEASURES one point of it — peak shuffle bytes, spill, and the
+  * max-reducer share that tells whether any single task pays a
+  * boilerplate bucket alone. Results land in COVERAGE.md's scale note.
+  *
+  * NOT part of the driver surface (Verify/Bench are). Run manually:
+  * {{{
+  *   sbt "runMain graft.StressRehearsal /root/testdata/sf0.1 /tmp/stress"
+  * }}}
+  */
+object StressRehearsal {
+
+  /** Per-task metric accumulator: stage-keyed sums + maxima of shuffle
+    * read, so the max-reducer share (max task / stage total) is
+    * computable for the heaviest exchange of each pipeline — the number
+    * that exposes a reducer paying a hot bucket alone. */
+  final class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import scala.collection.concurrent.TrieMap
+    val stageShuffleRead = TrieMap.empty[Int, (Long, Long)] // sum, maxTask
+    @volatile var shuffleWrite = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) synchronized {
+        val r = m.shuffleReadMetrics.totalBytesRead
+        val (s, mx) = stageShuffleRead.getOrElse(t.stageId, (0L, 0L))
+        stageShuffleRead.update(t.stageId, (s + r, math.max(mx, r)))
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+      }
+    }
+    def snapshot(): Map[String, Any] = {
+      val reads = stageShuffleRead.values.toSeq
+      val totalRead = reads.map(_._1).sum
+      // reducer share on the heaviest stage only: tiny stages divide
+      // noise by noise
+      val heavy = stageShuffleRead.values
+        .filter(_._1 > 64L * 1024 * 1024)
+      val worstShare =
+        if (heavy.isEmpty) 0.0
+        else heavy.map { case (s, mx) => mx.toDouble / s }.max
+      Map("shuffle_read_mb" -> totalRead / 1048576,
+        "shuffle_write_mb" -> shuffleWrite / 1048576,
+        "mem_spill_mb" -> memSpill / 1048576,
+        "disk_spill_mb" -> diskSpill / 1048576,
+        "peak_stage_shuffle_mb" ->
+          (if (reads.isEmpty) 0L else reads.map(_._1).max / 1048576),
+        "max_reducer_share_heavy_stages" ->
+          math.round(worstShare * 1000) / 1000.0)
+    }
+    def reset(): Unit = synchronized {
+      stageShuffleRead.clear(); shuffleWrite = 0L
+      memSpill = 0L; diskSpill = 0L
+    }
+  }
+
+  /** The Zipf-skewed blowup: top-8 texts replicate 1000x (the
+    * boilerplate head — every one a guaranteed hot LSH bucket), the
+    * next 92 200x, the tail 25x — ~149k docs, ~25-30x the sf0.1 row
+    * count. Half the replicas are byte-exact dups (exact-dedup mass),
+    * half carry a tiny suffix mutation (near-dup mass that keeps the
+    * band buckets hot while defeating the exact hash). */
+  def blowup(docs: DataFrame): DataFrame = {
+    val reps = when(col("doc_id") < 8, 1000)
+      .when(col("doc_id") < 100, 200).otherwise(25)
+    docs.select(col("doc_id"), col("text"), col("source"),
+        explode(sequence(lit(0), reps - 1)).as("_r"))
+      .select((col("doc_id") * 100000L + col("_r")).as("doc_id"),
+        when(col("_r") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rev"),
+            (col("_r") % 7).cast("string"))).as("text"),
+        col("source"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "24g")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(s"$outDir/_ckpt")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = blowup(docs.filter(col("source") =!= "src0"))
+    corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    val blown = spark.read.parquet(s"$outDir/corpus")
+    val bench = docs.filter(col("source") === "src0")
+      .select("doc_id", "text")
+    println(s"corpus rows: ${blown.count()}")
+
+    def run(name: String)(body: => Long): Unit = {
+      // settle the async listener bus, then measure this pipeline alone
+      Thread.sleep(3000); listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(3000)
+      val m = listener.snapshot() ++ Map(
+        "pipeline" -> name, "rows_out" -> rows,
+        "seconds" -> math.round(secs * 10) / 10.0)
+      println(m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
+    }
+
+    // 1. w15 shape — the salted fuzzy-decontam ingest gate, two batches,
+    // hot buckets on the PROBE side by construction (1000-replica heads)
+    run("w15_salted_ingest_gate") {
+      graft.llm.DedupIndex.writeState(
+        graft.llm.Dedup.minhashSignature(bench, "text", "doc_id"),
+        "doc_id", "stress_w15_idx")
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (b, p) => graft.llm.Dedup.exactDedupDelta(b, "text", "doc_id", p),
+        "text", "doc_id", minQuality = 0.6,
+        fuzzyDecontamIndex = Some("stress_w15_idx"))
+      val s1 = step(blown.filter(col("doc_id") % 2 === 0), None)
+      val n1 = s1.kept.count()
+      val s2 = step(blown.filter(col("doc_id") % 2 === 1), Some(s1.state))
+      n1 + s2.kept.count()
+    }
+
+    // 2. x14 shape — the ten-stage batch corpus build over the blowup
+    run("x14_pipeline") {
+      val build = graft.llm.Pipeline.buildTrainingCorpus(
+        blown,
+        jaccardThreshold = 0.8, minQuality = 0.6,
+        maxTop2Frac = 0.2, maxDup3Frac = 0.1,
+        decontaminateAgainst = Some(bench), decontamK = 4,
+        rates = Map("src1" -> 0.5, "src2" -> 0.9), defaultRate = 0.8,
+        redactPii = true)
+      val n = build.kept.count() + build.dropped.count()
+      build.release()
+      n
+    }
+
+    // 3. d11 shape — the persisted near-dup index two-batch chain, with
+    // the SALTED delta probe paying the hot within/cross buckets for
+    // real (the capped one would drop them — nothing to measure)
+    run("d11_neardup_index_chain") {
+      val b1 = blown.filter(col("doc_id") % 2 === 0)
+      val b2 = blown.filter(col("doc_id") % 2 === 1)
+      val st1 = graft.llm.Dedup.minhashNearDupDeltaSalted(
+        b1, "text", "doc_id", 0.8, maxBucketSize = 200, salts = 8)
+      graft.llm.DedupIndex.writeState(st1.state, "doc_id",
+        "stress_d11_idx")
+      val st2 = graft.llm.DedupIndex.neardupDeltaOverIndexSalted(
+        spark, "stress_d11_idx", b2, "text", "doc_id", 0.8,
+        maxBucketSize = 200, salts = 8)
+      st1.kept.count() + st2.kept.count()
+    }
+
+    spark.stop()
+  }
+}

@@ -89,9 +89,14 @@ final class AcAutomaton(val terms: Seq[String]) extends Serializable {
     n
   }
 
-  /** The distinct dictionary terms present in `s`, lexicographically
-    * sorted (deterministic independent of match positions and of the
-    * dictionary's declaration order). */
+  /** The distinct dictionary terms present in `s`, sorted in UTF-8
+    * BINARY (code-point) order — Spark string sort and DuckDB
+    * `ORDER BY` agree on this ordering, so the result stays
+    * cross-engine stable even when dictionary terms mix
+    * supplementary-plane characters with U+E000–U+FFFF (where Java's
+    * UTF-16 code-unit `String` order diverges); deterministic
+    * independent of match positions and of the dictionary's
+    * declaration order. */
   def matchedTerms(s: UTF8String): GenericArrayData = {
     val str = s.toString
     val seen = new java.util.BitSet(terms.size)
@@ -107,18 +112,27 @@ final class AcAutomaton(val terms: Seq[String]) extends Serializable {
     sortedHits(seen)
   }
 
+  /** Terms pre-encoded once per automaton — sortedHits runs per row and
+    * must not re-encode, and UTF8String.compareTo IS unsigned-byte
+    * (code-point) order, the cross-engine-stable ordering Java String
+    * comparison is not. */
+  @transient private lazy val termsU8: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
   private def sortedHits(seen: java.util.BitSet): GenericArrayData = {
     // walk only the SET bits: a full terms.zipWithIndex scan would make
     // every row pay O(|dict|) and sink the O(text + matches) claim at
     // the 10k-term blocklist sizes this automaton exists for
-    val hits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hits = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var ti = seen.nextSetBit(0)
     while (ti >= 0) {
-      hits += terms(ti)
+      hits += termsU8(ti)
       ti = seen.nextSetBit(ti + 1)
     }
-    new GenericArrayData(
-      hits.sorted.map(UTF8String.fromString).toArray[Any])
+    val arr = hits.toArray
+    java.util.Arrays.sort(arr,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(arr.toArray[Any])
   }
 
   /** Weighted severity AND raw count from ONE automaton walk:

@@ -249,17 +249,33 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$base/folds/fb=$k")
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/_applied/fold=$k"))
+    // Retirement order is load-bearing and every delete is require()d
+    // (the repointLatest/gcGenerations lesson: Hadoop FS reports
+    // failure by RETURNING false, not throwing). The MARKER must go
+    // before its data directory — if the marker delete failed silently
+    // and the data delete then succeeded, appliedBatches would keep
+    // listing a batch whose ib= dir is gone and readBatchedIndex (and
+    // therefore every later fold and probe) would throw until someone
+    // hand-deleted the orphan marker. With the require()s, any failure
+    // aborts with data intact (rows live in BOTH the new fold and the
+    // not-yet-retired original); readBatchedIndex dedups by id on the
+    // fold path, so a rerun of foldBatches converges.
+    def retire(marker: String, data: String): Unit = {
+      val m = new org.apache.hadoop.fs.Path(marker)
+      require(!fs.exists(m) || fs.delete(m, true),
+        s"foldBatches: could not delete marker $m — aborting " +
+          s"retirement (fold fb=$k is live; rerun converges)")
+      val d = new org.apache.hadoop.fs.Path(data)
+      require(!fs.exists(d) || fs.delete(d, true),
+        s"foldBatches: could not delete retired data $d — aborting " +
+          s"(its marker is gone so it is already invisible; rerun " +
+          "converges)")
+    }
     batches.foreach { i =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$base/_applied/batch=$i"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$base/batches/ib=$i"), true)
+      retire(s"$base/_applied/batch=$i", s"$base/batches/ib=$i")
     }
     folds.foreach { j =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$base/_applied/fold=$j"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$base/folds/fb=$j"), true)
+      retire(s"$base/_applied/fold=$j", s"$base/folds/fb=$j")
     }
   }
 

@@ -57,8 +57,18 @@ object DecontamIndex {
     val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val next = new org.apache.hadoop.fs.Path(s"$dir/meta_next")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(live, true)
-    fs.rename(next, live)
+    // Hadoop FS reports failure by RETURNING false, not throwing (the
+    // repointLatest lesson): an unchecked delete+rename could leave the
+    // STALE row live while this method returns success. Fail LOUD —
+    // meta_next survives a failed swap, so readMeta's healing (or a
+    // rerun) completes it.
+    require(fs.delete(live, true) || !fs.exists(live),
+      s"writeMeta: could not delete live metadata $live — aborting " +
+        "the swap (the previous row stays live; meta_next is complete " +
+        "and a rerun converges)")
+    require(fs.rename(next, live),
+      s"writeMeta: rename $next -> $live failed — the new row is " +
+        "written but NOT live; the next read heals from meta_next")
     ()
   }
 
@@ -149,6 +159,31 @@ object DecontamIndex {
       newGrams.write.mode(SaveMode.Append).parquet(s"$dir/grams")
       writeMeta(spark, dir, k, fpp, expected, meta.getLong(3) + nNew)
     }
+  }
+
+  /** Artifact inventory — the `ivf_generations` ops story for the
+    * decontam family: ONE row of what lives under `dir` and under which
+    * build params ((dir, k, fpp, expected_grams, n_grams, has_grams,
+    * bloom_bytes, meta_next_pending)). Reading the metadata heals any
+    * interrupted [[writeMeta]] swap first (the standard read-side
+    * contract), after which `meta_next_pending` can only mean a NEWER
+    * row that failed its swap — the previous generation is still live
+    * and a rerun of the writing operation converges. Cost: one 1-row
+    * parquet read + filesystem stats — never a gram scan. */
+  def inventory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = readMeta(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bloom = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val bloomBytes =
+      if (fs.exists(bloom)) Some(fs.getFileStatus(bloom).getLen) else None
+    Seq((dir, m.getInt(0), m.getDouble(1), m.getLong(2), m.getLong(3),
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/grams")),
+        bloomBytes,
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta_next"))))
+      .toDF("dir", "k", "fpp", "expected_grams", "n_grams", "has_grams",
+        "bloom_bytes", "meta_next_pending")
   }
 
   /** Load a stored artifact. The gram table comes back lazy (scanned

@@ -520,6 +520,88 @@ object DedupIndex {
     out
   }
 
+  /** Artifact inventory — the `ivf_generations` ops story for the
+    * near-dup family: ONE row describing what lives under `base` and
+    * under which build params, answering "what is this artifact and can
+    * I probe it" without Scala ((base, has_sigs, has_bands, has_meta,
+    * num_hashes, bands, k, n_docs, batch_watermark, n_batches,
+    * compact_in_flight); param columns are null on a pre-meta artifact
+    * — the [[stampMeta]] migration target — and the count columns null
+    * when no sig table exists). Cost: catalog lookups plus one
+    * column-pruned aggregate over `_ib` (the provenance column only,
+    * never the signatures); `compact_in_flight` is the existence of the
+    * `__compact` twins — a crashed [[compactState]] that the next probe
+    * or touch will heal. */
+  def inventory(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    def exists(t: String) = spark.catalog.tableExists(t)
+    val hasSigs = exists(s"${base}_sigs")
+    val hasBands = exists(s"${base}_bands")
+    val hasMeta = exists(s"${base}_meta")
+    val params =
+      if (!hasMeta) (None, None, None)
+      else {
+        val r = spark.table(s"${base}_meta")
+          .select(col("num_hashes").cast("int"), col("bands").cast("int"),
+            col("k").cast("int")).head()
+        (Some(r.getInt(0)), Some(r.getInt(1)), Some(r.getInt(2)))
+      }
+    val counts =
+      if (!hasSigs) (None, None, None)
+      else {
+        val r = spark.table(s"${base}_sigs")
+          .agg(count(lit(1)).as("n"), max(col("_ib")).as("wm"),
+            countDistinct(col("_ib")).as("nb")).head()
+        (Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          Some(r.getLong(2)))
+      }
+    val compacting = exists(s"${base}__compact_sigs") ||
+      exists(s"${base}__compact_bands")
+    Seq((base, hasSigs, hasBands, hasMeta, params._1, params._2,
+        params._3, counts._1, counts._2, counts._3, compacting))
+      .toDF("base", "has_sigs", "has_bands", "has_meta", "num_hashes",
+        "bands", "k", "n_docs", "batch_watermark", "n_batches",
+        "compact_in_flight")
+  }
+
+  /** The CAPPED cross probe's blind spot, surfaced: distinct probe ids
+    * holding at least one band in a bucket the capped
+    * [[crossNeardupOverIndex]] drops (over `maxBucketSize` on EITHER
+    * side — a bucket hot on the probe side loses all of that doc's
+    * pairs there; one hot on the stored side loses every stored
+    * candidate the doc would have met there). These documents PASS a
+    * capped gate without full fuzzy screening — the silent-admission
+    * direction the salted probe exists to eliminate — so a pipeline
+    * that opts into the capped probe anyway can at least ledger them
+    * ([[graft.streaming.StreamOps.corpusIngestStepLedger]]'s
+    * `fuzzy_unscreened` stage) instead of admitting them invisibly.
+    * Pays its own sig + band pass over the probe (batch-sized); the
+    * hot list is bucket-counts, broadcast — same shapes as the probes
+    * themselves. */
+  def crossNeardupUnscreenedIds(spark: SparkSession, base: String,
+      probe: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    requireBuildParams(spark, base, numHashes, bands, Some(k))
+    val probeBands = bandTable(
+      Dedup.minhashSignature(probe, textCol, idCol, numHashes, k),
+      idCol, numHashes, bands)
+      .select(col(idCol).as("_pid"), col("bkey"))
+    val storedBands = spark.table(s"${base}_bands")
+      .select(col(idCol).as("bench_id"), col("bkey"))
+    // a capped bucket only LOSES pairs when both sides actually have
+    // rows in it (a probe-hot bucket with no stored rows had no
+    // candidates to lose) — hence the inner join of the per-side counts
+    val hot = probeBands.groupBy("bkey").agg(count(lit(1)).as("_pc"))
+      .join(storedBands.groupBy("bkey").agg(count(lit(1)).as("_sc")),
+        Seq("bkey"))
+      .filter(col("_pc") > maxBucketSize || col("_sc") > maxBucketSize)
+      .select("bkey")
+    probeBands.join(broadcast(hot), Seq("bkey"), "left_semi")
+      .select(col("_pid").as(idCol)).distinct()
+  }
+
   /** Signature-estimate verification shared by the capped and salted
     * cross probes: estimated Jaccard = matching-minhash fraction (the
     * x55 rule — the artifact stores signatures, not shingles), joined

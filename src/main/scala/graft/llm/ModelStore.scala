@@ -120,4 +120,36 @@ object ModelStore {
       .select(col("rank").cast("int"), col("a"), col("b"))
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Artifact inventory — the `ivf_generations` ops story for the
+    * model-store family: one row per artifact found under `dir`
+    * ((artifact 'classifier'|'bpe_merges', present, next_pending,
+    * buckets, n_rows)); `buckets` is the classifier's hash width (null
+    * for merges), `n_rows` the weight-row / merge count. Reading an
+    * artifact heals an interrupted [[swapDir]] publish first (the
+    * standard read-side contract), after which `next_pending` can only
+    * mean a dead prior attempt's leftovers — the next publish clears
+    * them. Artifacts are vocabulary-scale, so the counts are cheap by
+    * construction. An empty frame means `dir` holds no model
+    * artifacts. */
+  def inventory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ex(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    val rows = Seq.newBuilder[
+      (String, Boolean, Boolean, Option[Int], Option[Long])]
+    if (ex("model") || ex("model_next")) {
+      val (w, buckets) = readClassifier(spark, dir)
+      rows += (("classifier", true, ex("model_next"), Some(buckets),
+        Some(w.count())))
+    }
+    if (ex("merges") || ex("merges_next")) {
+      val n = readBpeMerges(spark, dir).size.toLong
+      rows += (("bpe_merges", true, ex("merges_next"), None, Some(n)))
+    }
+    rows.result()
+      .toDF("artifact", "present", "next_pending", "buckets", "n_rows")
+  }
 }

@@ -422,7 +422,18 @@ object Sketches {
     * commutative, idempotent) — certified cross-engine by x105, whose
     * Spark side merges per-shard sketches while the oracle sketches
     * globally. Refuses frames that are not plain sketch tables, the
-    * [[hllMerge]] discipline. */
+    * [[hllMerge]] discipline.
+    *
+    * The exact-equality claim holds ONLY when every input was built
+    * with k >= this merge's k, and that precondition is structurally
+    * UNDETECTABLE from the sketch tables themselves (the
+    * [[kmvOverlapBy]]/[[kmvContainment]] caveat): a sketch built with a
+    * SMALLER k is missing every hash between its own theta and the
+    * merge's — the merged table then silently under-represents that
+    * input's set and every downstream estimate is biased low. Carry k
+    * with the sketches (the kmv_sketch TVF's CREATE TABLE AS
+    * deployment should persist it alongside) and merge at the
+    * smallest build k when in doubt. */
   def kmvMergeBy(groupCols: Seq[String], k: Int)(sketches: DataFrame*)
       : DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
@@ -439,7 +450,10 @@ object Sketches {
       .select(groupCols.map(col) :+ col("h"): _*)
   }
 
-  /** Merge plain (h) sketch tables: k smallest distinct of the union. */
+  /** Merge plain (h) sketch tables: k smallest distinct of the union.
+    * Same same-k precondition as [[kmvMergeBy]] — a smaller-k input
+    * silently biases the merge, and nothing in the tables can detect
+    * it. */
   def kmvMerge(k: Int)(sketches: DataFrame*): DataFrame = {
     require(sketches.nonEmpty, "need at least one sketch")
     sketches.foreach(s => require(s.columns.toSeq == Seq("h"),

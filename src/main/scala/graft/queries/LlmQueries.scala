@@ -1501,11 +1501,15 @@ object LlmQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         .unionByName(bench.filter(col("doc_id") % 11 === 0)
           .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+      // fuzzySalted = false: w12 deliberately certifies the CAPPED
+      // probe's declared semantics as an explicit opt-out (since r14
+      // the gate DEFAULTS to the recall-preserving salted path — w15
+      // certifies that default through the same chain)
       val step = graft.streaming.StreamOps.corpusIngestStep(
         (batch, prior) =>
           graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
         "text", "doc_id", minQuality = 0.6,
-        fuzzyDecontamIndex = Some("w12_idx"))
+        fuzzyDecontamIndex = Some("w12_idx"), fuzzySalted = false)
       val s1 = step(b1, None)
       val s2 = step(b2, Some(s1.state))
       s1.kept.select(col("doc_id"), lit(0).as("batch"))
@@ -1549,6 +1553,66 @@ object LlmQueries {
         "text", "doc_id", minQuality = 0.6,
         fuzzyDecontamIndex = Some("w15_idx"), fuzzySalted = true,
         fuzzySalts = 4, fuzzyMaxBucket = 2)
+      val s1 = step(b1, None)
+      val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch")))
+        .orderBy("doc_id")
+    }),
+
+    // The ingest gate with the MEDIA semantic-dedup stage engaged (mm5's
+    // persisted-IVF machinery wired into corpusIngestStep as a
+    // first-class gate stage): a MIXED text+media corpus — even doc_ids
+    // carry a binary payload + kind, odd ones are text-only (NULL
+    // payload) — flows through ONE composed gate. The media history
+    // (doc_id < 200) is feature-embedded and IVF-indexed once offline;
+    // each batch's media rows then decode → embed → screen against the
+    // stored index (cross, cosine >= 0.999) and within-batch
+    // (smaller-id rule), text-only rows flow through the stage
+    // untouched, and everything rides the carried exact-dedup state.
+    // Plants (all offsets multiples of 6, preserving both the %2 media
+    // parity and the %3 kind assignment): +120000 media re-ingests of
+    // STORED docs (cross-screen drop, ledger `media_dup`), +240000
+    // within-batch media dup pairs (smaller-id drop), +1000000
+    // text-only exact re-ingests of b1 (carried-state drop).
+    "w19_ingest_gate_media" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("w19_idx").toString
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(
+          Multimodal.featureVector(Multimodal.decodeFeatures(
+            Multimodal.mediaFromDocuments(s,
+              d.filter(col("doc_id") < 200)))),
+          "media_id", "vec", nlist = 4, dims = 8), idxDir)
+      val mediaKind = element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      def mixed(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("doc_id"), col("text"),
+          when(col("doc_id") % 2 === 0, mediaKind).as("kind"),
+          when(col("doc_id") % 2 === 0, encode(col("text"), "utf-8"))
+            .as("payload"))
+      def media(docs: org.apache.spark.sql.DataFrame, off: Long) =
+        docs.select((col("doc_id") + off).as("doc_id"), col("text"))
+          .select(col("doc_id"), col("text"), mediaKind.as("kind"),
+            encode(col("text"), "utf-8").as("payload"))
+      val base = d.filter(col("doc_id") >= 200).select("doc_id", "text")
+      val b1 = mixed(base.filter(col("doc_id") < 350))
+      val b2 = mixed(base.filter(col("doc_id") >= 350))
+        .unionByName(media(d.filter(col("doc_id") < 200 &&
+          col("doc_id") % 30 === 0).select("doc_id", "text"), 120000L))
+        .unionByName(media(base.filter(col("doc_id") >= 350 &&
+          col("doc_id") % 30 === 0), 240000L))
+        .unionByName(base.filter(col("doc_id") < 350 &&
+            col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit(null).cast("string").as("kind"),
+            lit(null).cast("binary").as("payload")))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", mediaSemanticIndex = Some(idxDir))
       val s1 = step(b1, None)
       val s2 = step(b2, Some(s1.state))
       s1.kept.select(col("doc_id"), lit(0).as("batch"))
@@ -3868,6 +3932,41 @@ object LlmQueries {
   private val duckIvfProjs: String =
     (0 until 8).map(duckCentroidProj).mkString("[", ", ", "]")
 
+  /** The stub-decode feature columns of a (doc_id, text) relation —
+    * [[graft.llm.Multimodal.stubDecode]] replayed on utf-8 text
+    * payloads (the mm5 shape, factored for the w19 gate replay).
+    * A SELECT list without FROM; callers append `FROM <rel> [WHERE]`. */
+  private val duckMediaFeats: String =
+    """SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         (ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS width,
+         (CAST(octet_length(encode(text)) % 64 AS INTEGER) + 1) * 16 AS height,
+         CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2
+              THEN CAST(octet_length(encode(text)) % 240 AS INTEGER) + 1
+              ELSE 1 END AS n_frames"""
+
+  /** [[graft.llm.Multimodal.featureVector]]'s 8 mod-97 components over
+    * a [[duckMediaFeats]] relation (sample_rate/duration_ms are 0 for
+    * text payloads, hence the two constant-1 slots). Same
+    * SELECT-without-FROM contract. */
+  private val duckMediaVec: String =
+    """SELECT media_id,
+         [CAST(n_bytes % 97 + 1 AS DOUBLE),
+          CAST(width % 97 + 1 AS DOUBLE),
+          CAST(height % 97 + 1 AS DOUBLE),
+          CAST(n_frames % 97 + 1 AS DOUBLE),
+          CAST(1 AS DOUBLE), CAST(1 AS DOUBLE),
+          CAST((n_bytes * 7 + width) % 97 + 1 AS DOUBLE),
+          CAST((height * 5 + n_frames) % 97 + 1 AS DOUBLE)] AS v"""
+
+  /** Cosine(a.v, <other>.v) >= 0.999 over the 8-dim media vectors —
+    * exact in double arithmetic (integer components), the property that
+    * lets DuckDB certify the semantic screen bit-identically. */
+  private def duckMediaCos8(other: String): String =
+    s"""list_sum(list_transform(range(1, 9), i -> a.v[i] * $other.v[i])) /
+        (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+         sqrt(list_sum(list_transform($other.v, x -> x*x)))) >= 0.999"""
+
   /** [[duckIvfProjs]] for an arbitrary (nlist, dims) seed codebook —
     * the mm5 8-dim media-feature space. Same constants-as-model rule:
     * literal doubles from [[Similarity.unitCentroidVector]]. */
@@ -6007,6 +6106,90 @@ object LlmQueries {
                      WHERE doc_id NOT IN (SELECT doc_id FROM flag2)),
               k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
                      FROM c2 GROUP BY 1),
+              kept2 AS (SELECT doc_id FROM k2
+                        WHERE h NOT IN (SELECT h FROM state1))
+          SELECT doc_id, batch FROM (
+            SELECT doc_id, 0 AS batch FROM k1
+            UNION ALL
+            SELECT doc_id, 1 AS batch FROM kept2)
+          ORDER BY doc_id""",
+    // the mixed text+media ingest chain: per batch, media rows (even
+    // doc_ids, plus the all-media plants) replay mm5's decode → feature
+    // vector → cell assignment → stored-index cross screen + within-
+    // batch smaller-id screen at cosine 0.999; text-only rows bypass
+    // the media stage; exact dedup with carried state closes each
+    // batch. Mirrors corpusIngestStep's mediaSemanticIndex stage over
+    // AnnIndex.semanticDedupDelta.
+    "w19_ingest_gate_media" ->
+      s"""WITH stored AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id < 200),
+              base AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id >= 200),
+              b1 AS (SELECT doc_id, text,
+                       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS m
+                     FROM base WHERE doc_id < 350),
+              b2 AS (SELECT doc_id, text,
+                       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS m
+                     FROM base WHERE doc_id >= 350
+                     UNION ALL
+                     SELECT doc_id + 120000, text, 1 FROM stored
+                     WHERE doc_id % 30 = 0
+                     UNION ALL
+                     SELECT doc_id + 240000, text, 1 FROM base
+                     WHERE doc_id >= 350 AND doc_id % 30 = 0
+                     UNION ALL
+                     SELECT doc_id + 1000000, text, 0 FROM base
+                     WHERE doc_id < 350 AND doc_id % 7 = 0),
+              sfe AS ($duckMediaFeats FROM stored),
+              sve AS ($duckMediaVec FROM sfe),
+              spc AS (SELECT media_id, v, ${duckIvfProjsAt(4, 8)} AS ps
+                      FROM sve),
+              scc AS (SELECT media_id, v,
+                        CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                      FROM spc),
+              mf1 AS ($duckMediaFeats FROM b1 WHERE m = 1),
+              mv1 AS ($duckMediaVec FROM mf1),
+              mc1c AS (SELECT media_id, v,
+                         CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                       FROM (SELECT media_id, v,
+                               ${duckIvfProjsAt(4, 8)} AS ps FROM mv1)),
+              xh1 AS (SELECT DISTINCT a.media_id
+                      FROM mc1c a JOIN scc s ON a.cell = s.cell
+                      WHERE ${duckMediaCos8("s")}),
+              wh1 AS (SELECT DISTINCT a.media_id
+                      FROM mc1c a JOIN mc1c c
+                        ON a.cell = c.cell AND c.media_id < a.media_id
+                      WHERE ${duckMediaCos8("c")}),
+              mc1 AS (SELECT doc_id, text FROM b1 WHERE m = 0
+                      UNION ALL
+                      SELECT doc_id, text FROM b1
+                      WHERE m = 1
+                        AND doc_id NOT IN (SELECT media_id FROM xh1)
+                        AND doc_id NOT IN (SELECT media_id FROM wh1)),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM mc1
+                     GROUP BY md5(text)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM mc1),
+              mf2 AS ($duckMediaFeats FROM b2 WHERE m = 1),
+              mv2 AS ($duckMediaVec FROM mf2),
+              mc2c AS (SELECT media_id, v,
+                         CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                       FROM (SELECT media_id, v,
+                               ${duckIvfProjsAt(4, 8)} AS ps FROM mv2)),
+              xh2 AS (SELECT DISTINCT a.media_id
+                      FROM mc2c a JOIN scc s ON a.cell = s.cell
+                      WHERE ${duckMediaCos8("s")}),
+              wh2 AS (SELECT DISTINCT a.media_id
+                      FROM mc2c a JOIN mc2c c
+                        ON a.cell = c.cell AND c.media_id < a.media_id
+                      WHERE ${duckMediaCos8("c")}),
+              mc2 AS (SELECT doc_id, text FROM b2 WHERE m = 0
+                      UNION ALL
+                      SELECT doc_id, text FROM b2
+                      WHERE m = 1
+                        AND doc_id NOT IN (SELECT media_id FROM xh2)
+                        AND doc_id NOT IN (SELECT media_id FROM wh2)),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM mc2 GROUP BY 1),
               kept2 AS (SELECT doc_id FROM k2
                         WHERE h NOT IN (SELECT h FROM state1))
           SELECT doc_id, batch FROM (

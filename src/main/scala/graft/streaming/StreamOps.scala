@@ -162,7 +162,11 @@ object StreamOps {
     * sufficient statistics; the float weight and its 1-row cross-join
     * never enter the hot path) → benchmark
     * decontamination (exact grams, then optionally FUZZY against a
-    * persisted bench near-dup index) → incremental dedup → optional
+    * persisted bench near-dup index) → optional MEDIA semantic-dedup
+    * gate (rows carrying a non-null media payload column decode →
+    * feature-embed → screen against a persisted IVF index of the kept
+    * media history plus within-batch; text-only rows flow through —
+    * the mixed text+media corpus shape) → incremental dedup → optional
     * PII → secret → card redaction (in that pinned order) — the streaming form of
     * [[graft.llm.Pipeline.buildTrainingCorpus]] for every stage that is
     * decidable per document. Drive it with [[durableIngestDedup]]:
@@ -199,9 +203,15 @@ object StreamOps {
       fuzzyThreshold: Double = 0.8,
       fuzzyNumHashes: Int = 16,
       fuzzyBands: Int = 4,
-      fuzzySalted: Boolean = false,
+      fuzzySalted: Boolean = true,
       fuzzySalts: Int = 8,
       fuzzyMaxBucket: Int = graft.llm.Dedup.DefaultMaxBucketSize,
+      mediaSemanticIndex: Option[String] = None,
+      mediaPayloadCol: String = "payload",
+      mediaKindCol: String = "kind",
+      mediaThreshold: Double = 0.999,
+      mediaNlist: Int = 4,
+      mediaDims: Int = 8,
       classifierGate: Option[DataFrame] = None,
       classifierBuckets: Int = 1024): DeltaStep = {
     // named forwarding: a positional list of 20+ arguments would let a
@@ -221,6 +231,10 @@ object StreamOps {
       fuzzyThreshold = fuzzyThreshold, fuzzyNumHashes = fuzzyNumHashes,
       fuzzyBands = fuzzyBands, fuzzySalted = fuzzySalted,
       fuzzySalts = fuzzySalts, fuzzyMaxBucket = fuzzyMaxBucket,
+      mediaSemanticIndex = mediaSemanticIndex,
+      mediaPayloadCol = mediaPayloadCol, mediaKindCol = mediaKindCol,
+      mediaThreshold = mediaThreshold, mediaNlist = mediaNlist,
+      mediaDims = mediaDims,
       classifierGate = classifierGate,
       classifierBuckets = classifierBuckets,
       // the ledger is discarded below, so its consumers never exist:
@@ -229,12 +243,55 @@ object StreamOps {
     (batch, prior) => stepWithLedger(batch, prior)._1
   }
 
+  /** The ingest gate's MEDIA stage as a standalone operator (ONE
+    * definition — the gate and the `media_ingest_screen` TVF both call
+    * here): rows of `frame` carrying a non-null `payloadCol` decode
+    * per-partition ([[graft.llm.Multimodal.stubDecode]] — swap for a
+    * real codec, the plumbing is unchanged), embed via the
+    * deterministic feature vector, and DROP when any vector in the
+    * persisted IVF index under `idxBase` — or a smaller-id media row of
+    * the same frame — reaches `threshold` cosine
+    * ([[graft.llm.AnnIndex.semanticDedupDelta]]'s two cell-pruned
+    * screens, read-only probe). NULL-payload rows are text-only and
+    * pass through untouched. `idCol` must be numeric (media ids ride
+    * the vector machinery as longs). Returns the surviving rows of
+    * `frame`, schema unchanged. */
+  def mediaSemanticScreen(frame: DataFrame, idCol: String,
+      payloadCol: String, kindCol: String, idxBase: String,
+      threshold: Double = 0.999, nlist: Int = 4, dims: Int = 8)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    val s = frame.sparkSession
+    import s.implicits._
+    val mediaRows = frame.filter(col(payloadCol).isNotNull)
+      .select(col(idCol).cast("long").as("media_id"),
+        col(kindCol).cast("string").as("kind"),
+        col(payloadCol).as("payload"),
+        lit("ingest").as("source"))
+      .as[graft.llm.MediaRow]
+    val vecs = graft.llm.Multimodal.featureVector(
+      graft.llm.Multimodal.decodeFeatures(mediaRows))
+    val keptIds = graft.llm.AnnIndex.semanticDedupDelta(
+        graft.llm.AnnIndex.readIndex(s, idxBase), vecs,
+        "media_id", "vec", threshold, nlist = nlist, dims = dims)
+      .select(col("media_id").cast("long").as(idCol))
+    frame.filter(col(payloadCol).isNull)
+      .unionByName(frame.filter(col(payloadCol).isNotNull)
+        .join(keptIds, Seq(idCol), "left_semi"))
+  }
+
   /** [[corpusIngestStep]] with the REJECTION LEDGER: the same composed
     * gate (ONE definition — corpusIngestStep delegates here), plus a
     * per-document accounting frame (idCol, stage) naming the FIRST
     * pipeline stage that dropped each rejected document — `quality`,
     * `gopher`, `blocklist`, `classifier`, `dsir`, `decontam`,
-    * `fuzzy_decontam`, or `duplicate`, in the pinned stage order. The observability layer a
+    * `fuzzy_decontam`, `media_dup`, or `duplicate`, in the pinned
+    * stage order; plus,
+    * ONLY when the caller opts out of the salted decontam path
+    * (`fuzzySalted = false`), advisory `fuzzy_unscreened` rows naming
+    * kept docs the capped probe admitted without full fuzzy screening
+    * (a hot band bucket of theirs was dropped by the cap). The observability layer a
     * production ingest needs: "why did 40% of this crawl vanish?" is
     * answered per document, per stage, instead of by diffing counts.
     *
@@ -270,9 +327,15 @@ object StreamOps {
       fuzzyThreshold: Double = 0.8,
       fuzzyNumHashes: Int = 16,
       fuzzyBands: Int = 4,
-      fuzzySalted: Boolean = false,
+      fuzzySalted: Boolean = true,
       fuzzySalts: Int = 8,
       fuzzyMaxBucket: Int = graft.llm.Dedup.DefaultMaxBucketSize,
+      mediaSemanticIndex: Option[String] = None,
+      mediaPayloadCol: String = "payload",
+      mediaKindCol: String = "kind",
+      mediaThreshold: Double = 0.999,
+      mediaNlist: Int = 4,
+      mediaDims: Int = 8,
       classifierGate: Option[DataFrame] = None,
       classifierBuckets: Int = 1024,
       materializeStages: Boolean = true)
@@ -315,10 +378,17 @@ object StreamOps {
       // (before the model/DSIR gates): one row-local codegen text pass
       // whose cost is independent of dictionary size, screening out
       // obvious banned content before anything pays a feature pass.
+      // null text coalesces to count 0: a null document contains zero
+      // banned phrases, so engaging the blocklist gate must not change
+      // null-text routing as a side effect (with the gate off and
+      // minQuality = 0 the same doc flows through) — a blocklist
+      // rejection only ever means "matched more than
+      // blocklistMaxMatches occurrences"
       val blkGated = stage(
         if (blocklist.isEmpty) gated
-        else gated.filter(graft.expressions.DictScan.count(col(textCol),
-          blocklist.distinct) <= blocklistMaxMatches),
+        else gated.filter(
+          coalesce(graft.expressions.DictScan.count(col(textCol),
+            blocklist.distinct), lit(0L)) <= blocklistMaxMatches),
         gated)
       // optional MODEL-based quality gate (FineWeb-Edu-style: a trained
       // classifier replaces/augments the heuristic rules): keep docs the
@@ -370,11 +440,16 @@ object StreamOps {
       // build params (the `_meta` table DedupIndex.writeState records);
       // finer banding raises recall on paraphrases at the cost of more
       // candidate pairs per batch.
-      // fuzzySalted routes the probe through the RECALL-PRESERVING
-      // salted hot path (crossNeardupOverIndexSalted): hot-bucket
-      // candidates are processed instead of dropped, so a paraphrased
-      // leak living in a boilerplate bucket cannot silently pass the
-      // gate — the shape a decontam stage at 100 TB wants
+      // fuzzySalted (the DEFAULT) routes the probe through the
+      // RECALL-PRESERVING salted hot path (crossNeardupOverIndexSalted):
+      // hot-bucket candidates are processed instead of dropped, so a
+      // paraphrased leak living in a boilerplate bucket cannot silently
+      // pass the gate — the shape a decontam stage at 100 TB wants. In
+      // a GATE, silent admission is the worst failure direction, so the
+      // safe path is the default; the capped probe is an explicit
+      // opt-out (fuzzySalted = false) for pipelines that accept the
+      // recall trade for cost, and the ledger then surfaces its blind
+      // spot as advisory `fuzzy_unscreened` rows (below)
       val fuzzyClean = stage(fuzzyDecontamIndex.fold(clean) { idxBase =>
         val hits =
           (if (fuzzySalted)
@@ -389,10 +464,27 @@ object StreamOps {
           .select(idCol).distinct()
         clean.join(hits, Seq(idCol), "left_anti")
       }, clean)
-      val out = dedup(fuzzyClean, prior)
+      // optional MEDIA semantic-dedup gate against a PERSISTED IVF index
+      // of the kept media history (mm5's machinery engaged AT INGEST,
+      // read-only probe like the fuzzy stage): rows carrying a non-null
+      // `mediaPayloadCol` decode per-partition (Multimodal.stubDecode —
+      // swap for a real codec, the plumbing is unchanged), embed via the
+      // deterministic feature vector, and drop when any stored vector —
+      // or a smaller-id batch vector — reaches `mediaThreshold` cosine
+      // (AnnIndex.semanticDedupDelta's two screens, cell-pruned). Rows
+      // with a NULL payload are text-only and flow through untouched —
+      // the mixed text+media corpus shape: text rows get dedup/decontam,
+      // media rows get THIS, one composed gate, one ledger. idCol must
+      // be numeric (media ids ride the vector machinery as longs).
+      val mediaClean = stage(mediaSemanticIndex.fold(fuzzyClean) {
+        idxBase =>
+          mediaSemanticScreen(fuzzyClean, idCol, mediaPayloadCol,
+            mediaKindCol, idxBase, mediaThreshold, mediaNlist, mediaDims)
+      }, fuzzyClean)
+      val out = dedup(mediaClean, prior)
       // the dedup survivors feed BOTH the redaction chain and the
       // ledger's duplicate stage — the same one-evaluation rule applies
-      val dedupKept = stage(out.kept, fuzzyClean)
+      val dedupKept = stage(out.kept, mediaClean)
       val piiDone =
         if (redactPii)
           dedupKept.withColumn(textCol,
@@ -420,19 +512,37 @@ object StreamOps {
       // materializeStages the anti-joins read the cut frames (each gate
       // ran exactly once above); disengaged stages contribute a no-op
       // anti-join of two identical frames (provably empty)
-      val ledger = Seq(
+      val dropLedger = Seq(
         ("quality", batch, qGated), ("gopher", qGated, gated),
         ("blocklist", gated, blkGated),
         ("classifier", blkGated, clsGated), ("dsir", clsGated, affGated),
         ("decontam", affGated, clean),
         ("fuzzy_decontam", clean, fuzzyClean),
-        ("duplicate", fuzzyClean, dedupKept))
+        ("media_dup", fuzzyClean, mediaClean),
+        ("duplicate", mediaClean, dedupKept))
         .map { case (stageName, before, after) =>
           before.select(col(idCol))
             .join(after.select(col(idCol)), Seq(idCol), "left_anti")
             .withColumn("stage", lit(stageName))
         }
         .reduce(_.unionByName(_))
+      // capped-probe observability: when the caller OPTS OUT of the
+      // salted decontam path, the capped probe's blind spot — docs that
+      // passed the gate WITHOUT full fuzzy screening because a band
+      // bucket of theirs was over-cap — lands in the ledger as advisory
+      // `fuzzy_unscreened` rows. These docs are in the KEPT output (the
+      // only ledger stage that does not mean "dropped here"); the row
+      // means "this admission was not fully screened", so capped
+      // screening is observable instead of silent. Salted path: the
+      // stage never appears (there is no blind spot to report).
+      val ledger =
+        if (fuzzySalted || fuzzyDecontamIndex.isEmpty) dropLedger
+        else dropLedger.unionByName(
+          graft.llm.DedupIndex.crossNeardupUnscreenedIds(
+            clean.sparkSession, fuzzyDecontamIndex.get, clean, textCol,
+            idCol, fuzzyNumHashes, fuzzyBands,
+            maxBucketSize = fuzzyMaxBucket)
+          .withColumn("stage", lit("fuzzy_unscreened")))
       (DeltaState(kept, out.state), ledger)
     }
   }

@@ -298,6 +298,53 @@ class AnnIndexSpec extends SparkSpec {
       rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)))
   }
 
+  test("foldBatches retirement aborts: every delete-failure state stays " +
+    "readable and a rerun converges") {
+    // retire() aborts loudly when a Hadoop delete returns false; this
+    // rebuilds the exact on-disk states those aborts leave and proves
+    // each is live-safe (reads ≡ one-shot) and rerun-convergent:
+    //  (A) marker delete failed → fold marked, batch fully intact;
+    //  (B) marker deleted, data delete failed → orphan ib= dir with no
+    //      marker (invisible to every read);
+    // interleaved mid-retirement (batch 0 retired, batch 1 in state B,
+    // batch 2 in state A).
+    val base = tmp("annidx_fold_abort")
+    val oneShot = AnnIndex.encodeIvf(emb, "vec_id", "embedding")
+    def ingest(b: Int): Unit =
+      AnnIndex.ingestIndexBatch(AnnIndex.encodeIvf(
+        emb.filter(col("vec_id") % 3 === b), "vec_id", "embedding"),
+        base, b.toLong)
+    (0 until 3).foreach(ingest)
+    AnnIndex.foldBatches(spark, base, "vec_id") // fold fb=0, retired
+    // duplicate the batch rows back (data also lives in the fold), then
+    // hand-retire to the interleaved abort state
+    (0 until 3).foreach(ingest)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def del(p: String): Unit = assert(
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    del(s"$base/_applied/batch=0"); del(s"$base/batches/ib=0") // retired
+    del(s"$base/_applied/batch=1") // state B: orphan data, no marker
+    // batch 2 untouched: state A
+    assert(AnnIndex.appliedBatches(spark, base) === Seq(2L))
+    // every read over the abort state: the orphan is invisible, the
+    // fold + surviving batch dedup to exactly the one-shot rows
+    assert(rows(AnnIndex.readBatchedIndex(spark, base)
+      .dropDuplicates("vec_id")) === rows(oneShot))
+    // rerun converges: one fresh fold, originals retired, answers equal
+    AnnIndex.foldBatches(spark, base, "vec_id")
+    assert(AnnIndex.appliedBatches(spark, base) === Seq())
+    assert(AnnIndex.appliedFolds(spark, base) === Seq(1L))
+    assert(rows(AnnIndex.readBatchedIndex(spark, base)) === rows(oneShot))
+    assert(rows(AnnIndex.ivfTopKOverIndex(
+        AnnIndex.readBatchedIndex(spark, base), queries, "vec_id",
+        "embedding", 10)) ===
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)))
+    // the orphan ib=1 dir from state B is gone or ignored — either way
+    // no marker names it, so no read path can ever touch it
+    assert(AnnIndex.appliedBatches(spark, base).isEmpty)
+  }
+
   test("batch ingest: a streaming query drives the layout — across a " +
     "query restart — to the same index as the manual batch replay") {
     val base = tmp("annidx_streamq"); val in = tmp("annidx_streamin")

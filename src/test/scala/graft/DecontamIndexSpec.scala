@@ -87,4 +87,49 @@ class DecontamIndexSpec extends SparkSpec {
     assert(m._1 === 4 && m._2 === 0.02 && m._3 === (1L << 16))
     assert(m._4 === spark.read.parquet(s"$dir/grams").count())
   }
+
+  test("metadata swap abort states: a failed delete leaves the previous " +
+    "row live, a crash between delete and rename heals on read, and a " +
+    "rerun converges") {
+    val dir = java.nio.file.Files.createTempDirectory("dcidx_sw").toString
+    DecontamIndex.writeBenchIndex(bench, "text", "doc_id", dir, k = 4)
+    val nOrig = spark.read.parquet(s"$dir/meta")
+      .select("n_grams").as[Long].head()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ABORT STATE 1 (writeMeta's failed-delete require: the previous
+    // generation stays live): live meta = original row, meta_next = a
+    // NEWER row that never swapped in. Reads must serve the LIVE row.
+    spark.range(1).selectExpr("4 as k", "0.01 as fpp",
+        "cast(4194304 as long) as expected_grams",
+        "cast(999999 as long) as n_grams")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/meta_next")
+    assert(DecontamIndex.readBenchIndex(spark, dir).k === 4)
+    assert(spark.read.parquet(s"$dir/meta")
+      .select("n_grams").as[Long].head() === nOrig,
+      "an unswapped meta_next must never shadow the live row")
+    // a rerun of a writing operation (an append carrying novel grams)
+    // drives writeMeta through the same swap and converges: meta_next
+    // is consumed and the live row is the append's true count, never
+    // the stale unswapped one
+    DecontamIndex.appendBenchIndex(
+      Seq((990001L, "zq wv xk jm qq zz pp ww novel suite grams here"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", dir)
+    val nAfter = spark.read.parquet(s"$dir/meta")
+      .select("n_grams").as[Long].head()
+    assert(nAfter > nOrig && nAfter < 999999L)
+    assert(nAfter === spark.read.parquet(s"$dir/grams").count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta_next")))
+    // ABORT STATE 2 (crash between delete and rename): live meta gone,
+    // meta_next complete — the read side finishes the rename
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/meta"),
+      new org.apache.hadoop.fs.Path(s"$dir/meta_next")))
+    assert(DecontamIndex.readBenchIndex(spark, dir).k === 4)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")),
+      "readMeta must heal the interrupted swap")
+    assert(spark.read.parquet(s"$dir/meta")
+      .select("n_grams").as[Long].head() === nAfter)
+  }
 }

@@ -39,6 +39,34 @@ class DictScanSpec extends SparkSpec {
     assert(ac.countMatches(ush) === 3L)
   }
 
+  test("matchedTerms sorts by code point (UTF-8 binary order), not Java " +
+    "UTF-16 code-unit order — cross-engine stable for non-BMP terms") {
+    // U+1F600 (😀, supplementary plane — a surrogate pair in UTF-16)
+    // vs U+FFFD: Java String order puts the emoji FIRST (its high
+    // surrogate 0xD83D < 0xFFFD), code-point order puts it LAST
+    // (0x1F600 > 0xFFFD) — the ordering Spark string sort and DuckDB
+    // ORDER BY agree on
+    val emoji = new String(Character.toChars(0x1F600))
+    val repl = "�"
+    val dict = Seq(emoji, repl, "plain")
+    val ac = new AcAutomaton(dict)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(
+      s"x $emoji y $repl z plain")
+    val got = ac.matchedTerms(u)
+      .toSeq[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+    assert(got === Seq("plain", repl, emoji))
+    // and that IS what Java String sorting would get wrong
+    assert(Seq(emoji, repl, "plain").sorted !== got)
+    // agrees with Spark's own string ordering on the same terms
+    val sparkSorted = spark.range(1).select(
+        org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.array(
+            dict.map(org.apache.spark.sql.functions.lit): _*)))
+      .head().getSeq[String](0)
+    assert(got === sparkSorted)
+  }
+
   test("randomized property: automaton == brute force over a small " +
     "alphabet (dense overlap regime)") {
     val rnd = new scala.util.Random(42)

@@ -170,6 +170,22 @@ class DurableIngestSpec extends SparkSpec {
     assert(ledger.select($"doc_id".cast("long"), $"stage")
       .as[(Long, String)].collect().toSet ===
       Set(3L -> "blocklist", 4L -> "blocklist"))
+    // null text contains zero banned phrases: engaging the gate must
+    // not change null-text routing as a side effect — a doc that flows
+    // through with the gate off (minQuality = 0) flows through with it
+    // on, and a blocklist rejection only ever means "over the cap"
+    val withNull = Seq((1L, "a perfectly clean document"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nullOn = StreamOps.corpusIngestStep(exactStep, "text", "doc_id",
+      blocklist = dict, blocklistMaxMatches = 1L)(withNull, None)
+    val nullOff = StreamOps.corpusIngestStep(exactStep, "text",
+      "doc_id")(withNull, None)
+    assert(nullOn.kept.select("doc_id").as[Long].collect().toSet ===
+      nullOff.kept.select("doc_id").as[Long].collect().toSet)
+    val (_, nullLedger) = StreamOps.corpusIngestStepLedger(exactStep,
+      "text", "doc_id", blocklist = dict, blocklistMaxMatches = 1L)(
+      withNull, None)
+    assert(nullLedger.filter($"stage" === "blocklist").count() === 0L)
   }
 
   test("corpusIngestStepLedger: rejects carry their FIRST-dropping " +
@@ -270,6 +286,134 @@ class DurableIngestSpec extends SparkSpec {
     // recall-preserving means the salted gate only ever drops MORE:
     // every capped rejection is a salted rejection too
     assert(keptSalted.subsetOf(keptCapped))
+    // THE DEFAULT IS THE SALTED PATH (r14): a gate invocation with no
+    // fuzzy routing knob beyond the index itself must take the
+    // recall-preserving probe — in a GATE, silent admission is the
+    // worst failure direction, so capped screening is an explicit
+    // opt-out, never something a user falls into
+    val keptDefault = StreamOps.corpusIngestStep(exactStep, "text",
+      "doc_id", fuzzyDecontamIndex = Some("fzs_idx"), fuzzySalts = 4,
+      fuzzyMaxBucket = 2)(batch, None)
+      .kept.select("doc_id").as[Long].collect().toSet
+    assert(keptDefault === keptSalted,
+      "the default gate must route through the salted probe")
+  }
+
+  test("corpusIngestStepLedger: opting out of the salted probe surfaces " +
+    "the capped gate's blind spot as advisory fuzzy_unscreened rows") {
+    import spark.implicits._
+    val docsTd = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docsTd.filter(col("source") === "src0")
+      .select("doc_id", "text")
+    graft.llm.DedupIndex.writeState(
+      graft.llm.Dedup.minhashSignature(bench, "text", "doc_id"),
+      "doc_id", "fzu_idx")
+    val plants = bench.filter(col("doc_id") % 5 === 0)
+    val batch = docsTd.filter(col("source") =!= "src0")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .unionByName(plants.select((col("doc_id") + 70000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 80000L).as("doc_id"),
+        col("text")))
+      .unionByName(plants.select((col("doc_id") + 90000L).as("doc_id"),
+        col("text")))
+    val plantedIds = plants.select("doc_id").as[Long].collect()
+      .flatMap(id => Seq(id + 70000L, id + 80000L, id + 90000L)).toSet
+    val (stCapped, ledgerCapped) = StreamOps.corpusIngestStepLedger(
+      exactStep, "text", "doc_id", fuzzyDecontamIndex = Some("fzu_idx"),
+      fuzzySalted = false, fuzzyMaxBucket = 2)(batch, None)
+    val unscreened = ledgerCapped
+      .filter($"stage" === "fuzzy_unscreened")
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    val kept = stCapped.kept.select("doc_id").as[Long].collect().toSet
+    // the cap binds: leaks were silently admitted...
+    assert((kept & plantedIds).nonEmpty)
+    // ...and every planted copy rode a hot bucket, so all are flagged —
+    // capped screening is observable, not silent
+    assert(plantedIds.subsetOf(unscreened))
+    // every ADMITTED leak in particular carries an advisory row
+    assert((kept & plantedIds).subsetOf(unscreened))
+    // advisory semantics: an unscreened row never means "dropped at the
+    // fuzzy stage" — the two stages are disjoint id sets
+    val fuzzyDropped = ledgerCapped
+      .filter($"stage" === "fuzzy_decontam")
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert((unscreened & fuzzyDropped).isEmpty)
+    // the salted DEFAULT has no blind spot to report: the stage is
+    // absent and the planted leaks are genuinely dropped
+    val (stSalted, ledgerSalted) = StreamOps.corpusIngestStepLedger(
+      exactStep, "text", "doc_id", fuzzyDecontamIndex = Some("fzu_idx"),
+      fuzzyMaxBucket = 2)(batch, None)
+    assert(ledgerSalted.filter($"stage" === "fuzzy_unscreened")
+      .count() === 0L)
+    assert((stSalted.kept.select("doc_id").as[Long].collect().toSet &
+      plantedIds).isEmpty)
+  }
+
+  test("corpusIngestStep: the media semantic-dedup stage screens " +
+    "payload-bearing rows against the persisted media index, passes " +
+    "text-only rows untouched, ledgers media_dup, and is off by " +
+    "default") {
+    import spark.implicits._
+    val docsTd = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // media history: docs < 200 embedded + IVF-indexed once offline
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("w19spec_idx").toString
+    graft.llm.AnnIndex.writeIndex(
+      graft.llm.AnnIndex.encodeIvf(
+        graft.llm.Multimodal.featureVector(
+          graft.llm.Multimodal.decodeFeatures(
+            graft.llm.Multimodal.mediaFromDocuments(spark,
+              docsTd.filter(col("doc_id") < 200)))),
+        "media_id", "vec", nlist = 4, dims = 8), idxDir)
+    val mediaKind = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    // mixed batch: docs >= 200 — even ids media-bearing, odd text-only —
+    // plus media re-ingests of STORED docs at +120000 (a multiple of 6:
+    // %2 parity and %3 kind both preserved)
+    val organic = docsTd.filter(col("doc_id") >= 200)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 2 === 0, mediaKind).as("kind"),
+        when(col("doc_id") % 2 === 0, encode(col("text"), "utf-8"))
+          .as("payload"))
+    val plants = docsTd.filter(col("doc_id") < 200 &&
+        col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 120000L).as("doc_id"), col("text"),
+        mediaKind.as("kind"), encode(col("text"), "utf-8").as("payload"))
+    val batch = organic.unionByName(plants)
+    val plantIds = plants.select("doc_id").as[Long].collect().toSet
+    assert(plantIds.nonEmpty)
+    val (st, ledger) = StreamOps.corpusIngestStepLedger(exactStep,
+      "text", "doc_id", mediaSemanticIndex = Some(idxDir))(batch, None)
+    val kept = st.kept.select("doc_id").as[Long].collect().toSet
+    // every stored-media re-ingest drops at the media stage...
+    assert((kept & plantIds).isEmpty)
+    // ...attributed media_dup in the ledger
+    val mediaDropped = ledger.filter($"stage" === "media_dup")
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(plantIds.subsetOf(mediaDropped))
+    // text-only rows NEVER drop at the media stage (all media_dup rows
+    // are even — the payload-bearing parity — or plants)
+    assert(mediaDropped.forall(id => id % 2 == 0))
+    // off by default: no media knob, no media screen — the plants ride
+    // through to the text dedup, where their novel ids survive iff
+    // their text is novel (here: originals are NOT in the batch, so
+    // they survive unless an organic doc shares their text)
+    val keptOff = StreamOps.corpusIngestStep(exactStep, "text",
+      "doc_id")(batch, None).kept.select("doc_id").as[Long]
+      .collect().toSet
+    assert((keptOff & plantIds).nonEmpty,
+      "with the stage off the re-ingests must not be media-screened")
+    // one definition: the TVF's operator equals the gate stage
+    val viaOp = graft.streaming.StreamOps.mediaSemanticScreen(
+      batch, "doc_id", "payload", "kind", idxDir)
+      .select("doc_id").as[Long].collect().toSet
+    val ledgerKeptMedia = batch.select("doc_id").as[Long].collect()
+      .toSet -- mediaDropped
+    assert(viaOp === ledgerKeptMedia)
   }
 
   test("corpusIngestStep: the optional model gate keeps positive-margin " +

@@ -796,4 +796,88 @@ class SqlSurfaceSpec extends SparkSpec {
           spark.catalog.dropTempView(v))
     }
   }
+
+  test("SQL TVF surface: artifact inventories (near-dup / decontam / " +
+    "model families) and the media ingest screen equal the Scala API") {
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.select("doc_id", "text")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    try {
+      // near-dup family: the operator's question — "what is this
+      // artifact, under which params, how far has it ingested"
+      graft.llm.DedupIndex.writeState(
+        graft.llm.Dedup.minhashSignature(docs, "text", "doc_id"),
+        "doc_id", "tvf8_nd")
+      check("SELECT * FROM neardup_inventory('tvf8_nd')",
+        graft.llm.DedupIndex.inventory(spark, "tvf8_nd"))
+      val ndRow = spark.sql("SELECT * FROM neardup_inventory('tvf8_nd')")
+        .head()
+      assert(ndRow.getAs[Boolean]("has_meta") &&
+        ndRow.getAs[Int]("num_hashes") === 16 &&
+        ndRow.getAs[Int]("bands") === 4 &&
+        ndRow.getAs[Int]("k") === 3 &&
+        ndRow.getAs[Long]("n_docs") === docs.count() &&
+        ndRow.getAs[Long]("batch_watermark") === -1L &&
+        !ndRow.getAs[Boolean]("compact_in_flight"))
+      // decontam family
+      val dcDir = tmp("tvf8_dc")
+      graft.llm.DecontamIndex.writeBenchIndex(
+        all.filter(col("source") === "src0"), "text", "doc_id", dcDir,
+        k = 4)
+      check(s"SELECT * FROM decontam_inventory('$dcDir')",
+        graft.llm.DecontamIndex.inventory(spark, dcDir))
+      val dcRow = spark.sql(s"SELECT * FROM decontam_inventory('$dcDir')")
+        .head()
+      assert(dcRow.getAs[Int]("k") === 4 &&
+        dcRow.getAs[Boolean]("has_grams") &&
+        dcRow.getAs[Long]("bloom_bytes") > 0L &&
+        !dcRow.getAs[Boolean]("meta_next_pending"))
+      // model family: both artifacts under one store dir
+      val msDir = tmp("tvf8_ms")
+      graft.llm.ModelStore.writeClassifier(
+        graft.llm.TextAnalysis.perceptronFit(
+          all.withColumn("y",
+            when(col("source") === "src1", 1).otherwise(-1)),
+          "text", "doc_id", "y", steps = 1), 1024, msDir)
+      graft.llm.ModelStore.writeBpeMerges(spark,
+        Seq(("a", "b"), ("ab", "c")), msDir)
+      check(s"SELECT * FROM model_inventory('$msDir')",
+        graft.llm.ModelStore.inventory(spark, msDir))
+      val msRows = spark.sql(s"SELECT * FROM model_inventory('$msDir')")
+        .collect().map(r => r.getAs[String]("artifact") ->
+          r.getAs[Long]("n_rows")).toMap
+      assert(msRows.keySet === Set("classifier", "bpe_merges"))
+      assert(msRows("bpe_merges") === 2L)
+      // an empty dir inventories as an empty frame, not an error
+      assert(spark.sql(
+        s"SELECT * FROM model_inventory('${tmp("tvf8_empty")}')")
+        .isEmpty)
+      // media ingest screen ≡ the gate's stage operator
+      val mmIdxDir = tmp("tvf8_mm_idx")
+      graft.llm.AnnIndex.writeIndex(graft.llm.AnnIndex.encodeIvf(
+        graft.llm.Multimodal.featureVector(
+          graft.llm.Multimodal.decodeFeatures(
+            graft.llm.Multimodal.mediaFromDocuments(spark,
+              all.filter(col("doc_id") < 200)))),
+        "media_id", "vec", nlist = 4, dims = 8), mmIdxDir)
+      val mixed = all.filter(col("doc_id") >= 200)
+        .select(col("doc_id"), col("text"),
+          when(col("doc_id") % 2 === 0, element_at(
+            array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int"))).as("kind"),
+          when(col("doc_id") % 2 === 0, encode(col("text"), "utf-8"))
+            .as("payload"))
+      mixed.createOrReplaceTempView("tvf8_mixed")
+      check("SELECT * FROM media_ingest_screen('" + mmIdxDir +
+          "', 'tvf8_mixed', 'doc_id', 'payload', 'kind')",
+        graft.streaming.StreamOps.mediaSemanticScreen(mixed, "doc_id",
+          "payload", "kind", mmIdxDir))
+    } finally {
+      Seq("tvf8_mixed").foreach(v =>
+        if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v))
+      Seq("tvf8_nd_sigs", "tvf8_nd_bands", "tvf8_nd_meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }
