@@ -48,21 +48,20 @@ object StressRehearsal {
     def snapshot(): Map[String, Any] = {
       val reads = stageShuffleRead.values.toSeq
       val totalRead = reads.map(_._1).sum
-      // reducer share on the heaviest stage only: tiny stages divide
-      // noise by noise
-      val heavy = stageShuffleRead.values
-        .filter(_._1 > 64L * 1024 * 1024)
-      val worstShare =
-        if (heavy.isEmpty) 0.0
-        else heavy.map { case (s, mx) => mx.toDouble / s }.max
+      // reducer balance on the HEAVIEST stage: max task read / stage
+      // total — 1/partitions (~0.03 at 32) is perfect balance, → 1.0 is
+      // one reducer paying a hot bucket alone
+      val peakShare = reads.sortBy(-_._1).headOption
+        .map { case (s, mx) => if (s == 0) 0.0 else mx.toDouble / s }
+        .getOrElse(0.0)
       Map("shuffle_read_mb" -> totalRead / 1048576,
         "shuffle_write_mb" -> shuffleWrite / 1048576,
         "mem_spill_mb" -> memSpill / 1048576,
         "disk_spill_mb" -> diskSpill / 1048576,
         "peak_stage_shuffle_mb" ->
           (if (reads.isEmpty) 0L else reads.map(_._1).max / 1048576),
-        "max_reducer_share_heavy_stages" ->
-          math.round(worstShare * 1000) / 1000.0)
+        "peak_stage_max_reducer_share" ->
+          math.round(peakShare * 1000) / 1000.0)
     }
     def reset(): Unit = synchronized {
       stageShuffleRead.clear(); shuffleWrite = 0L
