@@ -290,8 +290,9 @@ object StreamOps {
     * stage order; plus,
     * ONLY when the caller opts out of the salted decontam path
     * (`fuzzySalted = false`), advisory `fuzzy_unscreened` rows naming
-    * kept docs the capped probe admitted without full fuzzy screening
-    * (a hot band bucket of theirs was dropped by the cap). The observability layer a
+    * docs the capped probe admitted without full fuzzy screening (a hot
+    * band bucket of theirs was dropped by the cap; a later stage may
+    * still drop such a doc for its own reason). The observability layer a
     * production ingest needs: "why did 40% of this crawl vanish?" is
     * answered per document, per stage, instead of by diffing counts.
     *
@@ -528,13 +529,14 @@ object StreamOps {
         .reduce(_.unionByName(_))
       // capped-probe observability: when the caller OPTS OUT of the
       // salted decontam path, the capped probe's blind spot — docs that
-      // passed the gate WITHOUT full fuzzy screening because a band
+      // passed the FUZZY stage without full screening because a band
       // bucket of theirs was over-cap — lands in the ledger as advisory
-      // `fuzzy_unscreened` rows. These docs are in the KEPT output (the
-      // only ledger stage that does not mean "dropped here"); the row
-      // means "this admission was not fully screened", so capped
-      // screening is observable instead of silent. Salted path: the
-      // stage never appears (there is no blind spot to report).
+      // `fuzzy_unscreened` rows. The only stage that does not mean
+      // "dropped here": the row means "the fuzzy gate admitted this doc
+      // without fully screening it" (a later stage may still drop it
+      // for its own reason), so capped screening is observable instead
+      // of silent. Salted path: the stage never appears (there is no
+      // blind spot to report).
       val ledger =
         if (fuzzySalted || fuzzyDecontamIndex.isEmpty) dropLedger
         else dropLedger.unionByName(
