@@ -1213,6 +1213,37 @@ object GraftExtensions {
         plan(graft.llm.AnnIndex.listGenerations(s, base)
           .toDF("version", "is_live", "has_data", "has_codebook"))
       },
+      "decontam_fuzzy_unscreened" -> { args =>
+        val u = "usage: decontam_fuzzy_unscreened('index_base', " +
+          "'probe_table', 'text_col', 'id_col'[, max_bucket]) — the " +
+          "CAPPED probe's blind spot: probe docs holding a band in a " +
+          "bucket decontam_fuzzy_over_index drops (over max_bucket on " +
+          "either side, populated on both) — docs a capped screen " +
+          "admits WITHOUT full fuzzy screening. Pair with the capped " +
+          "TVF to make its recall trade observable; the salted TVF has " +
+          "no blind spot"
+        require(args.length == 4 || args.length == 5, u)
+        val Seq(base, pt, tc, ic) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.DedupIndex.crossNeardupUnscreenedIds(s, base,
+          s.table(pt), tc, ic,
+          maxBucketSize = args.lift(4).map(lit2int(_, u))
+            .getOrElse(graft.llm.Dedup.DefaultMaxBucketSize)))
+      },
+      "ivf_batches" -> { args =>
+        val u = "usage: ivf_batches('base') — inventory of a " +
+          "batch-versioned (streaming-ingest) index: one row per " +
+          "batch/fold directory or marker (kind, id, marked, " +
+          "has_data); marked+no-data is an orphan marker, " +
+          "data+unmarked is an invisible in-flight/leftover dir. " +
+          "Listing-scale; ivf_generations covers the " +
+          "versioned-generation layout"
+        require(args.length == 1, u)
+        val s = SparkSession.active
+        import s.implicits._
+        plan(graft.llm.AnnIndex.listBatches(s, lit2str(args(0), u))
+          .toDF("kind", "id", "marked", "has_data"))
+      },
       "neardup_inventory" -> { args =>
         val u = "usage: neardup_inventory('base') — inventory of a " +
           "persisted near-dup index: one row (base, has_sigs, " +

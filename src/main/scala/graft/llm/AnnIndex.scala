@@ -178,6 +178,39 @@ object AnnIndex {
   def appliedFolds(spark: SparkSession, base: String): Seq[Long] =
     markedIds(spark, base, "fold=")
 
+  /** Inventory of a BATCH-VERSIONED index (the streaming-ingest layout
+    * — [[listGenerations]] covers the versioned-generation one): one
+    * row per batch/fold directory OR marker found under `base` ((kind
+    * 'batch'|'fold', id, marked, has_data), ascending by kind then id).
+    * The two torn states stay visible exactly as the layout treats
+    * them: `marked ∧ ¬has_data` is the orphan marker [[foldBatches]]'
+    * require()d retirement order exists to prevent (readable only
+    * because retirement aborts loudly before creating it);
+    * `¬marked ∧ has_data` is an invisible in-flight or crash-leftover
+    * directory no read path ever touches. Listing-scale only — no
+    * parquet is opened. */
+  def listBatches(spark: SparkSession, base: String)
+      : Seq[(String, Long, Boolean, Boolean)] = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids(dir: String, prefix: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$dir")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong).toSet
+    }
+    def rows(kind: String, markPrefix: String, dataDir: String,
+        dataPrefix: String) = {
+      val marked = ids("_applied", markPrefix)
+      val data = ids(dataDir, dataPrefix)
+      (marked ++ data).toSeq.sorted.map(i =>
+        (kind, i, marked.contains(i), data.contains(i)))
+    }
+    rows("batch", "batch=", "batches", "ib=") ++
+      rows("fold", "fold=", "folds", "fb=")
+  }
+
   /** Mount a batch-versioned index: the union of all MARKED batch and
     * fold directories, presented with the standard index schema (the
     * `ib`/`fb` provenance partition columns are dropped) — serve it

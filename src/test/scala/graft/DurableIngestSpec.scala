@@ -416,6 +416,75 @@ class DurableIngestSpec extends SparkSpec {
     assert(viaOp === ledgerKeptMedia)
   }
 
+  test("corpusIngestStep media stage on the streaming wire: stored-media " +
+    "re-ingests drop across a query restart, text-only rows ride the " +
+    "carried dedup state") {
+    import spark.implicits._
+    val docsTd = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val idxDir = tmp("w20_idx")
+    graft.llm.AnnIndex.writeIndex(
+      graft.llm.AnnIndex.encodeIvf(
+        graft.llm.Multimodal.featureVector(
+          graft.llm.Multimodal.decodeFeatures(
+            graft.llm.Multimodal.mediaFromDocuments(spark,
+              docsTd.filter(col("doc_id") < 200)))),
+        "media_id", "vec", nlist = 4, dims = 8), idxDir)
+    val mediaKind = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    def mediaRows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), col("text"), mediaKind.as("kind"),
+        encode(col("text"), "utf-8").as("payload"))
+    def textRows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), col("text"),
+        lit(null).cast("string").as("kind"),
+        lit(null).cast("binary").as("payload"))
+    val in = tmp("media_in"); val out = tmp("media_out")
+    val st = tmp("media_state")
+    val step = StreamOps.corpusIngestStep(exactStep, "text", "doc_id",
+      mediaSemanticIndex = Some(idxDir))
+    val schema = "doc_id LONG, text STRING, kind STRING, payload BINARY"
+    def stream() = spark.readStream.schema(schema).parquet(in)
+    // wave 1: a mixed organic slice (even media, odd text-only)
+    val w1 = docsTd.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+    mediaRows(w1.filter(col("doc_id") % 2 === 0))
+      .unionByName(textRows(w1.filter(col("doc_id") % 2 === 1)))
+      .write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st)
+      .awaitTermination()
+    val wave1Kept = readOut(out).map(_._1).toSet
+    assert(wave1Kept.nonEmpty)
+    // wave 2 after RESTART (new query, same checkpoint): media
+    // re-ingests of the STORED history (+120000, multiple of 6) must
+    // drop at the media screen; a text-only re-ingest of a wave-1 doc
+    // must drop against the carried cross-restart dedup state; a novel
+    // text doc must land
+    val plants = docsTd.filter(col("doc_id") < 200 &&
+      col("doc_id") % 30 === 0)
+    val reText = docsTd.filter(col("doc_id") === 201)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    mediaRows(plants.select((col("doc_id") + 120000L).as("doc_id"),
+        col("text")))
+      .unionByName(textRows(reText))
+      .unionByName(textRows(Seq((777777L,
+        "a genuinely novel streaming document body"))
+        .toDF("doc_id", "text")))
+      .write.mode("append").parquet(in)
+    StreamOps.durableIngestDedup(stream(), step, out, st)
+      .awaitTermination()
+    val all = readOut(out)
+    val wave2 = all.filter(_._3 == 1L).map(_._1).toSet
+    assert(!wave2.exists(id => id >= 120000L && id < 130000L),
+      "stored-media re-ingests must drop at the media screen")
+    // doc 201 is odd (text-only); whether or not IT was wave-1's keeper
+    // for its text, that text's hash is in the carried state, so the
+    // +500000 re-ingest must be state-dropped after the restart
+    assert(!wave2.contains(500201L),
+      "the cross-restart text re-ingest must drop against the state")
+    assert(wave2.contains(777777L), "the novel doc must land")
+  }
+
   test("corpusIngestStep: the optional model gate keeps positive-margin " +
     "docs, drops negative-margin and featureless docs, and is off by " +
     "default") {

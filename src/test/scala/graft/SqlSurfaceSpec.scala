@@ -799,6 +799,7 @@ class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL TVF surface: artifact inventories (near-dup / decontam / " +
     "model families) and the media ingest screen equal the Scala API") {
+    import spark.implicits._
     val all = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
     val docs = all.select("doc_id", "text")
@@ -853,6 +854,61 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(spark.sql(
         s"SELECT * FROM model_inventory('${tmp("tvf8_empty")}')")
         .isEmpty)
+      // the capped probe's blind spot from SQL: three copies of each
+      // %5 doc make their band buckets hot at max_bucket 2 — the TVF
+      // names exactly the docs the capped screen admits unscreened
+      val probe = docs.filter(col("doc_id") >= 250)
+      val plants = docs.filter(col("doc_id") < 250 &&
+          col("doc_id") % 50 === 0)
+      val hotProbe = probe
+        .unionByName(plants.select((col("doc_id") + 70000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 80000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 90000L).as("doc_id"),
+          col("text")))
+      hotProbe.createOrReplaceTempView("tvf8_probe")
+      check("SELECT * FROM decontam_fuzzy_unscreened('tvf8_nd', " +
+          "'tvf8_probe', 'text', 'doc_id', 2)",
+        graft.llm.DedupIndex.crossNeardupUnscreenedIds(spark, "tvf8_nd",
+          hotProbe, "text", "doc_id", maxBucketSize = 2))
+      assert(spark.sql("SELECT * FROM decontam_fuzzy_unscreened(" +
+          "'tvf8_nd', 'tvf8_probe', 'text', 'doc_id', 2)")
+        .count() > 0, "the planted hot buckets must be flagged")
+      // batch-versioned layout inventory: ingest two batches, fold,
+      // ingest one more — the TVF reports the live fold + batch and
+      // equals the Scala listing; torn states stay visible
+      val bvBase = tmp("tvf8_bv")
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      (0 until 2).foreach { b =>
+        graft.llm.AnnIndex.ingestIndexBatch(graft.llm.AnnIndex.encodeIvf(
+          emb.filter(col("vec_id") % 2 === b), "vec_id", "embedding"),
+          bvBase, b.toLong)
+      }
+      graft.llm.AnnIndex.foldBatches(spark, bvBase, "vec_id")
+      graft.llm.AnnIndex.ingestIndexBatch(graft.llm.AnnIndex.encodeIvf(
+        emb.limit(1).withColumn("vec_id", lit(900001L)),
+        "vec_id", "embedding"), bvBase, 2L)
+      check(s"SELECT * FROM ivf_batches('$bvBase')",
+        graft.llm.AnnIndex.listBatches(spark, bvBase)
+          .toDF("kind", "id", "marked", "has_data"))
+      val bv = spark.sql(s"SELECT * FROM ivf_batches('$bvBase')")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getBoolean(2), r.getBoolean(3))).toSet
+      assert(bv === Set(("batch", 2L, true, true),
+        ("fold", 0L, true, true)))
+      // a data-only leftover dir is reported unmarked (and invisible to
+      // reads — appliedBatches does not list it)
+      val bvFs = new org.apache.hadoop.fs.Path(bvBase)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      bvFs.mkdirs(new org.apache.hadoop.fs.Path(s"$bvBase/batches/ib=9"))
+      assert(spark.sql(s"SELECT * FROM ivf_batches('$bvBase')")
+        .filter("kind = 'batch' AND id = 9")
+        .collect().map(r => (r.getBoolean(2), r.getBoolean(3))).toSeq ===
+        Seq((false, true)))
+      assert(!graft.llm.AnnIndex.appliedBatches(spark, bvBase)
+        .contains(9L))
       // media ingest screen ≡ the gate's stage operator
       val mmIdxDir = tmp("tvf8_mm_idx")
       graft.llm.AnnIndex.writeIndex(graft.llm.AnnIndex.encodeIvf(
