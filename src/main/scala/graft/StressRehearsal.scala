@@ -69,15 +69,16 @@ object StressRehearsal {
     }
   }
 
-  /** The Zipf-skewed blowup: top-8 texts replicate 1000x (the
+  /** The Zipf-skewed blowup: top-8 texts replicate `scale`·40x (the
     * boilerplate head — every one a guaranteed hot LSH bucket), the
-    * next 92 200x, the tail 25x — ~149k docs, ~25-30x the sf0.1 row
-    * count. Half the replicas are byte-exact dups (exact-dedup mass),
-    * half carry a tiny suffix mutation (near-dup mass that keeps the
-    * band buckets hot while defeating the exact hash). */
-  def blowup(docs: DataFrame): DataFrame = {
-    val reps = when(col("doc_id") < 8, 1000)
-      .when(col("doc_id") < 100, 200).otherwise(25)
+    * next 92 `scale`·8x, the tail `scale`x — at the default scale=25
+    * that is ~141k docs, ~28x the sf0.1 row count. Half the replicas
+    * are byte-exact dups (exact-dedup mass), half carry a tiny suffix
+    * mutation (near-dup mass that keeps the band buckets hot while
+    * defeating the exact hash). */
+  def blowup(docs: DataFrame, scale: Int = 25): DataFrame = {
+    val reps = when(col("doc_id") < 8, scale * 40)
+      .when(col("doc_id") < 100, scale * 8).otherwise(scale)
     docs.select(col("doc_id"), col("text"), col("source"),
         explode(sequence(lit(0), reps - 1)).as("_r"))
       .select((col("doc_id") * 100000L + col("_r")).as("doc_id"),
@@ -88,7 +89,11 @@ object StressRehearsal {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: blowup scale (default 25 ≈ 28x rows; 100 ≈
+    // 113x — the second data point that shows whether behavior is
+    // linear in corpus size under the same skew shape)
+    val scale = args.lift(2).map(_.toInt).getOrElse(25)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -103,7 +108,7 @@ object StressRehearsal {
     spark.sparkContext.addSparkListener(listener)
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val corpus = blowup(docs.filter(col("source") =!= "src0"))
+    val corpus = blowup(docs.filter(col("source") =!= "src0"), scale)
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
     val blown = spark.read.parquet(s"$outDir/corpus")
     val bench = docs.filter(col("source") === "src0")
