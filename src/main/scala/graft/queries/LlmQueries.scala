@@ -2968,6 +2968,38 @@ object LlmQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // The CAPPED cross probe's blind spot, certified as its own
+    // operator (r14: the advisory `fuzzy_unscreened` ledger stage's
+    // id set): probe docs holding at least one band in a bucket the
+    // capped d14 probe DROPS — over maxBucketSize on either side AND
+    // populated on both, i.e. exactly the docs whose candidate pairs
+    // were lost, the ones a capped decontam screen admits without full
+    // screening. Same triple plants as d15 at the binding
+    // maxBucketSize = 2; the oracle replays both sides' signatures,
+    // the band rows, the per-side bucket counts (inner-joined — a
+    // probe-hot bucket with no stored rows loses nothing), and the
+    // distinct flagged probe ids.
+    "x108_fuzzy_unscreened" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val plants = bench.filter(col("doc_id") % 11 === 0)
+      val probe = d.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+        .unionByName(plants.select((col("doc_id") + 50000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 60000L).as("doc_id"),
+          col("text")))
+        .unionByName(plants.select((col("doc_id") + 70000L).as("doc_id"),
+          col("text")))
+      graft.llm.DedupIndex.writeState(
+        Dedup.minhashSignature(bench, "text", "doc_id"), "doc_id",
+        "x108_idx")
+      graft.llm.DedupIndex.crossNeardupUnscreenedIds(s, "x108_idx",
+          probe, "text", "doc_id", maxBucketSize = 2)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (decode plumbing
     // itself is Dataset-level, see Multimodal.scala + MultimodalSpec).
     "mm1_binary_meta" -> ((s, dir) => {
@@ -4401,6 +4433,47 @@ object LlmQueries {
           JOIN bsig y ON y.doc_id = c.bench_id
           WHERE $duckSigFrac
           ORDER BY train_id, bench_id""",
+    // the capped probe's blind spot: per-side bucket counts, a bucket
+    // is LOSSY iff over-cap (2) on either side AND populated on both
+    // (inner join), flagged docs = distinct probe ids with a band there
+    "x108_fuzzy_unscreened" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+                         WHERE source = 'src0'),
+              probe AS (SELECT doc_id, text FROM documents
+                        WHERE source <> 'src0'
+                        UNION ALL
+                        SELECT doc_id + 50000, text FROM documents
+                        WHERE source = 'src0' AND doc_id % 11 = 0
+                        UNION ALL
+                        SELECT doc_id + 60000, text FROM documents
+                        WHERE source = 'src0' AND doc_id % 11 = 0
+                        UNION ALL
+                        SELECT doc_id + 70000, text FROM documents
+                        WHERE source = 'src0' AND doc_id % 11 = 0),
+              bws AS (SELECT doc_id, $duckToks AS w FROM bench),
+              bsh AS (SELECT doc_id, $duckShingles AS sh FROM bws
+                      WHERE len(w) >= 3),
+              bsig AS (SELECT doc_id,
+                         ${(0 to 15).map(duckSig).mkString(",\n                         ")}
+                       FROM bsh),
+              pws AS (SELECT doc_id, $duckToks AS w FROM probe),
+              psh AS (SELECT doc_id, $duckShingles AS sh FROM pws
+                      WHERE len(w) >= 3),
+              psig AS (SELECT doc_id,
+                         ${(0 to 15).map(duckSig).mkString(",\n                         ")}
+                       FROM psh),
+              bb AS (${duckBandRows("bsig")}),
+              pb AS (${duckBandRows("psig")}),
+              pc AS (SELECT b, bucket, count(*) AS n FROM pb
+                     GROUP BY b, bucket),
+              sc AS (SELECT b, bucket, count(*) AS n FROM bb
+                     GROUP BY b, bucket),
+              hot AS (SELECT pc.b, pc.bucket FROM pc
+                      JOIN sc ON pc.b = sc.b AND pc.bucket = sc.bucket
+                      WHERE pc.n > 2 OR sc.n > 2)
+          SELECT DISTINCT p.doc_id
+          FROM pb p JOIN hot h ON p.b = h.b AND p.bucket = h.bucket
+          ORDER BY doc_id""",
     "d10_cross_neardup" ->
       s"""WITH ws AS (SELECT doc_id, source, $duckToks AS w FROM documents),
               sh AS (SELECT doc_id, source, $duckShingles AS sh FROM ws
