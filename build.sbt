@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The scaled-down rehearsal invariants (ScaleRehearsalSpec) are opt-in:
+// excluded from the default `sbt test`; run them by OVERRIDING the test
+// options (appending -n does not beat this -l):
+//   sbt 'set Test / testOptions := Seq(Tests.Argument(
+//     TestFrameworks.ScalaTest, "-n", "graft.SlowRehearsal"))' \
+//     'testOnly graft.ScaleRehearsalSpec'
+Test / testOptions += Tests.Argument(
+  TestFrameworks.ScalaTest, "-l", "graft.SlowRehearsal")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1270,9 +1270,26 @@ object GraftExtensions {
         val u = "usage: model_inventory('dir') — inventory of a model " +
           "store: one row per artifact found (artifact, present, " +
           "next_pending, buckets, n_rows); empty when the dir holds no " +
-          "model artifacts. Reading heals an interrupted publish first"
+          "model artifacts. PURE read: next_pending reports an " +
+          "interrupted publish without finalizing it (the next model " +
+          "read or publish resolves it)"
         require(args.length == 1, u)
         plan(graft.llm.ModelStore.inventory(SparkSession.active,
+          lit2str(args(0), u)))
+      },
+      "graft_artifacts" -> { args =>
+        val u = "usage: graft_artifacts('root_dir') — the ONE-CALL " +
+          "inventory across every artifact family: one row (family, " +
+          "base, params, n_items, watermark, torn) per artifact found " +
+          "under root_dir (versioned/batched ANN indexes, decontam, " +
+          "model stores — detected by layout signature, root and one " +
+          "level deep) plus every near-dup index in the session " +
+          "catalog. torn = in-flight/crashed swap state; drill down " +
+          "with the family inventory TVFs (neardup_inventory, " +
+          "ivf_generations, ivf_batches, decontam_inventory, " +
+          "model_inventory)"
+        require(args.length == 1, u)
+        plan(graft.llm.Artifacts.inventory(SparkSession.active,
           lit2str(args(0), u)))
       },
       "ivf_versioned_build" -> { args =>

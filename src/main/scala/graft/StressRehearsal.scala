@@ -162,7 +162,13 @@ object StressRehearsal {
 
     // 3. d11 shape — the persisted near-dup index two-batch chain, with
     // the SALTED delta probe paying the hot within/cross buckets for
-    // real (the capped one would drop them — nothing to measure)
+    // real (the capped one would drop them — nothing to measure).
+    // r15: the chains collapse signature-identical replicas before pair
+    // generation — the byte-exact half of every storm (and the exact
+    // copies within each mutant class) now enters the band join as one
+    // representative per distinct signature, so this pipeline's r14
+    // numbers (2.9 GB shuffle + 18.3 GB mem spill at 113x) are the
+    // BEFORE measurement of that fix.
     run("d11_neardup_index_chain") {
       val b1 = blown.filter(col("doc_id") % 2 === 0)
       val b2 = blown.filter(col("doc_id") % 2 === 1)
@@ -174,6 +180,39 @@ object StressRehearsal {
         spark, "stress_d11_idx", b2, "text", "doc_id", 0.8,
         maxBucketSize = 200, salts = 8)
       st1.kept.count() + st2.kept.count()
+    }
+
+    // 4. w19 shape — the MIXED text+media ingest gate: even doc_ids
+    // carry a binary payload (byte-identical across each boilerplate
+    // head's replicas — identical feature vectors, ONE IVF cell), odd
+    // ids are text-only. The hot exchange is the media screen's cell
+    // equi-join, which routes through the salted hot-cell path; this is
+    // the measurement behind the semanticDedupDeltaSalted stance.
+    run("w19_media_ingest_gate") {
+      import spark.implicits.newLongEncoder
+      graft.llm.AnnIndex.writeIndex(
+        graft.llm.AnnIndex.encodeIvf(
+          graft.llm.Multimodal.featureVector(
+            graft.llm.Multimodal.decodeFeatures(
+              graft.llm.Multimodal.mediaFromDocuments(spark,
+                bench.withColumn("source", lit("src0"))))),
+          "media_id", "vec", nlist = 4, dims = 8),
+        s"$outDir/w19_idx")
+      val mediaKind = element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val mixed = blown.select(col("doc_id"), col("text"),
+        when(col("doc_id") % 2 === 0, mediaKind).as("kind"),
+        when(col("doc_id") % 2 === 0, encode(col("text"), "utf-8"))
+          .as("payload"))
+      val step = graft.streaming.StreamOps.corpusIngestStep(
+        (b, p) => graft.llm.Dedup.exactDedupDelta(b, "text", "doc_id", p),
+        "text", "doc_id",
+        mediaSemanticIndex = Some(s"$outDir/w19_idx"))
+      val s1 = step(mixed.filter(col("doc_id") % 4 < 2), None)
+      val n1 = s1.kept.count()
+      val s2 = step(mixed.filter(col("doc_id") % 4 >= 2), Some(s1.state))
+      n1 + s2.kept.count()
     }
 
     spark.stop()

@@ -427,6 +427,78 @@ object AnnIndex {
       Seq(idCol), "left_anti")
   }
 
+  /** [[semanticDedupDelta]] with a SALTED hot-cell path — the
+    * content-skew complement to the "re-train the codebook" sizing
+    * stance ([[indexReport]]): re-training fixes a MIS-SIZED codebook
+    * (cells uniformly too full), but a replica storm of near-identical
+    * media/embedding rows lands in ONE cell no matter how many cells
+    * exist — the same failure the text chains route through
+    * [[graft.operators.SkewJoin.saltedJoin]], and exactly what a
+    * boilerplate-heavy 100 TB crawl produces. Cells whose combined
+    * (batch + stored) occupancy exceeds `hotCellThreshold` take a
+    * `salts`-way salted join for both the cross screen and the
+    * within-batch screen, so no single reducer pays a storm cell's
+    * quadratic alone; cold cells keep the plain cell equi-join.
+    *
+    * RESULT-IDENTICAL to [[semanticDedupDelta]] (AnnIndexSpec pins it):
+    * a cell is hot or cold as a whole and both routes emit every
+    * within-cell pair exactly once, so this is pure load-balancing with
+    * no recall trade — unlike the text gate's capped/salted choice.
+    * The hot list costs two cell-keyed counts (≤ nlist rows each, so
+    * the broadcasts are codebook-scale by construction). */
+  def semanticDedupDeltaSalted(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, nlist: Int = 8,
+      dims: Int = 64,
+      centroids: Option[Seq[IndexedSeq[Double]]] = None,
+      hotCellThreshold: Int = Dedup.DefaultMaxBucketSize,
+      salts: Int = 8): DataFrame = {
+    require(hotCellThreshold >= 1,
+      s"hotCellThreshold ($hotCellThreshold) must be >= 1")
+    require(salts >= 1, s"salts ($salts) must be >= 1")
+    val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
+    require(cents.size == nlist && cents.forall(_.size == dims),
+      s"centroids must be a $nlist x $dims codebook")
+    // cut: the assigned batch feeds the hot count, four carve-outs, and
+    // the survivor anti-join
+    val assigned = graft.operators.Lineage.cut(Similarity.assignCells(
+      batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+      "_v", cents))
+    val stored = index.select(col(vecCol).as("_sv"),
+      col("cell").cast("int").as("_cell"))
+    // union-rule hot list as a JOIN of per-side counts (the DedupIndex
+    // shape — the index-sized stored rows are never unioned into a
+    // re-shuffle; counting `_cell` alone column-prunes the vector read)
+    val hot = graft.operators.Lineage.cut(
+      assigned.groupBy("_cell").agg(count(lit(1)).as("_bc"))
+        .join(stored.groupBy("_cell").agg(count(lit(1)).as("_sc")),
+          Seq("_cell"), "full_outer")
+        .filter(coalesce(col("_bc"), lit(0L)) +
+          coalesce(col("_sc"), lit(0L)) > hotCellThreshold)
+        .select("_cell"))
+    val aCold = assigned.join(broadcast(hot), Seq("_cell"), "left_anti")
+    val aHot = assigned.join(broadcast(hot), Seq("_cell"), "left_semi")
+    val sCold = stored.join(broadcast(hot), Seq("_cell"), "left_anti")
+    val sHot = stored.join(broadcast(hot), Seq("_cell"), "left_semi")
+    // a cell is hot or cold as a whole, so cold×cold ∪ salted hot×hot
+    // covers every within-cell pair exactly once on both screens
+    val crossHit = aCold.join(sCold, Seq("_cell"))
+      .unionByName(graft.operators.SkewJoin.saltedJoin(
+        aHot, sHot, Seq("_cell"), col("_id"), salts))
+      .filter(Similarity.cosine(col("_v"), col("_sv")) >= minCos)
+      .select(col("_id")).distinct()
+    def n(df: DataFrame) = df.select(col("_id").as("_nid"),
+      col("_v").as("_nv"), col("_cell"))
+    val withinHit = aCold.join(n(aCold), Seq("_cell"))
+      .unionByName(graft.operators.SkewJoin.saltedJoin(
+        aHot, n(aHot), Seq("_cell"), col("_id"), salts))
+      .filter(col("_nid") < col("_id"))
+      .filter(Similarity.cosine(col("_v"), col("_nv")) >= minCos)
+      .select(col("_id")).distinct()
+    batch.join(crossHit.unionByName(withinHit).distinct()
+        .select(col("_id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** The ONE mapping from the public raw-vector index schema to the
     * Similarity-internal column contract — top-k, filtered, and radius
     * serving all read the index through it. */
@@ -532,11 +604,16 @@ object AnnIndex {
 
   /** Per-cell occupancy of an index: (cell, n_vectors) ordered by count
     * descending — the maintenance measurement behind the IVF sizing
-    * contract. A hot cell means a mis-sized codebook (probe cost is
-    * proportional to the probed cells' occupancy), and the fix is
-    * retraining with more cells, not a bigger reducer; this report is
-    * what tells you WHEN. One cell-keyed aggregate over code-sized rows
-    * (and the scan prunes to nothing but the `cell` partition column). */
+    * contract. Two distinct hot-cell causes, two distinct fixes: cells
+    * UNIFORMLY too full mean a mis-sized codebook (probe cost is
+    * proportional to the probed cells' occupancy) and the fix is
+    * retraining with more cells ([[migrateIndex]]); ONE cell hot amid
+    * cold siblings means content skew — a replica storm of
+    * near-identical vectors that lands in one cell at ANY nlist — and
+    * the fix is the salted screen ([[semanticDedupDeltaSalted]]), never
+    * a bigger reducer. This report is what tells you WHEN and WHICH.
+    * One cell-keyed aggregate over code-sized rows (and the scan prunes
+    * to nothing but the `cell` partition column). */
   def indexReport(index: DataFrame): DataFrame =
     index.groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n_vectors"))

@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE-CALL artifact inventory — "what's on this cluster?" across
+  * every persisted-artifact family the library writes, normalized into a
+  * single relation. Each family keeps its own detailed inventory
+  * (`neardup_inventory`, `ivf_generations`, `ivf_batches`,
+  * `decontam_inventory`, `model_inventory`); this module UNIONS them at
+  * a coarser grain so an operator's first question needs one TVF
+  * (`graft_artifacts`) instead of five:
+  *
+  *   (family, base, params, n_items, watermark, torn)
+  *
+  *  - `family`: `neardup_index` | `ann_versioned` | `ann_batched` |
+  *    `decontam` | `model_classifier` | `model_bpe_merges`
+  *  - `base`: catalog table base (near-dup) or filesystem path
+  *  - `params`: the build params a probe must match, rendered as
+  *    `k=v,...` (null where the family records none, or on a pre-meta
+  *    near-dup artifact — the `stampMeta` migration target)
+  *  - `n_items`: docs / generations / marked batches / grams / rows
+  *  - `watermark`: near-dup batch watermark, live ANN generation, max
+  *    marked batch id (null where meaningless)
+  *  - `torn`: TRUE when the artifact carries any in-flight or crashed
+  *    swap state a detailed inventory would surface (compact twins,
+  *    data/codebook mismatch, orphan markers or unmarked leftovers,
+  *    pending `meta_next` / `_next` publishes). Torn never means
+  *    unreadable — every family self-heals or ignores its torn states —
+  *    it means "look closer with the family inventory".
+  *
+  * Detection is by LAYOUT SIGNATURE, the same markers the readers key
+  * on: `LATEST`/`v<N>` (versioned ANN), `_applied`/`batches`/`folds`
+  * (batched ANN), `meta` + `grams`/`bloom.bin` (decontam),
+  * `model`/`merges` (+`_next`) (model store) — one filesystem listing of
+  * `rootDir` and each direct child, no parquet opened except the
+  * family inventories' own metadata reads. Near-dup indexes live in the
+  * CATALOG, not under a path, so they are discovered by table-name
+  * signature (`<base>_sigs` + `<base>_bands`) across the session
+  * catalog's current database. Listing-scale by construction. */
+object Artifacts {
+
+  def inventory(spark: SparkSession, rootDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val candidates: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else rootDir +: fs.listStatus(root).toSeq
+        .filter(_.isDirectory).map(_.getPath.toString)
+
+    def child(dir: String, name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    def childNames(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+    }
+
+    val rows = Seq.newBuilder[
+      (String, String, Option[String], Option[Long], Option[Long],
+        Boolean)]
+
+    candidates.foreach { dir =>
+      val names = childNames(dir)
+      val isVersioned = names.contains("LATEST") ||
+        names.contains("LATEST_next") ||
+        names.exists(_.matches("^v\\d+$"))
+      val isBatched = names.contains("_applied") ||
+        names.contains("batches") || names.contains("folds")
+      val isDecontam = names.contains("meta") &&
+        (names.contains("grams") || names.contains("bloom.bin"))
+      if (isVersioned) {
+        val gens = AnnIndex.listGenerations(spark, dir)
+        val live = gens.collectFirst { case (v, true, _, _) => v.toLong }
+        rows += (("ann_versioned", dir, None, Some(gens.size.toLong),
+          live,
+          gens.exists { case (_, _, d, c) => d != c } ||
+            names.contains("LATEST_next")))
+      }
+      if (isBatched) {
+        val bs = AnnIndex.listBatches(spark, dir)
+        val marked = bs.filter(b => b._3 && b._4)
+        rows += (("ann_batched", dir, None, Some(marked.size.toLong),
+          marked.map(_._2).maxOption,
+          bs.exists(b => b._3 != b._4)))
+      }
+      if (isDecontam) {
+        val r = DecontamIndex.inventory(spark, dir).head()
+        rows += (("decontam", dir,
+          Some(s"k=${r.getInt(1)},fpp=${r.getDouble(2)}"),
+          Some(r.getLong(4)), None, r.getBoolean(7)))
+      }
+      if (names.exists(n => n == "model" || n == "model_next" ||
+          n == "merges" || n == "merges_next")) {
+        ModelStore.inventory(spark, dir).collect().foreach { r =>
+          rows += ((s"model_${r.getString(0)}", dir,
+            if (r.isNullAt(3)) None
+            else Some(s"buckets=${r.getInt(3)}"),
+            Some(r.getLong(4)), None, r.getBoolean(2)))
+        }
+      }
+    }
+
+    // near-dup indexes are CATALOG artifacts: discover by the
+    // _sigs/_bands table-name pair (compact twins belong to their base
+    // and surface there as torn, not as artifacts of their own)
+    val tables = spark.catalog.listTables().collect().map(_.name).toSet
+    tables.filter(_.endsWith("_sigs")).map(_.dropRight(5))
+      .filterNot(_.endsWith("__compact"))
+      .filter(b => tables.contains(s"${b}_bands"))
+      .toSeq.sorted.foreach { base =>
+        val r = DedupIndex.inventory(spark, base).head()
+        rows += (("neardup_index", base,
+          if (r.isNullAt(4)) None
+          else Some(s"num_hashes=${r.getInt(4)},bands=${r.getInt(5)}," +
+            s"k=${r.getInt(6)}"),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)),
+          if (r.isNullAt(8)) None else Some(r.getLong(8)),
+          r.getBoolean(10)))
+      }
+
+    rows.result().sortBy(r => (r._1, r._2))
+      .toDF("family", "base", "params", "n_items", "watermark", "torn")
+  }
+}

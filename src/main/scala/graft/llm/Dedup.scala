@@ -919,6 +919,40 @@ object Dedup {
     DeltaState(kept, state)
   }
 
+  /** Signature-identical REPLICA COLLAPSE for the estimate-verified
+    * salted chains: annotate every signature row with `_rep` = the
+    * minimum id among rows carrying the IDENTICAL full signature (one
+    * window exchange on the signature columns, batch-sized).
+    *
+    * Why this is lossless — for chains whose verification is the
+    * SIGNATURE-ESTIMATE matchFrac (the delta/index/cross operators;
+    * never the exact-Jaccard batch operators, where an identical
+    * signature does NOT imply an identical shingle set):
+    *  - a non-rep member shares every band bucket with its smaller-id
+    *    rep and estimates matchFrac = 1 ≥ any threshold in (0, 1], so
+    *    under uncapped (= salted) semantics it is flagged
+    *    UNCONDITIONALLY — no pair needs generating to decide it;
+    *  - any challenge BY a member m is equivalent to a challenge by
+    *    rep(m): identical signatures give identical matchFrac against
+    *    every other doc, occupy the same buckets, and
+    *    rep(m).id ≤ m.id keeps the smaller-id rule intact.
+    * So pairs generate between REPRESENTATIVES only and members inherit
+    * verdicts — which deletes the quadratic within-bucket pair mass of
+    * byte-identical replica storms (the dominant hot-bucket population
+    * in boilerplate-heavy web text: a 1000-replica bucket collapses
+    * from ~500k vacuous pairs to one row). The 113x Zipf rehearsal
+    * measured that mass at 2.9 GB shuffle + 18 GB spill on ~2 GB of
+    * text before the collapse.
+    *
+    * NOT applied to the capped operators: a member whose every bucket
+    * is hot escapes challenge there (the cap's documented recall
+    * trade), so collapsing would flag docs the capped chain admits. */
+  private[graft] def sigCollapse(sigs: DataFrame, idCol: String,
+      numHashes: Int): DataFrame =
+    sigs.withColumn("_rep", min(col(idCol)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(
+        (0 until numHashes).map(j => col(s"sig_$j")): _*)))
+
   private def explodeBands(sigs: DataFrame, idCol: String, numHashes: Int,
       bands: Int, src: Int): DataFrame = {
     val rows = numHashes / bands
@@ -1012,7 +1046,15 @@ object Dedup {
     * DUPLICATE ADMISSION at exactly the boilerplate buckets where
     * near-dup mass lives at 100 TB; use this variant when those
     * duplicates must not survive ingest, the capped one when hot-bucket
-    * pairs are discardable noise. */
+    * pairs are discardable noise.
+    *
+    * Replica storms are collapsed BEFORE pair generation
+    * ([[sigCollapse]]): byte-identical delta docs share a signature, so
+    * only one representative per distinct signature enters the band
+    * join and its verdict propagates to the members — lossless under
+    * this operator's estimate verification, and it deletes the
+    * quadratic pair mass a 1000-replica boilerplate bucket would
+    * otherwise pay. */
   def minhashNearDupDeltaSalted(newDocs: DataFrame, textCol: String,
       idCol: String, threshold: Double,
       priorSigs: Option[DataFrame] = None,
@@ -1026,7 +1068,16 @@ object Dedup {
     require(salts >= 1, s"salts ($salts) must be >= 1")
     val deltaSigs = minhashSignature(newDocs, textCol, idCol, numHashes, k)
       .persist()
-    val deltaBands = explodeBands(deltaSigs, idCol, numHashes, bands,
+    // replica collapse: members (id ≠ rep) are flagged unconditionally
+    // — their smaller-id rep challenges them at matchFrac 1 — and only
+    // REPRESENTATIVE signatures enter the band/pair machinery below.
+    // cut: grouped feeds the member list and the rep signatures.
+    val grouped = graft.operators.Lineage.cut(
+      sigCollapse(deltaSigs, idCol, numHashes))
+    val dupMembers = grouped.filter(col(idCol) =!= col("_rep"))
+      .select(col(idCol))
+    val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
+    val deltaBands = explodeBands(repSigs, idCol, numHashes, bands,
       src = 1)
     // cut: the union feeds the hot count AND both carve-outs (the
     // lshCandidatesSalted discipline — three consumers, one band pass)
@@ -1053,17 +1104,21 @@ object Dedup {
     val pairs = coldPairs.unionByName(hotPairs)
       .filter(col("_src") === 0 || col("_o") < col("_d"))
       .select("_d", "_o").distinct()
-    val allSigs = priorSigs.fold(deltaSigs)(_.unionByName(deltaSigs))
+    // challengers are prior docs or delta REPS (a member's challenge is
+    // its rep's — identical signature, smaller-or-equal id)
+    val allSigs = priorSigs.fold(repSigs)(_.unionByName(repSigs))
     val matchFrac = (0 until numHashes)
       .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numHashes
-    val aSide = deltaSigs.select(col(idCol).as("_d") +:
+    val aSide = repSigs.select(col(idCol).as("_d") +:
       (0 until numHashes).map(j => col(s"sig_$j").as(s"_a_sig_$j")): _*)
     val bSide = allSigs.select(col(idCol).as("_o") +:
       (0 until numHashes).map(j => col(s"sig_$j").as(s"_b_sig_$j")): _*)
     val flagged = pairs.join(aSide, Seq("_d")).join(bSide, Seq("_o"))
       .filter(matchFrac >= threshold)
-      .select(col("_d").as(idCol)).distinct()
+      .select(col("_d").as(idCol))
+      .unionByName(dupMembers)
+      .distinct()
       .transform(graft.operators.Lineage.cut)
     val kept = newDocs.join(flagged, Seq(idCol), "left_anti")
     val keptSigs = deltaSigs.join(flagged, Seq(idCol), "left_anti")

@@ -351,7 +351,15 @@ object DedupIndex {
     * delta's. The capped pair's drop silently ADMITS duplicates living
     * in boilerplate buckets — use this variant when ingest must not
     * keep them. Same replay contract as the capped operator
-    * (`belowBatch` pins the pre-append view). */
+    * (`belowBatch` pins the pre-append view).
+    *
+    * Replica storms collapse BEFORE pair generation
+    * ([[Dedup.sigCollapse]]): only one representative per distinct
+    * delta signature enters the band join; members are flagged
+    * unconditionally (their smaller-id rep estimates matchFrac 1) —
+    * lossless under the estimate verification, and it deletes the
+    * quadratic within-bucket pair mass byte-identical replicas would
+    * pay (the 113x rehearsal's named scale-killer). */
   def neardupDeltaOverIndexSalted(spark: SparkSession, base: String,
       newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3,
@@ -365,7 +373,14 @@ object DedupIndex {
       spark.table(t).filter(col("_ib") < b))
     val deltaSigs = Dedup
       .minhashSignature(newDocs, textCol, idCol, numHashes, k).persist()
-    val deltaBands = bandTable(deltaSigs, idCol, numHashes, bands)
+    // replica collapse (see Dedup.sigCollapse): reps into the machinery,
+    // members flagged directly below
+    val grouped = graft.operators.Lineage.cut(
+      Dedup.sigCollapse(deltaSigs, idCol, numHashes))
+    val dupMembers = grouped.filter(col(idCol) =!= col("_rep"))
+      .select(col(idCol))
+    val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
+    val deltaBands = bandTable(repSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_mid"), col("bkey")).persist()
     val storedBands = visible(s"${base}_bands")
       .select(col(idCol).as("_mid"), col("bkey"))
@@ -397,19 +412,23 @@ object DedupIndex {
     val pairs = crossPairs.select("_d", "_o")
       .unionByName(withinPairs.select("_d", "_o"))
       .distinct()
+    // challengers: stored docs, or delta REPS (a member's challenge is
+    // its rep's — identical signature, smaller-or-equal id)
     val allSigs = visible(s"${base}_sigs").drop("_ib")
-      .unionByName(deltaSigs)
+      .unionByName(repSigs)
     val matchFrac = (0 until numHashes)
       .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1)
         .otherwise(0))
       .reduce(_ + _).cast("double") / numHashes
-    val aSide = deltaSigs.select(col(idCol).as("_d") +:
+    val aSide = repSigs.select(col(idCol).as("_d") +:
       (0 until numHashes).map(j => col(s"sig_$j").as(s"_a_sig_$j")): _*)
     val bSide = allSigs.select(col(idCol).as("_o") +:
       (0 until numHashes).map(j => col(s"sig_$j").as(s"_b_sig_$j")): _*)
     val flagged = pairs.join(aSide, Seq("_d")).join(bSide, Seq("_o"))
       .filter(matchFrac >= threshold)
-      .select(col("_d").as(idCol)).distinct()
+      .select(col("_d").as(idCol))
+      .unionByName(dupMembers)
+      .distinct()
       .transform(graft.operators.Lineage.cut)
     val kept = newDocs.join(flagged, Seq(idCol), "left_anti")
     val keptSigs = deltaSigs.join(flagged, Seq(idCol), "left_anti")
@@ -476,6 +495,15 @@ object DedupIndex {
     * stage has. Use the capped [[crossNeardupOverIndex]] only where
     * hot-bucket pairs are discardable noise; use this one to GATE.
     *
+    * Probe-side replica storms collapse BEFORE the band join
+    * ([[Dedup.sigCollapse]]): one representative per distinct probe
+    * signature probes the index, and verified (rep, bench) pairs expand
+    * back to every member — lossless under the estimate verification
+    * (identical probe signatures give identical matchFrac against every
+    * stored doc), with the full pair set still returned. A
+    * boilerplate-heavy crawl thus pays the stored-side product once per
+    * distinct signature, not once per replica.
+    *
     * @return (idCol = probe id, bench_id) pairs whose signature-estimated
     *         Jaccard reaches `threshold` — ≡ an uncapped probe */
   def crossNeardupOverIndexSalted(spark: SparkSession, base: String,
@@ -489,7 +517,11 @@ object DedupIndex {
     requireBuildParams(spark, base, numHashes, bands, Some(k))
     val probeSigs = Dedup
       .minhashSignature(probe, textCol, idCol, numHashes, k).persist()
-    val probeBands = bandTable(probeSigs, idCol, numHashes, bands)
+    // replica collapse: reps probe, members inherit (expansion below)
+    val grouped = graft.operators.Lineage.cut(
+      Dedup.sigCollapse(probeSigs, idCol, numHashes))
+    val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
+    val probeBands = bandTable(repSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bkey")).persist()
     val storedBands = spark.table(s"${base}_bands")
       .select(col(idCol).as("bench_id"), col("bkey"))
@@ -514,8 +546,15 @@ object DedupIndex {
           pHot, sHot, Seq("bkey"), col("_pid"), salts)
         .select(col("_pid"), col("bench_id")))
       .distinct()
-    val out = verifyCrossPairs(spark, base, probeSigs, pairs, idCol,
+    val repPairs = verifyCrossPairs(spark, base, repSigs, pairs, idCol,
       numHashes, threshold)
+    // expand rep verdicts to members: identical signatures estimate the
+    // identical matchFrac against every stored doc, so a member pairs
+    // with exactly its rep's bench set
+    val out = graft.operators.Lineage.cut(
+      repPairs.select(col(idCol).as("_rep"), col("bench_id"))
+        .join(grouped.select(col(idCol), col("_rep")), Seq("_rep"))
+        .select(col(idCol), col("bench_id")))
     probeSigs.unpersist(); probeBands.unpersist()
     out
   }

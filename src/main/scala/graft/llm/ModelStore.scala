@@ -125,13 +125,20 @@ object ModelStore {
     * model-store family: one row per artifact found under `dir`
     * ((artifact 'classifier'|'bpe_merges', present, next_pending,
     * buckets, n_rows)); `buckets` is the classifier's hash width (null
-    * for merges), `n_rows` the weight-row / merge count. Reading an
-    * artifact heals an interrupted [[swapDir]] publish first (the
-    * standard read-side contract), after which `next_pending` can only
-    * mean a dead prior attempt's leftovers — the next publish clears
-    * them. Artifacts are vocabulary-scale, so the counts are cheap by
-    * construction. An empty frame means `dir` holds no model
-    * artifacts. */
+    * for merges), `n_rows` the weight-row / merge count.
+    *
+    * PURE READ: unlike [[readClassifier]]/[[readBpeMerges]] (whose
+    * read-side contract heals an interrupted [[swapDir]] publish by
+    * renaming `_next` live), an inventory is an OBSERVABILITY surface
+    * and mutates nothing — `present` reports whether the LIVE directory
+    * exists, `next_pending` whether a `_next` is on disk (an
+    * interrupted publish the next model read or publish will resolve),
+    * and a pending-only artifact reports `present = false` with its
+    * params read from the `_next` side read-only. A racing publisher
+    * can therefore never have its swap finished under it by a
+    * monitoring query. Artifacts are vocabulary-scale, so the counts
+    * are cheap by construction. An empty frame means `dir` holds no
+    * model artifacts. */
   def inventory(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -140,14 +147,22 @@ object ModelStore {
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
     val rows = Seq.newBuilder[
       (String, Boolean, Boolean, Option[Int], Option[Long])]
-    if (ex("model") || ex("model_next")) {
-      val (w, buckets) = readClassifier(spark, dir)
-      rows += (("classifier", true, ex("model_next"), Some(buckets),
-        Some(w.count())))
+    // capture fs state ONCE up front: the flags reported are the flags
+    // the param reads below were taken under
+    val (modelLive, modelNext) = (ex("model"), ex("model_next"))
+    val (mergesLive, mergesNext) = (ex("merges"), ex("merges_next"))
+    if (modelLive || modelNext) {
+      val root = s"$dir/${if (modelLive) "model" else "model_next"}"
+      val buckets = spark.read.parquet(s"$root/meta")
+        .select(col("buckets").cast("int")).head().getInt(0)
+      val n = spark.read.parquet(s"$root/weights").count()
+      rows += (("classifier", modelLive, modelNext, Some(buckets),
+        Some(n)))
     }
-    if (ex("merges") || ex("merges_next")) {
-      val n = readBpeMerges(spark, dir).size.toLong
-      rows += (("bpe_merges", true, ex("merges_next"), None, Some(n)))
+    if (mergesLive || mergesNext) {
+      val root = s"$dir/${if (mergesLive) "merges" else "merges_next"}"
+      val n = spark.read.parquet(root).count()
+      rows += (("bpe_merges", mergesLive, mergesNext, None, Some(n)))
     }
     rows.result()
       .toDF("artifact", "present", "next_pending", "buckets", "n_rows")

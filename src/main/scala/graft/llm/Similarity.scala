@@ -323,8 +323,10 @@ object Similarity {
     * candidate generator is a cell equi-join, never all-pairs — the
     * within-cell quadratic is the published SemDeDup cost model, bounded
     * by sizing `nlist` so cells hold ~constant rows (nlist scales WITH
-    * the corpus; a hot cell is a mis-sized codebook, and the fix is
-    * retraining with more cells, not a bigger reducer). Differs from
+    * the corpus; cells UNIFORMLY too full mean a mis-sized codebook and
+    * the fix is retraining with more cells — but ONE hot cell amid cold
+    * siblings is content skew that no nlist fixes, and the fix is the
+    * salted screen, [[AnnIndex.semanticDedupDeltaSalted]]). Differs from
     * [[embeddingNearDups]] (random-hyperplane LSH buckets) in trading
     * recall guarantees for the cluster structure a curation pipeline
     * usually already has.

@@ -1171,6 +1171,34 @@ object LlmQueries {
         .kept.select("doc_id").orderBy("doc_id")
     }),
 
+    // The REPLICA-COLLAPSE certification (d17's chain under a byte-exact
+    // replica STORM): every %50 doc planted 40 more times byte-identical
+    // — the boilerplate shape that made the salted chains' within-bucket
+    // pair mass quadratic at the 113x rehearsal. The salted operators
+    // now collapse signature-identical rows to one representative before
+    // pair generation (members inherit verdicts at matchFrac 1), and
+    // this query certifies the collapse LOSSLESS against the same
+    // uncapped DuckDB replay d16/d17 use — which plants no collapse at
+    // all: it generates every pair. Identical kept set ⇒ the deleted
+    // quadratic pair mass carried zero information.
+    "d18_neardup_replica_collapse" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val storm = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), lit(40))).as("_r"))
+        .select((col("doc_id") + col("_r") * 10000L).as("doc_id"),
+          col("text"))
+      val aug = d.unionByName(storm)
+      val prior = aug.filter(col("doc_id") < 250)
+      val delta = aug.filter(col("doc_id") >= 250)
+      val st = graft.llm.Dedup.minhashNearDupDeltaSalted(
+        prior, "text", "doc_id", 0.8, maxBucketSize = 2, salts = 4).state
+      graft.llm.DedupIndex.writeState(st, "doc_id", "d18_idx")
+      graft.llm.DedupIndex.neardupDeltaOverIndexSalted(s, "d18_idx",
+          delta, "text", "doc_id", 0.8, maxBucketSize = 2, salts = 4)
+        .kept.select("doc_id").orderBy("doc_id")
+    }),
+
     // BPE tokenization with a fixed merge list (x39 mines merges; this is
     // the APPLY step, completing the tokenizer story) — pure Column
     // algebra via the double-space separator formulation, fully inside
@@ -3813,6 +3841,54 @@ object LlmQueries {
             AND doc_id NOT IN (SELECT d FROM drop2)
           ORDER BY doc_id"""
 
+  /** The d18 oracle: the SAME uncapped two-batch replay as d16/d17 —
+    * generating EVERY within-bucket pair, no collapse — over a
+    * byte-exact replica storm (each %50 doc planted 40 more times).
+    * The engine's salted chain collapses signature-identical rows
+    * before pair generation; hash-matching this oracle certifies the
+    * collapse lossless on exactly the data where it bites. */
+  private lazy val duckNeardupReplicaCollapseSql =
+    s"""WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + r * 10000 AS doc_id, text
+              FROM documents, range(1, 41) t(r)
+              WHERE doc_id % 50 = 0),
+              ws AS (SELECT doc_id, $duckToks AS w FROM base),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              sig AS (SELECT doc_id,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              sig1 AS (SELECT * FROM sig WHERE doc_id < 250),
+              b1 AS (${duckBandRows("sig1")}),
+              p1 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
+                     FROM b1 a
+                     JOIN b1 o ON o.b = a.b AND o.bucket = a.bucket
+                      AND o.doc_id < a.doc_id),
+              drop1 AS (SELECT DISTINCT p1.d FROM p1
+                        JOIN sig1 x ON x.doc_id = p1.d
+                        JOIN sig1 y ON y.doc_id = p1.o
+                        WHERE $duckSigFrac),
+              st1 AS (SELECT * FROM sig1
+                      WHERE doc_id NOT IN (SELECT d FROM drop1)),
+              sig2 AS (SELECT * FROM sig WHERE doc_id >= 250),
+              b2p AS (${duckBandRows("st1")}),
+              b2d AS (${duckBandRows("sig2")}),
+              b2 AS (SELECT doc_id, 0 AS src, b, bucket FROM b2p
+                     UNION ALL
+                     SELECT doc_id, 1 AS src, b, bucket FROM b2d),
+              p2 AS (SELECT DISTINCT a.doc_id AS d, o.doc_id AS o
+                     FROM b2 a
+                     JOIN b2 o ON o.b = a.b AND o.bucket = a.bucket
+                     WHERE a.src = 1 AND (o.src = 0 OR o.doc_id < a.doc_id)),
+              drop2 AS (SELECT DISTINCT p2.d FROM p2
+                        JOIN sig2 x ON x.doc_id = p2.d
+                        JOIN sig y ON y.doc_id = p2.o
+                        WHERE $duckSigFrac)
+          SELECT doc_id FROM base WHERE doc_id >= 250
+            AND doc_id NOT IN (SELECT d FROM drop2)
+          ORDER BY doc_id"""
+
   /** Shared CTE prefix of the x58/x63 DSIR oracles: hashed-bigram bucket
     * features of the non-src0 training docs vs the src0 target, both
     * distributions, and the per-doc integer sufficient statistics as a
@@ -5435,6 +5511,7 @@ object LlmQueries {
     // and over the stored index — one oracle, no bucket guard.
     "d16_neardup_delta_salted" -> duckNeardupDeltaSaltedSql,
     "d17_neardup_index_salted" -> duckNeardupDeltaSaltedSql,
+    "d18_neardup_replica_collapse" -> duckNeardupReplicaCollapseSql,
     "x104_dyadic_quantiles" -> duckDyadicQuantilesSql,
     // the ingest fold's cumulative state IS the whole-corpus sketch
     // (counter-sum merge), so the oracle is x104's global replay

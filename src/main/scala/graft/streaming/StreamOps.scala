@@ -183,7 +183,17 @@ object StreamOps {
     * composition time (lineage cut), not per micro-batch; each batch then
     * pays batch-sized work only: a codegen quality filter, one shingle
     * pass + broadcast semi-join against the bench grams, and the delta
-    * step against hash-sized state. */
+    * step against hash-sized state.
+    *
+    * COMPATIBILITY NOTE (`fuzzySalted`): since r14 the fuzzy-decontam
+    * stage DEFAULTS to the recall-preserving salted probe. A caller who
+    * engaged `fuzzyDecontamIndex` before that without passing the knob
+    * now pays salted hot-bucket joins and may drop MORE docs on upgrade
+    * (duplicates that previously sailed through capped hot buckets) —
+    * the safe direction for a gate, but a behavior change: capped-cost
+    * deployments that accept the recall trade must opt out explicitly
+    * with `fuzzySalted = false`, which also surfaces the capped probe's
+    * blind spot as advisory `fuzzy_unscreened` ledger rows. */
   def corpusIngestStep(dedup: DeltaStep, textCol: String, idCol: String,
       minQuality: Double = 0.0, bench: Option[DataFrame] = None,
       decontamK: Int = 8, redactPii: Boolean = false,
@@ -251,11 +261,22 @@ object StreamOps {
     * deterministic feature vector, and DROP when any vector in the
     * persisted IVF index under `idxBase` — or a smaller-id media row of
     * the same frame — reaches `threshold` cosine
-    * ([[graft.llm.AnnIndex.semanticDedupDelta]]'s two cell-pruned
-    * screens, read-only probe). NULL-payload rows are text-only and
+    * ([[graft.llm.AnnIndex.semanticDedupDeltaSalted]]'s two cell-pruned
+    * screens, read-only probe; hot cells — a media replica storm lands
+    * in ONE cell no matter the codebook size — route through the salted
+    * join, so no single reducer pays a storm cell alone and the result
+    * is provably the plain probe's). NULL-payload rows are text-only and
     * pass through untouched. `idCol` must be numeric (media ids ride
     * the vector machinery as longs). Returns the surviving rows of
-    * `frame`, schema unchanged. */
+    * `frame`, schema unchanged.
+    *
+    * CROSS-BATCH SCOPE: this is a READ-ONLY probe of the static index
+    * plus a within-batch smaller-id screen — a near-dup of media KEPT
+    * in an EARLIER batch of the same stream passes unless the caller
+    * ingests kept vectors back into the index between batches
+    * ([[graft.llm.AnnIndex.ingestIndexBatch]] after each batch, the
+    * at-least-once protocol AnnIndexSpec certifies). Only the exact
+    * text dedup carries cross-batch state automatically. */
   def mediaSemanticScreen(frame: DataFrame, idCol: String,
       payloadCol: String, kindCol: String, idxBase: String,
       threshold: Double = 0.999, nlist: Int = 4, dims: Int = 8)
@@ -272,7 +293,12 @@ object StreamOps {
       .as[graft.llm.MediaRow]
     val vecs = graft.llm.Multimodal.featureVector(
       graft.llm.Multimodal.decodeFeatures(mediaRows))
-    val keptIds = graft.llm.AnnIndex.semanticDedupDelta(
+    // salted screen: result-identical to the plain probe (pure load
+    // balancing — the hot/cold split has no recall trade), so engaging
+    // it by default costs only two codebook-scale cell counts while a
+    // single-cell media replica storm spreads over `salts` reducers
+    // instead of stalling one
+    val keptIds = graft.llm.AnnIndex.semanticDedupDeltaSalted(
         graft.llm.AnnIndex.readIndex(s, idxBase), vecs,
         "media_id", "vec", threshold, nlist = nlist, dims = dims)
       .select(col("media_id").cast("long").as(idCol))
@@ -290,9 +316,13 @@ object StreamOps {
     * stage order; plus,
     * ONLY when the caller opts out of the salted decontam path
     * (`fuzzySalted = false`), advisory `fuzzy_unscreened` rows naming
-    * docs the capped probe admitted without full fuzzy screening (a hot
-    * band bucket of theirs was dropped by the cap; a later stage may
-    * still drop such a doc for its own reason). The observability layer a
+    * docs the capped probe ADMITTED without full fuzzy screening (they
+    * survived the fuzzy stage while holding a band in a bucket the cap
+    * dropped; a later stage may still drop such a doc for its own
+    * reason). Probing the fuzzy-stage survivors keeps the two fuzzy
+    * stages disjoint by construction: a doc the capped probe dropped
+    * via a cool-bucket match never also claims "admitted without
+    * screening". The observability layer a
     * production ingest needs: "why did 40% of this crawl vanish?" is
     * answered per document, per stage, instead of by diffing counts.
     *
@@ -532,17 +562,23 @@ object StreamOps {
       // passed the FUZZY stage without full screening because a band
       // bucket of theirs was over-cap — lands in the ledger as advisory
       // `fuzzy_unscreened` rows. The only stage that does not mean
-      // "dropped here": the row means "the fuzzy gate admitted this doc
+      // "dropped here": the row means "the fuzzy gate ADMITTED this doc
       // without fully screening it" (a later stage may still drop it
       // for its own reason), so capped screening is observable instead
-      // of silent. Salted path: the stage never appears (there is no
-      // blind spot to report).
+      // of silent. The probe is `fuzzyClean` — the fuzzy stage's
+      // SURVIVORS — not the pre-fuzzy frame: a doc the capped probe
+      // dropped via a cool-bucket verified match was screened enough to
+      // die and must not ALSO claim "admitted without screening"
+      // (`fuzzy_unscreened ∩ fuzzy_decontam = ∅` by construction), and
+      // dropped docs are not re-signatured, so the survivor probe is
+      // also strictly cheaper. Salted path: the stage never appears
+      // (there is no blind spot to report).
       val ledger =
         if (fuzzySalted || fuzzyDecontamIndex.isEmpty) dropLedger
         else dropLedger.unionByName(
           graft.llm.DedupIndex.crossNeardupUnscreenedIds(
-            clean.sparkSession, fuzzyDecontamIndex.get, clean, textCol,
-            idCol, fuzzyNumHashes, fuzzyBands,
+            fuzzyClean.sparkSession, fuzzyDecontamIndex.get, fuzzyClean,
+            textCol, idCol, fuzzyNumHashes, fuzzyBands,
             maxBucketSize = fuzzyMaxBucket)
           .withColumn("stage", lit("fuzzy_unscreened")))
       (DeltaState(kept, out.state), ledger)

@@ -425,6 +425,53 @@ class AnnIndexSpec extends SparkSpec {
       batch, "vec_id", "embedding", 0.99).count() === 0)
   }
 
+  test("semanticDedupDeltaSalted: a single-cell replica storm — content " +
+    "skew no codebook re-size fixes — screens identically to the plain " +
+    "probe while its rows spread across the salt buckets") {
+    import spark.implicits._
+    val dir = tmp("annidx_semsalt")
+    val state = emb.filter(col("vec_id") < 250)
+      .select("vec_id", "embedding")
+    AnnIndex.writeIndex(
+      AnnIndex.encodeIvf(state, "vec_id", "embedding", nlist = 8), dir)
+    // the storm: ONE stored vector replicated 60x under fresh ids — all
+    // land in the SAME IVF cell regardless of nlist (identical vector),
+    // exactly the hot-cell case the "re-train the codebook" stance
+    // cannot fix
+    val seed = emb.filter(col("vec_id") === 0)
+      .select(col("embedding"))
+    val storm = seed.select(col("embedding"),
+        explode(sequence(lit(0), lit(59))).as("_r"))
+      .select((col("_r") + 300000L).as("vec_id"), col("embedding"))
+    val batch = emb.filter(col("vec_id") >= 250)
+      .select("vec_id", "embedding").unionByName(storm)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val idx = AnnIndex.readIndex(spark, dir)
+    val plain = kept(AnnIndex.semanticDedupDelta(idx, batch, "vec_id",
+      "embedding", 0.99))
+    // salted at a binding hot threshold (the storm cell holds 60+ rows)
+    val salted = kept(AnnIndex.semanticDedupDeltaSalted(idx, batch,
+      "vec_id", "embedding", 0.99, hotCellThreshold = 10, salts = 4))
+    assert(salted === plain,
+      "the salted hot-cell path must be pure load balancing — " +
+        "result-identical to the plain probe")
+    // every storm replica died (vec 0 lives in the stored index)
+    assert(salted.forall(_ < 300000L))
+    // salts = 1 degenerates to the plain join; still exact
+    assert(kept(AnnIndex.semanticDedupDeltaSalted(idx, batch, "vec_id",
+      "embedding", 0.99, hotCellThreshold = 10, salts = 1)) === plain)
+    // the balance pin: SkewJoin salts the batch side by hash(_id), so
+    // the storm's 60 rows spread across the salt buckets instead of one
+    // reducer paying the cell alone (deterministic — Murmur3, fixed
+    // seed; the rehearsal measures the same property at 113x scale)
+    val spread = storm
+      .select(pmod(hash(col("vec_id")), lit(4)).as("b"))
+      .distinct().count()
+    assert(spread >= 3L,
+      s"storm rows landed in only $spread of 4 salt buckets")
+  }
+
   test("ingestSemanticDedupBatch: two-batch screen+append chain drops " +
     "cross- and within-batch near-dups, and a replay whose append " +
     "already landed+marked still produces the identical output") {

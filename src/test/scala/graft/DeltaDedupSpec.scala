@@ -135,6 +135,82 @@ class DeltaDedupSpec extends SparkSpec {
       === ids(u2.kept))
   }
 
+  test("replica collapse: a byte-exact replica STORM flags members " +
+    "without generating their pairs, and the salted chains still equal " +
+    "the uncapped reference — in memory and over the stored index") {
+    val td = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // the 100-TB-boilerplate shape: docs 0 and 251 each replicated 40x
+    // byte-exact (one original in the prior batch, one in the delta),
+    // all replicas landing in the delta batch — without the collapse
+    // the within-bucket pair mass is ~40^2 per band per storm
+    val storm = td.filter(col("doc_id") === 0 || col("doc_id") === 251)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), lit(40))).as("_r"))
+      .select((col("doc_id") + col("_r") * 1000L).as("doc_id"),
+        col("text"))
+    val aug = td.unionByName(storm)
+    val prior = aug.filter(col("doc_id") < 250)
+    val delta = aug.filter(col("doc_id") >= 250)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+
+    // mechanism pin: sigCollapse names exactly one rep (the min id) per
+    // distinct full signature — each 40-replica storm collapses to one
+    // representative entering pair generation
+    val deltaSigs = Dedup.minhashSignature(delta, "text", "doc_id")
+    val grouped = Dedup.sigCollapse(deltaSigs, "doc_id", 16)
+    val stormIds = ids(storm.filter(col("doc_id") >= 250))
+    val stormReps = grouped
+      .filter(col("doc_id").isin(stormIds.toSeq.map(Long.box): _*))
+      .select("_rep").as[Long].collect().toSet
+    // doc 0's 40 replicas (1000..40000) share one rep = 1000 (min id of
+    // the group members in the delta; the PRIOR original challenges via
+    // state, not via _rep); doc 251's group includes the original 251
+    assert(stormReps === Set(1000L, 251L),
+      s"expected one min-id rep per storm, got $stormReps")
+    assert(grouped.filter(col("doc_id") === col("_rep")).count() ===
+      grouped.dropDuplicates((0 until 16).map(j => s"sig_$j")).count())
+
+    // end-to-end: salted ≡ uncapped under the storm, both batches
+    val u1 = Dedup.minhashNearDupDelta(prior, "text", "doc_id", 0.8,
+      maxBucketSize = Int.MaxValue)
+    val u2 = Dedup.minhashNearDupDelta(delta, "text", "doc_id", 0.8,
+      Some(u1.state), maxBucketSize = Int.MaxValue)
+    val s1 = Dedup.minhashNearDupDeltaSalted(prior, "text", "doc_id",
+      0.8, maxBucketSize = 2, salts = 4)
+    val s2 = Dedup.minhashNearDupDeltaSalted(delta, "text", "doc_id",
+      0.8, Some(s1.state), maxBucketSize = 2, salts = 4)
+    assert(ids(s1.kept) === ids(u1.kept))
+    assert(ids(s2.kept) === ids(u2.kept))
+    // every storm replica dies: doc 0's copies against the prior STATE,
+    // doc 251's against the within-delta min-id original
+    assert((ids(s2.kept) & stormIds).isEmpty)
+    assert(ids(s2.kept).contains(251L))
+
+    // the stored-index path collapses identically
+    graft.llm.DedupIndex.writeState(s1.state, "doc_id", "d18spec_idx")
+    val i2 = graft.llm.DedupIndex.neardupDeltaOverIndexSalted(spark,
+      "d18spec_idx", delta, "text", "doc_id", 0.8, maxBucketSize = 2,
+      salts = 4)
+    assert(ids(i2.kept) === ids(u2.kept))
+
+    // cross probe: verified pairs EXPAND back to every member — all 40
+    // replicas of bench doc 0 pair with it, not just the rep
+    graft.llm.DedupIndex.writeState(
+      Dedup.minhashSignature(td.filter(col("doc_id") < 250), "text",
+        "doc_id"), "doc_id", "d18spec_bench")
+    val pairs = graft.llm.DedupIndex.crossNeardupOverIndexSalted(spark,
+        "d18spec_bench", aug.filter(col("doc_id") >= 1000L), "text",
+        "doc_id", 0.8, maxBucketSize = 2, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val doc0Replicas = (1 to 40).map(r => (r * 1000L, 0L)).toSet
+    assert(doc0Replicas.subsetOf(pairs),
+      "every member of a collapsed probe group must inherit its rep's " +
+        "verified bench pairs")
+  }
+
   test("minhash delta: short docs pass through without signatures") {
     val s = Dedup.minhashNearDupDelta(docs((1L, "too short")), "text",
       "doc_id", 0.8)

@@ -335,11 +335,21 @@ class DurableIngestSpec extends SparkSpec {
     // every ADMITTED leak in particular carries an advisory row
     assert((kept & plantedIds).subsetOf(unscreened))
     // advisory semantics: an unscreened row never means "dropped at the
-    // fuzzy stage" — the two stages are disjoint id sets
+    // fuzzy stage" — disjoint BY CONSTRUCTION since the probe is the
+    // fuzzy stage's survivor frame (r15: a doc the capped probe dropped
+    // via a cool-bucket match while also holding a hot band must not
+    // claim "admitted without screening")
     val fuzzyDropped = ledgerCapped
       .filter($"stage" === "fuzzy_decontam")
       .select($"doc_id".cast("long")).as[Long].collect().toSet
     assert((unscreened & fuzzyDropped).isEmpty)
+    // ...and every unscreened row names a doc the fuzzy stage ADMITTED:
+    // unscreened ids all appear in the post-fuzzy frame (here: kept, or
+    // dropped by a LATER stage — with only exact dedup behind the fuzzy
+    // stage, that is kept ∪ duplicate-dropped)
+    val dupDropped = ledgerCapped.filter($"stage" === "duplicate")
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(unscreened.subsetOf(kept ++ dupDropped))
     // the salted DEFAULT has no blind spot to report: the stage is
     // absent and the planted leaks are genuinely dropped
     val (stSalted, ledgerSalted) = StreamOps.corpusIngestStepLedger(

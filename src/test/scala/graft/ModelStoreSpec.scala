@@ -50,6 +50,37 @@ class ModelStoreSpec extends SparkSpec {
     assert(b2 === 32 && w2.count() === 2)
   }
 
+  test("inventory is a PURE read: a pending publish is reported " +
+    "(present=false, next_pending=true) but NOT finalized — an ops " +
+    "query can never race a publisher by healing its swap") {
+    val dir = tmp("cls_inv")
+    ModelStore.writeClassifier(
+      Seq((0L, 1L), (3L, -2L)).toDF("bucket", "w"), 16, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // live store inventories as present with its params
+    val live = ModelStore.inventory(spark, dir).collect().head
+    assert(live.getAs[String]("artifact") === "classifier" &&
+      live.getAs[Boolean]("present") &&
+      !live.getAs[Boolean]("next_pending") &&
+      live.getAs[Int]("buckets") === 16 &&
+      live.getAs[Long]("n_rows") === 2L)
+    // simulate the crash window: model vanished, model_next holds it
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/model"),
+      new org.apache.hadoop.fs.Path(s"$dir/model_next"))
+    val pending = ModelStore.inventory(spark, dir).collect().head
+    assert(!pending.getAs[Boolean]("present") &&
+      pending.getAs[Boolean]("next_pending") &&
+      pending.getAs[Int]("buckets") === 16,
+      "a pending-only artifact must report its params read-only")
+    // the inventory did NOT heal: live still absent, next still there
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/model")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/model_next")))
+    // the model READ path keeps its healing contract
+    assert(ModelStore.readClassifier(spark, dir)._2 === 16)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/model")))
+  }
+
   test("bpe store: merge ORDER round-trips exactly (rank is the apply " +
     "order — a reorder shifts every later merge)") {
     val dir = tmp("bpe_store")

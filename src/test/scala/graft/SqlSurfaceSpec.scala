@@ -797,6 +797,65 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("graft_artifacts: the ONE-CALL union inventory discovers every " +
+    "family under one root (plus catalog near-dup indexes) with " +
+    "normalized params/watermark/torn columns") {
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.select("doc_id", "text")
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arts").toString
+    // one artifact per filesystem family, all under the root
+    graft.llm.DecontamIndex.writeBenchIndex(docs.limit(50), "text",
+      "doc_id", s"$root/dc", k = 4)
+    graft.llm.ModelStore.writeBpeMerges(spark, Seq(("a", "b")),
+      s"$root/ms")
+    val seed = graft.llm.Similarity.seedCentroids(4, 64)
+    graft.llm.AnnIndex.writeVersionedIndex(
+      graft.llm.AnnIndex.encodeIvf(emb, "vec_id", "embedding",
+        nlist = 4, centroids = Some(seed)), s"$root/annv", 1, seed)
+    graft.llm.AnnIndex.ingestIndexBatch(
+      graft.llm.AnnIndex.encodeIvf(emb, "vec_id", "embedding",
+        nlist = 4, centroids = Some(seed)), s"$root/annb", 0L)
+    // one catalog artifact
+    graft.llm.DedupIndex.writeState(
+      graft.llm.Dedup.minhashSignature(docs.limit(50), "text", "doc_id"),
+      "doc_id", "garts_nd", batchId = 7L)
+    val inv = spark.sql(s"SELECT * FROM graft_artifacts('$root')")
+      .collect().map(r => r.getAs[String]("family") -> r).toMap
+    assert(Set("ann_versioned", "ann_batched", "decontam",
+      "model_bpe_merges").subsetOf(inv.keySet))
+    assert(inv("ann_versioned").getAs[Long]("watermark") === 1L)
+    assert(inv("ann_batched").getAs[Long]("n_items") === 1L &&
+      inv("ann_batched").getAs[Long]("watermark") === 0L)
+    assert(inv("decontam").getAs[String]("params").startsWith("k=4,"))
+    assert(inv("model_bpe_merges").getAs[Long]("n_items") === 1L)
+    assert(Seq("ann_versioned", "ann_batched", "decontam",
+      "model_bpe_merges").forall(f => !inv(f).getAs[Boolean]("torn")))
+    // the catalog near-dup artifact rides along with its build params
+    val nd = spark.sql(s"SELECT * FROM graft_artifacts('$root')")
+      .filter(col("family") === "neardup_index" &&
+        col("base") === "garts_nd").collect()
+    assert(nd.length === 1)
+    assert(nd.head.getAs[String]("params") ===
+      "num_hashes=16,bands=4,k=3")
+    assert(nd.head.getAs[Long]("watermark") === 7L)
+    // a torn state surfaces: an interrupted model publish under the root
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/ms/merges"),
+      new org.apache.hadoop.fs.Path(s"$root/ms/merges_next"))
+    val torn = spark.sql(s"SELECT * FROM graft_artifacts('$root')")
+      .filter(col("family") === "model_bpe_merges").collect().head
+    assert(torn.getAs[Boolean]("torn"))
+    // matches the Scala API exactly (the TVF contract)
+    check(s"SELECT * FROM graft_artifacts('$root')",
+      graft.llm.Artifacts.inventory(spark, root))
+  }
+
   test("SQL TVF surface: artifact inventories (near-dup / decontam / " +
     "model families) and the media ingest screen equal the Scala API") {
     import spark.implicits._
