@@ -1376,6 +1376,26 @@ object GraftExtensions {
           nlist = args.lift(5).map(lit2int(_, u)).getOrElse(8),
           dims = args.lift(6).map(lit2int(_, u)).getOrElse(64)))
       },
+      "semantic_dedup_delta_salted" -> { args =>
+        val u = "usage: semantic_dedup_delta_salted('index_table', " +
+          "'batch', 'id_col', 'vec_col', min_cos[, nlist, dims, " +
+          "hot_cell_threshold, salts]) — semantic_dedup_delta with the " +
+          "salted hot-cell path and bit-identical replica collapse: " +
+          "result-identical (pure load balancing; collapse engages " +
+          "below min_cos 1.0), but a single-cell media replica storm " +
+          "spreads over `salts` reducers and pays its cell product " +
+          "once per DISTINCT vector"
+        require(args.length >= 5 && args.length <= 9, u)
+        val Seq(it, bt, ic, vc) = args.take(4).map(lit2str(_, u))
+        val s = SparkSession.active
+        plan(graft.llm.AnnIndex.semanticDedupDeltaSalted(s.table(it),
+          s.table(bt), ic, vc, lit2dbl(args(4), u),
+          nlist = args.lift(5).map(lit2int(_, u)).getOrElse(8),
+          dims = args.lift(6).map(lit2int(_, u)).getOrElse(64),
+          hotCellThreshold = args.lift(7).map(lit2int(_, u))
+            .getOrElse(graft.llm.Dedup.DefaultMaxBucketSize),
+          salts = args.lift(8).map(lit2int(_, u)).getOrElse(8)))
+      },
       "media_features" -> { args =>
         val u = "usage: media_features('docs_table') — the multimodal " +
           "decode pipeline as SQL: one typed feature row per media " +

@@ -445,7 +445,22 @@ object AnnIndex {
     * within-cell pair exactly once, so this is pure load-balancing with
     * no recall trade — unlike the text gate's capped/salted choice.
     * The hot list costs two cell-keyed counts (≤ nlist rows each, so
-    * the broadcasts are codebook-scale by construction). */
+    * the broadcasts are codebook-scale by construction).
+    *
+    * BIT-IDENTICAL REPLICA COLLAPSE (the [[Dedup.sigCollapse]] idea in
+    * vector space): batch rows carrying the identical vector — a media
+    * replica storm after [[graft.llm.Multimodal.featureVector]] — are
+    * grouped to one representative before the screens; members are
+    * flagged against their smaller-id rep directly (cosine of a vector
+    * with itself), so a 10k-replica storm cell pays the cell product
+    * once, not 10k times. Lossless because cosine is a pure function of
+    * the vectors: a member's challenge BY or AGAINST anything equals
+    * its rep's. Two guarded edges: zero vectors never collapse (their
+    * self-cosine is 0/0), and the collapse only engages when
+    * `minCos <= 1 - 1e-12` — self-cosine computes as
+    * `n/(sqrt(n)*sqrt(n))`, which may round one ulp BELOW 1.0, so an
+    * exact-1.0 threshold keeps the uncollapsed path rather than risk
+    * flagging a member the plain screen would keep. */
   def semanticDedupDeltaSalted(index: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, minCos: Double, nlist: Int = 8,
       dims: Int = 64,
@@ -458,29 +473,44 @@ object AnnIndex {
     val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
     require(cents.size == nlist && cents.forall(_.size == dims),
       s"centroids must be a $nlist x $dims codebook")
-    // cut: the assigned batch feeds the hot count, four carve-outs, and
-    // the survivor anti-join
-    val assigned = graft.operators.Lineage.cut(Similarity.assignCells(
-      batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
-      "_v", cents))
+    val collapse = minCos <= 1.0 - 1e-12
+    // cut: the annotated batch feeds the hot count, four carve-outs,
+    // the member list, and the survivor anti-join
+    val assigned = graft.operators.Lineage.cut {
+      val a = Similarity.assignCells(
+        batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+        "_v", cents)
+      if (!collapse) a.withColumn("_rep", col("_id"))
+      else a.withColumn("_rep",
+        when(exists(col("_v"), x => x =!= lit(0.0)),
+          min(col("_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_v"))))
+          .otherwise(col("_id")))
+    }
+    val dupMembers = assigned.filter(col("_id") =!= col("_rep"))
+      .select(col("_id"))
+    val reps = assigned.filter(col("_id") === col("_rep"))
     val stored = index.select(col(vecCol).as("_sv"),
       col("cell").cast("int").as("_cell"))
     // union-rule hot list as a JOIN of per-side counts (the DedupIndex
     // shape — the index-sized stored rows are never unioned into a
-    // re-shuffle; counting `_cell` alone column-prunes the vector read)
+    // re-shuffle; counting `_cell` alone column-prunes the vector read).
+    // Counts run over REPS: the screens below only see reps, so hot is
+    // a routing decision about rep mass.
+    val repRows = reps.select(col("_id"), col("_v"), col("_cell"))
     val hot = graft.operators.Lineage.cut(
-      assigned.groupBy("_cell").agg(count(lit(1)).as("_bc"))
+      repRows.groupBy("_cell").agg(count(lit(1)).as("_bc"))
         .join(stored.groupBy("_cell").agg(count(lit(1)).as("_sc")),
           Seq("_cell"), "full_outer")
         .filter(coalesce(col("_bc"), lit(0L)) +
           coalesce(col("_sc"), lit(0L)) > hotCellThreshold)
         .select("_cell"))
-    val aCold = assigned.join(broadcast(hot), Seq("_cell"), "left_anti")
-    val aHot = assigned.join(broadcast(hot), Seq("_cell"), "left_semi")
+    val aCold = repRows.join(broadcast(hot), Seq("_cell"), "left_anti")
+    val aHot = repRows.join(broadcast(hot), Seq("_cell"), "left_semi")
     val sCold = stored.join(broadcast(hot), Seq("_cell"), "left_anti")
     val sHot = stored.join(broadcast(hot), Seq("_cell"), "left_semi")
     // a cell is hot or cold as a whole, so cold×cold ∪ salted hot×hot
-    // covers every within-cell pair exactly once on both screens
+    // covers every within-cell (rep) pair exactly once on both screens
     val crossHit = aCold.join(sCold, Seq("_cell"))
       .unionByName(graft.operators.SkewJoin.saltedJoin(
         aHot, sHot, Seq("_cell"), col("_id"), salts))
@@ -494,8 +524,14 @@ object AnnIndex {
       .filter(col("_nid") < col("_id"))
       .filter(Similarity.cosine(col("_v"), col("_nv")) >= minCos)
       .select(col("_id")).distinct()
-    batch.join(crossHit.unionByName(withinHit).distinct()
-        .select(col("_id").as(idCol)),
+    // members are flagged unconditionally: their smaller-id rep
+    // challenges them with the self-cosine of a nonzero vector, which
+    // is >= 1 - 1ulp — and the collapse only engaged because
+    // minCos <= 1 - 1e-12, strictly below that
+    val flagged = crossHit.unionByName(withinHit)
+      .unionByName(dupMembers)
+      .distinct()
+    batch.join(flagged.select(col("_id").as(idCol)),
       Seq(idCol), "left_anti")
   }
 

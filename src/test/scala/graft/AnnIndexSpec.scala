@@ -461,6 +461,13 @@ class AnnIndexSpec extends SparkSpec {
     // salts = 1 degenerates to the plain join; still exact
     assert(kept(AnnIndex.semanticDedupDeltaSalted(idx, batch, "vec_id",
       "embedding", 0.99, hotCellThreshold = 10, salts = 1)) === plain)
+    // an exact-1.0 threshold DISENGAGES the vector collapse (identical
+    // vectors self-cosine as n/(sqrt(n)*sqrt(n)), possibly one ulp
+    // below 1.0) — the salted screen must still equal the plain one
+    assert(kept(AnnIndex.semanticDedupDeltaSalted(idx, batch, "vec_id",
+        "embedding", 1.0, hotCellThreshold = 10, salts = 4)) ===
+      kept(AnnIndex.semanticDedupDelta(idx, batch, "vec_id",
+        "embedding", 1.0)))
     // the balance pin: SkewJoin salts the batch side by hash(_id), so
     // the storm's 60 rows spread across the salt buckets instead of one
     // reducer paying the cell alone (deterministic — Murmur3, fixed

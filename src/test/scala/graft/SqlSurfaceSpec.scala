@@ -720,6 +720,19 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.AnnIndex.semanticDedupDelta(
           graft.llm.AnnIndex.readIndex(spark, semDir), semBatch,
           "vec_id", "embedding", 0.99))
+      // the salted + replica-collapsed variant: TVF ≡ Scala, and the
+      // result ≡ the plain screen (pure load balancing)
+      check("SELECT * FROM semantic_dedup_delta_salted('tvf7_sem_idx', " +
+          "'tvf7_sem_batch', 'vec_id', 'embedding', 0.99, 8, 64, 5, 4)",
+        graft.llm.AnnIndex.semanticDedupDeltaSalted(
+          graft.llm.AnnIndex.readIndex(spark, semDir), semBatch,
+          "vec_id", "embedding", 0.99, hotCellThreshold = 5, salts = 4))
+      assert(canon(spark.sql(
+          "SELECT * FROM semantic_dedup_delta_salted('tvf7_sem_idx', " +
+          "'tvf7_sem_batch', 'vec_id', 'embedding', 0.99, 8, 64, 5, 4)"))
+        === canon(spark.sql(
+          "SELECT * FROM semantic_dedup_delta('tvf7_sem_idx', " +
+          "'tvf7_sem_batch', 'vec_id', 'embedding', 0.99)")))
       // the z-order key TVF equals the Column-algebra operator
       check("SELECT * FROM zorder_key('tvf7_q', 'vec_id', 'label', 4)",
         q.withColumn("zkey", graft.operators.ZOrder.mortonCode(
