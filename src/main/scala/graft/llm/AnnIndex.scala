@@ -473,20 +473,16 @@ object AnnIndex {
     val cents = centroids.getOrElse(Similarity.seedCentroids(nlist, dims))
     require(cents.size == nlist && cents.forall(_.size == dims),
       s"centroids must be a $nlist x $dims codebook")
-    val collapse = minCos <= 1.0 - 1e-12
     // cut: the annotated batch feeds the hot count, four carve-outs,
-    // the member list, and the survivor anti-join
-    val assigned = graft.operators.Lineage.cut {
-      val a = Similarity.assignCells(
-        batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
-        "_v", cents)
-      if (!collapse) a.withColumn("_rep", col("_id"))
-      else a.withColumn("_rep",
-        when(exists(col("_v"), x => x =!= lit(0.0)),
-          min(col("_id")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("_v"))))
-          .otherwise(col("_id")))
-    }
+    // the member list, and the survivor anti-join. The replica-collapse
+    // annotation (and its zero-vector / exact-1.0 guards) is
+    // Similarity.annotateVecReps — ONE definition with semanticDedup.
+    val assigned = graft.operators.Lineage.cut(
+      Similarity.annotateVecReps(
+        Similarity.assignCells(
+          batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+          "_v", cents),
+        minCos))
     val dupMembers = assigned.filter(col("_id") =!= col("_rep"))
       .select(col("_id"))
     val reps = assigned.filter(col("_id") === col("_rep"))

@@ -30,13 +30,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Detection is by LAYOUT SIGNATURE, the same markers the readers key
   * on: `LATEST`/`v<N>` (versioned ANN), `_applied`/`batches`/`folds`
-  * (batched ANN), `meta` + `grams`/`bloom.bin` (decontam),
+  * (batched ANN), `meta`/`meta_next` + `grams`/`bloom.bin` (decontam),
   * `model`/`merges` (+`_next`) (model store) — one filesystem listing of
-  * `rootDir` and each direct child, no parquet opened except the
-  * family inventories' own metadata reads. Near-dup indexes live in the
-  * CATALOG, not under a path, so they are discovered by table-name
-  * signature (`<base>_sigs` + `<base>_bands`) across the session
-  * catalog's current database. Listing-scale by construction. */
+  * `rootDir` and each direct child, no parquet opened except metadata
+  * rows. PURE READ throughout (the [[ModelStore.inventory]]
+  * discipline): pending `_next` swaps are REPORTED as torn, never
+  * finalized — the versioned-ANN live pointer and a pending decontam
+  * meta are read read-only rather than through the healing read paths,
+  * so a monitoring query can never finish a racing publisher's swap.
+  * Near-dup indexes live in the CATALOG, not under a path, so they are
+  * discovered by table-name signature (`<base>_sigs` + `<base>_bands`)
+  * across the session catalog's current database. Listing-scale by
+  * construction. */
 object Artifacts {
 
   def inventory(spark: SparkSession, rootDir: String): DataFrame = {
@@ -67,15 +72,29 @@ object Artifacts {
         names.exists(_.matches("^v\\d+$"))
       val isBatched = names.contains("_applied") ||
         names.contains("batches") || names.contains("folds")
-      val isDecontam = names.contains("meta") &&
+      val hasDecontamMeta = names.contains("meta")
+      val isDecontam = (hasDecontamMeta || names.contains("meta_next")) &&
         (names.contains("grams") || names.contains("bloom.bin"))
       if (isVersioned) {
-        val gens = AnnIndex.listGenerations(spark, dir)
-        val live = gens.collectFirst { case (v, true, _, _) => v.toLong }
-        rows += (("ann_versioned", dir, None, Some(gens.size.toLong),
-          live,
-          gens.exists { case (_, _, d, c) => d != c } ||
-            names.contains("LATEST_next")))
+        // PURE liveness read: listGenerations delegates to
+        // latestVersion, which HEALS a pending LATEST_next by renaming
+        // it live — fine for the serving read path, wrong for an
+        // inventory (a monitoring query must never finish a racing
+        // publisher's swap — the ModelStore.inventory discipline). The
+        // pointer is read read-only from whichever side exists.
+        def ptr(name: String): Option[Long] =
+          if (!names.contains(name)) None
+          else scala.util.Try(spark.read.parquet(s"$dir/$name")
+            .select("version").head().getInt(0).toLong).toOption
+        val Gen = "^v(\\d+)$".r
+        val Cb = "^centroids_v(\\d+)$".r
+        val data = names.collect { case Gen(n) => n.toInt }.toSet
+        val cbs = names.collect { case Cb(n) => n.toInt }.toSet
+        val nextPending = names.contains("LATEST_next")
+        rows += (("ann_versioned", dir, None,
+          Some((data ++ cbs).size.toLong),
+          ptr("LATEST").orElse(ptr("LATEST_next")),
+          (data ++ cbs).exists(v => data(v) != cbs(v)) || nextPending))
       }
       if (isBatched) {
         val bs = AnnIndex.listBatches(spark, dir)
@@ -85,10 +104,24 @@ object Artifacts {
           bs.exists(b => b._3 != b._4)))
       }
       if (isDecontam) {
-        val r = DecontamIndex.inventory(spark, dir).head()
-        rows += (("decontam", dir,
-          Some(s"k=${r.getInt(1)},fpp=${r.getDouble(2)}"),
-          Some(r.getLong(4)), None, r.getBoolean(7)))
+        if (hasDecontamMeta) {
+          // live meta: the family inventory is already a pure read here
+          // (its heal path only fires when meta is absent)
+          val r = DecontamIndex.inventory(spark, dir).head()
+          rows += (("decontam", dir,
+            Some(s"k=${r.getInt(1)},fpp=${r.getDouble(2)}"),
+            Some(r.getLong(4)), None, r.getBoolean(7)))
+        } else {
+          // meta_next-only = an interrupted metadata swap: the family
+          // read path would heal it; an inventory reports it torn with
+          // params read read-only from the pending side instead
+          val m = scala.util.Try(spark.read.parquet(s"$dir/meta_next")
+            .select("k", "fpp", "expected_grams", "n_grams").head())
+            .toOption
+          rows += (("decontam", dir,
+            m.map(r => s"k=${r.getInt(0)},fpp=${r.getDouble(1)}"),
+            m.map(_.getLong(3)), None, true))
+        }
       }
       if (names.exists(n => n == "model" || n == "model_next" ||
           n == "merges" || n == "merges_next")) {

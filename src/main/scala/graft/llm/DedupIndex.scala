@@ -66,7 +66,18 @@ object DedupIndex {
     * [[Dedup.minhashSignature]] of a standing corpus). Replaces any
     * prior index under `base`. Rows carry `_ib = batchId` ingest
     * provenance (−1 for a batch-less base load) — what lets a streaming
-    * replay probe the exact pre-append view ([[ingestBatchOverIndex]]). */
+    * replay probe the exact pre-append view ([[ingestBatchOverIndex]]).
+    *
+    * Stored-side replica note: the r15 collapse de-duplicates the
+    * DELTA/PROBE side of every salted probe by signature, and indexes
+    * grown through the delta chains cannot accumulate
+    * signature-identical rows (each batch keeps one representative) —
+    * but a base load of a corpus that was never exact-deduped CAN, and
+    * every later probe then pays one challenge per stored replica
+    * (collapsing the stored side at probe time would cost a
+    * corpus-wide shuffle per batch, which is worse). Run
+    * [[Dedup.exactDedup]]/[[Dedup.canonicalDedup]] before signing a
+    * standing corpus — the pipeline composition does this anyway. */
   def writeState(sigs: DataFrame, idCol: String, base: String,
       numHashes: Int = 16, bands: Int = 4, nBuckets: Int = 8,
       batchId: Long = -1L, k: Int = 3): Unit = {

@@ -147,22 +147,39 @@ object ModelStore {
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
     val rows = Seq.newBuilder[
       (String, Boolean, Boolean, Option[Int], Option[Long])]
-    // capture fs state ONCE up front: the flags reported are the flags
-    // the param reads below were taken under
-    val (modelLive, modelNext) = (ex("model"), ex("model_next"))
-    val (mergesLive, mergesNext) = (ex("merges"), ex("merges_next"))
-    if (modelLive || modelNext) {
-      val root = s"$dir/${if (modelLive) "model" else "model_next"}"
-      val buckets = spark.read.parquet(s"$root/meta")
-        .select(col("buckets").cast("int")).head().getInt(0)
-      val n = spark.read.parquet(s"$root/weights").count()
-      rows += (("classifier", modelLive, modelNext, Some(buckets),
-        Some(n)))
+    // capture fs state per attempt, then read params from whichever
+    // side the capture saw. A racing publisher can move the artifact
+    // between the capture and the read (its swapDir delete+rename) —
+    // the read then fails and ONE retry recaptures: artifacts are
+    // replaced whole, so whichever side the retry sees is a consistent
+    // answer (the latestVersion retry discipline, still heal-free).
+    def readArtifact(liveName: String)(
+        read: String => (Option[Int], Long))
+        : Option[(Boolean, Boolean, Option[Int], Long)] = {
+      def attempt(): Option[(Boolean, Boolean, Option[Int], Long)] = {
+        val (lv, nx) = (ex(liveName), ex(s"${liveName}_next"))
+        if (!lv && !nx) None
+        else {
+          val (buckets, n) =
+            read(s"$dir/${if (lv) liveName else s"${liveName}_next"}")
+          Some((lv, nx, buckets, n))
+        }
+      }
+      try attempt() catch {
+        case scala.util.control.NonFatal(_) => attempt()
+      }
     }
-    if (mergesLive || mergesNext) {
-      val root = s"$dir/${if (mergesLive) "merges" else "merges_next"}"
-      val n = spark.read.parquet(root).count()
-      rows += (("bpe_merges", mergesLive, mergesNext, None, Some(n)))
+    readArtifact("model") { root =>
+      (Some(spark.read.parquet(s"$root/meta")
+          .select(col("buckets").cast("int")).head().getInt(0)),
+        spark.read.parquet(s"$root/weights").count())
+    }.foreach { case (lv, nx, buckets, n) =>
+      rows += (("classifier", lv, nx, buckets, Some(n)))
+    }
+    readArtifact("merges") { root =>
+      (None, spark.read.parquet(root).count())
+    }.foreach { case (lv, nx, _, n) =>
+      rows += (("bpe_merges", lv, nx, None, Some(n)))
     }
     rows.result()
       .toDF("artifact", "present", "next_pending", "buckets", "n_rows")

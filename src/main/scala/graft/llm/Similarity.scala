@@ -310,6 +310,32 @@ object Similarity {
         (array_position(col("_ps"), array_max(col("_ps"))) - 1).cast("int"))
       .drop("_ps")
 
+  /** BIT-IDENTICAL vector replica collapse — [[Dedup.sigCollapse]]'s
+    * idea in vector space, THE one definition shared by
+    * [[semanticDedup]] and [[AnnIndex.semanticDedupDeltaSalted]] (two
+    * hand-maintained copies of the guards below would drift): annotate
+    * a frame carrying `_id`/`_v` columns with `_rep` = the minimum id
+    * among rows with the IDENTICAL vector. Lossless downstream because
+    * cosine is a pure function of the vectors — a member's challenge BY
+    * or AGAINST anything equals its rep's, and its rep challenges it at
+    * self-cosine ≥ 1 − 1ulp. Two guarded edges, encoded HERE so every
+    * caller inherits them:
+    *  - zero vectors never collapse (their self-cosine is 0/0 = NaN,
+    *    which never passes a `>=` filter);
+    *  - the collapse DISENGAGES (`_rep = _id` for every row) when
+    *    `minCos > 1 − 1e-12`: self-cosine computes as n/(√n·√n), which
+    *    may round one ulp BELOW 1.0, so an exact-1.0 threshold keeps
+    *    the uncollapsed path rather than risk flagging a member the
+    *    plain screen would keep.
+    * One window exchange on the vector column — batch-sized. */
+  private[graft] def annotateVecReps(assigned: DataFrame,
+      minCos: Double): DataFrame =
+    if (minCos > 1.0 - 1e-12) assigned.withColumn("_rep", col("_id"))
+    else assigned.withColumn("_rep",
+      when(exists(col("_v"), x => x =!= lit(0.0)),
+        min(col("_id")).over(Window.partitionBy(col("_v"))))
+        .otherwise(col("_id")))
+
   /** Semantic (embedding-space) dedup, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the deterministic IVF
     * quantizer, then WITHIN each cell flag every vector that has a
@@ -337,18 +363,42 @@ object Similarity {
     val cents = centroids.getOrElse(seedCentroids(nlist, dims))
     require(cents.forall(_.size == dims),
       s"centroids must be $dims-dimensional")
+    // BIT-IDENTICAL REPLICA COLLAPSE (the near-dup sigCollapse idea in
+    // vector space, r15 — [[annotateVecReps]]): rows carrying the
+    // identical vector group to one representative before the cell
+    // self-join, and members derive their output row-locally — dropped
+    // with kept_id = (rep's kept_id if the rep dropped, else the rep
+    // id). OUTPUT-EXACT: cosine is a pure function of the vectors,
+    // identical vectors share a cell, the rep is its group's minimum
+    // id, and any qualifying non-rep neighbor implies its own
+    // smaller-id rep qualifies — so the min over reps IS the min over
+    // all rows.
     // cut: the assigned frame is both sides of the cell self-join —
     // without it the matvec assignment recomputes per side
-    val cells = graft.operators.Lineage.cut(assignCells(
-      df.select(col(idCol).as("_id"), col(vecCol).as("_v")), "_v", cents))
-    val a = cells.select(col("_id").as("dropped_id"), col("_v").as("_va"),
+    val cells = graft.operators.Lineage.cut(annotateVecReps(
+      assignCells(
+        df.select(col(idCol).as("_id"), col(vecCol).as("_v")), "_v",
+        cents),
+      minCos))
+    val reps = cells.filter(col("_id") === col("_rep"))
+    val a = reps.select(col("_id").as("dropped_id"), col("_v").as("_va"),
       col("_cell"))
-    val b = cells.select(col("_id").as("_nid"), col("_v").as("_vb"),
+    val b = reps.select(col("_id").as("_nid"), col("_v").as("_vb"),
       col("_cell"))
-    a.join(b, Seq("_cell"))
+    val repDrops = a.join(b, Seq("_cell"))
       .filter(col("_nid") < col("dropped_id"))
       .filter(cosine(col("_va"), col("_vb")) >= minCos)
       .groupBy("dropped_id").agg(min(col("_nid")).as("kept_id"))
+    // members drop unconditionally (their rep qualifies at self-cosine
+    // >= 1 - 1ulp, and the collapse only engaged strictly below that);
+    // their lowest qualifying neighbor is the rep's — or the rep itself
+    val memberDrops = cells.filter(col("_id") =!= col("_rep"))
+      .select(col("_id").as("dropped_id"), col("_rep"))
+      .join(repDrops.select(col("dropped_id").as("_rep"),
+        col("kept_id").as("_rk")), Seq("_rep"), "left")
+      .select(col("dropped_id"),
+        coalesce(col("_rk"), col("_rep")).as("kept_id"))
+    repDrops.unionByName(memberDrops)
   }
 
   /** Embedding-space outlier flagging: per IVF cell, the `bottomK`

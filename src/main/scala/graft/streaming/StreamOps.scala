@@ -319,10 +319,12 @@ object StreamOps {
     * docs the capped probe ADMITTED without full fuzzy screening (they
     * survived the fuzzy stage while holding a band in a bucket the cap
     * dropped; a later stage may still drop such a doc for its own
-    * reason). Probing the fuzzy-stage survivors keeps the two fuzzy
-    * stages disjoint by construction: a doc the capped probe dropped
-    * via a cool-bucket match never also claims "admitted without
-    * screening". The observability layer a
+    * reason). Bucket hotness is judged over the SAME frame the capped
+    * probe screened, and the rows restrict to fuzzy-stage survivors —
+    * so the flagged set is exactly "admitted AND under-screened", and
+    * `fuzzy_unscreened ∩ fuzzy_decontam = ∅` by construction: a doc
+    * the capped probe dropped via a cool-bucket match never also
+    * claims "admitted without screening". The observability layer a
     * production ingest needs: "why did 40% of this crawl vanish?" is
     * answered per document, per stage, instead of by diffing counts.
     *
@@ -565,21 +567,25 @@ object StreamOps {
       // "dropped here": the row means "the fuzzy gate ADMITTED this doc
       // without fully screening it" (a later stage may still drop it
       // for its own reason), so capped screening is observable instead
-      // of silent. The probe is `fuzzyClean` — the fuzzy stage's
-      // SURVIVORS — not the pre-fuzzy frame: a doc the capped probe
-      // dropped via a cool-bucket verified match was screened enough to
-      // die and must not ALSO claim "admitted without screening"
-      // (`fuzzy_unscreened ∩ fuzzy_decontam = ∅` by construction), and
-      // dropped docs are not re-signatured, so the survivor probe is
-      // also strictly cheaper. Salted path: the stage never appears
-      // (there is no blind spot to report).
+      // of silent. Two requirements meet here: the blind-spot probe
+      // must re-count band buckets over `clean` — the SAME frame the
+      // capped probe actually screened, so its hot list is the hot list
+      // that lost pairs (counting over the survivors would under-count
+      // a bucket whose members the fuzzy stage partially dropped and
+      // silently un-flag the rest) — while the emitted rows restrict to
+      // `fuzzyClean` survivors, because a doc the capped probe dropped
+      // via a cool-bucket verified match was screened enough to die and
+      // must not ALSO claim "admitted without screening"
+      // (`fuzzy_unscreened ∩ fuzzy_decontam = ∅` by construction).
+      // Salted path: the stage never appears (no blind spot to report).
       val ledger =
         if (fuzzySalted || fuzzyDecontamIndex.isEmpty) dropLedger
         else dropLedger.unionByName(
           graft.llm.DedupIndex.crossNeardupUnscreenedIds(
-            fuzzyClean.sparkSession, fuzzyDecontamIndex.get, fuzzyClean,
+            clean.sparkSession, fuzzyDecontamIndex.get, clean,
             textCol, idCol, fuzzyNumHashes, fuzzyBands,
             maxBucketSize = fuzzyMaxBucket)
+          .join(fuzzyClean.select(col(idCol)), Seq(idCol), "left_semi")
           .withColumn("stage", lit("fuzzy_unscreened")))
       (DeltaState(kept, out.state), ledger)
     }

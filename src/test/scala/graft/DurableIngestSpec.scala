@@ -350,6 +350,16 @@ class DurableIngestSpec extends SparkSpec {
     val dupDropped = ledgerCapped.filter($"stage" === "duplicate")
       .select($"doc_id".cast("long")).as[Long].collect().toSet
     assert(unscreened.subsetOf(kept ++ dupDropped))
+    // the count-frame pin (r15): bucket hotness is judged over the SAME
+    // frame the capped probe screened (here: the batch — no earlier
+    // gate engaged), restricted to fuzzy survivors. Counting over the
+    // survivors instead would under-flag any bucket the fuzzy stage
+    // partially drained below the cap.
+    val expected = graft.llm.DedupIndex.crossNeardupUnscreenedIds(
+        spark, "fzu_idx", batch, "text", "doc_id", maxBucketSize = 2)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet &
+      (kept ++ dupDropped)
+    assert(unscreened === expected)
     // the salted DEFAULT has no blind spot to report: the stage is
     // absent and the planted leaks are genuinely dropped
     val (stSalted, ledgerSalted) = StreamOps.corpusIngestStepLedger(
