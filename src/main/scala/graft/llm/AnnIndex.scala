@@ -501,22 +501,36 @@ object AnnIndex {
         .filter(coalesce(col("_bc"), lit(0L)) +
           coalesce(col("_sc"), lit(0L)) > hotCellThreshold)
         .select("_cell"))
-    val aCold = repRows.join(broadcast(hot), Seq("_cell"), "left_anti")
-    val aHot = repRows.join(broadcast(hot), Seq("_cell"), "left_semi")
-    val sCold = stored.join(broadcast(hot), Seq("_cell"), "left_anti")
-    val sHot = stored.join(broadcast(hot), Seq("_cell"), "left_semi")
-    // a cell is hot or cold as a whole, so cold×cold ∪ salted hot×hot
-    // covers every within-cell (rep) pair exactly once on both screens
-    val crossHit = aCold.join(sCold, Seq("_cell"))
-      .unionByName(graft.operators.SkewJoin.saltedJoin(
-        aHot, sHot, Seq("_cell"), col("_id"), salts))
-      .filter(Similarity.cosine(col("_v"), col("_sv")) >= minCos)
-      .select(col("_id")).distinct()
+    // NO-SKEW SHORT-CIRCUIT: the hot list is checkpointed and at most
+    // nlist rows, so the emptiness probe is free — and with no hot cell
+    // the carve-outs are identities, so the plain two-join screen (the
+    // r14 shape) replaces the four-way carve-out ∪ salted-union plan.
+    // At certification scale this is the common case; the salted plan
+    // only materializes when a storm actually exists to spread.
     def n(df: DataFrame) = df.select(col("_id").as("_nid"),
       col("_v").as("_nv"), col("_cell"))
-    val withinHit = aCold.join(n(aCold), Seq("_cell"))
-      .unionByName(graft.operators.SkewJoin.saltedJoin(
-        aHot, n(aHot), Seq("_cell"), col("_id"), salts))
+    val (crossBase, withinBase) =
+      if (hot.isEmpty)
+        (repRows.join(stored, Seq("_cell")),
+          repRows.join(n(repRows), Seq("_cell")))
+      else {
+        val aCold = repRows.join(broadcast(hot), Seq("_cell"), "left_anti")
+        val aHot = repRows.join(broadcast(hot), Seq("_cell"), "left_semi")
+        val sCold = stored.join(broadcast(hot), Seq("_cell"), "left_anti")
+        val sHot = stored.join(broadcast(hot), Seq("_cell"), "left_semi")
+        // a cell is hot or cold as a whole, so cold×cold ∪ salted
+        // hot×hot covers every within-cell (rep) pair exactly once
+        (aCold.join(sCold, Seq("_cell"))
+          .unionByName(graft.operators.SkewJoin.saltedJoin(
+            aHot, sHot, Seq("_cell"), col("_id"), salts)),
+          aCold.join(n(aCold), Seq("_cell"))
+            .unionByName(graft.operators.SkewJoin.saltedJoin(
+              aHot, n(aHot), Seq("_cell"), col("_id"), salts)))
+      }
+    val crossHit = crossBase
+      .filter(Similarity.cosine(col("_v"), col("_sv")) >= minCos)
+      .select(col("_id")).distinct()
+    val withinHit = withinBase
       .filter(col("_nid") < col("_id"))
       .filter(Similarity.cosine(col("_v"), col("_nv")) >= minCos)
       .select(col("_id")).distinct()

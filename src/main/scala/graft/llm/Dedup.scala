@@ -1071,9 +1071,10 @@ object Dedup {
     // replica collapse: members (id ≠ rep) are flagged unconditionally
     // — their smaller-id rep challenges them at matchFrac 1 — and only
     // REPRESENTATIVE signatures enter the band/pair machinery below.
-    // cut: grouped feeds the member list and the rep signatures.
-    val grouped = graft.operators.Lineage.cut(
-      sigCollapse(deltaSigs, idCol, numHashes))
+    // persist (not cut — a checkpoint would copy the batch to disk for
+    // a frame every consumer drains before this function returns):
+    // grouped feeds the member list and the rep signatures.
+    val grouped = sigCollapse(deltaSigs, idCol, numHashes).persist()
     val dupMembers = grouped.filter(col(idCol) =!= col("_rep"))
       .select(col(idCol))
     val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
@@ -1124,7 +1125,7 @@ object Dedup {
     val keptSigs = deltaSigs.join(flagged, Seq(idCol), "left_anti")
       .transform(graft.operators.Lineage.cut)
     val state = priorSigs.map(_.unionByName(keptSigs)).getOrElse(keptSigs)
-    deltaSigs.unpersist()
+    deltaSigs.unpersist(); grouped.unpersist()
     DeltaState(kept, state)
   }
 

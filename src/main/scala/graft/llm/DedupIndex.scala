@@ -385,9 +385,10 @@ object DedupIndex {
     val deltaSigs = Dedup
       .minhashSignature(newDocs, textCol, idCol, numHashes, k).persist()
     // replica collapse (see Dedup.sigCollapse): reps into the machinery,
-    // members flagged directly below
-    val grouped = graft.operators.Lineage.cut(
-      Dedup.sigCollapse(deltaSigs, idCol, numHashes))
+    // members flagged directly below. persist, not cut — every consumer
+    // drains before return (the deltaSigs discipline)
+    val grouped = Dedup.sigCollapse(deltaSigs, idCol, numHashes)
+      .persist()
     val dupMembers = grouped.filter(col(idCol) =!= col("_rep"))
       .select(col(idCol))
     val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
@@ -444,7 +445,7 @@ object DedupIndex {
     val kept = newDocs.join(flagged, Seq(idCol), "left_anti")
     val keptSigs = deltaSigs.join(flagged, Seq(idCol), "left_anti")
       .transform(graft.operators.Lineage.cut)
-    deltaSigs.unpersist(); deltaBands.unpersist()
+    deltaSigs.unpersist(); deltaBands.unpersist(); grouped.unpersist()
     Dedup.DeltaState(kept, keptSigs)
   }
 
@@ -528,9 +529,11 @@ object DedupIndex {
     requireBuildParams(spark, base, numHashes, bands, Some(k))
     val probeSigs = Dedup
       .minhashSignature(probe, textCol, idCol, numHashes, k).persist()
-    // replica collapse: reps probe, members inherit (expansion below)
-    val grouped = graft.operators.Lineage.cut(
-      Dedup.sigCollapse(probeSigs, idCol, numHashes))
+    // replica collapse: reps probe, members inherit (expansion below).
+    // persist, not cut — the final expansion is materialized before the
+    // release, so no consumer outlives the cache
+    val grouped = Dedup.sigCollapse(probeSigs, idCol, numHashes)
+      .persist()
     val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
     val probeBands = bandTable(repSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bkey")).persist()
@@ -566,7 +569,7 @@ object DedupIndex {
       repPairs.select(col(idCol).as("_rep"), col("bench_id"))
         .join(grouped.select(col(idCol), col("_rep")), Seq("_rep"))
         .select(col(idCol), col("bench_id")))
-    probeSigs.unpersist(); probeBands.unpersist()
+    probeSigs.unpersist(); probeBands.unpersist(); grouped.unpersist()
     out
   }
 
