@@ -1278,19 +1278,21 @@ object GraftExtensions {
           lit2str(args(0), u)))
       },
       "graft_artifacts" -> { args =>
-        val u = "usage: graft_artifacts('root_dir') — the ONE-CALL " +
-          "inventory across every artifact family: one row (family, " +
-          "base, params, n_items, watermark, torn) per artifact found " +
-          "under root_dir (versioned/batched ANN indexes, decontam, " +
-          "model stores — detected by layout signature, root and one " +
-          "level deep) plus every near-dup index in the session " +
-          "catalog. torn = in-flight/crashed swap state; drill down " +
-          "with the family inventory TVFs (neardup_inventory, " +
-          "ivf_generations, ivf_batches, decontam_inventory, " +
-          "model_inventory)"
-        require(args.length == 1, u)
+        val u = "usage: graft_artifacts('root_dir'[, max_depth]) — the " +
+          "ONE-CALL inventory across every artifact family: one row " +
+          "(family, base, params, n_items, watermark, torn) per " +
+          "artifact found under root_dir (versioned/batched ANN " +
+          "indexes, decontam, model stores — detected by layout " +
+          "signature, walked max_depth levels deep, default 1; the " +
+          "walk never descends INTO a recognized artifact) plus every " +
+          "near-dup index in the session catalog. torn = " +
+          "in-flight/crashed swap state; drill down with the family " +
+          "inventory TVFs (neardup_inventory, ivf_generations, " +
+          "ivf_batches, decontam_inventory, model_inventory)"
+        require(args.length == 1 || args.length == 2, u)
         plan(graft.llm.Artifacts.inventory(SparkSession.active,
-          lit2str(args(0), u)))
+          lit2str(args(0), u),
+          args.lift(1).map(lit2int(_, u)).getOrElse(1)))
       },
       "ivf_versioned_build" -> { args =>
         val u = "usage: ivf_versioned_build('corpus', 'id_col', " +

@@ -455,12 +455,15 @@ object AnnIndex {
     * with itself), so a 10k-replica storm cell pays the cell product
     * once, not 10k times. Lossless because cosine is a pure function of
     * the vectors: a member's challenge BY or AGAINST anything equals
-    * its rep's. Two guarded edges: zero vectors never collapse (their
-    * self-cosine is 0/0), and the collapse only engages when
+    * its rep's. One guarded edge: the collapse only engages when
     * `minCos <= 1 - 1e-12` — self-cosine computes as
     * `n/(sqrt(n)*sqrt(n))`, which may round one ulp BELOW 1.0, so an
     * exact-1.0 threshold keeps the uncollapsed path rather than risk
-    * flagging a member the plain screen would keep. */
+    * flagging a member the plain screen would keep. (Degenerate
+    * vectors — zero/NaN/Inf/under- or overflowing norms — self-cosine
+    * as NaN, which Spark's NaN-is-greatest ordering passes through
+    * `>= minCos` in the plain screen too; see
+    * [[Similarity.annotateVecReps]].) */
   def semanticDedupDeltaSalted(index: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, minCos: Double, nlist: Int = 8,
       dims: Int = 64,
@@ -535,9 +538,10 @@ object AnnIndex {
       .filter(Similarity.cosine(col("_v"), col("_nv")) >= minCos)
       .select(col("_id")).distinct()
     // members are flagged unconditionally: their smaller-id rep
-    // challenges them with the self-cosine of a nonzero vector, which
-    // is >= 1 - 1ulp — and the collapse only engaged because
-    // minCos <= 1 - 1e-12, strictly below that
+    // challenges them at self-cosine >= 1 - 1ulp (finite nonzero
+    // vectors — the collapse only engaged because minCos <= 1 - 1e-12,
+    // strictly below that) or at NaN (degenerate shapes), which
+    // Spark's NaN-is-greatest comparison ordering also passes
     val flagged = crossHit.unionByName(withinHit)
       .unionByName(dupMembers)
       .distinct()

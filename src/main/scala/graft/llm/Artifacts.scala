@@ -41,32 +41,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Near-dup indexes live in the CATALOG, not under a path, so they are
   * discovered by table-name signature (`<base>_sigs` + `<base>_bands`)
   * across the session catalog's current database. Listing-scale by
-  * construction. */
+  * construction.
+  *
+  * `maxDepth` bounds the directory walk (the S1 listing idiom): the
+  * default 1 scans the root and its direct children — the flat layout
+  * every example uses — while per-tenant trees (`root/tenant/index`)
+  * pass 2+ to surface nested artifact roots. The walk stops DESCENDING
+  * at any directory recognized as an artifact (an artifact's internal
+  * directories — `v3/`, `batches/`, `grams/` — are its layout, never
+  * independent artifacts), so depth never multiplies listings inside
+  * artifacts themselves. */
 object Artifacts {
 
-  def inventory(spark: SparkSession, rootDir: String): DataFrame = {
+  def inventory(spark: SparkSession, rootDir: String,
+      maxDepth: Int = 1): DataFrame = {
     import spark.implicits._
+    require(maxDepth >= 0, s"maxDepth ($maxDepth) must be >= 0")
     val root = new org.apache.hadoop.fs.Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val candidates: Seq[String] =
-      if (!fs.exists(root)) Seq.empty
-      else rootDir +: fs.listStatus(root).toSeq
-        .filter(_.isDirectory).map(_.getPath.toString)
 
-    def child(dir: String, name: String): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
-    def childNames(dir: String): Seq[String] = {
+    def list(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq
     }
+    def childNames(dir: String): Seq[String] =
+      list(dir).map(_.getPath.getName)
 
     val rows = Seq.newBuilder[
       (String, String, Option[String], Option[Long], Option[Long],
         Boolean)]
 
-    candidates.foreach { dir =>
-      val names = childNames(dir)
+    def visit(dir: String, depth: Int): Unit = {
+      val entries = list(dir)
+      val names = entries.map(_.getPath.getName)
       val isVersioned = names.contains("LATEST") ||
         names.contains("LATEST_next") ||
         names.exists(_.matches("^v\\d+$"))
@@ -104,27 +111,44 @@ object Artifacts {
           bs.exists(b => b._3 != b._4)))
       }
       if (isDecontam) {
-        if (hasDecontamMeta) {
-          // live meta: the family inventory is already a pure read here
-          // (its heal path only fires when meta is absent)
-          val r = DecontamIndex.inventory(spark, dir).head()
-          rows += (("decontam", dir,
-            Some(s"k=${r.getInt(1)},fpp=${r.getDouble(2)}"),
-            Some(r.getLong(4)), None, r.getBoolean(7)))
-        } else {
-          // meta_next-only = an interrupted metadata swap: the family
-          // read path would heal it; an inventory reports it torn with
-          // params read read-only from the pending side instead
-          val m = scala.util.Try(spark.read.parquet(s"$dir/meta_next")
-            .select("k", "fpp", "expected_grams", "n_grams").head())
-            .toOption
-          rows += (("decontam", dir,
-            m.map(r => s"k=${r.getInt(0)},fpp=${r.getDouble(1)}"),
-            m.map(_.getLong(3)), None, true))
+        // PURE read (the ModelStore.inventory capture + one-retry
+        // discipline). Delegating to DecontamIndex.inventory would NOT
+        // be pure: its readMeta HEALS a pending meta_next (renames it
+        // live) whenever live meta is absent — right for the serving
+        // read path, wrong here, because a publisher mid-writeMeta
+        // (durable meta_next → delete live → rename) racing this
+        // inventory could have its swap FINISHED under it in the
+        // delete→rename window, making the publisher's own rename fail
+        // loud. Instead: capture fs state per attempt, read the params
+        // read-only from whichever side the capture saw, and report a
+        // pending meta_next as torn. A swap completing between capture
+        // and read throws; ONE retry recaptures (metadata is replaced
+        // whole, so whichever side the retry sees is consistent — the
+        // latestVersion retry rule). A second failure propagates.
+        def attempt(): Option[(Option[String], Option[Long], Boolean)] = {
+          val ns = childNames(dir)
+          val (lv, nx) = (ns.contains("meta"), ns.contains("meta_next"))
+          if (!lv && !nx) None
+          else {
+            val m = spark.read
+              .parquet(s"$dir/${if (lv) "meta" else "meta_next"}")
+              .select("k", "fpp", "expected_grams", "n_grams").head()
+            // torn = any pending meta_next: live+next is an interrupted
+            // NEWER publish, next-only an interrupted swap — either way
+            // the family read path heals it; an inventory only reports
+            Some((Some(s"k=${m.getInt(0)},fpp=${m.getDouble(1)}"),
+              Some(m.getLong(3)), nx))
+          }
+        }
+        (try attempt() catch {
+          case scala.util.control.NonFatal(_) => attempt()
+        }).foreach { case (params, n, torn) =>
+          rows += (("decontam", dir, params, n, None, torn))
         }
       }
-      if (names.exists(n => n == "model" || n == "model_next" ||
-          n == "merges" || n == "merges_next")) {
+      val isModel = names.exists(n => n == "model" || n == "model_next" ||
+        n == "merges" || n == "merges_next")
+      if (isModel) {
         ModelStore.inventory(spark, dir).collect().foreach { r =>
           rows += ((s"model_${r.getString(0)}", dir,
             if (r.isNullAt(3)) None
@@ -132,7 +156,16 @@ object Artifacts {
             Some(r.getLong(4)), None, r.getBoolean(2)))
         }
       }
+      // descend only through directories NOT recognized as artifacts:
+      // an artifact's internal directories (v3/, batches/, grams/) are
+      // its layout, never independent artifacts — stopping here keeps
+      // the walk listing-scale at any depth
+      val isArtifact = isVersioned || isBatched || isDecontam || isModel
+      if (!isArtifact && depth < maxDepth)
+        entries.filter(_.isDirectory)
+          .foreach(e => visit(e.getPath.toString, depth + 1))
     }
+    visit(rootDir, 0)
 
     // near-dup indexes are CATALOG artifacts: discover by the
     // _sigs/_bands table-name pair (compact twins belong to their base

@@ -318,23 +318,32 @@ object Similarity {
     * among rows with the IDENTICAL vector. Lossless downstream because
     * cosine is a pure function of the vectors — a member's challenge BY
     * or AGAINST anything equals its rep's, and its rep challenges it at
-    * self-cosine ≥ 1 − 1ulp. Two guarded edges, encoded HERE so every
-    * caller inherits them:
-    *  - zero vectors never collapse (their self-cosine is 0/0 = NaN,
-    *    which never passes a `>=` filter);
-    *  - the collapse DISENGAGES (`_rep = _id` for every row) when
-    *    `minCos > 1 − 1e-12`: self-cosine computes as n/(√n·√n), which
-    *    may round one ulp BELOW 1.0, so an exact-1.0 threshold keeps
-    *    the uncollapsed path rather than risk flagging a member the
-    *    plain screen would keep.
+    * self-cosine ≥ 1 − 1ulp. One guarded edge, encoded HERE so every
+    * caller inherits it: the collapse DISENGAGES (`_rep = _id` for
+    * every row) when `minCos > 1 − 1e-12` — a FINITE nonzero vector's
+    * self-cosine computes as n/(√n·√n), which may round one ulp BELOW
+    * 1.0, so an exact-1.0 threshold keeps the uncollapsed path rather
+    * than risk flagging a member the plain screen would keep.
+    *
+    * NaN-SELF-COSINE shapes (zero vectors, NaN/Inf components, norm
+    * under/overflow — all of which make cosine(v, v) = NaN) need NO
+    * exemption, and the r15 zero-vector carve-out was redundant: under
+    * Spark SQL's documented NaN ordering semantics, NaN is LARGER than
+    * any other double in comparisons, so the plain screen's
+    * `cosine >= minCos` filter PASSES for every NaN cosine — a
+    * bit-identical NaN-shape twin is flagged by its smaller-id rep in
+    * the plain path exactly as the collapse flags it unconditionally
+    * (AnnIndexSpec pins plain ≡ collapsed on every shape against an
+    * uncollapsed pairwise reference). Porting these screens to an
+    * engine with Java/IEEE comparison semantics (NaN >= x false) would
+    * need the qualification guard back — that engine's PLAIN screen
+    * keeps NaN twins.
     * One window exchange on the vector column — batch-sized. */
   private[graft] def annotateVecReps(assigned: DataFrame,
       minCos: Double): DataFrame =
     if (minCos > 1.0 - 1e-12) assigned.withColumn("_rep", col("_id"))
     else assigned.withColumn("_rep",
-      when(exists(col("_v"), x => x =!= lit(0.0)),
-        min(col("_id")).over(Window.partitionBy(col("_v"))))
-        .otherwise(col("_id")))
+      min(col("_id")).over(Window.partitionBy(col("_v"))))
 
   /** Semantic (embedding-space) dedup, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the deterministic IVF
@@ -390,7 +399,9 @@ object Similarity {
       .filter(cosine(col("_va"), col("_vb")) >= minCos)
       .groupBy("dropped_id").agg(min(col("_nid")).as("kept_id"))
     // members drop unconditionally (their rep qualifies at self-cosine
-    // >= 1 - 1ulp, and the collapse only engaged strictly below that);
+    // >= 1 - 1ulp for finite nonzero vectors — the collapse only
+    // engaged strictly below that — and at NaN for the degenerate
+    // shapes, which Spark's NaN-is-greatest ordering also passes);
     // their lowest qualifying neighbor is the rep's — or the rep itself
     val memberDrops = cells.filter(col("_id") =!= col("_rep"))
       .select(col("_id").as("dropped_id"), col("_rep"))

@@ -479,6 +479,82 @@ class AnnIndexSpec extends SparkSpec {
       s"storm rows landed in only $spread of 4 salt buckets")
   }
 
+  test("replica collapse on degenerate vectors: zero / NaN / Inf / " +
+    "norm-under-or-overflow twins screen IDENTICALLY collapsed and " +
+    "uncollapsed — Spark's NaN-is-greatest ordering passes a NaN " +
+    "cosine through >= minCos, so the plain screen flags such twins " +
+    "too (refutes the r15 ADVICE premise, pinned here)") {
+    import spark.implicits._
+    val dims = 8
+    // one twin PAIR per NaN-self-cosine shape, plus a normal control
+    // pair. Spark's window partitioning groups NaN==NaN, so every twin
+    // pair collapses; losslessness rests on NaN >= minCos being TRUE
+    // under Spark's documented NaN ordering (NOT Java semantics) —
+    // this test is the empirical pin of that argument.
+    val sub = java.lang.Double.MIN_VALUE // sub*sub underflows to 0
+    val huge = 1e200                     // huge*huge overflows to Inf
+    val rows = Seq(
+      (1L, Array.fill(dims)(0.0)),
+      (2L, Array.fill(dims)(0.0)),
+      (3L, Array.fill(dims)(sub)),
+      (4L, Array.fill(dims)(sub)),
+      (5L, Array.fill(dims)(huge)),
+      (6L, Array.fill(dims)(huge)),
+      (7L, Double.NaN +: Array.fill(dims - 1)(1.0)),
+      (8L, Double.NaN +: Array.fill(dims - 1)(1.0)),
+      (9L, Array.fill(dims)(1.0)),
+      (10L, Array.fill(dims)(1.0)))
+    val batch = rows.toDF("vec_id", "embedding")
+    // first: the semantics pin itself — a NaN cosine PASSES >= in Spark
+    val nanPasses = spark.range(1)
+      .select((Similarity.cosine(
+        typedlit(Array.fill(dims)(0.0)), typedlit(Array.fill(dims)(0.0)))
+        >= lit(0.99)).as("p")).head().getBoolean(0)
+    assert(nanPasses, "Spark NaN ordering changed — the unconditional " +
+      "replica collapse in annotateVecReps is no longer lossless for " +
+      "degenerate vectors; restore the self-cosine qualification guard")
+    val emptyIdx = AnnIndex.encodeIvf(batch.limit(0), "vec_id",
+      "embedding", nlist = 4, dims = dims)
+    def kept(df: DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    // plain (uncollapsed) delta screen = the reference
+    val plain = kept(AnnIndex.semanticDedupDelta(emptyIdx, batch,
+      "vec_id", "embedding", 0.99, nlist = 4, dims = dims))
+    assert(kept(AnnIndex.semanticDedupDeltaSalted(emptyIdx, batch,
+        "vec_id", "embedding", 0.99, nlist = 4, dims = dims,
+        hotCellThreshold = 1, salts = 4)) === plain,
+      "collapsed salted screen diverged from the uncollapsed plain " +
+        "screen on degenerate vectors")
+    // the one-shot batch operator against an UNCOLLAPSED pairwise
+    // reference replicating its contract directly: dropped = rows with
+    // a smaller-id same-cell neighbor whose cosine passes; kept_id =
+    // the minimum such neighbor
+    val cells = Similarity.assignCells(
+      batch.select(col("vec_id").as("_id"), col("embedding").as("_v")),
+      "_v", Similarity.seedCentroids(4, dims))
+    val a = cells.select(col("_id"), col("_v"), col("_cell"))
+    val b = cells.select(col("_id").as("_nid"), col("_v").as("_nv"),
+      col("_cell"))
+    val ref = a.join(b, Seq("_cell"))
+      .filter(col("_nid") < col("_id"))
+      .filter(Similarity.cosine(col("_v"), col("_nv")) >= lit(0.99))
+      .groupBy(col("_id").as("dropped_id"))
+      .agg(min(col("_nid")).as("kept_id"))
+      .select("dropped_id", "kept_id")
+      .as[(Long, Long)].collect().toSet
+    val got = Similarity.semanticDedup(batch, "vec_id", "embedding",
+      0.99, nlist = 4, dims = dims)
+      .as[(Long, Long)].collect().toSet
+    assert(got === ref,
+      "collapsed semanticDedup diverged from the uncollapsed pairwise " +
+        "reference (dropped_id, kept_id) on degenerate vectors")
+    // the delta screen's kept set is exactly the batch minus the
+    // reference's dropped set (the two operators share one semantics),
+    // and the normal control pair's larger id is among the drops
+    assert(plain === (1L to 10L).toSet -- ref.map(_._1))
+    assert(ref.exists(_._1 == 10L))
+  }
+
   test("ingestSemanticDedupBatch: two-batch screen+append chain drops " +
     "cross- and within-batch near-dups, and a replay whose append " +
     "already landed+marked still produces the identical output") {

@@ -869,6 +869,63 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.llm.Artifacts.inventory(spark, root))
   }
 
+  test("graft_artifacts is a PURE read of decontam metadata: a " +
+    "mid-publish meta_next is reported torn and NEVER healed (the " +
+    "racing-publisher window DecontamIndex.readMeta would finish), " +
+    "and max_depth surfaces nested artifact roots") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arts_pure").toString
+    graft.llm.DecontamIndex.writeBenchIndex(docs.limit(30), "text",
+      "doc_id", s"$root/dc", k = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ex(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // stage 1 of a racing writeMeta: meta_next durable, live meta still
+    // present — torn, params from the LIVE side, meta_next untouched
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/dc"))
+    val cp = org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$root/dc/meta"),
+      fs, new org.apache.hadoop.fs.Path(s"$root/dc/meta_next"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(cp)
+    val mid = spark.sql(s"SELECT * FROM graft_artifacts('$root')")
+      .filter(col("family") === "decontam").collect().head
+    assert(mid.getAs[Boolean]("torn"))
+    assert(mid.getAs[String]("params").startsWith("k=4,"))
+    assert(ex(s"$root/dc/meta") && ex(s"$root/dc/meta_next"),
+      "the inventory must not touch either metadata side")
+    // stage 2 (the delete→rename window): live meta gone, meta_next
+    // complete — the READ path would heal by renaming; the inventory
+    // must report torn with params from the pending side and leave the
+    // swap for the publisher (or the next family read) to finish
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/dc/meta"),
+      true))
+    val torn = spark.sql(s"SELECT * FROM graft_artifacts('$root')")
+      .filter(col("family") === "decontam").collect().head
+    assert(torn.getAs[Boolean]("torn"))
+    assert(torn.getAs[String]("params").startsWith("k=4,"))
+    assert(!ex(s"$root/dc/meta"),
+      "PURE-read violation: the inventory finished the publisher's swap")
+    assert(ex(s"$root/dc/meta_next"))
+    // nested artifact roots: invisible at the default depth, surfaced
+    // by max_depth = 2 (the walk still never descends INTO artifacts)
+    graft.llm.DecontamIndex.writeBenchIndex(docs.limit(20), "text",
+      "doc_id", s"$root/t1/dc2", k = 3)
+    val flat = spark.sql(s"SELECT * FROM graft_artifacts('$root')")
+      .filter(col("base").contains("dc2"))
+    assert(flat.isEmpty)
+    val deep = spark.sql(s"SELECT * FROM graft_artifacts('$root', 2)")
+      .filter(col("base").contains("dc2")).collect()
+    assert(deep.length === 1 &&
+      deep.head.getAs[String]("params").startsWith("k=3,"))
+    // TVF ≡ Scala at the explicit depth
+    check(s"SELECT * FROM graft_artifacts('$root', 2)",
+      graft.llm.Artifacts.inventory(spark, root, maxDepth = 2))
+  }
+
   test("SQL TVF surface: artifact inventories (near-dup / decontam / " +
     "model families) and the media ingest screen equal the Scala API") {
     import spark.implicits._
