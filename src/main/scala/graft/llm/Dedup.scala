@@ -275,7 +275,29 @@ object Dedup {
   /** [[minhashNearDups]] with the recall-preserving salted hot path:
     * output ≡ an UNCAPPED run of the capped operator, at bounded
     * per-reducer cost — `maxBucketSize` here is the hot/cold routing
-    * threshold, not a drop cap. */
+    * threshold, not a drop cap.
+    *
+    * TEXT-HASH REPLICA COLLAPSE (r16 — [[sigCollapse]]'s idea extended
+    * to this EXACT-Jaccard operator, where it is lossless too, unlike
+    * the signature-only collapse): byte-identical texts have identical
+    * shingle SETS, so (a) within a replica group every pair's exact
+    * Jaccard is exactly 1.0 ≥ any threshold in (0, 1] — provided the
+    * group shingles at all (< k tokens ⇒ no signature ⇒ no pairs,
+    * exactly the uncollapsed behavior); (b) a member's candidate
+    * generation and verification against any OTHER doc is its rep's
+    * (identical signature ⇒ identical buckets; identical shingle set ⇒
+    * identical exact Jaccard). Under salted (= uncapped) semantics no
+    * bucket is dropped, so pairs generate between one REPRESENTATIVE
+    * per distinct text and expand back at the end: cross-group member
+    * pairs inherit the rep pair's jaccard, within-group pairs emit at
+    * the literal 1.0 the uncollapsed division (n/n) produces. The
+    * storm's quadratic OUTPUT rows are still emitted — they exist —
+    * but the band self-join and the per-pair shingle verify now run
+    * over distinct content only, which is where the 113× rehearsal
+    * measured the cost (d19 certifies the expansion against the
+    * uncapped every-pair DuckDB replay). NOT applied to the capped
+    * [[minhashNearDups]]: collapsing changes its bucket counts and
+    * therefore its documented drop behavior. */
   def minhashNearDupsSalted(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4, k: Int = 3,
       maxBucketSize: Int = DefaultMaxBucketSize, salts: Int = 8)
@@ -283,11 +305,40 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1] — the verify join counts " +
       "shared shingles, so only positive thresholds are expressible")
-    val rows = shingleRows(df, textCol, idCol, k).persist()
+    // cut, not persist: keyed feeds reps (→ shingles → sigs) and the
+    // member map's three expansion consumers, and the window exchange
+    // on the text hash must run exactly once
+    val keyed = graft.operators.Lineage.cut(
+      df.select(col(idCol), col(textCol))
+        .withColumn("_rep", min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            xxhash64(col(textCol))))))
+    val reps = keyed.filter(col(idCol) === col("_rep"))
+      .select(col(idCol), col(textCol))
+    val members = keyed.select(col(idCol), col("_rep"))
+    val rows = shingleRows(reps, textCol, idCol, k).persist()
     val sigs = signatureFromShingleRows(rows, idCol, numHashes).persist()
     val cands = lshCandidatesSalted(sigs, idCol, numHashes, bands,
       maxBucketSize, salts).persist()
-    val out = verifyJaccardPairs(rows, cands, idCol, threshold)
+    val repPairs = verifyJaccardPairs(rows, cands, idCol, threshold)
+    // cross-group expansion: each member pair inherits its rep pair's
+    // exact jaccard (identical shingle sets), normalized id_a < id_b
+    val cross = repPairs
+      .join(members.select(col("_rep").as("id_a"), col(idCol).as("_ma")),
+        Seq("id_a"))
+      .join(members.select(col("_rep").as("id_b"), col(idCol).as("_mb")),
+        Seq("id_b"))
+      .select(least(col("_ma"), col("_mb")).as("id_a"),
+        greatest(col("_ma"), col("_mb")).as("id_b"), col("jaccard"))
+    // within-group pairs at exact 1.0 — only for groups that shingle
+    // (the rep carries a signature row)
+    val m = members.join(sigs.select(col(idCol).as("_rep")), Seq("_rep"),
+      "left_semi")
+    val within = m.select(col("_rep"), col(idCol).as("id_a"))
+      .join(m.select(col("_rep"), col(idCol).as("id_b")), Seq("_rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val out = graft.operators.Lineage.cut(cross.unionByName(within))
     rows.unpersist(); sigs.unpersist(); cands.unpersist()
     out
   }

@@ -216,6 +216,29 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // The BATCH-operator replica-collapse certification (d18 covered
+    // the delta/index chains): every %50 doc planted 40 more times
+    // byte-identical through minhashNearDupsSalted — the r16 text-hash
+    // collapse runs the band self-join and the exact-Jaccard shingle
+    // verify over DISTINCT content only, then expands member pairs
+    // back (within-group at the literal 1.0 the uncollapsed n/n
+    // division produces, cross-group inheriting the rep pair's value).
+    // The oracle is the UNCAPPED every-pair DuckDB replay with exact
+    // list-intersect Jaccard and NO collapse — a hash match proves the
+    // expansion reconstructs the full quadratic pair set bit-for-bit.
+    "d19_batch_replica_collapse" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val storm = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), lit(40))).as("_r"))
+        .select((col("doc_id") + col("_r") * 10000L).as("doc_id"),
+          col("text"))
+      val aug = d.unionByName(storm)
+      Dedup.minhashNearDupsSalted(aug, "text", "doc_id", 0.8,
+          maxBucketSize = 2, salts = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fuzzy cross-corpus decontamination: MinHash-LSH near-dups BETWEEN
     // the training split and the src0 "benchmark" — catches the
     // paraphrased leak x11's exact-gram test misses. Same 16-perm/4-band
@@ -1643,6 +1666,57 @@ object LlmQueries {
         "text", "doc_id", mediaSemanticIndex = Some(idxDir))
       val s1 = step(b1, None)
       val s2 = step(b2, Some(s1.state))
+      s1.kept.select(col("doc_id"), lit(0).as("batch"))
+        .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch")))
+        .orderBy("doc_id")
+    }),
+
+    // CROSS-BATCH media dedup — the mediaIngestKept gate (w19's one
+    // documented silent-admission path, closed): the media index is
+    // BATCH-VERSIONED (history seeded as batch 0) and the gate folds
+    // each batch's FINAL KEPT media vectors back in, so batch 2's
+    // cross screen sees batch 1's kept media exactly like the text
+    // stages see their carried state. The plant: +360000 media rows
+    // whose TEXT differs from a batch-1 media doc (first char kept,
+    // tail reversed — exact dedup is blind to them, and byte length /
+    // first char / %2 / %3 residues are preserved so the stub-decode
+    // FEATURE VECTOR is identical) — only the cross-batch media screen
+    // can drop them, and the oracle replays batch 2's cross screen
+    // against history ∪ batch-1-kept-media to certify it does.
+    "w20_ingest_gate_media_xbatch" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxBase = java.nio.file.Files
+        .createTempDirectory("w20_idx").toString
+      graft.llm.AnnIndex.ingestIndexBatch(
+        graft.llm.AnnIndex.encodeIvf(
+          Multimodal.featureVector(Multimodal.decodeFeatures(
+            Multimodal.mediaFromDocuments(s,
+              d.filter(col("doc_id") < 200)))),
+          "media_id", "vec", nlist = 4, dims = 8), idxBase, 0L)
+      val mediaKind = element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      def mixed(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("doc_id"), col("text"),
+          when(col("doc_id") % 2 === 0, mediaKind).as("kind"),
+          when(col("doc_id") % 2 === 0, encode(col("text"), "utf-8"))
+            .as("payload"))
+      val base = d.filter(col("doc_id") >= 200).select("doc_id", "text")
+      val b1 = mixed(base.filter(col("doc_id") < 350))
+      val plants = base.filter(col("doc_id") < 350 &&
+          col("doc_id") % 18 === 0)
+        .select((col("doc_id") + 360000L).as("doc_id"),
+          concat(substring(col("text"), 1, 1),
+            reverse(expr("substring(text, 2)"))).as("text"))
+      val b2 = mixed(base.filter(col("doc_id") >= 350)
+        .unionByName(plants))
+      val step = graft.streaming.StreamOps.corpusIngestStepBatched(
+        (batch, prior) =>
+          graft.llm.Dedup.exactDedupDelta(batch, "text", "doc_id", prior),
+        "text", "doc_id", mediaSemanticIndex = Some(idxBase),
+        mediaIngestKept = true)
+      val s1 = step(b1, None, 1L)
+      val s2 = step(b2, Some(s1.state), 2L)
       s1.kept.select(col("doc_id"), lit(0).as("batch"))
         .unionByName(s2.kept.select(col("doc_id"), lit(1).as("batch")))
         .orderBy("doc_id")
@@ -4402,6 +4476,40 @@ object LlmQueries {
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
           ORDER BY id_a, id_b""",
+    // d13's uncapped replay under the d18-style byte-exact storm: the
+    // oracle plants every replica and generates EVERY candidate pair —
+    // no collapse — so it certifies the batch operator's text-hash
+    // collapse + expansion lossless, jaccard values included.
+    "d19_batch_replica_collapse" ->
+      s"""WITH storm AS (SELECT doc_id + r * 10000 AS doc_id, text
+                         FROM documents, range(1, 41) t(r)
+                         WHERE doc_id % 50 = 0),
+              aug AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id, text FROM storm),
+              ws AS (SELECT doc_id, $duckToks AS w FROM aug),
+              sh AS (SELECT doc_id, $duckShingles AS sh FROM ws WHERE len(w) >= 3),
+              sig AS (SELECT doc_id, sh,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              bands AS (
+                ${(0 until 4).map(b =>
+                  s"SELECT doc_id, $b AS b, concat_ws('_', sig_${4*b}, sig_${4*b+1}, sig_${4*b+2}, sig_${4*b+3}) AS bucket FROM sig")
+                  .mkString("\n                UNION ALL\n                ")}),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM bands a
+                       JOIN bands b
+                         ON a.b = b.b AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id)
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+          ORDER BY id_a, id_b""",
     "x98_cms_heavy_hitters" ->
       s"""WITH occ AS (SELECT unnest($duckToks) AS tok FROM documents),
               toks AS (SELECT tok FROM occ WHERE tok <> ''),
@@ -6327,6 +6435,94 @@ object LlmQueries {
                                ${duckIvfProjsAt(4, 8)} AS ps FROM mv2)),
               xh2 AS (SELECT DISTINCT a.media_id
                       FROM mc2c a JOIN scc s ON a.cell = s.cell
+                      WHERE ${duckMediaCos8("s")}),
+              wh2 AS (SELECT DISTINCT a.media_id
+                      FROM mc2c a JOIN mc2c c
+                        ON a.cell = c.cell AND c.media_id < a.media_id
+                      WHERE ${duckMediaCos8("c")}),
+              mc2 AS (SELECT doc_id, text FROM b2 WHERE m = 0
+                      UNION ALL
+                      SELECT doc_id, text FROM b2
+                      WHERE m = 1
+                        AND doc_id NOT IN (SELECT media_id FROM xh2)
+                        AND doc_id NOT IN (SELECT media_id FROM wh2)),
+              k2 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                     FROM mc2 GROUP BY 1),
+              kept2 AS (SELECT doc_id FROM k2
+                        WHERE h NOT IN (SELECT h FROM state1))
+          SELECT doc_id, batch FROM (
+            SELECT doc_id, 0 AS batch FROM k1
+            UNION ALL
+            SELECT doc_id, 1 AS batch FROM kept2)
+          ORDER BY doc_id""",
+    // w19's replay with the CROSS-BATCH fold: batch 2's cross screen
+    // runs against history ∪ batch-1-kept-media (kept1m/kmc), exactly
+    // what the mediaIngestKept gate's mounted view holds; the +360000
+    // plants carry a reversed-tail text (different md5, identical
+    // stub-decode features), so only that screen can drop them.
+    "w20_ingest_gate_media_xbatch" ->
+      s"""WITH stored AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id < 200),
+              base AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id >= 200),
+              b1 AS (SELECT doc_id, text,
+                       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS m
+                     FROM base WHERE doc_id < 350),
+              b2 AS (SELECT doc_id, text,
+                       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS m
+                     FROM base WHERE doc_id >= 350
+                     UNION ALL
+                     SELECT doc_id + 360000,
+                            substr(text, 1, 1) || reverse(substr(text, 2)),
+                            1
+                     FROM base WHERE doc_id < 350 AND doc_id % 18 = 0),
+              sfe AS ($duckMediaFeats FROM stored),
+              sve AS ($duckMediaVec FROM sfe),
+              scc AS (SELECT media_id, v,
+                        CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                      FROM (SELECT media_id, v, ${duckIvfProjsAt(4, 8)} AS ps
+                            FROM sve)),
+              mf1 AS ($duckMediaFeats FROM b1 WHERE m = 1),
+              mv1 AS ($duckMediaVec FROM mf1),
+              mc1c AS (SELECT media_id, v,
+                         CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                       FROM (SELECT media_id, v,
+                               ${duckIvfProjsAt(4, 8)} AS ps FROM mv1)),
+              xh1 AS (SELECT DISTINCT a.media_id
+                      FROM mc1c a JOIN scc s ON a.cell = s.cell
+                      WHERE ${duckMediaCos8("s")}),
+              wh1 AS (SELECT DISTINCT a.media_id
+                      FROM mc1c a JOIN mc1c c
+                        ON a.cell = c.cell AND c.media_id < a.media_id
+                      WHERE ${duckMediaCos8("c")}),
+              mc1 AS (SELECT doc_id, text FROM b1 WHERE m = 0
+                      UNION ALL
+                      SELECT doc_id, text FROM b1
+                      WHERE m = 1
+                        AND doc_id NOT IN (SELECT media_id FROM xh1)
+                        AND doc_id NOT IN (SELECT media_id FROM wh1)),
+              k1 AS (SELECT min(doc_id) AS doc_id FROM mc1
+                     GROUP BY md5(text)),
+              state1 AS (SELECT DISTINCT md5(text) AS h FROM mc1),
+              kept1m AS (SELECT b.doc_id, b.text FROM b1 b
+                         JOIN k1 USING (doc_id) WHERE b.m = 1),
+              kmf AS ($duckMediaFeats FROM kept1m),
+              kmv AS ($duckMediaVec FROM kmf),
+              kmc AS (SELECT media_id, v,
+                        CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                      FROM (SELECT media_id, v,
+                              ${duckIvfProjsAt(4, 8)} AS ps FROM kmv)),
+              hist2 AS (SELECT media_id, v, cell FROM scc
+                        UNION ALL
+                        SELECT media_id, v, cell FROM kmc),
+              mf2 AS ($duckMediaFeats FROM b2 WHERE m = 1),
+              mv2 AS ($duckMediaVec FROM mf2),
+              mc2c AS (SELECT media_id, v,
+                         CAST(list_position(ps, list_max(ps)) AS INTEGER) - 1 AS cell
+                       FROM (SELECT media_id, v,
+                               ${duckIvfProjsAt(4, 8)} AS ps FROM mv2)),
+              xh2 AS (SELECT DISTINCT a.media_id
+                      FROM mc2c a JOIN hist2 s ON a.cell = s.cell
                       WHERE ${duckMediaCos8("s")}),
               wh2 AS (SELECT DISTINCT a.media_id
                       FROM mc2c a JOIN mc2c c

@@ -275,36 +275,56 @@ object StreamOps {
     * in an EARLIER batch of the same stream passes unless the caller
     * ingests kept vectors back into the index between batches
     * ([[graft.llm.AnnIndex.ingestIndexBatch]] after each batch, the
-    * at-least-once protocol AnnIndexSpec certifies). Only the exact
-    * text dedup carries cross-batch state automatically. */
+    * at-least-once protocol AnnIndexSpec certifies) — OR drives the
+    * gate through [[corpusIngestStepBatched]] with
+    * `mediaIngestKept = true`, which automates exactly that fold. */
   def mediaSemanticScreen(frame: DataFrame, idCol: String,
       payloadCol: String, kindCol: String, idxBase: String,
       threshold: Double = 0.999, nlist: Int = 4, dims: Int = 8)
-      : DataFrame = {
+      : DataFrame =
+    mediaScreenAgainst(frame, idCol, payloadCol, kindCol,
+      graft.llm.AnnIndex.readIndex(frame.sparkSession, idxBase),
+      threshold, nlist, dims)
+
+  /** The media screen against a PREPARED index frame — the ONE
+    * definition [[mediaSemanticScreen]] (static plain-layout index) and
+    * the cross-batch gate (batch-versioned mount) both route through,
+    * so the two probes can never diverge. */
+  private def mediaScreenAgainst(frame: DataFrame, idCol: String,
+      payloadCol: String, kindCol: String, index: DataFrame,
+      threshold: Double, nlist: Int, dims: Int): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1]")
-    val s = frame.sparkSession
-    import s.implicits._
-    val mediaRows = frame.filter(col(payloadCol).isNotNull)
-      .select(col(idCol).cast("long").as("media_id"),
-        col(kindCol).cast("string").as("kind"),
-        col(payloadCol).as("payload"),
-        lit("ingest").as("source"))
-      .as[graft.llm.MediaRow]
-    val vecs = graft.llm.Multimodal.featureVector(
-      graft.llm.Multimodal.decodeFeatures(mediaRows))
+    val vecs = mediaVectors(frame, idCol, payloadCol, kindCol)
     // salted screen: result-identical to the plain probe (pure load
     // balancing — the hot/cold split has no recall trade), so engaging
     // it by default costs only two codebook-scale cell counts while a
     // single-cell media replica storm spreads over `salts` reducers
     // instead of stalling one
     val keptIds = graft.llm.AnnIndex.semanticDedupDeltaSalted(
-        graft.llm.AnnIndex.readIndex(s, idxBase), vecs,
+        index, vecs,
         "media_id", "vec", threshold, nlist = nlist, dims = dims)
       .select(col("media_id").cast("long").as(idCol))
     frame.filter(col(payloadCol).isNull)
       .unionByName(frame.filter(col(payloadCol).isNotNull)
         .join(keptIds, Seq(idCol), "left_semi"))
+  }
+
+  /** The feature vectors of a frame's media rows (non-null payload) —
+    * the decode→embed stage shared by the screen and the kept-vector
+    * fold. (media_id long, vec array) rows. */
+  private def mediaVectors(frame: DataFrame, idCol: String,
+      payloadCol: String, kindCol: String): DataFrame = {
+    val s = frame.sparkSession
+    import s.implicits._
+    graft.llm.Multimodal.featureVector(
+      graft.llm.Multimodal.decodeFeatures(
+        frame.filter(col(payloadCol).isNotNull)
+          .select(col(idCol).cast("long").as("media_id"),
+            col(kindCol).cast("string").as("kind"),
+            col(payloadCol).as("payload"),
+            lit("ingest").as("source"))
+          .as[graft.llm.MediaRow]))
   }
 
   /** [[corpusIngestStep]] with the REJECTION LEDGER: the same composed
@@ -339,8 +359,31 @@ object StreamOps {
     * anti-joins and the kept output both read the materialized frames,
     * and the cut policy is [[graft.operators.Lineage.cut]]'s (reliable
     * checkpoint when a checkpoint dir is set, else localCheckpoint) —
-    * batch-sized frames, never corpus-sized. */
-  def corpusIngestStepLedger(dedup: DeltaStep, textCol: String,
+    * batch-sized frames, never corpus-sized.
+    *
+    * CROSS-BATCH MEDIA DEDUP (`mediaIngestKept`, opt-in): with the
+    * media stage engaged, the plain gate probes a STATIC index — a
+    * near-dup of media kept in an EARLIER batch of the same stream is
+    * silently admitted unless the caller folds kept vectors back
+    * out-of-band. `mediaIngestKept = true` automates the fold so the
+    * media stage carries cross-batch state exactly like the text
+    * stages: `mediaSemanticIndex` must then name a BATCH-VERSIONED
+    * index base ([[graft.llm.AnnIndex.ingestIndexBatch]]'s layout —
+    * seed any offline history as its own batch/fold), the screen mounts
+    * every marked batch STRICTLY below this `batchId` (plus folds)
+    * minus the batch's own media ids, and after the dedup stage the
+    * FINAL kept rows' media vectors land under `ib=<batchId>` via the
+    * marker-gated at-least-once append protocol AnnIndexSpec certifies.
+    * Crash matrix (the [[ingestSemanticDedupBatch]] discipline): the
+    * probe never sees this batch's own rows (belowBatch + id-level
+    * self-exclusion, which also covers a fold absorbing them inside a
+    * crash window), a replayed fold is skipped by its marker, and
+    * already-mounted rows are never re-appended — every crash point
+    * replays to the identical output and index. Requires a real
+    * non-negative `batchId`, so it is only reachable through the
+    * batch-id-aware entry points ([[corpusIngestStepBatched]] /
+    * [[corpusIngestBatch]] / [[durableCorpusIngest]]). */
+  def corpusIngestStepLedgerBatched(dedup: DeltaStep, textCol: String,
       idCol: String,
       minQuality: Double = 0.0, bench: Option[DataFrame] = None,
       decontamK: Int = 8, redactPii: Boolean = false,
@@ -371,18 +414,26 @@ object StreamOps {
       mediaDims: Int = 8,
       classifierGate: Option[DataFrame] = None,
       classifierBuckets: Int = 1024,
+      mediaIngestKept: Boolean = false,
       materializeStages: Boolean = true)
-      : (DataFrame, Option[DataFrame]) => (DeltaState, DataFrame) = {
+      : (DataFrame, Option[DataFrame], Long) => (DeltaState, DataFrame) = {
     require(decontamK > 0, s"decontamK ($decontamK) must be positive")
     require(blocklistMaxMatches >= 0,
       s"blocklistMaxMatches ($blocklistMaxMatches) must be >= 0")
     require(dsirMinAffinityNum >= 0 && dsirMinAffinityDen > 0,
       "dsirMinAffinity must be a non-negative rational with positive " +
         s"denominator (got $dsirMinAffinityNum/$dsirMinAffinityDen)")
+    require(!mediaIngestKept || mediaSemanticIndex.nonEmpty,
+      "mediaIngestKept folds kept media vectors into the media stage's " +
+        "index — engage mediaSemanticIndex with it")
     val benchGrams = bench.map(b => graft.operators.Lineage.cut(
       graft.llm.Dedup.shingleRows(b, textCol, idCol, decontamK)
         .select(col("s")).distinct()))
-    (batch, prior) => {
+    (batch, prior, batchId) => {
+      require(!mediaIngestKept || batchId >= 0,
+        s"mediaIngestKept needs a real batch id (got $batchId) — drive " +
+          "through corpusIngestStepBatched / corpusIngestBatch / " +
+          "durableCorpusIngest")
       // one-evaluation-per-stage discipline (see the Scaladoc): cut each
       // ENGAGED stage as it is built; a disengaged stage returns its
       // input frame unchanged (`eq`) and must not be re-checkpointed
@@ -511,8 +562,34 @@ object StreamOps {
       // be numeric (media ids ride the vector machinery as longs).
       val mediaClean = stage(mediaSemanticIndex.fold(fuzzyClean) {
         idxBase =>
-          mediaSemanticScreen(fuzzyClean, idCol, mediaPayloadCol,
-            mediaKindCol, idxBase, mediaThreshold, mediaNlist, mediaDims)
+          if (!mediaIngestKept)
+            mediaSemanticScreen(fuzzyClean, idCol, mediaPayloadCol,
+              mediaKindCol, idxBase, mediaThreshold, mediaNlist,
+              mediaDims)
+          else {
+            // cross-batch view: marked batches STRICTLY below this one
+            // plus folds, minus this batch's own media ids — belowBatch
+            // hides a replayed batch's own marked append, and the
+            // id-level exclusion covers the one interleaving belowBatch
+            // cannot (a fold absorbing those rows inside a crash
+            // window; ids are unique by contract). First batch: an
+            // empty index frame, so only the within-batch rule applies.
+            val s = fuzzyClean.sparkSession
+            val hasPrior = graft.llm.AnnIndex
+              .appliedBatches(s, idxBase).exists(_ < batchId) ||
+              graft.llm.AnnIndex.appliedFolds(s, idxBase).nonEmpty
+            val view =
+              if (!hasPrior)
+                s.range(0).select(col("id").as("media_id"),
+                  array().cast("array<double>").as("vec"),
+                  lit(0).as("cell"))
+              else graft.llm.AnnIndex
+                .readBatchedIndex(s, idxBase, belowBatch = Some(batchId))
+                .join(batch.select(col(idCol).cast("long")
+                  .as("media_id")), Seq("media_id"), "left_anti")
+            mediaScreenAgainst(fuzzyClean, idCol, mediaPayloadCol,
+              mediaKindCol, view, mediaThreshold, mediaNlist, mediaDims)
+          }
       }, fuzzyClean)
       val out = dedup(mediaClean, prior)
       // the dedup survivors feed BOTH the redaction chain and the
@@ -534,11 +611,42 @@ object StreamOps {
       // x61's pattern): phone/IP shapes are too short to collide with
       // the 13–19-digit run, and the pinned pii→secrets→cards order
       // keeps the composed output engine-replayable
-      val kept =
+      val kept0 =
         if (redactCards)
           secretsDone.withColumn(textCol,
             graft.llm.Privacy.redactCardCandidates(col(textCol)))
         else secretsDone
+      // cross-batch media fold (mediaIngestKept): the FINAL kept rows'
+      // media vectors land under this batch's own ib=<batchId>
+      // directory through the marker-gated at-least-once append. kept
+      // is lineage-cut FIRST so the fold's encode and the caller's
+      // output write read ONE materialization of the gate chain; rows
+      // already mounted are never re-appended (the fold-inside-a-crash-
+      // window interleaving ingestSemanticDedupBatch documents), and a
+      // media-less batch appends nothing. Payloads are untouched by the
+      // redaction chain (it rewrites textCol only), so the folded
+      // vectors are exactly the vectors the screen challenged with.
+      val kept =
+        if (!mediaIngestKept) kept0
+        else {
+          val s = kept0.sparkSession
+          val base = mediaSemanticIndex.get
+          val keptCut = graft.operators.Lineage.cut(kept0)
+          val encoded = graft.llm.AnnIndex.encodeIvf(
+            mediaVectors(keptCut, idCol, mediaPayloadCol, mediaKindCol),
+            "media_id", "vec", mediaNlist, mediaDims)
+          val anyApplied =
+            graft.llm.AnnIndex.appliedBatches(s, base).nonEmpty ||
+              graft.llm.AnnIndex.appliedFolds(s, base).nonEmpty
+          val novel =
+            if (!anyApplied) encoded
+            else encoded.join(
+              graft.llm.AnnIndex.readBatchedIndex(s, base)
+                .select(col("media_id")), Seq("media_id"), "left_anti")
+          if (!novel.isEmpty)
+            graft.llm.AnnIndex.ingestIndexBatch(novel, base, batchId)
+          keptCut
+        }
       // the rejection ledger: per stage, ids present before the gate
       // and absent after — first-dropping-stage attribution falls out
       // of the pipeline order (a doc never reaches later gates). With
@@ -591,6 +699,134 @@ object StreamOps {
     }
   }
 
+  /** [[corpusIngestStepLedgerBatched]] without the batch id — the
+    * pre-r16 surface, unchanged: every stage EXCEPT the cross-batch
+    * media fold (which needs a replay-stable id) is available here.
+    * ONE definition — a named forward with `batchId = -1`,
+    * `mediaIngestKept = false`. */
+  def corpusIngestStepLedger(dedup: DeltaStep, textCol: String,
+      idCol: String,
+      minQuality: Double = 0.0, bench: Option[DataFrame] = None,
+      decontamK: Int = 8, redactPii: Boolean = false,
+      stopwords: Seq[String] = graft.llm.TextAnalysis.langMarkers.head._2,
+      gopherFilter: Boolean = false, gopherMinWords: Long = 50,
+      gopherMaxWords: Long = 100000,
+      gopherAlphaPattern: String = "[a-z]",
+      blocklist: Seq[String] = Seq.empty,
+      blocklistMaxMatches: Long = 0L,
+      redactSecrets: Boolean = false,
+      redactCards: Boolean = false,
+      dsirGate: Option[(DataFrame, DataFrame)] = None,
+      dsirMinAffinityNum: Long = 11L,
+      dsirMinAffinityDen: Long = 200L,
+      dsirBuckets: Int = 1024,
+      fuzzyDecontamIndex: Option[String] = None,
+      fuzzyThreshold: Double = 0.8,
+      fuzzyNumHashes: Int = 16,
+      fuzzyBands: Int = 4,
+      fuzzySalted: Boolean = true,
+      fuzzySalts: Int = 8,
+      fuzzyMaxBucket: Int = graft.llm.Dedup.DefaultMaxBucketSize,
+      mediaSemanticIndex: Option[String] = None,
+      mediaPayloadCol: String = "payload",
+      mediaKindCol: String = "kind",
+      mediaThreshold: Double = 0.999,
+      mediaNlist: Int = 4,
+      mediaDims: Int = 8,
+      classifierGate: Option[DataFrame] = None,
+      classifierBuckets: Int = 1024,
+      materializeStages: Boolean = true)
+      : (DataFrame, Option[DataFrame]) => (DeltaState, DataFrame) = {
+    val step = corpusIngestStepLedgerBatched(dedup, textCol, idCol,
+      minQuality = minQuality, bench = bench, decontamK = decontamK,
+      redactPii = redactPii, stopwords = stopwords,
+      gopherFilter = gopherFilter, gopherMinWords = gopherMinWords,
+      gopherMaxWords = gopherMaxWords,
+      gopherAlphaPattern = gopherAlphaPattern,
+      blocklist = blocklist, blocklistMaxMatches = blocklistMaxMatches,
+      redactSecrets = redactSecrets, redactCards = redactCards,
+      dsirGate = dsirGate, dsirMinAffinityNum = dsirMinAffinityNum,
+      dsirMinAffinityDen = dsirMinAffinityDen, dsirBuckets = dsirBuckets,
+      fuzzyDecontamIndex = fuzzyDecontamIndex,
+      fuzzyThreshold = fuzzyThreshold, fuzzyNumHashes = fuzzyNumHashes,
+      fuzzyBands = fuzzyBands, fuzzySalted = fuzzySalted,
+      fuzzySalts = fuzzySalts, fuzzyMaxBucket = fuzzyMaxBucket,
+      mediaSemanticIndex = mediaSemanticIndex,
+      mediaPayloadCol = mediaPayloadCol, mediaKindCol = mediaKindCol,
+      mediaThreshold = mediaThreshold, mediaNlist = mediaNlist,
+      mediaDims = mediaDims,
+      classifierGate = classifierGate,
+      classifierBuckets = classifierBuckets,
+      mediaIngestKept = false,
+      materializeStages = materializeStages)
+    (batch, prior) => step(batch, prior, -1L)
+  }
+
+  /** Batch-id-aware [[corpusIngestStep]] — the entry point that can
+    * engage `mediaIngestKept`, the gate's one batch-id-dependent stage
+    * (see [[corpusIngestStepLedgerBatched]]'s cross-batch note). Drive
+    * it with [[corpusIngestBatch]] / [[durableCorpusIngest]], or call
+    * the returned step directly with the replay-stable ids a
+    * foreachBatch driver would supply. */
+  def corpusIngestStepBatched(dedup: DeltaStep, textCol: String,
+      idCol: String,
+      minQuality: Double = 0.0, bench: Option[DataFrame] = None,
+      decontamK: Int = 8, redactPii: Boolean = false,
+      stopwords: Seq[String] = graft.llm.TextAnalysis.langMarkers.head._2,
+      gopherFilter: Boolean = false, gopherMinWords: Long = 50,
+      gopherMaxWords: Long = 100000,
+      gopherAlphaPattern: String = "[a-z]",
+      blocklist: Seq[String] = Seq.empty,
+      blocklistMaxMatches: Long = 0L,
+      redactSecrets: Boolean = false,
+      redactCards: Boolean = false,
+      dsirGate: Option[(DataFrame, DataFrame)] = None,
+      dsirMinAffinityNum: Long = 11L,
+      dsirMinAffinityDen: Long = 200L,
+      dsirBuckets: Int = 1024,
+      fuzzyDecontamIndex: Option[String] = None,
+      fuzzyThreshold: Double = 0.8,
+      fuzzyNumHashes: Int = 16,
+      fuzzyBands: Int = 4,
+      fuzzySalted: Boolean = true,
+      fuzzySalts: Int = 8,
+      fuzzyMaxBucket: Int = graft.llm.Dedup.DefaultMaxBucketSize,
+      mediaSemanticIndex: Option[String] = None,
+      mediaPayloadCol: String = "payload",
+      mediaKindCol: String = "kind",
+      mediaThreshold: Double = 0.999,
+      mediaNlist: Int = 4,
+      mediaDims: Int = 8,
+      classifierGate: Option[DataFrame] = None,
+      classifierBuckets: Int = 1024,
+      mediaIngestKept: Boolean = false): DeltaStepB = {
+    val step = corpusIngestStepLedgerBatched(dedup, textCol, idCol,
+      minQuality = minQuality, bench = bench, decontamK = decontamK,
+      redactPii = redactPii, stopwords = stopwords,
+      gopherFilter = gopherFilter, gopherMinWords = gopherMinWords,
+      gopherMaxWords = gopherMaxWords,
+      gopherAlphaPattern = gopherAlphaPattern,
+      blocklist = blocklist, blocklistMaxMatches = blocklistMaxMatches,
+      redactSecrets = redactSecrets, redactCards = redactCards,
+      dsirGate = dsirGate, dsirMinAffinityNum = dsirMinAffinityNum,
+      dsirMinAffinityDen = dsirMinAffinityDen, dsirBuckets = dsirBuckets,
+      fuzzyDecontamIndex = fuzzyDecontamIndex,
+      fuzzyThreshold = fuzzyThreshold, fuzzyNumHashes = fuzzyNumHashes,
+      fuzzyBands = fuzzyBands, fuzzySalted = fuzzySalted,
+      fuzzySalts = fuzzySalts, fuzzyMaxBucket = fuzzyMaxBucket,
+      mediaSemanticIndex = mediaSemanticIndex,
+      mediaPayloadCol = mediaPayloadCol, mediaKindCol = mediaKindCol,
+      mediaThreshold = mediaThreshold, mediaNlist = mediaNlist,
+      mediaDims = mediaDims,
+      classifierGate = classifierGate,
+      classifierBuckets = classifierBuckets,
+      mediaIngestKept = mediaIngestKept,
+      // the ledger is discarded, so stage frames stay lazy; the media
+      // fold's one eager consumer reads the lineage-cut kept frame
+      materializeStages = false)
+    (batch, prior, batchId) => step(batch, prior, batchId)._1
+  }
+
   // ---------------------------------------------------------------------
   // durable ingest dedup — the delta operators on a stream
   // ---------------------------------------------------------------------
@@ -600,6 +836,12 @@ object StreamOps {
     * state to carry forward. [[graft.llm.Dedup.exactDedupDelta]] and
     * [[graft.llm.Dedup.minhashNearDupDelta]] curry to this shape. */
   type DeltaStep = (DataFrame, Option[DataFrame]) => DeltaState
+
+  /** [[DeltaStep]] with the driver's replay-stable batch id threaded
+    * through — what the cross-batch media fold keys its idempotent
+    * index appends on ([[corpusIngestStepBatched]]). Drive with
+    * [[corpusIngestBatch]] / [[durableCorpusIngest]]. */
+  type DeltaStepB = (DataFrame, Option[DataFrame], Long) => DeltaState
 
   /** Durable dedup-on-ingest: run a [[DeltaStep]] over a streaming source
     * via `foreachBatch`, with the dedup state persisted as versioned
@@ -672,6 +914,41 @@ object StreamOps {
     upTo.sorted.dropRight(retainStateVersions).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true)
     }
+  }
+
+  /** One idempotent micro-batch of [[durableCorpusIngest]] — the
+    * [[ingestDedupBatch]] protocol with the driver's batch id forwarded
+    * into a [[DeltaStepB]], so batch-id-dependent stages (the
+    * `mediaIngestKept` fold) key their own idempotent side effects on
+    * the same replay-stable id the kept/state writes use. Public so a
+    * crash replay can be driven (and certified) without a streaming
+    * query. */
+  def corpusIngestBatch(batch: DataFrame, batchId: Long,
+      step: DeltaStepB, outDir: String, stateDir: String,
+      retainStateVersions: Int = 2): Unit =
+    ingestDedupBatch(batch, batchId, (b, p) => step(b, p, batchId),
+      outDir, stateDir, retainStateVersions)
+
+  /** [[durableIngestDedup]] for a batch-id-aware step — the streaming
+    * driver for [[corpusIngestStepBatched]]'s cross-batch media gate:
+    * same versioned-state layout, same at-least-once replay contract,
+    * with the foreachBatch id forwarded so the media fold lands under a
+    * stable `ib=<batchId>` across replays. */
+  def durableCorpusIngest(docs: DataFrame, step: DeltaStepB,
+      outDir: String, stateDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      retainStateVersions: Int = 2): StreamingQuery = {
+    require(retainStateVersions >= 2,
+      s"retainStateVersions ($retainStateVersions) must be >= 2: a " +
+        "replay of batch N re-reads version N-1")
+    docs.writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpusIngestBatch(batch, batchId, step, outDir, stateDir,
+          retainStateVersions)
+      }
+      .start()
   }
 
   /** Durable ANN-index ingest: encode each micro-batch of vectors under

@@ -505,6 +505,125 @@ class DurableIngestSpec extends SparkSpec {
     assert(wave2.contains(777777L), "the novel doc must land")
   }
 
+  test("mediaIngestKept: the gate folds each batch's KEPT media " +
+    "vectors into the batch-versioned index so a cross-batch media " +
+    "near-dup (different text, identical features) drops; the " +
+    "read-only gate admits it; and a crash between the fold and the " +
+    "output write replays to the identical output and index") {
+    import spark.implicits._
+    val docsTd = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def encodeHist(d: DataFrame) = graft.llm.AnnIndex.encodeIvf(
+      graft.llm.Multimodal.featureVector(
+        graft.llm.Multimodal.decodeFeatures(
+          graft.llm.Multimodal.mediaFromDocuments(spark, d))),
+      "media_id", "vec", nlist = 4, dims = 8)
+    val hist = docsTd.filter(col("doc_id") < 200)
+    val mediaKind = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    def mixed(d: DataFrame) = d.select(col("doc_id"), col("text"),
+      when(col("doc_id") % 2 === 0, mediaKind).as("kind"),
+      when(col("doc_id") % 2 === 0, encode(col("text"), "utf-8"))
+        .as("payload"))
+    val base = docsTd.filter(col("doc_id") >= 200)
+      .select("doc_id", "text")
+    val b1 = mixed(base.filter(col("doc_id") < 350))
+    // the cross-batch plant: text reversed after the first char — exact
+    // dedup is blind (different md5), the stub-decode features are
+    // identical (byte length, first char, %2/%3 residues preserved)
+    val srcIds = base.filter(col("doc_id") < 350 &&
+        col("doc_id") % 18 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(srcIds.nonEmpty)
+    val plants = base.filter(col("doc_id") < 350 &&
+        col("doc_id") % 18 === 0)
+      .select((col("doc_id") + 360000L).as("doc_id"),
+        concat(substring(col("text"), 1, 1),
+          reverse(expr("substring(text, 2)"))).as("text"))
+    val b2 = mixed(base.filter(col("doc_id") >= 350)
+      .unionByName(plants))
+    def runChain(idxBase: String, out: String, st: String,
+        crashBatch2: Boolean): Set[Long] = {
+      graft.llm.AnnIndex.ingestIndexBatch(encodeHist(hist), idxBase, 0L)
+      val step = StreamOps.corpusIngestStepBatched(exactStep, "text",
+        "doc_id", mediaSemanticIndex = Some(idxBase),
+        mediaIngestKept = true)
+      StreamOps.corpusIngestBatch(b1, 1L, step, out, st)
+      if (crashBatch2) {
+        // the crash window: the step runs (media fold lands under ib=2
+        // and is marked) but the driver dies before the kept/state
+        // writes — simulated by invoking the step directly and forcing
+        // the fold's eager path, then replaying properly
+        val prior = Some(spark.read.parquet(s"$st/v=1"))
+        step(b2, prior, 2L)
+      }
+      StreamOps.corpusIngestBatch(b2, 2L, step, out, st)
+      spark.read.parquet(out).filter(col("batch") === 2)
+        .select($"doc_id".cast("long")).as[Long].collect().toSet
+    }
+    val idxA = tmp("xbm_idx"); val outA = tmp("xbm_out")
+    val stA = tmp("xbm_st")
+    val kept2 = runChain(idxA, outA, stA, crashBatch2 = false)
+    // which plants MUST drop: those whose source media doc was KEPT in
+    // batch 1 (its vector was folded); a source dropped in batch 1 by
+    // its own screens implies the plant matches whatever screened it
+    val kept1 = spark.read.parquet(outA).filter(col("batch") === 1)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert((srcIds & kept1).nonEmpty, "no plant source survived batch 1")
+    assert(kept2.forall(id => id < 360000L || id >= 370000L),
+      "a cross-batch media near-dup survived the mediaIngestKept gate")
+    // the read-only gate (mediaIngestKept = false, same history as a
+    // static index) ADMITS the plants — the gap this knob closes
+    val statIdx = tmp("xbm_stat")
+    graft.llm.AnnIndex.writeIndex(encodeHist(hist), statIdx)
+    val roStep = StreamOps.corpusIngestStep(exactStep, "text", "doc_id",
+      mediaSemanticIndex = Some(statIdx))
+    val ro1 = roStep(b1, None)
+    val ro2 = roStep(b2, Some(ro1.state))
+    val roKept2 = ro2.kept.select($"doc_id".cast("long")).as[Long]
+      .collect().toSet
+    assert(roKept2.exists(id => id >= 360000L && id < 370000L),
+      "the read-only gate should admit the cross-batch plant (else " +
+        "this test is vacuous)")
+    // crash replay: identical output and an index with no duplicates
+    val idxB = tmp("xbm_idx2"); val outB = tmp("xbm_out2")
+    val crashKept2 = runChain(idxB, outB, tmp("xbm_st2"),
+      crashBatch2 = true)
+    assert(crashKept2 === kept2,
+      "the crash-replayed chain diverged from the clean run")
+    val idxRows = graft.llm.AnnIndex.readBatchedIndex(spark, idxB)
+    assert(idxRows.count() === idxRows.select("media_id").distinct()
+      .count(), "the crash replay double-appended index rows")
+    assert(graft.llm.AnnIndex.appliedBatches(spark, idxB).toSet ===
+      Set(0L, 1L, 2L))
+    // the clean and crashed chains converge to the SAME index content
+    assert(idxRows.select("media_id").as[Long].collect().toSet ===
+      graft.llm.AnnIndex.readBatchedIndex(spark, idxA)
+        .select("media_id").as[Long].collect().toSet)
+    // the ledger attributes the cross-batch drops to the media stage,
+    // and a replayed ledger probe neither re-folds nor re-screens
+    // differently (marker + belowBatch pin the view)
+    val ledgerStep = StreamOps.corpusIngestStepLedgerBatched(exactStep,
+      "text", "doc_id", mediaSemanticIndex = Some(idxA),
+      mediaIngestKept = true)
+    // recompute batch 2's ledger against the already-ingested index,
+    // with the SAME persisted prior state the real batch 2 read
+    val (_, ledger) = ledgerStep(b2,
+      Some(spark.read.parquet(s"$stA/v=1")), 2L)
+    val mediaDropped = ledger.filter($"stage" === "media_dup")
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(((srcIds & kept1).map(_ + 360000L) -- mediaDropped).isEmpty,
+      "kept-source plants must be ledgered as media_dup")
+    // batch-id discipline: engaging the fold without a real id is loud
+    val bad = intercept[IllegalArgumentException] {
+      StreamOps.corpusIngestStepLedgerBatched(exactStep, "text",
+        "doc_id", mediaSemanticIndex = Some(idxA),
+        mediaIngestKept = true)(b2, None, -1L)
+    }
+    assert(bad.getMessage.contains("batch id"))
+  }
+
   test("corpusIngestStep: the optional model gate keeps positive-margin " +
     "docs, drops negative-margin and featureless docs, and is off by " +
     "default") {

@@ -104,6 +104,41 @@ class LlmSpec extends SparkSpec {
       maxBucketSize = 2, salts = 1)) === uncapped)
   }
 
+  test("salted batch near-dup text-hash collapse: a byte-exact replica " +
+    "storm expands to the uncapped operator's FULL (id_a, id_b, " +
+    "jaccard) set, and shingle-less replica groups emit nothing") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text")
+    // d19's storm shape at spec scale: %100 docs planted 10x identical
+    val storm = base.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), lit(10))).as("_r"))
+      .select((col("doc_id") + col("_r") * 10000L).as("doc_id"),
+        col("text"))
+    // plus a replica group BELOW the shingle width (2 tokens < k = 3):
+    // byte-identical, but the uncollapsed operator emits no pairs for
+    // it — the expansion must not invent them
+    val shorts = Seq((900001L, "too short"), (900002L, "too short"),
+      (900003L, "too short")).toDF("doc_id", "text")
+    val aug = base.unionByName(storm).unionByName(shorts)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = triples(Dedup.minhashNearDupsSalted(aug, "text",
+      "doc_id", 0.8, maxBucketSize = 2, salts = 4))
+    val uncapped = triples(Dedup.minhashNearDups(aug, "text", "doc_id",
+      0.8, maxBucketSize = Int.MaxValue))
+    assert(collapsed === uncapped,
+      "text-hash collapse + expansion must reconstruct the uncapped " +
+        "pair set exactly, jaccard values included")
+    // the storm's within-group pairs are present at exactly 1.0
+    assert(collapsed.exists { case (a, b, j) =>
+      a >= 10000L && b >= 20000L && j == 1.0 })
+    // the short group contributed nothing
+    assert(!collapsed.exists { case (a, b, _) =>
+      a >= 900000L || b >= 900000L })
+  }
+
   test("Count-Min sketch: merging shard sketches equals the global " +
     "sketch, counter mass is conserved per row, and every estimate is " +
     "one-sided") {
