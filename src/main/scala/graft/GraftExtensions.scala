@@ -1248,7 +1248,8 @@ object GraftExtensions {
         val u = "usage: neardup_inventory('base') — inventory of a " +
           "persisted near-dup index: one row (base, has_sigs, " +
           "has_bands, has_meta, num_hashes, bands, k, n_docs, " +
-          "batch_watermark, n_batches, compact_in_flight); param " +
+          "batch_watermark, n_batches, compact_in_flight, n_members); " +
+          "param " +
           "columns are null on a pre-meta artifact (stamp it with " +
           "neardup_index_stamp_meta), compact_in_flight flags a " +
           "crashed compaction the next touch will heal"

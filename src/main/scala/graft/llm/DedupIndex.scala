@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted near-dup state — the encode-once / ingest-many deployment
@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   *    ':' cannot appear in the '_'-joined signature string, so the fused
   *    key is injective in the (band, bucket) pair the in-memory operator
   *    keys on — candidate sets and hot-bucket counts are IDENTICAL.
+  *  - `<base>_members` (_rep, _member) — the r16 stored-side replica
+  *    map: [[writeState]] keeps one representative per distinct full
+  *    signature in the two tables above (rows carry `_w` = group size,
+  *    the hot-count weight) and records collapsed members here, so
+  *    probes pay per distinct stored signature while the cross probes
+  *    expand verified pairs back to every member. Empty on a
+  *    replica-free base load; absent on a pre-r16 artifact (probes
+  *    then behave exactly as before).
   *
   * Query ≡ recompute: [[neardupDeltaOverIndex]] replays
   * `minhashNearDupDelta`'s exact semantics (union-side hot-bucket cap,
@@ -68,19 +76,28 @@ object DedupIndex {
     * provenance (−1 for a batch-less base load) — what lets a streaming
     * replay probe the exact pre-append view ([[ingestBatchOverIndex]]).
     *
-    * Stored-side replica note: the r15 collapse de-duplicates the
-    * DELTA/PROBE side of every salted probe by signature, and indexes
-    * grown through the delta chains cannot accumulate
-    * signature-identical rows (each batch keeps one representative) —
-    * but a base load of a corpus that was never exact-deduped CAN, and
-    * every later probe then pays one challenge per stored replica
-    * (collapsing the stored side at probe time would cost a
-    * corpus-wide shuffle per batch, which is worse). Run
-    * [[Dedup.exactDedup]]/[[Dedup.canonicalDedup]] before signing a
-    * standing corpus — the pipeline composition does this anyway. */
+    * STORED-SIDE REPLICA COLLAPSE (r16 — closing the r15 doc-only
+    * caveat): a base load of a corpus that was never exact-deduped
+    * stores one row per signature-identical replica, and every later
+    * probe then pays one challenge per stored replica FOREVER. So the
+    * write collapses once, at write time: `<base>_sigs`/`<base>_bands`
+    * keep ONE representative (minimum id) per distinct full signature,
+    * non-rep members land in a `<base>_members` (_rep, _member) side
+    * table, and every row carries `_w` = its signature group's size.
+    * Lossless by the [[Dedup.sigCollapse]] argument — the artifact's
+    * verification is the signature estimate, so a member's challenge
+    * of any probe doc is its rep's — with two bookkeeping duties the
+    * probes discharge: hot-bucket counts weight by `_w` (so the CAPPED
+    * operators' documented drop behavior is bit-identical to the
+    * uncollapsed layout), and the cross probes expand verified
+    * (probe, rep) pairs back to every stored member through the member
+    * map. [[appendState]] rows are the delta chains' kept signatures
+    * (one per distinct signature by construction) and append with
+    * `_w = 1`. */
   def writeState(sigs: DataFrame, idCol: String, base: String,
       numHashes: Int = 16, bands: Int = 4, nBuckets: Int = 8,
       batchId: Long = -1L, k: Int = 3): Unit = {
+    val spark = sigs.sparkSession
     // drop any STALE meta before the sig tables are rewritten: a crash
     // mid-rebuild must never leave new sigs guarded by the previous
     // build's params (a probe using the old params would pass the guard
@@ -91,15 +108,58 @@ object DedupIndex {
     // completes a committed swap, and the leftover __compact twins are
     // dropped so a LATER heal can never mistake them for an in-flight
     // swap and clobber the fresh tables with stale compacted ones.
-    healCompact(sigs.sparkSession, base)
+    healCompact(spark, base)
     for (suffix <- Seq("_sigs", "_bands"))
-      sigs.sparkSession.sql(
-        s"DROP TABLE IF EXISTS `${base}__compact$suffix`")
-    dropMeta(sigs.sparkSession, base)
-    writeStateTagged(sigs.withColumn("_ib", lit(batchId)), idCol, base,
-      numHashes, bands, nBuckets)
-    writeBuildMeta(sigs.sparkSession, base, numHashes, bands, k)
+      spark.sql(s"DROP TABLE IF EXISTS `${base}__compact$suffix`")
+    dropMeta(spark, base)
+    // the member map drops WITH the meta, before the sig tables are
+    // rewritten: a crash mid-rebuild then leaves sigs with NEITHER
+    // (the documented sigs-without-meta torn state, re-certified by
+    // stampMeta + a writeState rerun) — never fresh sigs expanding
+    // through a previous build's stale member map
+    spark.sql(s"DROP TABLE IF EXISTS `${base}_members`")
+    // one window exchange on the signature columns, write-time only;
+    // cut: grouped feeds the rep write and the member write
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      (0 until numHashes).map(j => col(s"sig_$j")): _*)
+    val grouped = graft.operators.Lineage.cut(
+      sigs.withColumn("_rep", min(col(idCol)).over(w))
+        .withColumn("_w", count(lit(1)).over(w)))
+    writeStateTagged(
+      grouped.filter(col(idCol) === col("_rep")).drop("_rep")
+        .withColumn("_ib", lit(batchId)),
+      idCol, base, numHashes, bands, nBuckets)
+    writeMembers(spark, base,
+      grouped.filter(col(idCol) =!= col("_rep"))
+        .select(col("_rep"), col(idCol).as("_member")))
+    writeBuildMeta(spark, base, numHashes, bands, k)
   }
+
+  /** Replace the `<base>_members` replica map (written empty when the
+    * base load carried no signature-identical replicas — existence
+    * disambiguates "collapsed layout" from a pre-r16 artifact, which
+    * has no member table and needs no expansion). */
+  private def writeMembers(spark: SparkSession, base: String,
+      members: DataFrame): Unit = {
+    val table = s"${base}_members"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    members.write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** The stored band relation with its hot-count weight: `_w` rows per
+    * collapsed representative on an r16 artifact, a literal 1 on a
+    * pre-r16 one — so every count site charges buckets for MEMBER mass
+    * and the capped operators' drop behavior never depends on which
+    * layout wrote the index. */
+  private def weightedStoredBands(spark: SparkSession, df: DataFrame)
+      : DataFrame =
+    if (df.columns.contains("_w")) df
+    else df.withColumn("_w", lit(1L))
 
   private def dropMeta(spark: SparkSession, base: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `${base}_meta`")
@@ -233,17 +293,20 @@ object DedupIndex {
   }
 
   /** [[writeState]] for signature rows that ALREADY carry per-row `_ib`
-    * provenance — what [[compactState]] must preserve: re-stamping a
-    * uniform batch id would let a still-unmarked batch's replay see its
-    * own compacted rows as prior state and drop every document. */
+    * provenance and `_w` hot-count weights — what [[compactState]] must
+    * preserve: re-stamping a uniform batch id would let a still-unmarked
+    * batch's replay see its own compacted rows as prior state and drop
+    * every document, and dropping the weights would silently change the
+    * capped operators' drop behavior. */
   private def writeStateTagged(sigs: DataFrame, idCol: String,
       base: String, numHashes: Int, bands: Int, nBuckets: Int): Unit = {
-    require(sigs.columns.contains("_ib"),
-      "writeStateTagged expects per-row _ib provenance")
+    require(sigs.columns.contains("_ib") && sigs.columns.contains("_w"),
+      "writeStateTagged expects per-row _ib provenance and _w weights")
     graft.operators.Bucketing.writeBucketed(
       sigs, s"${base}_sigs", idCol, nBuckets, sortedBy = Some(idCol))
     graft.operators.Bucketing.writeBucketed(
-      bandTable(sigs, idCol, numHashes, bands, extraCols = Seq("_ib")),
+      bandTable(sigs, idCol, numHashes, bands,
+        extraCols = Seq("_ib", "_w")),
       s"${base}_bands", "bkey", nBuckets)
   }
 
@@ -255,7 +318,10 @@ object DedupIndex {
     val spark = keptSigs.sparkSession
     requireBuildParams(spark, base, numHashes, bands, None)
     def append(df0: DataFrame, table: String, key: String): Unit = {
+      // delta-kept signatures are one-per-distinct-signature by the
+      // delta operators' construction, so each appended row weighs 1
       val df = df0.withColumn("_ib", lit(batchId))
+        .withColumn("_w", lit(1L))
       // replicate the EXACT existing spec (bucket count + sort columns)
       // — saveAsTable(Append) rejects any mismatch, which is the guard
       // that keeps the shuffle-free read layout honest across growth
@@ -304,14 +370,18 @@ object DedupIndex {
       .minhashSignature(newDocs, textCol, idCol, numHashes, k).persist()
     val deltaBands = bandTable(deltaSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_mid"), col("bkey"))
-    val storedBands = visible(s"${base}_bands")
-      .select(col(idCol).as("_mid"), col("bkey"))
+    val storedBands = weightedStoredBands(spark,
+        visible(s"${base}_bands"))
+      .select(col(idCol).as("_mid"), col("bkey"), col("_w"))
     // hot-bucket cap over stored+delta, exactly as the in-memory
     // operator — but as a JOIN of two per-side count tables, so the
     // corpus-sized stored band rows are never unioned into a re-shuffle:
     // the stored groupBy rides the bucket layout Exchange-free, and only
     // the (small) delta side and the bucket-keyed count tables move.
-    val hot = storedBands.groupBy("bkey").agg(count(lit(1)).as("_sc"))
+    // Stored counts weight by _w, so a replica-collapsed layout charges
+    // buckets for MEMBER mass and the cap's drop behavior is identical
+    // to the uncollapsed layout's.
+    val hot = storedBands.groupBy("bkey").agg(sum(col("_w")).as("_sc"))
       .join(deltaBands.groupBy("bkey").agg(count(lit(1)).as("_dc")),
         Seq("bkey"), "full_outer")
       .filter(coalesce(col("_sc"), lit(0L)) + coalesce(col("_dc"), lit(0L))
@@ -332,7 +402,10 @@ object DedupIndex {
         .filter(col("_o") < col("_d"))
         .select("_d", "_o"))
       .distinct()
-    val allSigs = visible(s"${base}_sigs").drop("_ib")
+    // stored challengers are the collapsed REPRESENTATIVES — a stored
+    // member's challenge is its rep's (identical signature, identical
+    // matchFrac), so the flag set is the uncollapsed layout's
+    val allSigs = visible(s"${base}_sigs").drop("_ib", "_w")
       .unionByName(deltaSigs)
     val matchFrac = (0 until numHashes)
       .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1)
@@ -394,13 +467,16 @@ object DedupIndex {
     val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
     val deltaBands = bandTable(repSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_mid"), col("bkey")).persist()
-    val storedBands = visible(s"${base}_bands")
-      .select(col(idCol).as("_mid"), col("bkey"))
+    val storedBands = weightedStoredBands(spark,
+        visible(s"${base}_bands"))
+      .select(col(idCol).as("_mid"), col("bkey"), col("_w"))
     // union-rule hot list as a JOIN of per-side counts (the capped
     // operator's shape — the corpus-sized stored rows are never unioned
-    // into a re-shuffle); cut: it broadcasts into four carve-outs
+    // into a re-shuffle); stored counts weight by _w (member mass, the
+    // writeState collapse contract); cut: it broadcasts into four
+    // carve-outs
     val hot = graft.operators.Lineage.cut(
-      storedBands.groupBy("bkey").agg(count(lit(1)).as("_sc"))
+      storedBands.groupBy("bkey").agg(sum(col("_w")).as("_sc"))
         .join(deltaBands.groupBy("bkey").agg(count(lit(1)).as("_dc")),
           Seq("bkey"), "full_outer")
         .filter(coalesce(col("_sc"), lit(0L)) +
@@ -424,9 +500,10 @@ object DedupIndex {
     val pairs = crossPairs.select("_d", "_o")
       .unionByName(withinPairs.select("_d", "_o"))
       .distinct()
-    // challengers: stored docs, or delta REPS (a member's challenge is
-    // its rep's — identical signature, smaller-or-equal id)
-    val allSigs = visible(s"${base}_sigs").drop("_ib")
+    // challengers: stored REPS, or delta reps (a member's challenge is
+    // its rep's — identical signature, smaller-or-equal id — on BOTH
+    // sides of the collapse now)
+    val allSigs = visible(s"${base}_sigs").drop("_ib", "_w")
       .unionByName(repSigs)
     val matchFrac = (0 until numHashes)
       .map(j => when(col(s"_a_sig_$j") === col(s"_b_sig_$j"), 1)
@@ -475,22 +552,43 @@ object DedupIndex {
       .minhashSignature(probe, textCol, idCol, numHashes, k).persist()
     val probeBands = bandTable(probeSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bkey")).persist()
-    val storedBands = spark.table(s"${base}_bands")
-      .select(col(idCol).as("bench_id"), col("bkey"))
-    def hotOf(bandsDf: DataFrame) = bandsDf.groupBy("bkey")
-      .agg(count(lit(1)).as("_bc"))
+    val storedBands = weightedStoredBands(spark,
+        spark.table(s"${base}_bands"))
+      .select(col(idCol).as("bench_id"), col("bkey"), col("_w"))
+    def hotOf(bandsDf: DataFrame, weight: Column) = bandsDf
+      .groupBy("bkey").agg(sum(weight).as("_bc"))
       .filter(col("_bc") > maxBucketSize).select("bkey")
     val pKept = probeBands
-      .join(broadcast(hotOf(probeBands)), Seq("bkey"), "left_anti")
+      .join(broadcast(hotOf(probeBands, lit(1L))), Seq("bkey"),
+        "left_anti")
+    // stored hotness weights by _w — member mass, so the cap binds
+    // exactly where it would on an uncollapsed layout
     val sKept = storedBands
-      .join(broadcast(hotOf(storedBands)), Seq("bkey"), "left_anti")
+      .join(broadcast(hotOf(storedBands, col("_w"))), Seq("bkey"),
+        "left_anti")
     val pairs = pKept.join(sKept, Seq("bkey"))
       .select(col("_pid"), col("bench_id")).distinct()
-    val out = verifyCrossPairs(spark, base, probeSigs, pairs, idCol,
-      numHashes, threshold)
+    val out = expandStoredMembers(spark, base, idCol,
+      verifyCrossPairs(spark, base, probeSigs, pairs, idCol,
+        numHashes, threshold))
     probeSigs.unpersist(); probeBands.unpersist()
     out
   }
+
+  /** Expand verified (probe, stored-REP) pairs to every stored member
+    * of the rep's signature group — the read-side half of
+    * [[writeState]]'s replica collapse (a member pairs with exactly
+    * the probe docs its rep pairs with: identical signature, identical
+    * matchFrac). A pre-r16 artifact has no member table and expands to
+    * itself; the map is replica-sized, usually empty. */
+  private def expandStoredMembers(spark: SparkSession, base: String,
+      idCol: String, pairs: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(s"${base}_members")) pairs
+    else pairs.unionByName(
+      pairs.join(spark.table(s"${base}_members")
+          .select(col("_rep").as("bench_id"), col("_member")),
+        Seq("bench_id"))
+        .select(col(idCol), col("_member").as("bench_id")))
 
   /** [[crossNeardupOverIndex]] with the RECALL-PRESERVING salted hot
     * path ([[Dedup.lshCandidatesSalted]]'s d13 machinery applied to the
@@ -537,17 +635,20 @@ object DedupIndex {
     val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
     val probeBands = bandTable(repSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bkey")).persist()
-    val storedBands = spark.table(s"${base}_bands")
-      .select(col(idCol).as("bench_id"), col("bkey"))
-    def hotOf(bandsDf: DataFrame) = bandsDf.groupBy("bkey")
-      .agg(count(lit(1)).as("_bc"))
+    val storedBands = weightedStoredBands(spark,
+        spark.table(s"${base}_bands"))
+      .select(col(idCol).as("bench_id"), col("bkey"), col("_w"))
+    def hotOf(bandsDf: DataFrame, weight: Column) = bandsDf
+      .groupBy("bkey").agg(sum(weight).as("_bc"))
       .filter(col("_bc") > maxBucketSize).select("bkey")
     // hot = buckets over-cap on EITHER side (the set the capped probe
-    // loses pairs from); tiny by construction (buckets, not rows) →
-    // broadcast into the four carve-outs. The stored side's groupBy
-    // rides its bucket layout Exchange-free.
+    // loses pairs from — stored side judged by _w member mass); tiny by
+    // construction (buckets, not rows) → broadcast into the four
+    // carve-outs. The stored side's groupBy rides its bucket layout
+    // Exchange-free.
     val hot = graft.operators.Lineage.cut(
-      hotOf(probeBands).unionByName(hotOf(storedBands)).distinct())
+      hotOf(probeBands, lit(1L))
+        .unionByName(hotOf(storedBands, col("_w"))).distinct())
     val pCold = probeBands.join(broadcast(hot), Seq("bkey"), "left_anti")
     val sCold = storedBands.join(broadcast(hot), Seq("bkey"), "left_anti")
     val pHot = probeBands.join(broadcast(hot), Seq("bkey"), "left_semi")
@@ -562,13 +663,15 @@ object DedupIndex {
       .distinct()
     val repPairs = verifyCrossPairs(spark, base, repSigs, pairs, idCol,
       numHashes, threshold)
-    // expand rep verdicts to members: identical signatures estimate the
-    // identical matchFrac against every stored doc, so a member pairs
-    // with exactly its rep's bench set
+    // expand rep verdicts to members ON BOTH SIDES: identical
+    // signatures estimate the identical matchFrac, so a probe member
+    // pairs with exactly its rep's bench set, and a stored member with
+    // exactly its rep's probe set
     val out = graft.operators.Lineage.cut(
-      repPairs.select(col(idCol).as("_rep"), col("bench_id"))
-        .join(grouped.select(col(idCol), col("_rep")), Seq("_rep"))
-        .select(col(idCol), col("bench_id")))
+      expandStoredMembers(spark, base, idCol,
+        repPairs.select(col(idCol).as("_rep"), col("bench_id"))
+          .join(grouped.select(col(idCol), col("_rep")), Seq("_rep"))
+          .select(col(idCol), col("bench_id"))))
     probeSigs.unpersist(); probeBands.unpersist(); grouped.unpersist()
     out
   }
@@ -611,11 +714,18 @@ object DedupIndex {
       }
     val compacting = exists(s"${base}__compact_sigs") ||
       exists(s"${base}__compact_bands")
+    // replica-map size (r16 collapsed layout; null on a pre-r16
+    // artifact): stored docs = n_docs signature rows + n_members
+    // collapsed replicas behind them
+    val nMembers =
+      if (!exists(s"${base}_members")) None
+      else Some(spark.table(s"${base}_members").count())
     Seq((base, hasSigs, hasBands, hasMeta, params._1, params._2,
-        params._3, counts._1, counts._2, counts._3, compacting))
+        params._3, counts._1, counts._2, counts._3, compacting,
+        nMembers))
       .toDF("base", "has_sigs", "has_bands", "has_meta", "num_hashes",
         "bands", "k", "n_docs", "batch_watermark", "n_batches",
-        "compact_in_flight")
+        "compact_in_flight", "n_members")
   }
 
   /** The CAPPED cross probe's blind spot, surfaced: distinct probe ids
@@ -641,13 +751,16 @@ object DedupIndex {
       Dedup.minhashSignature(probe, textCol, idCol, numHashes, k),
       idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bkey"))
-    val storedBands = spark.table(s"${base}_bands")
-      .select(col(idCol).as("bench_id"), col("bkey"))
+    val storedBands = weightedStoredBands(spark,
+        spark.table(s"${base}_bands"))
+      .select(col(idCol).as("bench_id"), col("bkey"), col("_w"))
     // a capped bucket only LOSES pairs when both sides actually have
     // rows in it (a probe-hot bucket with no stored rows had no
     // candidates to lose) — hence the inner join of the per-side counts
+    // (stored side weighted by _w: the capped probe it mirrors judges
+    // hotness on member mass)
     val hot = probeBands.groupBy("bkey").agg(count(lit(1)).as("_pc"))
-      .join(storedBands.groupBy("bkey").agg(count(lit(1)).as("_sc")),
+      .join(storedBands.groupBy("bkey").agg(sum(col("_w")).as("_sc")),
         Seq("bkey"))
       .filter(col("_pc") > maxBucketSize || col("_sc") > maxBucketSize)
       .select("bkey")
@@ -747,7 +860,10 @@ object DedupIndex {
     * to −1) would make a still-unmarked batch's replay see its own
     * compacted rows as prior state and drop all of its documents.
     * Ids-only semi-join on the id-bucketed layout; run it between
-    * ingest waves, never concurrently with one.
+    * ingest waves, never concurrently with one. The `<base>_members`
+    * replica map is untouched: it describes the base load's collapsed
+    * groups (`_ib = −1` rows, which compaction keeps unconditionally),
+    * and `_w` weights ride the sig rows through the rebuild.
     *
     * Crash safety: the reconciled index lands DURABLY under fresh
     * `<base>__compact_*` tables while the live tables stay untouched;

@@ -48,7 +48,7 @@ class DedupIndexSpec extends SparkSpec {
     assert(keptIds(i2.kept).size < b2.count())
 
     // stored cumulative signatures == the in-memory cumulative state
-    val stored = spark.table("dit_sigs").drop("_ib")
+    val stored = spark.table("dit_sigs").drop("_ib", "_w")
     assert(stored.count() === m3.state.count())
     assert(stored.unionByName(m3.state).distinct().count() ===
       m3.state.count())
@@ -141,7 +141,7 @@ class DedupIndexSpec extends SparkSpec {
     val compacted = spark.table("dits_sigs")
     // compacted signatures == the in-memory cumulative state exactly
     assert(compacted.count() === m2.state.count())
-    assert(compacted.drop("_ib").unionByName(m2.state).distinct()
+    assert(compacted.drop("_ib", "_w").unionByName(m2.state).distinct()
       .count() === m2.state.count())
   }
 
@@ -185,6 +185,88 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.ingestBatchOverIndex(b1, 1L, "ditc", outDir,
       "text", "doc_id", 0.8)
     assert(outIds(1L) === before)
+  }
+
+  test("stored-side replica collapse: a replicated base load stores " +
+    "one rep per distinct signature plus a member map, capped behavior " +
+    "is judged on member mass, cross probes expand to every member, " +
+    "and the delta probe still equals the in-memory operator fed the " +
+    "UNCOLLAPSED prior signatures") {
+    // a boilerplate-heavy base load: every %40 doc appears 5x byte-exact
+    val bench = docs.filter($"doc_id" < 200)
+    val storm = bench.filter($"doc_id" % 40 === 0)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), lit(4))).as("_r"))
+      .select(($"doc_id" + $"_r" * 10000L).as("doc_id"), $"text")
+    val aug = bench.unionByName(storm)
+    val augSigs = Dedup.minhashSignature(aug, "text", "doc_id")
+    DedupIndex.writeState(augSigs, "doc_id", "rsc")
+    val nSigRows = augSigs.count()
+    val nReps = augSigs.drop("doc_id").distinct().count()
+    val nStorm = storm.count()
+    assert(nStorm > 0 && nReps < nSigRows)
+    // the stored sig table holds one REPRESENTATIVE per distinct
+    // signature (the storm, plus any organically sig-identical docs)
+    assert(spark.table("rsc_sigs").count() === nReps)
+    val members = spark.table("rsc_members")
+      .select($"_rep".cast("long"), $"_member".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(members.size === nSigRows - nReps)
+    // every storm replica is a member (its original has the smaller
+    // id), and every member's rep is strictly smaller
+    val stormIds = storm.select("doc_id").as[Long].collect().toSet
+    assert(stormIds.subsetOf(members.map(_._2)))
+    assert(members.forall { case (rep, m) => rep < m })
+    // the inventory reports the member map
+    val inv = DedupIndex.inventory(spark, "rsc").head()
+    assert(inv.getAs[Long]("n_docs") === nReps)
+    assert(inv.getAs[Long]("n_members") === nSigRows - nReps)
+    // cross probes: probing with an exact copy of a storm text pairs
+    // with the original AND every replica (the member expansion)
+    val probe = bench.filter($"doc_id" % 40 === 0)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    val groups = bench.filter($"doc_id" % 40 === 0).select("doc_id")
+      .as[Long].collect()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = pairSet(DedupIndex.crossNeardupOverIndexSalted(spark,
+      "rsc", probe, "text", "doc_id", 0.8, maxBucketSize = 2,
+      salts = 4))
+    groups.foreach { g =>
+      val expect = (0 to 4).map(r => (g + 500000L, g + r * 10000L)).toSet
+      assert(expect.subsetOf(salted), s"group $g under-expanded")
+    }
+    // capped probe at a cap below the group's MEMBER mass: hotness is
+    // judged on the _w weights, so the storm buckets drop even though
+    // only ONE rep row is stored per group...
+    val capped = pairSet(DedupIndex.crossNeardupOverIndex(spark, "rsc",
+      probe, "text", "doc_id", 0.8, maxBucketSize = 2))
+    groups.foreach { g =>
+      assert(!capped.exists(_._2 == g),
+        s"the cap must bind on member mass for group $g")
+    }
+    // ...and at a cap above it, the capped probe expands fully too
+    val cappedWide = pairSet(DedupIndex.crossNeardupOverIndex(spark,
+      "rsc", probe, "text", "doc_id", 0.8, maxBucketSize = 10000))
+    groups.foreach { g =>
+      val expect = (0 to 4).map(r => (g + 500000L, g + r * 10000L)).toSet
+      assert(expect.subsetOf(cappedWide), s"group $g under-expanded " +
+        "on the capped path")
+    }
+    // the delta probe over the collapsed index equals the in-memory
+    // operator carrying the UNCOLLAPSED prior signatures
+    val delta = docs.filter($"doc_id" >= 200 && $"doc_id" < 260)
+      .unionByName(bench.filter($"doc_id" % 40 === 0)
+        .select(($"doc_id" + 600000L).as("doc_id"), $"text"))
+    val overIdx = DedupIndex.neardupDeltaOverIndex(spark, "rsc", delta,
+      "text", "doc_id", 0.8)
+    val inMem = Dedup.minhashNearDupDelta(delta, "text", "doc_id", 0.8,
+      Some(Dedup.minhashSignature(aug, "text", "doc_id")))
+    assert(keptIds(overIdx.kept) === keptIds(inMem.kept))
+    // ...and the salted delta probe agrees as well
+    val overIdxS = DedupIndex.neardupDeltaOverIndexSalted(spark, "rsc",
+      delta, "text", "doc_id", 0.8, salts = 4)
+    assert(keptIds(overIdxS.kept) === keptIds(overIdx.kept))
   }
 
   test("neardup_over_index TVF equals the Scala API over the same " +
@@ -326,7 +408,11 @@ class DedupIndexSpec extends SparkSpec {
       "text", "doc_id")
     def ids(t: String): Set[Long] =
       spark.table(t).select("doc_id").distinct().as[Long].collect().toSet
-    val idsB = sigsB.select("doc_id").as[Long].collect().toSet
+    // the expected live id set is what writeState STORES for B — the
+    // r16 collapse keeps one rep per distinct signature, and sf0.001
+    // carries a few organically signature-identical docs
+    DedupIndex.writeState(sigsB, "doc_id", "hcref")
+    val idsB = ids("hcref_sigs")
     def mkCrashState(base: String): Unit = {
       // live = A; fully-written compact twins = B (the state right
       // before compactState's first DROP). writeState into the compact

@@ -629,7 +629,8 @@ class SqlSurfaceSpec extends SparkSpec {
         "tvf6_mounted", "tvf6_sq8_idx", "tvf6_sq8_stats", "tvf6_bench2")
         .foreach(v => if (spark.catalog.tableExists(v))
           spark.catalog.dropTempView(v))
-      Seq("tvf6_nd_sigs", "tvf6_nd_bands", "tvf6_nd_meta")
+      Seq("tvf6_nd_sigs", "tvf6_nd_bands", "tvf6_nd_meta",
+          "tvf6_nd_members")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
@@ -943,11 +944,17 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.llm.DedupIndex.inventory(spark, "tvf8_nd"))
       val ndRow = spark.sql("SELECT * FROM neardup_inventory('tvf8_nd')")
         .head()
+      // n_docs counts stored SIGNATURE rows (r16 collapses replicas to
+      // reps at write time; n_members carries the rest), so docs with
+      // a signature = n_docs + n_members
+      val nSigRows = graft.llm.Dedup
+        .minhashSignature(docs, "text", "doc_id").count()
       assert(ndRow.getAs[Boolean]("has_meta") &&
         ndRow.getAs[Int]("num_hashes") === 16 &&
         ndRow.getAs[Int]("bands") === 4 &&
         ndRow.getAs[Int]("k") === 3 &&
-        ndRow.getAs[Long]("n_docs") === docs.count() &&
+        ndRow.getAs[Long]("n_docs") +
+          ndRow.getAs[Long]("n_members") === nSigRows &&
         ndRow.getAs[Long]("batch_watermark") === -1L &&
         !ndRow.getAs[Boolean]("compact_in_flight"))
       // decontam family
@@ -1061,7 +1068,8 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally {
       Seq("tvf8_mixed").foreach(v =>
         if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v))
-      Seq("tvf8_nd_sigs", "tvf8_nd_bands", "tvf8_nd_meta").foreach(t =>
+      Seq("tvf8_nd_sigs", "tvf8_nd_bands", "tvf8_nd_meta",
+        "tvf8_nd_members").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
