@@ -29,7 +29,8 @@ object StressRehearsal {
   final class MetricsListener
       extends org.apache.spark.scheduler.SparkListener {
     import scala.collection.concurrent.TrieMap
-    val stageShuffleRead = TrieMap.empty[Int, (Long, Long)] // sum, maxTask
+    // per stage: (sum, maxTask, nTasks)
+    val stageShuffleRead = TrieMap.empty[Int, (Long, Long, Int)]
     @volatile var shuffleWrite = 0L
     @volatile var memSpill = 0L
     @volatile var diskSpill = 0L
@@ -38,8 +39,10 @@ object StressRehearsal {
       val m = t.taskMetrics
       if (m != null) synchronized {
         val r = m.shuffleReadMetrics.totalBytesRead
-        val (s, mx) = stageShuffleRead.getOrElse(t.stageId, (0L, 0L))
-        stageShuffleRead.update(t.stageId, (s + r, math.max(mx, r)))
+        val (s, mx, n) = stageShuffleRead.getOrElse(t.stageId,
+          (0L, 0L, 0))
+        stageShuffleRead.update(t.stageId,
+          (s + r, math.max(mx, r), n + 1))
         shuffleWrite += m.shuffleWriteMetrics.bytesWritten
         memSpill += m.memoryBytesSpilled
         diskSpill += m.diskBytesSpilled
@@ -51,9 +54,19 @@ object StressRehearsal {
       // reducer balance on the HEAVIEST stage: max task read / stage
       // total — 1/partitions (~0.03 at 32) is perfect balance, → 1.0 is
       // one reducer paying a hot bucket alone
-      val peakShare = reads.sortBy(-_._1).headOption
-        .map { case (s, mx) => if (s == 0) 0.0 else mx.toDouble / s }
+      def share(t: Option[(Long, Long, Int)]): Double = t
+        .map { case (s, mx, _) => if (s == 0) 0.0 else mx.toDouble / s }
         .getOrElse(0.0)
+      val peakShare = share(reads.sortBy(-_._1).headOption)
+      // the same share restricted to MULTI-TASK stages: an exchange AQE
+      // coalesced into one partition reads share = 1.0 by definition
+      // and carries no balance information (the r15 w19 footnote) —
+      // this is the column that BINDS on small exchanges, and the full
+      // instrument is running the measurement with
+      // spark.sql.adaptive.coalescePartitions.enabled=false so the
+      // fixed reducer count exposes the true key distribution
+      val peakShareMulti = share(
+        reads.filter(_._3 >= 2).sortBy(-_._1).headOption)
       Map("shuffle_read_mb" -> totalRead / 1048576,
         "shuffle_write_mb" -> shuffleWrite / 1048576,
         "mem_spill_mb" -> memSpill / 1048576,
@@ -61,7 +74,9 @@ object StressRehearsal {
         "peak_stage_shuffle_mb" ->
           (if (reads.isEmpty) 0L else reads.map(_._1).max / 1048576),
         "peak_stage_max_reducer_share" ->
-          math.round(peakShare * 1000) / 1000.0)
+          math.round(peakShare * 1000) / 1000.0,
+        "peak_share_multi_task" ->
+          math.round(peakShareMulti * 1000) / 1000.0)
     }
     def reset(): Unit = synchronized {
       stageShuffleRead.clear(); shuffleWrite = 0L
@@ -214,6 +229,57 @@ object StressRehearsal {
       val s2 = step(mixed.filter(col("doc_id") % 4 >= 2), Some(s1.state))
       n1 + s2.kept.count()
     }
+
+    // 5/6. the media SCREEN's reducer balance, plain vs salted, on the
+    // storm the salted cell-join still exists for AFTER the r15
+    // bit-identical collapse: a single-cell population of DISTINCT
+    // near-duplicate vectors (byte-exact replicas collapse to reps
+    // before the join, so they no longer load any reducer — the text
+    // blowup's storms measure as rep-sized here). The storm is built
+    // directly in vector space (the operator's contract): 100·c0 plus
+    // a per-id jitter in the last dimension — every vector distinct
+    // (no collapse possible), every one in cell 0 (the c0 projection
+    // dominates), every pair at cosine ≈ 1 ≥ 0.999. AQE partition
+    // coalescing is DISABLED for the measurement — the gate-level w19
+    // run coalesces its small cell exchange into one partition and its
+    // share reads 1.0 by definition (the r15 footnote); with 32 fixed
+    // reducers the share is the real number: the plain screen's cell
+    // equi-join lands the WHOLE storm on the one reducer owning cell 0,
+    // the salted screen spreads it over the salt buckets.
+    // broadcast also disabled: at rehearsal scale Spark would broadcast
+    // the storm side and the cell exchange would never materialize — at
+    // 100 TB both sides are batch-sized and shuffle by _cell, which is
+    // the regime being measured (the operators' own broadcast(hot)
+    // hints are explicit and unaffected)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val c0 = graft.llm.Similarity.seedCentroids(4, 8).head
+    val cellStorm = spark.range(6000).select(
+        col("id").as("media_id"),
+        array((0 until 8).map(d =>
+          lit(c0(d) * 100.0) + (if (d == 7)
+            col("id").cast("double") * 1e-7 else lit(0.0))): _*)
+          .as("vec"))
+      .persist()
+    println(s"distinct-vector cell storm: ${cellStorm.count()}")
+    val emptyIdx = graft.llm.AnnIndex.encodeIvf(
+      cellStorm.limit(0), "media_id", "vec", nlist = 4, dims = 8)
+    run("w19_media_screen_plain") {
+      graft.llm.AnnIndex.semanticDedupDelta(emptyIdx, cellStorm,
+        "media_id", "vec", 0.999, nlist = 4, dims = 8).count()
+    }
+    run("w19_media_screen_salted") {
+      graft.llm.AnnIndex.semanticDedupDeltaSalted(emptyIdx, cellStorm,
+        "media_id", "vec", 0.999, nlist = 4, dims = 8,
+        hotCellThreshold = 50, salts = 8).count()
+    }
+    cellStorm.unpersist()
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "true")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
     spark.stop()
   }

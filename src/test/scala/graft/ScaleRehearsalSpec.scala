@@ -123,4 +123,77 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(snap("mem_spill_mb") === 0L && snap("disk_spill_mb") === 0L,
       s"the media gate must not spill at storm scale: $snap")
   }
+
+  test("w19-shape media screen reducer balance BINDS with coalescing " +
+    "off: a single-cell DISTINCT-vector storm lands whole on one " +
+    "reducer under the plain screen and spreads under the salted one " +
+    "(the number the salted path exists to improve)", SlowRehearsal) {
+    // the storm the salted cell-join still carries AFTER the r15
+    // bit-identical collapse: DISTINCT near-duplicate vectors in ONE
+    // cell (byte-exact replicas collapse to reps before the join and
+    // load nothing). Built in vector space — 100·c0 plus a per-id
+    // last-dim jitter: every vector distinct, every one in cell 0,
+    // every pair at cosine ≈ 1 ≥ 0.999.
+    val c0 = graft.llm.Similarity.seedCentroids(4, 8).head
+    val cellStorm = spark.range(1500).select(
+        col("id").as("media_id"),
+        array((0 until 8).map(d =>
+          lit(c0(d) * 100.0) + (if (d == 7)
+            col("id").cast("double") * 1e-7 else lit(0.0))): _*)
+          .as("vec"))
+      .persist()
+    cellStorm.count()
+    val emptyIdx = graft.llm.AnnIndex.encodeIvf(
+      cellStorm.limit(0), "media_id", "vec", nlist = 4, dims = 8)
+    // coalescing off: AQE would fold the small exchange into one
+    // partition and the share would read 1.0 by definition. Broadcast
+    // off: at spec scale Spark would broadcast the 1500-row side and
+    // the cell exchange would never materialize at all — at real scale
+    // both sides are batch-sized and shuffle by _cell, which is the
+    // regime being rehearsed. (The operators' own broadcast(hot) hints
+    // are explicit and unaffected.)
+    val knobs = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prior = knobs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    try {
+      knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      def screen(salted: Boolean) = withMetrics {
+        (if (salted)
+           graft.llm.AnnIndex.semanticDedupDeltaSalted(emptyIdx,
+             cellStorm, "media_id", "vec", 0.999, nlist = 4, dims = 8,
+             hotCellThreshold = 50, salts = 8)
+         else
+           graft.llm.AnnIndex.semanticDedupDelta(emptyIdx, cellStorm,
+             "media_id", "vec", 0.999, nlist = 4, dims = 8)).count()
+      }
+      val (plainKept, mp) = screen(salted = false)
+      val (saltedKept, ms) = screen(salted = true)
+      // result-identical first — the salted path is pure load balancing
+      assert(plainKept === saltedKept)
+      val plainShare = mp.snapshot()("peak_share_multi_task")
+        .asInstanceOf[Double]
+      val saltedShare = ms.snapshot()("peak_share_multi_task")
+        .asInstanceOf[Double]
+      info(s"plain: ${mp.snapshot()}")
+      info(s"salted: ${ms.snapshot()}")
+      // with 32 fixed reducers the metric binds: the plain screen's
+      // cell equi-join lands the whole storm on cell 0's reducer
+      assert(plainShare > 0.8,
+        s"the plain screen's share ($plainShare) should expose the " +
+          "single-cell concentration once coalescing is off")
+      // the salted screen spreads the storm across the salt buckets
+      assert(saltedShare < 0.5 && saltedShare < plainShare,
+        s"salted share ($saltedShare) must improve on plain " +
+          s"($plainShare) — the balance the salted screen exists for")
+    } finally {
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      cellStorm.unpersist()
+    }
+  }
 }
