@@ -156,8 +156,7 @@ object DedupIndex {
     * pre-r16 one — so every count site charges buckets for MEMBER mass
     * and the capped operators' drop behavior never depends on which
     * layout wrote the index. */
-  private def weightedStoredBands(spark: SparkSession, df: DataFrame)
-      : DataFrame =
+  private def weightedStoredBands(df: DataFrame): DataFrame =
     if (df.columns.contains("_w")) df
     else df.withColumn("_w", lit(1L))
 
@@ -319,9 +318,15 @@ object DedupIndex {
     requireBuildParams(spark, base, numHashes, bands, None)
     def append(df0: DataFrame, table: String, key: String): Unit = {
       // delta-kept signatures are one-per-distinct-signature by the
-      // delta operators' construction, so each appended row weighs 1
-      val df = df0.withColumn("_ib", lit(batchId))
-        .withColumn("_w", lit(1L))
+      // delta operators' construction, so each appended row weighs 1 —
+      // but only r16 collapsed layouts CARRY the weight column; a
+      // pre-r16 artifact must keep appending with its own schema
+      // (saveAsTable would reject the extra column loud)
+      val tagged = df0.withColumn("_ib", lit(batchId))
+      val df =
+        if (spark.table(table).columns.contains("_w"))
+          tagged.withColumn("_w", lit(1L))
+        else tagged
       // replicate the EXACT existing spec (bucket count + sort columns)
       // — saveAsTable(Append) rejects any mismatch, which is the guard
       // that keeps the shuffle-free read layout honest across growth
@@ -370,8 +375,7 @@ object DedupIndex {
       .minhashSignature(newDocs, textCol, idCol, numHashes, k).persist()
     val deltaBands = bandTable(deltaSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_mid"), col("bkey"))
-    val storedBands = weightedStoredBands(spark,
-        visible(s"${base}_bands"))
+    val storedBands = weightedStoredBands(visible(s"${base}_bands"))
       .select(col(idCol).as("_mid"), col("bkey"), col("_w"))
     // hot-bucket cap over stored+delta, exactly as the in-memory
     // operator — but as a JOIN of two per-side count tables, so the
@@ -467,8 +471,7 @@ object DedupIndex {
     val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
     val deltaBands = bandTable(repSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_mid"), col("bkey")).persist()
-    val storedBands = weightedStoredBands(spark,
-        visible(s"${base}_bands"))
+    val storedBands = weightedStoredBands(visible(s"${base}_bands"))
       .select(col(idCol).as("_mid"), col("bkey"), col("_w"))
     // union-rule hot list as a JOIN of per-side counts (the capped
     // operator's shape — the corpus-sized stored rows are never unioned
@@ -552,8 +555,7 @@ object DedupIndex {
       .minhashSignature(probe, textCol, idCol, numHashes, k).persist()
     val probeBands = bandTable(probeSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bkey")).persist()
-    val storedBands = weightedStoredBands(spark,
-        spark.table(s"${base}_bands"))
+    val storedBands = weightedStoredBands(spark.table(s"${base}_bands"))
       .select(col(idCol).as("bench_id"), col("bkey"), col("_w"))
     def hotOf(bandsDf: DataFrame, weight: Column) = bandsDf
       .groupBy("bkey").agg(sum(weight).as("_bc"))
@@ -635,8 +637,7 @@ object DedupIndex {
     val repSigs = grouped.filter(col(idCol) === col("_rep")).drop("_rep")
     val probeBands = bandTable(repSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bkey")).persist()
-    val storedBands = weightedStoredBands(spark,
-        spark.table(s"${base}_bands"))
+    val storedBands = weightedStoredBands(spark.table(s"${base}_bands"))
       .select(col(idCol).as("bench_id"), col("bkey"), col("_w"))
     def hotOf(bandsDf: DataFrame, weight: Column) = bandsDf
       .groupBy("bkey").agg(sum(weight).as("_bc"))
@@ -751,8 +752,7 @@ object DedupIndex {
       Dedup.minhashSignature(probe, textCol, idCol, numHashes, k),
       idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bkey"))
-    val storedBands = weightedStoredBands(spark,
-        spark.table(s"${base}_bands"))
+    val storedBands = weightedStoredBands(spark.table(s"${base}_bands"))
       .select(col(idCol).as("bench_id"), col("bkey"), col("_w"))
     // a capped bucket only LOSES pairs when both sides actually have
     // rows in it (a probe-hot bucket with no stored rows had no

@@ -368,8 +368,17 @@ object StreamOps {
     * out-of-band. `mediaIngestKept = true` automates the fold so the
     * media stage carries cross-batch state exactly like the text
     * stages: `mediaSemanticIndex` must then name a BATCH-VERSIONED
-    * index base ([[graft.llm.AnnIndex.ingestIndexBatch]]'s layout —
-    * seed any offline history as its own batch/fold), the screen mounts
+    * index base ([[graft.llm.AnnIndex.ingestIndexBatch]]'s layout).
+    * SEEDING CONTRACT: an offline history must occupy ids the driver
+    * will never reuse — for a STREAMING query (foreachBatch ids start
+    * at 0) that means FOLDING the seed
+    * ([[graft.llm.AnnIndex.foldBatches]], whose fold namespace is
+    * disjoint from batch ids by design) before the first trigger; a
+    * seed left at batch 0 would make the first wave's fold
+    * replay-skip on the seed's own marker and silently lose that
+    * wave's cross-batch state. Manual drivers that start at batch 1
+    * ([[corpusIngestBatch]] with explicit ids) may seed at batch 0
+    * directly. The screen mounts
     * every marked batch STRICTLY below this `batchId` (plus folds)
     * minus the batch's own media ids, and after the dedup stage the
     * FINAL kept rows' media vectors land under `ib=<batchId>` via the

@@ -624,6 +624,71 @@ class DurableIngestSpec extends SparkSpec {
     assert(bad.getMessage.contains("batch id"))
   }
 
+  test("durableCorpusIngest on the streaming wire: the mediaIngestKept " +
+    "fold carries cross-batch media state ACROSS a query restart — a " +
+    "wave-2 media near-dup of wave-1 kept media drops") {
+    import spark.implicits._
+    val docsTd = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val idxBase = tmp("xbms_idx")
+    graft.llm.AnnIndex.ingestIndexBatch(
+      graft.llm.AnnIndex.encodeIvf(
+        graft.llm.Multimodal.featureVector(
+          graft.llm.Multimodal.decodeFeatures(
+            graft.llm.Multimodal.mediaFromDocuments(spark,
+              docsTd.filter(col("doc_id") < 200)))),
+        "media_id", "vec", nlist = 4, dims = 8), idxBase, 0L)
+    // FOLD the seed before streaming (the documented seeding contract):
+    // foreachBatch ids start at 0, and a seed left at batch 0 would
+    // make wave 1's fold replay-skip on the seed's own marker — the
+    // fold namespace is disjoint from streaming batch ids by design
+    graft.llm.AnnIndex.foldBatches(spark, idxBase, "media_id")
+    assert(graft.llm.AnnIndex.appliedBatches(spark, idxBase).isEmpty)
+    val mediaKind = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    def mixed(d: DataFrame) = d.select(col("doc_id"), col("text"),
+      when(col("doc_id") % 2 === 0, mediaKind).as("kind"),
+      when(col("doc_id") % 2 === 0, encode(col("text"), "utf-8"))
+        .as("payload"))
+    val in = tmp("xbms_in"); val out = tmp("xbms_out")
+    val st = tmp("xbms_st")
+    val schema = "doc_id LONG, text STRING, kind STRING, payload BINARY"
+    def stream() = spark.readStream.schema(schema).parquet(in)
+    val step = StreamOps.corpusIngestStepBatched(exactStep, "text",
+      "doc_id", mediaSemanticIndex = Some(idxBase),
+      mediaIngestKept = true)
+    // wave 1
+    val base = docsTd.filter(col("doc_id") >= 200)
+      .select("doc_id", "text")
+    mixed(base.filter(col("doc_id") < 350))
+      .write.mode("append").parquet(in)
+    StreamOps.durableCorpusIngest(stream(), step, out, st)
+      .awaitTermination()
+    val kept1 = spark.read.parquet(out)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    // wave 2 after RESTART (new query, same checkpoint): plants are
+    // reversed-tail media twins of wave-1 KEPT media (different md5,
+    // identical features) — only the folded wave-1 vectors can drop
+    // them. The streaming checkpoint numbers this wave's foreachBatch
+    // id above wave 1's, so the mounted view includes wave 1's fold.
+    val srcIds = base.filter(col("doc_id") < 350 &&
+        col("doc_id") % 18 === 0)
+      .select("doc_id").as[Long].collect().toSet.intersect(kept1)
+    assert(srcIds.nonEmpty, "no plant source survived wave 1")
+    mixed(base.filter(col("doc_id") < 350 && col("doc_id") % 18 === 0)
+      .select((col("doc_id") + 360000L).as("doc_id"),
+        concat(substring(col("text"), 1, 1),
+          reverse(expr("substring(text, 2)"))).as("text")))
+      .write.mode("append").parquet(in)
+    StreamOps.durableCorpusIngest(stream(), step, out, st)
+      .awaitTermination()
+    val all = spark.read.parquet(out)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert((srcIds.map(_ + 360000L) & all).isEmpty,
+      "a cross-restart media near-dup of wave-1 kept media was admitted")
+  }
+
   test("corpusIngestStep: the optional model gate keeps positive-margin " +
     "docs, drops negative-margin and featureless docs, and is off by " +
     "default") {
