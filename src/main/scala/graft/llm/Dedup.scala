@@ -446,6 +446,20 @@ object Dedup {
       .join(sideBands(bRows, "bench_id"), Seq("bk"))
       .select("train_id", "bench_id").distinct()
       .persist()
+    val out = verifyCrossJaccard(tRows, bRows, cands, idCol, threshold)
+    tRows.unpersist(); bRows.unpersist(); cands.unpersist()
+    sideCaches.result().foreach(_.unpersist())
+    out
+  }
+
+  /** The exact-Jaccard verification of cross-side candidate pairs —
+    * ONE definition shared by [[crossCorpusNearDups]] and
+    * [[crossCorpusNearDupsSalted]]: intersection sizes from a codegen
+    * (doc, shingle) equi-join restricted to the candidates, per-side
+    * shingle counts joined back by id, one division, threshold
+    * filter. */
+  private def verifyCrossJaccard(tRows: DataFrame, bRows: DataFrame,
+      cands: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val tSizes = tRows.groupBy(col(idCol)).agg(count(lit(1)).as("_nt"))
     val bSizes = bRows.groupBy(col(idCol)).agg(count(lit(1)).as("_nb"))
     val inter = cands
@@ -453,7 +467,7 @@ object Dedup {
       .join(bRows.select(col(idCol).as("bench_id"), col("s")),
         Seq("bench_id", "s"))
       .groupBy("train_id", "bench_id").agg(count(lit(1)).as("_inter"))
-    val out = cands.join(inter, Seq("train_id", "bench_id"))
+    cands.join(inter, Seq("train_id", "bench_id"))
       .join(tSizes.select(col(idCol).as("train_id"), col("_nt")), Seq("train_id"))
       .join(bSizes.select(col(idCol).as("bench_id"), col("_nb")), Seq("bench_id"))
       .withColumn("jaccard", col("_inter").cast("double") /
@@ -461,8 +475,95 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("train_id", "bench_id", "jaccard")
       .transform(graft.operators.Lineage.cut)
-    tRows.unpersist(); bRows.unpersist(); cands.unpersist()
-    sideCaches.result().foreach(_.unpersist())
+  }
+
+  /** [[crossCorpusNearDups]] with the RECALL-PRESERVING salted hot path
+    * AND the r16 text-hash replica collapse on BOTH sides — the
+    * in-memory sibling of [[DedupIndex.crossNeardupOverIndexSalted]],
+    * completing the family symmetry (every capped near-dup GATE shape
+    * now has a salted alternative whether the bench side is persisted
+    * or in hand). Semantics: (train_id, bench_id, jaccard) for every
+    * cross-side pair whose EXACT shingle Jaccard reaches `threshold`,
+    * ≡ an UNCAPPED [[crossCorpusNearDups]] run — the capped operator's
+    * per-side bucket drop silently admits exactly the paraphrased
+    * leaks living in boilerplate buckets, the worst failure direction
+    * a decontamination stage has.
+    *
+    * Collapse losslessness under EXACT verification: byte-identical
+    * texts have identical shingle sets, so a member's candidate
+    * generation and its exact Jaccard against ANY other-side doc are
+    * its rep's; pairs are strictly cross-side (no within-side pairs
+    * exist to reconstruct), so one representative per distinct text
+    * per side enters the band machinery and verified rep pairs expand
+    * to the member cross-product afterward. Shingle-less (< k token)
+    * replica groups produce no candidates, exactly like the
+    * uncollapsed operator. Buckets hot on EITHER side (post-collapse
+    * rep counts — the honest pair-cost measure) route through a
+    * `salts`-way salted join; cold buckets keep the plain equi-join. */
+  def crossCorpusNearDupsSalted(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize, salts: Int = 8)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(maxBucketSize >= 1,
+      s"maxBucketSize ($maxBucketSize) must be >= 1")
+    require(salts >= 1, s"salts ($salts) must be >= 1")
+    // per-side text-hash collapse (cut: each keyed frame feeds its
+    // side's rep shingling AND the final member expansion)
+    def collapse(df: DataFrame) = graft.operators.Lineage.cut(
+      df.select(col(idCol), col(textCol))
+        .withColumn("_rep", min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            xxhash64(col(textCol))))))
+    val tKeyed = collapse(train)
+    val bKeyed = collapse(bench)
+    def repRows(keyed: DataFrame) = shingleRows(
+      keyed.filter(col(idCol) === col("_rep"))
+        .select(col(idCol), col(textCol)),
+      textCol, idCol, k).persist()
+    val tRows = repRows(tKeyed)
+    val bRows = repRows(bKeyed)
+    def sideBands(rows: DataFrame) = bandRows(
+      signatureFromShingleRows(rows, idCol, numHashes), idCol,
+      numHashes, bands).persist()
+    val tBands = sideBands(tRows)
+    val bBands = sideBands(bRows)
+    def hotOf(b: DataFrame) = b.groupBy(col("bk"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize).select("bk")
+    // hot on EITHER side — the buckets the capped operator drops from
+    // both; tiny (buckets, not docs) → broadcast into the carve-outs
+    val hot = graft.operators.Lineage.cut(
+      hotOf(tBands).unionByName(hotOf(bBands)).distinct())
+    def cold(b: DataFrame) = b.join(broadcast(hot), Seq("bk"), "left_anti")
+    def hotSide(b: DataFrame) = b.join(broadcast(hot), Seq("bk"), "left_semi")
+    def t(b: DataFrame) = b.select(col("_mid").as("train_id"), col("bk"))
+    def e(b: DataFrame) = b.select(col("_mid").as("bench_id"), col("bk"))
+    // a bucket is hot or cold as a whole: cold×cold ∪ salted hot×hot
+    // covers every cross-side within-bucket (rep) pair exactly once
+    val cands = t(cold(tBands)).join(e(cold(bBands)), Seq("bk"))
+      .select("train_id", "bench_id")
+      .unionByName(graft.operators.SkewJoin.saltedJoin(
+          t(hotSide(tBands)), e(hotSide(bBands)), Seq("bk"),
+          col("train_id"), salts)
+        .select("train_id", "bench_id"))
+      .distinct().persist()
+    val repPairs = verifyCrossJaccard(tRows, bRows, cands, idCol,
+      threshold)
+    // expand rep verdicts to the member cross-product on both sides
+    val out = graft.operators.Lineage.cut(repPairs
+      .join(tKeyed.select(col("_rep").as("train_id"),
+        col(idCol).as("_tm")), Seq("train_id"))
+      .join(bKeyed.select(col("_rep").as("bench_id"),
+        col(idCol).as("_bm")), Seq("bench_id"))
+      .select(col("_tm").as("train_id"), col("_bm").as("bench_id"),
+        col("jaccard")))
+    tRows.unpersist(); bRows.unpersist(); tBands.unpersist()
+    bBands.unpersist(); cands.unpersist()
     out
   }
 

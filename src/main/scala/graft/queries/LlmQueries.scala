@@ -254,6 +254,36 @@ object LlmQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // The IN-MEMORY salted cross-corpus decontam gate — d10's operator
+    // with the recall-preserving hot path and the r16 TWO-SIDED
+    // text-hash collapse, completing the family symmetry (every capped
+    // near-dup gate shape now has a salted alternative whether the
+    // bench side is persisted (d15) or in hand). Byte-exact storms on
+    // BOTH sides plus exact bench leaks, at a binding maxBucketSize
+    // where the capped d10 operator provably loses the leak pairs; the
+    // oracle is the UNCAPPED every-pair DuckDB replay (no caps, no
+    // collapse) with exact list-intersect Jaccard.
+    "d20_cross_neardup_salted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench0 = d.filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val train0 = d.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+      def storm(df: org.apache.spark.sql.DataFrame, m: Int) =
+        df.filter(col("doc_id") % m === 0)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), lit(5))).as("_r"))
+          .select((col("doc_id") + col("_r") * 100000L).as("doc_id"),
+            col("text"))
+      val bench = bench0.unionByName(storm(bench0, 11))
+      val train = train0.unionByName(storm(train0, 50))
+        .unionByName(bench0.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      Dedup.crossCorpusNearDupsSalted(train, bench, "text", "doc_id",
+          0.8, maxBucketSize = 2, salts = 4)
+        .orderBy("train_id", "bench_id")
+    }),
+
     // Brute-force cosine top-10 for 5 query vectors (ids only — float
     // summation-order at the rank boundary is the one nondeterminism
     // between engines, so scores stay out of the compared output).
@@ -4689,6 +4719,54 @@ object LlmQueries {
           FROM cand c
           JOIN sh sa ON sa.doc_id = c.train_id
           JOIN sh sb ON sb.doc_id = c.bench_id
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                >= 0.8
+          ORDER BY train_id, bench_id""",
+    // d10's replay UNCAPPED (no per-side hot guards, no collapse) over
+    // the d20 both-side storm corpus — every candidate pair generated,
+    // exact Jaccard verified: the salted operator's collapse+expansion
+    // must reconstruct this bit-for-bit.
+    "d20_cross_neardup_salted" ->
+      s"""WITH bench0 AS (SELECT doc_id, text FROM documents
+                          WHERE source = 'src0'),
+              train0 AS (SELECT doc_id, text FROM documents
+                         WHERE source <> 'src0'),
+              aug AS (SELECT doc_id, text, 0 AS side FROM train0
+                      UNION ALL
+                      SELECT doc_id + r * 100000, text, 0
+                      FROM train0, range(1, 6) x(r) WHERE doc_id % 50 = 0
+                      UNION ALL
+                      SELECT doc_id + 700000, text, 0 FROM bench0
+                      WHERE doc_id % 11 = 0
+                      UNION ALL
+                      SELECT doc_id, text, 1 FROM bench0
+                      UNION ALL
+                      SELECT doc_id + r * 100000, text, 1
+                      FROM bench0, range(1, 6) x(r) WHERE doc_id % 11 = 0),
+              ws AS (SELECT doc_id, side, $duckToks AS w FROM aug),
+              sh AS (SELECT doc_id, side, $duckShingles AS sh FROM ws
+                     WHERE len(w) >= 3),
+              sig AS (SELECT doc_id, side, sh,
+                        ${(0 to 15).map(duckSig).mkString(",\n                        ")}
+                      FROM sh),
+              bands AS (
+                ${(0 until 4).map(b =>
+                  s"SELECT doc_id, side, $b AS b, concat_ws('_', sig_${4*b}, sig_${4*b+1}, sig_${4*b+2}, sig_${4*b+3}) AS bucket FROM sig")
+                  .mkString("\n                UNION ALL\n                ")}),
+              tb AS (SELECT doc_id, b, bucket FROM bands WHERE side = 0),
+              eb AS (SELECT doc_id, b, bucket FROM bands WHERE side = 1),
+              cand AS (SELECT DISTINCT t.doc_id AS train_id,
+                              e.doc_id AS bench_id
+                       FROM tb t
+                       JOIN eb e ON t.b = e.b AND t.bucket = e.bucket)
+          SELECT c.train_id, c.bench_id,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                   AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.train_id AND sa.side = 0
+          JOIN sh sb ON sb.doc_id = c.bench_id AND sb.side = 1
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
                 >= 0.8

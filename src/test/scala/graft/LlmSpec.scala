@@ -2766,6 +2766,52 @@ class LlmSpec extends SparkSpec {
     assert(self.toSeq === out.toSeq)
   }
 
+  test("crossCorpusNearDupsSalted: equals the UNCAPPED cross operator " +
+    "triple-for-triple where the capped one provably loses leak pairs, " +
+    "with both-side byte-exact storms collapsed and re-expanded") {
+    val bench0 = docs.filter(col("source") === "src0")
+      .select("doc_id", "text")
+    val train0 = docs.filter(col("source") =!= "src0")
+      .select("doc_id", "text")
+    def storm(df: org.apache.spark.sql.DataFrame, m: Int) =
+      df.filter(col("doc_id") % m === 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), lit(4))).as("_r"))
+        .select((col("doc_id") + col("_r") * 100000L).as("doc_id"),
+          col("text"))
+    val bench = bench0.unionByName(storm(bench0, 11))
+    val train = train0.unionByName(storm(train0, 40))
+      .unionByName(bench0.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = triples(Dedup.crossCorpusNearDupsSalted(train, bench,
+      "text", "doc_id", 0.8, maxBucketSize = 2, salts = 4))
+    val uncapped = triples(Dedup.crossCorpusNearDups(train, bench,
+      "text", "doc_id", 0.8, maxBucketSize = Int.MaxValue))
+    assert(salted === uncapped,
+      "the salted cross operator must reconstruct the uncapped pair " +
+        "set exactly, jaccard values included")
+    // the cap binds here: the capped operator loses the storm-bucket
+    // leak pairs the salted one preserves (the divergence this test
+    // exists to exhibit)
+    val capped = triples(Dedup.crossCorpusNearDups(train, bench,
+      "text", "doc_id", 0.8, maxBucketSize = 2))
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size)
+    // every exact bench leak pairs with its original AND every
+    // bench-side replica (the two-sided expansion)
+    import spark.implicits._
+    val leakSrcs = bench0.filter(col("doc_id") % 11 === 0)
+      .select("doc_id").as[Long].collect()
+    assert(leakSrcs.nonEmpty)
+    leakSrcs.foreach { g =>
+      val expect = (0 to 4).map(r =>
+        (g + 700000L, g + r * 100000L, 1.0)).toSet
+      assert(expect.subsetOf(salted), s"leak $g under-expanded")
+    }
+  }
+
   test("evaluateAnn: exact intersection counts, one-sided queries survive") {
     val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 7L), (2L, 9L))
       .toDF("query_id", "neighbor_id")
