@@ -1,0 +1,109 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** r16 optimization-round measurement harness (guide §1): runs the named
+  * declared queries with the Bench session config and methodology (same
+  * warm-up ladder, same noop force) but additionally records
+  *  - per-JOB wall seconds (a query whose fn() runs eager actions —
+  *    writeState, Lineage.cut, index builds — shows where inside the
+  *    timed region the time actually goes),
+  *  - the StressRehearsal.MetricsListener shuffle/spill/balance snapshot,
+  *  - `explain("formatted")` of the returned frame into plans/r16/.
+  *
+  * NOT part of the driver contract (the driver runs graft.Bench); this is
+  * the round's lab instrument. Usage:
+  *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.Profiler q1,q2" [plansSuffix]
+  */
+object Profiler {
+
+  private final class JobTimer extends org.apache.spark.scheduler.SparkListener {
+    import scala.collection.concurrent.TrieMap
+    val started = TrieMap.empty[Int, (Long, String)]
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val desc = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse("")
+      started.update(j.jobId, (System.nanoTime(), desc))
+    }
+    override def onJobEnd(
+        j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      started.remove(j.jobId).foreach { case (t0, desc) =>
+        val s = (System.nanoTime() - t0) / 1e9
+        if (s >= 0.005)
+          lines.add(f"    job ${j.jobId}%4d ${s}%8.3f s  $desc")
+      }
+    def drain(): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (!lines.isEmpty) out += lines.poll()
+      out.toSeq
+    }
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq)
+      .getOrElse(sys.error("usage: Profiler q1,q2[,...] [plansTag]"))
+    val plansTag = if (args.length > 1) args(1) else "before"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = SparkEntry.queries
+    val missing = names.filterNot(qs.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+
+    // Bench's warm-up ladder so the timed passes measure steady state.
+    for (warmDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         n <- names)
+      try force(qs(n)(spark, warmDir)) catch { case _: Throwable => () }
+
+    val metrics = new StressRehearsal.MetricsListener
+    val jobs = new JobTimer
+    spark.sparkContext.addSparkListener(metrics)
+    spark.sparkContext.addSparkListener(jobs)
+
+    val plansDir = java.nio.file.Paths.get("plans", "r16")
+    java.nio.file.Files.createDirectories(plansDir)
+
+    for (n <- names) {
+      val secs = (1 to passes).map { i =>
+        metrics.reset(); jobs.drain()
+        spark.sparkContext.setJobDescription(s"$n pass$i")
+        val t0 = System.nanoTime()
+        val df = qs(n)(spark, sfDir)
+        val tBuilt = (System.nanoTime() - t0) / 1e9
+        force(df)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (i == passes) {
+          println(f"== $n pass$i: $t%.3f s (fn() incl. eager: $tBuilt%.3f s)")
+          jobs.drain().foreach(println)
+          println(s"    metrics: ${metrics.snapshot()}")
+          java.nio.file.Files.writeString(
+            plansDir.resolve(s"${n}_$plansTag.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+        }
+        t
+      }
+      val med = secs.sorted.apply(secs.size / 2)
+      println(f"== $n median of $passes: $med%.3f s  " +
+        s"(passes: ${secs.map(s => f"$s%.3f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}
